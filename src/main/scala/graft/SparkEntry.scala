@@ -1,13 +1,487 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+import graft.model.Schemas
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator from SURVEY.md §2 (reference
+  * parity, R1–R23 / S6–S8 / ST4 shapes, exercised over the `events`
+  * fixture which plays the audit-event role) or one extended
+  * training-data-pipeline operator (dedup / similarity / text analysis /
+  * multimodal over `documents` + `embeddings`). Each query with a
+  * SQL-expressible semantics has a matching DuckDB oracle in `oracleSql`
+  * with identical column names and types.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects
+      // ([PARQUET_TYPE_ILLEGAL]); read nanos as long and truncate to micros
+      // — exactly what DuckDB does when it surfaces the column as TIMESTAMP.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Final-projection cast: emit naive (NTZ) timestamps so parquet output
+    * is byte-identical to the DuckDB oracle's naive TIMESTAMP values
+    * (session TZ is pinned UTC, so the wall clock equals the instant). */
+  private def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")
+
+  /** The `events` fixture mapped into the audit-event vocabulary:
+    * guid := event_id (stringified), created_at := ts. The original columns
+    * ride along as the payload. */
+  private def auditView(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("guid", F.col("event_id").cast("string"))
+      .withColumn("created_at", F.col("ts"))
+
+  private val shipperName = "cf-audit-events-to-splunk"
+  private val cursorTs = Timestamp.from(Instant.parse("2024-01-15T00:00:00Z"))
+  private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  private def cursorDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((shipperName, cursorTs, "5000")).toDF("name", "updated_at", "shipped_id")
+  }
+
+  private def emptyCursorDf(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.shipperCursors)
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the TPC-H
+    * Q1-shaped pricing summary. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Pricing(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- parity
+
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        F.sum("l_quantity").as("sum_qty"),
+        F.sum("l_extendedprice").as("sum_base_price"),
+        F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).as("sum_disc_price"),
+        F.avg("l_quantity").as("avg_qty"),
+        F.avg("l_extendedprice").as("avg_price"),
+        F.count(F.lit(1)).as("count_order"))
+
+  val sqlCte: String =
+    "WITH per_user AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id) " +
+      "SELECT min(n) AS min_n, max(n) AS max_n, count(*) AS n_users FROM per_user"
+
+  // ------------------------------------------------------------- inventory
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference parity: the five store.go query shapes (§2B) ---
+    "q_unshipped_cursor" -> ((s, dir) =>
+      AuditQueries.unshipped(auditView(s, dir), cursorDf(s), shipperName,
+        batchCap = 1000, payloadCols = eventCols)
+        .withColumn("ts", ntz(F.col("ts")))),
+    "q_unshipped_nocursor" -> ((s, dir) =>
+      AuditQueries.unshipped(auditView(s, dir), emptyCursorDf(s), shipperName,
+        batchCap = 1000, payloadCols = eventCols)
+        .withColumn("ts", ntz(F.col("ts")))),
+    "q_latest_event_time" -> ((s, dir) =>
+      AuditQueries.latestEventTime(auditView(s, dir))
+        .select(ntz(F.col("latest_event_time")).as("latest_event_time"))),
+    "q_count_latest" -> ((s, dir) =>
+      AuditQueries.countAndLatest(auditView(s, dir))
+        .withColumn("latest_event_time", ntz(F.col("latest_event_time")))),
+    "q_events_page" -> ((s, dir) =>
+      AuditQueries.eventsPage(
+        t(s, dir, "events").withColumn("id", F.col("event_id")),
+        AuditQueries.RawEventFilter(reverse = true, limit = Some(100), kind = Some("click")))
+        .select(eventCols.map(F.col): _*)
+        .withColumn("ts", ntz(F.col("ts")))),
+    "q_dedup_exact_events" -> ((s, dir) => {
+      val av = auditView(s, dir)
+      AuditQueries.dedupAgainst(av.unionAll(av), av.limit(0))
+        .groupBy("event_type").agg(F.count(F.lit(1)).as("n"))
+    }),
+    "q_null_edges" -> ((s, dir) => {
+      val raw = F.when(F.col("user_id") % 7 === 0, F.lit(""))
+        .otherwise(F.col("user_id").cast("string"))
+      t(s, dir, "events").select(
+        F.col("event_id"),
+        Schemas.emptyToNull(raw).as("org_guid"),
+        Schemas.nullToEmpty(Schemas.emptyToNull(raw)).as("org_guid_out"))
+    }),
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(F.get_json_object(F.col("props"), "$.k").as("k"))
+        .agg(F.count(F.lit(1)).as("n"))),
+    "q_ingest_seq" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        F.col("event_id"),
+        F.row_number().over(Window.orderBy(F.col("ts"), F.col("event_id"))).cast("long").as("ingest_seq"))),
+    "q_time_buckets" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(
+          ntz(F.date_trunc("hour", F.col("ts"))).as("hour"),
+          F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))),
+    "q_check_valid" -> ((s, dir) => {
+      val (ok, bad) = AuditQueries.splitOnCheck(auditView(s, dir))
+      ok.agg(F.count(F.lit(1)).as("n_valid"))
+        .crossJoin(bad.agg(F.count(F.lit(1)).as("n_quarantined")))
+    }),
+    "q_distinct_users" -> ((s, dir) =>
+      t(s, dir, "events").agg(
+        F.countDistinct(F.col("user_id")).as("n_users"),
+        F.count(F.lit(1)).as("n_events"))),
+    "q_sql_cte" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(sqlCte)
+    }),
+
+    // --- relational coverage the reference lacks (SURVEY §2B "absent") ---
+    "q1_pricing_summary" -> ((s, dir) => q1Pricing(s, dir)),
+    "q3_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(F.col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, F.col("c_custkey") === F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") === F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).as("revenue"))
+    }),
+    "q5_local_supplier" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(F.col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      F.broadcast(r.join(n, F.col("n_regionkey") === F.col("r_regionkey")))
+        .join(c, F.col("c_nationkey") === F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") === F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") === F.col("o_orderkey"))
+        .join(F.broadcast(su),
+          F.col("s_suppkey") === F.col("l_suppkey") && F.col("s_nationkey") === F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).as("revenue"))
+    }),
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), F.col("c_custkey") === F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), F.col("o_orderkey") === F.col("l_orderkey"), "left_anti")
+        .select("o_orderkey")),
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").as("sum_qty"), F.count(F.lit(1)).as("n"))),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n"), F.sum("o_totalprice").as("total"))),
+    "q_intersect" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(F.col("event_type") === "click").select("user_id")
+        .intersect(ev.filter(F.col("event_type") === "purchase").select("user_id"))
+    }),
+    "q_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def days(kind: String) = ev.filter(F.col("event_type") === kind)
+        .select(F.col("user_id"), F.col("ts").cast("date").as("day")).distinct()
+      days("click").except(days("purchase"))
+    }),
+    "q_window_rank" -> ((s, dir) => {
+      val byPrice = Window.partitionBy(F.col("o_custkey"))
+        .orderBy(F.col("o_totalprice").desc, F.col("o_orderkey"))
+      val running = Window.partitionBy(F.col("o_custkey"))
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+        F.col("o_custkey"), F.col("o_orderkey"),
+        F.rank().over(byPrice).cast("long").as("rnk"),
+        F.sum("o_totalprice").over(running).as("running_total"))
+    }),
+    "q_topk_customers" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).as("n_orders"))
+        .orderBy(F.col("n_orders").desc, F.col("o_custkey"))
+        .limit(10)),
+    "q_range_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l,
+        F.col("l_orderkey") === F.col("o_orderkey") &&
+          F.col("l_shipdate") >= F.col("o_orderdate") &&
+          F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).as("n_items"))
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(F.col("event_type") === "click").select("event_id", "user_id", "ts")
+      val errors = ev.filter(F.col("event_type") === "error").select("event_id", "user_id", "ts")
+      AsOfJoin.join(clicks, errors, on = "user_id", leftTime = "ts", rightTime = "ts",
+        rightVals = Seq("event_id"), leftTie = "event_id", rightTie = "event_id")
+        .withColumn("ts", ntz(F.col("ts")))
+    }),
+    "q_pivot_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)),
+
+    // --- training-data pipeline: dedup family (documents) ---
+    "q_dedup_exact_docs" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text")
+        .select(F.col("a"), F.col("b"))),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")),
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text"), 0.05)),
+
+    // --- training-data pipeline: similarity search (embeddings) ---
+    "q_embed_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    }),
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", nbits = 8, k = 3)
+        .withColumn("rn", F.col("rn").cast("long"))),
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", nbits = 8, 0.2)),
+
+    // --- training-data pipeline: text analysis (documents) ---
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"), "text")
+        .select(Seq(F.col("doc_id"), F.col("lang"), F.col("pred_lang")) ++
+          TextAnalysis.langMarkers.map { case (l, _) => F.col(s"score_$l") }: _*)),
+    "q_text_quality" -> ((s, dir) =>
+      TextAnalysis.quality(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens",
+          "distinct_ratio", "stopword_ratio", "mean_token_len", "n_punct")),
+    "q_text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_ws_tokens", "n_re_tokens")),
+    "q_text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+
+    // --- training-data pipeline: multimodal plumbing (documents as media) ---
+    "q_mm_meta" -> ((s, dir) =>
+      Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")
+        .select(F.col("media_id"), F.col("meta.media_type").as("media_type"),
+          F.col("meta.n_bytes").as("n_bytes"), F.col("meta.width").as("width"),
+          F.col("meta.height").as("height"), F.col("meta.n_frames").as("n_frames"))),
+    "q_mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"), stride = 5)),
+    // Stubbed decode (mapPartitions batch plumbing) — not SQL-expressible;
+    // driver records the weaker rows-only check.
+    "q_mm_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")))
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  private val docShinglesCtes: String =
+    "toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
+      "pos AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS i FROM toks WHERE len(arr) >= 3), " +
+      "sh AS (SELECT DISTINCT doc_id, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || arr[CAST(i AS INT) + 2] AS shingle FROM pos)"
+
+  private def cosineOracle(pairsCte: String): String =
+    pairsCte +
+      ", terms AS (SELECT qid, cid, qv, cv, unnest(range(1, 65)) AS i FROM pairs), " +
+      "dots AS (SELECT qid, cid, " +
+      "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS dot, " +
+      "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS qq, " +
+      "sum(CAST(cv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS cc " +
+      "FROM terms GROUP BY qid, cid), " +
+      "scored AS (SELECT qid, cid, round(dot / (sqrt(qq) * sqrt(cc)), 4) AS cos_sim FROM dots), " +
+      "ranked AS (SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn FROM scored) " +
+      "SELECT qid, cid, cos_sim, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 3"
+
+  private val lshBucketExpr: String =
+    (1 to 8).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_unshipped_cursor" ->
+      ("WITH cursors AS (SELECT 'cf-audit-events-to-splunk' AS name, TIMESTAMP '2024-01-15 00:00:00' AS updated_at, '5000' AS shipped_id), " +
+        "last_shipped AS (SELECT updated_at, shipped_id FROM (SELECT updated_at, shipped_id FROM cursors WHERE name = 'cf-audit-events-to-splunk' UNION SELECT TIMESTAMP '1970-01-01 00:00:00', '') ORDER BY updated_at DESC LIMIT 1), " +
+        "recent AS (SELECT * FROM events WHERE ts >= (SELECT updated_at FROM last_shipped) ORDER BY ts ASC, CAST(event_id AS VARCHAR) ASC LIMIT 1000) " +
+        "SELECT event_id, ts, user_id, event_type, value, props FROM recent WHERE CAST(event_id AS VARCHAR) <> (SELECT shipped_id FROM last_shipped)"),
+    "q_unshipped_nocursor" ->
+      ("WITH cursors AS (SELECT 'x' AS name, TIMESTAMP '1970-01-01 00:00:00' AS updated_at, '' AS shipped_id WHERE 1 = 0), " +
+        "last_shipped AS (SELECT updated_at, shipped_id FROM (SELECT updated_at, shipped_id FROM cursors WHERE name = 'cf-audit-events-to-splunk' UNION SELECT TIMESTAMP '1970-01-01 00:00:00', '') ORDER BY updated_at DESC LIMIT 1), " +
+        "recent AS (SELECT * FROM events WHERE ts >= (SELECT updated_at FROM last_shipped) ORDER BY ts ASC, CAST(event_id AS VARCHAR) ASC LIMIT 1000) " +
+        "SELECT event_id, ts, user_id, event_type, value, props FROM recent WHERE CAST(event_id AS VARCHAR) <> (SELECT shipped_id FROM last_shipped)"),
+    "q_latest_event_time" ->
+      "SELECT coalesce(max(ts), TIMESTAMP '1970-01-01 00:00:00') AS latest_event_time FROM events",
+    "q_count_latest" ->
+      "SELECT count(*) AS n_events, max(ts) AS latest_event_time FROM events",
+    "q_events_page" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events WHERE event_type = 'click' ORDER BY event_id DESC LIMIT 100",
+    "q_dedup_exact_events" ->
+      ("SELECT event_type, count(*) AS n FROM (SELECT DISTINCT * FROM (SELECT * FROM events UNION ALL SELECT * FROM events)) GROUP BY event_type"),
+    "q_null_edges" ->
+      ("SELECT event_id, " +
+        "nullif(CASE WHEN user_id % 7 = 0 THEN '' ELSE CAST(user_id AS VARCHAR) END, '') AS org_guid, " +
+        "coalesce(nullif(CASE WHEN user_id % 7 = 0 THEN '' ELSE CAST(user_id AS VARCHAR) END, ''), '') AS org_guid_out FROM events"),
+    "q_json_extract" ->
+      "SELECT json_extract_string(props, '$.k') AS k, count(*) AS n FROM events GROUP BY 1",
+    "q_ingest_seq" ->
+      "SELECT event_id, CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS ingest_seq FROM events",
+    "q_time_buckets" ->
+      "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, sum(value) AS sum_value FROM events GROUP BY 1, 2",
+    "q_check_valid" ->
+      ("SELECT CAST(sum(CASE WHEN ts > TIMESTAMP '1970-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid, " +
+        "CAST(sum(CASE WHEN ts <= TIMESTAMP '1970-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined FROM events"),
+    "q_distinct_users" ->
+      "SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events",
+    "q_sql_cte" -> sqlCte,
+
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, sum(l_extendedprice) AS sum_base_price, " +
+        "sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, avg(l_quantity) AS avg_qty, " +
+        "avg(l_extendedprice) AS avg_price, count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus"),
+    "q3_revenue" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, sum(l_extendedprice * (1 - l_discount)) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey, o_orderdate, o_orderpriority"),
+    "q5_local_supplier" ->
+      ("SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name"),
+    "q_semi_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q_anti_join" ->
+      "SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)",
+    "q_rollup" ->
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    "q_cube" ->
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS n, sum(o_totalprice) AS total FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+    "q_intersect" ->
+      "SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'",
+    "q_except" ->
+      ("SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click' " +
+        "EXCEPT SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'"),
+    "q_window_rank" ->
+      ("SELECT o_custkey, o_orderkey, CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk, " +
+        "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total FROM orders"),
+    "q_topk_customers" ->
+      "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10",
+    "q_range_join" ->
+      ("SELECT o_orderkey, count(*) AS n_items FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY GROUP BY o_orderkey"),
+    "q_asof_join" ->
+      ("WITH u AS (SELECT user_id, ts, event_id, CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS kind " +
+        "FROM events WHERE event_type IN ('click', 'error')), " +
+        "w AS (SELECT user_id, ts, event_id, kind, " +
+        "last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, kind, CAST(event_id AS VARCHAR) ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id FROM u) " +
+        "SELECT event_id, user_id, ts, asof_event_id FROM w WHERE kind = 1"),
+    "q_pivot_events" ->
+      ("SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase, " +
+        "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error " +
+        "FROM events GROUP BY user_id"),
+
+    "q_dedup_exact_docs" ->
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
+    "q_dedup_minhash" ->
+      ("WITH " + docShinglesCtes + ", " +
+        "seeded AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS j FROM sh), " +
+        "sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h FROM seeded GROUP BY doc_id, j), " +
+        "bands AS (SELECT doc_id, CAST(j // 2 AS INT) AS band, md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bkey FROM sig GROUP BY doc_id, CAST(j // 2 AS INT)) " +
+        "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"),
+    "q_dedup_simhash" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "bits AS (SELECT doc_id, md5(tok) AS h, unnest(range(1, 17)) AS i FROM toks), " +
+        "scored AS (SELECT doc_id, i, CAST(sum(CASE WHEN substr(h, CAST(i AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s FROM bits GROUP BY doc_id, i) " +
+        "SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT) ELSE 0 END) AS BIGINT) AS simhash FROM scored GROUP BY doc_id"),
+    "q_dedup_jaccard" ->
+      ("WITH " + docShinglesCtes + ", " +
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id), " +
+        "shared_c AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id) " +
+        "SELECT s.a, s.b, s.shared, round(CAST(s.shared AS DOUBLE) / CAST(sa.sz + sb.sz - s.shared AS DOUBLE), 4) AS jaccard " +
+        "FROM shared_c s JOIN sizes sa ON s.a = sa.doc_id JOIN sizes sb ON s.b = sb.doc_id " +
+        "WHERE round(CAST(s.shared AS DOUBLE) / CAST(sa.sz + sb.sz - s.shared AS DOUBLE), 4) >= 0.05"),
+
+    "q_embed_topk" -> cosineOracle(
+      "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings), " +
+        "pairs AS (SELECT qid, cid, qv, cv FROM q JOIN c ON cid <> qid)"),
+    "q_ann_lsh" -> cosineOracle(
+      "WITH b AS (SELECT vec_id AS id, embedding AS v, " + lshBucketExpr + " AS bucket FROM embeddings), " +
+        "pairs AS (SELECT x.id AS qid, y.id AS cid, x.v AS qv, y.v AS cv FROM b x JOIN b y ON x.bucket = y.bucket AND x.id <> y.id)"),
+    "q_embed_neardup" ->
+      ("WITH b AS (SELECT vec_id AS id, embedding AS v, " + lshBucketExpr + " AS bucket FROM embeddings), " +
+        "pairs AS (SELECT x.id AS a, y.id AS b, x.v AS av, y.v AS bv FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id), " +
+        "terms AS (SELECT a, b, av, bv, unnest(range(1, 65)) AS i FROM pairs), " +
+        "dots AS (SELECT a, b, " +
+        "sum(CAST(av[CAST(i AS INT)] AS DOUBLE) * CAST(bv[CAST(i AS INT)] AS DOUBLE)) AS dot, " +
+        "sum(CAST(av[CAST(i AS INT)] AS DOUBLE) * CAST(av[CAST(i AS INT)] AS DOUBLE)) AS aa, " +
+        "sum(CAST(bv[CAST(i AS INT)] AS DOUBLE) * CAST(bv[CAST(i AS INT)] AS DOUBLE)) AS bb " +
+        "FROM terms GROUP BY a, b) " +
+        "SELECT a, b, round(dot / (sqrt(aa) * sqrt(bb)), 4) AS cos_sim FROM dots WHERE round(dot / (sqrt(aa) * sqrt(bb)), 4) >= 0.2"),
+
+    "q_text_langid" ->
+      ("SELECT doc_id, lang, " +
+        "CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de' WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr' WHEN score_zh = best THEN 'zh' ELSE 'und' END AS pred_lang, " +
+        "score_en, score_de, score_es, score_fr, score_zh FROM (" +
+        "SELECT doc_id, lang, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS INTEGER) AS score_en, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und'))) AS INTEGER) AS score_de, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('el','la','los','que'))) AS INTEGER) AS score_es, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('le','les','des','est'))) AS INTEGER) AS score_fr, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('的','是','了','在'))) AS INTEGER) AS score_zh, " +
+        "greatest(" +
+        "len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))), " +
+        "len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und'))), " +
+        "len(list_filter(string_split(text, ' '), x -> x IN ('el','la','los','que'))), " +
+        "len(list_filter(string_split(text, ' '), x -> x IN ('le','les','des','est'))), " +
+        "len(list_filter(string_split(text, ' '), x -> x IN ('的','是','了','在')))) AS best FROM documents)"),
+    "q_text_quality" ->
+      ("SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_m, " +
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, " +
+        "CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct_tokens, " +
+        "round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS distinct_ratio, " +
+        "round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio, " +
+        "round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_token_len, " +
+        "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS INTEGER) AS n_punct FROM documents"),
+    "q_text_tokens" ->
+      ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_re_tokens FROM documents"),
+    "q_text_fingerprint" ->
+      ("WITH toks AS (SELECT doc_id, md5(lower(trim(text))) AS md5_fp, string_split(lower(trim(text)), ' ') AS arr FROM documents), " +
+        "pos AS (SELECT doc_id, md5_fp, arr, unnest(range(1, len(arr) + 1)) AS i FROM toks), " +
+        "terms AS (SELECT doc_id, md5_fp, i * (ascii(substr(arr[CAST(i AS INT)], 1, 1)) + length(arr[CAST(i AS INT)])) AS term FROM pos) " +
+        "SELECT doc_id, md5_fp, CAST(sum(term) % 1000003 AS BIGINT) AS pos_fp FROM terms GROUP BY doc_id, md5_fp"),
+
+    "q_mm_meta" ->
+      ("SELECT doc_id AS media_id, 'image/fake' AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+        "CAST(doc_id % 640 + 32 AS INTEGER) AS width, CAST(doc_id % 480 + 32 AS INTEGER) AS height, " +
+        "CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames FROM documents"),
+    "q_mm_frames" ->
+      ("WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames FROM documents) " +
+        "SELECT media_id, n_frames, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx FROM m")
+  )
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Document-deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
+  * join), SimHash, and n-gram Jaccard verification.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` column algebra —
+  * whole-stage-codegen friendly, no UDFs — and every hash is derived from
+  * `md5` over explicit strings so results are engine-portable (the DuckDB
+  * oracle computes the identical values).
+  *
+  * Scale design: the only shuffles are (a) groupBy doc for signatures and
+  * (b) the bucket join for candidates. Candidate generation never compares
+  * all pairs — LSH banding bounds the join to same-bucket collisions, and
+  * the final Jaccard verification runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one output row per distinct text with the
+    * representative (minimum) id kept and the duplicate count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(F.md5(F.col(textCol)).as("content_hash"))
+      .agg(
+        F.min(F.col(idCol)).as("keep_id"),
+        F.count(F.lit(1)).as("n_dups"))
+
+  /** Word n-gram shingles: one row per (id, distinct shingle). Uses
+    * 1-indexed `element_at` over `split` so the DuckDB mirror
+    * (`string_split(text,' ')[i]`) computes identical strings. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val arr = F.split(F.col(textCol), " ")
+    val withArr = df.select(F.col(idCol).as("doc"), arr.as("__arr"))
+      .withColumn("__len", F.size(F.col("__arr")))
+      .filter(F.col("__len") >= n) // guards sequence(1, x<1) which would run descending
+      .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__len") - (n - 1))))
+    val shingle = F.concat_ws(" ", (0 until n).map(o => F.element_at(F.col("__arr"), F.col("__i") + o)): _*)
+    withArr.select(F.col("doc"), shingle.as("shingle")).distinct()
+  }
+
+  /** MinHash signatures: for seed j in [0, k), h_j(doc) = min over the
+    * doc's shingles of md5(j || '|' || shingle). Lexicographic min over a
+    * uniform hex hash is a valid min-hash; identical in any engine with
+    * md5. Output: (doc, j, h). */
+  def minhashSignatures(shingles: DataFrame, k: Int = 8): DataFrame =
+    shingles
+      .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+      .groupBy(F.col("doc"), F.col("j"))
+      .agg(F.min(F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("shingle")))).as("h"))
+
+  /** LSH banding with 2 rows per band: band b holds seeds (2b, 2b+1); the
+    * bucket key is md5 of their concatenation. Docs sharing any (band, key)
+    * become candidate pairs. Output: (doc, band, key). */
+  def lshBuckets(signatures: DataFrame): DataFrame =
+    signatures
+      .withColumn("band", (F.col("j") / 2).cast("int"))
+      .groupBy(F.col("doc"), F.col("band"))
+      .agg(F.md5(F.concat(
+        F.max(F.when(F.col("j") % 2 === 0, F.col("h"))),
+        F.max(F.when(F.col("j") % 2 === 1, F.col("h"))))).as("key"))
+
+  /** Distinct candidate pairs (a < b) from shared LSH buckets. The join is
+    * bucket-local: cost is Σ per-bucket size², not |docs|². */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(F.col("band"), F.col("key"), F.col("doc").as("a"))
+    val b = buckets.select(F.col("band"), F.col("key"), F.col("doc").as("b"))
+    a.join(b, Seq("band", "key"))
+      .filter(F.col("a") < F.col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** End-to-end MinHash LSH near-duplicate candidates. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 8): DataFrame =
+    candidatePairs(lshBuckets(minhashSignatures(wordShingles(df, idCol, textCol, shingleN), k)))
+
+  /** n-gram Jaccard similarity for all pairs sharing at least one shingle:
+    * |A∩B| / |A∪B|, keeping pairs with similarity ≥ `minJaccard`.
+    * `shared`-shingle blocking keeps this far below the all-pairs cross
+    * product; for very common shingles consider dropping the top-frequency
+    * shingles first (stopword-shingle suppression). */
+  def jaccardPairs(shingles: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = shingles.groupBy(F.col("doc")).agg(F.count(F.lit(1)).as("sz"))
+    val a = shingles.select(F.col("shingle"), F.col("doc").as("a"))
+    val b = shingles.select(F.col("shingle"), F.col("doc").as("b"))
+    val shared = a.join(b, "shingle")
+      .filter(F.col("a") < F.col("b"))
+      .groupBy(F.col("a"), F.col("b"))
+      .agg(F.count(F.lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        F.round(F.col("shared").cast("double") /
+          (F.col("sza") + F.col("szb") - F.col("shared")).cast("double"), 4))
+      .filter(F.col("jaccard") >= minJaccard)
+      .select(F.col("a"), F.col("b"), F.col("shared"), F.col("jaccard"))
+  }
+
+  /** SimHash fingerprint (`bits` ≤ 16): token t contributes ±1 to bit i
+    * according to the top bit of the i-th hex nibble of md5(t); bit i of the
+    * fingerprint is 1 iff the signed sum is ≥ 0. Near-duplicates land at
+    * small Hamming distance. Engine-portable: nibble-top-bit = "hex digit in
+    * 8..f", no integer parsing of hex needed. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
+    df.select(
+        F.col(idCol).as("doc"),
+        F.explode(F.split(F.col(textCol), " ")).as("tok"))
+      .withColumn("h", F.md5(F.col("tok")))
+      .withColumn("i", F.explode(F.sequence(F.lit(1), F.lit(bits))))
+      .withColumn("bitval",
+        F.when(F.expr("substring(h, i, 1) in ('8','9','a','b','c','d','e','f')"), F.lit(1))
+          .otherwise(F.lit(-1)))
+      .groupBy(F.col("doc"), F.col("i"))
+      .agg(F.sum(F.col("bitval")).as("s"))
+      .groupBy(F.col("doc"))
+      .agg(F.sum(
+        F.when(F.col("s") >= 0, F.expr("cast(shiftleft(1, cast(i - 1 as int)) as bigint)"))
+          .otherwise(F.lit(0L))).as("simhash"))
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-marker heuristic), quality scoring (length / punctuation /
+  * stopword ratios), token counting (whitespace and regex "BPE-ish"), and
+  * document fingerprinting (canonical md5 + order-sensitive positional
+  * checksum).
+  *
+  * Pure column algebra — codegen-friendly, engine-portable (the DuckDB
+  * oracle mirrors each expression), and embarrassingly parallel: every
+  * operator is per-row except the fingerprint checksum's per-doc groupBy.
+  */
+object TextAnalysis {
+
+  /** Language marker lists: tiny per-language stopword inventories. A real
+    * deployment swaps in larger lists (or char-n-gram profiles); the
+    * mechanism — count marker hits per language, argmax with a fixed
+    * tiebreak order — is what scales. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "des", "est"),
+    "zh" -> Seq("的", "是", "了", "在")
+  )
+
+  private def tokArr(textCol: Column): Column = F.split(textCol, " ")
+
+  private def markerHits(textCol: Column, markers: Seq[String]): Column = {
+    val arr = tokArr(textCol)
+    F.size(F.filter(arr, t => markers.map(m => t === m).reduce(_ || _)))
+  }
+
+  /** Predicted language per row: argmax of marker-hit counts, ties broken
+    * by `langMarkers` declaration order ('en' first). Adds `pred_lang` and
+    * one `score_<lang>` column per language. */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang", markerHits(F.col(textCol), markers))
+    }
+    val best = langMarkers.map { case (lang, _) => F.col(s"score_$lang") }
+      .reduce((a, b) => F.greatest(a, b))
+    val pred = langMarkers.reverse.foldLeft(F.lit("und")) { case (acc, (lang, _)) =>
+      F.when(F.col(s"score_$lang") === best, F.lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Quality features: char length, whitespace token count, distinct-token
+    * ratio, stopword ratio, mean token length, punctuation count. Ratios
+    * rounded to 4 decimals for cross-engine stability. */
+  def quality(df: DataFrame, textCol: String,
+              stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
+    val t = F.col(textCol)
+    val arr = tokArr(t)
+    val nTok = F.size(arr)
+    val stopHits = F.size(F.filter(arr, x => stopwords.map(s => x === s).reduce(_ || _)))
+    df
+      .withColumn("n_chars_m", F.length(t))
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_distinct_tokens", F.size(F.array_distinct(arr)))
+      .withColumn("distinct_ratio",
+        F.round(F.col("n_distinct_tokens").cast("double") / nTok.cast("double"), 4))
+      .withColumn("stopword_ratio", F.round(stopHits.cast("double") / nTok.cast("double"), 4))
+      .withColumn("mean_token_len",
+        F.round((F.length(t) - (nTok - 1)).cast("double") / nTok.cast("double"), 4))
+      .withColumn("n_punct",
+        F.length(F.regexp_replace(t, "[a-z0-9 ]", "")))
+  }
+
+  /** Token counts: whitespace split and a BPE-ish regex ([a-z0-9]+ runs). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df
+      .withColumn("n_ws_tokens", F.size(tokArr(F.col(textCol))))
+      .withColumn("n_re_tokens",
+        F.size(F.regexp_extract_all(F.col(textCol), F.lit("[a-z0-9]+"), F.lit(0))))
+
+  /** Document fingerprints: `md5_fp` over the canonicalized text (lower,
+    * trimmed) and `pos_fp`, an order-sensitive positional checksum —
+    * Σ_i i·(ascii(first char of token_i) + len(token_i)) mod 1000003 — a
+    * rolling-hash-style signature that distinguishes permutations, unlike
+    * a bag-of-words hash. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val arr = tokArr(F.lower(F.trim(F.col(textCol))))
+    val terms = F.zip_with(
+      arr,
+      F.sequence(F.lit(1), F.size(arr)),
+      (tok, i) => i.cast("long") * (F.ascii(F.substring(tok, 1, 1)).cast("long") + F.length(tok).cast("long")))
+    df.select(
+      F.col(idCol),
+      F.md5(F.lower(F.trim(F.col(textCol)))).as("md5_fp"),
+      (F.aggregate(terms, F.lit(0L), (acc, x) => acc + x) % 1000003L).as("pos_fp"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.store
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession, functions => F}
+
+import graft.model.Schemas
+import graft.operators.AuditQueries
+import graft.operators.AuditQueries.RawEventFilter
+
+/** Warehouse-native `EventStore`: events as a date-partitioned parquet
+  * table, cursors as a tiny parquet table.
+  *
+  * 100 TB design notes:
+  *  - **Partition layout**: `event_date=date(created_at)` — time is the
+  *    dominant predicate in every reference query (R5/R14/R15; the
+  *    reference's own indexes, create_cf_audit_events.sql:19-24, say the
+  *    same). Range scans and the unshipped query prune to a handful of
+  *    partitions.
+  *  - **Bounded dedup**: the collector re-fetches with only a 5 s overlap
+  *    (collector.go:36), so a batch can only collide with events in its own
+  *    time range. The anti-join right side is pruned to
+  *    `event_date >= min(batch date)` — O(overlap), not O(history).
+  *  - **Bounded latest-time read**: `max(created_at)` restricted to the max
+  *    partition via partition listing, not a full scan.
+  *  - **Cursor writes are O(#shippers)**: collected to the driver and
+  *    rewritten atomically (tmp + swap); at any scale #shippers is tiny.
+  */
+final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends EventStore {
+  private val eventsPath = s"$warehouseDir/cf_audit_events"
+  private val cursorsPath = s"$warehouseDir/shipper_cursors"
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def exists(p: String): Boolean = fs.exists(new org.apache.hadoop.fs.Path(p))
+
+  private def emptyEvents: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.cfAuditEvents)
+
+  private def emptyCursors: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.shipperCursors)
+
+  override def init(): Unit = {
+    // Idempotent, like the reference's in-transaction DDL (store.go:55-71).
+    if (!exists(eventsPath))
+      emptyEvents.withColumn("event_date", F.to_date(F.col("created_at")))
+        .write.partitionBy("event_date").parquet(eventsPath)
+    if (!exists(cursorsPath))
+      emptyCursors.write.parquet(cursorsPath)
+  }
+
+  override def events: DataFrame = {
+    val df = spark.read.schema(
+      Schemas.cfAuditEvents.add("event_date", org.apache.spark.sql.types.DateType))
+      .parquet(eventsPath)
+    df.select(Schemas.cfAuditEvents.fieldNames.map(F.col).toSeq: _*)
+  }
+
+  /** Events with the partition column retained, for pruned scans. */
+  private def eventsWithDate: DataFrame =
+    spark.read.schema(
+      Schemas.cfAuditEvents.add("event_date", org.apache.spark.sql.types.DateType))
+      .parquet(eventsPath)
+
+  override def cursors: DataFrame =
+    spark.read.schema(Schemas.shipperCursors).parquet(cursorsPath)
+
+  override def storeCFAuditEvents(batch: DataFrame): Long = {
+    val (valid, _) = AuditQueries.splitOnCheck(batch) // R21 CHECK constraints
+    // Prune the dedup anti-join to partitions the batch can touch (see
+    // class doc); fall back to full history only if the batch is empty.
+    val minTs = valid.agg(F.min("created_at")).collect()(0)
+    val existingScope =
+      if (minTs.isNullAt(0)) emptyEvents
+      else eventsWithDate
+        .filter(F.col("event_date") >= F.to_date(F.lit(minTs.getTimestamp(0))))
+        .select("guid")
+    val deduped = AuditQueries.dedupAgainst(valid, existingScope)
+    val base = maxId()
+    val withId = AuditQueries.assignIngestSeq(deduped, base)
+      .select(Schemas.cfAuditEvents.fieldNames.map(F.col).toSeq: _*)
+      .withColumn("event_date", F.to_date(F.col("created_at")))
+      .cache()
+    val n = withId.count()
+    if (n > 0)
+      withId.write.mode(SaveMode.Append).partitionBy("event_date").parquet(eventsPath)
+    withId.unpersist()
+    n
+  }
+
+  private def maxId(): Long = {
+    val r = events.agg(F.max("id")).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  override def getCFAuditEvents(filter: RawEventFilter): DataFrame =
+    AuditQueries.eventsPage(events, filter)
+
+  override def getLatestCFEventTime(): Timestamp = {
+    // Restrict to the latest date partition when one exists — the partition
+    // column bounds max(created_at), so this reads one partition, not 100 TB.
+    val parts = eventsWithDate.select(F.max("event_date")).collect()(0)
+    val scoped =
+      if (parts.isNullAt(0)) events
+      else eventsWithDate.filter(F.col("event_date") === parts.getDate(0))
+    val r = scoped.agg(F.max("created_at")).collect()(0)
+    if (r.isNullAt(0)) Schemas.epoch else r.getTimestamp(0) // empty → epoch sentinel
+  }
+
+  override def getCFEventCount(): Long = AuditQueries.eventCount(events)
+
+  override def getUnshippedCFAuditEventsForShipper(shipperName: String): DataFrame =
+    AuditQueries.unshipped(events, cursors, shipperName)
+
+  override def updateShipperCursor(shipperName: String, updatedAt: String, shippedId: String): Unit = {
+    import spark.implicits._
+    // Reference passes the raw string and lets the DB cast (store.go:271-281).
+    val ts = Timestamp.from(java.time.OffsetDateTime.parse(updatedAt).toInstant)
+    val existing = cursors.filter(F.col("name") =!= shipperName).collect().toSeq
+    val updated = existing :+ Row(shipperName, ts, shippedId)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(updated, 1), Schemas.shipperCursors)
+    // atomic-ish swap: write tmp, delete, rename
+    val tmp = cursorsPath + "_tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(cursorsPath)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(t, p)
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("Dedup") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+      (4L, "completely different content about spark engines here")
+    ).toDF("doc_id", "text")
+
+    it("exact: groups identical texts under one content hash") {
+      val out = Dedup.exact(docs, "doc_id", "text").collect()
+      out.length shouldBe 3
+      val dup = out.find(_.getLong(2) == 2L).get
+      dup.getLong(1) shouldBe 1L // keep_id = min
+    }
+
+    it("minhash LSH: exact duplicates always collide; disjoint docs don't") {
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs should contain((1L, 2L))
+      pairs should not contain ((1L, 4L))
+    }
+
+    it("simhash: identical texts get identical fingerprints") {
+      val out = Dedup.simhash(docs, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out(1L) shouldBe out(2L)
+      out(1L) should be >= 0L
+      out(1L) should be < 65536L
+    }
+
+    it("jaccard: identical docs score 1.0; near-dups score high") {
+      val j = Dedup.jaccardPairs(Dedup.wordShingles(docs, "doc_id", "text"), 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      j((1L, 2L)) shouldBe 1.0
+      j((1L, 3L)) should (be > 0.3 and be < 1.0)
+    }
+  }
+
+  describe("Similarity") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+
+    it("cosine: identical direction = 1.0, orthogonal = 0.0, opposite = -1.0") {
+      val out = vecs.as("a").crossJoin(vecs.as("b"))
+        .select($"a.vec_id".as("x"), $"b.vec_id".as("y"),
+          Similarity.cosine($"a.embedding", $"b.embedding").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      out((0L, 0L)) shouldBe 1.0
+      out((0L, 2L)) shouldBe 0.0
+      out((0L, 3L)) shouldBe -1.0
+    }
+
+    it("bruteForceTopK ranks by similarity with deterministic tiebreak") {
+      val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding", 2)
+        .orderBy("rn").collect()
+      top.map(_.getLong(1)) shouldBe Array(1L, 2L) // nearest then orthogonal
+    }
+
+    it("sign-bucket LSH groups same-orthant vectors") {
+      val out = Similarity.lshTopK(vecs, "vec_id", "embedding", nbits = 3, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      out should contain((0L, 1L)) // same orthant
+      out should not contain ((0L, 3L)) // opposite orthant, different bucket
+    }
+  }
+
+  describe("TextAnalysis") {
+    val docs = Seq(
+      (1L, "the cat and the hat"),
+      (2L, "der hund und die katze"),
+      (3L, "hat the cat and the") // permutation of 1
+    ).toDF("doc_id", "text")
+
+    it("langId scores markers and predicts with declaration-order tiebreak") {
+      val out = TextAnalysis.langId(docs, "text")
+        .select("doc_id", "pred_lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      out(1L) shouldBe "en"
+      out(2L) shouldBe "de"
+    }
+
+    it("quality computes token stats") {
+      val q = TextAnalysis.quality(docs, "text").filter($"doc_id" === 1L).collect()(0)
+      q.getAs[Int]("n_tokens") shouldBe 5
+      q.getAs[Int]("n_distinct_tokens") shouldBe 4
+      q.getAs[Double]("stopword_ratio") shouldBe 0.6 // the, and, the
+    }
+
+    it("fingerprints: md5 ignores order only via content; positional checksum is order-sensitive") {
+      val fp = TextAnalysis.fingerprints(docs, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      fp(1L)._1 should not be fp(3L)._1
+      fp(1L)._2 should not be fp(3L)._2 // same bag of words, different order
+    }
+  }
+
+  describe("AsOfJoin") {
+    it("attaches the most recent right row at-or-before each left row per key") {
+      val left = Seq((10L, 1L, ts("2024-01-01T10:00:00Z")), (11L, 1L, ts("2024-01-01T12:00:00Z")),
+        (12L, 2L, ts("2024-01-01T10:00:00Z"))).toDF("event_id", "user_id", "ts")
+      val right = Seq((100L, 1L, ts("2024-01-01T09:00:00Z")), (101L, 1L, ts("2024-01-01T11:00:00Z")),
+        (102L, 3L, ts("2024-01-01T09:00:00Z"))).toDF("event_id", "user_id", "ts")
+      val out = AsOfJoin.join(left, right, "user_id", "ts", "ts", Seq("event_id"), "event_id", "event_id")
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      out(10L) shouldBe Some(100L)
+      out(11L) shouldBe Some(101L)
+      out(12L) shouldBe None // no right rows for user 2
+    }
+    it("a right row at exactly the left timestamp counts (at-or-before)") {
+      val left = Seq((1L, 1L, ts("2024-01-01T10:00:00Z"))).toDF("event_id", "user_id", "ts")
+      val right = Seq((2L, 1L, ts("2024-01-01T10:00:00Z"))).toDF("event_id", "user_id", "ts")
+      val out = AsOfJoin.join(left, right, "user_id", "ts", "ts", Seq("event_id"), "event_id", "event_id")
+      out.collect()(0).getLong(3) shouldBe 2L
+    }
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+}

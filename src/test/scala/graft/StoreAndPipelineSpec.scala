@@ -1,0 +1,225 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+import scala.collection.mutable
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.metrics.{Metrics, MetricsRegistry}
+import graft.sources._
+import graft.store.ParquetEventStore
+import graft.streaming.{Collector, Informer, SplunkHecClient, SplunkShipper}
+
+/** Scriptable POST transport: each call consumes the next status. */
+final class FakePoster(statuses: Seq[Int]) extends HttpTransport with Serializable {
+  private val q = mutable.Queue(statuses: _*)
+  val posts: mutable.ArrayBuffer[(String, String, Map[String, String])] = mutable.ArrayBuffer.empty
+  def get(url: String, headers: Map[String, String]): HttpReply = throw new UnsupportedOperationException
+  def post(url: String, body: String, headers: Map[String, String]): HttpReply = {
+    posts += ((url, body, headers))
+    HttpReply(if (q.nonEmpty) q.dequeue() else 200, "ok")
+  }
+}
+
+class StoreAndPipelineSpec extends SparkSpec {
+
+  private def newStore() = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val st = new ParquetEventStore(spark, dir)
+    st.init()
+    st
+  }
+
+  private def pageJson(guids: Seq[String], atIso: Seq[String], next: String): String = {
+    val resources = guids.zip(atIso).map { case (g, at) =>
+      s"""{"metadata":{"guid":"$g","created_at":"$at"},
+         |"entity":{"type":"test.event.type","actor":"a","actor_type":"t","actor_name":"n",
+         |"actor_username":"u","actee":"e","actee_type":"t","actee_name":"n",
+         |"organization_guid":"","space_guid":"sg","metadata":{}}}""".stripMargin
+    }.mkString(",")
+    s"""{"total_results":${guids.size},"total_pages":9,"next_url":"$next","resources":[$resources]}"""
+  }
+
+  describe("ParquetEventStore") {
+    it("init is idempotent and empty store reads back empty") {
+      val st = newStore()
+      st.init()
+      st.events.count() shouldBe 0L
+      st.getLatestCFEventTime() shouldBe graft.model.Schemas.epoch
+      st.getCFEventCount() shouldBe 0L
+    }
+
+    it("assigns monotonically increasing ingest ids across batches and dedups on guid") {
+      val st = newStore()
+      val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")
+      val mk = (g: String, at: String) => CfWireEvent(g, at, "t", "a", "at", "an", "au",
+        "e", "et", "en", "", "sg", "{}")
+      val collector = new Collector(spark, st, f, new MetricsRegistry)
+      val b1 = Seq(mk("g1", "2024-01-01T10:00:00Z"), mk("g2", "2024-01-01T11:00:00Z"))
+      val b2 = Seq(mk("g2", "2024-01-01T11:00:00Z"), mk("g3", "2024-01-02T10:00:00Z"))
+      st.storeCFAuditEvents(collector.pageToDf(b1)) shouldBe 2L
+      st.storeCFAuditEvents(collector.pageToDf(b2)) shouldBe 1L // g2 deduped
+      val rows = st.events.orderBy("id").select("id", "guid", "organization_guid").collect()
+      rows.map(_.getLong(0)) shouldBe Array(1L, 2L, 3L)
+      rows.map(_.getString(1)) shouldBe Array("g1", "g2", "g3")
+      rows(0).isNullAt(2) shouldBe true // '' -> NULL at the edge (R3)
+      st.getLatestCFEventTime().toInstant shouldBe Instant.parse("2024-01-02T10:00:00Z")
+    }
+
+    it("upserts shipper cursors by name (R19/S8)") {
+      val st = newStore()
+      st.updateShipperCursor("s1", "2024-01-01T00:00:00Z", "g1")
+      st.updateShipperCursor("s2", "2024-01-02T00:00:00Z", "g2")
+      st.updateShipperCursor("s1", "2024-01-03T00:00:00Z", "g3")
+      val rows = st.cursors.orderBy("name").collect()
+      rows.length shouldBe 2
+      rows(0).getString(0) shouldBe "s1"
+      rows(0).getString(2) shouldBe "g3"
+      rows(0).getTimestamp(1).toInstant shouldBe Instant.parse("2024-01-03T00:00:00Z")
+    }
+  }
+
+  describe("Collector (collector.go semantics)") {
+    it("fetches all pages, stores them page-by-page, and advances metrics") {
+      val p1 = "/v2/events?q=timestamp%3E1970-01-01T00%3A00%3A00Z&results-per-page=100"
+      val p2 = "/v2/events?page=2"
+      val p3 = "/v2/events?page=3"
+      val transport = new FakeTransport(Map(
+        p1 -> HttpReply(200, pageJson(Seq("g1", "g2"), Seq("2024-01-01T10:00:00Z", "2024-01-01T11:00:00Z"), p2)),
+        p2 -> HttpReply(200, pageJson(Seq("g3"), Seq("2024-01-01T12:00:00Z"), p3)),
+        p3 -> HttpReply(200, pageJson(Seq("g4"), Seq("2024-01-01T13:00:00Z"), ""))))
+      val st = newStore()
+      val reg = new MetricsRegistry
+      val collector = new Collector(spark, st,
+        new CfAuditEventFetcher(transport, "", paginationWaitMillis = 0), reg)
+      collector.pullEventsSince() shouldBe Instant.EPOCH // empty store → epoch (ST2)
+      collector.collectOnce() shouldBe Right(4L)
+      st.events.count() shouldBe 4L
+      reg.counterValue(Metrics.CollectorEventsCollected) shouldBe 4.0
+      // resume point = max - 5s overlap
+      collector.pullEventsSince() shouldBe Instant.parse("2024-01-01T12:59:55Z")
+    }
+
+    it("is idempotent across overlapping re-fetches (ST2 + R18)") {
+      val body = pageJson(Seq("g1"), Seq("2024-01-01T10:00:00Z"), "")
+      val p1 = "/v2/events?q=timestamp%3E1970-01-01T00%3A00%3A00Z&results-per-page=100"
+      val p2 = "/v2/events?q=timestamp%3E2024-01-01T09%3A59%3A55Z&results-per-page=100"
+      val transport = new FakeTransport(Map(
+        p1 -> HttpReply(200, body), p2 -> HttpReply(200, body)))
+      val st = newStore()
+      val collector = new Collector(spark, st,
+        new CfAuditEventFetcher(transport, "", paginationWaitMillis = 0), new MetricsRegistry)
+      collector.collectOnce() shouldBe Right(1L)
+      // second tick re-fetches from max-5s and re-delivers g1; store dedups
+      collector.collectOnce() shouldBe Right(1L)
+      st.events.count() shouldBe 1L
+    }
+
+    it("fail-fast on fetch errors (main.go:94-97)") {
+      val st = newStore()
+      val reg = new MetricsRegistry
+      val collector = new Collector(spark, st,
+        new CfAuditEventFetcher(new FakeTransport(Map.empty), "", paginationWaitMillis = 0), reg)
+      collector.collectOnce().isLeft shouldBe true
+      reg.counterValue(Metrics.CollectorErrors) shouldBe 1.0
+    }
+  }
+
+  describe("SplunkHecClient retry policy (shipper.go:62-86)") {
+    it("retries through transient 500s within one logical post") {
+      val poster = new FakePoster(Seq(500, 500, 200))
+      val hec = new SplunkHecClient(poster, "https://hec", "KEY", sleep = _ => ())
+      hec.post("{}").isRight shouldBe true
+      poster.posts.size shouldBe 3
+      poster.posts.head._3("Authorization") shouldBe "Splunk KEY"
+    }
+    it("gives up after maxRetries") {
+      val poster = new FakePoster(Seq(500, 500, 500, 500, 500))
+      val hec = new SplunkHecClient(poster, "https://hec", "KEY", sleep = _ => ())
+      hec.post("{}").isLeft shouldBe true
+      poster.posts.size shouldBe 4 // initial + 3 retries
+    }
+  }
+
+  describe("SplunkShipper (ST4/ST5)") {
+    def seed(st: ParquetEventStore): Unit = {
+      import spark.implicits._
+      val batch = Seq(
+        ("g1", "2024-01-01T10:00:00Z"), ("g2", "2024-01-01T11:00:00Z"), ("g3", "2024-01-01T12:00:00Z")
+      ).toDF("guid", "created_at_raw")
+        .withColumn("created_at", F.to_timestamp(F.col("created_at_raw")))
+        .withColumn("event_type", F.lit("t")).withColumn("actor", F.lit("a"))
+        .withColumn("actor_type", F.lit("t")).withColumn("actor_name", F.lit("n"))
+        .withColumn("actor_username", F.lit("u")).withColumn("actee", F.lit("e"))
+        .withColumn("actee_type", F.lit("t")).withColumn("actee_name", F.lit("n"))
+        .withColumn("organization_guid", F.lit(null).cast("string"))
+        .withColumn("space_guid", F.lit(null).cast("string"))
+        .withColumn("metadata", F.lit("{}"))
+        .withColumn("id", F.lit(0L))
+      st.storeCFAuditEvents(batch)
+      ()
+    }
+
+    it("ships the full batch in order, wraps the HEC envelope, and commits the cursor") {
+      val st = newStore(); seed(st)
+      val poster = new FakePoster(Seq.fill(10)(200))
+      val reg = new MetricsRegistry
+      val shipper = new SplunkShipper(st,
+        new SplunkHecClient(poster, "https://hec", "KEY", sleep = _ => ()), "test-env", reg)
+      shipper.shipOnce() shouldBe ((3L, 0L))
+      poster.posts.size shouldBe 3
+      poster.posts.head._2 should include(""""sourcetype":"cf-audit-event"""")
+      poster.posts.head._2 should include(""""source":"test-env"""")
+      poster.posts.head._2 should include(""""guid":"g1"""")
+      val cur = st.cursors.collect()(0)
+      cur.getString(0) shouldBe "cf-audit-events-to-splunk"
+      cur.getString(2) shouldBe "g3"
+      reg.counterValue(Metrics.ShipperEventsShipped) shouldBe 3.0
+      reg.gaugeValue(Metrics.ShipperLatestEventTimestamp) shouldBe
+        Instant.parse("2024-01-01T12:00:00Z").getEpochSecond.toDouble
+    }
+
+    it("commits only the shipped prefix on mid-batch failure, then redelivers (at-least-once, shipper_test.go:187-203)") {
+      val st = newStore(); seed(st)
+      // g1 ok; g2 fails through all 4 attempts; tick stops
+      val poster = new FakePoster(Seq(200, 500, 500, 500, 500))
+      val reg = new MetricsRegistry
+      val shipper = new SplunkShipper(st,
+        new SplunkHecClient(poster, "https://hec", "KEY", sleep = _ => ()), "test-env", reg)
+      shipper.shipOnce() shouldBe ((1L, 1L))
+      st.cursors.collect()(0).getString(2) shouldBe "g1"
+      reg.counterValue(Metrics.ShipperErrors) shouldBe 1.0
+      // next tick: resumes at g1's timestamp, excludes g1 itself, ships g2+g3
+      val poster2 = new FakePoster(Seq.fill(10)(200))
+      val shipper2 = new SplunkShipper(st,
+        new SplunkHecClient(poster2, "https://hec", "KEY", sleep = _ => ()), "test-env", reg)
+      shipper2.shipOnce() shouldBe ((2L, 0L))
+      poster2.posts.map(p => p._2.contains(""""guid":"g2"""")).head shouldBe true
+      st.cursors.collect()(0).getString(2) shouldBe "g3"
+    }
+
+    it("parallel range-partitioned ship preserves prefix-commit semantics") {
+      val st = newStore(); seed(st)
+      val poster = new FakePoster(Seq.fill(10)(200))
+      val reg = new MetricsRegistry
+      val shipper = new SplunkShipper(st,
+        new SplunkHecClient(poster, "https://hec", "KEY", sleep = _ => ()), "test-env", reg)
+      val (shipped, failed) = shipper.shipPartitionedOnce(2,
+        () => new SplunkHecClient(poster, "https://hec", "KEY", sleep = _ => ()))
+      shipped shouldBe 3L
+      failed shouldBe 0L
+      st.cursors.collect()(0).getString(2) shouldBe "g3"
+    }
+  }
+
+  describe("Informer (informer.go:26-54)") {
+    it("publishes count and latest-timestamp gauges") {
+      val st = newStore();
+      val reg = new MetricsRegistry
+      new Informer(st, reg).informOnce()
+      reg.gaugeValue(Metrics.InformerEventsTotal) shouldBe 0.0
+      reg.gaugeValue(Metrics.InformerLatestEventTimestamp) shouldBe 0.0
+    }
+  }
+}

@@ -120,10 +120,13 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(F.get_json_object(F.col("props"), "$.k").as("k"))
         .agg(F.count(F.lit(1)).as("n"))),
+    // Distributed two-phase sequence assignment (R20): per-range-partition
+    // row_number + broadcast partition offsets — no global single-partition
+    // sort, unlike a bare row_number() OVER (ORDER BY ...). Same result.
     "q_ingest_seq" -> ((s, dir) =>
-      t(s, dir, "events").select(
-        F.col("event_id"),
-        F.row_number().over(Window.orderBy(F.col("ts"), F.col("event_id"))).cast("long").as("ingest_seq"))),
+      AuditQueries.assignIngestSeqDistributed(
+        t(s, dir, "events"), base = 0L, orderCols = Seq("ts", "event_id"))
+        .select(F.col("event_id"), F.col("id").as("ingest_seq"))),
     "q_time_buckets" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(

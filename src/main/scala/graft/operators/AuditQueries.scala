@@ -141,11 +141,15 @@ object AuditQueries {
     * exclusive running offset of partition counts — avoiding any global
     * single-partition sort. Ordering is (created_at, guid) via a range
     * repartition, so the sequence is still a total order. */
-  def assignIngestSeqDistributed(batch: DataFrame, base: Long): DataFrame = {
+  def assignIngestSeqDistributed(
+      batch: DataFrame,
+      base: Long,
+      orderCols: Seq[String] = Seq("created_at", "guid")): DataFrame = {
+    val oc = orderCols.map(F.col)
     val parted = batch
-      .repartitionByRange(F.col("created_at"), F.col("guid"))
+      .repartitionByRange(oc: _*)
       .withColumn("__pid", F.spark_partition_id())
-    val within = Window.partitionBy(F.col("__pid")).orderBy(F.col("created_at"), F.col("guid"))
+    val within = Window.partitionBy(F.col("__pid")).orderBy(oc: _*)
     val counts = parted.groupBy(F.col("__pid")).agg(F.count(F.lit(1)).as("__cnt"))
     val offsets = counts
       .withColumn("__off",

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits: the scale properties we rely on must be visible
+  * in the executed plan, not assumed — predicate pushdown to the parquet
+  * scan, column pruning, broadcast joins for small dimensions, and
+  * TakeOrderedAndProject for sort+limit shapes (SURVEY §4). */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  it("q_events_page pushes the event_type filter into the parquet scan (R23/S2 analog)") {
+    val p = plan("q_events_page")
+    p should include("PushedFilters")
+    p should include("IsNotNull(event_type)")
+    p should include("EqualTo(event_type,click)")
+  }
+
+  it("q1 prunes the lineitem scan to the referenced columns only") {
+    val p = plan("q1_pricing_summary")
+    p should include("ReadSchema")
+    p should not include "l_partkey" // unused column must not be read
+    p should include("l_returnflag")
+    // shipdate predicate reaches the scan for row-group skipping
+    p should include("LessThanOrEqual(l_shipdate")
+  }
+
+  it("q5 broadcasts the small dimension side (region x nation, supplier)") {
+    val p = plan("q5_local_supplier")
+    p should include("BroadcastHashJoin")
+  }
+
+  it("unshipped compiles to TakeOrderedAndProject — no full sort (R15)") {
+    val p = plan("q_unshipped_cursor")
+    p should include("TakeOrderedAndProject")
+    // the 1-row cursor is broadcast, not shuffled (R8 scalar-subquery analog)
+    p should include("BroadcastNestedLoopJoin")
+  }
+
+  it("q_topk_customers compiles to TakeOrderedAndProject (sort+limit -> top-K)") {
+    plan("q_topk_customers") should include("TakeOrderedAndProject")
+  }
+
+  it("q_ingest_seq avoids a global single-partition window") {
+    val p = plan("q_ingest_seq")
+    // range partitioner + per-partition window, not Window over one partition
+    p should include("rangepartitioning")
+    p should include("__pid")
+  }
+
+  it("semi/anti joins stay joins (no subquery materialization)") {
+    plan("q_semi_join") should include("LeftSemi")
+    plan("q_anti_join") should include("LeftAnti")
+  }
+
+  it("whole-stage codegen covers the dedup hash pipeline (no UDF breaks)") {
+    val df: DataFrame = SparkEntry.queries("q_dedup_exact_docs")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    p should include("*(") // WholeStageCodegen stage markers
+    p should not include "BatchEvalPython"
+    p should not include "SerializeFromObject" // no object-mode breaks in the hot path
+  }
+}

@@ -38,8 +38,16 @@ object Similarity {
 
   /** Cosine similarity rounded to `scale` decimals (rounding makes the
     * value stable across engines that may differ in the last ulp of a
-    * 64-term double sum). */
-  def cosine(a: Column, b: Column, scale: Int = 4): Column =
+    * 64-term double sum). Computed with the native codegen'd
+    * [[graft.functions.FloatVectorDot]] — bit-identical to the HOF
+    * formulation (`dot`/`norm` above), just faster. */
+  def cosine(a: Column, b: Column, scale: Int = 4): Column = {
+    import graft.functions.VectorFunctions.{fvDot => ndot}
+    F.round(ndot(a, b) / (F.sqrt(ndot(a, a)) * F.sqrt(ndot(b, b))), scale)
+  }
+
+  /** HOF (built-ins only) cosine — portable reference formulation. */
+  def cosineHof(a: Column, b: Column, scale: Int = 4): Column =
     F.round(dot(a, b) / (norm(a) * norm(b)), scale)
 
   /** Exact brute-force top-k: for each query vector, the k most-similar

@@ -117,6 +117,36 @@ final class CfAuditEventFetcher(
     (next, events)
   }
 
+  /** Async producer/consumer form (ST3): a daemon producer thread walks the
+    * pages into a bounded buffer (capacity `bufferPages`, mirroring the
+    * reference's channel of 3, `collector.go:50`), so the next HTTP fetch
+    * overlaps the consumer's store write — the same pipelining the
+    * reference gets from its fetcher goroutine. */
+  def fetchPagesAsync(since: Instant, bufferPages: Int = 3): Iterator[PageResult] = {
+    val queue = new java.util.concurrent.ArrayBlockingQueue[AnyRef](bufferPages)
+    val Done = new AnyRef
+    val producer = new Thread(() => {
+      try fetchPages(since).foreach(p => queue.put(p))
+      catch { case e: InterruptedException => () }
+      finally queue.put(Done) // channel close (fetcher.go:34)
+    }, "cf-fetcher")
+    producer.setDaemon(true)
+    producer.start()
+    new Iterator[PageResult] {
+      private var done = false
+      private var nextItem: Option[PageResult] = None
+      private def pull(): Unit = if (!done && nextItem.isEmpty) {
+        queue.take() match {
+          case Done => done = true
+          case p: PageResult => nextItem = Some(p)
+          case other => throw new IllegalStateException(other.toString)
+        }
+      }
+      def hasNext: Boolean = { pull(); nextItem.nonEmpty }
+      def next(): PageResult = { pull(); val p = nextItem.get; nextItem = None; p }
+    }
+  }
+
   /** Lazily walk all pages from `since`. Emits one `PageResult` per page in
     * order; an error emits a terminal `PageResult(Nil, Some(err))` and ends
     * the stream (`fetcher.go:43-56`). */

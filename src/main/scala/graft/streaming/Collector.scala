@@ -57,7 +57,7 @@ final class Collector(
     val t0 = System.nanoTime()
     var collected = 0L
     val since = pullEventsSince()
-    val it = fetcher.fetchPages(since)
+    val it = fetcher.fetchPagesAsync(since) // fetch overlaps store (ST3)
     var error: Option[Throwable] = None
     while (error.isEmpty && it.hasNext) {
       val page = it.next()

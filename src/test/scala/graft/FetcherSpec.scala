@@ -64,6 +64,17 @@ class FetcherSpec extends SparkSpec {
     pages.head.error.get.getMessage should include("connection refused")
   }
 
+  it("async prefetch preserves page order and terminal close (ST3)") {
+    val p1 = "/v2/events?q=timestamp%3E2019-10-04T12%3A40%3A43Z&results-per-page=100"
+    val p2 = "/v2/events?page=2"
+    val transport = new FakeTransport(Map(
+      api + p1 -> HttpReply(200, pageBody(Seq("g1"), p2)),
+      api + p2 -> HttpReply(200, pageBody(Seq("g2"), ""))))
+    val f = new CfAuditEventFetcher(transport, api, paginationWaitMillis = 0)
+    val pages = f.fetchPagesAsync(since, bufferPages = 2).toSeq
+    pages.map(_.events.map(_.guid)) shouldBe Seq(Seq("g1"), Seq("g2"))
+  }
+
   it("treats any non-200 — even 201 — as an error (fetcher.go:66-68)") {
     val p1 = "/v2/events?q=timestamp%3E2019-10-04T12%3A40%3A43Z&results-per-page=100"
     val transport = new FakeTransport(Map(api + p1 -> HttpReply(201, "{}")))

@@ -79,9 +79,50 @@ object SparkEntry {
     "WITH per_user AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id) " +
       "SELECT min(n) AS min_n, max(n) AS max_n, count(*) AS n_users FROM per_user"
 
+  /** Queries whose Spark form IS the oracle SQL: registered views + one
+    * shared ANSI statement executed by both engines (zero drift risk).
+    * Functions/casts restricted to the dialect intersection. */
+  val sharedSql: Map[String, (Seq[String], String)] = Map(
+    "q_grouping_sets" -> (Seq("lineitem"),
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
+    "q_correlated_subquery" -> (Seq("customer", "orders"),
+      "SELECT c_custkey, (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_total " +
+        "FROM customer"),
+    "q_in_subquery" -> (Seq("customer", "orders"),
+      "SELECT o_orderkey FROM orders WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000)"),
+    "q_string_funcs" -> (Seq("documents"),
+      "SELECT doc_id, upper(substr(text, 1, 10)) AS head10, " +
+        "replace(substr(text, 1, 20), ' ', '_') AS undscored, " +
+        "CAST(length(text) AS BIGINT) AS len, lower(source) AS src FROM documents"),
+    "q_date_funcs" -> (Seq("orders"),
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y, " +
+        "CAST(month(o_orderdate) AS INTEGER) AS m, CAST(day(o_orderdate) AS INTEGER) AS d " +
+        "FROM orders"),
+    "q_math_funcs" -> (Seq("lineitem"),
+      // NOTE: no round() here — Spark rounds the decimal rendering HALF_UP
+      // while DuckDB rounds the binary double, so money-like values at
+      // exact .xx5 halves diverge; raw doubles are bit-identical.
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * l_discount AS disc_amt, " +
+        "CAST(floor(l_quantity) AS BIGINT) AS fq, CAST(ceil(l_tax * 100) AS BIGINT) AS ct, " +
+        "abs(l_discount - 0.05) AS ad, sqrt(l_quantity) AS sq, ln(l_quantity + 1) AS lq " +
+        "FROM lineitem"))
+
+  private def sharedSqlQueries: Map[String, (SparkSession, String) => DataFrame] =
+    sharedSql.map { case (name, (tables, sql)) =>
+      name -> ((s: SparkSession, dir: String) => {
+        tables.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(sql)
+      })
+    }
+
   // ------------------------------------------------------------- inventory
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ sharedSqlQueries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity: the five store.go query shapes (§2B) ---
     "q_unshipped_cursor" -> ((s, dir) =>
       AuditQueries.unshipped(auditView(s, dir), cursorDf(s), shipperName,
@@ -486,5 +527,5 @@ object SparkEntry {
     "q_mm_frames" ->
       ("WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames FROM documents) " +
         "SELECT media_id, n_frames, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx FROM m")
-  )
+  ) ++ sharedSql.view.mapValues(_._2).toMap
 }

@@ -83,8 +83,14 @@ object Dedup {
     * shingles first (stopword-shingle suppression). */
   def jaccardPairs(shingles: DataFrame, minJaccard: Double): DataFrame = {
     val sizes = shingles.groupBy(F.col("doc")).agg(F.count(F.lit(1)).as("sz"))
-    val a = shingles.select(F.col("shingle"), F.col("doc").as("a"))
-    val b = shingles.select(F.col("shingle"), F.col("doc").as("b"))
+    // A shingle held by a single doc cannot produce a pair: prune it before
+    // the self-join. On near-unique corpora this removes most of the join
+    // input without changing any result (sizes above are pre-prune).
+    val shared2 = shingles.groupBy(F.col("shingle"))
+      .agg(F.count(F.lit(1)).as("__n")).filter(F.col("__n") >= 2).select("shingle")
+    val pruned = shingles.join(shared2, Seq("shingle"), "left_semi")
+    val a = pruned.select(F.col("shingle"), F.col("doc").as("a"))
+    val b = pruned.select(F.col("shingle"), F.col("doc").as("b"))
     val shared = a.join(b, "shingle")
       .filter(F.col("a") < F.col("b"))
       .groupBy(F.col("a"), F.col("b"))

@@ -71,10 +71,26 @@ object Dedup {
       .distinct()
   }
 
-  /** End-to-end MinHash LSH near-duplicate candidates. */
+  /** End-to-end MinHash LSH near-duplicate candidates.
+    *
+    * Uses the wide-aggregation form: k min-aggregates in ONE groupBy pass
+    * instead of exploding shingles ×k through the shuffle — identical
+    * signatures to `minhashSignatures` (same per-seed min), k× less
+    * shuffle input. Bands are then a cheap 4-row explode per doc. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, k: Int = 8): DataFrame =
-    candidatePairs(lshBuckets(minhashSignatures(wordShingles(df, idCol, textCol, shingleN), k)))
+                        shingleN: Int = 3, k: Int = 8): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, shingleN)
+    val aggs = (0 until k).map(j =>
+      F.min(F.md5(F.concat(F.lit(j.toString), F.lit("|"), F.col("shingle")))).as(s"h$j"))
+    val wide = sh.groupBy(F.col("doc")).agg(aggs.head, aggs.tail: _*)
+    val bands = (0 until k / 2).map(b => F.struct(
+      F.lit(b).as("band"),
+      F.md5(F.concat(F.col(s"h${2 * b}"), F.col(s"h${2 * b + 1}"))).as("key")))
+    val buckets = wide
+      .select(F.col("doc"), F.explode(F.array(bands: _*)).as("bk"))
+      .select(F.col("doc"), F.col("bk.band").as("band"), F.col("bk.key").as("key"))
+    candidatePairs(buckets)
+  }
 
   /** n-gram Jaccard similarity for all pairs sharing at least one shingle:
     * |A∩B| / |A∪B|, keeping pairs with similarity ≥ `minJaccard`.
@@ -110,19 +126,25 @@ object Dedup {
     * fingerprint is 1 iff the signed sum is ≥ 0. Near-duplicates land at
     * small Hamming distance. Engine-portable: nibble-top-bit = "hex digit in
     * 8..f", no integer parsing of hex needed. */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame =
-    df.select(
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    // Wide form: `bits` signed sums in ONE groupBy pass over tokens (no
+    // ×bits explode through the shuffle), then the fingerprint is a pure
+    // projection over the bit columns. Identical to the per-(doc,i) form.
+    val toks = df.select(
         F.col(idCol).as("doc"),
         F.explode(F.split(F.col(textCol), " ")).as("tok"))
       .withColumn("h", F.md5(F.col("tok")))
-      .withColumn("i", F.explode(F.sequence(F.lit(1), F.lit(bits))))
-      .withColumn("bitval",
-        F.when(F.expr("substring(h, i, 1) in ('8','9','a','b','c','d','e','f')"), F.lit(1))
-          .otherwise(F.lit(-1)))
-      .groupBy(F.col("doc"), F.col("i"))
-      .agg(F.sum(F.col("bitval")).as("s"))
-      .groupBy(F.col("doc"))
-      .agg(F.sum(
-        F.when(F.col("s") >= 0, F.expr("cast(shiftleft(1, cast(i - 1 as int)) as bigint)"))
-          .otherwise(F.lit(0L))).as("simhash"))
+    val hexTop = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sums = (1 to bits).map { i =>
+      F.sum(
+        F.when(F.substring(F.col("h"), i, 1).isin(hexTop: _*), F.lit(1)).otherwise(F.lit(-1))
+      ).as(s"s$i")
+    }
+    val fingerprint = (1 to bits).map { i =>
+      F.when(F.col(s"s$i") >= 0, F.lit(1L << (i - 1))).otherwise(F.lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(F.col("doc"))
+      .agg(sums.head, sums.tail: _*)
+      .select(F.col("doc"), fingerprint.as("simhash"))
+  }
 }

@@ -38,4 +38,16 @@ trait EventStore {
 
   def events: DataFrame
   def cursors: DataFrame
+
+  /** Typed surface over the stored events (SURVEY §1.3): case-class
+    * Dataset for API consumers who want compile-time field checks. */
+  def eventsTyped: org.apache.spark.sql.Dataset[graft.model.CfAuditEvent] = {
+    import org.apache.spark.sql.Encoders
+    events.as(Encoders.product[graft.model.CfAuditEvent])
+  }
+
+  def cursorsTyped: org.apache.spark.sql.Dataset[graft.model.ShipperCursor] = {
+    import org.apache.spark.sql.Encoders
+    cursors.as(Encoders.product[graft.model.ShipperCursor])
+  }
 }

@@ -126,5 +126,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("SkewJoin") {
+    it("saltedJoin produces exactly the plain-join rows") {
+      val left = Seq.tabulate(200)(i => (if (i < 150) "hot" else s"k$i", i)).toDF("k", "v")
+      val right = Seq(("hot", 1), ("k160", 2), ("k199", 3)).toDF("k", "w")
+      val plain = left.join(right, "k").select("k", "v", "w").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
+      val salted = graft.operators.SkewJoin.saltedJoin(left, right, "k", buckets = 8)
+        .select("k", "v", "w").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
+      salted shouldBe plain
+    }
+    it("skewedAgg matches the direct aggregation") {
+      val df = Seq.tabulate(500)(i => (if (i % 3 == 0) 7L else i.toLong % 11, i.toDouble)).toDF("user_id", "value")
+      val direct = df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      val two = graft.operators.SkewJoin.skewedAgg(df, "user_id", 16,
+        Seq(F.count(F.lit(1)).as("n"), F.sum("value").as("s")),
+        Seq(F.sum("n").as("n"), F.sum("s").as("s")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      two shouldBe direct
+    }
+    it("hotKeys finds dominant keys") {
+      val df = Seq.tabulate(100)(i => (if (i < 60) "hot" else s"k$i", i)).toDF("k", "v")
+      val hot = graft.operators.SkewJoin.hotKeys(df, "k", 50).collect()
+      hot.map(_.getString(0)) shouldBe Array("hot")
+    }
+  }
+
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
 }

@@ -67,6 +67,19 @@ class StoreAndPipelineSpec extends SparkSpec {
       st.getLatestCFEventTime().toInstant shouldBe Instant.parse("2024-01-02T10:00:00Z")
     }
 
+    it("exposes a typed Dataset[CfAuditEvent] surface") {
+      val st = newStore()
+      val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")
+      val collector = new Collector(spark, st, f, new MetricsRegistry)
+      st.storeCFAuditEvents(collector.pageToDf(Seq(
+        CfWireEvent("g1", "2024-01-01T10:00:00Z", "t", "a", "at", "an", "au",
+          "e", "et", "en", "", "sg", "{}"))))
+      val typed: Seq[graft.model.CfAuditEvent] = st.eventsTyped.collect().toSeq
+      typed.head.guid shouldBe "g1"
+      typed.head.organization_guid shouldBe None // '' -> NULL -> None
+      typed.head.space_guid shouldBe Some("sg")
+    }
+
     it("upserts shipper cursors by name (R19/S8)") {
       val st = newStore()
       st.updateShipperCursor("s1", "2024-01-01T00:00:00Z", "g1")

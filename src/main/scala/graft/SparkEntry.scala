@@ -336,7 +336,38 @@ object SparkEntry {
     // driver records the weaker rows-only check.
     "q_mm_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(
-        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")))
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))),
+
+    // --- training-data pipeline: dataset shaping (documents) ---
+    "q_hash_sample" -> ((s, dir) =>
+      DataShaping.hashSample(t(s, dir, "documents"), "doc_id", "28")
+        .select("doc_id", "source", "n_chars")),
+    "q_split_assign" -> ((s, dir) =>
+      DataShaping.splitAssign(t(s, dir, "documents"), "doc_id")
+        .groupBy("split").agg(F.count(F.lit(1)).as("n"))),
+    "q_source_quota" -> ((s, dir) =>
+      DataShaping.perGroupCap(t(s, dir, "documents"), "source", "n_chars", "doc_id", 5)
+        .select("doc_id", "source", "n_chars", "rn")),
+    "q_shuffle_rank" -> ((s, dir) =>
+      DataShaping.shuffleRank(t(s, dir, "documents"), "doc_id")
+        .select("doc_id", "shuffle_rank")),
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DataShaping.contamination(
+        docs.filter(F.col("source") =!= "src0"),
+        docs.filter(F.col("source") === "src0"),
+        "doc_id", "text", n = 3, minShared = 2L)
+    }),
+    // Typed Aggregator[IN,BUF,OUT] UDAF over per-doc token counts.
+    "q_token_stats" -> ((s, dir) => {
+      val stats = F.udaf(graft.functions.TokenStatsAggregator)
+      t(s, dir, "documents")
+        .select(F.size(F.split(F.col("text"), " ")).as("tok"))
+        .agg(stats(F.col("tok")).as("ts"))
+        .select(F.col("ts.n_docs").as("n_docs"),
+          F.col("ts.total_tokens").as("total_tokens"),
+          F.col("ts.max_tokens").as("max_tokens"))
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -526,6 +557,32 @@ object SparkEntry {
         "CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames FROM documents"),
     "q_mm_frames" ->
       ("WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames FROM documents) " +
-        "SELECT media_id, n_frames, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx FROM m")
+        "SELECT media_id, n_frames, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx FROM m"),
+
+    "q_hash_sample" ->
+      "SELECT doc_id, source, n_chars FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '28'",
+    "q_split_assign" ->
+      ("SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test' ELSE 'train' END AS split, " +
+        "count(*) AS n FROM documents GROUP BY 1"),
+    "q_source_quota" ->
+      ("SELECT doc_id, source, n_chars, rn FROM (SELECT doc_id, source, n_chars, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn " +
+        "FROM documents) WHERE rn <= 5"),
+    "q_shuffle_rank" ->
+      ("SELECT doc_id, CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank " +
+        "FROM documents"),
+    "q_contamination" ->
+      ("WITH ta AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE source <> 'src0'), " +
+        "pa AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS i FROM ta WHERE len(arr) >= 3), " +
+        "sa AS (SELECT DISTINCT doc_id, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || arr[CAST(i AS INT) + 2] AS shingle FROM pa), " +
+        "tb AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE source = 'src0'), " +
+        "pb AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS i FROM tb WHERE len(arr) >= 3), " +
+        "sb AS (SELECT DISTINCT doc_id, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || arr[CAST(i AS INT) + 2] AS shingle FROM pb) " +
+        "SELECT a.doc_id AS train_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS shared " +
+        "FROM sa a JOIN sb b ON a.shingle = b.shingle GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2"),
+    "q_token_stats" ->
+      ("SELECT count(*) AS n_docs, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
+        "CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens FROM documents")
   ) ++ sharedSql.view.mapValues(_._2).toMap
 }

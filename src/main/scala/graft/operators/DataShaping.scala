@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Dataset-shaping operators for training-data pipelines: deterministic
+  * sampling, split assignment, per-group quotas, global shuffle ranks, and
+  * cross-corpus contamination checks.
+  *
+  * Everything is hash-deterministic (md5 over ids) rather than RNG-based:
+  * at 100 TB, reproducibility across reruns/engines matters more than
+  * statistical purity, and a uniform cryptographic hash gives both. No
+  * shuffles beyond the operator's intrinsic groupBy/window.
+  */
+object DataShaping {
+
+  private def idHash(id: Column): Column = F.md5(id.cast("string"))
+
+  /** Deterministic ~`hexThreshold/256` sample: keep rows whose id-hash is
+    * lexicographically below the 2-hex-digit threshold (e.g. "28" ≈ 15.6%).
+    * Pure filter — pushes down, no shuffle, identical on any engine. */
+  def hashSample(df: DataFrame, idCol: String, hexThreshold: String): DataFrame =
+    df.filter(idHash(F.col(idCol)) < F.lit(hexThreshold))
+
+  /** Deterministic train/val/test assignment from the id-hash's first hex
+    * nibble: 0–b → train (75%), c–d → val (12.5%), e–f → test (12.5%). */
+  def splitAssign(df: DataFrame, idCol: String): DataFrame = {
+    val nib = F.substring(idHash(F.col(idCol)), 1, 1)
+    df.withColumn("split",
+      F.when(nib.isin("c", "d"), F.lit("val"))
+        .when(nib.isin("e", "f"), F.lit("test"))
+        .otherwise(F.lit("train")))
+  }
+
+  /** Per-group quota: keep at most `cap` rows per group, preferring by
+    * `orderBy` (desc) with id tiebreak — e.g. "keep the 50 longest docs per
+    * source domain". One shuffle on the group key. */
+  def perGroupCap(df: DataFrame, groupCol: String, orderCol: String,
+                  idCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(F.col(groupCol))
+      .orderBy(F.col(orderCol).desc, F.col(idCol).asc)
+    df.withColumn("rn", F.row_number().over(w).cast("long"))
+      .filter(F.col("rn") <= cap)
+  }
+
+  /** Global deterministic shuffle rank: a total order by id-hash — the
+    * reproducible form of "shuffle the corpus". Computed with the
+    * two-phase range-partitioned assignment (no single-partition sort). */
+  def shuffleRank(df: DataFrame, idCol: String): DataFrame =
+    AuditQueries.assignIngestSeqDistributed(
+      df.withColumn("__h", idHash(F.col(idCol))),
+      base = 0L, orderCols = Seq("__h", idCol))
+      .withColumnRenamed("id", "shuffle_rank")
+      .drop("__h")
+
+  /** Cross-corpus contamination: pairs (trainDoc, benchDoc) sharing at
+    * least `minShared` word-n-gram shingles. The classic "is the eval set
+    * leaking into training data" sweep; shingle-blocked join, never a
+    * cross product. Inputs are (id, text)-shaped frames. */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3, minShared: Long = 2L): DataFrame = {
+    val a = Dedup.wordShingles(train, idCol, textCol, n)
+      .withColumnRenamed("doc", "train_id")
+    val b = Dedup.wordShingles(bench, idCol, textCol, n)
+      .withColumnRenamed("doc", "bench_id")
+    a.join(b, "shingle")
+      .groupBy(F.col("train_id"), F.col("bench_id"))
+      .agg(F.count(F.lit(1)).as("shared"))
+      .filter(F.col("shared") >= minShared)
+  }
+}

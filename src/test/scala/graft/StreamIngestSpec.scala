@@ -40,6 +40,28 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it("MetricsListener publishes streaming progress into the registry") {
+    import graft.metrics.MetricsRegistry
+    import graft.streaming.MetricsListener
+    val reg = new MetricsRegistry
+    val listener = new MetricsListener(reg)
+    spark.streams.addListener(listener)
+    try {
+      val pagesDir = Files.createTempDirectory("graft-pages-m").toString
+      val ckpt = Files.createTempDirectory("graft-ckpt-m").toString
+      Files.writeString(Paths.get(pagesDir, "p.json"), page(Seq("m1", "m2")))
+      val q = spark.readStream.option("wholetext", "true").text(pagesDir)
+        .writeStream.queryName("mlisten").format("memory")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      // listener events are async; give the bus a moment
+      val deadline = System.currentTimeMillis() + 10000
+      while (reg.counterValue("streaming_mlisten_input_rows_total") < 1.0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      reg.counterValue("streaming_mlisten_input_rows_total") should be >= 1.0
+    } finally spark.streams.removeListener(listener)
+  }
+
   it("windowedCounts aggregates per minute with a watermark") {
     import spark.implicits._
     val parsed = EventStreamIngest.parsePages(Seq(page(Seq("a", "b"))).toDF("value"))

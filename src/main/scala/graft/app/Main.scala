@@ -113,6 +113,6 @@ object Main {
     threads.foreach(_.join(5000L))
     server.stop()
     spark.stop()
-    fatal.foreach { e => System.err.println(s"fatal: ${e.getMessage}"); sys.exit(1) }
+    fatal.foreach { e => System.err.println(s"fatal: $e"); e.printStackTrace(); sys.exit(1) }
   }
 }

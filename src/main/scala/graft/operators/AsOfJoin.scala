@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
 
 /** Keyed as-of join: for each left row, the most recent right row with
   * `rightTime <= leftTime` within the same key group.
@@ -39,44 +40,44 @@ object AsOfJoin {
       leftTie: String,
       rightTie: String): DataFrame = {
     val leftCols = left.columns.toSeq
-    val l = left
+    val metaCols = Seq("__t", "__side", "__tie", "__payload")
+    val outOrder = (leftCols ++ metaCols).map(F.col)
+
+    val lTagged = left
       .withColumn("__t", F.col(leftTime))
       .withColumn("__side", F.lit(1))
       .withColumn("__tie", F.col(leftTie).cast("string"))
       .withColumn("__payload", F.lit(null).cast("string"))
-    // Pack the carried right values into one JSON column so both sides of
-    // the union share a schema regardless of rightVals' types.
+      .select(outOrder: _*)
+
+    // Carried right columns ride as one JSON payload so the union schema is
+    // independent of rightVals' types; right rows null-pad the left columns.
     val packed = F.to_json(F.struct(rightVals.map(F.col): _*))
-    val r = right
-      .withColumn("__t", F.col(rightTime))
-      .withColumn("__side", F.lit(0))
-      .withColumn("__tie", F.col(rightTie).cast("string"))
-      .withColumn("__payload", packed)
-      .select((Seq(on, "__t", "__side", "__tie", "__payload") ++ Nil).map(F.col): _*)
-    val lSel = l.select((Seq(on, "__t", "__side", "__tie", "__payload") ++ leftCols.filterNot(c =>
-      c == on)).distinct.map(F.col): _*)
-    // Align schemas: right side lacks the left payload columns.
-    val rAligned = leftCols.filterNot(_ == on).foldLeft(r) { (df, c) =>
-      if (Seq("__t", "__side", "__tie", "__payload").contains(c)) df
-      else df.withColumn(c, F.lit(null).cast(left.schema(c).dataType))
-    }.select(lSel.columns.map(F.col): _*)
+    val rBase = right.select(
+      F.col(on),
+      F.col(rightTime).as("__t"),
+      F.lit(0).as("__side"),
+      F.col(rightTie).cast("string").as("__tie"),
+      packed.as("__payload"))
+    val rTagged = leftCols.filterNot(_ == on)
+      .foldLeft(rBase) { (df, c) => df.withColumn(c, F.lit(null).cast(left.schema(c).dataType)) }
+      .select(outOrder: _*)
 
     val w = Window
       .partitionBy(F.col(on))
       .orderBy(F.col("__t").asc, F.col("__side").asc, F.col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = lSel
-      .unionByName(rAligned)
+    val payloadSchema = StructType(rightVals.map(v =>
+      org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)))
+    val carried = lTagged.unionByName(rTagged)
       .withColumn("__carry",
         F.last(F.when(F.col("__side") === 0, F.col("__payload")), ignoreNulls = true).over(w))
-    val schema = org.apache.spark.sql.types.StructType(
-      rightVals.map(v => org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)))
-    val unpacked = carried
       .filter(F.col("__side") === 1)
-      .withColumn("__s", F.from_json(F.col("__carry"), schema))
-    val out = rightVals.foldLeft(unpacked) { (df, v) =>
+      .withColumn("__s", F.from_json(F.col("__carry"), payloadSchema))
+
+    val unpacked = rightVals.foldLeft(carried) { (df, v) =>
       df.withColumn(s"asof_$v", F.col("__s").getField(v))
     }
-    out.select((leftCols ++ rightVals.map(v => s"asof_$v")).map(F.col): _*)
+    unpacked.select((leftCols ++ rightVals.map(v => s"asof_$v")).map(F.col): _*)
   }
 }

@@ -1,0 +1,84 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SparkSession, functions => F}
+
+import graft.metrics.MetricsRegistry
+import graft.sources.{HttpReply, HttpTransport}
+import graft.store.ParquetEventStore
+import graft.streaming.{SplunkHecClient, SplunkShipper}
+
+/** Ingest/ship throughput microbenchmark (single node): maps the `events`
+  * fixture into audit-event batches, times the dedup store path at batch
+  * granularity, and times the shipper with an in-process no-op transport —
+  * isolating engine cost from network cost. Prints one JSON line. */
+object PipelineBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val wh = Files.createTempDirectory("graft-tpbench").toString
+    val store = new ParquetEventStore(spark, wh)
+    store.init()
+
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("created_at", F.expr("timestamp_micros(ts div 1000)"))
+      .select(
+        F.lit(0L).as("id"),
+        F.col("event_id").cast("string").as("guid"),
+        F.col("created_at"),
+        F.date_format(F.col("created_at"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("created_at_raw"),
+        F.col("event_type"),
+        F.lit("actor").as("actor"), F.lit("t").as("actor_type"),
+        F.lit("n").as("actor_name"), F.lit("u").as("actor_username"),
+        F.lit("actee").as("actee"), F.lit("t").as("actee_type"), F.lit("n").as("actee_name"),
+        F.lit(null).cast("string").as("organization_guid"),
+        F.lit("sg").as("space_guid"),
+        F.col("props").as("metadata"))
+      .cache()
+    val n = batch.count()
+
+    val t0 = System.nanoTime()
+    val stored = store.storeCFAuditEvents(batch)
+    val storeSec = (System.nanoTime() - t0) / 1e9
+
+    // Re-store the same batch: the overlap-bounded dedup path, 0 new rows.
+    val t1 = System.nanoTime()
+    val redup = store.storeCFAuditEvents(batch)
+    val dedupSec = (System.nanoTime() - t1) / 1e9
+
+    // Shipper with a no-op in-process transport (engine cost only).
+    val noop = new HttpTransport with Serializable {
+      def get(url: String, headers: Map[String, String]) = HttpReply(200, "")
+      def post(url: String, body: String, headers: Map[String, String]) = HttpReply(200, "ok")
+    }
+    val shipper = new SplunkShipper(store,
+      new SplunkHecClient(noop, "http://noop", "k", sleep = _ => ()), "bench", new MetricsRegistry)
+    var shipped = 0L
+    val t2 = System.nanoTime()
+    var ticks = 0
+    var last = -1L
+    while (shipped < stored && ticks < 200 && last != 0L) {
+      val (s, _) = shipper.shipOnce()
+      last = s
+      shipped += s
+      ticks += 1
+    }
+    val shipSec = (System.nanoTime() - t2) / 1e9
+
+    println(
+      s"""{"events":$n,"stored":$stored,"store_sec":$storeSec,"store_eps":${stored / storeSec},""" +
+        s""""redup_stored":$redup,"dedup_sec":$dedupSec,""" +
+        s""""shipped":$shipped,"ship_ticks":$ticks,"ship_sec":$shipSec,"ship_eps":${shipped / shipSec}}""")
+    spark.stop()
+  }
+}

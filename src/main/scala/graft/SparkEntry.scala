@@ -358,6 +358,11 @@ object SparkEntry {
         docs.filter(F.col("source") === "src0"),
         "doc_id", "text", n = 3, minShared = 2L)
     }),
+    // Gap-based session windows (30 min) — the "session windows" operator
+    // from the reference's absent-list, as a per-user window pass.
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(t(s, dir, "events"), "user_id", "ts", "event_id", gapMinutes = 30)
+        .select("user_id", "session_idx", "n_events", "span_us")),
     // Typed Aggregator[IN,BUF,OUT] UDAF over per-doc token counts.
     "q_token_stats" -> ((s, dir) => {
       val stats = F.udaf(graft.functions.TokenStatsAggregator)
@@ -583,6 +588,16 @@ object SparkEntry {
         "FROM sa a JOIN sb b ON a.shingle = b.shingle GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2"),
     "q_token_stats" ->
       ("SELECT count(*) AS n_docs, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
-        "CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens FROM documents")
+        "CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens FROM documents"),
+    "q_sessionize" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL " +
+        "AND epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM events), " +
+        "s AS (SELECT user_id, ts, event_id, " +
+        "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM g) " +
+        "SELECT user_id, session_idx, count(*) AS n_events, " +
+        "CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us " +
+        "FROM s GROUP BY user_id, session_idx")
   ) ++ sharedSql.view.mapValues(_._2).toMap
 }

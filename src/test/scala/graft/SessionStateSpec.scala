@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.Sessionize
+import graft.streaming.StatefulCounts
+import graft.streaming.StatefulCounts.{KeyedEvent, RunningCount}
+
+class SessionStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  describe("Sessionize (batch)") {
+    it("splits on gaps larger than the threshold, per user") {
+      val df = Seq(
+        (1L, 10L, ts("2024-01-01T10:00:00Z")),
+        (1L, 11L, ts("2024-01-01T10:10:00Z")), // same session (10m gap)
+        (1L, 12L, ts("2024-01-01T11:30:00Z")), // new session (80m gap)
+        (2L, 20L, ts("2024-01-01T10:00:00Z"))
+      ).toDF("user_id", "event_id", "ts")
+      val out = Sessionize.assign(df, "user_id", "ts", "event_id", gapMinutes = 30)
+        .select("event_id", "session_idx").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out(10L) shouldBe 0L
+      out(11L) shouldBe 0L
+      out(12L) shouldBe 1L
+      out(20L) shouldBe 0L
+    }
+    it("session aggregate computes count and span") {
+      val df = Seq(
+        (1L, 10L, ts("2024-01-01T10:00:00Z")),
+        (1L, 11L, ts("2024-01-01T10:10:00Z"))
+      ).toDF("user_id", "event_id", "ts")
+      val s = Sessionize.sessions(df, "user_id", "ts", "event_id", 30).collect()(0)
+      s.getLong(2) shouldBe 2L // n_events
+      s.getLong(3) shouldBe 600L * 1000000L // span_us
+    }
+  }
+
+  describe("StatefulCounts (mapGroupsWithState)") {
+    it("carries per-key state across micro-batches") {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[KeyedEvent]
+      val q = StatefulCounts.userRunningCounts(input.toDS())
+        .writeStream.format("memory").queryName("running_counts")
+        .outputMode(OutputMode.Update())
+        .start()
+      try {
+        input.addData(KeyedEvent(1L, 2.0), KeyedEvent(1L, 3.0), KeyedEvent(2L, 1.0))
+        q.processAllAvailable()
+        input.addData(KeyedEvent(1L, 5.0))
+        q.processAllAvailable()
+        val rows = spark.table("running_counts").as[RunningCount].collect()
+        // Update mode emits one row per key per batch; the LAST row per key
+        // carries the cumulative state.
+        val latest = rows.groupBy(_.key).map { case (k, v) => k -> v.maxBy(_.total) }
+        latest(1L).total shouldBe 3L
+        latest(1L).sum shouldBe 10.0
+        latest(2L).total shouldBe 1L
+      } finally q.stop()
+    }
+  }
+}

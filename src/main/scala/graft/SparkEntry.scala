@@ -272,8 +272,11 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       val clicks = ev.filter(F.col("event_type") === "click").select("event_id", "user_id", "ts")
       val errors = ev.filter(F.col("event_type") === "error").select("event_id", "user_id", "ts")
-      AsOfJoin.join(clicks, errors, on = "user_id", leftTime = "ts", rightTime = "ts",
-        rightVals = Seq("event_id"), leftTie = "event_id", rightTie = "event_id")
+      // native LogicalPlan+Strategy+SparkPlan as-of join (single merge
+      // pass over co-partitioned sorted children); ts is unique per event
+      // so tie semantics match the window formulation and the oracle
+      AsOfJoin.joinNative(clicks, errors, on = "user_id", leftTime = "ts", rightTime = "ts",
+        rightVals = Seq("event_id"))
         .withColumn("ts", ntz(F.col("ts")))
     }),
     "q_pivot_events" -> ((s, dir) =>

@@ -80,4 +80,22 @@ object AsOfJoin {
     }
     unpacked.select((leftCols ++ rightVals.map(v => s"asof_$v")).map(F.col): _*)
   }
+
+  /** Native physical form: a custom `LogicalPlan` + `SparkStrategy` +
+    * `SparkPlan` ([[org.apache.spark.sql.graftnative.AsOfJoinExec]]) whose
+    * exec merges the two hash-clustered, (key, time)-sorted children in a
+    * single `zipPartitions` pass — one shuffle per side, no window
+    * evaluation, no payload serialization. Same semantics as [[join]] when
+    * right-side (key, time) pairs are unique; with duplicates the carried
+    * row among equal timestamps is sort-order-dependent rather than
+    * tie-broken. */
+  def joinNative(
+      left: DataFrame,
+      right: DataFrame,
+      on: String,
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String]): DataFrame =
+    org.apache.spark.sql.graftnative.AsOfJoinNative.join(
+      left, right, on, leftTime, rightTime, rightVals)
 }

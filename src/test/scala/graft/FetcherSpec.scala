@@ -57,6 +57,15 @@ class FetcherSpec extends SparkSpec {
     transport.requests.toSeq shouldBe Seq(api + p1, api + p2)
   }
 
+  it("malformed JSON bodies become a terminal error page") {
+    val p1 = "/v2/events?q=timestamp%3E2019-10-04T12%3A40%3A43Z&results-per-page=100"
+    val transport = new FakeTransport(Map(api + p1 -> HttpReply(200, "{not json")))
+    val f = new CfAuditEventFetcher(transport, api, paginationWaitMillis = 0)
+    val pages = f.fetchPages(since).toSeq
+    pages.size shouldBe 1
+    pages.head.error.isDefined shouldBe true
+  }
+
   it("propagates network errors as a terminal page (fetcher_test.go:124-161)") {
     val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), api, paginationWaitMillis = 0)
     val pages = f.fetchPages(since).toSeq

@@ -310,6 +310,9 @@ object SparkEntry {
         .withColumn("rn", F.col("rn").cast("long"))),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", nbits = 8, 0.2)),
+    "q_ivf_ann" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 8, k = 3)
+        .withColumn("rn", F.col("rn").cast("long"))),
 
     // --- training-data pipeline: text analysis (documents) ---
     "q_text_langid" -> ((s, dir) =>
@@ -515,6 +518,21 @@ object SparkEntry {
     "q_ann_lsh" -> cosineOracle(
       "WITH b AS (SELECT vec_id AS id, embedding AS v, " + lshBucketExpr + " AS bucket FROM embeddings), " +
         "pairs AS (SELECT x.id AS qid, y.id AS cid, x.v AS qv, y.v AS cv FROM b x JOIN b y ON x.bucket = y.bucket AND x.id <> y.id)"),
+    "q_ivf_ann" -> cosineOracle(
+      "WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
+        "cent AS (SELECT vec_id AS centroid, embedding AS cvec FROM embeddings WHERE vec_id < 8), " +
+        "ap AS (SELECT id, centroid, v, cvec FROM base, cent), " +
+        "aterms AS (SELECT id, centroid, v, cvec, unnest(range(1, 65)) AS i FROM ap), " +
+        "adots AS (SELECT id, centroid, " +
+        "sum(CAST(v[CAST(i AS INT)] AS DOUBLE) * CAST(cvec[CAST(i AS INT)] AS DOUBLE)) AS dot, " +
+        "sum(CAST(v[CAST(i AS INT)] AS DOUBLE) * CAST(v[CAST(i AS INT)] AS DOUBLE)) AS vv, " +
+        "sum(CAST(cvec[CAST(i AS INT)] AS DOUBLE) * CAST(cvec[CAST(i AS INT)] AS DOUBLE)) AS cc " +
+        "FROM aterms GROUP BY id, centroid), " +
+        "asim AS (SELECT id, centroid, round(dot / (sqrt(vv) * sqrt(cc)), 4) AS sim FROM adots), " +
+        "cells AS (SELECT id, cell FROM (SELECT id, centroid AS cell, " +
+        "row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid) AS crn FROM asim) WHERE crn = 1), " +
+        "cb AS (SELECT c.id, c.cell, b.v FROM cells c JOIN base b ON b.id = c.id), " +
+        "pairs AS (SELECT x.id AS qid, y.id AS cid, x.v AS qv, y.v AS cv FROM cb x JOIN cb y ON x.cell = y.cell AND x.id <> y.id)"),
     "q_embed_neardup" ->
       ("WITH b AS (SELECT vec_id AS id, embedding AS v, " + lshBucketExpr + " AS bucket FROM embeddings), " +
         "pairs AS (SELECT x.id AS a, y.id AS b, x.v AS av, y.v AS bv FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id), " +

@@ -101,6 +101,40 @@ object Similarity {
       .select(F.col("qid"), F.col("cid"), F.col("cos_sim"), F.col("rn"))
   }
 
+  /** IVF (inverted-file) approximate nearest neighbours: a coarse
+    * quantizer assigns every vector to its nearest centroid's cell, and
+    * search compares only within a cell (nprobe=1). Centroids here are
+    * deterministically seeded (the first `nCentroids` vectors) rather than
+    * k-means-trained — the partitioning/probing mechanics are identical
+    * and the operator stays engine-reproducible; swap the centroid frame
+    * for trained ones in production. Cost: |N|·K assignment (K broadcast)
+    * + Σ cell² search, never |N|². */
+  def ivfTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      k: Int): DataFrame = {
+    val base = embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+    val centroids = base.filter(F.col("id") < nCentroids)
+      .select(F.col("id").as("centroid"), F.col("v").as("cvec"))
+    val byAffinity = Window.partitionBy(F.col("id"))
+      .orderBy(cosine(F.col("v"), F.col("cvec")).desc, F.col("centroid").asc)
+    val cells = base.crossJoin(F.broadcast(centroids))
+      .withColumn("crn", F.row_number().over(byAffinity))
+      .filter(F.col("crn") === 1)
+      .select(F.col("id"), F.col("v"), F.col("centroid").as("cell"))
+    val q = cells.select(F.col("cell"), F.col("id").as("qid"), F.col("v").as("qv"))
+    val c = cells.select(F.col("cell"), F.col("id").as("cid"), F.col("v").as("cv"))
+    val w = Window.partitionBy(F.col("qid")).orderBy(F.col("cos_sim").desc, F.col("cid").asc)
+    q.join(c, "cell")
+      .filter(F.col("qid") =!= F.col("cid"))
+      .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= k)
+      .select(F.col("qid"), F.col("cid"), F.col("cos_sim"), F.col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b) within LSH buckets. */
   def nearDupPairs(
       embeddings: DataFrame,

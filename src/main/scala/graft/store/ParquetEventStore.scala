@@ -109,8 +109,18 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
 
   override def getCFEventCount(): Long = AuditQueries.eventCount(events)
 
-  override def getUnshippedCFAuditEventsForShipper(shipperName: String): DataFrame =
-    AuditQueries.unshipped(events, cursors, shipperName)
+  override def getUnshippedCFAuditEventsForShipper(shipperName: String): DataFrame = {
+    // Resolve the 1-row cursor first (the reference's scalar subquery does
+    // the same read) and turn it into a PARTITION predicate: the query's
+    // own filter is on created_at, which prunes files via footer stats but
+    // not partitions — event_date >= date(cursor) prunes whole partitions,
+    // keeping this scan O(unshipped days) on a 100 TB table.
+    val cur = AuditQueries.lastShipped(cursors, shipperName).collect()(0)
+    val pruned = eventsWithDate
+      .filter(F.col("event_date") >= F.to_date(F.lit(cur.getTimestamp(0))))
+      .select(Schemas.cfAuditEvents.fieldNames.map(F.col).toSeq: _*)
+    AuditQueries.unshipped(pruned, cursors, shipperName)
+  }
 
   override def updateShipperCursor(shipperName: String, updatedAt: String, shippedId: String): Unit = {
     import spark.implicits._

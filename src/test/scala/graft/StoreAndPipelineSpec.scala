@@ -80,6 +80,23 @@ class StoreAndPipelineSpec extends SparkSpec {
       typed.head.space_guid shouldBe Some("sg")
     }
 
+    it("unshipped scan prunes partitions from the cursor date") {
+      val st = newStore()
+      val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")
+      val collector = new Collector(spark, st, f, new MetricsRegistry)
+      val mk = (g: String, at: String) => CfWireEvent(g, at, "t", "a", "at", "an", "au",
+        "e", "et", "en", "", "sg", "{}")
+      st.storeCFAuditEvents(collector.pageToDf(Seq(
+        mk("g1", "2024-01-01T10:00:00Z"), mk("g2", "2024-03-01T10:00:00Z"))))
+      st.updateShipperCursor("s", "2024-03-01T00:00:00Z", "g1")
+      val q = st.getUnshippedCFAuditEventsForShipper("s")
+      q.collect().map(_.getAs[String]("guid")) shouldBe Array("g2")
+      val plan = q.queryExecution.executedPlan.toString
+      plan should include("PartitionFilters")
+      plan should include("event_date")
+      plan should include("2024-03-01") // the cursor-derived pruning bound
+    }
+
     it("upserts shipper cursors by name (R19/S8)") {
       val st = newStore()
       st.updateShipperCursor("s1", "2024-01-01T00:00:00Z", "g1")

@@ -369,6 +369,16 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(t(s, dir, "events"), "user_id", "ts", "event_id", gapMinutes = 30)
         .select("user_id", "session_idx", "n_events", "span_us")),
+    // Exact percentile aggregates (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, same sorted-interpolation definition).
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        F.expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        F.expr("percentile(l_extendedprice, 0.99)").as("p99_price"),
+        F.expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        F.min("l_extendedprice").as("min_price"),
+        F.max("l_extendedprice").as("max_price"))),
     // Typed Aggregator[IN,BUF,OUT] UDAF over per-doc token counts.
     "q_token_stats" -> ((s, dir) => {
       val stats = F.udaf(graft.functions.TokenStatsAggregator)
@@ -610,6 +620,10 @@ object SparkEntry {
     "q_token_stats" ->
       ("SELECT count(*) AS n_docs, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
         "CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens FROM documents"),
+    "q_percentiles" ->
+      ("SELECT quantile_cont(l_extendedprice, 0.5) AS p50_price, quantile_cont(l_extendedprice, 0.9) AS p90_price, " +
+        "quantile_cont(l_extendedprice, 0.99) AS p99_price, quantile_cont(l_quantity, 0.25) AS p25_qty, " +
+        "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price FROM lineitem"),
     "q_sessionize" ->
       ("WITH g AS (SELECT user_id, ts, event_id, " +
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL " +

@@ -369,6 +369,28 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       Sessionize.sessions(t(s, dir, "events"), "user_id", "ts", "event_id", gapMinutes = 30)
         .select("user_id", "session_idx", "n_events", "span_us")),
+    // max_by / arg_max family with a collision-free synthetic order key
+    // (value has 2 decimals, so value*100 is integral; +event_id breaks ties).
+    "q_argmax" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("__k", // round BEFORE the cast: Spark cast truncates,
+          // DuckDB cast rounds — rounding first aligns both engines
+          F.round(F.col("value") * 100, 0).cast("long") * 1000000L + F.col("event_id"))
+        .groupBy("user_id")
+        .agg(
+          F.max_by(F.col("event_id"), F.col("__k")).as("top_event_id"),
+          F.min_by(F.col("event_id"), F.col("__k")).as("bottom_event_id"),
+          F.max("value").as("max_value"))),
+    // array-function surface over the embedding column
+    "q_array_funcs" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(
+        F.col("vec_id"),
+        F.size(F.col("embedding")).cast("long").as("dim"),
+        F.round(F.element_at(F.col("embedding"), 1).cast("double"), 4).as("first_val"),
+        F.round(F.aggregate(F.slice(F.col("embedding"), 1, 4),
+          F.lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("head4_sum"),
+        F.array_max(F.col("embedding")).cast("double").as("max_val"),
+        F.array_min(F.col("embedding")).cast("double").as("min_val"))),
     // Exact percentile aggregates (Spark `percentile` ≡ DuckDB
     // `quantile_cont`, same sorted-interpolation definition).
     "q_percentiles" -> ((s, dir) =>
@@ -620,6 +642,15 @@ object SparkEntry {
     "q_token_stats" ->
       ("SELECT count(*) AS n_docs, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
         "CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens FROM documents"),
+    "q_argmax" ->
+      ("SELECT user_id, arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 1000000 + event_id) AS top_event_id, " +
+        "arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 1000000 + event_id) AS bottom_event_id, " +
+        "max(value) AS max_value FROM events GROUP BY user_id"),
+    "q_array_funcs" ->
+      ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+        "round(CAST(embedding[1] AS DOUBLE), 4) AS first_val, " +
+        "round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE), 4) AS head4_sum, " +
+        "CAST(list_max(embedding) AS DOUBLE) AS max_val, CAST(list_min(embedding) AS DOUBLE) AS min_val FROM embeddings"),
     "q_percentiles" ->
       ("SELECT quantile_cont(l_extendedprice, 0.5) AS p50_price, quantile_cont(l_extendedprice, 0.9) AS p90_price, " +
         "quantile_cont(l_extendedprice, 0.99) AS p99_price, quantile_cont(l_quantity, 0.25) AS p25_qty, " +

@@ -386,9 +386,11 @@ object SparkEntry {
       t(s, dir, "embeddings").select(
         F.col("vec_id"),
         F.size(F.col("embedding")).cast("long").as("dim"),
-        F.round(F.element_at(F.col("embedding"), 1).cast("double"), 4).as("first_val"),
-        F.round(F.aggregate(F.slice(F.col("embedding"), 1, 4),
-          F.lit(0.0), (acc, x) => acc + x.cast("double")), 4).as("head4_sum"),
+        // no round(): float->double is exact and the 4-term ordered sum is
+        // bit-identical across engines; round() near decimal halves is NOT
+        F.element_at(F.col("embedding"), 1).cast("double").as("first_val"),
+        F.aggregate(F.slice(F.col("embedding"), 1, 4),
+          F.lit(0.0), (acc, x) => acc + x.cast("double")).as("head4_sum"),
         F.array_max(F.col("embedding")).cast("double").as("max_val"),
         F.array_min(F.col("embedding")).cast("double").as("min_val"))),
     // Exact percentile aggregates (Spark `percentile` ≡ DuckDB
@@ -648,8 +650,8 @@ object SparkEntry {
         "max(value) AS max_value FROM events GROUP BY user_id"),
     "q_array_funcs" ->
       ("SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
-        "round(CAST(embedding[1] AS DOUBLE), 4) AS first_val, " +
-        "round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE), 4) AS head4_sum, " +
+        "CAST(embedding[1] AS DOUBLE) AS first_val, " +
+        "CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head4_sum, " +
         "CAST(list_max(embedding) AS DOUBLE) AS max_val, CAST(list_min(embedding) AS DOUBLE) AS min_val FROM embeddings"),
     "q_percentiles" ->
       ("SELECT quantile_cont(l_extendedprice, 0.5) AS p50_price, quantile_cont(l_extendedprice, 0.9) AS p90_price, " +

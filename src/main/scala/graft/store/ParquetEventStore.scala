@@ -122,6 +122,48 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     AuditQueries.unshipped(pruned, cursors, shipperName)
   }
 
+  /** Compact the events table: micro-batch ingest writes one file per page
+    * per partition, and at 100 TB the small-files problem kills scan
+    * performance. Rewrites every partition with `maxRecordsPerFile`-bounded
+    * files into a fresh directory and swaps it in. An offline maintenance
+    * op (single-writer store; run between collector ticks, or per-partition
+    * for live tables). Returns (files before, files after). */
+  def compact(maxRecordsPerFile: Long = 1000000L): (Long, Long) = {
+    def countFiles(): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(eventsPath), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = countFiles()
+    val tmp = eventsPath + "_compact"
+    eventsWithDate
+      .repartition(F.col("event_date"))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("event_date").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(p, true)
+    fs.rename(t, p)
+    (before, countFiles())
+  }
+
+  /** Retention: drop whole partitions older than `cutoff` — an O(#dropped
+    * partitions) metadata operation, the point of date-partitioned layout
+    * (no rewrite, no row-level delete). Returns dropped partition count. */
+  def expireBefore(cutoff: java.sql.Date): Long = {
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(eventsPath))
+      .filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("event_date="))
+    val dropped = dirs.filter { d =>
+      val v = d.getPath.getName.stripPrefix("event_date=")
+      java.sql.Date.valueOf(v).before(cutoff)
+    }
+    dropped.foreach(d => fs.delete(d.getPath, true))
+    dropped.length.toLong
+  }
+
   override def updateShipperCursor(shipperName: String, updatedAt: String, shippedId: String): Unit = {
     import spark.implicits._
     // Reference passes the raw string and lets the DB cast (store.go:271-281).

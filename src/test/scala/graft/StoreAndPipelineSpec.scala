@@ -80,6 +80,37 @@ class StoreAndPipelineSpec extends SparkSpec {
       typed.head.space_guid shouldBe Some("sg")
     }
 
+    it("compacts small ingest files and preserves every row") {
+      val st = newStore()
+      val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")
+      val collector = new Collector(spark, st, f, new MetricsRegistry)
+      val mk = (g: String, at: String) => CfWireEvent(g, at, "t", "a", "at", "an", "au",
+        "e", "et", "en", "", "sg", "{}")
+      // three page-sized batches into the same partition -> >= 3 files
+      (1 to 3).foreach { b =>
+        st.storeCFAuditEvents(collector.pageToDf(
+          (1 to 5).map(i => mk(s"g$b-$i", s"2024-01-01T0$b:0$i:00Z"))))
+      }
+      val beforeRows = st.events.orderBy("guid").collect().map(_.getString(1)).toSeq
+      val (before, after) = st.compact()
+      after should be < before
+      st.events.count() shouldBe 15L
+      st.events.orderBy("guid").collect().map(_.getString(1)).toSeq shouldBe beforeRows
+    }
+
+    it("expires whole partitions before a cutoff date") {
+      val st = newStore()
+      val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")
+      val collector = new Collector(spark, st, f, new MetricsRegistry)
+      val mk = (g: String, at: String) => CfWireEvent(g, at, "t", "a", "at", "an", "au",
+        "e", "et", "en", "", "sg", "{}")
+      st.storeCFAuditEvents(collector.pageToDf(Seq(
+        mk("old1", "2024-01-01T10:00:00Z"), mk("old2", "2024-01-15T10:00:00Z"),
+        mk("new1", "2024-02-01T10:00:00Z"))))
+      st.expireBefore(java.sql.Date.valueOf("2024-02-01")) shouldBe 2L
+      st.events.collect().map(_.getAs[String]("guid")) shouldBe Array("new1")
+    }
+
     it("unshipped scan prunes partitions from the cursor date") {
       val st = newStore()
       val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")

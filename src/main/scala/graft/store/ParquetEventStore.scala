@@ -82,8 +82,10 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
       .withColumn("event_date", F.to_date(F.col("created_at")))
       .cache()
     val n = withId.count()
-    if (n > 0)
+    if (n > 0) {
       withId.write.mode(SaveMode.Append).partitionBy("event_date").parquet(eventsPath)
+      writeStatsCount(readStatsCount().getOrElse(0L) + n) // reltuples analog
+    }
     withId.unpersist()
     n
   }
@@ -107,7 +109,28 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     if (r.isNullAt(0)) Schemas.epoch else r.getTimestamp(0) // empty → epoch sentinel
   }
 
-  override def getCFEventCount(): Long = AuditQueries.eventCount(events)
+  /** O(1) statistics read, the `pg_class.reltuples` analog (store.go:
+    * 310-329): a counter maintained at store time. Approximate by design —
+    * exactly like reltuples (README.md:56) — and never a data scan. Falls
+    * back to an exact count if the stats file is missing. */
+  override def getCFEventCount(): Long =
+    readStatsCount().getOrElse(AuditQueries.eventCount(events))
+
+  private def statsPath = new org.apache.hadoop.fs.Path(s"$warehouseDir/_stats_count")
+
+  private def readStatsCount(): Option[Long] =
+    if (!fs.exists(statsPath)) None
+    else {
+      val in = fs.open(statsPath)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      catch { case _: Exception => None }
+      finally in.close()
+    }
+
+  private def writeStatsCount(total: Long): Unit = {
+    val out = fs.create(statsPath, true)
+    try out.write(total.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   override def getUnshippedCFAuditEventsForShipper(shipperName: String): DataFrame = {
     // Resolve the 1-row cursor first (the reference's scalar subquery does

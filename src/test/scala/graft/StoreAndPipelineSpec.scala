@@ -80,6 +80,19 @@ class StoreAndPipelineSpec extends SparkSpec {
       typed.head.space_guid shouldBe Some("sg")
     }
 
+    it("event count is an O(1) statistics read maintained at store time (reltuples analog)") {
+      val st = newStore()
+      val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")
+      val collector = new Collector(spark, st, f, new MetricsRegistry)
+      val mk = (g: String) => CfWireEvent(g, "2024-01-01T10:00:00Z", "t", "a", "at", "an", "au",
+        "e", "et", "en", "", "sg", "{}")
+      st.getCFEventCount() shouldBe 0L
+      st.storeCFAuditEvents(collector.pageToDf(Seq(mk("a"), mk("b"))))
+      st.getCFEventCount() shouldBe 2L
+      st.storeCFAuditEvents(collector.pageToDf(Seq(mk("b"), mk("c")))) // 1 new
+      st.getCFEventCount() shouldBe 3L
+    }
+
     it("compacts small ingest files and preserves every row") {
       val st = newStore()
       val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")

@@ -1,0 +1,11 @@
+package graft
+
+/** Mirror of the driver's smoke check: the flagship entry query returns
+  * rows on sf0.001. */
+class EntrySpec extends SparkSpec {
+  it("entry() returns a non-empty pricing summary") {
+    val rows = SparkEntry.entry(spark).collect()
+    rows.length should be > 0
+    rows.map(_.getAs[Long]("count_order")).sum should be > 1000L
+  }
+}

@@ -357,6 +357,13 @@ object SparkEntry {
     "q_shuffle_rank" -> ((s, dir) =>
       DataShaping.shuffleRank(t(s, dir, "documents"), "doc_id")
         .select("doc_id", "shuffle_rank")),
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")).cast("long"))
+      DataShaping.packSequences(docs, "doc_id", "n_tokens", tokenBudget = 2048L)
+        .groupBy("pack_id")
+        .agg(F.count(F.lit(1)).as("n_docs"), F.sum("n_tokens").as("pack_tokens"))
+    }),
     "q_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       DataShaping.contamination(
@@ -644,6 +651,10 @@ object SparkEntry {
     "q_token_stats" ->
       ("SELECT count(*) AS n_docs, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, " +
         "CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens FROM documents"),
+    "q_pack_sequences" ->
+      ("WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "p AS (SELECT doc_id, n_tokens, CAST(floor(coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) / 2048.0) AS BIGINT) AS pack_id FROM d) " +
+        "SELECT pack_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens FROM p GROUP BY pack_id"),
     "q_argmax" ->
       ("SELECT user_id, arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 1000000 + event_id) AS top_event_id, " +
         "arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 1000000 + event_id) AS bottom_event_id, " +

@@ -53,6 +53,21 @@ object DataShaping {
       .withColumnRenamed("id", "shuffle_rank")
       .drop("__h")
 
+  /** Contiguous sequence packing: assign documents (in deterministic id
+    * order) to training packs of ~`tokenBudget` tokens — pack boundary =
+    * exclusive running token count ÷ budget. The contiguous form of the
+    * packing step that turns a corpus into fixed-budget training
+    * sequences; computed as a running-frame window (per-partition
+    * streaming, one shuffle if re-ordering is needed). */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    tokenBudget: Long): DataFrame = {
+    val w = Window.orderBy(F.col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("pack_id", // floor, not cast: cast-of-double truncates in
+      // Spark but rounds in DuckDB — floor is identical in both
+      F.floor(F.coalesce(F.sum(F.col(tokenCol)).over(w), F.lit(0L)) / tokenBudget).cast("long"))
+  }
+
   /** Cross-corpus contamination: pairs (trainDoc, benchDoc) sharing at
     * least `minShared` word-n-gram shingles. The classic "is the eval set
     * leaking into training data" sweep; shingle-blocked join, never a

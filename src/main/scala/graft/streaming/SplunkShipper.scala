@@ -93,8 +93,16 @@ final class SplunkShipper(
         F.parse_json(F.coalesce(F.col("metadata"), F.lit("null"))).as("metadata")
       ).as("event"))))
 
-  /** One tick. Returns (shipped, failed) counts; never throws (ST5). */
-  def shipOnce(): (Long, Long) = {
+  /** One tick. Returns (shipped, failed) counts; never throws (ST5).
+    *
+    * `postBatchSize = 1` reproduces the reference's per-event POST loop
+    * (`shipper.go:122-135`) exactly. HEC accepts concatenated event JSON
+    * in one request, so larger batch sizes amortize the HTTP round trip —
+    * the per-event round trip is the reference's real throughput ceiling
+    * (BASELINE.md) — while ordering and prefix-commit semantics are
+    * unchanged (a failed POST stops the tick; the cursor commits the last
+    * event of the last fully-shipped request). */
+  def shipOnce(postBatchSize: Int = 1): (Long, Long) = {
     val t0 = System.nanoTime()
     try {
       val batch = withPayload(store.getUnshippedCFAuditEventsForShipper(shipperName))
@@ -102,13 +110,13 @@ final class SplunkShipper(
       var shipped = 0L
       var lastOk: Option[Row] = None
       var failed = false
-      val it = rows.iterator
+      val it = rows.grouped(math.max(1, postBatchSize))
       while (!failed && it.hasNext) {
-        val r = it.next()
-        hec.post(r.getString(0)) match {
+        val group = it.next()
+        hec.post(group.map(_.getString(0)).mkString("\n")) match {
           case Right(_) =>
-            shipped += 1
-            lastOk = Some(r)
+            shipped += group.length
+            lastOk = Some(group.last)
           case Left(_) =>
             failed = true // prefix stops here (shipper.go:125-135)
             registry.inc(Metrics.ShipperErrors)

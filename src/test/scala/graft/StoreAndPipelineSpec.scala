@@ -273,6 +273,20 @@ class StoreAndPipelineSpec extends SparkSpec {
       st.cursors.collect()(0).getString(2) shouldBe "g3"
     }
 
+    it("batched HEC posts preserve order and prefix-commit (postBatchSize=2)") {
+      val st = newStore(); seed(st)
+      val poster = new FakePoster(Seq.fill(10)(200))
+      val reg = new MetricsRegistry
+      val shipper = new SplunkShipper(st,
+        new SplunkHecClient(poster, "https://hec", "KEY", sleep = _ => ()), "test-env", reg)
+      shipper.shipOnce(postBatchSize = 2) shouldBe ((3L, 0L))
+      poster.posts.size shouldBe 2 // ceil(3/2) requests
+      poster.posts.head._2.linesIterator.size shouldBe 2 // two events in request 1
+      poster.posts.head._2 should include(""""guid":"g1"""")
+      poster.posts.head._2 should include(""""guid":"g2"""")
+      st.cursors.collect()(0).getString(2) shouldBe "g3"
+    }
+
     it("parallel range-partitioned ship preserves prefix-commit semantics") {
       val st = newStore(); seed(st)
       val poster = new FakePoster(Seq.fill(10)(200))

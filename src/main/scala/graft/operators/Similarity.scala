@@ -101,6 +101,45 @@ object Similarity {
       .select(F.col("qid"), F.col("cid"), F.col("cos_sim"), F.col("rn"))
   }
 
+  /** Multi-probe variant of [[lshTopK]]: each query also probes the
+    * `nbits` buckets at Hamming distance 1 from its own (one sign flipped),
+    * the standard fix for sign-LSH's recall cliff — measured on the
+    * fixtures it lifts recall@3 several-fold for a (nbits+1)× probe cost,
+    * still Σ bucket² style, never |N|². */
+  def lshTopKMultiProbe(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nbits: Int,
+      k: Int): DataFrame = {
+    val withB = embeddings.select(
+      F.col(idCol).as("id"), F.col(vecCol).as("v"),
+      signBucket(F.col(vecCol), nbits).as("bucket"))
+    // probe keys: own bucket + each 1-bit flip
+    val flips = F.array(
+      (F.col("bucket") +:
+        (1 to nbits).map { i =>
+          val flipped = F.when(F.substring(F.col("bucket"), i, 1) === "1", F.lit("0")).otherwise(F.lit("1"))
+          F.concat(
+            F.substring(F.col("bucket"), 1, i - 1),
+            flipped,
+            F.substring(F.col("bucket"), i + 1, nbits - i))
+        }): _*)
+    val probes = withB
+      .select(F.col("id").as("qid"), F.col("v").as("qv"), F.explode(flips).as("bucket"))
+    val cands = withB.select(F.col("bucket"), F.col("id").as("cid"), F.col("v").as("cv"))
+    val scored = probes.join(cands, "bucket")
+      .filter(F.col("qid") =!= F.col("cid"))
+      .select(F.col("qid"), F.col("cid"), F.col("qv"), F.col("cv"))
+      .distinct() // a candidate can appear via several probes
+      .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    val w = Window.partitionBy(F.col("qid")).orderBy(F.col("cos_sim").desc, F.col("cid").asc)
+    scored
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= k)
+      .select(F.col("qid"), F.col("cid"), F.col("cos_sim"), F.col("rn"))
+  }
+
   /** IVF (inverted-file) approximate nearest neighbours: a coarse
     * quantizer assigns every vector to its nearest centroid's cell, and
     * search compares only within a cell (nprobe=1). Centroids here are

@@ -8,4 +8,11 @@ class EntrySpec extends SparkSpec {
     rows.length should be > 0
     rows.map(_.getAs[Long]("count_order")).sum should be > 1000L
   }
+
+  it("every oracle key has a query; only the mapPartitions stub is rows-only") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    (o -- q) shouldBe empty
+    (q -- o) shouldBe Set("q_mm_decode")
+  }
 }

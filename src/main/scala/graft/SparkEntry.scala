@@ -371,6 +371,16 @@ object SparkEntry {
         docs.filter(F.col("source") === "src0"),
         "doc_id", "text", n = 3, minShared = 2L)
     }),
+    // Spark's NATIVE session_window operator (same 30-min gap semantics as
+    // q_sessionize's window-pass formulation; oracle derives session starts
+    // from the explicit gap construction).
+    "q_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), "30 minutes"))
+        .agg(F.count(F.lit(1)).as("n_events"))
+        .select(F.col("user_id"),
+          ntz(F.col("session_window.start")).as("session_start"),
+          F.col("n_events"))),
     // Gap-based session windows (30 min) — the "session windows" operator
     // from the reference's absent-list, as a per-user window pass.
     "q_sessionize" -> ((s, dir) =>
@@ -668,6 +678,14 @@ object SparkEntry {
       ("SELECT quantile_cont(l_extendedprice, 0.5) AS p50_price, quantile_cont(l_extendedprice, 0.9) AS p90_price, " +
         "quantile_cont(l_extendedprice, 0.99) AS p99_price, quantile_cont(l_quantity, 0.25) AS p25_qty, " +
         "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price FROM lineitem"),
+    "q_session_window" ->
+      ("WITH g AS (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL " +
+        "AND epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM events), " +
+        "s AS (SELECT user_id, ts, " +
+        "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM g) " +
+        "SELECT user_id, min(ts) AS session_start, count(*) AS n_events FROM s GROUP BY user_id, session_idx"),
     "q_sessionize" ->
       ("WITH g AS (SELECT user_id, ts, event_id, " +
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL " +

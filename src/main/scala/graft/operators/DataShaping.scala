@@ -56,16 +56,42 @@ object DataShaping {
   /** Contiguous sequence packing: assign documents (in deterministic id
     * order) to training packs of ~`tokenBudget` tokens — pack boundary =
     * exclusive running token count ÷ budget. The contiguous form of the
-    * packing step that turns a corpus into fixed-budget training
-    * sequences; computed as a running-frame window (per-partition
-    * streaming, one shuffle if re-ordering is needed). */
+    * packing step that turns a corpus into fixed-budget training sequences.
+    *
+    * Computed as a two-phase distributed prefix sum (the same shape as
+    * [[AuditQueries.assignIngestSeqDistributed]]): range-repartition on the
+    * id so partition order equals global id order, take a running token sum
+    * WITHIN each partition, and add each partition's exclusive total-token
+    * offset (a #partitions-row frame, broadcast). No single-partition
+    * global window anywhere in the plan — the corpus-wide running sum
+    * stays fully distributed at any scale. Result is identical to the
+    * naive `sum() OVER (ORDER BY id)` form. */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     tokenBudget: Long): DataFrame = {
-    val w = Window.orderBy(F.col(idCol))
+    val parted = df
+      .repartitionByRange(F.col(idCol))
+      .withColumn("__pid", F.spark_partition_id())
+    val within = Window.partitionBy(F.col("__pid")).orderBy(F.col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("pack_id", // floor, not cast: cast-of-double truncates in
-      // Spark but rounds in DuckDB — floor is identical in both
-      F.floor(F.coalesce(F.sum(F.col(tokenCol)).over(w), F.lit(0L)) / tokenBudget).cast("long"))
+    val totals = parted.groupBy(F.col("__pid"))
+      .agg(F.sum(F.col(tokenCol)).as("__tot"))
+    // exclusive prefix over per-partition totals: one row per partition,
+    // so this window frame is tiny by construction (≤ shuffle partitions)
+    val offsets = totals
+      .withColumn("__off",
+        F.coalesce(
+          F.sum(F.col("__tot")).over(
+            Window.orderBy(F.col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          F.lit(0L)))
+      .select(F.col("__pid"), F.col("__off"))
+    parted
+      .join(F.broadcast(offsets), "__pid")
+      .withColumn("pack_id", // floor, not cast: cast-of-double truncates in
+        // Spark but rounds in DuckDB — floor is identical in both
+        F.floor(
+          (F.col("__off") + F.coalesce(F.sum(F.col(tokenCol)).over(within), F.lit(0L)))
+            / tokenBudget).cast("long"))
+      .drop("__pid", "__off")
   }
 
   /** Cross-corpus contamination: pairs (trainDoc, benchDoc) sharing at

@@ -52,6 +52,21 @@ class PlanSpec extends SparkSpec {
     p should include("__pid")
   }
 
+  it("q_pack_sequences avoids a global single-partition window (two-phase prefix sums)") {
+    val p = plan("q_pack_sequences")
+    // range partitioner + per-partition running sum + broadcast offsets,
+    // not `sum() OVER (ORDER BY id)` over one partition
+    p should include("rangepartitioning")
+    p should include("__pid")
+    // the corpus-wide running token sum must be a PARTITIONED window;
+    // the only partition-less window allowed is the per-partition-offsets
+    // frame (one row per partition, sums __tot)
+    val tokenWindows = p.split("\n").filter(l =>
+      l.contains("Window [sum(n_tokens"))
+    tokenWindows should not be empty
+    tokenWindows.foreach(_ should include("windowspecdefinition(__pid"))
+  }
+
   it("semi/anti joins stay joins (no subquery materialization)") {
     plan("q_semi_join") should include("LeftSemi")
     plan("q_anti_join") should include("LeftAnti")

@@ -295,9 +295,11 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
+    // maxDf = 20: stop-phrase shingles (df > 20) are suppressed from the
+    // Jaccard universe — they carry ~no signal and cost df² pair rows
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(
-        Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text"), 0.05)),
+        Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text"), 0.05, maxDf = 20L)),
 
     // --- training-data pipeline: similarity search (embeddings) ---
     "q_embed_topk" -> ((s, dir) => {
@@ -305,8 +307,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", 3)
         .withColumn("rn", F.col("rn").cast("long"))
     }),
+    // Multi-table seeded random-hyperplane LSH (b=6, L=16) — recall-gated
+    // ≥0.5 @3 vs brute force in AnnRecallSpec; cost stays Σ_table Σ bucket²
     "q_ann_lsh" -> ((s, dir) =>
-      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding", nbits = 8, k = 3)
+      Similarity.multiTableLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nbits = 6, nTables = 16, k = 3)
         .withColumn("rn", F.col("rn").cast("long"))),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", nbits = 8, 0.2)),
@@ -451,8 +456,29 @@ object SparkEntry {
       "ranked AS (SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn FROM scored) " +
       "SELECT qid, cid, cos_sim, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 3"
 
+  /** Single-table 8-bit seeded random-hyperplane bucket — the SAME doubles
+    * the Spark operators use (gaussianPlanes is seed-deterministic and
+    * Double.toString round-trips exactly into DuckDB's parser). */
   private val lshBucketExpr: String =
-    (1 to 8).map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    Similarity.hyperplaneBucketSql(Similarity.gaussianPlanes(1, 8, 64, 42L)(0), "embedding")
+
+  /** Multi-table LSH (b=6, L=16) candidate-pair CTE: per-table bucket
+    * columns, UNION of the 16 per-table self-joins (UNION dedups pairs
+    * colliding in several tables). Mirrors Similarity.multiTableLshTopK. */
+  private def multiTableLshPairsCte: String = {
+    val tables = Similarity.gaussianPlanes(16, 6, 64, 42L)
+    val bucketCols = tables.zipWithIndex.map { case (p, t) =>
+      s"${Similarity.hyperplaneBucketSql(p, "embedding")} AS b$t"
+    }
+    val unions = tables.indices.map(t =>
+      s"SELECT x.id AS qid, y.id AS cid, x.v AS qv, y.v AS cv " +
+        s"FROM b x JOIN b y ON x.b$t = y.b$t AND x.id <> y.id")
+      .mkString(" UNION ")
+    // AS MATERIALIZED: evaluate the 16 bucket expressions once, not once
+    // per CTE reference (32 references after the union expansion)
+    s"WITH b AS MATERIALIZED (SELECT vec_id AS id, embedding AS v, ${bucketCols.mkString(", ")} FROM embeddings), " +
+      s"pairs AS ($unions)"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_unshipped_cursor" ->
@@ -556,8 +582,10 @@ object SparkEntry {
         "SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT) ELSE 0 END) AS BIGINT) AS simhash FROM scored GROUP BY doc_id"),
     "q_dedup_jaccard" ->
       ("WITH " + docShinglesCtes + ", " +
-        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id), " +
-        "shared_c AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id) " +
+        "dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle), " +
+        "kept AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle) WHERE dfc.df <= 20), " +
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM kept GROUP BY doc_id), " +
+        "shared_c AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id) " +
         "SELECT s.a, s.b, s.shared, round(CAST(s.shared AS DOUBLE) / CAST(sa.sz + sb.sz - s.shared AS DOUBLE), 4) AS jaccard " +
         "FROM shared_c s JOIN sizes sa ON s.a = sa.doc_id JOIN sizes sb ON s.b = sb.doc_id " +
         "WHERE round(CAST(s.shared AS DOUBLE) / CAST(sa.sz + sb.sz - s.shared AS DOUBLE), 4) >= 0.05"),
@@ -566,9 +594,7 @@ object SparkEntry {
       "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
         "c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings), " +
         "pairs AS (SELECT qid, cid, qv, cv FROM q JOIN c ON cid <> qid)"),
-    "q_ann_lsh" -> cosineOracle(
-      "WITH b AS (SELECT vec_id AS id, embedding AS v, " + lshBucketExpr + " AS bucket FROM embeddings), " +
-        "pairs AS (SELECT x.id AS qid, y.id AS cid, x.v AS qv, y.v AS cv FROM b x JOIN b y ON x.bucket = y.bucket AND x.id <> y.id)"),
+    "q_ann_lsh" -> cosineOracle(multiTableLshPairsCte),
     "q_ivf_ann" -> cosineOracle(
       "WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
         "cent AS (SELECT vec_id AS centroid, embedding AS cvec FROM embeddings WHERE vec_id < 8), " +

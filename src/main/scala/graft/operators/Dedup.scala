@@ -92,23 +92,44 @@ object Dedup {
     candidatePairs(buckets)
   }
 
-  /** n-gram Jaccard similarity for all pairs sharing at least one shingle:
-    * |A∩B| / |A∪B|, keeping pairs with similarity ≥ `minJaccard`.
-    * `shared`-shingle blocking keeps this far below the all-pairs cross
-    * product; for very common shingles consider dropping the top-frequency
-    * shingles first (stopword-shingle suppression). */
-  def jaccardPairs(shingles: DataFrame, minJaccard: Double): DataFrame = {
-    val sizes = shingles.groupBy(F.col("doc")).agg(F.count(F.lit(1)).as("sz"))
-    // A shingle held by a single doc cannot produce a pair: prune it before
-    // the self-join. On near-unique corpora this removes most of the join
-    // input without changing any result (sizes above are pre-prune).
-    val shared2 = shingles.groupBy(F.col("shingle"))
-      .agg(F.count(F.lit(1)).as("__n")).filter(F.col("__n") >= 2).select("shingle")
-    val pruned = shingles.join(shared2, Seq("shingle"), "left_semi")
-    val a = pruned.select(F.col("shingle"), F.col("doc").as("a"))
-    val b = pruned.select(F.col("shingle"), F.col("doc").as("b"))
-    val shared = a.join(b, "shingle")
+  /** n-gram Jaccard similarity for all pairs sharing at least one
+    * (retained) shingle: |A∩B| / |A∪B|, keeping pairs with similarity ≥
+    * `minJaccard`.
+    *
+    * Hot-shingle suppression: shingles with doc-frequency > `maxDf` are
+    * dropped from the shingle universe entirely (both the intersection
+    * counts and the set sizes). A stop-phrase shingle shared by 10⁵ docs
+    * carries ~no Jaccard information but would contribute df² candidate
+    * rows — at 100 TB that single key is the difference between Σ df²
+    * bounded by maxDf² per shingle and an effectively quadratic blowup.
+    *
+    * Plan shape: ONE groupBy-shingle pass collects each retained shingle's
+    * doc list (arrays bounded ≤ maxDf by the semi-join pre-filter, so no
+    * unbounded reducer state), pairs are exploded IN-ROW from the doc
+    * array — no shingle self-join shuffle at all — and set sizes come from
+    * re-exploding the same aggregated frame (Catalyst reuses the exchange).
+    */
+  def jaccardPairs(shingles: DataFrame, minJaccard: Double,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
+    val dfCounts = shingles.groupBy(F.col("shingle"))
+      .agg(F.count(F.lit(1)).as("__df"))
+    val kept =
+      if (maxDf == Long.MaxValue) shingles
+      else shingles.join(
+        dfCounts.filter(F.col("__df") <= maxDf).select("shingle"),
+        Seq("shingle"), "left_semi")
+    val byShingle = kept.groupBy(F.col("shingle"))
+      .agg(F.collect_list(F.col("doc")).as("__docs"))
+    // singleton shingles (df = 1) count toward set sizes but cannot pair
+    val sizes = byShingle
+      .select(F.explode(F.col("__docs")).as("doc"))
+      .groupBy(F.col("doc")).agg(F.count(F.lit(1)).as("sz"))
+    val pairs = byShingle
+      .filter(F.size(F.col("__docs")) >= 2)
+      .select(F.col("__docs"), F.explode(F.col("__docs")).as("a"))
+      .select(F.col("a"), F.explode(F.col("__docs")).as("b"))
       .filter(F.col("a") < F.col("b"))
+    val shared = pairs
       .groupBy(F.col("a"), F.col("b"))
       .agg(F.count(F.lit(1)).as("shared"))
     shared

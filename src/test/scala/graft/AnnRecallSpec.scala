@@ -4,13 +4,23 @@ import org.apache.spark.sql.{functions => F}
 
 import graft.operators.Similarity
 
-/** Quality evidence for the approximate similarity paths: recall@3 of the
-  * LSH and IVF indexes against exhaustive brute force on the sf0.001
-  * embeddings fixture. Guards against a silently-broken index (bucketing
-  * that scatters true neighbours loses recall immediately). */
+/** Quality evidence for the approximate similarity paths: recall@3 against
+  * exhaustive brute force on the sf0.01 embeddings fixture (500 × 64-dim,
+  * near-isotropic — the HARD case for ANN: a typical nearest neighbour sits
+  * at ~65°, so single-table sign-LSH collision probability is only
+  * (1−θ/π)^b ≈ 0.03 at b=8; no bucketing scheme fixes that with one table).
+  *
+  * The production paths therefore buy recall structurally:
+  *  - multi-table LSH: L independent seeded hyperplane tables; candidate if
+  *    colliding in ANY table → recall 1−(1−p^b)^L, tunable to any target;
+  *  - trained IVF + nprobe: Lloyd-trained coarse cells, query probes its
+  *    nprobe nearest cells.
+  * Both are gated here at ≥0.5 recall@3, with the candidate fraction
+  * (probe cost vs brute force) logged alongside. */
 class AnnRecallSpec extends SparkSpec {
 
-  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+  private lazy val nVec = emb.count().toDouble
 
   private def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
     df.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -27,20 +37,44 @@ class AnnRecallSpec extends SparkSpec {
     per.sum / per.size
   }
 
-  it("multi-probe LSH lifts recall well above single-probe and random") {
-    val single = recallOf(topkSets(
-      Similarity.lshTopK(emb, "vec_id", "embedding", nbits = 8, k = 3).select("qid", "cid")))
+  it("multi-table hyperplane LSH reaches recall@3 >= 0.5 on isotropic data") {
+    val nbits = 6; val nTables = 16
     val multi = recallOf(topkSets(
-      Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", nbits = 8, k = 3).select("qid", "cid")))
-    info(f"LSH sign-bucket recall@3: single-probe = $single%.3f, multi-probe = $multi%.3f")
-    single should be > 1.0 / 256 * 3 // several times better than random buckets
-    multi should be > single * 2 // the multi-probe lift is the point
+      Similarity.multiTableLshTopK(emb, "vec_id", "embedding", nbits, nTables, k = 3)
+        .select("qid", "cid")))
+    // candidate fraction = deduped candidate pairs / brute-force pairs
+    val tables = Similarity.gaussianPlanes(nTables, nbits, 64)
+    val keyed = emb.select(F.col("vec_id").as("id"),
+      F.explode(F.array(tables.zipWithIndex.map { case (p, t) =>
+        F.concat(F.lit(s"$t:"), Similarity.hyperplaneBucket(F.col("embedding"), p))
+      }.toSeq: _*)).as("bucket"))
+    val cands = keyed.as("x").join(keyed.as("y"), "bucket")
+      .filter(F.col("x.id") =!= F.col("y.id"))
+      .select(F.col("x.id"), F.col("y.id")).distinct().count()
+    val frac = cands / (nVec * (nVec - 1))
+    info(f"multi-table LSH (b=$nbits, L=$nTables) recall@3 = $multi%.3f at ${frac * 100}%.1f%% of brute-force comparisons")
+    multi should be >= 0.5
+    frac should be < 0.5 // structurally cheaper than brute force, even on isotropic data
   }
 
-  it("IVF recall@3 beats random cell assignment by a wide margin") {
-    val r = recallOf(topkSets(
+  it("single-table LSH is the building block: multi-table lifts recall several-fold over it") {
+    val single = recallOf(topkSets(
+      Similarity.lshTopK(emb, "vec_id", "embedding", nbits = 6, k = 3).select("qid", "cid")))
+    val multi = recallOf(topkSets(
+      Similarity.multiTableLshTopK(emb, "vec_id", "embedding", nbits = 6, nTables = 16, k = 3)
+        .select("qid", "cid")))
+    info(f"LSH recall@3: single-table = $single%.3f, 16-table = $multi%.3f")
+    multi should be > single * 2
+  }
+
+  it("trained IVF with nprobe=3 reaches recall@3 >= 0.5 and beats the untrained seed cells") {
+    val untrained = recallOf(topkSets(
       Similarity.ivfTopK(emb, "vec_id", "embedding", nCentroids = 8, k = 3).select("qid", "cid")))
-    info(f"IVF(8 cells, nprobe=1) recall@3 = $r%.3f")
-    r should be > 0.2 // random 8-cell assignment gives ~0.125
+    val trained = recallOf(topkSets(
+      Similarity.ivfTrainedTopK(emb, "vec_id", "embedding", nCentroids = 8, nprobe = 3, k = 3)
+        .select("qid", "cid")))
+    info(f"IVF recall@3: untrained/nprobe=1 = $untrained%.3f, trained/nprobe=3 = $trained%.3f (probes 3/8 of corpus)")
+    trained should be >= 0.5
+    trained should be > untrained
   }
 }

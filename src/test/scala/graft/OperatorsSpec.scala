@@ -43,6 +43,24 @@ class OperatorsSpec extends SparkSpec {
       j((1L, 2L)) shouldBe 1.0
       j((1L, 3L)) should (be > 0.3 and be < 1.0)
     }
+
+    it("jaccard maxDf above the corpus max df changes nothing (suppression is a no-op)") {
+      val sh = Dedup.wordShingles(docs, "doc_id", "text")
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val dflt = Dedup.jaccardPairs(sh, 0.0).collect().map(key).toSet
+      val high = Dedup.jaccardPairs(sh, 0.0, maxDf = 1000000L).collect().map(key).toSet
+      high shouldBe dflt
+    }
+
+    it("jaccard maxDf drops stop-phrase shingles from both intersections and sizes") {
+      // two docs identical except for one extra shingle-universe member;
+      // a shingle shared by ALL docs is suppressed at maxDf below corpus size
+      val j = Dedup.jaccardPairs(Dedup.wordShingles(docs, "doc_id", "text"), 0.0, maxDf = 1L)
+        .collect()
+      // with maxDf=1 every multi-doc shingle is suppressed -> no pairs at all
+      j shouldBe empty
+    }
   }
 
   describe("Similarity") {
@@ -69,11 +87,12 @@ class OperatorsSpec extends SparkSpec {
       top.map(_.getLong(1)) shouldBe Array(1L, 2L) // nearest then orthogonal
     }
 
-    it("sign-bucket LSH groups same-orthant vectors") {
-      val out = Similarity.lshTopK(vecs, "vec_id", "embedding", nbits = 3, k = 5)
+    it("hyperplane LSH groups near-parallel vectors and splits opposites") {
+      val out = Similarity.lshTopK(vecs, "vec_id", "embedding", nbits = 3, k = 5, dim = 3)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      out should contain((0L, 1L)) // same orthant
-      out should not contain ((0L, 3L)) // opposite orthant, different bucket
+      out should contain((0L, 1L)) // ~6° apart: same side of every plane w.h.p.
+      // an exact opposite flips the sign on EVERY hyperplane -> different bucket
+      out should not contain ((0L, 3L))
     }
   }
 

@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen compiles a new class per query stage; a long
+  // query grid fills the default 240 MB JIT code cache, after which the
+  // JVM silently disables the compiler and everything runs interpreted
+  // (observed as a 10-20x slowdown of the back half of the bench grid).
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

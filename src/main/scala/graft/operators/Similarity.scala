@@ -205,22 +205,34 @@ object Similarity {
       k: Int,
       dim: Int = 64,
       seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions.{fvDot => ndot}
     val tables = gaussianPlanes(nTables, nbits, dim, seed)
-    val base = embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+    // norms precomputed ONCE per vector (sqrt of the same double the
+    // per-pair form would compute — bit-identical cosine), so scoring a
+    // pair is one dot, not three
+    val base = embeddings.select(
+      F.col(idCol).as("id"), F.col(vecCol).as("v"),
+      F.sqrt(ndot(F.col(vecCol), F.col(vecCol))).as("nrm"))
     // one row per (vector, table) with that table's bucket key, prefixed by
-    // the table index so buckets never collide across tables
+    // the table index so buckets never collide across tables. Only the id
+    // rides through the candidate join/dedup — vectors (the wide payload)
+    // are re-attached AFTER the distinct, keeping the shuffled bytes at
+    // ~16 B/pair instead of 2×dim×4 B.
     val keyed = base.select(
-      F.col("id"), F.col("v"),
+      F.col("id"),
       F.explode(F.array(tables.zipWithIndex.map { case (p, t) =>
         F.concat(F.lit(s"$t:"), hyperplaneBucket(F.col("v"), p))
       }.toSeq: _*)).as("bucket"))
-    val a = keyed.select(F.col("bucket"), F.col("id").as("qid"), F.col("v").as("qv"))
-    val b = keyed.select(F.col("bucket"), F.col("id").as("cid"), F.col("v").as("cv"))
-    val scored = a.join(b, "bucket")
+    val pairs = keyed.select(F.col("bucket"), F.col("id").as("qid"))
+      .join(keyed.select(F.col("bucket"), F.col("id").as("cid")), "bucket")
       .filter(F.col("qid") =!= F.col("cid"))
-      .select(F.col("qid"), F.col("cid"), F.col("qv"), F.col("cv"))
+      .select(F.col("qid"), F.col("cid"))
       .distinct() // a pair can collide in several tables
-      .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    val scored = pairs
+      .join(base.select(F.col("id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn")), "qid")
+      .join(base.select(F.col("id").as("cid"), F.col("v").as("cv"), F.col("nrm").as("cn")), "cid")
+      .withColumn("cos_sim",
+        F.round(ndot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4))
     val w = Window.partitionBy(F.col("qid")).orderBy(F.col("cos_sim").desc, F.col("cid").asc)
     scored
       .withColumn("rn", F.row_number().over(w))

@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.sql.SparkSession
 
 import graft.metrics.{MetricsRegistry, MetricsServer}
-import graft.sources.{CfAuditEventFetcher, JdkHttpTransport}
+import graft.sources.{AuthenticatedTransport, CfAuditEventFetcher, CfAuthConfig, HttpTransport, JdkHttpTransport, UaaAuthenticator}
 import graft.store.{EventStore, JdbcEventStore, ParquetEventStore}
 import graft.streaming.{Collector, Informer, SplunkHecClient, SplunkShipper}
 
@@ -18,6 +18,10 @@ final case class Config(
     databaseUrl: String,
     warehouseDir: String,
     cfApiAddress: String,
+    cfClientId: String,
+    cfClientSecret: String,
+    cfUsername: String,
+    cfPassword: String,
     paginationWaitMillis: Long,
     collectorScheduleMillis: Long,
     informerScheduleMillis: Long,
@@ -43,6 +47,10 @@ object Config {
     databaseUrl = env("DATABASE_URL"),
     warehouseDir = env("WAREHOUSE_DIR", "/tmp/graft-warehouse"),
     cfApiAddress = env("CF_API_ADDRESS"),
+    cfClientId = env("CF_CLIENT_ID"),
+    cfClientSecret = env("CF_CLIENT_SECRET"),
+    cfUsername = env("CF_USERNAME"),
+    cfPassword = env("CF_PASSWORD"),
     paginationWaitMillis = parseDurationMillis(env("FETCHER_PAGINATION_WAIT_TIME"), 200L),
     collectorScheduleMillis = parseDurationMillis(env("COLLECTOR_SCHEDULE"), 2L * 60 * 1000),
     informerScheduleMillis = parseDurationMillis(env("INFORMER_SCHEDULE"), 15000L),
@@ -80,7 +88,14 @@ object Main {
     val stop = new AtomicBoolean(false)
     sys.addShutdownHook { stop.set(true) }
 
-    val http = new JdkHttpTransport(Duration.ofSeconds(30)) // CF timeout (main_config.go:51)
+    val rawHttp = new JdkHttpTransport(Duration.ofSeconds(30)) // CF timeout (main_config.go:51)
+    // UAA OAuth (main.go:45-48): authenticate every CF request when client
+    // or user credentials are configured; bare transport otherwise (stubs).
+    val authCfg = CfAuthConfig(cfg.cfApiAddress, cfg.cfClientId, cfg.cfClientSecret,
+      cfg.cfUsername, cfg.cfPassword)
+    val http: HttpTransport =
+      if (authCfg.enabled) new AuthenticatedTransport(rawHttp, new UaaAuthenticator(rawHttp, authCfg))
+      else rawHttp
     val fetcher = new CfAuditEventFetcher(http, cfg.cfApiAddress,
       paginationWaitMillis = cfg.paginationWaitMillis)
     val collector = new Collector(spark, store, fetcher, registry)

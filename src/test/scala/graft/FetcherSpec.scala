@@ -91,4 +91,104 @@ class FetcherSpec extends SparkSpec {
     val pages = f.fetchPages(since).toSeq
     pages.head.error.get.getMessage should include("status code 201")
   }
+
+  describe("UAA OAuth flow (main.go:45-48, cf_audit_event_fetcher_test.go:33-54)") {
+    val uaa = "https://uaa.example.com"
+
+    /** Stub CF+UAA: /v2/info discovery, /oauth/token exchange, and page
+      * GETs that 401 unless the current token is presented. */
+    class StubUaaTransport(pages: Map[String, String]) extends HttpTransport {
+      val gets: mutable.ArrayBuffer[(String, Map[String, String])] = mutable.ArrayBuffer.empty
+      val tokenPosts: mutable.ArrayBuffer[(String, String, Map[String, String])] = mutable.ArrayBuffer.empty
+      var currentToken = "tok-1"
+      def get(url: String, headers: Map[String, String]): HttpReply = {
+        gets += ((url, headers))
+        if (url == api + "/v2/info")
+          HttpReply(200, s"""{"token_endpoint":"$uaa"}""")
+        else if (headers.get("Authorization").contains(s"Bearer $currentToken"))
+          HttpReply(200, pages(url))
+        else HttpReply(401, """{"error":"invalid_token"}""")
+      }
+      def post(url: String, body: String, headers: Map[String, String]): HttpReply = {
+        tokenPosts += ((url, body, headers))
+        HttpReply(200, s"""{"access_token":"$currentToken","token_type":"bearer","expires_in":43199}""")
+      }
+    }
+
+    val p1 = "/v2/events?q=timestamp%3E2019-10-04T12%3A40%3A43Z&results-per-page=100"
+    val p2 = "/v2/events?page=2"
+
+    it("exchanges client credentials at the discovered UAA endpoint and sends Bearer on every page GET") {
+      val stub = new StubUaaTransport(Map(
+        api + p1 -> pageBody(Seq("g1"), p2),
+        api + p2 -> pageBody(Seq("g2"), "")))
+      val auth = new UaaAuthenticator(stub, CfAuthConfig(api, clientId = "auditor", clientSecret = "s3cret"))
+      val f = new CfAuditEventFetcher(new AuthenticatedTransport(stub, auth), api, paginationWaitMillis = 0)
+      val pages = f.fetchPages(since).toSeq
+      pages.map(_.error) shouldBe Seq(None, None)
+      pages.map(_.events.map(_.guid)) shouldBe Seq(Seq("g1"), Seq("g2"))
+      // one discovery + one token exchange, then both page GETs authorized
+      stub.tokenPosts.size shouldBe 1
+      val (tokenUrl, tokenBody, tokenHeaders) = stub.tokenPosts.head
+      tokenUrl shouldBe uaa + "/oauth/token"
+      tokenBody shouldBe "grant_type=client_credentials"
+      val basic = java.util.Base64.getEncoder.encodeToString("auditor:s3cret".getBytes("UTF-8"))
+      tokenHeaders("Authorization") shouldBe s"Basic $basic"
+      val pageGets = stub.gets.filter(_._1.contains("/v2/events"))
+      pageGets.size shouldBe 2
+      pageGets.foreach(_._2("Authorization") shouldBe "Bearer tok-1")
+    }
+
+    it("password grant uses the default public 'cf' client like go-cfclient") {
+      val stub = new StubUaaTransport(Map(api + p1 -> pageBody(Seq("g1"), "")))
+      val auth = new UaaAuthenticator(stub, CfAuthConfig(api, username = "admin", password = "pw"))
+      new CfAuditEventFetcher(new AuthenticatedTransport(stub, auth), api, paginationWaitMillis = 0)
+        .fetchPages(since).toSeq.head.error shouldBe None
+      val (_, body, headers) = stub.tokenPosts.head
+      body shouldBe "grant_type=password&username=admin&password=pw"
+      headers("Authorization") shouldBe
+        s"Basic ${java.util.Base64.getEncoder.encodeToString("cf:".getBytes("UTF-8"))}"
+    }
+
+    it("refreshes the token and retries once on 401 (expired token mid-stream)") {
+      val stub = new StubUaaTransport(Map(
+        api + p1 -> pageBody(Seq("g1"), p2),
+        api + p2 -> pageBody(Seq("g2"), "")))
+      val auth = new UaaAuthenticator(stub, CfAuthConfig(api, clientId = "auditor", clientSecret = "s"))
+      val f = new CfAuditEventFetcher(new AuthenticatedTransport(stub, auth), api, paginationWaitMillis = 0)
+      val it1 = f.fetchPages(since)
+      it1.next().events.map(_.guid) shouldBe Seq("g1")
+      stub.currentToken = "tok-2" // server-side revocation between pages
+      it1.next().events.map(_.guid) shouldBe Seq("g2") // 401 -> refresh -> retry
+      stub.tokenPosts.size shouldBe 2
+      stub.gets.filter(_._1 == api + p2).map(_._2("Authorization")) shouldBe
+        Seq("Bearer tok-1", "Bearer tok-2")
+    }
+
+    it("a 401 that survives the refresh surfaces as a terminal non-200 error") {
+      val stub = new StubUaaTransport(Map(api + p1 -> pageBody(Seq("g1"), ""))) {
+        override def post(url: String, body: String, headers: Map[String, String]): HttpReply = {
+          super.post(url, body, headers)
+          HttpReply(200, """{"access_token":"wrong","token_type":"bearer","expires_in":43199}""")
+        }
+      }
+      val auth = new UaaAuthenticator(stub, CfAuthConfig(api, clientId = "c", clientSecret = "s"))
+      val f = new CfAuditEventFetcher(new AuthenticatedTransport(stub, auth), api, paginationWaitMillis = 0)
+      val pages = f.fetchPages(since).toSeq
+      pages.head.error.get.getMessage should include("status code 401")
+    }
+
+    it("caches the token until expiry and re-fetches after (60 s skew)") {
+      var now = 0L
+      val stub = new StubUaaTransport(Map(api + p1 -> pageBody(Seq("g1"), "")))
+      val auth = new UaaAuthenticator(stub, CfAuthConfig(api, clientId = "c", clientSecret = "s"),
+        nowMillis = () => now)
+      auth.bearerToken() shouldBe "tok-1"
+      auth.bearerToken() shouldBe "tok-1"
+      stub.tokenPosts.size shouldBe 1 // cached
+      now = (43199L - 60L) * 1000L + 1L // past expires_in - skew
+      auth.bearerToken()
+      stub.tokenPosts.size shouldBe 2 // re-fetched
+    }
+  }
 }

@@ -85,15 +85,23 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     if (n > 0) {
       withId.write.mode(SaveMode.Append).partitionBy("event_date").parquet(eventsPath)
       writeStatsCount(readStatsCount().getOrElse(0L) + n) // reltuples analog
+      // ids are assigned contiguously base+1..base+n, so the new max is
+      // known without reading anything back
+      writeSidecar(maxIdPath, base + n)
     }
     withId.unpersist()
     n
   }
 
-  private def maxId(): Long = {
-    val r = events.agg(F.max("id")).collect()(0)
-    if (r.isNullAt(0)) 0L else r.getLong(0)
-  }
+  /** Highest assigned ingest id. Maintained in a sidecar at store time —
+    * at 100 TB a per-micro-batch `max(id)` over the whole table would read
+    * the full id column every 2 minutes. The full scan remains only as
+    * the recovery path when the sidecar is absent (pre-existing table). */
+  private def maxId(): Long =
+    readSidecar(maxIdPath).getOrElse {
+      val r = events.agg(F.max("id")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
 
   override def getCFAuditEvents(filter: RawEventFilter): DataFrame =
     AuditQueries.eventsPage(events, filter)
@@ -117,20 +125,25 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     readStatsCount().getOrElse(AuditQueries.eventCount(events))
 
   private def statsPath = new org.apache.hadoop.fs.Path(s"$warehouseDir/_stats_count")
+  private def maxIdPath = new org.apache.hadoop.fs.Path(s"$warehouseDir/_stats_maxid")
 
-  private def readStatsCount(): Option[Long] =
-    if (!fs.exists(statsPath)) None
+  private def readSidecar(p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(p)) None
     else {
-      val in = fs.open(statsPath)
+      val in = fs.open(p)
       try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
       catch { case _: Exception => None }
       finally in.close()
     }
 
-  private def writeStatsCount(total: Long): Unit = {
-    val out = fs.create(statsPath, true)
-    try out.write(total.toString.getBytes("UTF-8")) finally out.close()
+  private def writeSidecar(p: org.apache.hadoop.fs.Path, v: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
   }
+
+  private def readStatsCount(): Option[Long] = readSidecar(statsPath)
+
+  private def writeStatsCount(total: Long): Unit = writeSidecar(statsPath, total)
 
   override def getUnshippedCFAuditEventsForShipper(shipperName: String): DataFrame = {
     // Resolve the 1-row cursor first (the reference's scalar subquery does

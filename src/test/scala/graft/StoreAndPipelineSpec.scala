@@ -93,6 +93,29 @@ class StoreAndPipelineSpec extends SparkSpec {
       st.getCFEventCount() shouldBe 3L
     }
 
+    it("maintains the max ingest id in a sidecar: continuity across restarts without a history scan") {
+      val dir = Files.createTempDirectory("graft-store-maxid").toString
+      val st = new ParquetEventStore(spark, dir); st.init()
+      val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")
+      val collector = new Collector(spark, st, f, new MetricsRegistry)
+      val mk = (g: String) => CfWireEvent(g, "2024-01-01T10:00:00Z", "t", "a", "at", "an", "au",
+        "e", "et", "en", "", "sg", "{}")
+      st.storeCFAuditEvents(collector.pageToDf(Seq(mk("a"), mk("b"))))
+      val sidecar = new java.io.File(s"$dir/_stats_maxid")
+      sidecar.exists() shouldBe true
+      Files.readString(sidecar.toPath).trim shouldBe "2" // known without reading the table
+      // a NEW store instance (process restart) resumes the sequence from the sidecar
+      val st2 = new ParquetEventStore(spark, dir)
+      st2.storeCFAuditEvents(collector.pageToDf(Seq(mk("c"))))
+      Files.readString(sidecar.toPath).trim shouldBe "3"
+      st2.events.orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 2L, 3L)
+      // recovery path: sidecar lost -> one full scan rebuilds continuity
+      sidecar.delete()
+      st2.storeCFAuditEvents(collector.pageToDf(Seq(mk("d"))))
+      st2.events.orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 2L, 3L, 4L)
+      Files.readString(sidecar.toPath).trim shouldBe "4" // re-materialized
+    }
+
     it("compacts small ingest files and preserves every row") {
       val st = newStore()
       val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")

@@ -81,6 +81,10 @@ object Main {
       else new ParquetEventStore(spark, cfg.warehouseDir)
     store.init() // DDL before anything else (main.go:36-43)
 
+    // root lager logger, main_config.go's NewLogger analog
+    val logger = graft.logging.Lager("paasauditorspark")
+    logger.info("starting", "deploy_env" -> cfg.deployEnv)
+
     val registry = new MetricsRegistry
     val server = new MetricsServer(registry, cfg.listenPort)
     server.start()
@@ -97,9 +101,10 @@ object Main {
       if (authCfg.enabled) new AuthenticatedTransport(rawHttp, new UaaAuthenticator(rawHttp, authCfg))
       else rawHttp
     val fetcher = new CfAuditEventFetcher(http, cfg.cfApiAddress,
-      paginationWaitMillis = cfg.paginationWaitMillis)
-    val collector = new Collector(spark, store, fetcher, registry)
-    val informer = new Informer(store, registry)
+      paginationWaitMillis = cfg.paginationWaitMillis,
+      logger = logger.session("cf-audit-event-fetcher")) // main.go:52
+    val collector = new Collector(spark, store, fetcher, registry, logger = logger)
+    val informer = new Informer(store, registry, logger = logger)
 
     val threads = scala.collection.mutable.ArrayBuffer.empty[Thread]
     def spawn(name: String)(body: => Unit): Unit = {
@@ -120,7 +125,7 @@ object Main {
     if (cfg.splunkApiKey.nonEmpty && cfg.splunkUrl.nonEmpty) { // ST8
       val hecHttp = new JdkHttpTransport(Duration.ofSeconds(2)) // shipper.go:63
       val hec = new SplunkHecClient(hecHttp, cfg.splunkUrl, cfg.splunkApiKey)
-      val shipper = new SplunkShipper(store, hec, cfg.deployEnv, registry)
+      val shipper = new SplunkShipper(store, hec, cfg.deployEnv, registry, logger = logger)
       spawn("shipper") { shipper.run(cfg.shipperScheduleMillis, () => stop.get()) }
     }
 

@@ -66,7 +66,8 @@ final class CfAuditEventFetcher(
     http: HttpTransport,
     apiAddress: String,
     resultsPerPage: Int = 100,
-    paginationWaitMillis: Long = 200L) {
+    paginationWaitMillis: Long = 200L,
+    logger: graft.logging.Lager = graft.logging.Lager.noop) {
 
   private val mapper = new ObjectMapper()
   private val tsFormat =
@@ -152,6 +153,10 @@ final class CfAuditEventFetcher(
     * the stream (`fetcher.go:43-56`). */
   def fetchPages(since: Instant): Iterator[PageResult] = new Iterator[PageResult] {
     private var nextUrl: String = startPageUrl(since)
+    // lager session context, fetcher.go:36-52: "fetching" once with the
+    // start URL, then per page "fetched.page.ok" / "fetched.page.error"
+    private val log = logger.withData("start_page_url" -> nextUrl)
+    log.info("fetching")
     private var finished = false
     private var first = true
 
@@ -160,19 +165,24 @@ final class CfAuditEventFetcher(
     def next(): PageResult = {
       if (!first) Thread.sleep(paginationWaitMillis) // rate limit (fetcher.go:55)
       first = false
+      val pageUrl = nextUrl
       try {
-        val resp = http.get(apiAddress + nextUrl)
+        val resp = http.get(apiAddress + pageUrl)
         if (resp.status != 200) { // any non-200, even 201, is an error (fetcher.go:66-68)
           finished = true
-          PageResult(Nil, Some(new RuntimeException(s"request failed with status code ${resp.status}")))
+          val e = new RuntimeException(s"request failed with status code ${resp.status}")
+          log.error("fetched.page.error", e, "page_url" -> pageUrl)
+          PageResult(Nil, Some(e))
         } else {
           val (next, events) = parsePage(resp.body)
           nextUrl = next
+          log.info("fetched.page.ok", "page_url" -> pageUrl, "event_count" -> events.size)
           PageResult(events, None)
         }
       } catch {
         case e: Exception =>
           finished = true
+          log.error("fetched.page.error", e, "page_url" -> pageUrl)
           PageResult(Nil, Some(e))
       }
     }

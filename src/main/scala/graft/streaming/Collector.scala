@@ -25,7 +25,12 @@ final class Collector(
     store: EventStore,
     fetcher: CfAuditEventFetcher,
     registry: MetricsRegistry,
-    overlapSeconds: Long = 5L) {
+    overlapSeconds: Long = 5L,
+    logger: graft.logging.Lager = graft.logging.Lager.noop) {
+
+  // lager session naming as the reference: collector.go:26 + :31
+  private val lsession = logger.session("cf-audit-event-collector").session("run")
+  private var eventsCollectedLifetime = 0L
 
   /** Resume point: `max(created_at) − overlap`, clamped at epoch, with the
     * reference's year<1970 sentinel handling (collector.go:92-104). */
@@ -64,29 +69,41 @@ final class Collector(
       page.error match {
         case Some(e) =>
           registry.inc(Metrics.CollectorErrors)
+          lsession.error("err-recv-events", e) // collector.go:55
           error = Some(e)
         case None if page.events.nonEmpty =>
           val n = store.storeCFAuditEvents(pageToDf(page.events))
           collected += page.events.size // reference counts fetched (collector.go:67-68)
+          eventsCollectedLifetime += page.events.size
           registry.inc(Metrics.CollectorEventsCollected, page.events.size.toDouble)
+          lsession.info("stored-events", // collector.go:70-77
+            "duration" -> ((System.nanoTime() - t0) / 1e9),
+            "events-collected" -> eventsCollectedLifetime)
           val _ = n
         case None => ()
       }
     }
-    registry.inc(Metrics.CollectorCollectDuration, (System.nanoTime() - t0) / 1e9)
+    val duration = (System.nanoTime() - t0) / 1e9
+    if (error.isEmpty)
+      lsession.info("stored-all-events", // collector.go:80-87
+        "duration" -> duration, "events-collected" -> eventsCollectedLifetime)
+    registry.inc(Metrics.CollectorCollectDuration, duration)
     error.toLeft(collected)
   }
 
   /** Periodic loop (ST1): run until `stop` flips or a collect fails. */
   def run(scheduleMillis: Long, stop: () => Boolean): Either[Throwable, Unit] = {
-    while (!stop()) {
-      collectOnce() match {
-        case Left(e) => return Left(e) // fail-fast, main exits (main.go:94-97)
-        case Right(_) => ()
+    lsession.info("start") // collector.go:32-33
+    try {
+      while (!stop()) {
+        collectOnce() match {
+          case Left(e) => return Left(e) // fail-fast, main exits (main.go:94-97)
+          case Right(_) => ()
+        }
+        val deadline = System.currentTimeMillis() + scheduleMillis
+        while (!stop() && System.currentTimeMillis() < deadline) Thread.sleep(50L)
       }
-      val deadline = System.currentTimeMillis() + scheduleMillis
-      while (!stop() && System.currentTimeMillis() < deadline) Thread.sleep(50L)
-    }
-    Right(())
+      Right(())
+    } finally lsession.info("end")
   }
 }

@@ -7,23 +7,31 @@ import graft.store.EventStore
   * the approximate event-count gauge (statistics read, R16/S6) and the
   * latest-event-timestamp gauge (unix seconds, R14). Errors set 0, like
   * the reference (informer.go:42,48). */
-final class Informer(store: EventStore, registry: MetricsRegistry) {
+final class Informer(store: EventStore, registry: MetricsRegistry,
+    logger: graft.logging.Lager = graft.logging.Lager.noop) {
+
+  // lager session naming as the reference: informer.go:22 + :27
+  private val lsession = logger.session("informer").session("run")
 
   def informOnce(): Unit = {
     val count =
       try store.getCFEventCount().toDouble
-      catch { case _: Exception => 0.0 }
+      catch { case e: Exception =>
+        lsession.error("err-event-db-get-cf-event-count", e); 0.0 } // informer.go:41
     registry.setGauge(Metrics.InformerEventsTotal, count)
     val latest =
       try store.getLatestCFEventTime().toInstant.getEpochSecond.toDouble
-      catch { case _: Exception => 0.0 }
+      catch { case e: Exception =>
+        lsession.error("err-event-db-get-latest-cf-event-time", e); 0.0 } // informer.go:47
     registry.setGauge(Metrics.InformerLatestEventTimestamp, latest)
   }
 
-  def run(scheduleMillis: Long, stop: () => Boolean): Unit =
-    while (!stop()) {
+  def run(scheduleMillis: Long, stop: () => Boolean): Unit = {
+    lsession.info("start") // informer.go:29-30
+    try while (!stop()) {
       informOnce()
       val deadline = System.currentTimeMillis() + scheduleMillis
       while (!stop() && System.currentTimeMillis() < deadline) Thread.sleep(50L)
-    }
+    } finally lsession.info("end")
+  }
 }

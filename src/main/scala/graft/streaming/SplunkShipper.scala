@@ -70,7 +70,11 @@ final class SplunkShipper(
     hec: SplunkHecClient,
     deployEnv: String,
     registry: MetricsRegistry,
-    shipperName: String = "cf-audit-events-to-splunk") {
+    shipperName: String = "cf-audit-events-to-splunk",
+    logger: graft.logging.Lager = graft.logging.Lager.noop) {
+
+  // lager session naming as the reference: shipper.go:60 + :94
+  private val lsession = logger.session("cf-audit-events-to-splunk-shipper").session("run")
 
   /** `{"sourcetype":"cf-audit-event","source":env,"event":{...}}`
     * (shipper.go:24-28,187-192). The inner event mirrors the wire struct
@@ -117,14 +121,17 @@ final class SplunkShipper(
           case Right(_) =>
             shipped += group.length
             lastOk = Some(group.last)
-          case Left(_) =>
+          case Left(e) =>
             failed = true // prefix stops here (shipper.go:125-135)
+            lsession.error("err-ship-event", e) // shipper.go:126
             registry.inc(Metrics.ShipperErrors)
         }
       }
       lastOk.foreach { r =>
         // Commit cursor with the RAW created_at string (shipper.go:140-143).
         store.updateShipperCursor(shipperName, r.getString(1), r.getString(2))
+        lsession.info("shipped-events",
+          "shipped" -> shipped, "last_guid" -> r.getString(2))
         registry.inc(Metrics.ShipperEventsShipped, shipped.toDouble)
         // "Not fatal" parse for the latest-shipped gauge (shipper.go:158-169).
         try registry.setGauge(Metrics.ShipperLatestEventTimestamp,
@@ -133,7 +140,8 @@ final class SplunkShipper(
       }
       (shipped, if (failed) 1L else 0L)
     } catch {
-      case _: Exception =>
+      case e: Exception =>
+        lsession.error("err-get-unshipped-cf-audit-events-for-shipper", e) // shipper.go:110
         registry.inc(Metrics.ShipperErrors)
         (0L, 1L)
     } finally {
@@ -180,10 +188,12 @@ final class SplunkShipper(
   }
 
   /** Periodic loop: errors are isolated — tick again next schedule (ST5). */
-  def run(scheduleMillis: Long, stop: () => Boolean): Unit =
-    while (!stop()) {
+  def run(scheduleMillis: Long, stop: () => Boolean): Unit = {
+    lsession.info("start") // shipper.go:96-97
+    try while (!stop()) {
       shipOnce()
       val deadline = System.currentTimeMillis() + scheduleMillis
       while (!stop() && System.currentTimeMillis() < deadline) Thread.sleep(50L)
-    }
+    } finally lsession.info("end")
+  }
 }

@@ -51,8 +51,42 @@ object Metrics {
   val InformerLatestEventTimestamp = "informer_latest_cf_audit_event_timestamp"
 }
 
+/** Default process/runtime metrics, the JVM analog of the "default Go and
+  * Prometheus metrics" the reference exposes alongside its own
+  * (README.md:59) — standard client_java metric names, computed at scrape
+  * time from the management beans. */
+object JvmMetrics {
+  import java.lang.management.ManagementFactory
+
+  def exposition: String = {
+    val mem = ManagementFactory.getMemoryMXBean
+    val threads = ManagementFactory.getThreadMXBean
+    val classes = ManagementFactory.getClassLoadingMXBean
+    val runtime = ManagementFactory.getRuntimeMXBean
+    val gcs = ManagementFactory.getGarbageCollectorMXBeans
+    var gcCount = 0L; var gcTimeMs = 0L
+    gcs.forEach { gc =>
+      if (gc.getCollectionCount > 0) gcCount += gc.getCollectionCount
+      if (gc.getCollectionTime > 0) gcTimeMs += gc.getCollectionTime
+    }
+    val lines = Seq(
+      ("jvm_memory_bytes_used_heap", "gauge", mem.getHeapMemoryUsage.getUsed.toDouble),
+      ("jvm_memory_bytes_used_nonheap", "gauge", mem.getNonHeapMemoryUsage.getUsed.toDouble),
+      ("jvm_memory_bytes_max_heap", "gauge", mem.getHeapMemoryUsage.getMax.toDouble),
+      ("jvm_threads_current", "gauge", threads.getThreadCount.toDouble),
+      ("jvm_threads_daemon", "gauge", threads.getDaemonThreadCount.toDouble),
+      ("jvm_classes_currently_loaded", "gauge", classes.getLoadedClassCount.toDouble),
+      ("jvm_gc_collection_count_total", "counter", gcCount.toDouble),
+      ("jvm_gc_collection_seconds_total", "counter", gcTimeMs / 1000.0),
+      ("process_start_time_seconds", "gauge", runtime.getStartTime / 1000.0),
+      ("process_uptime_seconds", "gauge", runtime.getUptime / 1000.0))
+    lines.map { case (n, t, v) => s"# TYPE $n $t\n$n $v" }.mkString("", "\n", "\n")
+  }
+}
+
 /** `/metrics` + `/health` exposition server (main.go:75-86 analog), built on
-  * the JDK's embedded HTTP server — no extra dependencies. */
+  * the JDK's embedded HTTP server — no extra dependencies. Serves the nine
+  * application metrics plus the default JVM/process gauges. */
 final class MetricsServer(registry: MetricsRegistry, port: Int) {
   import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   private var server: Option[HttpServer] = None
@@ -67,7 +101,8 @@ final class MetricsServer(registry: MetricsRegistry, port: Int) {
   def start(): Int = {
     val s = HttpServer.create(new java.net.InetSocketAddress(port), 0)
     s.createContext("/metrics", new HttpHandler {
-      def handle(ex: HttpExchange): Unit = respond(ex, 200, registry.exposition)
+      def handle(ex: HttpExchange): Unit =
+        respond(ex, 200, registry.exposition + JvmMetrics.exposition)
     })
     s.createContext("/health", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex, 200, "OK")

@@ -322,6 +322,70 @@ class StoreAndPipelineSpec extends SparkSpec {
       failed shouldBe 0L
       st.cursors.collect()(0).getString(2) shouldBe "g3"
     }
+
+    /** POST transport that rejects any body naming `failGuid` (injected
+      * mid-batch failure), shared across serial and parallel drives. */
+    class GuidFailPoster(failGuid: String) extends HttpTransport with Serializable {
+      val posts: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
+      def get(url: String, headers: Map[String, String]): HttpReply = throw new UnsupportedOperationException
+      def post(url: String, body: String, headers: Map[String, String]): HttpReply = {
+        posts.synchronized { posts += body }
+        if (body.contains(s""""guid":"$failGuid"""")) HttpReply(500, "boom") else HttpReply(200, "ok")
+      }
+    }
+
+    def seed6(st: ParquetEventStore): Unit = {
+      import spark.implicits._
+      val batch = (1 to 6).map(i => (s"g$i", f"2024-01-01T1$i%d:00:00Z"))
+        .toDF("guid", "created_at_raw")
+        .withColumn("created_at", F.to_timestamp(F.col("created_at_raw")))
+        .withColumn("event_type", F.lit("t")).withColumn("actor", F.lit("a"))
+        .withColumn("actor_type", F.lit("t")).withColumn("actor_name", F.lit("n"))
+        .withColumn("actor_username", F.lit("u")).withColumn("actee", F.lit("e"))
+        .withColumn("actee_type", F.lit("t")).withColumn("actee_name", F.lit("n"))
+        .withColumn("organization_guid", F.lit(null).cast("string"))
+        .withColumn("space_guid", F.lit(null).cast("string"))
+        .withColumn("metadata", F.lit("{}"))
+        .withColumn("id", F.lit(0L))
+      st.storeCFAuditEvents(batch)
+      ()
+    }
+
+    def mkShipper(st: ParquetEventStore, poster: HttpTransport) = new SplunkShipper(st,
+      new SplunkHecClient(poster, "https://hec", "KEY", maxRetries = 0, sleep = _ => ()),
+      "test-env", new MetricsRegistry)
+
+    it("parallel ship commits the same cursor as serial under the same mid-batch failure") {
+      for (failAt <- Seq("g2", "g5")) { // failure in the first and in a later range partition
+        val serialStore = newStore(); seed6(serialStore)
+        val parallelStore = newStore(); seed6(parallelStore)
+        val serialShipped = mkShipper(serialStore, new GuidFailPoster(failAt)).shipOnce()._1
+        val parallelShipped = {
+          val p = new GuidFailPoster(failAt)
+          mkShipper(parallelStore, p).shipPartitionedOnce(2,
+            () => new SplunkHecClient(p, "https://hec", "KEY", maxRetries = 0, sleep = _ => ()))._1
+        }
+        val serialCur = serialStore.cursors.collect()(0).getString(2)
+        val parallelCur = parallelStore.cursors.collect()(0).getString(2)
+        withClue(s"failAt=$failAt:") {
+          parallelCur shouldBe serialCur // identical committed prefix boundary
+          parallelShipped shouldBe serialShipped // identical prefix accounting
+        }
+      }
+    }
+
+    it("parallel ship redelivers everything past the committed prefix after the failure heals") {
+      val st = newStore(); seed6(st)
+      val failing = new GuidFailPoster("g3")
+      mkShipper(st, failing).shipPartitionedOnce(2,
+        () => new SplunkHecClient(failing, "https://hec", "KEY", maxRetries = 0, sleep = _ => ()))
+      st.cursors.collect()(0).getString(2) shouldBe "g2" // prefix boundary before the failure
+      val healed = new FakePoster(Seq.fill(10)(200))
+      val (reshipped, failed) = mkShipper(st, healed).shipOnce()
+      (reshipped, failed) shouldBe ((4L, 0L)) // g3..g6 redelivered (at-least-once)
+      (3 to 6).foreach(i => healed.posts.map(_._2).exists(_.contains(s""""guid":"g$i"""")) shouldBe true)
+      st.cursors.collect()(0).getString(2) shouldBe "g6"
+    }
   }
 
   describe("Informer (informer.go:26-54)") {

@@ -39,6 +39,42 @@ class SessionStateSpec extends SparkSpec {
     }
   }
 
+  describe("StreamingSessionize (flatMapGroupsWithState)") {
+    import graft.streaming.StreamingSessionize
+    import graft.streaming.StreamingSessionize.{SessionAssignment, SessionEvent}
+
+    it("assigns identical sessions to the batch operator on a MemoryStream replay of the fixture") {
+      // events fixture replayed in event-time order across 4 micro-batches
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val fixture = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .selectExpr("user_id", "event_id", "ts div 1000 as ts_us")
+      val batchExpected = Sessionize.assign(
+        fixture.selectExpr("user_id", "event_id", "timestamp_micros(ts_us) as ts"),
+        "user_id", "ts", "event_id", gapMinutes = 30)
+        .select("event_id", "session_idx").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      implicit val sqlCtx = spark.sqlContext
+      val replay = fixture.as[SessionEvent].collect()
+        .sortBy(e => (e.ts_us, e.event_id)) // arrival order = event-time order
+      val input = MemoryStream[SessionEvent]
+      val q = StreamingSessionize.assign(input.toDS(), gapMinutes = 30)
+        .writeStream.format("memory").queryName("stream_sessions")
+        .outputMode(OutputMode.Append())
+        .start()
+      try {
+        replay.grouped(math.max(1, replay.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        val streamed = spark.table("stream_sessions").as[SessionAssignment].collect()
+          .map(a => a.event_id -> a.session_idx).toMap
+        streamed.size shouldBe batchExpected.size
+        streamed shouldBe batchExpected
+      } finally q.stop()
+    }
+  }
+
   describe("StatefulCounts (mapGroupsWithState)") {
     it("carries per-key state across micro-batches") {
       implicit val sqlCtx = spark.sqlContext

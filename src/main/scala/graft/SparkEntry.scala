@@ -333,6 +333,8 @@ object SparkEntry {
         .select("doc_id", "n_ws_tokens", "n_re_tokens")),
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")),
 
     // --- training-data pipeline: multimodal plumbing (documents as media) ---
     "q_mm_meta" -> ((s, dir) =>
@@ -350,6 +352,24 @@ object SparkEntry {
         Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))),
 
     // --- training-data pipeline: dataset shaping (documents) ---
+    // Group-wise feature normalization (z-score per source) — the
+    // "standardize within stratum" step of corpus curation; one shuffle
+    // on the group key, window aggregates avg/stddev.
+    "q_zscore_by_source" -> ((s, dir) => {
+      val w = Window.partitionBy(F.col("source"))
+      t(s, dir, "documents").select(
+        F.col("doc_id"), F.col("source"), F.col("n_chars"),
+        F.round((F.col("n_chars") - F.avg("n_chars").over(w)) / F.stddev_samp("n_chars").over(w), 4).as("z"))
+    }),
+    // Corpus-relative outlier filter: percentile threshold computed once
+    // (1-row aggregate, broadcast) — the "drop extreme-length docs" sweep.
+    "q_outlier_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val thr = docs.agg(F.expr("percentile(n_chars, 0.99)").as("p99"))
+      docs.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_chars") >= F.col("p99"))
+        .select("doc_id", "n_chars")
+    }),
     "q_hash_sample" -> ((s, dir) =>
       DataShaping.hashSample(t(s, dir, "documents"), "doc_id", "28")
         .select("doc_id", "source", "n_chars")),
@@ -654,6 +674,16 @@ object SparkEntry {
         "terms AS (SELECT doc_id, md5_fp, i * (ascii(substr(arr[CAST(i AS INT)], 1, 1)) + length(arr[CAST(i AS INT)])) AS term FROM pos) " +
         "SELECT doc_id, md5_fp, CAST(sum(term) % 1000003 AS BIGINT) AS pos_fp FROM terms GROUP BY doc_id, md5_fp"),
 
+    "q_text_repetition" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
+        "pos AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 1, 0) + 1)) AS i FROM toks WHERE len(arr) >= 2), " +
+        "g AS (SELECT doc_id, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] AS gram FROM pos), " +
+        "c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram) " +
+        "SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams, CAST(count(*) AS BIGINT) AS n_distinct_grams, " +
+        "round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS dup_gram_ratio, " +
+        "round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS top_gram_frac " +
+        "FROM c GROUP BY doc_id"),
+
     "q_mm_meta" ->
       ("SELECT doc_id AS media_id, 'image/fake' AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
         "CAST(doc_id % 640 + 32 AS INTEGER) AS width, CAST(doc_id % 480 + 32 AS INTEGER) AS height, " +
@@ -662,6 +692,12 @@ object SparkEntry {
       ("WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames FROM documents) " +
         "SELECT media_id, n_frames, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx FROM m"),
 
+    "q_zscore_by_source" ->
+      ("SELECT doc_id, source, n_chars, " +
+        "round((n_chars - avg(n_chars) OVER (PARTITION BY source)) / stddev_samp(n_chars) OVER (PARTITION BY source), 4) AS z " +
+        "FROM documents"),
+    "q_outlier_docs" ->
+      "SELECT doc_id, n_chars FROM documents WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.99) FROM documents)",
     "q_hash_sample" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '28'",
     "q_split_assign" ->

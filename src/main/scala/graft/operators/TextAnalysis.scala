@@ -77,6 +77,37 @@ object TextAnalysis {
       .withColumn("n_re_tokens",
         F.size(F.regexp_extract_all(F.col(textCol), F.lit("[a-z0-9]+"), F.lit(0))))
 
+  /** Repetition scoring (the Gopher-style "fraction of duplicated
+    * n-grams" quality signal): per document, the total and distinct word
+    * n-gram counts, the duplicated-gram fraction (1 − distinct/total) and
+    * the most-frequent-gram fraction (top/total). High values flag
+    * boilerplate/looping text. Two-level aggregation — (doc, gram) counts,
+    * then per-doc rollup — both map-side combinable; docs shorter than `n`
+    * tokens are dropped (no grams). */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    val arr = F.split(F.col(textCol), " ")
+    val base = df.select(F.col(idCol).as(idCol), arr.as("__arr"))
+      .withColumn("__len", F.size(F.col("__arr")))
+      .filter(F.col("__len") >= n) // guards sequence(1, x<1) descending
+      .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__len") - (n - 1))))
+    val gram = F.concat_ws(" ",
+      (0 until n).map(o => F.element_at(F.col("__arr"), F.col("__i") + o)): _*)
+    base.select(F.col(idCol), gram.as("__gram"))
+      .groupBy(F.col(idCol), F.col("__gram"))
+      .agg(F.count(F.lit(1)).as("__cnt"))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.sum("__cnt").as("n_grams"),
+        F.count(F.lit(1)).as("n_distinct_grams"),
+        F.max("__cnt").as("__top"))
+      .select(
+        F.col(idCol),
+        F.col("n_grams"),
+        F.col("n_distinct_grams"),
+        F.round(F.lit(1.0) - F.col("n_distinct_grams").cast("double") / F.col("n_grams").cast("double"), 4).as("dup_gram_ratio"),
+        F.round(F.col("__top").cast("double") / F.col("n_grams").cast("double"), 4).as("top_gram_frac"))
+  }
+
   /** Document fingerprints: `md5_fp` over the canonicalized text (lower,
     * trimmed) and `pos_fp`, an order-sensitive positional checksum —
     * Σ_i i·(ascii(first char of token_i) + len(token_i)) mod 1000003 — a

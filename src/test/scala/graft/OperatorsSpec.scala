@@ -117,6 +117,19 @@ class OperatorsSpec extends SparkSpec {
       q.getAs[Double]("stopword_ratio") shouldBe 0.6 // the, and, the
     }
 
+    it("repetition: looping text scores high dup/top fractions; varied text scores low") {
+      val rep = Seq(
+        (1L, "spam spam spam spam"),     // 3 identical 2-grams
+        (2L, "all words here differ"),   // 3 distinct 2-grams
+        (3L, "x")                        // shorter than n -> dropped
+      ).toDF("doc_id", "text")
+      val out = TextAnalysis.repetition(rep, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      out(1L) shouldBe ((3L, 1L, 0.6667, 1.0))
+      out(2L) shouldBe ((3L, 3L, 0.0, 0.3333))
+      out.contains(3L) shouldBe false
+    }
+
     it("fingerprints: md5 ignores order only via content; positional checksum is order-sensitive") {
       val fp = TextAnalysis.fingerprints(docs, "doc_id", "text").collect()
         .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap

@@ -99,9 +99,22 @@ final class CfEventsMicroBatchStream(options: CaseInsensitiveStringMap)
   private val waitMillis = options.getOrDefault("paginationWaitMillis", "200").toLong
   private val startIso = options.getOrDefault("since", "1970-01-01T00:00:00Z")
 
-  private val transport: HttpTransport =
+  private val rawTransport: HttpTransport =
     Option(CfEventsTable.transportOverride.get())
       .getOrElse(new JdkHttpTransport(JDuration.ofSeconds(30)))
+  // UAA OAuth, same option surface as the env config (main_config.go):
+  // credentials present -> Bearer-authenticated transport with 401 refresh
+  private val authCfg = graft.sources.CfAuthConfig(
+    apiAddress,
+    clientId = options.getOrDefault("cfClientId", ""),
+    clientSecret = options.getOrDefault("cfClientSecret", ""),
+    username = options.getOrDefault("cfUsername", ""),
+    password = options.getOrDefault("cfPassword", ""))
+  private val transport: HttpTransport =
+    if (authCfg.enabled)
+      new graft.sources.AuthenticatedTransport(rawTransport,
+        new graft.sources.UaaAuthenticator(rawTransport, authCfg))
+    else rawTransport
   private val fetcher =
     new CfAuditEventFetcher(transport, apiAddress, paginationWaitMillis = waitMillis)
 

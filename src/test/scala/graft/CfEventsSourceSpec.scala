@@ -55,4 +55,38 @@ class CfEventsSourceSpec extends SparkSpec {
       } finally q.stop()
     } finally CfEventsTable.transportOverride.set(null)
   }
+
+  it("authenticates via UAA when credentials are passed as source options") {
+    val tokenPosts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val transport = new HttpTransport with Serializable {
+      def get(url: String, headers: Map[String, String]): HttpReply =
+        if (url.endsWith("/v2/info"))
+          HttpReply(200, """{"token_endpoint":"https://uaa.example.com"}""")
+        else if (!headers.get("Authorization").contains("Bearer tok-dsv2"))
+          HttpReply(401, """{"error":"invalid_token"}""")
+        else if (url.contains("timestamp%3E1970-01-01")) // initial fetch only; resume fetches drain empty
+          HttpReply(200, pageBody(Seq("g1"), Seq("2024-01-01T10:00:00Z"), ""))
+        else HttpReply(200, """{"total_results":0,"total_pages":0,"next_url":"","resources":[]}""")
+      def post(url: String, body: String, headers: Map[String, String]): HttpReply = {
+        tokenPosts.incrementAndGet()
+        HttpReply(200, """{"access_token":"tok-dsv2","token_type":"bearer","expires_in":43199}""")
+      }
+    }
+    CfEventsTable.transportOverride.set(transport)
+    try {
+      val q = spark.readStream
+        .format("graft-cf-events")
+        .option("apiAddress", "")
+        .option("paginationWaitMillis", "0")
+        .option("cfClientId", "auditor")
+        .option("cfClientSecret", "s3cret")
+        .load()
+        .writeStream.format("memory").queryName("cf_events_auth").start()
+      try {
+        q.processAllAvailable()
+        spark.table("cf_events_auth").select("guid").collect().map(_.getString(0)) shouldBe Array("g1")
+        tokenPosts.get() should be >= 1
+      } finally q.stop()
+    } finally CfEventsTable.transportOverride.set(null)
+  }
 }

@@ -67,6 +67,19 @@ class PlanSpec extends SparkSpec {
     tokenWindows.foreach(_ should include("windowspecdefinition(__pid"))
   }
 
+  it("q_ann_lsh dedups candidates as bare ids — vectors never ride the distinct shuffle") {
+    val p = plan("q_ann_lsh")
+    // the pair-dedup aggregate must key on (qid, cid) only; the 64-float
+    // vectors are re-attached after, so the widest shuffle moves ~16 B/row
+    val dedupAggs = p.split("\n").filter(l =>
+      l.contains("HashAggregate(keys=[qid") && l.contains("cid"))
+    dedupAggs should not be empty
+    dedupAggs.foreach { l =>
+      l should not include "qv"
+      l should not include "cv"
+    }
+  }
+
   it("semi/anti joins stay joins (no subquery materialization)") {
     plan("q_semi_join") should include("LeftSemi")
     plan("q_anti_join") should include("LeftAnti")

@@ -335,6 +335,13 @@ object SparkEntry {
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")),
+    "q_tfidf_top_term" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerm(t(s, dir, "documents"), "doc_id", "text")),
+    // map-only token chunking (128-token chunks, 16-token overlap)
+    "q_chunk_docs" -> ((s, dir) =>
+      DataShaping.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 128, overlap = 16)
+        .select("doc_id", "chunk_idx", "tok_start", "chunk_len")),
 
     // --- training-data pipeline: multimodal plumbing (documents as media) ---
     "q_mm_meta" -> ((s, dir) =>
@@ -683,6 +690,22 @@ object SparkEntry {
         "round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS dup_gram_ratio, " +
         "round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS top_gram_frac " +
         "FROM c GROUP BY doc_id"),
+    "q_tfidf_top_term" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, term, tf, df, " +
+        "round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS score FROM tf JOIN dfreq USING (term), n), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn FROM scored) " +
+        "SELECT doc_id, term AS top_term, tf, df, score FROM ranked WHERE rn = 1"),
+    "q_chunk_docs" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
+        "starts AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 112)) AS tok_start FROM toks) " +
+        "SELECT doc_id, CAST((tok_start - 1) // 112 AS BIGINT) AS chunk_idx, " +
+        "CAST(tok_start AS BIGINT) AS tok_start, " +
+        "CAST(len(list_slice(arr, CAST(tok_start AS INT), CAST(tok_start AS INT) + 127)) AS BIGINT) AS chunk_len " +
+        "FROM starts"),
 
     "q_mm_meta" ->
       ("SELECT doc_id AS media_id, 'image/fake' AS media_type, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +

@@ -94,6 +94,29 @@ object DataShaping {
       .drop("__pid", "__off")
   }
 
+  /** Fixed-size token chunking with overlap — the step that turns long
+    * documents into model-window-sized pieces before packing/training.
+    * Chunk k starts at token 1 + k·(chunkTokens − overlap) and carries up
+    * to `chunkTokens` tokens; consecutive chunks share `overlap` tokens.
+    * Pure per-row array algebra (explode of chunk starts + slice) — no
+    * shuffle at all; at 100 TB this is a map-only stage. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk size")
+    val stride = chunkTokens - overlap
+    val arr = F.split(F.col(textCol), " ")
+    df.select(F.col(idCol), arr.as("__arr"))
+      .withColumn("__n", F.size(F.col("__arr")))
+      .withColumn("tok_start",
+        F.explode(F.sequence(F.lit(1), F.col("__n"), F.lit(stride))))
+      .select(
+        F.col(idCol),
+        (((F.col("tok_start") - 1) / stride).cast("long")).as("chunk_idx"),
+        F.col("tok_start").cast("long").as("tok_start"),
+        F.size(F.slice(F.col("__arr"), F.col("tok_start"), F.lit(chunkTokens))).cast("long").as("chunk_len"),
+        F.array_join(F.slice(F.col("__arr"), F.col("tok_start"), F.lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
   /** Cross-corpus contamination: pairs (trainDoc, benchDoc) sharing at
     * least `minShared` word-n-gram shingles. The classic "is the eval set
     * leaking into training data" sweep; shingle-blocked join, never a

@@ -108,6 +108,35 @@ object TextAnalysis {
         F.round(F.col("__top").cast("double") / F.col("n_grams").cast("double"), 4).as("top_gram_frac"))
   }
 
+  /** TF-IDF top term per document: term frequency from a (doc, term)
+    * rollup, document frequency from a second rollup over the tf pairs,
+    * corpus size as a broadcast 1-row aggregate; score = tf · ln(N/df),
+    * top term by (score desc, term asc). The classic relevance-weighting
+    * shape: two combinable aggregations plus one join on the term key —
+    * no step is driver-side, and df/tf are exact ints so the double math
+    * is engine-deterministic. */
+  def tfidfTopTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(
+      F.col(idCol),
+      F.explode(F.split(F.col(textCol), " ")).as("term"))
+    val tf = toks.groupBy(F.col(idCol), F.col("term"))
+      .agg(F.count(F.lit(1)).as("tf"))
+    val dfreq = tf.groupBy(F.col("term"))
+      .agg(F.count(F.lit(1)).as("df"))
+    val n = df.agg(F.count(F.lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(F.broadcast(n))
+      .withColumn("score",
+        F.round(F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df").cast("double")), 4))
+    val w = Window.partitionBy(F.col(idCol))
+      .orderBy(F.col("score").desc, F.col("term").asc)
+    scored
+      .withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1)
+      .select(F.col(idCol), F.col("term").as("top_term"), F.col("tf"), F.col("df"), F.col("score"))
+  }
+
   /** Document fingerprints: `md5_fp` over the canonicalized text (lower,
     * trimmed) and `pos_fp`, an order-sensitive positional checksum —
     * Σ_i i·(ascii(first char of token_i) + len(token_i)) mod 1000003 — a

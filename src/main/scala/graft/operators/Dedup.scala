@@ -78,7 +78,15 @@ object Dedup {
     * signatures to `minhashSignatures` (same per-seed min), k× less
     * shuffle input. Bands are then a cheap 4-row explode per doc. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, k: Int = 8): DataFrame = {
+                        shingleN: Int = 3, k: Int = 8): DataFrame =
+    candidatePairs(minhashBuckets(df, idCol, textCol, shingleN, k))
+
+  /** (doc, band, key) LSH bucket rows via the wide one-pass signature
+    * aggregation — the building block shared by the batch candidate
+    * generator above and the incremental ingest-time dedup
+    * ([[IncrementalDedup]], which persists these rows between batches). */
+  def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, k: Int = 8): DataFrame = {
     val sh = wordShingles(df, idCol, textCol, shingleN)
     val aggs = (0 until k).map(j =>
       F.min(F.md5(F.concat(F.lit(j.toString), F.lit("|"), F.col("shingle")))).as(s"h$j"))
@@ -86,10 +94,9 @@ object Dedup {
     val bands = (0 until k / 2).map(b => F.struct(
       F.lit(b).as("band"),
       F.md5(F.concat(F.col(s"h${2 * b}"), F.col(s"h${2 * b + 1}"))).as("key")))
-    val buckets = wide
+    wide
       .select(F.col("doc"), F.explode(F.array(bands: _*)).as("bk"))
       .select(F.col("doc"), F.col("bk.band").as("band"), F.col("bk.key").as("key"))
-    candidatePairs(buckets)
   }
 
   /** n-gram Jaccard similarity for all pairs sharing at least one

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.IncrementalDedup
+
+/** Ingest-time near-dup suppression across batches: survivors' buckets
+  * persist, later batches dedup against the accumulated corpus, and a
+  * replayed batch drops out entirely (idempotence). */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val textA = "the quick brown fox jumps over the lazy dog again and again"
+  private val textB = "completely different content about spark engines and shuffles here today"
+  private val textC = "yet another unrelated document concerning parquet footers and row groups"
+
+  private def newStore() = {
+    val st = new IncrementalDedup.BucketStore(
+      spark, Files.createTempDirectory("graft-dedup").toString)
+    st.init()
+    st
+  }
+
+  it("keeps one representative per near-dup group within a batch (smallest id)") {
+    val st = newStore()
+    val batch = Seq((1L, textA), (2L, textA), (3L, textB)).toDF("doc_id", "text")
+    val kept = IncrementalDedup.dedupBatch(batch, st, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 3L)
+  }
+
+  it("drops later-batch near-dups of already-kept documents") {
+    val st = newStore()
+    IncrementalDedup.dedupBatch(Seq((1L, textA)).toDF("doc_id", "text"), st, "doc_id", "text")
+    val kept2 = IncrementalDedup.dedupBatch(
+      Seq((10L, textA), (11L, textC)).toDF("doc_id", "text"), st, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0))
+    kept2 shouldBe Array(11L) // 10 duplicates batch-1's doc 1
+  }
+
+  it("is idempotent under batch replay (at-least-once delivery)") {
+    val st = newStore()
+    val batch = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+    IncrementalDedup.dedupBatch(batch, st, "doc_id", "text").count() shouldBe 2L
+    IncrementalDedup.dedupBatch(batch, st, "doc_id", "text").count() shouldBe 0L
+  }
+
+  it("only survivors' buckets are persisted (dropped docs never poison the store)") {
+    val st = newStore()
+    val batch = Seq((5L, textA), (6L, textA)).toDF("doc_id", "text")
+    IncrementalDedup.dedupBatch(batch, st, "doc_id", "text")
+    st.buckets.select("doc").distinct().collect().map(_.getLong(0)) shouldBe Array(5L)
+  }
+}

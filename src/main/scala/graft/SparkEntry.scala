@@ -380,6 +380,18 @@ object SparkEntry {
     "q_hash_sample" -> ((s, dir) =>
       DataShaping.hashSample(t(s, dir, "documents"), "doc_id", "28")
         .select("doc_id", "source", "n_chars")),
+    // stratified corpus mixing: src0 kept at ~50%, everything else ~12.5%
+    "q_stratified_sample" -> ((s, dir) =>
+      DataShaping.stratifiedSample(t(s, dir, "documents"), "doc_id", "source",
+        rates = Map("src0" -> "80"), defaultRate = "20")
+        .groupBy("source").agg(F.count(F.lit(1)).as("n"))),
+    // ordered string aggregation (group_concat shape): lexicographically
+    // sorted so both engines emit identical strings
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(F.array_join(F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ",")
+          .as("doc_ids"))),
     "q_split_assign" -> ((s, dir) =>
       DataShaping.splitAssign(t(s, dir, "documents"), "doc_id")
         .groupBy("split").agg(F.count(F.lit(1)).as("n"))),
@@ -723,6 +735,13 @@ object SparkEntry {
       "SELECT doc_id, n_chars FROM documents WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.99) FROM documents)",
     "q_hash_sample" ->
       "SELECT doc_id, source, n_chars FROM documents WHERE md5(CAST(doc_id AS VARCHAR)) < '28'",
+    "q_stratified_sample" ->
+      ("SELECT source, count(*) AS n FROM documents " +
+        "WHERE md5(CAST(doc_id AS VARCHAR)) < (CASE WHEN source = 'src0' THEN '80' ELSE '20' END) " +
+        "GROUP BY source"),
+    "q_string_agg" ->
+      ("SELECT source, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids " +
+        "FROM documents GROUP BY source"),
     "q_split_assign" ->
       ("SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val' " +
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test' ELSE 'train' END AS split, " +

@@ -22,6 +22,19 @@ object DataShaping {
   def hashSample(df: DataFrame, idCol: String, hexThreshold: String): DataFrame =
     df.filter(idHash(F.col(idCol)) < F.lit(hexThreshold))
 
+  /** Stratified deterministic sampling: a per-stratum hex threshold on the
+    * id-hash (e.g. upsample a rare source at "80" ≈ 50% while default
+    * strata keep "20" ≈ 12.5%) — the corpus-mixing knob of training-data
+    * curation. Same pure-filter, pushdown-friendly shape as
+    * [[hashSample]]; reproducible on any engine with md5. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, String], defaultRate: String): DataFrame = {
+    val threshold = rates.foldLeft(F.lit(defaultRate)) { case (acc, (stratum, hex)) =>
+      F.when(F.col(strataCol) === stratum, F.lit(hex)).otherwise(acc)
+    }
+    df.filter(idHash(F.col(idCol)) < threshold)
+  }
+
   /** Deterministic train/val/test assignment from the id-hash's first hex
     * nibble: 0–b → train (75%), c–d → val (12.5%), e–f → test (12.5%). */
   def splitAssign(df: DataFrame, idCol: String): DataFrame = {

@@ -12,4 +12,12 @@ object VectorFunctions {
   /** Register `fv_dot` on a live session for SQL use. */
   def register(spark: SparkSession): Unit =
     org.apache.spark.sql.graftnative.FloatVectorDot.register(spark)
+
+  /** Install the HOF-dot → native-kernel optimizer rule on a LIVE session
+    * (sessions built from a builder get it via `GraftExtensions`). */
+  def installDotRewrite(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(
+        org.apache.spark.sql.graftnative.NativeDotRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ org.apache.spark.sql.graftnative.NativeDotRule
 }

@@ -23,8 +23,12 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * no virtual dispatch. The result is bit-identical to the HOF formulation
   * (same sequential double accumulation), so oracle parity is unaffected.
   *
-  * Null elements inside the arrays are not expected (embedding vectors are
-  * dense); a null array yields null via the standard null-safe contract.
+  * Edge semantics match the HOF formulation EXACTLY so the optimizer rule
+  * below may substitute one for the other: unequal lengths → null (the
+  * zip_with null padding poisons the HOF sum) and any null element → null.
+  * On dense equal-length vectors — the only case that occurs in practice —
+  * the loop is branch-predictable and the result is the identical ordered
+  * double accumulation.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -34,15 +38,19 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def prettyName: String = "fv_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -55,12 +63,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -81,13 +94,53 @@ object FloatVectorDot {
       "fv_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "scala_udf")
 }
 
+/** Optimizer rule (`Rule[LogicalPlan]`): rewrite the portable higher-order
+  * dot-product formulation
+  * {{{ aggregate(zip_with(a, b, (x, y) -> cast(x) * cast(y)), 0.0d, (acc, v) -> acc + v) }}}
+  * over two `array<float>` columns into the native codegen'd
+  * [[FloatVectorDot]]. The HOF form evaluates its lambdas interpreted and
+  * materializes the zipped array; the native expression is a primitive
+  * loop inside whole-stage codegen. Safe because the two are equivalent on
+  * EVERY input, including unequal lengths and null elements (both yield
+  * null) — see the expression's edge-semantics note. Users keep writing
+  * the portable form; sessions with the rule installed run the kernel. */
+object NativeDotRule extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.DoubleType
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isDoubleCastOfLambdaVar(e: Expression): Boolean = e match {
+    case Cast(_: NamedLambdaVariable, DoubleType, _, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+        ZipWith(l, r, LambdaFunction(Multiply(mx, my, _), _, _)),
+        Literal(0.0, DoubleType),
+        LambdaFunction(Add(aa, ab, _), _, _),
+        LambdaFunction(_: NamedLambdaVariable, _, _)) // identity finish
+      if isFloatArray(l) && isFloatArray(r) &&
+        isDoubleCastOfLambdaVar(mx) && isDoubleCastOfLambdaVar(my) &&
+        aa.isInstanceOf[NamedLambdaVariable] && ab.isInstanceOf[NamedLambdaVariable] =>
+      FloatVectorDot(l, r)
+  }
+}
+
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)`
-  * makes `fv_dot` available to every session built from the builder. */
+  * makes `fv_dot` available to every session built from the builder and
+  * installs the HOF-dot → native-kernel optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("fv_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "fv_dot"),
       (exprs: Seq[Expression]) => FloatVectorDot(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => NativeDotRule)
   }
 }

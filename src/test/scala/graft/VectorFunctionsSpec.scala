@@ -40,6 +40,46 @@ class VectorFunctionsSpec extends SparkSpec {
     n.foreach(_.isNullAt(0) shouldBe true)
   }
 
+  it("matches the HOF form on edge cases: unequal lengths and null elements both yield null") {
+    val edgy = Seq(
+      (0L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, 4.0f)),  // clean
+      (1L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f)),        // unequal length
+      (2L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](3.0f, 4.0f))   // null element
+    ).toDF("id", "a", "b")
+    val out = edgy.select(
+      $"id",
+      VectorFunctions.fvDot($"a", $"b").as("native"),
+      Similarity.dot($"a", $"b").as("hof")).collect()
+    out.foreach { r =>
+      withClue(s"id=${r.getLong(0)}:") {
+        r.isNullAt(1) shouldBe r.isNullAt(2)
+        if (!r.isNullAt(1)) r.getDouble(1) shouldBe r.getDouble(2)
+      }
+    }
+    out.filter(_.getLong(0) > 0L).foreach(_.isNullAt(1) shouldBe true)
+  }
+
+  it("NativeDotRule rewrites the portable HOF dot into the native kernel (Rule[LogicalPlan])") {
+    VectorFunctions.installDotRewrite(spark)
+    // parquet-backed: a local relation would be constant-folded away
+    // before the plan assertion could see anything
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = emb.select($"vec_id", Similarity.dot($"embedding", $"embedding").as("d"))
+    df.queryExecution.optimizedPlan.toString should include("fv_dot")
+    // results unchanged by the rewrite (bit-identical accumulation)
+    val rewritten = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = emb.select($"vec_id", VectorFunctions.fvDot($"embedding", $"embedding").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rewritten shouldBe native
+    // cosineHof end-to-end now runs on the kernel too
+    val cos = emb.select(Similarity.cosineHof($"embedding", $"embedding").as("c"))
+    cos.queryExecution.optimizedPlan.toString should include("fv_dot")
+    // double arrays are NOT rewritten (kernel is float-only)
+    val dbl = emb.select(F.transform($"embedding", _.cast("double")).as("v"))
+      .select(Similarity.dot($"v", $"v").as("d"))
+    dbl.queryExecution.optimizedPlan.toString should not include "fv_dot"
+  }
+
   it("participates in whole-stage codegen (parquet-backed pipeline)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(VectorFunctions.fvDot($"embedding", $"embedding").as("d"))

@@ -45,6 +45,27 @@ class IncrementalDedupSpec extends SparkSpec {
     IncrementalDedup.dedupBatch(batch, st, "doc_id", "text").count() shouldBe 0L
   }
 
+  it("runs as the dedup stage of a streaming ingest (foreachBatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val st = newStore()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept ++= IncrementalDedup.dedupBatch(b, st, "doc_id", "text")
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try {
+      input.addData((1L, textA), (2L, textB)); q.processAllAvailable()
+      input.addData((3L, textA), (4L, textC)); q.processAllAvailable() // 3 near-dups batch-1's 1
+      kept.sorted shouldBe Seq(1L, 2L, 4L)
+    } finally q.stop()
+  }
+
   it("only survivors' buckets are persisted (dropped docs never poison the store)") {
     val st = newStore()
     val batch = Seq((5L, textA), (6L, textA)).toDF("doc_id", "text")

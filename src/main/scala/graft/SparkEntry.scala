@@ -258,6 +258,35 @@ object SparkEntry {
         .groupBy("o_custkey").agg(F.count(F.lit(1)).as("n_orders"))
         .orderBy(F.col("n_orders").desc, F.col("o_custkey"))
         .limit(10)),
+    // fixed-width histogram: integer bucket arithmetic, exact both engines
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy((F.col("n_chars") / 100).cast("long").as("bucket"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.min("n_chars").as("lo"), F.max("n_chars").as("hi"))),
+    // conditional / boolean aggregates (count_if, FILTER, bool_and/or)
+    "q_cond_aggs" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          F.expr("count_if(value > 1.0)").as("n_big"),
+          F.expr("count_if(user_id % 2 = 0)").as("n_even_user"),
+          F.expr("bool_and(value >= 0.0)").as("all_nonneg"),
+          F.expr("bool_or(value > 9.0)").as("any_huge"))),
+    // window navigation: lead/lag + first/last over a RANGE-framed window
+    "q_window_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(F.col("o_custkey"))
+        .orderBy(F.col("o_orderkey"))
+      val frame = Window.partitionBy(F.col("o_custkey"))
+        .orderBy(F.col("o_orderkey"))
+        .rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        F.col("o_custkey"), F.col("o_orderkey"),
+        F.lag("o_totalprice", 1).over(w).as("prev_price"),
+        F.lead("o_totalprice", 1).over(w).as("next_price"),
+        F.first("o_orderkey").over(frame).as("first_key"),
+        F.last("o_orderkey").over(frame).as("last_key"))
+    }),
     "q_range_join" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
@@ -588,6 +617,22 @@ object SparkEntry {
         "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total FROM orders"),
     "q_topk_customers" ->
       "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10",
+    "q_histogram" ->
+      ("SELECT CAST(n_chars // 100 AS BIGINT) AS bucket, count(*) AS n, " +
+        "min(n_chars) AS lo, max(n_chars) AS hi FROM documents GROUP BY 1"),
+    "q_cond_aggs" ->
+      ("SELECT event_type, " +
+        "CAST(count(*) FILTER (WHERE value > 1.0) AS BIGINT) AS n_big, " +
+        "CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_even_user, " +
+        "bool_and(value >= 0.0) AS all_nonneg, bool_or(value > 9.0) AS any_huge " +
+        "FROM events GROUP BY event_type"),
+    "q_window_lead_lag" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price, " +
+        "lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price, " +
+        "first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_key, " +
+        "last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key " +
+        "FROM orders"),
     "q_range_join" ->
       ("SELECT o_orderkey, count(*) AS n_items FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
         "AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY GROUP BY o_orderkey"),

@@ -771,6 +771,15 @@ object SparkEntry {
     "q_mm_frames" ->
       ("WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames FROM documents) " +
         "SELECT media_id, n_frames, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx FROM m"),
+    // The decode STUB's fake is fully deterministic (weighted byte
+    // checksum over the ASCII payload), so even the mapPartitions path is
+    // hash-gated — the oracle mirrors the fake byte-for-byte.
+    "q_mm_decode" ->
+      ("WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) " +
+        "SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
+        "CAST(sum(ascii(substr(text, CAST(i AS INT), 1)) * (((i - 1) % 31) + 1)) AS BIGINT) AS byte_checksum, " +
+        "CAST(224 AS INTEGER) AS out_width, CAST(224 AS INTEGER) AS out_height " +
+        "FROM pos GROUP BY doc_id, text"),
 
     "q_zscore_by_source" ->
       ("SELECT doc_id, source, n_chars, " +

@@ -9,10 +9,10 @@ class EntrySpec extends SparkSpec {
     rows.map(_.getAs[Long]("count_order")).sum should be > 1000L
   }
 
-  it("every oracle key has a query; only the mapPartitions stub is rows-only") {
+  it("every query is oracle-gated — including the deterministic decode stub") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     (o -- q) shouldBe empty
-    (q -- o) shouldBe Set("q_mm_decode")
+    (q -- o) shouldBe empty
   }
 }

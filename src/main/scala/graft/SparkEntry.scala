@@ -437,6 +437,30 @@ object SparkEntry {
         .groupBy("pack_id")
         .agg(F.count(F.lit(1)).as("n_docs"), F.sum("n_tokens").as("pack_tokens"))
     }),
+    // cross-table fusion: documents joined to their embeddings, text
+    // stats next to vector norms (the multimodal-fusion join shape)
+    "q_text_embed_fusion" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.{fvDot => ndot}
+      t(s, dir, "documents").select("doc_id", "source", "n_chars")
+        .join(t(s, dir, "embeddings").select(F.col("vec_id").as("doc_id"), F.col("embedding")), "doc_id")
+        .select(F.col("doc_id"), F.col("source"), F.col("n_chars"),
+          F.round(F.sqrt(ndot(F.col("embedding"), F.col("embedding"))), 4).as("embed_norm"))
+    }),
+    // END-TO-END curation pipeline: quality gate -> exact dedup (keep the
+    // min-id representative) -> deterministic split -> per-source cap.
+    // The operators composing is the point — each stage is the library
+    // call a user would write.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = TextAnalysis.quality(docs, "text")
+        .filter(F.col("stopword_ratio") <= 0.4 && F.col("n_tokens") >= 30)
+      val keepIds = Dedup.exact(quality, "doc_id", "text")
+        .select(F.col("keep_id").as("doc_id"))
+      val deduped = quality.join(keepIds, "doc_id")
+      val split = DataShaping.splitAssign(deduped, "doc_id")
+      DataShaping.perGroupCap(split, "source", "n_chars", "doc_id", cap = 20)
+        .select("doc_id", "source", "split", "n_chars", "rn")
+    }),
     "q_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       DataShaping.contamination(
@@ -807,6 +831,24 @@ object SparkEntry {
     "q_shuffle_rank" ->
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank " +
         "FROM documents"),
+    "q_text_embed_fusion" ->
+      ("WITH e AS (SELECT vec_id AS doc_id, embedding FROM embeddings), " +
+        "terms AS (SELECT doc_id, embedding, unnest(range(1, 65)) AS i FROM e), " +
+        "norms AS (SELECT doc_id, round(sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE))), 4) AS embed_norm FROM terms GROUP BY doc_id) " +
+        "SELECT d.doc_id, d.source, d.n_chars, n.embed_norm FROM documents d JOIN norms n ON d.doc_id = n.doc_id"),
+    "q_curation_pipeline" ->
+      ("WITH q AS (SELECT doc_id, source, n_chars, text, " +
+        "len(string_split(text, ' ')) AS n_tokens, " +
+        "round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio " +
+        "FROM documents), " +
+        "kept AS (SELECT * FROM q WHERE stopword_ratio <= 0.4 AND n_tokens >= 30), " +
+        "keep_ids AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)), " +
+        "dd AS (SELECT k.* FROM kept k JOIN keep_ids USING (doc_id)), " +
+        "sp AS (SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test' ELSE 'train' END AS split FROM dd), " +
+        "capped AS (SELECT doc_id, source, split, n_chars, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn FROM sp) " +
+        "SELECT doc_id, source, split, n_chars, rn FROM capped WHERE rn <= 20"),
     "q_contamination" ->
       ("WITH ta AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE source <> 'src0'), " +
         "pa AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS i FROM ta WHERE len(arr) >= 3), " +

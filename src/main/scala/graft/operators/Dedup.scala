@@ -118,27 +118,41 @@ object Dedup {
     */
   def jaccardPairs(shingles: DataFrame, minJaccard: Double,
                    maxDf: Long = Long.MaxValue): DataFrame = {
-    val dfCounts = shingles.groupBy(F.col("shingle"))
-      .agg(F.count(F.lit(1)).as("__df"))
-    val kept =
-      if (maxDf == Long.MaxValue) shingles
-      else shingles.join(
-        dfCounts.filter(F.col("__df") <= maxDf).select("shingle"),
-        Seq("shingle"), "left_semi")
-    val byShingle = kept.groupBy(F.col("shingle"))
-      .agg(F.collect_list(F.col("doc")).as("__docs"))
-    // singleton shingles (df = 1) count toward set sizes but cannot pair
-    val sizes = byShingle
-      .select(F.explode(F.col("__docs")).as("doc"))
-      .groupBy(F.col("doc")).agg(F.count(F.lit(1)).as("sz"))
-    val pairs = byShingle
-      .filter(F.size(F.col("__docs")) >= 2)
-      .select(F.col("__docs"), F.explode(F.col("__docs")).as("a"))
-      .select(F.col("a"), F.explode(F.col("__docs")).as("b"))
-      .filter(F.col("a") < F.col("b"))
-    val shared = pairs
-      .groupBy(F.col("a"), F.col("b"))
-      .agg(F.count(F.lit(1)).as("shared"))
+    // With a finite cap, per-shingle doc lists are bounded ≤ maxDf by the
+    // semi-join pre-filter, so the in-row pair explosion is safe and skips
+    // the self-join shuffle. WITHOUT a cap there is no such bound — a hot
+    // shingle would concentrate its whole doc list in one reducer row —
+    // so the uncapped path keeps the fully-distributed self-join instead.
+    val (sizesSrc, shared) =
+      if (maxDf == Long.MaxValue) {
+        val shared2 = shingles.groupBy(F.col("shingle"))
+          .agg(F.count(F.lit(1)).as("__n")).filter(F.col("__n") >= 2).select("shingle")
+        val pruned = shingles.join(shared2, Seq("shingle"), "left_semi")
+        val a = pruned.select(F.col("shingle"), F.col("doc").as("a"))
+        val b = pruned.select(F.col("shingle"), F.col("doc").as("b"))
+        (shingles,
+          a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy(F.col("a"), F.col("b"))
+            .agg(F.count(F.lit(1)).as("shared")))
+      } else {
+        val dfCounts = shingles.groupBy(F.col("shingle"))
+          .agg(F.count(F.lit(1)).as("__df"))
+        val kept = shingles.join(
+          dfCounts.filter(F.col("__df") <= maxDf).select("shingle"),
+          Seq("shingle"), "left_semi")
+        val byShingle = kept.groupBy(F.col("shingle"))
+          .agg(F.collect_list(F.col("doc")).as("__docs"))
+        // singleton shingles (df = 1) count toward set sizes but cannot pair
+        val pairs = byShingle
+          .filter(F.size(F.col("__docs")) >= 2)
+          .select(F.col("__docs"), F.explode(F.col("__docs")).as("a"))
+          .select(F.col("a"), F.explode(F.col("__docs")).as("b"))
+          .filter(F.col("a") < F.col("b"))
+        (byShingle.select(F.col("shingle"), F.explode(F.col("__docs")).as("doc")),
+          pairs.groupBy(F.col("a"), F.col("b")).agg(F.count(F.lit(1)).as("shared")))
+      }
+    val sizes = sizesSrc.groupBy(F.col("doc")).agg(F.count(F.lit(1)).as("sz"))
     shared
       .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"), "a")
       .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "szb"), "b")

@@ -92,14 +92,26 @@ object Similarity {
   /** Signed-random-projection bucket key: bit j = sign(<plane_j, vec>).
     * Each dot is accumulated in double in index order (zip_with +
     * aggregate), so the value — and therefore the sign — is bit-identical
-    * to any engine that sums the same literals sequentially. */
-  def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    F.concat(planes.map { p =>
+    * to any engine that sums the same literals sequentially.
+    *
+    * Guarded against a vector/plane dimension mismatch: zip_with's null
+    * padding would otherwise poison every dot to null, send EVERY vector
+    * to the identical all-'0' bucket, and silently turn the bucketed
+    * search into a full N² cross join — so a mismatched row raises
+    * instead. */
+  def hyperplaneBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val dim = planes.head.length
+    val bits = F.concat(planes.map { p =>
       val dot = F.aggregate(
         F.zip_with(vec, F.typedlit(p.toSeq), (x, y) => x.cast("double") * y),
         F.lit(0.0), (acc, x) => acc + x)
       F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
     }.toSeq: _*)
+    F.when(F.size(vec) === dim, bits)
+      .otherwise(F.raise_error(F.concat(
+        F.lit(s"hyperplaneBucket: expected $dim-dim vector, got "),
+        F.size(vec).cast("string"), F.lit(" dims"))))
+  }
 
   /** The DuckDB expression computing the identical bucket key: per plane a
     * left-associated sum of `w * CAST(vec[i] AS DOUBLE)` terms in index

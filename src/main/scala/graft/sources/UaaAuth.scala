@@ -48,7 +48,10 @@ final class UaaAuthenticator(
     val r = http.get(s"${cfg.apiAddress}/v2/info", Map("Accept" -> "application/json"))
     if (r.status != 200)
       throw new RuntimeException(s"token endpoint discovery failed with status code ${r.status}")
-    val ep = mapper.readTree(r.body).get("token_endpoint").asText()
+    val node = mapper.readTree(r.body).get("token_endpoint")
+    if (node == null || node.isNull)
+      throw new RuntimeException(s"/v2/info response carries no token_endpoint: ${r.body.take(200)}")
+    val ep = node.asText()
     tokenEndpoint = Some(ep)
     ep
   }
@@ -69,9 +72,14 @@ final class UaaAuthenticator(
     if (r.status != 200)
       throw new RuntimeException(s"token exchange failed with status code ${r.status}")
     val root = mapper.readTree(r.body)
-    val token = root.get("access_token").asText()
-    val expiresIn = Option(root.get("expires_in")).map(_.asLong()).getOrElse(60L)
-    (token, nowMillis() + (expiresIn - 60L).max(0L) * 1000L)
+    val tokenNode = root.get("access_token")
+    if (tokenNode == null || tokenNode.isNull)
+      throw new RuntimeException(s"token response carries no access_token: ${r.body.take(200)}")
+    // default generously when expires_in is absent: a tiny default minus
+    // the 60 s skew would expire immediately and disable the cache,
+    // silently doubling the UAA request rate (one exchange per page GET)
+    val expiresIn = Option(root.get("expires_in")).map(_.asLong()).getOrElse(300L)
+    (tokenNode.asText(), nowMillis() + (expiresIn - 60L).max(0L) * 1000L)
   }
 
   def bearerToken(): String = synchronized {

@@ -2,6 +2,7 @@ package graft.store
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** Minimal transactional table layer for MULTI-WRITER appends — the
   * single-writer stores (ParquetEventStore) rely on one collector owning
@@ -11,19 +12,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * modern table formats, reduced to appends):
   *
   *  - a commit writes its parquet files into a unique data subdirectory
-  *    (invisible to readers), then publishes them by claiming the next
-  *    slot in a monotonically numbered manifest log via ATOMIC RENAME —
-  *    rename fails if the slot exists, so two racing writers serialize by
-  *    retrying onto subsequent slots, with no lock service;
-  *  - a read lists the manifest log and scans exactly the files the
-  *    manifests name: a crashed commit (data written, no manifest) is
+  *    (invisible to readers), writes the file list to a tmp manifest, then
+  *    CLAIMS the next slot in a monotonically numbered log by exclusively
+  *    creating a `.claim` marker (O_EXCL — atomic on POSIX via
+  *    `File.createNewFile` and on HDFS via create-no-overwrite; plain
+  *    rename is NOT a safe claim because POSIX rename overwrites an
+  *    existing destination). Racing writers serialize by retrying onto
+  *    subsequent slots with no lock service. The claimed slot's manifest
+  *    is then published by renaming the fully-written tmp file — readers
+  *    never observe partial manifest content;
+  *  - a read lists published manifests and scans exactly the files they
+  *    name: a crashed commit (data and/or claim without a manifest) is
   *    invisible, and every snapshot is the result of a prefix of commits;
-  *  - `vacuum()` deletes data directories no manifest references
-  *    (crash debris), safe to run any time.
-  *
-  * Rename-if-absent is atomic on HDFS and POSIX filesystems; on S3-style
-  * stores, swap the slot claim for a conditional PUT — the protocol is
-  * unchanged. */
+  *  - `vacuum(maxAgeMs)` deletes debris no manifest references — data
+  *    directories, tmp manifests, and claims without manifests — but only
+  *    when older than `maxAgeMs`, so it can never race an in-flight
+  *    commit that is younger than the threshold.
+  */
 final class ManifestTable(spark: SparkSession, dir: String) {
   private val dataDir = new Path(s"$dir/data")
   private val manifestDir = new Path(s"$dir/manifests")
@@ -35,8 +40,8 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     fs.mkdirs(manifestDir)
   }
 
-  private def slotPath(slot: Long): Path =
-    new Path(manifestDir, f"$slot%012d.manifest")
+  private def slotPath(slot: Long): Path = new Path(manifestDir, f"$slot%012d.manifest")
+  private def claimPath(slot: Long): Path = new Path(manifestDir, f"$slot%012d.claim")
 
   private def listManifests(): Seq[Path] =
     fs.listStatus(manifestDir)
@@ -45,10 +50,25 @@ final class ManifestTable(spark: SparkSession, dir: String) {
       .map(_.getPath)
       .toSeq
 
-  private def nextSlot(): Long =
-    listManifests().lastOption
-      .map(_.getName.stripSuffix(".manifest").toLong + 1L)
-      .getOrElse(0L)
+  /** Next unclaimed slot: one past the highest claim OR manifest. */
+  private def nextSlot(): Long = {
+    val nums = fs.listStatus(manifestDir).map(_.getPath.getName).collect {
+      case n if n.endsWith(".manifest") => n.stripSuffix(".manifest").toLong
+      case n if n.endsWith(".claim") => n.stripSuffix(".claim").toLong
+    }
+    if (nums.isEmpty) 0L else nums.max + 1L
+  }
+
+  /** Atomic slot claim. Local filesystems go through `File.createNewFile`
+    * (true O_EXCL); other filesystems use create-without-overwrite, which
+    * HDFS implements atomically (on S3-style stores swap this for a
+    * conditional PUT — the protocol is unchanged). */
+  private def claimSlot(slot: Long): Boolean =
+    try {
+      val p = claimPath(slot)
+      if (fs.getScheme == "file") new java.io.File(p.toUri.getPath).createNewFile()
+      else { val o = fs.create(p, false); o.close(); true }
+    } catch { case _: java.io.IOException => false }
 
   /** Append `df` as one atomic commit; returns the claimed slot. */
   def commit(df: DataFrame): Long = {
@@ -61,39 +81,61 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     val tmp = new Path(manifestDir, s"_tmp_$batchId")
     val out = fs.create(tmp, true)
     try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
-    // claim a slot: atomic rename fails if a racing writer got there first
     var slot = nextSlot()
-    while (!fs.rename(tmp, slotPath(slot))) slot += 1
+    while (!claimSlot(slot)) slot += 1
+    // uncontended publish: the slot is ours; rename is atomic, so readers
+    // see either no manifest or the complete file list
+    fs.rename(tmp, slotPath(slot))
     slot
   }
 
-  /** Snapshot read: exactly the files named by committed manifests. */
-  def snapshot: DataFrame = {
-    val files = listManifests().flatMap { m =>
-      val in = fs.open(m)
-      try new String(in.readAllBytes(), "UTF-8").split("\n").filter(_.nonEmpty).toSeq
-      finally in.close()
-    }.map(rel => new Path(dataDir, rel).toString)
-    if (files.isEmpty)
-      spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+  /** Snapshot read: exactly the files named by published manifests. */
+  def snapshot: DataFrame = snapshotWith(None)
+
+  /** Schema-stable snapshot: readable (with zero rows) before the first
+    * commit, where the schemaless default would fail to resolve columns. */
+  def snapshot(schema: StructType): DataFrame = snapshotWith(Some(schema))
+
+  private def snapshotWith(schema: Option[StructType]): DataFrame = {
+    val files = listManifests().flatMap(readLines)
+      .map(rel => new Path(dataDir, rel).toString)
+    (files, schema) match {
+      case (Nil, Some(s)) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (Nil, None) => spark.emptyDataFrame
+      case (paths, Some(s)) => spark.read.schema(s).parquet(paths: _*)
+      case (paths, None) => spark.read.parquet(paths: _*)
+    }
   }
 
-  /** Number of committed manifests (the table version). */
+  private def readLines(m: Path): Seq[String] = {
+    val in = fs.open(m)
+    try new String(in.readAllBytes(), "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+    finally in.close()
+  }
+
+  /** Number of published manifests (the table version). */
   def version(): Long = listManifests().size.toLong
 
-  /** Delete data directories referenced by NO manifest (failed-commit
-    * debris). Returns the number of directories removed. */
-  def vacuum(): Long = {
-    val referenced = listManifests().flatMap { m =>
-      val in = fs.open(m)
-      try new String(in.readAllBytes(), "UTF-8").split("\n").filter(_.nonEmpty).toSeq
-      finally in.close()
-    }.map(_.split("/")(0)).toSet
-    val orphans = fs.listStatus(dataDir)
-      .filter(_.isDirectory)
+  /** Delete failed-commit debris older than `maxAgeMs`: data directories
+    * referenced by no manifest, stale tmp manifests, and claims whose
+    * manifest never published. The age gate guarantees an in-flight
+    * commit younger than the threshold is never touched. Returns the
+    * number of items removed. */
+  def vacuum(maxAgeMs: Long = 3600000L): Long = {
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val referenced = listManifests().flatMap(readLines).map(_.split("/")(0)).toSet
+    val published = listManifests().map(_.getName.stripSuffix(".manifest")).toSet
+    val orphanDirs = fs.listStatus(dataDir)
+      .filter(d => d.isDirectory && d.getModificationTime < cutoff)
       .filterNot(d => referenced.contains(d.getPath.getName))
-    orphans.foreach(d => fs.delete(d.getPath, true))
-    orphans.length.toLong
+    val staleTmp = fs.listStatus(manifestDir)
+      .filter(f => f.getPath.getName.startsWith("_tmp_") && f.getModificationTime < cutoff)
+    val staleClaims = fs.listStatus(manifestDir)
+      .filter(f => f.getPath.getName.endsWith(".claim") && f.getModificationTime < cutoff)
+      .filterNot(f => published.contains(f.getPath.getName.stripSuffix(".claim")))
+    val all = orphanDirs ++ staleTmp ++ staleClaims
+    all.foreach(f => fs.delete(f.getPath, true))
+    all.length.toLong
   }
 }

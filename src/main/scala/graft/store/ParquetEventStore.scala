@@ -83,11 +83,14 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
       .cache()
     val n = withId.count()
     if (n > 0) {
+      // RESERVE the id range (sidecar write) BEFORE appending the data:
+      // ids are contiguous base+1..base+n, and a crash between the two
+      // steps then leaves an id GAP (harmless — the reference's SERIAL
+      // has gaps too), never a stale sidecar that would hand the same
+      // range to the next batch and create duplicate ingest ids.
+      writeSidecar(maxIdPath, base + n)
       withId.write.mode(SaveMode.Append).partitionBy("event_date").parquet(eventsPath)
       writeStatsCount(readStatsCount().getOrElse(0L) + n) // reltuples analog
-      // ids are assigned contiguously base+1..base+n, so the new max is
-      // known without reading anything back
-      writeSidecar(maxIdPath, base + n)
     }
     withId.unpersist()
     n

@@ -76,7 +76,10 @@ object OperatorBench {
           (F.col("sza") + F.col("szb") - F.col("shared")).cast("double"), 4))
         .filter(F.col("jaccard") >= 0.05).count()
     }
-    def jaccardInRow: Long = Dedup.jaccardPairs(shingles, 0.05).count()
+    // maxDf far above the corpus max df: identical results, but routed
+    // through the bounded in-row pair-explosion plan (the uncapped default
+    // deliberately falls back to the distributed self-join)
+    def jaccardInRow: Long = Dedup.jaccardPairs(shingles, 0.05, maxDf = 1000000L).count()
     report("jaccard_pairs", jaccardSelfJoin, jaccardInRow)
 
     // 4. dot kernel: HOF aggregate/zip_with vs native codegen'd fv_dot

@@ -114,20 +114,43 @@ object NativeDotRule extends org.apache.spark.sql.catalyst.rules.Rule[org.apache
     case _ => false
   }
 
-  private def isDoubleCastOfLambdaVar(e: Expression): Boolean = e match {
-    case Cast(_: NamedLambdaVariable, DoubleType, _, _) => true
+  /** The two expressions must be casts of exactly the TWO DISTINCT lambda
+    * parameters `params` (in either order) — binding by exprId, so
+    * `(x, y) -> x * x` (sum of squares, not a dot) or casts of some outer
+    * variable can never match. */
+  private def castsOfBothParams(a: Expression, b: Expression,
+                                params: Seq[NamedLambdaVariable]): Boolean = (a, b) match {
+    case (Cast(x: NamedLambdaVariable, DoubleType, _, _),
+          Cast(y: NamedLambdaVariable, DoubleType, _, _)) =>
+      x.exprId != y.exprId &&
+        Set(x.exprId, y.exprId) == params.map(_.exprId).toSet
+    case _ => false
+  }
+
+  private def bothParams(a: Expression, b: Expression,
+                         params: Seq[NamedLambdaVariable]): Boolean = (a, b) match {
+    case (x: NamedLambdaVariable, y: NamedLambdaVariable) =>
+      x.exprId != y.exprId &&
+        Set(x.exprId, y.exprId) == params.map(_.exprId).toSet
     case _ => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
-        ZipWith(l, r, LambdaFunction(Multiply(mx, my, _), _, _)),
+        ZipWith(l, r,
+          LambdaFunction(Multiply(mx, my, _), zipParams, _)),
         Literal(0.0, DoubleType),
-        LambdaFunction(Add(aa, ab, _), _, _),
-        LambdaFunction(_: NamedLambdaVariable, _, _)) // identity finish
+        LambdaFunction(Add(aa, ab, _), mergeParams, _),
+        LambdaFunction(fin: NamedLambdaVariable, finParams, _)) // identity finish
       if isFloatArray(l) && isFloatArray(r) &&
-        isDoubleCastOfLambdaVar(mx) && isDoubleCastOfLambdaVar(my) &&
-        aa.isInstanceOf[NamedLambdaVariable] && ab.isInstanceOf[NamedLambdaVariable] =>
+        zipParams.length == 2 && zipParams.forall(_.isInstanceOf[NamedLambdaVariable]) &&
+        castsOfBothParams(mx, my, zipParams.map(_.asInstanceOf[NamedLambdaVariable])) &&
+        mergeParams.length == 2 && mergeParams.forall(_.isInstanceOf[NamedLambdaVariable]) &&
+        bothParams(aa, ab, mergeParams.map(_.asInstanceOf[NamedLambdaVariable])) &&
+        finParams.headOption.exists {
+          case f: NamedLambdaVariable => f.exprId == fin.exprId
+          case _ => false
+        } =>
       FloatVectorDot(l, r)
   }
 }

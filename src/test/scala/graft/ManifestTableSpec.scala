@@ -25,6 +25,16 @@ class ManifestTableSpec extends SparkSpec {
     t.snapshot.orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 2L, 3L)
   }
 
+  it("schema-stable snapshot is readable before the first commit") {
+    val t = newTable()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    t.snapshot(schema).select("id").count() shouldBe 0L // resolvable with zero commits
+    t.commit(Seq((7L, "x")).toDF("id", "v"))
+    t.snapshot(schema).select("id").collect().map(_.getLong(0)) shouldBe Array(7L)
+  }
+
   it("racing writers serialize onto distinct slots and lose no commit") {
     val t = newTable()
     val writers = 4
@@ -58,8 +68,12 @@ class ManifestTableSpec extends SparkSpec {
     // simulate the crash: a data directory appears with no manifest entry
     Seq((99L, "orphan")).toDF("id", "v").write.parquet(s"$root/data/deadbeef-crashed")
     t.snapshot.collect().map(_.getString(1)) shouldBe Array("kept") // orphan invisible
-    t.vacuum() shouldBe 1L
+    // default 1h age gate protects what could be an in-flight commit...
+    t.vacuum() shouldBe 0L
     t.snapshot.collect().map(_.getString(1)) shouldBe Array("kept")
-    t.vacuum() shouldBe 0L // idempotent
+    // ...a negative threshold treats everything as stale (test-only)
+    t.vacuum(maxAgeMs = -1000L) shouldBe 1L
+    t.snapshot.collect().map(_.getString(1)) shouldBe Array("kept")
+    t.vacuum(maxAgeMs = -1000L) shouldBe 0L // idempotent
   }
 }

@@ -94,6 +94,28 @@ class OperatorsSpec extends SparkSpec {
       // an exact opposite flips the sign on EVERY hyperplane -> different bucket
       out should not contain ((0L, 3L))
     }
+
+    it("a vector/plane dimension mismatch raises instead of silently single-bucketing") {
+      val ex = intercept[Exception] {
+        Similarity.lshTopK(vecs, "vec_id", "embedding", nbits = 3, k = 5, dim = 64).collect()
+      }
+      ex.getMessage should include("expected 64-dim vector")
+    }
+
+    it("signBucket keys same-orthant vectors identically and opposites differently") {
+      val b = vecs.select($"vec_id", Similarity.signBucket($"embedding", 3).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      b(0L) shouldBe b(1L) // same orthant
+      b(0L) should not be b(3L) // opposite orthant
+    }
+
+    it("multi-probe LSH finds at least the single-probe neighbours (superset recall)") {
+      val single = Similarity.lshTopK(vecs, "vec_id", "embedding", nbits = 3, k = 5, dim = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val multi = Similarity.lshTopKMultiProbe(vecs, "vec_id", "embedding", nbits = 3, k = 5, dim = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      single.subsetOf(multi) shouldBe true // probes only ADD candidate buckets
+    }
   }
 
   describe("TextAnalysis") {

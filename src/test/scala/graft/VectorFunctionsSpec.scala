@@ -80,6 +80,30 @@ class VectorFunctionsSpec extends SparkSpec {
     dbl.queryExecution.optimizedPlan.toString should not include "fv_dot"
   }
 
+  it("NativeDotRule does NOT match look-alike lambdas (sum of squares, degenerate merge)") {
+    VectorFunctions.installDotRewrite(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // (x, y) -> x * x zipped against ANOTHER array is a sum of squares of
+    // the left side, not a dot product — must stay un-rewritten
+    val sumSq = emb.select($"vec_id",
+      F.aggregate(
+        F.zip_with($"embedding", $"embedding", (x, _) => x.cast("double") * x.cast("double")),
+        F.lit(0.0), (acc, v) => acc + v).as("s"))
+    sumSq.queryExecution.optimizedPlan.toString should not include "fv_dot"
+    // ...and it computes the actual sum of squares, same as fv_dot(v, v)
+    val bySq = sumSq.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byDot = emb.select($"vec_id", VectorFunctions.fvDot($"embedding", $"embedding").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    bySq shouldBe byDot // equal here because both sides are the same array
+    // (acc, v) -> acc + acc is not a sum — must stay un-rewritten
+    val degenerate = emb.select(
+      F.aggregate(
+        F.zip_with($"embedding", $"embedding", (x, y) => x.cast("double") * y.cast("double")),
+        F.lit(0.0), (acc, _) => acc + acc).as("s"))
+    degenerate.queryExecution.optimizedPlan.toString should not include "fv_dot"
+    degenerate.collect().foreach(_.getDouble(0) shouldBe 0.0) // 0 doubled forever
+  }
+
   it("participates in whole-stage codegen (parquet-backed pipeline)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(VectorFunctions.fvDot($"embedding", $"embedding").as("d"))

@@ -308,6 +308,26 @@ object SparkEntry {
         rightVals = Seq("event_id"))
         .withColumn("ts", ntz(F.col("ts")))
     }),
+    // forward as-of: for each click, the NEXT error at-or-after it
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(F.col("event_type") === "click").select("event_id", "user_id", "ts")
+      val errors = ev.filter(F.col("event_type") === "error").select("event_id", "user_id", "ts")
+      AsOfJoin.joinForward(clicks, errors, on = "user_id", leftTime = "ts", rightTime = "ts",
+        rightVals = Seq("event_id"), leftTie = "event_id", rightTie = "event_id")
+        .withColumn("ts", ntz(F.col("ts")))
+    }),
+    // unpivot (inverse of pivot): wide numeric columns -> long (metric, val)
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(F.col("l_orderkey"), F.col("l_linenumber"),
+          F.col("l_quantity").cast("double").as("l_quantity"),
+          F.col("l_discount").cast("double").as("l_discount"),
+          F.col("l_tax").cast("double").as("l_tax"))
+        .unpivot(
+          Array(F.col("l_orderkey"), F.col("l_linenumber")),
+          Array(F.col("l_quantity"), F.col("l_discount"), F.col("l_tax")),
+          "metric", "val")),
     "q_pivot_events" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy("user_id")
@@ -666,6 +686,17 @@ object SparkEntry {
         "w AS (SELECT user_id, ts, event_id, kind, " +
         "last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, kind, CAST(event_id AS VARCHAR) ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id FROM u) " +
         "SELECT event_id, user_id, ts, asof_event_id FROM w WHERE kind = 1"),
+    "q_asof_forward" ->
+      ("WITH u AS (SELECT user_id, ts, event_id, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind " +
+        "FROM events WHERE event_type IN ('click', 'error')), " +
+        "w AS (SELECT user_id, ts, event_id, kind, " +
+        "first_value(CASE WHEN kind = 1 THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, kind, CAST(event_id AS VARCHAR) ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_event_id FROM u) " +
+        "SELECT event_id, user_id, ts, asof_event_id FROM w WHERE kind = 0"),
+    "q_unpivot" ->
+      ("SELECT l_orderkey, l_linenumber, metric, val FROM (" +
+        "UNPIVOT (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity, " +
+        "CAST(l_discount AS DOUBLE) AS l_discount, CAST(l_tax AS DOUBLE) AS l_tax FROM lineitem) " +
+        "ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val)"),
     "q_pivot_events" ->
       ("SELECT user_id, " +
         "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +

@@ -38,7 +38,37 @@ object AsOfJoin {
       rightTime: String,
       rightVals: Seq[String],
       leftTie: String,
-      rightTie: String): DataFrame = {
+      rightTie: String): DataFrame =
+    unionCarry(left, right, on, leftTime, rightTime, rightVals, leftTie, rightTie,
+      forward = false)
+
+  /** Forward as-of: for each left row, the FIRST right row with
+    * `rightTime >= leftTime` in the same key group ("what happened next").
+    * Same union-and-carry plan looking at the following frame; at an equal
+    * timestamp the right row counts (at-or-after), and among equal-time
+    * right rows the smallest `rightTie` wins. */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      on: String,
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      leftTie: String,
+      rightTie: String): DataFrame =
+    unionCarry(left, right, on, leftTime, rightTime, rightVals, leftTie, rightTie,
+      forward = true)
+
+  private def unionCarry(
+      left: DataFrame,
+      right: DataFrame,
+      on: String,
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      leftTie: String,
+      rightTie: String,
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val metaCols = Seq("__t", "__side", "__tie", "__payload")
     val outOrder = (leftCols ++ metaCols).map(F.col)
@@ -63,15 +93,26 @@ object AsOfJoin {
       .foldLeft(rBase) { (df, c) => df.withColumn(c, F.lit(null).cast(left.schema(c).dataType)) }
       .select(outOrder: _*)
 
-    val w = Window
-      .partitionBy(F.col(on))
-      .orderBy(F.col("__t").asc, F.col("__side").asc, F.col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Backward: right rows sort BEFORE left at equal time (at-or-before
+    // includes the simultaneous right row) and the LAST right in the
+    // preceding frame wins. Forward: left sorts before right and the FIRST
+    // right in the following frame wins.
+    val w =
+      if (forward)
+        Window.partitionBy(F.col(on))
+          .orderBy(F.col("__t").asc, F.col("__side").desc, F.col("__tie").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy(F.col(on))
+          .orderBy(F.col("__t").asc, F.col("__side").asc, F.col("__tie").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carryExpr = F.when(F.col("__side") === 0, F.col("__payload"))
     val payloadSchema = StructType(rightVals.map(v =>
       org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)))
     val carried = lTagged.unionByName(rTagged)
       .withColumn("__carry",
-        F.last(F.when(F.col("__side") === 0, F.col("__payload")), ignoreNulls = true).over(w))
+        (if (forward) F.first(carryExpr, ignoreNulls = true)
+         else F.last(carryExpr, ignoreNulls = true)).over(w))
       .filter(F.col("__side") === 1)
       .withColumn("__s", F.from_json(F.col("__carry"), payloadSchema))
 

@@ -178,6 +178,23 @@ class OperatorsSpec extends SparkSpec {
       val out = AsOfJoin.join(left, right, "user_id", "ts", "ts", Seq("event_id"), "event_id", "event_id")
       out.collect()(0).getLong(3) shouldBe 2L
     }
+
+    it("forward as-of attaches the FIRST right row at-or-after each left row") {
+      val left = Seq(
+        (10L, 1L, ts("2024-01-01T10:00:00Z")),
+        (11L, 1L, ts("2024-01-01T12:00:00Z")),
+        (12L, 2L, ts("2024-01-01T10:00:00Z"))).toDF("event_id", "user_id", "ts")
+      val right = Seq(
+        (100L, 1L, ts("2024-01-01T10:00:00Z")), // simultaneous: counts (at-or-after)
+        (101L, 1L, ts("2024-01-01T11:00:00Z")),
+        (102L, 3L, ts("2024-01-01T13:00:00Z"))).toDF("event_id", "user_id", "ts")
+      val out = AsOfJoin.joinForward(left, right, "user_id", "ts", "ts",
+        Seq("event_id"), "event_id", "event_id")
+        .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+      out(10L) shouldBe Some(100L) // simultaneous right row
+      out(11L) shouldBe None // nothing after noon for user 1
+      out(12L) shouldBe None // user 2 has no right rows
+    }
   }
 
   describe("SkewJoin") {

@@ -56,6 +56,29 @@ class CfEventsSourceSpec extends SparkSpec {
     } finally CfEventsTable.transportOverride.set(null)
   }
 
+  it("fails the stream fast on a fetch error instead of silently dropping pages") {
+    val transport = new HttpTransport with Serializable {
+      def get(url: String, headers: Map[String, String]): HttpReply = HttpReply(500, "upstream down")
+      def post(url: String, body: String, headers: Map[String, String]): HttpReply =
+        throw new UnsupportedOperationException
+    }
+    CfEventsTable.transportOverride.set(transport)
+    try {
+      val q = spark.readStream
+        .format("graft-cf-events")
+        .option("apiAddress", "")
+        .option("paginationWaitMillis", "0")
+        .load()
+        .writeStream.format("memory").queryName("cf_events_fail").start()
+      try {
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+        ex.getMessage should include("cf-events fetch failed")
+      } finally q.stop()
+    } finally CfEventsTable.transportOverride.set(null)
+  }
+
   it("authenticates via UAA when credentials are passed as source options") {
     val tokenPosts = new java.util.concurrent.atomic.AtomicInteger(0)
     val transport = new HttpTransport with Serializable {

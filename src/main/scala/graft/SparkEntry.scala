@@ -258,6 +258,25 @@ object SparkEntry {
         .groupBy("o_custkey").agg(F.count(F.lit(1)).as("n_orders"))
         .orderBy(F.col("n_orders").desc, F.col("o_custkey"))
         .limit(10)),
+    // statistical aggregates: sample variance/stddev/covariance/correlation
+    // (identical sample definitions in both engines; rounded for the last
+    // ulp of cross-row double summation)
+    "q_stats_aggs" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          F.round(F.var_samp("value"), 4).as("var_value"),
+          F.round(F.stddev_samp("value"), 4).as("sd_value"),
+          F.round(F.covar_samp(F.col("value"), F.col("user_id").cast("double")), 4).as("cov_vu"),
+          F.round(F.corr(F.col("value"), F.col("user_id").cast("double")), 4).as("corr_vu"))),
+    // exact percentiles PER GROUP (sorted-interpolation, deterministic)
+    "q_grouped_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          F.expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          F.expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          F.count(F.lit(1)).as("n"))),
     // fixed-width histogram: integer bucket arithmetic, exact both engines
     "q_histogram" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -661,6 +680,13 @@ object SparkEntry {
         "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total FROM orders"),
     "q_topk_customers" ->
       "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10",
+    "q_stats_aggs" ->
+      ("SELECT event_type, round(var_samp(value), 4) AS var_value, round(stddev_samp(value), 4) AS sd_value, " +
+        "round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_vu, " +
+        "round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu FROM events GROUP BY event_type"),
+    "q_grouped_percentiles" ->
+      ("SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, " +
+        "quantile_cont(l_extendedprice, 0.95) AS p95, count(*) AS n FROM lineitem GROUP BY l_returnflag"),
     "q_histogram" ->
       ("SELECT CAST(n_chars // 100 AS BIGINT) AS bucket, count(*) AS n, " +
         "min(n_chars) AS lo, max(n_chars) AS hi FROM documents GROUP BY 1"),

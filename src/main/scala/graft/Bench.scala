@@ -22,9 +22,24 @@ object Bench {
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    // Per-query timeout: one pathological query must not stall the whole
+    // round artifact. Cancellation is cooperative (Spark jobs are
+    // interruptible at task boundaries); the timed-out query records its
+    // elapsed wall time and the grid moves on.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+      try Await.result(Future { fn(spark, sfDir).count(); () }, timeoutSec.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
+        case _: Throwable => ()
+      } finally spark.sparkContext.clearJobGroup()
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -32,14 +32,21 @@ object Bench {
     import scala.concurrent.duration._
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-      try Await.result(Future { fn(spark, sfDir).count(); () }, timeoutSec.seconds)
+      // job group must be set on the thread that SUBMITS the jobs (it is
+      // thread-local) — i.e. inside the Future — while the cancel-by-name
+      // from the main thread reaches it cross-thread
+      val work = Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try { fn(spark, sfDir).count(); () }
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try Await.result(work, timeoutSec.seconds)
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
         case _: Throwable => ()
-      } finally spark.sparkContext.clearJobGroup()
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -23,18 +23,22 @@ object Verify {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
     SparkEntry.queries.foreach { case (name, fn) =>
-      spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-      try Await.result(Future {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // job group set inside the Future: it is thread-local to the
+      // submitting thread; the timeout path cancels by name cross-thread
+      val work = Future {
+        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-      }, timeoutSec.seconds)
+        finally spark.sparkContext.clearJobGroup()
+      }
+      try Await.result(work, timeoutSec.seconds)
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally spark.sparkContext.clearJobGroup()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -373,6 +373,97 @@ object Similarity {
       .select(F.col("qid"), F.col("cid"), F.col("cos_sim"), F.col("rn"))
   }
 
+  /** Product-quantization codebooks: the vector space is split into `m`
+    * contiguous subspaces of dim/m dimensions; each subspace gets its own
+    * `k`-centroid codebook (deterministic Lloyd, like the IVF coarse
+    * quantizer). A vector then compresses to `m` small code indices —
+    * 8 bytes for m=8 — which is what makes billion-vector candidate
+    * scoring RAM-resident at 100 TB scale. Model size m·k·(dim/m) doubles
+    * (driver-held, broadcast into expressions). */
+  def trainPqCodebooks(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 3,
+      dim: Int = 64): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    (0 until m).map { s =>
+      val slice = embeddings.select(
+        F.col(idCol).as(idCol),
+        F.slice(F.col(vecCol), s * sub + 1, sub).as("v"))
+      trainIvfCentroids(slice, idCol, "v", k, iters, sub)
+    }.toArray
+  }
+
+  /** Per-subspace nearest-codeword index (squared-L2 argmin), emitted as
+    * `pq_code` array<int>. Pure column algebra over the broadcast
+    * codebooks — a map-only encode stage. */
+  def pqEncode(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codeCols = (0 until m).map { s =>
+      val sl = F.slice(F.col(vecCol), s * sub + 1, sub)
+      val dists = F.array(codebooks(s).map { cw =>
+        F.aggregate(
+          F.zip_with(sl, F.typedlit(cw.toSeq), (x, y) => {
+            val d = x.cast("double") - y; d * d
+          }),
+          F.lit(0.0), (acc, x) => acc + x)
+      }.toSeq: _*)
+      (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    }
+    embeddings.select(F.col(idCol), F.col(vecCol),
+      F.array(codeCols: _*).as("pq_code"))
+  }
+
+  /** Asymmetric-distance (ADC) approximate top-k: queries keep their RAW
+    * vector; candidates are scored from their compressed codes via
+    * per-query lookup tables — table[s][c] = <query_s, codeword_sc> is
+    * computed ONCE per query row (m·k small dots), then each candidate
+    * costs m array lookups instead of a dim-wide dot. The classic
+    * memory/compute trade: ~dim/m× less score work and 4·dim/m× less
+    * candidate storage, for approximation error bounded by quantization
+    * distortion (recall-gated in AnnRecallSpec). */
+  def pqTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      k: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val coded = pqEncode(embeddings, idCol, vecCol, codebooks)
+      .select(F.col(idCol).as("cid"), F.col("pq_code"))
+    // per-query ADC tables: one flat array of m·k dots, indexed s·k + c
+    val tables = F.array((0 until m).flatMap { s =>
+      val qs = F.slice(F.col(vecCol), s * sub + 1, sub)
+      codebooks(s).map { cw =>
+        F.aggregate(
+          F.zip_with(qs, F.typedlit(cw.toSeq), (x, y) => x.cast("double") * y),
+          F.lit(0.0), (acc, x) => acc + x)
+      }
+    }: _*)
+    val kC = codebooks.head.length
+    val q = queries.select(F.col(idCol).as("qid"), tables.as("__adc"))
+    val score = (0 until m).map(s =>
+      F.element_at(F.col("__adc"),
+        F.lit(s * kC + 1) + F.element_at(F.col("pq_code"), s + 1))).reduce(_ + _)
+    val w = Window.partitionBy(F.col("qid")).orderBy(F.col("pq_dot").desc, F.col("cid").asc)
+    coded.crossJoin(F.broadcast(q))
+      .filter(F.col("qid") =!= F.col("cid"))
+      .withColumn("pq_dot", score)
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= k)
+      .select(F.col("qid"), F.col("cid"), F.col("pq_dot"), F.col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (a < b) within seeded
     * random-hyperplane LSH buckets. */
   def nearDupPairs(

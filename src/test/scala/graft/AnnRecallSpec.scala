@@ -67,6 +67,48 @@ class AnnRecallSpec extends SparkSpec {
     multi should be > single * 2
   }
 
+  it("PQ-compressed ADC scoring tracks the exact dot ranking (8 bytes/vector)") {
+    import graft.functions.VectorFunctions.{fvDot => ndot}
+    val cb = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+    // exact-dot baseline (PQ approximates the dot, not the cosine)
+    val q = emb.select(F.col("vec_id").as("qid"), F.col("embedding").as("qv"))
+    val exactDot = emb.select(F.col("vec_id").as("cid"), F.col("embedding").as("cv"))
+      .crossJoin(F.broadcast(q)).filter(F.col("qid") =!= F.col("cid"))
+      .withColumn("d", ndot(F.col("qv"), F.col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("qid")).orderBy(F.col("d").desc, F.col("cid").asc)
+    val exactTop = topkSets(exactDot
+      .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+      .select("qid", "cid"))
+    val pqTop = topkSets(
+      Similarity.pqTopK(emb, emb, "vec_id", "embedding", cb, k = 3).select("qid", "cid"))
+    val recall = {
+      val per = exactTop.map { case (qid, truth) =>
+        pqTop.get(qid).map(f => (f intersect truth).size.toDouble / truth.size).getOrElse(0.0)
+      }
+      per.sum / per.size
+    }
+    // approximation error of the ADC dot vs the exact dot
+    val err = Similarity.pqTopK(emb, emb, "vec_id", "embedding", cb, k = 3)
+      .join(exactDot.select(F.col("qid"), F.col("cid"), F.col("d")), Seq("qid", "cid"))
+      .agg(F.avg(F.abs(F.col("pq_dot") - F.col("d"))).as("mae"),
+        F.avg(F.abs(F.col("d"))).as("scale")).collect()(0)
+    info(f"PQ(m=8,k=16) recall@3 vs exact dot = $recall%.3f; ADC MAE = ${err.getDouble(0)}%.3f vs |dot| scale ${err.getDouble(1)}%.3f")
+    recall should be > 3.0 / 500 * 3 // far above random
+    // the production shape: PQ is the cheap FIRST stage — retrieve a wider
+    // candidate set from codes, then exact-rerank just those
+    val pqTop50 = topkSets(
+      Similarity.pqTopK(emb, emb, "vec_id", "embedding", cb, k = 50).select("qid", "cid"))
+    val twoStage = {
+      val per = exactTop.map { case (qid, truth) =>
+        pqTop50.get(qid).map(c => (c intersect truth).size.toDouble / truth.size).getOrElse(0.0)
+      }
+      per.sum / per.size
+    }
+    info(f"PQ top-50 filter + exact rerank recall@3 = $twoStage%.3f at 10%% of exact scoring cost")
+    twoStage should be >= 0.6
+  }
+
   it("trained IVF with nprobe=3 reaches recall@3 >= 0.5 and beats the untrained seed cells") {
     val untrained = recallOf(topkSets(
       Similarity.ivfTopK(emb, "vec_id", "embedding", nCentroids = 8, k = 3).select("qid", "cid")))

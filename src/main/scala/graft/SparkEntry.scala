@@ -44,6 +44,16 @@ object SparkEntry {
       .withColumn("guid", F.col("event_id").cast("string"))
       .withColumn("created_at", F.col("ts"))
 
+  /** Trained-model stashes for oracle literal embedding. The q_ivf_* query
+    * closures train on the sfDir they are invoked with, snap the model to
+    * fixed precision ([[Similarity.snapCentroids]]), search with the
+    * snapped model, and stash it here; `oracleSql` — which Verify dumps
+    * AFTER running every query — embeds the SAME doubles as SQL literals,
+    * so both engines score one identical model (the gaussianPlanes
+    * pattern, applied to a trained model). */
+  @volatile private var ivfCentroidsStash: Option[Array[Array[Double]]] = None
+  @volatile private var pqModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+
   private val shipperName = "cf-audit-events-to-splunk"
   private val cursorTs = Timestamp.from(Instant.parse("2024-01-15T00:00:00Z"))
   private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -363,11 +373,12 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
-    // maxDf = 20: stop-phrase shingles (df > 20) are suppressed from the
-    // Jaccard universe — they carry ~no signal and cost df² pair rows
+    // The composed production recipe: MinHash-LSH candidates, then exact
+    // Jaccard computed ONLY on candidate pairs over a semi-join-pruned
+    // shingle frame (the df-capped all-pairs jaccardPairs stays in the
+    // library for exhaustive sweeps).
     "q_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(
-        Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text"), 0.05, maxDf = 20L)),
+      Dedup.jaccardVerifiedCandidates(t(s, dir, "documents"), "doc_id", "text", 0.05)),
 
     // --- training-data pipeline: similarity search (embeddings) ---
     "q_embed_topk" -> ((s, dir) => {
@@ -383,9 +394,29 @@ object SparkEntry {
         .withColumn("rn", F.col("rn").cast("long"))),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", nbits = 8, 0.2)),
-    "q_ivf_ann" -> ((s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 8, k = 3)
-        .withColumn("rn", F.col("rn").cast("long"))),
+    // PRODUCTION IVF path: Lloyd-trained coarse centroids snapped to 6
+    // decimals (train→snap→serve), nprobe=3 multi-cell probing. The snapped
+    // model is stashed so `oracleSql` — dumped by Verify AFTER the queries
+    // ran — embeds the SAME doubles as literals in the DuckDB mirror.
+    "q_ivf_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.snapCentroids(
+        Similarity.trainIvfCentroids(e, "vec_id", "embedding", kC = 8))
+      ivfCentroidsStash = Some(cents)
+      Similarity.ivfProbeTopK(e, "vec_id", "embedding", cents, nprobe = 3, k = 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    }),
+    // The composed billion-vector recipe: IVF cells -> PQ/ADC compressed
+    // scoring within probed cells -> exact rerank of the ADC shortlist.
+    "q_ivf_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cents, books) = Similarity.trainIvfPqModel(
+        e, "vec_id", "embedding", nCentroids = 8, m = 16, kCodes = 16)
+      pqModelStash = Some((cents, books))
+      Similarity.ivfPqTopKWithModel(e, "vec_id", "embedding", cents, books,
+        nprobe = 5, shortlist = 24, k = 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    }),
 
     // --- training-data pipeline: text analysis (documents) ---
     "q_text_langid" -> ((s, dir) =>
@@ -420,11 +451,14 @@ object SparkEntry {
     "q_mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"), stride = 5)),
-    // Stubbed decode (mapPartitions batch plumbing) — not SQL-expressible;
-    // driver records the weaker rows-only check.
+    // REAL codec round-trip: deterministic rasters -> genuine PNG bytes
+    // (javax.imageio encode, mapPartitions) -> genuine PNG decode + feature
+    // extraction (mapPartitions). PNG is lossless and the pixels are a pure
+    // function of (id, x, y), so the oracle computes the decoded checksum
+    // analytically without ever touching PNG.
     "q_mm_decode" -> ((s, dir) =>
-      Multimodal.decodeFeatures(
-        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))),
+      Multimodal.decodeImage(
+        Multimodal.pngPayloads(t(s, dir, "documents"), "doc_id"))),
 
     // --- training-data pipeline: dataset shaping (documents) ---
     // Group-wise feature normalization (z-score per source) — the
@@ -575,6 +609,18 @@ object SparkEntry {
       "pos AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS i FROM toks WHERE len(arr) >= 3), " +
       "sh AS (SELECT DISTINCT doc_id, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || arr[CAST(i AS INT) + 2] AS shingle FROM pos)"
 
+  /** MinHash banding CTE chain (shingles -> 8 seeded min-hashes -> 4
+    * two-row bands) + the distinct candidate-pair select — shared by the
+    * q_dedup_minhash oracle and the candidates->Jaccard-verify oracle. */
+  private val minhashBandsCtes: String =
+    docShinglesCtes + ", " +
+      "seeded AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS j FROM sh), " +
+      "sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h FROM seeded GROUP BY doc_id, j), " +
+      "bands AS (SELECT doc_id, CAST(j // 2 AS INT) AS band, md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bkey FROM sig GROUP BY doc_id, CAST(j // 2 AS INT))"
+
+  private val minhashCandSelect: String =
+    "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"
+
   private def cosineOracle(pairsCte: String): String =
     pairsCte +
       ", terms AS (SELECT qid, cid, qv, cv, unnest(range(1, 65)) AS i FROM pairs), " +
@@ -609,6 +655,73 @@ object SparkEntry {
     // per CTE reference (32 references after the union expansion)
     s"WITH b AS MATERIALIZED (SELECT vec_id AS id, embedding AS v, ${bucketCols.mkString(", ")} FROM embeddings), " +
       s"pairs AS ($unions)"
+  }
+
+  /** Shared IVF assignment CTE chain over snapped-centroid literals:
+    * base → cent (VALUES of the stashed model) → per-(vector, centroid)
+    * rounded cosine → per-vector affinity rank `crn`. Mirrors the
+    * assignment half of [[Similarity.ivfProbeTopK]]. */
+  private def ivfAssignCtes(cents: Array[Array[Double]]): String = {
+    val values = cents.zipWithIndex
+      .map { case (v, c) => s"($c, CAST([${v.mkString(", ")}] AS DOUBLE[]))" }
+      .mkString(", ")
+    "WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
+      s"cent AS (SELECT * FROM (VALUES $values) AS t(centroid, cvec)), " +
+      "aterms AS (SELECT id, centroid, v, cvec, unnest(range(1, 65)) AS i FROM base, cent), " +
+      "adots AS (SELECT id, centroid, " +
+      "sum(CAST(v[CAST(i AS INT)] AS DOUBLE) * cvec[CAST(i AS INT)]) AS dot, " +
+      "sum(CAST(v[CAST(i AS INT)] AS DOUBLE) * CAST(v[CAST(i AS INT)] AS DOUBLE)) AS vv, " +
+      "sum(cvec[CAST(i AS INT)] * cvec[CAST(i AS INT)]) AS cc " +
+      "FROM aterms GROUP BY id, centroid), " +
+      "asim AS (SELECT id, centroid, round(dot / (sqrt(vv) * sqrt(cc)), 4) AS sim FROM adots), " +
+      "arank AS (SELECT id, centroid AS cell, row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid) AS crn FROM asim)"
+  }
+
+  /** Trained-IVF nprobe pairs CTE: index cells at crn=1, probe cells at
+    * crn<=nprobe, pair within cell. Mirrors [[Similarity.ivfProbeTopK]]. */
+  private def ivfProbePairsCte(cents: Array[Array[Double]], nprobe: Int): String =
+    ivfAssignCtes(cents) + ", " +
+      "cells AS (SELECT r.id AS cid, b.v AS cv, r.cell FROM arank r JOIN base b ON b.id = r.id WHERE r.crn = 1), " +
+      s"probes AS (SELECT r.id AS qid, b.v AS qv, r.cell FROM arank r JOIN base b ON b.id = r.id WHERE r.crn <= $nprobe), " +
+      "pairs AS (SELECT p.qid, c.cid, p.qv, c.cv FROM probes p JOIN cells c ON p.cell = c.cell AND p.qid <> c.cid)"
+
+  /** Full IVF+PQ oracle: cell assignment (shared CTEs) → per-candidate PQ
+    * encode (unrolled argmin over codeword squared distances) → per-probe
+    * ADC tables (unrolled dots) → ADC-scored shortlist → exact-cosine
+    * rerank. Every arithmetic chain is left-associated in index order, so
+    * each double is bit-identical to the Spark side's sequential
+    * `aggregate` accumulation over the SAME snapped literals. */
+  private def ivfPqOracle(
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nprobe: Int,
+      shortlist: Int): String = {
+    val m = books.length
+    val kC = books.head.length
+    val sub = books.head.head.length
+    def elem(vec: String, s: Int, j: Int) = s"CAST($vec[${s * sub + j + 1}] AS DOUBLE)"
+    def distExpr(s: Int, c: Int) = books(s)(c).zipWithIndex.map { case (w, j) =>
+      val x = elem("cv", s, j); s"(($x - ($w)) * ($x - ($w)))"
+    }.mkString(" + ")
+    def codeExpr(s: Int) = {
+      val dl = (0 until kC).map(c => distExpr(s, c)).mkString("[", ", ", "]")
+      s"(list_position($dl, list_min($dl)) - 1)"
+    }
+    val pqCode = (0 until m).map(codeExpr).mkString("[", ", ", "]")
+    def adcEntry(s: Int, c: Int) = books(s)(c).zipWithIndex.map { case (w, j) =>
+      s"${elem("qv0", s, j)} * ($w)"
+    }.mkString(" + ")
+    val adc = (0 until m).flatMap(s => (0 until kC).map(c => adcEntry(s, c)))
+      .mkString("[", ", ", "]")
+    val score = (0 until m)
+      .map(s => s"p.adc[${s * kC + 1} + c.pq_code[${s + 1}]]").mkString(" + ")
+    cosineOracle(ivfAssignCtes(cents) + ", " +
+      "cells AS (SELECT r.id AS cid, b.v AS cv, r.cell FROM arank r JOIN base b ON b.id = r.id WHERE r.crn = 1), " +
+      s"coded AS (SELECT cid, cell, $pqCode AS pq_code FROM cells), " +
+      s"probes AS (SELECT r.id AS qid, b.v AS qv0, r.cell, $adc AS adc FROM arank r JOIN base b ON b.id = r.id WHERE r.crn <= $nprobe), " +
+      s"adcsc AS (SELECT p.qid, c.cid, p.qv0 AS qv1, $score AS pq_dot FROM probes p JOIN coded c ON p.cell = c.cell AND p.qid <> c.cid), " +
+      s"short AS (SELECT qid, qv1, cid FROM (SELECT qid, qv1, cid, row_number() OVER (PARTITION BY qid ORDER BY pq_dot DESC, cid) AS srn FROM adcsc) WHERE srn <= $shortlist), " +
+      "pairs AS (SELECT s.qid, s.cid, s.qv1 AS qv, b.v AS cv FROM short s JOIN base b ON b.id = s.cid)")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -735,22 +848,18 @@ object SparkEntry {
     "q_dedup_exact_docs" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     "q_dedup_minhash" ->
-      ("WITH " + docShinglesCtes + ", " +
-        "seeded AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS j FROM sh), " +
-        "sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h FROM seeded GROUP BY doc_id, j), " +
-        "bands AS (SELECT doc_id, CAST(j // 2 AS INT) AS band, md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bkey FROM sig GROUP BY doc_id, CAST(j // 2 AS INT)) " +
-        "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"),
+      ("WITH " + minhashBandsCtes + " " + minhashCandSelect),
     "q_dedup_simhash" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "bits AS (SELECT doc_id, md5(tok) AS h, unnest(range(1, 17)) AS i FROM toks), " +
         "scored AS (SELECT doc_id, i, CAST(sum(CASE WHEN substr(h, CAST(i AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s FROM bits GROUP BY doc_id, i) " +
         "SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT) ELSE 0 END) AS BIGINT) AS simhash FROM scored GROUP BY doc_id"),
     "q_dedup_jaccard" ->
-      ("WITH " + docShinglesCtes + ", " +
-        "dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle), " +
-        "kept AS (SELECT s.doc_id, s.shingle FROM sh s JOIN dfc USING (shingle) WHERE dfc.df <= 20), " +
-        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM kept GROUP BY doc_id), " +
-        "shared_c AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS shared FROM kept x JOIN kept y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY x.doc_id, y.doc_id) " +
+      ("WITH " + minhashBandsCtes + ", " +
+        s"cands AS ($minhashCandSelect), " +
+        "sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id), " +
+        "shared_c AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS shared FROM cands c " +
+        "JOIN sh x ON x.doc_id = c.a JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle GROUP BY c.a, c.b) " +
         "SELECT s.a, s.b, s.shared, round(CAST(s.shared AS DOUBLE) / CAST(sa.sz + sb.sz - s.shared AS DOUBLE), 4) AS jaccard " +
         "FROM shared_c s JOIN sizes sa ON s.a = sa.doc_id JOIN sizes sb ON s.b = sb.doc_id " +
         "WHERE round(CAST(s.shared AS DOUBLE) / CAST(sa.sz + sb.sz - s.shared AS DOUBLE), 4) >= 0.05"),
@@ -760,21 +869,16 @@ object SparkEntry {
         "c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings), " +
         "pairs AS (SELECT qid, cid, qv, cv FROM q JOIN c ON cid <> qid)"),
     "q_ann_lsh" -> cosineOracle(multiTableLshPairsCte),
-    "q_ivf_ann" -> cosineOracle(
-      "WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings), " +
-        "cent AS (SELECT vec_id AS centroid, embedding AS cvec FROM embeddings WHERE vec_id < 8), " +
-        "ap AS (SELECT id, centroid, v, cvec FROM base, cent), " +
-        "aterms AS (SELECT id, centroid, v, cvec, unnest(range(1, 65)) AS i FROM ap), " +
-        "adots AS (SELECT id, centroid, " +
-        "sum(CAST(v[CAST(i AS INT)] AS DOUBLE) * CAST(cvec[CAST(i AS INT)] AS DOUBLE)) AS dot, " +
-        "sum(CAST(v[CAST(i AS INT)] AS DOUBLE) * CAST(v[CAST(i AS INT)] AS DOUBLE)) AS vv, " +
-        "sum(CAST(cvec[CAST(i AS INT)] AS DOUBLE) * CAST(cvec[CAST(i AS INT)] AS DOUBLE)) AS cc " +
-        "FROM aterms GROUP BY id, centroid), " +
-        "asim AS (SELECT id, centroid, round(dot / (sqrt(vv) * sqrt(cc)), 4) AS sim FROM adots), " +
-        "cells AS (SELECT id, cell FROM (SELECT id, centroid AS cell, " +
-        "row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid) AS crn FROM asim) WHERE crn = 1), " +
-        "cb AS (SELECT c.id, c.cell, b.v FROM cells c JOIN base b ON b.id = c.id), " +
-        "pairs AS (SELECT x.id AS qid, y.id AS cid, x.v AS qv, y.v AS cv FROM cb x JOIN cb y ON x.cell = y.cell AND x.id <> y.id)"),
+    // Trained+snapped IVF nprobe=3 — centroid literals come from the stash
+    // the q_ivf_ann closure filled this run. The fallback (stash unset =
+    // the query never ran, so the row is already failed) keeps the JSON
+    // dump well-formed.
+    "q_ivf_ann" -> ivfCentroidsStash
+      .map(c => cosineOracle(ivfProbePairsCte(c, nprobe = 3)))
+      .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
+    "q_ivf_pq" -> pqModelStash
+      .map { case (c, b) => ivfPqOracle(c, b, nprobe = 5, shortlist = 24) }
+      .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
     "q_embed_neardup" ->
       ("WITH b AS (SELECT vec_id AS id, embedding AS v, " + lshBucketExpr + " AS bucket FROM embeddings), " +
         "pairs AS (SELECT x.id AS a, y.id AS b, x.v AS av, y.v AS bv FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id), " +
@@ -852,15 +956,16 @@ object SparkEntry {
     "q_mm_frames" ->
       ("WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 30 + 1 AS INTEGER) AS n_frames FROM documents) " +
         "SELECT media_id, n_frames, CAST(unnest(range(0, n_frames, 5)) AS INTEGER) AS frame_idx FROM m"),
-    // The decode STUB's fake is fully deterministic (weighted byte
-    // checksum over the ASCII payload), so even the mapPartitions path is
-    // hash-gated — the oracle mirrors the fake byte-for-byte.
+    // Mirrors the REAL PNG encode->decode round-trip analytically: PNG is
+    // lossless, so decoded gray(x, y) == the deterministic generator
+    // (id*31 + x*7 + y*13) % 256, and the position-weighted checksum is a
+    // plain sum over the raster grid.
     "q_mm_decode" ->
-      ("WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i FROM documents) " +
-        "SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes, " +
-        "CAST(sum(ascii(substr(text, CAST(i AS INT), 1)) * (((i - 1) % 31) + 1)) AS BIGINT) AS byte_checksum, " +
-        "CAST(224 AS INTEGER) AS out_width, CAST(224 AS INTEGER) AS out_height " +
-        "FROM pos GROUP BY doc_id, text"),
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 16 + 8 AS BIGINT) AS w, CAST(doc_id % 12 + 8 AS BIGINT) AS h FROM documents), " +
+        "px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM m) " +
+        "SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
+        "CAST(sum(((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256) * (i + 1)) AS BIGINT) AS pix_checksum " +
+        "FROM px GROUP BY doc_id, w, h"),
 
     "q_zscore_by_source" ->
       ("SELECT doc_id, source, n_chars, " +

@@ -22,7 +22,10 @@ object Verify {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    selected.foreach { case (name, fn) =>
       // job group set inside the Future: it is thread-local to the
       // submitting thread; the timeout path cancels by name cross-thread
       val work = Future {

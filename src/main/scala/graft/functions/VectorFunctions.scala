@@ -9,6 +9,15 @@ object VectorFunctions {
   def fvDot(a: Column, b: Column): Column =
     org.apache.spark.sql.graftnative.FloatVectorDot.dot(a, b)
 
+  /** Codegen'd `array<float>` × `array<double>` dot (model vectors —
+    * centroids, codewords, hyperplanes — stay double for oracle parity). */
+  def fdDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftnative.FloatVectorDot.dotD(a, b)
+
+  /** Codegen'd squared L2 distance of `array<float>` to `array<double>`. */
+  def fdDistSq(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftnative.FloatVectorDot.distSq(a, b)
+
   /** Register `fv_dot` on a live session for SQL use. */
   def register(spark: SparkSession): Unit =
     org.apache.spark.sql.graftnative.FloatVectorDot.register(spark)

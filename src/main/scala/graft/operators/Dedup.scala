@@ -163,6 +163,45 @@ object Dedup {
       .select(F.col("a"), F.col("b"), F.col("shared"), F.col("jaccard"))
   }
 
+  /** MinHash-LSH candidates → exact Jaccard verification, composed — the
+    * production near-dup recipe. Candidate pairs come from banded MinHash
+    * collisions ([[minhashCandidates]]: Σ bucket², never all-pairs); the
+    * exact Jaccard is then computed ONLY for candidate pairs, over a
+    * shingle frame semi-join-pruned to the docs that appear in any
+    * candidate. At 100 TB the expensive exact set intersection runs on the
+    * (tiny) candidate set instead of the corpus — the df-capped all-pairs
+    * [[jaccardPairs]] stays available for exhaustive sweeps.
+    *
+    * Set sizes use each doc's FULL shingle set (Jaccard's denominator is
+    * defined on the real sets, not a pruned universe). Output columns
+    * match [[jaccardPairs]]: (a, b, shared, jaccard). */
+  def jaccardVerifiedCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minJaccard: Double,
+      shingleN: Int = 3,
+      k: Int = 8): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleN, k)
+    val sh = wordShingles(df, idCol, textCol, shingleN)
+    val docsInPlay = cands.select(F.col("a").as("doc"))
+      .union(cands.select(F.col("b").as("doc"))).distinct()
+    val pruned = sh.join(docsInPlay, Seq("doc"), "left_semi")
+    val sizes = sh.groupBy(F.col("doc")).agg(F.count(F.lit(1)).as("sz"))
+    val shared = cands
+      .join(pruned.select(F.col("doc").as("a"), F.col("shingle")), "a")
+      .join(pruned.select(F.col("doc").as("b"), F.col("shingle")), Seq("b", "shingle"))
+      .groupBy(F.col("a"), F.col("b")).agg(F.count(F.lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        F.round(F.col("shared").cast("double") /
+          (F.col("sza") + F.col("szb") - F.col("shared")).cast("double"), 4))
+      .filter(F.col("jaccard") >= minJaccard)
+      .select(F.col("a"), F.col("b"), F.col("shared"), F.col("jaccard"))
+  }
+
   /** SimHash fingerprint (`bits` ≤ 16): token t contributes ±1 to bit i
     * according to the top bit of the i-th hex nibble of md5(t); bit i of the
     * fingerprint is 1 iff the signed sum is ≥ 0. Near-duplicates land at

@@ -23,7 +23,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
   * sink). */
 object IncrementalDedup {
 
-  /** Parquet-backed bucket table: (doc long, band int, key string). */
+  /** Parquet-backed bucket table: (doc long, band int, key string,
+    * batch_id long). `batch_id` tags which ingest batch wrote each row, the
+    * handle the replay-stable [[dedupBatchIdempotent]] needs. */
   final class BucketStore(spark: SparkSession, dir: String) {
     private val path = s"$dir/minhash_buckets"
     private def fs = org.apache.hadoop.fs.FileSystem.get(
@@ -31,26 +33,75 @@ object IncrementalDedup {
     def init(): Unit =
       if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
         import spark.implicits._
-        Seq.empty[(Long, Int, String)].toDF("doc", "band", "key").write.parquet(path)
+        Seq.empty[(Long, Int, String, Long)].toDF("doc", "band", "key", "batch_id")
+          .write.parquet(path)
       }
     def buckets: DataFrame = spark.read.parquet(path)
     def append(b: DataFrame): Unit =
-      b.select("doc", "band", "key").write.mode(SaveMode.Append).parquet(path)
+      b.select("doc", "band", "key", "batch_id").write.mode(SaveMode.Append).parquet(path)
   }
 
   /** Returns the batch rows that survive dedup against the store AND
-    * within the batch, and appends their buckets. */
+    * within the batch, and appends their buckets. A replayed batch
+    * collides with its own stored buckets and yields ZERO survivors —
+    * right when the downstream sink dedups at the row level itself (like
+    * the guid-keyed event store). For a blind append sink use
+    * [[dedupBatchIdempotent]], which re-yields the SAME survivors. */
   def dedupBatch(
       batch: DataFrame,
       store: BucketStore,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      k: Int = 8): DataFrame = {
-    val buckets = Dedup.minhashBuckets(batch, idCol, textCol, shingleN, k)
-    // colliding with the stored corpus -> near-dup of something already kept
+      k: Int = 8): DataFrame =
+    dedupCore(batch, store, idCol, textCol, shingleN, k,
+      excludeBatch = None, appendBatchId = -1L)
+
+  /** Replay-STABLE dedup for checkpointed streaming ingest: collision
+    * checks exclude rows this very `batchId` wrote, so re-running a batch
+    * (foreachBatch is at-least-once) deterministically re-yields the SAME
+    * survivor set instead of dropping to zero — which lets the caller pair
+    * it with an overwrite-by-batch-id survivor sink for end-to-end
+    * exactly-once survivors across crash/restart (see
+    * [[graft.streaming.StreamingDedup]]). Re-appended bucket rows are
+    * harmless duplicates (collision checks are semi-joins). */
+  def dedupBatchIdempotent(
+      batch: DataFrame,
+      store: BucketStore,
+      idCol: String,
+      textCol: String,
+      batchId: Long,
+      shingleN: Int = 3,
+      k: Int = 8): DataFrame =
+    dedupCore(batch, store, idCol, textCol, shingleN, k,
+      excludeBatch = Some(batchId), appendBatchId = batchId)
+
+  private def dedupCore(
+      batch: DataFrame,
+      store: BucketStore,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      k: Int,
+      excludeBatch: Option[Long],
+      appendBatchId: Long): DataFrame = {
+    val mh = Dedup.minhashBuckets(batch, idCol, textCol, shingleN, k)
+      .select(F.col("doc").cast("long").as("doc"), F.col("band"), F.col("key"))
+    // an exact-content bucket row (band = -1) for EVERY doc: documents
+    // shorter than the shingle width produce no minhash buckets and would
+    // otherwise pass through every replay unchecked; the exact row also
+    // adds exact-dup suppression to the same pass
+    val exactRow = batch.select(
+      F.col(idCol).cast("long").as("doc"),
+      F.lit(-1).as("band"),
+      F.md5(F.col(textCol)).as("key"))
+    val buckets = mh.unionAll(exactRow)
+    // colliding with the stored corpus -> near-dup of something already
+    // kept (minus this batch's own rows when replay-stability is asked)
+    val corpus = excludeBatch.fold(store.buckets)(b =>
+      store.buckets.filter(F.col("batch_id") =!= b))
     val dupVsStore = buckets
-      .join(store.buckets.select("band", "key"), Seq("band", "key"), "left_semi")
+      .join(corpus.select("band", "key"), Seq("band", "key"), "left_semi")
       .select(F.col("doc")).distinct()
     // in-batch near-dups: keep the smallest id of each candidate pair
     val dupInBatch = Dedup.candidatePairs(buckets)
@@ -66,7 +117,8 @@ object IncrementalDedup {
     // checkpoint pins the rows with no reference to the input path.
     val keptRows = kept.localCheckpoint(true)
     val keptBuckets = buckets.join(
-      keptRows.select(F.col(idCol).as("doc")), Seq("doc"), "left_semi")
+      keptRows.select(F.col(idCol).cast("long").as("doc")), Seq("doc"), "left_semi")
+      .withColumn("batch_id", F.lit(appendBatchId))
     store.append(keptBuckets)
     keptRows
   }

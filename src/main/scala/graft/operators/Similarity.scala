@@ -304,20 +304,14 @@ object Similarity {
     import spark.implicits._
     val base = embeddings
       .select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
-    var cents: Array[(Int, Array[Double])] = base.orderBy("id").limit(kC).collect()
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
+    var cents: Array[Array[Double]] = base.orderBy("id").limit(kC).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
-      val cdf = F.broadcast(cents.toSeq
-        .map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cvec"))
-      // HOF cosine: centroids are array<double>, vectors array<float>;
-      // the native fv_dot is float×float only
-      val byAffinity = Window.partitionBy(F.col("id"))
-        .orderBy(cosineHof(F.col("v"), F.col("cvec")).desc, F.col("cell").asc)
-      val assigned = base.crossJoin(cdf)
-        .withColumn("crn", F.row_number().over(byAffinity))
-        .filter(F.col("crn") === 1)
-        .select(F.col("cell"), F.col("v"))
+      // assignment is an in-row argmax over the current centroids as
+      // LITERALS (unrolled codegen'd dots) — one map-only pass + one
+      // map-side-combinable aggregate per iteration, no crossJoin/window
+      val assigned = base.select(
+        nearestCell(F.col("v"), cents).as("cell"), F.col("v"))
       val dimSums = (0 until dim).map(d =>
         F.sum(F.element_at(F.col("v"), d + 1).cast("double")).as(s"s$d"))
       val stats = assigned.groupBy(F.col("cell"))
@@ -326,21 +320,116 @@ object Similarity {
         .map(r => r.getInt(0) -> (r.getLong(1),
           (0 until dim).map(d => r.getDouble(2 + d)).toArray))
         .toMap
-      cents = cents.map { case (c, old) =>
+      cents = cents.zipWithIndex.map { case (old, c) =>
         stats.get(c) match {
-          case Some((n, sums)) if n > 0 => c -> sums.map(_ / n)
-          case _                        => c -> old
+          case Some((n, sums)) if n > 0 => sums.map(_ / n)
+          case _                        => old
         }
       }
     }
-    cents.map(_._2)
+    cents
   }
 
-  /** IVF with TRAINED centroids and multi-cell probing: vectors are
-    * indexed in their single nearest cell; each QUERY probes its `nprobe`
-    * nearest cells and exact-scores only those cells' members. Cost:
-    * |N|·kC assignment (centroids broadcast) + nprobe/kC of the corpus
-    * compared per query — the knob trading recall for compute. */
+  /** Index-order dot of a float-vector column against a LITERAL double
+    * model vector — the native codegen'd kernel (one tight loop; the
+    * dim-unrolled column-algebra form at dim=64 × kC cells overflows
+    * janino and silently drops the stage to interpreted mode). Value is
+    * bit-identical to the `zip_with`/`aggregate` form. */
+  def dotLit(vec: Column, w: Array[Double]): Column = {
+    import graft.functions.VectorFunctions.fdDot
+    fdDot(vec, F.typedlit(w.toSeq))
+  }
+
+  /** Per-row cell-affinity array: rounded cosine of the vector to each
+    * LITERAL centroid, index = cell id. The row's own norm is computed
+    * once and shared; each centroid's norm folds to a Scala constant
+    * (left-associated like the engine sums, so the same double). */
+  private def cellSims(vec: Column, cents: Array[Array[Double]], scale: Int = 4): Column = {
+    import graft.functions.VectorFunctions.fvDot
+    val vnorm = F.sqrt(fvDot(vec, vec))
+    F.array(cents.map { c =>
+      val cnorm = math.sqrt(c.map(x => x * x).reduceLeft(_ + _))
+      F.round(dotLit(vec, c) / (vnorm * F.lit(cnorm)), scale)
+    }.toSeq: _*)
+  }
+
+  /** Nearest cell id (max rounded cosine, ties to the LOWEST cell — the
+    * first position of the max, identical to `row_number() OVER (ORDER BY
+    * sim DESC, cell ASC) = 1`). Pure in-row argmax: no centroid crossJoin,
+    * no window sort. */
+  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column = {
+    val sims = cellSims(vec, cents)
+    (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+  }
+
+  /** The `nprobe` nearest cell ids as an in-row array, ordered by (sim
+    * DESC, cell ASC). Sort key is (1.0 − sim, cell): rounded sims differ by
+    * ≥ 1e-4 (≫ ulp at 1.0), so `1.0 − sim` preserves distinctness and
+    * order while avoiding −0.0; struct array_sort is field-lexicographic. */
+  private def probeCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
+    val sims = cellSims(vec, cents)
+    val ranked = F.array_sort(F.array(cents.indices.map(c =>
+      F.struct(
+        (F.lit(1.0) - F.element_at(sims, c + 1)).as("d"),
+        F.lit(c).as("cell"))): _*))
+    F.transform(F.slice(ranked, 1, nprobe), e => e.getField("cell"))
+  }
+
+  /** Snap each centroid component to `decimals` decimal places. Snapping is
+    * what makes a TRAINED model oracle-safe: the k-means float means are
+    * engine-private, but once rounded to a fixed decimal precision the
+    * values survive a Double.toString round-trip exactly, so the identical
+    * doubles can be embedded as literals in both engines (the
+    * [[gaussianPlanes]]→[[hyperplaneBucketSql]] pattern, applied to a
+    * trained model instead of a seeded one). */
+  def snapCentroids(cents: Array[Array[Double]], decimals: Int = 6): Array[Array[Double]] = {
+    val p = math.pow(10, decimals)
+    cents.map(_.map(x => math.round(x * p) / p))
+  }
+
+  /** IVF search against an EXPLICIT centroid model (the deploy-time half of
+    * train→snap→serve): vectors are indexed in their single nearest cell;
+    * each QUERY probes its `nprobe` nearest cells and exact-scores only
+    * those cells' members. Cost: |N|·kC assignment (centroids broadcast) +
+    * nprobe/kC of the corpus compared per query — the knob trading recall
+    * for compute. */
+  def ivfProbeTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      nprobe: Int,
+      k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{fvDot => ndot}
+    // norms precomputed once per vector (bit-identical to the per-pair
+    // sqrt — same double, computed once instead of per candidate pair);
+    // cell assignment and probe ranking are in-row argmax/sort over the
+    // literal centroid model — no centroid crossJoin, no window shuffle
+    val base = embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
+      F.sqrt(ndot(F.col(vecCol), F.col(vecCol))).as("nrm"))
+    val cells = base.select(F.col("id").as("cid"), F.col("v").as("cv"),
+      F.col("nrm").as("cn"), nearestCell(F.col("v"), centroids).as("cell"))
+    val probes = base.select(F.col("id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn"),
+      F.explode(probeCells(F.col("v"), centroids, nprobe)).as("cell"))
+    // score in a projection BEFORE the top-k shuffle, so only the slim
+    // (qid, cid, cos_sim) rows — not the dim-wide vectors — go through the
+    // per-query sort. The cell join broadcasts the index side: with a
+    // coarse quantizer of only kC cells, a shuffle join would hash on kC
+    // distinct keys (maximal skew); at larger kC / corpus sizes drop the
+    // hint and pre-partition both sides on cell instead.
+    val scored = probes.join(F.broadcast(cells), "cell")
+      .filter(F.col("qid") =!= F.col("cid"))
+      .select(F.col("qid"), F.col("cid"),
+        F.round(ndot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).as("cos_sim"))
+    val w = Window.partitionBy(F.col("qid")).orderBy(F.col("cos_sim").desc, F.col("cid").asc)
+    scored
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= k)
+      .select(F.col("qid"), F.col("cid"), F.col("cos_sim"), F.col("rn"))
+  }
+
+  /** IVF with TRAINED (Lloyd) centroids, snapped to fixed precision, and
+    * multi-cell probing — train + [[snapCentroids]] + [[ivfProbeTopK]]. */
   def ivfTrainedTopK(
       embeddings: DataFrame,
       idCol: String,
@@ -350,27 +439,9 @@ object Similarity {
       k: Int,
       iters: Int = 3,
       dim: Int = 64): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val cents = trainIvfCentroids(embeddings, idCol, vecCol, nCentroids, iters, dim)
-    val cdf = F.broadcast(cents.zipWithIndex.toSeq
-      .map { case (v, c) => (c, v.toSeq) }.toDF("cell", "cvec"))
-    val base = embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
-    val byAffinity = Window.partitionBy(F.col("id"))
-      .orderBy(cosineHof(F.col("v"), F.col("cvec")).desc, F.col("cell").asc)
-    val ranked = base.crossJoin(cdf)
-      .withColumn("crn", F.row_number().over(byAffinity))
-    val cells = ranked.filter(F.col("crn") === 1)
-      .select(F.col("id").as("cid"), F.col("v").as("cv"), F.col("cell"))
-    val probes = ranked.filter(F.col("crn") <= nprobe)
-      .select(F.col("id").as("qid"), F.col("v").as("qv"), F.col("cell"))
-    val w = Window.partitionBy(F.col("qid")).orderBy(F.col("cos_sim").desc, F.col("cid").asc)
-    probes.join(cells, "cell")
-      .filter(F.col("qid") =!= F.col("cid"))
-      .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
-      .withColumn("rn", F.row_number().over(w))
-      .filter(F.col("rn") <= k)
-      .select(F.col("qid"), F.col("cid"), F.col("cos_sim"), F.col("rn"))
+    val cents = snapCentroids(
+      trainIvfCentroids(embeddings, idCol, vecCol, nCentroids, iters, dim))
+    ivfProbeTopK(embeddings, idCol, vecCol, cents, nprobe, k)
   }
 
   /** Product-quantization codebooks: the vector space is split into `m`
@@ -388,13 +459,51 @@ object Similarity {
       k: Int = 16,
       iters: Int = 3,
       dim: Int = 64): Array[Array[Array[Double]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val sub = dim / m
-    (0 until m).map { s =>
-      val slice = embeddings.select(
-        F.col(idCol).as(idCol),
-        F.slice(F.col(vecCol), s * sub + 1, sub).as("v"))
-      trainIvfCentroids(slice, idCol, "v", k, iters, sub)
-    }.toArray
+    val base = embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+    // init: per-subspace slices of the k lowest-id vectors
+    val seed = base.orderBy("id").limit(k).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, k)((s, c) => seed(c).slice(s * sub, (s + 1) * sub))
+    // ALL m subspaces train in one distributed pass per iteration (2 jobs),
+    // not m separate Lloyd runs (2·m jobs) — at 100 TB the training input
+    // is scanned iters times total, independent of m. Assignment metric is
+    // squared L2 via the native fd_distsq kernel, the SAME metric pqEncode
+    // quantizes with; ties go to the lowest codeword like pqEncode's
+    // array_position-of-min. (256 per-row literal argmins in one generator
+    // overflow janino's 64 KB method limit, so assignment goes through a
+    // broadcast join + window instead.)
+    val exploded = base.select(F.col("id"),
+      F.explode(F.array((0 until m).map(s =>
+        F.struct(F.lit(s).as("s"), F.slice(F.col("v"), s * sub + 1, sub).as("sv"))): _*)).as("e"))
+      .select(F.col("id"), F.col("e.s").as("s"), F.col("e.sv").as("sv"))
+    for (_ <- 0 until iters) {
+      val cdf = F.broadcast(books.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
+      }.toSeq.toDF("s", "cell", "cvec"))
+      val dist = graft.functions.VectorFunctions.fdDistSq(F.col("sv"), F.col("cvec"))
+      val byDist = Window.partitionBy(F.col("s"), F.col("id"))
+        .orderBy(dist.asc, F.col("cell").asc)
+      val assigned = exploded.join(cdf, "s")
+        .withColumn("rn", F.row_number().over(byDist)).filter(F.col("rn") === 1)
+        .select(F.col("s"), F.col("cell"), F.col("sv"))
+      val dimSums = (0 until sub).map(d =>
+        F.sum(F.element_at(F.col("sv"), d + 1).cast("double")).as(s"d$d"))
+      val stats = assigned.groupBy("s", "cell")
+        .agg(F.count(F.lit(1)).as("n"), dimSums: _*)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2),
+          (0 until sub).map(d => r.getDouble(3 + d)).toArray))
+        .toMap
+      books = Array.tabulate(m, k)((s, c) => stats.get((s, c)) match {
+        case Some((n, sums)) if n > 0 => sums.map(_ / n)
+        case _                        => books(s)(c)
+      })
+    }
+    books
   }
 
   /** Per-subspace nearest-codeword index (squared-L2 argmin), emitted as
@@ -405,22 +514,40 @@ object Similarity {
       idCol: String,
       vecCol: String,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import graft.functions.VectorFunctions.fdDistSq
     val m = codebooks.length
     val sub = codebooks.head.head.length
+    // native index-order squared distances (the same doubles as the
+    // zip_with/aggregate form, one codegen'd loop per codeword)
     val codeCols = (0 until m).map { s =>
       val sl = F.slice(F.col(vecCol), s * sub + 1, sub)
-      val dists = F.array(codebooks(s).map { cw =>
-        F.aggregate(
-          F.zip_with(sl, F.typedlit(cw.toSeq), (x, y) => {
-            val d = x.cast("double") - y; d * d
-          }),
-          F.lit(0.0), (acc, x) => acc + x)
-      }.toSeq: _*)
+      val dists = F.array(codebooks(s).map(cw =>
+        fdDistSq(sl, F.typedlit(cw.toSeq))).toSeq: _*)
       (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
     }
-    embeddings.select(F.col(idCol), F.col(vecCol),
-      F.array(codeCols: _*).as("pq_code"))
+    embeddings.withColumn("pq_code", F.array(codeCols: _*))
   }
+
+  /** Per-query ADC lookup tables as ONE flat `array<double>` of m·k dots,
+    * indexed s·k + c: table[s][c] = <query_s, codeword_sc>. Computed once
+    * per query row; each candidate then costs m array lookups. */
+  def adcTables(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    import graft.functions.VectorFunctions.fdDot
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    // native index-order literal dots (one codegen'd loop per entry)
+    F.array((0 until m).flatMap { s =>
+      val sl = F.slice(vec, s * sub + 1, sub)
+      codebooks(s).map(cw => fdDot(sl, F.typedlit(cw.toSeq)))
+    }: _*)
+  }
+
+  /** ADC approximate-dot score of a candidate's `pq_code` against a query's
+    * `__adc` tables: Σ_s table[s][code_s], left-associated (index order). */
+  private def adcScore(m: Int, kC: Int): Column =
+    (0 until m).map(s =>
+      F.element_at(F.col("__adc"),
+        F.lit(s * kC + 1) + F.element_at(F.col("pq_code"), s + 1))).reduce(_ + _)
 
   /** Asymmetric-distance (ADC) approximate top-k: queries keep their RAW
     * vector; candidates are scored from their compressed codes via
@@ -438,30 +565,127 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]],
       k: Int): DataFrame = {
     val m = codebooks.length
-    val sub = codebooks.head.head.length
+    val kC = codebooks.head.length
     val coded = pqEncode(embeddings, idCol, vecCol, codebooks)
       .select(F.col(idCol).as("cid"), F.col("pq_code"))
-    // per-query ADC tables: one flat array of m·k dots, indexed s·k + c
-    val tables = F.array((0 until m).flatMap { s =>
-      val qs = F.slice(F.col(vecCol), s * sub + 1, sub)
-      codebooks(s).map { cw =>
-        F.aggregate(
-          F.zip_with(qs, F.typedlit(cw.toSeq), (x, y) => x.cast("double") * y),
-          F.lit(0.0), (acc, x) => acc + x)
-      }
-    }: _*)
-    val kC = codebooks.head.length
-    val q = queries.select(F.col(idCol).as("qid"), tables.as("__adc"))
-    val score = (0 until m).map(s =>
-      F.element_at(F.col("__adc"),
-        F.lit(s * kC + 1) + F.element_at(F.col("pq_code"), s + 1))).reduce(_ + _)
+    val q = queries.select(F.col(idCol).as("qid"),
+      adcTables(F.col(vecCol), codebooks).as("__adc"))
     val w = Window.partitionBy(F.col("qid")).orderBy(F.col("pq_dot").desc, F.col("cid").asc)
     coded.crossJoin(F.broadcast(q))
       .filter(F.col("qid") =!= F.col("cid"))
-      .withColumn("pq_dot", score)
+      .withColumn("pq_dot", adcScore(m, kC))
       .withColumn("rn", F.row_number().over(w))
       .filter(F.col("rn") <= k)
       .select(F.col("qid"), F.col("cid"), F.col("pq_dot"), F.col("rn"))
+  }
+
+  /** The production billion-vector ANN recipe, composed end-to-end:
+    * IVF coarse cells → PQ/ADC compressed scoring within the probed cells →
+    * exact rerank of a small shortlist. Self-ANN form (every vector is a
+    * query).
+    *
+    *  1. coarse quantize: Lloyd-trained, precision-snapped centroids; every
+    *     vector indexed in its nearest cell (8-byte PQ code, not the raw
+    *     vector, is what the index stores);
+    *  2. probe: each query scans its `nprobe` nearest cells, scoring
+    *     candidates from their codes via per-query ADC tables — m array
+    *     lookups per candidate instead of a dim-wide dot;
+    *  3. rerank: only the ADC top-`shortlist` ids are joined back to raw
+    *     vectors and exactly cosine-scored for the final top-k.
+    *
+    * Cost at scale: |N|·kC assignment + (nprobe/kC)·|N| ADC lookups per
+    * query (compressed-domain, RAM-resident) + `shortlist` exact dots per
+    * query — the only dim-wide work, a fixed fraction (shortlist/|N|) of
+    * brute force. Recall-gated in AnnRecallSpec. */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      nprobe: Int,
+      m: Int,
+      kCodes: Int,
+      shortlist: Int,
+      k: Int,
+      iters: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val (cents, books) =
+      trainIvfPqModel(embeddings, idCol, vecCol, nCentroids, m, kCodes, iters, dim)
+    ivfPqTopKWithModel(embeddings, idCol, vecCol, cents, books, nprobe, shortlist, k)
+  }
+
+  /** Train the full IVF+PQ model (coarse centroids + per-subspace
+    * codebooks), both precision-snapped so the model is literal-embeddable
+    * in any engine ([[snapCentroids]]). */
+  def trainIvfPqModel(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      m: Int,
+      kCodes: Int,
+      iters: Int = 3,
+      dim: Int = 64): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = snapCentroids(
+      trainIvfCentroids(embeddings, idCol, vecCol, nCentroids, iters, dim))
+    val books = trainPqCodebooks(embeddings, idCol, vecCol, m, kCodes, iters, dim)
+      .map(snapCentroids(_))
+    (cents, books)
+  }
+
+  /** [[ivfPqTopK]] against an explicit (centroids, codebooks) model —
+    * the deploy-time half, also what the oracle mirrors literal-for-literal. */
+  def ivfPqTopKWithModel(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int,
+      shortlist: Int,
+      k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{fvDot => ndot}
+    val m = codebooks.length
+    val kC = codebooks.head.length
+    val base = embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
+      F.sqrt(ndot(F.col(vecCol), F.col(vecCol))).as("nrm"))
+    // the index: each vector once, in its nearest cell (in-row argmax over
+    // the literal centroids), as an m-byte code — small enough to
+    // broadcast (that is the POINT of PQ compression)
+    val coded = pqEncode(
+      base.select(F.col("id"), F.col("v"), nearestCell(F.col("v"), centroids).as("cell")),
+      "id", "v", codebooks)
+      .select(F.col("id").as("cid"), F.col("cell"), F.col("pq_code"))
+    // per-query ADC tables computed ONCE per query (N rows, m·kC doubles
+    // each) and BROADCAST as a join build side — candidate rows never carry
+    // the 2 KB table array; they stream through with just the m-byte code
+    val qtab = base.select(F.col("id").as("qid"),
+      adcTables(F.col("v"), codebooks).as("__adc"))
+    val probes = base.select(F.col("id").as("qid"),
+      F.explode(probeCells(F.col("v"), centroids, nprobe)).as("cell"))
+    // ADC-score in a map-side projection (two fused broadcast joins), so
+    // the per-query shortlist sort shuffles only (qid, cid, pq_dot) — the
+    // table arrays and raw vectors never enter an exchange
+    val adcScored = probes.join(F.broadcast(coded), "cell")
+      .filter(F.col("qid") =!= F.col("cid"))
+      .join(F.broadcast(qtab), "qid")
+      .select(F.col("qid"), F.col("cid"), adcScore(m, kC).as("pq_dot"))
+    val wShort = Window.partitionBy(F.col("qid")).orderBy(F.col("pq_dot").desc, F.col("cid").asc)
+    val short = adcScored
+      .withColumn("srn", F.row_number().over(wShort))
+      .filter(F.col("srn") <= shortlist)
+      .select(F.col("qid"), F.col("cid"))
+    // exact rerank: only the ADC top-`shortlist` ids get the dim-wide
+    // cosine (precomputed norms; candidate side broadcast)
+    val wK = Window.partitionBy(F.col("qid")).orderBy(F.col("cos_sim").desc, F.col("cid").asc)
+    short
+      .join(base.select(F.col("id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn")), "qid")
+      .join(F.broadcast(base.select(F.col("id").as("cid"), F.col("v").as("cv"), F.col("nrm").as("cn"))), "cid")
+      .select(F.col("qid"), F.col("cid"),
+        F.round(ndot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).as("cos_sim"))
+      .withColumn("rn", F.row_number().over(wK))
+      .filter(F.col("rn") <= k)
+      .select(F.col("qid"), F.col("cid"), F.col("cos_sim"), F.col("rn"))
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b) within seeded

@@ -29,7 +29,12 @@ final case class CfAuthConfig(
   *     public `cf:` client like go-cfclient), client_credentials grant
   *     otherwise;
   *  3. cache the access token until `expires_in` (minus a 60 s skew);
-  *     `invalidate()` forces a refresh (used by the 401-retry path).
+  *     `invalidate()` forces a refresh (used by the 401-retry path);
+  *  4. when the grant response carried a `refresh_token`, expiry renews via
+  *     `grant_type=refresh_token` — the wire protocol go-cfclient's oauth2
+  *     TokenSource uses (UAA policies often rate-limit password grants much
+  *     harder than refreshes) — falling back to the full grant if the
+  *     refresh is rejected (expired/rotated refresh token).
   *
   * Thread-safe: the collector loop and async producer share one instance.
   */
@@ -41,6 +46,7 @@ final class UaaAuthenticator(
   private val mapper = new ObjectMapper()
   @volatile private var cached: Option[(String, Long)] = None // (token, expiresAtMillis)
   @volatile private var tokenEndpoint: Option[String] = None
+  @volatile private var refreshTok: Option[String] = None
 
   private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
 
@@ -56,30 +62,52 @@ final class UaaAuthenticator(
     ep
   }
 
-  private def fetchToken(): (String, Long) = {
+  /** POST one token-grant body. `lenient` (the refresh-grant attempt)
+    * reports failure as None so the caller can fall back; the primary
+    * grant keeps throwing with the reference's error vocabulary. */
+  private def postToken(body: String, lenient: Boolean): Option[(String, Long)] = {
     val (basicUser, basicPass) =
       if (cfg.username.nonEmpty && cfg.clientId.isEmpty) ("cf", "") // go-cfclient default client
       else (cfg.clientId, cfg.clientSecret)
-    val body =
-      if (cfg.username.nonEmpty)
-        s"grant_type=password&username=${enc(cfg.username)}&password=${enc(cfg.password)}"
-      else "grant_type=client_credentials"
     val basic = Base64.getEncoder.encodeToString(s"$basicUser:$basicPass".getBytes("UTF-8"))
     val r = http.post(s"${discoverTokenEndpoint()}/oauth/token", body, Map(
       "Authorization" -> s"Basic $basic",
       "Content-Type" -> "application/x-www-form-urlencoded",
       "Accept" -> "application/json"))
-    if (r.status != 200)
-      throw new RuntimeException(s"token exchange failed with status code ${r.status}")
-    val root = mapper.readTree(r.body)
-    val tokenNode = root.get("access_token")
-    if (tokenNode == null || tokenNode.isNull)
-      throw new RuntimeException(s"token response carries no access_token: ${r.body.take(200)}")
-    // default generously when expires_in is absent: a tiny default minus
-    // the 60 s skew would expire immediately and disable the cache,
-    // silently doubling the UAA request rate (one exchange per page GET)
-    val expiresIn = Option(root.get("expires_in")).map(_.asLong()).getOrElse(300L)
-    (tokenNode.asText(), nowMillis() + (expiresIn - 60L).max(0L) * 1000L)
+    if (r.status != 200) {
+      if (lenient) None
+      else throw new RuntimeException(s"token exchange failed with status code ${r.status}")
+    } else {
+      val root = mapper.readTree(r.body)
+      val tokenNode = root.get("access_token")
+      if (tokenNode == null || tokenNode.isNull) {
+        if (lenient) None
+        else throw new RuntimeException(s"token response carries no access_token: ${r.body.take(200)}")
+      } else {
+        Option(root.get("refresh_token")).filterNot(_.isNull)
+          .foreach(n => refreshTok = Some(n.asText())) // UAA may rotate it
+        // default generously when expires_in is absent: a tiny default minus
+        // the 60 s skew would expire immediately and disable the cache,
+        // silently doubling the UAA request rate (one exchange per page GET)
+        val expiresIn = Option(root.get("expires_in")).map(_.asLong()).getOrElse(300L)
+        Some((tokenNode.asText(), nowMillis() + (expiresIn - 60L).max(0L) * 1000L))
+      }
+    }
+  }
+
+  private def fetchToken(): (String, Long) = {
+    val viaRefresh = refreshTok.flatMap { rt =>
+      try postToken(s"grant_type=refresh_token&refresh_token=${enc(rt)}", lenient = true)
+      catch { case _: Exception => None }
+    }
+    viaRefresh.getOrElse {
+      refreshTok = None // a rejected refresh token is dead; re-grant fully
+      val body =
+        if (cfg.username.nonEmpty)
+          s"grant_type=password&username=${enc(cfg.username)}&password=${enc(cfg.password)}"
+        else "grant_type=client_credentials"
+      postToken(body, lenient = false).get
+    }
   }
 
   def bearerToken(): String = synchronized {

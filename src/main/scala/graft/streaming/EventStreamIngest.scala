@@ -46,6 +46,24 @@ object EventStreamIngest {
         Schemas.emptyToNull(F.col("r.entity.space_guid")).as("space_guid"),
         F.col("r.entity.metadata").as("metadata"))
 
+  /** The shared pipeline tail: any streaming frame with a string `value`
+    * column of page bodies → parse/flatten → dedup-append store. Every
+    * `fromX` source wiring funnels through here — swapping the source
+    * really is the only change. */
+  def fromPageStream(
+      pages: DataFrame,
+      checkpointDir: String,
+      store: EventStore,
+      triggerMillis: Long = 2L * 60 * 1000): StreamingQuery =
+    parsePages(pages).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMillis))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.storeCFAuditEvents(batch)
+        ()
+      }
+      .start()
+
   /** Streaming ingest from a directory of page files into the store. */
   def fromPageFiles(
       spark: SparkSession,
@@ -56,15 +74,23 @@ object EventStreamIngest {
     val pages = spark.readStream
       .option("wholetext", "true") // one file = one page body
       .text(pagesDir)
-    parsePages(pages).writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime(triggerMillis))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.storeCFAuditEvents(batch)
-        ()
-      }
-      .start()
+    fromPageStream(pages, checkpointDir, store, triggerMillis)
   }
+
+  /** Streaming ingest from a Kafka-wire-shaped stream: the input carries
+    * the exact columns `spark-sql-kafka` surfaces for a topic — BINARY
+    * `key`/`value` plus (topic, partition, offset) — and only this select
+    * differs from the file wiring; parse and sink are shared. Point it at
+    * `spark.readStream.format("kafka")...load()` in production; the spec
+    * drives it with a MemoryStream of the same shape. */
+  def fromKafkaShaped(
+      records: DataFrame,
+      checkpointDir: String,
+      store: EventStore,
+      triggerMillis: Long = 2L * 60 * 1000): StreamingQuery =
+    fromPageStream(
+      records.select(F.col("value").cast("string").as("value")),
+      checkpointDir, store, triggerMillis)
 
   /** Watermarked per-minute event-type counts over the parsed stream —
     * the Structured Streaming windowed-agg form (ST1/ST2 analog). */

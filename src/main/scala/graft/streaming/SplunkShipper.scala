@@ -51,6 +51,21 @@ final class SplunkHecClient(
   }
 }
 
+/** Per-executor-JVM HEC client cache: partitions of successive ticks reuse
+  * one client (and therefore its transport's keep-alive connections) per
+  * pool key instead of constructing a fresh client — and re-handshaking
+  * TLS — for every partition of every tick. Keyed by endpoint identity;
+  * `computeIfAbsent` makes racing partitions on the same executor share a
+  * single instance (SplunkHecClient is thread-safe: its only state is
+  * config). */
+object HecClientPool {
+  private val pool = new java.util.concurrent.ConcurrentHashMap[String, SplunkHecClient]()
+  def getOrCreate(key: String, mk: () => SplunkHecClient): SplunkHecClient =
+    pool.computeIfAbsent(key, _ => mk())
+  def size: Int = pool.size
+  private[graft] def clear(): Unit = pool.clear()
+}
+
 /** Egress loop (`pkg/shippers/cf_audit_events_to_splunk_shipper.go`): every
   * tick read the ≤8192 unshipped events in `created_at` order, ship them
   * serially, stop at the first failure, and commit the cursor for the
@@ -153,21 +168,36 @@ final class SplunkShipper(
     * The batch is range-partitioned on (created_at, guid) so partition i
     * holds strictly earlier events than partition i+1; the cursor commits
     * the last event of the longest fully-shipped partition prefix,
-    * preserving prefix semantics at parallel throughput. */
-  def shipPartitionedOnce(parallelism: Int, mkClient: () => SplunkHecClient): (Long, Long) = {
+    * preserving prefix semantics at parallel throughput.
+    *
+    * `postBatchSize > 1` concatenates that many event payloads per POST
+    * (HEC accepts newline-joined event JSON), amortizing the HTTP round
+    * trip exactly like the serial `shipOnce` batched path; a failed POST
+    * still stops that partition's prefix at the last fully-shipped group.
+    * `clientPoolKey` reuses one client per executor JVM across ticks via
+    * [[HecClientPool]] — keep-alive connections survive tick boundaries
+    * instead of re-handshaking every partition × tick. */
+  def shipPartitionedOnce(
+      parallelism: Int,
+      mkClient: () => SplunkHecClient,
+      postBatchSize: Int = 1,
+      clientPoolKey: Option[String] = None): (Long, Long) = {
     val batch = withPayload(store.getUnshippedCFAuditEventsForShipper(shipperName))
       .repartitionByRange(parallelism, F.col("created_at"), F.col("guid"))
       .sortWithinPartitions("created_at", "guid")
     val perPart = batch.select("__payload", "created_at_raw", "guid").rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        val client = mkClient()
+        val client = clientPoolKey.fold(mkClient())(k => HecClientPool.getOrCreate(k, mkClient))
         var shipped = 0L
         var last: Option[(String, String)] = None
         var failed = false
-        while (!failed && it.hasNext) {
-          val r = it.next()
-          client.post(r.getString(0)) match {
-            case Right(_) => shipped += 1; last = Some((r.getString(1), r.getString(2)))
+        val groups = it.grouped(math.max(1, postBatchSize))
+        while (!failed && groups.hasNext) {
+          val g = groups.next()
+          client.post(g.map(_.getString(0)).mkString("\n")) match {
+            case Right(_) =>
+              shipped += g.length
+              last = Some((g.last.getString(1), g.last.getString(2)))
             case Left(_) => failed = true
           }
         }

@@ -100,6 +100,17 @@ object OperatorBench {
     }
     report("dot_kernel", dotHof, dotNative)
 
+    // 5. self-ANN top-3: brute-force all-pairs vs composed IVF+PQ
+    // (train + coarse-probe + ADC shortlist + exact rerank, end to end).
+    // Both emit N·k rows; IVF+PQ trades ~25% recall for doing only
+    // shortlist/N of the dim-wide work — the knob that matters at 100 TB.
+    def annBrute: Long =
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 3).count()
+    def annIvfPq: Long =
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", nCentroids = 8, nprobe = 5,
+        m = 16, kCodes = 16, shortlist = 24, k = 3).count()
+    report("ivf_pq_ann", annBrute, annIvfPq)
+
     spark.stop()
   }
 }

@@ -75,10 +75,36 @@ object PipelineBench {
     }
     val shipSec = (System.nanoTime() - t2) / 1e9
 
+    // Batched + pooled parallel ship: range-partitioned executor POSTs,
+    // 64 events per request, one pooled client per executor JVM — the
+    // scale path's engine cost on a fresh store of the same batch.
+    val wh2 = Files.createTempDirectory("graft-tpbench2").toString
+    val store2 = new ParquetEventStore(spark, wh2)
+    store2.init()
+    store2.storeCFAuditEvents(batch)
+    val shipper2 = new SplunkShipper(store2,
+      new SplunkHecClient(noop, "http://noop", "k", sleep = _ => ()), "bench", new MetricsRegistry)
+    var shipped2 = 0L
+    val t3 = System.nanoTime()
+    ticks = 0
+    last = -1L
+    while (shipped2 < stored && ticks < 200 && last != 0L) {
+      val (s, _) = shipper2.shipPartitionedOnce(
+        cpus.toInt,
+        () => new SplunkHecClient(noop, "http://noop", "k", sleep = _ => ()),
+        postBatchSize = 64,
+        clientPoolKey = Some("bench-hec"))
+      last = s
+      shipped2 += s
+      ticks += 1
+    }
+    val ship2Sec = (System.nanoTime() - t3) / 1e9
+
     println(
       s"""{"events":$n,"stored":$stored,"store_sec":$storeSec,"store_eps":${stored / storeSec},""" +
         s""""redup_stored":$redup,"dedup_sec":$dedupSec,""" +
-        s""""shipped":$shipped,"ship_ticks":$ticks,"ship_sec":$shipSec,"ship_eps":${shipped / shipSec}}""")
+        s""""shipped":$shipped,"ship_ticks":$ticks,"ship_sec":$shipSec,"ship_eps":${shipped / shipSec},""" +
+        s""""par_shipped":$shipped2,"par_ship_sec":$ship2Sec,"par_ship_eps":${shipped2 / ship2Sec}}""")
     spark.stop()
   }
 }

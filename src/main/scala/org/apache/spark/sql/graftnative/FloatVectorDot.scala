@@ -82,10 +82,138 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot of an `array<float>` column against an `array<double>`
+  * (typically a LITERAL model vector — codeword, centroid, hyperplane):
+  * Σ (double)x_i · y_i accumulated in index order. Bit-identical to the
+  * left-associated unrolled product sum and to the zip_with/aggregate HOF,
+  * but one tight codegen'd loop instead of dim inline terms — the unrolled
+  * form at dim=64 × kC cells overflows janino's method limits and silently
+  * drops the whole stage to interpreted mode. */
+case class FloatDoubleVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "fd_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += ((double) $x.getFloat($i)) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native squared L2 distance of an `array<float>` column to an
+  * `array<double>` model vector: Σ ((double)x_i − y_i)² accumulated in
+  * index order — the PQ-encode/train metric, bit-identical to the unrolled
+  * left-associated form. */
+case class FloatDoubleVectorDistSq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "fd_distsq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getFloat(i).toDouble - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ((double) $x.getFloat($i)) - $y.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object FloatVectorDot {
   /** Column-API surface for the native dot product. */
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVectorDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-API surface for the float×double-model dot. */
+  def dotD(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatDoubleVectorDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-API surface for the float-to-double-model squared distance. */
+  def distSq(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatDoubleVectorDistSq(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Register `fv_dot` for SQL use on an existing session. */

@@ -109,6 +109,22 @@ class AnnRecallSpec extends SparkSpec {
     twoStage should be >= 0.6
   }
 
+  it("composed IVF+PQ (cells -> ADC shortlist -> exact rerank) reaches recall@3 >= 0.7 at <= 5% exact comparisons") {
+    val shortlist = 24
+    val approx = topkSets(
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", nCentroids = 8, nprobe = 5,
+        m = 16, kCodes = 16, shortlist = shortlist, k = 3).select("qid", "cid"))
+    val r = recallOf(approx)
+    // the only dim-wide scoring is the rerank: `shortlist` exact dots per
+    // query vs the N-1 of brute force (ADC candidate scoring is m array
+    // lookups per candidate — compressed-domain, not a dim-wide comparison)
+    val exactFrac = shortlist / (nVec - 1)
+    info(f"IVF+PQ (kC=8, nprobe=5, m=16, k=16, shortlist=$shortlist) recall@3 = $r%.3f " +
+      f"at ${exactFrac * 100}%.1f%% exact comparisons")
+    r should be >= 0.7
+    exactFrac should be <= 0.05
+  }
+
   it("trained IVF with nprobe=3 reaches recall@3 >= 0.5 and beats the untrained seed cells") {
     val untrained = recallOf(topkSets(
       Similarity.ivfTopK(emb, "vec_id", "embedding", nCentroids = 8, k = 3).select("qid", "cid")))

@@ -9,7 +9,7 @@ class EntrySpec extends SparkSpec {
     rows.map(_.getAs[Long]("count_order")).sum should be > 1000L
   }
 
-  it("every query is oracle-gated — including the deterministic decode stub") {
+  it("every query is oracle-gated — including the real-codec decode round-trip") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     (o -- q) shouldBe empty

@@ -178,6 +178,40 @@ class FetcherSpec extends SparkSpec {
       pages.head.error.get.getMessage should include("status code 401")
     }
 
+    it("renews via the refresh_token grant on expiry, falling back to the full grant when the refresh is rejected") {
+      var now = 0L
+      class RefreshStub extends StubUaaTransport(Map(api + p1 -> pageBody(Seq("g1"), ""))) {
+        var rejectRefresh = false
+        override def post(url: String, body: String, headers: Map[String, String]): HttpReply = {
+          tokenPosts += ((url, body, headers))
+          if (body.startsWith("grant_type=refresh_token") && rejectRefresh)
+            HttpReply(401, """{"error":"invalid_token"}""")
+          else
+            HttpReply(200,
+              s"""{"access_token":"$currentToken","refresh_token":"rt-1","token_type":"bearer","expires_in":43199}""")
+        }
+      }
+      val stub = new RefreshStub
+      val auth = new UaaAuthenticator(stub, CfAuthConfig(api, username = "admin", password = "pw"),
+        nowMillis = () => now)
+      auth.bearerToken()
+      stub.tokenPosts.head._2 should startWith("grant_type=password")
+      now += (43199L - 60L) * 1000L + 1L // past expires_in - skew
+      auth.bearerToken()
+      stub.tokenPosts.size shouldBe 2
+      stub.tokenPosts(1)._2 shouldBe "grant_type=refresh_token&refresh_token=rt-1"
+      // the refresh grant authenticates with the same client Basic pair
+      stub.tokenPosts(1)._3("Authorization") shouldBe
+        s"Basic ${java.util.Base64.getEncoder.encodeToString("cf:".getBytes("UTF-8"))}"
+      // a rejected refresh (expired/rotated) falls back to the full grant
+      stub.rejectRefresh = true
+      now += (43199L - 60L) * 1000L + 1L
+      auth.bearerToken()
+      stub.tokenPosts.size shouldBe 4
+      stub.tokenPosts(2)._2 should startWith("grant_type=refresh_token")
+      stub.tokenPosts(3)._2 should startWith("grant_type=password")
+    }
+
     it("caches the token until expiry and re-fetches after (60 s skew)") {
       var now = 0L
       val stub = new StubUaaTransport(Map(api + p1 -> pageBody(Seq("g1"), "")))

@@ -22,6 +22,22 @@ final class FakePoster(statuses: Seq[Int]) extends HttpTransport with Serializab
   }
 }
 
+/** JVM-static POST counter: executor task closures are deserialized COPIES
+  * even in local mode, so mutations on a captured transport are invisible
+  * to the driver — a static atomic is the one channel that isn't. */
+object ShipCounters {
+  val posts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Always-200 transport that counts POSTs via [[ShipCounters]]. */
+final class CountingPoster extends HttpTransport with Serializable {
+  def get(url: String, headers: Map[String, String]): HttpReply = throw new UnsupportedOperationException
+  def post(url: String, body: String, headers: Map[String, String]): HttpReply = {
+    ShipCounters.posts.incrementAndGet()
+    HttpReply(200, "ok")
+  }
+}
+
 class StoreAndPipelineSpec extends SparkSpec {
 
   private def newStore() = {
@@ -372,6 +388,44 @@ class StoreAndPipelineSpec extends SparkSpec {
           parallelShipped shouldBe serialShipped // identical prefix accounting
         }
       }
+    }
+
+    it("batched parallel ship (postBatchSize=3) amortizes POSTs with identical delivery") {
+      ShipCounters.posts.set(0)
+      val st = newStore(); seed6(st)
+      val (shipped, failed) = mkShipper(st, new CountingPoster).shipPartitionedOnce(2,
+        () => new SplunkHecClient(new CountingPoster, "https://hec", "KEY", maxRetries = 0, sleep = _ => ()),
+        postBatchSize = 3)
+      (shipped, failed) shouldBe ((6L, 0L))
+      st.cursors.collect()(0).getString(2) shouldBe "g6"
+      ShipCounters.posts.get() shouldBe 2 // one 3-event POST per range partition, not 6
+    }
+
+    it("batched parallel ship stops each partition at its last fully-shipped group and redelivers after heal") {
+      val st = newStore(); seed6(st)
+      val failing = new GuidFailPoster("g5")
+      mkShipper(st, failing).shipPartitionedOnce(2,
+        () => new SplunkHecClient(failing, "https://hec", "KEY", maxRetries = 0, sleep = _ => ()),
+        postBatchSize = 2)
+      // partition 1's first group [g4,g5] fails -> committed prefix is
+      // partition 0's fully-shipped tail (group granularity, like shipOnce)
+      st.cursors.collect()(0).getString(2) shouldBe "g3"
+      val healed = new FakePoster(Seq.fill(10)(200))
+      val (reshipped, f2) = mkShipper(st, healed).shipOnce()
+      (reshipped, f2) shouldBe ((3L, 0L)) // g4..g6, at-least-once, no loss
+      st.cursors.collect()(0).getString(2) shouldBe "g6"
+    }
+
+    it("HecClientPool shares ONE client per key across partitions and ticks") {
+      graft.streaming.HecClientPool.clear()
+      val st = newStore(); seed6(st)
+      val sh = mkShipper(st, new CountingPoster)
+      def mk() = new SplunkHecClient(new CountingPoster, "https://hec", "KEY", maxRetries = 0, sleep = _ => ())
+      sh.shipPartitionedOnce(2, () => mk(), clientPoolKey = Some("hec-pool-test"))
+      sh.shipPartitionedOnce(2, () => mk(), clientPoolKey = Some("hec-pool-test")) // next tick
+      // 2 partitions x 2 ticks all resolved to a single pooled client
+      graft.streaming.HecClientPool.size shouldBe 1
+      st.cursors.collect()(0).getString(2) shouldBe "g6"
     }
 
     it("parallel ship redelivers everything past the committed prefix after the failure heals") {

@@ -62,6 +62,35 @@ class StreamIngestSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  it("ingests a Kafka-wire-shaped record stream through the same parse/sink pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.{functions => F}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-ckpt-k").toString
+    val wh = Files.createTempDirectory("graft-wh-k").toString
+    val store = new ParquetEventStore(spark, wh)
+    store.init()
+    // the exact column shape spark-sql-kafka surfaces for a topic
+    val input = MemoryStream[(String, String)]
+    val records = input.toDS().toDF("k", "v").select(
+      F.col("k").cast("binary").as("key"),
+      F.col("v").cast("binary").as("value"),
+      F.lit("cf-pages").as("topic"),
+      F.lit(0).as("partition"),
+      F.crc32(F.col("v").cast("binary")).as("offset")) // stand-in offset (monotonic id is not streamable)
+    val q = EventStreamIngest.fromKafkaShaped(records, ckpt, store, triggerMillis = 100)
+    try {
+      input.addData(("p1", page(Seq("k1", "k2"))), ("p2", page(Seq("k2", "k3")))) // overlap
+      q.processAllAvailable()
+      store.events.count() shouldBe 3L
+      input.addData(("p3", page(Seq("k3", "k4"))))
+      q.processAllAvailable()
+      store.events.orderBy("id").select("guid").collect().map(_.getString(0)) shouldBe
+        Array("k1", "k2", "k3", "k4")
+    } finally q.stop()
+  }
+
   it("MetricsListener publishes streaming progress into the registry") {
     import graft.metrics.MetricsRegistry
     import graft.streaming.MetricsListener

@@ -379,6 +379,37 @@ object SparkEntry {
     // library for exhaustive sweeps).
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardVerifiedCandidates(t(s, dir, "documents"), "doc_id", "text", 0.05)),
+    // Duplicate CLUSTERS (not just pairs): connected components over the
+    // MinHash candidate graph, every doc labelled with its component's
+    // minimum id — the transitive "keep one representative per group".
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      Dedup.connectedComponents(pairs, docs.select(F.col("doc_id").as("node")))
+        .select(F.col("node").as("doc_id"), F.col("label").as("cluster"))
+    }),
+    // Cluster-aware curation: quality gate -> near-dup CLUSTERS (not just
+    // pairs) over the survivors -> keep each cluster's min-id
+    // representative -> per-source kept counts.
+    "q_curation_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = TextAnalysis.quality(docs, "text")
+        .filter(F.col("stopword_ratio") <= 0.4 && F.col("n_tokens") >= 30)
+        .select("doc_id", "source", "text")
+      val pairs = Dedup.minhashCandidates(quality, "doc_id", "text")
+      val reps = Dedup.connectedComponents(pairs, quality.select(F.col("doc_id").as("node")))
+        .filter(F.col("node") === F.col("label"))
+        .select(F.col("node").as("doc_id"))
+      quality.join(reps, "doc_id")
+        .groupBy("source").agg(F.count(F.lit(1)).as("n_kept"))
+    }),
+    // Symmetric per-vector int8 quantization quality stats (map-only).
+    "q_embed_int8" -> ((s, dir) =>
+      Quantization.int8Symmetric(t(s, dir, "embeddings"), "vec_id", "embedding")),
+    // BM25 lexical relevance against a fixed query-term set.
+    "q_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("join", "vector", "scan"))),
 
     // --- training-data pipeline: similarity search (embeddings) ---
     "q_embed_topk" -> ((s, dir) => {
@@ -604,16 +635,20 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracle
 
-  private val docShinglesCtes: String =
-    "toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
+  private def docShinglesCtesFrom(tbl: String): String =
+    s"toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM $tbl), " +
       "pos AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS i FROM toks WHERE len(arr) >= 3), " +
       "sh AS (SELECT DISTINCT doc_id, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || arr[CAST(i AS INT) + 2] AS shingle FROM pos)"
+
+  private val docShinglesCtes: String = docShinglesCtesFrom("documents")
 
   /** MinHash banding CTE chain (shingles -> 8 seeded min-hashes -> 4
     * two-row bands) + the distinct candidate-pair select — shared by the
     * q_dedup_minhash oracle and the candidates->Jaccard-verify oracle. */
-  private val minhashBandsCtes: String =
-    docShinglesCtes + ", " +
+  private val minhashBandsCtes: String = minhashBandsCtesFrom("documents")
+
+  private def minhashBandsCtesFrom(tbl: String): String =
+    docShinglesCtesFrom(tbl) + ", " +
       "seeded AS (SELECT doc_id, shingle, unnest(range(0, 8)) AS j FROM sh), " +
       "sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h FROM seeded GROUP BY doc_id, j), " +
       "bands AS (SELECT doc_id, CAST(j // 2 AS INT) AS band, md5(max(CASE WHEN j % 2 = 0 THEN h END) || max(CASE WHEN j % 2 = 1 THEN h END)) AS bkey FROM sig GROUP BY doc_id, CAST(j // 2 AS INT))"
@@ -849,6 +884,50 @@ object SparkEntry {
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1",
     "q_dedup_minhash" ->
       ("WITH " + minhashBandsCtes + " " + minhashCandSelect),
+    "q_curation_neardup" ->
+      ("WITH RECURSIVE q AS (SELECT doc_id, source, text, " +
+        "len(string_split(text, ' ')) AS n_tokens, " +
+        "round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stopword_ratio " +
+        "FROM documents), " +
+        "kept AS (SELECT doc_id, source, text FROM q WHERE stopword_ratio <= 0.4 AND n_tokens >= 30), " +
+        minhashBandsCtesFrom("kept") + ", " +
+        s"cands AS ($minhashCandSelect), " +
+        "e AS (SELECT a AS src, b AS dst FROM cands UNION ALL SELECT b AS src, a AS dst FROM cands), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS label FROM kept " +
+        "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node), " +
+        "cl AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node), " +
+        "reps AS (SELECT node AS doc_id FROM cl WHERE node = cluster) " +
+        "SELECT source, count(*) AS n_kept FROM kept JOIN reps USING (doc_id) GROUP BY source"),
+    "q_embed_int8" ->
+      ("WITH t AS (SELECT vec_id, embedding, unnest(range(1, 65)) AS i FROM embeddings), " +
+        "pe AS (SELECT vec_id, max(abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS am FROM t GROUP BY vec_id), " +
+        "sc AS (SELECT vec_id, CASE WHEN am > 0.0 THEN am / 127.0 ELSE 1.0 END AS scale FROM pe), " +
+        "q AS (SELECT t.vec_id, CAST(t.embedding[CAST(t.i AS INT)] AS DOUBLE) AS vi, sc.scale, " +
+        "CAST(greatest(-127.0, least(127.0, round(CAST(t.embedding[CAST(t.i AS INT)] AS DOUBLE) / sc.scale))) AS INT) AS qi " +
+        "FROM t JOIN sc ON t.vec_id = sc.vec_id) " +
+        "SELECT vec_id, round(max(scale), 6) AS scale8, min(qi) AS q_min, max(qi) AS q_max, " +
+        "CAST(sum(CASE WHEN abs(qi) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat, " +
+        "round(sum(abs(vi - qi * scale)) / 64, 6) AS recon_mae " +
+        "FROM q GROUP BY vec_id"),
+    "q_bm25" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "qt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks WHERE term IN ('join', 'vector', 'scan') GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY term), " +
+        "st AS (SELECT count(*) AS n, avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents), " +
+        "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents), " +
+        "p AS (SELECT qt.doc_id, " +
+        "ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s " +
+        "FROM qt JOIN dfreq USING (term) JOIN dl ON dl.doc_id = qt.doc_id, st) " +
+        "SELECT doc_id, round(sum(s), 4) AS bm25 FROM p GROUP BY doc_id"),
+    // Transitive closure via a recursive CTE: min reachable id ==
+    // component minimum on an undirected (symmetrized) edge list.
+    "q_dedup_clusters" ->
+      ("WITH RECURSIVE " + minhashBandsCtes + ", " +
+        s"cands AS ($minhashCandSelect), " +
+        "e AS (SELECT a AS src, b AS dst FROM cands UNION ALL SELECT b AS src, a AS dst FROM cands), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS label FROM documents " +
+        "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node) " +
+        "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node"),
     "q_dedup_simhash" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
         "bits AS (SELECT doc_id, md5(tok) AS h, unnest(range(1, 17)) AS i FROM toks), " +

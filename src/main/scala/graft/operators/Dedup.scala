@@ -202,6 +202,46 @@ object Dedup {
       .select(F.col("a"), F.col("b"), F.col("shared"), F.col("jaccard"))
   }
 
+  /** Connected components over an undirected near-dup pair list: every
+    * node ends up labelled with the MINIMUM id reachable in its component
+    * — the canonical "keep one representative per duplicate CLUSTER"
+    * step (pairwise dedup alone keeps b of a~b, b~c, dropping transitive
+    * duplicates inconsistently).
+    *
+    * Min-label propagation: labels start as the node's own id; each round
+    * every node takes the min of its label and its neighbours' labels;
+    * converges in `diameter` rounds. Near-dup clusters are shallow (a few
+    * hops), so rounds stay single-digit; each round is one join + one
+    * map-side-combinable min-aggregate, and `localCheckpoint` severs the
+    * growing lineage so round N+1's plan does not replay rounds 1..N.
+    * (At extreme diameters you would switch to the alternating
+    * small-star/large-star contraction, which converges in O(log n)
+    * rounds; near-dup graphs do not need it.) */
+  def connectedComponents(
+      pairs: DataFrame,
+      nodes: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(F.col("a").as("src"), F.col("b").as("dst"))
+      .unionAll(pairs.select(F.col("b").as("src"), F.col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(F.col("node"), F.col("node").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = edges.join(labels, F.col("src") === F.col("node"))
+        .select(F.col("dst").as("node"), F.col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy("node").agg(F.min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(F.col("label") =!= F.col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   /** SimHash fingerprint (`bits` ≤ 16): token t contributes ±1 to bit i
     * according to the top bit of the i-th hex nibble of md5(t); bit i of the
     * fingerprint is 1 iff the signed sum is ≥ 0. Near-duplicates land at

@@ -240,11 +240,14 @@ object Similarity {
       .filter(F.col("qid") =!= F.col("cid"))
       .select(F.col("qid"), F.col("cid"))
       .distinct() // a pair can collide in several tables
+    // score in the projection right after the vector re-attach, so the
+    // top-k window sort shuffles only (qid, cid, cos_sim) — not the
+    // dim-wide vectors
     val scored = pairs
       .join(base.select(F.col("id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn")), "qid")
       .join(base.select(F.col("id").as("cid"), F.col("v").as("cv"), F.col("nrm").as("cn")), "cid")
-      .withColumn("cos_sim",
-        F.round(ndot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4))
+      .select(F.col("qid"), F.col("cid"),
+        F.round(ndot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).as("cos_sim"))
     val w = Window.partitionBy(F.col("qid")).orderBy(F.col("cos_sim").desc, F.col("cid").asc)
     scored
       .withColumn("rn", F.row_number().over(w))

@@ -137,6 +137,50 @@ object TextAnalysis {
       .select(F.col(idCol), F.col("term").as("top_term"), F.col("tf"), F.col("df"), F.col("score"))
   }
 
+  /** BM25 lexical relevance of every document against a fixed query-term
+    * set — the classic retrieval scorer, and the lexical half of the
+    * contamination/retrieval toolkit next to the embedding ANN:
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    *   idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *
+    * Plan: one token explode filtered to the query terms (map-side), tiny
+    * per-term df + corpus avgdl aggregates broadcast back — never a full
+    * term×doc matrix. Output: (id, bm25) per document containing ≥1 query
+    * term, rounded to 4 decimals. */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = df.select(F.col(idCol),
+      F.explode(tokArr(F.col(textCol))).as("term"))
+      .filter(F.col("term").isin(terms: _*))
+    val tf = toks.groupBy(F.col(idCol), F.col("term"))
+      .agg(F.count(F.lit(1)).as("tf"))
+    val dfreq = tf.groupBy(F.col("term")).agg(F.count(F.lit(1)).as("df"))
+    val stats = df.agg(
+      F.count(F.lit(1)).as("__n"),
+      F.avg(F.size(tokArr(F.col(textCol))).cast("double")).as("__avgdl"))
+    val dl = df.select(F.col(idCol), F.size(tokArr(F.col(textCol))).cast("double").as("__dl"))
+    val idf = F.log(
+      (F.col("__n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    // association mirrors the oracle SQL exactly: (1.0 - b) folds first,
+    // then (b·dl)/avgdl — identical doubles in both engines
+    val lenNorm = F.lit(1.0 - b) + (F.lit(b) * F.col("__dl")) / F.col("__avgdl")
+    val partial = tf
+      .join(F.broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(F.broadcast(stats))
+      .withColumn("__s",
+        idf * (F.col("tf") * F.lit(k1 + 1.0)) /
+          (F.col("tf") + F.lit(k1) * lenNorm))
+    partial.groupBy(F.col(idCol))
+      .agg(F.round(F.sum(F.col("__s")), 4).as("bm25"))
+  }
+
   /** Document fingerprints: `md5_fp` over the canonicalized text (lower,
     * trimmed) and `pos_fp`, an order-sensitive positional checksum —
     * Σ_i i·(ascii(first char of token_i) + len(token_i)) mod 1000003 — a

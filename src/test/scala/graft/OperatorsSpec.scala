@@ -61,6 +61,16 @@ class OperatorsSpec extends SparkSpec {
       // with maxDf=1 every multi-doc shingle is suppressed -> no pairs at all
       j shouldBe empty
     }
+
+    it("connectedComponents labels every node with its component's minimum id (transitive closure)") {
+      import spark.implicits._
+      // 1-2, 2-3 chain (transitive: 3 never pairs with 1 directly); 5-6; 9 singleton
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+      val nodes = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("node")
+      val cc = Dedup.connectedComponents(pairs, nodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cc shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
+    }
   }
 
   describe("Similarity") {

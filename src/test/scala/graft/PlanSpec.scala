@@ -80,6 +80,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  it("q_ivf_pq broadcasts the compressed index and keeps wide payloads out of the shortlist sort") {
+    val p = plan("q_ivf_pq")
+    // the PQ code index and the per-query ADC tables join as broadcasts
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // the per-query shortlist sort must move only (qid, cid, pq_dot):
+    // no vector or ADC-array column may enter that exchange
+    val shortlistWindows = p.split("\n").filter(_.contains("windowspecdefinition(qid"))
+    shortlistWindows should not be empty
+    val sortLines = p.split("\n").filter(l => l.contains("Sort [") && l.contains("pq_dot"))
+    sortLines.foreach { l =>
+      l should not include "__adc"
+      l should not include "qv"
+    }
+  }
+
   it("semi/anti joins stay joins (no subquery materialization)") {
     plan("q_semi_join") should include("LeftSemi")
     plan("q_anti_join") should include("LeftAnti")

@@ -373,6 +373,9 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
+    // SimHash near-dup pairs via zero-recall-loss pigeonhole banding.
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
     // The composed production recipe: MinHash-LSH candidates, then exact
     // Jaccard computed ONLY on candidate pairs over a semi-join-pruned
     // shingle frame (the df-capped all-pairs jaccardPairs stays in the
@@ -641,6 +644,14 @@ object SparkEntry {
       "sh AS (SELECT DISTINCT doc_id, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || arr[CAST(i AS INT) + 2] AS shingle FROM pos)"
 
   private val docShinglesCtes: String = docShinglesCtesFrom("documents")
+
+  /** SimHash fingerprint CTE chain ending in `fp(doc_id, simhash)` —
+    * shared by the fingerprint oracle and the banded-pairs oracle. */
+  private val simhashCtes: String =
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "bits AS (SELECT doc_id, md5(tok) AS h, unnest(range(1, 17)) AS i FROM toks), " +
+      "scored AS (SELECT doc_id, i, CAST(sum(CASE WHEN substr(h, CAST(i AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s FROM bits GROUP BY doc_id, i), " +
+      "fp AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT) ELSE 0 END) AS BIGINT) AS simhash FROM scored GROUP BY doc_id)"
 
   /** MinHash banding CTE chain (shingles -> 8 seeded min-hashes -> 4
     * two-row bands) + the distinct candidate-pair select — shared by the
@@ -929,10 +940,17 @@ object SparkEntry {
         "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node) " +
         "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node"),
     "q_dedup_simhash" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
-        "bits AS (SELECT doc_id, md5(tok) AS h, unnest(range(1, 17)) AS i FROM toks), " +
-        "scored AS (SELECT doc_id, i, CAST(sum(CASE WHEN substr(h, CAST(i AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s FROM bits GROUP BY doc_id, i) " +
-        "SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT) ELSE 0 END) AS BIGINT) AS simhash FROM scored GROUP BY doc_id"),
+      ("WITH " + simhashCtes + " SELECT doc_id, simhash FROM fp"),
+    // Pigeonhole banding: hamming <= 3 on 16 bits forces exact agreement
+    // on one of 4 four-bit bands — zero-recall-loss candidates, then the
+    // exact popcount verify.
+    "q_dedup_simhash_pairs" ->
+      ("WITH " + simhashCtes + ", " +
+        "bands AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS bi FROM fp), " +
+        "bv AS (SELECT doc_id, simhash, bi, (simhash >> CAST(bi * 4 AS INT)) & 15 AS bval FROM bands), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb " +
+        "FROM bv x JOIN bv y ON x.bi = y.bi AND x.bval = y.bval AND x.doc_id < y.doc_id) " +
+        "SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM cand WHERE bit_count(xor(sa, sb)) <= 3"),
     "q_dedup_jaccard" ->
       ("WITH " + minhashBandsCtes + ", " +
         s"cands AS ($minhashCandSelect), " +

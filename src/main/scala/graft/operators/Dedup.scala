@@ -202,6 +202,39 @@ object Dedup {
       .select(F.col("a"), F.col("b"), F.col("shared"), F.col("jaccard"))
   }
 
+  /** SimHash near-duplicate pairs by pigeonhole banding: the `bits`-bit
+    * fingerprint splits into `maxHamming + 1` bands, and any pair within
+    * Hamming distance `maxHamming` MUST agree exactly on at least one band
+    * (pigeonhole) — so candidates come from band-equality buckets (Σ
+    * bucket², never all-pairs) with zero recall loss, then the exact
+    * Hamming distance filters. The simhash analogue of MinHash banding:
+    * one groupBy for fingerprints, one bucket join, a popcount verify. */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bits: Int = 16): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = bits / nBands
+    val fp = simhash(df, idCol, textCol, bits)
+    val banded = fp.select(F.col("doc"), F.col("simhash"),
+      F.explode(F.array((0 until nBands).map(b =>
+        F.struct(F.lit(b).as("bi"),
+          F.shiftright(F.col("simhash"), b * bandBits)
+            .bitwiseAND((1L << bandBits) - 1).as("bval"))): _*)).as("e"))
+      .select(F.col("doc"), F.col("simhash"), F.col("e.bi").as("bi"), F.col("e.bval").as("bval"))
+    val x = banded.select(F.col("bi"), F.col("bval"), F.col("doc").as("a"), F.col("simhash").as("sa"))
+    val y = banded.select(F.col("bi"), F.col("bval"), F.col("doc").as("b"), F.col("simhash").as("sb"))
+    x.join(y, Seq("bi", "bval"))
+      .filter(F.col("a") < F.col("b"))
+      .select(F.col("a"), F.col("b"), F.col("sa"), F.col("sb"))
+      .distinct() // a pair can agree on several bands
+      .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"))
+      .filter(F.col("hamming") <= maxHamming)
+      .select(F.col("a"), F.col("b"), F.col("hamming"))
+  }
+
   /** Connected components over an undirected near-dup pair list: every
     * node ends up labelled with the MINIMUM id reachable in its component
     * — the canonical "keep one representative per duplicate CLUSTER"

@@ -62,6 +62,13 @@ class OperatorsSpec extends SparkSpec {
       j shouldBe empty
     }
 
+    it("simhashPairs finds exact duplicates at hamming 0 and skips unrelated docs") {
+      val p = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      p should contain key ((1L, 2L)) // identical texts -> identical fingerprints
+      p((1L, 2L)) shouldBe 0
+    }
+
     it("connectedComponents labels every node with its component's minimum id (transitive closure)") {
       import spark.implicits._
       // 1-2, 2-3 chain (transitive: 3 never pairs with 1 directly); 5-6; 9 singleton

@@ -59,6 +59,33 @@ class VectorFunctionsSpec extends SparkSpec {
     out.filter(_.getLong(0) > 0L).foreach(_.isNullAt(1) shouldBe true)
   }
 
+  it("fd_dot / fd_distsq match the unrolled literal arithmetic bit-for-bit") {
+    val w = Array(0.5, -2.25, 1.125, 3.0)
+    val rows = vecs.select(
+      $"embedding",
+      VectorFunctions.fdDot($"embedding", F.typedlit(w.toSeq)).as("d"),
+      VectorFunctions.fdDistSq($"embedding", F.typedlit(w.toSeq)).as("q")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val expDot = v.indices.map(i => v(i).toDouble * w(i)).reduceLeft(_ + _)
+      val expDist = v.indices.map { i => val d = v(i).toDouble - w(i); d * d }.reduceLeft(_ + _)
+      java.lang.Double.doubleToLongBits(r.getDouble(1)) shouldBe
+        java.lang.Double.doubleToLongBits(expDot)
+      java.lang.Double.doubleToLongBits(r.getDouble(2)) shouldBe
+        java.lang.Double.doubleToLongBits(expDist)
+    }
+  }
+
+  it("fd_dot / fd_distsq null out on length mismatch and null inputs") {
+    val w3 = F.typedlit(Seq(1.0, 2.0, 3.0)) // 3-dim model vs 4-dim vectors
+    vecs.select(VectorFunctions.fdDot($"embedding", w3)).collect()
+      .foreach(_.isNullAt(0) shouldBe true)
+    vecs.select(VectorFunctions.fdDistSq($"embedding", w3)).collect()
+      .foreach(_.isNullAt(0) shouldBe true)
+    vecs.select(VectorFunctions.fdDot(F.lit(null).cast("array<float>"), F.typedlit(Seq(1.0))))
+      .collect().foreach(_.isNullAt(0) shouldBe true)
+  }
+
   it("NativeDotRule rewrites the portable HOF dot into the native kernel (Rule[LogicalPlan])") {
     VectorFunctions.installDotRewrite(spark)
     // parquet-backed: a local relation would be constant-folded away

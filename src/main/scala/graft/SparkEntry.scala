@@ -528,6 +528,11 @@ object SparkEntry {
         .groupBy("source")
         .agg(F.array_join(F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ",")
           .as("doc_ids"))),
+    // Temperature resampling (alpha = 0.5): flatten per-source sizes
+    // toward uniform, the multilingual corpus-rebalancing rule.
+    "q_temperature_sample" -> ((s, dir) =>
+      DataShaping.temperatureSample(t(s, dir, "documents"), "source", "doc_id", alpha = 0.5)
+        .groupBy("source").agg(F.count(F.lit(1)).as("n_kept"))),
     "q_split_assign" -> ((s, dir) =>
       DataShaping.splitAssign(t(s, dir, "documents"), "doc_id")
         .groupBy("split").agg(F.count(F.lit(1)).as("n"))),
@@ -1079,6 +1084,13 @@ object SparkEntry {
     "q_string_agg" ->
       ("SELECT source, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids " +
         "FROM documents GROUP BY source"),
+    "q_temperature_sample" ->
+      ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source), " +
+        "m AS (SELECT max(n) AS nmax FROM c), " +
+        "th AS (SELECT source, CASE WHEN round(pow(CAST(n AS DOUBLE) / CAST(nmax AS DOUBLE), 0.5), 6) >= 1.0 THEN 'g' " +
+        "ELSE lpad(lower(hex(CAST(floor(round(pow(CAST(n AS DOUBLE) / CAST(nmax AS DOUBLE), 0.5), 6) * 4294967296.0) AS BIGINT))), 8, '0') END AS thresh FROM c, m) " +
+        "SELECT d.source, count(*) AS n_kept FROM documents d JOIN th ON d.source = th.source " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thresh GROUP BY d.source"),
     "q_split_assign" ->
       ("SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val' " +
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test' ELSE 'train' END AS split, " +

@@ -56,6 +56,35 @@ object DataShaping {
       .filter(F.col("rn") <= cap)
   }
 
+  /** Temperature-based corpus rebalancing — the multilingual-training
+    * resampling rule (keep probability ∝ (n_group / n_max)^α, so α = 1
+    * keeps everything, α → 0 flattens group sizes toward uniform): each
+    * row keeps iff its id-hash falls under its group's threshold.
+    *
+    * Deterministic and engine-reproducible by construction: the keep
+    * probability is rounded to 6 decimals (absorbing libm `pow` ulp
+    * differences between engines), converted to an 8-hex-digit threshold,
+    * and compared lexicographically against the first 8 hex digits of
+    * md5(id) — a fixed-width hex compare IS the numeric compare of a
+    * 32-bit uniform draw, with no float comparison at the boundary.
+    * Plan shape: one tiny per-group count aggregate broadcast back, then a
+    * pure filter (no shuffle of the data itself). */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        alpha: Double): DataFrame = {
+    val counts = df.groupBy(F.col(groupCol)).agg(F.count(F.lit(1)).as("__n"))
+    val nmax = counts.agg(F.max(F.col("__n")).as("__nmax"))
+    val q = F.round(
+      F.pow(F.col("__n").cast("double") / F.col("__nmax").cast("double"), alpha), 6)
+    // q >= 1 (the max group) keeps everything: 'g' sorts above every hex
+    // digit, avoiding the 9-digit hex(2^32) lpad-truncation trap
+    val thresh = F.when(q >= 1.0, F.lit("g")).otherwise(
+      F.lpad(F.lower(F.hex(F.floor(q * 4294967296.0).cast("long"))), 8, "0"))
+    df.join(F.broadcast(counts), groupCol)
+      .crossJoin(F.broadcast(nmax))
+      .filter(F.substring(idHash(F.col(idCol)), 1, 8) < thresh)
+      .drop("__n", "__nmax")
+  }
+
   /** Global deterministic shuffle rank: a total order by id-hash — the
     * reproducible form of "shuffle the corpus". Computed with the
     * two-phase range-partitioned assignment (no single-partition sort). */

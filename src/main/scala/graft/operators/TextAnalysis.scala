@@ -181,6 +181,63 @@ object TextAnalysis {
       .agg(F.round(F.sum(F.col("__s")), 4).as("bm25"))
   }
 
+  /** PII redaction — the scrubbing pass every training corpus runs before
+    * anything else sees the text. Three pattern families, each counted on
+    * the ORIGINAL text (so counts are independent of replacement order)
+    * and then replaced in a fixed sequence (emails first — an address
+    * contains digit runs that must not be double-masked as numbers):
+    * emails → `<EMAIL>`, dotted-quad IPs → `<IP>`, 7+-digit runs →
+    * `<NUM>`. Patterns are deliberately RE2-safe (no lookaround, no
+    * backrefs) so the same regex runs under Spark's Java engine and the
+    * oracle's RE2. Map-only: one projection, no shuffle, codegen'd
+    * regexp_replace/regexp_extract_all. */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val longNumRe = "[0-9]{7,}"
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = F.col(textCol)
+    def hits(re: String) = F.size(F.regexp_extract_all(t, F.lit(re), F.lit(0)))
+    val redacted =
+      F.regexp_replace(
+        F.regexp_replace(
+          F.regexp_replace(t, emailRe, "<EMAIL>"),
+          ipv4Re, "<IP>"),
+        longNumRe, "<NUM>")
+    df.select(
+      F.col(idCol),
+      hits(emailRe).as("n_emails"),
+      hits(ipv4Re).as("n_ips"),
+      hits(longNumRe).as("n_longnums"),
+      redacted.as("redacted"))
+  }
+
+  /** Top-k word n-grams per group — the corpus-statistics sweep (what
+    * phrases dominate each source / language slice). Two map-side
+    * combinable aggregations — (group, gram) counts, then a per-group
+    * top-k window with a deterministic (count desc, gram asc) tiebreak.
+    * The (group, gram) key space is bounded by vocabulary², not corpus
+    * size, so the shuffle stays small at 100 TB; the per-group window
+    * partitions by group key (never a single global partition). */
+  def topNgramsPerGroup(df: DataFrame, groupCol: String, textCol: String,
+                        n: Int = 2, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arr = tokArr(F.col(textCol))
+    val base = df.select(F.col(groupCol), arr.as("__arr"))
+      .withColumn("__len", F.size(F.col("__arr")))
+      .filter(F.col("__len") >= n) // guards sequence(1, x<1) descending
+      .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__len") - (n - 1))))
+    val gram = F.concat_ws(" ",
+      (0 until n).map(o => F.element_at(F.col("__arr"), F.col("__i") + o)): _*)
+    val counts = base.select(F.col(groupCol), gram.as("gram"))
+      .groupBy(F.col(groupCol), F.col("gram"))
+      .agg(F.count(F.lit(1)).as("cnt"))
+    val w = Window.partitionBy(F.col(groupCol))
+      .orderBy(F.col("cnt").desc, F.col("gram").asc)
+    counts.withColumn("rn", F.row_number().over(w).cast("long"))
+      .filter(F.col("rn") <= k)
+  }
+
   /** Document fingerprints: `md5_fp` over the canonicalized text (lower,
     * trimmed) and `pos_fp`, an order-sensitive positional checksum —
     * Σ_i i·(ascii(first char of token_i) + len(token_i)) mod 1000003 — a

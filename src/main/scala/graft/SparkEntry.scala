@@ -470,6 +470,27 @@ object SparkEntry {
       TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")),
     "q_tfidf_top_term" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerm(t(s, dir, "documents"), "doc_id", "text")),
+    // PII scrubbing over deterministically injected addresses/IPs/account
+    // numbers (the synthetic corpus has no natural PII, so the fixture is
+    // built in-engine and mirrored verbatim in the oracle): counts are
+    // taken on the ORIGINAL text, masks applied email -> IP -> number.
+    "q_pii_redact" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("text",
+        F.concat(
+          F.col("text"),
+          F.when(F.col("doc_id") % 2 === 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+              F.lit("@example.com"))).otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 3 === 0,
+            F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+              F.lit(".7"))).otherwise(F.lit("")),
+          F.lit(" acct 900"), (F.col("doc_id") + 1000000L).cast("string")))
+      TextAnalysis.redactPii(injected, "doc_id", "text")
+    }),
+    // Corpus statistics: top-5 bigrams per source (count desc, gram asc).
+    "q_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgramsPerGroup(t(s, dir, "documents"), "source", "text",
+        n = 2, k = 5)),
     // map-only token chunking (128-token chunks, 16-token overlap)
     "q_chunk_docs" -> ((s, dir) =>
       DataShaping.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
@@ -1043,6 +1064,26 @@ object SparkEntry {
         "round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 4) AS score FROM tf JOIN dfreq USING (term), n), " +
         "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn FROM scored) " +
         "SELECT doc_id, term AS top_term, tf, df, score FROM ranked WHERE rn = 1"),
+    "q_pii_redact" ->
+      ("WITH inj AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END || " +
+        "' acct 900' || CAST(doc_id + 1000000 AS VARCHAR) AS t FROM documents) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS INT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS INT) AS n_ips, " +
+        "CAST(len(regexp_extract_all(t, '[0-9]{7,}')) AS INT) AS n_longnums, " +
+        "regexp_replace(regexp_replace(regexp_replace(t, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'), " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'), " +
+        "'[0-9]{7,}', '<NUM>', 'g') AS redacted FROM inj"),
+    "q_top_ngrams" ->
+      ("WITH toks AS (SELECT source, string_split(text, ' ') AS arr FROM documents), " +
+        "pos AS (SELECT source, arr, unnest(range(1, greatest(len(arr) - 1, 0) + 1)) AS i FROM toks WHERE len(arr) >= 2), " +
+        "g AS (SELECT source, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] AS gram FROM pos), " +
+        "c AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY source, gram), " +
+        "r AS (SELECT source, gram, cnt, CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, gram ASC) AS BIGINT) AS rn FROM c) " +
+        "SELECT source, gram, cnt, rn FROM r WHERE rn <= 5"),
     "q_chunk_docs" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
         "starts AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 112)) AS tok_start FROM toks) " +

@@ -169,6 +169,40 @@ class OperatorsSpec extends SparkSpec {
       out.contains(3L) shouldBe false
     }
 
+    it("redactPii masks emails, IPs and long digit runs; counts come from the original text") {
+      val pii = Seq(
+        (1L, "write to alice.smith+news@mail.example.org or call 5551234567"),
+        (2L, "server 192.168.1.254 and 10.0.0.7 no email here"),
+        (3L, "clean text with a short number 123456") // 6 digits: below the 7+ floor
+      ).toDF("doc_id", "text")
+      val out = TextAnalysis.redactPii(pii, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+      out(1L) shouldBe ((1, 0, 1, "write to <EMAIL> or call <NUM>"))
+      out(2L) shouldBe ((0, 2, 0, "server <IP> and <IP> no email here"))
+      out(3L) shouldBe ((0, 0, 0, "clean text with a short number 123456"))
+    }
+
+    it("redactPii masks the email before its digits can be seen as a number") {
+      val pii = Seq((1L, "user1234567@example.com")).toDF("doc_id", "text")
+      val r = TextAnalysis.redactPii(pii, "doc_id", "text").collect()(0)
+      r.getString(4) shouldBe "<EMAIL>" // not <EMAIL> with a stray <NUM>
+      r.getInt(1) shouldBe 1
+      r.getInt(3) shouldBe 1 // counted on the ORIGINAL text, by design
+    }
+
+    it("topNgramsPerGroup ranks bigrams per group with (count desc, gram asc) tiebreak") {
+      val d = Seq(
+        (1L, "a b a b a b", "s1"), // "a b" x3, "b a" x2
+        (2L, "c d", "s1"),
+        (3L, "z z z", "s2")
+      ).toDF("doc_id", "text", "source")
+      val out = TextAnalysis.topNgramsPerGroup(d, "source", "text", n = 2, k = 2)
+        .collect().map(r => (r.getString(0), r.getLong(3)) -> ((r.getString(1), r.getLong(2)))).toMap
+      out(("s1", 1L)) shouldBe (("a b", 3L))
+      out(("s1", 2L)) shouldBe (("b a", 2L))
+      out(("s2", 1L)) shouldBe (("z z", 2L))
+    }
+
     it("fingerprints: md5 ignores order only via content; positional checksum is order-sensitive") {
       val fp = TextAnalysis.fingerprints(docs, "doc_id", "text").collect()
         .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap

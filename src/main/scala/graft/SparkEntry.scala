@@ -184,6 +184,12 @@ object SparkEntry {
           ntz(F.date_trunc("hour", F.col("ts"))).as("hour"),
           F.col("event_type"))
         .agg(F.count(F.lit(1)).as("n"), F.sum("value").as("sum_value"))),
+    // Dense per-type hourly series: gap-filled grid, LOCF imputation,
+    // trailing moving average — the series-regularization pass monitoring
+    // and training pipelines need (q_time_buckets only emits buckets that
+    // HAVE rows).
+    "q_resample_locf" -> ((s, dir) =>
+      TimeSeries.resampleHourlyLocf(t(s, dir, "events"), "event_type", "ts", "value")),
     "q_check_valid" -> ((s, dir) => {
       val (ok, bad) = AuditQueries.splitOnCheck(auditView(s, dir))
       ok.agg(F.count(F.lit(1)).as("n_valid"))
@@ -428,6 +434,14 @@ object SparkEntry {
         .withColumn("rn", F.col("rn").cast("long"))),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", nbits = 8, 0.2)),
+    // MMR diversified rerank of each query's top-8 shortlist (λ=0.7, k=3):
+    // greedy selection on exact integer-scaled scores — see the scaladoc
+    // for why the ranking arithmetic must not be float.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.mmrRerank(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        nCand = 8, k = 3, lambda = 0.7)
+    }),
     // PRODUCTION IVF path: Lloyd-trained coarse centroids snapped to 6
     // decimals (train→snap→serve), nprobe=3 multi-cell probing. The snapped
     // model is stashed so `oracleSql` — dumped by Verify AFTER the queries
@@ -470,6 +484,11 @@ object SparkEntry {
       TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")),
     "q_tfidf_top_term" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerm(t(s, dir, "documents"), "doc_id", "text")),
+    // Corpus-trained bigram LM quality score (add-0.5 smoothing): avg
+    // negative log-likelihood per document — the CCNet-style perplexity
+    // filter, trained and served in one distributed pass.
+    "q_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
     // PII scrubbing over deterministically injected addresses/IPs/account
     // numbers (the synthetic corpus has no natural PII, so the fixture is
     // built in-engine and mirrored verbatim in the oracle): counts are
@@ -825,6 +844,18 @@ object SparkEntry {
       "SELECT event_id, CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS ingest_seq FROM events",
     "q_time_buckets" ->
       "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, sum(value) AS sum_value FROM events GROUP BY 1, 2",
+    "q_resample_locf" ->
+      ("WITH agg AS (SELECT event_type AS k, CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS h, " +
+        "CAST(count(*) AS BIGINT) AS n, sum(value) AS sv FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT k, min(h) AS mn, max(h) AS mx FROM agg GROUP BY k), " +
+        "grid AS (SELECT k, unnest(range(mn, mx + 1)) AS h FROM b), " +
+        "j AS (SELECT g.k, g.h, CAST(coalesce(a.n, 0) AS BIGINT) AS cnt, " +
+        "CASE WHEN a.n IS NOT NULL THEN round(a.sv / a.n, 4) END AS avg_v " +
+        "FROM grid g LEFT JOIN agg a ON a.k = g.k AND a.h = g.h) " +
+        "SELECT k AS event_type, h AS bucket_hour, cnt, avg_v, " +
+        "last_value(avg_v IGNORE NULLS) OVER (PARTITION BY k ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg, " +
+        "round(CAST(sum(cnt) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE), 4) AS ma4_cnt " +
+        "FROM j WINDOW w AS (PARTITION BY k ORDER BY h ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"),
     "q_check_valid" ->
       ("SELECT CAST(sum(CASE WHEN ts > TIMESTAMP '1970-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid, " +
         "CAST(sum(CASE WHEN ts <= TIMESTAMP '1970-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined FROM events"),
@@ -1002,6 +1033,46 @@ object SparkEntry {
     "q_ivf_pq" -> pqModelStash
       .map { case (c, b) => ivfPqOracle(c, b, nprobe = 5, shortlist = 24) }
       .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
+    // MMR greedy unrolled for k=3: candidate shortlist (top-8 rounded
+    // cosine), integer-scaled sims (si = round(s·10⁴) as BIGINT), picks
+    // ranked on the EXACT integer score 7·si − 3·msel with cid tiebreak —
+    // mirrors Similarity.mmrRerank's arithmetic bit-for-bit.
+    "q_mmr_rerank" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings), " +
+        "pairs AS (SELECT qid, cid, qv, cv FROM q JOIN c ON cid <> qid), " +
+        "terms AS (SELECT qid, cid, qv, cv, unnest(range(1, 65)) AS i FROM pairs), " +
+        "dots AS (SELECT qid, cid, " +
+        "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS dot, " +
+        "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS qq, " +
+        "sum(CAST(cv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS cc " +
+        "FROM terms GROUP BY qid, cid), " +
+        "sc AS (SELECT qid, cid, round(dot / (sqrt(qq) * sqrt(cc)), 4) AS s FROM dots), " +
+        "cand AS (SELECT qid, cid, s, CAST(round(s * 10000, 0) AS BIGINT) AS si FROM " +
+        "(SELECT qid, cid, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn FROM sc) WHERE rn <= 8), " +
+        "cp AS (SELECT x.qid AS qid, x.cid AS a, y.cid AS b, ca.cv AS av, cb.cv AS bv " +
+        "FROM cand x JOIN cand y ON x.qid = y.qid AND x.cid <> y.cid " +
+        "JOIN c ca ON ca.cid = x.cid JOIN c cb ON cb.cid = y.cid), " +
+        "cpt AS (SELECT qid, a, b, av, bv, unnest(range(1, 65)) AS i FROM cp), " +
+        "cpd AS (SELECT qid, a, b, " +
+        "sum(CAST(av[CAST(i AS INT)] AS DOUBLE) * CAST(bv[CAST(i AS INT)] AS DOUBLE)) AS dot, " +
+        "sum(CAST(av[CAST(i AS INT)] AS DOUBLE) * CAST(av[CAST(i AS INT)] AS DOUBLE)) AS aa, " +
+        "sum(CAST(bv[CAST(i AS INT)] AS DOUBLE) * CAST(bv[CAST(i AS INT)] AS DOUBLE)) AS bb " +
+        "FROM cpt GROUP BY qid, a, b), " +
+        "cps AS (SELECT qid, a, b, CAST(round(round(dot / (sqrt(aa) * sqrt(bb)), 4) * 10000, 0) AS BIGINT) AS si_ab FROM cpd), " +
+        "p1 AS (SELECT qid, cid, s FROM (SELECT qid, cid, s, row_number() OVER (PARTITION BY qid ORDER BY si DESC, cid) AS rn FROM cand) WHERE rn = 1), " +
+        "m2 AS (SELECT z.qid, z.a AS cid, max(z.si_ab) AS msel FROM cps z JOIN p1 ON p1.qid = z.qid AND p1.cid = z.b GROUP BY z.qid, z.a), " +
+        "s2 AS (SELECT cand.qid, cand.cid, cand.s, 7 * cand.si - 3 * m2.msel AS score FROM cand JOIN m2 USING (qid, cid) " +
+        "LEFT JOIN p1 ON p1.qid = cand.qid AND p1.cid = cand.cid WHERE p1.cid IS NULL), " +
+        "p2 AS (SELECT qid, cid, s FROM (SELECT qid, cid, s, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM s2) WHERE rn = 1), " +
+        "sel12 AS (SELECT qid, cid FROM p1 UNION ALL SELECT qid, cid FROM p2), " +
+        "m3 AS (SELECT z.qid, z.a AS cid, max(z.si_ab) AS msel FROM cps z JOIN sel12 ON sel12.qid = z.qid AND sel12.cid = z.b GROUP BY z.qid, z.a), " +
+        "s3 AS (SELECT cand.qid, cand.cid, cand.s, 7 * cand.si - 3 * m3.msel AS score FROM cand JOIN m3 USING (qid, cid) " +
+        "LEFT JOIN sel12 ON sel12.qid = cand.qid AND sel12.cid = cand.cid WHERE sel12.cid IS NULL), " +
+        "p3 AS (SELECT qid, cid, s FROM (SELECT qid, cid, s, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn FROM s3) WHERE rn = 1) " +
+        "SELECT qid, CAST(1 AS INT) AS rank, cid, s AS relevance FROM p1 " +
+        "UNION ALL SELECT qid, CAST(2 AS INT) AS rank, cid, s AS relevance FROM p2 " +
+        "UNION ALL SELECT qid, CAST(3 AS INT) AS rank, cid, s AS relevance FROM p3"),
     "q_embed_neardup" ->
       ("WITH b AS (SELECT vec_id AS id, embedding AS v, " + lshBucketExpr + " AS bucket FROM embeddings), " +
         "pairs AS (SELECT x.id AS a, y.id AS b, x.v AS av, y.v AS bv FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id), " +
@@ -1055,6 +1126,17 @@ object SparkEntry {
         "round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS dup_gram_ratio, " +
         "round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS top_gram_frac " +
         "FROM c GROUP BY doc_id"),
+    "q_lm_score" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
+        "pos AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM toks WHERE len(arr) >= 2), " +
+        "g AS (SELECT doc_id, arr[CAST(i AS INT)] AS w1, arr[CAST(i AS INT) + 1] AS w2 FROM pos), " +
+        "bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg FROM g GROUP BY 1, 2), " +
+        "ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw1 FROM g GROUP BY 1), " +
+        "v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vsz FROM g), " +
+        "scored AS (SELECT doc_id, ln((CAST(cbg AS DOUBLE) + 0.5) / (CAST(cw1 AS DOUBLE) + CAST(vsz AS DOUBLE) * 0.5)) AS lp " +
+        "FROM g JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(-sum(lp) / count(*), 4) AS avg_nll " +
+        "FROM scored GROUP BY doc_id"),
     "q_tfidf_top_term" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term), " +

@@ -50,6 +50,82 @@ object Similarity {
   def cosineHof(a: Column, b: Column, scale: Int = 4): Column =
     F.round(dot(a, b) / (norm(a) * norm(b)), scale)
 
+  /** Maximal-marginal-relevance reranking — the diversification stage a
+    * retrieval pipeline runs AFTER candidate generation: from each query's
+    * `nCand`-candidate shortlist, greedily select `k` results maximizing
+    *
+    *   mmr(d) = λ·sim(q,d) − (1−λ)·max_{s ∈ selected} sim(d,s)
+    *
+    * so the result set is both relevant and mutually dissimilar (the
+    * anti-redundancy knob for retrieval-augmented data curation).
+    *
+    * The greedy loop runs k driver-side ITERATIONS over DataFrame ops —
+    * the data never leaves the cluster. Per iteration: anti-join the
+    * shortlist against the selected set, attach max-sim-to-selected from
+    * the candidate-pair frame, rank by the mmr score. Cost is bounded by
+    * queries × nCand² (the pairwise-sim frame), the standard rerank
+    * budget — candidate GENERATION (ANN/LSH upstream) is what scales with
+    * corpus size, not this stage.
+    *
+    * Determinism: ranking arithmetic is EXACT — the 4-decimal-rounded
+    * cosines are scaled to integers (×10⁴) and λ is applied as integer
+    * weights (`wRel = round(10λ)`, `wDiv = 10 − wRel`), so the greedy
+    * comparison `wRel·sᵢ − wDiv·mselᵢ` is a BIGINT with an id tiebreak —
+    * no float-literal drift can flip a near-tie across engines (λ·s with
+    * λ = 0.7 would: `1.0 − 0.7` and a literal `0.3` are different
+    * doubles, and exact real-arithmetic ties between rounded sims are
+    * common). */
+  def mmrRerank(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCand: Int,
+      k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    val wRel = math.round(lambda * 10).toInt
+    val wDiv = 10 - wRel
+    def toInt4(c: Column): Column = F.round(c * 10000).cast("long")
+    val q = queries.select(F.col(idCol).as("qid"), F.col(vecCol).as("qv"))
+    val c = embeddings.select(F.col(idCol).as("cid"), F.col(vecCol).as("cv"))
+    val w = Window.partitionBy("qid").orderBy(F.col("s").desc, F.col("cid").asc)
+    val cand = c.crossJoin(F.broadcast(q))
+      .filter(F.col("cid") =!= F.col("qid"))
+      .withColumn("s", cosine(F.col("qv"), F.col("cv")))
+      .withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") <= nCand)
+      .select(F.col("qid"), F.col("cid"), F.col("s"), toInt4(F.col("s")).as("si"),
+        F.col("cv"))
+      .cache()
+    // pairwise candidate sims within each query's shortlist: nCand² rows/query
+    val pair = cand.select(F.col("qid"), F.col("cid").as("a"), F.col("cv").as("av"))
+      .join(cand.select(F.col("qid"), F.col("cid").as("b"), F.col("cv").as("bv")), "qid")
+      .filter(F.col("a") =!= F.col("b"))
+      .select(F.col("qid"), F.col("a"), F.col("b"),
+        toInt4(cosine(F.col("av"), F.col("bv"))).as("si_ab"))
+      .cache()
+    val pickW = Window.partitionBy("qid").orderBy(F.col("__score").desc, F.col("cid").asc)
+    def pick(scored: DataFrame, rank: Int): DataFrame = scored
+      .withColumn("__prn", F.row_number().over(pickW))
+      .filter(F.col("__prn") === 1)
+      .select(F.col("qid"), F.lit(rank).as("rank"), F.col("cid"),
+        F.col("s").as("relevance"))
+    var selected = pick(cand.withColumn("__score", F.col("si")), 1)
+    for (step <- 2 to k) {
+      val maxSel = pair
+        .join(selected.select(F.col("qid"), F.col("cid").as("b")), Seq("qid", "b"))
+        .groupBy(F.col("qid"), F.col("a").as("cid"))
+        .agg(F.max("si_ab").as("__msel"))
+      val remaining = cand
+        .join(selected.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+        .join(maxSel, Seq("qid", "cid"))
+        .withColumn("__score",
+          F.lit(wRel) * F.col("si") - F.lit(wDiv) * F.col("__msel"))
+      selected = selected.union(pick(remaining, step))
+    }
+    selected.select(F.col("qid"), F.col("rank"), F.col("cid"), F.col("relevance"))
+  }
+
   /** Exact brute-force top-k: for each query vector, the k most-similar
     * other vectors by (cosine desc, candidate id asc). Query side is
     * broadcast when small. */

@@ -238,6 +238,53 @@ object TextAnalysis {
       .filter(F.col("rn") <= k)
   }
 
+  /** Bigram language-model perplexity scoring — the CCNet/Wikipedia-LM
+    * quality filter: train an add-α-smoothed bigram model ON the corpus,
+    * then score every document by its average negative log-likelihood
+    * under that model. Text that "looks like the corpus" scores low;
+    * gibberish, boilerplate, and wrong-language text score high —
+    * exactly the signal pipelines threshold on before training.
+    *
+    *   P(w2|w1) = (C(w1,w2) + α) / (C(w1·) + α·V)
+    *   avg_nll(d) = −(1/|d|) Σ ln P(w_i | w_{i−1})
+    *
+    * where C(w1·) counts w1 as a bigram prefix and V = |distinct second
+    * words|. Train and serve are both distributed: bigram/prefix counts
+    * are map-side-combinable aggregations over the exploded grams (key
+    * space bounded by vocabulary², not corpus size), V is a broadcast
+    * 1-row aggregate, and scoring is one join of the gram stream against
+    * the count tables (AQE broadcasts them while the model fits; at
+    * 100 TB the join shuffles on the gram key, which is exactly right).
+    * Counts are exact ints, so the double math is engine-deterministic;
+    * the per-doc ln-sum is rounded to 4 decimals (ulp-level libm drift
+    * across ~10² terms is ~1e−13, far below the rounding grain). */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              alpha: Double = 0.5): DataFrame = {
+    val base = df.select(F.col(idCol), F.split(F.col(textCol), " ").as("__arr"))
+      .withColumn("__len", F.size(F.col("__arr")))
+      .filter(F.col("__len") >= 2) // guards sequence(1, x<1) descending
+      .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__len") - 1)))
+    val grams = base.select(
+      F.col(idCol),
+      F.element_at(F.col("__arr"), F.col("__i")).as("w1"),
+      F.element_at(F.col("__arr"), F.col("__i") + 1).as("w2"))
+    val bg = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).as("__cbg"))
+    val ctx = grams.groupBy("w1").agg(F.count(F.lit(1)).as("__cw1"))
+    val vocab = grams.agg(F.countDistinct("w2").as("__v"))
+    val lp = F.log(
+      (F.col("__cbg").cast("double") + alpha) /
+        (F.col("__cw1").cast("double") + F.col("__v").cast("double") * alpha))
+    grams
+      .join(bg, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(F.broadcast(vocab))
+      .select(F.col(idCol), lp.as("__lp"))
+      .groupBy(F.col(idCol))
+      .agg(
+        F.count(F.lit(1)).as("n_bigrams"),
+        F.round(-F.sum("__lp") / F.count(F.lit(1)), 4).as("avg_nll"))
+  }
+
   /** Document fingerprints: `md5_fp` over the canonicalized text (lower,
     * trimmed) and `pos_fp`, an order-sensitive positional checksum —
     * Σ_i i·(ascii(first char of token_i) + len(token_i)) mod 1000003 — a

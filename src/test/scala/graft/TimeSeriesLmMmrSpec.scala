@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.{Similarity, TextAnalysis, TimeSeries}
+
+/** Behavior specs for the series-regularization, LM-scoring, and MMR
+  * operators (the oracle rows prove engine parity; these prove the
+  * SEMANTICS on hand-built edge fixtures). */
+class TimeSeriesLmMmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("TimeSeries.resampleHourlyLocf") {
+    // key "a": observations in hours H, H+3 (gap of 2); key "b": one hour
+    val h0 = 473352L // 2024-01-01 00:xx UTC
+    def ts(hour: Long, min: Int) = new Timestamp((hour * 3600 + min * 60) * 1000)
+    val events = Seq(
+      ("a", ts(h0, 5), 10.0),
+      ("a", ts(h0, 45), 30.0),
+      ("a", ts(h0 + 3, 1), 7.0),
+      ("b", ts(h0 + 1, 0), 1.0)
+    ).toDF("event_type", "ts", "value")
+
+    lazy val out = TimeSeries.resampleHourlyLocf(events, "event_type", "ts", "value")
+      .orderBy("event_type", "bucket_hour").collect()
+
+    it("emits every bucket between a key's first and last observation") {
+      out.map(r => (r.getString(0), r.getLong(1))) shouldBe Array(
+        ("a", h0), ("a", h0 + 1), ("a", h0 + 2), ("a", h0 + 3), ("b", h0 + 1))
+    }
+
+    it("zero-fills counts and carries averages forward across gaps") {
+      val a = out.filter(_.getString(0) == "a")
+      a.map(_.getLong(2)) shouldBe Array(2L, 0L, 0L, 1L) // cnt
+      a.map(r => Option(r.get(3))) shouldBe Array(Some(20.0), None, None, Some(7.0))
+      a.map(_.getDouble(4)) shouldBe Array(20.0, 20.0, 20.0, 7.0) // locf
+    }
+
+    it("trailing moving average spans gap buckets") {
+      val a = out.filter(_.getString(0) == "a")
+      // cnt series 2,0,0,1 -> ma4: 2, 1, 2/3, 3/4
+      a.map(_.getDouble(5)) shouldBe Array(2.0, 1.0, 0.6667, 0.75)
+    }
+  }
+
+  describe("TextAnalysis.lmScore") {
+    it("scores corpus-typical word sequences as more likely than rare ones") {
+      // "a b" appears 3x as a bigram; "a z" once — same context w1="a"
+      val docs = Seq(
+        (1L, "a b c"), (2L, "a b c"), (3L, "a b"),
+        (4L, "a z")
+      ).toDF("doc_id", "text")
+      val nll = TextAnalysis.lmScore(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      nll(3L) should be < nll(4L) // common bigram beats rare bigram
+      nll(1L) shouldBe nll(2L) // identical docs score identically
+    }
+
+    it("drops docs with fewer than two tokens (no bigrams)") {
+      val docs = Seq((1L, "solo"), (2L, "two tokens")).toDF("doc_id", "text")
+      val ids = TextAnalysis.lmScore(docs, "doc_id", "text")
+        .select("doc_id").as[Long].collect()
+      ids shouldBe Array(2L)
+    }
+  }
+
+  describe("Similarity.mmrRerank") {
+    // 4-dim toy: query q along e1; c1≈c2 both close to q (redundant),
+    // c3 less relevant but diverse. At diversity-heavy λ=0.3 MMR must
+    // pick c3 at rank 2 where plain top-k would pick the redundant twin
+    // (sim(c2,c1)≈1.0 costs 0.7 of penalty; c3's 0.596 costs far less).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // query
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // c1: most relevant
+      (2L, Array(0.9f, 0.11f, 0.0f, 0.0f)), // c2: c1's near-twin
+      (3L, Array(0.6f, 0.0f, 0.8f, 0.0f)) // c3: diverse
+    ).toDF("vec_id", "embedding")
+
+    lazy val picks = Similarity.mmrRerank(
+      vecs, vecs.filter(F.col("vec_id") === 0L), "vec_id", "embedding",
+      nCand = 3, k = 3, lambda = 0.3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+
+    it("rank 1 is the plain most-relevant candidate") {
+      picks.head shouldBe ((1, 1L))
+    }
+
+    it("diversification demotes the redundant near-twin") {
+      picks.map(_._2) shouldBe Array(1L, 3L, 2L)
+    }
+
+    it("selects each candidate at most once") {
+      picks.map(_._2).distinct.length shouldBe picks.length
+    }
+  }
+}

@@ -713,7 +713,16 @@ object Similarity {
   }
 
   /** [[ivfPqTopK]] against an explicit (centroids, codebooks) model —
-    * the deploy-time half, also what the oracle mirrors literal-for-literal. */
+    * the deploy-time half, also what the oracle mirrors literal-for-literal.
+    *
+    * Join physics are CELL-PARTITIONED, never corpus-broadcast: the only
+    * driver-held state is the kC·dim + m·kC·(dim/m) model itself, which
+    * rides into expressions as literals. Index codes, per-query ADC tables
+    * and raw rerank vectors all grow with the corpus, so each attaches by a
+    * shuffle join on its natural key (cell / qid / cid). At small SF the
+    * planner may still elect a runtime broadcast from ACTUAL observed sizes
+    * — that is AQE doing its job; the static plan forces no O(N) build side
+    * (asserted in PlanSpec with broadcasts disabled). */
   def ivfPqTopKWithModel(
       embeddings: DataFrame,
       idCol: String,
@@ -729,25 +738,28 @@ object Similarity {
     val base = embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
       F.sqrt(ndot(F.col(vecCol), F.col(vecCol))).as("nrm"))
     // the index: each vector once, in its nearest cell (in-row argmax over
-    // the literal centroids), as an m-byte code — small enough to
-    // broadcast (that is the POINT of PQ compression)
+    // the literal centroids), as an m-byte code
     val coded = pqEncode(
       base.select(F.col("id"), F.col("v"), nearestCell(F.col("v"), centroids).as("cell")),
       "id", "v", codebooks)
       .select(F.col("id").as("cid"), F.col("cell"), F.col("pq_code"))
-    // per-query ADC tables computed ONCE per query (N rows, m·kC doubles
-    // each) and BROADCAST as a join build side — candidate rows never carry
-    // the 2 KB table array; they stream through with just the m-byte code
+    // per-query ADC tables computed ONCE per query (m·kC doubles each)
     val qtab = base.select(F.col("id").as("qid"),
       adcTables(F.col("v"), codebooks).as("__adc"))
     val probes = base.select(F.col("id").as("qid"),
       F.explode(probeCells(F.col("v"), centroids, nprobe)).as("cell"))
-    // ADC-score in a map-side projection (two fused broadcast joins), so
-    // the per-query shortlist sort shuffles only (qid, cid, pq_dot) — the
-    // table arrays and raw vectors never enter an exchange
-    val adcScored = probes.join(F.broadcast(coded), "cell")
+    // candidate generation: probe and index sides shuffle on CELL — the
+    // coarse cell is the unit of index locality, and at a production
+    // kC ≈ √N it is a well-spread key (AQE's skew split covers hot cells).
+    // Candidates leave the join carrying only the m-byte code.
+    val cand = probes.join(coded, "cell")
       .filter(F.col("qid") =!= F.col("cid"))
-      .join(F.broadcast(qtab), "qid")
+      .select(F.col("qid"), F.col("cid"), F.col("pq_code"))
+    // ADC tables attach by a QID shuffle join: each table crosses the wire
+    // once per query — never per candidate, never as an all-queries
+    // broadcast. Scoring happens in the join's output projection, so the
+    // shortlist sort still shuffles only the slim (qid, cid, pq_dot) rows.
+    val adcScored = cand.join(qtab, "qid")
       .select(F.col("qid"), F.col("cid"), adcScore(m, kC).as("pq_dot"))
     val wShort = Window.partitionBy(F.col("qid")).orderBy(F.col("pq_dot").desc, F.col("cid").asc)
     val short = adcScored
@@ -755,11 +767,12 @@ object Similarity {
       .filter(F.col("srn") <= shortlist)
       .select(F.col("qid"), F.col("cid"))
     // exact rerank: only the ADC top-`shortlist` ids get the dim-wide
-    // cosine (precomputed norms; candidate side broadcast)
+    // cosine (precomputed norms); the raw-vector side scales with the
+    // corpus too, so it joins by shuffle on cid, not broadcast
     val wK = Window.partitionBy(F.col("qid")).orderBy(F.col("cos_sim").desc, F.col("cid").asc)
     short
       .join(base.select(F.col("id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn")), "qid")
-      .join(F.broadcast(base.select(F.col("id").as("cid"), F.col("v").as("cv"), F.col("nrm").as("cn"))), "cid")
+      .join(base.select(F.col("id").as("cid"), F.col("v").as("cv"), F.col("nrm").as("cn")), "cid")
       .select(F.col("qid"), F.col("cid"),
         F.round(ndot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).as("cos_sim"))
       .withColumn("rn", F.row_number().over(wK))

@@ -80,19 +80,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  it("q_ivf_pq broadcasts the compressed index and keeps wide payloads out of the shortlist sort") {
-    val p = plan("q_ivf_pq")
-    // the PQ code index and the per-query ADC tables join as broadcasts
-    p should include("BroadcastHashJoin")
-    p should not include "CartesianProduct"
-    // the per-query shortlist sort must move only (qid, cid, pq_dot):
-    // no vector or ADC-array column may enter that exchange
-    val shortlistWindows = p.split("\n").filter(_.contains("windowspecdefinition(qid"))
-    shortlistWindows should not be empty
-    val sortLines = p.split("\n").filter(l => l.contains("Sort [") && l.contains("pq_dot"))
-    sortLines.foreach { l =>
-      l should not include "__adc"
-      l should not include "qv"
+  it("q_ivf_pq forces no corpus-scaling broadcast: cell/qid/cid-partitioned joins only") {
+    // With size-based broadcasting disabled, any BroadcastExchange left in
+    // the plan can only come from an explicit broadcast() hint — i.e. a
+    // build side we FORCED regardless of corpus size. The IVF+PQ plan must
+    // have none: codes join on cell, ADC tables on qid, rerank vectors on
+    // cid, all shuffle-partitioned. (At runtime AQE may still elect a
+    // broadcast from actual observed sizes — adaptive, scale-safe.)
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_ivf_pq")
+      p should not include "BroadcastExchange"
+      p should not include "BroadcastHashJoin"
+      p should not include "CartesianProduct"
+      // the three shuffle keys of the scale-safe physics are all present
+      p should include("hashpartitioning(cell")
+      p should include("hashpartitioning(qid")
+      p should include("hashpartitioning(cid")
+      // the per-query shortlist sort must move only (qid, cid, pq_dot):
+      // no vector or ADC-array column may enter that exchange
+      val shortlistWindows = p.split("\n").filter(_.contains("windowspecdefinition(qid"))
+      shortlistWindows should not be empty
+      val sortLines = p.split("\n").filter(l => l.contains("Sort [") && l.contains("pq_dot"))
+      sortLines.foreach { l =>
+        l should not include "__adc"
+        l should not include "qv"
+      }
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
 

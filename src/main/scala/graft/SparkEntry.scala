@@ -379,7 +379,12 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("doc", "doc_id")),
-    // SimHash near-dup pairs via zero-recall-loss pigeonhole banding.
+    // 64-bit fingerprint as two overflow-free 32-bit words.
+    "q_dedup_simhash64" -> ((s, dir) =>
+      Dedup.simhash64(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")),
+    // SimHash near-dup pairs via zero-recall-loss pigeonhole banding over
+    // the 64-bit fingerprint (4 bands x 16 bits).
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")),
     // The composed production recipe: MinHash-LSH candidates, then exact
@@ -698,6 +703,23 @@ object SparkEntry {
       "scored AS (SELECT doc_id, i, CAST(sum(CASE WHEN substr(h, CAST(i AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s FROM bits GROUP BY doc_id, i), " +
       "fp AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT) ELSE 0 END) AS BIGINT) AS simhash FROM scored GROUP BY doc_id)"
 
+  /** 64-bit SimHash CTE chain ending in `fp64(doc_id, sh_lo, sh_hi)` —
+    * two salted md5 draws per token (nibble top bits of md5(tok) and
+    * md5('s2|' ∥ tok)) give 64 independent ±1 decisions; the fingerprint
+    * is kept as two 32-bit words so no engine's signed BIGINT sum has to
+    * represent bit 64 (mirrors Dedup.simhash64 verbatim). */
+  private val simhash64Ctes: String =
+    "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+      "bits AS (SELECT doc_id, md5(tok) AS h1, md5('s2|' || tok) AS h2, unnest(range(1, 33)) AS i FROM toks), " +
+      "scored AS (SELECT doc_id, i, " +
+      "CAST(sum(CASE WHEN substr(h1, CAST(i AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s1, " +
+      "CAST(sum(CASE WHEN substr(h2, CAST(i AS INT), 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s2 " +
+      "FROM bits GROUP BY doc_id, i), " +
+      "fp64 AS (SELECT doc_id, " +
+      "CAST(sum(CASE WHEN s1 >= 0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT) ELSE 0 END) AS BIGINT) AS sh_lo, " +
+      "CAST(sum(CASE WHEN s2 >= 0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT) ELSE 0 END) AS BIGINT) AS sh_hi " +
+      "FROM scored GROUP BY doc_id)"
+
   /** MinHash banding CTE chain (shingles -> 8 seeded min-hashes -> 4
     * two-row bands) + the distinct candidate-pair select — shared by the
     * q_dedup_minhash oracle and the candidates->Jaccard-verify oracle. */
@@ -998,16 +1020,24 @@ object SparkEntry {
         "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node"),
     "q_dedup_simhash" ->
       ("WITH " + simhashCtes + " SELECT doc_id, simhash FROM fp"),
-    // Pigeonhole banding: hamming <= 3 on 16 bits forces exact agreement
-    // on one of 4 four-bit bands — zero-recall-loss candidates, then the
-    // exact popcount verify.
+    "q_dedup_simhash64" ->
+      ("WITH " + simhash64Ctes + " SELECT doc_id, sh_lo, sh_hi FROM fp64"),
+    // Pigeonhole banding: hamming <= 3 on the 64-bit fingerprint forces
+    // exact agreement on one of 4 SIXTEEN-bit bands (65,536 bucket values
+    // per band — near-linear Σ bucket², unlike 4-bit bands' 16 buckets) —
+    // zero-recall-loss candidates, then the exact popcount verify over
+    // both fingerprint words.
     "q_dedup_simhash_pairs" ->
-      ("WITH " + simhashCtes + ", " +
-        "bands AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS bi FROM fp), " +
-        "bv AS (SELECT doc_id, simhash, bi, (simhash >> CAST(bi * 4 AS INT)) & 15 AS bval FROM bands), " +
-        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb " +
+      ("WITH " + simhash64Ctes + ", " +
+        "bands AS (SELECT doc_id, sh_lo, sh_hi, unnest(range(0, 4)) AS bi FROM fp64), " +
+        "bv AS (SELECT doc_id, sh_lo, sh_hi, bi, " +
+        "CASE WHEN bi < 2 THEN (sh_lo >> CAST(bi * 16 AS INT)) & 65535 " +
+        "ELSE (sh_hi >> CAST((bi - 2) * 16 AS INT)) & 65535 END AS bval FROM bands), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, " +
+        "x.sh_lo AS la, x.sh_hi AS ha, y.sh_lo AS lb, y.sh_hi AS hb " +
         "FROM bv x JOIN bv y ON x.bi = y.bi AND x.bval = y.bval AND x.doc_id < y.doc_id) " +
-        "SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM cand WHERE bit_count(xor(sa, sb)) <= 3"),
+        "SELECT a, b, CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INT) AS hamming " +
+        "FROM cand WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3"),
     "q_dedup_jaccard" ->
       ("WITH " + minhashBandsCtes + ", " +
         s"cands AS ($minhashCandSelect), " +

@@ -202,35 +202,54 @@ object Dedup {
       .select(F.col("a"), F.col("b"), F.col("shared"), F.col("jaccard"))
   }
 
-  /** SimHash near-duplicate pairs by pigeonhole banding: the `bits`-bit
-    * fingerprint splits into `maxHamming + 1` bands, and any pair within
-    * Hamming distance `maxHamming` MUST agree exactly on at least one band
-    * (pigeonhole) — so candidates come from band-equality buckets (Σ
-    * bucket², never all-pairs) with zero recall loss, then the exact
-    * Hamming distance filters. The simhash analogue of MinHash banding:
-    * one groupBy for fingerprints, one bucket join, a popcount verify. */
+  /** SimHash near-duplicate pairs by pigeonhole banding over the 64-BIT
+    * fingerprint ([[simhash64]]): the fingerprint splits into
+    * `maxHamming + 1` bands, and any pair within Hamming distance
+    * `maxHamming` MUST agree exactly on at least one band (pigeonhole) —
+    * so candidates come from band-equality buckets (Σ bucket², never
+    * all-pairs) with zero recall loss, then the exact Hamming distance
+    * filters. The simhash analogue of MinHash banding: one groupBy for
+    * fingerprints, one bucket join, a popcount verify.
+    *
+    * Band width is the scale lever: with maxHamming=3 the 64-bit print
+    * gives 4 bands × 16 bits = 65,536 bucket values per band, so Σ bucket²
+    * stays near-linear for realistic fingerprint distributions — unlike a
+    * 16-bit print whose 4-bit bands (16 buckets) degenerate toward N²/16
+    * per band. */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3,
-      bits: Int = 16): DataFrame = {
+      maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
-    val bandBits = bits / nBands
-    val fp = simhash(df, idCol, textCol, bits)
-    val banded = fp.select(F.col("doc"), F.col("simhash"),
-      F.explode(F.array((0 until nBands).map(b =>
-        F.struct(F.lit(b).as("bi"),
-          F.shiftright(F.col("simhash"), b * bandBits)
-            .bitwiseAND((1L << bandBits) - 1).as("bval"))): _*)).as("e"))
-      .select(F.col("doc"), F.col("simhash"), F.col("e.bi").as("bi"), F.col("e.bval").as("bval"))
-    val x = banded.select(F.col("bi"), F.col("bval"), F.col("doc").as("a"), F.col("simhash").as("sa"))
-    val y = banded.select(F.col("bi"), F.col("bval"), F.col("doc").as("b"), F.col("simhash").as("sb"))
+    require(64 % nBands == 0, s"need 64 divisible by maxHamming+1, got $nBands bands")
+    val bandBits = 64 / nBands
+    require(bandBits >= 32 || 32 % bandBits == 0,
+      s"band width $bandBits would straddle the lo/hi words")
+    val perWord = math.max(32 / bandBits, 1)
+    val fp = simhash64(df, idCol, textCol)
+    // band b's value: bandBits-wide slice of lo (b < perWord) or hi
+    val bandExprs = (0 until nBands).map { b =>
+      val word = if (b < perWord) F.col("sh_lo") else F.col("sh_hi")
+      F.struct(F.lit(b).as("bi"),
+        F.shiftright(word, (b % perWord) * bandBits)
+          .bitwiseAND(if (bandBits >= 32) -1L else (1L << bandBits) - 1).as("bval"))
+    }
+    val banded = fp.select(F.col("doc"), F.col("sh_lo"), F.col("sh_hi"),
+      F.explode(F.array(bandExprs: _*)).as("e"))
+      .select(F.col("doc"), F.col("sh_lo"), F.col("sh_hi"),
+        F.col("e.bi").as("bi"), F.col("e.bval").as("bval"))
+    val x = banded.select(F.col("bi"), F.col("bval"), F.col("doc").as("a"),
+      F.col("sh_lo").as("la"), F.col("sh_hi").as("ha"))
+    val y = banded.select(F.col("bi"), F.col("bval"), F.col("doc").as("b"),
+      F.col("sh_lo").as("lb"), F.col("sh_hi").as("hb"))
     x.join(y, Seq("bi", "bval"))
       .filter(F.col("a") < F.col("b"))
-      .select(F.col("a"), F.col("b"), F.col("sa"), F.col("sb"))
+      .select(F.col("a"), F.col("b"), F.col("la"), F.col("ha"), F.col("lb"), F.col("hb"))
       .distinct() // a pair can agree on several bands
-      .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int"))
+      .withColumn("hamming",
+        (F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))) +
+         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))).cast("int"))
       .filter(F.col("hamming") <= maxHamming)
       .select(F.col("a"), F.col("b"), F.col("hamming"))
   }
@@ -247,13 +266,17 @@ object Dedup {
     * hops), so rounds stay single-digit; each round is one join + one
     * map-side-combinable min-aggregate, and `localCheckpoint` severs the
     * growing lineage so round N+1's plan does not replay rounds 1..N.
-    * (At extreme diameters you would switch to the alternating
-    * small-star/large-star contraction, which converges in O(log n)
-    * rounds; near-dup graphs do not need it.) */
+    *
+    * NEVER returns silently-wrong labels: if the graph's diameter exceeds
+    * `maxIters` rounds the call ESCALATES to the alternating
+    * small-star/large-star contraction ([[connectedComponentsStar]],
+    * O(log²n) rounds regardless of diameter); with `escalate = false` it
+    * throws instead. */
   def connectedComponents(
       pairs: DataFrame,
       nodes: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      escalate: Boolean = true): DataFrame = {
     val edges = pairs.select(F.col("a").as("src"), F.col("b").as("dst"))
       .unionAll(pairs.select(F.col("b").as("src"), F.col("a").as("dst")))
       .localCheckpoint(true)
@@ -272,7 +295,78 @@ object Dedup {
       labels = next
       it += 1
     }
-    labels
+    if (changed > 0) {
+      if (!escalate) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing — component diameter exceeds the bound)")
+      connectedComponentsStar(pairs, nodes)
+    } else labels
+  }
+
+  /** Connected components by the alternating small-star/large-star edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"): converges in O(log²n) rounds INDEPENDENT of component
+    * diameter — the scale path for deep chain-shaped duplicate graphs
+    * where label propagation would need `diameter` rounds.
+    *
+    * Each round rewires edges toward component minima:
+    *  - large-star: every neighbour of n LARGER than n re-links to
+    *    m(n) = min(n ∪ Γ(n));
+    *  - small-star: every neighbour ≤ n re-links to the same minimum.
+    * The fixpoint is a forest of stars rooted at each component's minimum
+    * id; labels read directly off the final edges. Output matches
+    * [[connectedComponents]]: (node, label). */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      nodes: DataFrame,
+      maxRounds: Int = 40): DataFrame = {
+    // canonical undirected edge set: (lo, hi), lo < hi, distinct
+    var edges = pairs.select(F.col("a").as("x"), F.col("b").as("y"))
+      .filter(F.col("x") =!= F.col("y"))
+      .select(F.least(F.col("x"), F.col("y")).as("lo"),
+        F.greatest(F.col("x"), F.col("y")).as("hi"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star over the symmetric adjacency: emit (m(n), x) for every
+      // neighbour x > n; each emitted pair already has lo = m < n < x = hi
+      val sym = edges.unionAll(edges.select(F.col("hi").as("lo"), F.col("lo").as("hi")))
+        .select(F.col("lo").as("n"), F.col("hi").as("x"))
+      val mTab = sym.groupBy("n").agg(F.min("x").as("mn"))
+        .select(F.col("n"), F.least(F.col("n"), F.col("mn")).as("m"))
+      val ls = sym.join(mTab, "n")
+        .filter(F.col("x") > F.col("n")) // m ≤ n < x, so no self-loops
+        .select(F.col("m").as("lo"), F.col("x").as("hi"))
+        .distinct()
+        .localCheckpoint(true)
+      // small-star: per node n, its SMALLER neighbours S = {lo : (lo,n)}
+      // (canonical pairs make them exactly the lo side); all of S ∪ {n}
+      // re-link to m = min S
+      val sMin = ls.groupBy("hi").agg(F.min("lo").as("m"))
+      val ssOld = ls.join(sMin, "hi")
+        .filter(F.col("lo") =!= F.col("m"))
+        .select(F.col("m").as("lo"), F.col("lo").as("hi"))
+      val ssSelf = sMin.select(F.col("m").as("lo"), F.col("hi"))
+      val next = ssOld.unionAll(ssSelf).distinct().localCheckpoint(true)
+      // fixpoint test: the round function is deterministic, so edge set
+      // unchanged start-to-end ⇔ fixpoint. Both sets are distinct and
+      // canonical, so equal counts + equal distinct-union count suffice.
+      val c1 = edges.count(); val c2 = next.count()
+      converged = c1 == c2 &&
+        edges.unionAll(next).distinct().count() == c1
+      edges = next
+      round += 1
+    }
+    require(converged || edges.isEmpty,
+      s"connectedComponentsStar did not reach a fixpoint in $maxRounds rounds")
+    // final stars: every (lo, hi) links node hi to its component root lo
+    val lab = edges.groupBy(F.col("hi")).agg(F.min("lo").as("l"))
+      .select(F.col("hi").as("node"), F.col("l"))
+    nodes.select(F.col("node"))
+      .join(lab, Seq("node"), "left")
+      .select(F.col("node"), F.coalesce(F.col("l"), F.col("node")).as("label"))
   }
 
   /** SimHash fingerprint (`bits` ≤ 16): token t contributes ±1 to bit i
@@ -300,5 +394,38 @@ object Dedup {
     toks.groupBy(F.col("doc"))
       .agg(sums.head, sums.tail: _*)
       .select(F.col("doc"), fingerprint.as("simhash"))
+  }
+
+  /** 64-bit SimHash fingerprint as TWO 32-bit words `(sh_lo, sh_hi)`.
+    *
+    * md5 hex has 32 nibbles, so 64 independent ±1 decisions come from two
+    * salted draws per token: bits 1..32 from the nibble top bits of
+    * md5(tok), bits 33..64 from md5('s2|' ∥ tok). The fingerprint is kept
+    * as two longs each < 2³² rather than one 64-bit long because bit 64
+    * would be the sign bit — `1 << 63` is unrepresentable as a positive
+    * signed value in either engine's BIGINT sum, while the split form is
+    * overflow-free and mirrors into portable SQL verbatim. Hamming distance
+    * over the pair is `bit_count(lo⊕lo') + bit_count(hi⊕hi')`.
+    *
+    * Same wide one-pass shape as [[simhash]]: 64 signed sums in ONE
+    * groupBy over tokens, fingerprint words as a pure projection. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(
+        F.col(idCol).as("doc"),
+        F.explode(F.split(F.col(textCol), " ")).as("tok"))
+      .withColumn("h1", F.md5(F.col("tok")))
+      .withColumn("h2", F.md5(F.concat(F.lit("s2|"), F.col("tok"))))
+    val hexTop = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    def bitSum(h: String, i: Int) =
+      F.sum(
+        F.when(F.substring(F.col(h), i, 1).isin(hexTop: _*), F.lit(1)).otherwise(F.lit(-1))
+      ).as(s"${h}_s$i")
+    val sums = (1 to 32).map(bitSum("h1", _)) ++ (1 to 32).map(bitSum("h2", _))
+    def word(h: String) = (1 to 32).map { i =>
+      F.when(F.col(s"${h}_s$i") >= 0, F.lit(1L << (i - 1))).otherwise(F.lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(F.col("doc"))
+      .agg(sums.head, sums.tail: _*)
+      .select(F.col("doc"), word("h1").as("sh_lo"), word("h2").as("sh_hi"))
   }
 }

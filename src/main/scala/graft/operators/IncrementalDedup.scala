@@ -36,7 +36,19 @@ object IncrementalDedup {
         Seq.empty[(Long, Int, String, Long)].toDF("doc", "band", "key", "batch_id")
           .write.parquet(path)
       }
-    def buckets: DataFrame = spark.read.parquet(path)
+    /** Reads normalize legacy rows: a store written before the batch_id
+      * column existed yields nulls (or lacks the column entirely), and a
+      * null would make `batch_id =!= b` evaluate to null — silently
+      * excluding every legacy row from the collision corpus. Missing
+      * column → add it; nulls → coalesce to the -1 sentinel (no real
+      * batch id, so the rows are never self-excluded). */
+    def buckets: DataFrame = {
+      val raw = spark.read.parquet(path)
+      val withCol =
+        if (raw.columns.contains("batch_id")) raw
+        else raw.withColumn("batch_id", F.lit(-1L))
+      withCol.withColumn("batch_id", F.coalesce(F.col("batch_id"), F.lit(-1L)))
+    }
     def append(b: DataFrame): Unit =
       b.select("doc", "band", "key", "batch_id").write.mode(SaveMode.Append).parquet(path)
   }

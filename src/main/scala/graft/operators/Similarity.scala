@@ -84,6 +84,9 @@ object Similarity {
       k: Int,
       lambda: Double = 0.7): DataFrame = {
     val wRel = math.round(lambda * 10).toInt
+    require(math.abs(lambda * 10 - wRel) < 1e-9,
+      s"lambda must be a multiple of 0.1 (integer-exact ranking weights); got $lambda" +
+        s" — it would silently run as ${wRel / 10.0}")
     val wDiv = 10 - wRel
     def toInt4(c: Column): Column = F.round(c * 10000).cast("long")
     val q = queries.select(F.col(idCol).as("qid"), F.col(vecCol).as("qv"))
@@ -110,7 +113,11 @@ object Similarity {
       .filter(F.col("__prn") === 1)
       .select(F.col("qid"), F.lit(rank).as("rank"), F.col("cid"),
         F.col("s").as("relevance"))
-    var selected = pick(cand.withColumn("__score", F.col("si")), 1)
+    // selected is localCheckpoint'd each step: step i's plan reads the
+    // MATERIALIZED picks 1..i−1 instead of replaying them — per-step cost
+    // stays flat in k rather than the O(k²) growth of an uncheckpointed
+    // union chain (evidence row in OperatorBench)
+    var selected = pick(cand.withColumn("__score", F.col("si")), 1).localCheckpoint(true)
     for (step <- 2 to k) {
       val maxSel = pair
         .join(selected.select(F.col("qid"), F.col("cid").as("b")), Seq("qid", "b"))
@@ -121,9 +128,14 @@ object Similarity {
         .join(maxSel, Seq("qid", "cid"))
         .withColumn("__score",
           F.lit(wRel) * F.col("si") - F.lit(wDiv) * F.col("__msel"))
-      selected = selected.union(pick(remaining, step))
+      selected = selected.union(pick(remaining, step)).localCheckpoint(true)
     }
-    selected.select(F.col("qid"), F.col("rank"), F.col("cid"), F.col("relevance"))
+    // the final frame is materialized, so the session-lifetime caches can
+    // go now instead of leaking executor storage across invocations
+    val out = selected.select(F.col("qid"), F.col("rank"), F.col("cid"), F.col("relevance"))
+    cand.unpersist()
+    pair.unpersist()
+    out
   }
 
   /** Exact brute-force top-k: for each query vector, the k most-similar
@@ -743,23 +755,25 @@ object Similarity {
       base.select(F.col("id"), F.col("v"), nearestCell(F.col("v"), centroids).as("cell")),
       "id", "v", codebooks)
       .select(F.col("id").as("cid"), F.col("cell"), F.col("pq_code"))
-    // per-query ADC tables computed ONCE per query (m·kC doubles each)
-    val qtab = base.select(F.col("id").as("qid"),
-      adcTables(F.col("v"), codebooks).as("__adc"))
-    val probes = base.select(F.col("id").as("qid"),
-      F.explode(probeCells(F.col("v"), centroids, nprobe)).as("cell"))
+    // per-query ADC tables computed ONCE per query row (m·kC doubles),
+    // then RIDING THE PROBE ROWS through the cell exchange — nprobe copies
+    // of each table, linear in the corpus, never an all-queries broadcast
+    // and never a per-candidate shuffle: with candidates ≈ nprobe·N/kC per
+    // query, shuffling tables on the probe side costs nprobe·|table| per
+    // query where a candidate-side join would move ~N/kC× more rows.
+    val probes = base
+      .select(F.col("id").as("qid"),
+        probeCells(F.col("v"), centroids, nprobe).as("__cells"),
+        adcTables(F.col("v"), codebooks).as("__adc"))
+      .select(F.col("qid"), F.explode(F.col("__cells")).as("cell"), F.col("__adc"))
     // candidate generation: probe and index sides shuffle on CELL — the
     // coarse cell is the unit of index locality, and at a production
     // kC ≈ √N it is a well-spread key (AQE's skew split covers hot cells).
-    // Candidates leave the join carrying only the m-byte code.
-    val cand = probes.join(coded, "cell")
+    // ADC-scoring happens map-side in the join's output projection, so the
+    // shortlist sort shuffles only the slim (qid, cid, pq_dot) rows — the
+    // table arrays and codes never enter a per-candidate exchange.
+    val adcScored = probes.join(coded, "cell")
       .filter(F.col("qid") =!= F.col("cid"))
-      .select(F.col("qid"), F.col("cid"), F.col("pq_code"))
-    // ADC tables attach by a QID shuffle join: each table crosses the wire
-    // once per query — never per candidate, never as an all-queries
-    // broadcast. Scoring happens in the join's output projection, so the
-    // shortlist sort still shuffles only the slim (qid, cid, pq_dot) rows.
-    val adcScored = cand.join(qtab, "qid")
       .select(F.col("qid"), F.col("cid"), adcScore(m, kC).as("pq_dot"))
     val wShort = Window.partitionBy(F.col("qid")).orderBy(F.col("pq_dot").desc, F.col("cid").asc)
     val short = adcScored

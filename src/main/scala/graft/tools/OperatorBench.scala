@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 
 import graft.operators._
@@ -114,6 +114,35 @@ object OperatorBench {
       Similarity.ivfPqTopKWithModel(emb, "vec_id", "embedding", ivfCents, pqBooks,
         nprobe = 5, shortlist = 24, k = 3).count()
     report("ivf_pq_ann", annBrute, annIvfPq)
+
+    // 6. simhash band width: candidate volume from 4-bit bands over the
+    // 16-bit fingerprint vs 16-bit bands over the 64-bit fingerprint.
+    // (The verified pair sets differ — a wider print is strictly more
+    // precise — so this reports candidate:verified selectivity, not an
+    // equal-cardinality race: the 4-bit bands' 16 bucket values per band
+    // drive candidates toward N²/16 while 65,536-value bands stay sparse.)
+    def bandCands(fp: DataFrame, cols: Seq[String], bandOf: Int => Column): Long = {
+      val banded = fp.select(F.col("doc") +: cols.map(F.col) :+
+        F.explode(F.array((0 until 4).map(b =>
+          F.struct(F.lit(b).as("bi"), bandOf(b).as("bval"))): _*)).as("e"): _*)
+        .select(F.col("doc"), F.col("e.bi").as("bi"), F.col("e.bval").as("bval"))
+      banded.as("x").join(banded.as("y"),
+          F.col("x.bi") === F.col("y.bi") && F.col("x.bval") === F.col("y.bval") &&
+            F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").as("a"), F.col("y.doc").as("b")).distinct().count()
+    }
+    val fp16 = Dedup.simhash(docs, "doc_id", "text", bits = 16)
+    val cand16 = bandCands(fp16, Seq("simhash"), b =>
+      F.shiftright(F.col("simhash"), b * 4).bitwiseAND(15L))
+    val fp64 = Dedup.simhash64(docs, "doc_id", "text")
+    val cand64 = bandCands(fp64, Seq("sh_lo", "sh_hi"), b =>
+      F.shiftright(if (b < 2) F.col("sh_lo") else F.col("sh_hi"), (b % 2) * 16)
+        .bitwiseAND(65535L))
+    val verified64 = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).count()
+    val nDocs = docs.count()
+    println(s"""{"op":"simhash_banding","docs":$nDocs,"cand_16bit_4bit_bands":$cand16,""" +
+      s""""cand_64bit_16bit_bands":$cand64,"verified_hamming_le3":$verified64,""" +
+      s""""cand_reduction":${if (cand64 > 0) cand16 / cand64 else cand16}}""")
 
     spark.stop()
   }

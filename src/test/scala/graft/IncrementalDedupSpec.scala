@@ -38,6 +38,24 @@ class IncrementalDedupSpec extends SparkSpec {
     kept2 shouldBe Array(11L) // 10 duplicates batch-1's doc 1
   }
 
+  it("a legacy store without batch_id still contributes its rows to the collision corpus") {
+    // simulate a store written by the pre-batch_id format: same path, no
+    // batch_id column at all
+    val dir = Files.createTempDirectory("graft-dedup-legacy").toString
+    val st = new IncrementalDedup.BucketStore(spark, dir)
+    graft.operators.Dedup.minhashBuckets(
+        Seq((1L, textA)).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc".cast("long").as("doc"), $"band", $"key")
+      .write.parquet(s"$dir/minhash_buckets")
+    // replay-stable path: legacy rows must read as batch_id = -1, never
+    // null (null =!= b is null -> row silently dropped from the corpus)
+    val kept = IncrementalDedup.dedupBatchIdempotent(
+      Seq((10L, textA), (11L, textB)).toDF("doc_id", "text"), st, "doc_id", "text",
+      batchId = 7L)
+      .select("doc_id").collect().map(_.getLong(0))
+    kept shouldBe Array(11L) // 10 collides with the legacy-stored doc 1
+  }
+
   it("is idempotent under batch replay (at-least-once delivery)") {
     val st = newStore()
     val batch = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")

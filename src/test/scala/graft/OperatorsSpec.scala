@@ -78,6 +78,37 @@ class OperatorsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       cc shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
     }
+
+    it("connectedComponents never returns non-converged labels: a 30-hop chain either escalates or throws") {
+      import spark.implicits._
+      // a 31-node path graph: label-propagation needs 30 rounds to carry
+      // node 0's label to node 30 — far past maxIters = 5
+      val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+      val nodes = (0L to 30L).toDF("node")
+      // escalate = false: loud failure, never wrong labels
+      an[IllegalStateException] should be thrownBy
+        Dedup.connectedComponents(pairs, nodes, maxIters = 5, escalate = false).collect()
+      // default: auto-escalation to star contraction gives the right answer
+      val cc = Dedup.connectedComponents(pairs, nodes, maxIters = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cc.size shouldBe 31
+      cc.values.toSet shouldBe Set(0L)
+    }
+
+    it("connectedComponentsStar matches label propagation on a random graph (equivalence)") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(7)
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("a", "b")
+      val nodes = (0L until n.toLong).toDF("node")
+      val prop = Dedup.connectedComponents(pairs, nodes, maxIters = 100, escalate = false)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.connectedComponentsStar(pairs, nodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      star shouldBe prop
+    }
   }
 
   describe("Similarity") {

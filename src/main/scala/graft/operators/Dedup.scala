@@ -224,10 +224,22 @@ object Dedup {
     val nBands = maxHamming + 1
     require(64 % nBands == 0, s"need 64 divisible by maxHamming+1, got $nBands bands")
     val bandBits = 64 / nBands
-    require(bandBits >= 32 || 32 % bandBits == 0,
+    val fp = simhash64(df, idCol, textCol)
+    if (nBands == 1) {
+      // maxHamming=0 degenerates to exact-fingerprint equality; the single
+      // "band" is the whole 64-bit print, which no long column holds — so
+      // skip banding and bucket on the (lo, hi) word PAIR directly. (A
+      // lo-only bucket would collide on half the fingerprint, inflating
+      // candidates against the banding-width rationale.)
+      val x = fp.select(F.col("doc").as("a"), F.col("sh_lo"), F.col("sh_hi"))
+      val y = fp.select(F.col("doc").as("b"), F.col("sh_lo"), F.col("sh_hi"))
+      return x.join(y, Seq("sh_lo", "sh_hi"))
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a"), F.col("b"), F.lit(0).as("hamming"))
+    }
+    require(32 % bandBits == 0,
       s"band width $bandBits would straddle the lo/hi words")
     val perWord = math.max(32 / bandBits, 1)
-    val fp = simhash64(df, idCol, textCol)
     // band b's value: bandBits-wide slice of lo (b < perWord) or hi
     val bandExprs = (0 until nBands).map { b =>
       val word = if (b < perWord) F.col("sh_lo") else F.col("sh_hi")

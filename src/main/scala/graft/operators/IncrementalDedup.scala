@@ -37,17 +37,20 @@ object IncrementalDedup {
           .write.parquet(path)
       }
     /** Reads normalize legacy rows: a store written before the batch_id
-      * column existed yields nulls (or lacks the column entirely), and a
-      * null would make `batch_id =!= b` evaluate to null — silently
-      * excluding every legacy row from the collision corpus. Missing
-      * column → add it; nulls → coalesce to the -1 sentinel (no real
-      * batch id, so the rows are never self-excluded). */
+      * column existed yields nulls, and a null would make `batch_id =!= b`
+      * evaluate to null — silently excluding every legacy row from the
+      * collision corpus. The read pins an EXPLICIT schema: with schema
+      * inference a MIXED store (legacy + new files) resolves from one
+      * file's footer arbitrarily, so batch_id could vanish for all rows
+      * depending on which file Spark sampled. With the pinned schema,
+      * files lacking the column deterministically yield nulls, which
+      * coalesce maps to the -1 sentinel (no real batch id, so legacy rows
+      * are never self-excluded). */
     def buckets: DataFrame = {
-      val raw = spark.read.parquet(path)
-      val withCol =
-        if (raw.columns.contains("batch_id")) raw
-        else raw.withColumn("batch_id", F.lit(-1L))
-      withCol.withColumn("batch_id", F.coalesce(F.col("batch_id"), F.lit(-1L)))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc BIGINT, band INT, key STRING, batch_id BIGINT")
+      spark.read.schema(schema).parquet(path)
+        .withColumn("batch_id", F.coalesce(F.col("batch_id"), F.lit(-1L)))
     }
     def append(b: DataFrame): Unit =
       b.select("doc", "band", "key", "batch_id").write.mode(SaveMode.Append).parquet(path)

@@ -142,7 +142,7 @@ object OperatorBench {
     val nDocs = docs.count()
     println(s"""{"op":"simhash_banding","docs":$nDocs,"cand_16bit_4bit_bands":$cand16,""" +
       s""""cand_64bit_16bit_bands":$cand64,"verified_hamming_le3":$verified64,""" +
-      s""""cand_reduction":${if (cand64 > 0) cand16 / cand64 else cand16}}""")
+      s""""cand_reduction":${if (cand64 > 0) cand16.toDouble / cand64 else cand16.toDouble}}""")
 
     spark.stop()
   }

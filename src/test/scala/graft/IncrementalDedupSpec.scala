@@ -56,6 +56,35 @@ class IncrementalDedupSpec extends SparkSpec {
     kept shouldBe Array(11L) // 10 collides with the legacy-stored doc 1
   }
 
+  it("a MIXED store (legacy files + batch_id files) keeps both formats' rows and replay-idempotence") {
+    // legacy file first: with schema INFERENCE, mergeSchema=false could
+    // resolve the store's schema from this file's footer and drop batch_id
+    // for every row — the pinned-schema read must not care which file wins
+    val dir = Files.createTempDirectory("graft-dedup-mixed").toString
+    val st = new IncrementalDedup.BucketStore(spark, dir)
+    graft.operators.Dedup.minhashBuckets(
+        Seq((1L, textA)).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"doc".cast("long").as("doc"), $"band", $"key")
+      .write.parquet(s"$dir/minhash_buckets")
+    // new-format batch appends (batch_id = 7) alongside the legacy files
+    val kept1 = IncrementalDedup.dedupBatchIdempotent(
+      Seq((10L, textA), (11L, textB)).toDF("doc_id", "text"), st, "doc_id", "text",
+      batchId = 7L).select("doc_id").collect().map(_.getLong(0))
+    kept1 shouldBe Array(11L) // 10 collides with the legacy-stored doc 1
+    // replay of batch 7: self-exclusion must see batch_id=7 on the stored
+    // rows (not null / not -1) and re-yield the SAME survivors
+    val replay = IncrementalDedup.dedupBatchIdempotent(
+      Seq((10L, textA), (11L, textB)).toDF("doc_id", "text"), st, "doc_id", "text",
+      batchId = 7L).select("doc_id").collect().map(_.getLong(0))
+    replay shouldBe Array(11L)
+    // and a later batch still collides with BOTH formats' rows
+    val kept2 = IncrementalDedup.dedupBatchIdempotent(
+      Seq((20L, textA), (21L, textB), (22L, textC)).toDF("doc_id", "text"),
+      st, "doc_id", "text", batchId = 8L)
+      .select("doc_id").collect().map(_.getLong(0))
+    kept2 shouldBe Array(22L) // 20 hits legacy doc 1, 21 hits batch-7 doc 11
+  }
+
   it("is idempotent under batch replay (at-least-once delivery)") {
     val st = newStore()
     val batch = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")

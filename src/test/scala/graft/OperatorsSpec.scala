@@ -69,6 +69,17 @@ class OperatorsSpec extends SparkSpec {
       p((1L, 2L)) shouldBe 0
     }
 
+    it("simhashPairs maxHamming=0 buckets on BOTH fingerprint words (exact-equality fast path)") {
+      val p0 = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      // identical texts are the only hamming-0 pair; result must agree with
+      // the banded path's hamming-0 subset
+      val p3 = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+        .collect().filter(_.getInt(2) == 0).map(r => (r.getLong(0), r.getLong(1)) -> 0).toMap
+      p0 shouldBe p3
+      p0 should contain key ((1L, 2L))
+    }
+
     it("connectedComponents labels every node with its component's minimum id (transitive closure)") {
       import spark.implicits._
       // 1-2, 2-3 chain (transitive: 3 never pairs with 1 directly); 5-6; 9 singleton

@@ -89,6 +89,7 @@ class PlanSpec extends SparkSpec {
     // broadcast from actual observed sizes — adaptive, scale-safe.)
     val conf = spark.conf
     val saved = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAdaptive = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -111,7 +112,10 @@ class PlanSpec extends SparkSpec {
       }
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      savedAdaptive match {
+        case Some(v) => conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None    => conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
   }
 

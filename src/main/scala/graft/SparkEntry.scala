@@ -53,6 +53,18 @@ object SparkEntry {
     * pattern, applied to a trained model). */
   @volatile private var ivfCentroidsStash: Option[Array[Array[Double]]] = None
   @volatile private var pqModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+  @volatile private var annIndexModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+
+  /** Per-process persisted-ANN-index directory, one per sf dir: the FIRST
+    * q_ann_index_serve call in a process builds the index (train + encode +
+    * persist); every later call serves straight from the persisted codes
+    * table. Under the bench's interleaved passes the per-query median is
+    * therefore the SERVE-ONLY cost, while q_ivf_pq (which retrains every
+    * call) keeps measuring train+serve — the two bench rows the
+    * train-rarely/encode-always split is supposed to show. A fresh temp dir
+    * per process (never reused across JVMs) means the index can never go
+    * stale against regenerated testdata. */
+  private val annIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private val shipperName = "cf-audit-events-to-splunk"
   private val cursorTs = Timestamp.from(Instant.parse("2024-01-15T00:00:00Z"))
@@ -470,6 +482,23 @@ object SparkEntry {
         nprobe = 5, shortlist = 24, k = 3)
         .withColumn("rn", F.col("rn").cast("long"))
     }),
+    // Train-rarely/encode-always: the same IVF+PQ search SERVED from a
+    // persisted (cid, cell, pq_code) index table (AnnIndexStore). First
+    // call per process builds the index; later calls read the codes table
+    // and skip training entirely — so this row's bench median is the
+    // serve-path cost, vs q_ivf_pq's train+serve.
+    "q_ann_index_serve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idxDir = annIndexDirs.computeIfAbsent(dir, _ =>
+        java.nio.file.Files.createTempDirectory("graft_ann_index_").toString)
+      val store = new AnnIndexStore(s, idxDir)
+      if (!store.exists)
+        store.build(e, "vec_id", "embedding", nCentroids = 8, m = 16, kCodes = 16)
+      val mod = store.model
+      annIndexModelStash = Some((mod.centroids, mod.codebooks))
+      store.search(e, "vec_id", "embedding", nprobe = 5, shortlist = 24, k = 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    }),
 
     // --- training-data pipeline: text analysis (documents) ---
     "q_text_langid" -> ((s, dir) =>
@@ -538,6 +567,22 @@ object SparkEntry {
     "q_mm_decode" -> ((s, dir) =>
       Multimodal.decodeImage(
         Multimodal.pngPayloads(t(s, dir, "documents"), "doc_id"))),
+    // REAL audio codec round-trip (the WAV twin of q_mm_decode):
+    // deterministic 16-bit PCM waveforms -> genuine WAV bytes
+    // (javax.sound.sampled encode) -> genuine WAV header+frame decode +
+    // feature extraction. WAV/PCM is lossless and integer, so the decoded
+    // checksum/peak are analytically computable by an engine that never
+    // touches WAV.
+    "q_mm_audio" -> ((s, dir) =>
+      Multimodal.decodeAudio(
+        Multimodal.wavPayloads(t(s, dir, "documents"), "doc_id"))),
+    // REAL multi-frame container round-trip (the video twin): deterministic
+    // grayscale frame sequences -> genuine animated GIF (javax.imageio
+    // sequence writer, lossless 256-gray palette) -> genuine container
+    // parse + every-2nd-frame decode with per-frame checksums.
+    "q_mm_video" -> ((s, dir) =>
+      Multimodal.decodeFrames(
+        Multimodal.gifPayloads(t(s, dir, "documents"), "doc_id"), stride = 2)),
 
     // --- training-data pipeline: dataset shaping (documents) ---
     // Group-wise feature normalization (z-score per source) — the
@@ -1063,6 +1108,12 @@ object SparkEntry {
     "q_ivf_pq" -> pqModelStash
       .map { case (c, b) => ivfPqOracle(c, b, nprobe = 5, shortlist = 24) }
       .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
+    // The persisted-index serve path computes the same function of the same
+    // (reloaded, bit-identical) model — the oracle is the same IVF+PQ
+    // mirror over the literals the store handed back.
+    "q_ann_index_serve" -> annIndexModelStash
+      .map { case (c, b) => ivfPqOracle(c, b, nprobe = 5, shortlist = 24) }
+      .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
     // MMR greedy unrolled for k=3: candidate shortlist (top-8 rounded
     // cosine), integer-scaled sims (si = round(s·10⁴) as BIGINT), picks
     // ranked on the EXACT integer score 7·si − 3·msel with cid tiebreak —
@@ -1222,6 +1273,28 @@ object SparkEntry {
         "CAST(sum(((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256) * (i + 1)) AS BIGINT) AS pix_checksum " +
         "FROM px GROUP BY doc_id, w, h"),
 
+    // Mirrors the REAL WAV encode->decode round-trip analytically: PCM is
+    // lossless integer audio, so decoded sample_i == (id*31 + i*7) % 2^16
+    // - 2^15 and the position-weighted checksum/peak are plain integer
+    // aggregates over the sample index.
+    "q_mm_audio" ->
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 32 + 16 AS BIGINT) AS n FROM documents), " +
+        "s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM m), " +
+        "v AS (SELECT doc_id, n, i, (doc_id * 31 + i * 7) % 65536 - 32768 AS smp FROM s) " +
+        "SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate, CAST(n AS INTEGER) AS n_samples, " +
+        "CAST(sum(smp * (i + 1)) AS BIGINT) AS pcm_checksum, CAST(max(abs(smp)) AS INTEGER) AS peak " +
+        "FROM v GROUP BY doc_id, n"),
+    // Mirrors the REAL GIF sequence encode->parse->decode analytically:
+    // the 256-gray indexed palette makes GIF lossless here, so each decoded
+    // frame's gray(x, y) == the generator (id*31 + f*17 + x*7 + y*13) % 256.
+    "q_mm_video" ->
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 8 + 4 AS BIGINT) AS w, CAST(doc_id % 6 + 4 AS BIGINT) AS h, " +
+        "CAST(doc_id % 4 + 2 AS BIGINT) AS nf FROM documents), " +
+        "fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS f FROM m), " +
+        "px AS (SELECT doc_id, w, h, nf, f, unnest(range(0, w * h)) AS i FROM fr) " +
+        "SELECT doc_id AS media_id, CAST(nf AS INTEGER) AS n_frames, CAST(f AS INTEGER) AS frame_idx, " +
+        "CAST(sum(((doc_id * 31 + f * 17 + (i % w) * 7 + (i // w) * 13) % 256) * (i + 1)) AS BIGINT) AS frame_checksum " +
+        "FROM px GROUP BY doc_id, nf, f"),
     "q_zscore_by_source" ->
       ("SELECT doc_id, source, n_chars, " +
         "round((n_chars - avg(n_chars) OVER (PARTITION BY source)) / stddev_samp(n_chars) OVER (PARTITION BY source), 4) AS z " +

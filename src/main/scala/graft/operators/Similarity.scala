@@ -743,29 +743,64 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]],
       nprobe: Int,
       shortlist: Int,
+      k: Int): DataFrame =
+    ivfPqSearchFromIndex(embeddings, idCol, vecCol,
+      ivfPqEncodeForIndex(embeddings, idCol, vecCol, centroids, codebooks),
+      centroids, codebooks, nprobe, shortlist, k)
+
+  /** The index half of IVF+PQ: each vector once, in its nearest cell
+    * (in-row argmax over the literal centroids), as an m-byte code —
+    * `(cid, cell, pq_code)`. This is exactly what a PERSISTED index stores
+    * ([[graft.operators.AnnIndexStore]]): encoding is a deterministic
+    * map-only pass against the frozen model, so appending a new batch's
+    * codes equals re-encoding the whole corpus (train-rarely /
+    * encode-always). */
+  def ivfPqEncodeForIndex(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    pqEncode(
+      embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
+        nearestCell(F.col("v"), centroids).as("cell")),
+      "id", "v", codebooks)
+      .select(F.col("id").as("cid"), F.col("cell"), F.col("pq_code"))
+
+  /** The serve half of IVF+PQ: search an EXISTING `(cid, cell, pq_code)`
+    * index frame (inline-encoded or read back from a persisted store).
+    * `embeddings` supplies the query vectors and the raw vectors for the
+    * exact rerank. */
+  def ivfPqSearchFromIndex(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coded: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int,
+      shortlist: Int,
       k: Int): DataFrame = {
     import graft.functions.VectorFunctions.{fvDot => ndot}
     val m = codebooks.length
     val kC = codebooks.head.length
     val base = embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
       F.sqrt(ndot(F.col(vecCol), F.col(vecCol))).as("nrm"))
-    // the index: each vector once, in its nearest cell (in-row argmax over
-    // the literal centroids), as an m-byte code
-    val coded = pqEncode(
-      base.select(F.col("id"), F.col("v"), nearestCell(F.col("v"), centroids).as("cell")),
-      "id", "v", codebooks)
-      .select(F.col("id").as("cid"), F.col("cell"), F.col("pq_code"))
-    // per-query ADC tables computed ONCE per query row (m·kC doubles),
-    // then RIDING THE PROBE ROWS through the cell exchange — nprobe copies
-    // of each table, linear in the corpus, never an all-queries broadcast
-    // and never a per-candidate shuffle: with candidates ≈ nprobe·N/kC per
-    // query, shuffling tables on the probe side costs nprobe·|table| per
-    // query where a candidate-side join would move ~N/kC× more rows.
+    // probe rows carry only the RAW query vector (dim·4 B) through the
+    // cell exchange; the m·kC-double ADC table (~16× wider at m=kC=16,
+    // dim=64) is computed AFTER the shuffle from the literal codebooks —
+    // once per probe row, in the projection above the explicit
+    // repartition(cell). The repartition's hash partitioning is exactly
+    // the cell join's requirement, so no second exchange appears; the
+    // table never crosses an exchange at all (asserted in PlanSpec on the
+    // physical plan's ShuffleExchangeExec outputs).
     val probes = base
       .select(F.col("id").as("qid"),
-        probeCells(F.col("v"), centroids, nprobe).as("__cells"),
-        adcTables(F.col("v"), codebooks).as("__adc"))
-      .select(F.col("qid"), F.explode(F.col("__cells")).as("cell"), F.col("__adc"))
+        F.explode(probeCells(F.col("v"), centroids, nprobe)).as("cell"),
+        F.col("v").as("qv"))
+      .repartition(F.col("cell"))
+      .withColumn("__adc", adcTables(F.col("qv"), codebooks))
+      .select(F.col("qid"), F.col("cell"), F.col("__adc"))
     // candidate generation: probe and index sides shuffle on CELL — the
     // coarse cell is the unit of index locality, and at a production
     // kC ≈ √N it is a well-spread key (AQE's skew split covers hot cells).

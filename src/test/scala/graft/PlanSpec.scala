@@ -110,6 +110,21 @@ class PlanSpec extends SparkSpec {
         l should not include "__adc"
         l should not include "qv"
       }
+      // the m·kC-double ADC table must be computed AFTER the cell shuffle
+      // (probe rows carry only the dim-float query vector through it):
+      // no ShuffleExchange anywhere in the plan may output __adc
+      val df = SparkEntry.queries("q_ivf_pq")(spark, dir)
+      val tree = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val exchanges = tree.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      exchanges should not be empty
+      exchanges.foreach(e => e.output.map(_.name) should not contain "__adc")
+      // ... and the probe-side cell exchange is the one carrying qv
+      exchanges.map(_.output.map(_.name)).count(_.contains("qv")) should be >= 1
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
       savedAdaptive match {

@@ -448,7 +448,7 @@ object Similarity {
     * first position of the max, identical to `row_number() OVER (ORDER BY
     * sim DESC, cell ASC) = 1`). Pure in-row argmax: no centroid crossJoin,
     * no window sort. */
-  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column = {
+  private[graft] def nearestCell(vec: Column, cents: Array[Array[Double]]): Column = {
     val sims = cellSims(vec, cents)
     (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
   }
@@ -457,7 +457,7 @@ object Similarity {
     * DESC, cell ASC). Sort key is (1.0 − sim, cell): rounded sims differ by
     * ≥ 1e-4 (≫ ulp at 1.0), so `1.0 − sim` preserves distinctness and
     * order while avoiding −0.0; struct array_sort is field-lexicographic. */
-  private def probeCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
+  private[graft] def probeCells(vec: Column, cents: Array[Array[Double]], nprobe: Int): Column = {
     val sims = cellSims(vec, cents)
     val ranked = F.array_sort(F.array(cents.indices.map(c =>
       F.struct(
@@ -635,7 +635,7 @@ object Similarity {
 
   /** ADC approximate-dot score of a candidate's `pq_code` against a query's
     * `__adc` tables: Σ_s table[s][code_s], left-associated (index order). */
-  private def adcScore(m: Int, kC: Int): Column =
+  private[graft] def adcScore(m: Int, kC: Int): Column =
     (0 until m).map(s =>
       F.element_at(F.col("__adc"),
         F.lit(s * kC + 1) + F.element_at(F.col("pq_code"), s + 1))).reduce(_ + _)
@@ -807,7 +807,15 @@ object Similarity {
     // ADC-scoring happens map-side in the join's output projection, so the
     // shortlist sort shuffles only the slim (qid, cid, pq_dot) rows — the
     // table arrays and codes never enter a per-candidate exchange.
-    val adcScored = probes.join(coded, "cell")
+    //
+    // SHUFFLE_MERGE is pinned, not left to the planner: if AQE elects a
+    // runtime broadcast with the table-carrying probe side as build side,
+    // every candidate match COPIES the m·kC-double ADC row out of the
+    // hashed relation — measured 247 s vs 3.5 s for the shuffle join on
+    // the sf0.1 fixture (2.5 M candidates), a 70× cliff. The merge join
+    // keeps the wide row on a sorted stream (no per-match copy) and is
+    // the only shape that survives corpus growth anyway.
+    val adcScored = probes.hint("shuffle_merge").join(coded, "cell")
       .filter(F.col("qid") =!= F.col("cid"))
       .select(F.col("qid"), F.col("cid"), adcScore(m, kC).as("pq_dot"))
     val wShort = Window.partitionBy(F.col("qid")).orderBy(F.col("pq_dot").desc, F.col("cid").asc)

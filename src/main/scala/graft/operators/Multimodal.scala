@@ -94,6 +94,193 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic audio for media id `id`: `nSamples(id)` 16-bit signed
+    * PCM samples, sample i = (id·31 + i·7) mod 2¹⁶ − 2¹⁵. Pure integer
+    * function of (id, i) — analytically mirrored by the oracle. */
+  def audioNSamples(id: Long): Int = (id % 32 + 16).toInt
+  def audioSample(id: Long, i: Int): Int =
+    ((id * 31 + i.toLong * 7) % 65536 - 32768).toInt
+  val audioSampleRate = 8000f
+
+  /** Render each id's deterministic waveform and encode it as a REAL WAV
+    * file (`javax.sound.sampled`, PCM_SIGNED 16-bit LE mono) — the audio
+    * twin of [[pngPayloads]]. WAV/PCM is lossless, so the decoded samples
+    * equal the generator exactly. */
+  def wavPayloads(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(F.col(idCol).cast(LongType).as("media_id")).mapPartitions { it =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        audioSampleRate, 16, 1, 2, audioSampleRate, false)
+      it.map { row =>
+        val id = row.getLong(0)
+        val n = audioNSamples(id)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = audioSample(id, i)
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode + feature extraction: `javax.sound.sampled` parses
+    * each payload's WAV header and PCM frames; features are the decoded
+    * format (sample rate), sample count, a position-weighted sample
+    * checksum Σ sample_i · (i+1), and the peak amplitude. The audio twin
+    * of [[decodeImage]] — one codec context per partition. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("pcm_checksum", LongType),
+      StructField("peak", IntegerType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"unexpected decoded format for media $id: $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        var sum = 0L
+        var peak = 0
+        var i = 0
+        while (i < n) {
+          val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))
+          sum += s.toLong * (i + 1)
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 1
+        }
+        Row(id, fmt.getSampleRate.toInt, n, sum, peak)
+      }
+    }(enc)
+  }
+
+  /** Deterministic video geometry/pixels for media id `id`: a few small
+    * grayscale frames, pixel = f(id, frame, x, y). Mirrored analytically by
+    * the oracle. */
+  def vidWidth(id: Long): Int = (id % 8 + 4).toInt
+  def vidHeight(id: Long): Int = (id % 6 + 4).toInt
+  def vidNFrames(id: Long): Int = (id % 4 + 2).toInt
+  def vidGray(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f.toLong * 17 + x * 7 + y * 13) % 256).toInt
+
+  /** Render each id's deterministic frame sequence and encode it as a REAL
+    * multi-frame container: an animated GIF written frame-by-frame through
+    * `javax.imageio`'s sequence API. Frames use an explicit 256-gray
+    * indexed palette, so the palette-based GIF encoding is LOSSLESS — the
+    * decoded gray values equal the generator exactly. */
+  def gifPayloads(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(F.col(idCol).cast(LongType).as("media_id")).mapPartitions { it =>
+      // one writer context per partition (codec setup amortized, the
+      // mapPartitions batch shape any real codec needs)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      // interlacing OFF: the JDK GIF writer defaults to interlaced frames,
+      // which scramble row order on decode for frames shorter than the
+      // 8-row interlace passes (observed: rows [0,3,1,zeros] on a 4×4)
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val gray = (0 until 256).map(_.toByte).toArray
+      val palette = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      val out = it.map { row =>
+        val id = row.getLong(0)
+        val (w, h, nf) = (vidWidth(id), vidHeight(id), vidNFrames(id))
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.getRaster.setSample(x, y, 0, vidGray(id, f, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        Row(id, bos.toByteArray)
+      }
+      out // writer.dispose() intentionally skipped: iterator is lazy and the writer is per-partition
+    }(enc)
+  }
+
+  /** REAL multi-frame decode + per-frame feature extraction — the decoded
+    * counterpart of [[sampleFrames]]: `javax.imageio`'s GIF reader parses
+    * the container, counts its frames, and DECODES every `stride`-th frame
+    * to a raster; features are the frame count and each sampled frame's
+    * position-weighted pixel checksum. */
+  def decodeFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_frames", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_checksum", LongType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        reader.setInput(iis, false)
+        val nf = reader.getNumImages(true)
+        val rows = (0 until nf by stride).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sum += (img.getRGB(x, y) & 0xff).toLong * (y.toLong * w + x + 1)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, nf, f, sum)
+        }
+        iis.close()
+        rows
+      }
+    }(enc)
+  }
+
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
     StructField("n_bytes", LongType),

@@ -364,10 +364,20 @@ object Dedup {
       val next = ssOld.unionAll(ssSelf).distinct().localCheckpoint(true)
       // fixpoint test: the round function is deterministic, so edge set
       // unchanged start-to-end ⇔ fixpoint. Both sets are distinct and
-      // canonical, so equal counts + equal distinct-union count suffice.
-      val c1 = edges.count(); val c2 = next.count()
-      converged = c1 == c2 &&
-        edges.unionAll(next).distinct().count() == c1
+      // canonical, so equality ⇔ every (lo, hi) appears on BOTH sides of
+      // the tagged union — ONE driver action over ONE map-side-combinable
+      // aggregate (isEmpty short-circuits at the first one-sided key),
+      // instead of the two counts + distinct-union count this used to
+      // schedule per round; at O(log²n) rounds on a big graph that extra
+      // scheduling was pure waste. (Counts alone would NOT suffice: a
+      // round can rewire while preserving |edges| — e.g. {(1,3),(2,3)} →
+      // {(1,2),(1,3)} — so the test must compare sets, not sizes.)
+      converged = edges.select(F.col("lo"), F.col("hi"), F.lit(1).as("e"), F.lit(0).as("n"))
+        .unionAll(next.select(F.col("lo"), F.col("hi"), F.lit(0).as("e"), F.lit(1).as("n")))
+        .groupBy("lo", "hi")
+        .agg(F.sum("e").as("ne"), F.sum("n").as("nn"))
+        .filter(F.col("ne") =!= F.col("nn"))
+        .isEmpty
       edges = next
       round += 1
     }

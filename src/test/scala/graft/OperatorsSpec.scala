@@ -120,6 +120,57 @@ class OperatorsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       star shouldBe prop
     }
+
+    it("connectedComponentsStar schedules ONE fixpoint action per round (job-count evidence)") {
+      import spark.implicits._
+      val pairs = (0L until 20L).map(i => (i, i + 1)).toDF("a", "b")
+      val nodes = (0L to 20L).toDF("node")
+      // count driver ACTIONS (full plan executions) by name via a
+      // QueryExecutionListener — the scheduling cost the 1-action fixpoint
+      // reduced; raw Spark job counts are a bad proxy (take() escalates
+      // through partitions, AQE splits stages into jobs)
+      val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          actions.add(funcName)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      val cc =
+        try {
+          val m = Dedup.connectedComponentsStar(pairs, nodes)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          // listener events are delivered asynchronously — poll to stable
+          var (prev, tries) = (-1, 0)
+          while (actions.size != prev && tries < 50) {
+            prev = actions.size; Thread.sleep(100); tries += 1
+          }
+          m
+        } finally spark.listenerManager.unregister(listener)
+      cc.values.toSet shouldBe Set(0L)
+      // exact round count from a driver-side replay of the same
+      // deterministic contraction (tiny graph, pure Scala)
+      def roundFn(es: Set[(Long, Long)]): Set[(Long, Long)] = {
+        val sym = es ++ es.map { case (l, h) => (h, l) }
+        val mTab = sym.groupBy(_._1).map { case (n, xs) => n -> math.min(n, xs.map(_._2).min) }
+        val ls = sym.collect { case (n, x) if x > n => (mTab(n), x) }
+        val sMin = ls.groupBy(_._2).map { case (h, e) => h -> e.map(_._1).min }
+        val ssOld = ls.collect { case (lo, hi) if lo != sMin(hi) => (sMin(hi), lo) }
+        ssOld ++ sMin.map { case (h, m) => (m, h) }
+      }
+      var es = (0L until 20L).map(i => (i, i + 1)).toSet
+      var rounds = 1
+      while ({ val n = roundFn(es); val same = n == es; es = n; !same }) rounds += 1
+      val byName = actions.toArray(Array.empty[String]).groupBy(identity).view.mapValues(_.length).toMap
+      val tests = byName.getOrElse("isEmpty", 0)
+      info(s"connectedComponentsStar: $rounds rounds, actions = $byName")
+      // ONE fixpoint test per round + the initial emptiness check; the old
+      // formulation ran 3 per round (2 counts + a distinct-union count)
+      tests shouldBe rounds + 1
+      byName.getOrElse("count", 0) shouldBe 0
+    }
   }
 
   describe("Similarity") {

@@ -50,7 +50,8 @@ final class AnnIndexStore(spark: SparkSession, dir: String) {
   def exists: Boolean = fs.exists(new org.apache.hadoop.fs.Path(modelFile))
 
   /** Train on `embeddings`, persist the snapped model, encode and persist
-    * the full corpus' codes (overwriting any prior index). */
+    * the full corpus' codes (overwriting any prior index). The initial
+    * corpus writes as batch −1. */
   def build(
       embeddings: DataFrame,
       idCol: String,
@@ -63,24 +64,60 @@ final class AnnIndexStore(spark: SparkSession, dir: String) {
     val (cents, books) = Similarity.trainIvfPqModel(
       embeddings, idCol, vecCol, nCentroids, m, kCodes, iters, dim)
     writeModel(Model(cents, books))
-    Similarity.ivfPqEncodeForIndex(embeddings, idCol, vecCol, cents, books)
-      .write.mode(SaveMode.Overwrite).parquet(codesPath)
+    val root = new org.apache.hadoop.fs.Path(codesPath)
+    if (fs.exists(root)) fs.delete(root, true)
+    writeBatchDir(embeddings, idCol, vecCol, cents, books, -1L)
   }
 
   /** Encode a NEW batch against the frozen persisted model and append its
-    * codes — the model is never retrained here. */
-  def append(batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    * codes — the model is never retrained here. Each call gets a fresh
+    * batch directory (next free non-negative id). */
+  def append(batch: DataFrame, idCol: String, vecCol: String): Unit =
+    appendBatchIdempotent(batch, idCol, vecCol, nextBatchId())
+
+  /** Replay-IDEMPOTENT append for streaming ingest: the batch's codes land
+    * in their own `batch_id=<n>` partition directory with overwrite
+    * semantics, so a re-run micro-batch (foreachBatch is at-least-once)
+    * REWRITES identical rows instead of appending duplicates — the
+    * [[graft.streaming.StreamingDedup]] survivor-sink pattern applied to
+    * the index. Encoding is deterministic against the frozen model, so the
+    * rewrite is byte-stable. */
+  def appendBatchIdempotent(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      batchId: Long): Unit = {
     val Model(cents, books) = model
-    Similarity.ivfPqEncodeForIndex(batch, idCol, vecCol, cents, books)
-      .write.mode(SaveMode.Append).parquet(codesPath)
+    writeBatchDir(batch, idCol, vecCol, cents, books, batchId)
   }
 
-  /** The persisted `(cid, cell, pq_code)` index. Explicit schema — never
-    * footer-sampled (the [[IncrementalDedup.BucketStore]] lesson). */
+  private def writeBatchDir(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      batchId: Long): Unit =
+    Similarity.ivfPqEncodeForIndex(batch, idCol, vecCol, cents, books)
+      .write.mode(SaveMode.Overwrite).parquet(s"$codesPath/batch_id=$batchId")
+
+  private def nextBatchId(): Long = {
+    val root = new org.apache.hadoop.fs.Path(codesPath)
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch_id=") => n.stripPrefix("batch_id=").toLong }
+      .foldLeft(-1L)(math.max) + 1L
+  }
+
+  /** The persisted `(cid, cell, pq_code)` index across all batches.
+    * Explicit schema — never footer-sampled (the
+    * [[IncrementalDedup.BucketStore]] lesson); `batch_id` comes from the
+    * partition directories. */
   def codes: DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "cid BIGINT, cell INT, pq_code ARRAY<INT>")
-    spark.read.schema(schema).parquet(codesPath)
+      "cid BIGINT, cell INT, pq_code ARRAY<INT>, batch_id BIGINT")
+    spark.read.schema(schema).option("basePath", codesPath).parquet(codesPath)
+      .select("cid", "cell", "pq_code")
   }
 
   /** Serve a self-ANN search from the persisted index: probe cells and the

@@ -48,6 +48,59 @@ class AnnIndexStoreSpec extends SparkSpec {
     incremental.size shouldBe emb.count()
   }
 
+  it("appendBatchIdempotent replayed with the same batch id leaves the codes unchanged") {
+    val store = new AnnIndexStore(spark, tmpDir())
+    store.build(batch1, "vec_id", "embedding", nCentroids = 4, m = 8, kCodes = 8)
+    def snapshot() = store.codes
+      .select(F.col("cid"), F.col("cell"), F.col("pq_code").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq.sorted
+    store.appendBatchIdempotent(batch2, "vec_id", "embedding", batchId = 7L)
+    val once = snapshot()
+    // foreachBatch is at-least-once: the replay must REWRITE, not duplicate
+    store.appendBatchIdempotent(batch2, "vec_id", "embedding", batchId = 7L)
+    snapshot() shouldBe once
+    once.map(_._1).distinct.size shouldBe emb.count()
+  }
+
+  it("a streamed index (MemoryStream micro-batches) equals the batch-built index and serves identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new AnnIndexStore(spark, tmpDir())
+    store.build(batch1, "vec_id", "embedding", nCentroids = 4, m = 8, kCodes = 8)
+    val mod = store.model
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    val q = graft.streaming.StreamingAnnIndex.attach(
+      stream, java.nio.file.Files.createTempDirectory("ann_ckpt_").toString,
+      store, "vec_id", "embedding", triggerMillis = 50L)
+    try {
+      val rows = batch2.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val (half1, half2) = rows.splitAt(rows.length / 2)
+      input.addData(half1.toSeq)
+      q.processAllAvailable()
+      input.addData(half2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = store.codes
+      .select(F.col("cid"), F.col("cell"), F.col("pq_code").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val full = Similarity.ivfPqEncodeForIndex(
+      emb, "vec_id", "embedding", mod.centroids, mod.codebooks)
+      .select(F.col("cid"), F.col("cell"), F.col("pq_code").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    streamed shouldBe full
+    val served = store.search(emb, "vec_id", "embedding", nprobe = 2, shortlist = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val inline = Similarity.ivfPqTopKWithModel(
+      emb, "vec_id", "embedding", mod.centroids, mod.codebooks,
+      nprobe = 2, shortlist = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    served shouldBe inline
+  }
+
   it("search from the incrementally-built index equals the inline train+serve search") {
     val store = new AnnIndexStore(spark, tmpDir())
     store.build(batch1, "vec_id", "embedding", nCentroids = 4, m = 8, kCodes = 8)

@@ -504,11 +504,14 @@ object Similarity {
       F.explode(probeCells(F.col("v"), centroids, nprobe)).as("cell"))
     // score in a projection BEFORE the top-k shuffle, so only the slim
     // (qid, cid, cos_sim) rows — not the dim-wide vectors — go through the
-    // per-query sort. The cell join broadcasts the index side: with a
-    // coarse quantizer of only kC cells, a shuffle join would hash on kC
-    // distinct keys (maximal skew); at larger kC / corpus sizes drop the
-    // hint and pre-partition both sides on cell instead.
-    val scored = probes.join(F.broadcast(cells), "cell")
+    // per-query sort. The cell join is a pinned SHUFFLE MERGE, the same
+    // physics as the IVF+PQ serve path: a broadcast build side here is the
+    // CORPUS (every vector with its raw cv) — an O(N) build that OOMs at
+    // scale, and even at small SF every candidate match copies the ~300 B
+    // vector row out of the hashed relation (the measured 70× cliff on the
+    // ADC side). kC coarse cells make the key low-cardinality; AQE's
+    // skew-split carves the hot cell partitions into median-sized tasks.
+    val scored = probes.hint("shuffle_merge").join(cells, "cell")
       .filter(F.col("qid") =!= F.col("cid"))
       .select(F.col("qid"), F.col("cid"),
         F.round(ndot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).as("cos_sim"))

@@ -579,10 +579,18 @@ object Similarity {
         cb.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
       }.toSeq.toDF("s", "cell", "cvec"))
       val dist = graft.functions.VectorFunctions.fdDistSq(F.col("sv"), F.col("cvec"))
-      val byDist = Window.partitionBy(F.col("s"), F.col("id"))
-        .orderBy(dist.asc, F.col("cell").asc)
+      // argmin via min_by over (dist, cell) — bit-identical to the window
+      // row_number() ORDER BY dist ASC, cell ASC it replaces (struct
+      // ordering is field-lexicographic, so equal dists tie to the lowest
+      // codeword), but map-side combinable: no m·k-per-vector row sort per
+      // iteration. first(sv) is exact — sv is functionally determined by
+      // (s, id).
       val assigned = exploded.join(cdf, "s")
-        .withColumn("rn", F.row_number().over(byDist)).filter(F.col("rn") === 1)
+        .select(F.col("s"), F.col("id"), F.col("sv"), F.col("cell"), dist.as("d"))
+        .groupBy("s", "id")
+        .agg(
+          F.min_by(F.col("cell"), F.struct(F.col("d"), F.col("cell"))).as("cell"),
+          F.first("sv").as("sv"))
         .select(F.col("s"), F.col("cell"), F.col("sv"))
       val dimSums = (0 until sub).map(d =>
         F.sum(F.element_at(F.col("sv"), d + 1).cast("double")).as(s"d$d"))

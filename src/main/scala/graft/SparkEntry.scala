@@ -54,6 +54,7 @@ object SparkEntry {
   @volatile private var ivfCentroidsStash: Option[Array[Array[Double]]] = None
   @volatile private var pqModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
   @volatile private var annIndexModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+  @volatile private var qualityLrStash: Option[Array[Double]] = None
 
   /** Per-process persisted-ANN-index directory, one per sf dir: the FIRST
     * q_ann_index_serve call in a process builds the index (train + encode +
@@ -523,6 +524,18 @@ object SparkEntry {
     // filter, trained and served in one distributed pass.
     "q_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
+    // LEARNED quality filter: logistic regression over the deterministic
+    // quality features, trained distributed (one combinable gradient
+    // aggregate per iteration), served from snapped literal weights — the
+    // train→snap→serve pattern of the IVF models applied to a classifier.
+    // The oracle scores with the SAME literals and left-associated dot.
+    "q_quality_lr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("y", F.when(F.col("source") === "src0", 1).otherwise(0))
+      val w = QualityModel.train(docs, "text", "y")
+      qualityLrStash = Some(w)
+      QualityModel.score(docs, "doc_id", "text", w)
+    }),
     // PII scrubbing over deterministically injected addresses/IPs/account
     // numbers (the synthetic corpus has no natural PII, so the fixture is
     // built in-engine and mirrored verbatim in the oracle): counts are
@@ -1218,6 +1231,17 @@ object SparkEntry {
         "FROM g JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v) " +
         "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(-sum(lp) / count(*), 4) AS avg_nll " +
         "FROM scored GROUP BY doc_id"),
+    // Scores with the SAME snapped literal weights the q_quality_lr
+    // closure trained and stashed this run; the dot product is the same
+    // left-associated chain (SQL + is left-associative).
+    "q_quality_lr" -> qualityLrStash.map { w =>
+      val f1 = "round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)"
+      val f2 = "round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)"
+      val f3 = "round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) / 10.0, 4)"
+      val f4 = "round(CAST(least(len(string_split(text, ' ')), 200) AS DOUBLE) / 200.0, 4)"
+      s"WITH z AS (SELECT doc_id, 1.0 * (${w(0)}) + $f1 * (${w(1)}) + $f2 * (${w(2)}) + $f3 * (${w(3)}) + $f4 * (${w(4)}) AS z FROM documents) " +
+        "SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score, round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS keep FROM z"
+    }.getOrElse("SELECT NULL AS doc_id, NULL AS score, NULL AS keep WHERE 1 = 0"),
     "q_tfidf_top_term" ->
       ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
         "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term), " +

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Learned quality filter — the model-based curation step of a training
+  *-data pipeline (the fastText/CCNet-style classifier that replaces
+  * hand-tuned thresholds once a corpus outgrows them): a logistic
+  * regression over the deterministic text-quality features, trained
+  * DISTRIBUTED and served from snapped literal weights.
+  *
+  * Training (train-rarely): full-batch gradient descent where each
+  * iteration is ONE map-side-combinable aggregate — the per-row gradient
+  * contribution `(σ(w·x) − y)·x` summed per feature — so an iteration
+  * costs one scan + a 6-double shuffle regardless of corpus size. Only the
+  * weight vector ever reaches the driver. At 100 TB, train on a hash
+  * sample ([[DataShaping]]) — the serve path below is what runs corpus-wide.
+  *
+  * Serving (serve-always): scores are pure column algebra over the LITERAL
+  * snapped weights ([[Similarity.snapCentroids]] pattern), so the scoring
+  * query is engine-mirrorable: the DuckDB oracle embeds the same doubles
+  * and the same left-associated dot product.
+  *
+  * Features (each already fixed-precision, engine-stable):
+  * bias, distinct_ratio, stopword_ratio, mean_token_len/10 (rounded 4),
+  * min(n_tokens, 200)/200 (rounded 4).
+  */
+object QualityModel {
+
+  val nFeatures = 5
+
+  /** The feature columns f0..f4 for a documents frame (expects `textCol`;
+    * tokenization and ratios mirror [[TextAnalysis.quality]]). */
+  def featureCols(textCol: String): Seq[Column] = {
+    val t = F.col(textCol)
+    val arr = F.split(t, " ")
+    val nTok = F.size(arr)
+    val stopwords = Seq("the", "a", "of", "and")
+    val stopHits = F.size(F.filter(arr, x => stopwords.map(s => x === s).reduce(_ || _)))
+    Seq(
+      F.lit(1.0),
+      F.round(F.size(F.array_distinct(arr)).cast("double") / nTok.cast("double"), 4),
+      F.round(stopHits.cast("double") / nTok.cast("double"), 4),
+      F.round((F.length(t) - (nTok - 1)).cast("double") / nTok.cast("double") / 10.0, 4),
+      F.round(F.least(nTok, F.lit(200)).cast("double") / 200.0, 4))
+  }
+
+  /** Left-associated dot of the feature columns with literal weights —
+    * index order, the same association the oracle SQL spells out. */
+  def zOf(weights: Array[Double], feats: Seq[Column]): Column =
+    feats.zip(weights).map { case (f, w) => f * F.lit(w) }.reduceLeft(_ + _)
+
+  private def sigmoid(z: Column): Column = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+  /** Train by full-batch gradient descent: `iters` iterations, each ONE
+    * combinable aggregate of the 5 gradient sums + the row count. The
+    * label is `labelCol` (0/1). Returns weights snapped to 6 decimals
+    * (exact Double.toString round-trip ⇒ literal-embeddable in any
+    * engine). */
+  def train(
+      docs: DataFrame,
+      textCol: String,
+      labelCol: String,
+      iters: Int = 30,
+      learningRate: Double = 2.0): Array[Double] = {
+    val feats = featureCols(textCol)
+    val y = F.col(labelCol).cast("double")
+    var w = Array.fill(nFeatures)(0.0)
+    for (_ <- 0 until iters) {
+      val err = sigmoid(zOf(w, feats)) - y
+      val sums = docs.agg(
+        F.count(F.lit(1)).as("n"),
+        feats.zipWithIndex.map { case (f, j) => F.sum(err * f).as(s"g$j") }: _*)
+        .collect()(0)
+      val n = sums.getLong(0).toDouble
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - learningRate * sums.getDouble(1 + j) / n
+      }
+    }
+    Similarity.snapCentroids(Array(w))(0)
+  }
+
+  /** Score a documents frame against LITERAL weights: `score` =
+    * round(σ(w·x), 4), `keep` = score ≥ 0.5. Pure column algebra — the
+    * serve half, mirrored by the oracle with the same literals. */
+  def score(docs: DataFrame, idCol: String, textCol: String, weights: Array[Double]): DataFrame = {
+    val feats = featureCols(textCol)
+    val s = F.round(sigmoid(zOf(weights, feats)), 4)
+    docs.select(F.col(idCol), s.as("score"), (s >= 0.5).as("keep"))
+  }
+
+  /** Mean log-loss of literal weights on a labelled frame (evaluation /
+    * convergence evidence; clamped away from log 0). */
+  def logLoss(docs: DataFrame, textCol: String, labelCol: String, weights: Array[Double]): Double = {
+    val p = sigmoid(zOf(weights, featureCols(textCol)))
+    val pc = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    val y = F.col(labelCol).cast("double")
+    docs.agg(F.avg(-(y * F.log(pc) + (F.lit(1.0) - y) * F.log(F.lit(1.0) - pc))))
+      .collect()(0).getDouble(0)
+  }
+}

@@ -62,14 +62,22 @@ object QualityModel {
       labelCol: String,
       iters: Int = 30,
       learningRate: Double = 2.0): Array[Double] = {
-    val feats = featureCols(textCol)
-    val y = F.col(labelCol).cast("double")
+    // materialize the (f0..f4, y) frame ONCE — the tokenization/ratio work
+    // is identical every iteration, so each of the `iters` scans should
+    // read 6 doubles per row, not re-split the text. Same doubles, so the
+    // trained weights are unchanged. localCheckpoint (not cache) severs
+    // the lineage so the loop's jobs replay nothing.
+    val fcols = featureCols(textCol).zipWithIndex.map { case (f, j) => f.as(s"f$j") }
+    val feats = docs.select(fcols :+ F.col(labelCol).cast("double").as("y"): _*)
+      .localCheckpoint(true)
+    val fRefs = (0 until nFeatures).map(j => F.col(s"f$j"))
+    val y = F.col("y")
     var w = Array.fill(nFeatures)(0.0)
     for (_ <- 0 until iters) {
-      val err = sigmoid(zOf(w, feats)) - y
-      val sums = docs.agg(
+      val err = sigmoid(zOf(w, fRefs)) - y
+      val sums = feats.agg(
         F.count(F.lit(1)).as("n"),
-        feats.zipWithIndex.map { case (f, j) => F.sum(err * f).as(s"g$j") }: _*)
+        fRefs.zipWithIndex.map { case (f, j) => F.sum(err * f).as(s"g$j") }: _*)
         .collect()(0)
       val n = sums.getLong(0).toDouble
       w = w.zipWithIndex.map { case (wj, j) =>

@@ -393,8 +393,13 @@ object Similarity {
       dim: Int = 64): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // materialized once: every Lloyd iteration re-scans this frame, and
+    // without the checkpoint each of the `iters` jobs would re-read the
+    // source (same rows either way — the training input is iteration-
+    // invariant)
     val base = embeddings
       .select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
+      .localCheckpoint(true)
     var cents: Array[Array[Double]] = base.orderBy("id").limit(kC).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
@@ -570,10 +575,14 @@ object Similarity {
     // array_position-of-min. (256 per-row literal argmins in one generator
     // overflow janino's 64 KB method limit, so assignment goes through a
     // broadcast join + window instead.)
+    // materialized once: the per-subspace slices are iteration-invariant,
+    // so the `iters` assignment scans read the checkpointed (id, s, sv)
+    // rows instead of re-reading and re-slicing the source every pass
     val exploded = base.select(F.col("id"),
       F.explode(F.array((0 until m).map(s =>
         F.struct(F.lit(s).as("s"), F.slice(F.col("v"), s * sub + 1, sub).as("sv"))): _*)).as("e"))
       .select(F.col("id"), F.col("e.s").as("s"), F.col("e.sv").as("sv"))
+      .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val cdf = F.broadcast(books.zipWithIndex.flatMap { case (cb, s) =>
         cb.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }

@@ -55,6 +55,7 @@ object SparkEntry {
   @volatile private var pqModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
   @volatile private var annIndexModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
   @volatile private var qualityLrStash: Option[Array[Double]] = None
+  @volatile private var kmeansStash: Option[Array[Array[Double]]] = None
 
   /** Per-process persisted-ANN-index directory, one per sf dir: the FIRST
     * q_ann_index_serve call in a process builds the index (train + encode +
@@ -471,6 +472,19 @@ object SparkEntry {
       ivfCentroidsStash = Some(cents)
       Similarity.ivfProbeTopK(e, "vec_id", "embedding", cents, nprobe = 3, k = 3)
         .withColumn("rn", F.col("rn").cast("long"))
+    }),
+    // K-means clustering exposed directly: Lloyd-trained snapped centroids
+    // (the IVF coarse quantizer IS k-means) + per-vector max-cosine
+    // assignment as an in-row argmax over the literal model — the corpus
+    // partitioning step of semantic dedup / diversity balancing. The
+    // oracle assigns with the SAME snapped literals.
+    "q_cluster_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.snapCentroids(
+        Similarity.trainIvfCentroids(e, "vec_id", "embedding", kC = 8))
+      kmeansStash = Some(cents)
+      e.select(F.col("vec_id"),
+        Similarity.nearestCell(F.col("embedding"), cents).as("cluster"))
     }),
     // The composed billion-vector recipe: IVF cells -> PQ/ADC compressed
     // scoring within probed cells -> exact rerank of the ADC shortlist.
@@ -1118,6 +1132,12 @@ object SparkEntry {
     "q_ivf_ann" -> ivfCentroidsStash
       .map(c => cosineOracle(ivfProbePairsCte(c, nprobe = 3)))
       .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
+    // Assignment with the stashed snapped centroids — the shared IVF
+    // assignment CTEs at crn = 1 are exactly the k-means assign step.
+    "q_cluster_assign" -> kmeansStash
+      .map(c => ivfAssignCtes(c) +
+        " SELECT id AS vec_id, CAST(cell AS INTEGER) AS cluster FROM arank WHERE crn = 1")
+      .getOrElse("SELECT NULL AS vec_id, NULL AS cluster WHERE 1 = 0"),
     "q_ivf_pq" -> pqModelStash
       .map { case (c, b) => ivfPqOracle(c, b, nprobe = 5, shortlist = 24) }
       .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),

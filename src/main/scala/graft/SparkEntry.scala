@@ -56,6 +56,7 @@ object SparkEntry {
   @volatile private var annIndexModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
   @volatile private var qualityLrStash: Option[Array[Double]] = None
   @volatile private var kmeansStash: Option[Array[Array[Double]]] = None
+  @volatile private var semdedupStash: Option[Array[Array[Double]]] = None
 
   /** Per-process persisted-ANN-index directory, one per sf dir: the FIRST
     * q_ann_index_serve call in a process builds the index (train + encode +
@@ -485,6 +486,29 @@ object SparkEntry {
       kmeansStash = Some(cents)
       e.select(F.col("vec_id"),
         Similarity.nearestCell(F.col("embedding"), cents).as("cluster"))
+    }),
+    // SemDeDup-style semantic dedup: k-means cluster the embeddings, find
+    // within-cluster high-cosine pairs (cluster = blocking, so pair cost
+    // is Σ cell², never |N|²), take TRANSITIVE duplicate groups via the
+    // convergence-guarded connected components, keep each group's min-id
+    // representative. Output: every vector with its representative and a
+    // kept flag — the embedding-space twin of q_curation_neardup.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.snapCentroids(
+        Similarity.trainIvfCentroids(e, "vec_id", "embedding", kC = 8))
+      semdedupStash = Some(cents)
+      val cells = e.select(F.col("vec_id").as("id"), F.col("embedding").as("v"),
+        Similarity.nearestCell(F.col("embedding"), cents).as("cell"))
+      val a = cells.select(F.col("cell"), F.col("id").as("a"), F.col("v").as("av"))
+      val b = cells.select(F.col("cell"), F.col("id").as("b"), F.col("v").as("bv"))
+      val pairs = a.join(b, "cell").filter(F.col("a") < F.col("b"))
+        .withColumn("cos_sim", Similarity.cosine(F.col("av"), F.col("bv")))
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("a", "b")
+      Dedup.connectedComponents(pairs, e.select(F.col("vec_id").as("node")))
+        .select(F.col("node").as("vec_id"), F.col("label").as("rep_id"),
+          (F.col("node") === F.col("label")).as("kept"))
     }),
     // The composed billion-vector recipe: IVF cells -> PQ/ADC compressed
     // scoring within probed cells -> exact rerank of the ADC shortlist.
@@ -1138,6 +1162,27 @@ object SparkEntry {
       .map(c => ivfAssignCtes(c) +
         " SELECT id AS vec_id, CAST(cell AS INTEGER) AS cluster FROM arank WHERE crn = 1")
       .getOrElse("SELECT NULL AS vec_id, NULL AS cluster WHERE 1 = 0"),
+    // Cluster-blocked cosine pairs over the stashed literal centroids,
+    // then the q_dedup_clusters recursive-CTE transitive closure.
+    "q_semantic_dedup" -> semdedupStash
+      .map { c =>
+        "WITH RECURSIVE " + ivfAssignCtes(c).stripPrefix("WITH ") + ", " +
+          "cl AS (SELECT r.id, b.v, r.cell FROM arank r JOIN base b ON b.id = r.id WHERE r.crn = 1), " +
+          "p0 AS (SELECT x.id AS a, y.id AS b, x.v AS qv, y.v AS cv FROM cl x JOIN cl y ON x.cell = y.cell AND x.id < y.id), " +
+          "pterms AS (SELECT a, b, qv, cv, unnest(range(1, 65)) AS i FROM p0), " +
+          "pdots AS (SELECT a, b, " +
+          "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS dot, " +
+          "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS qq, " +
+          "sum(CAST(cv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS cc " +
+          "FROM pterms GROUP BY a, b), " +
+          "sd AS (SELECT a, b FROM pdots WHERE round(dot / (sqrt(qq) * sqrt(cc)), 4) >= 0.35), " +
+          "e AS (SELECT a AS src, b AS dst FROM sd UNION ALL SELECT b AS src, a AS dst FROM sd), " +
+          "reach AS (SELECT vec_id AS node, vec_id AS label FROM embeddings " +
+          "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node) " +
+          "SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS rep_id, node = min(label) AS kept " +
+          "FROM reach GROUP BY node"
+      }
+      .getOrElse("SELECT NULL AS vec_id, NULL AS rep_id, NULL AS kept WHERE 1 = 0"),
     "q_ivf_pq" -> pqModelStash
       .map { case (c, b) => ivfPqOracle(c, b, nprobe = 5, shortlist = 24) }
       .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),

@@ -498,12 +498,17 @@ object SparkEntry {
       val cents = Similarity.snapCentroids(
         Similarity.trainIvfCentroids(e, "vec_id", "embedding", kC = 8))
       semdedupStash = Some(cents)
+      // norms once per vector, not per pair (same doubles, 1 dot/pair
+      // instead of 3)
+      import graft.functions.VectorFunctions.{fvDot => ndot}
       val cells = e.select(F.col("vec_id").as("id"), F.col("embedding").as("v"),
+        F.sqrt(ndot(F.col("embedding"), F.col("embedding"))).as("nrm"),
         Similarity.nearestCell(F.col("embedding"), cents).as("cell"))
-      val a = cells.select(F.col("cell"), F.col("id").as("a"), F.col("v").as("av"))
-      val b = cells.select(F.col("cell"), F.col("id").as("b"), F.col("v").as("bv"))
+      val a = cells.select(F.col("cell"), F.col("id").as("a"), F.col("v").as("av"), F.col("nrm").as("an"))
+      val b = cells.select(F.col("cell"), F.col("id").as("b"), F.col("v").as("bv"), F.col("nrm").as("bn"))
       val pairs = a.join(b, "cell").filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim", Similarity.cosine(F.col("av"), F.col("bv")))
+        .withColumn("cos_sim",
+          F.round(ndot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4))
         .filter(F.col("cos_sim") >= 0.35)
         .select("a", "b")
       Dedup.connectedComponents(pairs, e.select(F.col("vec_id").as("node")))

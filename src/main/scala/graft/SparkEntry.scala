@@ -57,6 +57,7 @@ object SparkEntry {
   @volatile private var qualityLrStash: Option[Array[Double]] = None
   @volatile private var kmeansStash: Option[Array[Array[Double]]] = None
   @volatile private var semdedupStash: Option[Array[Array[Double]]] = None
+  @volatile private var embedOutlierStash: Option[Array[Array[Double]]] = None
 
   /** Per-process persisted-ANN-index directory, one per sf dir: the FIRST
     * q_ann_index_serve call in a process builds the index (train + encode +
@@ -514,6 +515,24 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, e.select(F.col("vec_id").as("node")))
         .select(F.col("node").as("vec_id"), F.col("label").as("rep_id"),
           (F.col("node") === F.col("label")).as("kept"))
+    }),
+    // Embedding-space outlier detection: vectors whose max cosine to ANY
+    // trained centroid sits in the bottom 5% are flagged — the "remove
+    // garbage embeddings" curation step. Exact percentile (parity with
+    // quantile_cont proven by q_percentiles) broadcast as a 1-row
+    // aggregate; scoring is the in-row literal-model max, map-only.
+    "q_embed_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.snapCentroids(
+        Similarity.trainIvfCentroids(e, "vec_id", "embedding", kC = 8))
+      embedOutlierStash = Some(cents)
+      val scored = e.select(F.col("vec_id"),
+        Similarity.maxCellSim(F.col("embedding"), cents).as("max_sim"))
+      val thr = scored.agg(
+        F.expr("percentile(max_sim, 0.05)").as("thr"))
+      scored.crossJoin(F.broadcast(thr))
+        .select(F.col("vec_id"), F.col("max_sim"),
+          (F.col("max_sim") < F.col("thr")).as("is_outlier"))
     }),
     // The composed billion-vector recipe: IVF cells -> PQ/ADC compressed
     // scoring within probed cells -> exact rerank of the ADC shortlist.
@@ -1167,6 +1186,13 @@ object SparkEntry {
       .map(c => ivfAssignCtes(c) +
         " SELECT id AS vec_id, CAST(cell AS INTEGER) AS cluster FROM arank WHERE crn = 1")
       .getOrElse("SELECT NULL AS vec_id, NULL AS cluster WHERE 1 = 0"),
+    // Max cell sim from the shared assignment CTEs (per-id max over the
+    // per-centroid rounded cosines) + quantile_cont threshold.
+    "q_embed_outliers" -> embedOutlierStash
+      .map(c => ivfAssignCtes(c) +
+        ", ms AS (SELECT id AS vec_id, max(sim) AS max_sim FROM asim GROUP BY id) " +
+        "SELECT vec_id, max_sim, max_sim < (SELECT quantile_cont(max_sim, 0.05) FROM ms) AS is_outlier FROM ms")
+      .getOrElse("SELECT NULL AS vec_id, NULL AS max_sim, NULL AS is_outlier WHERE 1 = 0"),
     // Cluster-blocked cosine pairs over the stashed literal centroids,
     // then the q_dedup_clusters recursive-CTE transitive closure.
     "q_semantic_dedup" -> semdedupStash

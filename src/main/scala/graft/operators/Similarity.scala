@@ -458,6 +458,12 @@ object Similarity {
     (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
   }
 
+  /** The max rounded cosine of a vector to ANY literal centroid — how well
+    * the trained quantizer explains the vector. Low values flag
+    * embedding-space outliers (noise, wrong-modality rows). In-row. */
+  def maxCellSim(vec: Column, cents: Array[Array[Double]]): Column =
+    F.array_max(cellSims(vec, cents))
+
   /** The `nprobe` nearest cell ids as an in-row array, ordered by (sim
     * DESC, cell ASC). Sort key is (1.0 − sim, cell): rounded sims differ by
     * ≥ 1e-4 (≫ ulp at 1.0), so `1.0 − sim` preserves distinctness and

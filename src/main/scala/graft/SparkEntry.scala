@@ -488,6 +488,24 @@ object SparkEntry {
       e.select(F.col("vec_id"),
         Similarity.nearestCell(F.col("embedding"), cents).as("cluster"))
     }),
+    // Chunk-level dedup (the RefinedWeb/Gopher "mostly copy-paste
+    // document" signal): non-overlapping 32-token chunks, corpus-wide
+    // content-hash frequencies, per-doc duplicated-chunk fraction,
+    // flagged at >= 0.5. Hash keys spread the shuffle; the per-hash count
+    // is a combinable aggregate — never a doc x doc comparison.
+    "q_chunk_dedup" -> ((s, dir) => {
+      val chunks = DataShaping.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, overlap = 0)
+        .select(F.col("doc_id"), F.md5(F.col("chunk_text")).as("h"))
+      val freq = chunks.groupBy("h").agg(F.count(F.lit(1)).as("cnt"))
+      chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).as("n_chunks"),
+          F.sum(F.when(F.col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          F.round(F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 4))
+        .withColumn("flagged", F.col("dup_frac") >= 0.5)
+    }),
     // SemDeDup-style semantic dedup: k-means cluster the embeddings, find
     // within-cluster high-cosine pairs (cluster = blocking, so pair cost
     // is Σ cell², never |N|²), take TRANSITIVE duplicate groups via the
@@ -1367,6 +1385,16 @@ object SparkEntry {
         "c AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY source, gram), " +
         "r AS (SELECT source, gram, cnt, CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, gram ASC) AS BIGINT) AS rn FROM c) " +
         "SELECT source, gram, cnt, rn FROM r WHERE rn <= 5"),
+    "q_chunk_dedup" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
+        "starts AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 32)) AS s FROM toks), " +
+        "ch AS (SELECT doc_id, md5(array_to_string(list_slice(arr, CAST(s AS INT), CAST(s AS INT) + 31), ' ')) AS h FROM starts), " +
+        "freq AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt FROM ch GROUP BY h) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
+        "CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks, " +
+        "round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac, " +
+        "round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) >= 0.5 AS flagged " +
+        "FROM ch JOIN freq USING (h) GROUP BY doc_id"),
     "q_chunk_docs" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
         "starts AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 112)) AS tok_start FROM toks) " +

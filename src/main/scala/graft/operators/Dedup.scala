@@ -292,7 +292,13 @@ object Dedup {
     val edges = pairs.select(F.col("a").as("src"), F.col("b").as("dst"))
       .unionAll(pairs.select(F.col("b").as("src"), F.col("a").as("dst")))
       .localCheckpoint(true)
-    var labels = nodes.select(F.col("node"), F.col("node").as("label"))
+    // the propagation loop runs over the PAIR GRAPH's nodes only: a node
+    // with no near-dup edge keeps its own label by definition, and in a
+    // big corpus the duplicate graph is a sliver of it — so every
+    // per-round join/aggregate scales with |dup graph|, not |corpus|.
+    // Isolated nodes get their identity labels attached once at the end.
+    var labels = edges.select(F.col("src").as("node")).distinct()
+      .select(F.col("node"), F.col("node").as("label"))
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
@@ -312,7 +318,14 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds " +
           s"($changed labels still changing — component diameter exceeds the bound)")
       connectedComponentsStar(pairs, nodes)
-    } else labels
+    } else {
+      val isolated = nodes.select(F.col("node"))
+        .join(labels.select("node"), Seq("node"), "left_anti")
+        .select(F.col("node"), F.col("node").as("label"))
+      // output contract: exactly one row per `nodes` row
+      labels.join(nodes.select("node"), Seq("node"), "left_semi")
+        .unionAll(isolated)
+    }
   }
 
   /** Connected components by the alternating small-star/large-star edge

@@ -70,6 +70,28 @@ object SparkEntry {
     * stale against regenerated testdata. */
   private val annIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Once-per-(process, sf-dir, kC) snapped k-means model — the
+    * train-rarely/serve-always split applied to every MODEL CONSUMER, not
+    * just the persisted ANN index. q_ivf_ann, q_cluster_assign,
+    * q_semantic_dedup and q_embed_outliers all score against the SAME
+    * trained coarse quantizer; training it inside each query re-ran the
+    * full-corpus Lloyd iterations four times per grid pass (at 100 TB:
+    * four sets of 3×(iters+1) corpus scans for one identical few-KB
+    * model). The FIRST caller trains and snaps; everyone after serves the
+    * cached literals map-only. Training is deterministic (seeded init,
+    * snapped output), so the shared model is bit-identical to what each
+    * query trained privately — oracles and hashes are unchanged. Keyed by
+    * sf dir (+ kC) and never persisted across JVMs, so a regenerated
+    * testdata dir can never serve a stale model — the [[annIndexDirs]]
+    * staleness rule. q_ivf_pq deliberately KEEPS training per call: its
+    * bench row is the train+serve cost, vs q_ann_index_serve's serve-only. */
+  private val kmeansModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def sharedKmeans(s: SparkSession, dir: String, kC: Int = 8): Array[Array[Double]] =
+    kmeansModels.computeIfAbsent(s"$dir#$kC", _ =>
+      Similarity.snapCentroids(
+        Similarity.trainIvfCentroids(t(s, dir, "embeddings"), "vec_id", "embedding", kC)))
+
   private val shipperName = "cf-audit-events-to-splunk"
   private val cursorTs = Timestamp.from(Instant.parse("2024-01-15T00:00:00Z"))
   private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -469,8 +491,7 @@ object SparkEntry {
     // ran — embeds the SAME doubles as literals in the DuckDB mirror.
     "q_ivf_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.snapCentroids(
-        Similarity.trainIvfCentroids(e, "vec_id", "embedding", kC = 8))
+      val cents = sharedKmeans(s, dir)
       ivfCentroidsStash = Some(cents)
       Similarity.ivfProbeTopK(e, "vec_id", "embedding", cents, nprobe = 3, k = 3)
         .withColumn("rn", F.col("rn").cast("long"))
@@ -482,8 +503,7 @@ object SparkEntry {
     // oracle assigns with the SAME snapped literals.
     "q_cluster_assign" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.snapCentroids(
-        Similarity.trainIvfCentroids(e, "vec_id", "embedding", kC = 8))
+      val cents = sharedKmeans(s, dir)
       kmeansStash = Some(cents)
       e.select(F.col("vec_id"),
         Similarity.nearestCell(F.col("embedding"), cents).as("cluster"))
@@ -514,8 +534,7 @@ object SparkEntry {
     // kept flag — the embedding-space twin of q_curation_neardup.
     "q_semantic_dedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.snapCentroids(
-        Similarity.trainIvfCentroids(e, "vec_id", "embedding", kC = 8))
+      val cents = sharedKmeans(s, dir)
       semdedupStash = Some(cents)
       // norms once per vector, not per pair (same doubles, 1 dot/pair
       // instead of 3)
@@ -541,8 +560,7 @@ object SparkEntry {
     // aggregate; scoring is the in-row literal-model max, map-only.
     "q_embed_outliers" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = Similarity.snapCentroids(
-        Similarity.trainIvfCentroids(e, "vec_id", "embedding", kC = 8))
+      val cents = sharedKmeans(s, dir)
       embedOutlierStash = Some(cents)
       val scored = e.select(F.col("vec_id"),
         Similarity.maxCellSim(F.col("embedding"), cents).as("max_sim"))

@@ -534,24 +534,10 @@ object SparkEntry {
     // kept flag — the embedding-space twin of q_curation_neardup.
     "q_semantic_dedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val cents = sharedKmeans(s, dir)
+      val cents = sharedKmeans(s, dir) // kC=8 pinned at fixture scale; a
+      // production caller sizes kC ≈ √N via Similarity.defaultKC
       semdedupStash = Some(cents)
-      // norms once per vector, not per pair (same doubles, 1 dot/pair
-      // instead of 3)
-      import graft.functions.VectorFunctions.{fvDot => ndot}
-      val cells = e.select(F.col("vec_id").as("id"), F.col("embedding").as("v"),
-        F.sqrt(ndot(F.col("embedding"), F.col("embedding"))).as("nrm"),
-        Similarity.nearestCell(F.col("embedding"), cents).as("cell"))
-      val a = cells.select(F.col("cell"), F.col("id").as("a"), F.col("v").as("av"), F.col("nrm").as("an"))
-      val b = cells.select(F.col("cell"), F.col("id").as("b"), F.col("v").as("bv"), F.col("nrm").as("bn"))
-      val pairs = a.join(b, "cell").filter(F.col("a") < F.col("b"))
-        .withColumn("cos_sim",
-          F.round(ndot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4))
-        .filter(F.col("cos_sim") >= 0.35)
-        .select("a", "b")
-      Dedup.connectedComponents(pairs, e.select(F.col("vec_id").as("node")))
-        .select(F.col("node").as("vec_id"), F.col("label").as("rep_id"),
-          (F.col("node") === F.col("label")).as("kept"))
+      Similarity.semanticDedup(e, "vec_id", "embedding", cents, minCos = 0.35)
     }),
     // Embedding-space outlier detection: vectors whose max cosine to ANY
     // trained centroid sits in the bottom 5% are flagged — the "remove

@@ -29,20 +29,38 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
   *  - `model.txt` — snapped doubles, text format (Double.toString
   *    round-trips exactly, so the reloaded model is bit-identical and the
   *    literals can still be mirrored into an oracle);
-  *  - `codes/` — parquet `(cid long, cell int, pq_code array<int>)`,
-  *    ~m bytes per vector: the RAM-resident candidate index. Appends are
-  *    plain parquet appends (same pattern as
-  *    [[IncrementalDedup.BucketStore]]); reads pin an explicit schema.
+  *  - `codes/` — a parquet table `(cid long, cell int, pq_code array<int>)`
+  *    PARTITIONED by `batch_id` and BUCKETED by `cell` into
+  *    [[AnnIndexStore.CodesBuckets]] buckets, registered in the session
+  *    catalog (external table at this path). `cell` is the serve join's
+  *    key, so the physical layout follows the query predicate — the R22
+  *    lesson (`create_cf_audit_events.sql:19-24`): the bucketed scan
+  *    reports HashPartitioning(cell, B) and the serve join needs NO
+  *    exchange on the index side (asserted in PlanSpec). `batch_id`
+  *    partitioning keeps appends and streaming replays (overwrite one
+  *    partition) independent of every other batch;
+  *  - `claims/` — one zero-byte `batch-N.claim` per allocated batch id.
+  *    [[append]] allocates ids by ATOMIC claim (O_EXCL create, the
+  *    [[graft.store.ManifestTable]] slot protocol): two racing appenders
+  *    serialize onto distinct ids instead of both computing the same
+  *    listStatus max+1 and silently overwriting each other's partition.
   *
   * At cluster scale `dir` is any Hadoop-FS path (all I/O goes through the
-  * path's FileSystem); partitioning/bucketing the codes table by `cell`
-  * would make the search's cell join exchange-free on the index side.
+  * path's FileSystem).
   */
 final class AnnIndexStore(spark: SparkSession, dir: String) {
-  import AnnIndexStore.Model
+  import AnnIndexStore.{CodesBuckets, Model}
 
   private val modelFile = s"$dir/model.txt"
   private val codesPath = s"$dir/codes"
+  private val claimsPath = s"$dir/claims"
+  /** Catalog name for the external codes table — content-addressed by the
+    * store directory so distinct stores in one session never collide. */
+  private[operators] val codesTable: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"graft_ann_codes_${md.take(16)}"
+  }
 
   private def fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
     spark.sparkContext.hadoopConfiguration)
@@ -64,65 +82,120 @@ final class AnnIndexStore(spark: SparkSession, dir: String) {
     val (cents, books) = Similarity.trainIvfPqModel(
       embeddings, idCol, vecCol, nCentroids, m, kCodes, iters, dim)
     writeModel(Model(cents, books))
+    spark.sql(s"DROP TABLE IF EXISTS $codesTable")
     val root = new org.apache.hadoop.fs.Path(codesPath)
     if (fs.exists(root)) fs.delete(root, true)
-    writeBatchDir(embeddings, idCol, vecCol, cents, books, -1L)
+    fs.delete(new org.apache.hadoop.fs.Path(claimsPath), true)
+    Similarity.ivfPqEncodeForIndex(embeddings, idCol, vecCol, cents, books)
+      .withColumn("batch_id", F.lit(-1L))
+      .write.mode(SaveMode.Overwrite)
+      .option("path", codesPath)
+      .partitionBy("batch_id")
+      .bucketBy(CodesBuckets, "cell")
+      .sortBy("cell")
+      .saveAsTable(codesTable)
   }
 
   /** Encode a NEW batch against the frozen persisted model and append its
-    * codes — the model is never retrained here. Each call gets a fresh
-    * batch directory (next free non-negative id). */
+    * codes — the model is never retrained here. The batch id is allocated
+    * by atomic claim, so CONCURRENT appenders land in distinct partition
+    * directories (spec'd with racing threads in AnnIndexStoreSpec). */
   def append(batch: DataFrame, idCol: String, vecCol: String): Unit =
-    appendBatchIdempotent(batch, idCol, vecCol, nextBatchId())
+    appendBatchIdempotent(batch, idCol, vecCol, claimBatchId())
 
   /** Replay-IDEMPOTENT append for streaming ingest: the batch's codes land
-    * in their own `batch_id=<n>` partition directory with overwrite
-    * semantics, so a re-run micro-batch (foreachBatch is at-least-once)
-    * REWRITES identical rows instead of appending duplicates — the
+    * in their own `batch_id=<n>` partition with overwrite semantics, so a
+    * re-run micro-batch (foreachBatch is at-least-once) REWRITES identical
+    * rows instead of appending duplicates — the
     * [[graft.streaming.StreamingDedup]] survivor-sink pattern applied to
     * the index. Encoding is deterministic against the frozen model, so the
-    * rewrite is byte-stable. */
+    * rewrite is byte-stable. (Streaming batch ids come from the engine's
+    * checkpoint, not from [[claimBatchId]]: the checkpoint IS the claim.) */
   def appendBatchIdempotent(
       batch: DataFrame,
       idCol: String,
       vecCol: String,
       batchId: Long): Unit = {
     val Model(cents, books) = model
-    writeBatchDir(batch, idCol, vecCol, cents, books, batchId)
+    ensureTable()
+    // DYNAMIC partition overwrite: replaces exactly this batch's
+    // `batch_id` partition, and — unlike a static-partition INSERT
+    // OVERWRITE, which stages under the shared `<table>/_temporary/0` —
+    // stages each job in its own `.spark-staging-<jobUUID>` directory, so
+    // CONCURRENT appenders committing different partitions never delete
+    // each other's staging (the racing-appender spec exercises exactly
+    // this). Dynamic mode is only honored as a SESSION conf (the per-write
+    // option is ignored by insertInto), so the conf flip is scoped by a
+    // re-entrant per-session guard: the flip/restore happens at depth
+    // 0↔1, never mid-way through a concurrent appender on the same
+    // session. The catalog's bucket spec makes the write bucketed;
+    // insertInto binds by position with the partition column last.
+    AnnIndexStore.withDynamicOverwrite(batch.sparkSession) {
+      Similarity.ivfPqEncodeForIndex(batch, idCol, vecCol, cents, books)
+        .withColumn("batch_id", F.lit(batchId))
+        .write.mode(SaveMode.Overwrite)
+        .insertInto(codesTable)
+    }
   }
 
-  private def writeBatchDir(
-      batch: DataFrame,
-      idCol: String,
-      vecCol: String,
-      cents: Array[Array[Double]],
-      books: Array[Array[Array[Double]]],
-      batchId: Long): Unit =
-    Similarity.ivfPqEncodeForIndex(batch, idCol, vecCol, cents, books)
-      .write.mode(SaveMode.Overwrite).parquet(s"$codesPath/batch_id=$batchId")
-
-  private def nextBatchId(): Long = {
+  /** Allocate the next batch id by ATOMIC claim-file create (O_EXCL — the
+    * [[graft.store.ManifestTable.commit]] slot protocol; on S3-style
+    * stores swap the create for a conditional PUT). A plain listStatus
+    * max+1 lets two racing appenders claim the same id and the second
+    * overwrite silently replace the first's codes. */
+  private def claimBatchId(): Long = {
+    val claims = new org.apache.hadoop.fs.Path(claimsPath)
+    fs.mkdirs(claims)
+    val claimed = fs.listStatus(claims).map(_.getPath.getName).collect {
+      case n if n.startsWith("batch-") && n.endsWith(".claim") =>
+        n.stripPrefix("batch-").stripSuffix(".claim").toLong
+    }
+    // also one past any id already present as a partition (streaming ids
+    // arrive via the checkpoint, not a claim)
     val root = new org.apache.hadoop.fs.Path(codesPath)
-    if (!fs.exists(root)) 0L
-    else fs.listStatus(root).map(_.getPath.getName)
-      .collect { case n if n.startsWith("batch_id=") => n.stripPrefix("batch_id=").toLong }
-      .foldLeft(-1L)(math.max) + 1L
+    val present =
+      if (!fs.exists(root)) Array.empty[Long]
+      else fs.listStatus(root).map(_.getPath.getName).collect {
+        case n if n.startsWith("batch_id=") => n.stripPrefix("batch_id=").toLong
+      }
+    var id = ((claimed ++ present).foldLeft(-1L)(math.max) + 1L).max(0L)
+    while (!claim(id)) id += 1L
+    id
   }
 
-  /** The persisted `(cid, cell, pq_code)` index across all batches.
-    * Explicit schema — never footer-sampled (the
-    * [[IncrementalDedup.BucketStore]] lesson); `batch_id` comes from the
-    * partition directories. */
+  private def claim(id: Long): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(claimsPath, f"batch-$id%012d.claim")
+      if (fs.getScheme == "file") new java.io.File(p.toUri.getPath).createNewFile()
+      else { val o = fs.create(p, false); o.close(); true }
+    } catch { case _: java.io.IOException => false }
+
+  /** Re-register the external bucketed table after a JVM restart (catalog
+    * is in-memory; the data and model outlive it). */
+  private def ensureTable(): Unit =
+    if (!spark.catalog.tableExists(codesTable)) {
+      spark.sql(
+        s"CREATE TABLE $codesTable (cid BIGINT, cell INT, pq_code ARRAY<INT>, batch_id BIGINT) " +
+          s"USING PARQUET PARTITIONED BY (batch_id) " +
+          s"CLUSTERED BY (cell) INTO $CodesBuckets BUCKETS " +
+          s"LOCATION '$codesPath'")
+      spark.sql(s"ALTER TABLE $codesTable RECOVER PARTITIONS")
+    }
+
+  /** The persisted `(cid, cell, pq_code)` index across all batches, read
+    * through the catalog table so the scan carries the bucket spec
+    * (HashPartitioning on `cell`) and the pinned schema — never
+    * footer-sampled (the [[IncrementalDedup.BucketStore]] lesson). */
   def codes: DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "cid BIGINT, cell INT, pq_code ARRAY<INT>, batch_id BIGINT")
-    spark.read.schema(schema).option("basePath", codesPath).parquet(codesPath)
-      .select("cid", "cell", "pq_code")
+    ensureTable()
+    spark.table(codesTable).select("cid", "cell", "pq_code")
   }
 
   /** Serve a self-ANN search from the persisted index: probe cells and the
     * exact rerank use `embeddings`' raw vectors; candidates come from the
-    * codes TABLE, not a re-encode. */
+    * codes TABLE, not a re-encode. The probe side co-partitions to the
+    * codes table's bucket count, so the index side of the cell join is
+    * exchange-free (PlanSpec: no ShuffleExchange ever outputs `pq_code`). */
   def search(
       embeddings: DataFrame,
       idCol: String,
@@ -132,7 +205,8 @@ final class AnnIndexStore(spark: SparkSession, dir: String) {
       k: Int): DataFrame = {
     val Model(cents, books) = model
     Similarity.ivfPqSearchFromIndex(
-      embeddings, idCol, vecCol, codes, cents, books, nprobe, shortlist, k)
+      embeddings, idCol, vecCol, codes, cents, books, nprobe, shortlist, k,
+      codedBuckets = Some(CodesBuckets))
   }
 
   /** Reload the persisted model. Bit-identical to what [[build]] trained:
@@ -168,6 +242,44 @@ final class AnnIndexStore(spark: SparkSession, dir: String) {
 
 object AnnIndexStore {
   private[operators] val FormatTag = "graft-ivfpq-v1"
+
+  private val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+  private final class Guard { var depth = 0; var saved: Option[String] = None }
+  /** Weak per-session guards (foreachBatch clones come and go with their
+    * stream runs — a strong key would pin them). */
+  private val guards = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Guard]())
+
+  /** Run `body` with the session's partitionOverwriteMode set to dynamic,
+    * restoring the prior value only when the LAST concurrent user on this
+    * session finishes — a plain save/set/restore would let one appender's
+    * restore flip a still-running sibling back to static (full-table
+    * overwrite) mid-write. */
+  private def withDynamicOverwrite[T](sess: SparkSession)(body: => T): T = {
+    val g = guards.computeIfAbsent(sess, _ => new Guard)
+    g.synchronized {
+      if (g.depth == 0) {
+        g.saved = sess.conf.getOption(OverwriteModeKey)
+        sess.conf.set(OverwriteModeKey, "dynamic")
+      }
+      g.depth += 1
+    }
+    try body
+    finally g.synchronized {
+      g.depth -= 1
+      if (g.depth == 0) g.saved match {
+        case Some(v) => sess.conf.set(OverwriteModeKey, v)
+        case None    => sess.conf.unset(OverwriteModeKey)
+      }
+    }
+  }
+
+  /** Bucket count of the codes table — also what the serve join
+    * repartitions the probe side to. 32 matches the production session's
+    * `spark.sql.shuffle.partitions`; at a 1000-executor deployment size
+    * this like any bucket count should track cluster parallelism, not
+    * corpus size (cells spread WITHIN buckets by hash). */
+  val CodesBuckets = 32
 
   /** The driver-held model: kC coarse centroids + m per-subspace codebooks
     * of kCodes codewords — a few KB of snapped doubles, the ONLY state that

@@ -806,7 +806,8 @@ object Similarity {
       codebooks: Array[Array[Array[Double]]],
       nprobe: Int,
       shortlist: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      codedBuckets: Option[Int] = None): DataFrame = {
     import graft.functions.VectorFunctions.{fvDot => ndot}
     val m = codebooks.length
     val kC = codebooks.head.length
@@ -820,11 +821,19 @@ object Similarity {
     // the cell join's requirement, so no second exchange appears; the
     // table never crosses an exchange at all (asserted in PlanSpec on the
     // physical plan's ShuffleExchangeExec outputs).
-    val probes = base
+    // when `coded` is a CELL-BUCKETED catalog table (AnnIndexStore), its
+    // scan already reports HashPartitioning(cell, B): repartitioning the
+    // probe side to the SAME (B, cell) makes the two sides co-partitioned,
+    // so EnsureRequirements adds no exchange at all on the index side —
+    // and, critically, none ABOVE this projection either (a mismatched
+    // count would re-exchange the probe side post-ADC, putting the wide
+    // __adc row back on the wire)
+    val probed = base
       .select(F.col("id").as("qid"),
         F.explode(probeCells(F.col("v"), centroids, nprobe)).as("cell"),
         F.col("v").as("qv"))
-      .repartition(F.col("cell"))
+    val probes = codedBuckets.fold(probed.repartition(F.col("cell")))(b =>
+        probed.repartition(b, F.col("cell")))
       .withColumn("__adc", adcTables(F.col("qv"), codebooks))
       .select(F.col("qid"), F.col("cell"), F.col("__adc"))
     // candidate generation: probe and index sides shuffle on CELL — the
@@ -861,6 +870,61 @@ object Similarity {
       .withColumn("rn", F.row_number().over(wK))
       .filter(F.col("rn") <= k)
       .select(F.col("qid"), F.col("cid"), F.col("cos_sim"), F.col("rn"))
+  }
+
+  /** Default coarse-cluster count for a corpus of `n` vectors: ≈ √n
+    * (clamped), the choice that keeps the cluster-blocked pair stage
+    * near-linear — with balanced cells of size n/kC, candidate pairs are
+    * Σ cell² ≈ n²/kC = n·√n at kC = √n, vs n² unblocked. The fixture-scale
+    * queries pin kC = 8 for oracle continuity; a production caller sizes
+    * from a corpus count (one catalog-statistics read, [[SparkEntry]]'s S6
+    * path, not a scan). */
+  def defaultKC(n: Long, minKC: Int = 2, maxKC: Int = 1 << 16): Int =
+    math.min(maxKC, math.max(minKC, math.ceil(math.sqrt(n.toDouble)).toInt)).toInt
+
+  /** The candidate-pair stage of SemDeDup-style semantic dedup: k-means
+    * cells (the FROZEN literal `centroids`) are the blocking key, so pair
+    * cost is Σ cell² — never |N|². Returns (a, b) with a < b for every
+    * same-cell pair with rounded cosine ≥ `minCos`. Norms are computed
+    * once per vector, not per pair. Cluster blocking trades recall for
+    * that bound: cross-cell near-dup pairs are invisible (the miss rate is
+    * measured and floor-gated in SemanticDedupRecallSpec). */
+  def semanticDedupPairs(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      minCos: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{fvDot => ndot}
+    val cells = embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
+      F.sqrt(ndot(F.col(vecCol), F.col(vecCol))).as("nrm"),
+      nearestCell(F.col(vecCol), centroids).as("cell"))
+    val a = cells.select(F.col("cell"), F.col("id").as("a"), F.col("v").as("av"), F.col("nrm").as("an"))
+    val b = cells.select(F.col("cell"), F.col("id").as("b"), F.col("v").as("bv"), F.col("nrm").as("bn"))
+    a.join(b, "cell").filter(F.col("a") < F.col("b"))
+      .withColumn("cos_sim",
+        F.round(ndot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4))
+      .filter(F.col("cos_sim") >= minCos)
+      .select("a", "b")
+  }
+
+  /** SemDeDup-style semantic dedup against a FROZEN trained model:
+    * cluster-blocked high-cosine pairs ([[semanticDedupPairs]]), then
+    * TRANSITIVE duplicate groups via the convergence-guarded connected
+    * components, keeping each group's min-id representative. Output: every
+    * vector with `(idCol, rep_id, kept)`. Training is the caller's concern
+    * (train once, serve everywhere — the [[AnnIndexStore]] lifecycle);
+    * this function is a pure query over the literal model. */
+  def semanticDedup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      minCos: Double): DataFrame = {
+    val pairs = semanticDedupPairs(embeddings, idCol, vecCol, centroids, minCos)
+    Dedup.connectedComponents(pairs, embeddings.select(F.col(idCol).as("node")))
+      .select(F.col("node").as(idCol), F.col("label").as("rep_id"),
+        (F.col("node") === F.col("label")).as("kept"))
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b) within seeded

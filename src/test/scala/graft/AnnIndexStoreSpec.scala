@@ -101,6 +101,26 @@ class AnnIndexStoreSpec extends SparkSpec {
     served shouldBe inline
   }
 
+  it("RACING appenders claim distinct batch ids — neither batch's codes are lost") {
+    val store = new AnnIndexStore(spark, tmpDir())
+    store.build(batch1, "vec_id", "embedding", nCentroids = 4, m = 8, kCodes = 8)
+    // split batch2 between two concurrent appenders; the old listStatus
+    // max+1 id let both compute the same id and the second overwrite
+    // silently replace the first's partition
+    val b2a = batch2.filter(F.col("vec_id") % 4 === 1)
+    val b2b = batch2.filter(F.col("vec_id") % 4 === 3)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val fa = Future { barrier.await(); store.append(b2a, "vec_id", "embedding") }
+    val fb = Future { barrier.await(); store.append(b2b, "vec_id", "embedding") }
+    Await.result(fa.zip(fb), 120.seconds)
+    val got = store.codes.select("cid").collect().map(_.getLong(0)).toSet
+    val want = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    got shouldBe want
+  }
+
   it("search from the incrementally-built index equals the inline train+serve search") {
     val store = new AnnIndexStore(spark, tmpDir())
     store.build(batch1, "vec_id", "embedding", nCentroids = 4, m = 8, kCodes = 8)

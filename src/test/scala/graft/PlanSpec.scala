@@ -147,4 +147,47 @@ class PlanSpec extends SparkSpec {
     p should not include "BatchEvalPython"
     p should not include "SerializeFromObject" // no object-mode breaks in the hot path
   }
+
+  it("ANN serve join reads the cell-bucketed codes table with NO index-side exchange") {
+    import graft.operators.AnnIndexStore
+    val store = new AnnIndexStore(
+      spark, java.nio.file.Files.createTempDirectory("plan_ann_idx_").toString)
+    store.build(spark.read.parquet(s"$dir/embeddings.parquet"),
+      "vec_id", "embedding", nCentroids = 4, m = 8, kCodes = 8)
+    val df = store.search(spark.read.parquet(s"$dir/embeddings.parquet"),
+      "vec_id", "embedding", nprobe = 2, shortlist = 8, k = 3)
+    // inspect the STATIC plan (before AQE materializes stages into opaque
+    // leaves) — the invariant is about what the planner emits
+    val tree = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // inside the serve join the codes scan reports the bucket hash
+    // partitioning on cell — the physical layout IS the join key's
+    // distribution (R22: layout follows the predicates), so
+    // EnsureRequirements has nothing to add on the index side. (A
+    // standalone `store.codes` scan deliberately drops the bucket split —
+    // DisableUnnecessaryBucketedScan — so the property is asserted where
+    // it matters, in the join plan.)
+    val codeScans = tree.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.output.map(_.name).contains("pq_code") => s.outputPartitioning
+    }
+    codeScans should not be empty
+    codeScans.head match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.numPartitions shouldBe AnnIndexStore.CodesBuckets
+        h.expressions.map(_.toString).exists(_.contains("cell")) shouldBe true
+      case other => fail(s"codes scan is not bucket-partitioned: $other")
+    }
+    val exchanges = tree.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges should not be empty
+    // the index side never crosses an exchange: codes rows flow scan→join
+    // (pq_code appears in no exchange output), and the wide per-probe ADC
+    // table stays post-exchange as in the inline path
+    exchanges.foreach(e => e.output.map(_.name) should not contain "pq_code")
+    exchanges.foreach(e => e.output.map(_.name) should not contain "__adc")
+  }
 }

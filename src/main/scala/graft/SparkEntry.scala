@@ -664,6 +664,26 @@ object SparkEntry {
     "q_mm_decode" -> ((s, dir) =>
       Multimodal.decodeImage(
         Multimodal.pngPayloads(t(s, dir, "documents"), "doc_id"))),
+    // REAL image shaping through the codec: encode -> decode ->
+    // nearest-neighbour halve -> re-encode -> decode + features. NN resize
+    // is pure integer pixel SELECTION, so the resized raster is still an
+    // exact function of (id, x, y) and the oracle computes the checksum
+    // over the resized grid analytically (src pixel = (x*w/w2, y*h/h2)).
+    "q_mm_resize" -> ((s, dir) =>
+      Multimodal.decodeImage(
+        Multimodal.resizePngPayloads(
+          Multimodal.pngPayloads(t(s, dir, "documents"), "doc_id"),
+          numer = 1, denom = 2))),
+    // REAL crop through the codec: center-quarter window (anchor w/4,h/4,
+    // size w/2 x h/2) — pure integer pixel selection, cropped (x, y) IS
+    // source (x0+x, y0+y), so the oracle sums the generator over the
+    // cropped window analytically.
+    "q_mm_crop" -> ((s, dir) =>
+      Multimodal.decodeImage(
+        Multimodal.cropPngPayloads(
+          Multimodal.pngPayloads(t(s, dir, "documents"), "doc_id"),
+          xNum = 1, xDen = 4, yNum = 1, yDen = 4,
+          wNum = 1, wDen = 2, hNum = 1, hDen = 2))),
     // REAL audio codec round-trip (the WAV twin of q_mm_decode):
     // deterministic 16-bit PCM waveforms -> genuine WAV bytes
     // (javax.sound.sampled encode) -> genuine WAV header+frame decode +
@@ -1424,6 +1444,29 @@ object SparkEntry {
         "SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, " +
         "CAST(sum(((doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256) * (i + 1)) AS BIGINT) AS pix_checksum " +
         "FROM px GROUP BY doc_id, w, h"),
+
+    // Mirrors the REAL resize pipeline analytically: NN-halved dims are
+    // w2 = w//2, h2 = h//2 and resized pixel (x, y) is the generator at
+    // source (x*w//w2, y*h//h2), so the position-weighted checksum is a
+    // plain sum over the RESIZED grid.
+    "q_mm_resize" ->
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 16 + 8 AS BIGINT) AS w, CAST(doc_id % 12 + 8 AS BIGINT) AS h FROM documents), " +
+        "r AS (SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2 FROM m), " +
+        "px AS (SELECT doc_id, w, h, w2, h2, unnest(range(0, w2 * h2)) AS i FROM r) " +
+        "SELECT doc_id AS media_id, CAST(w2 AS INTEGER) AS width, CAST(h2 AS INTEGER) AS height, " +
+        "CAST(sum(((doc_id * 31 + ((i % w2) * w // w2) * 7 + ((i // w2) * h // h2) * 13) % 256) * (i + 1)) AS BIGINT) AS pix_checksum " +
+        "FROM px GROUP BY doc_id, w2, h2"),
+
+    // Mirrors the REAL crop pipeline analytically: window anchor
+    // (w//4, h//4), size (w//2, h//2); cropped pixel (x, y) is the
+    // generator at (x0 + x, y0 + y).
+    "q_mm_crop" ->
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 16 + 8 AS BIGINT) AS w, CAST(doc_id % 12 + 8 AS BIGINT) AS h FROM documents), " +
+        "c AS (SELECT doc_id, w // 4 AS x0, h // 4 AS y0, w // 2 AS cw, h // 2 AS ch FROM m), " +
+        "px AS (SELECT doc_id, x0, y0, cw, ch, unnest(range(0, cw * ch)) AS i FROM c) " +
+        "SELECT doc_id AS media_id, CAST(cw AS INTEGER) AS width, CAST(ch AS INTEGER) AS height, " +
+        "CAST(sum(((doc_id * 31 + (x0 + i % cw) * 7 + (y0 + i // cw) * 13) % 256) * (i + 1)) AS BIGINT) AS pix_checksum " +
+        "FROM px GROUP BY doc_id, cw, ch"),
 
     // Mirrors the REAL WAV encode->decode round-trip analytically: PCM is
     // lossless integer audio, so decoded sample_i == (id*31 + i*7) % 2^16

@@ -94,6 +94,131 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL nearest-neighbour downscale, payload→payload: decode each PNG,
+    * resample to (w·numer/denom, h·numer/denom) (integer floor, min 1)
+    * taking source pixel (x·w/w₂, y·h/h₂) for destination (x, y), and
+    * RE-ENCODE the result as genuine PNG bytes — the image-shaping step of
+    * a real pipeline (thumbnails, model-input sizing) in the same
+    * mapPartitions batch shape as the codecs. Nearest-neighbour is pure
+    * integer selection (no interpolation arithmetic), so resized pixels
+    * are still an exact function of (id, x, y) and the downstream decode
+    * stays hash-gated against an analytic oracle ([[decodeImage]] of this
+    * output == the resized-grid checksum, spec'd in MultimodalSpec). */
+  def resizePngPayloads(media: DataFrame, numer: Int, denom: Int): DataFrame = {
+    require(numer > 0 && denom > 0, "scale must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val w2 = math.max(1, w * numer / denom)
+        val h2 = math.max(1, h * numer / denom)
+        val out = new java.awt.image.BufferedImage(w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            out.setRGB(x, y, img.getRGB(x * w / w2, y * h / h2))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL crop, payload→payload: decode each PNG, take the axis-aligned
+    * window anchored at the fractional offset (`xNum/xDen`, `yNum/yDen`)
+    * of the source dims with size `wNum/wDen × hNum/hDen` (integer floor,
+    * min 1, clamped to the image), re-encode as PNG. Like
+    * [[resizePngPayloads]] this is pure integer pixel selection —
+    * cropped pixel (x, y) IS source pixel (x0 + x, y0 + y) — so the
+    * downstream decode stays hash-gated against an analytic oracle. */
+  def cropPngPayloads(
+      media: DataFrame,
+      xNum: Int, xDen: Int,
+      yNum: Int, yDen: Int,
+      wNum: Int, wDen: Int,
+      hNum: Int, hDen: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val x0 = math.min(w - 1, w * xNum / xDen)
+        val y0 = math.min(h - 1, h * yNum / yDen)
+        val cw = math.max(1, math.min(w - x0, w * wNum / wDen))
+        val ch = math.max(1, math.min(h - y0, h * hNum / hDen))
+        val out = img.getSubimage(x0, y0, cw, ch)
+        val copy = new java.awt.image.BufferedImage(cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = copy.createGraphics()
+        try g.drawImage(out, 0, 0, null) finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(copy, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** LOSSY codec ingestion: encode each deterministic raster as REAL JPEG
+    * bytes (`javax.imageio`, quality `q`). Unlike the PNG path the decoded
+    * pixels are NOT bit-exact — which is precisely what a real pipeline
+    * meets — so this path is TOLERANCE-gated in MultimodalSpec (bounded
+    * mean absolute pixel error through a decode round-trip) instead of
+    * hash-gated against an analytic oracle. */
+  def jpegPayloads(df: DataFrame, idCol: String, q: Float = 0.9f): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(F.col(idCol).cast(LongType).as("media_id")).mapPartitions { it =>
+      // one writer context per partition — codec setup amortized over the
+      // batch, the same shape as the PNG/WAV paths
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(q)
+      val out = it.map { row =>
+        val id = row.getLong(0)
+        val (w, h) = (imgWidth(id), imgHeight(id))
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = imgGray(id, x, y)
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+        ios.close()
+        Row(id, bos.toByteArray)
+      }
+      out
+    }(enc)
+  }
+
   /** Deterministic audio for media id `id`: `nSamples(id)` 16-bit signed
     * PCM samples, sample i = (id·31 + i·7) mod 2¹⁶ − 2¹⁵. Pure integer
     * function of (id, i) — analytically mirrored by the oracle. */

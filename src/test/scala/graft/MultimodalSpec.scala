@@ -49,6 +49,86 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  it("resizePngPayloads NN-halves through the real codec, integer-exact vs the analytic grid") {
+    // encode -> decode -> NN resize -> re-encode -> decode: the full image
+    // shaping pipeline; destination pixel (x, y) must equal the GENERATOR
+    // at source (x*w/w2, y*h/h2) — pure selection, no interpolation
+    val resized = Multimodal.decodeImage(
+      Multimodal.resizePngPayloads(
+        Multimodal.pngPayloads(fixture, "doc_id"), numer = 1, denom = 2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 1L, 7L, 123L, 456L)) {
+      val (w, h) = (Multimodal.imgWidth(id), Multimodal.imgHeight(id))
+      val (w2, h2) = (w / 2, h / 2)
+      var sum = 0L
+      for (y <- 0 until h2; x <- 0 until w2)
+        sum += Multimodal.imgGray(id, x * w / w2, y * h / h2).toLong * (y.toLong * w2 + x + 1)
+      val r = resized(id)
+      r.getInt(1) shouldBe w2
+      r.getInt(2) shouldBe h2
+      r.getLong(3) shouldBe sum
+    }
+  }
+
+  it("upscale then downscale with the same ratio is identity on the raster (NN exactness)") {
+    // 2x up then 1/2 down: src = (x*w2/w, y*h2/h) on the way up maps every
+    // even destination pixel back to itself on the way down — checksum
+    // equals the original decode's
+    val twice = Multimodal.decodeImage(
+      Multimodal.resizePngPayloads(
+        Multimodal.resizePngPayloads(
+          Multimodal.pngPayloads(fixture, "doc_id"), numer = 2, denom = 1),
+        numer = 1, denom = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (id <- Seq(0L, 1L, 7L, 123L, 456L))
+      twice(id) shouldBe expectedChecksum(id)
+  }
+
+  it("cropPngPayloads takes the exact integer window through the real codec") {
+    val cropped = Multimodal.decodeImage(
+      Multimodal.cropPngPayloads(
+        Multimodal.pngPayloads(fixture, "doc_id"),
+        xNum = 1, xDen = 4, yNum = 1, yDen = 4, wNum = 1, wDen = 2, hNum = 1, hDen = 2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 1L, 7L, 123L, 456L)) {
+      val (w, h) = (Multimodal.imgWidth(id), Multimodal.imgHeight(id))
+      val (x0, y0, cw, ch) = (w / 4, h / 4, w / 2, h / 2)
+      var sum = 0L
+      for (y <- 0 until ch; x <- 0 until cw)
+        sum += Multimodal.imgGray(id, x0 + x, y0 + y).toLong * (y.toLong * cw + x + 1)
+      val r = cropped(id)
+      r.getInt(1) shouldBe cw
+      r.getInt(2) shouldBe ch
+      r.getLong(3) shouldBe sum
+    }
+  }
+
+  it("LOSSY JPEG ingestion round-trips within a pixel-error tolerance (not hash-exact, by design)") {
+    // the lossy path a real pipeline meets: same raster generator, real
+    // JPEG encode at q=0.9, real decode — gate the MEAN absolute gray
+    // error per image, not the hash (JPEG output is jvm/codec-version
+    // dependent; the tolerance is the contract)
+    val payloads = Multimodal.jpegPayloads(fixture, "doc_id", q = 0.9f)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    for (id <- Seq(0L, 1L, 7L, 123L, 456L)) {
+      val bytes = payloads(id)
+      // JPEG/JFIF magic
+      (bytes(0) & 0xff) shouldBe 0xff
+      (bytes(1) & 0xff) shouldBe 0xd8
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (Multimodal.imgWidth(id), Multimodal.imgHeight(id))
+      img.getWidth shouldBe w
+      img.getHeight shouldBe h
+      var err = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        err += math.abs((img.getRGB(x, y) & 0xff) - Multimodal.imgGray(id, x, y)).toLong
+      val mae = err.toDouble / (w * h)
+      // the ramp raster is high-frequency (worst case for DCT); q=0.9
+      // keeps it well under half the gray range
+      mae should be < 64.0
+    }
+  }
+
   it("a corrupted payload fails decode loudly (the codec is load-bearing, not a fake)") {
     import spark.implicits._
     val bad = Seq((1L, Array.fill[Byte](16)(0x42))).toDF("media_id", "payload")

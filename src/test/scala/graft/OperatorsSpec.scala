@@ -90,20 +90,40 @@ class OperatorsSpec extends SparkSpec {
       cc shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L)
     }
 
-    it("connectedComponents never returns non-converged labels: a 30-hop chain either escalates or throws") {
+    it("connectedComponents never returns non-converged labels: a 500-hop chain either escalates or throws") {
       import spark.implicits._
-      // a 31-node path graph: label-propagation needs 30 rounds to carry
-      // node 0's label to node 30 — far past maxIters = 5
-      val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
-      val nodes = (0L to 30L).toDF("node")
-      // escalate = false: loud failure, never wrong labels
+      // a 501-node path graph: propagation + pointer-jump carries node 0's
+      // label ~2^(r+1) hops in r rounds, so depth 500 needs ~8 rounds —
+      // past maxIters = 5
+      val pairs = (0L until 500L).map(i => (i, i + 1)).toDF("a", "b")
+      val nodes = (0L to 500L).toDF("node")
+      // escalate = false: loud failure, never wrong labels (driver fast
+      // path disabled to exercise the DISTRIBUTED loop's guard)
       an[IllegalStateException] should be thrownBy
-        Dedup.connectedComponents(pairs, nodes, maxIters = 5, escalate = false).collect()
+        Dedup.connectedComponents(pairs, nodes, maxIters = 5, escalate = false,
+          driverEdgeBound = 0L).collect()
       // default: auto-escalation to star contraction gives the right answer
-      val cc = Dedup.connectedComponents(pairs, nodes, maxIters = 5)
+      val cc = Dedup.connectedComponents(pairs, nodes, maxIters = 5,
+          driverEdgeBound = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      cc.size shouldBe 31
+      cc.size shouldBe 501
       cc.values.toSet shouldBe Set(0L)
+    }
+
+    it("driver union-find fast path equals the distributed loop (and the loop equals star)") {
+      import spark.implicits._
+      val rnd = new scala.util.Random(11)
+      val n = 80
+      val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("a", "b")
+      val nodes = (0L until n.toLong).toDF("node")
+      val fast = Dedup.connectedComponents(pairs, nodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loop = Dedup.connectedComponents(pairs, nodes, maxIters = 100,
+          escalate = false, driverEdgeBound = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      fast shouldBe loop
     }
 
     it("connectedComponentsStar matches label propagation on a random graph (equivalence)") {
@@ -114,7 +134,8 @@ class OperatorsSpec extends SparkSpec {
         .filter { case (a, b) => a != b }
       val pairs = edges.toDF("a", "b")
       val nodes = (0L until n.toLong).toDF("node")
-      val prop = Dedup.connectedComponents(pairs, nodes, maxIters = 100, escalate = false)
+      val prop = Dedup.connectedComponents(pairs, nodes, maxIters = 100,
+          escalate = false, driverEdgeBound = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val star = Dedup.connectedComponentsStar(pairs, nodes)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

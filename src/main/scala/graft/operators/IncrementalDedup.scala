@@ -23,18 +23,47 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
   * sink). */
 object IncrementalDedup {
 
+  /** Fixed bloom-sidecar parameters: every sidecar a store ever writes
+    * uses the SAME (items, bits), so they all `mergeInPlace` (same bit
+    * size ⇒ same hash count). 2²³ bits = 1 MiB per sidecar; at the 2²⁰
+    * nominal item count that is ~2% false positives per sidecar — a
+    * PERFORMANCE knob only (false positives just take the exact join),
+    * never a correctness one. */
+  val BloomItems: Long = 1L << 20
+  val BloomBits: Long = 1L << 23
+
   /** Parquet-backed bucket table: (doc long, band int, key string,
     * batch_id long). `batch_id` tags which ingest batch wrote each row, the
-    * handle the replay-stable [[dedupBatchIdempotent]] needs. */
+    * handle the replay-stable [[dedupBatchIdempotent]] needs.
+    *
+    * Alongside the rows the store keeps bloom SIDECARS (`minhash_blooms/`,
+    * one ~1 MiB filter per append, written BEFORE the rows): at 100 TB the
+    * per-batch collision check against the accumulated corpus is the one
+    * store cost that grows with corpus size, and for a mostly-novel batch
+    * almost every key probes the store for a miss. The merged sidecars
+    * answer those misses in-row (few-MiB literal, no store access), so the
+    * exact semi-join runs only over the bloom-POSITIVE sliver. Ordering
+    * makes the filter a SUPERSET of the stored keys in every reachable
+    * state (a crash between sidecar write and row append leaves extra bloom
+    * bits = more false positives, never a missed row), so the pre-pass can
+    * drop a key only when the store provably lacks it. Stores created
+    * before sidecars existed have no `_covered` marker and keep the full
+    * join ([[bloom]] = None). */
   final class BucketStore(spark: SparkSession, dir: String) {
     private val path = s"$dir/minhash_buckets"
+    private val bloomDir = s"$dir/minhash_blooms"
     private def fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    private def markerPath = new org.apache.hadoop.fs.Path(s"$bloomDir/_covered")
     def init(): Unit =
       if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
         import spark.implicits._
         Seq.empty[(Long, Int, String, Long)].toDF("doc", "band", "key", "batch_id")
           .write.parquet(path)
+        // marker ONLY on fresh stores: an existing legacy store has rows no
+        // sidecar covers, and marking it would fabricate false negatives
+        fs.mkdirs(new org.apache.hadoop.fs.Path(bloomDir))
+        fs.create(markerPath, true).close()
       }
     /** Reads normalize legacy rows: a store written before the batch_id
       * column existed yields nulls, and a null would make `batch_id =!= b`
@@ -52,9 +81,80 @@ object IncrementalDedup {
       spark.read.schema(schema).parquet(path)
         .withColumn("batch_id", F.coalesce(F.col("batch_id"), F.lit(-1L)))
     }
-    def append(b: DataFrame): Unit =
-      b.select("doc", "band", "key", "batch_id").write.mode(SaveMode.Append).parquet(path)
+    def append(b: DataFrame): Unit = {
+      val rows = b.select("doc", "band", "key", "batch_id")
+      // sidecar FIRST: once the rows are visible, a bloom covering them
+      // already is — the superset invariant the pre-pass relies on
+      if (fs.exists(markerPath)) writeBloomSidecar(rows)
+      rows.write.mode(SaveMode.Append).parquet(path)
+    }
+
+    private def writeBloomSidecar(rows: DataFrame): Unit = {
+      val bytes = rows
+        .select(graft.functions.BloomSupport.bloomAgg(
+          bucketKey(F.col("band"), F.col("key")), BloomItems, BloomBits).as("bf"))
+        .head.getAs[Array[Byte]](0)
+      if (bytes != null) { // null = zero input rows, nothing to cover
+        val name = java.util.UUID.randomUUID().toString
+        val tmp = new org.apache.hadoop.fs.Path(s"$bloomDir/.tmp-$name")
+        val out = fs.create(tmp, false)
+        try out.write(bytes) finally out.close()
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$bloomDir/bloom-$name.bin"))
+      }
+    }
+
+    private def sidecarFiles: Array[org.apache.hadoop.fs.Path] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(bloomDir))
+        .map(_.getPath).filter(_.getName.startsWith("bloom-"))
+
+    /** Merged filter over every append's sidecar, or None when the store
+      * predates sidecars (legacy ⇒ caller keeps the full join). A fresh
+      * store with zero sidecars yields the EMPTY filter — it rejects every
+      * key, which is exact for an empty store. */
+    def bloom: Option[org.apache.spark.util.sketch.BloomFilter] =
+      if (!fs.exists(markerPath)) None
+      else {
+        val merged = org.apache.spark.util.sketch.BloomFilter.create(BloomItems, BloomBits)
+        sidecarFiles.foreach { p =>
+          val in = fs.open(p)
+          try merged.mergeInPlace(
+            org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+          finally in.close()
+        }
+        Some(merged)
+      }
+
+    /** Fold all sidecars into one file. Sidecars accumulate one per append;
+      * the merged load stays cheap for thousands of batches, but a
+      * long-lived store compacts periodically (false-positive rate is set
+      * by total bits vs total keys either way — compaction changes file
+      * count, not accuracy). Concurrent appenders are safe: only the files
+      * the compactor actually read are deleted. */
+    def compactBlooms(): Unit = if (fs.exists(markerPath)) {
+      val files = sidecarFiles
+      if (files.length > 1) {
+        val merged = org.apache.spark.util.sketch.BloomFilter.create(BloomItems, BloomBits)
+        files.foreach { p =>
+          val in = fs.open(p)
+          try merged.mergeInPlace(
+            org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+          finally in.close()
+        }
+        val name = java.util.UUID.randomUUID().toString
+        val tmp = new org.apache.hadoop.fs.Path(s"$bloomDir/.tmp-$name")
+        val out = fs.create(tmp, false)
+        try merged.writeTo(out) finally out.close()
+        fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$bloomDir/bloom-$name.bin"))
+        files.foreach(fs.delete(_, false))
+      }
+    }
   }
+
+  /** The bloom key for a bucket row — band and key fused with a separator
+    * no shingle hash contains. Build and probe both go through this. */
+  private def bucketKey(band: org.apache.spark.sql.Column,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.concat_ws("", band.cast("string"), key)
 
   /** Returns the batch rows that survive dedup against the store AND
     * within the batch, and appends their buckets. A replayed batch
@@ -115,7 +215,21 @@ object IncrementalDedup {
     // kept (minus this batch's own rows when replay-stability is asked)
     val corpus = excludeBatch.fold(store.buckets)(b =>
       store.buckets.filter(F.col("batch_id") =!= b))
-    val dupVsStore = buckets
+    // bloom pre-pass: only bucket rows the merged sidecar filter says MIGHT
+    // be stored enter the semi-join — a bloom-negative key is provably
+    // absent (superset invariant), and a doc collides iff ANY of its rows
+    // does, so filtering rows cannot change dupVsStore. For a mostly-novel
+    // batch the join input shrinks to the false-positive sliver; the store
+    // scan itself is skipped entirely when nothing survives the filter.
+    // The sidecars cover the EXCLUDED batch's rows too — harmless, those
+    // false positives die in the exact join against the filtered corpus.
+    val probed = store.bloom.fold(buckets) { bf =>
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      buckets.filter(graft.functions.BloomSupport.mightContain(
+        F.lit(bos.toByteArray), bucketKey(F.col("band"), F.col("key"))))
+    }
+    val dupVsStore = probed
       .join(corpus.select("band", "key"), Seq("band", "key"), "left_semi")
       .select(F.col("doc")).distinct()
     // in-batch near-dups: keep the smallest id of each candidate pair

@@ -1,0 +1,37 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column surface over Catalyst's native bloom-filter pair — the same
+  * codegen'd expressions Spark's own runtime row-group filtering injects
+  * (`BloomFilterAggregate` / `BloomFilterMightContain`), exposed for the
+  * ingest-dedup pre-pass instead of a driver-broadcast sketch + UDF.
+  *
+  * Build and probe MUST hash identically: both sides wrap the value in
+  * `XxHash64` here, so callers pass the raw (string) key column and never
+  * see the hashing.
+  */
+object BloomFunctions {
+
+  /** Aggregate a column's values into a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` (binary). `items`/`numBits`
+    * are FIXED per store so every sidecar built with the same constants is
+    * `mergeInPlace`-compatible (same bit size ⇒ same hash count). */
+  def bloomAgg(value: Column, items: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ExpressionUtils.expression(value))),
+        Literal(items), Literal(numBits)).toAggregateExpression())
+
+  /** Membership probe against a serialized filter (typically a `lit` of
+    * the merged sidecar bytes — foldable, evaluated once per task). False
+    * positives possible, false negatives not. */
+  def mightContain(bloom: Column, value: Column): Column =
+    ExpressionUtils.column(
+      BloomFilterMightContain(
+        ExpressionUtils.expression(bloom),
+        new XxHash64(Seq(ExpressionUtils.expression(value)))))
+}

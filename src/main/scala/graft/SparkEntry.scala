@@ -511,6 +511,13 @@ object SparkEntry {
     // Chunk-level dedup (the RefinedWeb/Gopher "mostly copy-paste
     // document" signal): non-overlapping 32-token chunks, corpus-wide
     // content-hash frequencies, per-doc duplicated-chunk fraction,
+    // C4-style boilerplate removal: 16-token chunks present in >= 2
+    // DISTINCT documents are dropped and each document re-emitted in
+    // order. Hash-keyed doc-frequency aggregate + hash join; reassembly is
+    // one bounded collect_list per document.
+    "q_boilerplate" -> ((s, dir) =>
+      DataShaping.removeBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 16, minDocs = 2L)),
     // flagged at >= 0.5. Hash keys spread the shuffle; the per-hash count
     // is a combinable aggregate — never a doc x doc comparison.
     "q_chunk_dedup" -> ((s, dir) => {
@@ -1409,6 +1416,21 @@ object SparkEntry {
         "c AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY source, gram), " +
         "r AS (SELECT source, gram, cnt, CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, gram ASC) AS BIGINT) AS rn FROM c) " +
         "SELECT source, gram, cnt, rn FROM r WHERE rn <= 5"),
+    // Mirrors removeBoilerplate: identical 16-token chunking, df = count
+    // of DISTINCT docs per md5(chunk), chunks with df >= 2 dropped,
+    // string_agg ORDER BY chunk_idx reassembles (NULLs skipped, like
+    // collect_list); an all-boilerplate doc coalesces to ''.
+    "q_boilerplate" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
+        "starts AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 16)) AS s FROM toks), " +
+        "ch AS (SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS chunk_idx, " +
+        "array_to_string(list_slice(arr, CAST(s AS INT), CAST(s AS INT) + 15), ' ') AS chunk_text FROM starts), " +
+        "freq AS (SELECT md5(chunk_text) AS h, CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
+        "FROM ch GROUP BY md5(chunk_text)) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, " +
+        "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+        "coalesce(string_agg(CASE WHEN df < 2 THEN chunk_text END, ' ' ORDER BY chunk_idx), '') AS clean_text " +
+        "FROM ch JOIN freq ON md5(ch.chunk_text) = freq.h GROUP BY doc_id"),
     "q_chunk_dedup" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
         "starts AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1, 32)) AS s FROM toks), " +

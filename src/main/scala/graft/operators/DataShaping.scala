@@ -159,6 +159,42 @@ object DataShaping {
         F.array_join(F.slice(F.col("__arr"), F.col("tok_start"), F.lit(chunkTokens)), " ").as("chunk_text"))
   }
 
+  /** C4-style boilerplate removal: a chunk (fixed `chunkTokens`-word
+    * window, [[chunkDocs]]) occurring in at least `minDocs` DISTINCT
+    * documents is boilerplate (headers, footers, licence blurbs — content
+    * shared verbatim across documents); each document is re-emitted with
+    * those chunks removed, in original order, plus removal stats. The
+    * "remove any line that appears ≥ N times in the corpus" cleaning pass,
+    * at chunk granularity.
+    *
+    * Scale shape: document frequency is a hash-keyed combinable aggregate
+    * (md5 of the chunk, never the chunk text, crosses the shuffle), the
+    * flag join is hash-to-hash, and reassembly is one `collect_list` per
+    * document whose size is bounded by the document itself — nothing is
+    * ever doc×doc. Output: (id, n_chunks, n_removed, clean_text); a
+    * document that is ALL boilerplate keeps its row with clean_text = ''. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int, minDocs: Long): DataFrame = {
+    val chunks = chunkDocs(df, idCol, textCol, chunkTokens, overlap = 0)
+      .select(F.col(idCol), F.col("chunk_idx"), F.col("chunk_text"),
+        F.md5(F.col("chunk_text")).as("h"))
+    val docFreq = chunks.groupBy("h")
+      .agg(F.count_distinct(F.col(idCol)).as("df"))
+    val flagged = chunks.join(docFreq, "h")
+      .withColumn("boiler", F.col("df") >= minDocs)
+    flagged.groupBy(idCol).agg(
+      F.count(F.lit(1)).as("n_chunks"),
+      F.sum(F.when(F.col("boiler"), 1L).otherwise(0L)).as("n_removed"),
+      // collect_list skips the nulls (= removed chunks); array_sort on the
+      // (chunk_idx, text) struct restores document order deterministically
+      F.array_join(
+        F.transform(
+          F.array_sort(F.collect_list(
+            F.when(!F.col("boiler"),
+              F.struct(F.col("chunk_idx"), F.col("chunk_text"))))),
+          x => x.getField("chunk_text")), " ").as("clean_text"))
+  }
+
   /** Cross-corpus contamination: pairs (trainDoc, benchDoc) sharing at
     * least `minShared` word-n-gram shingles. The classic "is the eval set
     * leaking into training data" sweep; shingle-blocked join, never a

@@ -249,6 +249,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("DataShaping.removeBoilerplate") {
+    it("drops chunks shared by >= minDocs docs and reassembles the rest in order") {
+      // 2-token chunks: "aa bb" appears in docs 1, 2 and 3 (boilerplate);
+      // everything else is unique to its doc
+      val docs = Seq(
+        (1L, "aa bb u1 v1 aa bb w1 x1"), // boiler at chunk 0 and 2
+        (2L, "u2 v2 aa bb"),             // boiler at chunk 1
+        (3L, "aa bb"),                   // ALL boilerplate
+        (4L, "u4 v4 w4 x4")              // nothing shared
+      ).toDF("doc_id", "text")
+      val out = graft.operators.DataShaping
+        .removeBoilerplate(docs, "doc_id", "text", chunkTokens = 2, minDocs = 2L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      out(1L) shouldBe ((4L, 2L, "u1 v1 w1 x1")) // order preserved across the gap
+      out(2L) shouldBe ((2L, 1L, "u2 v2"))
+      out(3L) shouldBe ((1L, 1L, ""))            // all-boiler doc keeps its row
+      out(4L) shouldBe ((2L, 0L, "u4 v4 w4 x4"))
+    }
+
+    it("minDocs counts DISTINCT documents, not occurrences") {
+      // "rr ss" repeats TWICE within doc 1 only — in-doc repetition must
+      // not make it corpus boilerplate at minDocs = 2
+      val docs = Seq(
+        (1L, "rr ss rr ss"),
+        (2L, "zz qq")
+      ).toDF("doc_id", "text")
+      val out = graft.operators.DataShaping
+        .removeBoilerplate(docs, "doc_id", "text", chunkTokens = 2, minDocs = 2L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      out(1L) shouldBe 0L
+      out(2L) shouldBe 0L
+    }
+  }
+
   describe("TextAnalysis") {
     val docs = Seq(
       (1L, "the cat and the hat"),

@@ -13,6 +13,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the default 128-group fallback turns the bounded-heap top-k
+      // (ObjectHashAggregate) into sort-based aggregation on any real
+      // query count, re-creating the window sort it replaces; a
+      // collect_top_k buffer is <= k small structs, so 64k in-flight
+      // groups per partition is still only tens of MB
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer cache, executor threads) so

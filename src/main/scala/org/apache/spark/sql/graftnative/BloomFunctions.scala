@@ -35,3 +35,18 @@ object BloomFunctions {
         ExpressionUtils.expression(bloom),
         new XxHash64(Seq(ExpressionUtils.expression(value)))))
 }
+
+/** Column surface over Catalyst's `CollectTopK` — a bounded-priority-queue
+  * collect (map-side combinable: each partition keeps at most k elements
+  * per group before the shuffle). The scale replacement for the
+  * `row_number() OVER (... ORDER BY s) <= k` shortlist pattern, whose
+  * window form shuffles and sorts EVERY candidate row per group. */
+object TopKFunctions {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+
+  /** Largest `k` values of `e` under the struct/natural ordering,
+    * returned as an array. With `reverse = true`, smallest `k`. */
+  def collectTopK(e: Column, k: Int, reverse: Boolean): Column =
+    ExpressionUtils.column(
+      new CollectTopK(ExpressionUtils.expression(e), k, reverse).toAggregateExpression())
+}

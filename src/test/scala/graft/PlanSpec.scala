@@ -101,15 +101,12 @@ class PlanSpec extends SparkSpec {
       p should include("hashpartitioning(cell")
       p should include("hashpartitioning(qid")
       p should include("hashpartitioning(cid")
-      // the per-query shortlist sort must move only (qid, cid, pq_dot):
-      // no vector or ADC-array column may enter that exchange
-      val shortlistWindows = p.split("\n").filter(_.contains("windowspecdefinition(qid"))
-      shortlistWindows should not be empty
-      val sortLines = p.split("\n").filter(l => l.contains("Sort [") && l.contains("pq_dot"))
-      sortLines.foreach { l =>
-        l should not include "__adc"
-        l should not include "qv"
-      }
+      // the shortlist stage is the map-side-combined bounded-heap collect,
+      // NOT a window: a partial aggregate bounds what each partition sends
+      // to the qid exchange at k rows per query, where windowspecdefinition
+      // would shuffle and sort every ADC candidate row
+      p should include("partial_collect_top_k")
+      p should not include "windowspecdefinition"
       // the m·kC-double ADC table must be computed AFTER the cell shuffle
       // (probe rows carry only the dim-float query vector through it):
       // no ShuffleExchange anywhere in the plan may output __adc

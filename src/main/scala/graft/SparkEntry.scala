@@ -469,6 +469,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", 3)
         .withColumn("rn", F.col("rn").cast("long"))
     }),
+    // Matryoshka-style prefix search: exact top-3 over only the FIRST 16
+    // of 64 dims — the coarse tier that scans/computes at 1/4 cost with
+    // the full vector kept for rerank. Recall vs full-dim top-k is gated
+    // in AnnRecallSpec.
+    "q_matryoshka_topk" -> ((s, dir) => {
+      val e16 = Similarity.truncateDims(t(s, dir, "embeddings"), "embedding", 16)
+      Similarity.bruteForceTopK(e16, e16.filter(F.col("vec_id") < 10), "vec_id", "embedding", 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    }),
     // Multi-table seeded random-hyperplane LSH (b=6, L=16) — recall-gated
     // ≥0.5 @3 vs brute force in AnnRecallSpec; cost stays Σ_table Σ bucket²
     "q_ann_lsh" -> ((s, dir) =>
@@ -700,6 +709,14 @@ object SparkEntry {
     "q_mm_audio" -> ((s, dir) =>
       Multimodal.decodeAudio(
         Multimodal.wavPayloads(t(s, dir, "documents"), "doc_id"))),
+    // REAL rate-halving through the codec: encode -> decode -> keep every
+    // 2nd sample -> re-encode at 4 kHz -> decode + features. Decimation is
+    // pure integer sample selection, so decoded sample j == the generator
+    // at index 2j and the oracle sums the decimated stream analytically.
+    "q_mm_audio_resample" -> ((s, dir) =>
+      Multimodal.decodeAudio(
+        Multimodal.decimateWavPayloads(
+          Multimodal.wavPayloads(t(s, dir, "documents"), "doc_id"), stride = 2))),
     // REAL multi-frame container round-trip (the video twin): deterministic
     // grayscale frame sequences -> genuine animated GIF (javax.imageio
     // sequence writer, lossless 256-gray palette) -> genuine container
@@ -903,9 +920,9 @@ object SparkEntry {
   private val minhashCandSelect: String =
     "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"
 
-  private def cosineOracle(pairsCte: String): String =
+  private def cosineOracle(pairsCte: String, dims: Int = 64): String =
     pairsCte +
-      ", terms AS (SELECT qid, cid, qv, cv, unnest(range(1, 65)) AS i FROM pairs), " +
+      s", terms AS (SELECT qid, cid, qv, cv, unnest(range(1, ${dims + 1})) AS i FROM pairs), " +
       "dots AS (SELECT qid, cid, " +
       "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS dot, " +
       "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS qq, " +
@@ -1221,6 +1238,12 @@ object SparkEntry {
       "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
         "c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings), " +
         "pairs AS (SELECT qid, cid, qv, cv FROM q JOIN c ON cid <> qid)"),
+    // Same pair frame, cosine over the FIRST 16 dims only (the slice is
+    // applied by restricting the term index range).
+    "q_matryoshka_topk" -> cosineOracle(
+      "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings), " +
+        "pairs AS (SELECT qid, cid, qv, cv FROM q JOIN c ON cid <> qid)", dims = 16),
     "q_ann_lsh" -> cosineOracle(multiTableLshPairsCte),
     // Trained+snapped IVF nprobe=3 — centroid literals come from the stash
     // the q_ivf_ann closure filled this run. The fallback (stash unset =
@@ -1501,6 +1524,16 @@ object SparkEntry {
         "SELECT doc_id AS media_id, CAST(8000 AS INTEGER) AS sample_rate, CAST(n AS INTEGER) AS n_samples, " +
         "CAST(sum(smp * (i + 1)) AS BIGINT) AS pcm_checksum, CAST(max(abs(smp)) AS INTEGER) AS peak " +
         "FROM v GROUP BY doc_id, n"),
+    // Mirrors the REAL decimation pipeline analytically: kept sample j is
+    // the generator at source index 2j, n2 = ceil(n/2), rate halves.
+    "q_mm_audio_resample" ->
+      ("WITH m AS (SELECT doc_id, CAST(doc_id % 32 + 16 AS BIGINT) AS n FROM documents), " +
+        "m2 AS (SELECT doc_id, (n + 1) // 2 AS n2 FROM m), " +
+        "s AS (SELECT doc_id, n2, unnest(range(0, n2)) AS j FROM m2), " +
+        "v AS (SELECT doc_id, n2, j, (doc_id * 31 + (j * 2) * 7) % 65536 - 32768 AS smp FROM s) " +
+        "SELECT doc_id AS media_id, CAST(4000 AS INTEGER) AS sample_rate, CAST(n2 AS INTEGER) AS n_samples, " +
+        "CAST(sum(smp * (j + 1)) AS BIGINT) AS pcm_checksum, CAST(max(abs(smp)) AS INTEGER) AS peak " +
+        "FROM v GROUP BY doc_id, n2"),
     // Mirrors the REAL GIF sequence encode->parse->decode analytically:
     // the 256-gray indexed palette makes GIF lossless here, so each decoded
     // frame's gray(x, y) == the generator (id*31 + f*17 + x*7 + y*13) % 256.

@@ -262,6 +262,54 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL audio downsample, payload→payload: decode each WAV, keep every
+    * `stride`-th sample (pure integer SELECTION — no filtering/averaging
+    * arithmetic), re-encode as a genuine WAV at sampleRate/stride — the
+    * audio twin of [[resizePngPayloads]] (model-input rate matching).
+    * Decimated sample j IS source sample j·stride, so the downstream
+    * decode stays hash-gated against an analytic oracle. (A production
+    * resampler would low-pass first; plain decimation is the
+    * deterministic, oracle-exact variant of the same plumbing.) */
+  def decimateWavPayloads(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"unexpected decoded format for media $id: $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val n2 = (n + stride - 1) / stride
+        val pcm2 = new Array[Byte](n2 * 2)
+        var j = 0
+        while (j < n2) {
+          pcm2(2 * j) = pcm(2 * j * stride)
+          pcm2(2 * j + 1) = pcm(2 * j * stride + 1)
+          j += 1
+        }
+        val rate2 = fmt.getSampleRate / stride
+        val fmt2 = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          rate2, 16, 1, 2, rate2, false)
+        val ais2 = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm2), fmt2, n2.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais2, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
   /** REAL audio decode + feature extraction: `javax.sound.sampled` parses
     * each payload's WAV header and PCM frames; features are the decoded
     * format (sample rate), sample count, a position-weighted sample

@@ -159,6 +159,14 @@ object Similarity {
       .select(F.col("qid"), (-F.col("__e.nid")).as("cid"),
         F.col(s"__e.$scoreCol").as(scoreCol), (F.col("__pos") + 1).as("rn"))
 
+  /** Matryoshka prefix truncation: keep only the first `d` dimensions of
+    * the vector column. MRL-trained embeddings front-load information, so
+    * downstream search/dedup on the prefix runs at d/dim the scan+compute
+    * cost — the standard coarse-search (or cheap-prefilter) tier, with the
+    * full vector kept for rerank. Pure in-row `slice`, map-only. */
+  def truncateDims(df: DataFrame, vecCol: String, d: Int): DataFrame =
+    df.withColumn(vecCol, F.slice(F.col(vecCol), 1, d))
+
   /** Exact brute-force top-k: for each query vector, the k most-similar
     * other vectors by (cosine desc, candidate id asc). Query side is
     * broadcast when small. */

@@ -135,4 +135,33 @@ class AnnRecallSpec extends SparkSpec {
     trained should be >= 0.5
     trained should be > untrained
   }
+
+  it("matryoshka prefix tier: shortlist-then-full-rerank recovers what bare truncation loses") {
+    // the fixture is NOT MRL-trained, so the 16-dim prefix carries only
+    // 16/64 of the energy and ranks near chance on its own (~0.09 direct
+    // recall@3, measured) — the WORST case for truncation. The serving
+    // pattern is therefore prefix SHORTLIST + full-dim rerank: 16-dim
+    // scan over the corpus, 64-dim compute only on the shortlist. Gates
+    // document both numbers so the tradeoff is explicit.
+    val e16 = Similarity.truncateDims(emb, "embedding", 16)
+    val direct = recallOf(topkSets(
+      Similarity.bruteForceTopK(e16, e16, "vec_id", "embedding", 3)
+        .select("qid", "cid")))
+    val shortlist = 64
+    val short = Similarity.bruteForceTopK(e16, e16, "vec_id", "embedding", shortlist)
+      .select("qid", "cid")
+    // full-dim exact rerank of the prefix shortlist only
+    val reranked = Similarity.topKPerQuery(
+      short
+        .join(emb.select(F.col("vec_id").as("qid"), F.col("embedding").as("qv")), "qid")
+        .join(emb.select(F.col("vec_id").as("cid"), F.col("embedding").as("cv")), "cid")
+        .withColumn("cos_sim", Similarity.cosine(F.col("qv"), F.col("cv"))),
+      "cos_sim", 3)
+    val tiered = recallOf(topkSets(reranked.select("qid", "cid")))
+    info(f"matryoshka d=16/64: direct recall@3 = $direct%.3f; " +
+      f"shortlist($shortlist)+full rerank recall@3 = $tiered%.3f " +
+      f"(64-dim compute on ${shortlist * 100.0 / (nVec - 1)}%.0f%% of candidates)")
+    tiered should be > direct * 2 // the rerank tier is what makes truncation usable
+    tiered should be >= 0.3
+  }
 }

@@ -129,6 +129,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  it("decimateWavPayloads halves the rate keeping every 2nd sample, integer-exact") {
+    val out = Multimodal.decodeAudio(
+      Multimodal.decimateWavPayloads(
+        Multimodal.wavPayloads(fixture, "doc_id"), stride = 2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 1L, 7L, 123L, 456L)) {
+      val n = Multimodal.audioNSamples(id)
+      val n2 = (n + 1) / 2
+      var sum = 0L
+      var peak = 0
+      for (j <- 0 until n2) {
+        val s = Multimodal.audioSample(id, j * 2)
+        sum += s.toLong * (j + 1)
+        peak = math.max(peak, math.abs(s))
+      }
+      val r = out(id)
+      r.getInt(1) shouldBe 4000
+      r.getInt(2) shouldBe n2
+      r.getLong(3) shouldBe sum
+      r.getInt(4) shouldBe peak
+    }
+  }
+
+  it("stride-1 decimation is the identity on the PCM stream") {
+    val once = Multimodal.decodeAudio(
+      Multimodal.wavPayloads(fixture, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val through = Multimodal.decodeAudio(
+      Multimodal.decimateWavPayloads(
+        Multimodal.wavPayloads(fixture, "doc_id"), stride = 1))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    through shouldBe once
+  }
+
   it("a corrupted payload fails decode loudly (the codec is load-bearing, not a fake)") {
     import spark.implicits._
     val bad = Seq((1L, Array.fill[Byte](16)(0x42))).toDF("media_id", "payload")

@@ -182,12 +182,20 @@ object Dedup {
       minJaccard: Double,
       shingleN: Int = 3,
       k: Int = 8): DataFrame = {
+    // both checkpoints pin SLIVERS, not the corpus: cands is the LSH
+    // candidate-pair list and pruned holds only in-play docs' shingles —
+    // without them the full minhash pipeline runs 3× (docsInPlay twice +
+    // the shared join) and the shingle explode 3× (two join sides + sizes)
     val cands = minhashCandidates(df, idCol, textCol, shingleN, k)
+      .localCheckpoint(true)
     val sh = wordShingles(df, idCol, textCol, shingleN)
     val docsInPlay = cands.select(F.col("a").as("doc"))
       .union(cands.select(F.col("b").as("doc"))).distinct()
     val pruned = sh.join(docsInPlay, Seq("doc"), "left_semi")
-    val sizes = sh.groupBy(F.col("doc")).agg(F.count(F.lit(1)).as("sz"))
+      .localCheckpoint(true)
+    // set sizes only ever join against in-play docs, so they can come from
+    // the pruned frame — one less full-corpus shingle scan
+    val sizes = pruned.groupBy(F.col("doc")).agg(F.count(F.lit(1)).as("sz"))
     val shared = cands
       .join(pruned.select(F.col("doc").as("a"), F.col("shingle")), "a")
       .join(pruned.select(F.col("doc").as("b"), F.col("shingle")), Seq("b", "shingle"))
@@ -247,10 +255,17 @@ object Dedup {
         F.shiftright(word, (b % perWord) * bandBits)
           .bitwiseAND(if (bandBits >= 32) -1L else (1L << bandBits) - 1).as("bval"))
     }
+    // materialized ONCE: both sides of the band self-join derive from this
+    // frame, and without the checkpoint each side re-runs the full
+    // fingerprint pipeline (token explode + per-doc 64-bit aggregation —
+    // the expensive part) because differently-projected exchanges don't
+    // reuse. The frame is slim (nBands rows/doc of 5 fixed-width cols),
+    // so pinning it costs ~40 B/doc/band while halving the corpus scans.
     val banded = fp.select(F.col("doc"), F.col("sh_lo"), F.col("sh_hi"),
       F.explode(F.array(bandExprs: _*)).as("e"))
       .select(F.col("doc"), F.col("sh_lo"), F.col("sh_hi"),
         F.col("e.bi").as("bi"), F.col("e.bval").as("bval"))
+      .localCheckpoint(true)
     val x = banded.select(F.col("bi"), F.col("bval"), F.col("doc").as("a"),
       F.col("sh_lo").as("la"), F.col("sh_hi").as("ha"))
     val y = banded.select(F.col("bi"), F.col("bval"), F.col("doc").as("b"),

@@ -335,11 +335,17 @@ object Similarity {
     // rides through the candidate join/dedup — vectors (the wide payload)
     // are re-attached AFTER the distinct, keeping the shuffled bytes at
     // ~16 B/pair instead of 2×dim×4 B.
+    // materialized ONCE: both sides of the bucket self-join derive from
+    // this frame, and each would otherwise re-run the L·nbits hyperplane
+    // dots per vector (the expensive part of candidate generation —
+    // differently-projected exchanges don't reuse). L rows/vector of
+    // (id, short string): pinning is ~32 B/vector/table.
     val keyed = base.select(
       F.col("id"),
       F.explode(F.array(tables.zipWithIndex.map { case (p, t) =>
         F.concat(F.lit(s"$t:"), hyperplaneBucket(F.col("v"), p))
       }.toSeq: _*)).as("bucket"))
+      .localCheckpoint(true)
     val pairs = keyed.select(F.col("bucket"), F.col("id").as("qid"))
       .join(keyed.select(F.col("bucket"), F.col("id").as("cid")), "bucket")
       .filter(F.col("qid") =!= F.col("cid"))

@@ -58,6 +58,7 @@ object SparkEntry {
   @volatile private var kmeansStash: Option[Array[Array[Double]]] = None
   @volatile private var semdedupStash: Option[Array[Array[Double]]] = None
   @volatile private var embedOutlierStash: Option[Array[Array[Double]]] = None
+  @volatile private var negMiningStash: Option[Array[Array[Double]]] = None
 
   /** Per-process persisted-ANN-index directory, one per sf dir: the FIRST
     * q_ann_index_serve call in a process builds the index (train + encode +
@@ -510,6 +511,17 @@ object SparkEntry {
     // assignment as an in-row argmax over the literal model — the corpus
     // partitioning step of semantic dedup / diversity balancing. The
     // oracle assigns with the SAME snapped literals.
+    // Hard-negative mining for contrastive pairs: same-cell candidates
+    // (the trained quantizer's "same topic") below the near-dup cosine
+    // ceiling, hardest first — cell-blocked Σ cell² work, served from the
+    // shared k-means model.
+    "q_negative_mining" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = sharedKmeans(s, dir)
+      negMiningStash = Some(cents)
+      Similarity.hardNegatives(e, "vec_id", "embedding", cents, maxCos = 0.8, k = 2)
+        .withColumn("rn", F.col("rn").cast("long"))
+    }),
     "q_cluster_assign" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val cents = sharedKmeans(s, dir)
@@ -1251,6 +1263,24 @@ object SparkEntry {
     // dump well-formed.
     "q_ivf_ann" -> ivfCentroidsStash
       .map(c => cosineOracle(ivfProbePairsCte(c, nprobe = 3)))
+      .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
+    // Same-cell (crn = 1 both sides) pairs under the stashed model, exact
+    // cosine, near-dup ceiling, hardest-first rank — mirrors hardNegatives.
+    "q_negative_mining" -> negMiningStash
+      .map(c => ivfAssignCtes(c) + ", " +
+        "cells AS (SELECT r.id, b.v, r.cell FROM arank r JOIN base b ON b.id = r.id WHERE r.crn = 1), " +
+        "pairs AS (SELECT x.id AS qid, y.id AS cid, x.v AS qv, y.v AS cv " +
+        "FROM cells x JOIN cells y ON x.cell = y.cell AND x.id <> y.id), " +
+        "terms AS (SELECT qid, cid, qv, cv, unnest(range(1, 65)) AS i FROM pairs), " +
+        "dots AS (SELECT qid, cid, " +
+        "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS dot, " +
+        "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS qq, " +
+        "sum(CAST(cv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS cc " +
+        "FROM terms GROUP BY qid, cid), " +
+        "scored AS (SELECT qid, cid, round(dot / (sqrt(qq) * sqrt(cc)), 4) AS cos_sim FROM dots), " +
+        "hard AS (SELECT qid, cid, cos_sim FROM scored WHERE cos_sim <= 0.8), " +
+        "ranked AS (SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn FROM hard) " +
+        "SELECT qid, cid, cos_sim, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 2")
       .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
     // Assignment with the stashed snapped centroids — the shared IVF
     // assignment CTEs at crn = 1 are exactly the k-means assign step.

@@ -885,6 +885,40 @@ object Similarity {
     topKPerQuery(reranked, "cos_sim", k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * `k` candidates that are semantically CLOSEST without being near-dups
+    * — same coarse cell as the anchor (the trained quantizer's notion of
+    * "about the same topic"), cosine ≤ `maxCos` (near-dup ceiling; above
+    * it the pair is a positive/duplicate, not a negative), ranked hardest
+    * (highest cosine) first. The standard in-batch-negatives upgrade:
+    * cell-blocked candidates make the negatives HARD, the ceiling keeps
+    * them TRUE negatives.
+    *
+    * Scale shape is the IVF search's: in-row cell assignment over literal
+    * centroids, pinned shuffle-merge cell self-join (Σ cell², never N²,
+    * no corpus broadcast), slim (qid, cid, cos) rows into the bounded-heap
+    * top-k. */
+  def hardNegatives(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      maxCos: Double,
+      k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{fvDot => ndot}
+    val base = embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
+      F.sqrt(ndot(F.col(vecCol), F.col(vecCol))).as("nrm"))
+    val cells = base.withColumn("cell", nearestCell(F.col("v"), centroids))
+    val q = cells.select(F.col("cell"), F.col("id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn"))
+    val c = cells.select(F.col("cell"), F.col("id").as("cid"), F.col("v").as("cv"), F.col("nrm").as("cn"))
+    val scored = q.hint("shuffle_merge").join(c, "cell")
+      .filter(F.col("qid") =!= F.col("cid"))
+      .select(F.col("qid"), F.col("cid"),
+        F.round(ndot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).as("cos_sim"))
+      .filter(F.col("cos_sim") <= maxCos)
+    topKPerQuery(scored, "cos_sim", k)
+  }
+
   /** Default coarse-cluster count for a corpus of `n` vectors: ≈ √n
     * (clamped), the choice that keeps the cluster-blocked pair stage
     * near-linear — with balanced cells of size n/kC, candidate pairs are

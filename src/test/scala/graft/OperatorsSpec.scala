@@ -212,6 +212,30 @@ class OperatorsSpec extends SparkSpec {
       out((0L, 3L)) shouldBe -1.0
     }
 
+    it("hardNegatives: same cell, below the near-dup ceiling, hardest first") {
+      // 6-dim toy with two obvious clusters along axes 0 and 2; centroids
+      // literal so cell assignment is deterministic
+      val dim6 = Seq(
+        (0L, Array(1.0f, 0.05f, 0f, 0f, 0f, 0f)),  // cluster A anchor
+        (1L, Array(0.99f, 0.1f, 0f, 0f, 0f, 0f)),  // near-dup of 0 (cos > 0.99)
+        (2L, Array(0.8f, 0.6f, 0f, 0f, 0f, 0f)),   // same cell, hard negative
+        (3L, Array(0.6f, 0.8f, 0f, 0f, 0f, 0f)),   // same cell, softer negative
+        (4L, Array(0f, 0f, 1.0f, 0f, 0f, 0f))      // other cluster
+      ).toDF("vec_id", "embedding")
+      val cents = Array(
+        Array(1.0, 0, 0, 0, 0, 0),
+        Array(0.0, 0, 1.0, 0, 0, 0))
+      val out = Similarity.hardNegatives(dim6, "vec_id", "embedding", cents,
+        maxCos = 0.95, k = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      // anchor 0: near-dup 1 is EXCLUDED by the ceiling; hardest true
+      // negative is 2, then 3; vector 4 is in the other cell
+      out((0L, 1)) shouldBe 2L
+      out((0L, 2)) shouldBe 3L
+      // anchor 4 has no same-cell companion: no rows at all
+      out.keys.map(_._1) should not contain 4L
+    }
+
     it("bruteForceTopK ranks by similarity with deterministic tiebreak") {
       val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding", 2)
         .orderBy("rn").collect()

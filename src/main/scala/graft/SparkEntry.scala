@@ -59,6 +59,16 @@ object SparkEntry {
   @volatile private var semdedupStash: Option[Array[Array[Double]]] = None
   @volatile private var embedOutlierStash: Option[Array[Array[Double]]] = None
   @volatile private var negMiningStash: Option[Array[Array[Double]]] = None
+  @volatile private var bpeStash: Option[Seq[(String, String)]] = None
+
+  /** Once-per-(process, sf-dir) trained BPE merge list — train-rarely/
+    * encode-always, the [[kmeansModels]] pattern for the tokenizer. */
+  private val bpeModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private val bpePasses = 8
+  private def sharedBpe(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeModels.computeIfAbsent(dir, _ =>
+      graft.operators.Bpe.train(t(s, dir, "documents"), "text", numMerges = 10, passes = bpePasses))
 
   /** Per-process persisted-ANN-index directory, one per sf dir: the FIRST
     * q_ann_index_serve call in a process builds the index (train + encode +
@@ -625,6 +635,22 @@ object SparkEntry {
     "q_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
         .select("doc_id", "n_ws_tokens", "n_re_tokens")),
+    // Distributed BPE tokenizer, train-rarely/encode-always: 10 merges
+    // learned over the (word, count) vocabulary (only the merge pairs
+    // reach the driver), vocabulary segmented via the fixed-pass
+    // regexp_replace chain. The oracle re-applies the IDENTICAL chain
+    // (stashed merges as literals) in DuckDB.
+    "q_bpe_vocab" -> ((s, dir) => {
+      val merges = sharedBpe(s, dir)
+      bpeStash = Some(merges)
+      t(s, dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).as("word"))
+        .filter(F.length(F.col("word")) > 0)
+        .distinct()
+        .select(F.col("word"),
+          graft.operators.Bpe.encode(F.col("word"), merges, bpePasses).as("bpe"))
+        .withColumn("n_tokens", graft.operators.Bpe.nTokens(F.col("bpe")))
+    }),
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
     "q_text_repetition" -> ((s, dir) =>
@@ -1403,6 +1429,18 @@ object SparkEntry {
     "q_text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_re_tokens FROM documents"),
+    // The stashed merges re-applied as the IDENTICAL fixed-pass
+    // regexp_replace chain (RE2 '\|x\|y\|' == the engine's quoted
+    // pattern on these alphanumeric tokens).
+    "q_bpe_vocab" -> bpeStash
+      .map { merges =>
+        val seg = graft.operators.Bpe.encodeSql("word", merges, bpePasses)
+        "WITH words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents), " +
+          s"w AS (SELECT word FROM words WHERE length(word) > 0), " +
+          s"seg AS (SELECT word, $seg AS bpe FROM w) " +
+          "SELECT word, bpe, CAST(len(list_filter(string_split(bpe, '|'), t -> length(t) > 0)) AS BIGINT) AS n_tokens FROM seg"
+      }
+      .getOrElse("SELECT NULL AS word, NULL AS bpe, NULL AS n_tokens WHERE 1 = 0"),
     "q_text_fingerprint" ->
       ("WITH toks AS (SELECT doc_id, md5(lower(trim(text))) AS md5_fp, string_split(lower(trim(text)), ' ') AS arr FROM documents), " +
         "pos AS (SELECT doc_id, md5_fp, arr, unnest(range(1, len(arr) + 1)) AS i FROM toks), " +

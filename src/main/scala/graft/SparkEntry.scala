@@ -635,6 +635,31 @@ object SparkEntry {
     "q_text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
         .select("doc_id", "n_ws_tokens", "n_re_tokens")),
+    // Per-document token counts under the trained BPE — the fertility
+    // metric (tokens per word / chars per token) a data pipeline sizes
+    // corpora with. DICTIONARY encode: the regex chain runs once per
+    // VOCAB word (distinct-content-sized), documents join the dictionary
+    // by word — never a per-occurrence regex pass.
+    "q_bpe_tokens" -> ((s, dir) => {
+      val merges = sharedBpe(s, dir)
+      bpeStash = Some(merges)
+      val vocab = t(s, dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).as("word"))
+        .filter(F.length(F.col("word")) > 0).distinct()
+        .select(F.col("word"),
+          graft.operators.Bpe.nTokens(
+            graft.operators.Bpe.encode(F.col("word"), merges, bpePasses)).as("wtok"))
+      t(s, dir, "documents")
+        .select(F.col("doc_id"), F.explode(F.split(F.col("text"), " ")).as("word"))
+        .filter(F.length(F.col("word")) > 0)
+        .join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).as("n_words"),
+          F.sum("wtok").as("n_bpe_tokens"),
+          F.sum(F.length(F.col("word")).cast("long")).as("n_chars"))
+        .withColumn("fertility",
+          F.round(F.col("n_bpe_tokens").cast("double") / F.col("n_words"), 4))
+    }),
     // Distributed BPE tokenizer, train-rarely/encode-always: 10 merges
     // learned over the (word, count) vocabulary (only the merge pairs
     // reach the driver), vocabulary segmented via the fixed-pass
@@ -1429,6 +1454,21 @@ object SparkEntry {
     "q_text_tokens" ->
       ("SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens, " +
         "CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_re_tokens FROM documents"),
+    // Same dictionary-encode shape: chain once per vocab word, docs join.
+    "q_bpe_tokens" -> bpeStash
+      .map { merges =>
+        val seg = graft.operators.Bpe.encodeSql("word", merges, bpePasses)
+        "WITH vw AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents), " +
+          "vocab AS (SELECT word, CAST(len(list_filter(string_split(" + seg + ", '|'), t -> length(t) > 0)) AS BIGINT) AS wtok " +
+          "FROM vw WHERE length(word) > 0), " +
+          "dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), " +
+          "j AS (SELECT doc_id, dw.word, wtok FROM dw JOIN vocab ON dw.word = vocab.word WHERE length(dw.word) > 0) " +
+          "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(wtok) AS BIGINT) AS n_bpe_tokens, " +
+          "CAST(sum(length(word)) AS BIGINT) AS n_chars, " +
+          "round(CAST(sum(wtok) AS DOUBLE) / count(*), 4) AS fertility " +
+          "FROM j GROUP BY doc_id"
+      }
+      .getOrElse("SELECT NULL AS doc_id, NULL AS n_words, NULL AS n_bpe_tokens, NULL AS n_chars, NULL AS fertility WHERE 1 = 0"),
     // The stashed merges re-applied as the IDENTICAL fixed-pass
     // regexp_replace chain (RE2 '\|x\|y\|' == the engine's quoted
     // pattern on these alphanumeric tokens).

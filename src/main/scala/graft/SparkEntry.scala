@@ -60,6 +60,7 @@ object SparkEntry {
   @volatile private var embedOutlierStash: Option[Array[Array[Double]]] = None
   @volatile private var negMiningStash: Option[Array[Array[Double]]] = None
   @volatile private var bpeStash: Option[Seq[(String, String)]] = None
+  @volatile private var annSizedModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
 
   /** Once-per-(process, sf-dir) trained BPE merge list — train-rarely/
     * encode-always, the [[kmeansModels]] pattern for the tokenizer. */
@@ -619,6 +620,24 @@ object SparkEntry {
         store.build(e, "vec_id", "embedding", nCentroids = 8, m = 16, kCodes = 16)
       val mod = store.model
       annIndexModelStash = Some((mod.centroids, mod.codebooks))
+      store.search(e, "vec_id", "embedding", nprobe = 5, shortlist = 24, k = 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    }),
+    // The same persisted-index serve at PRODUCTION-SIZED kC ≈ √N
+    // (defaultKC) instead of the fixture-pinned kC=8: cells shrink to
+    // ~√N members, so nprobe=5 probes 5/√N of the corpus instead of 5/8
+    // — the configuration the 100 TB deployment runs, benched alongside
+    // the continuity row. Separate index dir per (sf dir, sizing).
+    "q_ann_serve_sized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val kC = Similarity.defaultKC(e.count())
+      val idxDir = annIndexDirs.computeIfAbsent(s"$dir#sized", _ =>
+        java.nio.file.Files.createTempDirectory("graft_ann_index_sized_").toString)
+      val store = new AnnIndexStore(s, idxDir)
+      if (!store.exists)
+        store.build(e, "vec_id", "embedding", nCentroids = kC, m = 16, kCodes = 16)
+      val mod = store.model
+      annSizedModelStash = Some((mod.centroids, mod.codebooks))
       store.search(e, "vec_id", "embedding", nprobe = 5, shortlist = 24, k = 3)
         .withColumn("rn", F.col("rn").cast("long"))
     }),
@@ -1374,6 +1393,12 @@ object SparkEntry {
     // (reloaded, bit-identical) model — the oracle is the same IVF+PQ
     // mirror over the literals the store handed back.
     "q_ann_index_serve" -> annIndexModelStash
+      .map { case (c, b) => ivfPqOracle(c, b, nprobe = 5, shortlist = 24) }
+      .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
+    // Production-sized kC: the SAME unrolled IVF+PQ oracle machinery — the
+    // stashed model arrays carry the larger centroid count through every
+    // CTE unchanged.
+    "q_ann_serve_sized" -> annSizedModelStash
       .map { case (c, b) => ivfPqOracle(c, b, nprobe = 5, shortlist = 24) }
       .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
     // MMR greedy unrolled for k=3: candidate shortlist (top-8 rounded

@@ -795,12 +795,64 @@ object Similarity {
       idCol: String,
       vecCol: String,
       centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]]): DataFrame =
-    pqEncode(
-      embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
-        nearestCell(F.col("v"), centroids).as("cell")),
-      "id", "v", codebooks)
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val assigned =
+      if (centroids.length <= inRowKcMax)
+        embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
+          nearestCell(F.col("v"), centroids).as("cell"))
+      else // production-sized kC: join-form assignment (see inRowKcMax)
+        probeCellsJoin(
+          embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v")),
+          centroids, nprobe = 1)
+    pqEncode(assigned, "id", "v", codebooks)
       .select(F.col("id").as("cid"), F.col("cell"), F.col("pq_code"))
+  }
+
+  /** In-row literal assignment stays codegen-friendly only while the
+    * centroid array is small: cellSims emits kC rounded-cosine
+    * sub-expressions into ONE generated method, and past roughly this
+    * many cells janino's 64 KB method limit silently drops the stage to
+    * interpreted mode (measured: the sized-kC serve ran 4× slower than
+    * the kC=8 one on 9× fewer candidates). Beyond the threshold,
+    * assignment switches to the broadcast-join form below — same rounded
+    * doubles, same tie-break, value-identical. */
+  private[graft] val inRowKcMax = 16
+
+  /** (cell, cvec, cnorm) broadcast frame of the literal model — the
+    * join-form twin of cellSims. cnorm folds driver-side with the same
+    * left-associated sum the literal path uses. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) =>
+      (i, c.toSeq, math.sqrt(c.map(x => x * x).reduceLeft(_ + _)))
+    }.toDF("cell", "cvec", "cnorm")
+  }
+
+  /** Top-`nprobe` cells per vector via broadcast join + bounded heap —
+    * value-identical to in-row [[probeCells]]/[[nearestCell]] (same fd_dot
+    * kernel, same rounded cosine, ties to the lowest cell; equality spec'd
+    * in OperatorsSpec) but with per-row work independent of kC inside one
+    * codegen'd join stage. This is the production-kC (≈ √N cells)
+    * assignment path. Input must carry (id, v); output one row per
+    * (id, probed cell) with v re-attached. */
+  private[graft] def probeCellsJoin(
+      base: DataFrame,
+      cents: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{fvDot, fdDot}
+    val cf = F.broadcast(centroidFrame(base.sparkSession, cents))
+    val sims = base.select(F.col("id"), F.col("v")).crossJoin(cf)
+      .select(F.col("id"), F.col("v"), F.col("cell"),
+        F.round(fdDot(F.col("v"), F.col("cvec")) /
+          (F.sqrt(fvDot(F.col("v"), F.col("v"))) * F.col("cnorm")), 4).as("sim"))
+    sims.groupBy("id")
+      .agg(graft.functions.TopK.collectTopK(
+          F.struct(F.col("sim"), (-F.col("cell")).cast("long").as("nc")), nprobe).as("tk"),
+        F.first(F.col("v")).as("v")) // v is functionally determined by id
+      .select(F.col("id"), F.col("v"), F.explode(F.col("tk")).as("e"))
+      .select(F.col("id"), F.col("v"), (-F.col("e.nc")).cast("int").as("cell"))
+  }
 
   /** The serve half of IVF+PQ: search an EXISTING `(cid, cell, pq_code)`
     * index frame (inline-encoded or read back from a persisted store).
@@ -837,10 +889,14 @@ object Similarity {
     // and, critically, none ABOVE this projection either (a mismatched
     // count would re-exchange the probe side post-ADC, putting the wide
     // __adc row back on the wire)
-    val probed = base
-      .select(F.col("id").as("qid"),
-        F.explode(probeCells(F.col("v"), centroids, nprobe)).as("cell"),
-        F.col("v").as("qv"))
+    val probed =
+      if (centroids.length <= inRowKcMax)
+        base.select(F.col("id").as("qid"),
+          F.explode(probeCells(F.col("v"), centroids, nprobe)).as("cell"),
+          F.col("v").as("qv"))
+      else // production-sized kC: join-form probing (see inRowKcMax)
+        probeCellsJoin(base.select(F.col("id"), F.col("v")), centroids, nprobe)
+          .select(F.col("id").as("qid"), F.col("cell"), F.col("v").as("qv"))
     val probes = codedBuckets.fold(probed.repartition(F.col("cell")))(b =>
         probed.repartition(b, F.col("cell")))
       .withColumn("__adc", adcTables(F.col("qv"), codebooks))

@@ -264,6 +264,26 @@ class OperatorsSpec extends SparkSpec {
       b(0L) should not be b(3L) // opposite orthant
     }
 
+    it("probeCellsJoin matches in-row probeCells cell-for-cell past the codegen threshold") {
+      // 24 centroids (> inRowKcMax) spread over 4 dims with deliberate
+      // near-ties, so the rounded-cosine + lowest-cell tie-break is
+      // actually exercised on both paths
+      val rnd = new scala.util.Random(7)
+      val cents = Array.tabulate(24) { i =>
+        Array.tabulate(4)(d => math.rint((rnd.nextDouble() - 0.5) * 8) / 4.0 + (if (d == i % 4) 1.0 else 0.0))
+      }
+      val pts = (0L until 40L).map { i =>
+        (i, Array.fill(4)((rnd.nextFloat() - 0.5f) * 2f))
+      }.toDF("id", "v")
+      for (nprobe <- Seq(1, 3)) {
+        val inRow = pts.select($"id", F.explode(Similarity.probeCells($"v", cents, nprobe)).as("cell"))
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        val joined = Similarity.probeCellsJoin(pts, cents, nprobe)
+          .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+        joined shouldBe inRow
+      }
+    }
+
     it("multi-probe LSH finds at least the single-probe neighbours (superset recall)") {
       val single = Similarity.lshTopK(vecs, "vec_id", "embedding", nbits = 3, k = 5, dim = 3)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -706,6 +706,25 @@ object SparkEntry {
     // filter, trained and served in one distributed pass.
     "q_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
+    // Gopher/MassiveText rule filter: every signal plus the combined 0/1
+    // keep verdict, thresholds tuned so the fixture splits both ways.
+    "q_quality_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "alpha_ratio", "stop_hits", "keep")),
+    // CCNet-style head/middle/tail cut: per-language perplexity terciles
+    // of the corpus-trained bigram LM score. The per-language window is
+    // scale-safe — partitions are languages, each ordered independently.
+    "q_lang_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = Window.partitionBy("lang").orderBy(F.col("avg_nll"), F.col("doc_id"))
+      TextAnalysis.lmScore(docs, "doc_id", "text").select("doc_id", "avg_nll")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w).cast("long"))
+        .withColumn("tier", F.when(F.col("bucket") === 1, "head")
+          .when(F.col("bucket") === 2, "middle").otherwise("tail"))
+        .select("doc_id", "lang", "avg_nll", "bucket", "tier")
+    }),
     // LEARNED quality filter: logistic regression over the deterministic
     // quality features, trained distributed (one combinable gradient
     // aggregate per iteration), served from snapped literal weights — the
@@ -855,6 +874,17 @@ object SparkEntry {
     "q_shuffle_rank" -> ((s, dir) =>
       DataShaping.shuffleRank(t(s, dir, "documents"), "doc_id")
         .select("doc_id", "shuffle_rank")),
+    // Mixture planning: per-source token budgets / epochs / sampling rates
+    // from a hand-tuned raw weight (here a deterministic function of the
+    // source id) and a 50k-token budget.
+    "q_mix_weights" -> ((s, dir) =>
+      DataShaping.mixtureWeights(t(s, dir, "documents"), "source",
+        F.size(F.split(F.col("text"), " ")).cast("long"),
+        (F.regexp_replace(F.col("source"), "[^0-9]", "").cast("int") % 3 + 1)
+          .cast("double"),
+        budgetTokens = 50000L)
+        .select("source", "group_tokens", "weight", "target_tokens",
+          "epochs", "sampling_rate")),
     "q_pack_sequences" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")).cast("long"))
@@ -1521,6 +1551,32 @@ object SparkEntry {
         "round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS dup_gram_ratio, " +
         "round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS top_gram_frac " +
         "FROM c GROUP BY doc_id"),
+    "q_quality_gopher" ->
+      ("WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words, " +
+        "round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len, " +
+        "round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS symbol_ratio, " +
+        "round(CAST(len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS alpha_ratio, " +
+        "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS INT) AS stop_hits FROM documents) " +
+        "SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits, " +
+        "CAST((n_words BETWEEN 30 AND 10000) AND (mean_word_len BETWEEN 3.9 AND 5.0) " +
+        "AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2 AS INT) AS keep FROM s"),
+    // The q_lm_score CTE with a per-language ntile(3) cut on top; ordering
+    // is on the ROUNDED avg_nll with doc_id tiebreak on both engines.
+    "q_lang_ppl_buckets" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
+        "pos AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM toks WHERE len(arr) >= 2), " +
+        "g AS (SELECT doc_id, arr[CAST(i AS INT)] AS w1, arr[CAST(i AS INT) + 1] AS w2 FROM pos), " +
+        "bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg FROM g GROUP BY 1, 2), " +
+        "ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw1 FROM g GROUP BY 1), " +
+        "v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS vsz FROM g), " +
+        "scored AS (SELECT doc_id, ln((CAST(cbg AS DOUBLE) + 0.5) / (CAST(cw1 AS DOUBLE) + CAST(vsz AS DOUBLE) * 0.5)) AS lp " +
+        "FROM g JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v), " +
+        "lm AS (SELECT doc_id, round(-sum(lp) / count(*), 4) AS avg_nll FROM scored GROUP BY doc_id), " +
+        "b AS (SELECT lm.doc_id, d.lang, lm.avg_nll, " +
+        "CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY lm.avg_nll, lm.doc_id) AS BIGINT) AS bucket " +
+        "FROM lm JOIN documents d ON lm.doc_id = d.doc_id) " +
+        "SELECT doc_id, lang, avg_nll, bucket, " +
+        "CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS tier FROM b"),
     "q_lm_score" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
         "pos AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM toks WHERE len(arr) >= 2), " +
@@ -1711,6 +1767,19 @@ object SparkEntry {
     "q_shuffle_rank" ->
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank " +
         "FROM documents"),
+    // Raw weights are small integers, so sum(raw) is FP-exact regardless of
+    // accumulation order; the remaining arithmetic is the same
+    // left-associated chain on identical doubles in both engines.
+    "q_mix_weights" ->
+      ("WITH g AS (SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS group_tokens, " +
+        "max(CAST(CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 3 + 1 AS DOUBLE)) AS raw " +
+        "FROM documents GROUP BY source), " +
+        "n AS (SELECT source, group_tokens, round(raw / sum(raw) OVER (), 4) AS weight, " +
+        "CAST(floor(50000 * raw / sum(raw) OVER ()) AS BIGINT) AS target_tokens FROM g), " +
+        "e AS (SELECT source, group_tokens, weight, target_tokens, " +
+        "round(CAST(target_tokens AS DOUBLE) / CAST(group_tokens AS DOUBLE), 4) AS epochs FROM n) " +
+        "SELECT source, group_tokens, weight, target_tokens, epochs, " +
+        "least(1.0, epochs) AS sampling_rate FROM e"),
     "q_text_embed_fusion" ->
       ("WITH e AS (SELECT vec_id AS doc_id, embedding FROM embeddings), " +
         "terms AS (SELECT doc_id, embedding, unnest(range(1, 65)) AS i FROM e), " +

@@ -85,6 +85,40 @@ object DataShaping {
       .drop("__n", "__nmax")
   }
 
+  /** Data-mixture weights: given a per-group raw weight (the recipe's
+    * hand-tuned mixing ratio) and a total token budget, compute each
+    * group's normalized weight, token target, epoch count (target ÷
+    * available — >1 means the group repeats) and capped per-epoch
+    * sampling rate. The planning step every LLM data recipe runs before
+    * sampling (cf. the Pile / Llama mixture tables).
+    *
+    * Plan shape: one map-side-combinable aggregate collapses the corpus
+    * to #groups rows, and the normalizing window runs over THAT tiny
+    * frame — the unpartitioned window never sees corpus-sized data, so
+    * the shape survives any corpus scale (groups = sources, typically
+    * dozens). */
+  def mixtureWeights(df: DataFrame, groupCol: String, tokensPerRow: Column,
+                     rawWeight: Column, budgetTokens: Long): DataFrame = {
+    val perGroup = df
+      .withColumn("__tok", tokensPerRow)
+      .withColumn("__w", rawWeight)
+      .groupBy(F.col(groupCol))
+      .agg(F.sum(F.col("__tok")).cast("long").as("group_tokens"),
+        F.max(F.col("__w")).cast("double").as("__raw")) // __w is per-group constant
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    perGroup
+      .withColumn("weight", F.round(F.col("__raw") / F.sum("__raw").over(all), 4))
+      .withColumn("target_tokens",
+        F.floor(F.lit(budgetTokens) * F.col("__raw") / F.sum("__raw").over(all))
+          .cast("long"))
+      .withColumn("epochs",
+        F.round(F.col("target_tokens").cast("double") /
+          F.col("group_tokens").cast("double"), 4))
+      .withColumn("sampling_rate", F.least(F.lit(1.0), F.col("epochs")))
+      .drop("__raw")
+  }
+
   /** Global deterministic shuffle rank: a total order by id-hash — the
     * reproducible form of "shuffle the corpus". Computed with the
     * two-phase range-partitioned assignment (no single-partition sort). */

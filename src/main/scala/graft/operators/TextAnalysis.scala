@@ -70,6 +70,42 @@ object TextAnalysis {
         F.length(F.regexp_replace(t, "[a-z0-9 ]", "")))
   }
 
+  /** Gopher/MassiveText-style rule filter (Rae et al. 2021 §A1.1): the
+    * document survives only if its word count, mean word length,
+    * symbol-per-word ratio, alphabetic-word fraction and stopword count
+    * all sit inside fixed bounds. Emits every signal plus the combined
+    * 0/1 `keep` verdict so downstream stages can re-cut with different
+    * thresholds without recomputing the signals. Pure per-row column
+    * algebra — no shuffle, fully codegen'd, scale-free. */
+  def gopherRules(df: DataFrame, textCol: String,
+      minWords: Int = 30, maxWords: Int = 10000,
+      minMeanWordLen: Double = 3.9, maxMeanWordLen: Double = 5.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8,
+      minStopHits: Int = 2,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and")): DataFrame = {
+    val t = F.col(textCol)
+    val arr = tokArr(t)
+    val nW = F.size(arr)
+    df
+      .withColumn("n_words", nW)
+      .withColumn("mean_word_len",
+        F.round((F.length(t) - (nW - 1)).cast("double") / nW.cast("double"), 4))
+      .withColumn("symbol_ratio",
+        F.round(F.length(F.regexp_replace(t, "[a-z0-9 ]", "")).cast("double") /
+          nW.cast("double"), 4))
+      .withColumn("alpha_ratio",
+        F.round(F.size(F.filter(arr, x => x.rlike("[a-z]"))).cast("double") /
+          nW.cast("double"), 4))
+      .withColumn("stop_hits",
+        F.size(F.filter(arr, x => stopwords.map(s => x === s).reduce(_ || _))))
+      .withColumn("keep",
+        (F.col("n_words").between(minWords, maxWords) &&
+          F.col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          F.col("symbol_ratio") <= maxSymbolRatio &&
+          F.col("alpha_ratio") >= minAlphaRatio &&
+          F.col("stop_hits") >= minStopHits).cast("int"))
+  }
+
   /** Token counts: whitespace split and a BPE-ish regex ([a-z0-9]+ runs). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =
     df

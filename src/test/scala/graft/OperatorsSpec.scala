@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{functions => F}
 
-import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, DataShaping, Dedup, Similarity, TextAnalysis}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -290,6 +290,40 @@ class OperatorsSpec extends SparkSpec {
       val multi = Similarity.lshTopKMultiProbe(vecs, "vec_id", "embedding", nbits = 3, k = 5, dim = 3)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       single.subsetOf(multi) shouldBe true // probes only ADD candidate buckets
+    }
+  }
+
+  describe("TextAnalysis.gopherRules") {
+    it("keeps only docs inside every bound and reports each signal") {
+      val docs = Seq(
+        (1L, "the quick brown fox and the lazy dog ran over the hill toward a distant farm while the sun was low and the wind kept on blowing softly over all of the quiet fields near the old barn and a small creek"), // passes all
+        (2L, "too short"), // fails word count
+        (3L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll zz qq ww ee rr tt yy uu ii oo pp aa" * 2) // no stopwords
+      ).toDF("doc_id", "text")
+      val out = TextAnalysis.gopherRules(docs, "text", minWords = 20,
+          minMeanWordLen = 2.0, maxMeanWordLen = 10.0)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).toMap
+      out(1L) shouldBe 1
+      out(2L) shouldBe 0
+      out(3L) shouldBe 0
+    }
+  }
+
+  describe("DataShaping.mixtureWeights") {
+    it("normalizes raw weights, caps sampling at 1.0, and lets epochs exceed it") {
+      // group a: 100 tokens, raw 1; group b: 10 tokens, raw 3 => budget 80
+      // gives a 20 tokens (0.2 epochs) and b 60 tokens (6 epochs, rate 1.0)
+      val rows = (Seq.fill(10)(("a", 10L)) ++ Seq.fill(2)(("b", 5L)))
+        .zipWithIndex.map { case ((g, n), i) => (i.toLong, g, n) }
+        .toDF("id", "grp", "toks")
+      val out = DataShaping.mixtureWeights(rows, "grp", F.col("toks"),
+          F.when(F.col("grp") === "a", 1.0).otherwise(3.0), budgetTokens = 80L)
+        .collect().map(r => r.getAs[String]("grp") ->
+          ((r.getAs[Long]("group_tokens"), r.getAs[Double]("weight"),
+            r.getAs[Long]("target_tokens"), r.getAs[Double]("epochs"),
+            r.getAs[Double]("sampling_rate")))).toMap
+      out("a") shouldBe ((100L, 0.25, 20L, 0.2, 0.2))
+      out("b") shouldBe ((10L, 0.75, 60L, 6.0, 1.0))
     }
   }
 

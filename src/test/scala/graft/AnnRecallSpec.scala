@@ -125,6 +125,21 @@ class AnnRecallSpec extends SparkSpec {
     exactFrac should be <= 0.05
   }
 
+  it("production-sized kC (~ sqrt N, join-form assignment) keeps recall@3 >= 0.5 at ~quarter probe cost") {
+    // defaultKC(500) = 23 > inRowKcMax, so this exercises the broadcast-join
+    // assignment path end-to-end; nprobe=5 now probes ~5/23 of the corpus
+    // instead of kC=8's 5/8 — the probe-cost/recall point the 100 TB
+    // deployment actually runs.
+    val kC = Similarity.defaultKC(nVec.toLong)
+    kC should be > Similarity.inRowKcMax
+    val approx = topkSets(
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", nCentroids = kC, nprobe = 5,
+        m = 16, kCodes = 16, shortlist = 24, k = 3).select("qid", "cid"))
+    val r = recallOf(approx)
+    info(f"IVF+PQ (kC=$kC, nprobe=5, shortlist=24) recall@3 = $r%.3f probing ~${5.0 / kC * 100}%.0f%% of cells")
+    r should be >= 0.5
+  }
+
   it("trained IVF with nprobe=3 reaches recall@3 >= 0.5 and beats the untrained seed cells") {
     val untrained = recallOf(topkSets(
       Similarity.ivfTopK(emb, "vec_id", "embedding", nCentroids = 8, k = 3).select("qid", "cid")))

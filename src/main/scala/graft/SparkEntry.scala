@@ -706,6 +706,12 @@ object SparkEntry {
     // filter, trained and served in one distributed pass.
     "q_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")),
+    // DSIR-style importance weights: bigram LM trained on the src0 target
+    // domain vs the full-corpus background; log_ratio > 0 marks documents
+    // that look more like the target than the average corpus doc.
+    "q_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.lmImportance(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = F.col("source") === "src0")),
     // Gopher/MassiveText rule filter: every signal plus the combined 0/1
     // keep verdict, thresholds tuned so the fixture splits both ways.
     "q_quality_gopher" -> ((s, dir) =>
@@ -1551,6 +1557,29 @@ object SparkEntry {
         "round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS dup_gram_ratio, " +
         "round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4) AS top_gram_frac " +
         "FROM c GROUP BY doc_id"),
+    // The lm CTE trained twice (tgt = src0 subset, bg = full corpus);
+    // unseen grams take the smoothed floor via coalesce(count, 0) on the
+    // LEFT joins — the mirror of lmImportance's join shape.
+    "q_dsir_weights" ->
+      ("WITH toks AS (SELECT doc_id, source = 'src0' AS tgt, string_split(text, ' ') AS arr FROM documents), " +
+        "pos AS (SELECT doc_id, tgt, arr, unnest(range(1, len(arr))) AS i FROM toks WHERE len(arr) >= 2), " +
+        "g AS (SELECT doc_id, tgt, arr[CAST(i AS INT)] AS w1, arr[CAST(i AS INT) + 1] AS w2 FROM pos), " +
+        "tb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg_t FROM g WHERE tgt GROUP BY 1, 2), " +
+        "tc AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw1_t FROM g WHERE tgt GROUP BY 1), " +
+        "tv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v_t FROM g WHERE tgt), " +
+        "bb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cbg_b FROM g GROUP BY 1, 2), " +
+        "bc AS (SELECT w1, CAST(count(*) AS BIGINT) AS cw1_b FROM g GROUP BY 1), " +
+        "bv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v_b FROM g), " +
+        "s AS (SELECT doc_id, " +
+        "ln((CAST(coalesce(cbg_t, 0) AS DOUBLE) + 0.5) / (CAST(coalesce(cw1_t, 0) AS DOUBLE) + CAST(v_t AS DOUBLE) * 0.5)) AS lpt, " +
+        "ln((CAST(coalesce(cbg_b, 0) AS DOUBLE) + 0.5) / (CAST(coalesce(cw1_b, 0) AS DOUBLE) + CAST(v_b AS DOUBLE) * 0.5)) AS lpb " +
+        "FROM g LEFT JOIN tb USING (w1, w2) LEFT JOIN tc USING (w1) CROSS JOIN tv " +
+        "LEFT JOIN bb USING (w1, w2) LEFT JOIN bc USING (w1) CROSS JOIN bv), " +
+        "a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "round(-sum(lpt) / count(*), 4) AS nll_target, round(-sum(lpb) / count(*), 4) AS nll_background " +
+        "FROM s GROUP BY doc_id) " +
+        "SELECT doc_id, n_bigrams, nll_target, nll_background, " +
+        "round(nll_background - nll_target, 4) AS log_ratio FROM a"),
     "q_quality_gopher" ->
       ("WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words, " +
         "round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len, " +

@@ -321,6 +321,57 @@ object TextAnalysis {
         F.round(-F.sum("__lp") / F.count(F.lit(1)), 4).as("avg_nll"))
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, in bigram-LM form):
+    * train the [[lmScore]] add-α model twice — on the `isTarget` subset
+    * (the domain you want more of) and on the full corpus (background) —
+    * and score every document under both. `log_ratio` = background NLL −
+    * target NLL: positive means the document looks more like the target
+    * domain than the average corpus document, which is exactly the
+    * importance-resampling weight data-selection pipelines threshold or
+    * sample against.
+    *
+    * Unlike [[lmScore]] (model trained on the scored corpus, every gram
+    * present), the target model meets unseen grams, so the count joins are
+    * LEFT joins with the smoothed floor α/(C+αV) via coalesce(·, 0). Both
+    * models are the same two map-side-combinable count aggregates +
+    * broadcast 1-row vocab; scoring is one pass over the gram stream with
+    * the count tables attached by gram key. */
+  def lmImportance(df: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column, alpha: Double = 0.5): DataFrame = {
+    val base = df.select(F.col(idCol), isTarget.as("__tgt"),
+        F.split(F.col(textCol), " ").as("__arr"))
+      .withColumn("__len", F.size(F.col("__arr")))
+      .filter(F.col("__len") >= 2)
+      .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__len") - 1)))
+    val grams = base.select(F.col(idCol), F.col("__tgt"),
+      F.element_at(F.col("__arr"), F.col("__i")).as("w1"),
+      F.element_at(F.col("__arr"), F.col("__i") + 1).as("w2"))
+    def model(g: DataFrame, sfx: String) = (
+      g.groupBy("w1", "w2").agg(F.count(F.lit(1)).as(s"__cbg$sfx")),
+      g.groupBy("w1").agg(F.count(F.lit(1)).as(s"__cw1$sfx")),
+      g.agg(F.countDistinct("w2").as(s"__v$sfx")))
+    val (tb, tc, tv) = model(grams.filter(F.col("__tgt")), "_t")
+    val (bb, bc, bv) = model(grams, "_b")
+    def lp(cbg: String, cw1: String, v: String) = F.log(
+      (F.coalesce(F.col(cbg), F.lit(0L)).cast("double") + alpha) /
+        (F.coalesce(F.col(cw1), F.lit(0L)).cast("double") +
+          F.col(v).cast("double") * alpha))
+    grams
+      .join(tb, Seq("w1", "w2"), "left").join(tc, Seq("w1"), "left")
+      .crossJoin(F.broadcast(tv))
+      .join(bb, Seq("w1", "w2"), "left").join(bc, Seq("w1"), "left")
+      .crossJoin(F.broadcast(bv))
+      .select(F.col(idCol),
+        lp("__cbg_t", "__cw1_t", "__v_t").as("__lpt"),
+        lp("__cbg_b", "__cw1_b", "__v_b").as("__lpb"))
+      .groupBy(F.col(idCol))
+      .agg(F.count(F.lit(1)).as("n_bigrams"),
+        F.round(-F.sum("__lpt") / F.count(F.lit(1)), 4).as("nll_target"),
+        F.round(-F.sum("__lpb") / F.count(F.lit(1)), 4).as("nll_background"))
+      .withColumn("log_ratio",
+        F.round(F.col("nll_background") - F.col("nll_target"), 4))
+  }
+
   /** Document fingerprints: `md5_fp` over the canonicalized text (lower,
     * trimmed) and `pos_fp`, an order-sensitive positional checksum —
     * Σ_i i·(ascii(first char of token_i) + len(token_i)) mod 1000003 — a

@@ -368,6 +368,23 @@ class OperatorsSpec extends SparkSpec {
       (3L, "hat the cat and the") // permutation of 1
     ).toDF("doc_id", "text")
 
+    it("lmImportance upweights target-domain docs and smooths unseen grams") {
+      // target domain (t=true) talks about cats; background adds dog docs
+      val corpus = Seq(
+        (1L, "the cat sat on the mat", true),
+        (2L, "the cat ate the fish", true),
+        (3L, "the dog ran in the park", false),
+        (4L, "the dog bit the ball", false),
+        (5L, "the cat sat on the fish", false) // cat-like background doc
+      ).toDF("doc_id", "text", "t")
+      val out = TextAnalysis.lmImportance(corpus, "doc_id", "text", F.col("t"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_ratio")).toMap
+      out(1L) should be > 0.0 // target docs look like the target model
+      out(5L) should be > 0.0 // cat-like background doc upweighted too
+      out(3L) should be < 0.0 // dog grams are UNSEEN by the target model:
+      out(4L) should be < 0.0 // smoothed floor, strongly negative ratio
+    }
+
     it("langId scores markers and predicts with declaration-order tiebreak") {
       val out = TextAnalysis.langId(docs, "text")
         .select("doc_id", "pred_lang").collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -697,6 +697,13 @@ object SparkEntry {
     }),
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+    // Winnowing (MOSS) local fingerprints: char-5-gram rolling hashes,
+    // window-4 minima, distinct-set checksum.
+    "q_winnow_fp" -> ((s, dir) =>
+      TextAnalysis.winnow(t(s, dir, "documents"), "doc_id", "text")),
+    // Substring-overlap candidate pairs from the winnowing fingerprints.
+    "q_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(t(s, dir, "documents"), "doc_id", "text")),
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")),
     "q_tfidf_top_term" -> ((s, dir) =>
@@ -1547,6 +1554,28 @@ object SparkEntry {
         "pos AS (SELECT doc_id, md5_fp, arr, unnest(range(1, len(arr) + 1)) AS i FROM toks), " +
         "terms AS (SELECT doc_id, md5_fp, i * (ascii(substr(arr[CAST(i AS INT)], 1, 1)) + length(arr[CAST(i AS INT)])) AS term FROM pos) " +
         "SELECT doc_id, md5_fp, CAST(sum(term) % 1000003 AS BIGINT) AS pos_fp FROM terms GROUP BY doc_id, md5_fp"),
+    // The same fold as winnow()'s aggregate, unrolled: acc*31+a over 5
+    // chars == the power-weighted sum, one final mod on both engines.
+    "q_winnow_fp" ->
+      ("WITH c AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "h AS (SELECT doc_id, greatest(length(t) - 4, 0) AS n_kgrams, " +
+        "list_transform(range(1, greatest(length(t) - 3, 1)), i -> " +
+        "(ascii(t[i]) * 923521 + ascii(t[i+1]) * 29791 + ascii(t[i+2]) * 961 + ascii(t[i+3]) * 31 + ascii(t[i+4])) % 1000003) AS hs FROM c), " +
+        "m AS (SELECT doc_id, n_kgrams, list_distinct(list_transform(range(1, greatest(len(hs) - 2, 1)), j -> " +
+        "least(hs[CAST(j AS INT)], hs[CAST(j AS INT) + 1], hs[CAST(j AS INT) + 2], hs[CAST(j AS INT) + 3]))) AS sel FROM h) " +
+        "SELECT doc_id, CAST(n_kgrams AS INT) AS n_kgrams, CAST(len(sel) AS INT) AS n_selected, " +
+        "CAST(coalesce(list_sum(sel), 0) AS BIGINT) AS fp_checksum FROM m"),
+    "q_winnow_pairs" ->
+      ("WITH c AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+        "h AS (SELECT doc_id, list_transform(range(1, greatest(length(t) - 3, 1)), i -> " +
+        "(ascii(t[i]) * 923521 + ascii(t[i+1]) * 29791 + ascii(t[i+2]) * 961 + ascii(t[i+3]) * 31 + ascii(t[i+4])) % 1000003) AS hs FROM c), " +
+        "m AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs) - 2, 1)), j -> " +
+        "least(hs[CAST(j AS INT)], hs[CAST(j AS INT) + 1], hs[CAST(j AS INT) + 2], hs[CAST(j AS INT) + 3]))) AS sel FROM h), " +
+        "k AS (SELECT doc_id AS id, len(sel) AS ns, unnest(sel) AS hv FROM m), " +
+        "p AS (SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS n_shared, " +
+        "max(x.ns) AS na, max(y.ns) AS nb FROM k x JOIN k y ON x.hv = y.hv AND x.id < y.id GROUP BY 1, 2), " +
+        "o AS (SELECT a, b, n_shared, round(CAST(n_shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 4) AS overlap FROM p) " +
+        "SELECT a, b, n_shared, overlap FROM o WHERE overlap >= 0.8"),
 
     "q_text_repetition" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +

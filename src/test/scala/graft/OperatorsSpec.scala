@@ -368,6 +368,37 @@ class OperatorsSpec extends SparkSpec {
       (3L, "hat the cat and the") // permutation of 1
     ).toDF("doc_id", "text")
 
+    it("winnow: shared substrings >= k+w-1 chars guarantee a shared selected hash; disjoint texts share none") {
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different text here with the quick brown fox inside"), // shares a long substring with 1
+        (3L, "zzzzqqqqwwwweeeerrrrttttyyyy"), // disjoint character space
+        (4L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG  ") // case/trim variant of 1
+      ).toDF("doc_id", "text")
+      val sets = TextAnalysis.winnowSets(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+      (sets(1L) intersect sets(2L)) should not be empty // winnowing guarantee
+      (sets(1L) intersect sets(3L)) shouldBe empty
+      sets(4L) shouldBe sets(1L) // canonicalization: case and trim invisible
+      // the compact form reports consistent counts and checksum
+      val row = TextAnalysis.winnow(docs, "doc_id", "text")
+        .filter($"doc_id" === 1L).collect()(0)
+      row.getAs[Int]("n_selected") shouldBe sets(1L).size
+      row.getAs[Long]("fp_checksum") shouldBe sets(1L).sum
+    }
+
+    it("winnowPairs: a copied doc pairs at containment 1.0; unrelated docs don't pair") {
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog and keeps running far away"),
+        (2L, "the quick brown fox jumps over the lazy dog and keeps running far away"), // exact copy
+        (3L, "entirely unrelated content with nothing in common whatsoever here")
+      ).toDF("doc_id", "text")
+      val out = TextAnalysis.winnowPairs(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("overlap")).toMap
+      out((1L, 2L)) shouldBe 1.0
+      out.keySet should contain only ((1L, 2L))
+    }
+
     it("lmImportance upweights target-domain docs and smooths unseen grams") {
       // target domain (t=true) talks about cats; background adds dog docs
       val corpus = Seq(

@@ -1571,9 +1571,15 @@ object SparkEntry {
         "(ascii(t[i]) * 923521 + ascii(t[i+1]) * 29791 + ascii(t[i+2]) * 961 + ascii(t[i+3]) * 31 + ascii(t[i+4])) % 1000003) AS hs FROM c), " +
         "m AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs) - 2, 1)), j -> " +
         "least(hs[CAST(j AS INT)], hs[CAST(j AS INT) + 1], hs[CAST(j AS INT) + 2], hs[CAST(j AS INT) + 3]))) AS sel FROM h), " +
-        "k AS (SELECT doc_id AS id, len(sel) AS ns, unnest(sel) AS hv FROM m), " +
+        "k AS (SELECT doc_id AS id, unnest(sel) AS hv FROM m), " +
+        "dfr AS (SELECT hv, count(*) AS df FROM k GROUP BY hv), " +
+        "ntot AS (SELECT count(*) AS n FROM documents), " +
+        "rare AS (SELECT hv FROM dfr CROSS JOIN ntot WHERE df <= greatest(2, CAST(ceil(0.05 * n) AS BIGINT))), " +
+        "f AS (SELECT id, hv FROM k JOIN rare USING (hv)), " +
+        "ns AS (SELECT id, count(*) AS ns FROM f GROUP BY id), " +
+        "j AS (SELECT f.id, hv, ns FROM f JOIN ns ON f.id = ns.id), " +
         "p AS (SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS n_shared, " +
-        "max(x.ns) AS na, max(y.ns) AS nb FROM k x JOIN k y ON x.hv = y.hv AND x.id < y.id GROUP BY 1, 2), " +
+        "max(x.ns) AS na, max(y.ns) AS nb FROM j x JOIN j y ON x.hv = y.hv AND x.id < y.id GROUP BY 1, 2), " +
         "o AS (SELECT a, b, n_shared, round(CAST(n_shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 4) AS overlap FROM p) " +
         "SELECT a, b, n_shared, overlap FROM o WHERE overlap >= 0.8"),
 

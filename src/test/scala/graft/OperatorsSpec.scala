@@ -327,6 +327,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("DataShaping.weightedSample") {
+    it("prob 0 drops everything, prob 1 keeps everything, and keeps grow monotonically with prob") {
+      val rows = (0L until 200L).map(i => (i, s"row$i")).toDF("id", "v")
+      DataShaping.weightedSample(rows, "id", F.lit(0.0)).count() shouldBe 0
+      DataShaping.weightedSample(rows, "id", F.lit(1.0)).count() shouldBe 200
+      val at30 = DataShaping.weightedSample(rows, "id", F.lit(0.3))
+        .collect().map(_.getLong(0)).toSet
+      val at60 = DataShaping.weightedSample(rows, "id", F.lit(0.6))
+        .collect().map(_.getLong(0)).toSet
+      at30.subsetOf(at60) shouldBe true // same draw, higher bar: strict superset keeps
+      at30.size should be < at60.size
+      // the draw tracks the probability (binomial(200, .3): ~±3sigma bounds)
+      at30.size should (be > 40 and be < 80)
+    }
+  }
+
   describe("DataShaping.removeBoilerplate") {
     it("drops chunks shared by >= minDocs docs and reassembles the rest in order") {
       // 2-token chunks: "aa bb" appears in docs 1, 2 and 3 (boilerplate);

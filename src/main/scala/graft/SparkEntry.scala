@@ -704,6 +704,15 @@ object SparkEntry {
     // Substring-overlap candidate pairs from the winnowing fingerprints.
     "q_winnow_pairs" -> ((s, dir) =>
       TextAnalysis.winnowPairs(t(s, dir, "documents"), "doc_id", "text")),
+    // Copy CLUSTERS: connected components over the winnow pair graph,
+    // min-id labels — the q_dedup_clusters rule on the substring-overlap
+    // relation.
+    "q_winnow_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextAnalysis.winnowPairs(docs, "doc_id", "text").select("a", "b")
+      Dedup.connectedComponents(pairs, docs.select(F.col("doc_id").as("node")))
+        .select(F.col("node").as("doc_id"), F.col("label").as("cluster"))
+    }),
     "q_text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(t(s, dir, "documents"), "doc_id", "text")),
     "q_tfidf_top_term" -> ((s, dir) =>
@@ -1048,6 +1057,25 @@ object SparkEntry {
     * two-row bands) + the distinct candidate-pair select — shared by the
     * q_dedup_minhash oracle and the candidates->Jaccard-verify oracle. */
   private val minhashBandsCtes: String = minhashBandsCtesFrom("documents")
+
+  /** The winnowPairs mirror as a CTE chain ending in `o` (a, b, n_shared,
+    * overlap) — shared by the pair and cluster oracles. */
+  private val winnowPairCtes: String =
+    "c AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
+      "h AS (SELECT doc_id, list_transform(range(1, greatest(length(t) - 3, 1)), i -> " +
+      "(ascii(t[i]) * 923521 + ascii(t[i+1]) * 29791 + ascii(t[i+2]) * 961 + ascii(t[i+3]) * 31 + ascii(t[i+4])) % 1000003) AS hs FROM c), " +
+      "m AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs) - 2, 1)), j -> " +
+      "least(hs[CAST(j AS INT)], hs[CAST(j AS INT) + 1], hs[CAST(j AS INT) + 2], hs[CAST(j AS INT) + 3]))) AS sel FROM h), " +
+      "k AS (SELECT doc_id AS id, unnest(sel) AS hv FROM m), " +
+      "dfr AS (SELECT hv, count(*) AS df FROM k GROUP BY hv), " +
+      "ntot AS (SELECT count(*) AS n FROM documents), " +
+      "rare AS (SELECT hv FROM dfr CROSS JOIN ntot WHERE df <= greatest(2, CAST(ceil(0.05 * n) AS BIGINT))), " +
+      "f AS (SELECT id, hv FROM k JOIN rare USING (hv)), " +
+      "ns AS (SELECT id, count(*) AS ns FROM f GROUP BY id), " +
+      "j AS (SELECT f.id, hv, ns FROM f JOIN ns ON f.id = ns.id), " +
+      "p AS (SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS n_shared, " +
+      "max(x.ns) AS na, max(y.ns) AS nb FROM j x JOIN j y ON x.hv = y.hv AND x.id < y.id GROUP BY 1, 2), " +
+      "o AS (SELECT a, b, n_shared, round(CAST(n_shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 4) AS overlap FROM p)"
 
   private def minhashBandsCtesFrom(tbl: String): String =
     docShinglesCtesFrom(tbl) + ", " +
@@ -1579,22 +1607,16 @@ object SparkEntry {
         "SELECT doc_id, CAST(n_kgrams AS INT) AS n_kgrams, CAST(len(sel) AS INT) AS n_selected, " +
         "CAST(coalesce(list_sum(sel), 0) AS BIGINT) AS fp_checksum FROM m"),
     "q_winnow_pairs" ->
-      ("WITH c AS (SELECT doc_id, lower(trim(text)) AS t FROM documents), " +
-        "h AS (SELECT doc_id, list_transform(range(1, greatest(length(t) - 3, 1)), i -> " +
-        "(ascii(t[i]) * 923521 + ascii(t[i+1]) * 29791 + ascii(t[i+2]) * 961 + ascii(t[i+3]) * 31 + ascii(t[i+4])) % 1000003) AS hs FROM c), " +
-        "m AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hs) - 2, 1)), j -> " +
-        "least(hs[CAST(j AS INT)], hs[CAST(j AS INT) + 1], hs[CAST(j AS INT) + 2], hs[CAST(j AS INT) + 3]))) AS sel FROM h), " +
-        "k AS (SELECT doc_id AS id, unnest(sel) AS hv FROM m), " +
-        "dfr AS (SELECT hv, count(*) AS df FROM k GROUP BY hv), " +
-        "ntot AS (SELECT count(*) AS n FROM documents), " +
-        "rare AS (SELECT hv FROM dfr CROSS JOIN ntot WHERE df <= greatest(2, CAST(ceil(0.05 * n) AS BIGINT))), " +
-        "f AS (SELECT id, hv FROM k JOIN rare USING (hv)), " +
-        "ns AS (SELECT id, count(*) AS ns FROM f GROUP BY id), " +
-        "j AS (SELECT f.id, hv, ns FROM f JOIN ns ON f.id = ns.id), " +
-        "p AS (SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS n_shared, " +
-        "max(x.ns) AS na, max(y.ns) AS nb FROM j x JOIN j y ON x.hv = y.hv AND x.id < y.id GROUP BY 1, 2), " +
-        "o AS (SELECT a, b, n_shared, round(CAST(n_shared AS DOUBLE) / CAST(least(na, nb) AS DOUBLE), 4) AS overlap FROM p) " +
-        "SELECT a, b, n_shared, overlap FROM o WHERE overlap >= 0.8"),
+      ("WITH " + winnowPairCtes +
+        " SELECT a, b, n_shared, overlap FROM o WHERE overlap >= 0.8"),
+    // The same transitive closure as q_dedup_clusters, over the copy graph.
+    "q_winnow_clusters" ->
+      ("WITH RECURSIVE " + winnowPairCtes + ", " +
+        "cands AS (SELECT a, b FROM o WHERE overlap >= 0.8), " +
+        "e AS (SELECT a AS src, b AS dst FROM cands UNION ALL SELECT b AS src, a AS dst FROM cands), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS label FROM documents " +
+        "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node) " +
+        "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node"),
 
     "q_text_repetition" ->
       ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +

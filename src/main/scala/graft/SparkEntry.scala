@@ -470,6 +470,14 @@ object SparkEntry {
     // Symmetric per-vector int8 quantization quality stats (map-only).
     "q_embed_int8" -> ((s, dir) =>
       Quantization.int8Symmetric(t(s, dir, "embeddings"), "vec_id", "embedding")),
+    // Top-k served entirely from int8 codes: integer dot x snapped scales,
+    // never touching the float vectors after encode.
+    "q_int8_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Quantization.int8TopK(e, e.filter(F.col("vec_id") < 10),
+          "vec_id", "embedding", 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    }),
     // BM25 lexical relevance against a fixed query-term set.
     "q_bm25" -> ((s, dir) =>
       TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
@@ -1340,6 +1348,22 @@ object SparkEntry {
         "cl AS (SELECT node, min(label) AS cluster FROM reach GROUP BY node), " +
         "reps AS (SELECT node AS doc_id FROM cl WHERE node = cluster) " +
         "SELECT source, count(*) AS n_kept FROM kept JOIN reps USING (doc_id) GROUP BY source"),
+    // Codes from the UNROUNDED scale (int8Symmetric's exact expressions),
+    // scored with the 6-decimal snapped scales — mirrors int8TopK term
+    // for term, multiplication left-associated (idot * s_q) * s_c.
+    "q_int8_topk" ->
+      ("WITH t AS (SELECT vec_id, embedding, unnest(range(1, 65)) AS i FROM embeddings), " +
+        "pe AS (SELECT vec_id, max(abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS am FROM t GROUP BY vec_id), " +
+        "qc AS (SELECT t.vec_id, t.i, CAST(greatest(-127.0, least(127.0, " +
+        "round(CAST(t.embedding[CAST(t.i AS INT)] AS DOUBLE) / (CASE WHEN pe.am > 0.0 THEN pe.am / 127.0 ELSE 1.0 END)))) AS BIGINT) AS qi " +
+        "FROM t JOIN pe ON t.vec_id = pe.vec_id), " +
+        "sc AS (SELECT vec_id, round(CASE WHEN am > 0.0 THEN am / 127.0 ELSE 1.0 END, 6) AS s FROM pe), " +
+        "d AS (SELECT q.vec_id AS qid, c.vec_id AS cid, CAST(sum(q.qi * c.qi) AS BIGINT) AS idot " +
+        "FROM qc q JOIN qc c ON q.i = c.i AND c.vec_id <> q.vec_id WHERE q.vec_id < 10 GROUP BY 1, 2), " +
+        "sco AS (SELECT qid, cid, round(CAST(idot AS DOUBLE) * sq.s * sc2.s, 4) AS i8_sim " +
+        "FROM d JOIN sc sq ON d.qid = sq.vec_id JOIN sc sc2 ON d.cid = sc2.vec_id), " +
+        "r AS (SELECT qid, cid, i8_sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY i8_sim DESC, cid) AS BIGINT) AS rn FROM sco) " +
+        "SELECT qid, cid, i8_sim, rn FROM r WHERE rn <= 3"),
     "q_embed_int8" ->
       ("WITH t AS (SELECT vec_id, embedding, unnest(range(1, 65)) AS i FROM embeddings), " +
         "pe AS (SELECT vec_id, max(abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS am FROM t GROUP BY vec_id), " +

@@ -109,6 +109,29 @@ class AnnRecallSpec extends SparkSpec {
     twoStage should be >= 0.6
   }
 
+  it("int8-quantized retrieval reproduces the exact-dot top-3 nearly everywhere at a 4x smaller scan") {
+    import graft.functions.VectorFunctions.{fvDot => ndot}
+    val q = emb.select(F.col("vec_id").as("qid"), F.col("embedding").as("qv"))
+    val exactDot = emb.select(F.col("vec_id").as("cid"), F.col("embedding").as("cv"))
+      .crossJoin(F.broadcast(q)).filter(F.col("qid") =!= F.col("cid"))
+      .withColumn("d", ndot(F.col("qv"), F.col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("qid")).orderBy(F.col("d").desc, F.col("cid").asc)
+    val exactTop = topkSets(exactDot
+      .withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+      .select("qid", "cid"))
+    val i8 = topkSets(graft.operators.Quantization
+      .int8TopK(emb, emb, "vec_id", "embedding", 3).select("qid", "cid"))
+    val recall = {
+      val per = exactTop.map { case (qid, truth) =>
+        i8.get(qid).map(f => (f intersect truth).size.toDouble / truth.size).getOrElse(0.0)
+      }
+      per.sum / per.size
+    }
+    info(f"int8 top-3 recall vs exact dot = $recall%.3f (codes are dim bytes/vector vs 4*dim)")
+    recall should be >= 0.9
+  }
+
   it("composed IVF+PQ (cells -> ADC shortlist -> exact rerank) reaches recall@3 >= 0.7 at <= 5% exact comparisons") {
     val shortlist = 24
     val approx = topkSets(

@@ -966,6 +966,16 @@ object SparkEntry {
         docs.filter(F.col("source") === "src0"),
         "doc_id", "text", n = 3, minShared = 2L)
     }),
+    // Same sweep with the bench shingles compressed into a broadcast bloom
+    // and the train side pre-filtered before the shuffle — row-identical to
+    // q_contamination (no false negatives), so it shares the oracle.
+    "q_contamination_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DataShaping.contaminationBloom(
+        docs.filter(F.col("source") =!= "src0"),
+        docs.filter(F.col("source") === "src0"),
+        "doc_id", "text", n = 3, minShared = 2L)
+    }),
     // Spark's NATIVE session_window operator (same 30-min gap semantics as
     // q_sessionize's window-pass formulation; oracle derives session starts
     // from the explicit gap construction).
@@ -1928,6 +1938,16 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn FROM sp) " +
         "SELECT doc_id, source, split, n_chars, rn FROM capped WHERE rn <= 20"),
     "q_contamination" ->
+      ("WITH ta AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE source <> 'src0'), " +
+        "pa AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS i FROM ta WHERE len(arr) >= 3), " +
+        "sa AS (SELECT DISTINCT doc_id, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || arr[CAST(i AS INT) + 2] AS shingle FROM pa), " +
+        "tb AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE source = 'src0'), " +
+        "pb AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS i FROM tb WHERE len(arr) >= 3), " +
+        "sb AS (SELECT DISTINCT doc_id, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || arr[CAST(i AS INT) + 2] AS shingle FROM pb) " +
+        "SELECT a.doc_id AS train_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS shared " +
+        "FROM sa a JOIN sb b ON a.shingle = b.shingle GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2"),
+    // Bloom pre-pass changes the plan, not the rows — identical oracle.
+    "q_contamination_bloom" ->
       ("WITH ta AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE source <> 'src0'), " +
         "pa AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS i FROM ta WHERE len(arr) >= 3), " +
         "sa AS (SELECT DISTINCT doc_id, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || arr[CAST(i AS INT) + 2] AS shingle FROM pa), " +

@@ -260,4 +260,34 @@ object DataShaping {
       .agg(F.count(F.lit(1)).as("shared"))
       .filter(F.col("shared") >= minShared)
   }
+
+  /** [[contamination]] with a bloom pre-pass on the train side — the shape
+    * that survives a 100 TB corpus. The benchmark suite is tiny and fixed,
+    * so its distinct shingles compress into one serialized bloom filter
+    * (built with the codegen'd `BloomFilterAggregate`, a few MB of model
+    * bytes on the driver — same budget class as the IVF centroids). The
+    * train side then drops every bloom-negative shingle BEFORE the shuffle:
+    * only the contaminated sliver of a 100 TB corpus is exchanged, instead
+    * of every shingle of every document. False positives just ride into the
+    * exact join and fall out; false negatives are impossible, so the result
+    * is row-identical to [[contamination]] and shares its oracle. */
+  def contaminationBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3, minShared: Long = 2L,
+                         bloomItems: Long = 1L << 20,
+                         bloomBits: Long = 1L << 23): DataFrame = {
+    val b = Dedup.wordShingles(bench, idCol, textCol, n)
+      .withColumnRenamed("doc", "bench_id")
+    val bloomBytes = b
+      .select(graft.functions.BloomSupport
+        .bloomAgg(F.col("shingle"), bloomItems, bloomBits).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val a = Dedup.wordShingles(train, idCol, textCol, n)
+      .withColumnRenamed("doc", "train_id")
+      .filter(graft.functions.BloomSupport
+        .mightContain(F.lit(bloomBytes), F.col("shingle")))
+    a.join(b, "shingle")
+      .groupBy(F.col("train_id"), F.col("bench_id"))
+      .agg(F.count(F.lit(1)).as("shared"))
+      .filter(F.col("shared") >= minShared)
+  }
 }

@@ -327,6 +327,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("DataShaping.contaminationBloom") {
+    it("matches the exact shingle-join row-for-row while pruning bloom-negative train shingles pre-shuffle") {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val train = docs.filter(F.col("source") =!= "src0")
+      val bench = docs.filter(F.col("source") === "src0")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getAs[Long]("train_id"),
+          r.getAs[Long]("bench_id"), r.getAs[Long]("shared"))).toSet
+      val exact = rows(DataShaping.contamination(train, bench, "doc_id", "text"))
+      val bloomed = rows(DataShaping.contaminationBloom(train, bench, "doc_id", "text"))
+      bloomed shouldBe exact
+      // the pre-pass must actually prune: bloom-positive train shingles are
+      // a small sliver of the full train shingle set (false positives only)
+      val allTrain = Dedup.wordShingles(train, "doc_id", "text", 3)
+      val benchBloom = Dedup.wordShingles(bench, "doc_id", "text", 3)
+        .select(graft.functions.BloomSupport
+          .bloomAgg(F.col("shingle"), 1L << 20, 1L << 23).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val kept = allTrain.filter(graft.functions.BloomSupport
+        .mightContain(F.lit(benchBloom), F.col("shingle"))).count()
+      val total = allTrain.count()
+      info(f"bloom pre-pass keeps $kept of $total train shingles (${100.0 * kept / total}%.1f%%)")
+      kept.toDouble / total should be < 0.5
+    }
+  }
+
   describe("DataShaping.weightedSample") {
     it("prob 0 drops everything, prob 1 keeps everything, and keeps grow monotonically with prob") {
       val rows = (0L until 200L).map(i => (i, s"row$i")).toDF("id", "v")

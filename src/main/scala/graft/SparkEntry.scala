@@ -452,6 +452,11 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, docs.select(F.col("doc_id").as("node")))
         .select(F.col("node").as("doc_id"), F.col("label").as("cluster"))
     }),
+    // Span-granular cross-doc duplication (the Lee et al. 2107.06499
+    // signal): per doc, the fraction of its distinct 3-gram spans that
+    // also occur in other docs — no pair join, linear in the corpus.
+    "q_dup_span_frac" -> ((s, dir) =>
+      Dedup.corpusDupSpans(t(s, dir, "documents"), "doc_id", "text")),
     // Cluster-aware curation: quality gate -> near-dup CLUSTERS (not just
     // pairs) over the survivors -> keep each cluster's min-id
     // representative -> per-source kept counts.
@@ -911,6 +916,10 @@ object SparkEntry {
     "q_split_assign" -> ((s, dir) =>
       DataShaping.splitAssign(t(s, dir, "documents"), "doc_id")
         .groupBy("split").agg(F.count(F.lit(1)).as("n"))),
+    // Leakage-safe splits: the split key is the near-dup CLUSTER label,
+    // so no train doc can have a near-duplicate in val/test.
+    "q_leakage_split" -> ((s, dir) =>
+      DataShaping.leakageSafeSplit(t(s, dir, "documents"), "doc_id", "text")),
     "q_source_quota" -> ((s, dir) =>
       DataShaping.perGroupCap(t(s, dir, "documents"), "source", "n_chars", "doc_id", 5)
         .select("doc_id", "source", "n_chars", "rn")),
@@ -1404,6 +1413,29 @@ object SparkEntry {
         "reach AS (SELECT doc_id AS node, doc_id AS label FROM documents " +
         "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node) " +
         "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node"),
+    // Span df over the shared shingle CTE: df >= 2 means "appears in at
+    // least one OTHER doc" (sh is distinct per doc).
+    "q_dup_span_frac" ->
+      ("WITH " + docShinglesCtes + ", " +
+        "dfr AS (SELECT shingle, CAST(count(*) AS BIGINT) AS span_df FROM sh GROUP BY shingle) " +
+        "SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "CAST(sum(CASE WHEN d.span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans, " +
+        "round(CAST(sum(CASE WHEN d.span_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS dup_span_frac, " +
+        "max(d.span_df) AS max_span_df " +
+        "FROM sh s JOIN dfr d USING (shingle) GROUP BY s.doc_id"),
+    // The cluster CC closure + the q_split_assign nibble mapping applied
+    // to the CLUSTER label instead of the doc id.
+    "q_leakage_split" ->
+      ("WITH RECURSIVE " + minhashBandsCtes + ", " +
+        s"cands AS ($minhashCandSelect), " +
+        "e AS (SELECT a AS src, b AS dst FROM cands UNION ALL SELECT b AS src, a AS dst FROM cands), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS label FROM documents " +
+        "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node), " +
+        "lab AS (SELECT node, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node) " +
+        "SELECT node AS doc_id, cluster, " +
+        "CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) IN ('c', 'd') THEN 'val' " +
+        "WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) IN ('e', 'f') THEN 'test' " +
+        "ELSE 'train' END AS split FROM lab"),
     "q_dedup_simhash" ->
       ("WITH " + simhashCtes + " SELECT doc_id, simhash FROM fp"),
     "q_dedup_simhash64" ->

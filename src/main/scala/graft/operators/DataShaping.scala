@@ -45,6 +45,30 @@ object DataShaping {
         .otherwise(F.lit("train")))
   }
 
+  /** Leakage-safe train/val/test assignment: split by NEAR-DUP CLUSTER,
+    * not by document. [[splitAssign]]'s per-doc hash can strand two
+    * near-duplicates on opposite sides of the train/test wall — silent
+    * eval contamination. Here the split key is the document's connected
+    * near-dup component ([[Dedup.minhashCandidates]] banded LSH pairs →
+    * [[Dedup.connectedComponents]] min-id label), so every member of a
+    * duplicate cluster lands in the SAME split by construction; singleton
+    * docs (label = own id) reduce to exactly [[splitAssign]]'s hash.
+    * Same nibble mapping: 0–b → train, c–d → val, e–f → test.
+    *
+    * Cost at 100 TB: the candidate graph + CC the dedup pass already
+    * computes (rounds scale with the duplicate graph, not the corpus),
+    * then a map-only hash of the label — no extra shuffle beyond CC
+    * itself. Output: (id, cluster, split). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = Dedup.minhashCandidates(df, idCol, textCol)
+    val cc = Dedup.connectedComponents(pairs, df.select(F.col(idCol).as("node")))
+    val nib = F.substring(idHash(F.col("label")), 1, 1)
+    cc.select(F.col("node").as(idCol), F.col("label").as("cluster"),
+      F.when(nib.isin("c", "d"), F.lit("val"))
+        .when(nib.isin("e", "f"), F.lit("test"))
+        .otherwise(F.lit("train")).as("split"))
+  }
+
   /** Per-group quota: keep at most `cap` rows per group, preferring by
     * `orderBy` (desc) with id tiebreak — e.g. "keep the 50 longest docs per
     * source domain". One shuffle on the group key. */

@@ -210,6 +210,40 @@ object Dedup {
       .select(F.col("a"), F.col("b"), F.col("shared"), F.col("jaccard"))
   }
 
+  /** Cross-document duplicated-SPAN statistics: for each document, how
+    * much of it is built from word n-grams that also occur in OTHER
+    * documents. This is the span-granular duplication signal ("what
+    * fraction of this doc is corpus-boilerplate?") — finer than
+    * whole/chunk-level dedup and computed WITHOUT any pair join: one
+    * groupBy over the shingle universe for document frequencies, one
+    * co-partitioned join back, one per-doc aggregate. Within-doc
+    * repetition never counts ([[wordShingles]] is distinct per doc), so
+    * `span_df ≥ 2` always means "shared with at least one other doc".
+    *
+    * Output per doc: `n_shingles` (distinct spans), `n_dup_spans` (spans
+    * with corpus df ≥ 2), `dup_span_frac` = n_dup_spans / n_shingles
+    * (round 4), `max_span_df` (how viral the doc's most-duplicated span
+    * is). At 100 TB this is the cheap pre-filter that routes only
+    * high-duplication docs into the expensive pairwise dedup stages: cost
+    * is two shingle-keyed shuffles with map-side combine, linear in corpus
+    * size, zero pair blowup. */
+  def corpusDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, n)
+    val dfr = sh.groupBy(F.col("shingle"))
+      .agg(F.count(F.lit(1)).as("__span_df"))
+    sh.join(dfr, "shingle")
+      .groupBy(F.col("doc"))
+      .agg(
+        F.count(F.lit(1)).as("n_shingles"),
+        F.sum(F.when(F.col("__span_df") >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
+        F.max(F.col("__span_df")).as("max_span_df"))
+      .select(F.col("doc").as(idCol), F.col("n_shingles"), F.col("n_dup_spans"),
+        F.round(F.col("n_dup_spans").cast("double") /
+          F.col("n_shingles").cast("double"), 4).as("dup_span_frac"),
+        F.col("max_span_df"))
+  }
+
   /** SimHash near-duplicate pairs by pigeonhole banding over the 64-BIT
     * fingerprint ([[simhash64]]): the fingerprint splits into
     * `maxHamming + 1` bands, and any pair within Hamming distance

@@ -403,6 +403,22 @@ object SparkEntry {
         .withColumn("ts", ntz(F.col("ts")))
     }),
     // unpivot (inverse of pivot): wide numeric columns -> long (metric, val)
+    // Weighted PageRank over the customer<->supplier bipartite graph
+    // derived from orders x lineitem (symmetrized): iterative graph
+    // analytics as plain co-partitioned joins — the edge list shuffles
+    // once, each of the 5 snapped iterations moves only the rank table.
+    "q_pagerank" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(F.col("o_orderkey"), F.col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(F.col("l_orderkey"), F.col("l_suppkey"))
+      val e0 = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(F.col("o_custkey"), F.col("l_suppkey"))
+        .agg(F.count(F.lit(1)).cast("double").as("w"))
+      val cId = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+      val sId = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+      val edges = e0.select(cId.as("src"), sId.as("dst"), F.col("w"))
+        .unionAll(e0.select(sId.as("src"), cId.as("dst"), F.col("w")))
+      Graph.pageRank(edges, damping = 0.85, iters = 5)
+    }),
     "q_unpivot" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .select(F.col("l_orderkey"), F.col("l_linenumber"),
@@ -1125,6 +1141,33 @@ object SparkEntry {
       "ranked AS (SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn FROM scored) " +
       "SELECT qid, cid, cos_sim, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 3"
 
+  /** Unrolled PageRank mirror over the customer<->supplier bipartite
+    * graph: one CTE per snapped iteration. Transition probabilities are
+    * single IEEE divisions on integer-valued doubles (bit-identical
+    * across engines); contribution terms snap to 12 decimals and each
+    * iteration's ranks to 9, so summation-order drift (~1e-16) can never
+    * survive a round — the [[graft.operators.Graph.pageRank]] trajectory
+    * replayed exactly. `1.0 - damping` is interpolated from the SAME
+    * Scala subtraction the Spark side constant-folds. */
+  private def pageRankOracle(damping: Double, iters: Int): String = {
+    val omd = 1.0 - damping
+    "WITH e0 AS (SELECT o.o_custkey AS c, l.l_suppkey AS s, CAST(count(*) AS DOUBLE) AS w " +
+      "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey GROUP BY o.o_custkey, l.l_suppkey), " +
+      "edges AS (SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst, w FROM e0 " +
+      "UNION ALL SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR), w FROM e0), " +
+      "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+      "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+      "outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src), " +
+      "ep AS (SELECT e.src, e.dst, e.w / o.wout AS p FROM edges e JOIN outw o ON o.src = e.src), " +
+      "r0 AS (SELECT id, round(1.0 / nn.n, 9) AS r FROM nodes CROSS JOIN nn), " +
+      (1 to iters).map { k =>
+        s"r$k AS (SELECT n.id, round($omd / nn.n + $damping * coalesce(sum(round(r.r * ep.p, 12)), 0.0), 9) AS r " +
+          s"FROM nodes n CROSS JOIN nn LEFT JOIN ep ON ep.dst = n.id LEFT JOIN r${k - 1} r ON r.id = ep.src " +
+          "GROUP BY n.id, nn.n)"
+      }.mkString(", ") +
+      s" SELECT id AS node_id, round(r, 6) AS pagerank FROM r$iters"
+  }
+
   /** Single-table 8-bit seeded random-hyperplane bucket — the SAME doubles
     * the Spark operators use (gaussianPlanes is seed-deterministic and
     * Double.toString round-trips exactly into DuckDB's parser). */
@@ -1413,6 +1456,7 @@ object SparkEntry {
         "reach AS (SELECT doc_id AS node, doc_id AS label FROM documents " +
         "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node) " +
         "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node"),
+    "q_pagerank" -> pageRankOracle(damping = 0.85, iters = 5),
     // Span df over the shared shingle CTE: df >= 2 means "appears in at
     // least one OTHER doc" (sh is distinct per doc).
     "q_dup_span_frac" ->

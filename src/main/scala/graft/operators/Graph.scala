@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Distributed graph analytics over relational edge lists.
+  *
+  * The near-dup machinery already runs one graph algorithm (connected
+  * components, [[Dedup.connectedComponents]]); this adds weighted
+  * PageRank — the importance/centrality signal a web-scale corpus
+  * pipeline uses to weight crawl sources — as plain iterative DataFrame
+  * joins, no driver-side graph object ever materialized.
+  *
+  * Scale shape: the edge list is repartitioned by `src` ONCE and pinned
+  * (localCheckpoint), so each of the `iters` contribution joins
+  * co-partitions against it and only the rank table (|V| rows, ≪ |E|)
+  * moves through a shuffle per iteration. Aggregations are map-side
+  * combinable sums keyed by `dst`. Cost: iters × (1 rank-side exchange +
+  * 1 combinable aggregate) over an edge list that never re-shuffles.
+  */
+object Graph {
+
+  /** Weighted PageRank over a directed edge list `(src, dst, w)`.
+    *
+    * rank₀(v) = 1/N; rankₖ(v) = (1-d)/N + d · Σ_{(u,v)∈E} rankₖ₋₁(u) ·
+    * w(u,v)/wout(u). Every iteration's ranks are snapped to 9 decimals
+    * and each contribution term to 12 (the snapCentroids discipline):
+    * transition probabilities are single IEEE divisions (bit-identical on
+    * any engine), so the only cross-engine drift is summation order —
+    * ~1e-16, collapsed by the 9-decimal snap — which keeps the whole
+    * trajectory engine-exact and the operator oracle-able by an unrolled
+    * SQL mirror.
+    *
+    * Nodes with no in-edges settle at (1-d)/N; nodes with no out-edges
+    * (dangling) leak their mass — symmetrize the edge list upstream if
+    * the graph is undirected. Output: (node_id, pagerank) with the final
+    * rank rounded to 6 decimals. */
+  def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    val nodes = edges.select(F.col("src").as("id"))
+      .union(edges.select(F.col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count() // one driver scalar, the only collect-shaped op
+    val outW = edges.groupBy(F.col("src")).agg(F.sum(F.col("w")).as("wout"))
+    // transition probability: one IEEE division on integer-valued doubles
+    // — bit-identical across engines, no snap needed
+    val ep = edges.join(outW, "src")
+      .select(F.col("src"), F.col("dst"), (F.col("w") / F.col("wout")).as("p"))
+      .repartition(F.col("src"))
+      .localCheckpoint(true)
+    val base = F.lit(1.0 - damping) / F.lit(n.toDouble)
+    var rank = nodes.select(F.col("id"), F.round(F.lit(1.0) / F.lit(n.toDouble), 9).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ep.join(rank, ep("src") === rank("id"))
+        .groupBy(F.col("dst"))
+        .agg(F.sum(F.round(F.col("r") * F.col("p"), 12)).as("m"))
+      rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(F.col("id"),
+          F.round(base + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0)), 9).as("r"))
+    }
+    rank.select(F.col("id").as("node_id"), F.round(F.col("r"), 6).as("pagerank"))
+  }
+}

@@ -519,6 +519,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(e16, e16.filter(F.col("vec_id") < 10), "vec_id", "embedding", 3)
         .withColumn("rn", F.col("rn").cast("long"))
     }),
+    // Johnson–Lindenstrauss random projection 64 -> 16 dims (seeded plane
+    // literals, no training), then exact top-3 in the projected space —
+    // the train-free 4x-cheaper scan tier; recall gated in AnnRecallSpec.
+    "q_rp_topk" -> ((s, dir) => {
+      val planes = Similarity.gaussianPlanes(1, 16, 64, 7L)(0)
+      val p = Similarity.randomProject(t(s, dir, "embeddings"), "embedding", planes)
+      Similarity.bruteForceTopK(p, p.filter(F.col("vec_id") < 10), "vec_id", "embedding", 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    }),
     // Multi-table seeded random-hyperplane LSH (b=6, L=16) — recall-gated
     // ≥0.5 @3 vs brute force in AnnRecallSpec; cost stays Σ_table Σ bucket²
     "q_ann_lsh" -> ((s, dir) =>
@@ -852,6 +861,24 @@ object SparkEntry {
           Multimodal.pngPayloads(t(s, dir, "documents"), "doc_id"),
           xNum = 1, xDen = 4, yNum = 1, yDen = 4,
           wNum = 1, wDen = 2, hNum = 1, hDen = 2))),
+    // Perceptual dHash THROUGH the real codec: decode -> 9x8 nearest
+    // sample -> adjacent-column gradient bits, as two 32-bit words. The
+    // raster is an exact function of (id, x, y), so the oracle derives
+    // the same 64 bits analytically without touching PNG.
+    "q_mm_dhash" -> ((s, dir) =>
+      Multimodal.dHash(
+        Multimodal.pngPayloads(t(s, dir, "documents"), "doc_id"))),
+    // Visual exact-dup groups: images sharing a dHash fingerprint get one
+    // representative (min id) — image-level dedup riding the same
+    // fingerprint contract as text simhash.
+    "q_mm_dhash_groups" -> ((s, dir) => {
+      val fp = Multimodal.dHash(
+        Multimodal.pngPayloads(t(s, dir, "documents"), "doc_id"))
+      val w = Window.partitionBy("dh_lo", "dh_hi")
+      fp.select(F.col("media_id"),
+        F.min("media_id").over(w).as("visual_rep"),
+        F.count(F.lit(1)).over(w).as("group_size"))
+    }),
     // REAL audio codec round-trip (the WAV twin of q_mm_decode):
     // deterministic 16-bit PCM waveforms -> genuine WAV bytes
     // (javax.sound.sampled encode) -> genuine WAV header+frame decode +
@@ -1140,6 +1167,23 @@ object SparkEntry {
       "scored AS (SELECT qid, cid, round(dot / (sqrt(qq) * sqrt(cc)), 4) AS cos_sim FROM dots), " +
       "ranked AS (SELECT qid, cid, cos_sim, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn FROM scored) " +
       "SELECT qid, cid, cos_sim, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 3"
+
+  /** Analytic dHash fingerprint CTE chain ending in `dfp(media_id,
+    * dh_lo, dh_hi)`: [[graft.operators.Multimodal.imgGray]]'s generator
+    * sampled at the dHash grid's nearest-neighbour source pixels, the
+    * adjacent-column comparison, and the same two-word bit pack as the
+    * simhash64 oracle. */
+  private val dhashFpCtes: String =
+    "g AS (SELECT doc_id AS media_id, doc_id % 16 + 8 AS w, doc_id % 12 + 8 AS h FROM documents), " +
+      "db AS (SELECT media_id, w, h, unnest(range(0, 64)) AS bi FROM g), " +
+      "dv AS (SELECT media_id, bi, CASE WHEN " +
+      "((media_id * 31 + 7 * (((bi % 8) + 1) * w // 9) + 13 * ((bi // 8) * h // 8)) % 256) > " +
+      "((media_id * 31 + 7 * ((bi % 8) * w // 9) + 13 * ((bi // 8) * h // 8)) % 256) " +
+      "THEN 1 ELSE 0 END AS bit FROM db), " +
+      "dfp AS (SELECT media_id, " +
+      "CAST(sum(CASE WHEN bi < 32 AND bit = 1 THEN CAST(1 AS BIGINT) << CAST(bi AS INT) ELSE 0 END) AS BIGINT) AS dh_lo, " +
+      "CAST(sum(CASE WHEN bi >= 32 AND bit = 1 THEN CAST(1 AS BIGINT) << CAST(bi - 32 AS INT) ELSE 0 END) AS BIGINT) AS dh_hi " +
+      "FROM dv GROUP BY media_id)"
 
   /** Unrolled PageRank mirror over the customer<->supplier bipartite
     * graph: one CTE per snapped iteration. Transition probabilities are
@@ -1521,6 +1565,15 @@ object SparkEntry {
         "c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings), " +
         "pairs AS (SELECT qid, cid, qv, cv FROM q JOIN c ON cid <> qid)", dims = 16),
     "q_ann_lsh" -> cosineOracle(multiTableLshPairsCte),
+    // JL-projected vectors from the SAME plane literals, then the shared
+    // 16-dim cosine machinery.
+    "q_rp_topk" -> cosineOracle(
+      "WITH pr AS (SELECT vec_id, " +
+        Similarity.randomProjectSqlList(
+          Similarity.gaussianPlanes(1, 16, 64, 7L)(0), "embedding") + " AS pv FROM embeddings), " +
+        "q AS (SELECT vec_id AS qid, pv AS qv FROM pr WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS cid, pv AS cv FROM pr), " +
+        "pairs AS (SELECT qid, cid, qv, cv FROM q JOIN c ON cid <> qid)", dims = 16),
     // Trained+snapped IVF nprobe=3 — centroid literals come from the stash
     // the q_ivf_ann closure filled this run. The fallback (stash unset =
     // the query never ran, so the row is already failed) keeps the JSON
@@ -1943,6 +1996,15 @@ object SparkEntry {
         "SELECT doc_id AS media_id, CAST(nf AS INTEGER) AS n_frames, CAST(f AS INTEGER) AS frame_idx, " +
         "CAST(sum(((doc_id * 31 + f * 17 + (i % w) * 7 + (i // w) * 13) % 256) * (i + 1)) AS BIGINT) AS frame_checksum " +
         "FROM px GROUP BY doc_id, nf, f"),
+    // Analytic dHash mirror: the raster generator sampled on the 9x8
+    // dHash grid entirely in SQL (src pixel (x*w/9, y*h/8); bit =
+    // gray(x+1, y) > gray(x, y); two 32-bit words).
+    "q_mm_dhash" ->
+      ("WITH " + dhashFpCtes + " SELECT media_id, dh_lo, dh_hi FROM dfp"),
+    "q_mm_dhash_groups" ->
+      ("WITH " + dhashFpCtes +
+        " SELECT media_id, min(media_id) OVER (PARTITION BY dh_lo, dh_hi) AS visual_rep, " +
+        "count(*) OVER (PARTITION BY dh_lo, dh_hi) AS group_size FROM dfp"),
     "q_zscore_by_source" ->
       ("SELECT doc_id, source, n_chars, " +
         "round((n_chars - avg(n_chars) OVER (PARTITION BY source)) / stddev_samp(n_chars) OVER (PARTITION BY source), 4) AS z " +

@@ -262,11 +262,27 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs64(simhash64(df, idCol, textCol), "doc", "sh_lo", "sh_hi", maxHamming)
+
+  /** The banding core of [[simhashPairs]], usable with ANY 64-bit
+    * fingerprint split into two 32-bit words — text simhash, image dHash
+    * ([[Multimodal.dHash]]), audio prints alike. Pigeonhole: a pair
+    * within Hamming distance `maxHamming` must agree exactly on one of
+    * the `maxHamming + 1` bands, so candidates come from band-equality
+    * buckets (Σ bucket²) with zero recall loss; the exact popcount then
+    * filters. */
+  def hammingPairs64(
+      fp0: DataFrame,
+      idCol: String,
+      loCol: String,
+      hiCol: String,
       maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     require(64 % nBands == 0, s"need 64 divisible by maxHamming+1, got $nBands bands")
     val bandBits = 64 / nBands
-    val fp = simhash64(df, idCol, textCol)
+    val fp = fp0.select(F.col(idCol).as("doc"), F.col(loCol).as("sh_lo"),
+      F.col(hiCol).as("sh_hi"))
     if (nBands == 1) {
       // maxHamming=0 degenerates to exact-fingerprint equality; the single
       // "band" is the whole 64-bit print, which no long column holds — so

@@ -175,6 +175,59 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual difference-hash (dHash) of each image payload: REAL PNG
+    * decode, nearest-neighbour sample onto a 9×8 grid (the
+    * [[resizePngPayloads]] selection rule — src pixel (x·w/9, y·h/8)),
+    * then one bit per adjacent-column comparison `gray(x+1,y) >
+    * gray(x,y)` — 64 bits of gradient structure that survive uniform
+    * brightness shifts and resizing. Emitted as two 32-bit words
+    * (`dh_lo` rows 0–3, `dh_hi` rows 4–7), the same overflow-free split
+    * as [[Dedup.simhash64]], so the SAME banding/popcount machinery runs
+    * dedup over IMAGES: dedup across modalities, one fingerprint
+    * contract. Map-only via mapPartitions (one codec context per
+    * partition; payloads never shuffle). */
+  def dHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dh_lo", LongType),
+      StructField("dh_hi", LongType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var lo = 0L; var hi = 0L
+        var y = 0
+        while (y < 8) {
+          val sy = y * h / 8
+          var x = 0
+          while (x < 8) {
+            val g0 = img.getRGB(x * w / 9, sy) & 0xff
+            val g1 = img.getRGB((x + 1) * w / 9, sy) & 0xff
+            if (g1 > g0) {
+              val b = y * 8 + x
+              if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, lo, hi)
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs: [[dHash]] fingerprints through the
+    * text-dedup banding core ([[Dedup.hammingPairs64]] — pigeonhole
+    * bands, popcount verify). Returns (a, b, hamming) with hamming ≤
+    * `maxHamming`. The image payloads themselves never enter a shuffle:
+    * only the 16-byte fingerprints do. */
+  def dHashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(dHash(media), "media_id", "dh_lo", "dh_hi", maxHamming)
+
   /** LOSSY codec ingestion: encode each deterministic raster as REAL JPEG
     * bytes (`javax.imageio`, quality `q`). Unlike the PNG path the decoded
     * pixels are NOT bit-exact — which is precisely what a real pipeline

@@ -226,6 +226,48 @@ object Similarity {
         F.size(vec).cast("string"), F.lit(" dims"))))
   }
 
+  /** Johnson–Lindenstrauss random projection: replace `vecCol` with its
+    * image under the seeded gaussian plane matrix (one [[gaussianPlanes]]
+    * table) — dim → planes.length in one map-only pass. JL says pairwise
+    * geometry survives within (1 ± ε) at k = O(log N / ε²) target dims,
+    * so downstream cosine search runs at k/dim of the scan+FLOP cost; at
+    * 100 TB this is the cheapest dimensionality lever (no training at
+    * all, unlike PQ/IVF — the projection IS the literals). Unlike
+    * [[truncateDims]] (matryoshka prefixes, which need the embedding
+    * model trained for it), this works on ANY embedding column.
+    *
+    * Each coordinate is the plane dot accumulated in index order
+    * (zip_with + aggregate, the [[hyperplaneBucket]] discipline), then
+    * narrowed to float so the projected column keeps the embedding
+    * schema's `array<float>` type (every downstream vector operator —
+    * fv_dot, IVF, PQ — consumes it unchanged). double→float is one IEEE
+    * round-to-nearest, identical on any engine. */
+  def randomProject(df: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
+    val dim = planes.head.length
+    val coords = planes.map { p =>
+      F.aggregate(
+        F.zip_with(F.col(vecCol), F.typedlit(p.toSeq), (x, y) => x.cast("double") * y),
+        F.lit(0.0), (acc, x) => acc + x)
+    }
+    val proj = F.when(F.size(F.col(vecCol)) === dim,
+        F.array(coords.toIndexedSeq: _*).cast("array<float>"))
+      .otherwise(F.raise_error(F.concat(
+        F.lit(s"randomProject: expected $dim-dim vector, got "),
+        F.size(F.col(vecCol)).cast("string"), F.lit(" dims"))))
+    df.withColumn(vecCol, proj)
+  }
+
+  /** The DuckDB list expression projecting `vecExpr` through the SAME
+    * plane literals: per plane a left-associated `w * CAST(vec[i] AS
+    * DOUBLE)` chain in index order, narrowed to REAL[] like the Spark
+    * side — [[randomProject]]'s mirror. */
+  def randomProjectSqlList(planes: Array[Array[Double]], vecExpr: String): String =
+    "CAST(" + planes.map { p =>
+      p.zipWithIndex.map { case (w, d) =>
+        s"($w) * CAST($vecExpr[${d + 1}] AS DOUBLE)"
+      }.mkString(" + ")
+    }.mkString("[", ", ", "]") + " AS REAL[])"
+
   /** The DuckDB expression computing the identical bucket key: per plane a
     * left-associated sum of `w * CAST(vec[i] AS DOUBLE)` terms in index
     * order (bit-identical to the Spark accumulation), sign-thresholded. */

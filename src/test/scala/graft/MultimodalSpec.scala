@@ -258,4 +258,47 @@ class MultimodalSpec extends SparkSpec {
     // doc 123: n_frames = 123 % 30 + 1 = 4 -> sampled idx {0}; doc 456: 7 frames -> {0, 5}
     frames shouldBe Map(0L -> 1L, 1L -> 1L, 7L -> 2L, 123L -> 1L, 456L -> 2L)
   }
+
+  it("dHash through the real codec equals the analytic gradient bits, and twins collide") {
+    import spark.implicits._
+    // the raster generator's full period is lcm(16, 12, 256) = 768:
+    // ids i and i + 768 render IDENTICAL images
+    val ids = Seq(0L, 5L, 123L, 0L + 768L, 5L + 768L).toDF("doc_id")
+    val fp = Multimodal.dHash(Multimodal.pngPayloads(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    fp(0L) shouldBe fp(768L)
+    fp(5L) shouldBe fp(773L)
+    // analytic mirror of the bit definition
+    def expected(id: Long): (Long, Long) = {
+      val (w, h) = (Multimodal.imgWidth(id), Multimodal.imgHeight(id))
+      var lo = 0L; var hi = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val sy = y * h / 8
+        if (Multimodal.imgGray(id, (x + 1) * w / 9, sy) > Multimodal.imgGray(id, x * w / 9, sy)) {
+          val b = y * 8 + x
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+      }
+      (lo, hi)
+    }
+    fp.foreach { case (id, got) => got shouldBe expected(id) }
+  }
+
+  it("dHashPairs banding loses no pair vs brute-force hamming (pigeonhole completeness)") {
+    import spark.implicits._
+    val ids = (0L until 60L).toDF("doc_id")
+    val media = Multimodal.pngPayloads(ids, "doc_id")
+    val banded = Multimodal.dHashPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fp = Multimodal.dHash(media)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val brute = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      d = java.lang.Long.bitCount(fp(a)._1 ^ fp(b)._1) +
+        java.lang.Long.bitCount(fp(a)._2 ^ fp(b)._2)
+      if d <= 3
+    } yield (a, b, d)).toSet
+    banded shouldBe brute
+    brute.exists(_._3 == 0) shouldBe true // the fixture really has visual dups
+  }
 }

@@ -879,6 +879,40 @@ object SparkEntry {
         F.min("media_id").over(w).as("visual_rep"),
         F.count(F.lit(1)).over(w).as("group_size"))
     }),
+    // Image near-dup PAIRS through the shared pigeonhole-banding core
+    // (hamming <= 3 forces agreement on one 16-bit band). The oracle
+    // brute-forces all id<id pairs over the analytic fingerprints —
+    // banding is candidate GENERATION, never recall loss.
+    "q_mm_dhash_pairs" -> ((s, dir) =>
+      Multimodal.dHashPairs(
+        Multimodal.pngPayloads(t(s, dir, "documents"), "doc_id"))),
+    // Waveform fingerprint THROUGH the real WAV codec: decode -> 65-point
+    // nearest resample -> adjacent-comparison shape bits. The PCM stream
+    // is an exact integer function of (id, i), so the oracle derives the
+    // same 64 bits without touching WAV.
+    "q_audio_fp" -> ((s, dir) =>
+      Multimodal.audioPrint(
+        Multimodal.wavPayloads(t(s, dir, "documents"), "doc_id"))),
+    // Audio near-dup pairs: the third modality on the same banding core.
+    "q_audio_fp_pairs" -> ((s, dir) =>
+      Multimodal.audioPrintPairs(
+        Multimodal.wavPayloads(t(s, dir, "documents"), "doc_id"))),
+    // CROSS-MODAL duplicate clusters: a doc is a dup of another if EITHER
+    // its text simhash OR its rendered image's dHash is within hamming 3
+    // — union the two banded pair graphs (both candidate stages stay
+    // banded, Σ bucket² each) and run one connected-components pass over
+    // the union. One fingerprint contract => the pair graphs compose.
+    "q_crossmodal_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val textPairs = Dedup.simhashPairs(docs, "doc_id", "text")
+        .select("a", "b")
+      val imgPairs = Multimodal.dHashPairs(
+        Multimodal.pngPayloads(docs, "doc_id")).select("a", "b")
+      Dedup.connectedComponents(
+        textPairs.union(imgPairs),
+        docs.select(F.col("doc_id").as("node")))
+        .select(F.col("node").as("doc_id"), F.col("label").as("cluster"))
+    }),
     // REAL audio codec round-trip (the WAV twin of q_mm_decode):
     // deterministic 16-bit PCM waveforms -> genuine WAV bytes
     // (javax.sound.sampled encode) -> genuine WAV header+frame decode +
@@ -1184,6 +1218,34 @@ object SparkEntry {
       "CAST(sum(CASE WHEN bi < 32 AND bit = 1 THEN CAST(1 AS BIGINT) << CAST(bi AS INT) ELSE 0 END) AS BIGINT) AS dh_lo, " +
       "CAST(sum(CASE WHEN bi >= 32 AND bit = 1 THEN CAST(1 AS BIGINT) << CAST(bi - 32 AS INT) ELSE 0 END) AS BIGINT) AS dh_hi " +
       "FROM dv GROUP BY media_id)"
+
+  /** Analytic audio-fingerprint CTE chain ending in `afp(media_id,
+    * ap_lo, ap_hi)`: [[graft.operators.Multimodal.audioSample]]'s
+    * generator sampled at the 65-point grid's nearest source samples,
+    * the adjacent comparison, and the shared two-word bit pack. The
+    * −32768 recentering cancels inside the comparison, so the mod-2¹⁶
+    * residues compare directly. */
+  private val audioFpCtes: String =
+    "ag AS (SELECT doc_id AS media_id, doc_id % 32 + 16 AS n FROM documents), " +
+      "ab AS (SELECT media_id, n, unnest(range(0, 64)) AS bi FROM ag), " +
+      "av AS (SELECT media_id, bi, CASE WHEN " +
+      "((media_id * 31 + 7 * ((bi + 1) * n // 65)) % 65536) > " +
+      "((media_id * 31 + 7 * (bi * n // 65)) % 65536) " +
+      "THEN 1 ELSE 0 END AS bit FROM ab), " +
+      "afp AS (SELECT media_id, " +
+      "CAST(sum(CASE WHEN bi < 32 AND bit = 1 THEN CAST(1 AS BIGINT) << CAST(bi AS INT) ELSE 0 END) AS BIGINT) AS ap_lo, " +
+      "CAST(sum(CASE WHEN bi >= 32 AND bit = 1 THEN CAST(1 AS BIGINT) << CAST(bi - 32 AS INT) ELSE 0 END) AS BIGINT) AS ap_hi " +
+      "FROM av GROUP BY media_id)"
+
+  /** Brute-force all-pairs hamming ≤ `maxH` over a two-word fingerprint
+    * CTE — the oracle for every banded-pairs query (banding is candidate
+    * generation, never recall loss, so exhaustive compare == banded). */
+  private def hammingPairsOracle(
+      ctes: String, fpName: String, lo: String, hi: String, maxH: Int): String =
+    s"WITH $ctes SELECT x.media_id AS a, y.media_id AS b, " +
+      s"CAST(bit_count(xor(x.$lo, y.$lo)) + bit_count(xor(x.$hi, y.$hi)) AS INT) AS hamming " +
+      s"FROM $fpName x JOIN $fpName y ON x.media_id < y.media_id " +
+      s"WHERE bit_count(xor(x.$lo, y.$lo)) + bit_count(xor(x.$hi, y.$hi)) <= $maxH"
 
   /** Unrolled PageRank mirror over the customer<->supplier bipartite
     * graph: one CTE per snapped iteration. Transition probabilities are
@@ -2005,6 +2067,27 @@ object SparkEntry {
       ("WITH " + dhashFpCtes +
         " SELECT media_id, min(media_id) OVER (PARTITION BY dh_lo, dh_hi) AS visual_rep, " +
         "count(*) OVER (PARTITION BY dh_lo, dh_hi) AS group_size FROM dfp"),
+    "q_mm_dhash_pairs" -> hammingPairsOracle(dhashFpCtes, "dfp", "dh_lo", "dh_hi", 3),
+    // Analytic audio-fingerprint mirror: the PCM generator sampled on the
+    // 65-point grid entirely in SQL; the shared pair oracle brute-forces
+    // hamming over the two words.
+    "q_audio_fp" ->
+      ("WITH " + audioFpCtes + " SELECT media_id, ap_lo, ap_hi FROM afp"),
+    "q_audio_fp_pairs" -> hammingPairsOracle(audioFpCtes, "afp", "ap_lo", "ap_hi", 3),
+    // Cross-modal transitive closure: brute-force text-simhash pairs UNION
+    // image-dHash pairs (both analytic), symmetrized, then the
+    // q_dedup_clusters recursive-CTE minimum-label reachability.
+    "q_crossmodal_dedup" ->
+      ("WITH RECURSIVE " + simhash64Ctes + ", " + dhashFpCtes + ", " +
+        "tp AS (SELECT x.doc_id AS a, y.doc_id AS b FROM fp64 x JOIN fp64 y ON x.doc_id < y.doc_id " +
+        "WHERE bit_count(xor(x.sh_lo, y.sh_lo)) + bit_count(xor(x.sh_hi, y.sh_hi)) <= 3), " +
+        "ip AS (SELECT x.media_id AS a, y.media_id AS b FROM dfp x JOIN dfp y ON x.media_id < y.media_id " +
+        "WHERE bit_count(xor(x.dh_lo, y.dh_lo)) + bit_count(xor(x.dh_hi, y.dh_hi)) <= 3), " +
+        "u AS (SELECT a, b FROM tp UNION SELECT a, b FROM ip), " +
+        "e AS (SELECT a AS src, b AS dst FROM u UNION ALL SELECT b AS src, a AS dst FROM u), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS label FROM documents " +
+        "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node) " +
+        "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node"),
     "q_zscore_by_source" ->
       ("SELECT doc_id, source, n_chars, " +
         "round((n_chars - avg(n_chars) OVER (PARTITION BY source)) / stddev_samp(n_chars) OVER (PARTITION BY source), 4) AS z " +

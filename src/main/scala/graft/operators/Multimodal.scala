@@ -228,6 +228,52 @@ object Multimodal {
   def dHashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.hammingPairs64(dHash(media), "media_id", "dh_lo", "dh_hi", maxHamming)
 
+  /** Perceptual audio fingerprint — the waveform twin of [[dHash]]: REAL
+    * WAV decode, nearest-neighbour resample of the PCM sequence onto a
+    * 65-point grid (src sample `b·n/65`, the [[decimateWavPayloads]]
+    * selection rule), then one bit per adjacent-point comparison
+    * `s(b+1) > s(b)`. The 64 bits capture the waveform's local SHAPE, so
+    * the print is invariant under any strictly-increasing amplitude map
+    * (gain, DC offset) — the audio analog of dHash's brightness
+    * invariance. Same two-word split (`ap_lo` bits 0–31, `ap_hi` 32–63),
+    * so [[Dedup.hammingPairs64]] runs near-dup detection over AUDIO with
+    * the identical pigeonhole banding + popcount machinery as text
+    * simhash and image dHash: one fingerprint contract, three
+    * modalities. Map-only; payloads never shuffle. */
+  def audioPrint(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ap_lo", LongType),
+      StructField("ap_hi", LongType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        def s(i: Int): Int = // 16-bit LE signed
+          ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+        var lo = 0L; var hi = 0L
+        var b = 0
+        while (b < 64) {
+          if (s((b + 1) * n / 65) > s(b * n / 65)) {
+            if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        Row(id, lo, hi)
+      }
+    }(enc)
+  }
+
+  /** Audio near-duplicate pairs: [[audioPrint]] fingerprints through the
+    * shared banding core — (a, b, hamming) with hamming ≤ `maxHamming`. */
+  def audioPrintPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs64(audioPrint(media), "media_id", "ap_lo", "ap_hi", maxHamming)
+
   /** LOSSY codec ingestion: encode each deterministic raster as REAL JPEG
     * bytes (`javax.imageio`, quality `q`). Unlike the PNG path the decoded
     * pixels are NOT bit-exact — which is precisely what a real pipeline

@@ -301,4 +301,56 @@ class MultimodalSpec extends SparkSpec {
     banded shouldBe brute
     brute.exists(_._3 == 0) shouldBe true // the fixture really has visual dups
   }
+
+  it("audioPrint through the real codec equals the analytic shape bits and is gain-invariant") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 31L, 123L, 456L).toDF("doc_id")
+    val fp = Multimodal.audioPrint(Multimodal.wavPayloads(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // analytic mirror of the bit definition
+    def expected(id: Long): (Long, Long) = {
+      val n = Multimodal.audioNSamples(id)
+      var lo = 0L; var hi = 0L
+      for (b <- 0 until 64) {
+        if (Multimodal.audioSample(id, (b + 1) * n / 65) > Multimodal.audioSample(id, b * n / 65)) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+      }
+      (lo, hi)
+    }
+    fp.foreach { case (id, got) => got shouldBe expected(id) }
+    // shape bits survive a strictly-increasing amplitude map: halve every
+    // sample toward zero (exact for even magnitudes, order-preserving in
+    // general up to ties — the fixture ids here produce no ties at the
+    // compared grid points, asserted below)
+    def halved(id: Long): (Long, Long) = {
+      val n = Multimodal.audioNSamples(id)
+      var lo = 0L; var hi = 0L
+      for (b <- 0 until 64) {
+        val (i0, i1) = (b * n / 65, (b + 1) * n / 65)
+        val (s0, s1) = (Multimodal.audioSample(id, i0) / 2, Multimodal.audioSample(id, i1) / 2)
+        if (i0 != i1) (s0 == s1) shouldBe false // no ties introduced
+        if (s1 > s0) { if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32) }
+      }
+      (lo, hi)
+    }
+    fp.foreach { case (id, got) => got shouldBe halved(id) }
+  }
+
+  it("audioPrintPairs banding loses no pair vs brute-force hamming") {
+    import spark.implicits._
+    val ids = (0L until 80L).toDF("doc_id")
+    val media = Multimodal.wavPayloads(ids, "doc_id")
+    val banded = Multimodal.audioPrintPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fp = Multimodal.audioPrint(media)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val brute = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      d = java.lang.Long.bitCount(fp(a)._1 ^ fp(b)._1) +
+        java.lang.Long.bitCount(fp(a)._2 ^ fp(b)._2)
+      if d <= 3
+    } yield (a, b, d)).toSet
+    banded shouldBe brute
+  }
 }

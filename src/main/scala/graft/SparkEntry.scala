@@ -899,17 +899,21 @@ object SparkEntry {
         Multimodal.wavPayloads(t(s, dir, "documents"), "doc_id"))),
     // CROSS-MODAL duplicate clusters: a doc is a dup of another if EITHER
     // its text simhash OR its rendered image's dHash is within hamming 3
-    // — union the two banded pair graphs (both candidate stages stay
-    // banded, Σ bucket² each) and run one connected-components pass over
-    // the union. One fingerprint contract => the pair graphs compose.
+    // — union the two fingerprint graphs and run one connected-components
+    // pass. Each modality contributes its CONTRACTED edge list (exact-dup
+    // groups as stars + one edge per distinct-print pair): same
+    // components as the full pair expansion, but CC never sees the
+    // Σ clique² edges of the big exact-dup groups — the image side has
+    // only 768 distinct rasters at ANY corpus size.
     "q_crossmodal_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val textPairs = Dedup.simhashPairs(docs, "doc_id", "text")
-        .select("a", "b")
-      val imgPairs = Multimodal.dHashPairs(
-        Multimodal.pngPayloads(docs, "doc_id")).select("a", "b")
+      val textEdges = Dedup.hammingEdges64(
+        Dedup.simhash64(docs, "doc_id", "text"), "doc", "sh_lo", "sh_hi")
+      val imgEdges = Dedup.hammingEdges64(
+        Multimodal.dHash(Multimodal.pngPayloads(docs, "doc_id")),
+        "media_id", "dh_lo", "dh_hi")
       Dedup.connectedComponents(
-        textPairs.union(imgPairs),
+        textEdges.union(imgEdges),
         docs.select(F.col("doc_id").as("node")))
         .select(F.col("node").as("doc_id"), F.col("label").as("cluster"))
     }),

@@ -271,30 +271,91 @@ object Dedup {
     * within Hamming distance `maxHamming` must agree exactly on one of
     * the `maxHamming + 1` bands, so candidates come from band-equality
     * buckets (Σ bucket²) with zero recall loss; the exact popcount then
-    * filters. */
+    * filters.
+    *
+    * Exact-duplicate prints are CONTRACTED first: banding and the
+    * candidate distinct run over one row per DISTINCT fingerprint, and
+    * member pairs are expanded afterwards (within-group pairs at hamming
+    * 0, cross-group pairs per verified print pair — a print pair is
+    * unique, so the expansion needs no dedup). At corpus scale
+    * exact-dup groups are the dominant structure (boilerplate pages,
+    * mirrored files), and contraction turns their Σ clique² candidate
+    * blowup into |group| membership rows; the expansion stage is then
+    * bounded by the OUTPUT size, which no complete pair list can beat. */
   def hammingPairs64(
       fp0: DataFrame,
       idCol: String,
       loCol: String,
       hiCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val nBands = maxHamming + 1
-    require(64 % nBands == 0, s"need 64 divisible by maxHamming+1, got $nBands bands")
-    val bandBits = 64 / nBands
+    require(64 % (maxHamming + 1) == 0,
+      s"need 64 divisible by maxHamming+1, got ${maxHamming + 1} bands")
+    val (mem, groups) = contractPrints(fp0, idCol, loCol, hiCol)
+    // within-group pairs: identical prints, hamming 0 by definition
+    val within = mem.select(F.col("fid"), F.col("doc").as("a"))
+      .join(mem.select(F.col("fid"), F.col("doc").as("b")), "fid")
+      .filter(F.col("a") < F.col("b"))
+      .select(F.col("a"), F.col("b"), F.lit(0).as("hamming"))
+    if (maxHamming == 0) return within
+    // cross-group: banded print pairs expanded to member pairs. Group
+    // min-ids are NOT mutually ordered with member ids, so order each
+    // expanded pair explicitly.
+    val cross = distinctPrintPairs(groups, maxHamming)
+      .join(mem.select(F.col("fid").as("fa"), F.col("doc").as("da")), "fa")
+      .join(mem.select(F.col("fid").as("fb"), F.col("doc").as("db")), "fb")
+      .select(F.least(F.col("da"), F.col("db")).as("a"),
+        F.greatest(F.col("da"), F.col("db")).as("b"), F.col("hamming"))
+    within.union(cross)
+  }
+
+  /** Connectivity-equivalent EDGE LIST for the hamming ≤ `maxHamming`
+    * pair graph: each exact-duplicate group contributes a star onto its
+    * min-id member, plus ONE edge per verified distinct-print pair
+    * (between group representatives). Connected components over these
+    * edges equal components over the full [[hammingPairs64]] expansion —
+    * the input for cluster-level consumers ([[connectedComponents]]),
+    * where expanding member×member pairs would only be collapsed again.
+    * Σ|group| + distinct-print pairs edges instead of Σ clique². */
+  def hammingEdges64(
+      fp0: DataFrame,
+      idCol: String,
+      loCol: String,
+      hiCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(64 % (maxHamming + 1) == 0,
+      s"need 64 divisible by maxHamming+1, got ${maxHamming + 1} bands")
+    val (mem, groups) = contractPrints(fp0, idCol, loCol, hiCol)
+    val star = mem.filter(F.col("doc") =!= F.col("fid"))
+      .select(F.col("doc").as("a"), F.col("fid").as("b"))
+    if (maxHamming == 0) return star
+    star.union(distinctPrintPairs(groups, maxHamming)
+      .select(F.col("fa").as("a"), F.col("fb").as("b")))
+  }
+
+  /** Shared contraction stage: `(membership(doc, fid), groups(fid,
+    * sh_lo, sh_hi))` where `fid` is the group's min member id. Both
+    * frames are pinned — the slim projection cuts the upstream
+    * fingerprint pipeline (token explode / codec decode) to ONE run,
+    * and groups feed both the banding self-join and the expansion
+    * joins. */
+  private def contractPrints(
+      fp0: DataFrame, idCol: String, loCol: String, hiCol: String): (DataFrame, DataFrame) = {
     val fp = fp0.select(F.col(idCol).as("doc"), F.col(loCol).as("sh_lo"),
-      F.col(hiCol).as("sh_hi"))
-    if (nBands == 1) {
-      // maxHamming=0 degenerates to exact-fingerprint equality; the single
-      // "band" is the whole 64-bit print, which no long column holds — so
-      // skip banding and bucket on the (lo, hi) word PAIR directly. (A
-      // lo-only bucket would collide on half the fingerprint, inflating
-      // candidates against the banding-width rationale.)
-      val x = fp.select(F.col("doc").as("a"), F.col("sh_lo"), F.col("sh_hi"))
-      val y = fp.select(F.col("doc").as("b"), F.col("sh_lo"), F.col("sh_hi"))
-      return x.join(y, Seq("sh_lo", "sh_hi"))
-        .filter(F.col("a") < F.col("b"))
-        .select(F.col("a"), F.col("b"), F.lit(0).as("hamming"))
-    }
+      F.col(hiCol).as("sh_hi")).localCheckpoint(true)
+    val groups = fp.groupBy("sh_lo", "sh_hi").agg(F.min("doc").as("fid"))
+      .localCheckpoint(true)
+    val mem = fp.join(groups, Seq("sh_lo", "sh_hi")).select("doc", "fid")
+    (mem, groups)
+  }
+
+  /** Pigeonhole banding + popcount verify over DISTINCT fingerprints:
+    * (fa, fb, hamming) with fa/fb the group representatives and 1 ≤
+    * hamming ≤ `maxHamming` (identical prints were contracted away, so
+    * xor is never zero). A pair can agree on several bands — distinct
+    * runs at print granularity, BEFORE member expansion. */
+  private def distinctPrintPairs(groups: DataFrame, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
     require(32 % bandBits == 0,
       s"band width $bandBits would straddle the lo/hi words")
     val perWord = math.max(32 / bandBits, 1)
@@ -305,30 +366,23 @@ object Dedup {
         F.shiftright(word, (b % perWord) * bandBits)
           .bitwiseAND(if (bandBits >= 32) -1L else (1L << bandBits) - 1).as("bval"))
     }
-    // materialized ONCE: both sides of the band self-join derive from this
-    // frame, and without the checkpoint each side re-runs the full
-    // fingerprint pipeline (token explode + per-doc 64-bit aggregation —
-    // the expensive part) because differently-projected exchanges don't
-    // reuse. The frame is slim (nBands rows/doc of 5 fixed-width cols),
-    // so pinning it costs ~40 B/doc/band while halving the corpus scans.
-    val banded = fp.select(F.col("doc"), F.col("sh_lo"), F.col("sh_hi"),
+    val banded = groups.select(F.col("fid"), F.col("sh_lo"), F.col("sh_hi"),
       F.explode(F.array(bandExprs: _*)).as("e"))
-      .select(F.col("doc"), F.col("sh_lo"), F.col("sh_hi"),
+      .select(F.col("fid"), F.col("sh_lo"), F.col("sh_hi"),
         F.col("e.bi").as("bi"), F.col("e.bval").as("bval"))
-      .localCheckpoint(true)
-    val x = banded.select(F.col("bi"), F.col("bval"), F.col("doc").as("a"),
+    val x = banded.select(F.col("bi"), F.col("bval"), F.col("fid").as("fa"),
       F.col("sh_lo").as("la"), F.col("sh_hi").as("ha"))
-    val y = banded.select(F.col("bi"), F.col("bval"), F.col("doc").as("b"),
+    val y = banded.select(F.col("bi"), F.col("bval"), F.col("fid").as("fb"),
       F.col("sh_lo").as("lb"), F.col("sh_hi").as("hb"))
     x.join(y, Seq("bi", "bval"))
-      .filter(F.col("a") < F.col("b"))
-      .select(F.col("a"), F.col("b"), F.col("la"), F.col("ha"), F.col("lb"), F.col("hb"))
+      .filter(F.col("fa") < F.col("fb"))
+      .select(F.col("fa"), F.col("fb"), F.col("la"), F.col("ha"), F.col("lb"), F.col("hb"))
       .distinct() // a pair can agree on several bands
       .withColumn("hamming",
         (F.bit_count(F.col("la").bitwiseXOR(F.col("lb"))) +
          F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))).cast("int"))
       .filter(F.col("hamming") <= maxHamming)
-      .select(F.col("a"), F.col("b"), F.col("hamming"))
+      .select(F.col("fa"), F.col("fb"), F.col("hamming"))
   }
 
   /** Connected components over an undirected near-dup pair list: every

@@ -473,6 +473,12 @@ object SparkEntry {
     // also occur in other docs — no pair join, linear in the corpus.
     "q_dup_span_frac" -> ((s, dir) =>
       Dedup.corpusDupSpans(t(s, dir, "documents"), "doc_id", "text")),
+    // The REMOVAL form (ExactSubstr dedup, Lee et al. §4.1): rewrite each
+    // doc with every cross-doc-duplicated 3-gram span cut out — the
+    // covered-position set is exploded only for duplicated starts, so
+    // cost tracks the boilerplate volume, never corpus².
+    "q_substr_dedup" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text")),
     // Cluster-aware curation: quality gate -> near-dup CLUSTERS (not just
     // pairs) over the survivors -> keep each cluster's min-id
     // representative -> per-source kept counts.
@@ -1577,6 +1583,20 @@ object SparkEntry {
         "round(CAST(sum(CASE WHEN d.span_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS dup_span_frac, " +
         "max(d.span_df) AS max_span_df " +
         "FROM sh s JOIN dfr d USING (shingle) GROUP BY s.doc_id"),
+    // Positional twin of the span CTE: duplicated starts expand to their
+    // covered positions; kept tokens are re-joined by index filter.
+    "q_substr_dedup" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents), " +
+        "pos AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS i FROM toks WHERE len(arr) >= 3), " +
+        "psh AS (SELECT doc_id, i, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || arr[CAST(i AS INT) + 2] AS shingle FROM pos), " +
+        "dup AS (SELECT shingle FROM (SELECT shingle, count(DISTINCT doc_id) AS df FROM psh GROUP BY shingle) WHERE df >= 2), " +
+        "cov AS (SELECT DISTINCT doc_id, i + d AS p FROM (SELECT doc_id, i FROM psh JOIN dup USING (shingle)) CROSS JOIN (SELECT unnest(range(0, 3)) AS d)), " +
+        "cova AS (SELECT doc_id, list_sort(list(p)) AS ps FROM cov GROUP BY doc_id) " +
+        "SELECT t.doc_id, CAST(len(t.arr) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(len(c.ps), 0) AS BIGINT) AS n_removed, " +
+        // array_to_string([]) is NULL in DuckDB; Spark's concat_ws gives ''
+        "coalesce(array_to_string(list_transform(list_filter(range(1, len(t.arr) + 1), i -> NOT list_contains(coalesce(c.ps, []), i)), i -> t.arr[CAST(i AS INT)]), ' '), '') AS clean_text " +
+        "FROM toks t LEFT JOIN cova c USING (doc_id)"),
     // The cluster CC closure + the q_split_assign nibble mapping applied
     // to the CLUSTER label instead of the doc id.
     "q_leakage_split" ->

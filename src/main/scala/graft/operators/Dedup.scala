@@ -244,6 +244,57 @@ object Dedup {
         F.col("max_span_df"))
   }
 
+  /** Exact-substring deduplication, the REMOVAL form of
+    * [[corpusDupSpans]]: rewrite each document with every word `n`-gram
+    * that also occurs in at least `minDf` distinct documents cut out
+    * (cf. the reference's dedup-on-write `ON CONFLICT DO NOTHING` at
+    * `pkg/db/store.go:92` — here at span rather than row granularity).
+    * A token survives iff NO duplicated n-gram covers its position.
+    *
+    * Plan shape (all linear, zero pair joins): positional shingles →
+    * one groupBy(shingle) for distinct-doc df (two-phase, map-side
+    * combine) → co-partitioned join back → explode each duplicated
+    * start to its `n` covered positions → per-doc covered-set aggregate
+    * → one join onto the corpus and an index-lambda `filter` over the
+    * token array (codegen'd, no UDF). The covered-position explode is
+    * bounded by n × duplicated-starts — proportional to how much
+    * boilerplate exists, never to corpus². At 100 TB the shingle df
+    * table is the only wide shuffle, the same one [[corpusDupSpans]]
+    * already pays.
+    *
+    * Output per doc: `n_tokens`, `n_removed` (covered positions), and
+    * `clean_text` (surviving tokens re-joined with single spaces;
+    * duplicated-span docs can collapse to ''). */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, minDf: Int = 2): DataFrame = {
+    val arr = F.split(F.col(textCol), " ")
+    val toks = df.select(F.col(idCol).as("doc"), arr.as("__arr"))
+      .withColumn("__len", F.size(F.col("__arr")))
+    // positional shingles: (doc, i, shingle), i 1-based start position
+    val pos = toks.filter(F.col("__len") >= n)
+      .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__len") - (n - 1))))
+      .select(F.col("doc"), F.col("__i"),
+        F.concat_ws(" ", (0 until n).map(o =>
+          F.element_at(F.col("__arr"), F.col("__i") + o)): _*).as("shingle"))
+    // corpus df per shingle over DISTINCT docs: within-doc repetition
+    // alone never triggers removal (same rule as corpusDupSpans)
+    val dup = pos.select("doc", "shingle").distinct()
+      .groupBy("shingle").agg(F.count(F.lit(1)).as("__df"))
+      .filter(F.col("__df") >= minDf).select("shingle")
+    // duplicated starts -> covered positions [i, i+n-1], distinct per doc
+    val covered = pos.join(dup, "shingle")
+      .select(F.col("doc"),
+        F.explode(F.sequence(F.col("__i"), F.col("__i") + (n - 1))).as("p"))
+      .groupBy("doc").agg(F.sort_array(F.collect_set(F.col("p"))).as("__cov"))
+      .withColumnRenamed("doc", "__cdoc")
+    toks.join(covered, F.col("doc") === F.col("__cdoc"), "left")
+      .select(F.col("doc").as(idCol), F.col("__len").cast("long").as("n_tokens"),
+        F.coalesce(F.size(F.col("__cov")), F.lit(0)).cast("long").as("n_removed"),
+        F.concat_ws(" ", F.filter(F.col("__arr"),
+          (tok: Column, i0: Column) => F.not(F.array_contains(
+            F.coalesce(F.col("__cov"), F.array()), i0 + 1)))).as("clean_text"))
+  }
+
   /** SimHash near-duplicate pairs by pigeonhole banding over the 64-BIT
     * fingerprint ([[simhash64]]): the fingerprint splits into
     * `maxHamming + 1` bands, and any pair within Hamming distance

@@ -41,6 +41,51 @@ class CurationSplitSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.removeDuplicatedSpans") {
+    it("cuts cross-doc duplicated spans and keeps unique tails") {
+      val docs = Seq(
+        (1L, twin), // full twin -> everything covered
+        (2L, twin),
+        (3L, "alpha beta gamma delta unique tail of document three"),
+        (4L, "nothing shared with anyone in this document at all")
+      ).toDF("doc_id", "text")
+
+      val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+
+      out(1L) shouldBe (8L, 8L, "") // twins collapse entirely
+      out(2L) shouldBe (8L, 8L, "")
+      // doc 3 shares "alpha beta gamma" and "beta gamma delta" with the
+      // twins -> starts 1 and 2 cover positions 1..4; tail survives
+      out(3L) shouldBe (9L, 4L, "unique tail of document three")
+      out(4L) shouldBe (9L, 0L, "nothing shared with anyone in this document at all")
+    }
+
+    it("ignores within-doc repetition and short docs") {
+      val docs = Seq(
+        (1L, "x y z x y z x y z"), // repeats only within itself
+        (2L, "a b") // shorter than one shingle
+      ).toDF("doc_id", "text")
+      val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      out(1L) shouldBe (0L, "x y z x y z x y z")
+      out(2L) shouldBe (0L, "a b")
+    }
+
+    it("is idempotent: cleaning a cleaned corpus removes nothing") {
+      val docs = Seq(
+        (1L, twin + " one extra"),
+        (2L, twin + " two other"),
+        (3L, "alpha beta gamma and then some novel words")
+      ).toDF("doc_id", "text")
+      val once = Dedup.removeDuplicatedSpans(docs, "doc_id", "text")
+        .select(F.col("doc_id"), F.col("clean_text").as("text"))
+      val twice = Dedup.removeDuplicatedSpans(once, "doc_id", "text")
+      twice.agg(F.sum("n_removed")).collect().head.getLong(0) shouldBe 0L
+    }
+  }
+
   describe("DataShaping.leakageSafeSplit") {
     it("assigns every member of a near-dup cluster to the same split") {
       // 3 exact-twin groups + isolated docs; twins must co-locate

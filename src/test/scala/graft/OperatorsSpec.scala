@@ -80,6 +80,31 @@ class OperatorsSpec extends SparkSpec {
       p0 should contain key ((1L, 2L))
     }
 
+    it("hammingEdges64 is connectivity-equivalent to the full pair expansion at clique-free cost") {
+      import spark.implicits._
+      // one 200-member exact-dup group, one near-dup print (hamming 1 off
+      // the group), three far singletons
+      val fp = ((1L to 200L).map(i => (i, 5L, 9L)) ++
+        Seq((300L, 4L, 9L), (400L, 0xF0F0F0F0L, 0L), (500L, 0L, 0xF0F0F0F0L),
+          (600L, 0xABCDL, 0x1234L))).toDF("doc", "sh_lo", "sh_hi")
+      val nodes = fp.select(F.col("doc").as("node"))
+
+      val pairs = Dedup.hammingPairs64(fp, "doc", "sh_lo", "sh_hi")
+      // full expansion: C(200,2) within-group + 200 cross to the near print
+      pairs.count() shouldBe (200L * 199 / 2 + 200)
+      val edges = Dedup.hammingEdges64(fp, "doc", "sh_lo", "sh_hi")
+      // contracted: 199 star edges + ONE print-pair edge
+      edges.count() shouldBe 200L
+
+      val ccPairs = Dedup.connectedComponents(pairs.select("a", "b"), nodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ccEdges = Dedup.connectedComponents(edges, nodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ccEdges shouldBe ccPairs
+      ccEdges(300L) shouldBe 1L // near print joins the big group's component
+      ccEdges(400L) shouldBe 400L
+    }
+
     it("connectedComponents labels every node with its component's minimum id (transitive closure)") {
       import spark.implicits._
       // 1-2, 2-3 chain (transitive: 3 never pairs with 1 directly); 5-6; 9 singleton

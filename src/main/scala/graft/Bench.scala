@@ -36,7 +36,12 @@ object Bench {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must surface as an ERROR ROW in the artifact, never as
+    // a plausible-looking elapsed-to-exception timing: round 7 shipped 24
+    // broken events queries as fake 0.06 s "speedups" because the old
+    // catch-all here recorded wall time regardless. Left = error marker
+    // (exception class), Right = seconds.
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       // job group must be set on the thread that SUBMITS the jobs (it is
       // thread-local) — i.e. inside the Future — while the cancel-by-name
@@ -46,14 +51,17 @@ object Bench {
         try { fn(spark, sfDir).count(); () }
         finally spark.sparkContext.clearJobGroup()
       }
-      try Await.result(work, timeoutSec.seconds)
+      try { Await.result(work, timeoutSec.seconds); Right((System.nanoTime() - t0) / 1e9) }
       catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
-          System.err.println(s"[bench] $name timed out after ${timeoutSec}s")
-        case _: Throwable => ()
+          System.err.println(s"[bench] ERROR $name: timeout after ${timeoutSec}s")
+          Left(s"Timeout${timeoutSec}s")
+        case e: Throwable =>
+          val root = { var t: Throwable = e; while (t.getCause != null && t.getCause != t) t = t.getCause; t }
+          System.err.println(s"[bench] ERROR $name: ${root.getClass.getSimpleName}: ${String.valueOf(root.getMessage).take(200)}")
+          Left(root.getClass.getSimpleName)
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // EVERY query gets median-of-N (default 3) across full interleaved
     // passes of the grid: host contention here is bursty (a slow sample on
@@ -64,9 +72,18 @@ object Bench {
     // samples of one query.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     val names = selected.toSeq.sortBy(_._1).map(_._1)
+    // First error pins the query as failed; later passes skip it (it would
+    // fail identically and waste grid time) and it reports in `errors`.
+    val errors = scala.collection.mutable.Map[String, String]()
+    def sample(n: String): Option[Double] =
+      if (errors.contains(n)) None
+      else timeOne(n, selected(n)) match {
+        case Right(sec) => Some(sec)
+        case Left(err)  => errors(n) = err; None
+      }
     val baseSamples: Seq[Map[String, Double]] = (1 to passes).map { p =>
       System.err.println(s"[bench] pass $p/$passes")
-      names.map(n => n -> timeOne(n, selected(n))).toMap
+      names.flatMap(n => sample(n).map(n -> _)).toMap
     }
     // Round-over-round calibration on BYTE-IDENTICAL code showed the
     // shuffle-heavy entries still move ±40-80% under median-of-3 (e.g.
@@ -79,24 +96,31 @@ object Bench {
     // the median's noise floor — so regressions are attributed against
     // min, while median stays the comparable headline.
     def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
-    val provisional = names.map(n => n -> med(baseSamples.map(_(n)))).toMap
-    val heavy = names.filter(provisional(_) >= 1.0)
+    val okNames = names.filterNot(errors.contains)
+    val provisional = okNames.map(n => n -> med(baseSamples.flatMap(_.get(n)))).toMap
+    val heavy = okNames.filter(provisional(_) >= 1.0)
     val heavyPasses = math.max(0, sys.env.getOrElse("SPARK_GRAFT_HEAVY_PASSES", "2").toInt)
     val heavySamples: Seq[Map[String, Double]] = (1 to heavyPasses).map { p =>
       System.err.println(s"[bench] heavy pass $p/$heavyPasses (${heavy.size} queries)")
-      heavy.map(n => n -> timeOne(n, selected(n))).toMap
+      heavy.flatMap(n => sample(n).map(n -> _)).toMap
     }
-    val allSamples: Map[String, Seq[Double]] = names.map { n =>
-      n -> (baseSamples.map(_(n)) ++ heavySamples.flatMap(_.get(n)))
+    val finalOk = names.filterNot(errors.contains)
+    val allSamples: Map[String, Seq[Double]] = finalOk.map { n =>
+      n -> (baseSamples.flatMap(_.get(n)) ++ heavySamples.flatMap(_.get(n)))
     }.toMap
-    val results: Map[String, Double] = names.map(n => n -> med(allSamples(n))).toMap
-    val mins: Map[String, Double] = names.map(n => n -> allSamples(n).min).toMap
+    val results: Map[String, Double] = finalOk.map(n => n -> med(allSamples(n))).toMap
+    val mins: Map[String, Double] = finalOk.map(n => n -> allSamples(n).min).toMap
     def r3(v: Double): String = f"$v%.3f"
     def jmap(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    def jerr(m: scala.collection.Map[String, String]): String = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},""" +
-      s""""queries_min":${jmap(mins)},"sf":"$sfDir","passes":$passes,"heavy_passes":$heavyPasses}"""
+      s""""queries_min":${jmap(mins)},"errors":${jerr(errors)},"failures":${errors.size},""" +
+      s""""sf":"$sfDir","passes":$passes,"heavy_passes":$heavyPasses}"""
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} FAILED queries: ${errors.keys.toSeq.sorted.mkString(", ")}")
     // the artifact ALSO lands in a file: the driver's stdout tail capture
     // once truncated a round's bench line (BENCH_r02) — a sidecar file
     // makes the full per-query map always recoverable

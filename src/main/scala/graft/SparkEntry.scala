@@ -21,14 +21,13 @@ import graft.operators._
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects
-      // ([PARQUET_TYPE_ILLEGAL]); read nanos as long and truncate to micros
-      // — exactly what DuckDB does when it surfaces the column as TIMESTAMP.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+      // Fixture generations have carried ts as TIMESTAMP(NANOS) or
+      // timestamp[us]; the schema-adaptive reader normalizes both to a
+      // session-zoned micros TIMESTAMP (see EventsFixture for the full
+      // rationale and the reference's store.go:55-71 analog).
+      graft.sources.EventsFixture.read(s, s"$dir/$name.parquet")
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Final-projection cast: emit naive (NTZ) timestamps so parquet output
@@ -493,6 +492,32 @@ object SparkEntry {
         .select(F.col("node").as("doc_id"))
       quality.join(reps, "doc_id")
         .groupBy("source").agg(F.count(F.lit(1)).as("n_kept"))
+    }),
+    // The PRODUCTION order-of-operations (ExactSubstr paper's pipeline):
+    // exact dedup first (cheapest, largest volume), then cross-doc span
+    // removal over the exact-unique corpus, then MinHash near-dup
+    // clustering over the CLEANED text — proving the dedup family
+    // composes without re-shingling between stages (each stage consumes
+    // the previous stage's output frame directly). Output: every corpus
+    // doc's disposition (exact_dup / near_dup / kept) with its stage-3
+    // cluster and stage-2 span stats.
+    "q_dedup_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepIds = Dedup.exact(docs, "doc_id", "text")
+        .select(F.col("keep_id").as("doc_id"))
+      val s1 = docs.join(keepIds, Seq("doc_id")).select("doc_id", "text")
+      val cleaned = Dedup.removeDuplicatedSpans(s1, "doc_id", "text")
+      val pairs = Dedup.minhashCandidates(cleaned, "doc_id", "clean_text")
+      val cc = Dedup.connectedComponents(pairs, cleaned.select(F.col("doc_id").as("node")))
+        .select(F.col("node").as("doc_id"), F.col("label").as("cluster"))
+      val survivors = cleaned.join(cc, "doc_id")
+        .select(F.col("doc_id"), F.col("cluster"), F.col("n_tokens"), F.col("n_removed"))
+      docs.select("doc_id").join(survivors, Seq("doc_id"), "left")
+        .select(F.col("doc_id"),
+          F.when(F.col("cluster").isNull, F.lit("exact_dup"))
+            .when(F.col("cluster") === F.col("doc_id"), F.lit("kept"))
+            .otherwise(F.lit("near_dup")).as("stage"),
+          F.col("cluster"), F.col("n_tokens"), F.col("n_removed"))
     }),
     // Symmetric per-vector int8 quantization quality stats (map-only).
     "q_embed_int8" -> ((s, dir) =>
@@ -1072,6 +1097,18 @@ object SparkEntry {
         docs.filter(F.col("source") === "src0"),
         "doc_id", "text", n = 3, minShared = 2L)
     }),
+    // The n-gram width SWEEP real decontamination runs (8/10/13-gram —
+    // the GPT-3/WMDP band): per width, bench shingles compress into a
+    // broadcast bloom, the train side prunes before the shuffle, and one
+    // stats row per width reports the hit surface. minShared=1: any
+    // shared window of these lengths is a leak signal.
+    "q_contamination_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DataShaping.contaminationSweep(
+        docs.filter(F.col("source") =!= "src0"),
+        docs.filter(F.col("source") === "src0"),
+        "doc_id", "text", widths = Seq(8, 10, 13), minShared = 1L)
+    }),
     // Spark's NATIVE session_window operator (same 30-min gap semantics as
     // q_sessionize's window-pass formulation; oracle derives session starts
     // from the explicit gap construction).
@@ -1597,6 +1634,35 @@ object SparkEntry {
         // array_to_string([]) is NULL in DuckDB; Spark's concat_ws gives ''
         "coalesce(array_to_string(list_transform(list_filter(range(1, len(t.arr) + 1), i -> NOT list_contains(coalesce(c.ps, []), i)), i -> t.arr[CAST(i AS INT)]), ' '), '') AS clean_text " +
         "FROM toks t LEFT JOIN cova c USING (doc_id)"),
+    // Stage chain mirrored 1:1: exact-keep -> span removal over the
+    // exact-unique corpus (st-prefixed CTEs; the q_substr_dedup chain
+    // re-rooted at s1) -> minhash bands over the CLEANED text (cleaned2
+    // provides (doc_id, text) so the shared band CTEs apply unchanged)
+    // -> recursive CC closure -> per-doc disposition.
+    "q_dedup_pipeline" ->
+      ("WITH RECURSIVE xkeep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+        "s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN xkeep USING (doc_id)), " +
+        "st AS (SELECT doc_id, string_split(text, ' ') AS arr FROM s1), " +
+        "sp AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS i FROM st WHERE len(arr) >= 3), " +
+        "ssh AS (SELECT doc_id, i, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || arr[CAST(i AS INT) + 2] AS shingle FROM sp), " +
+        "sdup AS (SELECT shingle FROM (SELECT shingle, count(DISTINCT doc_id) AS df FROM ssh GROUP BY shingle) WHERE df >= 2), " +
+        "scov AS (SELECT DISTINCT doc_id, i + d AS p FROM (SELECT doc_id, i FROM ssh JOIN sdup USING (shingle)) CROSS JOIN (SELECT unnest(range(0, 3)) AS d)), " +
+        "scova AS (SELECT doc_id, list_sort(list(p)) AS ps FROM scov GROUP BY doc_id), " +
+        "cl2 AS (SELECT t.doc_id, CAST(len(t.arr) AS BIGINT) AS n_tokens, " +
+        "CAST(coalesce(len(c.ps), 0) AS BIGINT) AS n_removed, " +
+        "coalesce(array_to_string(list_transform(list_filter(range(1, len(t.arr) + 1), i -> NOT list_contains(coalesce(c.ps, []), i)), i -> t.arr[CAST(i AS INT)]), ' '), '') AS text " +
+        "FROM st t LEFT JOIN scova c USING (doc_id)), " +
+        "cleaned2 AS (SELECT doc_id, text FROM cl2), " +
+        minhashBandsCtesFrom("cleaned2") + ", " +
+        s"cands AS ($minhashCandSelect), " +
+        "e AS (SELECT a AS src, b AS dst FROM cands UNION ALL SELECT b AS src, a AS dst FROM cands), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS label FROM cleaned2 " +
+        "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node), " +
+        "lab AS (SELECT node, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node) " +
+        "SELECT d.doc_id, " +
+        "CASE WHEN l.cluster IS NULL THEN 'exact_dup' WHEN l.cluster = d.doc_id THEN 'kept' ELSE 'near_dup' END AS stage, " +
+        "l.cluster, c.n_tokens, c.n_removed " +
+        "FROM documents d LEFT JOIN lab l ON l.node = d.doc_id LEFT JOIN cl2 c ON c.doc_id = d.doc_id"),
     // The cluster CC closure + the q_split_assign nibble mapping applied
     // to the CLUSTER label instead of the doc id.
     "q_leakage_split" ->
@@ -2191,6 +2257,30 @@ object SparkEntry {
         "sb AS (SELECT DISTINCT doc_id, arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' || arr[CAST(i AS INT) + 2] AS shingle FROM pb) " +
         "SELECT a.doc_id AS train_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS shared " +
         "FROM sa a JOIN sb b ON a.shingle = b.shingle GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2"),
+    // One suffixed CTE chain per width; the bloom pre-pass changes the
+    // plan, not the rows, so the oracle is the plain per-width join.
+    "q_contamination_sweep" -> {
+      def widthBlock(n: Int): String = {
+        val shingle = (0 until n).map(o => s"arr[CAST(i AS INT) + $o]").mkString(" || ' ' || ")
+        s"ta$n AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE source <> 'src0'), " +
+          s"pa$n AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - ${n - 1}, 0) + 1)) AS i FROM ta$n WHERE len(arr) >= $n), " +
+          s"sa$n AS (SELECT DISTINCT doc_id, $shingle AS shingle FROM pa$n), " +
+          s"tb$n AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE source = 'src0'), " +
+          s"pb$n AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - ${n - 1}, 0) + 1)) AS i FROM tb$n WHERE len(arr) >= $n), " +
+          s"sb$n AS (SELECT DISTINCT doc_id, $shingle AS shingle FROM pb$n), " +
+          s"p$n AS (SELECT a.doc_id AS train_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS shared " +
+          s"FROM sa$n a JOIN sb$n b ON a.shingle = b.shingle GROUP BY 1, 2 HAVING count(*) >= 1)"
+      }
+      def widthSelect(n: Int): String =
+        s"SELECT CAST($n AS INT) AS ngram_n, count(*) AS n_pairs, " +
+          "CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs, " +
+          "CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs, " +
+          "CAST(coalesce(sum(shared), 0) AS BIGINT) AS total_shared, " +
+          s"CAST(coalesce(max(shared), 0) AS BIGINT) AS max_shared FROM p$n"
+      val widths = Seq(8, 10, 13)
+      "WITH " + widths.map(widthBlock).mkString(", ") + " " +
+        widths.map(widthSelect).mkString(" UNION ALL ")
+    },
     // Bloom pre-pass changes the plan, not the rows — identical oracle.
     "q_contamination_bloom" ->
       ("WITH ta AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE source <> 'src0'), " +

@@ -314,4 +314,30 @@ object DataShaping {
       .agg(F.count(F.lit(1)).as("shared"))
       .filter(F.col("shared") >= minShared)
   }
+
+  /** The n-gram WIDTH SWEEP real decontamination runs: a single shared
+    * width under-reports (short windows over-match boilerplate, long
+    * windows miss paraphrases), so production sweeps a band of widths —
+    * the WMDP/GPT-3-style 8–13-gram range — and reports per-width hit
+    * stats to pick the operating point. Each width reuses the
+    * [[contaminationBloom]] shape (bench shingles → broadcast bloom →
+    * train side pre-filtered BEFORE the shuffle), so at 100 TB the sweep
+    * costs `|widths|` bloom-pruned passes over the contaminated sliver,
+    * never `|widths|` full-corpus shuffles. One output row per width:
+    * pair count, distinct train/bench docs hit, total and max shared
+    * windows — the table a curation run reads to set its removal width. */
+  def contaminationSweep(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, widths: Seq[Int] = Seq(8, 10, 13),
+                         minShared: Long = 1L): DataFrame =
+    widths.map { n =>
+      contaminationBloom(train, bench, idCol, textCol, n, minShared)
+        .agg(
+          F.count(F.lit(1)).as("n_pairs"),
+          F.countDistinct(F.col("train_id")).as("n_train_docs"),
+          F.countDistinct(F.col("bench_id")).as("n_bench_docs"),
+          F.coalesce(F.sum("shared"), F.lit(0L)).as("total_shared"),
+          F.coalesce(F.max("shared"), F.lit(0L)).as("max_shared"))
+        .select(F.lit(n).as("ngram_n"), F.col("n_pairs"), F.col("n_train_docs"),
+          F.col("n_bench_docs"), F.col("total_shared"), F.col("max_shared"))
+    }.reduce(_ unionAll _)
 }

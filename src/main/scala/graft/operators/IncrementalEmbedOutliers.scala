@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
+
+/** Ingest-time embedding-space OUTLIER detection — the asymmetric family
+  * member round 7 left out: [[IncrementalSemanticDedup]]'s cell-store
+  * pattern applied to the `q_embed_outliers` semantics
+  * (max-cosine-to-any-trained-centroid, bottom-`q` flagged).
+  *
+  * The expensive part of the batch job at 100 TB is SCORING: every vector
+  * × every centroid, over the dim-wide float arrays. The incremental form
+  * pays that exactly once per vector, map-only, on arrival against a
+  * FROZEN snapped model, and persists only the slim `(id, max_sim)` score
+  * row — ~16 bytes/vector instead of the ~300 B embedding. What CANNOT be
+  * frozen is the THRESHOLD: the flag cutoff is a corpus-wide percentile,
+  * so every new batch moves it and may re-flag OLD rows (a vector that
+  * was bottom-5% yesterday may not be after a batch of worse ones). So
+  * [[flags]] recomputes the percentile over the accumulated score store —
+  * a 1-row aggregate over slim rows — and re-emits the full flag set,
+  * giving incremental(b1, b2) ≡ batch(b1 ∪ b2) EXACTLY (spec'd, no
+  * cross-batch caveat: unlike dedup there is no transitive structure).
+  *
+  * Scale shape: per batch one map-only scoring pass over the batch +
+  * one slim-table percentile + one slim-table flag projection. No joins,
+  * no shuffle wider than the (id, max_sim) pairs.
+  */
+object IncrementalEmbedOutliers {
+
+  /** Parquet-backed score table: (id long, max_sim double, batch_id long).
+    * Schema pinned explicitly (the [[IncrementalDedup.BucketStore]]
+    * lesson: never footer-sampled). */
+  final class ScoreStore(spark: SparkSession, dir: String) {
+    private val path = s"$dir/embed_scores"
+    private val ddl = "id BIGINT, max_sim DOUBLE, batch_id BIGINT"
+    private def fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def init(): Unit =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .write.parquet(path)
+      }
+    def scores: DataFrame =
+      spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)).parquet(path)
+    def append(b: DataFrame): Unit =
+      b.select("id", "max_sim", "batch_id").write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Score a new batch against the frozen model and append to the store.
+    * Replay-stable: rows this `batchId` already wrote are dropped first
+    * (scoring is deterministic, so a replayed foreachBatch micro-batch
+    * appends nothing new and the flag set is unchanged — at-least-once
+    * ingest composes to exactly-once flags without an overwrite sink). */
+  def scoreBatch(
+      batch: DataFrame,
+      store: ScoreStore,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      batchId: Long = -1L): Unit = {
+    val scored = batch.select(
+      F.col(idCol).cast("long").as("id"),
+      Similarity.maxCellSim(F.col(vecCol), centroids).as("max_sim"),
+      F.lit(batchId).as("batch_id"))
+    // anti-join against this batch's OWN prior rows (id is the key within
+    // one batch) — a replay must not double-append; other batches' rows
+    // are untouched, so the store only ever grows by new vectors
+    val prior = store.scores.filter(F.col("batch_id") === batchId)
+      .select(F.col("id"))
+    val fresh = scored.join(prior, Seq("id"), "left_anti")
+      // sever lineage from the store path being appended to (the
+      // [[IncrementalSemanticDedup]] recache lesson)
+      .localCheckpoint(true)
+    store.append(fresh)
+  }
+
+  /** The corpus-wide flag set from the accumulated scores: exact
+    * percentile threshold (1-row aggregate, broadcast) + slim projection.
+    * Identical semantics — and bit-identical doubles — to the batch
+    * q_embed_outliers query run over the union of all scored batches. */
+  def flags(store: ScoreStore, q: Double = 0.05): DataFrame = {
+    val scored = store.scores.select("id", "max_sim")
+    val thr = scored.agg(F.expr(s"percentile(max_sim, $q)").as("thr"))
+    scored.crossJoin(F.broadcast(thr))
+      .select(F.col("id"), F.col("max_sim"),
+        (F.col("max_sim") < F.col("thr")).as("is_outlier"))
+  }
+}

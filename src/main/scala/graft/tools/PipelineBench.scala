@@ -24,14 +24,13 @@ object PipelineBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val wh = Files.createTempDirectory("graft-tpbench").toString
     val store = new ParquetEventStore(spark, wh)
     store.init()
 
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("created_at", F.expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.sources.EventsFixture.read(spark, s"$sfDir/events.parquet")
+      .withColumn("created_at", F.col("ts"))
       .select(
         F.lit(0L).as("id"),
         F.col("event_id").cast("string").as("guid"),

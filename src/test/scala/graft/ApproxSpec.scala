@@ -14,10 +14,8 @@ import org.apache.spark.sql.{functions => F}
   * countDistinct (expand + two-phase shuffle of every key) is not. */
 class ApproxSpec extends SparkSpec {
 
-  private lazy val events = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-  }
+  private lazy val events =
+    graft.sources.EventsFixture.read(spark, "/root/testdata/sf0.01/events.parquet")
   private lazy val lineitem = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
 
   it("approx_count_distinct (HLL++) lands within its rsd bound of the exact count") {

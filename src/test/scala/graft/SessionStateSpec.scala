@@ -45,9 +45,9 @@ class SessionStateSpec extends SparkSpec {
 
     it("assigns identical sessions to the batch operator on a MemoryStream replay of the fixture") {
       // events fixture replayed in event-time order across 4 micro-batches
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val fixture = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .selectExpr("user_id", "event_id", "ts div 1000 as ts_us")
+      val fixture = graft.sources.EventsFixture
+        .read(spark, "/root/testdata/sf0.001/events.parquet")
+        .selectExpr("user_id", "event_id", "unix_micros(ts) as ts_us")
       val batchExpected = Sessionize.assign(
         fixture.selectExpr("user_id", "event_id", "timestamp_micros(ts_us) as ts"),
         "user_id", "ts", "event_id", gapMinutes = 30)

@@ -65,6 +65,72 @@ object Quantization {
     Similarity.topKPerQuery(scored.select("qid", "cid", "i8_sim"), "i8_sim", k)
   }
 
+  /** 1-BIT (sign) quantization: dim bits/vector — the cheapest serving
+    * tier below int8 (32× smaller than float32, 8× below int8). Bit i is
+    * set iff v[i] >= 0; the 64-dim fixture packs into TWO overflow-free
+    * long words (`b_lo` dims 1-32, `b_hi` dims 33-64 — the
+    * [[Dedup.simhash64]] two-word pattern, so the same banded-LSH
+    * machinery applies to binary codes at scale). Map-only; the
+    * aggregate-over-sequence bit pack stays inside whole-stage codegen. */
+  def binarize(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings.select(F.col(idCol).as("vec_id"),
+      signWord(vecCol, 0).as("b_lo"), signWord(vecCol, 32).as("b_hi"))
+
+  /** Sum of (1 << (i-1)) over the 32 dims at `off+1 .. off+32` whose
+    * component is >= 0. SQL-expr form because shiftleft's shift amount
+    * must be a column here. */
+  private def signWord(vecCol: String, off: Int): Column =
+    F.expr(s"aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+      s"(CASE WHEN CAST(element_at($vecCol, i + $off) AS DOUBLE) >= 0.0 " +
+      s"THEN CAST(shiftleft(CAST(1 AS BIGINT), i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END))")
+
+  /** Top-k retrieval in the BINARY domain: Hamming distance = popcount of
+    * the XORed words — two `bit_count` ops per candidate instead of a
+    * dim-wide float dot (the asymmetric-rerank-ready first tier; at
+    * 100 TB the scan reads 16 B/vector and the [[Dedup]] 4-band
+    * pigeonhole banding turns the candidate join sub-quadratic — here the
+    * corpus side stays a full scan because the fixture queries rank ALL
+    * candidates for the oracle). Ranking: hamming ASC, cid ASC, via the
+    * bounded-heap [[Similarity.topKPerQuery]] on the negated distance. */
+  def binaryTopK(embeddings: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val corpus = binarize(embeddings, idCol, vecCol)
+      .select(F.col("vec_id").as("cid"), F.col("b_lo").as("clo"), F.col("b_hi").as("chi"))
+    val qs = binarize(queries, idCol, vecCol)
+      .select(F.col("vec_id").as("qid"), F.col("b_lo").as("qlo"), F.col("b_hi").as("qhi"))
+    val scored = corpus.crossJoin(F.broadcast(qs))
+      .filter(F.col("qid") =!= F.col("cid"))
+      .withColumn("hamming",
+        (F.bit_count(F.col("qlo").bitwiseXOR(F.col("clo"))) +
+          F.bit_count(F.col("qhi").bitwiseXOR(F.col("chi")))).cast("long"))
+      .withColumn("__negh", -F.col("hamming"))
+    Similarity.topKPerQuery(scored.select("qid", "cid", "hamming", "__negh"), "__negh", k)
+      .select(F.col("qid"), F.col("cid"), (-F.col("__negh")).as("hamming"), F.col("rn"))
+  }
+
+  /** The production TWO-STAGE binary serve: Hamming shortlist over the
+    * 16 B/vector codes, then exact cosine ONLY on the `shortlist` ids per
+    * query (the asymmetric-rerank recipe; same stage shape as
+    * [[Similarity.ivfPqTopKWithModel]]'s ADC→exact tail). At 100 TB the
+    * first stage scans packed words, and only |Q|·shortlist rows ever
+    * touch the float vectors — which join by shuffle on id, never
+    * broadcast (the corpus-sized side). */
+  def binaryRerankTopK(embeddings: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String,
+                       shortlist: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{fvDot => ndot}
+    val short = binaryTopK(embeddings, queries, idCol, vecCol, shortlist)
+      .select(F.col("qid"), F.col("cid"))
+    val base = embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
+      F.sqrt(ndot(F.col(vecCol), F.col(vecCol))).as("nrm"))
+    val reranked = short
+      .join(base.select(F.col("id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn")), "qid")
+      .join(base.select(F.col("id").as("cid"), F.col("v").as("cv"), F.col("nrm").as("cn")), "cid")
+      .select(F.col("qid"), F.col("cid"),
+        F.round(ndot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).as("cos_sim"))
+    Similarity.topKPerQuery(reranked, "cos_sim", k)
+  }
+
   def int8Symmetric(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = F.col(vecCol)
     val absMax = F.array_max(F.transform(v, x => F.abs(x.cast("double"))))

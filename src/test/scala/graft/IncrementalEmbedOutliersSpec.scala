@@ -116,4 +116,23 @@ class IncrementalEmbedOutliersSpec extends SparkSpec {
     IncrementalEmbedOutliers.scoreBatch(batch1, st, "vec_id", "embedding", cents, batchId = 1L)
     st.scores.columns.toSeq shouldBe Seq("id", "max_sim", "batch_id")
   }
+
+  it("streaming twin: MemoryStream micro-batches flag exactly like the batch job") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val st = newStore()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    val q = graft.streaming.StreamingEmbedOutliers.attach(
+      stream, Files.createTempDirectory("graft-embout-ckpt").toString,
+      st, cents, triggerMillis = 50L)
+    try {
+      def rows(df: DataFrame) = df.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      input.addData(rows(batch1)); q.processAllAvailable()
+      input.addData(rows(batch2)); q.processAllAvailable()
+    } finally q.stop()
+    incFlags(st, 0.10) shouldBe batchFlags(all, 0.10)
+  }
 }

@@ -60,6 +60,7 @@ object SparkEntry {
   @volatile private var negMiningStash: Option[Array[Array[Double]]] = None
   @volatile private var bpeStash: Option[Seq[(String, String)]] = None
   @volatile private var annSizedModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+  @volatile private var clusterKeywordsStash: Option[Array[Array[Double]]] = None
 
   /** Once-per-(process, sf-dir) trained BPE merge list — train-rarely/
     * encode-always, the [[kmeansModels]] pattern for the tokenizer. */
@@ -318,6 +319,33 @@ object SparkEntry {
         F.rank().over(byPrice).cast("long").as("rnk"),
         F.sum("o_totalprice").over(running).as("running_total"))
     }),
+    // Distribution window family: percent_rank / cume_dist / ntile —
+    // deterministic rationals (percent_rank = (rank-1)/(n-1), exact small
+    // integers divided, so no cross-engine float drift) over a
+    // tie-broken order.
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(F.col("event_type"))
+        .orderBy(F.col("value"), F.col("event_id"))
+      t(s, dir, "events").select(
+        F.col("event_type"), F.col("event_id"),
+        F.round(F.percent_rank().over(w), 6).as("pr"),
+        F.round(F.cume_dist().over(w), 6).as("cd"),
+        F.ntile(4).over(w).cast("long").as("quartile"))
+    }),
+    // RANGE-frame moving aggregate (vs q_window_rank's ROWS frame): each
+    // event sums the events of the SAME USER within the trailing hour of
+    // EVENT TIME — frame membership by time value, not row position.
+    // Integer micros domain keeps the frame bound exact in both engines.
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(F.col("user_id"))
+        .orderBy(F.col("__us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("__us", F.unix_micros(F.col("ts")))
+        .select(F.col("user_id"), F.col("event_id"),
+          F.count(F.lit(1)).over(w).as("n_trailing_hour"),
+          F.round(F.sum("value").over(w), 4).as("sum_trailing_hour"))
+    }),
     "q_topk_customers" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy("o_custkey").agg(F.count(F.lit(1)).as("n_orders"))
@@ -472,6 +500,22 @@ object SparkEntry {
     // also occur in other docs — no pair join, linear in the corpus.
     "q_dup_span_frac" -> ((s, dir) =>
       Dedup.corpusDupSpans(t(s, dir, "documents"), "doc_id", "text")),
+    // Corpus-order NOVELTY: per doc, the fraction of its distinct
+    // 3-gram spans this doc is the FIRST (min doc_id) observer of — the
+    // "how much does each arriving doc add" curve an ingest-order
+    // curation run reads. Same linear shingle-df shape as
+    // q_dup_span_frac: one rollup + one join on the shingle key.
+    "q_novelty" -> ((s, dir) => {
+      val sh = Dedup.wordShingles(t(s, dir, "documents"), "doc_id", "text")
+      val first = sh.groupBy("shingle").agg(F.min(F.col("doc")).as("__first"))
+      sh.join(first, "shingle")
+        .groupBy(F.col("doc").as("doc_id"))
+        .agg(
+          F.count(F.lit(1)).as("n_shingles"),
+          F.sum(F.when(F.col("__first") === F.col("doc"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_frac",
+          F.round(F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"), 4))
+    }),
     // The REMOVAL form (ExactSubstr dedup, Lee et al. §4.1): rewrite each
     // doc with every cross-doc-duplicated 3-gram span cut out — the
     // covered-position set is exploded only for duplicated starts, so
@@ -530,6 +574,10 @@ object SparkEntry {
           "vec_id", "embedding", 3)
         .withColumn("rn", F.col("rn").cast("long"))
     }),
+    // Greedy k-center coreset selection (data pruning): the k=5 mutually
+    // most-distant exemplars with the coverage-radius curve.
+    "q_coreset_kcenter" -> ((s, dir) =>
+      Similarity.kCenterSelect(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)),
     // 1-bit (sign) embedding codes: two packed long words per vector.
     "q_embed_binary" -> ((s, dir) =>
       Quantization.binarize(t(s, dir, "embeddings"), "vec_id", "embedding")),
@@ -627,6 +675,18 @@ object SparkEntry {
       kmeansStash = Some(cents)
       e.select(F.col("vec_id"),
         Similarity.nearestCell(F.col("embedding"), cents).as("cluster"))
+    }),
+    // Topic-cluster labeling: the shared k-means assignment joined onto
+    // the documents, then cluster-level TF-IDF top-3 keywords per cell —
+    // the composition a curation run uses to NAME its embedding clusters.
+    "q_cluster_keywords" -> ((s, dir) => {
+      val cents = sharedKmeans(s, dir)
+      clusterKeywordsStash = Some(cents)
+      val cells = t(s, dir, "embeddings").select(F.col("vec_id").as("doc_id"),
+        Similarity.nearestCell(F.col("embedding"), cents).as("cluster"))
+      TextAnalysis.clusterKeywords(
+        t(s, dir, "documents").select("doc_id", "text").join(cells, "doc_id"),
+        "cluster", "text", k = 3)
     }),
     // Chunk-level dedup (the RefinedWeb/Gopher "mostly copy-paste
     // document" signal): non-overlapping 32-token chunks, corpus-wide
@@ -1347,6 +1407,43 @@ object SparkEntry {
       s" SELECT id AS node_id, round(r, 6) AS pagerank FROM r$iters"
   }
 
+  /** Unrolled greedy k-center trajectory: step i keeps a running `mind`
+    * CTE (least of the previous floor and the distance to the newly
+    * selected center), selects the argmax row by (mind DESC, vec_id) —
+    * the same rounded-cosine distance and tiebreak the Spark loop uses,
+    * so selection order and radii replay exactly. */
+  private def kCenterOracle(k: Int): String = {
+    def distStep(i: Int): String = {
+      val t = s"t$i AS (SELECT b.vec_id, " +
+        "sum(CAST(b.embedding[CAST(u.i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(u.i AS INT)] AS DOUBLE)) AS dot " +
+        s"FROM embeddings b CROSS JOIN c$i c CROSS JOIN u GROUP BY b.vec_id), "
+      val cn = s"cn$i AS (SELECT nrm.nv FROM nrm JOIN c$i c ON nrm.vec_id = c.vec_id), "
+      val m =
+        if (i == 1)
+          s"m$i AS (SELECT t.vec_id, 1.0 - round(t.dot / (bn.nv * cn$i.nv), 4) AS mind " +
+            s"FROM t$i t JOIN nrm bn ON bn.vec_id = t.vec_id CROSS JOIN cn$i)"
+        else
+          s"m$i AS (SELECT m.vec_id, least(m.mind, 1.0 - round(t.dot / (bn.nv * cn$i.nv), 4)) AS mind " +
+            s"FROM m${i - 1} m JOIN t$i t ON t.vec_id = m.vec_id " +
+            s"JOIN nrm bn ON bn.vec_id = m.vec_id CROSS JOIN cn$i)"
+      t + cn + m
+    }
+    def centerCte(i: Int): String =
+      if (i == 1) "c1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1)"
+      else s"c$i AS (SELECT b.vec_id, b.embedding, m.mind FROM m${i - 1} m " +
+        "JOIN embeddings b ON b.vec_id = m.vec_id ORDER BY m.mind DESC, m.vec_id LIMIT 1)"
+    val ctes = "u AS (SELECT unnest(range(1, 65)) AS i), " +
+      "nrm AS (SELECT vec_id, sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS nv " +
+      "FROM (SELECT vec_id, embedding, unnest(range(1, 65)) AS i FROM embeddings) GROUP BY vec_id), " +
+      (1 to k).map { i =>
+        centerCte(i) + (if (i < k) ", " + distStep(i) else "")
+      }.mkString(", ")
+    val selects = "SELECT CAST(1 AS BIGINT) AS sel_idx, vec_id, 0.0 AS radius FROM c1" +
+      (2 to k).map(i =>
+        s" UNION ALL SELECT CAST($i AS BIGINT), vec_id, round(mind, 4) FROM c$i").mkString
+    s"WITH $ctes $selects"
+  }
+
   /** Single-table 8-bit seeded random-hyperplane bucket — the SAME doubles
     * the Spark operators use (gaussianPlanes is seed-deterministic and
     * Double.toString round-trips exactly into DuckDB's parser). */
@@ -1519,6 +1616,18 @@ object SparkEntry {
         "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total FROM orders"),
     "q_topk_customers" ->
       "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10",
+    "q_window_dist" ->
+      ("SELECT event_type, event_id, " +
+        "round(percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS pr, " +
+        "round(cume_dist() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS cd, " +
+        "CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS quartile " +
+        "FROM events"),
+    "q_window_range" ->
+      ("WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events) " +
+        "SELECT user_id, event_id, " +
+        "CAST(count(*) OVER w AS BIGINT) AS n_trailing_hour, " +
+        "round(sum(value) OVER w, 4) AS sum_trailing_hour " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"),
     "q_stats_aggs" ->
       ("SELECT event_type, round(var_samp(value), 4) AS var_value, round(stddev_samp(value), 4) AS sd_value, " +
         "round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_vu, " +
@@ -1616,6 +1725,7 @@ object SparkEntry {
         "CAST(sum(CASE WHEN abs(qi) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat, " +
         "round(sum(abs(vi - qi * scale)) / 64, 6) AS recon_mae " +
         "FROM q GROUP BY vec_id"),
+    "q_coreset_kcenter" -> kCenterOracle(5),
     // The simhash64 two-word bit-pack pattern applied to sign bits.
     "q_embed_binary" ->
       ("WITH t AS (SELECT vec_id, embedding, unnest(range(1, 33)) AS i FROM embeddings), " +
@@ -1679,6 +1789,14 @@ object SparkEntry {
         "round(CAST(sum(CASE WHEN d.span_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS dup_span_frac, " +
         "max(d.span_df) AS max_span_df " +
         "FROM sh s JOIN dfr d USING (shingle) GROUP BY s.doc_id"),
+    // First-observer rollup over the same shared shingle CTE.
+    "q_novelty" ->
+      ("WITH " + docShinglesCtes + ", " +
+        "fst AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle) " +
+        "SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS novelty_frac " +
+        "FROM sh s JOIN fst f USING (shingle) GROUP BY s.doc_id"),
     // Positional twin of the span CTE: duplicated starts expand to their
     // covered positions; kept tokens are re-joined by index filter.
     "q_substr_dedup" ->
@@ -1816,6 +1934,20 @@ object SparkEntry {
       .map(c => ivfAssignCtes(c) +
         " SELECT id AS vec_id, CAST(cell AS INTEGER) AS cluster FROM arank WHERE crn = 1")
       .getOrElse("SELECT NULL AS vec_id, NULL AS cluster WHERE 1 = 0"),
+    // Shared assignment CTEs at crn=1 -> cluster-level tf-idf, ranked.
+    "q_cluster_keywords" -> clusterKeywordsStash
+      .map(c => ivfAssignCtes(c) +
+        ", cells AS (SELECT id AS doc_id, CAST(cell AS INTEGER) AS cluster FROM arank WHERE crn = 1), " +
+        "ktoks AS (SELECT c.cluster, unnest(string_split(d.text, ' ')) AS term " +
+        "FROM documents d JOIN cells c USING (doc_id)), " +
+        "ctf AS (SELECT cluster, term, CAST(count(*) AS BIGINT) AS ctf FROM ktoks GROUP BY cluster, term), " +
+        "kdf AS (SELECT term, CAST(count(*) AS BIGINT) AS cdf FROM ctf GROUP BY term), " +
+        "knc AS (SELECT CAST(count(DISTINCT cluster) AS DOUBLE) AS nc FROM ctf), " +
+        "kscored AS (SELECT cluster, term, ctf, cdf, " +
+        "round(ctf * ln((knc.nc + 1.0) / CAST(cdf AS DOUBLE)), 4) AS score FROM ctf JOIN kdf USING (term), knc), " +
+        "kranked AS (SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY score DESC, term ASC) AS rn FROM kscored) " +
+        "SELECT cluster, term, ctf, cdf, score, CAST(rn AS BIGINT) AS rn FROM kranked WHERE rn <= 3")
+      .getOrElse("SELECT NULL AS cluster, NULL AS term, NULL AS ctf, NULL AS cdf, NULL AS score, NULL AS rn WHERE 1 = 0"),
     // Max cell sim from the shared assignment CTEs (per-id max over the
     // per-centroid rounded cosines) + quantile_cont threshold.
     "q_embed_outliers" -> embedOutlierStash

@@ -50,6 +50,49 @@ object Similarity {
   def cosineHof(a: Column, b: Column, scale: Int = 4): Column =
     F.round(dot(a, b) / (norm(a) * norm(b)), scale)
 
+  /** Greedy k-CENTER coreset selection — the data-PRUNING family member
+    * (pick the k mutually-most-distant exemplars, the classic 2-approx
+    * greedy): seed = the minimum id; each round adds the vector farthest
+    * (max min-cosine-distance, ties to the smallest id) from the selected
+    * set and reports the coverage `radius` at selection time (the
+    * monotone-decreasing curve a curation run reads to pick k).
+    *
+    * Scale shape: k rounds, each a MAP-ONLY distance update against ONE
+    * new broadcast-literal center plus a 1-ROW TakeOrdered — the bounded
+    * driver collect pattern (one ~300 B row per round, like the BPE merge
+    * row). Distances fold into a running `mind` column re-checkpointed
+    * per round, so round i never rescans centers 1..i-1: total cost is
+    * k map passes over the corpus, the textbook farthest-first shape.
+    * Distance = 1 − round(cos, 4): the rounding makes the trajectory
+    * (selection order AND radii) engine-exact, the snapped-model
+    * pattern applied to a selection loop. */
+  def kCenterSelect(embeddings: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{fvDot => ndot}
+    val spark = embeddings.sparkSession
+    val base = embeddings.select(F.col(idCol).cast("long").as("id"), F.col(vecCol).as("v"),
+      F.sqrt(ndot(F.col(vecCol), F.col(vecCol))).as("nrm"))
+    def distTo(c: Array[Double]): Column = {
+      val cn = math.sqrt(c.map(x => x * x).reduceLeft(_ + _))
+      F.lit(1.0) - F.round(dotLit(F.col("v"), c) / (F.col("nrm") * F.lit(cn)), 4)
+    }
+    val seed = base.orderBy(F.col("id")).limit(1).select("id", "v").collect()(0)
+    var selected = List((1L, seed.getLong(0), 0.0))
+    var centerVec = seed.getSeq[Float](1).map(_.toDouble).toArray
+    var cur = base.withColumn("mind", distTo(centerVec)).localCheckpoint(true)
+    for (i <- 2 to k) {
+      val next = cur.orderBy(F.col("mind").desc, F.col("id").asc).limit(1)
+        .select("id", "v", "mind").collect()(0)
+      selected ::= ((i.toLong, next.getLong(0), next.getDouble(2)))
+      centerVec = next.getSeq[Float](1).map(_.toDouble).toArray
+      cur = cur.withColumn("mind", F.least(F.col("mind"), distTo(centerVec)))
+        .localCheckpoint(true)
+    }
+    import spark.implicits._
+    selected.reverse.map { case (i, id, r) =>
+      (i, id, math.round(r * 10000.0) / 10000.0) }
+      .toDF("sel_idx", "vec_id", "radius")
+  }
+
   /** Maximal-marginal-relevance reranking — the diversification stage a
     * retrieval pipeline runs AFTER candidate generation: from each query's
     * `nCand`-candidate shortlist, greedily select `k` results maximizing

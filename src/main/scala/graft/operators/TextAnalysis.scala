@@ -144,6 +144,40 @@ object TextAnalysis {
         F.round(F.col("__top").cast("double") / F.col("n_grams").cast("double"), 4).as("top_gram_frac"))
   }
 
+  /** CLUSTER keyword labeling — the "what is this topic cluster about"
+    * step after embedding k-means: per cluster, the top-`k` terms by
+    * cluster-level TF-IDF (ctf · ln((nClusters+1)/cdf), where cdf counts
+    * the CLUSTERS containing the term — the smoothed c-TF-IDF form, so a
+    * term in every topic keeps a small positive weight and frequency
+    * still ranks it, instead of the unsmoothed form's all-zero
+    * degenerate tie when the vocabulary is corpus-wide).
+    * Input must carry `clusterCol` (e.g. the [[Similarity.nearestCell]]
+    * assignment joined onto documents).
+    *
+    * Scale shape: two combinable aggregations (cluster×term, then term)
+    * + a term-key join; the final window partitions by CLUSTER over a
+    * vocab-bounded frame (|clusters| × |vocab| rows at most — vocabulary,
+    * not corpus, sized; fine where a per-DOC window would not be). */
+  def clusterKeywords(df: DataFrame, clusterCol: String, textCol: String,
+                      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(F.col(clusterCol).as("cluster"),
+      F.explode(F.split(F.col(textCol), " ")).as("term"))
+    val ctf = toks.groupBy(F.col("cluster"), F.col("term"))
+      .agg(F.count(F.lit(1)).as("ctf"))
+    val cdf = ctf.groupBy(F.col("term")).agg(F.count(F.lit(1)).as("cdf"))
+    val nc = ctf.agg(F.countDistinct(F.col("cluster")).as("__nc"))
+    val scored = ctf.join(cdf, "term")
+      .crossJoin(F.broadcast(nc))
+      .withColumn("score",
+        F.round(F.col("ctf") * F.log((F.col("__nc").cast("double") + 1.0) / F.col("cdf").cast("double")), 4))
+    val w = Window.partitionBy(F.col("cluster"))
+      .orderBy(F.col("score").desc, F.col("term").asc)
+    scored.withColumn("rn", F.row_number().over(w).cast("long"))
+      .filter(F.col("rn") <= k)
+      .select("cluster", "term", "ctf", "cdf", "score", "rn")
+  }
+
   /** TF-IDF top term per document: term frequency from a (doc, term)
     * rollup, document frequency from a second rollup over the tf pairs,
     * corpus size as a broadcast 1-row aggregate; score = tf · ln(N/df),

@@ -227,6 +227,26 @@ class OperatorsSpec extends SparkSpec {
       (3L, Array(-1.0f, 0.0f, 0.0f))
     ).toDF("vec_id", "embedding")
 
+    it("kCenterSelect: farthest-first order, nonincreasing radii, distinct centers") {
+      // axis clusters: greedy from vec 0 must hop to a DIFFERENT axis each
+      // round before ever picking a same-axis near-dup
+      val km = Seq(
+        (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Array(0.99f, 0.05f, 0.0f, 0.0f)),
+        (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)), (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+        (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+      ).toDF("vec_id", "embedding")
+      val out = Similarity.kCenterSelect(km, "vec_id", "embedding", k = 4)
+        .orderBy("sel_idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      out.map(_._1) shouldBe Array(1L, 2L, 3L, 4L)
+      out.map(_._2).distinct.length shouldBe 4          // distinct centers
+      out.head._2 shouldBe 0L                           // seed = min id
+      out.map(_._2).toSet should not contain 1L         // near-dup of the seed never chosen
+      val radii = out.drop(1).map(_._3)
+      radii.zip(radii.tail).foreach { case (a, b) => b should be <= a } // coverage shrinks
+      radii.foreach(_ shouldBe 1.0 +- 1e-9)             // axes are mutually orthogonal
+    }
+
     it("cosine: identical direction = 1.0, orthogonal = 0.0, opposite = -1.0") {
       val out = vecs.as("a").crossJoin(vecs.as("b"))
         .select($"a.vec_id".as("x"), $"b.vec_id".as("y"),

@@ -319,6 +319,14 @@ object SparkEntry {
         F.rank().over(byPrice).cast("long").as("rnk"),
         F.sum("o_totalprice").over(running).as("running_total"))
     }),
+    // Entity-level time-series similarity search: 24-dim hour-of-day
+    // activity profiles from one combinable rollup, cosine top-3 similar
+    // users per query user — the distributed top-k similarity-search
+    // shape over the event stream.
+    "q_ts_user_topk" -> ((s, dir) =>
+      TimeSeries.hourProfileTopK(t(s, dir, "events"), "user_id", "ts", "value",
+          queryPred = F.col("user_id") < 10, k = 3)
+        .withColumn("rn", F.col("rn").cast("long"))),
     // Distribution window family: percent_rank / cume_dist / ntile —
     // deterministic rationals (percent_rank = (rank-1)/(n-1), exact small
     // integers divided, so no cross-engine float drift) over a
@@ -1616,6 +1624,15 @@ object SparkEntry {
         "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total FROM orders"),
     "q_topk_customers" ->
       "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10",
+    // 24 CASE-sum profile terms, then the shared cosine chain at dims=24.
+    "q_ts_user_topk" -> cosineOracle(
+      "WITH prof AS (SELECT user_id, [" +
+        (0 until 24).map(h =>
+          s"sum(CASE WHEN extract(hour FROM ts) = $h THEN value ELSE 0.0 END)").mkString(", ") +
+        "] AS p FROM events GROUP BY user_id), " +
+        "q AS (SELECT user_id AS qid, p AS qv FROM prof WHERE user_id < 10), " +
+        "c AS (SELECT user_id AS cid, p AS cv FROM prof), " +
+        "pairs AS (SELECT qid, cid, qv, cv FROM q JOIN c ON cid <> qid)", dims = 24),
     "q_window_dist" ->
       ("SELECT event_type, event_id, " +
         "round(percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id), 6) AS pr, " +

@@ -73,4 +73,37 @@ object TimeSeries {
         F.col("locf_avg"),
         F.col("ma4_cnt"))
   }
+
+  /** Per-entity TIME-SERIES SIMILARITY SEARCH (the distributed top-k
+    * similarity-search shape of the streaming/EDBT line of work, over the
+    * event stream): each entity is rolled up to a fixed 24-dim
+    * hour-of-day activity profile (sum of `valCol` per UTC hour — one
+    * combinable aggregation however large the event table), and entities
+    * are ranked by profile cosine. The all-pairs stage is over ENTITIES
+    * (the rollup output), not events — an entity-count-squared frame a
+    * real deployment caps by ANN-bucketing profiles like any other
+    * embedding; here queries are restricted (`queryPred`) and the
+    * bounded-heap top-k keeps the exchange O(k). */
+  def hourProfileTopK(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valCol: String,
+      queryPred: Column,
+      k: Int): DataFrame = {
+    val sums = (0 until 24).map(h =>
+      F.sum(F.when(F.hour(F.col(tsCol)) === h, F.col(valCol)).otherwise(0.0)).as(s"h$h"))
+    val prof = events.groupBy(F.col(keyCol))
+      .agg(sums.head, sums.tail: _*)
+      .select(F.col(keyCol), F.array((0 until 24).map(h => F.col(s"h$h")): _*).as("profile"))
+    val q = prof.filter(queryPred)
+      .select(F.col(keyCol).as("qid"), F.col("profile").as("qv"))
+    val c = prof.select(F.col(keyCol).as("cid"), F.col("profile").as("cv"))
+    val scored = c.crossJoin(F.broadcast(q))
+      .filter(F.col("qid") =!= F.col("cid"))
+      .select(F.col("qid"), F.col("cid"),
+        F.round(Similarity.dot(F.col("qv"), F.col("cv")) /
+          (Similarity.norm(F.col("qv")) * Similarity.norm(F.col("cv"))), 4).as("cos_sim"))
+    Similarity.topKPerQuery(scored, "cos_sim", k)
+  }
 }

@@ -265,6 +265,40 @@ object SparkEntry {
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).as("revenue"))
     }),
+    // TPC-H Q10 shape: revenue lost to returned items per customer over
+    // one order year — 4-table join, filter-pushdown on both fact
+    // inputs, small dims broadcast, TakeOrdered top-20.
+    "q10_returned_items" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")) &&
+          F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+      val l = t(s, dir, "lineitem").filter(F.col("l_returnflag") === "R")
+      val n = t(s, dir, "nation")
+      c.join(o, F.col("c_custkey") === F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") === F.col("o_orderkey"))
+        .join(n, F.col("c_nationkey") === F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4).as("revenue"))
+        .orderBy(F.col("revenue").desc, F.col("c_custkey"))
+        .limit(20)
+    }),
+    // TPC-H Q12 shape (no l_shipmode in the fixture, so classed by
+    // linestatus): urgent-vs-other order counts per line status over a
+    // ship year — fact-fact join + conditional aggregation.
+    "q12_priority_class" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")) &&
+          F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+      o.join(l, F.col("l_orderkey") === F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          F.sum(F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          F.sum(F.when(!F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+    }),
     "q5_local_supplier" -> ((s, dir) => {
       val r = t(s, dir, "region").filter(F.col("r_name") === "ASIA")
       val n = t(s, dir, "nation")
@@ -1600,6 +1634,20 @@ object SparkEntry {
       ("SELECT l_orderkey, o_orderdate, o_orderpriority, sum(l_extendedprice * (1 - l_discount)) AS revenue " +
         "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' GROUP BY l_orderkey, o_orderdate, o_orderpriority"),
+    "q10_returned_items" ->
+      ("SELECT c_custkey, c_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY c_custkey, c_name, n_name ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q12_priority_class" ->
+      ("SELECT l_linestatus, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY l_linestatus"),
     "q5_local_supplier" ->
       ("SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue " +
         "FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey " +

@@ -187,4 +187,21 @@ class PlanSpec extends SparkSpec {
     exchanges.foreach(e => e.output.map(_.name) should not contain "pq_code")
     exchanges.foreach(e => e.output.map(_.name) should not contain "__adc")
   }
+
+  it("q_binary_topk broadcasts ONLY the query side; the Hamming top-k is map-side combinable") {
+    val p = plan("q_binary_topk")
+    // bounded-heap collect_top_k -> partial ObjectHashAggregate before the
+    // qid exchange (the shortlist scales with k, not candidates)
+    p should include("ObjectHashAggregate")
+    // exactly one broadcast: the <=10 query rows; the corpus side must
+    // stay partitioned (an O(N) corpus broadcast OOMs at scale)
+    p.split("\n").count(_.contains("BroadcastExchange")) shouldBe 1
+    p should not include "CartesianProduct"
+  }
+
+  it("q_novelty stays on the shingle hash key — no cartesian anywhere") {
+    val p = plan("q_novelty")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -331,6 +331,40 @@ object SparkEntry {
       t(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).as("n"), F.sum("o_totalprice").as("total"))),
+    // FULL OUTER join: per-(user, day) click and purchase activity kept
+    // from BOTH sides with coalesced keys — the join type the surface
+    // was missing next to inner/left/semi/anti/range/as-of.
+    "q_full_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def daily(kind: String) = ev.filter(F.col("event_type") === kind)
+        .groupBy(F.col("user_id"), F.col("ts").cast("date").as("day"))
+        .agg(F.count(F.lit(1)).as(s"n_$kind"))
+      val c = daily("click")
+        .select(F.col("user_id").as("cu"), F.col("day").as("cd"), F.col("n_click"))
+      val p = daily("purchase")
+        .select(F.col("user_id").as("pu"), F.col("day").as("pd"), F.col("n_purchase"))
+      c.join(p, F.col("cu") === F.col("pu") && F.col("cd") === F.col("pd"), "full_outer")
+        .select(
+          F.coalesce(F.col("cu"), F.col("pu")).as("user_id"),
+          F.coalesce(F.col("cd"), F.col("pd")).as("day"),
+          F.coalesce(F.col("n_click"), F.lit(0L)).as("n_click"),
+          F.coalesce(F.col("n_purchase"), F.lit(0L)).as("n_purchase"))
+    }),
+    // Duplicate-PRESERVING set ops (bag semantics): each (user, day) row
+    // keeps its multiplicity min/difference — the INTERSECT ALL /
+    // EXCEPT ALL half of the set-op family next to the distinct forms.
+    "q_intersect_all" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def days(kind: String) = ev.filter(F.col("event_type") === kind)
+        .select(F.col("user_id"), F.col("ts").cast("date").as("day"))
+      days("click").intersectAll(days("view"))
+    }),
+    "q_except_all" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def days(kind: String) = ev.filter(F.col("event_type") === kind)
+        .select(F.col("user_id"), F.col("ts").cast("date").as("day"))
+      days("click").exceptAll(days("purchase"))
+    }),
     "q_intersect" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       ev.filter(F.col("event_type") === "click").select("user_id")
@@ -1662,6 +1696,18 @@ object SparkEntry {
       "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
     "q_cube" ->
       "SELECT o_orderstatus, o_orderpriority, count(*) AS n, sum(o_totalprice) AS total FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+    "q_full_outer" ->
+      ("WITH c AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_click FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "p AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_purchase FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+        "SELECT coalesce(c.user_id, p.user_id) AS user_id, coalesce(c.day, p.day) AS day, " +
+        "coalesce(n_click, 0) AS n_click, coalesce(n_purchase, 0) AS n_purchase " +
+        "FROM c FULL OUTER JOIN p ON c.user_id = p.user_id AND c.day = p.day"),
+    "q_intersect_all" ->
+      ("SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click' " +
+        "INTERSECT ALL SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'"),
+    "q_except_all" ->
+      ("SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click' " +
+        "EXCEPT ALL SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase'"),
     "q_intersect" ->
       "SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'",
     "q_except" ->

@@ -47,4 +47,19 @@ class ApproxSpec extends SparkSpec {
     math.abs(r.getDouble(1) - r.getDouble(0)) / r.getDouble(0) should be < 0.01
     math.abs(r.getDouble(3) - r.getDouble(2)) / r.getDouble(2) should be < 0.01
   }
+
+  it("freqItems (heavy hitters) returns a superset of the truly-frequent event types") {
+    // the single-pass frequent-items sketch guarantees NO false negatives
+    // above the support threshold — the property that makes it usable as
+    // a pre-filter at 100 TB (false positives just take the exact count)
+    val support = 0.1
+    val total = events.count().toDouble
+    val truth = events.groupBy("event_type").count()
+      .filter(F.col("count") > total * support)
+      .collect().map(_.getString(0)).toSet
+    val sketched = events.stat.freqItems(Array("event_type"), support)
+      .collect()(0).getSeq[String](0).toSet
+    truth should not be empty
+    truth.subsetOf(sketched) shouldBe true
+  }
 }

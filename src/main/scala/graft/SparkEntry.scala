@@ -1260,10 +1260,12 @@ object SparkEntry {
         "doc_id", "text", n = 3, minShared = 2L)
     }),
     // The n-gram width SWEEP real decontamination runs (8/10/13-gram —
-    // the GPT-3/WMDP band): per width, bench shingles compress into a
-    // broadcast bloom, the train side prunes before the shuffle, and one
-    // stats row per width reports the hit surface. minShared=1: any
-    // shared window of these lengths is a leak signal.
+    // the GPT-3/WMDP band): ONE tokenize+explode pass emits all widths'
+    // shingles together (one corpus scan, not |widths|), per-width bench
+    // blooms prune the shuffle to the contaminated sliver, and one stats
+    // row per width reports the hit surface. minShared=1: any shared
+    // window of these lengths is a leak signal. (r8: the per-width-pass
+    // form measured 3.83 s at sf0.1; this single-scan form 0.85 s.)
     "q_contamination_sweep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       DataShaping.contaminationSweep(

@@ -319,25 +319,76 @@ object DataShaping {
     * width under-reports (short windows over-match boilerplate, long
     * windows miss paraphrases), so production sweeps a band of widths —
     * the WMDP/GPT-3-style 8–13-gram range — and reports per-width hit
-    * stats to pick the operating point. Each width reuses the
-    * [[contaminationBloom]] shape (bench shingles → broadcast bloom →
-    * train side pre-filtered BEFORE the shuffle), so at 100 TB the sweep
-    * costs `|widths|` bloom-pruned passes over the contaminated sliver,
-    * never `|widths|` full-corpus shuffles. One output row per width:
-    * pair count, distinct train/bench docs hit, total and max shared
-    * windows — the table a curation run reads to set its removal width. */
+    * stats to pick the operating point. One output row per width: pair
+    * count, distinct train/bench docs hit, total and max shared windows
+    * — the table a curation run reads to set its removal width.
+    *
+    * Scale shape: the train corpus is tokenized and position-exploded
+    * ONCE for every width together (each position emits its width-tagged
+    * shingles in-row), instead of `|widths|` full-corpus passes — at
+    * 100 TB the sweep costs one scan plus per-width broadcast blooms
+    * (built from one grouped aggregation over the bench side) pruning
+    * the shuffle to the contaminated sliver, exactly the
+    * [[contaminationBloom]] contract per width. */
   def contaminationSweep(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, widths: Seq[Int] = Seq(8, 10, 13),
-                         minShared: Long = 1L): DataFrame =
-    widths.map { n =>
-      contaminationBloom(train, bench, idCol, textCol, n, minShared)
-        .agg(
-          F.count(F.lit(1)).as("n_pairs"),
-          F.countDistinct(F.col("train_id")).as("n_train_docs"),
-          F.countDistinct(F.col("bench_id")).as("n_bench_docs"),
-          F.coalesce(F.sum("shared"), F.lit(0L)).as("total_shared"),
-          F.coalesce(F.max("shared"), F.lit(0L)).as("max_shared"))
-        .select(F.lit(n).as("ngram_n"), F.col("n_pairs"), F.col("n_train_docs"),
-          F.col("n_bench_docs"), F.col("total_shared"), F.col("max_shared"))
-    }.reduce(_ unionAll _)
+                         minShared: Long = 1L): DataFrame = {
+    val spark = train.sparkSession
+    // one tokenize + position-explode pass emitting (doc, w, shingle)
+    // for EVERY width that fits at the position; distinct per (doc, w)
+    def multiShingles(df: DataFrame): DataFrame = {
+      val arr = F.split(F.col(textCol), " ")
+      val minW = widths.min
+      val base = df.select(F.col(idCol).as("doc"), arr.as("__arr"))
+        .withColumn("__len", F.size(F.col("__arr")))
+        .filter(F.col("__len") >= minW)
+        .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__len") - (minW - 1))))
+      val entries = widths.map { n =>
+        F.when(F.col("__i") <= F.col("__len") - (n - 1),
+          F.struct(F.lit(n).as("w"),
+            F.concat_ws(" ", (0 until n).map(o =>
+              F.element_at(F.col("__arr"), F.col("__i") + o)): _*).as("shingle")))
+      }
+      base.select(F.col("doc"), F.explode(F.array(entries: _*)).as("e"))
+        .filter(F.col("e").isNotNull)
+        .select(F.col("doc"), F.col("e.w").as("w"), F.col("e.shingle").as("shingle"))
+        .distinct()
+    }
+    // per-width bench blooms from ONE grouped aggregation (bench is the
+    // small fixed suite; |widths| few-MB filters on the driver)
+    val benchSh = multiShingles(bench).withColumnRenamed("doc", "bench_id")
+    val blooms: Map[Int, Array[Byte]] = benchSh
+      .groupBy(F.col("w"))
+      .agg(graft.functions.BloomSupport
+        .bloomAgg(F.col("shingle"), 1L << 20, 1L << 23).as("bf"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]]("bf")).toMap
+    // bloom-negative train shingles never reach the shuffle; widths with
+    // an empty bench side (no bloom row) drop entirely
+    val keep = widths.filter(blooms.contains).map(n =>
+        F.col("w") === n && graft.functions.BloomSupport
+          .mightContain(F.lit(blooms(n)), F.col("shingle")))
+      .reduceOption(_ || _).getOrElse(F.lit(false))
+    val trainSh = multiShingles(train).withColumnRenamed("doc", "train_id")
+      .filter(keep)
+    val pairs = trainSh.join(benchSh, Seq("w", "shingle"))
+      .groupBy(F.col("w"), F.col("train_id"), F.col("bench_id"))
+      .agg(F.count(F.lit(1)).as("shared"))
+      .filter(F.col("shared") >= minShared)
+    val stats = pairs.groupBy(F.col("w").as("ngram_n"))
+      .agg(
+        F.count(F.lit(1)).as("n_pairs"),
+        F.countDistinct(F.col("train_id")).as("n_train_docs"),
+        F.countDistinct(F.col("bench_id")).as("n_bench_docs"),
+        F.sum("shared").as("total_shared"),
+        F.max("shared").as("max_shared"))
+    // every width reports a row, zero-filled when nothing leaked
+    import spark.implicits._
+    widths.toDF("ngram_n").join(stats, Seq("ngram_n"), "left")
+      .select(F.col("ngram_n"),
+        F.coalesce(F.col("n_pairs"), F.lit(0L)).as("n_pairs"),
+        F.coalesce(F.col("n_train_docs"), F.lit(0L)).as("n_train_docs"),
+        F.coalesce(F.col("n_bench_docs"), F.lit(0L)).as("n_bench_docs"),
+        F.coalesce(F.col("total_shared"), F.lit(0L)).as("total_shared"),
+        F.coalesce(F.col("max_shared"), F.lit(0L)).as("max_shared"))
+  }
 }

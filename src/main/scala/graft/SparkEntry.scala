@@ -654,6 +654,21 @@ object SparkEntry {
     // most-distant exemplars with the coverage-radius curve.
     "q_coreset_kcenter" -> ((s, dir) =>
       Similarity.kCenterSelect(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)),
+    // Assignment half of the coreset pair: every vector labeled with its
+    // nearest selected center — the pruned-dataset partition. The 5
+    // centers are a bounded collect (one ~300 B row each, the k-center
+    // loop's own pattern); assignment is in-row argmin, map-only.
+    "q_coreset_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val sel = Similarity.kCenterSelect(e, "vec_id", "embedding", k = 5)
+        .select("sel_idx", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val vecs = e.filter(F.col("vec_id").isin(sel.map(_._2): _*))
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+      Similarity.assignToCenters(e, "vec_id", "embedding",
+        sel.map { case (idx, id) => (idx, vecs(id)) })
+    }),
     // 1-bit (sign) embedding codes: two packed long words per vector.
     "q_embed_binary" -> ((s, dir) =>
       Quantization.binarize(t(s, dir, "embeddings"), "vec_id", "embedding")),
@@ -1522,6 +1537,40 @@ object SparkEntry {
     s"WITH $ctes $selects"
   }
 
+  /** [[kCenterOracle]]'s trajectory CTEs extended with per-center
+    * distance tables for EVERY vector and an argmin rank — the
+    * assignment half. Selection steps are regenerated locally (t/cn for
+    * all k centers, not just the k-1 the selection loop needs). */
+  private def kCenterAssignOracle(k: Int): String = {
+    def tCte(i: Int) = s"t$i AS (SELECT b.vec_id, " +
+      "sum(CAST(b.embedding[CAST(u.i AS INT)] AS DOUBLE) * CAST(c.embedding[CAST(u.i AS INT)] AS DOUBLE)) AS dot " +
+      s"FROM embeddings b CROSS JOIN c$i c CROSS JOIN u GROUP BY b.vec_id)"
+    def cnCte(i: Int) = s"cn$i AS (SELECT nrm.nv FROM nrm JOIN c$i c ON nrm.vec_id = c.vec_id)"
+    def mCte(i: Int) =
+      if (i == 1) "m1 AS (SELECT t.vec_id, 1.0 - round(t.dot / (bn.nv * cn1.nv), 4) AS mind " +
+        "FROM t1 t JOIN nrm bn ON bn.vec_id = t.vec_id CROSS JOIN cn1)"
+      else s"m$i AS (SELECT m.vec_id, least(m.mind, 1.0 - round(t.dot / (bn.nv * cn$i.nv), 4)) AS mind " +
+        s"FROM m${i - 1} m JOIN t$i t ON t.vec_id = m.vec_id " +
+        s"JOIN nrm bn ON bn.vec_id = m.vec_id CROSS JOIN cn$i)"
+    def cCte(i: Int) =
+      if (i == 1) "c1 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1)"
+      else s"c$i AS (SELECT b.vec_id, b.embedding, m.mind FROM m${i - 1} m " +
+        "JOIN embeddings b ON b.vec_id = m.vec_id ORDER BY m.mind DESC, m.vec_id LIMIT 1)"
+    def ddCte(i: Int) = s"dd$i AS (SELECT t.vec_id, 1.0 - round(t.dot / (bn.nv * cn$i.nv), 4) AS d " +
+      s"FROM t$i t JOIN nrm bn ON bn.vec_id = t.vec_id CROSS JOIN cn$i)"
+    val steps = (1 to k).flatMap { i =>
+      Seq(cCte(i), tCte(i), cnCte(i)) ++ (if (i < k) Seq(mCte(i)) else Nil)
+    }
+    "WITH u AS (SELECT unnest(range(1, 65)) AS i), " +
+      "nrm AS (SELECT vec_id, sqrt(sum(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS nv " +
+      "FROM (SELECT vec_id, embedding, unnest(range(1, 65)) AS i FROM embeddings) GROUP BY vec_id), " +
+      steps.mkString(", ") + ", " + (1 to k).map(ddCte).mkString(", ") + ", " +
+      "alld AS (" + (1 to k).map(i =>
+        s"SELECT vec_id, CAST($i AS BIGINT) AS center_idx, d FROM dd$i").mkString(" UNION ALL ") + "), " +
+      "rk AS (SELECT vec_id, center_idx, d, row_number() OVER (PARTITION BY vec_id ORDER BY d, center_idx) AS rn FROM alld) " +
+      "SELECT vec_id, center_idx, d AS dist FROM rk WHERE rn = 1"
+  }
+
   /** Single-table 8-bit seeded random-hyperplane bucket — the SAME doubles
     * the Spark operators use (gaussianPlanes is seed-deterministic and
     * Double.toString round-trips exactly into DuckDB's parser). */
@@ -1839,6 +1888,7 @@ object SparkEntry {
         "round(sum(abs(vi - qi * scale)) / 64, 6) AS recon_mae " +
         "FROM q GROUP BY vec_id"),
     "q_coreset_kcenter" -> kCenterOracle(5),
+    "q_coreset_assign" -> kCenterAssignOracle(5),
     // The simhash64 two-word bit-pack pattern applied to sign bits.
     "q_embed_binary" ->
       ("WITH t AS (SELECT vec_id, embedding, unnest(range(1, 33)) AS i FROM embeddings), " +

@@ -50,6 +50,27 @@ object Similarity {
   def cosineHof(a: Column, b: Column, scale: Int = 4): Column =
     F.round(dot(a, b) / (norm(a) * norm(b)), scale)
 
+  /** Assignment half of the coreset pair: every vector labeled with its
+    * nearest selected center (min rounded-cosine distance, ties to the
+    * lowest selection index) — the pruned-dataset partition a curation
+    * run materializes after [[kCenterSelect]]. Pure in-row argmin over
+    * the literal center list (the [[nearestCell]] shape), map-only. */
+  def assignToCenters(embeddings: DataFrame, idCol: String, vecCol: String,
+                      centers: Seq[(Long, Array[Double])]): DataFrame = {
+    import graft.functions.VectorFunctions.{fvDot => ndot}
+    val vnorm = F.sqrt(ndot(F.col(vecCol), F.col(vecCol)))
+    val entries = centers.map { case (idx, c) =>
+      val cn = math.sqrt(c.map(x => x * x).reduceLeft(_ + _))
+      F.struct(
+        (F.lit(1.0) - F.round(dotLit(F.col(vecCol), c) / (vnorm * F.lit(cn)), 4)).as("d"),
+        F.lit(idx).as("center_idx"))
+    }
+    embeddings.select(F.col(idCol).as("vec_id"),
+        F.array_min(F.array(entries: _*)).as("__m"))
+      .select(F.col("vec_id"), F.col("__m.center_idx").as("center_idx"),
+        F.col("__m.d").as("dist"))
+  }
+
   /** Greedy k-CENTER coreset selection — the data-PRUNING family member
     * (pick the k mutually-most-distant exemplars, the classic 2-approx
     * greedy): seed = the minimum id; each round adds the vector farthest

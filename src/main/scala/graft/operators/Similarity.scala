@@ -57,6 +57,7 @@ object Similarity {
     * the literal center list (the [[nearestCell]] shape), map-only. */
   def assignToCenters(embeddings: DataFrame, idCol: String, vecCol: String,
                       centers: Seq[(Long, Array[Double])]): DataFrame = {
+    require(centers.nonEmpty, "assignToCenters needs at least one center")
     import graft.functions.VectorFunctions.{fvDot => ndot}
     val vnorm = F.sqrt(ndot(F.col(vecCol), F.col(vecCol)))
     val entries = centers.map { case (idx, c) =>
@@ -96,11 +97,20 @@ object Similarity {
       val cn = math.sqrt(c.map(x => x * x).reduceLeft(_ + _))
       F.lit(1.0) - F.round(dotLit(F.col("v"), c) / (F.col("nrm") * F.lit(cn)), 4)
     }
+    // guard the loop's bounded collects: an empty corpus yields an empty
+    // selection, and k is clamped to the corpus size so centers are
+    // never repeated (past N distinct rows every mind is 0)
+    val n = base.count()
+    val kEff = math.min(k.toLong, n).toInt
+    if (kEff == 0) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("sel_idx", "vec_id", "radius")
+    }
     val seed = base.orderBy(F.col("id")).limit(1).select("id", "v").collect()(0)
     var selected = List((1L, seed.getLong(0), 0.0))
     var centerVec = seed.getSeq[Float](1).map(_.toDouble).toArray
     var cur = base.withColumn("mind", distTo(centerVec)).localCheckpoint(true)
-    for (i <- 2 to k) {
+    for (i <- 2 to kEff) {
       val next = cur.orderBy(F.col("mind").desc, F.col("id").asc).limit(1)
         .select("id", "v", "mind").collect()(0)
       selected ::= ((i.toLong, next.getLong(0), next.getDouble(2)))

@@ -247,6 +247,16 @@ class OperatorsSpec extends SparkSpec {
       radii.foreach(_ shouldBe 1.0 +- 1e-9)             // axes are mutually orthogonal
     }
 
+    it("kCenterSelect clamps k to the corpus size and handles empty input") {
+      val tiny = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding")
+      Similarity.kCenterSelect(tiny, "vec_id", "embedding", k = 10)
+        .count() shouldBe 2L // never repeats centers past N
+      val empty = tiny.filter(F.col("vec_id") < 0)
+      Similarity.kCenterSelect(empty, "vec_id", "embedding", k = 3)
+        .count() shouldBe 0L
+    }
+
     it("cosine: identical direction = 1.0, orthogonal = 0.0, opposite = -1.0") {
       val out = vecs.as("a").crossJoin(vecs.as("b"))
         .select($"a.vec_id".as("x"), $"b.vec_id".as("y"),

@@ -236,4 +236,23 @@ class AnnRecallSpec extends SparkSpec {
     direct should be > prefix / 3
     tiered should be >= 0.5
   }
+
+  it("1-bit binary codes: Hamming shortlist + exact rerank holds its measured recall band, widening with the shortlist") {
+    import graft.operators.Quantization
+    // 64 sign bits = 8 B/vector (32x below float32): the cheapest tier.
+    // Measured on this fixture: shortlist 24 (4.8% probed) ~0.556,
+    // shortlist 64 (12.8%) ~0.785 — the 1-bit sketch loses angle
+    // resolution, and the rerank tier buys it back with probe budget.
+    val r24 = recallOf(topkSets(
+      Quantization.binaryRerankTopK(emb, emb, "vec_id", "embedding", shortlist = 24, k = 3)
+        .select("qid", "cid")))
+    val r64 = recallOf(topkSets(
+      Quantization.binaryRerankTopK(emb, emb, "vec_id", "embedding", shortlist = 64, k = 3)
+        .select("qid", "cid")))
+    info(f"binary rerank recall@3: shortlist24 = $r24%.3f (${24 / nVec * 100}%.1f%% probed), " +
+      f"shortlist64 = $r64%.3f (${64 / nVec * 100}%.1f%% probed)")
+    r24 should be >= 0.45
+    r64 should be >= r24 // monotone in probe budget
+    r64 should be >= 0.7
+  }
 }

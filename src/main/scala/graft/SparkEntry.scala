@@ -1257,6 +1257,17 @@ object SparkEntry {
       DataShaping.perGroupCap(split, "source", "n_chars", "doc_id", cap = 20)
         .select("doc_id", "source", "split", "n_chars", "rn")
     }),
+    // Token-budget data selection: corpus ordered by quality (distinct
+    // ratio), keep the best-scoring prefix that fits a 10k-token budget
+    // — the "best N tokens" step between scoring and packing; running
+    // sum via the two-phase distributed prefix (no global window).
+    "q_budget_select" -> ((s, dir) => {
+      val q = TextAnalysis.quality(t(s, dir, "documents"), "text")
+        .select(F.col("doc_id"), F.col("n_tokens").cast("long").as("n_tokens"),
+          F.col("distinct_ratio").as("score"))
+      DataShaping.budgetSelect(q, "doc_id", "n_tokens", "score", budget = 10000L)
+        .select("doc_id", "n_tokens", "score", "cum_tokens", "kept")
+    }),
     "q_contamination" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       DataShaping.contamination(
@@ -2602,6 +2613,12 @@ object SparkEntry {
         "capped AS (SELECT doc_id, source, split, n_chars, " +
         "CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn FROM sp) " +
         "SELECT doc_id, source, split, n_chars, rn FROM capped WHERE rn <= 20"),
+    "q_budget_select" ->
+      ("WITH q AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, " +
+        "round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS score FROM documents), " +
+        "c AS (SELECT doc_id, n_tokens, score, " +
+        "CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM q) " +
+        "SELECT doc_id, n_tokens, score, cum_tokens, cum_tokens <= 10000 AS kept FROM c"),
     "q_contamination" ->
       ("WITH ta AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE source <> 'src0'), " +
         "pa AS (SELECT doc_id, arr, unnest(range(1, greatest(len(arr) - 2, 0) + 1)) AS i FROM ta WHERE len(arr) >= 3), " +

@@ -210,6 +210,41 @@ object DataShaping {
       .drop("__pid", "__off")
   }
 
+  /** Token-BUDGET corpus selection: order the corpus by quality (score
+    * desc, id tiebreak) and keep the prefix whose running token total
+    * fits the training budget — the "best N tokens" data-selection step
+    * between scoring and packing. Same two-phase distributed prefix sum
+    * as [[packSequences]], but range-partitioned on the QUALITY order:
+    * running sums stay within partitions, per-partition totals (one row
+    * each) broadcast as exclusive offsets, and no single-partition
+    * global window appears in the plan at any corpus size. Emits every
+    * row with its `cum_tokens` and the `kept` verdict so callers can
+    * re-cut at a different budget without rescoring. */
+  def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
+                   scoreCol: String, budget: Long): DataFrame = {
+    val parted = df
+      .repartitionByRange(F.col(scoreCol).desc, F.col(idCol).asc)
+      .withColumn("__pid", F.spark_partition_id())
+    val within = Window.partitionBy(F.col("__pid"))
+      .orderBy(F.col(scoreCol).desc, F.col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = parted.groupBy(F.col("__pid"))
+      .agg(F.sum(F.col(tokenCol)).as("__tot"))
+    // exclusive prefix over per-partition totals (≤ shuffle-partitions rows)
+    val offsets = totals
+      .withColumn("__off",
+        F.coalesce(
+          F.sum(F.col("__tot")).over(
+            Window.orderBy(F.col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          F.lit(0L)))
+      .select(F.col("__pid"), F.col("__off"))
+    parted
+      .join(F.broadcast(offsets), "__pid")
+      .withColumn("cum_tokens", F.col("__off") + F.sum(F.col(tokenCol)).over(within))
+      .withColumn("kept", F.col("cum_tokens") <= budget)
+      .drop("__pid", "__off")
+  }
+
   /** Fixed-size token chunking with overlap — the step that turns long
     * documents into model-window-sized pieces before packing/training.
     * Chunk k starts at token 1 + k·(chunkTokens − overlap) and carries up

@@ -67,6 +67,17 @@ class PlanSpec extends SparkSpec {
     tokenWindows.foreach(_ should include("windowspecdefinition(__pid"))
   }
 
+  it("q_budget_select runs its corpus-wide running sum as a partitioned window (two-phase prefix)") {
+    val p = plan("q_budget_select")
+    p should include("rangepartitioning")
+    p should include("__pid")
+    // same contract as q_pack_sequences: the only partition-less window
+    // is the per-partition-offsets frame (≤ shuffle-partitions rows)
+    val tokenWindows = p.split("\n").filter(l => l.contains("Window [sum(n_tokens"))
+    tokenWindows should not be empty
+    tokenWindows.foreach(_ should include("windowspecdefinition(__pid"))
+  }
+
   it("q_ann_lsh dedups candidates as bare ids — vectors never ride the distinct shuffle") {
     val p = plan("q_ann_lsh")
     // the pair-dedup aggregate must key on (qid, cid) only; the 64-float

@@ -86,7 +86,7 @@ object IncrementalContamination {
       textCol: String,
       n: Int,
       minShared: Long,
-      batchId: Long = -1L): DataFrame = {
+      batchId: Long): DataFrame = {
     val bloom = store.bloomBytes
     val sliver = Dedup.wordShingles(batch, idCol, textCol, n)
       .withColumnRenamed("doc", "train_id")

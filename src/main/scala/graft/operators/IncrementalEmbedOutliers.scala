@@ -57,7 +57,7 @@ object IncrementalEmbedOutliers {
       idCol: String,
       vecCol: String,
       centroids: Array[Array[Double]],
-      batchId: Long = -1L): Unit = {
+      batchId: Long): Unit = {
     val scored = batch.select(
       F.col(idCol).cast("long").as("id"),
       Similarity.maxCellSim(F.col(vecCol), centroids).as("max_sim"),

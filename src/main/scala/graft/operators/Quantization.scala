@@ -78,11 +78,17 @@ object Quantization {
 
   /** Sum of (1 << (i-1)) over the 32 dims at `off+1 .. off+32` whose
     * component is >= 0. SQL-expr form because shiftleft's shift amount
-    * must be a column here. */
+    * must be a column here. A vector shorter than `off + 32` dims
+    * RAISES (fixture-dimension drift must fail loudly, per the
+    * FixtureSchemaSpec philosophy — `element_at` past the end would
+    * otherwise yield NULL, silently zero-padding the code). */
   private def signWord(vecCol: String, off: Int): Column =
-    F.expr(s"aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+    F.expr(s"CASE WHEN size($vecCol) < ${off + 32} THEN " +
+      s"CAST(raise_error(concat('binarize: expected >= ${off + 32}-dim vectors, got dim ', " +
+      s"CAST(size($vecCol) AS STRING))) AS BIGINT) ELSE " +
+      s"aggregate(sequence(1, 32), CAST(0 AS BIGINT), (acc, i) -> acc + " +
       s"(CASE WHEN CAST(element_at($vecCol, i + $off) AS DOUBLE) >= 0.0 " +
-      s"THEN CAST(shiftleft(CAST(1 AS BIGINT), i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END))")
+      s"THEN CAST(shiftleft(CAST(1 AS BIGINT), i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) END")
 
   /** Top-k retrieval in the BINARY domain: Hamming distance = popcount of
     * the XORed words — two `bit_count` ops per candidate instead of a
@@ -121,11 +127,17 @@ object Quantization {
     import graft.functions.VectorFunctions.{fvDot => ndot}
     val short = binaryTopK(embeddings, queries, idCol, vecCol, shortlist)
       .select(F.col("qid"), F.col("cid"))
-    val base = embeddings.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
-      F.sqrt(ndot(F.col(vecCol), F.col(vecCol))).as("nrm"))
+    def withNorm(df: DataFrame) =
+      df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
+        F.sqrt(ndot(F.col(vecCol), F.col(vecCol))).as("nrm"))
+    // query vectors come from the QUERIES frame (like int8TopK /
+    // bruteForceTopK) — a qid absent from the corpus must still rerank,
+    // not silently vanish; only candidate vectors read the corpus side
     val reranked = short
-      .join(base.select(F.col("id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn")), "qid")
-      .join(base.select(F.col("id").as("cid"), F.col("v").as("cv"), F.col("nrm").as("cn")), "cid")
+      .join(withNorm(queries)
+        .select(F.col("id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn")), "qid")
+      .join(withNorm(embeddings)
+        .select(F.col("id").as("cid"), F.col("v").as("cv"), F.col("nrm").as("cn")), "cid")
       .select(F.col("qid"), F.col("cid"),
         F.round(ndot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).as("cos_sim"))
     Similarity.topKPerQuery(reranked, "cos_sim", k)

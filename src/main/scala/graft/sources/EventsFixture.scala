@@ -26,20 +26,34 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 object EventsFixture {
 
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
   def read(s: SparkSession, path: String): DataFrame = {
     val df =
       try s.read.parquet(path)
       catch {
         case e: Throwable if mentionsIllegalNanos(e) =>
-          // Legacy TIMESTAMP(NANOS) generation: surface nanos as long,
-          // truncate to micros below.
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          s.read.parquet(path)
+          // Legacy TIMESTAMP(NANOS) generation: surface nanos as long just
+          // for this one read, truncating to micros below. The conf is
+          // session-global, so restore its prior value afterwards — the
+          // schema (and therefore the plan) is resolved eagerly here, and
+          // parquet footer reads at execution time accept the long
+          // physical type without the flag.
+          val prior = s.conf.getOption(NanosConf)
+          s.conf.set(NanosConf, "true")
+          try {
+            val read = s.read.parquet(path)
+            read.schema // force eager schema resolution under the flag
+            read
+          } finally prior match {
+            case Some(v) => s.conf.set(NanosConf, v)
+            case None    => s.conf.unset(NanosConf)
+          }
       }
     df.schema("ts").dataType match {
       case LongType =>
-        // nanosAsLong was already on (earlier caller in this session) or
-        // we just enabled it: long nanos → micros timestamp.
+        // The file carries nanos (read under the temporary flag above, or
+        // by a session that had it on already): long nanos → micros.
         df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
       case _: TimestampNTZType =>
         df.withColumn("ts", F.col("ts").cast(TimestampType))
@@ -52,14 +66,19 @@ object EventsFixture {
     }
   }
 
-  /** True when the failure chain is the parquet-nanos rejection. */
+  /** True only when the failure chain is the specific parquet-nanos
+    * rejection: one of the two illegal-parquet-type error classes AND a
+    * NANOS type named in the message. A bare "NANOS" elsewhere in an
+    * unrelated failure must NOT trigger the legacy-read fallback.
+    */
   private def mentionsIllegalNanos(e: Throwable): Boolean = {
     var t: Throwable = e
     var depth = 0
     while (t != null && depth < 10) {
       val m = t.getMessage
-      if (m != null && (m.contains("PARQUET_TYPE_ILLEGAL") ||
-            m.contains("ILLEGAL_PARQUET_TYPE") || m.contains("NANOS")))
+      if (m != null &&
+          (m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("ILLEGAL_PARQUET_TYPE")) &&
+          m.contains("NANOS"))
         return true
       t = t.getCause
       depth += 1

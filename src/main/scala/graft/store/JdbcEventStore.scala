@@ -1,21 +1,27 @@
 package graft.store
 
-import java.sql.{Connection, DriverManager, Timestamp}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession, functions => F}
+import java.sql.{Connection, DriverManager, SQLException, Timestamp}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 import graft.model.Schemas
 import graft.operators.AuditQueries
 import graft.operators.AuditQueries.RawEventFilter
 
-/** JDBC (Postgres-parity) `EventStore` — the reference's actual backend
+/** JDBC `EventStore` — the reference's actual backend shape
   * (`BASELINE.json: "JDBC sink to Postgres"`). Reads go through Spark's
-  * JDBC source with predicate pushdown; writes use `INSERT … ON CONFLICT`
-  * passthrough per partition, because Spark's JDBC sink has no native
-  * upsert (SURVEY §7.3).
+  * JDBC source with predicate pushdown; writes use a per-partition batched
+  * dedup-insert, because Spark's JDBC sink has no native upsert
+  * (SURVEY §7.3).
   *
-  * DDL mirrors `pkg/db/sql/create_cf_audit_events.sql` /
-  * `create_shipper_cursors.sql`, including the idempotent `metadata`
-  * column migration (`:32`) and both CHECK constraints.
+  * All SQL lives in the [[SqlDialect]]: [[PostgresDialect]] pins the
+  * reference's own statements verbatim (DDL mirroring
+  * `pkg/db/sql/create_cf_audit_events.sql` / `create_shipper_cursors.sql`
+  * including the idempotent `metadata` migration and both CHECK
+  * constraints; `INSERT … ON CONFLICT`; `reltuples`), while
+  * [[DerbyDialect]] executes the same row-level semantics on the embedded
+  * engine the test JVM actually has — so the plumbing (init idempotence,
+  * upsert batching, ''⇄NULL uuid edges, type round-trips) is proven by
+  * `JdbcEventStoreSpec`, which the reference never did for its store.
   *
   * Scale notes: each executor partition opens one connection and writes a
   * multi-row batched upsert — |partitions| parallel streams into the DB.
@@ -23,7 +29,11 @@ import graft.operators.AuditQueries.RawEventFilter
   * this sink is the egress-compatibility path, so its scale envelope is
   * the DB's, not Spark's.
   */
-final class JdbcEventStore(spark: SparkSession, url: String, props: java.util.Properties)
+final class JdbcEventStore(
+    spark: SparkSession,
+    url: String,
+    props: java.util.Properties,
+    dialect: SqlDialect = PostgresDialect)
     extends EventStore {
 
   private def withConn[A](f: Connection => A): A = {
@@ -34,37 +44,30 @@ final class JdbcEventStore(spark: SparkSession, url: String, props: java.util.Pr
   override def init(): Unit = withConn { c =>
     c.setAutoCommit(false) // one transaction, like store.go:331-343
     val st = c.createStatement()
-    st.execute(
-      """CREATE TABLE IF NOT EXISTS cf_audit_events (
-        |  id SERIAL,
-        |  guid uuid UNIQUE NOT NULL PRIMARY KEY,
-        |  created_at timestamptz NOT NULL CHECK (created_at > 'epoch'),
-        |  event_type text NOT NULL,
-        |  actor text NOT NULL, actor_type text NOT NULL,
-        |  actor_name text NOT NULL, actor_username text NOT NULL,
-        |  actee text NOT NULL, actee_type text NOT NULL, actee_name text NOT NULL,
-        |  organization_guid uuid, space_guid uuid)""".stripMargin)
-    st.execute("ALTER TABLE cf_audit_events ADD COLUMN IF NOT EXISTS metadata JSONB")
-    st.execute(
-      """CREATE TABLE IF NOT EXISTS shipper_cursors (
-        |  name text PRIMARY KEY,
-        |  updated_at timestamptz NOT NULL CHECK (updated_at > 'epoch'),
-        |  shipped_id text NOT NULL)""".stripMargin)
-    Seq("id", "guid", "created_at", "organization_guid", "space_guid", "event_type").foreach { col =>
-      st.execute(s"CREATE INDEX IF NOT EXISTS idx_cf_audit_events_$col ON cf_audit_events ($col)")
+    dialect.initStatements.foreach { sql =>
+      try st.execute(sql)
+      catch {
+        case e: SQLException if dialect.ignorableInitStates.contains(e.getSQLState) =>
+          () // engine lacks IF NOT EXISTS; object is already there
+      }
     }
     c.commit()
   }
 
-  override def events: DataFrame =
-    spark.read.jdbc(url, "cf_audit_events", props)
+  /** Lowercased-column read: engines that uppercase unquoted identifiers
+    * (Derby) must still surface the engine's canonical lowercase schema. */
+  private def readTable(table: String): DataFrame = {
+    val df = spark.read.jdbc(url, table, props)
+    df.toDF(df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toIndexedSeq: _*)
+  }
 
-  override def cursors: DataFrame =
-    spark.read.jdbc(url, "shipper_cursors", props)
+  override def events: DataFrame = readTable("cf_audit_events")
+
+  override def cursors: DataFrame = readTable("shipper_cursors")
 
   override def storeCFAuditEvents(batch: DataFrame): Long = {
     val (valid, _) = AuditQueries.splitOnCheck(batch)
-    val u = url; val p = props
+    val u = url; val p = props; val d = dialect
     val stored = spark.sparkContext.longAccumulator("stored")
     valid.dropDuplicates("guid")
       .select("guid", "created_at", "event_type", "actor", "actor_type", "actor_name",
@@ -74,21 +77,16 @@ final class JdbcEventStore(spark: SparkSession, url: String, props: java.util.Pr
         val c = DriverManager.getConnection(u, p)
         try {
           c.setAutoCommit(false) // one tx per partition (store.go:76-99 per page)
-          val ps = c.prepareStatement(
-            """INSERT INTO cf_audit_events (
-              |  guid, created_at, event_type, actor, actor_type, actor_name,
-              |  actor_username, actee, actee_type, actee_name,
-              |  organization_guid, space_guid, metadata)
-              |VALUES (?::uuid, ?, ?, ?, ?, ?, ?, ?, ?, ?, NULLIF(?,'')::uuid, NULLIF(?,'')::uuid, ?::jsonb)
-              |ON CONFLICT (guid) DO NOTHING""".stripMargin)
+          val ps = c.prepareStatement(d.insertEventSql)
           var n = 0L
           rows.foreach { r =>
-            ps.setString(1, r.getString(0))
-            ps.setTimestamp(2, r.getTimestamp(1))
-            (3 to 10).foreach(i => ps.setString(i, r.getString(i - 1)))
-            ps.setString(11, Option(r.getString(10)).getOrElse(""))
-            ps.setString(12, Option(r.getString(11)).getOrElse(""))
-            ps.setString(13, r.getString(12))
+            d.bindInsertEvent(ps,
+              guid = r.getString(0),
+              createdAt = r.getTimestamp(1),
+              texts = (2 to 9).map(r.getString),
+              orgGuid = r.getString(10),
+              spaceGuid = r.getString(11),
+              metadata = r.getString(12))
             n += ps.executeUpdate()
           }
           c.commit()
@@ -102,15 +100,13 @@ final class JdbcEventStore(spark: SparkSession, url: String, props: java.util.Pr
     AuditQueries.eventsPage(events, filter)
 
   override def getLatestCFEventTime(): Timestamp = withConn { c =>
-    val rs = c.createStatement().executeQuery(
-      "SELECT created_at FROM cf_audit_events ORDER BY created_at DESC LIMIT 1")
+    val rs = c.createStatement().executeQuery(dialect.latestEventTimeSql)
     if (rs.next()) rs.getTimestamp(1) else Schemas.epoch
   }
 
   override def getCFEventCount(): Long = withConn { c =>
-    // reltuples statistics read, exactly store.go:310-329
-    val rs = c.createStatement().executeQuery(
-      "SELECT reltuples::numeric FROM pg_class WHERE relname = 'cf_audit_events'")
+    // statistics read where the engine has one, exactly store.go:310-329
+    val rs = c.createStatement().executeQuery(dialect.eventCountSql)
     if (rs.next()) rs.getBigDecimal(1).longValue() else 0L
   }
 
@@ -118,15 +114,5 @@ final class JdbcEventStore(spark: SparkSession, url: String, props: java.util.Pr
     AuditQueries.unshipped(events, cursors, shipperName)
 
   override def updateShipperCursor(shipperName: String, updatedAt: String, shippedId: String): Unit =
-    withConn { c =>
-      val ps = c.prepareStatement(
-        """INSERT INTO shipper_cursors (name, updated_at, shipped_id)
-          |VALUES (?, ?::timestamptz, ?)
-          |ON CONFLICT (name) DO UPDATE
-          |SET updated_at = excluded.updated_at, shipped_id = excluded.shipped_id""".stripMargin)
-      ps.setString(1, shipperName)
-      ps.setString(2, updatedAt) // raw string; DB casts (store.go:271-281)
-      ps.setString(3, shippedId)
-      ps.executeUpdate()
-    }
+    withConn { c => dialect.upsertCursor(c, shipperName, updatedAt, shippedId) }
 }

@@ -53,6 +53,7 @@ object SparkEntry {
   @volatile private var ivfCentroidsStash: Option[Array[Array[Double]]] = None
   @volatile private var pqModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
   @volatile private var annIndexModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+  @volatile private var tieredBooksStash: Option[Array[Array[Array[Double]]]] = None
   @volatile private var qualityLrStash: Option[Array[Double]] = None
   @volatile private var kmeansStash: Option[Array[Array[Double]]] = None
   @volatile private var semdedupStash: Option[Array[Array[Double]]] = None
@@ -686,6 +687,19 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Quantization.binaryRerankTopK(e, e.filter(F.col("vec_id") < 10),
           "vec_id", "embedding", shortlist = 24, k = 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    }),
+    // The full THREE-TIER production cascade in one query: Hamming
+    // shortlist (64, over 16 B codes) -> PQ/ADC rerank (12, over m-byte
+    // codes) -> exact cosine top-3 — HALF the exact-tier probe budget of
+    // q_binary_rerank while holding its recall floor (AnnRecallSpec).
+    "q_tiered_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = Similarity.trainPqCodebooks(e, "vec_id", "embedding", m = 16, k = 16)
+        .map(Similarity.snapCentroids(_))
+      tieredBooksStash = Some(books)
+      Quantization.tieredTopK(e, e.filter(F.col("vec_id") < 10),
+          "vec_id", "embedding", books, hammingShortlist = 64, adcShortlist = 12, k = 3)
         .withColumn("rn", F.col("rn").cast("long"))
     }),
     // BM25 lexical relevance against a fixed query-term set.
@@ -1673,6 +1687,50 @@ object SparkEntry {
       "pairs AS (SELECT s.qid, s.cid, s.qv1 AS qv, b.v AS cv FROM short s JOIN base b ON b.id = s.cid)")
   }
 
+  /** Three-tier cascade mirror: the q_binary_topk code CTEs feed a Hamming
+    * shortlist, the [[ivfPqOracle]]-style literal PQ expressions rescore it
+    * (flat, no IVF cells), and the shared exact-cosine chain finishes. */
+  private def tieredOracle(
+      books: Array[Array[Array[Double]]],
+      hammingShortlist: Int,
+      adcShortlist: Int): String = {
+    val m = books.length
+    val kC = books.head.length
+    val sub = books.head.head.length
+    def elem(vec: String, s: Int, j: Int) = s"CAST($vec[${s * sub + j + 1}] AS DOUBLE)"
+    def distExpr(vec: String, s: Int, c: Int) = books(s)(c).zipWithIndex.map { case (w, j) =>
+      val x = elem(vec, s, j); s"(($x - ($w)) * ($x - ($w)))"
+    }.mkString(" + ")
+    def codeExpr(s: Int) = {
+      val dl = (0 until kC).map(c => distExpr("embedding", s, c)).mkString("[", ", ", "]")
+      s"(list_position($dl, list_min($dl)) - 1)"
+    }
+    val pqCode = (0 until m).map(codeExpr).mkString("[", ", ", "]")
+    def adcEntry(s: Int, c: Int) = books(s)(c).zipWithIndex.map { case (w, j) =>
+      s"${elem("embedding", s, j)} * ($w)"
+    }.mkString(" + ")
+    val adc = (0 until m).flatMap(s => (0 until kC).map(c => adcEntry(s, c)))
+      .mkString("[", ", ", "]")
+    val score = (0 until m)
+      .map(s => s"p.adc[${s * kC + 1} + c.pq_code[${s + 1}]]").mkString(" + ")
+    cosineOracle(
+      "WITH t AS (SELECT vec_id, embedding, unnest(range(1, 33)) AS i FROM embeddings), " +
+        "lo AS (SELECT vec_id, CAST(sum(CASE WHEN CAST(embedding[CAST(i AS INT)] AS DOUBLE) >= 0.0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT) ELSE 0 END) AS BIGINT) AS b_lo FROM t GROUP BY vec_id), " +
+        "t2 AS (SELECT vec_id, embedding, unnest(range(33, 65)) AS i FROM embeddings), " +
+        "hi AS (SELECT vec_id, CAST(sum(CASE WHEN CAST(embedding[CAST(i AS INT)] AS DOUBLE) >= 0.0 THEN CAST(1 AS BIGINT) << CAST(i - 33 AS INT) ELSE 0 END) AS BIGINT) AS b_hi FROM t2 GROUP BY vec_id), " +
+        "codes AS (SELECT lo.vec_id, b_lo, b_hi FROM lo JOIN hi USING (vec_id)), " +
+        "hd AS (SELECT q.vec_id AS qid, c.vec_id AS cid, " +
+        "CAST(bit_count(xor(q.b_lo, c.b_lo)) + bit_count(xor(q.b_hi, c.b_hi)) AS BIGINT) AS hamming " +
+        "FROM codes q JOIN codes c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10), " +
+        s"short1 AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, cid) AS srn FROM hd) WHERE srn <= $hammingShortlist), " +
+        s"coded AS (SELECT vec_id AS cid, $pqCode AS pq_code FROM embeddings), " +
+        s"probes AS (SELECT vec_id AS qid, $adc AS adc FROM embeddings WHERE vec_id < 10), " +
+        s"adcsc AS (SELECT s.qid, s.cid, $score AS pq_dot FROM short1 s JOIN probes p ON p.qid = s.qid JOIN coded c ON c.cid = s.cid), " +
+        s"short2 AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY pq_dot DESC, cid) AS srn FROM adcsc) WHERE srn <= $adcShortlist), " +
+        "pairs AS (SELECT s.qid, s.cid, eq.embedding AS qv, ec.embedding AS cv " +
+        "FROM short2 s JOIN embeddings eq ON eq.vec_id = s.qid JOIN embeddings ec ON ec.vec_id = s.cid)")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_unshipped_cursor" ->
       ("WITH cursors AS (SELECT 'cf-audit-events-to-splunk' AS name, TIMESTAMP '2024-01-15 00:00:00' AS updated_at, '5000' AS shipped_id), " +
@@ -2152,6 +2210,12 @@ object SparkEntry {
       .getOrElse("SELECT NULL AS vec_id, NULL AS rep_id, NULL AS kept WHERE 1 = 0"),
     "q_ivf_pq" -> pqModelStash
       .map { case (c, b) => ivfPqOracle(c, b, nprobe = 5, shortlist = 24) }
+      .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
+    // The three-tier cascade against the stashed (snapped) PQ books — the
+    // binary-code CTEs, the flat PQ/ADC literal mirror, then the shared
+    // exact-cosine chain.
+    "q_tiered_topk" -> tieredBooksStash
+      .map(b => tieredOracle(b, hammingShortlist = 64, adcShortlist = 12))
       .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
     // The persisted-index serve path computes the same function of the same
     // (reloaded, bit-identical) model — the oracle is the same IVF+PQ

@@ -127,12 +127,22 @@ object Quantization {
     import graft.functions.VectorFunctions.{fvDot => ndot}
     val short = binaryTopK(embeddings, queries, idCol, vecCol, shortlist)
       .select(F.col("qid"), F.col("cid"))
+    exactCosineRerank(short, embeddings, queries, idCol, vecCol, k)
+  }
+
+  /** The shared exact tail of every cascade: join a (qid, cid) shortlist
+    * back to raw vectors and rank by 4-decimal rounded cosine. Query
+    * vectors come from the QUERIES frame (like int8TopK / bruteForceTopK)
+    * — a qid absent from the corpus must still rerank, not silently
+    * vanish; only candidate vectors read the corpus side, by shuffle join
+    * on cid (the corpus-sized side is never broadcast). */
+  private[graft] def exactCosineRerank(
+      short: DataFrame, embeddings: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{fvDot => ndot}
     def withNorm(df: DataFrame) =
       df.select(F.col(idCol).as("id"), F.col(vecCol).as("v"),
         F.sqrt(ndot(F.col(vecCol), F.col(vecCol))).as("nrm"))
-    // query vectors come from the QUERIES frame (like int8TopK /
-    // bruteForceTopK) — a qid absent from the corpus must still rerank,
-    // not silently vanish; only candidate vectors read the corpus side
     val reranked = short
       .join(withNorm(queries)
         .select(F.col("id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn")), "qid")
@@ -141,6 +151,48 @@ object Quantization {
       .select(F.col("qid"), F.col("cid"),
         F.round(ndot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 4).as("cos_sim"))
     Similarity.topKPerQuery(reranked, "cos_sim", k)
+  }
+
+  /** The full THREE-TIER retrieval cascade — the production serve shape,
+    * composed end-to-end in ONE query:
+    *
+    *   1. binary: Hamming shortlist over the 16 B/vector sign codes
+    *      (`hammingShortlist` candidates/query — the only full corpus
+    *      scan, at 1 bit/dim);
+    *   2. PQ/ADC: the survivors re-scored from their m-byte PQ codes via
+    *      per-query ADC lookup tables (m array reads per candidate, no
+    *      float vector touched), cut to `adcShortlist`;
+    *   3. exact: only `adcShortlist` ids per query ever reach the raw
+    *      float vectors for the final cosine top-k.
+    *
+    * Tiers verified individually by q_binary_topk / q_ivf_pq / the rerank
+    * oracles; this operator proves they COMPOSE — the recall gate in
+    * AnnRecallSpec shows the ADC middle tier holds the binary-rerank
+    * recall floor at half the exact-tier probe budget. At 100 TB the
+    * cascade reads: corpus × 16 B, then |Q|·H codes (m bytes each), then
+    * |Q|·A raw vectors — each tier joins on its natural key (cid / qid),
+    * never broadcasting a corpus-sized side. */
+  def tieredTopK(embeddings: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String,
+                 codebooks: Array[Array[Array[Double]]],
+                 hammingShortlist: Int, adcShortlist: Int, k: Int): DataFrame = {
+    val m = codebooks.length
+    val kC = codebooks.head.length
+    val short1 = binaryTopK(embeddings, queries, idCol, vecCol, hammingShortlist)
+      .select(F.col("qid"), F.col("cid"))
+    // slim (qid, cid, pq_code) first — the wide m·kC ADC table attaches
+    // per QUERY, not per candidate row, and is projected away in-stage
+    val coded = Similarity.pqEncode(embeddings, idCol, vecCol, codebooks)
+      .select(F.col(idCol).as("cid"), F.col("pq_code"))
+    val qAdc = queries.select(F.col(idCol).as("qid"),
+      Similarity.adcTables(F.col(vecCol), codebooks).as("__adc"))
+    val adcScored = short1
+      .join(coded, "cid")
+      .join(qAdc, "qid")
+      .select(F.col("qid"), F.col("cid"), Similarity.adcScore(m, kC).as("pq_dot"))
+    val short2 = Similarity.topKPerQuery(adcScored, "pq_dot", adcShortlist)
+      .select(F.col("qid"), F.col("cid"))
+    exactCosineRerank(short2, embeddings, queries, idCol, vecCol, k)
   }
 
   def int8Symmetric(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {

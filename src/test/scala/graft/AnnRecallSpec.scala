@@ -255,4 +255,30 @@ class AnnRecallSpec extends SparkSpec {
     r64 should be >= r24 // monotone in probe budget
     r64 should be >= 0.7
   }
+
+  it("three-tier cascade holds the binary-rerank recall floor at HALF the exact-tier probe budget") {
+    import graft.operators.Quantization
+    // binary(64) -> ADC(12) -> exact(3): the ADC middle tier re-scores the
+    // 64 Hamming survivors from m-byte PQ codes, so only 12 candidates per
+    // query (2.4% probed) ever touch a float vector — half of
+    // q_binary_rerank's 24 — while the better angle resolution of the PQ
+    // codes keeps recall at or above the 24-probe binary floor.
+    val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 16, k = 16)
+      .map(Similarity.snapCentroids(_))
+    val binary24 = recallOf(topkSets(
+      Quantization.binaryRerankTopK(emb, emb, "vec_id", "embedding", shortlist = 24, k = 3)
+        .select("qid", "cid")))
+    val tiered12 = recallOf(topkSets(
+      Quantization.tieredTopK(emb, emb, "vec_id", "embedding", books,
+          hammingShortlist = 64, adcShortlist = 12, k = 3)
+        .select("qid", "cid")))
+    val tiered24 = recallOf(topkSets(
+      Quantization.tieredTopK(emb, emb, "vec_id", "embedding", books,
+          hammingShortlist = 64, adcShortlist = 24, k = 3)
+        .select("qid", "cid")))
+    info(f"tiered recall@3: binary24 = $binary24%.3f (4.8%% probed), " +
+      f"tiered h64/adc12 = $tiered12%.3f (2.4%% probed), h64/adc24 = $tiered24%.3f")
+    tiered12 should be >= binary24 // the floor, at half the probe budget
+    tiered24 should be >= tiered12 // monotone in the ADC shortlist
+  }
 }

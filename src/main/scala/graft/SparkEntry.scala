@@ -1139,6 +1139,16 @@ object SparkEntry {
         docs.select(F.col("doc_id").as("node")))
         .select(F.col("node").as("doc_id"), F.col("label").as("cluster"))
     }),
+    // VIDEO-level dedup: real animated GIFs (groups of 3 ids share one
+    // frame sequence at different lengths — trimmed re-posts) -> per-frame
+    // dHash through the real decoder -> banded frame matches -> directed
+    // containment (fraction of a video's frames found in the other) >= 0.8
+    // -> connected components. The sub-clip case text dedup can't see.
+    "q_video_dedup" -> ((s, dir) => {
+      val vids = Multimodal.gifPooledPayloads(t(s, dir, "documents"), "doc_id")
+      Multimodal.videoDedupClusters(vids, stride = 1, maxHamming = 3,
+        minContainment = 0.8)
+    }),
     // REAL audio codec round-trip (the WAV twin of q_mm_decode):
     // deterministic 16-bit PCM waveforms -> genuine WAV bytes
     // (javax.sound.sampled encode) -> genuine WAV header+frame decode +
@@ -2607,6 +2617,37 @@ object SparkEntry {
         "reach AS (SELECT doc_id AS node, doc_id AS label FROM documents " +
         "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node) " +
         "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node"),
+    // Video dedup mirror, fully analytic: the pooled-frame generator
+    // (ck = (id/3)*8 + f, 8x8 pixel with ck-dependent gradient steps), the
+    // dHash grid on those pixels (w = h = 8: sy = y, sx = x*8/9), directed
+    // frame-containment >= 0.8, then the recursive-CTE closure. The
+    // engine's banded matching is candidate generation only — the oracle
+    // brute-forces every frame pair.
+    "q_video_dedup" ->
+      ("WITH RECURSIVE " +
+        "v AS (SELECT doc_id AS media_id, doc_id % 4 + 2 AS nf FROM documents), " +
+        "fr AS (SELECT media_id, nf, unnest(range(0, nf)) AS f FROM v), " +
+        "ckf AS (SELECT media_id, nf, f, (media_id // 3) * 8 + f AS ck FROM fr), " +
+        "cks AS (SELECT DISTINCT ck FROM ckf), " +
+        "cells AS (SELECT ck, unnest(range(0, 8)) AS y FROM cks), " +
+        "cellx AS (SELECT ck, y, unnest(range(0, 8)) AS x FROM cells), " +
+        "bits AS (SELECT ck, y, x, CASE WHEN " +
+        "(ck * 131 + ((x + 1) * 8 // 9) * (17 + (ck % 7) * 11) + y * (29 + (ck % 5) * 13)) % 256 > " +
+        "(ck * 131 + (x * 8 // 9) * (17 + (ck % 7) * 11) + y * (29 + (ck % 5) * 13)) % 256 " +
+        "THEN 1 ELSE 0 END AS bit FROM cellx), " +
+        "fp AS (SELECT ck, " +
+        "CAST(sum(CASE WHEN y * 8 + x < 32 AND bit = 1 THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INT) ELSE 0 END) AS BIGINT) AS dh_lo, " +
+        "CAST(sum(CASE WHEN y * 8 + x >= 32 AND bit = 1 THEN CAST(1 AS BIGINT) << CAST(y * 8 + x - 32 AS INT) ELSE 0 END) AS BIGINT) AS dh_hi " +
+        "FROM bits GROUP BY ck), " +
+        "fpr AS (SELECT c.media_id, c.nf, c.f, p.dh_lo, p.dh_hi FROM ckf c JOIN fp p USING (ck)), " +
+        "m AS (SELECT a.media_id AS va, a.f AS fa, a.nf AS na, b.media_id AS vb FROM fpr a JOIN fpr b " +
+        "ON a.media_id <> b.media_id AND bit_count(xor(a.dh_lo, b.dh_lo)) + bit_count(xor(a.dh_hi, b.dh_hi)) <= 3), " +
+        "cont AS (SELECT va, vb, CAST(count(DISTINCT fa) AS DOUBLE) / CAST(max(na) AS DOUBLE) AS containment FROM m GROUP BY va, vb), " +
+        "ed AS (SELECT DISTINCT least(va, vb) AS a, greatest(va, vb) AS b FROM cont WHERE containment >= 0.8), " +
+        "e AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b AS src, a AS dst FROM ed), " +
+        "reach AS (SELECT doc_id AS node, doc_id AS label FROM documents " +
+        "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node) " +
+        "SELECT node AS media_id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node"),
     "q_zscore_by_source" ->
       ("SELECT doc_id, source, n_chars, " +
         "round((n_chars - avg(n_chars) OVER (PARTITION BY source)) / stddev_samp(n_chars) OVER (PARTITION BY source), 4) AS z " +

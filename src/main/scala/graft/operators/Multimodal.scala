@@ -584,4 +584,158 @@ object Multimodal {
         F.col("media_id"),
         F.col("meta.n_frames").as("n_frames"),
         F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(stride))).as("frame_idx"))
+
+  // ---- video-level dedup: frame-fingerprint containment ----
+
+  /** Pooled-frame video fixture: groups of `groupSize` consecutive ids
+    * share ONE frame sequence (content key `ck = (id/groupSize)·8 + f`),
+    * but each id keeps its own length `vidNFrames(id)` — so within a
+    * group every shorter video is an exact PREFIX SUB-CLIP of the longer
+    * ones, the canonical video-dedup case (re-encodes, trims, reposts of
+    * the same clip). Frames are fixed 8×8 grayscale with ck-dependent
+    * GRADIENT structure — pixel = `(ck·131 + x·(17 + (ck%7)·11) +
+    * y·(29 + (ck%5)·13)) mod 256` — because dHash is invariant under the
+    * uniform brightness shift a ck-only OFFSET would produce (distinct
+    * frames would fingerprint identically); varying the x/y step sizes
+    * with ck makes distinct pool frames genuinely distinct to the hash.
+    * Encoded as a REAL animated GIF exactly like [[gifPayloads]] —
+    * lossless palette, interlacing off. */
+  def gifPooledPayloads(df: DataFrame, idCol: String, groupSize: Int = 3): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(F.col(idCol).cast(LongType).as("media_id")).mapPartitions { it =>
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      val gray = (0 until 256).map(_.toByte).toArray
+      val palette = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      it.map { row =>
+        val id = row.getLong(0)
+        val nf = vidNFrames(id)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nf) {
+          val ck = (id / groupSize) * 8 + f
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              img.getRaster.setSample(x, y, 0,
+                ((ck * 131 + x * (17 + (ck % 7) * 11) + y * (29 + (ck % 5) * 13)) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** Per-frame dHash through the REAL container: the GIF reader decodes
+    * every `stride`-th frame and the [[dHash]] 8×8 gradient grid runs on
+    * the decoded raster — (media_id, frame_idx, n_sampled, dh_lo, dh_hi).
+    * Map-only; payloads never shuffle, only 16 B/frame fingerprints do. */
+  def framePrints(media: DataFrame, stride: Int = 1): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("n_sampled", IntegerType),
+      StructField("dh_lo", LongType),
+      StructField("dh_hi", LongType)
+    ))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+        reader.setInput(iis, false)
+        val nf = reader.getNumImages(true)
+        val sampled = (0 until nf by stride).toArray
+        val rows = sampled.map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var lo = 0L; var hi = 0L
+          var y = 0
+          while (y < 8) {
+            val sy = y * h / 8
+            var x = 0
+            while (x < 8) {
+              val g0 = img.getRGB(x * w / 9, sy) & 0xff
+              val g1 = img.getRGB((x + 1) * w / 9, sy) & 0xff
+              if (g1 > g0) {
+                val b = y * 8 + x
+                if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, f, sampled.length, lo, hi)
+        }
+        iis.close()
+        rows
+      }
+    }(enc)
+  }
+
+  /** Directed video containment from frame-fingerprint matches: for each
+    * ordered video pair (va, vb), the fraction of va's sampled frames with
+    * a near-duplicate frame (hamming ≤ `maxHamming`) anywhere in vb. A
+    * trimmed re-post scores 1.0 toward its source — the sub-clip
+    * signature. Frame matching reuses the text/image banding core
+    * ([[Dedup.hammingPairs64]]) on a packed (media_id·64 + frame_idx) key,
+    * so candidate generation is band-bucketed, never all-frame-pairs. */
+  def videoContainment(prints: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fids = prints.select(
+      (F.col("media_id") * 64 + F.col("frame_idx")).as("fid"),
+      F.col("dh_lo"), F.col("dh_hi"))
+    val pairs = Dedup.hammingPairs64(fids, "fid", "dh_lo", "dh_hi", maxHamming)
+    // expand a<b frame pairs into both directed (va, fa, vb) match rows
+    val d1 = pairs.select((F.col("a") / 64).cast(LongType).as("va"),
+      (F.col("a") % 64).cast(IntegerType).as("fa"), (F.col("b") / 64).cast(LongType).as("vb"))
+    val d2 = pairs.select((F.col("b") / 64).cast(LongType).as("va"),
+      (F.col("b") % 64).cast(IntegerType).as("fa"), (F.col("a") / 64).cast(LongType).as("vb"))
+    val matches = d1.union(d2).filter(F.col("va") =!= F.col("vb"))
+    val nFrames = prints.groupBy(F.col("media_id").as("va"))
+      .agg(F.max("n_sampled").as("na"))
+    matches.groupBy("va", "vb")
+      .agg(F.countDistinct("fa").as("n_matched"))
+      .join(nFrames, "va")
+      .select(F.col("va"), F.col("vb"), F.col("n_matched"),
+        (F.col("n_matched").cast("double") / F.col("na").cast("double")).as("containment"))
+  }
+
+  /** Video-level duplicate clusters: frames → per-frame dHash → banded
+    * frame matches → directed containment ≥ `minContainment` → undirected
+    * edges → one connected-components pass over all videos. Composes the
+    * image-dedup machinery at the VIDEO granularity, the way
+    * q_crossmodal_dedup composes it across modalities. */
+  def videoDedupClusters(
+      media: DataFrame,
+      stride: Int = 1,
+      maxHamming: Int = 3,
+      minContainment: Double = 0.8): DataFrame = {
+    val edges = videoContainment(framePrints(media, stride), maxHamming)
+      .filter(F.col("containment") >= minContainment)
+      .select(F.least(F.col("va"), F.col("vb")).as("a"),
+        F.greatest(F.col("va"), F.col("vb")).as("b"))
+      .distinct()
+    Dedup.connectedComponents(edges, media.select(F.col("media_id").as("node")))
+      .select(F.col("node").as("media_id"), F.col("label").as("cluster"))
+  }
 }

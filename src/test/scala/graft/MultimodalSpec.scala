@@ -353,4 +353,27 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b, d)).toSet
     banded shouldBe brute
   }
+
+  it("video dedup: trimmed re-posts (prefix sub-clips) cluster with their source via frame containment") {
+    import spark.implicits._
+    // ids 0..8 = three groups of 3 sharing one frame sequence at different
+    // lengths (gifPooledPayloads ck = (id/3)*8 + f): every shorter video is
+    // an exact prefix sub-clip of its group's longer ones.
+    val vids = Multimodal.gifPooledPayloads((0L until 9L).toDF("doc_id"), "doc_id")
+    val prints = Multimodal.framePrints(vids)
+    // frame counts come through the real GIF container
+    prints.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      (0L until 9L).map(id => id -> (id % 4 + 2)).toMap
+    // a strict prefix sub-clip has containment 1.0 toward its source
+    val cont = Multimodal.videoContainment(prints, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    cont((0L, 1L)) shouldBe 1.0 // video 0 (2 frames) inside video 1 (3 frames)
+    cont((4L, 3L)) shouldBe 1.0 // video 4 (2 frames) inside video 3 (5 frames)
+    val clusters = Multimodal.videoDedupClusters(vids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters.size shouldBe 9
+    // each group collapses to one cluster labeled by its min id
+    (0L until 9L).foreach(id => clusters(id) shouldBe (id / 3) * 3)
+  }
 }

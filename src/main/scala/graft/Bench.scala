@@ -27,7 +27,19 @@ object Bench {
     catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(kv => f(kv._1)))
+    // bench-only operator rows (train/serve attribution splits) ride the
+    // same grid as the queries: same passes, median/min, error marking
+    val opRows: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      SparkEntry.benchOps.map { case (n, op) =>
+        n -> ((s: SparkSession, d: String) => { op(s, d); s.range(1).toDF() })
+      }
+    val all = SparkEntry.queries ++ opRows
+    val selected = only.fold(all)(f => all.filter(kv => f(kv._1)))
+    // warm the serve row's model cache UNTIMED so every ivf_pq_serve
+    // sample measures serve alone (the point of the split)
+    if (selected.contains("ivf_pq_serve"))
+      try SparkEntry.benchOps("ivf_pq_train")(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] serve warmup failed: $e") }
     // Per-query timeout: one pathological query must not stall the whole
     // round artifact. Cancellation is cooperative (Spark jobs are
     // interruptible at task boundaries); the timed-out query records its

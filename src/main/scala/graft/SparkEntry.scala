@@ -83,6 +83,40 @@ object SparkEntry {
     * stale against regenerated testdata. */
   private val annIndexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-sfDir trained model cache for the bench-only train/serve split
+    * rows — never shared with the oracle stashes. */
+  private val ivfPqBenchModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  /** Bench-only operator rows (no oracle surface — Verify never runs
+    * these): the STRUCTURAL train/serve attribution of q_ivf_pq. q_ivf_pq
+    * deliberately retrains per call (its bench time is the train+serve
+    * contrast row); these two rows time each half alone, so a future
+    * regression in either half self-attributes in the artifact instead of
+    * via a manual profile run (round-8 verdict item 3).
+    *
+    *   - `ivf_pq_train`: trainIvfPqModel only (same 8/16/16 sizing as
+    *     q_ivf_pq); caches the model per sfDir;
+    *   - `ivf_pq_serve`: ivfPqTopKWithModel against the cached model —
+    *     Bench warms the cache untimed first, so every timed sample is
+    *     serve-only.
+    */
+  def benchOps: Map[String, (SparkSession, String) => Unit] = Map(
+    "ivf_pq_train" -> ((s, dir) => {
+      val mod = Similarity.trainIvfPqModel(
+        t(s, dir, "embeddings"), "vec_id", "embedding", nCentroids = 8, m = 16, kCodes = 16)
+      ivfPqBenchModels.put(dir, mod)
+      ()
+    }),
+    "ivf_pq_serve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cents, books) = ivfPqBenchModels.computeIfAbsent(dir, _ =>
+        Similarity.trainIvfPqModel(e, "vec_id", "embedding", nCentroids = 8, m = 16, kCodes = 16))
+      Similarity.ivfPqTopKWithModel(e, "vec_id", "embedding", cents, books,
+        nprobe = 5, shortlist = 24, k = 3).count()
+      ()
+    }))
+
   /** Once-per-(process, sf-dir, kC) snapped k-means model — the
     * train-rarely/serve-always split applied to every MODEL CONSUMER, not
     * just the persisted ANN index. q_ivf_ann, q_cluster_assign,

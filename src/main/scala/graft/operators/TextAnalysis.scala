@@ -440,8 +440,18 @@ object TextAnalysis {
     * self-join would replay the derivation per side — shuffles on the
     * hash key, so pairs form only within a hash's posting list, then one
     * combinable count per pair. */
-  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
-                  minOverlap: Double = 0.8, maxDfFrac: Double = 0.05): DataFrame = {
+  /** The df-CAPPED posting frame `(id, h, ns)` the pair self-join reads —
+    * exposed pre-checkpoint so PlanSpec can assert the cap sits UPSTREAM
+    * of the self-join (the checkpoint hides it from the final plan).
+    *
+    * MOSS's over-common-fingerprint drop, made quantitative: a hash in
+    * more than maxDfFrac of the corpus is boilerplate, not copy evidence,
+    * and its posting list is what turns the hash join quadratic (measured
+    * at sf0.1: 612M joined rows uncapped, 2.6M at the 5% cap — and the
+    * hot-list blowup grows with corpus scale, the cap bounds it). The
+    * floor of 2 keeps an exact pair detectable in tiny corpora. */
+  private[graft] def winnowPostings(df: DataFrame, idCol: String, textCol: String,
+                                    maxDfFrac: Double): DataFrame = {
     // materialize the per-doc fingerprint ARRAYS, then explode: a Generate
     // whose input is the derived zip_with tree runs ~10x slower than one
     // reading a materialized array column (measured 11.7 s vs 1.3 s at
@@ -450,12 +460,6 @@ object TextAnalysis {
     val setsMat = winnowSets(df, idCol, textCol)
       .select(F.col(idCol).as("id"), F.col("__sel")).localCheckpoint(true)
     val keyed = setsMat.select(F.col("id"), F.explode(F.col("__sel")).as("h"))
-    // MOSS's over-common-fingerprint drop, made quantitative: a hash in
-    // more than maxDfFrac of the corpus is boilerplate, not copy evidence,
-    // and its posting list is what turns the hash join quadratic (measured
-    // at sf0.1: 612M joined rows uncapped, 2.6M at the 5% cap — and the
-    // hot-list blowup grows with corpus scale, the cap bounds it). The
-    // floor of 2 keeps an exact pair detectable in tiny corpora.
     val nDocs = df.agg(F.count(F.lit(1)).as("__n"))
     val rare = keyed.groupBy("h").agg(F.count(F.lit(1)).as("__df"))
       .crossJoin(F.broadcast(nDocs))
@@ -465,7 +469,12 @@ object TextAnalysis {
     val filtered = keyed.join(rare, "h")
     // containment denominators over the SURVIVING (discriminative) sets
     val ns = filtered.groupBy("id").agg(F.count(F.lit(1)).as("ns"))
-    val posting = filtered.join(ns, "id").localCheckpoint(true)
+    filtered.join(ns, "id")
+  }
+
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  minOverlap: Double = 0.8, maxDfFrac: Double = 0.05): DataFrame = {
+    val posting = winnowPostings(df, idCol, textCol, maxDfFrac).localCheckpoint(true)
     posting.as("x").join(posting.as("y"), "h")
       .filter(F.col("x.id") < F.col("y.id"))
       .select(F.col("x.id").as("a"), F.col("y.id").as("b"),

@@ -215,4 +215,51 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  it("crossmodal edges are CONTRACTED stars + print pairs — no clique-squared member expansion") {
+    import graft.operators.{Dedup, Multimodal}
+    // rebuild the exact edge frames q_crossmodal_dedup feeds to CC
+    val docs = SparkEntry.t(spark, dir, "documents")
+    val edges = Dedup.hammingEdges64(
+        Dedup.simhash64(docs, "doc_id", "text"), "doc", "sh_lo", "sh_hi")
+      .union(Dedup.hammingEdges64(
+        Multimodal.dHash(Multimodal.pngPayloads(docs, "doc_id")),
+        "media_id", "dh_lo", "dh_hi"))
+    val p = edges.queryExecution.executedPlan.toString
+    // per modality, exactly TWO joins: the membership join on the print
+    // words (sh_lo, sh_hi) and the banding join on (bi, bval). The
+    // clique-squared shape (hammingPairs64's member-by-member expansion)
+    // would add a mem-x-mem self-join plus two expansion joins per
+    // modality — join count is the structural tell.
+    val joins = p.split("\n").count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    withClue(s"edge plan grew extra joins (member expansion?):\n$p\n") {
+      joins should be <= 4
+    }
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // both structural stages are present: membership join keyed on the
+    // print words, banding join keyed on the band value
+    p should include("sh_lo")
+    p should include("bval")
+  }
+
+  it("winnow pair join reads df-CAPPED postings: the cap filter sits upstream of the self-join") {
+    import graft.operators.TextAnalysis
+    val docs = SparkEntry.t(spark, dir, "documents")
+    // the pre-checkpoint posting frame the self-join consumes: the
+    // boilerplate cap (df <= greatest(2, ceil(frac*N))) must filter the
+    // exploded hashes BEFORE any pairing
+    val postings = TextAnalysis.winnowPostings(docs, "doc_id", "text", maxDfFrac = 0.05)
+    val pp = postings.queryExecution.executedPlan.toString
+    pp should include("greatest(2,")
+    pp should include("CEIL")
+    // the final pair query: self-join strictly on the hash key over the
+    // checkpointed (already-capped) postings — no cartesian, no re-derive
+    val p = plan("q_winnow_pairs")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("Scan ExistingRDD") // the capped checkpoint is the join input
+  }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.{IncrementalContamination, IncrementalDedup, TextAnalysis}
+import graft.operators.{AnnIndexStore, IncrementalContamination, IncrementalDedup, TextAnalysis}
 
 /** The WHOLE curation pipeline as ONE Structured Streaming query — the
   * training-data twin of [[StreamingPipeline]] (which composes the audit
@@ -16,15 +16,31 @@ import graft.operators.{IncrementalContamination, IncrementalDedup, TextAnalysis
   *      dropped, and the hit rows land in the audit table);
   *   3. ingest-time NEAR-DUP suppression against the accumulated corpus
   *      ([[IncrementalDedup.dedupBatchIdempotent]]);
-  *   4. an idempotent survivors sink (overwrite-by-batch-id partition).
+  *   4. an idempotent survivors sink (overwrite-by-batch-id partition);
+  *   5. optionally, the EMBEDDING leg: each batch's survivors are encoded
+  *      against the pre-built, frozen ANN model and land in the persisted
+  *      index ([[AnnIndexStore.appendBatchIdempotent]] — the
+  *      [[StreamingAnnIndex]] stage inlined), so the ONE query yields both
+  *      the curated corpus AND its serveable index.
   *
   * Exactly-once survivors under at-least-once foreachBatch replay holds
   * stage-wise: 1 is deterministic, 2 and 3 are replay-STABLE per
-  * batch id (each excludes its own prior writes from its checks), and 4
-  * overwrites rather than appends — so a crashed-and-replayed batch
-  * converges to the identical survivor set, the same argument as
-  * [[StreamingDedup]] extended across three stateful stores. */
+  * batch id (each excludes its own prior writes from its checks), 4
+  * overwrites rather than appends, and 5 is a deterministic encode into
+  * an overwrite-by-batch-id partition — so a crashed-and-replayed batch
+  * converges to the identical survivor set and index rows, the same
+  * argument as [[StreamingDedup]] extended across four stateful stores. */
 object StreamingCuration {
+
+  /** The embedding leg's wiring: survivors join `embeddings` (the static
+    * (id, vector) side table) on doc id and their codes land in `store`,
+    * which must already be [[AnnIndexStore.build]]t — the stream only
+    * encodes against the frozen model. */
+  final case class AnnLeg(
+      store: AnnIndexStore,
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding")
 
   def attach(
       docs: DataFrame,
@@ -36,7 +52,8 @@ object StreamingCuration {
       maxStopRatio: Double = 0.4,
       contamN: Int = 3,
       contamMinShared: Long = 2L,
-      triggerMillis: Long = 1000L): StreamingQuery =
+      triggerMillis: Long = 1000L,
+      annLeg: Option[AnnLeg] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(triggerMillis))
@@ -61,6 +78,15 @@ object StreamingCuration {
         // 4. idempotent survivors sink
         kept.write.mode(SaveMode.Overwrite)
           .parquet(s"$survivorsDir/batch_id=$batchId")
+        // 5. embedding leg: encode THIS batch's survivors against the
+        // frozen model into their own index partition (replay rewrites
+        // identical rows — deterministic encode + partition overwrite)
+        annLeg.foreach { leg =>
+          val vecs = kept.select(F.col("doc_id"))
+            .join(leg.embeddings, F.col("doc_id") === F.col(leg.idCol))
+            .select(F.col(leg.idCol), F.col(leg.vecCol))
+          leg.store.appendBatchIdempotent(vecs, leg.idCol, leg.vecCol, batchId)
+        }
         ()
       }
       .start()

@@ -1183,6 +1183,16 @@ object SparkEntry {
       Multimodal.videoDedupClusters(vids, stride = 1, maxHamming = 3,
         minContainment = 0.8)
     }),
+    // The directed containment table itself (the evidence behind
+    // q_video_dedup's edges): fraction of va's frames with a hamming<=3
+    // match in vb, at >= 0.5 — sub-clip candidates below the dedup bar.
+    "q_video_containment" -> ((s, dir) => {
+      val vids = Multimodal.gifPooledPayloads(t(s, dir, "documents"), "doc_id")
+      Multimodal.videoContainment(Multimodal.framePrints(vids), maxHamming = 3)
+        .filter(F.col("containment") >= 0.5)
+        .select(F.col("va"), F.col("vb"), F.col("n_matched"),
+          F.round(F.col("containment"), 4).as("containment"))
+    }),
     // REAL audio codec round-trip (the WAV twin of q_mm_decode):
     // deterministic 16-bit PCM waveforms -> genuine WAV bytes
     // (javax.sound.sampled encode) -> genuine WAV header+frame decode +
@@ -2682,6 +2692,31 @@ object SparkEntry {
         "reach AS (SELECT doc_id AS node, doc_id AS label FROM documents " +
         "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node) " +
         "SELECT node AS media_id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node"),
+    // The containment table: same analytic chain up to `cont`, thresholded
+    // at 0.5 (count/max are exact BIGINTs, so the ratio is the same IEEE
+    // double in both engines).
+    "q_video_containment" ->
+      ("WITH " +
+        "v AS (SELECT doc_id AS media_id, doc_id % 4 + 2 AS nf FROM documents), " +
+        "fr AS (SELECT media_id, nf, unnest(range(0, nf)) AS f FROM v), " +
+        "ckf AS (SELECT media_id, nf, f, (media_id // 3) * 8 + f AS ck FROM fr), " +
+        "cks AS (SELECT DISTINCT ck FROM ckf), " +
+        "cells AS (SELECT ck, unnest(range(0, 8)) AS y FROM cks), " +
+        "cellx AS (SELECT ck, y, unnest(range(0, 8)) AS x FROM cells), " +
+        "bits AS (SELECT ck, y, x, CASE WHEN " +
+        "(ck * 131 + ((x + 1) * 8 // 9) * (17 + (ck % 7) * 11) + y * (29 + (ck % 5) * 13)) % 256 > " +
+        "(ck * 131 + (x * 8 // 9) * (17 + (ck % 7) * 11) + y * (29 + (ck % 5) * 13)) % 256 " +
+        "THEN 1 ELSE 0 END AS bit FROM cellx), " +
+        "fp AS (SELECT ck, " +
+        "CAST(sum(CASE WHEN y * 8 + x < 32 AND bit = 1 THEN CAST(1 AS BIGINT) << CAST(y * 8 + x AS INT) ELSE 0 END) AS BIGINT) AS dh_lo, " +
+        "CAST(sum(CASE WHEN y * 8 + x >= 32 AND bit = 1 THEN CAST(1 AS BIGINT) << CAST(y * 8 + x - 32 AS INT) ELSE 0 END) AS BIGINT) AS dh_hi " +
+        "FROM bits GROUP BY ck), " +
+        "fpr AS (SELECT c.media_id, c.nf, c.f, p.dh_lo, p.dh_hi FROM ckf c JOIN fp p USING (ck)), " +
+        "m AS (SELECT a.media_id AS va, a.f AS fa, a.nf AS na, b.media_id AS vb FROM fpr a JOIN fpr b " +
+        "ON a.media_id <> b.media_id AND bit_count(xor(a.dh_lo, b.dh_lo)) + bit_count(xor(a.dh_hi, b.dh_hi)) <= 3), " +
+        "cont AS (SELECT va, vb, CAST(count(DISTINCT fa) AS BIGINT) AS n_matched, " +
+        "CAST(count(DISTINCT fa) AS DOUBLE) / CAST(max(na) AS DOUBLE) AS containment FROM m GROUP BY va, vb) " +
+        "SELECT va, vb, n_matched, round(containment, 4) AS containment FROM cont WHERE containment >= 0.5"),
     "q_zscore_by_source" ->
       ("SELECT doc_id, source, n_chars, " +
         "round((n_chars - avg(n_chars) OVER (PARTITION BY source)) / stddev_samp(n_chars) OVER (PARTITION BY source), 4) AS z " +

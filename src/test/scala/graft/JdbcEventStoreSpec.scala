@@ -180,6 +180,16 @@ class JdbcEventStoreSpec extends SparkSpec {
       }
     }
 
+    it("kind filter pushes down into the JDBC scan (S2/R22 through the relation)") {
+      val p = jdbc.getCFAuditEvents(RawEventFilter(kind = Some("audit.app.start")))
+        .queryExecution.executedPlan.toString
+      // Spark's JDBC relation must carry the predicate to the database —
+      // a full-table JDBC pull with an engine-side filter re-reads the
+      // whole store per page at scale
+      p should include("PushedFilters")
+      p should include("EVENT_TYPE")
+    }
+
     it("unshipped query: same rows and order through both stores after a cursor commit") {
       jdbc.updateShipperCursor("s", "2024-01-01T11:00:00Z",
         "0b9ad8f2-0002-4f0e-9c2a-222222222222")

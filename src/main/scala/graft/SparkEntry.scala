@@ -54,6 +54,7 @@ object SparkEntry {
   @volatile private var pqModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
   @volatile private var annIndexModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
   @volatile private var tieredBooksStash: Option[Array[Array[Array[Double]]]] = None
+  @volatile private var tieredServeBooksStash: Option[Array[Array[Array[Double]]]] = None
   @volatile private var qualityLrStash: Option[Array[Double]] = None
   @volatile private var kmeansStash: Option[Array[Array[Double]]] = None
   @volatile private var semdedupStash: Option[Array[Array[Double]]] = None
@@ -915,6 +916,22 @@ object SparkEntry {
       val mod = store.model
       annIndexModelStash = Some((mod.centroids, mod.codebooks))
       store.search(e, "vec_id", "embedding", nprobe = 5, shortlist = 24, k = 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    }),
+    // The three-tier cascade SERVED from the same persisted index: tier 1
+    // scans the STORED 16 B sign words, tier 2 the STORED PQ codes — no
+    // re-encode anywhere; only 12 ids/query touch raw vectors. Shares
+    // q_ann_index_serve's store (train-rarely, serve-many-ways).
+    "q_tiered_serve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idxDir = annIndexDirs.computeIfAbsent(dir, _ =>
+        java.nio.file.Files.createTempDirectory("graft_ann_index_").toString)
+      val store = new AnnIndexStore(s, idxDir)
+      if (!store.exists)
+        store.build(e, "vec_id", "embedding", nCentroids = 8, m = 16, kCodes = 16)
+      tieredServeBooksStash = Some(store.model.codebooks)
+      store.searchTiered(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+          hammingShortlist = 64, adcShortlist = 12, k = 3)
         .withColumn("rn", F.col("rn").cast("long"))
     }),
     // The same persisted-index serve at PRODUCTION-SIZED kC ≈ √N
@@ -2269,6 +2286,12 @@ object SparkEntry {
     // binary-code CTEs, the flat PQ/ADC literal mirror, then the shared
     // exact-cosine chain.
     "q_tiered_topk" -> tieredBooksStash
+      .map(b => tieredOracle(b, hammingShortlist = 64, adcShortlist = 12))
+      .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
+    // The persisted-index tiered serve computes the same function of the
+    // same reloaded model — the identical tiered mirror over the store's
+    // literal books (the q_ann_index_serve pattern applied to the cascade).
+    "q_tiered_serve" -> tieredServeBooksStash
       .map(b => tieredOracle(b, hammingShortlist = 64, adcShortlist = 12))
       .getOrElse("SELECT NULL AS qid, NULL AS cid, NULL AS cos_sim, NULL AS rn WHERE 1 = 0"),
     // The persisted-index serve path computes the same function of the same

@@ -86,7 +86,7 @@ final class AnnIndexStore(spark: SparkSession, dir: String) {
     val root = new org.apache.hadoop.fs.Path(codesPath)
     if (fs.exists(root)) fs.delete(root, true)
     fs.delete(new org.apache.hadoop.fs.Path(claimsPath), true)
-    Similarity.ivfPqEncodeForIndex(embeddings, idCol, vecCol, cents, books)
+    encodeAll(embeddings, idCol, vecCol, cents, books)
       .withColumn("batch_id", F.lit(-1L))
       .write.mode(SaveMode.Overwrite)
       .option("path", codesPath)
@@ -95,6 +95,19 @@ final class AnnIndexStore(spark: SparkSession, dir: String) {
       .sortBy("cell")
       .saveAsTable(codesTable)
   }
+
+  /** Full index row encode: PQ codes + cell from the frozen model, PLUS
+    * the 1-bit sign words ([[Quantization.binarize]]) — the binary tier
+    * of [[searchTiered]] scans these 16 B/vector words instead of
+    * re-encoding vectors. One extra map-only pass joined on id. */
+  private def encodeAll(
+      batch: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame =
+    Similarity.ivfPqEncodeForIndex(batch, idCol, vecCol, cents, books)
+      .join(Quantization.binarize(batch, idCol, vecCol)
+        .select(F.col("vec_id").as("cid"), F.col("b_lo"), F.col("b_hi")), "cid")
+      .select("cid", "cell", "pq_code", "b_lo", "b_hi")
 
   /** Encode a NEW batch against the frozen persisted model and append its
     * codes — the model is never retrained here. The batch id is allocated
@@ -131,7 +144,7 @@ final class AnnIndexStore(spark: SparkSession, dir: String) {
     // session. The catalog's bucket spec makes the write bucketed;
     // insertInto binds by position with the partition column last.
     AnnIndexStore.withDynamicOverwrite(batch.sparkSession) {
-      Similarity.ivfPqEncodeForIndex(batch, idCol, vecCol, cents, books)
+      encodeAll(batch, idCol, vecCol, cents, books)
         .withColumn("batch_id", F.lit(batchId))
         .write.mode(SaveMode.Overwrite)
         .insertInto(codesTable)
@@ -175,7 +188,8 @@ final class AnnIndexStore(spark: SparkSession, dir: String) {
   private def ensureTable(): Unit =
     if (!spark.catalog.tableExists(codesTable)) {
       spark.sql(
-        s"CREATE TABLE $codesTable (cid BIGINT, cell INT, pq_code ARRAY<INT>, batch_id BIGINT) " +
+        s"CREATE TABLE $codesTable (cid BIGINT, cell INT, pq_code ARRAY<INT>, " +
+          s"b_lo BIGINT, b_hi BIGINT, batch_id BIGINT) " +
           s"USING PARQUET PARTITIONED BY (batch_id) " +
           s"CLUSTERED BY (cell) INTO $CodesBuckets BUCKETS " +
           s"LOCATION '$codesPath'")
@@ -189,6 +203,12 @@ final class AnnIndexStore(spark: SparkSession, dir: String) {
   def codes: DataFrame = {
     ensureTable()
     spark.table(codesTable).select("cid", "cell", "pq_code")
+  }
+
+  /** The full index rows including the binary-tier sign words. */
+  def codesAll: DataFrame = {
+    ensureTable()
+    spark.table(codesTable).select("cid", "cell", "pq_code", "b_lo", "b_hi")
   }
 
   /** Serve a self-ANN search from the persisted index: probe cells and the
@@ -207,6 +227,40 @@ final class AnnIndexStore(spark: SparkSession, dir: String) {
     Similarity.ivfPqSearchFromIndex(
       embeddings, idCol, vecCol, codes, cents, books, nprobe, shortlist, k,
       codedBuckets = Some(CodesBuckets))
+  }
+
+  /** The three-tier cascade SERVED from the persisted index — the
+    * production form of [[Quantization.tieredTopK]]: tier 1 scans the
+    * STORED 16 B/vector sign words (no re-encode, no float vector), tier 2
+    * re-scores the Hamming shortlist from the STORED m-byte PQ codes via
+    * per-query ADC tables, tier 3 joins only `adcShortlist` ids per query
+    * back to `embeddings`' raw vectors for the exact cosine top-k. The
+    * index is touched twice, both times by its natural key (full scan of
+    * the words; cid-join for the shortlist's codes). */
+  def searchTiered(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      hammingShortlist: Int,
+      adcShortlist: Int,
+      k: Int): DataFrame = {
+    val Model(_, books) = model
+    val m = books.length
+    val kC = books.head.length
+    val all = codesAll
+    val short1 = Quantization.binaryTopKFromCodes(
+        all.select("cid", "b_lo", "b_hi"), queries, idCol, vecCol, hammingShortlist)
+      .select(F.col("qid"), F.col("cid"))
+    val qAdc = queries.select(F.col(idCol).as("qid"),
+      Similarity.adcTables(F.col(vecCol), books).as("__adc"))
+    val adcScored = short1
+      .join(all.select("cid", "pq_code"), "cid")
+      .join(qAdc, "qid")
+      .select(F.col("qid"), F.col("cid"), Similarity.adcScore(m, kC).as("pq_dot"))
+    val short2 = Similarity.topKPerQuery(adcScored, "pq_dot", adcShortlist)
+      .select(F.col("qid"), F.col("cid"))
+    Quantization.exactCosineRerank(short2, embeddings, queries, idCol, vecCol, k)
   }
 
   /** Reload the persisted model. Bit-identical to what [[build]] trained:

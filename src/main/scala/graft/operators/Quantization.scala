@@ -99,9 +99,20 @@ object Quantization {
     * candidates for the oracle). Ranking: hamming ASC, cid ASC, via the
     * bounded-heap [[Similarity.topKPerQuery]] on the negated distance. */
   def binaryTopK(embeddings: DataFrame, queries: DataFrame,
-                 idCol: String, vecCol: String, k: Int): DataFrame = {
-    val corpus = binarize(embeddings, idCol, vecCol)
-      .select(F.col("vec_id").as("cid"), F.col("b_lo").as("clo"), F.col("b_hi").as("chi"))
+                 idCol: String, vecCol: String, k: Int): DataFrame =
+    binaryTopKFromCodes(
+      binarize(embeddings, idCol, vecCol)
+        .select(F.col("vec_id").as("cid"), F.col("b_lo"), F.col("b_hi")),
+      queries, idCol, vecCol, k)
+
+  /** [[binaryTopK]] with the CORPUS side fed from an already-encoded
+    * `(cid, b_lo, b_hi)` frame — the serve path when the sign codes live
+    * in a persisted index table ([[AnnIndexStore]]): the scan reads
+    * 16 B/vector of stored words, no float vector and no re-encode. */
+  def binaryTopKFromCodes(corpusCodes: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int): DataFrame = {
+    val corpus = corpusCodes
+      .select(F.col("cid"), F.col("b_lo").as("clo"), F.col("b_hi").as("chi"))
     val qs = binarize(queries, idCol, vecCol)
       .select(F.col("vec_id").as("qid"), F.col("b_lo").as("qlo"), F.col("b_hi").as("qhi"))
     val scored = corpus.crossJoin(F.broadcast(qs))

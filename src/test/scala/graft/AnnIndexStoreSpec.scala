@@ -135,4 +135,32 @@ class AnnIndexStoreSpec extends SparkSpec {
     served shouldBe inline
     served should not be empty
   }
+
+  it("index rows carry the binary-tier sign words, identical to a direct binarize") {
+    import graft.operators.Quantization
+    val store = new AnnIndexStore(spark, tmpDir())
+    store.build(batch1, "vec_id", "embedding", nCentroids = 4, m = 8, kCodes = 8)
+    store.append(batch2, "vec_id", "embedding") // appends carry them too
+    val stored = store.codesAll.select("cid", "b_lo", "b_hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Quantization.binarize(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    stored shouldBe direct
+  }
+
+  it("tiered serve from the persisted index equals the inline three-tier cascade") {
+    import graft.operators.Quantization
+    val store = new AnnIndexStore(spark, tmpDir())
+    store.build(batch1, "vec_id", "embedding", nCentroids = 4, m = 8, kCodes = 8)
+    store.append(batch2, "vec_id", "embedding")
+    val queries = emb.filter(F.col("vec_id") < 6)
+    val served = store.searchTiered(emb, queries, "vec_id", "embedding",
+        hammingShortlist = 16, adcShortlist = 6, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val inline = Quantization.tieredTopK(emb, queries, "vec_id", "embedding",
+        store.model.codebooks, hammingShortlist = 16, adcShortlist = 6, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    served shouldBe inline
+    served should not be empty
+  }
 }

@@ -49,6 +49,28 @@ object IncrementalVideoDedup {
     def append(b: DataFrame): Unit =
       b.select("video", "f", "nf", "dh_lo", "dh_hi", "batch_id")
         .write.mode(SaveMode.Append).parquet(path)
+
+    /** Shed prints that accumulated past `maxDf` distinct videos — the
+      * BOILERPLATE-FRAME lifecycle slot (studio intros, channel outros,
+      * black frames): such a frame matches everything, so its posting list
+      * is what turns the banded join quadratic, and it carries no copy
+      * evidence. Containment denominators (`nf`) stay frozen at each
+      * video's ingest, so later checks get slightly conservative — a
+      * video can only look LESS covered, erring toward keeping. Mirrors
+      * [[IncrementalCopyDetect.PostingStore.compactHotHashes]];
+      * rewrite-then-swap so readers never see a half-compacted table. */
+    def compactHotPrints(maxDf: Long): Unit = {
+      val kept = prints.withColumn("__df",
+          F.size(F.collect_set("video").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("dh_lo", "dh_hi"))))
+        .filter(F.col("__df") <= maxDf).drop("__df")
+        .localCheckpoint(true)
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/.frame_prints_tmp")
+      kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val live = new org.apache.hadoop.fs.Path(path)
+      fs.delete(live, true)
+      fs.rename(tmp, live)
+    }
   }
 
   /** Survivors of video dedup against the store and within the batch;
@@ -60,9 +82,10 @@ object IncrementalVideoDedup {
       store: FramePrintStore,
       stride: Int = 1,
       maxHamming: Int = 3,
-      minContainment: Double = 0.8): DataFrame =
+      minContainment: Double = 0.8,
+      maxPrintDf: Long = 64L): DataFrame =
     dedupCore(media, store, stride, maxHamming, minContainment,
-      excludeBatch = None, appendBatchId = -1L)
+      excludeBatch = None, appendBatchId = -1L, maxPrintDf = maxPrintDf)
 
   /** Replay-STABLE form for checkpointed streaming ingest: collision
     * checks exclude rows this very `batchId` wrote. */
@@ -72,9 +95,10 @@ object IncrementalVideoDedup {
       batchId: Long,
       stride: Int = 1,
       maxHamming: Int = 3,
-      minContainment: Double = 0.8): DataFrame =
+      minContainment: Double = 0.8,
+      maxPrintDf: Long = 64L): DataFrame =
     dedupCore(media, store, stride, maxHamming, minContainment,
-      excludeBatch = Some(batchId), appendBatchId = batchId)
+      excludeBatch = Some(batchId), appendBatchId = batchId, maxPrintDf = maxPrintDf)
 
   private def dedupCore(
       media: DataFrame,
@@ -83,13 +107,24 @@ object IncrementalVideoDedup {
       maxHamming: Int,
       minContainment: Double,
       excludeBatch: Option[Long],
-      appendBatchId: Long): DataFrame = {
+      appendBatchId: Long,
+      maxPrintDf: Long): DataFrame = {
     val prints = Multimodal.framePrints(media, stride)
       .select(F.col("media_id").as("video"), F.col("frame_idx").cast("long").as("f"),
         F.col("n_sampled").cast("long").as("nf"), F.col("dh_lo"), F.col("dh_hi"))
       .localCheckpoint(true)
-    val stored0 = excludeBatch.fold(store.prints)(id =>
+    val storedAll = excludeBatch.fold(store.prints)(id =>
       store.prints.filter(F.col("batch_id") =!= id))
+    // boilerplate-frame cap at CHECK time (the winnow df-cap rule for
+    // frames): a print in more than maxPrintDf stored videos is a studio
+    // intro / black frame, not copy evidence, and its posting list is
+    // what would turn the banded join quadratic. Excluding it only makes
+    // videos look LESS covered — errs toward keeping.
+    val hot = storedAll.groupBy("dh_lo", "dh_hi")
+      .agg(F.countDistinct("video").as("__df"))
+      .filter(F.col("__df") > maxPrintDf)
+      .select("dh_lo", "dh_hi")
+    val stored0 = storedAll.join(hot, Seq("dh_lo", "dh_hi"), "left_anti")
     // 2. cross containment: batch bands x stored bands (hamming <= k =>
     // agreement on one of k+1 bands), popcount verify, then the directed
     // containment test with the BATCH video as the query side. A video's

@@ -67,6 +67,36 @@ class IncrementalVideoDedupSpec extends SparkSpec {
     replay shouldBe Set(15L)
   }
 
+  it("boilerplate frames (print in > maxPrintDf videos) neither suppress nor survive compaction") {
+    import org.apache.spark.sql.Row
+    val st = newStore()
+    // real prints of video 4 (2 frames) — then fake a "studio intro"
+    // corpus: 20 stored videos all carrying BOTH of 4's frame prints
+    val p4 = Multimodal.framePrints(vids(4L)).orderBy("frame_idx")
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    val fakeRows = for (sv <- 900L until 920L; (lo, hi) <- p4)
+      yield Row(sv, 0L, 2L, lo, hi, -1L)
+    st.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(fakeRows.toSeq),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "video BIGINT, f BIGINT, nf BIGINT, dh_lo BIGINT, dh_hi BIGINT, batch_id BIGINT")))
+    // uncapped, video 4 would be 2/2-covered by every fake video and die;
+    // the df cap recognizes the prints as boilerplate and keeps it
+    keptIds(IncrementalVideoDedup.dedupBatch(vids(4L), st, maxPrintDf = 16L)) shouldBe
+      Set(4L)
+    // ...while a genuine sub-clip relation (prints below the cap, an
+    // untainted group) still suppresses
+    keptIds(IncrementalVideoDedup.dedupBatch(vids(15L), st, maxPrintDf = 16L)) shouldBe
+      Set(15L)
+    keptIds(IncrementalVideoDedup.dedupBatch(vids(16L), st, maxPrintDf = 16L)) shouldBe
+      Set.empty // 16's 2 frames are a prefix of kept 15's five
+    // lifecycle compaction sheds the hot prints from the table itself
+    st.compactHotPrints(maxDf = 16L)
+    st.prints.filter(F.col("video") >= 900L).count() shouldBe 0L
+    st.prints.filter(F.col("video") === 4L).count() shouldBe 0L // its prints went hot
+    st.prints.filter(F.col("video") === 15L).count() shouldBe 5L // untainted, intact
+  }
+
   it("streaming twin: exactly-once survivors through a checkpointed stream") {
     val st = newStore()
     val survivorsDir = Files.createTempDirectory("graft-vidsurv").toString

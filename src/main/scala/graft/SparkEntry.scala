@@ -1311,6 +1311,17 @@ object SparkEntry {
         budgetTokens = 50000L)
         .select("source", "group_tokens", "weight", "target_tokens",
           "epochs", "sampling_rate")),
+    // DoReMi-shaped iterative domain reweighting: 4 multiplicative-weights
+    // steps on the per-domain excess-difficulty signal, run entirely in
+    // x10^6 scaled-integer space so the trajectory is engine-exact.
+    "q_mw_reweight" -> ((s, dir) =>
+      DataShaping.mwReweight(t(s, dir, "documents"), "source",
+        F.size(F.split(F.col("text"), " ")).cast("long"), iters = 4)),
+    // Curriculum interleave: easiest-first rank within each source, then
+    // the global round-robin position (rank-major, source-minor).
+    "q_curriculum" -> ((s, dir) =>
+      DataShaping.curriculumOrder(t(s, dir, "documents"), "doc_id", "source",
+        F.col("n_chars"))),
     "q_pack_sequences" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("n_tokens", F.size(F.split(F.col("text"), " ")).cast("long"))
@@ -2768,6 +2779,29 @@ object SparkEntry {
         "ELSE lpad(lower(hex(CAST(floor(round(pow(CAST(n AS DOUBLE) / CAST(nmax AS DOUBLE), 0.5), 6) * 4294967296.0) AS BIGINT))), 8, '0') END AS thresh FROM c, m) " +
         "SELECT d.source, count(*) AS n_kept FROM documents d JOIN th ON d.source = th.source " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thresh GROUP BY d.source"),
+    // MW reweighting unrolled: integer a6/ell6 space, exact BIGINT window
+    // sums, eta = 1/2 (0.5*x is exact), one rounded IEEE division per
+    // domain per step — the same doubles in both engines.
+    "q_mw_reweight" -> {
+      val step = (i: Int) =>
+        s"s$i AS (SELECT source, ell6, a6 * (1000000 + CAST(round(0.5 * " +
+          "CAST(ell6 * (sum(a6) OVER ()) - (sum(a6 * ell6) OVER ()) AS DOUBLE) / " +
+          "CAST(sum(a6) OVER () AS DOUBLE)) AS BIGINT)) AS araw " +
+          s"FROM it${i - 1}), " +
+          s"it$i AS (SELECT source, ell6, CAST(round(CAST(araw AS DOUBLE) * 1000000.0 / " +
+          s"CAST(sum(araw) OVER () AS DOUBLE)) AS BIGINT) AS a6 FROM s$i)"
+      "WITH tok AS (SELECT source, CAST(len(string_split(text, ' ')) AS DOUBLE) AS t FROM documents), " +
+        "a AS (SELECT source, sum(t) / count(*) AS avgt FROM tok GROUP BY source), " +
+        "l AS (SELECT source, CAST(round(1000000.0 * avgt / (max(avgt) OVER ())) AS BIGINT) AS ell6 FROM a), " +
+        "it0 AS (SELECT source, ell6, CAST(round(1000000.0 / (count(*) OVER ())) AS BIGINT) AS a6 FROM l), " +
+        (1 to 4).map(step).mkString(", ") + " " +
+        "SELECT source, ell6, a6 AS alpha6, round(CAST(a6 AS DOUBLE) / 1000000.0, 6) AS weight FROM it4"
+    },
+    "q_curriculum" ->
+      ("WITH r AS (SELECT doc_id, source, CAST(row_number() OVER " +
+        "(PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rank_in_group FROM documents) " +
+        "SELECT doc_id, source, rank_in_group, CAST(row_number() OVER " +
+        "(ORDER BY rank_in_group, source, doc_id) AS BIGINT) AS pos FROM r"),
     "q_split_assign" ->
       ("SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val' " +
         "WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test' ELSE 'train' END AS split, " +

@@ -426,4 +426,72 @@ object DataShaping {
         F.coalesce(F.col("total_shared"), F.lit(0L)).as("total_shared"),
         F.coalesce(F.col("max_shared"), F.lit(0L)).as("max_shared"))
   }
+
+  /** DoReMi-SHAPED iterative domain reweighting: multiplicative-weights
+    * updates that upweight domains with EXCESS difficulty over the current
+    * mixture's average (Group-DRO's exponentiated-gradient step,
+    * linearized to `α ← α·(1 + η·excess)` — a standard MW variant), then
+    * renormalize. The difficulty signal here is the per-domain mean token
+    * count normalized to [0,1] (the slot a reference-model excess loss
+    * plugs into in a real DoReMi run).
+    *
+    * Engine-EXACT trajectory (the snapped-model pattern, applied to an
+    * iterative reweighting loop): everything runs in ×10⁶ scaled-INTEGER
+    * space — weights `a6`, losses `ell6` — so every cross-domain sum is an
+    * exact BIGINT (addition-order-free, unlike double sums), the per-step
+    * learning-rate product uses η = 1/2 (a power of two: `0.5·x` is
+    * exact), and the only rounding is one `round(IEEE division)` per
+    * domain per step — identical in any engine. DuckDB replays the loop
+    * unrolled and hash-matches.
+    *
+    * Scale shape: ONE corpus-wide groupBy produces the D-row loss frame;
+    * all `iters` updates run on those D rows (window sums over D values).
+    * 100 TB cost = the single aggregation pass. */
+  def mwReweight(df: DataFrame, groupCol: String, tokensPerRow: Column,
+                 iters: Int = 4): DataFrame = {
+    val all = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val avg = df.withColumn("__t", tokensPerRow.cast("double"))
+      .groupBy(F.col(groupCol))
+      .agg((F.sum("__t") / F.count(F.lit(1))).as("__avgt"))
+    val l = avg.select(F.col(groupCol),
+      F.round(F.lit(1000000.0) * F.col("__avgt") / F.max("__avgt").over(all))
+        .cast("long").as("ell6"))
+    var cur = l.withColumn("a6",
+      F.round(F.lit(1000000.0) / F.count(F.lit(1)).over(all)).cast("long"))
+    for (_ <- 1 to iters) {
+      val sumA = F.sum("a6").over(all)
+      val sumAL = F.sum(F.col("a6") * F.col("ell6")).over(all)
+      // excess·Σα (exact BIGINT) → η-scaled micro-delta → positive factor
+      val delta = F.round(
+        F.lit(0.5) * (F.col("ell6") * sumA - sumAL).cast("double") / sumA.cast("double"))
+        .cast("long")
+      val staged = cur.withColumn("__araw", F.col("a6") * (F.lit(1000000L) + delta))
+      cur = staged.withColumn("a6",
+          F.round(F.col("__araw").cast("double") * 1000000.0 /
+            F.sum("__araw").over(all).cast("double")).cast("long"))
+        .drop("__araw")
+    }
+    cur.select(F.col(groupCol),
+      F.col("ell6"),
+      F.col("a6").as("alpha6"),
+      F.round(F.col("a6").cast("double") / 1000000.0, 6).as("weight"))
+  }
+
+  /** Curriculum INTERLEAVE ordering: rank rows within each domain by a
+    * difficulty/quality score (easiest first, id tiebreak), then emit the
+    * global round-robin position — rank-major, domain-minor — so training
+    * consumes "everyone's easiest, then everyone's next" instead of one
+    * domain at a time. The global position uses the two-phase distributed
+    * assignment (no single-partition sort at any scale). */
+  def curriculumOrder(df: DataFrame, idCol: String, groupCol: String,
+                      score: Column): DataFrame = {
+    val byGroup = Window.partitionBy(F.col(groupCol))
+      .orderBy(score.asc, F.col(idCol).asc)
+    val ranked = df
+      .withColumn("rank_in_group", F.row_number().over(byGroup).cast("long"))
+    AuditQueries.assignIngestSeqDistributed(
+        ranked, base = 0L, orderCols = Seq("rank_in_group", groupCol, idCol))
+      .withColumnRenamed("id", "pos")
+      .select(F.col(idCol), F.col(groupCol), F.col("rank_in_group"), F.col("pos"))
+  }
 }

@@ -382,6 +382,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("DataShaping.mwReweight") {
+    it("upweights the harder domain each step, weights stay normalized") {
+      // hard: 100-token docs; easy: 20-token docs; mid: 60
+      val rows = (Seq.fill(5)(("hard", 100L)) ++ Seq.fill(5)(("easy", 20L)) ++
+        Seq.fill(5)(("mid", 60L)))
+        .zipWithIndex.map { case ((g, n), i) => (i.toLong, g, n) }
+        .toDF("id", "grp", "toks")
+      def weights(iters: Int) = DataShaping.mwReweight(rows, "grp", F.col("toks"), iters)
+        .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("alpha6")).toMap
+      val w0 = weights(0); val w2 = weights(2); val w4 = weights(4)
+      // uniform start
+      w0.values.toSet shouldBe Set(333333L)
+      // monotone divergence: hard gains, easy loses, more steps = more
+      w2("hard") should be > w0("hard")
+      w4("hard") should be > w2("hard")
+      w4("easy") should be < w2("easy")
+      w2("easy") should be < w0("easy")
+      // normalization holds to rounding (sum of a6 within 2 micro of 1e6)
+      Seq(w2, w4).foreach(w => math.abs(w.values.sum - 1000000L) should be <= 2L)
+    }
+  }
+
+  describe("DataShaping.curriculumOrder") {
+    it("interleaves domains rank-major: every group's k-th easiest precedes any (k+1)-th") {
+      val rows = Seq(
+        (1L, "a", 30), (2L, "a", 10), (3L, "a", 20),
+        (4L, "b", 5), (5L, "b", 50))
+        .toDF("doc_id", "grp", "difficulty")
+      val out = DataShaping.curriculumOrder(rows, "doc_id", "grp", F.col("difficulty"))
+        .orderBy("pos").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // positions 1..2: both groups' rank-1 (a's easiest=2, b's easiest=4)
+      out.map(_._1) shouldBe Array(2L, 4L, 3L, 5L, 1L)
+      out.map(_._4) shouldBe Array(1L, 2L, 3L, 4L, 5L)
+      // within each group, difficulty is nondecreasing along rank
+      out.filter(_._2 == "a").sortBy(_._3).map(_._1) shouldBe Array(2L, 3L, 1L)
+    }
+  }
+
   describe("DataShaping.contaminationBloom") {
     it("matches the exact shingle-join row-for-row while pruning bloom-negative train shingles pre-shuffle") {
       val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

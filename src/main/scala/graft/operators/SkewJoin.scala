@@ -55,4 +55,37 @@ object SkewJoin {
   def hotKeys(df: DataFrame, key: String, threshold: Long): DataFrame =
     df.groupBy(F.col(key)).agg(F.count(F.lit(1)).as("n"))
       .filter(F.col("n") >= threshold)
+
+  /** Bloom-reduced shuffle join (semi-join reduction): build a bloom
+    * filter over the dim side's join keys in one combinable aggregate,
+    * broadcast the few-hundred-KB bitset, and pre-filter the fact side
+    * BEFORE its shuffle. At 100 TB this is the difference between
+    * shuffling the whole fact table and shuffling only rows that can
+    * possibly match a selective dim — the same row-level runtime
+    * filtering Spark injects when statistics allow, here as an explicit
+    * operator for the cases the optimizer can't see (dim selectivity
+    * from an upstream computed filter, pre-shuffled inputs, non-equi
+    * follow-ups). Bloom false positives only cost shuffle bytes — the
+    * exact join behind the filter removes them — and the underlying
+    * expression pair has a spec'd no-false-negative contract, so the
+    * result is row-identical to the plain join.
+    *
+    * `expectedDimKeys` sizes the filter (bits = 8x keys ≈ 2% FP rate);
+    * oversizing is cheap, undersizing only raises the FP (shuffle) rate. */
+  def bloomReducedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      expectedDimKeys: Long = 1000000L): DataFrame = {
+    // 1-row bounded collect: the serialized filter becomes a literal in
+    // the fact-side scan predicate (might_contain requires a constant
+    // filter — the contaminationBloom pattern).
+    val bloomBytes = dim.agg(
+      graft.functions.BloomSupport.bloomAgg(
+        F.col(key), expectedDimKeys, expectedDimKeys * 8).as("__bf"))
+      .head.getAs[Array[Byte]]("__bf")
+    fact
+      .filter(graft.functions.BloomSupport.mightContain(F.lit(bloomBytes), F.col(key)))
+      .join(dim, Seq(key))
+  }
 }

@@ -90,15 +90,36 @@ final class ManifestTable(spark: SparkSession, dir: String) {
   }
 
   /** Snapshot read: exactly the files named by published manifests. */
-  def snapshot: DataFrame = snapshotWith(None)
+  def snapshot: DataFrame = snapshotWith(None, None)
 
   /** Schema-stable snapshot: readable (with zero rows) before the first
     * commit, where the schemaless default would fail to resolve columns. */
-  def snapshot(schema: StructType): DataFrame = snapshotWith(Some(schema))
+  def snapshot(schema: StructType): DataFrame = snapshotWith(Some(schema), None)
 
-  private def snapshotWith(schema: Option[StructType]): DataFrame = {
-    val files = listManifests().flatMap(readLines)
-      .map(rel => new Path(dataDir, rel).toString)
+  /** Time travel: the table as of `version` commits (the state `version()`
+    * reported then). Every snapshot is a prefix of the manifest log, so
+    * old versions stay readable until `vacuum` of removed files (which
+    * only touches UNREFERENCED debris — rewritten files stay on disk,
+    * referenced by the older manifests that named them). */
+  def snapshotAt(version: Long): DataFrame = snapshotWith(None, Some(version))
+  def snapshotAt(version: Long, schema: StructType): DataFrame =
+    snapshotWith(Some(schema), Some(version))
+
+  /** Fold the manifest log (optionally a prefix) into the live file set:
+    * plain lines add a file, `-`-prefixed lines remove one (the merge /
+    * delete rewrite marker). Pre-merge manifests are all plain lines, so
+    * the append-only format reads unchanged. */
+  private def liveFiles(upTo: Option[Long]): Seq[String] = {
+    val ms = upTo.fold(listManifests())(v => listManifests().take(v.toInt))
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    ms.foreach(m => readLines(m).foreach { l =>
+      if (l.startsWith("-")) live -= l.substring(1) else live += l
+    })
+    live.toSeq
+  }
+
+  private def snapshotWith(schema: Option[StructType], upTo: Option[Long]): DataFrame = {
+    val files = liveFiles(upTo).map(rel => new Path(dataDir, rel).toString)
     (files, schema) match {
       case (Nil, Some(s)) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -106,6 +127,100 @@ final class ManifestTable(spark: SparkSession, dir: String) {
       case (paths, Some(s)) => spark.read.schema(s).parquet(paths: _*)
       case (paths, None) => spark.read.parquet(paths: _*)
     }
+  }
+
+  /** MERGE (upsert by `key`): target rows whose key appears in `source`
+    * are replaced by the source row; source rows with no match are
+    * inserted. Copy-on-write at FILE granularity — only files that
+    * contain a matched key are rewritten (located by one semi-join over
+    * `input_file_name`), every other file is untouched, so a merge that
+    * hits 0.1% of a 100 TB table rewrites ~0.1% of its files. The commit
+    * publishes remove markers for the rewritten files plus the new files
+    * as ONE manifest — readers see the old or the new table, never both
+    * copies of an updated row.
+    *
+    * Optimistic concurrency: pass `expectedVersion` (from `version()` /
+    * a previous commit) to pin the snapshot the merge was computed
+    * against; if a commit published since then removed any file this
+    * merge rewrites, the claim is abandoned (invisible to readers,
+    * vacuumable) and ConcurrentModificationException is thrown — re-read
+    * and retry. Plain appends never conflict. `source` must carry the
+    * table schema. Returns the claimed slot. */
+  def merge(source: DataFrame, key: String, expectedVersion: Option[Long] = None): Long =
+    rewriteCommit(source, key, insert = Some(source), expectedVersion)
+
+  /** DELETE by key (the GDPR shape): target rows whose `key` appears in
+    * `keys` are removed, with the same file-granular copy-on-write and
+    * concurrency contract as `merge`. */
+  def deleteByKey(keys: DataFrame, key: String, expectedVersion: Option[Long] = None): Long =
+    rewriteCommit(keys, key, insert = None, expectedVersion)
+
+  private def rewriteCommit(
+      matchSide: DataFrame,
+      key: String,
+      insert: Option[DataFrame],
+      expectedVersion: Option[Long]): Long = {
+    import org.apache.spark.sql.{functions => F}
+    val readVersion = expectedVersion.getOrElse(version())
+    val live = liveFiles(Some(readVersion))
+    def relOf(uri: String): String = uri.split("/").takeRight(2).mkString("/")
+    // Files containing at least one matched key: the collect is bounded by
+    // the FILE count, never the row count.
+    val touched: Set[String] =
+      if (live.isEmpty) Set.empty
+      else {
+        val liveAbs = live.map(rel => new Path(dataDir, rel).toString)
+        spark.read.parquet(liveAbs: _*)
+          .withColumn("__file", F.input_file_name())
+          .join(matchSide.select(F.col(key)).distinct(), Seq(key), "left_semi")
+          .select("__file").distinct()
+          .collect().map(r => relOf(r.getString(0))).toSet
+      }
+    val survivors = if (touched.isEmpty) None else Some {
+      val touchedAbs = touched.toSeq.map(rel => new Path(dataDir, rel).toString)
+      spark.read.parquet(touchedAbs: _*)
+        .join(matchSide.select(F.col(key)).distinct(), Seq(key), "left_anti")
+    }
+    val newData = (survivors, insert) match {
+      case (Some(keep), Some(src)) => Some(keep.unionByName(src.select(keep.columns.map(F.col): _*)))
+      case (Some(keep), None) => Some(keep)
+      case (None, Some(src)) => Some(src)
+      case (None, None) => None // delete matched nothing: no-op commit
+    }
+    val batchId = java.util.UUID.randomUUID().toString
+    val added: Seq[String] = newData.fold(Seq.empty[String]) { df =>
+      val batchDir = new Path(dataDir, batchId)
+      df.write.parquet(batchDir.toString)
+      fs.listStatus(batchDir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s"$batchId/${s.getPath.getName}").toSeq
+    }
+    if (touched.isEmpty && added.isEmpty) return readVersion // pure no-op
+    val lines = touched.toSeq.sorted.map("-" + _) ++ added
+    val tmp = new Path(manifestDir, s"_tmp_$batchId")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    var slot = nextSlot()
+    while (!claimSlot(slot)) slot += 1
+    // OCC validation against everything published so far (our slot is
+    // still unpublished): every file we remove must still be live, else a
+    // concurrent rewrite won — abandon (claim without manifest =
+    // invisible, vacuumable debris). A writer whose higher slot publishes
+    // between this check and our rename is the one residual window; its
+    // own validation ran against the pre-us log, so two merges racing
+    // inside that millisecond window on the SAME files can both land —
+    // serialize heavy merge traffic per table, or swap claimSlot for a
+    // conditional-PUT commit service on stores that offer one.
+    val liveNow = liveFiles(None).toSet
+    if (!touched.subsetOf(liveNow)) {
+      fs.delete(tmp, false)
+      newData.foreach(_ => fs.delete(new Path(dataDir, batchId), true))
+      throw new java.util.ConcurrentModificationException(
+        s"merge computed against version $readVersion conflicts with a " +
+          s"commit published before slot $slot; re-read and retry")
+    }
+    fs.rename(tmp, slotPath(slot))
+    slot
   }
 
   private def readLines(m: Path): Seq[String] = {
@@ -116,6 +231,33 @@ final class ManifestTable(spark: SparkSession, dir: String) {
 
   /** Number of published manifests (the table version). */
   def version(): Long = listManifests().size.toLong
+
+  /** Change data feed between two versions: the row-level delta as
+    * (`_change_type` ∈ insert|delete, row...). Computed from the FILE
+    * diff of the two snapshots — only files that entered or left the
+    * live set are read, so the cost scales with the change, not the
+    * table. Copy-on-write noise cancels by bag-semantics exceptAll:
+    * a row a merge carried over into a rewritten file appears in both
+    * the removed and added file sets and is reported as neither; an
+    * updated key surfaces as delete(old) + insert(new). */
+  def changes(fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val before = liveFiles(Some(fromVersion)).toSet
+    val after = liveFiles(Some(toVersion)).toSet
+    def readSet(rels: Set[String]): Option[DataFrame] =
+      if (rels.isEmpty) None
+      else Some(spark.read.parquet(rels.toSeq.map(r => new Path(dataDir, r).toString): _*))
+    val removed = readSet(before -- after)
+    val added = readSet(after -- before)
+    (removed, added) match {
+      case (None, None) => spark.emptyDataFrame
+      case (None, Some(a)) => a.withColumn("_change_type", F.lit("insert"))
+      case (Some(r), None) => r.withColumn("_change_type", F.lit("delete"))
+      case (Some(r), Some(a)) =>
+        a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
+          .unionByName(r.exceptAll(a).withColumn("_change_type", F.lit("delete")))
+    }
+  }
 
   /** Delete failed-commit debris older than `maxAgeMs`: data directories
     * referenced by no manifest, stale tmp manifests, and claims whose

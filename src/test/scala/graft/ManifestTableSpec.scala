@@ -60,6 +60,86 @@ class ManifestTableSpec extends SparkSpec {
     rows.size shouldBe writers * commitsEach // no commit lost or duplicated
   }
 
+  it("merge upserts by key with file-granular copy-on-write") {
+    val t = newTable()
+    // two commits -> two separate file sets; the merge touches only one
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    t.commit(Seq((10L, "x"), (11L, "y")).toDF("id", "v"))
+    val v0 = t.version()
+    t.merge(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), "id")
+    t.version() shouldBe v0 + 1 // one atomic commit
+    t.snapshot.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))) shouldBe
+      Array((1L, "a"), (2L, "B2"), (3L, "c"), (10L, "x"), (11L, "y"))
+    // file granularity: the second commit's file had no matched key, so it
+    // must still be served from its ORIGINAL batch directory
+    val files = t.snapshot.select(org.apache.spark.sql.functions.input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    val preMergeFiles = t.snapshotAt(v0).select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    files.count(preMergeFiles.contains) should be >= 1
+  }
+
+  it("time travel reads every prior version exactly") {
+    val t = newTable()
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    t.commit(Seq((2L, "b")).toDF("id", "v"))
+    t.merge(Seq((1L, "A!")).toDF("id", "v"), "id")
+    t.snapshotAt(1).collect().map(r => (r.getLong(0), r.getString(1))) shouldBe Array((1L, "a"))
+    t.snapshotAt(2).orderBy("id").collect().map(_.getString(1)) shouldBe Array("a", "b")
+    t.snapshotAt(3).orderBy("id").collect().map(_.getString(1)) shouldBe Array("A!", "b")
+    t.snapshot.orderBy("id").collect().map(_.getString(1)) shouldBe Array("A!", "b")
+  }
+
+  it("change data feed reports row-level deltas with copy-on-write noise cancelled") {
+    val t = newTable()
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
+    t.commit(Seq((3L, "c")).toDF("id", "v")) // v2
+    t.merge(Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), "id") // v3
+    // append-only delta
+    t.changes(1, 2).collect().map(r => (r.getLong(0), r.getString(2))) shouldBe
+      Array((3L, "insert"))
+    // merge delta: row 1 was carried over into the rewritten file and must
+    // NOT appear; row 2 is delete(old)+insert(new); row 4 is an insert
+    val d = t.changes(2, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    d shouldBe Array((2L, "B2", "insert"), (2L, "b", "delete"), (4L, "d", "insert"))
+    t.changes(3, 3).count() shouldBe 0L
+    // full-history delta equals the final state for insert-only net effect
+    val net = t.changes(0, 3).collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    net.count(_._3 == "delete") shouldBe 0
+    net.map(x => (x._1, x._2)).sorted shouldBe Array((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d"))
+  }
+
+  it("deleteByKey removes exactly the matched rows; merge into empty table is a plain insert") {
+    val t = newTable()
+    t.merge(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "id") // empty target: insert
+    t.deleteByKey(Seq(Tuple1(2L)).toDF("id"), "id")
+    t.snapshot.orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 3L)
+    // deleting a key that matches nothing is a published no-op
+    val v = t.version()
+    t.deleteByKey(Seq(Tuple1(99L)).toDF("id"), "id")
+    t.version() shouldBe v
+    t.snapshot.count() shouldBe 2L
+  }
+
+  it("a stale merge conflicting with a published rewrite aborts and stays invisible") {
+    val t = newTable()
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v0 = t.version()
+    t.merge(Seq((1L, "A1")).toDF("id", "v"), "id", expectedVersion = Some(v0))
+    // second merge computed against the SAME v0 rewrites the same file
+    a[java.util.ConcurrentModificationException] should be thrownBy
+      t.merge(Seq((1L, "A2")).toDF("id", "v"), "id", expectedVersion = Some(v0))
+    t.snapshot.orderBy("id").collect().map(_.getString(1)) shouldBe Array("A1", "b")
+    // the abandoned attempt left only vacuumable debris, no table change
+    t.vacuum(maxAgeMs = -1000L)
+    t.snapshot.orderBy("id").collect().map(_.getString(1)) shouldBe Array("A1", "b")
+    // a NON-conflicting merge against the stale version still lands: only
+    // overlap on rewritten files conflicts, appends/disjoint keys don't
+    t.merge(Seq((5L, "e")).toDF("id", "v"), "id", expectedVersion = Some(v0))
+    t.snapshot.count() shouldBe 3L
+  }
+
   it("a crashed commit (data written, manifest never published) is invisible; vacuum removes it") {
     val root = Files.createTempDirectory("graft-manifest-crash").toString
     val t = new ManifestTable(spark, root)

@@ -359,6 +359,26 @@ object SparkEntry {
       t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), F.col("o_orderkey") === F.col("l_orderkey"), "left_anti")
         .select("o_orderkey")),
+    // Bloom-reduced shuffle join: the fact (lineitem) side is pre-filtered
+    // by a broadcast bloom over the selective dim's keys before its
+    // shuffle; row-identical to the plain join the oracle runs (bloom FPs
+    // are removed by the exact join behind the filter).
+    "q_bloom_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(F.col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      SkewJoin.bloomReducedJoin(
+        t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        urgent, "o_orderkey", expectedDimKeys = 100000L)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).as("n_items"),
+          F.round(F.sum("l_extendedprice"), 2).as("rev"))
+    }),
+    // Edit-distance similarity join via lossless deletion-neighborhood
+    // blocking + exact levenshtein verify; the oracle brute-forces the
+    // O(n^2) pair space — equality proves the blocking loses nothing.
+    "q_fuzzy_join" -> ((s, dir) =>
+      FuzzyJoin.editDistance1Pairs(t(s, dir, "customer"), "c_custkey", "c_name")),
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -1300,6 +1320,16 @@ object SparkEntry {
     "q_shuffle_rank" -> ((s, dir) =>
       DataShaping.shuffleRank(t(s, dir, "documents"), "doc_id")
         .select("doc_id", "shuffle_rank")),
+    // z-order (Morton) clustering key for multi-dimensional file layout:
+    // min-max normalize (user_id, event-time micros) to 16 bits each with
+    // exact integer div, then interleave — the key OPTIMIZE ZORDER BY
+    // would range-partition files on (Layout.zOrderLayout); the oracle
+    // mirrors the same bit placement via Layout.interleave16Sql.
+    "q_zorder" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("__us", F.unix_micros(F.col("ts")))
+      Layout.zValue2(ev, F.col("user_id"), F.col("__us"), "z")
+        .select("event_id", "z")
+    }),
     // Mixture planning: per-source token budgets / epochs / sampling rates
     // from a hand-tuned raw weight (here a deterministic function of the
     // source id) and a 50k-token budget.
@@ -1894,6 +1924,15 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
     "q_anti_join" ->
       "SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)",
+    "q_bloom_join" ->
+      ("SELECT o_orderkey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS rev " +
+        "FROM lineitem JOIN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o " +
+        "ON l_orderkey = o.o_orderkey GROUP BY o_orderkey"),
+    "q_fuzzy_join" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
+        "FROM customer a, customer b " +
+        "WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1"),
     "q_rollup" ->
       "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
     "q_cube" ->
@@ -2813,6 +2852,12 @@ object SparkEntry {
     "q_shuffle_rank" ->
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank " +
         "FROM documents"),
+    "q_zorder" ->
+      ("WITH b AS (SELECT min(user_id) AS alo, max(user_id) AS ahi, " +
+        "min(epoch_us(ts)) AS blo, max(epoch_us(ts)) AS bhi FROM events), " +
+        "n AS (SELECT event_id, ((user_id - alo) * 65536) // (ahi - alo + 1) AS na, " +
+        "((epoch_us(ts) - blo) * 65536) // (bhi - blo + 1) AS nb FROM events, b) " +
+        s"SELECT event_id, ${graft.operators.Layout.interleave16Sql("na", "nb")} AS z FROM n"),
     // Raw weights are small integers, so sum(raw) is FP-exact regardless of
     // accumulation order; the remaining arithmetic is the same
     // left-associated chain on identical doubles in both engines.

@@ -685,6 +685,57 @@ class OperatorsSpec extends SparkSpec {
       val hot = graft.operators.SkewJoin.hotKeys(df, "k", 50).collect()
       hot.map(_.getString(0)) shouldBe Array("hot")
     }
+    it("bloomReducedJoin is row-identical to the plain join and prunes the fact pre-shuffle") {
+      val fact = Seq.tabulate(5000)(i => (i.toLong % 1000, i)).toDF("k", "v")
+      val dim = Seq.tabulate(10)(i => (i.toLong * 97, s"d$i")).toDF("k", "name")
+      val plain = fact.join(dim, "k").select("k", "v", "name").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+      val reduced = graft.operators.SkewJoin.bloomReducedJoin(fact, dim, "k", 1000L)
+        .select("k", "v", "name").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+      reduced shouldBe plain
+      // The pre-shuffle survivor set is the bloom-filtered fact: tiny vs
+      // the full fact for a selective dim (bloom has no false negatives,
+      // so survivors ⊇ true matches; with 8 bits/key FPs stay rare).
+      val bloomBytes = dim.agg(graft.functions.BloomSupport.bloomAgg(F.col("k"), 1000L, 8000L).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val survivors = fact
+        .filter(graft.functions.BloomSupport.mightContain(F.lit(bloomBytes), F.col("k")))
+        .count()
+      survivors should be >= plain.length.toLong / 5 // at least the matching keys' rows
+      survivors should be < 1000L // << 5000 fact rows ever reach the shuffle
+    }
+  }
+
+  describe("FuzzyJoin") {
+    it("editDistance1Pairs equals the brute-force O(n^2) join (blocking is lossless)") {
+      // substitution, insertion, deletion, exact dup, and a distance-2
+      // decoy that shares a deletion key but must be verified away
+      val rows = Seq(
+        (1L, "alpha"), (2L, "alpja"), // substitution: d=1
+        (3L, "beta"), (4L, "betas"),  // insertion: d=1
+        (5L, "gamma"), (6L, "gama"),  // deletion: d=1
+        (7L, "delta"), (8L, "delta"), // exact dup: d=0
+        (9L, "ab"), (10L, "ac"), (11L, "bc") // ab~ac d=1; ab~bc d=2 (shares key 'b'? no — keys of ab: ab,b,a; bc: bc,c,b -> share 'b')
+      ).toDF("id", "name")
+      val got = graft.operators.FuzzyJoin.editDistance1Pairs(rows, "id", "name")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val strings = rows.collect().map(r => (r.getLong(0), r.getString(1)))
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        (ia, sa) <- strings; (ib, sb) <- strings
+        if ia < ib && lev(sa, sb) <= 1
+      } yield (ia, ib, lev(sa, sb).toLong)).sorted
+      got shouldBe want
+      want.map(p => (p._1, p._2)) should contain allOf ((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (9L, 10L))
+      want.map(p => (p._1, p._2)) should not contain ((9L, 11L)) // d=2 decoy verified away
+    }
   }
 
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))

@@ -443,6 +443,19 @@ object SparkEntry {
         F.rank().over(byPrice).cast("long").as("rnk"),
         F.sum("o_totalprice").over(running).as("running_total"))
     }),
+    // Ordered funnel: users reaching view -> click -> purchase in order
+    // (each stage strictly after the previous stage's first event).
+    "q_funnel" -> ((s, dir) =>
+      TimeSeries.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+    // Cohort retention: users bucketed by epoch-week of first activity;
+    // distinct active users per (cohort, week offset).
+    "q_cohort_retention" -> ((s, dir) =>
+      TimeSeries.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
+    // ANALYZE shape: per-column rows / nulls / exact NDV in one scan.
+    "q_col_stats" -> ((s, dir) =>
+      TableStats.columnStats(t(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "value", "props"))),
     // Entity-level time-series similarity search: 24-dim hour-of-day
     // activity profiles from one combinable rollup, cosine top-3 similar
     // users per query user — the distributed top-k similarity-search
@@ -1959,6 +1972,24 @@ object SparkEntry {
         "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total FROM orders"),
     "q_topk_customers" ->
       "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10",
+    "q_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id " +
+        "WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1) " +
+        "SELECT 'view' AS stage, CAST(1 AS INTEGER) AS stage_idx, count(*) AS n_users FROM s1 " +
+        "UNION ALL SELECT 'click', CAST(2 AS INTEGER), count(*) FROM s2 " +
+        "UNION ALL SELECT 'purchase', CAST(3 AS INTEGER), count(*) FROM s3"),
+    "q_cohort_retention" ->
+      ("WITH w AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events), " +
+        "c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1) " +
+        "SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset, count(*) AS n_users " +
+        "FROM w JOIN c ON w.user_id = c.user_id GROUP BY 1, 2"),
+    "q_col_stats" ->
+      Seq("event_id", "user_id", "event_type", "value", "props").map(c =>
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, count(*) - count($c) AS n_nulls, " +
+          s"count(DISTINCT $c) AS ndv FROM events").mkString(" UNION ALL "),
     // 24 CASE-sum profile terms, then the shared cosine chain at dims=24.
     "q_ts_user_topk" -> cosineOracle(
       "WITH prof AS (SELECT user_id, [" +

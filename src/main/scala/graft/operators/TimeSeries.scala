@@ -84,6 +84,50 @@ object TimeSeries {
     * real deployment caps by ANN-bucketing profiles like any other
     * embedding; here queries are restricted (`queryPred`) and the
     * bounded-heap top-k keeps the exchange O(k). */
+  /** Ordered funnel analysis: how many entities reached each stage of
+    * `stages` IN ORDER (stage k counts only if its event happened strictly
+    * after the entity's stage-k-1 time; the entity's stage time is the
+    * EARLIEST qualifying event). Output: (stage, stage_idx, n_users).
+    *
+    * Scale shape: stage 1 is one map-side-combinable min-aggregate over
+    * the type-pruned events; each later stage joins the entity-sized
+    * previous frame (keys × 1 row) back to that stage's type-pruned
+    * events and min-aggregates — k passes over filtered events, never an
+    * all-event window or collect. */
+  def funnel(events: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val first = events.filter(F.col(typeCol) === stages.head)
+      .groupBy(F.col(keyCol)).agg(F.min(F.col(tsCol)).as("t"))
+    val frames = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.filter(F.col(typeCol) === stage)
+        .join(prev.select(F.col(keyCol), F.col("t").as("t_prev")), keyCol)
+        .filter(F.col(tsCol) > F.col("t_prev"))
+        .groupBy(F.col(keyCol)).agg(F.min(F.col(tsCol)).as("t"))
+    }
+    stages.zip(frames).zipWithIndex.map { case ((name, df), i) =>
+      df.agg(F.count(F.lit(1)).as("n_users"))
+        .select(F.lit(name).as("stage"), F.lit(i + 1).cast("int").as("stage_idx"),
+          F.col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Cohort retention: entities grouped by the epoch-week of their FIRST
+    * event; for each (cohort week, week offset) the number of distinct
+    * entities active that week. Weeks are integer weeks since the epoch
+    * (exact integer arithmetic, engine-portable — calendar-week alignment
+    * is presentation, not semantics). One min-aggregate to the entity
+    * frame + one distinct count over (entity, week) — both map-side
+    * combinable; nothing larger than events ever shuffles. */
+  def cohortRetention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val wk = F.call_function("div", F.unix_micros(F.col(tsCol)), F.lit(604800000000L))
+    val weekly = events.select(F.col(keyCol).as("k"), wk.as("wk")).distinct()
+    val cohorts = weekly.groupBy("k").agg(F.min("wk").as("cohort_wk"))
+    weekly.join(cohorts, "k")
+      .groupBy(F.col("cohort_wk"), (F.col("wk") - F.col("cohort_wk")).as("week_offset"))
+      .agg(F.count(F.lit(1)).as("n_users"))
+  }
+
   def hourProfileTopK(
       events: DataFrame,
       keyCol: String,

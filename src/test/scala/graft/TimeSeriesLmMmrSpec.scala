@@ -45,6 +45,72 @@ class TimeSeriesLmMmrSpec extends SparkSpec {
     }
   }
 
+  describe("TimeSeries.funnel") {
+    def at(s: Long) = new Timestamp(s * 1000)
+    it("counts stages only in order, anchored at the earliest qualifying event") {
+      val ev = Seq(
+        // u1 completes in order
+        (1L, "view", at(10)), (1L, "click", at(20)), (1L, "purchase", at(30)),
+        // u2: click BEFORE the first view -> stalls at view
+        (2L, "click", at(5)), (2L, "view", at(10)),
+        // u3: purchase before click -> reaches click only
+        (3L, "view", at(10)), (3L, "purchase", at(15)), (3L, "click", at(20)),
+        // u4: never views (click+purchase don't count)
+        (4L, "click", at(10)), (4L, "purchase", at(20))
+      ).toDF("user_id", "event_type", "ts")
+      val out = TimeSeries.funnel(ev, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      out shouldBe Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L)
+    }
+    it("anchoring is earliest-first, not best-path: a later view cannot rescue a stalled user") {
+      // u5 views at 10 and 50, clicks at 40: click counts (40 > 10);
+      // u6 views at 10, clicks at 5 and never again: stalls even though
+      // a view at 50 follows the click (first view anchors).
+      val ev = Seq(
+        (5L, "view", at(10)), (5L, "view", at(50)), (5L, "click", at(40)),
+        (6L, "view", at(10)), (6L, "click", at(5)), (6L, "view", at(50))
+      ).toDF("user_id", "event_type", "ts")
+      val out = TimeSeries.funnel(ev, "user_id", "event_type", "ts", Seq("view", "click"))
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      out shouldBe Map("view" -> 2L, "click" -> 1L)
+    }
+  }
+
+  describe("TimeSeries.cohortRetention") {
+    it("buckets by first-activity week and counts distinct users per offset") {
+      val wkUs = 604800000000L
+      def at(wk: Long, extra: Long) = new Timestamp((wk * wkUs + extra) / 1000)
+      val ev = Seq(
+        (1L, at(100, 0)), (1L, at(100, 5000000L)), // twice in cohort week: counted once
+        (1L, at(102, 0)), // back at offset 2
+        (2L, at(100, 0)), (2L, at(101, 0)), // offsets 0 and 1
+        (3L, at(101, 0)) // later cohort
+      ).toDF("user_id", "ts")
+      val out = TimeSeries.cohortRetention(ev, "user_id", "ts")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      out shouldBe Map(
+        (100L, 0L) -> 2L, (100L, 1L) -> 1L, (100L, 2L) -> 1L,
+        (101L, 0L) -> 1L)
+    }
+  }
+
+  describe("TableStats.columnStats") {
+    it("reports rows, nulls, and NDV per column from one scan") {
+      val df = Seq(
+        (1L, Some("a")), (2L, Some("a")), (3L, None), (4L, Some("b"))
+      ).toDF("id", "v")
+      val out = graft.operators.TableStats.columnStats(df, Seq("id", "v"))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      out("id") shouldBe ((4L, 0L, 4L))
+      out("v") shouldBe ((4L, 1L, 2L)) // NDV excludes NULL
+      // approx variant keeps the schema and is exact at this cardinality
+      val approx = graft.operators.TableStats.columnStats(df, Seq("id", "v"), approx = true)
+        .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+      approx("id") shouldBe 4L
+    }
+  }
+
   describe("TextAnalysis.lmScore") {
     it("scores corpus-typical word sequences as more likely than rare ones") {
       // "a b" appears 3x as a bigram; "a z" once — same context w1="a"

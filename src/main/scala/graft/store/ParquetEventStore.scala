@@ -188,6 +188,55 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     (before, countFiles())
   }
 
+  /** Z-order compaction: [[compact]] plus CLUSTERING — within each date
+    * partition, rows are ordered by the Morton interleave of
+    * (actor-guid hex prefix, time-of-day), so every output file carries a
+    * NARROW min/max range on both `actor` and `created_at`. A stats-aware
+    * scan for "events of actor X between t1 and t2" (the reference's
+    * actor/actee index shape, create_cf_audit_events.sql:19-24) then
+    * prunes multiplicatively at FILE granularity instead of reading the
+    * whole day. The actor dimension uses the first 4 hex chars parsed as
+    * an integer — ORDER-PRESERVING for fixed-charset guid strings, which
+    * is what makes the plain string min/max footer stats selective (a
+    * hash would cluster well but scatter the lexicographic stats).
+    * Non-hex actors land in band 0 and simply cluster together.
+    * All arithmetic is the exact-integer [[graft.operators.Layout]] form;
+    * the z column steers the exchange and is dropped before write. */
+  def compactZOrder(filesPerDay: Int = 8, maxRecordsPerFile: Long = 1000000L): (Long, Long) = {
+    import graft.operators.Layout
+    def countFiles(): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(eventsPath), true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = countFiles()
+    val days = fs.listStatus(new org.apache.hadoop.fs.Path(eventsPath))
+      .count(d => d.isDirectory && d.getPath.getName.startsWith("event_date="))
+      .max(1)
+    val a16 = F.coalesce(
+      F.when(F.col("actor").rlike("^[0-9a-fA-F]{4}"),
+        F.expr("CAST(conv(substring(actor, 1, 4), 16, 10) AS BIGINT) % 65536")),
+      F.lit(0L))
+    val tod16 = F.call_function("div",
+      F.pmod(F.unix_micros(F.col("created_at")), F.lit(86400000000L)) * F.lit(65536L),
+      F.lit(86400000000L))
+    val tmp = eventsPath + "_compact"
+    eventsWithDate
+      .withColumn("__z", Layout.interleave16(a16, tod16))
+      .repartitionByRange(days * filesPerDay, F.col("event_date"), F.col("__z"))
+      .sortWithinPartitions(F.col("event_date"), F.col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("event_date").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(p, true)
+    fs.rename(t, p)
+    (before, countFiles())
+  }
+
   /** Retention: drop whole partitions older than `cutoff` — an O(#dropped
     * partitions) metadata operation, the point of date-partitioned layout
     * (no rewrite, no row-level delete). Returns dropped partition count. */

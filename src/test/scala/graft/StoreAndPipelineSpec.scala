@@ -150,6 +150,53 @@ class StoreAndPipelineSpec extends SparkSpec {
       st.events.orderBy("guid").collect().map(_.getString(1)).toSeq shouldBe beforeRows
     }
 
+    it("compactZOrder clusters files so actor+time predicates prune; plain compact cannot") {
+      val st = newStore()
+      val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")
+      val collector = new Collector(spark, st, f, new MetricsRegistry)
+      // 64 hex-prefixed actors spread over the 16-bit band, 2000 events
+      // interleaved across actors and times of one day
+      val actors = (0 until 64).map(i => f"${i * 1024}%04x-0000-4000-8000-000000000000")
+      val wire = (0 until 2000).map { n =>
+        val minute = (n * 37) % 1440
+        CfWireEvent(s"g$n", f"2024-03-01T${minute / 60}%02d:${minute % 60}%02d:00Z",
+          "t", actors(n % 64), "at", "an", "au", "e", "et", "en", "", "sg", "{}")
+      }
+      st.storeCFAuditEvents(collector.pageToDf(wire))
+
+      // Per-file NATURAL-column min/max — what parquet footer stats give a
+      // real scanner. Returns (files matching actor, files matching
+      // actor AND a 6h window, total files).
+      def touched(actor: String): (Long, Long, Long) = {
+        val ranges = st.events
+          .groupBy(F.input_file_name().as("f"))
+          .agg(F.min("actor").as("alo"), F.max("actor").as("ahi"),
+            F.min("created_at").as("tlo"), F.max("created_at").as("thi"))
+          .collect()
+        val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T06:00:00Z"))
+        val t2 = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T12:00:00Z"))
+        val aHit = ranges.count(r => r.getString(1) <= actor && actor <= r.getString(2))
+        val atHit = ranges.count { r =>
+          r.getString(1) <= actor && actor <= r.getString(2) &&
+            !r.getTimestamp(4).after(t2) && !r.getTimestamp(3).before(t1)
+        }
+        (aHit.toLong, atHit.toLong, ranges.length.toLong)
+      }
+
+      // Plain compact preserves ingest (time) order: time predicates prune,
+      // actor predicates cannot — every file spans all actors.
+      st.compact(maxRecordsPerFile = 250)
+      val (plainA, _, plainFiles) = touched(actors(17))
+      plainA shouldBe plainFiles
+
+      st.compactZOrder(filesPerDay = 8, maxRecordsPerFile = 250)
+      st.events.count() shouldBe 2000L // clustering rewrites, loses nothing
+      val (zA, zAT, zFiles) = touched(actors(17))
+      zFiles should be >= 6L
+      zA should be <= plainA / 2 // actor-band clustering prunes on actor alone
+      zAT should be <= zA // the time dimension can only prune further
+    }
+
     it("expires whole partitions before a cutoff date") {
       val st = newStore()
       val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")

@@ -456,6 +456,13 @@ object SparkEntry {
     "q_col_stats" -> ((s, dir) =>
       TableStats.columnStats(t(s, dir, "events"),
         Seq("event_id", "user_id", "event_type", "value", "props"))),
+    // Join-size identity: predicted equi-join cardinality from key-level
+    // count frames, never materializing the join (oracle counts the real
+    // join — equality proves exactness).
+    "q_join_card" -> ((s, dir) =>
+      TableStats.joinCardinality(
+        t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "k"),
+        t(s, dir, "orders").withColumnRenamed("o_orderkey", "k"), "k")),
     // Entity-level time-series similarity search: 24-dim hour-of-day
     // activity profiles from one combinable rollup, cosine top-3 similar
     // users per query user — the distributed top-k similarity-search
@@ -1990,6 +1997,8 @@ object SparkEntry {
       Seq("event_id", "user_id", "event_type", "value", "props").map(c =>
         s"SELECT '$c' AS col_name, count(*) AS n_rows, count(*) - count($c) AS n_nulls, " +
           s"count(DISTINCT $c) AS ndv FROM events").mkString(" UNION ALL "),
+    "q_join_card" ->
+      "SELECT count(*) AS est_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
     // 24 CASE-sum profile terms, then the shared cosine chain at dims=24.
     "q_ts_user_topk" -> cosineOracle(
       "WITH prof AS (SELECT user_id, [" +

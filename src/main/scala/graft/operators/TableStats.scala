@@ -30,4 +30,45 @@ object TableStats {
     one.selectExpr(
       s"stack(${cols.size}, $stackArgs) AS (col_name, n_rows, n_nulls, ndv)")
   }
+
+  /** Mergeable per-batch statistics — the incremental ANALYZE: each ingest
+    * batch emits (col_name, n_rows, n_nulls, ndv_sketch) where the sketch
+    * is a Datasketches HLL (binary, associatively mergeable). Partials
+    * from any partition of the data union into [[mergeStats]] with no
+    * rescan — maintain stats AT INGEST and never read 100 TB to refresh
+    * the planner's inputs. Values are sketched via their string form
+    * (injective, and uniform across batches/types). */
+  def partialStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        F.count(F.lit(1)).as(s"__n_$c"),
+        (F.count(F.lit(1)) - F.count(F.col(c))).as(s"__nulls_$c"),
+        F.hll_sketch_agg(F.col(c).cast("string")).as(s"__sk_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', __n_$c, __nulls_$c, __sk_$c").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_rows, n_nulls, ndv_sketch)")
+  }
+
+  /** Merge any union of [[partialStats]] frames into final per-column
+    * stats; counts sum exactly, sketches union with the HLL error bound. */
+  def mergeStats(partials: DataFrame): DataFrame =
+    partials.groupBy("col_name")
+      .agg(F.sum("n_rows").as("n_rows"), F.sum("n_nulls").as("n_nulls"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("ndv_sketch"))).as("ndv_est"))
+
+  /** Predicted inner equi-join output cardinality WITHOUT executing the
+    * join: sum over keys of count_a(key) * count_b(key). Two map-side-
+    * combinable aggregates to key-level frames plus one key join — at
+    * 100 TB this costs two shuffles of the KEY sets, vs materializing a
+    * possibly-exploding join to count it. Exact for equi-joins (it is the
+    * join-size identity, not an estimate); feed [[partialStats]] NDVs in
+    * instead when even one key-level pass is too much. */
+  def joinCardinality(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val ca = a.groupBy(F.col(key)).agg(F.count(F.lit(1)).as("__na"))
+    val cb = b.groupBy(F.col(key)).agg(F.count(F.lit(1)).as("__nb"))
+    ca.join(cb, key)
+      .agg(F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0L)).as("est_rows"))
+  }
 }

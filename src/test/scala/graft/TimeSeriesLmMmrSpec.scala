@@ -109,6 +109,26 @@ class TimeSeriesLmMmrSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(3))).toMap
       approx("id") shouldBe 4L
     }
+    it("partialStats from disjoint batches merge to the full-table stats") {
+      val b1 = Seq((1L, Some("a")), (2L, Some("b")), (3L, None)).toDF("id", "v")
+      val b2 = Seq((4L, Some("a")), (5L, Some("c")), (6L, None)).toDF("id", "v")
+      val merged = graft.operators.TableStats.mergeStats(
+        graft.operators.TableStats.partialStats(b1, Seq("id", "v"))
+          .unionByName(graft.operators.TableStats.partialStats(b2, Seq("id", "v"))))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      merged("id") shouldBe ((6L, 0L, 6L)) // HLL exact at tiny cardinality
+      merged("v") shouldBe ((6L, 2L, 3L)) // a,b,c across batches; NULLs not sketched
+    }
+    it("joinCardinality equals the real join size without executing the join") {
+      val a = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("k")
+      val b = Seq(1L, 3L, 3L, 9L).toDF("k")
+      graft.operators.TableStats.joinCardinality(a, b, "k")
+        .collect()(0).getLong(0) shouldBe a.join(b, "k").count() // 2*1 + 3*2 = 8
+      // empty intersection -> 0, not null
+      val c = Seq(100L).toDF("k")
+      graft.operators.TableStats.joinCardinality(a, c, "k")
+        .collect()(0).getLong(0) shouldBe 0L
+    }
   }
 
   describe("TextAnalysis.lmScore") {

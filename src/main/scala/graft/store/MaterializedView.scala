@@ -1,0 +1,100 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Materialized view over a [[ManifestTable]] source, invalidated by the
+  * source's VERSION rather than by time: the cached result is stamped
+  * with the manifest version it was computed from, a read serves the
+  * parquet result while the stamp matches, and any commit (append, merge,
+  * delete) moves the version and forces recomputation. At 100 TB the
+  * point is that freshness checking is an O(1) metadata read — never a
+  * scan, never a "is the cache stale?" heuristic.
+  *
+  * [[refreshIncremental]] adds self-maintenance for DISTRIBUTIVE queries
+  * (per-group counts/sums — anything where result(a ∪ b) =
+  * merge(result(a), result(b))): if every change since the stamp is an
+  * insert (the [[ManifestTable.changes]] feed says so), the query runs
+  * over the DELTA only and merges into the cached result; a delete or
+  * update anywhere falls back to the full recompute. That is classic
+  * incremental view maintenance, costed by the change, not the table. */
+final class MaterializedView(
+    spark: SparkSession,
+    dir: String,
+    source: ManifestTable,
+    query: DataFrame => DataFrame) {
+
+  private val dataDir = s"$dir/data"
+  private val stampPath = new Path(s"$dir/_source_version")
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def readStamp(): Option[Long] =
+    if (!fs.exists(stampPath)) None
+    else {
+      val in = fs.open(stampPath)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      catch { case _: Exception => None }
+      finally in.close()
+    }
+
+  private def writeResult(df: DataFrame, version: Long): Unit = {
+    val tmp = s"$dataDir._tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new Path(dataDir)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(new Path(tmp), p)
+    val out = fs.create(stampPath, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The view contents plus whether the cache served it (false = this
+    * call recomputed). */
+  def readWithStatus(): (DataFrame, Boolean) = {
+    val current = source.version()
+    readStamp() match {
+      case Some(v) if v == current && fs.exists(new Path(dataDir)) =>
+        (spark.read.parquet(dataDir), true)
+      case _ =>
+        val result = query(source.snapshot)
+        writeResult(result, current)
+        (spark.read.parquet(dataDir), false)
+    }
+  }
+
+  def read(): DataFrame = readWithStatus()._1
+
+  /** Incremental refresh for distributive queries: `merge(cached,
+    * query(delta))` must equal `query(full)` when `delta` is pure
+    * inserts. Returns "incremental" | "full" | "fresh" describing what
+    * this call did; non-insert changes (merge/delete upstream) or a
+    * missing cache force the full path. */
+  def refreshIncremental(merge: (DataFrame, DataFrame) => DataFrame): String = {
+    import org.apache.spark.sql.{functions => F}
+    val current = source.version()
+    readStamp() match {
+      case Some(v) if v == current && fs.exists(new Path(dataDir)) => "fresh"
+      case Some(v) if fs.exists(new Path(dataDir)) =>
+        val delta = source.changes(v, current)
+        if (delta.isEmpty) {
+          // versions moved but the net row delta is empty: stamp only
+          val out = fs.create(stampPath, true)
+          try out.write(current.toString.getBytes("UTF-8")) finally out.close()
+          "incremental"
+        }
+        else if (delta.filter(F.col("_change_type") =!= "insert").isEmpty) {
+          val merged = merge(
+            spark.read.parquet(dataDir),
+            query(delta.drop("_change_type")))
+          writeResult(merged, current)
+          "incremental"
+        } else {
+          writeResult(query(source.snapshot), current)
+          "full"
+        }
+      case _ =>
+        writeResult(query(source.snapshot), current)
+        "full"
+    }
+  }
+}

@@ -3,6 +3,8 @@ package graft
 import java.nio.file.Files
 import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 
+import org.apache.spark.sql.{functions => F}
+
 import graft.store.ManifestTable
 
 /** Multi-writer manifest table: atomic slot-claim commits, snapshot reads
@@ -138,6 +140,43 @@ class ManifestTableSpec extends SparkSpec {
     // overlap on rewritten files conflicts, appends/disjoint keys don't
     t.merge(Seq((5L, "e")).toDF("id", "v"), "id", expectedVersion = Some(v0))
     t.snapshot.count() shouldBe 3L
+  }
+
+  it("materialized view serves from cache until the source version moves") {
+    val t = newTable()
+    t.commit(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp"))
+    val mv = new graft.store.MaterializedView(spark,
+      Files.createTempDirectory("graft-mv").toString, t,
+      df => df.groupBy("grp").agg(F.count(F.lit(1)).as("n")))
+    val (r1, hit1) = mv.readWithStatus()
+    hit1 shouldBe false // first read computes
+    r1.collect().map(r => (r.getString(0), r.getLong(1))).toMap shouldBe Map("a" -> 2L, "b" -> 1L)
+    mv.readWithStatus()._2 shouldBe true // cached: O(1) version check, no recompute
+    t.commit(Seq((4L, "b")).toDF("id", "grp"))
+    val (r2, hit2) = mv.readWithStatus()
+    hit2 shouldBe false // version moved: recomputed
+    r2.collect().map(r => (r.getString(0), r.getLong(1))).toMap shouldBe Map("a" -> 2L, "b" -> 2L)
+  }
+
+  it("incremental view maintenance queries only the delta for insert-only changes") {
+    val t = newTable()
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "grp"))
+    val mv = new graft.store.MaterializedView(spark,
+      Files.createTempDirectory("graft-mv-inc").toString, t,
+      df => df.groupBy("grp").agg(F.count(F.lit(1)).as("n")))
+    def mergeCounts(old: org.apache.spark.sql.DataFrame, delta: org.apache.spark.sql.DataFrame) =
+      old.unionByName(delta).groupBy("grp").agg(F.sum("n").as("n"))
+    mv.refreshIncremental(mergeCounts) shouldBe "full" // nothing cached yet
+    mv.refreshIncremental(mergeCounts) shouldBe "fresh"
+    t.commit(Seq((3L, "a"), (4L, "c")).toDF("id", "grp"))
+    mv.refreshIncremental(mergeCounts) shouldBe "incremental" // insert-only delta
+    mv.read().collect().map(r => (r.getString(0), r.getLong(1))).toMap shouldBe
+      Map("a" -> 2L, "b" -> 1L, "c" -> 1L)
+    // an upstream MERGE (update) is not insert-only: full recompute
+    t.merge(Seq((1L, "z")).toDF("id", "grp"), "id")
+    mv.refreshIncremental(mergeCounts) shouldBe "full"
+    mv.read().collect().map(r => (r.getString(0), r.getLong(1))).toMap shouldBe
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "z" -> 1L)
   }
 
   it("a crashed commit (data written, manifest never published) is invisible; vacuum removes it") {

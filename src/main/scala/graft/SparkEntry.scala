@@ -1085,6 +1085,15 @@ object SparkEntry {
       TextAnalysis.gopherRules(t(s, dir, "documents"), "text")
         .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
           "alpha_ratio", "stop_hits", "keep")),
+    // Per-source data card (datasheet): volume, length, language spread,
+    // rule keep-rate, and PII exposure in one composed query.
+    "q_data_card" -> ((s, dir) =>
+      TextAnalysis.dataCard(t(s, dir, "documents"), "doc_id", "text",
+        "source", "lang", "n_chars")),
+    // k-anonymity release gate over the (user, event_type) quasi-key.
+    "q_kanon" -> ((s, dir) =>
+      DataShaping.kAnonymize(t(s, dir, "events"), Seq("user_id", "event_type"), 5L)
+        .select("event_id", "user_id", "event_type")),
     // CCNet-style head/middle/tail cut: per-language perplexity terciles
     // of the corpus-trained bigram LM score. The per-language window is
     // scale-safe — partitions are languages, each ordered independently.
@@ -1863,6 +1872,19 @@ object SparkEntry {
         "FROM short2 s JOIN embeddings eq ON eq.vec_id = s.qid JOIN embeddings ec ON ec.vec_id = s.cid)")
   }
 
+  /** The Gopher signal CTE body (shared by q_quality_gopher and
+    * q_data_card so the two oracles cannot drift). */
+  private val gopherSignalsSql =
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words, " +
+      "round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len, " +
+      "round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS symbol_ratio, " +
+      "round(CAST(len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS alpha_ratio, " +
+      "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS INT) AS stop_hits FROM documents"
+
+  private val gopherKeepSql =
+    "CAST((n_words BETWEEN 30 AND 10000) AND (mean_word_len BETWEEN 3.9 AND 5.0) " +
+      "AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2 AS INT) AS keep"
+
   def oracleSql: Map[String, String] = Map(
     "q_unshipped_cursor" ->
       ("WITH cursors AS (SELECT 'cf-audit-events-to-splunk' AS name, TIMESTAMP '2024-01-15 00:00:00' AS updated_at, '5000' AS shipped_id), " +
@@ -2562,14 +2584,27 @@ object SparkEntry {
         "SELECT doc_id, n_bigrams, nll_target, nll_background, " +
         "round(nll_background - nll_target, 4) AS log_ratio FROM a"),
     "q_quality_gopher" ->
-      ("WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words, " +
-        "round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS mean_word_len, " +
-        "round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS symbol_ratio, " +
-        "round(CAST(len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS alpha_ratio, " +
-        "CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS INT) AS stop_hits FROM documents) " +
+      (s"WITH s AS ($gopherSignalsSql) " +
         "SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio, stop_hits, " +
-        "CAST((n_words BETWEEN 30 AND 10000) AND (mean_word_len BETWEEN 3.9 AND 5.0) " +
-        "AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 AND stop_hits >= 2 AS INT) AS keep FROM s"),
+        s"$gopherKeepSql FROM s"),
+    "q_data_card" ->
+      (s"WITH s AS ($gopherSignalsSql), " +
+        s"g AS (SELECT doc_id, $gopherKeepSql FROM s), " +
+        "p AS (SELECT doc_id, " +
+        "len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) + " +
+        "len(regexp_extract_all(text, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) + " +
+        "len(regexp_extract_all(text, '[0-9]{7,}')) AS pii FROM documents) " +
+        "SELECT d.source, count(*) AS n_docs, round(avg(d.n_chars), 4) AS mean_chars, " +
+        "CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs, " +
+        "round(avg(CAST(g.keep AS DOUBLE)), 4) AS keep_rate, " +
+        "CAST(sum(p.pii) AS BIGINT) AS pii_hits " +
+        "FROM documents d JOIN g ON d.doc_id = g.doc_id JOIN p ON d.doc_id = p.doc_id " +
+        "GROUP BY d.source"),
+    "q_kanon" ->
+      ("SELECT event_id, user_id, event_type FROM (" +
+        "SELECT event_id, user_id, event_type, " +
+        "count(*) OVER (PARTITION BY user_id, event_type) AS n FROM events) " +
+        "WHERE n >= 5"),
     // The q_lm_score CTE with a per-language ntile(3) cut on top; ordering
     // is on the ROUNDED avg_nll with doc_id tiebreak on both engines.
     "q_lang_ppl_buckets" ->

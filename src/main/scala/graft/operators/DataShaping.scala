@@ -72,6 +72,20 @@ object DataShaping {
   /** Per-group quota: keep at most `cap` rows per group, preferring by
     * `orderBy` (desc) with id tiebreak — e.g. "keep the 50 longest docs per
     * source domain". One shuffle on the group key. */
+  /** k-anonymity suppression: keep only rows whose quasi-identifier
+    * combination is shared by at least `k` rows — the release gate for
+    * user-derived tables (a combination rarer than k re-identifies).
+    * One map-side-combinable count to the group frame + a semi-join back;
+    * no window, so a hot quasi-group costs one combiner cell, not a
+    * single-task partition. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    val big = df.groupBy(quasiCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__n"))
+      .filter(F.col("__n") >= k)
+      .drop("__n")
+    df.join(big, quasiCols, "left_semi")
+  }
+
   def perGroupCap(df: DataFrame, groupCol: String, orderCol: String,
                   idCol: String, cap: Int): DataFrame = {
     val w = Window.partitionBy(F.col(groupCol))

@@ -106,6 +106,30 @@ object TextAnalysis {
           F.col("stop_hits") >= minStopHits).cast("int"))
   }
 
+  /** Per-source corpus "data card" — the datasheet a corpus release ships
+    * with, as ONE composed query: volume, length profile, language
+    * spread, rule-filter keep rate, and PII exposure per source. Both
+    * signal passes ([[gopherRules]], [[redactPii]]) are map-only
+    * projections, so the whole card is signal-scan + one grouped
+    * aggregate: nothing wider than the documents table shuffles, and the
+    * output is |sources| rows. */
+  def dataCard(docs: DataFrame, idCol: String, textCol: String,
+               srcCol: String, langCol: String, charsCol: String): DataFrame = {
+    val keep = gopherRules(docs, textCol).select(F.col(idCol), F.col("keep"))
+    val pii = redactPii(docs, idCol, textCol)
+      .select(F.col(idCol),
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_longnums")).as("__pii"))
+    docs.select(F.col(idCol), F.col(srcCol), F.col(langCol), F.col(charsCol))
+      .join(keep, idCol).join(pii, idCol)
+      .groupBy(F.col(srcCol))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.round(F.avg(F.col(charsCol)), 4).as("mean_chars"),
+        F.countDistinct(F.col(langCol)).as("n_langs"),
+        F.round(F.avg(F.col("keep").cast("double")), 4).as("keep_rate"),
+        F.sum(F.col("__pii")).cast("long").as("pii_hits"))
+  }
+
   /** Token counts: whitespace split and a BPE-ish regex ([a-z0-9]+ runs). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =
     df

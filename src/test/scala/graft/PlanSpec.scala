@@ -210,6 +210,26 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  it("q_bloom_join probes the bloom directly on the fact scan — before any exchange") {
+    val lines = plan("q_bloom_join").split("\n")
+    val fi = lines.indexWhere(_.contains("might_contain"))
+    fi should be >= 0
+    // the filter's subtree (next lines, deeper) must reach the parquet
+    // scan without crossing an Exchange: the semi-join reduction happens
+    // pre-shuffle or it saves nothing
+    val below = lines.drop(fi + 1).take(4)
+    below.exists(_.contains("Scan parquet")) shouldBe true
+    below.takeWhile(!_.contains("Scan parquet")).exists(_.contains("Exchange")) shouldBe false
+  }
+
+  it("q_zorder is one bounds-broadcast over a map-only projection — no shuffle of the data") {
+    val p = plan("q_zorder")
+    // the events data itself never crosses a shuffle: the only exchanges
+    // belong to the 1-row bounds aggregate and its broadcast
+    p.split("\n").count(_.contains("Exchange hashpartitioning")) shouldBe 0
+    p should include("BroadcastNestedLoopJoin") // 1-row bounds crossJoin
+  }
+
   it("q_novelty stays on the shingle hash key — no cartesian anywhere") {
     val p = plan("q_novelty")
     p should not include "CartesianProduct"

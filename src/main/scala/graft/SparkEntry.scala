@@ -452,6 +452,10 @@ object SparkEntry {
     // distinct active users per (cohort, week offset).
     "q_cohort_retention" -> ((s, dir) =>
       TimeSeries.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
+    // Recency-weighted (exponentially decayed) per-user activity score:
+    // one combinable aggregate, decay weight from the broadcast max ts.
+    "q_decayed" -> ((s, dir) =>
+      TimeSeries.decayedAgg(t(s, dir, "events"), "user_id", "ts", "value", 24.0)),
     // ANALYZE shape: per-column rows / nulls / exact NDV in one scan.
     "q_col_stats" -> ((s, dir) =>
       TableStats.columnStats(t(s, dir, "events"),
@@ -2015,6 +2019,12 @@ object SparkEntry {
         "c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1) " +
         "SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset, count(*) AS n_users " +
         "FROM w JOIN c ON w.user_id = c.user_id GROUP BY 1, 2"),
+    "q_decayed" ->
+      ("WITH m AS (SELECT max(epoch_us(ts)) AS tmax FROM events) " +
+        "SELECT user_id, " +
+        "round(sum(value * pow(2.0, -(CAST(tmax - epoch_us(ts) AS DOUBLE) / 3600000000.0) / 24.0)), 4) AS decayed_value, " +
+        "round(sum(pow(2.0, -(CAST(tmax - epoch_us(ts) AS DOUBLE) / 3600000000.0) / 24.0)), 4) AS decayed_n " +
+        "FROM events, m GROUP BY user_id"),
     "q_col_stats" ->
       Seq("event_id", "user_id", "event_type", "value", "props").map(c =>
         s"SELECT '$c' AS col_name, count(*) AS n_rows, count(*) - count($c) AS n_nulls, " +

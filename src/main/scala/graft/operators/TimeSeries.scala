@@ -128,6 +128,24 @@ object TimeSeries {
       .agg(F.count(F.lit(1)).as("n_users"))
   }
 
+  /** Exponentially time-decayed aggregates per key (the trending-score
+    * shape): each event contributes `value * 2^(-age/halfLife)` where age
+    * is measured back from the corpus max timestamp. ONE combinable
+    * aggregate — the decay weight is a map-only projection against the
+    * broadcast 1-row max, so recency-weighted scores over 100 TB cost
+    * exactly what a plain grouped sum costs. */
+  def decayedAgg(events: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                 halfLifeHours: Double): DataFrame = {
+    val mx = events.agg(F.max(F.unix_micros(F.col(tsCol))).as("__tmax"))
+    val w = F.pow(F.lit(2.0),
+      -((F.col("__tmax") - F.unix_micros(F.col(tsCol))).cast("double") / 3600000000.0)
+        / halfLifeHours)
+    events.crossJoin(F.broadcast(mx))
+      .groupBy(F.col(keyCol))
+      .agg(F.round(F.sum(F.col(valCol) * w), 4).as("decayed_value"),
+        F.round(F.sum(w), 4).as("decayed_n"))
+  }
+
   def hourProfileTopK(
       events: DataFrame,
       keyCol: String,

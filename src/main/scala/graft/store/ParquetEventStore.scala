@@ -188,6 +188,38 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     (before, countFiles())
   }
 
+  /** Partial compaction — the only compaction that exists at 100 TB:
+    * rewrite ONLY partitions whose file count exceeds `maxFiles` (the
+    * hot ingest partitions), leaving every healthy partition untouched.
+    * Per-partition rewrite + atomic swap, so a crash mid-run loses at
+    * most one partition's rewrite (the original stays until its rename).
+    * Returns (partitions rewritten, files before, files after). */
+  def compactPartial(maxFiles: Int = 8, maxRecordsPerFile: Long = 1000000L): (Long, Long, Long) = {
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(eventsPath))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("event_date="))
+    def filesIn(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")).toLong
+    val before = parts.map(d => filesIn(d.getPath)).sum
+    var rewritten = 0L
+    parts.foreach { d =>
+      if (filesIn(d.getPath) > maxFiles) {
+        val tmp = new org.apache.hadoop.fs.Path(d.getPath.toString + "._compact")
+        spark.read.schema(Schemas.cfAuditEvents).parquet(d.getPath.toString)
+          .coalesce(1)
+          .write.mode(SaveMode.Overwrite)
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .parquet(tmp.toString)
+        fs.delete(d.getPath, true)
+        fs.rename(tmp, d.getPath)
+        rewritten += 1
+      }
+    }
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(eventsPath))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("event_date="))
+      .map(d => filesIn(d.getPath)).sum
+    (rewritten, before, after)
+  }
+
   /** Z-order compaction: [[compact]] plus CLUSTERING — within each date
     * partition, rows are ordered by the Morton interleave of
     * (actor-guid hex prefix, time-of-day), so every output file carries a

@@ -179,6 +179,31 @@ class ManifestTableSpec extends SparkSpec {
       Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "z" -> 1L)
   }
 
+  it("streaming-maintained view: every post-first refresh is incremental and the aggregate tracks the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = newTable()
+    val mv = new graft.store.MaterializedView(spark,
+      Files.createTempDirectory("graft-smv").toString, t,
+      df => df.groupBy("grp").agg(F.count(F.lit(1)).as("n")))
+    def mergeCounts(old: org.apache.spark.sql.DataFrame, delta: org.apache.spark.sql.DataFrame) =
+      old.unionByName(delta).groupBy("grp").agg(F.sum("n").as("n"))
+    val ckpt = Files.createTempDirectory("graft-smv-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingMaterializedView.attach(
+      input.toDS().toDF("id", "grp"), ckpt, t, mv, mergeCounts, triggerMillis = 100)
+    try {
+      input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      input.addData((3L, "a"), (4L, "c")); q.processAllAvailable()
+      input.addData((5L, "a")); q.processAllAvailable()
+    } finally q.stop()
+    val (result, cached) = mv.readWithStatus()
+    cached shouldBe true // the stream left the view already refreshed
+    result.collect().map(r => (r.getString(0), r.getLong(1))).toMap shouldBe
+      Map("a" -> 3L, "b" -> 1L, "c" -> 1L)
+    t.version() shouldBe 3L // one atomic commit per micro-batch
+  }
+
   it("a crashed commit (data written, manifest never published) is invisible; vacuum removes it") {
     val root = Files.createTempDirectory("graft-manifest-crash").toString
     val t = new ManifestTable(spark, root)

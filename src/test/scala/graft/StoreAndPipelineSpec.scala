@@ -150,6 +150,31 @@ class StoreAndPipelineSpec extends SparkSpec {
       st.events.orderBy("guid").collect().map(_.getString(1)).toSeq shouldBe beforeRows
     }
 
+    it("compactPartial rewrites only over-fragmented partitions and leaves healthy ones untouched") {
+      val st = newStore()
+      val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")
+      val collector = new Collector(spark, st, f, new MetricsRegistry)
+      val mk = (g: String, at: String) => CfWireEvent(g, at, "t", "a", "at", "an", "au",
+        "e", "et", "en", "", "sg", "{}")
+      // four batches into day 1 (hot), one batch into day 2 (healthy)
+      (1 to 4).foreach { b =>
+        st.storeCFAuditEvents(collector.pageToDf(
+          (1 to 3).map(i => mk(s"h$b-$i", s"2024-02-01T0$b:0$i:00Z"))))
+      }
+      st.storeCFAuditEvents(collector.pageToDf(Seq(mk("cold", "2024-02-02T10:00:00Z"))))
+      val coldDir = new java.io.File(
+        st.events.filter(F.col("guid") === "cold").select(F.input_file_name())
+          .collect()(0).getString(0).stripPrefix("file:")).getParentFile
+      val coldFiles = coldDir.listFiles().map(_.getName).toSet
+
+      val (rewritten, before, after) = st.compactPartial(maxFiles = 2)
+      rewritten shouldBe 1L // only the hot day
+      after should be < before
+      st.events.count() shouldBe 13L
+      coldDir.listFiles().map(_.getName).toSet shouldBe coldFiles // untouched
+      st.getCFEventCount() shouldBe 13L
+    }
+
     it("compactZOrder clusters files so actor+time predicates prune; plain compact cannot") {
       val st = newStore()
       val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")

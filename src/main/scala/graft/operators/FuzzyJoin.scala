@@ -26,11 +26,11 @@ object FuzzyJoin {
   /** All unordered pairs with `levenshtein(s_a, s_b) <= 1` (including
     * exact duplicates at distance 0), as (id_a, id_b, dist) with
     * id_a < id_b. Ids must be numerically ordered-comparable. */
-  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val keyed = df
-      .select(F.col(idCol).as("id"), F.col(strCol).as("s"))
-      // del_pos 0 keeps the string itself; i>0 deletes character i —
-      // distinct because equal-character runs collapse to one key
+  /** The deletion-neighborhood blocking keys of each row: (id, s, key),
+    * distinct (equal-character runs collapse to one key). del_pos 0 keeps
+    * the string itself; i>0 deletes character i. */
+  private[graft] def deletionKeys(df: DataFrame, idCol: String, strCol: String): DataFrame =
+    df.select(F.col(idCol).as("id"), F.col(strCol).as("s"))
       .select(F.col("id"), F.col("s"),
         F.explode(F.sequence(F.lit(0), F.length(F.col("s")))).as("del_pos"))
       .select(F.col("id"), F.col("s"),
@@ -38,13 +38,25 @@ object FuzzyJoin {
           .otherwise(F.expr("concat(substring(s, 1, del_pos - 1), substring(s, del_pos + 1, length(s)))"))
           .as("key"))
       .distinct()
-    val a = keyed.select(F.col("key"), F.col("id").as("id_a"), F.col("s").as("s_a"))
-    val b = keyed.select(F.col("key"), F.col("id").as("id_b"), F.col("s").as("s_b"))
-    a.join(b, "key")
-      .filter(F.col("id_a") < F.col("id_b"))
+
+  /** Candidate pairs sharing a key -> exact levenshtein <= 1 verify.
+    * Inputs are two keyed frames; `ordered` keeps only id_a < id_b (set
+    * false for cross-corpus probes where ids come from disjoint spaces). */
+  private[graft] def verifyPairs(a: DataFrame, b: DataFrame, ordered: Boolean): DataFrame = {
+    val la = a.select(F.col("key"), F.col("id").as("id_a"), F.col("s").as("s_a"))
+    val lb = b.select(F.col("key"), F.col("id").as("id_b"), F.col("s").as("s_b"))
+    val joined = la.join(lb, "key")
+    val scoped = if (ordered) joined.filter(F.col("id_a") < F.col("id_b"))
+      else joined.filter(F.col("id_a") =!= F.col("id_b"))
+    scoped
       .select("id_a", "id_b", "s_a", "s_b").distinct() // dedup multi-key hits pre-verify
       .withColumn("dist", F.levenshtein(F.col("s_a"), F.col("s_b")))
       .filter(F.col("dist") <= 1)
       .select(F.col("id_a"), F.col("id_b"), F.col("dist").cast("long").as("dist"))
+  }
+
+  def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val keyed = deletionKeys(df, idCol, strCol)
+    verifyPairs(keyed, keyed, ordered = true)
   }
 }

@@ -125,8 +125,51 @@ final class ManifestTable(spark: SparkSession, dir: String) {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case (Nil, None) => spark.emptyDataFrame
       case (paths, Some(s)) => spark.read.schema(s).parquet(paths: _*)
-      case (paths, None) => spark.read.parquet(paths: _*)
+      case (paths, None) =>
+        // Additive schema evolution: commits may widen the schema over
+        // time; a snapshot unions the per-file schemas (old files read
+        // the new columns as NULL). Column RENAMES/drops need a rewrite
+        // (merge) — same as every parquet-based table format.
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
+  }
+
+  /** Log-native compaction: rewrite the current live file set as one
+    * coalesced commit (removes + adds in a single manifest) — the
+    * small-files cure for high-frequency commit streams. Readers see the
+    * old or the new layout atomically; time travel before the compaction
+    * still resolves (removed files stay on disk, referenced by older
+    * manifests). OCC: aborts if a concurrent rewrite removed any of the
+    * files being compacted. Returns (files before, files after). */
+  def compact(targetFiles: Int = 1): (Long, Long) = {
+    import org.apache.spark.sql.{functions => F}
+    val readVersion = version()
+    val live = liveFiles(Some(readVersion))
+    if (live.isEmpty) return (0L, 0L)
+    val snap = spark.read.option("mergeSchema", "true")
+      .parquet(live.map(rel => new Path(dataDir, rel).toString): _*)
+      .repartition(targetFiles)
+    val batchId = java.util.UUID.randomUUID().toString
+    val batchDir = new Path(dataDir, batchId)
+    snap.write.parquet(batchDir.toString)
+    val added = fs.listStatus(batchDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$batchId/${s.getPath.getName}").toSeq
+    val lines = live.sorted.map("-" + _) ++ added
+    val tmp = new Path(manifestDir, s"_tmp_$batchId")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    var slot = nextSlot()
+    while (!claimSlot(slot)) slot += 1
+    val liveNow = liveFiles(None).toSet
+    if (!live.toSet.subsetOf(liveNow)) {
+      fs.delete(tmp, false)
+      fs.delete(batchDir, true)
+      throw new java.util.ConcurrentModificationException(
+        s"compact computed against version $readVersion conflicts with a published rewrite")
+    }
+    fs.rename(tmp, slotPath(slot))
+    (live.size.toLong, added.size.toLong)
   }
 
   /** MERGE (upsert by `key`): target rows whose key appears in `source`

@@ -179,6 +179,31 @@ class ManifestTableSpec extends SparkSpec {
       Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "z" -> 1L)
   }
 
+  it("additive schema evolution: later commits may widen the schema; old rows read NULL") {
+    val t = newTable()
+    t.commit(Seq((1L, "a")).toDF("id", "v"))
+    t.commit(Seq((2L, "b", 3.5)).toDF("id", "v", "score"))
+    val snap = t.snapshot.orderBy("id").collect()
+    snap.map(_.getLong(0)) shouldBe Array(1L, 2L)
+    snap(0).isNullAt(2) shouldBe true // pre-evolution row
+    snap(1).getDouble(2) shouldBe 3.5
+  }
+
+  it("log-native compaction coalesces live files atomically and keeps time travel intact") {
+    val t = newTable()
+    (1 to 5).foreach(i => t.commit(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val v5 = t.version()
+    val (before, after) = t.compact(targetFiles = 1)
+    before should be >= 5L
+    after shouldBe 1L
+    t.snapshot.orderBy("id").collect().map(_.getLong(0)) shouldBe (1L to 5L).toArray
+    t.snapshot.select(F.input_file_name()).distinct().count() shouldBe 1L
+    t.snapshotAt(v5).count() shouldBe 5L // pre-compaction version still readable
+    // vacuum must NOT delete pre-compaction files (older manifests name them)
+    t.vacuum(maxAgeMs = -1000L)
+    t.snapshotAt(v5).count() shouldBe 5L
+  }
+
   it("streaming-maintained view: every post-first refresh is incremental and the aggregate tracks the stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

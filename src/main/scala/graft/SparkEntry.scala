@@ -379,6 +379,12 @@ object SparkEntry {
     // O(n^2) pair space — equality proves the blocking loses nothing.
     "q_fuzzy_join" -> ((s, dir) =>
       FuzzyJoin.editDistance1Pairs(t(s, dir, "customer"), "c_custkey", "c_name")),
+    // EXACT Jaccard similarity self-join (AllPairs/PPJoin prefix
+    // filtering, rarity-first global order, integer threshold test); the
+    // oracle brute-forces all pairs — equality proves the prefix filter
+    // is lossless, not probabilistic.
+    "q_jaccard_join" -> ((s, dir) =>
+      FuzzyJoin.jaccardPrefixJoin(t(s, dir, "documents"), "doc_id", "text", 19, 20)),
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -1979,6 +1985,14 @@ object SparkEntry {
         "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist " +
         "FROM customer a, customer b " +
         "WHERE a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1"),
+    "q_jaccard_join" ->
+      ("WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents), " +
+        "p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.toks, b.toks)) AS i, " +
+        "len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS u " +
+        "FROM d a, d b WHERE a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, round(CAST(i AS DOUBLE) / CAST(u AS DOUBLE), 4) AS jac " +
+        "FROM p WHERE 20 * i >= 19 * u"),
     "q_rollup" ->
       "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
     "q_cube" ->

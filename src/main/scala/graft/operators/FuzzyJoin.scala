@@ -59,4 +59,67 @@ object FuzzyJoin {
     val keyed = deletionKeys(df, idCol, strCol)
     verifyPairs(keyed, keyed, ordered = true)
   }
+
+  /** EXACT set-similarity self-join above a Jaccard threshold via prefix
+    * filtering (the AllPairs/PPJoin family): every pair of documents whose
+    * DISTINCT-word-set Jaccard is >= tauNum/tauDen, without the O(n²)
+    * pair space.
+    *
+    * The prefix theorem: order every document's tokens by one GLOBAL
+    * total order (here rarity-first — ascending corpus frequency, token
+    * as tiebreak) and keep each document's first
+    * `|x| - ceil(tau * |x|) + 1` tokens; two documents with
+    * `jaccard >= tau` MUST share a prefix token. So candidate generation
+    * is a self-join on prefix tokens only — rare tokens, small buckets —
+    * followed by an exact intersection verify. Zero recall loss by
+    * construction (unlike MinHash banding this is exact, not
+    * probabilistic), and the threshold test runs in INTEGER arithmetic
+    * (`tauDen * |A∩B| >= tauNum * |A∪B|`) so both engines agree on every
+    * boundary pair. Cost scales with candidate volume, which rarity-first
+    * prefixes bound: a token's bucket joins only documents that could not
+    * be pruned. */
+  def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
+                        tauNum: Int, tauDen: Int): DataFrame = {
+    val docs = df.select(F.col(idCol).as("id"),
+      F.array_distinct(F.split(F.col(textCol), " ")).as("toks"))
+    val tokCounts = docs.select(F.explode(F.col("toks")).as("tok"))
+      .groupBy("tok").agg(F.count(F.lit(1)).as("cnt"))
+    // per-doc tokens sorted by the global (cnt, tok) order — array_sort on
+    // the struct sorts by fields in sequence
+    val sorted = docs.select(F.col("id"), F.explode(F.col("toks")).as("tok"))
+      .join(tokCounts, "tok")
+      .groupBy("id")
+      .agg(F.array_sort(F.collect_list(F.struct(F.col("cnt"), F.col("tok")))).as("ord"))
+      .select(F.col("id"), F.col("ord.tok").as("stoks"), F.size(F.col("ord")).as("sz"))
+    // prefix length |x| - ceil(tau|x|) + 1, exact integer ceil
+    val prefix = sorted.select(F.col("id"), F.col("stoks"), F.col("sz"),
+      F.slice(F.col("stoks"), F.lit(1),
+        F.col("sz") - F.call_function("div",
+          F.col("sz") * tauNum + (tauDen - 1), F.lit(tauDen.toLong)) + 1).as("pref"))
+    // Candidates shuffle as (id, id) PAIRS ONLY — token arrays re-attach
+    // after the distinct (the id-only-through-the-shuffle rule every LSH
+    // path here follows). The length filter is the PPJoin size condition:
+    // jac >= tau forces tau*|x| <= |y| <= |x|/tau.
+    val keyed = prefix.select(F.col("id"), F.col("sz"), F.explode(F.col("pref")).as("key"))
+    val cands = keyed.select(F.col("key"), F.col("id").as("id_a"), F.col("sz").as("sz_a"))
+      .join(keyed.select(F.col("key"), F.col("id").as("id_b"), F.col("sz").as("sz_b")), "key")
+      .filter(F.col("id_a") < F.col("id_b"))
+      .filter(F.col("sz_b") * tauDen >= F.col("sz_a") * tauNum &&
+        F.col("sz_a") * tauDen >= F.col("sz_b") * tauNum)
+      .select("id_a", "id_b").distinct()
+    val toksOf = sorted.select(F.col("id"), F.col("stoks"), F.col("sz"))
+    val verified = cands
+      .join(toksOf.select(F.col("id").as("id_a"), F.col("stoks").as("t_a"),
+        F.col("sz").as("sz_a")), "id_a")
+      .join(toksOf.select(F.col("id").as("id_b"), F.col("stoks").as("t_b"),
+        F.col("sz").as("sz_b")), "id_b")
+    val inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
+    val union = F.col("sz_a") + F.col("sz_b") - inter
+    verified
+      .withColumn("inter", inter)
+      .withColumn("un", union)
+      .filter(F.col("inter") * tauDen >= F.col("un") * tauNum)
+      .select(F.col("id_a"), F.col("id_b"),
+        F.round(F.col("inter").cast("double") / F.col("un").cast("double"), 4).as("jac"))
+  }
 }

@@ -736,6 +736,30 @@ class OperatorsSpec extends SparkSpec {
       want.map(p => (p._1, p._2)) should contain allOf ((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L), (9L, 10L))
       want.map(p => (p._1, p._2)) should not contain ((9L, 11L)) // d=2 decoy verified away
     }
+
+    it("jaccardPrefixJoin equals brute force (the prefix filter is exact, not probabilistic)") {
+      val docs = Seq(
+        (1L, "aa bb cc dd ee"),
+        (2L, "aa bb cc dd ff"), // jac vs 1 = 4/6
+        (3L, "aa bb cc dd ee"), // exact dup of 1
+        (4L, "aa bb xx yy zz"), // jac vs 1 = 2/8
+        (5L, "qq rr ss tt uu")  // disjoint
+      ).toDF("doc_id", "text")
+      def brute(tauNum: Int, tauDen: Int) = {
+        val toks = docs.collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSet))
+        (for {
+          (ia, ta) <- toks; (ib, tb) <- toks
+          if ia < ib
+          i = (ta & tb).size; u = (ta | tb).size
+          if i * tauDen >= u * tauNum
+        } yield (ia, ib, math.rint(i.toDouble / u * 10000) / 10000)).sorted
+      }
+      for ((n, d) <- Seq((1, 2), (2, 3), (9, 10))) {
+        val got = graft.operators.FuzzyJoin.jaccardPrefixJoin(docs, "doc_id", "text", n, d)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+        got shouldBe brute(n, d)
+      }
+    }
   }
 
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))

@@ -289,6 +289,17 @@ object SparkEntry {
       t(s, dir, "events").createOrReplaceTempView("events")
       s.sql(sqlCte)
     }),
+    // Recursive CTE (Spark 4.x WITH RECURSIVE): a generated calendar
+    // LEFT-joined to events — the gap-filled series, zero-count days
+    // included, entirely in the SQL surface on both engines.
+    "q_sql_recursive" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        "WITH RECURSIVE cal(d) AS (SELECT DATE '2024-01-01' " +
+          "UNION ALL SELECT date_add(d, 1) FROM cal WHERE d < DATE '2024-02-09') " +
+          "SELECT c.d AS day, count(e.event_id) AS n " +
+          "FROM cal c LEFT JOIN events e ON to_date(e.ts) = c.d GROUP BY c.d")
+    }),
 
     // --- relational coverage the reference lacks (SURVEY §2B "absent") ---
     "q1_pricing_summary" -> ((s, dir) => q1Pricing(s, dir)),
@@ -1942,6 +1953,11 @@ object SparkEntry {
     "q_distinct_users" ->
       "SELECT count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events",
     "q_sql_cte" -> sqlCte,
+    "q_sql_recursive" ->
+      ("WITH RECURSIVE cal(d) AS (SELECT DATE '2024-01-01' " +
+        "UNION ALL SELECT d + 1 FROM cal WHERE d < DATE '2024-02-09') " +
+        "SELECT c.d AS day, count(e.event_id) AS n " +
+        "FROM cal c LEFT JOIN events e ON CAST(e.ts AS DATE) = c.d GROUP BY c.d"),
 
     "q1_pricing_summary" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, sum(l_extendedprice) AS sum_base_price, " +

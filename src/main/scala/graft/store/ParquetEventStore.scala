@@ -89,11 +89,89 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
       // has gaps too), never a stale sidecar that would hand the same
       // range to the next batch and create duplicate ingest ids.
       writeSidecar(maxIdPath, base + n)
+      // Guid bloom sidecars ALSO update before the data lands: a bloom
+      // that over-approximates (crash after bloom, before data) only
+      // costs a false-positive partition scan; one that under-
+      // approximates would make lookupByGuid MISS rows.
+      updateGuidBlooms(withId)
       withId.write.mode(SaveMode.Append).partitionBy("event_date").parquet(eventsPath)
       writeStatsCount(readStatsCount().getOrElse(0L) + n) // reltuples analog
     }
     withId.unpersist()
     n
+  }
+
+  // Fixed per store so every sidecar is mergeInPlace-compatible.
+  private val bloomItems = 1L << 20
+  private val bloomBits = 1L << 23
+
+  private def bloomPath(date: String) =
+    new org.apache.hadoop.fs.Path(s"$warehouseDir/_bloom_guid/$date")
+
+  private def readBytes(p: org.apache.hadoop.fs.Path): Option[Array[Byte]] =
+    if (!fs.exists(p)) None
+    else { val in = fs.open(p); try Some(in.readAllBytes()) finally in.close() }
+
+  private def writeBytes(p: org.apache.hadoop.fs.Path, b: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(b) finally out.close()
+  }
+
+  private def updateGuidBlooms(withId: DataFrame): Unit = {
+    import org.apache.spark.sql.graftnative.BloomFunctions
+    val dates = withId.select(F.col("event_date").cast("string")).distinct()
+      .collect().map(_.getString(0)) // bounded by dates touched by one batch
+    dates.foreach { d =>
+      val batchBloom = withId
+        .filter(F.col("event_date").cast("string") === d)
+        .agg(graft.functions.BloomSupport
+          .bloomAgg(F.col("guid"), bloomItems, bloomBits).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      val merged = readBytes(bloomPath(d)) match {
+        case Some(old) =>
+          try BloomFunctions.mergeBloom(old, batchBloom)
+          catch { // sizing drift: rebuild from the partition already on disk
+            case _: Exception =>
+              val dir = s"$eventsPath/event_date=$d"
+              val onDisk =
+                if (exists(dir))
+                  spark.read.schema(Schemas.cfAuditEvents).parquet(dir)
+                    .agg(graft.functions.BloomSupport
+                      .bloomAgg(F.col("guid"), bloomItems, bloomBits).as("bf"))
+                    .head.getAs[Array[Byte]]("bf")
+                else batchBloom
+              BloomFunctions.mergeBloom(onDisk, batchBloom)
+          }
+        case None => batchBloom
+      }
+      writeBytes(bloomPath(d), merged)
+    }
+  }
+
+  /** Partitions a guid POINT LOOKUP must scan: every partition whose guid
+    * bloom sidecar matches (or that has no sidecar — unprunable). A
+    * driver-side metadata decision, O(#partitions), never a data scan. */
+  def guidCandidatePartitions(guid: String): Seq[String] = {
+    import org.apache.spark.sql.graftnative.BloomFunctions
+    fs.listStatus(new org.apache.hadoop.fs.Path(eventsPath))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("event_date="))
+      .map(_.getPath.getName.stripPrefix("event_date="))
+      .filter(d => readBytes(bloomPath(d))
+        .forall(b => BloomFunctions.mightContainDriver(b, guid)))
+      .toSeq
+  }
+
+  /** Guid point lookup — the reference's `cf_audit_events_guid` index
+    * access path: per-partition bloom sidecars (maintained at store time,
+    * before the data append) prune the scan to the partitions that can
+    * possibly hold the guid; blooms have no false negatives, so the
+    * lookup is exact. */
+  def lookupByGuid(guid: String): DataFrame = {
+    val cands = guidCandidatePartitions(guid)
+    if (cands.isEmpty) emptyEvents
+    else spark.read.schema(Schemas.cfAuditEvents)
+      .parquet(cands.map(d => s"$eventsPath/event_date=$d"): _*)
+      .filter(F.col("guid") === guid)
   }
 
   /** Highest assigned ingest id. Maintained in a sidecar at store time —

@@ -34,6 +34,32 @@ object BloomFunctions {
       BloomFilterMightContain(
         ExpressionUtils.expression(bloom),
         new XxHash64(Seq(ExpressionUtils.expression(value)))))
+
+  /** DRIVER-side probe with hashing identical to [[mightContain]] — for
+    * metadata-scale pruning decisions (e.g. per-partition sidecar blooms
+    * consulted before planning a scan) where spinning a 1-row job per
+    * sidecar would be absurd. */
+  def mightContainDriver(bloomBytes: Array[Byte], value: String): Boolean = {
+    val hash = new XxHash64(Seq(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(value))))
+      .eval(null).asInstanceOf[Long]
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+      .mightContainLong(hash)
+  }
+
+  /** Union two serialized filters built with the same (items, numBits)
+    * constants. */
+  def mergeBloom(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
 }
 
 /** Column surface over Catalyst's `CollectTopK` — a bounded-priority-queue

@@ -150,6 +150,32 @@ class StoreAndPipelineSpec extends SparkSpec {
       st.events.orderBy("guid").collect().map(_.getString(1)).toSeq shouldBe beforeRows
     }
 
+    it("guid point lookup prunes to the bloom-matching partition and stays exact") {
+      val st = newStore()
+      val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")
+      val collector = new Collector(spark, st, f, new MetricsRegistry)
+      val mk = (g: String, at: String) => CfWireEvent(g, at, "t", "a", "at", "an", "au",
+        "e", "et", "en", "", "sg", "{}")
+      // 60 events across 3 date partitions
+      val wire = (0 until 60).map(i =>
+        mk(s"guid-$i", f"2024-04-${i % 3 + 1}%02dT0${i % 9}:00:00Z"))
+      st.storeCFAuditEvents(collector.pageToDf(wire))
+      // the lookup finds its row...
+      val row = st.lookupByGuid("guid-7").collect()
+      row.length shouldBe 1
+      row(0).getString(1) shouldBe "guid-7"
+      // ...and the metadata decision pruned to (almost) one partition:
+      // guid-7 lives in day 2 only; FP odds at 8M bits are negligible
+      st.guidCandidatePartitions("guid-7") shouldBe Seq("2024-04-02")
+      // absent guid: no partition matches, empty exact result
+      st.guidCandidatePartitions("no-such-guid") shouldBe Seq.empty
+      st.lookupByGuid("no-such-guid").count() shouldBe 0L
+      // a second batch into an existing partition MERGES its bloom
+      st.storeCFAuditEvents(collector.pageToDf(Seq(mk("late-guid", "2024-04-02T10:00:00Z"))))
+      st.guidCandidatePartitions("late-guid") shouldBe Seq("2024-04-02")
+      st.guidCandidatePartitions("guid-7") shouldBe Seq("2024-04-02") // old guids survive the merge
+    }
+
     it("compactPartial rewrites only over-fragmented partitions and leaves healthy ones untouched") {
       val st = newStore()
       val f = new CfAuditEventFetcher(new FakeTransport(Map.empty), "")

@@ -473,6 +473,15 @@ object SparkEntry {
     // one combinable aggregate, decay weight from the broadcast max ts.
     "q_decayed" -> ((s, dir) =>
       TimeSeries.decayedAgg(t(s, dir, "events"), "user_id", "ts", "value", 24.0)),
+    // Sweep-line concurrency: max simultaneously-open 30-min event
+    // intervals per day, no minute explosion.
+    "q_concurrency" -> ((s, dir) =>
+      TimeSeries.maxConcurrency(t(s, dir, "events"), "ts", 30)),
+    // Weighted reservoir (A-Res): exactly 5 docs per source, inclusion
+    // probability proportional to n_chars, deterministic md5 uniform.
+    "q_reservoir" -> ((s, dir) =>
+      DataShaping.weightedReservoir(t(s, dir, "documents"), "doc_id", "source", "n_chars", 5)
+        .select("doc_id", "source", "res_rank")),
     // ANALYZE shape: per-column rows / nulls / exact NDV in one scan.
     "q_col_stats" -> ((s, dir) =>
       TableStats.columnStats(t(s, dir, "events"),
@@ -2055,6 +2064,19 @@ object SparkEntry {
         "round(sum(value * pow(2.0, -(CAST(tmax - epoch_us(ts) AS DOUBLE) / 3600000000.0) / 24.0)), 4) AS decayed_value, " +
         "round(sum(pow(2.0, -(CAST(tmax - epoch_us(ts) AS DOUBLE) / 3600000000.0) / 24.0)), 4) AS decayed_n " +
         "FROM events, m GROUP BY user_id"),
+    "q_concurrency" ->
+      ("WITH pts AS (" +
+        "SELECT CAST(ts AS DATE) AS day, epoch_us(ts) AS t, CAST(1 AS BIGINT) AS delta FROM events " +
+        "UNION ALL " +
+        "SELECT CAST(ts AS DATE) AS day, epoch_us(ts) + 1800000000 AS t, CAST(-1 AS BIGINT) AS delta FROM events), " +
+        "sw AS (SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS c FROM pts) " +
+        "SELECT day, max(c) AS max_concurrent FROM sw GROUP BY day"),
+    "q_reservoir" ->
+      ("WITH s AS (SELECT doc_id, source, " +
+        "round(1000.0 * ln(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0) / n_chars, 6) AS key FROM documents) " +
+        "SELECT doc_id, source, rn AS res_rank FROM (" +
+        "SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS BIGINT) AS rn FROM s) " +
+        "WHERE rn <= 5"),
     "q_col_stats" ->
       Seq("event_id", "user_id", "event_type", "value", "props").map(c =>
         s"SELECT '$c' AS col_name, count(*) AS n_rows, count(*) - count($c) AS n_nulls, " +

@@ -72,6 +72,23 @@ object DataShaping {
   /** Per-group quota: keep at most `cap` rows per group, preferring by
     * `orderBy` (desc) with id tiebreak — e.g. "keep the 50 longest docs per
     * source domain". One shuffle on the group key. */
+  /** Weighted reservoir sampling (Efraimidis–Spirakis A-Res): EXACTLY k
+    * rows per group, without replacement, inclusion probability
+    * proportional to `weightCol`. The classic key trick — rank by
+    * u^(1/w) for uniform u — applied through the monotone-equivalent
+    * `ln(u)/w` and made DETERMINISTIC by deriving u from md5(id) (the
+    * hashSample uniform), so both engines rank the identical keys. The
+    * per-group window is scale-safe: partitions are groups. */
+  def weightedReservoir(df: DataFrame, idCol: String, groupCol: String,
+                        weightCol: String, k: Int): DataFrame = {
+    val u = F.expr(s"conv(substring(md5(cast($idCol as string)), 1, 8), 16, 10)")
+      .cast("double") / 4294967296.0
+    val key = F.round(F.lit(1000.0) * F.log(u) / F.col(weightCol), 6)
+    val w = Window.partitionBy(F.col(groupCol)).orderBy(key.desc, F.col(idCol))
+    df.withColumn("res_rank", F.row_number().over(w).cast("long"))
+      .filter(F.col("res_rank") <= k)
+  }
+
   /** k-anonymity suppression: keep only rows whose quasi-identifier
     * combination is shared by at least `k` rows — the release gate for
     * user-derived tables (a combination rarer than k re-identifies).

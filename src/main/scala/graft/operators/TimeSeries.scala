@@ -128,6 +128,28 @@ object TimeSeries {
       .agg(F.count(F.lit(1)).as("n_users"))
   }
 
+  /** Interval-overlap concurrency by sweep line: each event is an
+    * interval [ts, ts + durationMin); emit (+1 at start, −1 at end)
+    * points and running-sum them per day — max concurrent intervals per
+    * day WITHOUT exploding minutes. The −1 sorts before the +1 at equal
+    * timestamps (half-open intervals don't overlap end-to-start), the
+    * default RANGE frame makes tied timestamps see their full peer sum
+    * identically on both engines, and the window partitions by DAY, so
+    * the sweep parallelizes across days (an interval crossing midnight
+    * counts in its start day). */
+  def maxConcurrency(events: DataFrame, tsCol: String, durationMin: Int): DataFrame = {
+    val durUs = durationMin * 60000000L
+    val starts = events.select(F.to_date(F.col(tsCol)).as("day"),
+      F.unix_micros(F.col(tsCol)).as("t"), F.lit(1L).as("delta"))
+    val ends = events.select(F.to_date(F.col(tsCol)).as("day"),
+      (F.unix_micros(F.col(tsCol)) + durUs).as("t"), F.lit(-1L).as("delta"))
+    val w = Window.partitionBy("day").orderBy(F.col("t"), F.col("delta"))
+    starts.unionByName(ends)
+      .withColumn("c", F.sum("delta").over(w))
+      .groupBy("day")
+      .agg(F.max("c").as("max_concurrent"))
+  }
+
   /** Exponentially time-decayed aggregates per key (the trending-score
     * shape): each event contributes `value * 2^(-age/halfLife)` where age
     * is measured back from the corpus max timestamp. ONE combinable

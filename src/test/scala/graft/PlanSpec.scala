@@ -230,6 +230,18 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastNestedLoopJoin") // 1-row bounds crossJoin
   }
 
+  it("q_jaccard_join candidates cross the shuffle as id pairs only — token arrays re-attach after") {
+    val p = plan("q_jaccard_join")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // the candidate-dedup aggregate groups bare (id_a, id_b) — a token
+    // array in its grouping key would mean arrays rode the distinct
+    val dedupAggs = p.split("\n").filter(l =>
+      l.contains("HashAggregate") && l.contains("id_a") && l.contains("id_b"))
+    dedupAggs should not be empty
+    dedupAggs.foreach(l => l should not include "t_a")
+  }
+
   it("q_novelty stays on the shingle hash key — no cartesian anywhere") {
     val p = plan("q_novelty")
     p should not include "CartesianProduct"

@@ -178,4 +178,36 @@ object PropertiesSpec extends Properties("graft") {
         distinct <= total && dup >= 0.0 && dup <= 1.0 && top > 0.0 && top <= 1.0
       }
     }
+
+  property("interleave16 is a bijection on 16-bit pairs") =
+    Prop.forAll(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L),
+      Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)) { (a1, b1, a2, b2) =>
+      val z = Seq((a1, b1), (a2, b2)).toDF("a", "b")
+        .select(graft.operators.Layout.interleave16(F.col("a"), F.col("b")).as("z"))
+        .collect().map(_.getLong(0))
+      (z(0) == z(1)) == (a1 == a2 && b1 == b2)
+    }
+
+  property("kAnonymize keeps only groups >= k and is idempotent") =
+    Prop.forAll(genBatch, Gen.chooseNum(1L, 4L)) { (batch, k) =>
+      val df = batch.toDF("g", "at").select(F.col("g"), (F.col("at") % 3).as("q"))
+      val once = graft.operators.DataShaping.kAnonymize(df, Seq("g", "q"), k)
+      val sizes = once.groupBy("g", "q").count().collect().map(_.getLong(2))
+      val twice = graft.operators.DataShaping.kAnonymize(once, Seq("g", "q"), k)
+      sizes.forall(_ >= k) && twice.count() == once.count()
+    }
+
+  property("weightedReservoir returns exactly min(k, group size) rows per group") =
+    Prop.forAll(genDocs, Gen.chooseNum(1, 5)) { (docs, k) =>
+      val df = docs.toDF("doc_id", "text")
+        .withColumn("grp", (F.col("doc_id") % 2).cast("string"))
+        .withColumn("w", F.length(F.col("text")).cast("double") + 1.0)
+      val out = graft.operators.DataShaping
+        .weightedReservoir(df, "doc_id", "grp", "w", k)
+      val perGroup = out.groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val truth = df.groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> math.min(k.toLong, r.getLong(1))).toMap
+      perGroup == truth
+    }
 }

@@ -116,6 +116,14 @@ object SparkEntry {
       Similarity.ivfPqTopKWithModel(e, "vec_id", "embedding", cents, books,
         nprobe = 5, shortlist = 24, k = 3).count()
       ()
+    }),
+    // q_jaccard_join cost attribution (the ivf_pq_train/serve pattern):
+    // blocking (sorted tokens + prefix self-join to candidate id pairs)
+    // vs the full op whose remainder is the exact-intersection verify.
+    "jaccard_block" -> ((s, dir) => {
+      FuzzyJoin.jaccardCandidates(t(s, dir, "documents"), "doc_id", "text", 19, 20)
+        ._1.count()
+      ()
     }))
 
   /** Once-per-(process, sf-dir, kC) snapped k-means model — the

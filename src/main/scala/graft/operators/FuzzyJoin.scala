@@ -80,6 +80,27 @@ object FuzzyJoin {
     * be pruned. */
   def jaccardPrefixJoin(df: DataFrame, idCol: String, textCol: String,
                         tauNum: Int, tauDen: Int): DataFrame = {
+    val (cands, toksOf) = jaccardCandidates(df, idCol, textCol, tauNum, tauDen)
+    val verified = cands
+      .join(toksOf.select(F.col("id").as("id_a"), F.col("stoks").as("t_a"),
+        F.col("sz").as("sz_a")), "id_a")
+      .join(toksOf.select(F.col("id").as("id_b"), F.col("stoks").as("t_b"),
+        F.col("sz").as("sz_b")), "id_b")
+    val inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
+    val union = F.col("sz_a") + F.col("sz_b") - inter
+    verified
+      .withColumn("inter", inter)
+      .withColumn("un", union)
+      .filter(F.col("inter") * tauDen >= F.col("un") * tauNum)
+      .select(F.col("id_a"), F.col("id_b"),
+        F.round(F.col("inter").cast("double") / F.col("un").cast("double"), 4).as("jac"))
+  }
+
+  /** The blocking half of [[jaccardPrefixJoin]]: (candidate id pairs,
+    * per-doc sorted-token frame) — exposed so the bench can attribute
+    * blocking vs verify cost (the ivf_pq_train/serve pattern). */
+  private[graft] def jaccardCandidates(df: DataFrame, idCol: String, textCol: String,
+                                       tauNum: Int, tauDen: Int): (DataFrame, DataFrame) = {
     val docs = df.select(F.col(idCol).as("id"),
       F.array_distinct(F.split(F.col(textCol), " ")).as("toks"))
     val tokCounts = docs.select(F.explode(F.col("toks")).as("tok"))
@@ -107,19 +128,6 @@ object FuzzyJoin {
       .filter(F.col("sz_b") * tauDen >= F.col("sz_a") * tauNum &&
         F.col("sz_a") * tauDen >= F.col("sz_b") * tauNum)
       .select("id_a", "id_b").distinct()
-    val toksOf = sorted.select(F.col("id"), F.col("stoks"), F.col("sz"))
-    val verified = cands
-      .join(toksOf.select(F.col("id").as("id_a"), F.col("stoks").as("t_a"),
-        F.col("sz").as("sz_a")), "id_a")
-      .join(toksOf.select(F.col("id").as("id_b"), F.col("stoks").as("t_b"),
-        F.col("sz").as("sz_b")), "id_b")
-    val inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
-    val union = F.col("sz_a") + F.col("sz_b") - inter
-    verified
-      .withColumn("inter", inter)
-      .withColumn("un", union)
-      .filter(F.col("inter") * tauDen >= F.col("un") * tauNum)
-      .select(F.col("id_a"), F.col("id_b"),
-        F.round(F.col("inter").cast("double") / F.col("un").cast("double"), 4).as("jac"))
+    (cands, sorted.select(F.col("id"), F.col("stoks"), F.col("sz")))
   }
 }

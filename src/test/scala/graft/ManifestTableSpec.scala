@@ -229,6 +229,39 @@ class ManifestTableSpec extends SparkSpec {
     t.version() shouldBe 3L // one atomic commit per micro-batch
   }
 
+  it("SCD2: changed keys close + reopen, unchanged keys stay untouched, both time axes read") {
+    val t = newTable()
+    def upd(rows: (String, String, Long)*) = rows.toSeq.toDF("key", "color", "ts")
+    graft.store.Scd2.applyUpdates(t, upd(("k1", "red", 100L), ("k2", "blue", 100L)),
+      "key", Seq("color"), "ts")
+    graft.store.Scd2.current(t).count() shouldBe 2L
+    // k1 changes, k2 is identical (skipped), k3 is new
+    graft.store.Scd2.applyUpdates(t,
+      upd(("k1", "green", 200L), ("k2", "blue", 200L), ("k3", "black", 200L)),
+      "key", Seq("color"), "ts")
+    val cur = graft.store.Scd2.current(t).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("color"), r.getAs[Long]("valid_from"))).sorted
+    cur shouldBe Array(("k1", "green", 200L), ("k2", "blue", 100L), ("k3", "black", 200L))
+    // business-time travel: the world at ts=150 vs ts=250
+    graft.store.Scd2.asOf(t, 150L).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("color"))).sorted shouldBe
+      Array(("k1", "red"), ("k2", "blue"))
+    graft.store.Scd2.asOf(t, 250L).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("color"))).sorted shouldBe
+      Array(("k1", "green"), ("k2", "blue"), ("k3", "black"))
+    // the closed row carries its interval
+    t.snapshot.filter(F.col("k") === "k1" && F.col("valid_to").isNotNull)
+      .collect().map(r => (r.getAs[String]("color"), r.getAs[Long]("valid_to"))) shouldBe
+      Array(("red", 200L))
+    // replaying the identical batch is a no-op
+    val v = t.version()
+    graft.store.Scd2.applyUpdates(t,
+      upd(("k1", "green", 200L), ("k2", "blue", 200L), ("k3", "black", 200L)),
+      "key", Seq("color"), "ts")
+    t.version() shouldBe v
+    graft.store.Scd2.current(t).count() shouldBe 3L
+  }
+
   it("a crashed commit (data written, manifest never published) is invisible; vacuum removes it") {
     val root = Files.createTempDirectory("graft-manifest-crash").toString
     val t = new ManifestTable(spark, root)

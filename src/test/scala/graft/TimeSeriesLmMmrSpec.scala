@@ -119,6 +119,24 @@ class TimeSeriesLmMmrSpec extends SparkSpec {
       merged("id") shouldBe ((6L, 0L, 6L)) // HLL exact at tiny cardinality
       merged("v") shouldBe ((6L, 2L, 3L)) // a,b,c across batches; NULLs not sketched
     }
+    it("streaming stats maintenance: merged partials track the stream exactly (MemoryStream e2e)") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val statsDir = java.nio.file.Files.createTempDirectory("graft-sstats").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sstats-ckpt").toString
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingTableStats.attach(
+        input.toDS().toDF("id", "v"), ckpt, statsDir, Seq("id", "v"), triggerMillis = 100)
+      try {
+        input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+        input.addData((3L, "a"), (4L, null.asInstanceOf[String])); q.processAllAvailable()
+      } finally q.stop()
+      val out = graft.streaming.StreamingTableStats.merged(spark, statsDir)
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      out("id") shouldBe ((4L, 0L, 4L))
+      out("v") shouldBe ((4L, 1L, 2L))
+    }
+
     it("joinCardinality equals the real join size without executing the join") {
       val a = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("k")
       val b = Seq(1L, 3L, 3L, 9L).toDF("k")

@@ -82,11 +82,14 @@ object FuzzyJoin {
                         tauNum: Int, tauDen: Int): DataFrame = {
     val (cands, toksOf) = jaccardCandidates(df, idCol, textCol, tauNum, tauDen)
     val verified = cands
-      .join(toksOf.select(F.col("id").as("id_a"), F.col("stoks").as("t_a"),
+      .join(toksOf.select(F.col("id").as("id_a"), F.col("vtoks").as("t_a"),
         F.col("sz").as("sz_a")), "id_a")
-      .join(toksOf.select(F.col("id").as("id_b"), F.col("stoks").as("t_b"),
+      .join(toksOf.select(F.col("id").as("id_b"), F.col("vtoks").as("t_b"),
         F.col("sz").as("sz_b")), "id_b")
-    val inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
+    // the verify kernel: allocation-free sorted-merge count in codegen,
+    // not size(array_intersect) (hash set + materialized array per pair)
+    val inter = org.apache.spark.sql.graftnative.SetFunctions
+      .sortedIntersectCount(F.col("t_a"), F.col("t_b"))
     val union = F.col("sz_a") + F.col("sz_b") - inter
     verified
       .withColumn("inter", inter)
@@ -128,6 +131,9 @@ object FuzzyJoin {
       .filter(F.col("sz_b") * tauDen >= F.col("sz_a") * tauNum &&
         F.col("sz_a") * tauDen >= F.col("sz_b") * tauNum)
       .select("id_a", "id_b").distinct()
-    (cands, sorted.select(F.col("id"), F.col("stoks"), F.col("sz")))
+    // verify arrays re-sorted LEXICOGRAPHICALLY once per doc (docs-sized
+    // work) so the candidate-sized merge walks a shared order
+    (cands, sorted.select(F.col("id"),
+      F.array_sort(F.col("stoks")).as("vtoks"), F.col("sz")))
   }
 }

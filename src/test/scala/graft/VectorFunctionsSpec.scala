@@ -138,4 +138,21 @@ class VectorFunctionsSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     withClue(plan) { plan should include("*(") }
   }
+
+  it("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    import org.apache.spark.sql.{functions => F}
+    val rnd = new scala.util.Random(7)
+    def arr() = (0 until rnd.nextInt(30)).map(_ => s"t${rnd.nextInt(40)}").distinct.sorted
+    val rows = (0 until 200).map(_ => (arr(), arr()))
+    val df = rows.toDF("a", "b").select(
+      org.apache.spark.sql.graftnative.SetFunctions
+        .sortedIntersectCount(F.col("a"), F.col("b")).as("native"),
+      F.size(F.array_intersect(F.col("a"), F.col("b"))).as("builtin"))
+    df.filter(F.col("native") =!= F.col("builtin")).count() shouldBe 0L
+    // empty sides
+    Seq((Seq.empty[String], Seq("x"))).toDF("a", "b").select(
+      org.apache.spark.sql.graftnative.SetFunctions
+        .sortedIntersectCount(F.col("a"), F.col("b")).as("c"))
+      .collect()(0).getInt(0) shouldBe 0
+  }
 }

@@ -75,6 +75,65 @@ class SessionStateSpec extends SparkSpec {
     }
   }
 
+  describe("StreamingFunnel (flatMapGroupsWithState)") {
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.{FunnelEvent, FunnelProgress}
+
+    it("per-stage user counts equal the batch funnel on a MemoryStream replay of the fixture") {
+      val stages = Seq("view", "click", "purchase")
+      val fixture = graft.sources.EventsFixture
+        .read(spark, "/root/testdata/sf0.001/events.parquet")
+        .selectExpr("user_id", "event_type", "unix_micros(ts) as ts_us")
+      val batchExpected = graft.operators.TimeSeries.funnel(
+        fixture.selectExpr("user_id", "event_type", "timestamp_micros(ts_us) as ts"),
+        "user_id", "event_type", "ts", stages)
+        .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+
+      implicit val sqlCtx = spark.sqlContext
+      val replay = fixture.as[FunnelEvent].collect()
+        .sortBy(e => (e.ts_us, e.event_type)) // in-order arrival contract
+      val input = MemoryStream[FunnelEvent]
+      val q = StreamingFunnel.track(input.toDS(), stages)
+        .writeStream.format("memory").queryName("stream_funnel")
+        .outputMode(OutputMode.Append())
+        .start()
+      try {
+        replay.grouped(math.max(1, replay.length / 4 + 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+        val streamed = spark.table("stream_funnel").as[FunnelProgress].collect()
+        // one progress row per (user, reached stage), never duplicated
+        streamed.groupBy(p => (p.user_id, p.stage_idx)).values.foreach(_.length shouldBe 1)
+        val perStage = streamed.groupBy(_.stage_idx).view.mapValues(_.map(_.user_id).distinct.length.toLong).toMap
+        (1 to stages.length).foreach { i =>
+          perStage.getOrElse(i, 0L) shouldBe batchExpected(i)
+        }
+      } finally q.stop()
+    }
+
+    it("a stage event before its anchor does not count; a later one does — across batches") {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[FunnelEvent]
+      val q = StreamingFunnel.track(input.toDS(), Seq("view", "click"))
+        .writeStream.format("memory").queryName("stream_funnel2")
+        .outputMode(OutputMode.Append())
+        .start()
+      try {
+        input.addData(FunnelEvent(1L, "click", 5L), FunnelEvent(1L, "view", 10L),
+          FunnelEvent(2L, "view", 10L))
+        q.processAllAvailable()
+        // batch 2: user 1 clicks after the anchor; user 2's click ties the
+        // anchor timestamp (strictly-after required -> no)
+        input.addData(FunnelEvent(1L, "click", 20L), FunnelEvent(2L, "click", 10L))
+        q.processAllAvailable()
+        val rows = spark.table("stream_funnel2").as[FunnelProgress].collect()
+        rows.filter(_.stage_idx == 2).map(_.user_id).toSeq shouldBe Seq(1L)
+        rows.filter(p => p.user_id == 1L && p.stage_idx == 2).head.stage_ts_us shouldBe 20L
+      } finally q.stop()
+    }
+  }
+
   describe("StatefulCounts (mapGroupsWithState)") {
     it("carries per-key state across micro-batches") {
       implicit val sqlCtx = spark.sqlContext

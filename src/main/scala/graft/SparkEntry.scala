@@ -311,6 +311,30 @@ object SparkEntry {
 
     // --- relational coverage the reference lacks (SURVEY §2B "absent") ---
     "q1_pricing_summary" -> ((s, dir) => q1Pricing(s, dir)),
+    // TPC-H Q4 shape: date-windowed orders with a non-equi EXISTS against
+    // the fact table (late-shipped lineitems), counted per priority.
+    "q4_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01") &&
+          F.col("o_orderdate") < F.lit("1997-01-01"))
+      val l = t(s, dir, "lineitem")
+      o.join(l,
+          o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + F.expr("INTERVAL 100 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).as("n"))
+    }),
+    // TPC-H Q6 shape: tight scan-filter-aggregate (the predicate-pushdown
+    // showcase: every filter reaches the parquet scan).
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1996-01-01") &&
+          F.col("l_shipdate") < F.lit("1997-01-01") &&
+          F.col("l_discount").between(0.05, 0.07) &&
+          F.col("l_quantity") < 24)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+          .as("revenue"))),
     "q3_revenue" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(F.col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
@@ -1981,6 +2005,16 @@ object SparkEntry {
         "sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price, avg(l_quantity) AS avg_qty, " +
         "avg(l_extendedprice) AS avg_price, count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus"),
+    "q4_order_priority" ->
+      ("SELECT o_orderpriority, count(*) AS n FROM orders o " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 100 DAY) " +
+        "GROUP BY o_orderpriority"),
+    "q6_forecast_revenue" ->
+      ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
     "q3_revenue" ->
       ("SELECT l_orderkey, o_orderdate, o_orderpriority, sum(l_extendedprice * (1 - l_discount)) AS revenue " +
         "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +

@@ -262,6 +262,29 @@ class ManifestTableSpec extends SparkSpec {
     graft.store.Scd2.current(t).count() shouldBe 3L
   }
 
+  it("streaming SCD2: the dimension tracks the update stream with both time axes queryable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = newTable()
+    val ckpt = Files.createTempDirectory("graft-sscd-ckpt").toString
+    val input = MemoryStream[(String, String, Long)]
+    val q = graft.streaming.StreamingScd2.attach(
+      input.toDS().toDF("key", "color", "ts"), ckpt, t, "key", Seq("color"), "ts",
+      triggerMillis = 100)
+    try {
+      input.addData(("k1", "red", 100L), ("k2", "blue", 100L)); q.processAllAvailable()
+      input.addData(("k1", "green", 200L)); q.processAllAvailable()
+      input.addData(("k1", "green", 300L)); q.processAllAvailable() // unchanged: no-op
+    } finally q.stop()
+    graft.store.Scd2.current(t).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("color"))).sorted shouldBe
+      Array(("k1", "green"), ("k2", "blue"))
+    graft.store.Scd2.asOf(t, 150L).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("color"))).sorted shouldBe
+      Array(("k1", "red"), ("k2", "blue"))
+    t.version() shouldBe 2L // two effective commits; the no-op batch published nothing
+  }
+
   it("a crashed commit (data written, manifest never published) is invisible; vacuum removes it") {
     val root = Files.createTempDirectory("graft-manifest-crash").toString
     val t = new ManifestTable(spark, root)

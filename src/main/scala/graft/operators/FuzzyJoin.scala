@@ -121,16 +121,31 @@ object FuzzyJoin {
         F.col("sz") - F.call_function("div",
           F.col("sz") * tauNum + (tauDen - 1), F.lit(tauDen.toLong)) + 1).as("pref"))
     // Candidates shuffle as (id, id) PAIRS ONLY — token arrays re-attach
-    // after the distinct (the id-only-through-the-shuffle rule every LSH
-    // path here follows). The length filter is the PPJoin size condition:
-    // jac >= tau forces tau*|x| <= |y| <= |x|/tau.
-    val keyed = prefix.select(F.col("id"), F.col("sz"), F.explode(F.col("pref")).as("key"))
-    val cands = keyed.select(F.col("key"), F.col("id").as("id_a"), F.col("sz").as("sz_a"))
-      .join(keyed.select(F.col("key"), F.col("id").as("id_b"), F.col("sz").as("sz_b")), "key")
+    // after the dedup (the id-only-through-the-shuffle rule every LSH
+    // path here follows). Two PPJoin prunes run before that:
+    //  - size condition: jac >= tau forces tau*|x| <= |y| <= |x|/tau;
+    //  - POSITIONAL filter: overlap needs alpha = ceil(t/(1+t)*(sa+sb))
+    //    common tokens, and from a shared prefix token at (0-based)
+    //    positions (pa, pb) at most min(sa-pa, sb-pb) can follow. The
+    //    FIRST common token of a qualifying pair is always a shared
+    //    PREFIX key (prefixes are the order-smallest tokens), and its
+    //    bound is exact-valid — so dropping pairs whose MAX bound over
+    //    shared keys is < alpha loses nothing (max >= the valid bound).
+    val keyed = prefix.select(F.col("id"), F.col("sz"),
+      F.posexplode(F.col("pref")).as(Seq("pos", "key")))
+    val ubound = F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b"))
+    val cands = keyed.select(F.col("key"), F.col("id").as("id_a"),
+        F.col("sz").as("sz_a"), F.col("pos").as("pos_a"))
+      .join(keyed.select(F.col("key"), F.col("id").as("id_b"),
+        F.col("sz").as("sz_b"), F.col("pos").as("pos_b")), "key")
       .filter(F.col("id_a") < F.col("id_b"))
       .filter(F.col("sz_b") * tauDen >= F.col("sz_a") * tauNum &&
         F.col("sz_a") * tauDen >= F.col("sz_b") * tauNum)
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(F.max(ubound).as("__ub"))
+      .filter(F.col("__ub") * (tauNum + tauDen) >=
+        (F.col("sz_a") + F.col("sz_b")) * tauNum)
+      .select("id_a", "id_b")
     // verify arrays re-sorted LEXICOGRAPHICALLY once per doc (docs-sized
     // work) so the candidate-sized merge walks a shared order
     (cands, sorted.select(F.col("id"),

@@ -1408,6 +1408,20 @@ object SparkEntry {
     "q_source_quota" -> ((s, dir) =>
       DataShaping.perGroupCap(t(s, dir, "documents"), "source", "n_chars", "doc_id", 5)
         .select("doc_id", "source", "n_chars", "rn")),
+    // Per-group top-k through the native bounded-heap aggregate
+    // (CollectTopK): each partition keeps <= k rows per group BEFORE the
+    // shuffle — the map-side-combinable replacement for the window form
+    // q_source_quota uses (which shuffles and sorts every row per group).
+    // Heap orders by (n_chars, -doc_id): ties break toward smallest id,
+    // matching the window's doc_id ASC.
+    "q_group_topk" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(graft.functions.TopK.collectTopK(
+          F.struct(F.col("n_chars"), (-F.col("doc_id")).as("nid")), 3).as("__tk"))
+        .select(F.col("source"), F.posexplode(F.col("__tk")).as(Seq("__pos", "__e")))
+        .select(F.col("source"), (-F.col("__e.nid")).as("doc_id"),
+          F.col("__e.n_chars").as("n_chars"), (F.col("__pos") + 1).cast("long").as("rn"))),
     "q_shuffle_rank" -> ((s, dir) =>
       DataShaping.shuffleRank(t(s, dir, "documents"), "doc_id")
         .select("doc_id", "shuffle_rank")),
@@ -3031,6 +3045,11 @@ object SparkEntry {
     "q_shuffle_rank" ->
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank " +
         "FROM documents"),
+    "q_group_topk" ->
+      ("SELECT source, doc_id, n_chars, rn FROM (" +
+        "SELECT source, doc_id, n_chars, " +
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rn " +
+        "FROM documents) WHERE rn <= 3"),
     "q_zorder" ->
       ("WITH b AS (SELECT min(user_id) AS alo, max(user_id) AS ahi, " +
         "min(epoch_us(ts)) AS blo, max(epoch_us(ts)) AS bhi FROM events), " +

@@ -242,6 +242,14 @@ class PlanSpec extends SparkSpec {
     dedupAggs.foreach(l => l should not include "t_a")
   }
 
+  it("q_group_topk runs as a bounded-heap aggregate — no window, partial before the shuffle") {
+    val p = plan("q_group_topk")
+    p should not include "Window"
+    p should include("collect_top_k")
+    // partial aggregation (the <= k rows per partition pre-shuffle claim)
+    p.split("\n").count(l => l.contains("collect_top_k")) should be >= 2
+  }
+
   it("q_novelty stays on the shingle hash key — no cartesian anywhere") {
     val p = plan("q_novelty")
     p should not include "CartesianProduct"

@@ -50,6 +50,34 @@ final class ManifestTable(spark: SparkSession, dir: String) {
       .map(_.getPath)
       .toSeq
 
+  /** The STABLE prefix of the manifest log: published manifests up to (not
+    * including) the first slot whose claim has no manifest yet. Slots can
+    * publish out of order under the multi-writer contract (A claims 5, B
+    * claims 6 and publishes first) — counting ALL published manifests
+    * would let version 5 mean {slot 6} now and {slot 5} after A lands,
+    * silently shifting what a stamped snapshot/MV version refers to. By
+    * stopping at the first pending claim, a manifest's position in the
+    * prefix is fixed the moment it enters it: nothing can ever publish
+    * into an earlier slot, because that slot would have had a pending
+    * claim and the prefix would have stopped there. A CRASHED claim
+    * (writer died between claim and publish) holds the version back only
+    * until `vacuum` ages it out, after which the prefix resumes past the
+    * dead slot — same age-gated contract as data debris. */
+  private def stableManifests(): Seq[Path] = {
+    val names = fs.listStatus(manifestDir).map(_.getPath.getName)
+    val published = names.collect {
+      case n if n.endsWith(".manifest") => n.stripSuffix(".manifest").toLong
+    }.sorted
+    val publishedSet = published.toSet
+    val pending = names.collect {
+      case n if n.endsWith(".claim") &&
+        !publishedSet.contains(n.stripSuffix(".claim").toLong) =>
+        n.stripSuffix(".claim").toLong
+    }
+    val firstPending = if (pending.isEmpty) Long.MaxValue else pending.min
+    published.takeWhile(_ < firstPending).map(slotPath).toSeq
+  }
+
   /** Next unclaimed slot: one past the highest claim OR manifest. */
   private def nextSlot(): Long = {
     val nums = fs.listStatus(manifestDir).map(_.getPath.getName).collect {
@@ -110,7 +138,8 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     * delete rewrite marker). Pre-merge manifests are all plain lines, so
     * the append-only format reads unchanged. */
   private def liveFiles(upTo: Option[Long]): Seq[String] = {
-    val ms = upTo.fold(listManifests())(v => listManifests().take(v.toInt))
+    val stable = stableManifests()
+    val ms = upTo.fold(stable)(v => stable.take(v.toInt))
     val live = scala.collection.mutable.LinkedHashSet[String]()
     ms.foreach(m => readLines(m).foreach { l =>
       if (l.startsWith("-")) live -= l.substring(1) else live += l
@@ -272,8 +301,11 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     finally in.close()
   }
 
-  /** Number of published manifests (the table version). */
-  def version(): Long = listManifests().size.toLong
+  /** The table version: the length of the STABLE manifest prefix (see
+    * `stableManifests`). Monotone and position-stable — `snapshotAt(v)`
+    * means the same file set forever, even when racing writers publish
+    * slots out of order. */
+  def version(): Long = stableManifests().size.toLong
 
   /** Change data feed between two versions: the row-level delta as
     * (`_change_type` ∈ insert|delete, row...). Computed from the FILE
@@ -289,14 +321,29 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     val after = liveFiles(Some(toVersion)).toSet
     def readSet(rels: Set[String]): Option[DataFrame] =
       if (rels.isEmpty) None
-      else Some(spark.read.parquet(rels.toSeq.map(r => new Path(dataDir, r).toString): _*))
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(rels.toSeq.map(r => new Path(dataDir, r).toString): _*))
     val removed = readSet(before -- after)
     val added = readSet(after -- before)
     (removed, added) match {
       case (None, None) => spark.emptyDataFrame
       case (None, Some(a)) => a.withColumn("_change_type", F.lit("insert"))
       case (Some(r), None) => r.withColumn("_change_type", F.lit("delete"))
-      case (Some(r), Some(a)) =>
+      case (Some(r0), Some(a0)) =>
+        // A change window spanning a schema-widening commit reads the two
+        // file sets with different schemas; exceptAll is POSITIONAL, so
+        // both sides must be aligned to the union schema in one fixed
+        // column order (old files read the new columns as NULL — the same
+        // additive-evolution contract as `snapshot`).
+        val union = (a0.columns ++ r0.columns.filterNot(a0.columns.toSet)).toSeq
+        def align(df: DataFrame, other: DataFrame): DataFrame = {
+          val have = df.columns.toSet
+          union.filterNot(have).foldLeft(df) { (d, c) =>
+            d.withColumn(c, F.lit(null).cast(other.schema(c).dataType))
+          }.select(union.map(F.col): _*)
+        }
+        val a = align(a0, r0)
+        val r = align(r0, a0)
         a.exceptAll(r).withColumn("_change_type", F.lit("insert"))
           .unionByName(r.exceptAll(a).withColumn("_change_type", F.lit("delete")))
     }

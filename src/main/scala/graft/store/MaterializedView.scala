@@ -56,7 +56,11 @@ final class MaterializedView(
       case Some(v) if v == current && fs.exists(new Path(dataDir)) =>
         (spark.read.parquet(dataDir), true)
       case _ =>
-        val result = query(source.snapshot)
+        // Pin the data to the version we stamp: a commit landing between
+        // version() and an unpinned snapshot read would cache v+1 data
+        // under stamp v, and the next insert-only incremental refresh
+        // would merge the v->v+1 delta a second time.
+        val result = query(source.snapshotAt(current))
         writeResult(result, current)
         (spark.read.parquet(dataDir), false)
     }
@@ -89,11 +93,11 @@ final class MaterializedView(
           writeResult(merged, current)
           "incremental"
         } else {
-          writeResult(query(source.snapshot), current)
+          writeResult(query(source.snapshotAt(current)), current)
           "full"
         }
       case _ =>
-        writeResult(query(source.snapshot), current)
+        writeResult(query(source.snapshotAt(current)), current)
         "full"
     }
   }

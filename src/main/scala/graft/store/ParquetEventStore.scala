@@ -239,6 +239,21 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     AuditQueries.unshipped(pruned, cursors, shipperName)
   }
 
+  /** Rename-aside swap of the whole events tree: the live tree is moved
+    * aside (not deleted) before the new tree's rename, so a crash at any
+    * point leaves the data recoverable — either the live tree is still in
+    * place, or it sits complete in the `_old` sibling. Delete runs only
+    * after the new tree is live. */
+  private def swapEventsTree(tmp: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val aside = new org.apache.hadoop.fs.Path(eventsPath + "_old")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    fs.rename(p, aside)
+    fs.rename(t, p)
+    fs.delete(aside, true)
+  }
+
   /** Compact the events table: micro-batch ingest writes one file per page
     * per partition, and at 100 TB the small-files problem kills scan
     * performance. Rewrites every partition with `maxRecordsPerFile`-bounded
@@ -259,10 +274,7 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("event_date").parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(eventsPath)
-    val t = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(p, true)
-    fs.rename(t, p)
+    swapEventsTree(tmp)
     (before, countFiles())
   }
 
@@ -281,14 +293,23 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     var rewritten = 0L
     parts.foreach { d =>
       if (filesIn(d.getPath) > maxFiles) {
-        val tmp = new org.apache.hadoop.fs.Path(d.getPath.toString + "._compact")
+        // Dot-prefixed siblings so partition discovery never sees them.
+        val parent = d.getPath.getParent
+        val tmp = new org.apache.hadoop.fs.Path(parent, "." + d.getPath.getName + ".compact")
+        val aside = new org.apache.hadoop.fs.Path(parent, "." + d.getPath.getName + ".old")
         spark.read.schema(Schemas.cfAuditEvents).parquet(d.getPath.toString)
           .coalesce(1)
           .write.mode(SaveMode.Overwrite)
           .option("maxRecordsPerFile", maxRecordsPerFile)
           .parquet(tmp.toString)
-        fs.delete(d.getPath, true)
+        // Swap via rename-aside, not delete-then-rename: a crash between
+        // the two renames leaves the data intact in the `.old` sibling
+        // (recoverable by hand), instead of a window where the partition
+        // is simply gone. Delete happens only after the new data is live.
+        if (fs.exists(aside)) fs.delete(aside, true)
+        fs.rename(d.getPath, aside)
         fs.rename(tmp, d.getPath)
+        fs.delete(aside, true)
         rewritten += 1
       }
     }
@@ -340,10 +361,7 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("event_date").parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(eventsPath)
-    val t = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(p, true)
-    fs.rename(t, p)
+    swapEventsTree(tmp)
     (before, countFiles())
   }
 

@@ -62,6 +62,55 @@ class ManifestTableSpec extends SparkSpec {
     rows.size shouldBe writers * commitsEach // no commit lost or duplicated
   }
 
+  it("out-of-order publishes never shift what a stamped version means") {
+    // Writer A claims a slot and stalls; writer B claims the next slot and
+    // publishes first. A version stamped now must mean the same file set
+    // forever — the stable prefix stops at A's pending claim, so B's
+    // commit is invisible until the gap resolves (publish or vacuum).
+    val dir = Files.createTempDirectory("graft-manifest-ooo").toString
+    val t = new ManifestTable(spark, dir)
+    t.init()
+    t.commit(Seq((1L, "a")).toDF("id", "v")) // slot 0
+    t.commit(Seq((2L, "b")).toDF("id", "v")) // slot 1
+    t.version() shouldBe 2L
+    // writer A: claim slot 2, never publish (crashed between claim and rename)
+    val stalled = new java.io.File(s"$dir/manifests/000000000002.claim")
+    stalled.createNewFile() shouldBe true
+    // writer B: lands on slot 3 and publishes
+    t.commit(Seq((3L, "c")).toDF("id", "v")) shouldBe 3L
+    // B's publish is NOT yet visible: version stops at the pending claim
+    t.version() shouldBe 2L
+    t.snapshot.orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 2L)
+    val v2Files = t.snapshotAt(2).orderBy("id").collect().map(_.getLong(0))
+    // A dies for good; vacuum ages out the dead claim and the log resumes
+    Thread.sleep(10)
+    t.vacuum(maxAgeMs = 1L) should be >= 1L
+    t.version() shouldBe 3L // slots 0, 1, 3 — the prefix advanced past the dead slot
+    t.snapshot.orderBy("id").collect().map(_.getLong(0)) shouldBe Array(1L, 2L, 3L)
+    // the old stamped version still means exactly what it meant before
+    t.snapshotAt(2).orderBy("id").collect().map(_.getLong(0)) shouldBe v2Files
+  }
+
+  it("change feed across a schema-widening commit aligns both sides to the union schema") {
+    val t = newTable()
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1: narrow schema
+    // widening commit adds a column, then a compact rewrites v1 files so
+    // the change window's removed/added sets have DIFFERENT schemas
+    t.commit(Seq((3L, "c", 30L)).toDF("id", "v", "extra")) // v2
+    val v2 = t.version()
+    t.compact(targetFiles = 1) // v3: removes narrow+wide files, adds merged
+    val delta = t.changes(v2, t.version())
+    // copy-on-write noise cancels even across the schema boundary:
+    // compact net-changes nothing, so the feed is empty
+    delta.count() shouldBe 0L
+    // and a real post-widening insert surfaces with the union schema
+    t.commit(Seq((4L, "d", 40L)).toDF("id", "v", "extra"))
+    val ins = t.changes(v2 + 1, t.version())
+    ins.columns should contain allOf ("id", "v", "extra", "_change_type")
+    ins.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))) shouldBe
+      Array((4L, "insert"))
+  }
+
   it("merge upserts by key with file-granular copy-on-write") {
     val t = newTable()
     // two commits -> two separate file sets; the merge touches only one

@@ -1435,6 +1435,18 @@ object SparkEntry {
       Layout.zValue2(ev, F.col("user_id"), F.col("__us"), "z")
         .select("event_id", "z")
     }),
+    // N-column z-order (the real OPTIMIZE ZORDER BY takes a column LIST):
+    // 3 dims — user, event-time micros, milli-scaled value — normalized to
+    // 16 bits each and interleaved at stride 3; the oracle is generated
+    // from the same Layout.interleaveNSql bit placement.
+    "q_zorder3" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("__us", F.unix_micros(F.col("ts")))
+        .withColumn("__v", F.floor(F.col("value") * 1000).cast("long"))
+      Layout.zValueN(ev,
+        Seq(F.col("user_id"), F.col("__us"), F.col("__v")), "z")
+        .select("event_id", "z")
+    }),
     // Mixture planning: per-source token budgets / epochs / sampling rates
     // from a hand-tuned raw weight (here a deterministic function of the
     // source id) and a 50k-token budget.
@@ -2126,7 +2138,7 @@ object SparkEntry {
         "UNION ALL " +
         "SELECT CAST(ts AS DATE) AS day, epoch_us(ts) + 1800000000 AS t, CAST(-1 AS BIGINT) AS delta FROM events), " +
         "sw AS (SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS c FROM pts) " +
-        "SELECT day, max(c) AS max_concurrent FROM sw GROUP BY day"),
+        "SELECT day, CAST(max(c) AS BIGINT) AS max_concurrent FROM sw GROUP BY day"),
     "q_reservoir" ->
       ("WITH s AS (SELECT doc_id, source, " +
         "round(1000.0 * ln(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0) / n_chars, 6) AS key FROM documents) " +
@@ -3056,6 +3068,14 @@ object SparkEntry {
         "n AS (SELECT event_id, ((user_id - alo) * 65536) // (ahi - alo + 1) AS na, " +
         "((epoch_us(ts) - blo) * 65536) // (bhi - blo + 1) AS nb FROM events, b) " +
         s"SELECT event_id, ${graft.operators.Layout.interleave16Sql("na", "nb")} AS z FROM n"),
+    "q_zorder3" ->
+      ("WITH b AS (SELECT min(user_id) AS l0, max(user_id) AS h0, " +
+        "min(epoch_us(ts)) AS l1, max(epoch_us(ts)) AS h1, " +
+        "min(CAST(floor(value * 1000) AS BIGINT)) AS l2, max(CAST(floor(value * 1000) AS BIGINT)) AS h2 FROM events), " +
+        "n AS (SELECT event_id, ((user_id - l0) * 65536) // (h0 - l0 + 1) AS n0, " +
+        "((epoch_us(ts) - l1) * 65536) // (h1 - l1 + 1) AS n1, " +
+        "((CAST(floor(value * 1000) AS BIGINT) - l2) * 65536) // (h2 - l2 + 1) AS n2 FROM events, b) " +
+        s"SELECT event_id, CAST(${graft.operators.Layout.interleaveNSql(Seq("n0", "n1", "n2"), 16)} AS BIGINT) AS z FROM n"),
     // Raw weights are small integers, so sum(raw) is FP-exact regardless of
     // accumulation order; the remaining arithmetic is the same
     // left-associated chain on identical doubles in both engines.

@@ -69,9 +69,6 @@ object DataShaping {
         .otherwise(F.lit("train")).as("split"))
   }
 
-  /** Per-group quota: keep at most `cap` rows per group, preferring by
-    * `orderBy` (desc) with id tiebreak — e.g. "keep the 50 longest docs per
-    * source domain". One shuffle on the group key. */
   /** Weighted reservoir sampling (Efraimidis–Spirakis A-Res): EXACTLY k
     * rows per group, without replacement, inclusion probability
     * proportional to `weightCol`. The classic key trick — rank by
@@ -103,6 +100,9 @@ object DataShaping {
     df.join(big, quasiCols, "left_semi")
   }
 
+  /** Per-group quota: keep at most `cap` rows per group, preferring by
+    * `orderCol` (desc) with id tiebreak — e.g. "keep the 50 longest docs per
+    * source domain". One shuffle on the group key. */
   def perGroupCap(df: DataFrame, groupCol: String, orderCol: String,
                   idCol: String, cap: Int): DataFrame = {
     val w = Window.partitionBy(F.col(groupCol))

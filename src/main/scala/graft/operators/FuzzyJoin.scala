@@ -23,9 +23,6 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   */
 object FuzzyJoin {
 
-  /** All unordered pairs with `levenshtein(s_a, s_b) <= 1` (including
-    * exact duplicates at distance 0), as (id_a, id_b, dist) with
-    * id_a < id_b. Ids must be numerically ordered-comparable. */
   /** The deletion-neighborhood blocking keys of each row: (id, s, key),
     * distinct (equal-character runs collapse to one key). del_pos 0 keeps
     * the string itself; i>0 deletes character i. */
@@ -55,6 +52,9 @@ object FuzzyJoin {
       .select(F.col("id_a"), F.col("id_b"), F.col("dist").cast("long").as("dist"))
   }
 
+  /** All unordered pairs with `levenshtein(s_a, s_b) <= 1` (including
+    * exact duplicates at distance 0), as (id_a, id_b, dist) with
+    * id_a < id_b. Ids must be numerically ordered-comparable. */
   def editDistance1Pairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val keyed = deletionKeys(df, idCol, strCol)
     verifyPairs(keyed, keyed, ordered = true)
@@ -87,9 +87,12 @@ object FuzzyJoin {
       .join(toksOf.select(F.col("id").as("id_b"), F.col("vtoks").as("t_b"),
         F.col("sz").as("sz_b")), "id_b")
     // the verify kernel: allocation-free sorted-merge count in codegen,
-    // not size(array_intersect) (hash set + materialized array per pair)
+    // not size(array_intersect) (hash set + materialized array per pair).
+    // Arrays are dense vocabulary ids (injective token map — every
+    // intersection count is EXACTLY the string-token count), so the merge
+    // compares primitive longs and the shuffled arrays are fixed-width.
     val inter = org.apache.spark.sql.graftnative.SetFunctions
-      .sortedIntersectCount(F.col("t_a"), F.col("t_b"))
+      .sortedIntersectCountLong(F.col("t_a"), F.col("t_b"))
     val union = F.col("sz_a") + F.col("sz_b") - inter
     verified
       .withColumn("inter", inter)
@@ -108,13 +111,20 @@ object FuzzyJoin {
       F.array_distinct(F.split(F.col(textCol), " ")).as("toks"))
     val tokCounts = docs.select(F.explode(F.col("toks")).as("tok"))
       .groupBy("tok").agg(F.count(F.lit(1)).as("cnt"))
-    // per-doc tokens sorted by the global (cnt, tok) order — array_sort on
-    // the struct sorts by fields in sequence
+    // Dense vocabulary ids assigned in the global rarity order (cnt, tok)
+    // by the distributed two-phase ranker — no single-partition window.
+    // The id ORDER is the prefix order, so ONE long-array sort per doc
+    // serves both the prefix slice and the verify merge (the old plan
+    // sorted (cnt, tok) structs for prefixes and re-sorted the strings
+    // lexicographically for the verify kernel).
+    val vocab = AuditQueries
+      .assignIngestSeqDistributed(tokCounts, 0L, Seq("cnt", "tok"))
+      .select(F.col("tok"), F.col("id").as("tid"))
     val sorted = docs.select(F.col("id"), F.explode(F.col("toks")).as("tok"))
-      .join(tokCounts, "tok")
+      .join(vocab, "tok")
       .groupBy("id")
-      .agg(F.array_sort(F.collect_list(F.struct(F.col("cnt"), F.col("tok")))).as("ord"))
-      .select(F.col("id"), F.col("ord.tok").as("stoks"), F.size(F.col("ord")).as("sz"))
+      .agg(F.array_sort(F.collect_list(F.col("tid"))).as("stoks"))
+      .select(F.col("id"), F.col("stoks"), F.size(F.col("stoks")).as("sz"))
     // prefix length |x| - ceil(tau|x|) + 1, exact integer ceil
     val prefix = sorted.select(F.col("id"), F.col("stoks"), F.col("sz"),
       F.slice(F.col("stoks"), F.lit(1),
@@ -146,9 +156,7 @@ object FuzzyJoin {
       .filter(F.col("__ub") * (tauNum + tauDen) >=
         (F.col("sz_a") + F.col("sz_b")) * tauNum)
       .select("id_a", "id_b")
-    // verify arrays re-sorted LEXICOGRAPHICALLY once per doc (docs-sized
-    // work) so the candidate-sized merge walks a shared order
-    (cands, sorted.select(F.col("id"),
-      F.array_sort(F.col("stoks")).as("vtoks"), F.col("sz")))
+    // stoks IS already the shared sorted order (ascending vocabulary id)
+    (cands, sorted.select(F.col("id"), F.col("stoks").as("vtoks"), F.col("sz")))
   }
 }

@@ -49,6 +49,70 @@ object Layout {
       s"((($na >> $i) & 1) << ${2 * i}) + ((($nb >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
+  /** [[normalize16]] generalized to `bits`-wide targets: exact integer
+    * min-max normalization of `c` into [0, 2^bits - 1]. */
+  def normalizeBits(c: Column, lo: Column, hi: Column, bits: Int): Column =
+    F.call_function("div",
+      (c.cast("long") - lo) * F.lit(1L << bits),
+      hi - lo + F.lit(1L))
+
+  /** Bits per dimension for a k-column interleave: 16 where it fits, else
+    * the widest that keeps every bit position under 63 (bit 63 is the
+    * sign — a set sign bit would invert the range-partition order). k=2,3
+    * keep 16 bits; k=4 gets 15. */
+  def bitsPerDim(k: Int): Int = math.min(16, 63 / k)
+
+  /** Morton interleave of k `bits`-wide values: bit i of column j lands at
+    * position k*i + j — the [[interleave16]] placement for any k. Still
+    * one codegen'd projection of disjoint shifted-bit terms. */
+  def interleaveN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1L)), k * i + j))
+      .reduce(_ + _)
+  }
+
+  /** The matching DuckDB expression for [[interleaveN]] over already-
+    * normalized column names — one generator for both engines' bit
+    * placement, like [[interleave16Sql]]. */
+  def interleaveNSql(names: Seq[String], bits: Int): String = {
+    val k = names.size
+    (for { i <- 0 until bits; (n, j) <- names.zipWithIndex } yield
+      s"((($n >> $i) & 1) << ${k * i + j})").mkString(" + ")
+  }
+
+  /** N-column z-value: the real OPTIMIZE ZORDER BY shape (cluster on any
+    * number of dimensions — the reference keeps 6 single-column indexes,
+    * create_cf_audit_events.sql:19-24, of which created_at/org/space/
+    * event_type are plausible clustering dims). One combinable bounds
+    * aggregate over ALL columns, broadcast onto one map-only
+    * normalize+interleave projection — cost independent of k. */
+  def zValueN(df: DataFrame, cols: Seq[Column], out: String): DataFrame = {
+    require(cols.size >= 2, "z-order needs at least 2 dimensions")
+    val bits = bitsPerDim(cols.size)
+    val bounds = df.agg(
+      F.min(cols.head).cast("long").as("__lo0"),
+      (F.max(cols.head).cast("long").as("__hi0") +:
+        cols.tail.zipWithIndex.flatMap { case (c, i) =>
+          Seq(F.min(c).cast("long").as(s"__lo${i + 1}"),
+            F.max(c).cast("long").as(s"__hi${i + 1}"))
+        }): _*)
+    val normed = cols.zipWithIndex.map { case (c, i) =>
+      normalizeBits(c, F.col(s"__lo$i"), F.col(s"__hi$i"), bits)
+    }
+    val drop = cols.indices.flatMap(i => Seq(s"__lo$i", s"__hi$i"))
+    df.crossJoin(F.broadcast(bounds))
+      .withColumn(out, interleaveN(normed, bits))
+      .drop(drop: _*)
+  }
+
+  /** [[zOrderLayout]] for N dimensions. */
+  def zOrderLayoutN(df: DataFrame, cols: Seq[Column], numFiles: Int): DataFrame =
+    zValueN(df, cols, "__z")
+      .repartitionByRange(numFiles, F.col("__z"))
+      .sortWithinPartitions(F.col("__z"))
+      .drop("__z")
+
   /** Append z-value column `out` interleaving `aCol` and `bCol`:
     * one combinable bounds aggregate broadcast onto a map-only
     * normalize+interleave projection. */

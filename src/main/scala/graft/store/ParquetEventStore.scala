@@ -334,6 +334,23 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     * All arithmetic is the exact-integer [[graft.operators.Layout]] form;
     * the z column steers the exchange and is dropped before write. */
   def compactZOrder(filesPerDay: Int = 8, maxRecordsPerFile: Long = 1000000L): (Long, Long) = {
+    val a16 = F.coalesce(
+      F.when(F.col("actor").rlike("^[0-9a-fA-F]{4}"),
+        F.expr("CAST(conv(substring(actor, 1, 4), 16, 10) AS BIGINT) % 65536")),
+      F.lit(0L))
+    val tod = F.pmod(F.unix_micros(F.col("created_at")), F.lit(86400000000L))
+    compactZOrder(Seq(a16, tod), filesPerDay, maxRecordsPerFile)
+  }
+
+  /** N-column z-order compaction — OPTIMIZE ZORDER BY an arbitrary
+    * dimension LIST (the reference keeps 6 single-column indexes,
+    * create_cf_audit_events.sql:19-24; created_at/org/space/event_type
+    * are all plausible clustering dims). Each expression must evaluate
+    * to a long (order-preserving for the column it stands in for);
+    * [[graft.operators.Layout.zValueN]] min-max normalizes every dim
+    * and interleaves at stride k. */
+  def compactZOrder(dims: Seq[org.apache.spark.sql.Column], filesPerDay: Int,
+                    maxRecordsPerFile: Long): (Long, Long) = {
     import graft.operators.Layout
     def countFiles(): Long = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(eventsPath), true)
@@ -345,16 +362,8 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     val days = fs.listStatus(new org.apache.hadoop.fs.Path(eventsPath))
       .count(d => d.isDirectory && d.getPath.getName.startsWith("event_date="))
       .max(1)
-    val a16 = F.coalesce(
-      F.when(F.col("actor").rlike("^[0-9a-fA-F]{4}"),
-        F.expr("CAST(conv(substring(actor, 1, 4), 16, 10) AS BIGINT) % 65536")),
-      F.lit(0L))
-    val tod16 = F.call_function("div",
-      F.pmod(F.unix_micros(F.col("created_at")), F.lit(86400000000L)) * F.lit(65536L),
-      F.lit(86400000000L))
     val tmp = eventsPath + "_compact"
-    eventsWithDate
-      .withColumn("__z", Layout.interleave16(a16, tod16))
+    Layout.zValueN(eventsWithDate, dims, "__z")
       .repartitionByRange(days * filesPerDay, F.col("event_date"), F.col("__z"))
       .sortWithinPartitions(F.col("event_date"), F.col("__z"))
       .drop("__z")

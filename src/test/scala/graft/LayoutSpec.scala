@@ -37,6 +37,44 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  describe("interleaveN") {
+    it("k=2 at 16 bits reproduces interleave16 exactly") {
+      import spark.implicits._
+      val df = Seq((12345L, 54321L), (65535L, 0L), (0L, 65535L)).toDF("a", "b")
+      val via2 = df.select(Layout.interleave16(F.col("a"), F.col("b")).as("z"))
+        .collect().map(_.getLong(0)).toSeq
+      val viaN = df.select(Layout.interleaveN(Seq(F.col("a"), F.col("b")), 16).as("z"))
+        .collect().map(_.getLong(0)).toSeq
+      viaN shouldBe via2
+    }
+
+    it("k=3 places bit i of column j at 3i+j and matches the SQL mirror") {
+      import spark.implicits._
+      val df = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (7L, 3L, 1L))
+        .toDF("n0", "n1", "n2")
+      val viaCol = df.select(
+        Layout.interleaveN(Seq(F.col("n0"), F.col("n1"), F.col("n2")), 16).as("z"))
+        .collect().map(_.getLong(0)).toSeq
+      // single set bit of column j lands at position j
+      viaCol.take(3) shouldBe Seq(1L, 2L, 4L)
+      val viaSql = df.selectExpr(
+        Layout.interleaveNSql(Seq("n0", "n1", "n2"), 16) + " AS z")
+        .collect().map(_.getLong(0)).toSeq
+      viaCol shouldBe viaSql
+    }
+
+    it("k=4 stays within the positive long range at its 15-bit width") {
+      import spark.implicits._
+      Layout.bitsPerDim(4) shouldBe 15
+      val top = (1L << 15) - 1
+      val df = Seq((top, top, top, top)).toDF("a", "b", "c", "d")
+      val z = df.select(Layout.interleaveN(
+        Seq(F.col("a"), F.col("b"), F.col("c"), F.col("d")), 15).as("z"))
+        .collect()(0).getLong(0)
+      z shouldBe (1L << 60) - 1 // all 60 low bits set, sign untouched
+    }
+  }
+
   describe("normalize16") {
     it("maps min to 0 and max to 65535 with exact integer arithmetic") {
       import spark.implicits._
@@ -93,6 +131,40 @@ class LayoutSpec extends SparkSpec {
       tsTouched should be >= (numFiles / 4).toLong
       zTouched should be < tsTouched
       zTouched should be <= 12L // >= 81% of files skipped
+    }
+
+    it("3-D z-order prunes a 3-D box where the 2-D layout spans the third dim") {
+      val tmp = Files.createTempDirectory("graft-layout3").toFile
+      tmp.deleteOnExit()
+      val ev = graft.sources.EventsFixture.read(spark, s"$sfDir/events.parquet")
+        .withColumn("__us", F.unix_micros(F.col("ts")))
+        .withColumn("__v", F.floor(F.col("value") * 1000).cast("long"))
+      val numFiles = 64
+      val dims = Seq(F.col("user_id"), F.col("__us"), F.col("__v"))
+
+      val zDir = s"${tmp.getAbsolutePath}/zorder3"
+      Layout.zOrderLayoutN(ev, dims, numFiles)
+        .write.mode("overwrite").parquet(zDir)
+      val zBack = spark.read.parquet(zDir)
+      zBack.count() shouldBe ev.count()
+
+      val b = ev.agg(F.min("user_id"), F.max("user_id"),
+        F.min("__us"), F.max("__us"), F.min("__v"), F.max("__v")).collect()(0)
+      def half(lo: Long, hi: Long): (Long, Long) = {
+        val w = hi - lo + 1
+        (lo + w / 4, lo + (3 * w) / 4 - 1) // middle half of each dim
+      }
+      val box = Seq(half(b.getLong(0), b.getLong(1)),
+        half(b.getLong(2), b.getLong(3)), half(b.getLong(4), b.getLong(5)))
+
+      val zTouched = Layout.filesTouched(
+        Layout.fileRanges(zBack, dims), box)
+      // A middle-half box on every dim covers 1/8 of the 3-D volume; the
+      // curve keeps file ranges narrow on ALL THREE dims, so the touched
+      // set must stay well under the full file count (a 2-D layout cannot
+      // prune on the third dim at all).
+      zTouched should be < numFiles.toLong
+      zTouched should be <= (numFiles * 3 / 4).toLong
     }
   }
 }

@@ -155,4 +155,20 @@ class VectorFunctionsSpec extends SparkSpec {
         .sortedIntersectCount(F.col("a"), F.col("b")).as("c"))
       .collect()(0).getInt(0) shouldBe 0
   }
+
+  it("sorted_intersect_count_long equals size(array_intersect) on sorted distinct long arrays") {
+    import org.apache.spark.sql.{functions => F}
+    val rnd = new scala.util.Random(11)
+    def arr() = (0 until rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong).distinct.sorted
+    val rows = (0 until 200).map(_ => (arr(), arr()))
+    val df = rows.toDF("a", "b").select(
+      org.apache.spark.sql.graftnative.SetFunctions
+        .sortedIntersectCountLong(F.col("a"), F.col("b")).as("native"),
+      F.size(F.array_intersect(F.col("a"), F.col("b"))).as("builtin"))
+    df.filter(F.col("native") =!= F.col("builtin")).count() shouldBe 0L
+    Seq((Seq.empty[Long], Seq(3L))).toDF("a", "b").select(
+      org.apache.spark.sql.graftnative.SetFunctions
+        .sortedIntersectCountLong(F.col("a"), F.col("b")).as("c"))
+      .collect()(0).getInt(0) shouldBe 0
+  }
 }

@@ -40,6 +40,9 @@ object Bench {
     if (selected.contains("ivf_pq_serve"))
       try SparkEntry.benchOps("ivf_pq_train")(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] serve warmup failed: $e") }
+    if (selected.contains("quality_lr_score"))
+      try SparkEntry.benchOps("quality_lr_train")(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] lr warmup failed: $e") }
     // Per-query timeout: one pathological query must not stall the whole
     // round artifact. Cancellation is cooperative (Spark jobs are
     // interruptible at task boundaries); the timed-out query records its

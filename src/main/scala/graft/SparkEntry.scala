@@ -89,6 +89,9 @@ object SparkEntry {
   private val ivfPqBenchModels = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
 
+  private val qualityLrBenchWeights =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
   /** Bench-only operator rows (no oracle surface — Verify never runs
     * these): the STRUCTURAL train/serve attribution of q_ivf_pq. q_ivf_pq
     * deliberately retrains per call (its bench time is the train+serve
@@ -123,6 +126,24 @@ object SparkEntry {
     "jaccard_block" -> ((s, dir) => {
       FuzzyJoin.jaccardCandidates(t(s, dir, "documents"), "doc_id", "text", 19, 20)
         ._1.count()
+      ()
+    }),
+    // q_quality_lr cost attribution (round-9 verdict item 3): the train
+    // loop (driver-synchronous Newton scans) vs the pure-column-algebra
+    // scoring pass, each timed alone.
+    "quality_lr_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("y", F.when(F.col("source") === "src0", 1).otherwise(0))
+      val w = QualityModel.train(docs, "text", "y")
+      qualityLrBenchWeights.put(dir, w)
+      ()
+    }),
+    "quality_lr_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("y", F.when(F.col("source") === "src0", 1).otherwise(0))
+      val w = qualityLrBenchWeights.computeIfAbsent(dir, _ =>
+        QualityModel.train(docs, "text", "y"))
+      QualityModel.score(docs, "doc_id", "text", w).count()
       ()
     }))
 

@@ -131,8 +131,19 @@ object Bench {
     def jerr(m: scala.collection.Map[String, String]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Re-measure the store/ship throughput claim every round (the
+    // baseline-ratio headline is ev/s vs the reference's fetch≈500 /
+    // ship≈546 ceilings) instead of inheriting round-8's number. Skipped
+    // under SPARK_GRAFT_ONLY — the restricted mode is a per-query
+    // iteration aid, not an artifact run.
+    val pipeline: Option[String] =
+      if (only.isDefined || sys.env.contains("SPARK_GRAFT_SKIP_PIPELINE")) None
+      else try Some(graft.tools.PipelineBench.runJson(spark, sfDir, cpus.toInt))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline bench failed: $e"); None }
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},""" +
       s""""queries_min":${jmap(mins)},"errors":${jerr(errors)},"failures":${errors.size},""" +
+      pipeline.fold("")(p => s""""pipeline":$p,""") +
       s""""sf":"$sfDir","passes":$passes,"heavy_passes":$heavyPasses}"""
     if (errors.nonEmpty)
       System.err.println(s"[bench] ${errors.size} FAILED queries: ${errors.keys.toSeq.sorted.mkString(", ")}")

@@ -399,6 +399,180 @@ object SparkEntry {
           F.sum(F.when(!F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L)).as("low_line_count"))
     }),
+    // TPC-H Q7 shape: bidirectional trade volume between two nations per
+    // ship year — 6-table join with a symmetric nation-pair predicate;
+    // both nation dims broadcast.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation").select(
+        F.col("n_nationkey").as("n1_key"), F.col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(
+        F.col("n_nationkey").as("n2_key"), F.col("n_name").as("cust_nation"))
+      su.join(l, F.col("s_suppkey") === F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") === F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") === F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") === F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") === F.col("n2_key"))
+        .filter((F.col("supp_nation") === "NATION_1" && F.col("cust_nation") === "NATION_2") ||
+          (F.col("supp_nation") === "NATION_2" && F.col("cust_nation") === "NATION_1"))
+        .groupBy(F.col("supp_nation"), F.col("cust_nation"),
+          F.year(F.col("l_shipdate")).cast("long").as("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 4)
+          .as("revenue"))
+    }),
+    // TPC-H Q8 shape: one nation's market share of PROMO-part volume sold
+    // into ASIA, per order year — conditional share over an 7-table join.
+    "q8_market_share" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(F.col("p_type") === "PROMO")
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val su = t(s, dir, "supplier")
+      val nc = t(s, dir, "nation").select(
+        F.col("n_nationkey").as("nc_key"), F.col("n_regionkey"))
+      val ns = t(s, dir, "nation").select(
+        F.col("n_nationkey").as("ns_key"), F.col("n_name").as("supp_nation"))
+      val r = t(s, dir, "region").filter(F.col("r_name") === "ASIA")
+      val vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+      F.broadcast(p).join(l, F.col("p_partkey") === F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") === F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") === F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") === F.col("nc_key"))
+        .join(F.broadcast(r), F.col("n_regionkey") === F.col("r_regionkey"))
+        .join(su, F.col("s_suppkey") === F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") === F.col("ns_key"))
+        .groupBy(F.year(F.col("o_orderdate")).cast("long").as("o_year"))
+        .agg(F.round(
+          F.sum(F.when(F.col("supp_nation") === "NATION_2", vol).otherwise(0.0)) /
+            F.sum(vol), 4).as("mkt_share"))
+    }),
+    // TPC-H Q13 shape: order-count distribution over customers — LEFT
+    // OUTER join (join-condition filter keeps zero-order customers), a
+    // per-customer count, then the count-of-counts.
+    "q13_cust_distribution" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(F.col("o_orderpriority") === "1-URGENT")
+      c.join(o, F.col("c_custkey") === F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).as("custdist"))
+    }),
+    // TPC-H Q14 shape: promo revenue share over one ship month.
+    "q14_promo_effect" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")) &&
+          F.col("l_shipdate") < F.to_timestamp(F.lit("1996-02-01 00:00:00")))
+      val p = t(s, dir, "part")
+      val vol = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+      l.join(F.broadcast(p), F.col("p_partkey") === F.col("l_partkey"))
+        .agg(F.round(F.lit(100.0) *
+          F.sum(F.when(F.col("p_type") === "PROMO", vol).otherwise(0.0)) /
+          F.sum(vol), 4).as("promo_revenue"))
+    }),
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the revenue
+    // "view" aggregated once, its max broadcast back as a 1-row scalar.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")) &&
+          F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+        .groupBy(F.col("l_suppkey").as("supplier_no"))
+        .agg(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(F.max("total_revenue").as("__mx"))
+      t(s, dir, "supplier")
+        .join(rev, F.col("s_suppkey") === F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") === F.col("__mx"))
+        .select(F.col("s_suppkey"), F.col("s_name"),
+          F.round(F.col("total_revenue"), 4).as("total_revenue"))
+    }),
+    // TPC-H Q17 shape: small-quantity-order revenue — the per-part
+    // correlated avg subquery expressed as a grouped aggregate joined
+    // back (identical semantics: the correlation key is the group key).
+    "q17_small_qty" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(F.col("p_brand") === "Brand#3")
+      val lim = l.groupBy(F.col("l_partkey").as("lim_key"))
+        .agg((F.lit(0.5) * F.avg("l_quantity")).as("qty_lim"))
+      l.join(F.broadcast(p), F.col("p_partkey") === F.col("l_partkey"))
+        .join(lim, F.col("l_partkey") === F.col("lim_key"))
+        .filter(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
+    }),
+    // TPC-H Q18 shape: large-volume customers — a HAVING-filtered
+    // fact aggregate semi-joined back through orders to customers.
+    "q18_large_volume" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy(F.col("l_orderkey").as("big_key"))
+        .agg(F.sum("l_quantity").as("__qty"))
+        .filter(F.col("__qty") > 300)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      c.join(o, F.col("c_custkey") === F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") === F.col("big_key"))
+        .join(l, F.col("l_orderkey") === F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").as("sum_qty"))
+    }),
+    // TPC-H Q19 shape: disjunctive multi-range predicate revenue — three
+    // brand/size/quantity bands OR'd together across the part join.
+    "q19_discounted_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(F.broadcast(p), F.col("p_partkey") === F.col("l_partkey"))
+        .filter(
+          (F.col("p_brand") === "Brand#1" && F.col("p_size").between(1, 15) &&
+            F.col("l_quantity").between(1, 21)) ||
+          (F.col("p_brand") === "Brand#2" && F.col("p_size").between(1, 25) &&
+            F.col("l_quantity").between(10, 40)) ||
+          (F.col("p_brand") === "Brand#3" && F.col("p_size").between(1, 35) &&
+            F.col("l_quantity").between(20, 50)))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+    // TPC-H Q21 shape: suppliers who alone held up a finished order —
+    // dual correlated EXISTS / NOT EXISTS over the same fact table
+    // (quantity > 45 stands in for the fixture's absent
+    // commit/receipt-date lateness columns). EXISTS = semi-join,
+    // NOT EXISTS = anti-join, both on the order key.
+    "q21_suppliers_waiting" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(F.col("o_orderstatus") === "F")
+      val su = t(s, dir, "supplier")
+      val l1 = l.filter(F.col("l_quantity") > 45)
+        .select(F.col("l_orderkey").as("k1"), F.col("l_suppkey").as("sk1"))
+      val l2 = l.select(F.col("l_orderkey").as("k2"), F.col("l_suppkey").as("sk2"))
+      val l3 = l.filter(F.col("l_quantity") > 45)
+        .select(F.col("l_orderkey").as("k3"), F.col("l_suppkey").as("sk3"))
+      l1.join(o, F.col("k1") === F.col("o_orderkey"), "left_semi")
+        .join(l2, F.col("k2") === F.col("k1") && F.col("sk2") =!= F.col("sk1"), "left_semi")
+        .join(l3, F.col("k3") === F.col("k1") && F.col("sk3") =!= F.col("sk1"), "left_anti")
+        .join(F.broadcast(su), F.col("s_suppkey") === F.col("sk1"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).as("numwait"))
+        .orderBy(F.col("numwait").desc, F.col("s_name"))
+        .limit(20)
+    }),
+    // TPC-H Q22 shape: positive-balance customers with no recent orders —
+    // a 1-row scalar average broadcast into the filter plus an anti-join
+    // (the fixture has no phone country codes; nation keys 1-7 stand in).
+    "q22_global_sales" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(F.col("c_nationkey").between(1, 7))
+      val recent = t(s, dir, "orders")
+        .filter(F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01 00:00:00")))
+      val avgBal = c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").as("__avg"))
+      c.crossJoin(F.broadcast(avgBal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(recent, F.col("c_custkey") === F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").as("cntrycode"))
+        .agg(F.count(F.lit(1)).as("numcust"),
+          F.round(F.sum("c_acctbal"), 2).as("totacctbal"))
+    }),
     "q5_local_supplier" -> ((s, dir) => {
       val r = t(s, dir, "region").filter(F.col("r_name") === "ASIA")
       val n = t(s, dir, "nation")
@@ -1446,6 +1620,19 @@ object SparkEntry {
     "q_shuffle_rank" -> ((s, dir) =>
       DataShaping.shuffleRank(t(s, dir, "documents"), "doc_id")
         .select("doc_id", "shuffle_rank")),
+    // Misra-Gries heavy-hitters sketch: a bounded mergeable frequency
+    // summary (<= k counters at any cardinality, map-side combinable).
+    // k=32 exceeds event_type's cardinality, so the sketch is provably
+    // EXACT here and must equal the oracle's plain GROUP BY counts; the
+    // approximation bounds at small k are spec-covered instead
+    // (order-dependent estimates can't be oracle-hashed).
+    "q_heavy_hitters" -> ((s, dir) => {
+      val hh = F.udaf(new graft.functions.HeavyHittersAggregator(32),
+        org.apache.spark.sql.Encoders.STRING)
+      t(s, dir, "events")
+        .agg(hh(F.col("event_type")).as("hh"))
+        .select(F.explode(F.col("hh.items")).as(Seq("event_type", "n")))
+    }),
     // z-order (Morton) clustering key for multi-dimensional file layout:
     // min-max normalize (user_id, event-time micros) to 16 bits each with
     // exact integer div, then interleave — the key OPTIMIZE ZORDER BY
@@ -2080,6 +2267,77 @@ object SparkEntry {
         "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
         "GROUP BY l_linestatus"),
+    "q7_volume_shipping" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM supplier s JOIN lineitem l ON s_suppkey = l_suppkey " +
+        "JOIN orders o ON o_orderkey = l_orderkey JOIN customer c ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON s.s_nationkey = n1.n_nationkey JOIN nation n2 ON c.c_nationkey = n2.n_nationkey " +
+        "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') " +
+        "GROUP BY 1, 2, 3"),
+    "q8_market_share" ->
+      ("SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year, " +
+        "round(sum(CASE WHEN ns.n_name = 'NATION_2' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) " +
+        "/ sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share " +
+        "FROM part p JOIN lineitem l ON p_partkey = l_partkey " +
+        "JOIN orders o ON o_orderkey = l_orderkey JOIN customer c ON c_custkey = o_custkey " +
+        "JOIN nation nc ON c.c_nationkey = nc.n_nationkey " +
+        "JOIN region r ON nc.n_regionkey = r.r_regionkey " +
+        "JOIN supplier s ON s_suppkey = l_suppkey " +
+        "JOIN nation ns ON s.s_nationkey = ns.n_nationkey " +
+        "WHERE r_name = 'ASIA' AND p_type = 'PROMO' GROUP BY 1"),
+    "q13_cust_distribution" ->
+      ("WITH cc AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count " +
+        "FROM customer LEFT OUTER JOIN orders " +
+        "ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT' GROUP BY c_custkey) " +
+        "SELECT c_count, count(*) AS custdist FROM cc GROUP BY c_count"),
+    "q14_promo_effect" ->
+      ("SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) " +
+        "/ sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'"),
+    "q15_top_supplier" ->
+      ("WITH revenue AS (SELECT l_suppkey AS supplier_no, sum(l_extendedprice * (1 - l_discount)) AS total_revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' " +
+        "GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue " +
+        "FROM supplier JOIN revenue ON s_suppkey = supplier_no " +
+        "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)"),
+    "q17_small_qty" ->
+      ("SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly " +
+        "FROM lineitem l JOIN part p ON p_partkey = l_partkey " +
+        "WHERE p_brand = 'Brand#3' " +
+        "AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem WHERE l_partkey = p.p_partkey)"),
+    "q18_large_volume" ->
+      ("SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum(l_quantity) AS sum_qty " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) " +
+        "GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice"),
+    "q19_discounted_revenue" ->
+      ("SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21) " +
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 40) " +
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 50)"),
+    "q21_suppliers_waiting" ->
+      ("SELECT s_name, count(*) AS numwait " +
+        "FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey " +
+        "JOIN supplier ON s_suppkey = l1.l_suppkey " +
+        "WHERE o_orderstatus = 'F' AND l1.l_quantity > 45 " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_quantity > 45) " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+    "q22_global_sales" ->
+      ("SELECT c_nationkey AS cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal " +
+        "FROM customer c WHERE c_nationkey BETWEEN 1 AND 7 " +
+        "AND c_acctbal > (SELECT avg(c_acctbal) FROM customer " +
+        "WHERE c_acctbal > 0 AND c_nationkey BETWEEN 1 AND 7) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') " +
+        "GROUP BY c_nationkey"),
     "q5_local_supplier" ->
       ("SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue " +
         "FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey " +
@@ -3078,6 +3336,8 @@ object SparkEntry {
     "q_shuffle_rank" ->
       ("SELECT doc_id, CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_rank " +
         "FROM documents"),
+    "q_heavy_hitters" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "q_group_topk" ->
       ("SELECT source, doc_id, n_chars, rn FROM (" +
         "SELECT source, doc_id, n_chars, " +

@@ -152,8 +152,34 @@ object Layout {
     * given `fileRanges` output: a file is skipped iff its [min,max] range
     * misses the box on ANY dimension (the min/max pruning rule). */
   def filesTouched(ranges: DataFrame, box: Seq[(Long, Long)]): Long =
+    survivors(ranges, box).count()
+
+  private def survivors(ranges: DataFrame, box: Seq[(Long, Long)]): DataFrame =
     ranges.filter(
       box.zipWithIndex.map { case ((lo, hi), i) =>
         F.col(s"max_$i") >= lo && F.col(s"min_$i") <= hi
-      }.reduce(_ && _)).count()
+      }.reduce(_ && _))
+
+  /** Execute the pruned scan the stats promise: read ONLY the files whose
+    * min/max ranges intersect the box, then apply the exact box filter to
+    * the survivors. Row-identical to filtering the full dataset — the
+    * stats pass is a superset by construction — but opens the touched
+    * corner of a z-ordered layout instead of every file. The per-file
+    * stats come from a one-off ranges scan here; a catalog/footer-stats
+    * deployment feeds the same `fileRanges` schema from metadata, with
+    * the file-list collect bounded by the file count. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 cols: Seq[Column], box: Seq[(Long, Long)]): DataFrame = {
+    require(cols.size == box.size, "one (lo, hi) per pruning column")
+    val ranges = fileRanges(spark.read.parquet(dir), cols)
+    val files = survivors(ranges, box).select("file")
+      .collect().map(_.getString(0)).toSeq
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(dir).limit(0) // schema-stable empty
+      else spark.read.parquet(files: _*)
+    base.filter(
+      cols.zip(box).map { case (c, (lo, hi)) => c >= lo && c <= hi }
+        .reduce(_ && _))
+  }
 }

@@ -50,6 +50,29 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  it("streaming summaries across a restart merge to the exact counts at ample capacity") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val inDir = JFiles.createTempDirectory("graft-hh-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-hh-ckpt").toString
+    val sumDir = JFiles.createTempDirectory("graft-hh-sum").toString
+    val half = rows.length / 2
+
+    JFiles.writeString(Paths.get(inDir, "f1.txt"), rows.take(half).mkString("\n"))
+    val src = () => spark.readStream.text(inDir).select(F.col("value").as("item"))
+    val q1 = graft.streaming.StreamingHeavyHitters.attach(
+      src(), ckpt, sumDir, k = 64, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+
+    JFiles.writeString(Paths.get(inDir, "f2.txt"), rows.drop(half).mkString("\n"))
+    val q2 = graft.streaming.StreamingHeavyHitters.attach(
+      src(), ckpt, sumDir, k = 64, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val merged = graft.streaming.StreamingHeavyHitters.summary(spark, sumDir, k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged shouldBe truth // cardinality 60 <= 64: exact across the whole stream
+  }
+
   it("guarantees hold regardless of partitioning (merge order)") {
     Seq(1, 3, 17).foreach { p =>
       val est = sketch(k = 10, partitions = p)

@@ -165,6 +165,15 @@ class LayoutSpec extends SparkSpec {
       // prune on the third dim at all).
       zTouched should be < numFiles.toLong
       zTouched should be <= (numFiles * 3 / 4).toLong
+
+      // prunedRead must be ROW-IDENTICAL to the full filter while opening
+      // only the surviving corner
+      val full = zBack.filter(
+        dims.zip(box).map { case (c, (lo, hi)) => c >= lo && c <= hi }
+          .reduce(_ && _))
+      val pruned = Layout.prunedRead(spark, zDir, dims, box)
+      pruned.count() shouldBe full.count()
+      pruned.select("event_id").exceptAll(full.select("event_id")).count() shouldBe 0L
     }
   }
 }

@@ -250,6 +250,15 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(l => l.contains("collect_top_k")) should be >= 2
   }
 
+  it("q_heavy_hitters combines map-side — partial sketch aggregation before the shuffle") {
+    val p = plan("q_heavy_hitters")
+    // typed Aggregator lowers to ObjectHashAggregate with a partial pass:
+    // each partition ships one <= k-counter summary, never its rows
+    p should include("ObjectHashAggregate")
+    p.split("\n").count(_.contains("ObjectHashAggregate")) should be >= 2
+    p should not include "Window"
+  }
+
   it("q_novelty stays on the shingle hash key — no cartesian anywhere") {
     val p = plan("q_novelty")
     p should not include "CartesianProduct"

@@ -250,6 +250,30 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(l => l.contains("collect_top_k")) should be >= 2
   }
 
+  it("q21 lowers EXISTS/NOT-EXISTS to semi/anti joins — no nested-loop anywhere") {
+    val p = plan("q21_suppliers_waiting")
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  it("q8 broadcasts every dimension side of the 7-table join") {
+    val p = plan("q8_market_share")
+    p should include("BroadcastHashJoin")
+    // the two fact inputs (lineitem, orders) must not be broadcast
+    p.split("\n").filter(_.contains("BroadcastExchange")).foreach { l =>
+      l should not include "l_extendedprice"
+      l should not include "o_totalprice"
+    }
+  }
+
+  it("q19's disjunctive predicate still prunes the part join to a broadcast") {
+    val p = plan("q19_discounted_revenue")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   it("q_heavy_hitters combines map-side — partial sketch aggregation before the shuffle") {
     val p = plan("q_heavy_hitters")
     // typed Aggregator lowers to ObjectHashAggregate with a partial pass:

@@ -855,6 +855,20 @@ object SparkEntry {
         .unionAll(e0.select(sId.as("src"), cId.as("dst"), F.col("w")))
       Graph.pageRank(edges, damping = 0.85, iters = 5)
     }),
+    // Per-node triangle counts over the supplier co-order projection (two
+    // suppliers joined by sharing an order): the degree-oriented node-
+    // iterator — wedge join bounded by out-degree (arboricity), each
+    // triangle generated once at its smallest corner. The oracle brute-
+    // forces the 3-way edge join under a DIFFERENT (id) orientation, so
+    // equality verifies the degree orientation loses/duplicates nothing.
+    "q_triangle_count" -> ((s, dir) => {
+      val su = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_suppkey").as("sk")).distinct()
+      val e = su.as("x").join(su.as("y"),
+          F.col("x.o") === F.col("y.o") && F.col("x.sk") < F.col("y.sk"))
+        .select(F.col("x.sk").as("src"), F.col("y.sk").as("dst")).distinct()
+      Graph.triangleCount(e)
+    }),
     "q_unpivot" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .select(F.col("l_orderkey"), F.col("l_linenumber"),
@@ -2603,6 +2617,14 @@ object SparkEntry {
         "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node) " +
         "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node"),
     "q_pagerank" -> pageRankOracle(damping = 0.85, iters = 5),
+    "q_triangle_count" ->
+      ("WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), " +
+        "e AS (SELECT DISTINCT x.sk AS a, y.sk AS b FROM su x JOIN su y ON x.o = y.o AND x.sk < y.sk), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+        "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+        "n AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) " +
+        "SELECT node, count(*) AS triangles FROM n GROUP BY node"),
     // Span df over the shared shingle CTE: df >= 2 means "appears in at
     // least one OTHER doc" (sh is distinct per doc).
     "q_dup_span_frac" ->

@@ -59,4 +59,50 @@ object Graph {
     }
     rank.select(F.col("id").as("node_id"), F.round(F.col("r"), 6).as("pagerank"))
   }
+
+  /** Per-node triangle counts over an undirected edge list (any input
+    * orientation; self-loops and duplicates removed here) — the clustering
+    * signal community/spam analysis runs at corpus scale.
+    *
+    * The plan is the DEGREE-ORIENTED node-iterator: orient every edge
+    * from its (degree, id)-smaller endpoint to the larger, enumerate
+    * wedges as pairs of out-neighbors, and close them with a semi-join
+    * back to the oriented edges. Orientation is the whole scale story:
+    * out-degrees are bounded by O(√|E|) (arboricity), so the wedge
+    * self-join — the only superlinear step — touches Σ outdeg² pairs
+    * instead of the Σ deg² a naive neighbor join pays on hubs; each
+    * triangle x≺y≺z is generated exactly once, at its smallest corner.
+    * Output: (node, triangles) for every node in at least one triangle. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        F.least(F.col(edges.columns(0)), F.col(edges.columns(1))).as("a"),
+        F.greatest(F.col(edges.columns(0)), F.col(edges.columns(1))).as("b"))
+      .filter(F.col("a") =!= F.col("b"))
+      .distinct()
+    val deg = und.select(F.col("a").as("node"))
+      .unionAll(und.select(F.col("b").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(F.col("node").as("a"), F.col("d").as("da")), "a")
+      .join(deg.select(F.col("node").as("b"), F.col("d").as("db")), "b")
+    val aFirst = F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    val oriented = withDeg.select(
+        F.when(aFirst, F.col("a")).otherwise(F.col("b")).as("u"),
+        F.when(aFirst, F.col("b")).otherwise(F.col("a")).as("v"),
+        F.when(aFirst, F.col("db")).otherwise(F.col("da")).as("dv"))
+      .localCheckpoint(true) // reused by the wedge join AND the closing semi-join
+    val w1 = oriented.select(F.col("u"), F.col("v").as("x"), F.col("dv").as("dx"))
+    val w2 = oriented.select(F.col("u"), F.col("v").as("y"), F.col("dv").as("dy"))
+    val wedges = w1.join(w2, "u")
+      .filter(F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y")))
+      .select("u", "x", "y")
+    // a wedge (u; x ≺ y) closes iff the oriented edge x→y exists
+    val tri = wedges.join(
+      oriented.select(F.col("u").as("x"), F.col("v").as("y")),
+      Seq("x", "y"), "left_semi")
+    tri.select(F.col("u").as("node"))
+      .unionAll(tri.select(F.col("x").as("node")))
+      .unionAll(tri.select(F.col("y").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("triangles"))
+  }
 }

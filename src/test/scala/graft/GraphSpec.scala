@@ -46,4 +46,32 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     out("b") should be > out("d") // b receives 3/4 of a's mass, d only 1/4
   }
+
+  private def triangles(e: Seq[(String, String)]): Map[String, Long] =
+    Graph.triangleCount(e.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  it("counts K4's four triangles, three per node") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)
+    triangles(k4) shouldBe Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L)
+  }
+
+  it("counts a diagonal-split square: two triangles sharing the diagonal") {
+    // square a-b-c-d with diagonal a-c: triangles {a,b,c} and {a,c,d}
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"))
+    triangles(e) shouldBe Map("a" -> 2L, "c" -> 2L, "b" -> 1L, "d" -> 1L)
+  }
+
+  it("ignores duplicate edges, reversed duplicates, and self-loops") {
+    val e = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("c", "a"),
+      ("a", "a"), ("x", "y")) // one triangle; x-y closes nothing
+    triangles(e) shouldBe Map("a" -> 1L, "b" -> 1L, "c" -> 1L)
+  }
+
+  it("a triangle-free bipartite graph reports no nodes") {
+    val e = Seq(("u1", "v1"), ("u1", "v2"), ("u2", "v1"), ("u2", "v2"))
+    triangles(e) shouldBe Map.empty
+  }
 }

@@ -476,12 +476,17 @@ object SparkEntry {
     // TPC-H Q15 shape: top supplier by quarterly revenue — the revenue
     // "view" aggregated once, its max broadcast back as a 1-row scalar.
     "q15_top_supplier" -> ((s, dir) => {
+      // the revenue view is materialized ONCE (supplier-sized frame): the
+      // max subquery and the equality filter must see bit-identical
+      // doubles, and a recompute under different partitioning could
+      // drift the float sums by an ulp and drop the max row
       val rev = t(s, dir, "lineitem")
         .filter(F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")) &&
           F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
         .groupBy(F.col("l_suppkey").as("supplier_no"))
         .agg(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
           .as("total_revenue"))
+        .localCheckpoint(true)
       val mx = rev.agg(F.max("total_revenue").as("__mx"))
       t(s, dir, "supplier")
         .join(rev, F.col("s_suppkey") === F.col("supplier_no"))

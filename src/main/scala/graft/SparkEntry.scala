@@ -92,6 +92,14 @@ object SparkEntry {
   private val qualityLrBenchWeights =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
 
+  /** Fellegi-Sunter field model for q_record_linkage: (m, u) per field —
+    * segment equality, balance proximity, name-length equality. One
+    * definition feeds BOTH the Column weight and the oracle SQL's
+    * interpolated ln-ratio literals (Double.toString round-trips, so the
+    * engines score with bit-identical doubles). */
+  private[graft] val linkM = Seq(0.95, 0.90, 0.80)
+  private[graft] val linkU = Seq(0.20, 0.02, 0.30)
+
   /** Bench-only operator rows (no oracle surface — Verify never runs
     * these): the STRUCTURAL train/serve attribution of q_ivf_pq. q_ivf_pq
     * deliberately retrains per call (its bench time is the train+serve
@@ -776,6 +784,18 @@ object SparkEntry {
           F.round(F.stddev_samp("value"), 4).as("sd_value"),
           F.round(F.covar_samp(F.col("value"), F.col("user_id").cast("double")), 4).as("cov_vu"),
           F.round(F.corr(F.col("value"), F.col("user_id").cast("double")), 4).as("corr_vu"))),
+    // OLS regression aggregates (regr_* family, both engines' built-in
+    // closed form): value regressed on hour-of-day per event type.
+    "q_regression" -> ((s, dir) => {
+      val x = F.hour(F.col("ts")).cast("double")
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          F.round(F.regr_slope(F.col("value"), x), 4).as("slope"),
+          F.round(F.regr_intercept(F.col("value"), x), 4).as("intercept"),
+          F.round(F.regr_r2(F.col("value"), x), 4).as("r2"),
+          F.regr_count(F.col("value"), x).as("n"))
+    }),
     // exact percentiles PER GROUP (sorted-interpolation, deterministic)
     "q_grouped_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -860,18 +880,53 @@ object SparkEntry {
         .unionAll(e0.select(sId.as("src"), cId.as("dst"), F.col("w")))
       Graph.pageRank(edges, damping = 0.85, iters = 5)
     }),
+    // Fellegi-Sunter record linkage over nation-blocked customer pairs:
+    // literal (m, u) per field -> log-likelihood weight (pure column
+    // algebra, no UDF) -> three-way match/possible/non_match decision,
+    // aggregated per decision. The oracle embeds the IDENTICAL ln-ratio
+    // doubles (generated from one Scala definition), so the scoring
+    // arithmetic is engine-exact.
+    "q_record_linkage" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.select(F.col("c_custkey").as("ka"), F.col("c_nationkey").as("nk"),
+        F.col("c_mktsegment").as("sa"), F.col("c_acctbal").as("ba"),
+        F.length(F.col("c_name")).as("la"))
+      val b = c.select(F.col("c_custkey").as("kb"), F.col("c_nationkey").as("nk"),
+        F.col("c_mktsegment").as("sb"), F.col("c_acctbal").as("bb"),
+        F.length(F.col("c_name")).as("lb"))
+      val pairs = a.join(b, Seq("nk")).filter(F.col("ka") < F.col("kb"))
+      val agreements = Seq(
+        F.col("sa") === F.col("sb"),
+        F.abs(F.col("ba") - F.col("bb")) < 100.0,
+        F.col("la") === F.col("lb"))
+      val w = F.round(RecordLinkage.weight(agreements, linkM, linkU), 4)
+      pairs.withColumn("w", w)
+        .withColumn("decision", RecordLinkage.decision(F.col("w"), 3.0, 0.0))
+        .groupBy("decision")
+        .agg(F.count(F.lit(1)).as("n_pairs"),
+          F.round(F.avg("w"), 3).as("avg_w"),
+          F.max("w").as("max_w"))
+    }),
     // Per-node triangle counts over the supplier co-order projection (two
-    // suppliers joined by sharing an order): the degree-oriented node-
-    // iterator — wedge join bounded by out-degree (arboricity), each
-    // triangle generated once at its smallest corner. The oracle brute-
-    // forces the 3-way edge join under a DIFFERENT (id) orientation, so
-    // equality verifies the degree orientation loses/duplicates nothing.
+    // suppliers joined by co-fulfilling >= 5 orders): the degree-oriented
+    // node-iterator — wedge join bounded by out-degree (arboricity), each
+    // triangle generated once at its smallest corner. The co-occurrence
+    // threshold is the STANDARD densifier guard for one-mode bipartite
+    // projections: without it, projecting ~150k orders onto 1k suppliers
+    // yields a near-complete graph whose Theta(n^3) triangle volume no
+    // algorithm escapes (sf0.1: 454k -> 48k edges; the small SFs are
+    // unaffected). The oracle brute-forces the 3-way edge join under a
+    // DIFFERENT (id) orientation, so equality verifies the degree
+    // orientation loses/duplicates nothing.
     "q_triangle_count" -> ((s, dir) => {
       val su = t(s, dir, "lineitem")
         .select(F.col("l_orderkey").as("o"), F.col("l_suppkey").as("sk")).distinct()
       val e = su.as("x").join(su.as("y"),
           F.col("x.o") === F.col("y.o") && F.col("x.sk") < F.col("y.sk"))
-        .select(F.col("x.sk").as("src"), F.col("y.sk").as("dst")).distinct()
+        .groupBy(F.col("x.sk").as("src"), F.col("y.sk").as("dst"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("src", "dst")
       Graph.triangleCount(e)
     }),
     "q_unpivot" -> ((s, dir) =>
@@ -2474,6 +2529,12 @@ object SparkEntry {
       ("SELECT event_type, round(var_samp(value), 4) AS var_value, round(stddev_samp(value), 4) AS sd_value, " +
         "round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cov_vu, " +
         "round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu FROM events GROUP BY event_type"),
+    "q_regression" ->
+      ("SELECT event_type, " +
+        "round(regr_slope(value, CAST(extract(hour FROM ts) AS DOUBLE)), 4) AS slope, " +
+        "round(regr_intercept(value, CAST(extract(hour FROM ts) AS DOUBLE)), 4) AS intercept, " +
+        "round(regr_r2(value, CAST(extract(hour FROM ts) AS DOUBLE)), 4) AS r2, " +
+        "CAST(regr_count(value, CAST(extract(hour FROM ts) AS DOUBLE)) AS BIGINT) AS n FROM events GROUP BY event_type"),
     "q_grouped_percentiles" ->
       ("SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, " +
         "quantile_cont(l_extendedprice, 0.95) AS p95, count(*) AS n FROM lineitem GROUP BY l_returnflag"),
@@ -2622,9 +2683,28 @@ object SparkEntry {
         "UNION SELECT e.dst AS node, r.label FROM reach r JOIN e ON e.src = r.node) " +
         "SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY node"),
     "q_pagerank" -> pageRankOracle(damping = 0.85, iters = 5),
+    "q_record_linkage" -> {
+      val terms = linkM.indices.map { i =>
+        val agreeSql = i match {
+          case 0 => "x.c_mktsegment = y.c_mktsegment"
+          case 1 => "abs(x.c_acctbal - y.c_acctbal) < 100.0"
+          case 2 => "length(x.c_name) = length(y.c_name)"
+        }
+        s"CASE WHEN $agreeSql THEN ${math.log(linkM(i) / linkU(i))} " +
+          s"ELSE ${math.log((1.0 - linkM(i)) / (1.0 - linkU(i)))} END"
+      }.mkString(" + ")
+      "WITH p AS (SELECT round(" + terms + ", 4) AS w " +
+        "FROM customer x JOIN customer y ON x.c_nationkey = y.c_nationkey " +
+        "AND x.c_custkey < y.c_custkey), " +
+        "d AS (SELECT CASE WHEN w >= 3.0 THEN 'match' WHEN w <= 0.0 THEN 'non_match' " +
+        "ELSE 'possible' END AS decision, w FROM p) " +
+        "SELECT decision, count(*) AS n_pairs, round(avg(w), 3) AS avg_w, max(w) AS max_w " +
+        "FROM d GROUP BY decision"
+    },
     "q_triangle_count" ->
       ("WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), " +
-        "e AS (SELECT DISTINCT x.sk AS a, y.sk AS b FROM su x JOIN su y ON x.o = y.o AND x.sk < y.sk), " +
+        "e AS (SELECT x.sk AS a, y.sk AS b FROM su x JOIN su y ON x.o = y.o AND x.sk < y.sk " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5), " +
         "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
         "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
         "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), " +

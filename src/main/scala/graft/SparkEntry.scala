@@ -606,6 +606,17 @@ object SparkEntry {
       t(s, dir, "customer")
         .join(t(s, dir, "orders"), F.col("c_custkey") === F.col("o_custkey"), "left_semi")
         .select("c_custkey", "c_name")),
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL key
+    // group must MATCH itself across the two aggregates — a plain = join
+    // silently drops it.
+    "q_null_safe_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val k = F.expr("nullif(user_id % 7, 0)")
+      val g1 = e.groupBy(k.as("k")).agg(F.count(F.lit(1)).as("n1"))
+      val g2 = e.groupBy(k.as("k2")).agg(F.round(F.sum("value"), 4).as("s2"))
+      g1.join(g2, F.col("k") <=> F.col("k2"))
+        .select("k", "n1", "s2")
+    }),
     "q_anti_join" -> ((s, dir) =>
       t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), F.col("o_orderkey") === F.col("l_orderkey"), "left_anti")
@@ -2420,6 +2431,10 @@ object SparkEntry {
         "WHERE r_name = 'ASIA' GROUP BY n_name"),
     "q_semi_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q_null_safe_join" ->
+      ("WITH g1 AS (SELECT nullif(user_id % 7, 0) AS k, count(*) AS n1 FROM events GROUP BY 1), " +
+        "g2 AS (SELECT nullif(user_id % 7, 0) AS k2, round(sum(value), 4) AS s2 FROM events GROUP BY 1) " +
+        "SELECT k, n1, s2 FROM g1 JOIN g2 ON k IS NOT DISTINCT FROM k2"),
     "q_anti_join" ->
       "SELECT o_orderkey FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)",
     "q_bloom_join" ->

@@ -713,6 +713,22 @@ object SparkEntry {
     }),
     // Ordered funnel: users reaching view -> click -> purchase in order
     // (each stage strictly after the previous stage's first event).
+    // First-order Markov transition matrix over each user's event stream:
+    // lag window per user (partitions are users — scale-safe), bigram
+    // counts, row-normalized probabilities. The behavioral-model summary
+    // (what follows what) of the events table.
+    "q_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+      val wp = Window.partitionBy("prev")
+      t(s, dir, "events")
+        .select(F.col("user_id"), F.col("event_type"), F.col("ts"), F.col("event_id"))
+        .withColumn("prev", F.lag("event_type", 1).over(w))
+        .filter(F.col("prev").isNotNull)
+        .groupBy(F.col("prev"), F.col("event_type").as("next"))
+        .agg(F.count(F.lit(1)).as("n"))
+        .withColumn("p", F.round(F.col("n") / F.sum("n").over(wp), 4))
+    }),
     "q_funnel" -> ((s, dir) =>
       TimeSeries.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
@@ -2480,6 +2496,11 @@ object SparkEntry {
         "sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total FROM orders"),
     "q_topk_customers" ->
       "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey LIMIT 10",
+    "q_transition_matrix" ->
+      ("WITH lagd AS (SELECT user_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), " +
+        "c AS (SELECT prev, event_type AS next, count(*) AS n FROM lagd WHERE prev IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev, next, n, round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev), 4) AS p FROM c"),
     "q_funnel" ->
       ("WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1), " +
         "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id " +
@@ -2705,10 +2726,13 @@ object SparkEntry {
           case 1 => "abs(x.c_acctbal - y.c_acctbal) < 100.0"
           case 2 => "length(x.c_name) = length(y.c_name)"
         }
-        s"CASE WHEN $agreeSql THEN ${math.log(linkM(i) / linkU(i))} " +
-          s"ELSE ${math.log((1.0 - linkM(i)) / (1.0 - linkU(i)))} END"
+        s"CASE WHEN $agreeSql THEN CAST(${math.log(linkM(i) / linkU(i))} AS DOUBLE) " +
+          s"ELSE CAST(${math.log((1.0 - linkM(i)) / (1.0 - linkU(i)))} AS DOUBLE) END"
       }.mkString(" + ")
-      "WITH p AS (SELECT round(" + terms + ", 4) AS w " +
+      // CAST: DuckDB parses the ln-ratio literals as exact DECIMALs and
+      // max() preserves that type (avg coerces to DOUBLE) — the engine
+      // emits DOUBLE, so the whole weight is computed as DOUBLE
+      "WITH p AS (SELECT round(CAST(" + terms + " AS DOUBLE), 4) AS w " +
         "FROM customer x JOIN customer y ON x.c_nationkey = y.c_nationkey " +
         "AND x.c_custkey < y.c_custkey), " +
         "d AS (SELECT CASE WHEN w >= 3.0 THEN 'match' WHEN w <= 0.0 THEN 'non_match' " +

@@ -870,6 +870,23 @@ object SparkEntry {
         .groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).as("n_items"))
     }),
+    // KEYLESS point-in-interval join (purchases inside any error's 1-hour
+    // incident window): bucketized to an equi-join + exact residual — the
+    // plan vanilla Spark would run for this inequality-only join is a
+    // BroadcastNestedLoopJoin (PlanSpec asserts ours is not). Half-open
+    // [lo, hi) on integer micros keeps the boundary engine-exact.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val windows = ev.filter(F.col("event_type") === "error")
+        .select(F.col("event_id").as("window_id"),
+          F.unix_micros(F.col("ts")).as("lo"))
+        .withColumn("hi", F.col("lo") + 3600000000L)
+      val pts = ev.filter(F.col("event_type") === "purchase")
+        .select(F.unix_micros(F.col("ts")).as("p"))
+      IntervalJoin.pointInInterval(pts, "p", windows, "lo", "hi", 3600000000L)
+        .groupBy("window_id")
+        .agg(F.count(F.lit(1)).as("n_points"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.filter(F.col("event_type") === "click").select("event_id", "user_id", "ts")
@@ -2593,6 +2610,12 @@ object SparkEntry {
     "q_range_join" ->
       ("SELECT o_orderkey, count(*) AS n_items FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
         "AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY GROUP BY o_orderkey"),
+    "q_interval_join" ->
+      ("WITH w AS (SELECT event_id AS window_id, epoch_us(ts) AS lo, epoch_us(ts) + 3600000000 AS hi " +
+        "FROM events WHERE event_type = 'error'), " +
+        "p AS (SELECT epoch_us(ts) AS p FROM events WHERE event_type = 'purchase') " +
+        "SELECT window_id, count(*) AS n_points FROM w JOIN p ON p.p >= w.lo AND p.p < w.hi " +
+        "GROUP BY window_id"),
     "q_asof_join" ->
       ("WITH u AS (SELECT user_id, ts, event_id, CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS kind " +
         "FROM events WHERE event_type IN ('click', 'error')), " +

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** Keyless point-in-interval join — "every event inside ANY incident
+  * window" — without the nested-loop plan vanilla Spark produces for a
+  * pure inequality join (BroadcastNestedLoopJoin: broadcast one whole
+  * side, compare every pair; dead at 100 TB).
+  *
+  * The scalable shape is BUCKETIZATION: pick a bucket width comparable to
+  * the interval span, explode each interval to the buckets it covers
+  * (span/width + 1 rows — bounded fan-out), map each point to its single
+  * bucket, equi-join on the bucket (hash/sort-merge, AQE-skew-safe), and
+  * apply the exact range residual. Every qualifying (point, interval)
+  * pair is discovered EXACTLY once — in the point's bucket, which the
+  * covering interval necessarily exploded to — so no dedup pass is
+  * needed. Cost: Σ per-bucket |points|·|intervals|, governed by the
+  * bucket width; the quadratic blowup of the nested loop is confined to
+  * what actually overlaps in time. */
+object IntervalJoin {
+
+  /** Join `points` (long column `pCol`) to `intervals` (long columns
+    * `loCol` inclusive, `hiCol` exclusive) on containment. Column names
+    * must be disjoint across the two frames. `bucketWidth` should be on
+    * the order of the typical interval span. */
+  def pointInInterval(points: DataFrame, pCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pb = points.withColumn("__bucket",
+      F.call_function("div", F.col(pCol), F.lit(bucketWidth)))
+    val ib = intervals.withColumn("__bucket",
+      F.explode(F.sequence(
+        F.call_function("div", F.col(loCol), F.lit(bucketWidth)),
+        F.call_function("div", F.col(hiCol), F.lit(bucketWidth)))))
+    pb.join(ib, Seq("__bucket"))
+      .filter(F.col(pCol) >= F.col(loCol) && F.col(pCol) < F.col(hiCol))
+      .drop("__bucket")
+  }
+}

@@ -762,5 +762,42 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("IntervalJoin.pointInInterval") {
+    import spark.implicits._
+
+    it("matches half-open containment exactly once, across bucket boundaries") {
+      // interval [100, 300) spans buckets 1..3 at width 100 — points in
+      // all three buckets must each match ONCE; lo inclusive, hi exclusive
+      val intervals = Seq((1L, 100L, 300L), (2L, 250L, 260L))
+        .toDF("window_id", "lo", "hi")
+      val points = Seq(99L, 100L, 150L, 255L, 299L, 300L).toDF("p")
+      val got = graft.operators.IntervalJoin
+        .pointInInterval(points, "p", intervals, "lo", "hi", bucketWidth = 100L)
+        .select("window_id", "p")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      got shouldBe Seq(
+        (1L, 100L), (1L, 150L), (1L, 255L), (1L, 299L), // 99 < lo, 300 = hi excluded
+        (2L, 255L)).sorted
+    }
+
+    it("equals the brute-force inequality join on random data") {
+      val rnd = new scala.util.Random(31)
+      val intervals = (1L to 40L).map { i =>
+        val lo = rnd.nextInt(1000).toLong
+        (i, lo, lo + 1 + rnd.nextInt(200).toLong)
+      }.toDF("window_id", "lo", "hi")
+      val points = (0 until 300).map(_ => rnd.nextInt(1300).toLong).toDF("p")
+      val got = graft.operators.IntervalJoin
+        .pointInInterval(points, "p", intervals, "lo", "hi", bucketWidth = 64L)
+        .select("window_id", "p")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val brute = points.as("p").join(intervals.as("i"),
+          F.col("p") >= F.col("lo") && F.col("p") < F.col("hi"))
+        .select("window_id", "p")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      got shouldBe brute
+    }
+  }
+
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
 }

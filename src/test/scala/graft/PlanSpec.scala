@@ -250,6 +250,12 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(l => l.contains("collect_top_k")) should be >= 2
   }
 
+  it("q_interval_join runs as a bucketized equi-join — the keyless inequality join must NOT nested-loop") {
+    val p = plan("q_interval_join")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   it("q21 lowers EXISTS/NOT-EXISTS to semi/anti joins — no nested-loop anywhere") {
     val p = plan("q21_suppliers_waiting")
     p should include("LeftSemi")

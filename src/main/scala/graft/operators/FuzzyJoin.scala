@@ -125,30 +125,52 @@ object FuzzyJoin {
       .groupBy("id")
       .agg(F.array_sort(F.collect_list(F.col("tid"))).as("stoks"))
       .select(F.col("id"), F.col("stoks"), F.size(F.col("stoks")).as("sz"))
-    // prefix length |x| - ceil(tau|x|) + 1, exact integer ceil
-    val prefix = sorted.select(F.col("id"), F.col("stoks"), F.col("sz"),
-      F.slice(F.col("stoks"), F.lit(1),
-        F.col("sz") - F.call_function("div",
-          F.col("sz") * tauNum + (tauDen - 1), F.lit(tauDen.toLong)) + 1).as("pref"))
-    // Candidates shuffle as (id, id) PAIRS ONLY — token arrays re-attach
-    // after the dedup (the id-only-through-the-shuffle rule every LSH
-    // path here follows). Two PPJoin prunes run before that:
-    //  - size condition: jac >= tau forces tau*|x| <= |y| <= |x|/tau;
-    //  - POSITIONAL filter: overlap needs alpha = ceil(t/(1+t)*(sa+sb))
-    //    common tokens, and from a shared prefix token at (0-based)
-    //    positions (pa, pb) at most min(sa-pa, sb-pb) can follow. The
-    //    FIRST common token of a qualifying pair is always a shared
-    //    PREFIX key (prefixes are the order-smallest tokens), and its
-    //    bound is exact-valid — so dropping pairs whose MAX bound over
-    //    shared keys is < alpha loses nothing (max >= the valid bound).
-    val keyed = prefix.select(F.col("id"), F.col("sz"),
-      F.posexplode(F.col("pref")).as(Seq("pos", "key")))
+    val keyed = prefixPostings(sorted, tauNum, tauDen)
+    val cands = prefixCandidates(keyed, keyed, tauNum, tauDen, ordered = true)
+    // stoks IS already the shared sorted order (ascending vocabulary id)
+    (cands, sorted.select(F.col("id"), F.col("stoks").as("vtoks"), F.col("sz")))
+  }
+
+  /** Prefix postings (key, id, sz, pos) of a (id, stoks, sz) frame whose
+    * arrays are ascending in the global token order: prefix length
+    * |x| - ceil(tau|x|) + 1 with exact integer ceil, posexploded. Shared
+    * by the one-shot and incremental joins — ONE definition of the
+    * prefix formula. */
+  private[operators] def prefixPostings(sorted: DataFrame,
+                                        tauNum: Int, tauDen: Int): DataFrame =
+    sorted.select(F.col("id"), F.col("sz"),
+        F.posexplode(F.slice(F.col("stoks"), F.lit(1),
+          (F.col("sz") - F.call_function("div",
+            F.col("sz") * tauNum + (tauDen - 1), F.lit(tauDen.toLong)) + 1)
+            .cast("int"))).as(Seq("pos", "key")))
+      .select(F.col("key"), F.col("id"),
+        F.col("sz").cast("long").as("sz"), F.col("pos").cast("long").as("pos"))
+
+  /** Candidate id pairs from two prefix-posting frames. Candidates
+    * shuffle as (id, id) PAIRS ONLY — token arrays re-attach after the
+    * dedup (the id-only-through-the-shuffle rule every LSH path here
+    * follows). Two PPJoin prunes run before that:
+    *  - size condition: jac >= tau forces tau*|x| <= |y| <= |x|/tau;
+    *  - POSITIONAL filter: overlap needs alpha = ceil(t/(1+t)*(sa+sb))
+    *    common tokens, and from a shared prefix token at (0-based)
+    *    positions (pa, pb) at most min(sa-pa, sb-pb) can follow. The
+    *    FIRST common token of a qualifying pair is always a shared
+    *    PREFIX key (prefixes are the order-smallest tokens), and its
+    *    bound is exact-valid — so dropping pairs whose MAX bound over
+    *    shared keys is < alpha loses nothing (max >= the valid bound).
+    * `ordered` keeps id_a < id_b (self-join); false keeps id_a != id_b
+    * (cross-corpus probes). */
+  private[operators] def prefixCandidates(left: DataFrame, right: DataFrame,
+                                          tauNum: Int, tauDen: Int,
+                                          ordered: Boolean): DataFrame = {
+    val l = left.select(F.col("key"), F.col("id").as("id_a"),
+      F.col("sz").as("sz_a"), F.col("pos").as("pos_a"))
+    val r = right.select(F.col("key"), F.col("id").as("id_b"),
+      F.col("sz").as("sz_b"), F.col("pos").as("pos_b"))
     val ubound = F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b"))
-    val cands = keyed.select(F.col("key"), F.col("id").as("id_a"),
-        F.col("sz").as("sz_a"), F.col("pos").as("pos_a"))
-      .join(keyed.select(F.col("key"), F.col("id").as("id_b"),
-        F.col("sz").as("sz_b"), F.col("pos").as("pos_b")), "key")
-      .filter(F.col("id_a") < F.col("id_b"))
+    l.join(r, "key")
+      .filter(if (ordered) F.col("id_a") < F.col("id_b")
+        else F.col("id_a") =!= F.col("id_b"))
       .filter(F.col("sz_b") * tauDen >= F.col("sz_a") * tauNum &&
         F.col("sz_a") * tauDen >= F.col("sz_b") * tauNum)
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
@@ -156,7 +178,5 @@ object FuzzyJoin {
       .filter(F.col("__ub") * (tauNum + tauDen) >=
         (F.col("sz_a") + F.col("sz_b")) * tauNum)
       .select("id_a", "id_b")
-    // stoks IS already the shared sorted order (ascending vocabulary id)
-    (cands, sorted.select(F.col("id"), F.col("stoks").as("vtoks"), F.col("sz")))
   }
 }

@@ -88,50 +88,38 @@ object IncrementalJaccardJoin {
     // rank unseen tokens most-frequent-first so tid = floor - rank puts
     // the RAREST at the most negative id — i.e. order-smallest, keeping
     // ascending-tid order rarity-first within the extension
+    // pinned: consumed by the doc-array build AND its own store append
     val fresh = AuditQueries
       .assignIngestSeqDistributed(
         unseen.withColumn("negcnt", -F.col("cnt")), 0L, Seq("negcnt", "tok"))
       .select(F.col("tok"), (F.lit(floor) - F.col("id")).as("tid"))
+      .localCheckpoint(true)
     val vocabAll = known.unionByName(fresh)
-    // per-doc sorted id arrays + exact-integer prefix slice (the batch
-    // [[FuzzyJoin.jaccardCandidates]] arithmetic, verbatim)
+    // per-doc sorted id arrays; the prefix/candidate arithmetic is the
+    // SHARED [[FuzzyJoin.prefixPostings]]/[[FuzzyJoin.prefixCandidates]]
+    // — one definition of the theorem's formulas for both join forms.
+    // localCheckpoint: the batch plan is consumed by three store appends
+    // AND the returned pairs frame — without pinning, each consumer
+    // re-runs the ranker + doc aggregation from scratch (~4x the work
+    // per streaming trigger).
     val sorted = docs.select(F.col("id"), F.explode(F.col("toks")).as("tok"))
       .join(vocabAll, "tok")
       .groupBy("id")
       .agg(F.array_sort(F.collect_list(F.col("tid"))).as("stoks"))
       .select(F.col("id"), F.col("stoks"),
         F.size(F.col("stoks")).cast("long").as("sz"))
-    val prefix = sorted.select(F.col("id"), F.col("sz"),
-      F.slice(F.col("stoks"), F.lit(1),
-        (F.col("sz") - F.call_function("div",
-          F.col("sz") * tauNum + (tauDen - 1), F.lit(tauDen.toLong)) + 1)
-          .cast("int")).as("pref"))
-    val keyed = prefix.select(F.col("id"), F.col("sz"),
-        F.posexplode(F.col("pref")).as(Seq("pos", "key")))
-      .select(F.col("key"), F.col("id"), F.col("sz"), F.col("pos").cast("long").as("pos"))
+      .localCheckpoint(true)
+    val keyed = FuzzyJoin.prefixPostings(sorted, tauNum, tauDen)
+      .localCheckpoint(true)
     // candidates: batch keys vs (prior postings ∪ the batch itself)
     val priorKeys = store.prefixes.filter(F.col("batch_id") =!= batchId)
       .select("key", "id", "sz", "pos")
-    val left = keyed.select(F.col("key"), F.col("id").as("id_a"),
-      F.col("sz").as("sz_a"), F.col("pos").as("pos_a"))
-    def rightOf(df: DataFrame) = df.select(F.col("key"), F.col("id").as("id_b"),
-      F.col("sz").as("sz_b"), F.col("pos").as("pos_b"))
-    val ubound = F.least(F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b"))
-    def candidates(right: DataFrame, within: Boolean): DataFrame =
-      left.join(right, "key")
-        .filter(if (within) F.col("id_a") < F.col("id_b")
-          else F.col("id_a") =!= F.col("id_b"))
-        .filter(F.col("sz_b") * tauDen >= F.col("sz_a") * tauNum &&
-          F.col("sz_a") * tauDen >= F.col("sz_b") * tauNum)
-        .groupBy("id_a", "id_b", "sz_a", "sz_b")
-        .agg(F.max(ubound).as("__ub"))
-        .filter(F.col("__ub") * (tauNum + tauDen) >=
-          (F.col("sz_a") + F.col("sz_b")) * tauNum)
-        .select("id_a", "id_b")
-    val crossC = candidates(rightOf(priorKeys), within = false)
+    val crossC = FuzzyJoin
+      .prefixCandidates(keyed, priorKeys, tauNum, tauDen, ordered = false)
       .select(F.least(F.col("id_a"), F.col("id_b")).as("id_a"),
         F.greatest(F.col("id_a"), F.col("id_b")).as("id_b"))
-    val withinC = candidates(rightOf(keyed), within = true)
+    val withinC = FuzzyJoin
+      .prefixCandidates(keyed, keyed, tauNum, tauDen, ordered = true)
     val cands = crossC.unionByName(withinC).distinct()
     // verify with the long-array merge kernel; arrays come from the batch
     // (left) and batch ∪ prior (right)

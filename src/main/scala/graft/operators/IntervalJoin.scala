@@ -29,10 +29,18 @@ object IntervalJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val pb = points.withColumn("__bucket",
       F.call_function("div", F.col(pCol), F.lit(bucketWidth)))
-    val ib = intervals.withColumn("__bucket",
-      F.explode(F.sequence(
-        F.call_function("div", F.col(loCol), F.lit(bucketWidth)),
-        F.call_function("div", F.col(hiCol), F.lit(bucketWidth)))))
+    // hi is EXCLUSIVE: the last bucket any qualifying point can live in is
+    // div(hi - 1) — sequencing to div(hi) would emit one posting per
+    // interval that nothing can ever match (DOUBLING fan-out whenever hi
+    // is bucket-aligned, the common case of span == width). Empty
+    // intervals (hi <= lo) match nothing and are dropped up front, which
+    // also keeps the sequence ascending.
+    val ib = intervals
+      .filter(F.col(hiCol) > F.col(loCol))
+      .withColumn("__bucket",
+        F.explode(F.sequence(
+          F.call_function("div", F.col(loCol), F.lit(bucketWidth)),
+          F.call_function("div", F.col(hiCol) - 1, F.lit(bucketWidth)))))
     pb.join(ib, Seq("__bucket"))
       .filter(F.col(pCol) >= F.col(loCol) && F.col(pCol) < F.col(hiCol))
       .drop("__bucket")

@@ -113,7 +113,7 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     while (!claimSlot(slot)) slot += 1
     // uncontended publish: the slot is ours; rename is atomic, so readers
     // see either no manifest or the complete file list
-    fs.rename(tmp, slotPath(slot))
+    publishOrAbort(tmp, slotPath(slot))
     slot
   }
 
@@ -197,7 +197,7 @@ final class ManifestTable(spark: SparkSession, dir: String) {
       throw new java.util.ConcurrentModificationException(
         s"compact computed against version $readVersion conflicts with a published rewrite")
     }
-    fs.rename(tmp, slotPath(slot))
+    publishOrAbort(tmp, slotPath(slot))
     (live.size.toLong, added.size.toLong)
   }
 
@@ -291,9 +291,19 @@ final class ManifestTable(spark: SparkSession, dir: String) {
         s"merge computed against version $readVersion conflicts with a " +
           s"commit published before slot $slot; re-read and retry")
     }
-    fs.rename(tmp, slotPath(slot))
+    publishOrAbort(tmp, slotPath(slot))
     slot
   }
+
+  /** Hadoop rename signals most failures by RETURNING FALSE; an unchecked
+    * false here would make commit()/merge() report a slot that never
+    * became visible (the claim is held, the manifest never published).
+    * Throwing keeps the contract: a returned slot IS a published commit;
+    * a throw leaves a crashed-commit shape vacuum cleans up. */
+  private def publishOrAbort(tmp: Path, dest: Path): Unit =
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"manifest publish rename $tmp -> $dest failed (returned false)")
 
   private def readLines(m: Path): Seq[String] = {
     val in = fs.open(m)

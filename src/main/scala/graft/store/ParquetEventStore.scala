@@ -239,18 +239,31 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     AuditQueries.unshipped(pruned, cursors, shipperName)
   }
 
+  /** Hadoop `FileSystem.rename` reports most failures by RETURNING FALSE,
+    * not throwing — and a false return left unchecked turns the rename-
+    * aside swap into the data-loss it exists to prevent (worst case:
+    * renaming the new tree into a still-present destination NESTS it, or
+    * the aside delete removes the only surviving copy). Every swap rename
+    * goes through this guard; on failure the swap aborts BEFORE any
+    * delete, leaving whatever state exists recoverable. */
+  private def renameOrAbort(from: org.apache.hadoop.fs.Path,
+                            to: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(
+        s"rename $from -> $to failed (returned false); aborting swap with data intact")
+
   /** Rename-aside swap of the whole events tree: the live tree is moved
     * aside (not deleted) before the new tree's rename, so a crash at any
     * point leaves the data recoverable — either the live tree is still in
     * place, or it sits complete in the `_old` sibling. Delete runs only
-    * after the new tree is live. */
+    * after the new tree is live, and only if both renames succeeded. */
   private def swapEventsTree(tmp: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(eventsPath)
     val t = new org.apache.hadoop.fs.Path(tmp)
     val aside = new org.apache.hadoop.fs.Path(eventsPath + "_old")
     if (fs.exists(aside)) fs.delete(aside, true)
-    fs.rename(p, aside)
-    fs.rename(t, p)
+    renameOrAbort(p, aside)
+    renameOrAbort(t, p)
     fs.delete(aside, true)
   }
 
@@ -307,8 +320,8 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
         // (recoverable by hand), instead of a window where the partition
         // is simply gone. Delete happens only after the new data is live.
         if (fs.exists(aside)) fs.delete(aside, true)
-        fs.rename(d.getPath, aside)
-        fs.rename(tmp, d.getPath)
+        renameOrAbort(d.getPath, aside)
+        renameOrAbort(tmp, d.getPath)
         fs.delete(aside, true)
         rewritten += 1
       }
@@ -403,6 +416,6 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     val p = new org.apache.hadoop.fs.Path(cursorsPath)
     val t = new org.apache.hadoop.fs.Path(tmp)
     if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(t, p)
+    renameOrAbort(t, p) // a silent false would leave the cursor update unreported
   }
 }

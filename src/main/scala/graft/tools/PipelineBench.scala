@@ -33,7 +33,23 @@ object PipelineBench {
     * instead of inheriting it (round-9 verdict item 7). Returns the
     * one-line JSON. */
   def runJson(spark: SparkSession, sfDir: String, cpus: Int): String = {
+    // Bench calls this every artifact round in one long-lived process:
+    // the two temp warehouses (100k-event stores) must not accumulate.
+    val tmps = scala.collection.mutable.ArrayBuffer[String]()
+    try runMeasured(spark, sfDir, cpus, tmps)
+    finally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      tmps.foreach(d =>
+        try fs.delete(new org.apache.hadoop.fs.Path(d), true)
+        catch { case _: Exception => () })
+    }
+  }
+
+  private def runMeasured(spark: SparkSession, sfDir: String, cpus: Int,
+                          tmps: scala.collection.mutable.ArrayBuffer[String]): String = {
     val wh = Files.createTempDirectory("graft-tpbench").toString
+    tmps += wh
     val store = new ParquetEventStore(spark, wh)
     store.init()
 
@@ -86,6 +102,7 @@ object PipelineBench {
     // 64 events per request, one pooled client per executor JVM — the
     // scale path's engine cost on a fresh store of the same batch.
     val wh2 = Files.createTempDirectory("graft-tpbench2").toString
+    tmps += wh2
     val store2 = new ParquetEventStore(spark, wh2)
     store2.init()
     store2.storeCFAuditEvents(batch)

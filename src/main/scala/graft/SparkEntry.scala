@@ -823,6 +823,13 @@ object SparkEntry {
           F.round(F.regr_r2(F.col("value"), x), 4).as("r2"),
           F.regr_count(F.col("value"), x).as("n"))
     }),
+    // Histogram (fixed-grid) quantiles: two combinable scans replace the
+    // per-group sort — the 100 TB distribution-monitoring shape, with a
+    // deterministic (max-min)/B value-space error bound. Estimate = upper
+    // edge of the first bucket reaching ceil(q*n), mirrored verbatim.
+    "q_grid_quantiles" -> ((s, dir) =>
+      Quantiles.gridQuantiles(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_returnflag", buckets = 1024, qs = Seq(0.5, 0.95))),
     // exact percentiles PER GROUP (sorted-interpolation, deterministic)
     "q_grouped_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -2591,6 +2598,21 @@ object SparkEntry {
     "q_grouped_percentiles" ->
       ("SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, " +
         "quantile_cont(l_extendedprice, 0.95) AS p95, count(*) AS n FROM lineitem GROUP BY l_returnflag"),
+    "q_grid_quantiles" -> {
+      def leg(q: String) =
+        s"SELECT g AS l_returnflag, CAST($q AS DOUBLE) AS q, " +
+          s"round(min(CASE WHEN hi = lo THEN hi ELSE lo + (bk + 1) * ((hi - lo) / 1024) END), 4) AS est " +
+          s"FROM j WHERE cum >= ceil($q * n) GROUP BY g"
+      "WITH b AS (SELECT l_returnflag AS g, min(CAST(l_extendedprice AS DOUBLE)) AS lo, " +
+        "max(CAST(l_extendedprice AS DOUBLE)) AS hi, count(*) AS n FROM lineitem GROUP BY 1), " +
+        "i AS (SELECT l_returnflag AS g, CASE WHEN hi = lo THEN 0 ELSE least(1023, " +
+        "CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo) / ((hi - lo) / 1024)) AS BIGINT)) END AS bk " +
+        "FROM lineitem JOIN b ON l_returnflag = b.g), " +
+        "c AS (SELECT g, bk, count(*) AS c FROM i GROUP BY 1, 2), " +
+        "cu AS (SELECT g, bk, CAST(sum(c) OVER (PARTITION BY g ORDER BY bk) AS BIGINT) AS cum FROM c), " +
+        "j AS (SELECT cu.g, bk, cum, lo, hi, n FROM cu JOIN b ON cu.g = b.g) " +
+        leg("0.5") + " UNION ALL " + leg("0.95")
+    },
     "q_histogram" ->
       ("SELECT CAST(n_chars // 100 AS BIGINT) AS bucket, count(*) AS n, " +
         "min(n_chars) AS lo, max(n_chars) AS hi FROM documents GROUP BY 1"),

@@ -762,6 +762,37 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("Quantiles.gridQuantiles") {
+    import spark.implicits._
+
+    it("estimates sit at most one bucket width above the exact quantile") {
+      val rnd = new scala.util.Random(17)
+      val rows = (0 until 2000).map(_ => ("g", rnd.nextDouble() * 1000.0)) ++
+        (0 until 500).map(_ => ("h", 50.0 + rnd.nextGaussian() * 5.0))
+      val df = rows.toDF("grp", "v")
+      val buckets = 64
+      val got = graft.operators.Quantiles
+        .gridQuantiles(df, "v", "grp", buckets, Seq(0.5, 0.95))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      for (g <- Seq("g", "h"); q <- Seq(0.5, 0.95)) {
+        val vs = rows.filter(_._1 == g).map(_._2).sorted
+        val exact = vs(math.ceil(q * vs.size).toInt - 1)
+        val width = (vs.last - vs.head) / buckets
+        val est = got((g, q))
+        withClue(s"$g q=$q est=$est exact=$exact width=$width: ") {
+          est should be >= exact - 1e-4 // upper-edge rule: never below
+          est should be <= exact + width + 1e-4
+        }
+      }
+    }
+
+    it("a constant group reports the constant at every q") {
+      val df = Seq(("k", 7.5), ("k", 7.5), ("k", 7.5)).toDF("grp", "v")
+      graft.operators.Quantiles.gridQuantiles(df, "v", "grp", 16, Seq(0.5, 0.95))
+        .collect().map(_.getDouble(2)).toSeq shouldBe Seq(7.5, 7.5)
+    }
+  }
+
   describe("IntervalJoin.pointInInterval") {
     import spark.implicits._
 

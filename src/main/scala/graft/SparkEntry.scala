@@ -711,8 +711,6 @@ object SparkEntry {
         F.rank().over(byPrice).cast("long").as("rnk"),
         F.sum("o_totalprice").over(running).as("running_total"))
     }),
-    // Ordered funnel: users reaching view -> click -> purchase in order
-    // (each stage strictly after the previous stage's first event).
     // First-order Markov transition matrix over each user's event stream:
     // lag window per user (partitions are users — scale-safe), bigram
     // counts, row-normalized probabilities. The behavioral-model summary
@@ -729,6 +727,8 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("n"))
         .withColumn("p", F.round(F.col("n") / F.sum("n").over(wp), 4))
     }),
+    // Ordered funnel: users reaching view -> click -> purchase in order
+    // (each stage strictly after the previous stage's first event).
     "q_funnel" -> ((s, dir) =>
       TimeSeries.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),

@@ -17,12 +17,15 @@ import org.apache.spark.sql.expressions.Window
   * quantile. */
 object Quantiles {
 
-  /** Per-group quantile estimates: one output row per (group, q).
-    * Output columns: groupCol, q, est. */
-  def gridQuantiles(df: DataFrame, valueCol: String, groupCol: String,
+  /** Per-group quantile estimates over the NON-NULL population (the SQL
+    * percentile convention — an unfiltered null would otherwise fall
+    * through `least` into the top bucket while still inflating n): one
+    * output row per (group, q). Output columns: groupCol, q, est. */
+  def gridQuantiles(df0: DataFrame, valueCol: String, groupCol: String,
                     buckets: Int, qs: Seq[Double]): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0, 1]")
+    val df = df0.filter(F.col(valueCol).isNotNull)
     val v = F.col(valueCol).cast("double")
     val bounds = df.groupBy(groupCol).agg(
       F.min(v).as("__lo"), F.max(v).as("__hi"), F.count(F.lit(1)).as("__n"))

@@ -295,15 +295,13 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     slot
   }
 
-  /** Hadoop rename signals most failures by RETURNING FALSE; an unchecked
-    * false here would make commit()/merge() report a slot that never
-    * became visible (the claim is held, the manifest never published).
-    * Throwing keeps the contract: a returned slot IS a published commit;
-    * a throw leaves a crashed-commit shape vacuum cleans up. */
+  /** An unchecked false rename here would make commit()/merge() report a
+    * slot that never became visible (the claim is held, the manifest
+    * never published). Throwing keeps the contract: a returned slot IS a
+    * published commit; a throw leaves a crashed-commit shape vacuum
+    * cleans up. */
   private def publishOrAbort(tmp: Path, dest: Path): Unit =
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(
-        s"manifest publish rename $tmp -> $dest failed (returned false)")
+    StoreIO.renameOrAbort(fs, tmp, dest, "manifest publish")
 
   private def readLines(m: Path): Seq[String] = {
     val in = fs.open(m)

@@ -43,10 +43,9 @@ final class MaterializedView(
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val p = new Path(dataDir)
     if (fs.exists(p)) fs.delete(p, true)
-    // throw BEFORE stamping: a false rename (Hadoop's failure signal)
-    // must not stamp a version whose data directory is missing
-    if (!fs.rename(new Path(tmp), p))
-      throw new java.io.IOException(s"MV swap rename $tmp -> $p failed (returned false)")
+    // abort BEFORE stamping: a failed rename must not stamp a version
+    // whose data directory is missing
+    StoreIO.renameOrAbort(fs, new Path(tmp), p, "MV swap")
     val out = fs.create(stampPath, true)
     try out.write(version.toString.getBytes("UTF-8")) finally out.close()
   }

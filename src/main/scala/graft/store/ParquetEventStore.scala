@@ -239,18 +239,9 @@ final class ParquetEventStore(spark: SparkSession, warehouseDir: String) extends
     AuditQueries.unshipped(pruned, cursors, shipperName)
   }
 
-  /** Hadoop `FileSystem.rename` reports most failures by RETURNING FALSE,
-    * not throwing — and a false return left unchecked turns the rename-
-    * aside swap into the data-loss it exists to prevent (worst case:
-    * renaming the new tree into a still-present destination NESTS it, or
-    * the aside delete removes the only surviving copy). Every swap rename
-    * goes through this guard; on failure the swap aborts BEFORE any
-    * delete, leaving whatever state exists recoverable. */
   private def renameOrAbort(from: org.apache.hadoop.fs.Path,
                             to: org.apache.hadoop.fs.Path): Unit =
-    if (!fs.rename(from, to))
-      throw new java.io.IOException(
-        s"rename $from -> $to failed (returned false); aborting swap with data intact")
+    StoreIO.renameOrAbort(fs, from, to, "event-store swap")
 
   /** Rename-aside swap of the whole events tree: the live tree is moved
     * aside (not deleted) before the new tree's rename, so a crash at any

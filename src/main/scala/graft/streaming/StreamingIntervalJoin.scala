@@ -43,17 +43,22 @@ object StreamingIntervalJoin {
              bucketWidthSec: Long = 0L,
              lateness: String = "10 seconds"): DataFrame = {
     require(maxSpanSec > 0, "maxSpanSec must be positive")
-    val w = if (bucketWidthSec > 0) bucketWidthSec else maxSpanSec
+    // Buckets are computed on MICROS — Spark's full timestamp resolution,
+    // the same exact-integer domain as the batch IntervalJoin. Truncated
+    // seconds would make `div(hi_seconds - 1, w)` drop the final bucket
+    // whenever hi carries a sub-second fraction past a bucket boundary,
+    // silently losing matches the timestamp comparison still admits.
+    val w = (if (bucketWidthSec > 0) bucketWidthSec else maxSpanSec) * 1000000L
     val pb = points.withWatermark(pTsCol, lateness)
       .withColumn("__bucket",
-        F.call_function("div", F.unix_seconds(F.col(pTsCol)), F.lit(w)))
+        F.call_function("div", F.unix_micros(F.col(pTsCol)), F.lit(w)))
     val ib = intervals.withWatermark(hiTsCol, lateness)
       .filter(F.col(hiTsCol) > F.col(loTsCol) &&
         F.col(hiTsCol) <= F.col(loTsCol) + F.expr(s"INTERVAL $maxSpanSec SECONDS"))
       .withColumn("__bucket",
         F.explode(F.sequence(
-          F.call_function("div", F.unix_seconds(F.col(loTsCol)), F.lit(w)),
-          F.call_function("div", F.unix_seconds(F.col(hiTsCol)) - 1, F.lit(w)))))
+          F.call_function("div", F.unix_micros(F.col(loTsCol)), F.lit(w)),
+          F.call_function("div", F.unix_micros(F.col(hiTsCol)) - 1, F.lit(w)))))
     pb.join(ib,
         pb("__bucket") === ib("__bucket") &&
           F.col(pTsCol) >= F.col(loTsCol) && F.col(pTsCol) < F.col(hiTsCol) &&

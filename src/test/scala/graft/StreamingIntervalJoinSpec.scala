@@ -63,6 +63,34 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  it("sub-second interval ends still match across the bucket boundary (micros-domain buckets)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val points = MemoryStream[(Long, Timestamp)]
+    val windows = MemoryStream[(Long, Timestamp, Timestamp)]
+    val joined = StreamingIntervalJoin.joined(
+      points.toDS().toDF("point_id", "p_ts"), "p_ts",
+      windows.toDS().toDF("window_id", "lo_ts", "hi_ts"), "lo_ts", "hi_ts",
+      maxSpanSec = 300L, bucketWidthSec = 100L, lateness = "600 seconds")
+    val ckpt = Files.createTempDirectory("graft-ssij-subsec").toString
+    val q = joined.select("point_id", "window_id")
+      .writeStream.format("memory").queryName("ssij_subsec")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // window [150 s, 200.5 s): its end crosses the 200 s bucket edge by
+      // half a second; a point at 200.3 s lives in the NEXT bucket and is
+      // inside the window. Second-truncated bucketing would explode the
+      // window only to bucket 1 and silently lose this match.
+      windows.addData((70L, new Timestamp(150000L), new Timestamp(200500L)))
+      points.addData((7L, new Timestamp(200300L)), (8L, new Timestamp(200600L)))
+      q.processAllAvailable()
+      spark.table("ssij_subsec")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq shouldBe
+        Seq((7L, 70L)) // 8 at 200.6 s is past the exclusive end
+    } finally q.stop()
+  }
+
   it("matches survive a stop/restart on the checkpoint exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

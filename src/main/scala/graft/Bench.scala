@@ -8,23 +8,27 @@ object Bench {
     // splits (1 MB) INCREASED total time 30.8s -> 51.6s — per-task overhead
     // dominates single-digit-MB inputs; the default 128 MB split is right
     // here and at scale. Keeping defaults deliberately.
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // the default 128-group fallback turns the bounded-heap top-k
-      // (ObjectHashAggregate) into sort-based aggregation on any real
-      // query count, re-creating the window sort it replaces; a
-      // collect_top_k buffer is <= k small structs, so 64k in-flight
-      // groups per partition is still only tens of MB
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen, parquet footer cache, executor threads) so
-    // the first measured query doesn't absorb JVM/session startup.
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => () }
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        // the default 128-group fallback turns the bounded-heap top-k
+        // (ObjectHashAggregate) into sort-based aggregation on any real
+        // query count, re-creating the window sort it replaces; a
+        // collect_top_k buffer is <= k small structs, so 64k in-flight
+        // groups per partition is still only tens of MB
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      // Warm the session (codegen, parquet footer cache, executor threads) so
+      // the first measured query doesn't absorb JVM/session startup.
+      try s.read.parquet(s"$sfDir/lineitem.parquet").count()
+      catch { case _: Throwable => () }
+      s
+    }
+    var spark = newSession()
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // bench-only operator rows (train/serve attribution splits) ride the
@@ -57,19 +61,20 @@ object Bench {
     // catch-all here recorded wall time regardless. Left = error marker
     // (exception class), Right = seconds.
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      val sess = spark // pin: the isolated pass swaps the session var
       val t0 = System.nanoTime()
       // job group must be set on the thread that SUBMITS the jobs (it is
       // thread-local) — i.e. inside the Future — while the cancel-by-name
       // from the main thread reaches it cross-thread
       val work = Future {
-        spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        try { fn(spark, sfDir).count(); () }
-        finally spark.sparkContext.clearJobGroup()
+        sess.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+        try { fn(sess, sfDir).count(); () }
+        finally sess.sparkContext.clearJobGroup()
       }
       try { Await.result(work, timeoutSec.seconds); Right((System.nanoTime() - t0) / 1e9) }
       catch {
         case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(name)
+          sess.sparkContext.cancelJobGroup(name)
           System.err.println(s"[bench] ERROR $name: timeout after ${timeoutSec}s")
           Left(s"Timeout${timeoutSec}s")
         case e: Throwable =>
@@ -141,8 +146,74 @@ object Bench {
       else try Some(graft.tools.PipelineBench.runJson(spark, sfDir, cpus.toInt))
       catch { case e: Throwable =>
         System.err.println(s"[bench] pipeline bench failed: $e"); None }
+    // ISOLATED re-measure of the heavy tier (round-10 verdict item 1): the
+    // in-grid numbers for rows >= ~2 s drift +40-80% under ambient
+    // contention and long-grid JVM heap pressure (ivf_pq_serve: 3.07 s
+    // isolated vs 4.9 s in-grid on identical code), a band wide enough to
+    // swallow any real <=30% regression. After the grid, tear the session
+    // down, quiesce the JVM, and re-run each heavy row alone in a fresh
+    // session — `queries_isolated` is the contention-free per-round number
+    // regressions are attributed against; `queries`/`queries_min` stay the
+    // comparable in-grid headline. Skipped in SPARK_GRAFT_ONLY iteration
+    // mode (that mode IS an isolated run).
+    val isolatedPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ISOLATED_PASSES", "2").toInt)
+    val isolatedNames: Seq[String] =
+      if (only.isDefined || sys.env.contains("SPARK_GRAFT_SKIP_ISOLATED")) Seq.empty
+      else (finalOk.filter(n => mins.getOrElse(n, 0.0) >= 2.0) ++
+        Seq("ivf_pq_serve").filter(finalOk.contains)).distinct.sorted
+    // Scaling attribution (round-10 verdict item 7): time the headline
+    // candidate-volume operator at two fixture scales 10x apart and record
+    // the observed cost exponent log10(t_big/t_small) — ~1 = linear,
+    // 2 = all-pairs. Converts the "plans are scale-safe" claim into a
+    // per-round measured number (read via RUNBOOK.md).
+    val scalingQuery = "q_jaccard_join"
+    val scalingDirs: Option[(String, String)] = {
+      val parent = new java.io.File(sfDir).getParentFile
+      val small = new java.io.File(parent, "sf0.01")
+      val big = new java.io.File(parent, "sf0.1")
+      if (isolatedNames.nonEmpty && small.isDirectory && big.isDirectory)
+        Some((small.toString, big.toString))
+      else None
+    }
+    val (isolatedJson, scalingJson): (Option[String], Option[String]) =
+      if (isolatedNames.isEmpty) (None, None)
+      else {
+        System.err.println(s"[bench] isolated pass (${isolatedNames.size} queries, $isolatedPasses samples)")
+        spark.stop()
+        System.gc()
+        Thread.sleep(2000)
+        spark = newSession()
+        // serve rows measure serve alone: re-warm the model caches untimed
+        // in the fresh session (models are driver-side arrays, but the
+        // first call would otherwise absorb training)
+        if (isolatedNames.contains("ivf_pq_serve"))
+          try SparkEntry.benchOps("ivf_pq_train")(spark, sfDir)
+          catch { case e: Throwable => System.err.println(s"[bench] isolated serve warmup failed: $e") }
+        if (isolatedNames.contains("quality_lr_score"))
+          try SparkEntry.benchOps("quality_lr_train")(spark, sfDir)
+          catch { case e: Throwable => System.err.println(s"[bench] isolated lr warmup failed: $e") }
+        val iso: Map[String, Double] = isolatedNames.flatMap { n =>
+          val samples = (1 to isolatedPasses).flatMap(_ => timeOne(n, all(n)).toOption)
+          if (samples.isEmpty) None else Some(n -> samples.min)
+        }.toMap
+        val scal = scalingDirs.flatMap { case (small, big) =>
+          def minAt(dir: String): Option[Double] = {
+            val fn = (ss: SparkSession, _: String) => SparkEntry.queries(scalingQuery)(ss, dir)
+            val xs = (1 to isolatedPasses).flatMap(_ => timeOne(s"$scalingQuery@$dir", fn).toOption)
+            if (xs.isEmpty) None else Some(xs.min)
+          }
+          for (ts <- minAt(small); tb <- minAt(big)) yield {
+            val exp = math.log10(tb / ts) // fixtures are 10x apart
+            s"""{"$scalingQuery":{"sf0.01_sec":${r3(ts)},"sf0.1_sec":${r3(tb)},"exponent":${r3(exp)}}}"""
+          }
+        }
+        (Some(jmap(iso)), scal)
+      }
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},""" +
-      s""""queries_min":${jmap(mins)},"errors":${jerr(errors)},"failures":${errors.size},""" +
+      s""""queries_min":${jmap(mins)},""" +
+      isolatedJson.fold("")(j => s""""queries_isolated":$j,""") +
+      scalingJson.fold("")(j => s""""scaling":$j,""") +
+      s""""errors":${jerr(errors)},"failures":${errors.size},""" +
       pipeline.fold("")(p => s""""pipeline":$p,""") +
       s""""sf":"$sfDir","passes":$passes,"heavy_passes":$heavyPasses}"""
     if (errors.nonEmpty)

@@ -753,6 +753,30 @@ object SparkEntry {
     "q_col_stats" -> ((s, dir) =>
       TableStats.columnStats(t(s, dir, "events"),
         Seq("event_id", "user_id", "event_type", "value", "props"))),
+    // ANALYZE at sketch fidelity (round-10 verdict item 6): the
+    // incremental path — per-half Datasketches HLL partials unioned, then
+    // merged — with counts exact and the NDV estimate GATED in-query
+    // against the exact NDV (5% ceiling for 12-bit HLL). The oracle pins
+    // the exact counts and `TRUE` for the gate: a sketch drifting out of
+    // bound turns this cell red, the hash-comparable form of the
+    // ApproxSpec error-bound treatment.
+    "q_col_stats_approx" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cols = Seq("event_id", "user_id", "event_type", "value")
+      // two disjoint halves exercise the real partial -> union -> merge
+      // path (stats maintained at ingest, never a 100 TB rescan); hash()
+      // is never NULL, so no row can fall out of both halves
+      val half = F.pmod(F.hash(F.col("event_id")), F.lit(2))
+      val p1 = TableStats.partialStats(ev.filter(half === 0), cols)
+      val p2 = TableStats.partialStats(ev.filter(half =!= 0), cols)
+      val merged = TableStats.mergeStats(p1.unionByName(p2))
+      val exact = TableStats.columnStats(ev, cols)
+        .select(F.col("col_name"), F.col("ndv").as("__ndv_exact"))
+      merged.join(F.broadcast(exact), Seq("col_name"))
+        .select(F.col("col_name"), F.col("n_rows"), F.col("n_nulls"),
+          (F.abs(F.col("ndv_est") - F.col("__ndv_exact")) / F.col("__ndv_exact") <= 0.05)
+            .as("ndv_ok"))
+    }),
     // Join-size identity: predicted equi-join cardinality from key-level
     // count frames, never materializing the join (oracle counts the real
     // join — equality proves exactness).
@@ -830,6 +854,25 @@ object SparkEntry {
     "q_grid_quantiles" -> ((s, dir) =>
       Quantiles.gridQuantiles(t(s, dir, "lineitem"),
         "l_extendedprice", "l_returnflag", buckets = 1024, qs = Seq(0.5, 0.95))),
+    // KLL mergeable RANK-error quantile sketch (the heavy-tail-safe twin
+    // of q_grid_quantiles): capacity 65536 exceeds every fixture group's
+    // row count, so nothing compacts and the sketch is EXACT — the oracle
+    // hash-pins the lossless regime (estimate = value at rank ceil(q*n));
+    // the eps*n rank bound at small k is gated by KllQuantilesSpec on a
+    // 10-decade heavy-tail fixture, the ApproxSpec pattern.
+    "q_sketch_quantiles" -> ((s, dir) => {
+      val qs = Seq(0.5, 0.95)
+      val ag = F.udaf(new graft.functions.KllQuantilesAggregator(65536, qs),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      t(s, dir, "lineitem")
+        .filter(F.col("l_extendedprice").isNotNull)
+        .groupBy("l_returnflag")
+        .agg(ag(F.col("l_extendedprice").cast("double")).as("e"))
+        .select(F.col("l_returnflag"), F.posexplode(F.col("e.ests")).as(Seq("i", "est0")))
+        .select(F.col("l_returnflag"),
+          F.element_at(F.array(qs.map(F.lit): _*), F.col("i").cast("int") + 1).as("q"),
+          F.round(F.col("est0"), 4).as("est"))
+    }),
     // exact percentiles PER GROUP (sorted-interpolation, deterministic)
     "q_grouped_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -893,6 +936,23 @@ object SparkEntry {
       IntervalJoin.pointInInterval(pts, "p", windows, "lo", "hi", 3600000000L)
         .groupBy("window_id")
         .agg(F.count(F.lit(1)).as("n_points"))
+    }),
+    // interval-INTERVAL overlap join (session-vs-incident): both sides
+    // bucketized, exactly-once by min-overlapping-bucket attribution —
+    // no dedup pass, no nested loop (PlanSpec-asserted)
+    "q_interval_overlap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val incidents = ev.filter(F.col("event_type") === "error")
+        .select(F.col("event_id").as("incident_id"),
+          F.unix_micros(F.col("ts")).as("ilo"))
+        .withColumn("ihi", F.col("ilo") + 3600000000L)
+      val sessions = ev.filter(F.col("event_type") === "click")
+        .select(F.unix_micros(F.col("ts")).as("slo"))
+        .withColumn("shi", F.col("slo") + 1800000000L)
+      IntervalJoin.intervalOverlap(incidents, "ilo", "ihi", sessions, "slo", "shi",
+          bucketWidth = 3600000000L)
+        .groupBy("incident_id")
+        .agg(F.count(F.lit(1)).as("n_sessions"))
     }),
     "q_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2562,6 +2622,10 @@ object SparkEntry {
       Seq("event_id", "user_id", "event_type", "value", "props").map(c =>
         s"SELECT '$c' AS col_name, count(*) AS n_rows, count(*) - count($c) AS n_nulls, " +
           s"count(DISTINCT $c) AS ndv FROM events").mkString(" UNION ALL "),
+    "q_col_stats_approx" ->
+      Seq("event_id", "user_id", "event_type", "value").map(c =>
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, count(*) - count($c) AS n_nulls, " +
+          s"TRUE AS ndv_ok FROM events").mkString(" UNION ALL "),
     "q_join_card" ->
       "SELECT count(*) AS est_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
     // 24 CASE-sum profile terms, then the shared cosine chain at dims=24.
@@ -2595,6 +2659,19 @@ object SparkEntry {
         "round(regr_intercept(value, CAST(extract(hour FROM ts) AS DOUBLE)), 4) AS intercept, " +
         "round(regr_r2(value, CAST(extract(hour FROM ts) AS DOUBLE)), 4) AS r2, " +
         "CAST(regr_count(value, CAST(extract(hour FROM ts) AS DOUBLE)) AS BIGINT) AS n FROM events GROUP BY event_type"),
+    "q_sketch_quantiles" -> {
+      // lossless-regime mirror: value at rank ceil(q*n) over the non-null
+      // population, per group (ties at a rank share a value, so tie order
+      // inside row_number cannot change the result)
+      def leg(q: String) =
+        s"SELECT g AS l_returnflag, CAST($q AS DOUBLE) AS q, round(v, 4) AS est " +
+          s"FROM r WHERE rn = CAST(ceil($q * n) AS BIGINT)"
+      "WITH r AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v, " +
+        "row_number() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rn, " +
+        "count(l_extendedprice) OVER (PARTITION BY l_returnflag) AS n " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL) " +
+        leg("0.5") + " UNION ALL " + leg("0.95")
+    },
     "q_grouped_percentiles" ->
       ("SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, " +
         "quantile_cont(l_extendedprice, 0.95) AS p95, count(*) AS n FROM lineitem GROUP BY l_returnflag"),
@@ -2603,11 +2680,14 @@ object SparkEntry {
         s"SELECT g AS l_returnflag, CAST($q AS DOUBLE) AS q, " +
           s"round(min(CASE WHEN hi = lo THEN hi ELSE lo + (bk + 1) * ((hi - lo) / 1024) END), 4) AS est " +
           s"FROM j WHERE cum >= ceil($q * n) GROUP BY g"
+      // count(l_extendedprice) + IS NOT NULL mirror the operator's
+      // non-null population convention — count(*) would let a NULL value
+      // column shift the ceil(q*n) thresholds between engines.
       "WITH b AS (SELECT l_returnflag AS g, min(CAST(l_extendedprice AS DOUBLE)) AS lo, " +
-        "max(CAST(l_extendedprice AS DOUBLE)) AS hi, count(*) AS n FROM lineitem GROUP BY 1), " +
+        "max(CAST(l_extendedprice AS DOUBLE)) AS hi, count(l_extendedprice) AS n FROM lineitem GROUP BY 1), " +
         "i AS (SELECT l_returnflag AS g, CASE WHEN hi = lo THEN 0 ELSE least(1023, " +
         "CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo) / ((hi - lo) / 1024)) AS BIGINT)) END AS bk " +
-        "FROM lineitem JOIN b ON l_returnflag = b.g), " +
+        "FROM lineitem JOIN b ON l_returnflag = b.g WHERE l_extendedprice IS NOT NULL), " +
         "c AS (SELECT g, bk, count(*) AS c FROM i GROUP BY 1, 2), " +
         "cu AS (SELECT g, bk, CAST(sum(c) OVER (PARTITION BY g ORDER BY bk) AS BIGINT) AS cum FROM c), " +
         "j AS (SELECT cu.g, bk, cum, lo, hi, n FROM cu JOIN b ON cu.g = b.g) " +
@@ -2638,6 +2718,13 @@ object SparkEntry {
         "p AS (SELECT epoch_us(ts) AS p FROM events WHERE event_type = 'purchase') " +
         "SELECT window_id, count(*) AS n_points FROM w JOIN p ON p.p >= w.lo AND p.p < w.hi " +
         "GROUP BY window_id"),
+    "q_interval_overlap" ->
+      ("WITH i AS (SELECT event_id AS incident_id, epoch_us(ts) AS ilo, epoch_us(ts) + 3600000000 AS ihi " +
+        "FROM events WHERE event_type = 'error'), " +
+        "s AS (SELECT epoch_us(ts) AS slo, epoch_us(ts) + 1800000000 AS shi " +
+        "FROM events WHERE event_type = 'click') " +
+        "SELECT incident_id, count(*) AS n_sessions FROM i JOIN s ON ilo < shi AND slo < ihi " +
+        "GROUP BY incident_id"),
     "q_asof_join" ->
       ("WITH u AS (SELECT user_id, ts, event_id, CASE WHEN event_type = 'error' THEN 0 ELSE 1 END AS kind " +
         "FROM events WHERE event_type IN ('click', 'error')), " +

@@ -45,4 +45,33 @@ object IntervalJoin {
       .filter(F.col(pCol) >= F.col(loCol) && F.col(pCol) < F.col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval–interval OVERLAP join (session-vs-incident, ad-vs-view):
+    * half-open `[lo1, hi1) × [lo2, hi2)` pairs with `lo1 < hi2 AND
+    * lo2 < hi1`. Both sides explode to their covered buckets and
+    * equi-join, confining the pair space to co-bucketed overlap like
+    * [[pointInInterval]] — but an overlapping pair now shares EVERY
+    * bucket in `[div(max(lo1,lo2)), div(min(hi1,hi2)-1)]`, so exactly-once
+    * needs canonical attribution instead of a dedup pass: a pair is
+    * emitted only in the bucket of `greatest(lo1, lo2)` — the overlap's
+    * first instant, which both intervals necessarily cover (it is ≥ each
+    * `lo` and, when they overlap, < each `hi`), so both sides exploded to
+    * that bucket and no other shared bucket passes the filter. Column
+    * names must be disjoint across the two frames. */
+  def intervalOverlap(left: DataFrame, lo1: String, hi1: String,
+                      right: DataFrame, lo2: String, hi2: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.filter(F.col(hi) > F.col(lo)) // empty intervals overlap nothing
+        .withColumn("__bucket",
+          F.explode(F.sequence(
+            F.call_function("div", F.col(lo), F.lit(bucketWidth)),
+            F.call_function("div", F.col(hi) - 1, F.lit(bucketWidth)))))
+    buckets(left, lo1, hi1).join(buckets(right, lo2, hi2), Seq("__bucket"))
+      .filter(F.col(lo1) < F.col(hi2) && F.col(lo2) < F.col(hi1))
+      .filter(F.col("__bucket") ===
+        F.call_function("div", F.greatest(F.col(lo1), F.col(lo2)), F.lit(bucketWidth)))
+      .drop("__bucket")
+  }
 }

@@ -147,6 +147,22 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     live.toSeq
   }
 
+  /** Fold of ALL published manifests in slot order — OCC validation only.
+    * The stable prefix is the wrong lens for conflict detection: a writer
+    * validating mid-commit holds its own still-unpublished claim, which
+    * truncates the prefix below its slot, so a conflicting rewrite that
+    * published at a HIGHER slot between snapshot-read and validation would
+    * be invisible and two merges removing the same file would both land
+    * (lost update). Reads (version/snapshot/changes) keep the stable
+    * prefix for position stability; validation must see everything. */
+  private def liveFilesAll(): Set[String] = {
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    listManifests().foreach(m => readLines(m).foreach { l =>
+      if (l.startsWith("-")) live -= l.substring(1) else live += l
+    })
+    live.toSet
+  }
+
   private def snapshotWith(schema: Option[StructType], upTo: Option[Long]): DataFrame = {
     val files = liveFiles(upTo).map(rel => new Path(dataDir, rel).toString)
     (files, schema) match {
@@ -190,7 +206,7 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
     var slot = nextSlot()
     while (!claimSlot(slot)) slot += 1
-    val liveNow = liveFiles(None).toSet
+    val liveNow = liveFilesAll()
     if (!live.toSet.subsetOf(liveNow)) {
       fs.delete(tmp, false)
       fs.delete(batchDir, true)
@@ -274,16 +290,18 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
     var slot = nextSlot()
     while (!claimSlot(slot)) slot += 1
-    // OCC validation against everything published so far (our slot is
-    // still unpublished): every file we remove must still be live, else a
+    // OCC validation against ALL published manifests (liveFilesAll, NOT
+    // the stable prefix — our own pending claim truncates the prefix
+    // below our slot and would hide a conflicting rewrite published at a
+    // higher slot): every file we remove must still be live, else a
     // concurrent rewrite won — abandon (claim without manifest =
-    // invisible, vacuumable debris). A writer whose higher slot publishes
-    // between this check and our rename is the one residual window; its
+    // invisible, vacuumable debris). A conflicting writer that publishes
+    // between this fold and our rename is the one residual window; its
     // own validation ran against the pre-us log, so two merges racing
     // inside that millisecond window on the SAME files can both land —
     // serialize heavy merge traffic per table, or swap claimSlot for a
     // conditional-PUT commit service on stores that offer one.
-    val liveNow = liveFiles(None).toSet
+    val liveNow = liveFilesAll()
     if (!touched.subsetOf(liveNow)) {
       fs.delete(tmp, false)
       newData.foreach(_ => fs.delete(new Path(dataDir, batchId), true))
@@ -300,8 +318,22 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     * never published). Throwing keeps the contract: a returned slot IS a
     * published commit; a throw leaves a crashed-commit shape vacuum
     * cleans up. */
-  private def publishOrAbort(tmp: Path, dest: Path): Unit =
+  private def publishOrAbort(tmp: Path, dest: Path): Unit = {
+    // A writer stalled past vacuum's maxAgeMs can have its claim aged out
+    // and the stable prefix resumed past its slot; publishing anyway would
+    // retroactively insert a manifest BELOW the prefix and shift what
+    // stamped versions mean. Abort if the claim is gone (the check-then-
+    // rename window is bounded by one fs round-trip — maxAgeMs must still
+    // exceed any plausible commit duration, which the 1 h default does).
+    val claim = new Path(dest.getParent, dest.getName.stripSuffix(".manifest") + ".claim")
+    if (!fs.exists(claim)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"claim ${claim.getName} was vacuumed before publish (commit outlived " +
+          "vacuum maxAgeMs) — aborting to preserve the stable-prefix version contract")
+    }
     StoreIO.renameOrAbort(fs, tmp, dest, "manifest publish")
+  }
 
   private def readLines(m: Path): Seq[String] = {
     val in = fs.open(m)

@@ -15,9 +15,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (per-group counts/sums — anything where result(a ∪ b) =
   * merge(result(a), result(b))): if every change since the stamp is an
   * insert (the [[ManifestTable.changes]] feed says so), the query runs
-  * over the DELTA only and merges into the cached result; a delete or
-  * update anywhere falls back to the full recompute. That is classic
-  * incremental view maintenance, costed by the change, not the table. */
+  * over the DELTA only and merges into the cached result; with an
+  * `unmerge` inverse supplied, delete deltas are SUBTRACTED instead of
+  * forcing a full recompute (count/sum have inverses; min/max don't).
+  * That is classic incremental view maintenance, costed by the change,
+  * not the table. */
 final class MaterializedView(
     spark: SparkSession,
     dir: String,
@@ -75,7 +77,34 @@ final class MaterializedView(
     * inserts. Returns "incremental" | "full" | "fresh" describing what
     * this call did; non-insert changes (merge/delete upstream) or a
     * missing cache force the full path. */
-  def refreshIncremental(merge: (DataFrame, DataFrame) => DataFrame): String = {
+  def refreshIncremental(merge: (DataFrame, DataFrame) => DataFrame): String =
+    refreshIncremental(merge, None)
+
+  /** Delete-aware incremental refresh (round-10 verdict item 4): for
+    * DISTRIBUTIVE-WITH-INVERSE aggregates (count, sum — avg as sum+count)
+    * the [[ManifestTable.changes]] feed's delete side is just a
+    * subtraction, so upstream MERGE/DELETE traffic no longer forces a
+    * full recompute:
+    *
+    *   result' = unmerge(merge(cached, query(inserts)), query(deletes))
+    *
+    * `unmerge(acc, deleted)` must subtract the per-group contributions in
+    * `deleted` from `acc` (and drop groups whose count reaches zero — the
+    * caller knows its own schema). An updated key arrives as
+    * delete(old) + insert(new), so the pair nets to the correct new
+    * state; copy-on-write carry-over noise is already cancelled inside
+    * `changes()`. Non-invertible queries (min/max, distinct counts) keep
+    * the single-argument overload and fall back to the full path on any
+    * delete. At 100 TB this is the difference between costing a refresh
+    * by the CHANGE and re-scanning a MERGE-heavy table forever. */
+  def refreshIncremental(
+      merge: (DataFrame, DataFrame) => DataFrame,
+      unmerge: (DataFrame, DataFrame) => DataFrame): String =
+    refreshIncremental(merge, Some(unmerge))
+
+  private def refreshIncremental(
+      merge: (DataFrame, DataFrame) => DataFrame,
+      unmerge: Option[(DataFrame, DataFrame) => DataFrame]): String = {
     import org.apache.spark.sql.{functions => F}
     val current = source.version()
     readStamp() match {
@@ -87,16 +116,26 @@ final class MaterializedView(
           val out = fs.create(stampPath, true)
           try out.write(current.toString.getBytes("UTF-8")) finally out.close()
           "incremental"
-        }
-        else if (delta.filter(F.col("_change_type") =!= "insert").isEmpty) {
-          val merged = merge(
-            spark.read.parquet(dataDir),
-            query(delta.drop("_change_type")))
-          writeResult(merged, current)
-          "incremental"
         } else {
-          writeResult(query(source.snapshotAt(current)), current)
-          "full"
+          val deletes = delta.filter(F.col("_change_type") === "delete")
+          if (deletes.isEmpty) {
+            val merged = merge(
+              spark.read.parquet(dataDir),
+              query(delta.drop("_change_type")))
+            writeResult(merged, current)
+            "incremental"
+          } else unmerge match {
+            case Some(um) =>
+              val inserts = delta.filter(F.col("_change_type") === "insert")
+                .drop("_change_type")
+              val added = merge(spark.read.parquet(dataDir), query(inserts))
+              val merged = um(added, query(deletes.drop("_change_type")))
+              writeResult(merged, current)
+              "incremental"
+            case None =>
+              writeResult(query(source.snapshotAt(current)), current)
+              "full"
+          }
         }
       case _ =>
         writeResult(query(source.snapshotAt(current)), current)

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, functions => F}
+
+import graft.functions.{Kll, KllQuantilesAggregator, KllSketchAggregator}
+
+/** KLL-style mergeable quantile sketch: exact while nothing compacts,
+  * bounded space, a RANK-error guarantee that survives heavy-tailed value
+  * domains (where the grid histogram's value-space bound is vacuous),
+  * grouping-order-insensitive merge, and a streaming twin whose persisted
+  * per-batch partials merge to the batch answer. */
+class KllQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val qsProbe = Seq(0.05, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+
+  /** Value at rank ceil(q*n) — the sketch's exact-regime convention. */
+  private def exactQ(sorted: IndexedSeq[Double], q: Double): Double =
+    sorted(math.ceil(q * sorted.size).toInt - 1)
+
+  /** Rank of v: how many values are <= v. */
+  private def rankOf(sorted: IndexedSeq[Double], v: Double): Long =
+    sorted.count(_ <= v).toLong
+
+  // 10-decade heavy tail: exactly the domain where (max-min)/buckets is
+  // useless — one 1e10 outlier makes every grid bucket ~1e7 wide, while a
+  // rank bound does not care about the value axis at all.
+  private lazy val heavyTail: IndexedSeq[Double] = {
+    val r = new scala.util.Random(42)
+    r.shuffle((1 to 50000).map(i => math.pow(10.0, i / 5000.0)).toVector)
+  }
+  private lazy val heavySorted = heavyTail.sorted
+
+  it("is exact (all ranks) while nothing has compacted") {
+    val r = new scala.util.Random(7)
+    val vals = r.shuffle((1 to 150).map(_.toDouble).toVector)
+    val s = vals.foldLeft(Kll.empty)((b, x) => Kll.insert(b, x, k = 200))
+    s.n shouldBe 150L
+    (1 to 150).foreach { i =>
+      val q = i / 150.0
+      Kll.estimate(s, q) shouldBe exactQ(vals.sorted, q)
+    }
+  }
+
+  it("retains bounded space regardless of n") {
+    val s = heavyTail.foldLeft(Kll.empty)((b, x) => Kll.insert(b, x, k = 200))
+    // geometric capacity schedule: total <= ~3k plus the per-level floor
+    Kll.size(s) should be <= 1000
+    s.n shouldBe heavyTail.size.toLong
+  }
+
+  it("meets an eps*n RANK error bound on a 10-decade heavy tail") {
+    val k = 200
+    val s = heavyTail.foldLeft(Kll.empty)((b, x) => Kll.insert(b, x, k))
+    val n = heavyTail.size.toLong
+    val eps = 0.02
+    qsProbe.foreach { q =>
+      val est = Kll.estimate(s, q)
+      val rank = rankOf(heavySorted, est)
+      withClue(s"q=$q est=$est rank=$rank target=${math.ceil(q * n).toLong}: ") {
+        math.abs(rank - math.ceil(q * n).toLong) should be <= (eps * n).toLong
+      }
+    }
+  }
+
+  it("merge is grouping-insensitive within the bound (fold vs balanced tree)") {
+    val k = 200
+    val chunks = heavyTail.grouped(6250).toVector // 8 partial sketches
+    val parts = chunks.map(_.foldLeft(Kll.empty)((b, x) => Kll.insert(b, x, k)))
+    val folded = parts.reduceLeft((a, b) => Kll.merge(a, b, k))
+    val tree = parts.grouped(2).map(g => g.reduceLeft((a, b) => Kll.merge(a, b, k)))
+      .toVector.grouped(2).map(g => g.reduceLeft((a, b) => Kll.merge(a, b, k)))
+      .toVector.reduceLeft((a, b) => Kll.merge(a, b, k))
+    val n = heavyTail.size.toLong
+    Seq(folded, tree).foreach { s =>
+      s.n shouldBe n
+      qsProbe.foreach { q =>
+        val rank = rankOf(heavySorted, Kll.estimate(s, q))
+        math.abs(rank - math.ceil(q * n).toLong) should be <= (0.02 * n).toLong
+      }
+    }
+  }
+
+  it("holds the bound under distributed partial aggregation for any partitioning") {
+    val k = 200
+    val n = heavyTail.size.toLong
+    Seq(1, 3, 17).foreach { p =>
+      val ag = F.udaf(new KllQuantilesAggregator(k, qsProbe), Encoders.scalaDouble)
+      val ests = heavyTail.toDF("v").repartition(p)
+        .agg(ag(F.col("v")).as("e"))
+        .select(F.col("e.ests")).as[Seq[Double]].head()
+      qsProbe.zip(ests).foreach { case (q, est) =>
+        val rank = rankOf(heavySorted, est)
+        withClue(s"p=$p q=$q: ") {
+          math.abs(rank - math.ceil(q * n).toLong) should be <= (0.02 * n).toLong
+        }
+      }
+    }
+  }
+
+  it("streamed partials across a restart merge to the exact batch answer at ample capacity") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val r = new scala.util.Random(11)
+    val vals = r.shuffle((1 to 400).map(i => i * 1.5).toVector)
+    val inDir = JFiles.createTempDirectory("graft-kll-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-kll-ckpt").toString
+    val sumDir = JFiles.createTempDirectory("graft-kll-sum").toString
+    val half = vals.length / 2
+    JFiles.writeString(Paths.get(inDir, "f1.txt"), vals.take(half).mkString("\n"))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.col("value").cast("double").as("value"))
+    val q1 = graft.streaming.StreamingQuantiles.attach(
+      src(), ckpt, sumDir, k = 1024, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    JFiles.writeString(Paths.get(inDir, "f2.txt"), vals.drop(half).mkString("\n"))
+    val q2 = graft.streaming.StreamingQuantiles.attach(
+      src(), ckpt, sumDir, k = 1024, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+    val merged = graft.streaming.StreamingQuantiles.sketch(spark, sumDir, k = 1024)
+    merged.n shouldBe vals.size.toLong // 400 <= k: nothing compacted, exact
+    val sorted = vals.sorted
+    Seq(0.1, 0.5, 0.9, 1.0).foreach { q =>
+      Kll.estimate(merged, q) shouldBe exactQ(sorted, q)
+    }
+  }
+
+  it("sketch-valued aggregator round-trips through its encoder (partial rows shape)") {
+    val sk = F.udaf(new KllSketchAggregator(64), Encoders.scalaDouble)
+    val rows = (1 to 500).map(_.toDouble).toDF("v")
+      .agg(sk(F.col("v")).as("s"))
+      .select(F.posexplode(F.col("s.levels")).as(Seq("level", "items")))
+      .select(F.col("level"), F.explode(F.col("items")).as("value"))
+      .collect()
+    // total weight must reconstruct n exactly
+    rows.map(r => 1L << r.getInt(0)).sum shouldBe 500L
+  }
+}

@@ -191,6 +191,31 @@ class ManifestTableSpec extends SparkSpec {
     t.snapshot.count() shouldBe 3L
   }
 
+  it("OCC sees a conflicting rewrite published above a stalled foreign claim") {
+    // The stable prefix is truncated at the first pending claim — so a
+    // conflicting rewrite that published at a HIGHER slot is invisible to
+    // a prefix-based validation. Validation must fold ALL published
+    // manifests or two merges removing the same file both land.
+    val dir = Files.createTempDirectory("graft-manifest-occ").toString
+    val t = new ManifestTable(spark, dir)
+    t.init()
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // slot 0
+    val v0 = t.version()
+    // a stalled foreign writer holds claim slot 1 (claimed, never published)
+    new java.io.File(s"$dir/manifests/${f"${1L}%012d"}.claim").createNewFile() shouldBe true
+    // merge #1 against v0 claims slot 2 and publishes there — ABOVE the
+    // pending claim, outside the stable prefix (version has not moved)
+    t.merge(Seq((1L, "A1")).toDF("id", "v"), "id", expectedVersion = Some(v0))
+    t.version() shouldBe v0
+    // merge #2 against the same v0 rewrites the same file; a stable-prefix
+    // validation would NOT see merge #1 and let both land (lost update)
+    a[java.util.ConcurrentModificationException] should be thrownBy
+      t.merge(Seq((1L, "A2")).toDF("id", "v"), "id", expectedVersion = Some(v0))
+    // age out the dead claim: the prefix resumes and merge #1 is the winner
+    t.vacuum(maxAgeMs = -1000L)
+    t.snapshot.orderBy("id").collect().map(_.getString(1)) shouldBe Array("A1", "b")
+  }
+
   it("materialized view serves from cache until the source version moves") {
     val t = newTable()
     t.commit(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp"))
@@ -226,6 +251,38 @@ class ManifestTableSpec extends SparkSpec {
     mv.refreshIncremental(mergeCounts) shouldBe "full"
     mv.read().collect().map(r => (r.getString(0), r.getLong(1))).toMap shouldBe
       Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "z" -> 1L)
+  }
+
+  it("delete-aware IVM subtracts delete deltas: MERGE/DELETE upstream stays incremental") {
+    val t = newTable()
+    t.commit(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp"))
+    val mv = new graft.store.MaterializedView(spark,
+      Files.createTempDirectory("graft-mv-del").toString, t,
+      df => df.groupBy("grp").agg(F.count(F.lit(1)).as("n")))
+    def mergeCounts(old: org.apache.spark.sql.DataFrame, delta: org.apache.spark.sql.DataFrame) =
+      old.unionByName(delta).groupBy("grp").agg(F.sum("n").as("n"))
+    def unmergeCounts(acc: org.apache.spark.sql.DataFrame, del: org.apache.spark.sql.DataFrame) =
+      acc.unionByName(del.withColumn("n", -F.col("n")))
+        .groupBy("grp").agg(F.sum("n").as("n")).filter(F.col("n") > 0)
+    mv.refreshIncremental(mergeCounts, unmergeCounts) shouldBe "full" // first build
+    // an upstream MERGE (update: delete(old)+insert(new) in the CDF) must
+    // now refresh incrementally with exact values — no full recompute
+    t.merge(Seq((1L, "z")).toDF("id", "grp"), "id")
+    mv.refreshIncremental(mergeCounts, unmergeCounts) shouldBe "incremental"
+    mv.read().collect().map(r => (r.getString(0), r.getLong(1))).toMap shouldBe
+      Map("a" -> 1L, "b" -> 1L, "z" -> 1L)
+    // pure DELETE: group b's count reaches zero and the group disappears
+    t.deleteByKey(Seq(Tuple1(3L)).toDF("id"), "id")
+    mv.refreshIncremental(mergeCounts, unmergeCounts) shouldBe "incremental"
+    mv.read().collect().map(r => (r.getString(0), r.getLong(1))).toMap shouldBe
+      Map("a" -> 1L, "z" -> 1L)
+    // the incremental result must equal a from-scratch recompute exactly
+    val scratch = t.snapshot.groupBy("grp").agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    mv.read().collect().map(r => (r.getString(0), r.getLong(1))).toMap shouldBe scratch
+    // and the single-argument overload still falls back to full on deletes
+    t.merge(Seq((2L, "w")).toDF("id", "grp"), "id")
+    mv.refreshIncremental(mergeCounts) shouldBe "full"
   }
 
   it("additive schema evolution: later commits may widen the schema; old rows read NULL") {

@@ -830,5 +830,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("IntervalJoin.intervalOverlap") {
+    import spark.implicits._
+
+    it("emits each overlapping pair exactly once, including bucket-spanning intervals") {
+      // left [100, 450) spans buckets 1..4 at width 100; right [380, 520)
+      // spans 3..5 — they share buckets 3 and 4, but must pair ONCE
+      // (attributed to div(max(100, 380)) = bucket 3). Touching intervals
+      // ([450, 500) starts at left's exclusive hi) must NOT pair.
+      val left = Seq((1L, 100L, 450L), (2L, 460L, 470L)).toDF("lid", "lo1", "hi1")
+      val right = Seq((10L, 380L, 520L), (11L, 450L, 460L), (12L, 0L, 100L))
+        .toDF("rid", "lo2", "hi2")
+      val got = graft.operators.IntervalJoin
+        .intervalOverlap(left, "lo1", "hi1", right, "lo2", "hi2", bucketWidth = 100L)
+        .select("lid", "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      got shouldBe Seq((1L, 10L), (2L, 10L)).sorted
+    }
+
+    it("equals the brute-force overlap join on random data (exactly-once, no dedup pass)") {
+      val rnd = new scala.util.Random(47)
+      val left = (1L to 50L).map { i =>
+        val lo = rnd.nextInt(1000).toLong
+        (i, lo, lo + 1 + rnd.nextInt(300).toLong) // spans up to ~5 buckets
+      }.toDF("lid", "lo1", "hi1")
+      val right = (1L to 60L).map { i =>
+        val lo = rnd.nextInt(1200).toLong
+        (i, lo, lo + 1 + rnd.nextInt(150).toLong)
+      }.toDF("rid", "lo2", "hi2")
+      val got = graft.operators.IntervalJoin
+        .intervalOverlap(left, "lo1", "hi1", right, "lo2", "hi2", bucketWidth = 64L)
+        .select("lid", "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val brute = left.join(right,
+          F.col("lo1") < F.col("hi2") && F.col("lo2") < F.col("hi1"))
+        .select("lid", "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      got shouldBe brute // sorted Seq equality also proves NO duplicates
+    }
+  }
+
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
 }

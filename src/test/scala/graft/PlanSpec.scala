@@ -256,6 +256,12 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  it("q_interval_overlap runs as a bucketized equi-join — two inequality sides, still no nested loop") {
+    val p = plan("q_interval_overlap")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+  }
+
   it("q21 lowers EXISTS/NOT-EXISTS to semi/anti joins — no nested-loop anywhere") {
     val p = plan("q21_suppliers_waiting")
     p should include("LeftSemi")

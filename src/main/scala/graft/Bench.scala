@@ -167,16 +167,20 @@ object Bench {
     // 2 = all-pairs. Converts the "plans are scale-safe" claim into a
     // per-round measured number (read via RUNBOOK.md).
     val scalingQuery = "q_jaccard_join"
+    // gated on the FIXTURES, not on the isolated tier being non-empty — a
+    // round where every grid min dips under the threshold must not
+    // silently drop the documented per-round cost-exponent probe
     val scalingDirs: Option[(String, String)] = {
       val parent = new java.io.File(sfDir).getParentFile
       val small = new java.io.File(parent, "sf0.01")
       val big = new java.io.File(parent, "sf0.1")
-      if (isolatedNames.nonEmpty && small.isDirectory && big.isDirectory)
+      if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_SKIP_ISOLATED") &&
+          small.isDirectory && big.isDirectory)
         Some((small.toString, big.toString))
       else None
     }
     val (isolatedJson, scalingJson): (Option[String], Option[String]) =
-      if (isolatedNames.isEmpty) (None, None)
+      if (isolatedNames.isEmpty && scalingDirs.isEmpty) (None, None)
       else {
         System.err.println(s"[bench] isolated pass (${isolatedNames.size} queries, $isolatedPasses samples)")
         spark.stop()
@@ -207,7 +211,7 @@ object Bench {
             s"""{"$scalingQuery":{"sf0.01_sec":${r3(ts)},"sf0.1_sec":${r3(tb)},"exponent":${r3(exp)}}}"""
           }
         }
-        (Some(jmap(iso)), scal)
+        (if (iso.isEmpty) None else Some(jmap(iso)), scal)
       }
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},""" +
       s""""queries_min":${jmap(mins)},""" +

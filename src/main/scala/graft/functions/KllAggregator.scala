@@ -14,7 +14,12 @@ final case class KllEstimates(ests: Seq[Double])
 /** KLL-style mergeable rank-error quantile sketch (Karnin–Lang–Liberty,
   * "Optimal quantile approximation in streams", FOCS 2016 — the compactor
   * hierarchy, here with deterministic alternating compaction instead of
-  * coin flips so replay/streaming results are reproducible).
+  * coin flips: results are a pure function of the operation sequence, so
+  * the per-batch STREAMING partials are replay-stable. Under distributed
+  * partial aggregation the merge ORDER still varies run to run, which can
+  * change which halves survive — estimates may then differ between runs,
+  * each within the rank bound; only the exact (nothing-compacted) regime
+  * and the streaming replay path are bitwise stable).
   *
   * Why this exists next to `Quantiles.gridQuantiles`: the grid histogram's
   * (max−min)/buckets VALUE-SPACE bound is vacuous on heavy-tailed domains
@@ -100,22 +105,30 @@ object Kll {
   /** The value whose cumulative weight first reaches ⌈q·n⌉ in the
     * weight-expanded sorted multiset (exact-regime twin: the value at
     * rank ⌈q·n⌉). NaN on an empty sketch. */
-  def estimate(s: KllSketch, q: Double): Double = {
-    require(q > 0 && q <= 1, "q in (0, 1]")
-    if (s.n == 0L) return Double.NaN
+  def estimate(s: KllSketch, q: Double): Double = estimates(s, Seq(q)).head
+
+  /** Batch form: ONE sort of the retained items serves every requested
+    * rank (finish() would otherwise re-expand and re-sort per quantile). */
+  def estimates(s: KllSketch, qs: Seq[Double]): Seq[Double] = {
+    require(qs.forall(q => q > 0 && q <= 1), "q in (0, 1]")
+    if (s.n == 0L) return qs.map(_ => Double.NaN)
     val items = (for {
       (lvl, h) <- s.levels.zipWithIndex
       x <- lvl
-    } yield (x, 1L << h)).sortBy(_._1)
-    val target = math.ceil(q * s.n).toLong
-    var cum = 0L
-    var i = 0
-    while (i < items.size) {
-      cum += items(i)._2
-      if (cum >= target) return items(i)._1
-      i += 1
+    } yield (x, 1L << h)).sortBy(_._1).toIndexedSeq
+    qs.map { q =>
+      val target = math.ceil(q * s.n).toLong
+      var cum = 0L
+      var i = 0
+      var out = items.last._1
+      var found = false
+      while (i < items.size && !found) {
+        cum += items(i)._2
+        if (cum >= target) { out = items(i)._1; found = true }
+        i += 1
+      }
+      out
     }
-    items.last._1
   }
 
   /** Total retained items (space probe for specs). */
@@ -143,7 +156,7 @@ final class KllQuantilesAggregator(k: Int, qs: Seq[Double])
   override def zero: KllSketch = Kll.empty
   override def reduce(b: KllSketch, x: Double): KllSketch = Kll.insert(b, x, k)
   override def merge(a: KllSketch, b: KllSketch): KllSketch = Kll.merge(a, b, k)
-  override def finish(r: KllSketch): KllEstimates = KllEstimates(qs.map(Kll.estimate(r, _)))
+  override def finish(r: KllSketch): KllEstimates = KllEstimates(Kll.estimates(r, qs))
   override def bufferEncoder: Encoder[KllSketch] = Encoders.product[KllSketch]
   override def outputEncoder: Encoder[KllEstimates] = Encoders.product[KllEstimates]
 }

@@ -90,13 +90,28 @@ final class ManifestTable(spark: SparkSession, dir: String) {
   /** Atomic slot claim. Local filesystems go through `File.createNewFile`
     * (true O_EXCL); other filesystems use create-without-overwrite, which
     * HDFS implements atomically (on S3-style stores swap this for a
-    * conditional PUT — the protocol is unchanged). */
-  private def claimSlot(slot: Long): Boolean =
-    try {
-      val p = claimPath(slot)
-      if (fs.getScheme == "file") new java.io.File(p.toUri.getPath).createNewFile()
-      else { val o = fs.create(p, false); o.close(); true }
-    } catch { case _: java.io.IOException => false }
+    * conditional PUT — the protocol is unchanged). After the exclusive
+    * create wins, the writer's OWNER TOKEN is written into the claim:
+    * publish re-verifies the token, so a claim that was vacuumed and then
+    * RE-CLAIMED by another writer (slot numbers are reused once the
+    * vacuumed claim was the highest) reads as foreign and the stalled
+    * writer aborts instead of publishing over the new owner. */
+  private def claimSlot(slot: Long, token: String): Boolean = {
+    val won =
+      try {
+        val p = claimPath(slot)
+        if (fs.getScheme == "file") new java.io.File(p.toUri.getPath).createNewFile()
+        else { val o = fs.create(p, false); o.close(); true }
+      } catch { case _: java.io.IOException => false }
+    if (won) {
+      // we own the file now; an overwrite is safe (and a vacuum racing
+      // this write just leaves a missing/foreign claim that publish
+      // detects — the failure lands on the abort side, never lost-update)
+      val out = fs.create(claimPath(slot), true)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+    }
+    won
+  }
 
   /** Append `df` as one atomic commit; returns the claimed slot. */
   def commit(df: DataFrame): Long = {
@@ -110,10 +125,10 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     val out = fs.create(tmp, true)
     try out.write(files.mkString("\n").getBytes("UTF-8")) finally out.close()
     var slot = nextSlot()
-    while (!claimSlot(slot)) slot += 1
+    while (!claimSlot(slot, batchId)) slot += 1
     // uncontended publish: the slot is ours; rename is atomic, so readers
     // see either no manifest or the complete file list
-    publishOrAbort(tmp, slotPath(slot))
+    publishOrAbort(tmp, slot, batchId)
     slot
   }
 
@@ -205,7 +220,7 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     val out = fs.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
     var slot = nextSlot()
-    while (!claimSlot(slot)) slot += 1
+    while (!claimSlot(slot, batchId)) slot += 1
     val liveNow = liveFilesAll()
     if (!live.toSet.subsetOf(liveNow)) {
       fs.delete(tmp, false)
@@ -213,7 +228,7 @@ final class ManifestTable(spark: SparkSession, dir: String) {
       throw new java.util.ConcurrentModificationException(
         s"compact computed against version $readVersion conflicts with a published rewrite")
     }
-    publishOrAbort(tmp, slotPath(slot))
+    publishOrAbort(tmp, slot, batchId)
     (live.size.toLong, added.size.toLong)
   }
 
@@ -289,7 +304,7 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     val out = fs.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
     var slot = nextSlot()
-    while (!claimSlot(slot)) slot += 1
+    while (!claimSlot(slot, batchId)) slot += 1
     // OCC validation against ALL published manifests (liveFilesAll, NOT
     // the stable prefix — our own pending claim truncates the prefix
     // below our slot and would hide a conflicting rewrite published at a
@@ -309,7 +324,7 @@ final class ManifestTable(spark: SparkSession, dir: String) {
         s"merge computed against version $readVersion conflicts with a " +
           s"commit published before slot $slot; re-read and retry")
     }
-    publishOrAbort(tmp, slotPath(slot))
+    publishOrAbort(tmp, slot, batchId)
     slot
   }
 
@@ -318,21 +333,30 @@ final class ManifestTable(spark: SparkSession, dir: String) {
     * never published). Throwing keeps the contract: a returned slot IS a
     * published commit; a throw leaves a crashed-commit shape vacuum
     * cleans up. */
-  private def publishOrAbort(tmp: Path, dest: Path): Unit = {
+  private def publishOrAbort(tmp: Path, slot: Long, token: String): Unit = {
     // A writer stalled past vacuum's maxAgeMs can have its claim aged out
     // and the stable prefix resumed past its slot; publishing anyway would
     // retroactively insert a manifest BELOW the prefix and shift what
-    // stamped versions mean. Abort if the claim is gone (the check-then-
-    // rename window is bounded by one fs round-trip — maxAgeMs must still
-    // exceed any plausible commit duration, which the 1 h default does).
-    val claim = new Path(dest.getParent, dest.getName.stripSuffix(".manifest") + ".claim")
-    if (!fs.exists(claim)) {
+    // stamped versions mean. Worse, a vacuumed top slot is RE-CLAIMABLE
+    // (nextSlot sees it free), so bare existence of the claim file proves
+    // nothing — the claim must still carry THIS writer's token. A missing
+    // or foreign token aborts (the new owner keeps its slot; our debris is
+    // vacuumable). The check-then-rename window is one fs round-trip;
+    // maxAgeMs must still exceed any plausible commit duration, which the
+    // 1 h default does.
+    val claim = claimPath(slot)
+    val owned =
+      try {
+        val in = fs.open(claim)
+        try new String(in.readAllBytes(), "UTF-8") == token finally in.close()
+      } catch { case _: java.io.IOException => false }
+    if (!owned) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
-        s"claim ${claim.getName} was vacuumed before publish (commit outlived " +
-          "vacuum maxAgeMs) — aborting to preserve the stable-prefix version contract")
+        s"claim ${claim.getName} is missing or re-owned at publish time (commit " +
+          "outlived vacuum maxAgeMs) — aborting to preserve the stable-prefix contract")
     }
-    StoreIO.renameOrAbort(fs, tmp, dest, "manifest publish")
+    StoreIO.renameOrAbort(fs, tmp, slotPath(slot), "manifest publish")
   }
 
   private def readLines(m: Path): Seq[String] = {

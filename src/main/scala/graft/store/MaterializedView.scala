@@ -110,33 +110,40 @@ final class MaterializedView(
     readStamp() match {
       case Some(v) if v == current && fs.exists(new Path(dataDir)) => "fresh"
       case Some(v) if fs.exists(new Path(dataDir)) =>
-        val delta = source.changes(v, current)
-        if (delta.isEmpty) {
-          // versions moved but the net row delta is empty: stamp only
-          val out = fs.create(stampPath, true)
-          try out.write(current.toString.getBytes("UTF-8")) finally out.close()
-          "incremental"
-        } else {
-          val deletes = delta.filter(F.col("_change_type") === "delete")
-          if (deletes.isEmpty) {
-            val merged = merge(
-              spark.read.parquet(dataDir),
-              query(delta.drop("_change_type")))
-            writeResult(merged, current)
+        // changes() re-reads the CDF file diff and re-runs its exceptAll
+        // shuffles on EVERY evaluation — this path consults the delta up
+        // to four times (emptiness, delete split, two query() legs), so
+        // pin it once; the whole point is costing the refresh by the
+        // change, not 4x the change
+        val delta = source.changes(v, current).persist()
+        try {
+          if (delta.isEmpty) {
+            // versions moved but the net row delta is empty: stamp only
+            val out = fs.create(stampPath, true)
+            try out.write(current.toString.getBytes("UTF-8")) finally out.close()
             "incremental"
-          } else unmerge match {
-            case Some(um) =>
-              val inserts = delta.filter(F.col("_change_type") === "insert")
-                .drop("_change_type")
-              val added = merge(spark.read.parquet(dataDir), query(inserts))
-              val merged = um(added, query(deletes.drop("_change_type")))
+          } else {
+            val deletes = delta.filter(F.col("_change_type") === "delete")
+            if (deletes.isEmpty) {
+              val merged = merge(
+                spark.read.parquet(dataDir),
+                query(delta.drop("_change_type")))
               writeResult(merged, current)
               "incremental"
-            case None =>
-              writeResult(query(source.snapshotAt(current)), current)
-              "full"
+            } else unmerge match {
+              case Some(um) =>
+                val inserts = delta.filter(F.col("_change_type") === "insert")
+                  .drop("_change_type")
+                val added = merge(spark.read.parquet(dataDir), query(inserts))
+                val merged = um(added, query(deletes.drop("_change_type")))
+                writeResult(merged, current)
+                "incremental"
+              case None =>
+                writeResult(query(source.snapshotAt(current)), current)
+                "full"
+            }
           }
-        }
+        } finally delta.unpersist()
       case _ =>
         writeResult(query(source.snapshotAt(current)), current)
         "full"

@@ -52,8 +52,14 @@ object StreamingQuantiles {
     * future alternation only, so resetting them at read time changes no
     * guarantee. */
   def sketch(spark: SparkSession, summariesDir: String, k: Int): KllSketch = {
+    // before the first micro-batch commits (or if every batch was
+    // null-filtered empty) there are no parquet footers to infer from —
+    // the empty STREAM answer is the empty SKETCH, not an AnalysisException
+    val partials =
+      try spark.read.option("basePath", summariesDir).parquet(summariesDir)
+      catch { case _: org.apache.spark.sql.AnalysisException => return Kll.empty }
     val batches: Map[Long, Seq[(Int, Double)]] =
-      spark.read.option("basePath", summariesDir).parquet(summariesDir)
+      partials
         // partition-column type is INFERRED (int for small ids): cast
         .select(F.col("batch_id").cast("long"), F.col("level").cast("int"), F.col("value"))
         .collect()

@@ -1224,6 +1224,44 @@ object SparkEntry {
       TextAnalysis.bm25(t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("join", "vector", "scan"))),
 
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical leg
+    // and the embedding-cosine semantic leg (the standard hybrid-search
+    // combiner: rrf = sum 1/(60 + rank), rank-space so the two score
+    // scales never need calibrating). Each leg cuts to its top-50 via
+    // orderBy+limit (TakeOrderedAndProject — distributed); the ranking
+    // window then runs over ≤ 50 rows, so the single-partition window is
+    // bounded by the literal k, not the corpus. Ranks are taken over
+    // 4-decimal-rounded scores with id tiebreaks — the cross-engine
+    // determinism convention of the bm25/cosine oracles this composes.
+    "q_rrf_fusion" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.{fvDot => ndot}
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lexRanked = TextAnalysis.bm25(docs, "doc_id", "text",
+          terms = Seq("join", "vector", "scan"))
+        .orderBy(F.col("bm25").desc, F.col("doc_id")).limit(50)
+        .withColumn("rank_lex", F.row_number()
+          .over(Window.orderBy(F.col("bm25").desc, F.col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_lex")
+      val qv = emb.filter(F.col("vec_id") === 0).select(F.col("embedding").as("qv"))
+      val semRanked = emb.filter(F.col("vec_id") =!= 0)
+        .crossJoin(F.broadcast(qv)) // 1-row query vector
+        .select(F.col("vec_id").as("doc_id"),
+          F.round(ndot(F.col("embedding"), F.col("qv")) /
+            (F.sqrt(ndot(F.col("embedding"), F.col("embedding"))) *
+              F.sqrt(ndot(F.col("qv"), F.col("qv")))), 4).as("cos_sim"))
+        .orderBy(F.col("cos_sim").desc, F.col("doc_id")).limit(50)
+        .withColumn("rank_sem", F.row_number()
+          .over(Window.orderBy(F.col("cos_sim").desc, F.col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_sem")
+      lexRanked.join(semRanked, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", F.round(
+          F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rank_lex")), F.lit(0.0)) +
+            F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rank_sem")), F.lit(0.0)), 6))
+        .orderBy(F.col("rrf").desc, F.col("doc_id")).limit(10)
+        .select("doc_id", "rrf")
+    }),
     // --- training-data pipeline: similarity search (embeddings) ---
     "q_embed_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2985,6 +3023,36 @@ object SparkEntry {
         "FROM shared_c s JOIN sizes sa ON s.a = sa.doc_id JOIN sizes sb ON s.b = sb.doc_id " +
         "WHERE round(CAST(s.shared AS DOUBLE) / CAST(sa.sz + sb.sz - s.shared AS DOUBLE), 4) >= 0.05"),
 
+    "q_rrf_fusion" -> {
+      // lexical leg = the q_bm25 CTE chain verbatim; semantic leg = the
+      // cosineOracle arithmetic against the vec_id-0 query vector; both
+      // ranked over 4-decimal-rounded scores with doc_id tiebreaks, then
+      // the rank-space RRF combiner
+      "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "qt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks WHERE term IN ('join', 'vector', 'scan') GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY term), " +
+        "st AS (SELECT count(*) AS n, avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents), " +
+        "dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents), " +
+        "p AS (SELECT qt.doc_id, " +
+        "ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s " +
+        "FROM qt JOIN dfreq USING (term) JOIN dl ON dl.doc_id = qt.doc_id, st), " +
+        "bm AS (SELECT doc_id, round(sum(s), 4) AS bm25 FROM p GROUP BY doc_id), " +
+        "lex AS (SELECT doc_id, rn AS rank_lex FROM (SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rn FROM bm) WHERE rn <= 50), " +
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        "c AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings WHERE vec_id <> 0), " +
+        "trm AS (SELECT doc_id, qv, cv, unnest(range(1, 65)) AS i FROM c, q), " +
+        "dots AS (SELECT doc_id, " +
+        "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS dot, " +
+        "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS qq, " +
+        "sum(CAST(cv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS cc " +
+        "FROM trm GROUP BY doc_id), " +
+        "sem0 AS (SELECT doc_id, round(dot / (sqrt(qq) * sqrt(cc)), 4) AS cos_sim FROM dots), " +
+        "sem AS (SELECT doc_id, rn AS rank_sem FROM (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rn FROM sem0) WHERE rn <= 50), " +
+        "fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, " +
+        "round(coalesce(1.0 / (60.0 + rank_lex), 0) + coalesce(1.0 / (60.0 + rank_sem), 0), 6) AS rrf " +
+        "FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id) " +
+        "SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10"
+    },
     "q_embed_topk" -> cosineOracle(
       "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
         "c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings), " +

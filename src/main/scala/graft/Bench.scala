@@ -166,7 +166,12 @@ object Bench {
     // the observed cost exponent log10(t_big/t_small) — ~1 = linear,
     // 2 = all-pairs. Converts the "plans are scale-safe" claim into a
     // per-round measured number (read via RUNBOOK.md).
-    val scalingQuery = "q_jaccard_join"
+    // Two probes: the candidate-volume headline (PPJoin prefix filters
+    // keep pair volume ~linear in corpus size) and the wedge-bounded
+    // graph headline (Θ(Σ outdeg²) — legitimately superlinear on the
+    // near-complete co-order projection; the point is the TREND, read
+    // via RUNBOOK.md).
+    val scalingQueries = Seq("q_jaccard_join", "q_triangle_count")
     // gated on the FIXTURES, not on the isolated tier being non-empty — a
     // round where every grid min dips under the threshold must not
     // silently drop the documented per-round cost-exponent probe
@@ -201,15 +206,18 @@ object Bench {
           if (samples.isEmpty) None else Some(n -> samples.min)
         }.toMap
         val scal = scalingDirs.flatMap { case (small, big) =>
-          def minAt(dir: String): Option[Double] = {
-            val fn = (ss: SparkSession, _: String) => SparkEntry.queries(scalingQuery)(ss, dir)
-            val xs = (1 to isolatedPasses).flatMap(_ => timeOne(s"$scalingQuery@$dir", fn).toOption)
+          def minAt(name: String, dir: String): Option[Double] = {
+            val fn = (ss: SparkSession, _: String) => SparkEntry.queries(name)(ss, dir)
+            val xs = (1 to isolatedPasses).flatMap(_ => timeOne(s"$name@$dir", fn).toOption)
             if (xs.isEmpty) None else Some(xs.min)
           }
-          for (ts <- minAt(small); tb <- minAt(big)) yield {
-            val exp = math.log10(tb / ts) // fixtures are 10x apart
-            s"""{"$scalingQuery":{"sf0.01_sec":${r3(ts)},"sf0.1_sec":${r3(tb)},"exponent":${r3(exp)}}}"""
+          val entries = scalingQueries.flatMap { name =>
+            for (ts <- minAt(name, small); tb <- minAt(name, big)) yield {
+              val exp = math.log10(tb / ts) // fixtures are 10x apart
+              s""""$name":{"sf0.01_sec":${r3(ts)},"sf0.1_sec":${r3(tb)},"exponent":${r3(exp)}}"""
+            }
           }
+          if (entries.isEmpty) None else Some(entries.mkString("{", ",", "}"))
         }
         (if (iso.isEmpty) None else Some(jmap(iso)), scal)
       }

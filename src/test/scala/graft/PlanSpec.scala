@@ -262,6 +262,12 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  it("q_rrf_fusion cuts both legs with TakeOrderedAndProject — rank windows cover a literal k, not the corpus") {
+    val p = plan("q_rrf_fusion")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+  }
+
   it("q21 lowers EXISTS/NOT-EXISTS to semi/anti joins — no nested-loop anywhere") {
     val p = plan("q21_suppliers_waiting")
     p should include("LeftSemi")

@@ -80,4 +80,55 @@ object StreamingQuantiles {
     val s = sketch(spark, summariesDir, k)
     qs.map(q => q -> Kll.estimate(s, q))
   }
+
+  /** PER-GROUP distribution monitoring (doc length per source, latency
+    * per endpoint): one sketch partial per (batch, group), the group
+    * riding the partial rows. Same storage contract as the global form;
+    * the per-batch bound becomes groups × ~3k items. */
+  def attachGrouped(
+      values: DataFrame,
+      checkpointDir: String,
+      summariesDir: String,
+      k: Int,
+      groupCol: String,
+      valueCol: String = "value",
+      triggerMillis: Long = 1000L): StreamingQuery = {
+    val sk = F.udaf(new KllSketchAggregator(k), Encoders.scalaDouble)
+    values.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMillis))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.filter(F.col(valueCol).isNotNull && F.col(groupCol).isNotNull)
+          .groupBy(F.col(groupCol).as("grp"))
+          .agg(sk(F.col(valueCol).cast("double")).as("s"))
+          .select(F.col("grp"), F.posexplode(F.col("s.levels")).as(Seq("level", "items")))
+          .select(F.col("grp"), F.col("level"), F.explode(F.col("items")).as("value"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$summariesDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Merged per-group stream-wide sketches. Collect bound: batches ×
+    * groups × ~3k items — the SUMMARY space, never the stream. */
+  def sketchesByGroup(spark: SparkSession, summariesDir: String, k: Int): Map[String, KllSketch] = {
+    val partials =
+      try spark.read.option("basePath", summariesDir).parquet(summariesDir)
+      catch { case _: org.apache.spark.sql.AnalysisException => return Map.empty }
+    partials
+      .select(F.col("grp"), F.col("batch_id").cast("long"),
+        F.col("level").cast("int"), F.col("value"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), (r.getInt(2), r.getDouble(3)))))
+      .groupBy(_._1).map { case (g, rows) =>
+        val sketches = rows.map(_._2).groupBy(_._1).toSeq.sortBy(_._1).map { case (_, brs) =>
+          val items = brs.map(_._2)
+          val depth = items.map(_._1).max + 1
+          val levels = Vector.tabulate(depth)(h => items.collect { case (`h`, v) => v }.toVector)
+          KllSketch(levels, Vector.fill(depth)(false), items.map { case (h, _) => 1L << h }.sum)
+        }
+        g -> sketches.foldLeft(Kll.empty)((a, b) => Kll.merge(a, b, k))
+      }
+  }
 }

@@ -124,6 +124,41 @@ class KllQuantilesSpec extends SparkSpec {
     }
   }
 
+  it("grouped streaming partials merge to exact per-group answers at ample capacity") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val r = new scala.util.Random(23)
+    // two sources with deliberately different distributions
+    val rows: Vector[(String, Double)] = r.shuffle(
+      (1 to 300).map(i => ("a", i * 1.0)).toVector ++
+        (1 to 200).map(i => ("b", i * 100.0)).toVector)
+    val inDir = JFiles.createTempDirectory("graft-kllg-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-kllg-ckpt").toString
+    val sumDir = JFiles.createTempDirectory("graft-kllg-sum").toString
+    val half = rows.length / 2
+    def write(name: String, part: Seq[(String, Double)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name), part.map { case (g, v) => s"$g,$v" }.mkString("\n"))
+    write("f1.txt", rows.take(half))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").as("p"))
+      .select(F.col("p").getItem(0).as("src"), F.col("p").getItem(1).cast("double").as("value"))
+    val q1 = graft.streaming.StreamingQuantiles.attachGrouped(
+      src(), ckpt, sumDir, k = 1024, groupCol = "src", triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", rows.drop(half))
+    val q2 = graft.streaming.StreamingQuantiles.attachGrouped(
+      src(), ckpt, sumDir, k = 1024, groupCol = "src", triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+    val byGroup = graft.streaming.StreamingQuantiles.sketchesByGroup(spark, sumDir, k = 1024)
+    byGroup.keySet shouldBe Set("a", "b")
+    val truth = rows.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    byGroup.foreach { case (g, s) =>
+      s.n shouldBe truth(g).size.toLong // under k: lossless, exact
+      Seq(0.25, 0.5, 0.9, 1.0).foreach { q =>
+        Kll.estimate(s, q) shouldBe exactQ(truth(g), q)
+      }
+    }
+  }
+
   it("sketch-valued aggregator round-trips through its encoder (partial rows shape)") {
     val sk = F.udaf(new KllSketchAggregator(64), Encoders.scalaDouble)
     val rows = (1 to 500).map(_.toDouble).toDF("v")

@@ -58,18 +58,24 @@ object StreamingQuantiles {
     val partials =
       try spark.read.option("basePath", summariesDir).parquet(summariesDir)
       catch { case _: org.apache.spark.sql.AnalysisException => return Kll.empty }
-    val batches: Map[Long, Seq[(Int, Double)]] =
-      partials
-        // partition-column type is INFERRED (int for small ids): cast
-        .select(F.col("batch_id").cast("long"), F.col("level").cast("int"), F.col("value"))
-        .collect()
-        .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
-        .groupBy(_._1).map { case (b, rows) => b -> rows.map(_._2).toSeq }
-    val sketches = batches.toSeq.sortBy(_._1).map { case (_, rows) =>
-      val depth = rows.map(_._1).max + 1
-      val levels = Vector.tabulate(depth)(h => rows.collect { case (`h`, v) => v }.toVector)
-      val n = rows.map { case (h, _) => 1L << h }.sum
-      KllSketch(levels, Vector.fill(depth)(false), n)
+    val rows = partials
+      // partition-column type is INFERRED (int for small ids): cast
+      .select(F.col("batch_id").cast("long"), F.col("level").cast("int"), F.col("value"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
+    mergeBatchPartials(rows.toSeq, k)
+  }
+
+  /** Rebuild per-batch sketches from (batchId, (level, value)) partial
+    * rows and fold them — the ONE place the reconstruction invariant
+    * (depth = max level + 1, flips reset, n = Σ 2^level) lives, shared by
+    * the global and grouped readers. */
+  private def mergeBatchPartials(rows: Seq[(Long, (Int, Double))], k: Int): KllSketch = {
+    val sketches = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, brs) =>
+      val items = brs.map(_._2)
+      val depth = items.map(_._1).max + 1
+      val levels = Vector.tabulate(depth)(h => items.collect { case (`h`, v) => v }.toVector)
+      KllSketch(levels, Vector.fill(depth)(false), items.map { case (h, _) => 1L << h }.sum)
     }
     sketches.foldLeft(Kll.empty)((a, b) => Kll.merge(a, b, k))
   }
@@ -117,18 +123,14 @@ object StreamingQuantiles {
       try spark.read.option("basePath", summariesDir).parquet(summariesDir)
       catch { case _: org.apache.spark.sql.AnalysisException => return Map.empty }
     partials
-      .select(F.col("grp"), F.col("batch_id").cast("long"),
+      // grp cast to string too: attachGrouped accepts any group column
+      // type, and a non-string grp would otherwise crash getString
+      .select(F.col("grp").cast("string"), F.col("batch_id").cast("long"),
         F.col("level").cast("int"), F.col("value"))
       .collect()
       .map(r => (r.getString(0), (r.getLong(1), (r.getInt(2), r.getDouble(3)))))
       .groupBy(_._1).map { case (g, rows) =>
-        val sketches = rows.map(_._2).groupBy(_._1).toSeq.sortBy(_._1).map { case (_, brs) =>
-          val items = brs.map(_._2)
-          val depth = items.map(_._1).max + 1
-          val levels = Vector.tabulate(depth)(h => items.collect { case (`h`, v) => v }.toVector)
-          KllSketch(levels, Vector.fill(depth)(false), items.map { case (h, _) => 1L << h }.sum)
-        }
-        g -> sketches.foldLeft(Kll.empty)((a, b) => Kll.merge(a, b, k))
+        g -> mergeBatchPartials(rows.map(_._2).toSeq, k)
       }
   }
 }

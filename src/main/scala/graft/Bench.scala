@@ -156,7 +156,11 @@ object Bench {
     // regressions are attributed against; `queries`/`queries_min` stay the
     // comparable in-grid headline. Skipped in SPARK_GRAFT_ONLY iteration
     // mode (that mode IS an isolated run).
-    val isolatedPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ISOLATED_PASSES", "2").toInt)
+    // 3 samples + a 10 s quiesce: a 50-minute grid leaves residue (GC,
+    // page-cache churn, OS scheduling) that a 2 s pause did not clear —
+    // one observed +30% serve outlier under 2 samples; the fresh-process
+    // SPARK_GRAFT_ONLY run stays the final arbiter for any anomaly.
+    val isolatedPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ISOLATED_PASSES", "3").toInt)
     val isolatedNames: Seq[String] =
       if (only.isDefined || sys.env.contains("SPARK_GRAFT_SKIP_ISOLATED")) Seq.empty
       else (finalOk.filter(n => mins.getOrElse(n, 0.0) >= 2.0) ++
@@ -190,7 +194,7 @@ object Bench {
         System.err.println(s"[bench] isolated pass (${isolatedNames.size} queries, $isolatedPasses samples)")
         spark.stop()
         System.gc()
-        Thread.sleep(2000)
+        Thread.sleep(10000)
         spark = newSession()
         // serve rows measure serve alone: re-warm the model caches untimed
         // in the fresh session (models are driver-side arrays, but the

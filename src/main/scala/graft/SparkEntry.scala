@@ -873,6 +873,28 @@ object SparkEntry {
           F.element_at(F.array(qs.map(F.lit): _*), F.col("i").cast("int") + 1).as("q"),
           F.round(F.col("est0"), 4).as("est"))
     }),
+    // importance-WEIGHTED quantiles via the same KLL sketch: doc-length
+    // distribution weighted by token count — "what doc length does the
+    // median TOKEN live in", the distribution a training pipeline
+    // actually samples from. Weights decompose into binary digits across
+    // sketch levels (exact multiset semantics); k=2^18 keeps every
+    // fixture group lossless, so the oracle hash-pins the weighted
+    // value-at-rank-ceil(q*W) convention.
+    "q_weighted_quantiles" -> ((s, dir) => {
+      val qs = Seq(0.5, 0.95)
+      val ag = F.udaf(new graft.functions.KllWeightedQuantilesAggregator(262144, qs),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+      t(s, dir, "documents")
+        .withColumn("wt", F.size(F.split(F.col("text"), " ")).cast("long"))
+        .filter(F.col("n_chars").isNotNull && F.col("wt") > 0)
+        .groupBy("source")
+        .agg(ag(F.col("n_chars").cast("double"), F.col("wt")).as("e"))
+        .select(F.col("source"), F.posexplode(F.col("e.ests")).as(Seq("i", "est0")))
+        .select(F.col("source"),
+          F.element_at(F.array(qs.map(F.lit): _*), F.col("i").cast("int") + 1).as("q"),
+          F.round(F.col("est0"), 4).as("est"))
+    }),
     // exact percentiles PER GROUP (sorted-interpolation, deterministic)
     "q_grouped_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -2708,6 +2730,22 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE)) AS rn, " +
         "count(l_extendedprice) OVER (PARTITION BY l_returnflag) AS n " +
         "FROM lineitem WHERE l_extendedprice IS NOT NULL) " +
+        leg("0.5") + " UNION ALL " + leg("0.95")
+    },
+    "q_weighted_quantiles" -> {
+      // weighted value-at-rank mirror: first value whose cumulative
+      // weight reaches ceil(q*W) walking values ascending. A threshold
+      // landing inside a tie group selects that group's value whatever
+      // the tie order, so min(v) over qualifying rows is deterministic.
+      def leg(q: String) =
+        s"SELECT source, CAST($q AS DOUBLE) AS q, round(min(v), 4) AS est " +
+          s"FROM r WHERE cum >= ceil($q * tw) GROUP BY source"
+      "WITH w AS (SELECT source, CAST(n_chars AS DOUBLE) AS v, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS wt FROM documents " +
+        "WHERE n_chars IS NOT NULL AND len(string_split(text, ' ')) > 0), " +
+        "r AS (SELECT source, v, " +
+        "CAST(sum(wt) OVER (PARTITION BY source ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, " +
+        "CAST(sum(wt) OVER (PARTITION BY source) AS BIGINT) AS tw FROM w) " +
         leg("0.5") + " UNION ALL " + leg("0.95")
     },
     "q_grouped_percentiles" ->

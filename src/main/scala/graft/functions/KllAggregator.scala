@@ -64,6 +64,28 @@ object Kll {
   def insert(s: KllSketch, x: Double, k: Int): KllSketch =
     compress(KllSketch(s.levels.updated(0, x +: s.levels.head.toVector), s.flips, s.n + 1), k)
 
+  /** Weighted insert: an item of weight `w` decomposes into its binary
+    * digits — one copy at each level h where bit h of w is set (level h
+    * items carry weight 2^h by construction, so the multiset semantics
+    * are exact and a weighted item is indistinguishable from compaction
+    * output; the rank-error analysis already counts weights in n). This
+    * is the importance-weighted form: token-count-weighted doc-length
+    * quantiles, sample-weight-corrected distributions. */
+  def insertWeighted(s: KllSketch, x: Double, w: Long, k: Int): KllSketch = {
+    require(w > 0, "weight must be positive")
+    var levels = s.levels.toVector
+    var flips = s.flips.toVector
+    var h = 0
+    var ww = w
+    while (ww > 0) {
+      if (levels.size <= h) { levels = levels :+ Vector.empty[Double]; flips = flips :+ false }
+      if ((ww & 1L) == 1L) levels = levels.updated(h, x +: levels(h).toVector)
+      ww >>= 1
+      h += 1
+    }
+    compress(KllSketch(levels, flips, s.n + w), k)
+  }
+
   /** Compact the lowest overflowing level until every level fits. */
   @annotation.tailrec
   def compress(s: KllSketch, k: Int): KllSketch = {
@@ -155,6 +177,21 @@ final class KllQuantilesAggregator(k: Int, qs: Seq[Double])
   require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0, 1]")
   override def zero: KllSketch = Kll.empty
   override def reduce(b: KllSketch, x: Double): KllSketch = Kll.insert(b, x, k)
+  override def merge(a: KllSketch, b: KllSketch): KllSketch = Kll.merge(a, b, k)
+  override def finish(r: KllSketch): KllEstimates = KllEstimates(Kll.estimates(r, qs))
+  override def bufferEncoder: Encoder[KllSketch] = Encoders.product[KllSketch]
+  override def outputEncoder: Encoder[KllEstimates] = Encoders.product[KllEstimates]
+}
+
+/** Weighted-input twin: rows are (value, weight); quantiles are over the
+  * weight-expanded multiset (rank target ⌈q·Σw⌉). */
+final class KllWeightedQuantilesAggregator(k: Int, qs: Seq[Double])
+    extends Aggregator[(Double, Long), KllSketch, KllEstimates] {
+  require(k >= 8, "sketch capacity must be >= 8")
+  require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0, 1]")
+  override def zero: KllSketch = Kll.empty
+  override def reduce(b: KllSketch, xw: (Double, Long)): KllSketch =
+    Kll.insertWeighted(b, xw._1, xw._2, k)
   override def merge(a: KllSketch, b: KllSketch): KllSketch = Kll.merge(a, b, k)
   override def finish(r: KllSketch): KllEstimates = KllEstimates(Kll.estimates(r, qs))
   override def bufferEncoder: Encoder[KllSketch] = Encoders.product[KllSketch]

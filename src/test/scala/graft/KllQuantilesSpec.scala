@@ -124,6 +124,41 @@ class KllQuantilesSpec extends SparkSpec {
     }
   }
 
+  it("weighted insert equals the weight-expanded multiset in the exact regime") {
+    val r = new scala.util.Random(5)
+    val weighted = r.shuffle((1 to 60).map(i => (i * 2.0, (i % 7 + 1).toLong)).toVector)
+    val k = 4096
+    val sw = weighted.foldLeft(Kll.empty) { case (b, (x, w)) => Kll.insertWeighted(b, x, w, k) }
+    val expanded = weighted.flatMap { case (x, w) => Vector.fill(w.toInt)(x) }
+    val se = expanded.foldLeft(Kll.empty)((b, x) => Kll.insert(b, x, k))
+    sw.n shouldBe expanded.size.toLong
+    sw.n shouldBe se.n
+    val sortedExp = expanded.sorted
+    Seq(0.1, 0.25, 0.5, 0.75, 0.95, 1.0).foreach { q =>
+      Kll.estimate(sw, q) shouldBe exactQ(sortedExp, q)
+      Kll.estimate(se, q) shouldBe exactQ(sortedExp, q)
+    }
+  }
+
+  it("holds the rank bound with weights under compaction") {
+    val r = new scala.util.Random(13)
+    val weighted = r.shuffle((1 to 20000).map(i =>
+      (math.pow(10.0, i / 2000.0), (i % 8 + 1).toLong)).toVector)
+    val k = 200
+    val s = weighted.foldLeft(Kll.empty) { case (b, (x, w)) => Kll.insertWeighted(b, x, w, k) }
+    val totalW = weighted.map(_._2).sum
+    s.n shouldBe totalW
+    val sorted = weighted.sortBy(_._1)
+    def weightedRank(v: Double): Long = sorted.takeWhile(_._1 <= v).map(_._2).sum
+    Seq(0.1, 0.25, 0.5, 0.75, 0.9).foreach { q =>
+      val est = Kll.estimate(s, q)
+      val rank = weightedRank(est)
+      withClue(s"q=$q est=$est: ") {
+        math.abs(rank - math.ceil(q * totalW).toLong) should be <= (0.025 * totalW).toLong
+      }
+    }
+  }
+
   it("grouped streaming partials merge to exact per-group answers at ample capacity") {
     import java.nio.file.{Files => JFiles, Paths}
     val r = new scala.util.Random(23)

@@ -864,36 +864,35 @@ object SparkEntry {
       val qs = Seq(0.5, 0.95)
       val ag = F.udaf(new graft.functions.KllQuantilesAggregator(65536, qs),
         org.apache.spark.sql.Encoders.scalaDouble)
-      t(s, dir, "lineitem")
-        .filter(F.col("l_extendedprice").isNotNull)
-        .groupBy("l_returnflag")
-        .agg(ag(F.col("l_extendedprice").cast("double")).as("e"))
-        .select(F.col("l_returnflag"), F.posexplode(F.col("e.ests")).as(Seq("i", "est0")))
-        .select(F.col("l_returnflag"),
-          F.element_at(F.array(qs.map(F.lit): _*), F.col("i").cast("int") + 1).as("q"),
-          F.round(F.col("est0"), 4).as("est"))
+      kllQuantileRows(
+        t(s, dir, "lineitem")
+          .filter(F.col("l_extendedprice").isNotNull)
+          .groupBy("l_returnflag")
+          .agg(ag(F.col("l_extendedprice").cast("double")).as("e")),
+        "l_returnflag", qs)
     }),
     // importance-WEIGHTED quantiles via the same KLL sketch: doc-length
     // distribution weighted by token count — "what doc length does the
     // median TOKEN live in", the distribution a training pipeline
     // actually samples from. Weights decompose into binary digits across
-    // sketch levels (exact multiset semantics); k=2^18 keeps every
-    // fixture group lossless, so the oracle hash-pins the weighted
-    // value-at-rank-ceil(q*W) convention.
+    // sketch levels (exact multiset semantics). Lossless-regime sizing:
+    // the EFFECTIVE level-0 budget is k*(2/3)^ceil(log2 maxWeight), so
+    // k=2^18 with fixture weights ~100 (top=7) gives ~15k per group vs
+    // <=250 docs — ample; KllQuantilesSpec pins `compactions == 0` on
+    // the real fixture so a fixture change that leaves the regime fails
+    // loudly instead of turning this cell nondeterministically red.
     "q_weighted_quantiles" -> ((s, dir) => {
       val qs = Seq(0.5, 0.95)
       val ag = F.udaf(new graft.functions.KllWeightedQuantilesAggregator(262144, qs),
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
-      t(s, dir, "documents")
-        .withColumn("wt", F.size(F.split(F.col("text"), " ")).cast("long"))
-        .filter(F.col("n_chars").isNotNull && F.col("wt") > 0)
-        .groupBy("source")
-        .agg(ag(F.col("n_chars").cast("double"), F.col("wt")).as("e"))
-        .select(F.col("source"), F.posexplode(F.col("e.ests")).as(Seq("i", "est0")))
-        .select(F.col("source"),
-          F.element_at(F.array(qs.map(F.lit): _*), F.col("i").cast("int") + 1).as("q"),
-          F.round(F.col("est0"), 4).as("est"))
+      kllQuantileRows(
+        t(s, dir, "documents")
+          .withColumn("wt", F.size(F.split(F.col("text"), " ")).cast("long"))
+          .filter(F.col("n_chars").isNotNull && F.col("wt") > 0)
+          .groupBy("source")
+          .agg(ag(F.col("n_chars").cast("double"), F.col("wt")).as("e")),
+        "source", qs)
     }),
     // exact percentiles PER GROUP (sorted-interpolation, deterministic)
     "q_grouped_percentiles" -> ((s, dir) =>
@@ -2122,6 +2121,18 @@ object SparkEntry {
 
   private val minhashCandSelect: String =
     "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id"
+
+  /** Shared post-aggregation projection of the KLL quantile queries:
+    * (key, q, est) rows from a frame whose `e` column is KllEstimates
+    * over `qs` — ONE copy of the posexplode / q-literal-zip / round-4
+    * output convention for both the unweighted and weighted forms. */
+  private def kllQuantileRows(grouped: org.apache.spark.sql.DataFrame,
+                              keyCol: String, qs: Seq[Double]): org.apache.spark.sql.DataFrame =
+    grouped
+      .select(F.col(keyCol), F.posexplode(F.col("e.ests")).as(Seq("i", "est0")))
+      .select(F.col(keyCol),
+        F.element_at(F.array(qs.map(F.lit): _*), F.col("i").cast("int") + 1).as("q"),
+        F.round(F.col("est0"), 4).as("est"))
 
   private def cosineOracle(pairsCte: String, dims: Int = 64): String =
     pairsCte +

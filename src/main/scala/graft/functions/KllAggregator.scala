@@ -5,8 +5,13 @@ import org.apache.spark.sql.expressions.Aggregator
 
 /** Mergeable KLL-style quantile sketch buffer: `levels(h)` holds items of
   * weight 2^h, `flips(h)` alternates which half a compaction of level h
-  * keeps, `n` is the total (weighted) item count. */
-final case class KllSketch(levels: Seq[Seq[Double]], flips: Seq[Boolean], n: Long)
+  * keeps, `n` is the total (weighted) item count, `compactions` counts
+  * how many compaction steps have ever fired (0 = the sketch is EXACT —
+  * the observable lossless-regime flag the hash-pinned oracles rely on;
+  * sums under merge; not persisted by the streaming partial rows, which
+  * carry only the item multiset). */
+final case class KllSketch(levels: Seq[Seq[Double]], flips: Seq[Boolean], n: Long,
+                           compactions: Long = 0L)
 
 /** Estimates wrapper (product-encodable aggregator output). */
 final case class KllEstimates(ests: Seq[Double])
@@ -62,7 +67,8 @@ object Kll {
   def empty: KllSketch = KllSketch(Vector(Vector.empty), Vector(false), 0L)
 
   def insert(s: KllSketch, x: Double, k: Int): KllSketch =
-    compress(KllSketch(s.levels.updated(0, x +: s.levels.head.toVector), s.flips, s.n + 1), k)
+    compress(KllSketch(s.levels.updated(0, x +: s.levels.head.toVector),
+      s.flips, s.n + 1, s.compactions), k)
 
   /** Weighted insert: an item of weight `w` decomposes into its binary
     * digits — one copy at each level h where bit h of w is set (level h
@@ -83,7 +89,12 @@ object Kll {
       ww >>= 1
       h += 1
     }
-    compress(KllSketch(levels, flips, s.n + w), k)
+    // NOTE the capacity interaction: growing the hierarchy to bitlen(w)
+    // levels shrinks LOW-level capacities to k*(2/3)^top — the effective
+    // level-0 budget under max weight W is k*(2/3)^⌈log2 W⌉, which is
+    // what a lossless-regime claim must be sized against (and what the
+    // `compactions` counter makes checkable instead of assumed).
+    compress(KllSketch(levels, flips, s.n + w, s.compactions), k)
   }
 
   /** Compact the lowest overflowing level until every level fits. */
@@ -105,9 +116,13 @@ object Kll {
         else levels0 :+ kept.toVector
       val flips0 = s.flips.toVector.updated(h, !s.flips(h))
       val flips1 = if (h + 1 <= top) flips0 else flips0 :+ false
-      compress(KllSketch(levels1, flips1, s.n), k)
+      compress(KllSketch(levels1, flips1, s.n, s.compactions + 1), k)
     }
   }
+
+  /** True iff no compaction has ever fired: estimates are the EXACT
+    * value-at-rank answers and bitwise stable under any merge order. */
+  def isExact(s: KllSketch): Boolean = s.compactions == 0L
 
   def merge(a: KllSketch, b: KllSketch, k: Int): KllSketch = {
     val depth = math.max(a.levels.size, b.levels.size)
@@ -121,7 +136,7 @@ object Kll {
       val fb = h < b.flips.size && b.flips(h)
       fa ^ fb
     }
-    compress(KllSketch(levels, flips, a.n + b.n), k)
+    compress(KllSketch(levels, flips, a.n + b.n, a.compactions + b.compactions), k)
   }
 
   /** The value whose cumulative weight first reaches ⌈q·n⌉ in the
@@ -169,31 +184,31 @@ final class KllSketchAggregator(k: Int) extends Aggregator[Double, KllSketch, Kl
   override def outputEncoder: Encoder[KllSketch] = Encoders.product[KllSketch]
 }
 
+/** Shared scaffold of the quantile-valued aggregators: everything except
+  * the per-row reduce (unweighted vs weighted insert) lives once here. */
+sealed abstract class KllQuantilesAggBase[I](k: Int, qs: Seq[Double])
+    extends Aggregator[I, KllSketch, KllEstimates] {
+  require(k >= 8, "sketch capacity must be >= 8")
+  require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0, 1]")
+  protected final def capacity: Int = k
+  override final def zero: KllSketch = Kll.empty
+  override final def merge(a: KllSketch, b: KllSketch): KllSketch = Kll.merge(a, b, k)
+  override final def finish(r: KllSketch): KllEstimates = KllEstimates(Kll.estimates(r, qs))
+  override final def bufferEncoder: Encoder[KllSketch] = Encoders.product[KllSketch]
+  override final def outputEncoder: Encoder[KllEstimates] = Encoders.product[KllEstimates]
+}
+
 /** Quantile-valued aggregator: finish collapses the sketch to estimates
   * at the requested ranks (one array column; zip with the q list). */
 final class KllQuantilesAggregator(k: Int, qs: Seq[Double])
-    extends Aggregator[Double, KllSketch, KllEstimates] {
-  require(k >= 8, "sketch capacity must be >= 8")
-  require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0, 1]")
-  override def zero: KllSketch = Kll.empty
-  override def reduce(b: KllSketch, x: Double): KllSketch = Kll.insert(b, x, k)
-  override def merge(a: KllSketch, b: KllSketch): KllSketch = Kll.merge(a, b, k)
-  override def finish(r: KllSketch): KllEstimates = KllEstimates(Kll.estimates(r, qs))
-  override def bufferEncoder: Encoder[KllSketch] = Encoders.product[KllSketch]
-  override def outputEncoder: Encoder[KllEstimates] = Encoders.product[KllEstimates]
+    extends KllQuantilesAggBase[Double](k, qs) {
+  override def reduce(b: KllSketch, x: Double): KllSketch = Kll.insert(b, x, capacity)
 }
 
 /** Weighted-input twin: rows are (value, weight); quantiles are over the
   * weight-expanded multiset (rank target ⌈q·Σw⌉). */
 final class KllWeightedQuantilesAggregator(k: Int, qs: Seq[Double])
-    extends Aggregator[(Double, Long), KllSketch, KllEstimates] {
-  require(k >= 8, "sketch capacity must be >= 8")
-  require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "qs in (0, 1]")
-  override def zero: KllSketch = Kll.empty
+    extends KllQuantilesAggBase[(Double, Long)](k, qs) {
   override def reduce(b: KllSketch, xw: (Double, Long)): KllSketch =
-    Kll.insertWeighted(b, xw._1, xw._2, k)
-  override def merge(a: KllSketch, b: KllSketch): KllSketch = Kll.merge(a, b, k)
-  override def finish(r: KllSketch): KllEstimates = KllEstimates(Kll.estimates(r, qs))
-  override def bufferEncoder: Encoder[KllSketch] = Encoders.product[KllSketch]
-  override def outputEncoder: Encoder[KllEstimates] = Encoders.product[KllEstimates]
+    Kll.insertWeighted(b, xw._1, xw._2, capacity)
 }

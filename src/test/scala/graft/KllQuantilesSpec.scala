@@ -159,6 +159,26 @@ class KllQuantilesSpec extends SparkSpec {
     }
   }
 
+  it("the q_weighted_quantiles fixture genuinely sits in the lossless regime (compactions == 0)") {
+    // The oracle hash-pins exact weighted value-at-rank answers, which
+    // holds ONLY while nothing compacts; the effective level-0 budget is
+    // k*(2/3)^ceil(log2 maxWeight), not k. This pins today's fixture
+    // inside the regime so a fixture change fails here with a diagnosis,
+    // not as a nondeterministically red oracle cell.
+    val rows = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .selectExpr("source", "CAST(n_chars AS DOUBLE) AS v",
+        "CAST(size(split(text, ' ')) AS LONG) AS wt")
+      .where("n_chars IS NOT NULL AND size(split(text, ' ')) > 0")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val k = 262144 // the q_weighted_quantiles capacity
+    rows.groupBy(_._1).foreach { case (src, grp) =>
+      val s = grp.foldLeft(Kll.empty) { case (b, (_, v, w)) => Kll.insertWeighted(b, v, w, k) }
+      withClue(s"source $src left the lossless regime: ") {
+        Kll.isExact(s) shouldBe true
+      }
+    }
+  }
+
   it("grouped streaming partials merge to exact per-group answers at ample capacity") {
     import java.nio.file.{Files => JFiles, Paths}
     val r = new scala.util.Random(23)

@@ -777,6 +777,114 @@ object SparkEntry {
           (F.abs(F.col("ndv_est") - F.col("__ndv_exact")) / F.col("__ndv_exact") <= 0.05)
             .as("ndv_ok"))
     }),
+    // Corpus-slice set algebra at sketch fidelity, LOSSLESS regime:
+    // per-event-type distinct-user theta (KMV) sketches — the sketch
+    // family where INTERSECTIONS are estimable, which HLL cannot do —
+    // k=4096 exceeds every fixture's user cardinality, so nothing
+    // saturates and every pairwise estimate is EXACT: the oracle
+    // hash-pins the full estimator path (exploded-hash joins, common-
+    // threshold counts, the `saturated` observability bit). The error
+    // bound at saturation is spec-gated (ThetaSketchSpec, ApproxSpec
+    // pattern) and the saturated regime has its own gated query below.
+    "q_theta_users" -> ((s, dir) => {
+      val k = 4096
+      val sk = SetSketches.sketchSets(t(s, dir, "events"), "event_type", F.col("user_id"), k)
+      SetSketches.pairOverlap(sk, k)
+        .select(F.col("set_a"), F.col("set_b"),
+          F.col("est_a").cast("long").as("n_a"),
+          F.col("est_b").cast("long").as("n_b"),
+          F.col("est_intersect").cast("long").as("n_intersect"),
+          F.col("est_union").cast("long").as("n_union"),
+          F.round(F.col("est_jaccard"), 4).as("jaccard"),
+          (F.col("saturated_a") || F.col("saturated_b")).as("saturated"))
+    }),
+    // The SATURATED theta regime, error-gated in-query (the
+    // q_col_stats_approx treatment): per-returnflag orderkey sets
+    // (~1.1k–110k distinct per flag across SFs) sketched at k=1024, the
+    // pairwise estimates compared against exact counts computed in the
+    // same query. The oracle pins the exact counts and TRUE for each
+    // gate — estimator drift past the bound turns the cell red. Gates
+    // carry >=3x headroom over the KMV RSE (~1/sqrt(k) single-set; the
+    // intersection scales with the matched share of the common sample).
+    "q_theta_overlap" -> ((s, dir) => {
+      val k = 1024
+      val li = t(s, dir, "lineitem")
+      val sk = SetSketches.sketchSets(li, "l_returnflag", F.col("l_orderkey"), k)
+      val est = SetSketches.pairOverlap(sk, k)
+      val d = li.select(F.col("l_returnflag").as("f"), F.col("l_orderkey").as("okey")).distinct()
+      val n = d.groupBy("f").agg(F.count(F.lit(1)).as("n"))
+      val inter = d.as("x").join(d.as("y"),
+          F.col("x.okey") === F.col("y.okey") && F.col("x.f") < F.col("y.f"))
+        .groupBy(F.col("x.f").as("set_a"), F.col("y.f").as("set_b"))
+        .agg(F.count(F.lit(1)).as("n_intersect"))
+      est.join(inter, Seq("set_a", "set_b"))
+        .join(n.select(F.col("f").as("set_a"), F.col("n").as("n_a")), "set_a")
+        .join(n.select(F.col("f").as("set_b"), F.col("n").as("n_b")), "set_b")
+        .select(F.col("set_a"), F.col("set_b"),
+          F.col("n_a"), F.col("n_b"), F.col("n_intersect"),
+          (F.abs(F.col("est_a") - F.col("n_a")) / F.col("n_a") <= 0.10).as("card_ok"),
+          (F.abs(F.col("est_intersect") - F.col("n_intersect")) / F.col("n_intersect") <= 0.15)
+            .as("intersect_ok"),
+          (F.abs(F.col("est_jaccard") - F.col("n_intersect").cast("double") /
+            (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).cast("double")) <= 0.05)
+            .as("jaccard_ok"))
+    }),
+    // Jaro-Winkler fuzzy-name scoring over brand-blocked part pairs: the
+    // native codegen'd expression (JaroWinklerExpr.scala) scores each
+    // candidate pair; top-20 by 4-decimal-rounded similarity with key
+    // tiebreaks (the cross-engine determinism convention) via
+    // orderBy+limit => TakeOrderedAndProject. The expression's semantics
+    // are fuzz-pinned to DuckDB's jaro_winkler_similarity, which is what
+    // the oracle calls.
+    "q_jaro_winkler" -> ((s, dir) => {
+      val jw = org.apache.spark.sql.graftnative.JaroWinklerSimilarity.sim _
+      val p = t(s, dir, "part").filter(F.col("p_partkey") <= 400)
+      val a = p.select(F.col("p_partkey").as("ka"), F.col("p_brand").as("brand"),
+        F.col("p_name").as("name_a"))
+      val b = p.select(F.col("p_partkey").as("kb"), F.col("p_brand").as("brand"),
+        F.col("p_name").as("name_b"))
+      a.join(b, Seq("brand")).filter(F.col("ka") < F.col("kb"))
+        .select(F.col("ka"), F.col("kb"),
+          F.round(jw(F.col("name_a"), F.col("name_b")), 4).as("jw_sim"))
+        .orderBy(F.col("jw_sim").desc, F.col("ka"), F.col("kb"))
+        .limit(20)
+    }),
+    // Community detection by deterministic synchronous label propagation
+    // over the same thresholded supplier co-order projection as
+    // q_triangle_count; the oracle unrolls the 3 rounds as CTEs (the
+    // pageRank discipline — counts and min-label tiebreaks are integer-
+    // exact, so the trajectory is engine-identical).
+    "q_label_prop" -> ((s, dir) => {
+      val su = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_suppkey").as("sk")).distinct()
+      val e = su.as("x").join(su.as("y"),
+          F.col("x.o") === F.col("y.o") && F.col("x.sk") < F.col("y.sk"))
+        .groupBy(F.col("x.sk").as("src"), F.col("y.sk").as("dst"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("src", "dst")
+      Graph.labelPropagation(e, iters = 3)
+    }),
+    // Pareto skyline (cheapest AND largest parts): pivot-prefiltered
+    // local-then-global BNL (Skyline.scala); the oracle is the literal
+    // quadratic NOT EXISTS dominance definition, so equality proves the
+    // distributed plan loses/keeps exactly the nondominated set.
+    "q_skyline" -> ((s, dir) =>
+      Skyline.skyline(
+        t(s, dir, "part")
+          .select(F.col("p_partkey"), F.col("p_size"),
+            F.col("p_retailprice").cast("double").as("p_price")),
+        Seq(("p_price", false), ("p_size", true)))),
+    // Robust (median/MAD) volume anomalies over daily per-type event
+    // counts: median-based so the baseline is not dragged by the spikes
+    // it must expose; robust_z rounded, MAD=0 degenerate branch mirrored
+    // exactly in the oracle.
+    "q_anomaly_mad" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(F.col("event_type"), F.to_date(F.col("ts")).as("day"))
+        .agg(F.count(F.lit(1)).as("c"))
+      TimeSeries.robustAnomalies(daily, "event_type", "c", sigma = 3.0)
+    }),
     // Join-size identity: predicted equi-join cardinality from key-level
     // count frames, never materializing the join (oracle counts the real
     // join — equality proves exactness).
@@ -2199,6 +2307,25 @@ object SparkEntry {
     * survive a round — the [[graft.operators.Graph.pageRank]] trajectory
     * replayed exactly. `1.0 - damping` is interpolated from the SAME
     * Scala subtraction the Spark side constant-folds. */
+  /** Unrolled synchronous-LPA mirror over the thresholded supplier
+    * co-order projection: round i = neighbor-label counts (c_i) then the
+    * deterministic argmax (max count, min label — row_number with the
+    * same composite order the engine's struct-min encodes). */
+  private def labelPropOracle(iters: Int): String = {
+    val base = "WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), " +
+      "e0 AS (SELECT x.sk AS a, y.sk AS b FROM su x JOIN su y ON x.o = y.o AND x.sk < y.sk " +
+      "GROUP BY 1, 2 HAVING count(*) >= 5), " +
+      "e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0), " +
+      "l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e)"
+    val rounds = (1 to iters).map { i =>
+      s"c$i AS (SELECT e.src AS node, l${i - 1}.lbl, count(*) AS c " +
+        s"FROM e JOIN l${i - 1} ON e.dst = l${i - 1}.id GROUP BY 1, 2), " +
+        s"l$i AS (SELECT node AS id, lbl FROM (SELECT node, lbl, " +
+        s"row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"
+    }.mkString(", ", ", ", "")
+    base + rounds + s" SELECT id AS node_id, lbl AS label FROM l$iters"
+  }
+
   private def pageRankOracle(damping: Double, iters: Int): String = {
     val omd = 1.0 - damping
     "WITH e0 AS (SELECT o.o_custkey AS c, l.l_suppkey AS s, CAST(count(*) AS DOUBLE) AS w " +
@@ -2699,6 +2826,53 @@ object SparkEntry {
           s"TRUE AS ndv_ok FROM events").mkString(" UNION ALL "),
     "q_join_card" ->
       "SELECT count(*) AS est_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+    // Lossless-regime theta pin: exact pairwise distinct-user overlap.
+    "q_theta_users" ->
+      ("WITH s AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1), " +
+        "p AS (SELECT a.event_type AS set_a, b.event_type AS set_b, CAST(count(*) AS BIGINT) AS n_i " +
+        "FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2), " +
+        "pp AS (SELECT x.event_type AS set_a, y.event_type AS set_b FROM n x JOIN n y ON x.event_type < y.event_type) " +
+        "SELECT pp.set_a, pp.set_b, na.n AS n_a, nb.n AS n_b, " +
+        "COALESCE(p.n_i, 0) AS n_intersect, " +
+        "na.n + nb.n - COALESCE(p.n_i, 0) AS n_union, " +
+        "round(CAST(COALESCE(p.n_i, 0) AS DOUBLE) / CAST(na.n + nb.n - COALESCE(p.n_i, 0) AS DOUBLE), 4) AS jaccard, " +
+        "FALSE AS saturated " +
+        "FROM pp JOIN n na ON na.event_type = pp.set_a JOIN n nb ON nb.event_type = pp.set_b " +
+        "LEFT JOIN p ON p.set_a = pp.set_a AND p.set_b = pp.set_b"),
+    // Saturated-regime gates: exact counts + TRUE per in-query bound.
+    "q_theta_overlap" ->
+      ("WITH d AS (SELECT DISTINCT l_returnflag AS f, l_orderkey AS okey FROM lineitem), " +
+        "n AS (SELECT f, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), " +
+        "p AS (SELECT x.f AS set_a, y.f AS set_b, CAST(count(*) AS BIGINT) AS n_intersect " +
+        "FROM d x JOIN d y ON x.okey = y.okey AND x.f < y.f GROUP BY 1, 2) " +
+        "SELECT p.set_a, p.set_b, na.n AS n_a, nb.n AS n_b, p.n_intersect, " +
+        "TRUE AS card_ok, TRUE AS intersect_ok, TRUE AS jaccard_ok " +
+        "FROM p JOIN n na ON na.f = p.set_a JOIN n nb ON nb.f = p.set_b"),
+    "q_jaro_winkler" ->
+      ("SELECT ka, kb, jw_sim FROM (" +
+        "SELECT a.p_partkey AS ka, b.p_partkey AS kb, " +
+        "round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw_sim " +
+        "FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey " +
+        "WHERE a.p_partkey <= 400 AND b.p_partkey <= 400) " +
+        "ORDER BY jw_sim DESC, ka, kb LIMIT 20"),
+    "q_label_prop" -> labelPropOracle(iters = 3),
+    "q_skyline" ->
+      ("WITH t AS (SELECT p_partkey, p_size, CAST(p_retailprice AS DOUBLE) AS p_price FROM part) " +
+        "SELECT p_partkey, p_size, p_price FROM t x " +
+        "WHERE NOT EXISTS (SELECT 1 FROM t q WHERE q.p_price <= x.p_price AND q.p_size >= x.p_size " +
+        "AND (q.p_price < x.p_price OR q.p_size > x.p_size))"),
+    "q_anomaly_mad" ->
+      ("WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c " +
+        "FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, median(c) AS med FROM d GROUP BY 1), " +
+        "a AS (SELECT d.event_type, d.day, d.c, m.med, abs(d.c - m.med) AS dev " +
+        "FROM d JOIN m USING (event_type)), " +
+        "md AS (SELECT event_type, median(dev) AS mad FROM a GROUP BY 1) " +
+        "SELECT a.event_type, a.day, a.c, " +
+        "CASE WHEN mad = 0 THEN NULL ELSE round((a.c - a.med) / (CAST(1.4826 AS DOUBLE) * mad), 4) END AS robust_z, " +
+        "CASE WHEN mad = 0 THEN dev > 0 ELSE dev > CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad END AS is_anomaly " +
+        "FROM a JOIN md USING (event_type)"),
     // 24 CASE-sum profile terms, then the shared cosine chain at dims=24.
     "q_ts_user_topk" -> cosineOracle(
       "WITH prof AS (SELECT user_id, [" +

@@ -60,6 +60,48 @@ object Graph {
     rank.select(F.col("id").as("node_id"), F.round(F.col("r"), 6).as("pagerank"))
   }
 
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert, Kumara 2007, made deterministic): labels start as node ids;
+    * each round every node adopts the most frequent label among its
+    * neighbors, ties broken by SMALLEST label — no randomness, so the
+    * trajectory is a pure function of the edge list and `iters`, and an
+    * unrolled SQL mirror reproduces it exactly (the pageRank discipline;
+    * asynchronous/randomized LPA would not be oracle-able).
+    *
+    * Scale shape: the symmetrized edge list is pinned ONCE; each round is
+    * one |E|-row join against the |V|-row label table, a map-side-
+    * combinable (node, label) count, and a struct-min argmin — no window,
+    * no global sort. Fixed `iters` bounds cost (synchronous LPA can
+    * oscillate on bipartite structures rather than converge; a production
+    * run layers a stability check on top).
+    *
+    * Input: two-column edge frame, any orientation; self-loops dropped,
+    * duplicates collapsed. Output: (node_id, label). */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val a = F.col(edges.columns(0))
+    val b = F.col(edges.columns(1))
+    val half = edges.select(a.as("src"), b.as("dst")).filter(F.col("src") =!= F.col("dst"))
+    val und = half
+      .unionAll(half.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      .distinct()
+      .repartition(F.col("dst")) // each round's join keys on dst
+      .localCheckpoint(true)
+    var labels = und.select(F.col("src").as("id")).distinct()
+      .select(F.col("id"), F.col("id").as("lbl"))
+    for (_ <- 1 to iters) {
+      val nb = und.join(labels, und("dst") === labels("id"))
+        .select(und("src").as("node"), F.col("lbl"))
+      labels = nb.groupBy("node", "lbl")
+        .agg(F.count(F.lit(1)).as("c"))
+        .groupBy("node")
+        // lexicographic struct-min = (max count, then min label): the
+        // deterministic tie-break without a per-node sort window
+        .agg(F.min(F.struct((-F.col("c")).as("nc"), F.col("lbl").as("l"))).as("m"))
+        .select(F.col("node").as("id"), F.col("m.l").as("lbl"))
+    }
+    labels.select(F.col("id").as("node_id"), F.col("lbl").as("label"))
+  }
+
   /** Per-node triangle counts over an undirected edge list (any input
     * orientation; self-loops and duplicates removed here) — the clustering
     * signal community/spam analysis runs at corpus scale.

@@ -190,4 +190,41 @@ object TimeSeries {
           (Similarity.norm(F.col("qv")) * Similarity.norm(F.col("cv"))), 4).as("cos_sim"))
     Similarity.topKPerQuery(scored, "cos_sim", k)
   }
+
+  /** Robust (median/MAD) anomaly scoring of a keyed series — the volume-
+    * monitoring shape: flag the days whose event count sits far outside
+    * the group's typical spread. Median + MAD instead of mean + stddev
+    * because the baseline must not be dragged by the very outliers it is
+    * meant to expose (one 100× ingest spike inflates a stddev threshold
+    * enough to hide every smaller incident; it barely moves the MAD).
+    *
+    * robust_z = (v − median) / (1.4826 · MAD), the consistency constant
+    * making MAD estimate σ under normality; |robust_z| > `sigma` flags.
+    * When MAD = 0 (over half the series at the median) any deviation at
+    * all is flagged and robust_z is null.
+    *
+    * Cost: two exact grouped percentiles plus broadcastable joins of the
+    * per-key scalar frames — the input here is already an aggregate
+    * (e.g. day × key counts: |keys|·|days| rows, not raw events), so
+    * exact `percentile` is the right fidelity; swap in the KLL sketch
+    * ([[graft.functions.KllQuantilesAggregator]]) when scoring must ride
+    * a raw unaggregated stream. */
+  def robustAnomalies(series: DataFrame, keyCol: String, valCol: String,
+                      sigma: Double = 3.0): DataFrame = {
+    val v = F.col(valCol).cast("double")
+    val med = series.groupBy(F.col(keyCol))
+      .agg(F.expr(s"percentile($valCol, 0.5)").as("__med"))
+    val withMed = series.join(med, keyCol)
+      .withColumn("__dev", F.abs(v - F.col("__med")))
+    val mad = withMed.groupBy(F.col(keyCol))
+      .agg(F.expr("percentile(__dev, 0.5)").as("__mad"))
+    withMed.join(mad, keyCol)
+      .withColumn("robust_z",
+        F.when(F.col("__mad") === 0.0, F.lit(null).cast("double"))
+          .otherwise(F.round((v - F.col("__med")) / (F.lit(1.4826) * F.col("__mad")), 4)))
+      .withColumn("is_anomaly",
+        F.when(F.col("__mad") === 0.0, F.col("__dev") > 0.0)
+          .otherwise(F.col("__dev") > F.lit(sigma * 1.4826) * F.col("__mad")))
+      .drop("__med", "__dev", "__mad")
+  }
 }

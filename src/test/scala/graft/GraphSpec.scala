@@ -74,4 +74,54 @@ class GraphSpec extends SparkSpec {
     val e = Seq(("u1", "v1"), ("u1", "v2"), ("u2", "v1"), ("u2", "v2"))
     triangles(e) shouldBe Map.empty
   }
+
+  // ---- labelPropagation ---------------------------------------------
+
+  private def lpa(e: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(e.toDF("a", "b"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Reference synchronous LPA: neighbors only, most frequent label,
+    * min-label tiebreak — the operator's contract, restated naively. */
+  private def lpaRef(e: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = (e ++ e.map(_.swap)).filter(p => p._1 != p._2).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).view.mapValues(_.size).toMap
+        n -> counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }
+    }
+    labels
+  }
+
+  it("K4 collapses to the minimum id's community in two rounds") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    lpa(k4, 2).values.toSet shouldBe Set(1L)
+  }
+
+  it("matches the reference trajectory on a random graph, any iters") {
+    val r = new scala.util.Random(11)
+    val e = Seq.fill(60)((r.nextInt(20).toLong, r.nextInt(20).toLong))
+      .filter(p => p._1 != p._2)
+    (1 to 4).foreach { iters =>
+      lpa(e, iters) shouldBe lpaRef(e, iters)
+    }
+  }
+
+  it("two cliques joined by a bridge keep two communities") {
+    val c1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val c2 = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val out = lpa(c1 ++ c2 :+ ((4L, 11L)), 3)
+    out shouldBe lpaRef(c1 ++ c2 :+ ((4L, 11L)), 3)
+    (1L to 4L).map(out).toSet.size shouldBe 1
+    (11L to 14L).map(out).toSet.size shouldBe 1
+    out(1L) should not be out(12L)
+  }
+
+  it("ignores orientation, duplicate edges, and self-loops") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
+    lpa(messy, 2) shouldBe lpaRef(Seq((1L, 2L), (2L, 3L)), 2)
+  }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+import graft.operators.{Skyline, TimeSeries}
+
+/** Pareto skyline vs the brute-force dominance definition, plus the
+  * robust (median/MAD) anomaly scorer. */
+class SkylineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force skyline over (id, dims...) with all dims minimized. */
+  private def brute(points: Seq[(Long, Seq[Double])]): Set[Long] =
+    points.filterNot { case (_, p) =>
+      points.exists { case (_, q) =>
+        q.zip(p).forall { case (x, y) => x <= y } &&
+          q.zip(p).exists { case (x, y) => x < y }
+      }
+    }.map(_._1).toSet
+
+  private def run(df: DataFrame, dims: Seq[(String, Boolean)]): Set[Long] =
+    Skyline.skyline(df, dims).select("id").as[Long].collect().toSet
+
+  it("matches brute force on a known 2-D set with ties and duplicates") {
+    // minimize x, maximize y; (1,9) appears twice — both copies survive
+    val pts = Seq(
+      (1L, 1.0, 9.0), (2L, 1.0, 9.0), (3L, 2.0, 9.0), (4L, 1.0, 5.0),
+      (5L, 3.0, 10.0), (6L, 4.0, 10.0), (7L, 5.0, 1.0), (8L, 2.0, 8.0))
+    val out = run(pts.toDF("id", "x", "y"), Seq(("x", false), ("y", true)))
+    out shouldBe brute(pts.map { case (id, x, y) => (id, Seq(x, -y)) })
+    out should contain allOf (1L, 2L, 5L) // dup optima + the y=10 frontier
+    out should contain noneOf (3L, 4L, 6L, 7L, 8L)
+  }
+
+  it("matches brute force on random 3-D data across many partitions") {
+    val r = new scala.util.Random(17)
+    val pts = (1L to 500L).map(i =>
+      (i, r.nextInt(40).toDouble, r.nextInt(40).toDouble, r.nextInt(40).toDouble))
+    val df = pts.toDF("id", "a", "b", "c").repartition(7)
+    val out = run(df, Seq(("a", false), ("b", true), ("c", false)))
+    out shouldBe brute(pts.map { case (id, a, b, c) => (id, Seq(a, -b, c)) })
+  }
+
+  it("anti-correlated data: the whole frontier survives") {
+    val pts = (1L to 50L).map(i => (i, i.toDouble, i.toDouble))
+    val out = run(pts.toDF("id", "x", "y"), Seq(("x", false), ("y", true)))
+    out shouldBe (1L to 50L).toSet
+  }
+
+  it("single dimension: all minima (duplicates included) survive") {
+    val pts = Seq((1L, 3.0), (2L, 1.0), (3L, 1.0), (4L, 2.0))
+    run(pts.toDF("id", "x"), Seq(("x", false))) shouldBe Set(2L, 3L)
+  }
+
+  // ---- robustAnomalies ----------------------------------------------
+
+  it("flags only the MAD-outlier and scores the rest near zero") {
+    // key "a": baseline 10s with one wild spike; robust stats must not
+    // let the spike drag the threshold
+    val rows = Seq(("a", 10.0), ("a", 11.0), ("a", 9.0), ("a", 10.0),
+      ("a", 12.0), ("a", 8.0), ("a", 100.0))
+    val out = TimeSeries.robustAnomalies(rows.toDF("k", "v"), "k", "v")
+      .select("v", "robust_z", "is_anomaly")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getBoolean(2)))
+    val (spikes, normal) = out.partition(_._1 == 100.0)
+    spikes.map(_._3) shouldBe Array(true)
+    normal.foreach { case (_, z, flagged) =>
+      flagged shouldBe false
+      math.abs(z) should be < 3.0
+    }
+  }
+
+  it("MAD = 0: any deviation flags, robust_z is null") {
+    val rows = Seq(("k", 5.0), ("k", 5.0), ("k", 5.0), ("k", 7.0))
+    val out = TimeSeries.robustAnomalies(rows.toDF("k", "v"), "k", "v")
+      .select("v", "robust_z", "is_anomaly").collect()
+    out.foreach { r =>
+      r.isNullAt(1) shouldBe true
+      r.getBoolean(2) shouldBe (r.getDouble(0) != 5.0)
+    }
+  }
+}

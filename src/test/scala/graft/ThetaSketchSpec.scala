@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.functions.Theta
+import graft.operators.SetSketches
+
+/** Deterministic theta (KMV) sketch: exact below saturation, bounded
+  * error above, merge/replay stability, and the distributed pairwise
+  * set-operation estimates. */
+class ThetaSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sketchOf(items: Seq[String], k: Int) =
+    Theta.consolidate(items.foldLeft(Theta.empty(k))(Theta.insert))
+
+  it("is exact (and reports unsaturated) below k distinct values") {
+    val items = (1 to 900).map(i => s"v$i")
+    val s = sketchOf(items ++ items, k = 1024) // duplicates must not count
+    Theta.saturated(s) shouldBe false
+    Theta.estimate(s) shouldBe 900.0
+  }
+
+  it("estimates within the KMV error bound once saturated") {
+    val n = 200000
+    val s = sketchOf((1 to n).map(i => s"item$i"), k = 1024)
+    Theta.saturated(s) shouldBe true
+    val rse = 1.0 / math.sqrt(1024 - 2)
+    math.abs(Theta.estimate(s) - n) / n should be < 3 * rse
+  }
+
+  it("merge is associative, commutative, and equals the one-pass sketch") {
+    val all = (1 to 5000).map(i => s"x$i")
+    val Seq(a, b, c) = all.grouped(1700).toSeq.map(g => sketchOf(g, 256)).padTo(3, Theta.empty(256))
+    val onePass = sketchOf(all, 256)
+    Theta.merge(Theta.merge(a, b), c).retained shouldBe onePass.retained
+    Theta.merge(a, Theta.merge(b, c)).retained shouldBe onePass.retained
+    Theta.merge(c, Theta.merge(a, b)).retained shouldBe onePass.retained
+  }
+
+  it("replays from exploded hash rows (the streaming-partial path)") {
+    val items = (1 to 3000).map(i => s"h$i")
+    val s = sketchOf(items, 512)
+    val replayed = Theta.fromHashes(512, scala.util.Random.shuffle(s.retained.toVector))
+    replayed.retained shouldBe s.retained
+    Theta.estimate(replayed) shouldBe Theta.estimate(s)
+  }
+
+  it("pairwise estimates are exact in the lossless regime") {
+    val rows = (1 to 50).map(i => ("a", s"u$i")) ++ (26 to 75).map(i => ("b", s"u$i"))
+    val sk = SetSketches.sketchSets(rows.toDF("slice", "uid"), "slice", F.col("uid"), k = 64)
+    val out = SetSketches.pairOverlap(sk, 64).collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getAs[Double]("est_a") shouldBe 50.0
+    r.getAs[Double]("est_b") shouldBe 50.0
+    r.getAs[Double]("est_intersect") shouldBe 25.0
+    r.getAs[Double]("est_union") shouldBe 75.0
+    r.getAs[Double]("est_diff_ab") shouldBe 25.0
+    r.getAs[Double]("est_jaccard") shouldBe 25.0 / 75.0
+    r.getAs[Boolean]("saturated_a") shouldBe false
+  }
+
+  it("pairwise estimates hold their bounds in the saturated regime") {
+    val rows = (1 to 60000).map(i => ("a", s"u$i")) ++
+      (30001 to 90000).map(i => ("b", s"u$i"))
+    val sk = SetSketches.sketchSets(rows.toDF("slice", "uid"), "slice", F.col("uid"), k = 2048)
+    val r = SetSketches.pairOverlap(sk, 2048).collect().head
+    r.getAs[Boolean]("saturated_a") shouldBe true
+    math.abs(r.getAs[Double]("est_a") - 60000) / 60000.0 should be < 0.1
+    math.abs(r.getAs[Double]("est_intersect") - 30000) / 30000.0 should be < 0.1
+    math.abs(r.getAs[Double]("est_union") - 90000) / 90000.0 should be < 0.1
+    math.abs(r.getAs[Double]("est_diff_ab") - 30000) / 30000.0 should be < 0.15
+    math.abs(r.getAs[Double]("est_jaccard") - 1.0 / 3.0) should be < 0.05
+  }
+
+  it("disjoint slices estimate an empty intersection") {
+    val rows = (1 to 5000).map(i => ("a", s"l$i")) ++ (1 to 5000).map(i => ("b", s"r$i"))
+    val sk = SetSketches.sketchSets(rows.toDF("slice", "uid"), "slice", F.col("uid"), k = 512)
+    val r = SetSketches.pairOverlap(sk, 512).collect().head
+    r.getAs[Double]("est_jaccard") should be < 0.01
+    r.getAs[Double]("est_intersect") should be < 100.0
+  }
+
+  it("skips nulls like COUNT(DISTINCT)") {
+    val rows = Seq(("a", "x"), ("a", null), ("a", "y"), ("b", null))
+    val sk = SetSketches.sketchSets(rows.toDF("slice", "uid"), "slice", F.col("uid"), k = 64)
+    val ests = SetSketches.estimates(sk, 64).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ests("a") shouldBe 2.0
+    ests("b") shouldBe 0.0
+  }
+
+  it("streamed partials across a restart equal the batch overlap EXACTLY") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val r = new scala.util.Random(23)
+    // saturating volume (k=128) with real overlap between three slices
+    val rows = r.shuffle(
+      (1 to 900).map(i => s"a,u$i") ++
+        (450 to 1350).map(i => s"b,u$i") ++
+        (1 to 80).map(i => s"c,u${i * 10}")).toVector
+    val inDir = JFiles.createTempDirectory("graft-theta-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-theta-ckpt").toString
+    val sumDir = JFiles.createTempDirectory("graft-theta-sum").toString
+    val half = rows.length / 2
+    JFiles.writeString(Paths.get(inDir, "f1.txt"), rows.take(half).mkString("\n"))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("value"))
+    val q1 = graft.streaming.StreamingSetSketches.attach(
+      src(), ckpt, sumDir, k = 128, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    JFiles.writeString(Paths.get(inDir, "f2.txt"), rows.drop(half).mkString("\n"))
+    val q2 = graft.streaming.StreamingSetSketches.attach(
+      src(), ckpt, sumDir, k = 128, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = graft.streaming.StreamingSetSketches.overlap(spark, sumDir, k = 128)
+      .collect().map(r0 => (r0.getString(0), r0.getString(1)) -> r0).toMap
+    val batchDf = rows.map { s => val p = s.split(","); (p(0), p(1)) }.toDF("slice", "value")
+    val batch = SetSketches.pairOverlap(
+      SetSketches.sketchSets(batchDf, "slice", F.col("value"), 128), 128)
+      .collect().map(r0 => (r0.getString(0), r0.getString(1)) -> r0).toMap
+
+    streamed.keySet shouldBe batch.keySet
+    streamed.keySet should have size 3
+    streamed.foreach { case (key, srow) =>
+      val brow = batch(key)
+      Seq("est_a", "est_b", "est_intersect", "est_union", "est_jaccard").foreach { c =>
+        withClue(s"$key $c: ") {
+          srow.getAs[Double](c) shouldBe brow.getAs[Double](c)
+        }
+      }
+    }
+    // and the stream actually saturated (the non-trivial regime)
+    streamed.values.exists(_.getAs[Boolean]("saturated_a")) shouldBe true
+  }
+
+  it("empty stream directory yields an empty overlap frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-theta-empty").toString
+    graft.streaming.StreamingSetSketches.overlap(spark, dir, k = 64).collect() shouldBe empty
+  }
+}

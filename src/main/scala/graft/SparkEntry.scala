@@ -885,6 +885,56 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("c"))
       TimeSeries.robustAnomalies(daily, "event_type", "c", sigma = 3.0)
     }),
+    // Multi-source BFS hop distances (bounded frontier expansion) over
+    // the symmetrized supplier co-order graph, seeds = suppliers 1-3;
+    // the oracle is a recursive CTE taking min(d) over all discovery
+    // depths — equality proves the frontier/anti-join plan settles every
+    // node at its true BFS depth exactly once.
+    "q_hop_distance" -> ((s, dir) => {
+      val su = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_suppkey").as("sk")).distinct()
+      val e = su.as("x").join(su.as("y"),
+          F.col("x.o") === F.col("y.o") && F.col("x.sk") < F.col("y.sk"))
+        .groupBy(F.col("x.sk").as("src"), F.col("y.sk").as("dst"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("src", "dst")
+      val und = e.unionAll(e.select(F.col("dst").as("src"), F.col("src").as("dst")))
+      val sources = t(s, dir, "lineitem")
+        .select(F.col("l_suppkey").as("id")).filter(F.col("id") <= 3).distinct()
+      Graph.hopDistances(und, sources, maxHops = 3)
+    }),
+    // PSI feature drift: events `value` in the first half of the time
+    // range (reference) vs the second half (current), 10 equal-width
+    // bins from the REFERENCE bounds, Laplace-smoothed shares. Bucket
+    // boundaries, shares, and ln terms are IEEE operations on identical
+    // inputs — engine-exact; only summation order differs (round 4).
+    "q_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      // cast: Spark `/` on longs is DOUBLE division; the oracle's `//` is
+      // integer — truncate so an event at exactly the odd-sum midpoint
+      // falls on the same side in both engines
+      val mid = ev.agg(((F.min(F.unix_micros(F.col("ts"))) +
+        F.max(F.unix_micros(F.col("ts")))) / 2).cast("long").as("__mid"))
+      val stamped = ev.crossJoin(F.broadcast(mid))
+      val ref = stamped.filter(F.unix_micros(F.col("ts")) < F.col("__mid"))
+      val cur = stamped.filter(F.unix_micros(F.col("ts")) >= F.col("__mid"))
+      Drift.psi(ref, cur, "value", buckets = 10)
+    }),
+    // Jensen-Shannon vocabulary divergence between document sources:
+    // token-distribution distance that stays FINITE on open vocabularies
+    // (one-sided tokens contribute through the mixture only). One
+    // combinable (source, token) count scan, pair algebra on count rows.
+    "q_js_divergence" -> ((s, dir) =>
+      Drift.jsDivergence(
+        t(s, dir, "documents")
+          .select(F.col("source"), F.explode(F.split(F.col("text"), " ")).as("tok")),
+        "source", F.col("tok"))),
+    // Chi-square independence of event type vs ISO weekday: one cell-
+    // count scan, margins re-aggregated from cells, (O-E)^2/E summed.
+    "q_chi2" -> ((s, dir) =>
+      Drift.chiSquare(t(s, dir, "events"),
+        F.col("event_type"), F.expr("weekday(ts)"))),
     // Join-size identity: predicted equi-join cardinality from key-level
     // count frames, never materializing the join (oracle counts the real
     // join — equality proves exactness).
@@ -2873,6 +2923,64 @@ object SparkEntry {
         "CASE WHEN mad = 0 THEN NULL ELSE round((a.c - a.med) / (CAST(1.4826 AS DOUBLE) * mad), 4) END AS robust_z, " +
         "CASE WHEN mad = 0 THEN dev > 0 ELSE dev > CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad END AS is_anomaly " +
         "FROM a JOIN md USING (event_type)"),
+    // Recursive-CTE BFS mirror: min discovery depth per reachable node.
+    "q_hop_distance" ->
+      ("WITH RECURSIVE su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), " +
+        "e0 AS (SELECT x.sk AS a, y.sk AS b FROM su x JOIN su y ON x.o = y.o AND x.sk < y.sk " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5), " +
+        "e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0), " +
+        "s AS (SELECT DISTINCT l_suppkey AS id FROM lineitem WHERE l_suppkey <= 3), " +
+        "r AS (SELECT id AS node, CAST(0 AS BIGINT) AS d FROM s " +
+        "UNION SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node WHERE r.d < 3) " +
+        "SELECT node AS node_id, min(d) AS dist FROM r GROUP BY node"),
+    "q_psi" -> {
+      val bucketSql = (src: String) =>
+        s"SELECT least(greatest(CASE WHEN hi = lo THEN 0 ELSE " +
+          s"CAST(floor((value - lo) / ((hi - lo) / 10)) AS INT) END, 0), 9) AS bucket FROM $src, b"
+      "WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events), " +
+        "r AS (SELECT value FROM events, m WHERE epoch_us(ts) < mid AND value IS NOT NULL), " +
+        "c AS (SELECT value FROM events, m WHERE epoch_us(ts) >= mid AND value IS NOT NULL), " +
+        "b AS (SELECT min(value) AS lo, max(value) AS hi FROM r), " +
+        s"rb AS (${bucketSql("r")}), cb AS (${bucketSql("c")}), " +
+        "rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nr FROM rb GROUP BY 1), " +
+        "cc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nc FROM cb GROUP BY 1), " +
+        "g AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket), " +
+        "k AS (SELECT g.bucket, COALESCE(nr, 0) AS n_ref, COALESCE(nc, 0) AS n_cur " +
+        "FROM g LEFT JOIN rc ON rc.bucket = g.bucket LEFT JOIN cc ON cc.bucket = g.bucket), " +
+        "t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM k), " +
+        "sc AS (SELECT bucket, n_ref, n_cur, " +
+        "(n_ref + CAST(0.5 AS DOUBLE)) / (tr + CAST(5.0 AS DOUBLE)) AS p, " +
+        "(n_cur + CAST(0.5 AS DOUBLE)) / (tc + CAST(5.0 AS DOUBLE)) AS q FROM k, t), " +
+        "sc2 AS (SELECT bucket, n_ref, n_cur, p, q, (p - q) * ln(p / q) AS term FROM sc), " +
+        "tt AS (SELECT sum(term) AS psi FROM sc2) " +
+        "SELECT bucket, n_ref, n_cur, round(p, 6) AS p, round(q, 6) AS q, " +
+        "round(term, 6) AS psi_term, round(psi, 4) AS psi FROM sc2, tt"
+    },
+    "q_js_divergence" ->
+      ("WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2), " +
+        "tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1), " +
+        "sh AS (SELECT c.source, tok, CAST(n AS DOUBLE) / tot AS sh FROM cnt c JOIN tot USING (source)), " +
+        "pr AS (SELECT x.source AS slice_a, y.source AS slice_b FROM tot x JOIN tot y ON x.source < y.source), " +
+        "t1 AS (SELECT slice_a, slice_b, tok, " +
+        "sum(CASE WHEN sh.source = slice_a THEN sh ELSE CAST(0 AS DOUBLE) END) AS pa, " +
+        "sum(CASE WHEN sh.source = slice_b THEN sh ELSE CAST(0 AS DOUBLE) END) AS pb " +
+        "FROM pr JOIN sh ON sh.source = slice_a OR sh.source = slice_b GROUP BY 1, 2, 3), " +
+        "t2 AS (SELECT slice_a, slice_b, pa, pb, (pa + pb) / 2 AS m FROM t1), " +
+        "t3 AS (SELECT slice_a, slice_b, " +
+        "CASE WHEN pa > 0 THEN pa * ln(pa / m) / 2 ELSE CAST(0 AS DOUBLE) END + " +
+        "CASE WHEN pb > 0 THEN pb * ln(pb / m) / 2 ELSE CAST(0 AS DOUBLE) END AS term FROM t2) " +
+        "SELECT slice_a, slice_b, round(sum(term), 4) AS js_div FROM t3 GROUP BY 1, 2"),
+    "q_chi2" ->
+      ("WITH cell AS (SELECT event_type AS r, isodow(ts) - 1 AS c, CAST(count(*) AS BIGINT) AS o " +
+        "FROM events GROUP BY 1, 2), " +
+        "rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS nr FROM cell GROUP BY 1), " +
+        "cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS nc FROM cell GROUP BY 1), " +
+        "nn AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT r) AS dr, count(DISTINCT c) AS dc FROM cell), " +
+        "sc AS (SELECT o, CAST(nr AS DOUBLE) * nc / n AS e, dr, dc " +
+        "FROM cell JOIN rm USING (r) JOIN cm USING (c), nn) " +
+        "SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2, " +
+        "CAST(max((dr - 1) * (dc - 1)) AS BIGINT) AS dof FROM sc"),
     // 24 CASE-sum profile terms, then the shared cosine chain at dims=24.
     "q_ts_user_topk" -> cosineOracle(
       "WITH prof AS (SELECT user_id, [" +

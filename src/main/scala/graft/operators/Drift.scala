@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/** Distribution-shift monitoring between corpus slices or time windows —
+  * the drift triad an ML data pipeline alarms on: PSI for bucketed
+  * numeric features, Jensen–Shannon divergence for categorical/token
+  * distributions, and the χ² independence statistic for factor pairs.
+  *
+  * All three reduce to combinable grouped counts followed by scalar
+  * column algebra on the (tiny) count frames: one scan per input at any
+  * data size, joins only over bucket/category/level keys. Probabilities
+  * are IEEE divisions of exact integer counts and the logs are pure
+  * per-row functions, so a SQL mirror computes bit-identical terms; only
+  * final summation order differs (collapsed by 4-decimal rounding — the
+  * repo's cross-engine convention). */
+object Drift {
+
+  /** Population Stability Index of `valueCol` between a REFERENCE frame
+    * and a CURRENT frame over `buckets` equal-width bins spanned by the
+    * reference's [min, max] (current values outside clamp to the edge
+    * bins — the standard scoring-time treatment of range drift; nulls are
+    * excluded on both sides). Shares are Laplace-smoothed
+    * (n_i + 0.5)/(N + buckets/2) so empty bins keep every ln finite and
+    * the measure stays defined for disjoint supports.
+    *
+    * Output: one row per bin — (bucket, n_ref, n_cur, p, q, psi_term) —
+    * plus the total in `psi` on every row (rule of thumb: < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted). */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val v = F.col(valueCol).cast("double")
+    val bounds = ref.filter(v.isNotNull).agg(F.min(v).as("__lo"), F.max(v).as("__hi"))
+    def bucketed(df: DataFrame, n: String): DataFrame =
+      df.filter(v.isNotNull).crossJoin(F.broadcast(bounds))
+        .select(F.least(F.greatest(
+          F.when(F.col("__hi") === F.col("__lo"), F.lit(0)) // degenerate ref range
+            .otherwise(F.floor((v - F.col("__lo")) / ((F.col("__hi") - F.col("__lo")) / buckets))
+              .cast("int")),
+          F.lit(0)), F.lit(buckets - 1)).as("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).as(n))
+    val grid = ref.sparkSession.range(0, buckets).select(F.col("id").cast("int").as("bucket"))
+    val counts = grid
+      .join(bucketed(ref, "n_ref"), Seq("bucket"), "left")
+      .join(bucketed(cur, "n_cur"), Seq("bucket"), "left")
+      .select(F.col("bucket"),
+        F.coalesce(F.col("n_ref"), F.lit(0L)).as("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0L)).as("n_cur"))
+    val tot = counts.agg(F.sum("n_ref").as("__tr"), F.sum("n_cur").as("__tc"))
+    val smooth = F.lit(buckets.toDouble / 2.0)
+    val scored = counts.crossJoin(F.broadcast(tot))
+      .withColumn("p", (F.col("n_ref") + 0.5) / (F.col("__tr") + smooth))
+      .withColumn("q", (F.col("n_cur") + 0.5) / (F.col("__tc") + smooth))
+      .withColumn("__term", (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")))
+    val total = scored.agg(F.sum("__term").as("__psi"))
+    scored.crossJoin(F.broadcast(total))
+      .select(F.col("bucket"), F.col("n_ref"), F.col("n_cur"),
+        F.round(F.col("p"), 6).as("p"), F.round(F.col("q"), 6).as("q"),
+        F.round(F.col("__term"), 6).as("psi_term"),
+        F.round(F.col("__psi"), 4).as("psi"))
+  }
+
+  /** Pairwise Jensen–Shannon divergence (natural log; ∈ [0, ln 2])
+    * between the per-slice distributions of `catCol`: for slices a < b,
+    * JS = ½·KL(P‖M) + ½·KL(Q‖M) with M = ½(P+Q). Categories absent from
+    * one side contribute only through the present side (0·ln0 := 0), so
+    * no smoothing is needed — JS is finite by construction, which is why
+    * it is the right divergence for open vocabularies (KL alone is +∞ the
+    * moment one slice has a token the other lacks).
+    *
+    * Scale shape: one combinable (slice, category) count scan; the pair
+    * join runs over per-category count rows — cost Σ_cat deg² like any
+    * self-join on category, with the slice count G small. */
+  def jsDivergence(df: DataFrame, sliceCol: String, catCol: Column): DataFrame = {
+    val counts = df.filter(catCol.isNotNull && F.col(sliceCol).isNotNull)
+      .groupBy(F.col(sliceCol).as("slice"), catCol.as("cat"))
+      .agg(F.count(F.lit(1)).as("n"))
+    val totals = counts.groupBy("slice").agg(F.sum("n").as("tot"))
+    val shares = counts.join(totals, "slice")
+      .select(F.col("slice").as("__s"), F.col("cat"), (F.col("n") / F.col("tot")).as("sh"))
+    // every unordered slice pair, exploded to its two members so the
+    // share rows attach through a plain equi-join (a one-sided category
+    // simply contributes one row; the other side sums to 0)
+    val slices = totals.select(F.col("slice"))
+    val memberOfPair = slices.select(F.col("slice").as("slice_a"))
+      .join(slices.select(F.col("slice").as("slice_b")), F.col("slice_a") < F.col("slice_b"))
+      .withColumn("__s", F.explode(F.array(F.col("slice_a"), F.col("slice_b"))))
+    memberOfPair.join(shares, "__s")
+      .groupBy("slice_a", "slice_b", "cat")
+      .agg(
+        F.sum(F.when(F.col("__s") === F.col("slice_a"), F.col("sh")).otherwise(0.0)).as("pa"),
+        F.sum(F.when(F.col("__s") === F.col("slice_b"), F.col("sh")).otherwise(0.0)).as("pb"))
+      .withColumn("m", (F.col("pa") + F.col("pb")) / 2.0)
+      .withColumn("__t",
+        F.when(F.col("pa") > 0.0, F.col("pa") * F.log(F.col("pa") / F.col("m")) / 2.0).otherwise(0.0) +
+          F.when(F.col("pb") > 0.0, F.col("pb") * F.log(F.col("pb") / F.col("m")) / 2.0).otherwise(0.0))
+      .groupBy("slice_a", "slice_b")
+      .agg(F.round(F.sum("__t"), 4).as("js_div"))
+  }
+
+  /** Pearson χ² statistic of independence for the `rowCol` × `colCol`
+    * contingency table: Σ (O − E)²/E with E = row·col/N, plus the degrees
+    * of freedom (r−1)(c−1). One combinable cell-count scan; margins are
+    * re-aggregations of the cell frame. Zero-margin levels cannot occur
+    * (levels come from the data). */
+  def chiSquare(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val cells = df.filter(rowCol.isNotNull && colCol.isNotNull)
+      .groupBy(rowCol.as("r"), colCol.as("c"))
+      .agg(F.count(F.lit(1)).as("o"))
+    val rows = cells.groupBy("r").agg(F.sum("o").as("nr"))
+    val cols = cells.groupBy("c").agg(F.sum("o").as("nc"))
+    val n = cells.agg(F.sum("o").as("n"),
+      F.countDistinct(F.col("r")).as("__dr"), F.countDistinct(F.col("c")).as("__dc"))
+    cells.join(rows, "r").join(cols, "c").crossJoin(F.broadcast(n))
+      .withColumn("e", F.col("nr").cast("double") * F.col("nc") / F.col("n"))
+      .withColumn("__t", (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+      .agg(F.round(F.sum("__t"), 4).as("chi2"),
+        F.first((F.col("__dr") - 1) * (F.col("__dc") - 1)).as("dof"))
+  }
+}

@@ -60,6 +60,42 @@ object Graph {
     rank.select(F.col("id").as("node_id"), F.round(F.col("r"), 6).as("pagerank"))
   }
 
+  /** Multi-source BFS hop distances over a DIRECTED edge list, bounded at
+    * `maxHops` (symmetrize upstream for undirected reachability): the
+    * "how far is every node from the seed set" question — crawl frontier
+    * depth, contamination blast radius, account-takeover reach.
+    *
+    * Level-synchronous frontier expansion: round h joins the CURRENT
+    * frontier (nodes first reached at h−1, a shrinking ≤|V|-row frame)
+    * against the pinned edge list, anti-joins out already-settled nodes,
+    * and the settled set grows by union — each node's distance is final
+    * the round it first appears (BFS invariant), so no per-round min
+    * re-aggregation over history. Cost: maxHops × (one frontier join +
+    * one anti-join), the edge list shuffled never, re-read maxHops times.
+    *
+    * Output: (node_id, dist) for every node within `maxHops` of any
+    * source (sources at 0). */
+  def hopDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(F.col(edges.columns(0)).as("src"), F.col(edges.columns(1)).as("dst"))
+      .distinct()
+      .repartition(F.col("src"))
+      .localCheckpoint(true)
+    var settled = sources.select(F.col(sources.columns(0)).as("id")).distinct()
+      .select(F.col("id"), F.lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = settled
+    for (h <- 1 to maxHops) {
+      val next = e.join(frontier, e("src") === frontier("id"))
+        .select(e("dst").as("id")).distinct()
+        .join(settled.select("id"), Seq("id"), "left_anti")
+        .select(F.col("id"), F.lit(h.toLong).as("dist"))
+        .localCheckpoint(true) // pin: read as next round's frontier AND unioned
+      settled = settled.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    settled.select(F.col("id").as("node_id"), F.col("dist"))
+  }
+
   /** Community detection by SYNCHRONOUS label propagation (Raghavan,
     * Albert, Kumara 2007, made deterministic): labels start as node ids;
     * each round every node adopts the most frequent label among its

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.Drift
+
+/** Distribution-shift triad: PSI, Jensen–Shannon divergence, χ². */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- psi ----------------------------------------------------------
+
+  it("psi of a distribution against itself is ~0 and bins are exact") {
+    val vals = (1 to 1000).map(i => (i % 100).toDouble)
+    val df = vals.toDF("v")
+    val out = Drift.psi(df, df, "v", buckets = 10).collect()
+    out.length shouldBe 10
+    out.foreach { r =>
+      r.getAs[Long]("n_ref") shouldBe r.getAs[Long]("n_cur")
+      r.getAs[Double]("psi") shouldBe 0.0
+    }
+  }
+
+  it("psi grows with a genuine shift and clamps out-of-range values to edge bins") {
+    val ref = (1 to 1000).map(_ % 100).map(_.toDouble).toDF("v")
+    val cur = (1 to 1000).map(i => (i % 100) + 200.0).toDF("v") // fully right of ref's range
+    val out = Drift.psi(ref, cur, "v", buckets = 10).collect()
+    val top = out.find(_.getAs[Int]("bucket") == 9).get
+    top.getAs[Long]("n_cur") shouldBe 1000L // everything clamps into bin 9
+    top.getAs[Double]("psi") should be > 0.25 // "shifted" on any rule of thumb
+  }
+
+  it("psi survives a degenerate single-value reference") {
+    val ref = Seq.fill(50)(7.0).toDF("v")
+    val cur = Seq.fill(50)(7.0).toDF("v")
+    val out = Drift.psi(ref, cur, "v", buckets = 10).collect()
+    out.map(_.getAs[Long]("n_ref")).sum shouldBe 50L
+    out.foreach(r => r.getAs[Double]("psi").isNaN shouldBe false)
+  }
+
+  // ---- jsDivergence -------------------------------------------------
+
+  it("JS divergence is 0 for identical distributions and ln 2 for disjoint ones") {
+    val rows =
+      (1 to 300).map(i => ("a", s"t${i % 30}")) ++
+        (1 to 300).map(i => ("b", s"t${i % 30}")) ++ // identical to a
+        (1 to 300).map(i => ("c", s"u${i % 30}")) // disjoint vocabulary
+    val out = Drift.jsDivergence(rows.toDF("slice", "tok"), "slice", F.col("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    out(("a", "b")) shouldBe 0.0
+    out(("a", "c")) shouldBe math.round(math.log(2.0) * 1e4) / 1e4
+    out(("b", "c")) shouldBe out(("a", "c"))
+  }
+
+  it("JS divergence matches a hand summation on a small asymmetric case") {
+    // a: {x: 3/4, y: 1/4}; b: {x: 1/4, z: 3/4}
+    val rows = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "z"), ("b", "z"), ("b", "z"))
+    def kl(p: Double, m: Double) = if (p > 0) p * math.log(p / m) / 2 else 0.0
+    val want = Seq((0.75, 0.25), (0.25, 0.0), (0.0, 0.75))
+      .map { case (pa, pb) => kl(pa, (pa + pb) / 2) + kl(pb, (pa + pb) / 2) }.sum
+    val got = Drift.jsDivergence(rows.toDF("slice", "tok"), "slice", F.col("tok"))
+      .collect().head.getDouble(2)
+    got shouldBe math.round(want * 1e4) / 1e4 +- 1e-9
+  }
+
+  // ---- chiSquare ----------------------------------------------------
+
+  it("chi2 is 0 on a perfectly independent table, with the right dof") {
+    val rows = for (r <- Seq("a", "b", "c"); c <- Seq("x", "y"); _ <- 1 to 10)
+      yield (r, c)
+    val out = Drift.chiSquare(rows.toDF("r", "c"), F.col("r"), F.col("c")).collect().head
+    out.getAs[Double]("chi2") shouldBe 0.0
+    out.getAs[Long]("dof") shouldBe 2L // (3-1)*(2-1)
+  }
+
+  it("chi2 matches the hand-computed 2x2 statistic") {
+    // table: [[30, 10], [10, 30]] — E = 20 everywhere, chi2 = 4*100/20 = 20
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y"))
+    val out = Drift.chiSquare(rows.toDF("r", "c"), F.col("r"), F.col("c")).collect().head
+    out.getAs[Double]("chi2") shouldBe 20.0
+    out.getAs[Long]("dof") shouldBe 1L
+  }
+}

@@ -124,4 +124,34 @@ class GraphSpec extends SparkSpec {
     val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
     lpa(messy, 2) shouldBe lpaRef(Seq((1L, 2L), (2L, 3L)), 2)
   }
+
+  // ---- hopDistances -------------------------------------------------
+
+  private def hops(e: Seq[(Long, Long)], src: Seq[Long], maxHops: Int): Map[Long, Long] =
+    Graph.hopDistances(e.toDF("src", "dst"), src.toDF("id"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  it("settles every node at its true BFS depth on a directed chain") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    hops(chain, Seq(1L), maxHops = 3) shouldBe
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L) // 5, 6 beyond the bound
+  }
+
+  it("multi-source: each node takes the NEAREST seed, shortcuts win") {
+    // 1→2→3→4 plus shortcut 9→4: node 4 is 1 hop from seed 9, not 3 from seed 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 4L))
+    hops(e, Seq(1L, 9L), maxHops = 3) shouldBe
+      Map(1L -> 0L, 9L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L)
+  }
+
+  it("direction matters, cycles terminate, revisits keep the first depth") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    hops(cycle, Seq(1L), maxHops = 10) shouldBe Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
+    hops(cycle.map(_.swap), Seq(1L), maxHops = 10) shouldBe
+      Map(1L -> 0L, 3L -> 1L, 2L -> 2L)
+  }
+
+  it("a seed outside the graph reports itself at 0 and reaches nothing") {
+    hops(Seq((1L, 2L)), Seq(42L), maxHops = 2) shouldBe Map(42L -> 0L)
+  }
 }

@@ -353,4 +353,39 @@ class PlanSpec extends SparkSpec {
     p should not include "BroadcastNestedLoopJoin"
     p should include("Scan ExistingRDD") // the capped checkpoint is the join input
   }
+
+  it("q_jaro_winkler: native expression inside the loop, top-20 as TakeOrderedAndProject") {
+    val p = plan("q_jaro_winkler")
+    p should include("jaro_winkler") // the codegen'd expression, not a UDF
+    p should include("TakeOrderedAndProject") // orderBy+limit never global-sorts
+    p should not include "CartesianProduct"
+  }
+
+  it("q_theta_overlap: the only full scans are map-side-combinable sketch aggregates") {
+    // the pair algebra runs over an eager checkpoint of the aggregate, so
+    // audit the sketch-building frame itself (the winnowPostings pattern):
+    // typed-Aggregator partials (the HeavyHittersAggregator pattern) —
+    // partial + final ObjectHashAggregate pairs straddle the shuffle
+    import org.apache.spark.sql.{functions => F}
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val sk = graft.operators.SetSketches.sketchSets(li, "l_returnflag", F.col("l_orderkey"), 1024)
+    val sp = sk.queryExecution.executedPlan.toString
+    sp.split("\n").count(_.contains("ObjectHashAggregate")) should be >= 2
+    // and the downstream pair query plans no cartesian
+    plan("q_theta_overlap") should not include "CartesianProduct"
+  }
+
+  it("q_skyline: the pivot prefilter broadcasts; nothing plans a cartesian") {
+    val p = plan("q_skyline")
+    p should include("TakeOrderedAndProject") // the pivot row via orderBy+limit(1)
+    p should not include "CartesianProduct"
+  }
+
+  it("q_label_prop / q_hop_distance: rounds are hash equi-joins, no nested loop") {
+    Seq("q_label_prop", "q_hop_distance").foreach { q =>
+      val p = plan(q)
+      p should not include "CartesianProduct"
+      p should not include "BroadcastNestedLoopJoin"
+    }
+  }
 }

@@ -935,6 +935,29 @@ object SparkEntry {
     "q_chi2" -> ((s, dir) =>
       Drift.chiSquare(t(s, dir, "events"),
         F.col("event_type"), F.expr("weekday(ts)"))),
+    // Personalized PageRank (random walk with restart into customers
+    // 1-10) over the same bipartite graph as q_pagerank: teleport mass
+    // re-enters only at the seeds, rank decays with distance from them.
+    // Same 9/12-decimal snapping discipline -> unrolled SQL mirror.
+    "q_ppr" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(F.col("o_orderkey"), F.col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(F.col("l_orderkey"), F.col("l_suppkey"))
+      val e0 = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(F.col("o_custkey"), F.col("l_suppkey"))
+        .agg(F.count(F.lit(1)).cast("double").as("w"))
+      val cId = F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+      val sId = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+      val edges = e0.select(cId.as("src"), sId.as("dst"), F.col("w"))
+        .unionAll(e0.select(sId.as("src"), cId.as("dst"), F.col("w")))
+      val seeds = e0.filter(F.col("o_custkey") <= 10).select(cId.as("id")).distinct()
+      Graph.personalizedPageRank(edges, seeds, damping = 0.85, iters = 5)
+    }),
+    // Key-skew profile of the event stream's user activity: Gini + max
+    // key share from the distributed two-phase ranking of the key-level
+    // count frame (no single-partition window over data) — the shuffle-
+    // safety signal the SkewJoin salting path keys off.
+    "q_skew_gini" -> ((s, dir) =>
+      TableStats.skewProfile(t(s, dir, "events"), "user_id")),
     // Join-size identity: predicted equi-join cardinality from key-level
     // count frames, never materializing the join (oracle counts the real
     // join — equality proves exactness).
@@ -2357,25 +2380,6 @@ object SparkEntry {
     * survive a round — the [[graft.operators.Graph.pageRank]] trajectory
     * replayed exactly. `1.0 - damping` is interpolated from the SAME
     * Scala subtraction the Spark side constant-folds. */
-  /** Unrolled synchronous-LPA mirror over the thresholded supplier
-    * co-order projection: round i = neighbor-label counts (c_i) then the
-    * deterministic argmax (max count, min label — row_number with the
-    * same composite order the engine's struct-min encodes). */
-  private def labelPropOracle(iters: Int): String = {
-    val base = "WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), " +
-      "e0 AS (SELECT x.sk AS a, y.sk AS b FROM su x JOIN su y ON x.o = y.o AND x.sk < y.sk " +
-      "GROUP BY 1, 2 HAVING count(*) >= 5), " +
-      "e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0), " +
-      "l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e)"
-    val rounds = (1 to iters).map { i =>
-      s"c$i AS (SELECT e.src AS node, l${i - 1}.lbl, count(*) AS c " +
-        s"FROM e JOIN l${i - 1} ON e.dst = l${i - 1}.id GROUP BY 1, 2), " +
-        s"l$i AS (SELECT node AS id, lbl FROM (SELECT node, lbl, " +
-        s"row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"
-    }.mkString(", ", ", ", "")
-    base + rounds + s" SELECT id AS node_id, lbl AS label FROM l$iters"
-  }
-
   private def pageRankOracle(damping: Double, iters: Int): String = {
     val omd = 1.0 - damping
     "WITH e0 AS (SELECT o.o_custkey AS c, l.l_suppkey AS s, CAST(count(*) AS DOUBLE) AS w " +
@@ -2393,6 +2397,52 @@ object SparkEntry {
           "GROUP BY n.id, nn.n)"
       }.mkString(", ") +
       s" SELECT id AS node_id, round(r, 6) AS pagerank FROM r$iters"
+  }
+
+  /** Unrolled personalized-PageRank mirror: the [[pageRankOracle]] chain
+    * with the teleport vector uniform over the seed customers instead of
+    * uniform over all nodes (tele carried through every round's GROUP
+    * BY); identical 12/9-decimal snapping. */
+  private def pprOracle(damping: Double, iters: Int): String = {
+    val omd = 1.0 - damping
+    "WITH e0 AS (SELECT o.o_custkey AS c, l.l_suppkey AS s, CAST(count(*) AS DOUBLE) AS w " +
+      "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey GROUP BY o.o_custkey, l.l_suppkey), " +
+      "edges AS (SELECT 'c' || CAST(c AS VARCHAR) AS src, 's' || CAST(s AS VARCHAR) AS dst, w FROM e0 " +
+      "UNION ALL SELECT 's' || CAST(s AS VARCHAR), 'c' || CAST(c AS VARCHAR), w FROM e0), " +
+      "nodes AS (SELECT DISTINCT src AS id FROM edges), " +
+      "seeds AS (SELECT DISTINCT 'c' || CAST(c AS VARCHAR) AS id FROM e0 WHERE c <= 10), " +
+      "ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds), " +
+      "outw AS (SELECT src, sum(w) AS wout FROM edges GROUP BY src), " +
+      "ep AS (SELECT e.src, e.dst, e.w / o.wout AS p FROM edges e JOIN outw o ON o.src = e.src), " +
+      "tele AS (SELECT n.id, CASE WHEN s.id IS NOT NULL THEN round(1.0 / ns.ns, 9) " +
+      "ELSE CAST(0 AS DOUBLE) END AS tele FROM nodes n LEFT JOIN seeds s ON s.id = n.id CROSS JOIN ns), " +
+      "r0 AS (SELECT id, tele AS r FROM tele), " +
+      (1 to iters).map { k =>
+        s"r$k AS (SELECT t.id, round(CAST($omd AS DOUBLE) * t.tele + " +
+          s"CAST($damping AS DOUBLE) * coalesce(sum(round(r.r * ep.p, 12)), 0.0), 9) AS r " +
+          s"FROM tele t LEFT JOIN ep ON ep.dst = t.id LEFT JOIN r${k - 1} r ON r.id = ep.src " +
+          "GROUP BY t.id, t.tele)"
+      }.mkString(", ") +
+      s" SELECT id AS node_id, round(r, 6) AS ppr FROM r$iters"
+  }
+
+  /** Unrolled synchronous-LPA mirror over the thresholded supplier
+    * co-order projection: round i = neighbor-label counts (c_i) then the
+    * deterministic argmax (max count, min label — row_number with the
+    * same composite order the engine's struct-min encodes). */
+  private def labelPropOracle(iters: Int): String = {
+    val base = "WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), " +
+      "e0 AS (SELECT x.sk AS a, y.sk AS b FROM su x JOIN su y ON x.o = y.o AND x.sk < y.sk " +
+      "GROUP BY 1, 2 HAVING count(*) >= 5), " +
+      "e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b AS src, a AS dst FROM e0), " +
+      "l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e)"
+    val rounds = (1 to iters).map { i =>
+      s"c$i AS (SELECT e.src AS node, l${i - 1}.lbl, count(*) AS c " +
+        s"FROM e JOIN l${i - 1} ON e.dst = l${i - 1}.id GROUP BY 1, 2), " +
+        s"l$i AS (SELECT node AS id, lbl FROM (SELECT node, lbl, " +
+        s"row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"
+    }.mkString(", ", ", ", "")
+    base + rounds + s" SELECT id AS node_id, lbl AS label FROM l$iters"
   }
 
   /** Unrolled greedy k-center trajectory: step i keeps a running `mind`
@@ -2971,6 +3021,15 @@ object SparkEntry {
         "CASE WHEN pa > 0 THEN pa * ln(pa / m) / 2 ELSE CAST(0 AS DOUBLE) END + " +
         "CASE WHEN pb > 0 THEN pb * ln(pb / m) / 2 ELSE CAST(0 AS DOUBLE) END AS term FROM t2) " +
         "SELECT slice_a, slice_b, round(sum(term), 4) AS js_div FROM t3 GROUP BY 1, 2"),
+    "q_ppr" -> pprOracle(damping = 0.85, iters = 5),
+    "q_skew_gini" ->
+      ("WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1), " +
+        "r AS (SELECT k, c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS id FROM c), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS tot, " +
+        "CAST(sum(id * c) AS BIGINT) AS wsum, max(c) AS mx FROM r) " +
+        "SELECT n AS n_keys, tot AS n_rows, " +
+        "round((CAST(2 AS DOUBLE) * wsum) / (CAST(n AS DOUBLE) * tot) - (n + CAST(1 AS DOUBLE)) / n, 6) AS gini, " +
+        "round(CAST(mx AS DOUBLE) / tot, 6) AS max_share FROM a"),
     "q_chi2" ->
       ("WITH cell AS (SELECT event_type AS r, isodow(ts) - 1 AS c, CAST(count(*) AS BIGINT) AS o " +
         "FROM events GROUP BY 1, 2), " +

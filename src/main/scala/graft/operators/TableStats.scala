@@ -58,6 +58,33 @@ object TableStats {
       .agg(F.sum("n_rows").as("n_rows"), F.sum("n_nulls").as("n_nulls"),
         F.hll_sketch_estimate(F.hll_union_agg(F.col("ndv_sketch"))).as("ndv_est"))
 
+  /** Key-skew profile: Gini coefficient + max key share of the per-key
+    * row-count distribution — the "is this join/aggregate key safe to
+    * shuffle on" planner input (gini → 1 or a large max_share flags the
+    * hot keys the SkewJoin salting path exists for).
+    *
+    * G = 2·Σ rank·cnt / (n·Σcnt) − (n+1)/n over counts ranked ascending
+    * (ties broken by key — any tie order yields the same sum, but the
+    * fixed order keeps the trajectory engine-exact). Ranking uses the
+    * distributed two-phase sequencer ([[AuditQueries
+    * .assignIngestSeqDistributed]]) over the KEY-level count frame —
+    * never a single-partition window over data. The rank-weighted sum is
+    * exact BIGINT arithmetic in both engines (Σ rank·cnt ≤ n·Σcnt;
+    * overflow needs n·rows > 2^63 — re-express in double first at that
+    * scale). Output: one row (n_keys, n_rows, gini, max_share). */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(F.col(keyCol).as("k")).agg(F.count(F.lit(1)).as("c"))
+    val ranked = AuditQueries.assignIngestSeqDistributed(counts, 0L, Seq("c", "k"))
+    ranked
+      .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("c")).as("tot"),
+        F.sum(F.col("id") * F.col("c")).as("wsum"), F.max(F.col("c")).as("mx"))
+      .select(
+        F.col("n").as("n_keys"), F.col("tot").as("n_rows"),
+        F.round((F.lit(2.0) * F.col("wsum")) / (F.col("n").cast("double") * F.col("tot"))
+          - (F.col("n") + F.lit(1.0)) / F.col("n"), 6).as("gini"),
+        F.round(F.col("mx").cast("double") / F.col("tot"), 6).as("max_share"))
+  }
+
   /** Predicted inner equi-join output cardinality WITHOUT executing the
     * join: sum over keys of count_a(key) * count_b(key). Two map-side-
     * combinable aggregates to key-level frames plus one key join — at

@@ -154,4 +154,36 @@ class GraphSpec extends SparkSpec {
   it("a seed outside the graph reports itself at 0 and reaches nothing") {
     hops(Seq((1L, 2L)), Seq(42L), maxHops = 2) shouldBe Map(42L -> 0L)
   }
+
+  // ---- personalizedPageRank -----------------------------------------
+
+  it("PPR with ALL nodes as seeds degenerates to global PageRank exactly") {
+    val e = symmetrize(Seq(("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0), ("c", "d", 1.0)))
+    val seeds = Seq("a", "b", "c", "d").toDF("id")
+    val ppr = Graph.personalizedPageRank(e, seeds, damping = 0.85, iters = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val pr = Graph.pageRank(e, damping = 0.85, iters = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ppr shouldBe pr // identical teleport vector => identical snapped trajectory
+  }
+
+  it("PPR mass decays with distance from the seed along a directed chain") {
+    val chain = Seq(("n1", "n2", 1.0), ("n2", "n3", 1.0), ("n3", "n4", 1.0), ("n4", "n5", 1.0))
+      .toDF("src", "dst", "w")
+    val out = Graph.personalizedPageRank(chain, Seq("n1").toDF("id"), iters = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out("n1") should be > out("n2")
+    out("n2") should be > out("n3")
+    out("n3") should be > out("n4")
+  }
+
+  it("nodes unreachable from the seeds hold zero rank") {
+    val e = Seq(("s", "x", 1.0), ("y", "z", 1.0)).toDF("src", "dst", "w")
+    val out = Graph.personalizedPageRank(e, Seq("s").toDF("id"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out("y") shouldBe 0.0
+    out("z") shouldBe 0.0
+    out("s") should be > 0.0
+    out("x") should be > 0.0
+  }
 }

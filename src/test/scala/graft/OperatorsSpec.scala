@@ -870,5 +870,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("TableStats.skewProfile") {
+    def profile(rows: Seq[String]) =
+      graft.operators.TableStats.skewProfile(rows.toDF("k"), "k").collect().head
+
+    it("uniform keys score gini exactly 0") {
+      val out = profile((1 to 20).flatMap(i => Seq.fill(5)(s"k$i")))
+      out.getAs[Long]("n_keys") shouldBe 20L
+      out.getAs[Long]("n_rows") shouldBe 100L
+      out.getAs[Double]("gini") shouldBe 0.0
+      out.getAs[Double]("max_share") shouldBe 0.05
+    }
+
+    it("matches the hand-computed two-key case") {
+      // counts [1, 3] ranked ascending: G = 2*(1*1 + 2*3)/(2*4) - 3/2 = 0.25
+      val out = profile(Seq("a", "b", "b", "b"))
+      out.getAs[Double]("gini") shouldBe 0.25
+      out.getAs[Double]("max_share") shouldBe 0.75
+    }
+
+    it("one dominant key drives gini toward 1 across any partitioning") {
+      val rows = (1 to 99).map(i => s"k$i") ++ Seq.fill(9901)("hot")
+      val out = graft.operators.TableStats.skewProfile(
+        rows.toDF("k").repartition(13), "k").collect().head
+      out.getAs[Double]("gini") should be > 0.9
+      out.getAs[Double]("max_share") shouldBe 0.9901
+    }
+  }
+
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
 }

@@ -935,6 +935,11 @@ object SparkEntry {
     "q_chi2" -> ((s, dir) =>
       Drift.chiSquare(t(s, dir, "events"),
         F.col("event_type"), F.expr("weekday(ts)"))),
+    // Mutual information of document source vs language — the effect-
+    // size companion to q_chi2 and the feature-redundancy score: MI,
+    // marginal entropies, and NMI from the same one-cell-scan shape.
+    "q_mutual_info" -> ((s, dir) =>
+      Drift.mutualInfo(t(s, dir, "documents"), F.col("source"), F.col("lang"))),
     // Personalized PageRank (random walk with restart into customers
     // 1-10) over the same bipartite graph as q_pagerank: teleport mass
     // re-enters only at the seeds, rank decays with distance from them.
@@ -951,6 +956,19 @@ object SparkEntry {
         .unionAll(e0.select(sId.as("src"), cId.as("dst"), F.col("w")))
       val seeds = e0.filter(F.col("o_custkey") <= 10).select(cId.as("id")).distinct()
       Graph.personalizedPageRank(edges, seeds, damping = 0.85, iters = 5)
+    }),
+    // HITS hubs & authorities over the customer->supplier purchase
+    // digraph — the classic bipartite Kleinberg setting (hubs = broad
+    // buyers, authorities = widely-bought-from suppliers). Max-normalized
+    // per half-round (order-independent, unlike L2) with the pageRank
+    // 9-decimal snap; oracle unrolls the alternating rounds as CTEs.
+    "q_hits" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(F.col("o_orderkey"), F.col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(F.col("l_orderkey"), F.col("l_suppkey"))
+      val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string")).as("src"),
+          F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).as("dst"))
+      Graph.hits(e, iters = 4)
     }),
     // Key-skew profile of the event stream's user activity: Gini + max
     // key share from the distributed two-phase ranking of the key-level
@@ -1241,6 +1259,58 @@ object SparkEntry {
         .filter(F.col("__n") >= 5)
         .select("src", "dst")
       Graph.triangleCount(e)
+    }),
+    // Local clustering coefficient over the same projection: triangles
+    // from the degree-oriented core, degrees from one count, one exact
+    // IEEE division per node. Oracle rebuilds both sides brute-force.
+    "q_clustering_coef" -> ((s, dir) => {
+      val su = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_suppkey").as("sk")).distinct()
+      val e = su.as("x").join(su.as("y"),
+          F.col("x.o") === F.col("y.o") && F.col("x.sk") < F.col("y.sk"))
+        .groupBy(F.col("x.sk").as("src"), F.col("y.sk").as("dst"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("src", "dst")
+      Graph.clusteringCoefficient(e)
+    }),
+    // 10-core of the customer-supplier purchase graph: who stays in the
+    // dense interaction core once sub-10-degree nodes (and everything
+    // only they supported) peel away. The operator loops to the unique
+    // fixpoint; the oracle unrolls 6 peels (idempotent past fixpoint —
+    // the fixture settles in 2, probed offline at both SFs).
+    "q_kcore" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(F.col("o_orderkey"), F.col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(F.col("l_orderkey"), F.col("l_suppkey"))
+      val e = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string")).as("src"),
+          F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).as("dst"))
+      Graph.kCore(e, k = 10)
+    }),
+    // Degree assortativity of the projection — hubs-with-hubs vs hubs-
+    // with-leaves, one row: six exact BIGINT sums then fixed-shape IEEE
+    // correlation algebra (mirrored operand-for-operand by the oracle).
+    "q_assortativity" -> ((s, dir) => {
+      val su = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_suppkey").as("sk")).distinct()
+      val e = su.as("x").join(su.as("y"),
+          F.col("x.o") === F.col("y.o") && F.col("x.sk") < F.col("y.sk"))
+        .groupBy(F.col("x.sk").as("src"), F.col("y.sk").as("dst"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("src", "dst")
+      Graph.assortativity(e)
+    }),
+    // Association rules over order -> part-brand baskets (market-basket
+    // co-occurrence with lift over independence): apriori item-count
+    // pushdown prunes the pair self-join's input; all counts exact
+    // BIGINTs, support/confidence/lift fixed-shape IEEE divisions.
+    "q_assoc_rules" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(F.col("l_orderkey"), F.col("l_partkey"))
+      val p = t(s, dir, "part").select(F.col("p_partkey"), F.col("p_brand"))
+      val basket = li.join(p, li("l_partkey") === p("p_partkey"))
+        .select(F.col("l_orderkey").as("tid"), F.col("p_brand").as("item"))
+      Itemsets.assocRules(basket, minSupport = 20L, minConfidence = 0.05)
     }),
     "q_unpivot" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -2426,6 +2496,59 @@ object SparkEntry {
       s" SELECT id AS node_id, round(r, 6) AS ppr FROM r$iters"
   }
 
+  /** Unrolled k-core peel: round i recounts degrees and keeps edges
+    * whose BOTH endpoints still clear k. Peeling is idempotent at the
+    * (unique) fixpoint, so unrolling more rounds than the data needs is
+    * harmless — `rounds` is probed ≥ the fixture's cascade depth. */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    // every e_i is referenced ~4x by round i+1 — MATERIALIZED stops the
+    // default CTE inlining from expanding the unroll exponentially (the
+    // SQL twin of the normalizeMax lineage pin)
+    val base = "WITH e0 AS MATERIALIZED (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a, " +
+      "'s' || CAST(l.l_suppkey AS VARCHAR) AS b " +
+      "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)"
+    val peels = (1 to rounds).map { i =>
+      s"d$i AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT a AS node FROM e${i - 1} " +
+        s"UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1), " +
+        s"k$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= $k), " +
+        s"e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1} WHERE a IN (SELECT node FROM k$i) " +
+        s"AND b IN (SELECT node FROM k$i))"
+    }.mkString(", ", ", ", "")
+    base + peels +
+      s" SELECT node AS node_id, CAST(count(*) AS BIGINT) AS core_degree " +
+      s"FROM (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY 1"
+  }
+
+  /** Unrolled HITS mirror: each round is two half-steps (authority from
+    * hub over in-edges, then hub from the fresh authority over
+    * out-edges), each max-normalized and snapped to 9 decimals — max is
+    * summation-order-independent, so the trajectory replays across
+    * engines exactly like the pageRank chain. */
+  private def hitsOracle(iters: Int): String = {
+    // MATERIALIZED: the max-normalize step references each ar/hr twice
+    // and each half-round chains on the last — default CTE inlining
+    // would expand the base join 2^(2·iters) times (the SQL twin of the
+    // normalizeMax lineage pin)
+    val base = "WITH e AS MATERIALIZED (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src, " +
+      "'s' || CAST(l.l_suppkey AS VARCHAR) AS dst " +
+      "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey), " +
+      "nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e), " +
+      "h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM nodes)"
+    val rounds = (1 to iters).map { k =>
+      s"ar$k AS MATERIALIZED (SELECT n.id, coalesce(s.raw, CAST(0 AS DOUBLE)) AS raw FROM nodes n LEFT JOIN " +
+        s"(SELECT e.dst AS id, sum(h.x) AS raw FROM e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1) s ON s.id = n.id), " +
+        s"a$k AS MATERIALIZED (SELECT id, CASE WHEN mx = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE round(raw / mx, 9) END AS x " +
+        s"FROM ar$k CROSS JOIN (SELECT max(raw) AS mx FROM ar$k)), " +
+        s"hr$k AS MATERIALIZED (SELECT n.id, coalesce(s.raw, CAST(0 AS DOUBLE)) AS raw FROM nodes n LEFT JOIN " +
+        s"(SELECT e.src AS id, sum(a.x) AS raw FROM e JOIN a$k a ON a.id = e.dst GROUP BY 1) s ON s.id = n.id), " +
+        s"h$k AS MATERIALIZED (SELECT id, CASE WHEN mx = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) ELSE round(raw / mx, 9) END AS x " +
+        s"FROM hr$k CROSS JOIN (SELECT max(raw) AS mx FROM hr$k))"
+    }.mkString(", ", ", ", "")
+    base + rounds +
+      s" SELECT n.id AS node_id, round(h.x, 6) AS hub, round(a.x, 6) AS authority " +
+      s"FROM nodes n JOIN h$iters h ON h.id = n.id JOIN a$iters a ON a.id = n.id"
+  }
+
   /** Unrolled synchronous-LPA mirror over the thresholded supplier
     * co-order projection: round i = neighbor-label counts (c_i) then the
     * deterministic argmax (max count, min label — row_number with the
@@ -3022,6 +3145,8 @@ object SparkEntry {
         "CASE WHEN pb > 0 THEN pb * ln(pb / m) / 2 ELSE CAST(0 AS DOUBLE) END AS term FROM t2) " +
         "SELECT slice_a, slice_b, round(sum(term), 4) AS js_div FROM t3 GROUP BY 1, 2"),
     "q_ppr" -> pprOracle(damping = 0.85, iters = 5),
+    "q_hits" -> hitsOracle(iters = 4),
+    "q_kcore" -> kCoreOracle(k = 10, rounds = 6),
     "q_skew_gini" ->
       ("WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1), " +
         "r AS (SELECT k, c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS id FROM c), " +
@@ -3040,6 +3165,23 @@ object SparkEntry {
         "FROM cell JOIN rm USING (r) JOIN cm USING (c), nn) " +
         "SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2, " +
         "CAST(max((dr - 1) * (dc - 1)) AS BIGINT) AS dof FROM sc"),
+    // Same cell/margin CTE skeleton as q_chi2; per-term expressions
+    // mirror Drift.mutualInfo operand-for-operand (exact integer counts
+    // through identical IEEE ops; summation order collapsed at round 4).
+    "q_mutual_info" ->
+      ("WITH cell AS (SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS o " +
+        "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2), " +
+        "rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS nr FROM cell GROUP BY 1), " +
+        "cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS nc FROM cell GROUP BY 1), " +
+        "nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cell), " +
+        "mi AS (SELECT sum(CAST(o AS DOUBLE) / CAST(n AS DOUBLE) * " +
+        "ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)))) AS mi " +
+        "FROM cell JOIN rm USING (r) JOIN cm USING (c), nn), " +
+        "hr AS (SELECT -sum(CAST(nr AS DOUBLE) / CAST(n AS DOUBLE) * ln(CAST(nr AS DOUBLE) / CAST(n AS DOUBLE))) AS h FROM rm, nn), " +
+        "hc AS (SELECT -sum(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE) * ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))) AS h FROM cm, nn) " +
+        "SELECT n, round(mi, 4) AS mi, round(hr.h, 4) AS h_row, round(hc.h, 4) AS h_col, " +
+        "CASE WHEN hr.h > 0 AND hc.h > 0 THEN round(mi / sqrt(hr.h * hc.h), 4) END AS nmi " +
+        "FROM mi, nn, hr, hc"),
     // 24 CASE-sum profile terms, then the shared cosine chain at dims=24.
     "q_ts_user_topk" -> cosineOracle(
       "WITH prof AS (SELECT user_id, [" +
@@ -3309,6 +3451,64 @@ object SparkEntry {
         "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), " +
         "n AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) " +
         "SELECT node, count(*) AS triangles FROM n GROUP BY node"),
+    // Brute-force triangles (id orientation) + degree count; the lcc
+    // division mirrors Graph.clusteringCoefficient operand-for-operand.
+    "q_clustering_coef" ->
+      ("WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), " +
+        "e AS (SELECT x.sk AS a, y.sk AS b FROM su x JOIN su y ON x.o = y.o AND x.sk < y.sk " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5), " +
+        "sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e), " +
+        "deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+        "JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b " +
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b), " +
+        "tn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM " +
+        "(SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY node) " +
+        "SELECT deg.node AS node_id, degree, coalesce(tn.triangles, CAST(0 AS BIGINT)) AS triangles, " +
+        "CASE WHEN degree >= 2 THEN round(CAST(2 AS DOUBLE) * coalesce(tn.triangles, CAST(0 AS BIGINT)) / " +
+        "(CAST(degree AS DOUBLE) * (degree - 1)), 6) ELSE CAST(0 AS DOUBLE) END AS lcc " +
+        "FROM deg LEFT JOIN tn ON tn.node = deg.node"),
+    // Six exact BIGINT sums over the both-orientations degree pairs,
+    // then the Pearson formula with the engine's exact operand shapes.
+    "q_assortativity" ->
+      ("WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), " +
+        "e AS (SELECT x.sk AS a, y.sk AS b FROM su x JOIN su y ON x.o = y.o AND x.sk < y.sk " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5), " +
+        "sym AS (SELECT a AS s, b AS t FROM e UNION ALL SELECT b, a FROM e), " +
+        "deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1), " +
+        "j AS (SELECT d1.d AS da, d2.d AS db FROM sym " +
+        "JOIN deg d1 ON d1.node = sym.s JOIN deg d2 ON d2.node = sym.t), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS m, " +
+        "CAST(sum(da) AS BIGINT) AS sx, CAST(sum(db) AS BIGINT) AS sy, " +
+        "CAST(sum(da * db) AS BIGINT) AS sxy, CAST(sum(da * da) AS BIGINT) AS sxx, " +
+        "CAST(sum(db * db) AS BIGINT) AS syy FROM j) " +
+        "SELECT m AS m_edges, " +
+        "CASE WHEN (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+        "(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0 THEN " +
+        "round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+        "sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+        "(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) END AS assortativity FROM a"),
+    // Brute-force basket mirror: same apriori HAVING, same pair join,
+    // divisions mirrored operand-for-operand (confidence filtered on the
+    // UNROUNDED ratio in both engines — exact-integer division, no
+    // boundary risk).
+    "q_assoc_rules" ->
+      ("WITH tx AS (SELECT DISTINCT l.l_orderkey AS tid, p.p_brand AS item " +
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey), " +
+        "nt AS (SELECT CAST(count(DISTINCT tid) AS BIGINT) AS n_tx FROM tx), " +
+        "itn AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM tx GROUP BY 1 " +
+        "HAVING count(*) >= 20), " +
+        "fx AS (SELECT tid, item FROM tx WHERE item IN (SELECT item FROM itn)), " +
+        "pr AS (SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS n_pair " +
+        "FROM fx x JOIN fx y ON x.tid = y.tid AND x.item < y.item GROUP BY 1, 2 " +
+        "HAVING count(*) >= 20), " +
+        "d AS (SELECT a, b, n_pair FROM pr UNION ALL SELECT b, a, n_pair FROM pr) " +
+        "SELECT d.a AS antecedent, d.b AS consequent, n_pair, " +
+        "round(CAST(n_pair AS DOUBLE) / n_tx, 6) AS support, " +
+        "round(CAST(n_pair AS DOUBLE) / na.n_item, 6) AS confidence, " +
+        "round(CAST(n_pair AS DOUBLE) * n_tx / (CAST(na.n_item AS DOUBLE) * nb.n_item), 6) AS lift " +
+        "FROM d JOIN itn na ON na.item = d.a JOIN itn nb ON nb.item = d.b, nt " +
+        "WHERE CAST(n_pair AS DOUBLE) / na.n_item >= 0.05"),
     // Span df over the shared shingle CTE: df >= 2 means "appears in at
     // least one OTHER doc" (sh is distinct per doc).
     "q_dup_span_frac" ->

@@ -39,10 +39,19 @@ object Drift {
               .cast("int")),
           F.lit(0)), F.lit(buckets - 1)).as("bucket"))
         .groupBy("bucket").agg(F.count(F.lit(1)).as(n))
-    val grid = ref.sparkSession.range(0, buckets).select(F.col("id").cast("int").as("bucket"))
+    psiFromCounts(ref.sparkSession, bucketed(ref, "n_ref"), bucketed(cur, "n_cur"), buckets)
+  }
+
+  /** The [[psi]] scoring tail over pre-aggregated (bucket, n) frames —
+    * bucket counts are the drift monitor's MERGEABLE summary (plain
+    * sums), so a streaming accumulator persists per-batch counts and
+    * re-enters here (graft.streaming.StreamingDrift). */
+  def psiFromCounts(spark: org.apache.spark.sql.SparkSession,
+                    refCounts: DataFrame, curCounts: DataFrame, buckets: Int): DataFrame = {
+    val grid = spark.range(0, buckets).select(F.col("id").cast("int").as("bucket"))
     val counts = grid
-      .join(bucketed(ref, "n_ref"), Seq("bucket"), "left")
-      .join(bucketed(cur, "n_cur"), Seq("bucket"), "left")
+      .join(refCounts.withColumnRenamed(refCounts.columns(1), "n_ref"), Seq("bucket"), "left")
+      .join(curCounts.withColumnRenamed(curCounts.columns(1), "n_cur"), Seq("bucket"), "left")
       .select(F.col("bucket"),
         F.coalesce(F.col("n_ref"), F.lit(0L)).as("n_ref"),
         F.coalesce(F.col("n_cur"), F.lit(0L)).as("n_cur"))
@@ -60,6 +69,22 @@ object Drift {
         F.round(F.col("__psi"), 4).as("psi"))
   }
 
+  /** The [[psi]] equal-width bucket rule as a standalone projection over
+    * LITERAL reference bounds — the streaming path freezes (lo, hi) at
+    * attach time and buckets every micro-batch with the same arithmetic
+    * the batch operator uses. Returns a (bucket, n) count frame. */
+  def bucketCounts(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                   buckets: Int): DataFrame = {
+    val v = F.col(valueCol).cast("double")
+    df.filter(v.isNotNull)
+      .select(F.least(F.greatest(
+        F.when(F.lit(hi) === F.lit(lo), F.lit(0))
+          .otherwise(F.floor((v - F.lit(lo)) / ((F.lit(hi) - F.lit(lo)) / buckets))
+            .cast("int")),
+        F.lit(0)), F.lit(buckets - 1)).as("bucket"))
+      .groupBy("bucket").agg(F.count(F.lit(1)).as("n"))
+  }
+
   /** Pairwise Jensen–Shannon divergence (natural log; ∈ [0, ln 2])
     * between the per-slice distributions of `catCol`: for slices a < b,
     * JS = ½·KL(P‖M) + ½·KL(Q‖M) with M = ½(P+Q). Categories absent from
@@ -71,10 +96,16 @@ object Drift {
     * Scale shape: one combinable (slice, category) count scan; the pair
     * join runs over per-category count rows — cost Σ_cat deg² like any
     * self-join on category, with the slice count G small. */
-  def jsDivergence(df: DataFrame, sliceCol: String, catCol: Column): DataFrame = {
-    val counts = df.filter(catCol.isNotNull && F.col(sliceCol).isNotNull)
-      .groupBy(F.col(sliceCol).as("slice"), catCol.as("cat"))
-      .agg(F.count(F.lit(1)).as("n"))
+  def jsDivergence(df: DataFrame, sliceCol: String, catCol: Column): DataFrame =
+    jsDivergenceFromCounts(
+      df.filter(catCol.isNotNull && F.col(sliceCol).isNotNull)
+        .groupBy(F.col(sliceCol).as("slice"), catCol.as("cat"))
+        .agg(F.count(F.lit(1)).as("n")))
+
+  /** The [[jsDivergence]] pair algebra over a pre-aggregated (slice,
+    * cat, n) count frame — the mergeable-summary entry the streaming
+    * accumulator re-enters (counts sum across micro-batches). */
+  def jsDivergenceFromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.groupBy("slice").agg(F.sum("n").as("tot"))
     val shares = counts.join(totals, "slice")
       .select(F.col("slice").as("__s"), F.col("cat"), (F.col("n") / F.col("tot")).as("sh"))
@@ -96,6 +127,48 @@ object Drift {
           F.when(F.col("pb") > 0.0, F.col("pb") * F.log(F.col("pb") / F.col("m")) / 2.0).otherwise(0.0))
       .groupBy("slice_a", "slice_b")
       .agg(F.round(F.sum("__t"), 4).as("js_div"))
+  }
+
+  /** Mutual information (natural log) of the `rowCol` × `colCol` pair —
+    * the effect-SIZE companion to [[chiSquare]]'s significance statistic
+    * (χ² grows with N at fixed dependence; MI does not), and the feature-
+    * selection / redundancy score an ML pipeline ranks candidate columns
+    * by. MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over observed cells (absent
+    * cells contribute 0·ln0 := 0 — no smoothing needed, the sum is finite
+    * by construction), plus the marginal entropies and the normalized
+    * variant NMI = MI/√(H(X)·H(Y)) ∈ [0,1] (NULL when either margin is
+    * degenerate single-level).
+    *
+    * Same scale shape as χ²: ONE combinable cell-count scan, margins
+    * re-aggregated from the cell frame, scalar algebra on exact integer
+    * counts (per-term IEEE-identical across engines; summation order
+    * collapsed by the round-4 convention). */
+  def mutualInfo(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val cells = df.filter(rowCol.isNotNull && colCol.isNotNull)
+      .groupBy(rowCol.as("r"), colCol.as("c"))
+      .agg(F.count(F.lit(1)).as("o"))
+    val rows = cells.groupBy("r").agg(F.sum("o").as("nr"))
+    val cols = cells.groupBy("c").agg(F.sum("o").as("nc"))
+    val n = cells.agg(F.sum("o").as("n"))
+    val od = F.col("o").cast("double")
+    val nd = F.col("n").cast("double")
+    val joint = cells.join(rows, "r").join(cols, "c").crossJoin(F.broadcast(n))
+      .withColumn("__t", od / nd * F.log(od * nd /
+        (F.col("nr").cast("double") * F.col("nc").cast("double"))))
+      .agg(F.sum("__t").as("__mi"), F.first(F.col("n")).as("n"))
+    def entropy(m: DataFrame, cnt: String): DataFrame =
+      m.crossJoin(F.broadcast(n.select(F.col("n").as("__n"))))
+        .withColumn("__p", F.col(cnt).cast("double") / F.col("__n"))
+        .agg((-F.sum(F.col("__p") * F.log(F.col("__p")))).as(s"__h$cnt"))
+    joint
+      .crossJoin(F.broadcast(entropy(rows, "nr")))
+      .crossJoin(F.broadcast(entropy(cols, "nc")))
+      .select(F.col("n"),
+        F.round(F.col("__mi"), 4).as("mi"),
+        F.round(F.col("__hnr"), 4).as("h_row"),
+        F.round(F.col("__hnc"), 4).as("h_col"),
+        F.when(F.col("__hnr") > 0.0 && F.col("__hnc") > 0.0,
+          F.round(F.col("__mi") / F.sqrt(F.col("__hnr") * F.col("__hnc")), 4)).as("nmi"))
   }
 
   /** Pearson χ² statistic of independence for the `rowCol` × `colCol`

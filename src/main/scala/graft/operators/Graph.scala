@@ -103,6 +103,68 @@ object Graph {
     rank.select(F.col("id").as("node_id"), F.round(F.col("r"), 6).as("ppr"))
   }
 
+  /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) over a directed edge list:
+    * authority(v) ← Σ hub(u) over in-edges, hub(u) ← Σ authority(v) over
+    * out-edges, alternating for `iters` rounds.
+    *
+    * Normalization is BY THE MAX element, not the usual L2 norm — the
+    * deliberate cross-engine choice: max is summation-order-independent
+    * (an L2/L1 normalizer aggregates the whole vector, so its last-ulp
+    * value depends on reduction order and a divide-then-snap can flip a
+    * boundary digit), while max-of-snapped-values is exact, divisions
+    * are per-element IEEE ops, and scores stay in [0, 1] so the 9-decimal
+    * per-round snap dominates the ~1e-16·degree summation drift — the
+    * pageRank discipline, adapted to a spectral iteration. Rankings are
+    * unaffected (HITS is scale-free). Edges are deduplicated; weights are
+    * intentionally not supported here (unweighted co-citation is the
+    * classic formulation; weighted sums would grow term magnitudes past
+    * what the snap hierarchy absorbs).
+    *
+    * Output: (node_id, hub, authority), both max-normalized, round 6. */
+  def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val e = edges.select(F.col(edges.columns(0)).as("src"), F.col(edges.columns(1)).as("dst"))
+      .distinct()
+      .localCheckpoint(true) // read twice per round
+    val nodes = e.select(F.col("src").as("id")).union(e.select(F.col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var hub = nodes.select(F.col("id"), F.lit(1.0).as("x"))
+    var auth = nodes.select(F.col("id"), F.lit(0.0).as("x"))
+    for (_ <- 1 to iters) {
+      auth = normalizeMax(nodes,
+        e.join(hub, e("src") === hub("id"))
+          .groupBy(e("dst").as("id")).agg(F.sum(F.col("x")).as("raw")))
+      hub = normalizeMax(nodes,
+        e.join(auth, e("dst") === auth("id"))
+          .groupBy(e("src").as("id")).agg(F.sum(F.col("x")).as("raw")))
+    }
+    nodes
+      .join(hub.select(F.col("id"), F.col("x").as("hub")), Seq("id"), "left")
+      .join(auth.select(F.col("id"), F.col("x").as("authority")), Seq("id"), "left")
+      .select(F.col("id").as("node_id"),
+        F.round(F.coalesce(F.col("hub"), F.lit(0.0)), 6).as("hub"),
+        F.round(F.coalesce(F.col("authority"), F.lit(0.0)), 6).as("authority"))
+  }
+
+  /** Left-join `raw` scores onto the node set (missing → 0), divide by
+    * the broadcast 1-row max, snap to 9 decimals. The filled frame is
+    * PINNED (localCheckpoint) because it feeds both the max aggregate and
+    * the projection — without the pin each half-round would double the
+    * lazy lineage (2^rounds plan blowup); with it the per-round cost is
+    * one |V|-row materialization, the [[personalizedPageRank]] tele
+    * pattern. */
+  private def normalizeMax(nodes: DataFrame, raw: DataFrame): DataFrame = {
+    val full = nodes.join(raw, Seq("id"), "left")
+      .select(F.col("id"), F.coalesce(F.col("raw"), F.lit(0.0)).as("raw"))
+      .localCheckpoint(true)
+    val mx = full.agg(F.max(F.col("raw")).as("__mx"))
+    full.crossJoin(F.broadcast(mx))
+      .select(F.col("id"),
+        F.when(F.col("__mx") === 0.0, F.lit(0.0))
+          .otherwise(F.round(F.col("raw") / F.col("__mx"), 9)).as("x"))
+  }
+
   /** Multi-source BFS hop distances over a DIRECTED edge list, bounded at
     * `maxHops` (symmetrize upstream for undirected reachability): the
     * "how far is every node from the seed set" question — crawl frontier
@@ -195,14 +257,26 @@ object Graph {
     * triangle x≺y≺z is generated exactly once, at its smallest corner.
     * Output: (node, triangles) for every node in at least one triangle. */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val und = edges.select(
+    val und = undirect(edges)
+    triangleCore(und, degrees(und))
+  }
+
+  /** Canonical undirected edge set: (min, max) endpoints, self-loops
+    * dropped, duplicates collapsed. */
+  private def undirect(edges: DataFrame): DataFrame =
+    edges.select(
         F.least(F.col(edges.columns(0)), F.col(edges.columns(1))).as("a"),
         F.greatest(F.col(edges.columns(0)), F.col(edges.columns(1))).as("b"))
       .filter(F.col("a") =!= F.col("b"))
       .distinct()
-    val deg = und.select(F.col("a").as("node"))
+
+  /** (node, d) undirected degrees of a canonical edge set. */
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(F.col("a").as("node"))
       .unionAll(und.select(F.col("b").as("node")))
       .groupBy("node").agg(F.count(F.lit(1)).as("d"))
+
+  private def triangleCore(und: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = und
       .join(deg.select(F.col("node").as("a"), F.col("d").as("da")), "a")
       .join(deg.select(F.col("node").as("b"), F.col("d").as("db")), "b")
@@ -225,5 +299,103 @@ object Graph {
       .unionAll(tri.select(F.col("x").as("node")))
       .unionAll(tri.select(F.col("y").as("node")))
       .groupBy("node").agg(F.count(F.lit(1)).as("triangles"))
+  }
+
+  /** Per-node LOCAL clustering coefficient — lcc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)), the "what fraction of my neighbor pairs know
+    * each other" transitivity signal (spam-farm and community cohesion
+    * detection). Triangles come from the same degree-oriented core as
+    * [[triangleCount]] (the arboricity-bounded wedge join is still the
+    * only superlinear step); degrees from one combinable count. Both
+    * inputs are exact integers, so the coefficient is a single IEEE
+    * division — engine-exact, oracle-able. Nodes of degree < 2 have no
+    * neighbor pairs and report 0. Output: (node_id, degree, triangles,
+    * lcc) for every non-isolated node. */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val und = undirect(edges).localCheckpoint(true) // feeds degrees AND the triangle core
+    val deg = degrees(und)
+    deg.join(triangleCore(und, deg), Seq("node"), "left")
+      .select(F.col("node").as("node_id"),
+        F.col("d").as("degree"),
+        F.coalesce(F.col("triangles"), F.lit(0L)).as("triangles"),
+        F.when(F.col("d") >= 2,
+            F.round(F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0L)) /
+              (F.col("d").cast("double") * (F.col("d") - 1)), 6))
+          .otherwise(F.lit(0.0)).as("lcc"))
+  }
+
+  /** The k-CORE — the maximal subgraph in which every node keeps degree
+    * ≥ k — by iterative peeling (Seidman, "Network structure and minimum
+    * degree", Social Networks 1983): drop all nodes of degree < k,
+    * recompute degrees (peeling lowers neighbors' degrees — the cascade),
+    * repeat to the fixpoint. The dense-interaction-core question: which
+    * entities stay engaged after the long tail and everything only the
+    * long tail supported is removed.
+    *
+    * Each round is one combinable degree count plus two semi-joins on the
+    * (pinned, shrinking) edge set; the edge count per round is the
+    * fixpoint detector — a 1-row driver scalar, the pageRank-n pattern.
+    * The fixpoint is unique (the k-core is well-defined), so a mirror
+    * that unrolls AT LEAST as many peels reproduces it exactly —
+    * `maxRounds` only guards pathological cascades (a chain peels one
+    * node per round; real graphs settle in a handful).
+    *
+    * Output: (node_id, core_degree) over the k-core, core_degree its
+    * within-core degree (≥ k by definition). Empty when no k-core
+    * exists. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, "k must be positive")
+    var und = undirect(edges).localCheckpoint(true)
+    var m = und.count()
+    var rounds = 0
+    var changed = m > 0
+    while (changed && rounds < maxRounds) {
+      val keep = degrees(und).filter(F.col("d") >= k).select("node")
+      val pruned = und
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint(true) // next round's base AND this round's count
+      val m2 = pruned.count()
+      changed = m2 != m
+      m = m2
+      und = pruned
+      rounds += 1
+    }
+    degrees(und).select(F.col("node").as("node_id"), F.col("d").as("core_degree"))
+  }
+
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over the directed-edge-list expansion of the undirected graph (each
+    * edge counted in both orientations, the standard formulation): r > 0
+    * means hubs attach to hubs (social/citation shape), r < 0 means hubs
+    * attach to leaves (star/infrastructure shape). One degree count, one
+    * |E|-row double join onto the degree frame, then ONE combinable
+    * six-sum aggregate; all six sums are exact BIGINTs (order-independent
+    * — the cross-engine determinism anchor; degrees ≫ 10⁶ on ≫ 10⁹ edges
+    * would need a decimal widening), and the correlation is fixed-shape
+    * IEEE algebra over them. A degree-regular graph has zero variance —
+    * assortativity is NULL there, not a divide blowup. Output: one row
+    * (m_edges, assortativity round 6). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val und = undirect(edges)
+    val deg = degrees(und)
+    val sym = und.select(F.col("a").as("s"), F.col("b").as("t"))
+      .unionAll(und.select(F.col("b").as("s"), F.col("a").as("t")))
+    val j = sym
+      .join(deg.select(F.col("node").as("s"), F.col("d").as("da")), "s")
+      .join(deg.select(F.col("node").as("t"), F.col("d").as("db")), "t")
+    val a = j.agg(
+      F.count(F.lit(1)).as("m"),
+      F.sum(F.col("da")).as("sx"), F.sum(F.col("db")).as("sy"),
+      F.sum(F.col("da") * F.col("db")).as("sxy"),
+      F.sum(F.col("da") * F.col("da")).as("sxx"),
+      F.sum(F.col("db") * F.col("db")).as("syy"))
+    val md = F.col("m").cast("double")
+    val vx = md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    val vy = md * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    a.select(F.col("m").as("m_edges"),
+      F.when(vx * vy > 0.0,
+        F.round((md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+          / F.sqrt(vx * vy), 6)).as("assortativity"))
   }
 }

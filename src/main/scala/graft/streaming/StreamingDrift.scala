@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Drift
+
+/** Streaming drift monitoring — the [[graft.operators.Drift]] triad's
+  * accumulating state is grouped COUNTS, the simplest mergeable summary
+  * there is, so the streaming twin follows the StreamingQuantiles /
+  * StreamingSetSketches storage contract verbatim: each micro-batch
+  * writes its own count partial under `batch_id=` (a replayed batch
+  * overwrites its own partition — idempotent under at-least-once
+  * foreachBatch), and the read side re-aggregates the partials into one
+  * count frame and re-enters the batch operator's scoring tail
+  * ([[Drift.psiFromCounts]] / [[Drift.jsDivergenceFromCounts]]).
+  * Because counts are a pure function of the input multiset, streamed ==
+  * batch EXACTLY, not just within error.
+  *
+  * For PSI the reference is FROZEN at attach time — its (lo, hi) bounds
+  * parameterize every batch's bucketing ([[Drift.bucketCounts]], the
+  * frozen-model-scoring discipline: the monitor alarms against a fixed
+  * baseline, it does not let the baseline drift with the stream). */
+object StreamingDrift {
+
+  /** One driver-side scalar: the reference frame's (min, max), the
+    * bounds the batch operator derives internally. Collect them ONCE and
+    * pass to [[attachNumeric]]. */
+  def refBounds(ref: DataFrame, valueCol: String): (Double, Double) = {
+    val v = F.col(valueCol).cast("double")
+    val r = ref.filter(v.isNotNull).agg(F.min(v), F.max(v)).head
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** Accumulate per-batch bucket counts of `valueCol` under the frozen
+    * reference bounds. */
+  def attachNumeric(
+      values: DataFrame,
+      checkpointDir: String,
+      countsDir: String,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      buckets: Int = 10,
+      triggerMillis: Long = 1000L): StreamingQuery =
+    values.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMillis))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Drift.bucketCounts(batch, valueCol, lo, hi, buckets)
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$countsDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
+  /** Stream-wide (bucket, n) counts: partials summed. Empty stream →
+    * empty frame (PSI then reads every current bucket as 0, which is the
+    * right degenerate answer, not a throw). */
+  def numericCounts(spark: SparkSession, countsDir: String): DataFrame =
+    readPartials(spark, countsDir, Seq("bucket" -> "int"))
+      .groupBy("bucket").agg(F.sum("n").as("n"))
+
+  /** PSI of the stream so far against the frozen reference counts
+    * (produce them once with [[Drift.bucketCounts]] over the reference
+    * at the same bounds). Same output shape as [[Drift.psi]]. */
+  def psiNow(spark: SparkSession, refCounts: DataFrame, countsDir: String,
+             buckets: Int): DataFrame =
+    Drift.psiFromCounts(spark, refCounts, numericCounts(spark, countsDir), buckets)
+
+  /** Accumulate per-batch (slice, cat) counts for divergence monitoring
+    * between stream slices (sources, shards, A/B arms). */
+  def attachCategorical(
+      rows: DataFrame,
+      checkpointDir: String,
+      countsDir: String,
+      sliceCol: String = "slice",
+      catCol: String = "cat",
+      triggerMillis: Long = 1000L): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerMillis))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.filter(F.col(sliceCol).isNotNull && F.col(catCol).isNotNull)
+          .groupBy(F.col(sliceCol).cast("string").as("slice"),
+            F.col(catCol).cast("string").as("cat"))
+          .agg(F.count(F.lit(1)).as("n"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$countsDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
+  /** Stream-wide (slice, cat, n) counts — one row per (slice, cat), the
+    * shape [[Drift.jsDivergenceFromCounts]] expects. */
+  def categoricalCounts(spark: SparkSession, countsDir: String): DataFrame =
+    readPartials(spark, countsDir, Seq("slice" -> "string", "cat" -> "string"))
+      .groupBy("slice", "cat").agg(F.sum("n").as("n"))
+
+  /** Pairwise JS divergence between the stream's slices so far. */
+  def jsNow(spark: SparkSession, countsDir: String): DataFrame =
+    Drift.jsDivergenceFromCounts(categoricalCounts(spark, countsDir))
+
+  /** Partial reader: key columns cast back (partition-column inference,
+    * the foreachBatch-partial gotcha), empty/missing dir → empty frame. */
+  private def readPartials(spark: SparkSession, dir: String,
+                           keys: Seq[(String, String)]): DataFrame = {
+    val raw =
+      try spark.read.option("basePath", dir).parquet(dir)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          return spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(
+              keys.map { case (k, t) =>
+                org.apache.spark.sql.types.StructField(k,
+                  org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
+              } :+ org.apache.spark.sql.types.StructField("n",
+                org.apache.spark.sql.types.LongType)))
+      }
+    raw.select(keys.map { case (k, t) => F.col(k).cast(t).as(k) } :+
+      F.col("n").cast("long").as("n"): _*)
+  }
+}

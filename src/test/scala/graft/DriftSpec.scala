@@ -82,4 +82,42 @@ class DriftSpec extends SparkSpec {
     out.getAs[Double]("chi2") shouldBe 20.0
     out.getAs[Long]("dof") shouldBe 1L
   }
+
+  // ---- mutualInfo ---------------------------------------------------
+
+  private def mi(rows: Seq[(String, String)]) =
+    Drift.mutualInfo(rows.toDF("r", "c"), F.col("r"), F.col("c")).collect().head
+
+  it("MI is exactly 0 on an independent table and H(X) on a determined one") {
+    val indep = for (r <- Seq("a", "b", "c"); c <- Seq("x", "y"); _ <- 1 to 5) yield (r, c)
+    val o1 = mi(indep)
+    o1.getAs[Double]("mi") shouldBe 0.0
+    o1.getAs[Double]("nmi") shouldBe 0.0
+    // Y = f(X), uniform over 2 levels: MI = H(X) = H(Y) = ln 2, NMI = 1
+    val det = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))
+    val o2 = mi(det)
+    val ln2 = math.round(math.log(2.0) * 1e4) / 1e4
+    o2.getAs[Double]("mi") shouldBe ln2
+    o2.getAs[Double]("h_row") shouldBe ln2
+    o2.getAs[Double]("h_col") shouldBe ln2
+    o2.getAs[Double]("nmi") shouldBe 1.0
+  }
+
+  it("MI matches the hand summation on a dependent 2x2 and counts n") {
+    // cells: (a,x)=3 (a,y)=1 (b,x)=1 (b,y)=3; n=8, all margins 4
+    val rows = Seq.fill(3)(("a", "x")) ++ Seq(("a", "y"), ("b", "x")) ++ Seq.fill(3)(("b", "y"))
+    val want = 2 * (3.0 / 8 * math.log(1.5)) + 2 * (1.0 / 8 * math.log(0.5))
+    val out = mi(rows)
+    out.getAs[Long]("n") shouldBe 8L
+    out.getAs[Double]("mi") shouldBe math.round(want * 1e4) / 1e4 +- 1e-9
+    out.getAs[Double]("nmi") shouldBe
+      math.round(want / math.log(2.0) * 1e4) / 1e4 +- 1e-9
+  }
+
+  it("a degenerate single-level margin yields NMI null, not a divide blowup") {
+    val out = mi(Seq.fill(5)(("only", "x")) ++ Seq.fill(5)(("only", "y")))
+    out.getAs[Double]("mi") shouldBe 0.0
+    out.getAs[Double]("h_row") shouldBe 0.0
+    out.isNullAt(out.fieldIndex("nmi")) shouldBe true
+  }
 }

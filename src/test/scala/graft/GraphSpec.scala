@@ -186,4 +186,140 @@ class GraphSpec extends SparkSpec {
     out("s") should be > 0.0
     out("x") should be > 0.0
   }
+
+  // ---- hits ---------------------------------------------------------
+
+  private def hitsOut(e: Seq[(String, String)], iters: Int): Map[String, (Double, Double)] =
+    Graph.hits(e.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+  /** Naive HITS with the operator's exact contract: alternating
+    * half-rounds, max-normalization, 9-decimal snap per round, 6 at the
+    * end. */
+  private def hitsRef(e: Seq[(String, String)], iters: Int): Map[String, (Double, Double)] = {
+    val ed = e.distinct
+    val nodes = (ed.map(_._1) ++ ed.map(_._2)).distinct
+    def rnd(x: Double, d: Int) =
+      BigDecimal(x).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def norm(raw: Map[String, Double]) = {
+      val mx = raw.values.max
+      raw.map { case (k, v) => k -> (if (mx == 0.0) 0.0 else rnd(v / mx, 9)) }
+    }
+    var hub = nodes.map(n => n -> 1.0).toMap
+    var auth = nodes.map(n => n -> 0.0).toMap
+    for (_ <- 1 to iters) {
+      auth = norm(nodes.map(n => n -> ed.filter(_._2 == n).map(p => hub(p._1)).sum).toMap)
+      hub = norm(nodes.map(n => n -> ed.filter(_._1 == n).map(p => auth(p._2)).sum).toMap)
+    }
+    nodes.map(n => n -> (rnd(hub(n), 6), rnd(auth(n), 6))).toMap
+  }
+
+  it("bipartite: the better-cited page wins authority, the broader citer wins hub") {
+    // h1 -> {a1, a2}, h2 -> {a1}: a1 out-cited, h1 out-cites
+    val e = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"))
+    val out = hitsOut(e, iters = 4)
+    out("a1")._2 shouldBe 1.0 // max-normalized top authority
+    out("h1")._1 shouldBe 1.0 // max-normalized top hub
+    out("a1")._2 should be > out("a2")._2
+    out("h1")._1 should be > out("h2")._1
+    // pure sources carry no authority, pure sinks no hub
+    out("h1")._2 shouldBe 0.0
+    out("a1")._1 shouldBe 0.0
+  }
+
+  it("matches the naive reference trajectory on a random digraph") {
+    val r = new scala.util.Random(7)
+    val e = Seq.fill(80)((s"n${r.nextInt(15)}", s"n${r.nextInt(15)}"))
+      .filter(p => p._1 != p._2)
+    (1 to 3).foreach { iters =>
+      val got = hitsOut(e, iters)
+      val want = hitsRef(e, iters)
+      got.keySet shouldBe want.keySet
+      got.foreach { case (n, (h, a)) =>
+        h shouldBe want(n)._1 +- 2e-6
+        a shouldBe want(n)._2 +- 2e-6
+      }
+    }
+  }
+
+  it("ignores duplicate edges and is deterministic across runs") {
+    val e = Seq(("x", "y"), ("x", "y"), ("y", "z"), ("z", "x"), ("x", "z"))
+    hitsOut(e, 5) shouldBe hitsOut(e ++ e, 5)
+    hitsOut(e, 5) shouldBe hitsRef(e, 5)
+  }
+
+  // ---- clusteringCoefficient / assortativity ------------------------
+
+  private def lcc(e: Seq[(String, String)]): Map[String, (Long, Long, Double)] =
+    Graph.clusteringCoefficient(e.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+
+  it("K4 is fully transitive: every node lcc = 1") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)
+    lcc(k4).values.toSet shouldBe Set((3L, 3L, 1.0))
+  }
+
+  it("split square: diagonal endpoints 2/3 closed, others fully closed") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"))
+    lcc(e) shouldBe Map(
+      "a" -> (3L, 2L, 0.666667), "c" -> (3L, 2L, 0.666667),
+      "b" -> (2L, 1L, 1.0), "d" -> (2L, 1L, 1.0))
+  }
+
+  it("paths have zero closure; degree-1 endpoints report 0, not NaN") {
+    lcc(Seq(("a", "b"), ("b", "c"))) shouldBe
+      Map("a" -> (1L, 0L, 0.0), "b" -> (2L, 0L, 0.0), "c" -> (1L, 0L, 0.0))
+  }
+
+  private def assort(e: Seq[(String, String)]): (Long, Option[Double]) = {
+    val r = Graph.assortativity(e.toDF("src", "dst")).collect().head
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+  }
+
+  it("a star is perfectly disassortative, a 4-path is -0.5, by hand") {
+    assort(Seq(("c", "l1"), ("c", "l2"), ("c", "l3"), ("c", "l4"))) shouldBe (8L, Some(-1.0))
+    assort(Seq(("a", "b"), ("b", "c"), ("c", "d"))) shouldBe (6L, Some(-0.5))
+  }
+
+  it("a degree-regular cycle has no degree variance: NULL, not NaN") {
+    assort(Seq(("a", "b"), ("b", "c"), ("c", "a"))) shouldBe (6L, None)
+  }
+
+  // ---- kCore --------------------------------------------------------
+
+  private def core(e: Seq[(String, String)], k: Int): Map[String, Long] =
+    Graph.kCore(e.toDF("src", "dst"), k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  it("a chain's 2-core cascades to empty, one endpoint per round") {
+    core(Seq(("a", "b"), ("b", "c"), ("c", "d")), k = 2) shouldBe Map.empty
+  }
+
+  it("a cycle IS its own 2-core; K4 with a pendant sheds only the pendant at k=3") {
+    core(Seq(("a", "b"), ("b", "c"), ("c", "a")), 2) shouldBe
+      Map("a" -> 2L, "b" -> 2L, "c" -> 2L)
+    val k4 = (for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)) :+ (("d", "pendant"))
+    core(k4, 3) shouldBe Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L)
+  }
+
+  it("a tail hanging off K4 peels over MULTIPLE rounds, then the core stabilizes") {
+    // d—t1—t2—t3: each peel removes only the current endpoint
+    val e = (for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)) ++ Seq(("d", "t1"), ("t1", "t2"), ("t2", "t3"))
+    core(e, 2) shouldBe Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L)
+  }
+
+  it("core degrees are WITHIN-core: the bridge between two triangles drops from its count") {
+    // two triangles joined by a bridge x—y: 2-core keeps everything
+    val e = Seq(("a", "b"), ("b", "x"), ("x", "a"), ("p", "q"), ("q", "y"), ("y", "p"), ("x", "y"))
+    val out = core(e, 2)
+    out("x") shouldBe 3L // in-core degree counts the bridge
+    // but at k=3 both triangles fail (x,y have 3 but their neighbors 2)
+    core(e, 3) shouldBe Map.empty
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files => JFiles, Paths}
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.operators.Drift
+import graft.streaming.StreamingDrift
+
+/** Streaming drift counts are a pure function of the input multiset, so
+  * streamed == batch must hold EXACTLY, across a checkpointed restart. */
+class StreamingDriftSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  it("streamed PSI across a restart equals the batch PSI exactly") {
+    val r = new scala.util.Random(31)
+    val refVals = Seq.fill(400)(r.nextGaussian() * 10 + 50)
+    val curVals = Seq.fill(500)(r.nextGaussian() * 12 + 58) // shifted + widened
+    val ref = refVals.toDF("v")
+
+    val inDir = JFiles.createTempDirectory("graft-psi-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-psi-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-psi-counts").toString
+    val (lo, hi) = StreamingDrift.refBounds(ref, "v")
+    val refCounts = Drift.bucketCounts(ref, "v", lo, hi, buckets = 10)
+
+    val half = curVals.length / 2
+    JFiles.writeString(Paths.get(inDir, "f1.txt"), curVals.take(half).mkString("\n"))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.col("value").cast("double").as("v"))
+    val q1 = StreamingDrift.attachNumeric(src(), ckpt, cDir, "v", lo, hi,
+      buckets = 10, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    JFiles.writeString(Paths.get(inDir, "f2.txt"), curVals.drop(half).mkString("\n"))
+    val q2 = StreamingDrift.attachNumeric(src(), ckpt, cDir, "v", lo, hi,
+      buckets = 10, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = StreamingDrift.psiNow(spark, refCounts, cDir, buckets = 10)
+      .collect().map(x => x.getInt(0) -> x.toSeq).toMap
+    val batch = Drift.psi(ref, curVals.toDF("v"), "v", buckets = 10)
+      .collect().map(x => x.getInt(0) -> x.toSeq).toMap
+    streamed shouldBe batch
+    // and the shift is actually visible
+    batch.values.head.last.asInstanceOf[Double] should be > 0.1
+  }
+
+  it("streamed JS divergence across slices equals the batch computation exactly") {
+    val r = new scala.util.Random(47)
+    val rows = r.shuffle(
+      (1 to 300).map(i => ("src_a", s"t${i % 40}")) ++
+        (1 to 300).map(i => ("src_b", s"t${(i % 40) + 10}")) ++ // overlapping, shifted vocab
+        (1 to 100).map(i => ("src_c", s"t${i % 7}"))).toVector
+
+    val inDir = JFiles.createTempDirectory("graft-js-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-js-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-js-counts").toString
+    val half = rows.length / 2
+    def write(name: String, part: Seq[(String, String)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (s, c) => s"$s,$c" }.mkString("\n"))
+    write("f1.txt", rows.take(half))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("cat"))
+    val q1 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", rows.drop(half))
+    val q2 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = StreamingDrift.jsNow(spark, cDir)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    val batch = Drift.jsDivergence(rows.toDF("slice", "cat"), "slice", F.col("cat"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    streamed shouldBe batch
+    streamed.keySet should have size 3
+    streamed(("src_a", "src_b")) should be > 0.0
+  }
+
+  it("an empty stream reads as zero current counts, not a throw") {
+    val dir = JFiles.createTempDirectory("graft-drift-empty").toString
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val (lo, hi) = StreamingDrift.refBounds(ref, "v")
+    val refCounts = Drift.bucketCounts(ref, "v", lo, hi, 4)
+    val out = StreamingDrift.psiNow(spark, refCounts, dir, 4).collect()
+    out should have size 4
+    out.map(_.getAs[Long]("n_cur")).sum shouldBe 0L
+    StreamingDrift.jsNow(spark, dir).collect() shouldBe empty
+  }
+}

@@ -940,6 +940,19 @@ object SparkEntry {
     // marginal entropies, and NMI from the same one-cell-scan shape.
     "q_mutual_info" -> ((s, dir) =>
       Drift.mutualInfo(t(s, dir, "documents"), F.col("source"), F.col("lang"))),
+    // CUSUM changepoints of daily per-type event volume: WHEN the rate
+    // shifted (PSI says whether, not when). Two key-partitioned running
+    // windows — the closed form, no recursion; alarms on the rounded
+    // statistic so both engines decide identically.
+    "q_cusum" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(F.col("event_type").as("k"), F.to_date(F.col("ts")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("x"))
+      Drift.cusum(daily, "k", "t", "x", slack = 0.0, threshold = 50.0)
+        .select(F.col("k").as("event_type"), F.col("t").as("day"),
+          F.col("x").cast("long").as("n"),
+          F.col("cusum_hi"), F.col("cusum_lo"), F.col("alarm_hi"), F.col("alarm_lo"))
+    }),
     // Personalized PageRank (random walk with restart into customers
     // 1-10) over the same bipartite graph as q_pagerank: teleport mass
     // re-enters only at the seeds, rank decays with distance from them.
@@ -3182,6 +3195,21 @@ object SparkEntry {
         "SELECT n, round(mi, 4) AS mi, round(hr.h, 4) AS h_row, round(hc.h, 4) AS h_col, " +
         "CASE WHEN hr.h > 0 AND hc.h > 0 THEN round(mi / sqrt(hr.h * hc.h), 4) END AS nmi " +
         "FROM mi, nn, hr, hc"),
+    // Same closed-form windows (running sum + running extremum per key);
+    // alarm compares the ROUNDED statistic in both engines.
+    "q_cusum" ->
+      ("WITH s AS (SELECT event_type AS k, CAST(ts AS DATE) AS d, CAST(count(*) AS DOUBLE) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT k, sum(x) / count(*) AS mu FROM s GROUP BY 1), " +
+        "y AS (SELECT s.k, d, x, x - mu - 0.0 AS yh, x - mu + 0.0 AS yl FROM s JOIN m ON m.k = s.k), " +
+        "p AS (SELECT k, d, x, sum(yh) OVER w AS ph, sum(yl) OVER w AS pl FROM y " +
+        "WINDOW w AS (PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING)), " +
+        "c AS (SELECT k, d, x, " +
+        "round(ph - least(CAST(0 AS DOUBLE), min(ph) OVER w), 6) AS sh, " +
+        "round(greatest(CAST(0 AS DOUBLE), max(pl) OVER w) - pl, 6) AS sl FROM p " +
+        "WINDOW w AS (PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT k AS event_type, d AS day, CAST(x AS BIGINT) AS n, " +
+        "sh AS cusum_hi, sl AS cusum_lo, sh > 50.0 AS alarm_hi, sl > 50.0 AS alarm_lo FROM c"),
     // 24 CASE-sum profile terms, then the shared cosine chain at dims=24.
     "q_ts_user_topk" -> cosineOracle(
       "WITH prof AS (SELECT user_id, [" +

@@ -129,6 +129,49 @@ object Drift {
       .agg(F.round(F.sum("__t"), 4).as("js_div"))
   }
 
+  /** Page's CUSUM changepoint statistic (Page, "Continuous inspection
+    * schemes", Biometrika 1954) over a per-key time series — WHEN did the
+    * monitored metric shift, the question PSI's window-vs-window score
+    * cannot answer. Two one-sided statistics against the key's own
+    * retrospective mean μ: S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ − slack)) flags
+    * upward shifts, S⁻ₜ symmetrically downward; alarms where the
+    * (rounded) statistic exceeds `threshold`.
+    *
+    * The recursion is NOT iterated: max(0, ·) folds into the closed form
+    * S⁺ₜ = Pₜ − min(0, min_{j≤t} Pⱼ) over prefix sums P, so the whole
+    * operator is two running-sum + running-extremum windows PARTITIONED
+    * BY KEY (never a single-partition window over data; rows per key =
+    * series length). Engine parity: per-term arithmetic is IEEE-identical;
+    * window summation ORDER can differ (segment trees), drift ~1e-16,
+    * collapsed by the round-6 outputs — and alarms compare the ROUNDED
+    * statistic, so both engines decide on identical values.
+    *
+    * Input: one row per (key, t) with numeric `x` (integral-valued
+    * doubles keep the prefix sums exact). Output: (key, t, x, cusum_hi,
+    * cusum_lo, alarm_hi, alarm_lo). */
+  def cusum(series: DataFrame, keyCol: String, tCol: String, xCol: String,
+            slack: Double, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = series.select(F.col(keyCol).as("k"), F.col(tCol).as("t"),
+      F.col(xCol).cast("double").as("x"))
+    val mu = base.groupBy("k").agg((F.sum("x") / F.count(F.lit(1))).as("mu"))
+    val p = base.join(mu, "k")
+      .withColumn("__yh", F.col("x") - F.col("mu") - F.lit(slack))
+      .withColumn("__yl", F.col("x") - F.col("mu") + F.lit(slack))
+      .withColumn("__ph", F.sum("__yh").over(w))
+      .withColumn("__pl", F.sum("__yl").over(w))
+    p.withColumn("__sh",
+        F.round(F.col("__ph") - F.least(F.lit(0.0), F.min("__ph").over(w)), 6))
+      .withColumn("__sl",
+        F.round(F.greatest(F.lit(0.0), F.max("__pl").over(w)) - F.col("__pl"), 6))
+      .select(F.col("k"), F.col("t"), F.col("x"),
+        F.col("__sh").as("cusum_hi"), F.col("__sl").as("cusum_lo"),
+        (F.col("__sh") > threshold).as("alarm_hi"),
+        (F.col("__sl") > threshold).as("alarm_lo"))
+  }
+
   /** Mutual information (natural log) of the `rowCol` × `colCol` pair —
     * the effect-SIZE companion to [[chiSquare]]'s significance statistic
     * (χ² grows with N at fixed dependence; MI does not), and the feature-

@@ -125,19 +125,25 @@ object Graph {
   def hits(edges: DataFrame, iters: Int = 5): DataFrame = {
     val e = edges.select(F.col(edges.columns(0)).as("src"), F.col(edges.columns(1)).as("dst"))
       .distinct()
-      .localCheckpoint(true) // read twice per round
-    val nodes = e.select(F.col("src").as("id")).union(e.select(F.col("dst").as("id")))
+    // the |E|-row list is pinned ONCE PER JOIN ORIENTATION (the pageRank
+    // ep discipline): the authority step joins on src, the hub step on
+    // dst — pre-partitioned, each round shuffles only the |V|-row score
+    // frame, never the edges
+    val eBySrc = e.repartition(F.col("src")).localCheckpoint(true)
+    val eByDst = eBySrc.repartition(F.col("dst")).localCheckpoint(true)
+    val nodes = eBySrc.select(F.col("src").as("id"))
+      .union(eBySrc.select(F.col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
     var hub = nodes.select(F.col("id"), F.lit(1.0).as("x"))
     var auth = nodes.select(F.col("id"), F.lit(0.0).as("x"))
     for (_ <- 1 to iters) {
       auth = normalizeMax(nodes,
-        e.join(hub, e("src") === hub("id"))
-          .groupBy(e("dst").as("id")).agg(F.sum(F.col("x")).as("raw")))
+        eBySrc.join(hub, eBySrc("src") === hub("id"))
+          .groupBy(eBySrc("dst").as("id")).agg(F.sum(F.col("x")).as("raw")))
       hub = normalizeMax(nodes,
-        e.join(auth, e("dst") === auth("id"))
-          .groupBy(e("src").as("id")).agg(F.sum(F.col("x")).as("raw")))
+        eByDst.join(auth, eByDst("dst") === auth("id"))
+          .groupBy(eByDst("src").as("id")).agg(F.sum(F.col("x")).as("raw")))
     }
     nodes
       .join(hub.select(F.col("id"), F.col("x").as("hub")), Seq("id"), "left")

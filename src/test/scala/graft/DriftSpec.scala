@@ -120,4 +120,60 @@ class DriftSpec extends SparkSpec {
     out.getAs[Double]("h_row") shouldBe 0.0
     out.isNullAt(out.fieldIndex("nmi")) shouldBe true
   }
+
+  // ---- cusum --------------------------------------------------------
+
+  private def cusumOut(xs: Seq[Double], slack: Double = 0.0, threshold: Double = 1e18) =
+    Drift.cusum(xs.zipWithIndex.map { case (x, i) => ("k", i, x) }.toDF("k", "t", "x"),
+        "k", "t", "x", slack, threshold)
+      .orderBy("t").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getBoolean(5), r.getBoolean(6)))
+
+  /** The literal Page recursion the closed form must reproduce. */
+  private def cusumRef(xs: Seq[Double], slack: Double): Seq[(Double, Double)] = {
+    val mu = xs.sum / xs.length
+    xs.scanLeft((0.0, 0.0)) { case ((sh, sl), x) =>
+      (math.max(0.0, sh + (x - mu - slack)), math.max(0.0, sl - (x - mu + slack)))
+    }.tail
+  }
+
+  it("a constant series never accumulates and never alarms") {
+    cusumOut(Seq.fill(10)(7.0)).foreach { case (sh, sl, ah, al) =>
+      sh shouldBe 0.0; sl shouldBe 0.0; ah shouldBe false; al shouldBe false
+    }
+  }
+
+  it("a level step accumulates half the total shift by the end, and alarms past it") {
+    // 10@10 then 10@20, mu=15: S+ climbs 5/day in the second half to 50
+    val xs = Seq.fill(10)(10.0) ++ Seq.fill(10)(20.0)
+    val out = Drift.cusum(xs.zipWithIndex.map { case (x, i) => ("k", i, x) }
+        .toDF("k", "t", "x"), "k", "t", "x", slack = 0.0, threshold = 30.0)
+      .orderBy("t").collect()
+    out.last.getDouble(3) shouldBe 50.0 // cusum_hi
+    out.map(_.getBoolean(5)).count(identity) shouldBe 4 // days at 35, 40, 45, 50
+    // the retrospective mean makes the below-mean FIRST half a downward
+    // excursion too: S- climbs to 50 then decays — 35..50 up, 45..35 down
+    out.map(_.getBoolean(6)).count(identity) shouldBe 7
+    out.last.getDouble(4) shouldBe 0.0 // fully decayed by the end
+  }
+
+  it("the closed form equals the literal Page recursion on a random series, both sides") {
+    val r = new scala.util.Random(13)
+    val xs = Seq.fill(40)((r.nextInt(30) + 1).toDouble) // integral: prefix sums exact
+    val want = cusumRef(xs, slack = 1.0)
+    val got = cusumOut(xs, slack = 1.0)
+    got.length shouldBe want.length
+    got.zip(want).foreach { case ((sh, sl, _, _), (rh, rl)) =>
+      sh shouldBe rh +- 1e-6
+      sl shouldBe rl +- 1e-6
+    }
+  }
+
+  it("a downward shift drives the LOWER statistic only") {
+    val xs = Seq.fill(8)(20.0) ++ Seq.fill(8)(10.0)
+    val out = cusumOut(xs, threshold = 20.0)
+    out.last._2 shouldBe 40.0 // cusum_lo: 8 days falling 5 below mu=15
+    out.last._1 shouldBe 0.0
+    out.map(_._4).count(identity) shouldBe 4 // lo alarms at 25, 30, 35, 40 > 20
+  }
 }

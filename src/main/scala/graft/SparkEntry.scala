@@ -940,6 +940,23 @@ object SparkEntry {
     // marginal entropies, and NMI from the same one-cell-scan shape.
     "q_mutual_info" -> ((s, dir) =>
       Drift.mutualInfo(t(s, dir, "documents"), F.col("source"), F.col("lang"))),
+    // Covariance matrix of the 64-dim embedding corpus via ONE mergeable
+    // moments pass (CovMomentsAggregator: d + d(d+1)/2 doubles per
+    // partial — no 2080-expression aggregate, no d^2 row explosion); the
+    // oracle recomputes every pairwise sum from exploded elements.
+    "q_cov_matrix" -> ((s, dir) =>
+      Pca.covarianceMatrix(t(s, dir, "embeddings"), "embedding", dim = 64)),
+    // Lead-lag cross-correlation: do clicks anticipate purchases, and by
+    // how many days? Six exact BIGINT sums per lag (the assortativity
+    // determinism anchor), x side replicated once per lag over an
+    // already-aggregated daily series.
+    "q_xcorr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      def daily(tp: String, cn: String) = ev.filter(F.col("event_type") === tp)
+        .groupBy(F.to_date(F.col("ts")).as("t")).agg(F.count(F.lit(1)).as(cn))
+      TimeSeries.crossCorrelation(
+        daily("click", "x"), daily("purchase", "y"), "t", "x", "y", maxLag = 5)
+    }),
     // CUSUM changepoints of daily per-type event volume: WHEN the rate
     // shifted (PSI says whether, not when). Two key-partitioned running
     // windows — the closed form, no recursion; alarms on the rounded
@@ -3210,6 +3227,34 @@ object SparkEntry {
         "WINDOW w AS (PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING)) " +
         "SELECT k AS event_type, d AS day, CAST(x AS BIGINT) AS n, " +
         "sh AS cusum_hi, sl AS cusum_lo, sh > 50.0 AS alarm_hi, sl > 50.0 AS alarm_lo FROM c"),
+    // Elements CAST to DOUBLE before any product (Spark widens floats
+    // the same way); generate_subscripts aligns 1-based with unnest.
+    "q_cov_matrix" ->
+      ("WITH u AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+        "p AS (SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n, sum(a.x * b.x) AS sxy " +
+        "FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2), " +
+        "s AS (SELECT i, sum(x) AS sx FROM u GROUP BY 1) " +
+        "SELECT CAST(p.i - 1 AS INT) AS i, CAST(p.j - 1 AS INT) AS j, n, " +
+        "round((sxy - si.sx * sj.sx / n) / (n - 1), 6) AS cov " +
+        "FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j"),
+    "q_xcorr" ->
+      ("WITH cx AS (SELECT CAST(ts AS DATE) AS t, CAST(count(*) AS BIGINT) AS x " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1), " +
+        "cy AS (SELECT CAST(ts AS DATE) AS t2, CAST(count(*) AS BIGINT) AS y " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "l AS (SELECT CAST(range AS INT) AS lag FROM range(-5, 6)), " +
+        "sh AS (SELECT lag, x, t + lag AS t2 FROM cx, l), " +
+        "a AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, " +
+        "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, " +
+        "CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy " +
+        "FROM sh JOIN cy USING (t2) GROUP BY 1) " +
+        "SELECT lag, n AS n_days, " +
+        "CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0 THEN " +
+        "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+        "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) END AS xcorr FROM a"),
     // 24 CASE-sum profile terms, then the shared cosine chain at dims=24.
     "q_ts_user_topk" -> cosineOracle(
       "WITH prof AS (SELECT user_id, [" +

@@ -227,4 +227,45 @@ object TimeSeries {
           .otherwise(F.col("__dev") > F.lit(sigma * 1.4826) * F.col("__mad")))
       .drop("__med", "__dev", "__mad")
   }
+
+  /** Lead–lag CROSS-CORRELATION between two aligned daily series — does
+    * series x anticipate series y, and by how many days? (clicks →
+    * purchases, errors → churn: the causal-direction screen run before
+    * any heavier modeling.) For every lag ∈ [−maxLag, maxLag], Pearson
+    * correlation of (x(t), y(t + lag)) over the days where both exist.
+    *
+    * Scale shape: the x side is replicated once per lag (2·maxLag + 1
+    * copies of an already-aggregated series — rows = days × lags, not
+    * events), one equi-join on the shifted date, then ONE combinable
+    * six-sum aggregate per lag. With integer-valued series the sums are
+    * exact BIGINTs (the assortativity determinism anchor) and the
+    * correlation is fixed-shape IEEE algebra; a zero-variance overlap
+    * yields NULL, not a blowup.
+    *
+    * Inputs: (tCol: date, xCol) and (tCol: date, yCol) frames, one row
+    * per day. Output: (lag, n_days, xcorr round 6). */
+  def crossCorrelation(xs: DataFrame, ys: DataFrame, tCol: String,
+                       xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    val spark = xs.sparkSession
+    val lags = spark.range(-maxLag.toLong, maxLag.toLong + 1)
+      .select(F.col("id").cast("int").as("lag"))
+    val x = xs.select(F.col(tCol).as("t"), F.col(xCol).cast("long").as("x"))
+    val y = ys.select(F.col(tCol).as("t2"), F.col(yCol).cast("long").as("y"))
+    val shifted = x.crossJoin(F.broadcast(lags))
+      .select(F.col("lag"), F.col("x"), F.expr("date_add(t, lag)").as("t2"))
+    val a = shifted.join(y, "t2")
+      .groupBy("lag")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum("x").as("sx"), F.sum("y").as("sy"),
+        F.sum(F.col("x") * F.col("y")).as("sxy"),
+        F.sum(F.col("x") * F.col("x")).as("sxx"),
+        F.sum(F.col("y") * F.col("y")).as("syy"))
+    val nd = F.col("n").cast("double")
+    val vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    val vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    a.select(F.col("lag"), F.col("n").as("n_days"),
+      F.when(vx * vy > 0.0,
+        F.round((nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+          / F.sqrt(vx * vy), 6)).as("xcorr"))
+  }
 }

@@ -154,18 +154,19 @@ object Graph {
   }
 
   /** Left-join `raw` scores onto the node set (missing → 0), divide by
-    * the broadcast 1-row max, snap to 9 decimals. The filled frame is
+    * the broadcast 1-row max, snap to 9 decimals. The raw frame is
     * PINNED (localCheckpoint) because it feeds both the max aggregate and
     * the projection — without the pin each half-round would double the
     * lazy lineage (2^rounds plan blowup); with it the per-round cost is
-    * one |V|-row materialization, the [[personalizedPageRank]] tele
-    * pattern. */
+    * one ≤|V|-row materialization, the [[personalizedPageRank]] tele
+    * pattern. (Computing the max before the node fill would not help:
+    * the grouped frame would still have two consumers.) */
   private def normalizeMax(nodes: DataFrame, raw: DataFrame): DataFrame = {
-    val full = nodes.join(raw, Seq("id"), "left")
+    val grouped = raw.localCheckpoint(true)
+    val mx = grouped.agg(F.coalesce(F.max(F.col("raw")), F.lit(0.0)).as("__mx"))
+    nodes.join(grouped, Seq("id"), "left")
       .select(F.col("id"), F.coalesce(F.col("raw"), F.lit(0.0)).as("raw"))
-      .localCheckpoint(true)
-    val mx = full.agg(F.max(F.col("raw")).as("__mx"))
-    full.crossJoin(F.broadcast(mx))
+      .crossJoin(F.broadcast(mx))
       .select(F.col("id"),
         F.when(F.col("__mx") === 0.0, F.lit(0.0))
           .otherwise(F.round(F.col("raw") / F.col("__mx"), 9)).as("x"))

@@ -101,6 +101,18 @@ object StreamingDrift {
   def jsNow(spark: SparkSession, countsDir: String): DataFrame =
     Drift.jsDivergenceFromCounts(categoricalCounts(spark, countsDir))
 
+  /** CUSUM changepoints over the stream's accumulated per-(key, day)
+    * volume — [[attachCategorical]] with the DAY as the category, then
+    * the batch operator over the merged counts (daily counts are sums:
+    * a day split across micro-batches or replays merges exactly). */
+  def cusumNow(spark: SparkSession, countsDir: String,
+               slack: Double, threshold: Double): DataFrame =
+    Drift.cusum(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").as("k"), F.col("cat").cast("date").as("t"),
+          F.col("n").cast("double").as("x")),
+      "k", "t", "x", slack, threshold)
+
   /** Partial reader: key columns cast back (partition-column inference,
     * the foreachBatch-partial gotcha), empty/missing dir → empty frame. */
   private def readPartials(spark: SparkSession, dir: String,

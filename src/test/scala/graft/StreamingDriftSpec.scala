@@ -79,6 +79,43 @@ class StreamingDriftSpec extends SparkSpec {
     streamed(("src_a", "src_b")) should be > 0.0
   }
 
+  it("streamed CUSUM over day-bucketed counts equals the batch statistic exactly") {
+    val r = new scala.util.Random(61)
+    // 20 days of 'api' volume with a level shift at day 12
+    val days = (0 until 20).map(d => java.time.LocalDate.of(2026, 3, 1).plusDays(d.toLong))
+    val rows = r.shuffle(days.zipWithIndex.flatMap { case (d, i) =>
+      Seq.fill(if (i < 12) 10 + (i % 3) else 25 + (i % 3))(("api", d.toString))
+    }).toVector
+
+    val inDir = JFiles.createTempDirectory("graft-cusum-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-cusum-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-cusum-counts").toString
+    def write(name: String, part: Seq[(String, String)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (k, d) => s"$k,$d" }.mkString("\n"))
+    val half = rows.length / 2 // days straddle the batch boundary: counts must merge
+    write("f1.txt", rows.take(half))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("cat"))
+    val q1 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", rows.drop(half))
+    val q2 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = StreamingDrift.cusumNow(spark, cDir, slack = 0.0, threshold = 20.0)
+      .collect().map(x => (x.getString(0), x.getDate(1).toString) -> x.toSeq.drop(2)).toMap
+    val batch = Drift.cusum(
+        rows.groupBy(identity).map { case ((k, d), g) =>
+          (k, java.sql.Date.valueOf(d), g.size.toDouble) }.toSeq.toDF("k", "t", "x"),
+        "k", "t", "x", slack = 0.0, threshold = 20.0)
+      .collect().map(x => (x.getString(0), x.getDate(1).toString) -> x.toSeq.drop(2)).toMap
+    streamed shouldBe batch
+    // the planted shift is seen
+    streamed.values.map(_(1).asInstanceOf[Double]).max should be > 20.0
+  }
+
   it("an empty stream reads as zero current counts, not a throw") {
     val dir = JFiles.createTempDirectory("graft-drift-empty").toString
     val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")

@@ -940,6 +940,34 @@ object SparkEntry {
     // marginal entropies, and NMI from the same one-cell-scan shape.
     "q_mutual_info" -> ((s, dir) =>
       Drift.mutualInfo(t(s, dir, "documents"), F.col("source"), F.col("lang"))),
+    // Kaplan-Meier time-to-first-purchase as of an analysis cutoff
+    // (stream start + 3 days): users who have not purchased BY the
+    // cutoff are right-CENSORED at it, not counted as non-events — the
+    // estimator's whole point (12/3 observed/censored at sf0.001,
+    // 121/29 at sf0.01 — both regimes live). Product computed as
+    // exp(cum-sum of ln terms) over the duration axis (a days-sized
+    // frame, never a window over data).
+    "q_survival" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+      val seen = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
+      val f = seen.groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("f0"))
+      val p = seen.filter(F.col("event_type") === "purchase")
+        .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("p0"))
+      val subj = f.join(p, Seq("user_id"), "left").crossJoin(F.broadcast(cut))
+        .select(
+          F.when(F.col("p0").isNotNull,
+              F.datediff(F.to_date(F.col("p0")), F.to_date(F.col("f0"))))
+            .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
+          F.col("p0").isNotNull.cast("int").as("obs"))
+      Survival.kaplanMeier(subj, "dur", "obs")
+    }),
+    // Benford first-digit screen on pricing: digit from the STRING
+    // rendering's first [1-9] (immune to log/pow edge rounding and
+    // trailing-zero rendering differences), Pearson distance from the
+    // log10(1+1/d) law.
+    "q_benford" -> ((s, dir) =>
+      Drift.benford(t(s, dir, "lineitem"), F.col("l_extendedprice"))),
     // Covariance matrix of the 64-dim embedding corpus via ONE mergeable
     // moments pass (CovMomentsAggregator: d + d(d+1)/2 doubles per
     // partial — no 2080-expression aggregate, no d^2 row explosion); the
@@ -3227,6 +3255,43 @@ object SparkEntry {
         "WINDOW w AS (PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING)) " +
         "SELECT k AS event_type, d AS day, CAST(x AS BIGINT) AS n, " +
         "sh AS cusum_hi, sl AS cusum_lo, sh > 50.0 AS alarm_hi, sl > 50.0 AS alarm_lo FROM c"),
+    // Window terms and the exp(cum-sum-of-ln) product mirror the
+    // operator; n_risk recomputed inline from the same exact integers.
+    "q_survival" ->
+      ("WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
+        "f AS (SELECT user_id, min(ts) AS f0 FROM events, cut WHERE ts <= c GROUP BY 1), " +
+        "p AS (SELECT user_id, min(ts) AS p0 FROM events, cut " +
+        "WHERE event_type = 'purchase' AND ts <= c GROUP BY 1), " +
+        "subj AS (SELECT CASE WHEN p0 IS NOT NULL " +
+        "THEN date_diff('day', CAST(f0 AS DATE), CAST(p0 AS DATE)) " +
+        "ELSE date_diff('day', CAST(f0 AS DATE), CAST(c AS DATE)) END AS t0, " +
+        "CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS obs " +
+        "FROM f LEFT JOIN p ON p.user_id = f.user_id, cut), " +
+        "byt AS (SELECT CAST(t0 AS BIGINT) AS t, CAST(sum(obs) AS BIGINT) AS d, " +
+        "CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM byt), " +
+        "r AS (SELECT t, d, c, nn - sum(c) OVER w + c AS n_risk, " +
+        "CASE WHEN d > 0 AND d < nn - sum(c) OVER w + c " +
+        "THEN ln(1.0 - CAST(d AS DOUBLE) / (nn - sum(c) OVER w + c)) " +
+        "ELSE CAST(0 AS DOUBLE) END AS term FROM byt, tot " +
+        "WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT t, n_risk, d AS d_events, c - d AS n_censored, " +
+        "CASE WHEN d = n_risk THEN CAST(0 AS DOUBLE) " +
+        "ELSE round(exp(sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) END AS survival FROM r"),
+    // NULLIF guards the no-nonzero-digit rendering ('' casts to NULL in
+    // Spark but errors in DuckDB); same grid/total/chi layout as q_psi.
+    "q_benford" ->
+      ("WITH v AS (SELECT CAST(NULLIF(regexp_extract(CAST(abs(l_extendedprice) AS VARCHAR), '[1-9]', 0), '') AS INT) AS digit " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM v WHERE digit IS NOT NULL GROUP BY 1), " +
+        "g AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)), " +
+        "f AS (SELECT g.digit, coalesce(c.n, CAST(0 AS BIGINT)) AS n FROM g LEFT JOIN c ON c.digit = g.digit), " +
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM f), " +
+        "sc AS (SELECT digit, n, t, log10(1.0 + 1.0 / digit) AS p, " +
+        "t * log10(1.0 + 1.0 / digit) AS e FROM f, tt), " +
+        "ch AS (SELECT sum((n - e) * (n - e) / e) AS c2 FROM sc) " +
+        "SELECT digit, n, round(CAST(n AS DOUBLE) / t, 6) AS share, round(p, 6) AS expected, " +
+        "round(c2, 4) AS benford_chi2 FROM sc, ch"),
     // Elements CAST to DOUBLE before any product (Spark widens floats
     // the same way); generate_subscripts aligns 1-based with unnest.
     "q_cov_matrix" ->

@@ -129,6 +129,40 @@ object Drift {
       .agg(F.round(F.sum("__t"), 4).as("js_div"))
   }
 
+  /** Benford first-significant-digit screen — the classic fabricated-
+    * numbers / broken-ETL detector: natural multi-scale magnitudes put
+    * digit d first with probability log₁₀(1 + 1/d); uniform, truncated,
+    * or synthesized columns do not. The digit is extracted from the
+    * value's STRING rendering (first [1-9] character) — immune to
+    * engine differences in log/pow edge rounding AND to rendering
+    * differences like trailing zeros, since only the first nonzero
+    * digit is read. One count scan; expected shares are per-digit
+    * constants; the Pearson statistic sums nine doubles (round 4).
+    *
+    * Output: one row per digit 1–9 — (digit, n, share, expected) — with
+    * the total `benford_chi2` on every row (the psi layout). */
+  def benford(df: DataFrame, valueCol: Column): DataFrame = {
+    val digit = F.nullif(
+      F.regexp_extract(F.abs(valueCol).cast("string"), "[1-9]", 0), F.lit("")).cast("int")
+    val counts = df.filter(valueCol.isNotNull)
+      .select(digit.as("digit")).filter(F.col("digit").isNotNull)
+      .groupBy("digit").agg(F.count(F.lit(1)).as("n"))
+    val grid = df.sparkSession.range(1, 10).select(F.col("id").cast("int").as("digit"))
+    val filled = grid.join(counts, Seq("digit"), "left")
+      .select(F.col("digit"), F.coalesce(F.col("n"), F.lit(0L)).as("n"))
+    val tot = filled.agg(F.sum("n").as("__t"))
+    val scored = filled.crossJoin(F.broadcast(tot))
+      .withColumn("__p", F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")))
+      .withColumn("__e", F.col("__t") * F.col("__p"))
+      .withColumn("__chi", (F.col("n") - F.col("__e")) * (F.col("n") - F.col("__e")) / F.col("__e"))
+    val chi = scored.agg(F.sum("__chi").as("__c"))
+    scored.crossJoin(F.broadcast(chi))
+      .select(F.col("digit"), F.col("n"),
+        F.round(F.col("n").cast("double") / F.col("__t"), 6).as("share"),
+        F.round(F.col("__p"), 6).as("expected"),
+        F.round(F.col("__c"), 4).as("benford_chi2"))
+  }
+
   /** Page's CUSUM changepoint statistic (Page, "Continuous inspection
     * schemes", Biometrika 1954) over a per-key time series — WHEN did the
     * monitored metric shift, the question PSI's window-vs-window score

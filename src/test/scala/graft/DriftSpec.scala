@@ -169,6 +169,43 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  // ---- benford ------------------------------------------------------
+
+  it("extracts the first significant digit across magnitudes, signs, and renderings") {
+    val vals = Seq[java.lang.Double](123.45, 0.067, -200.0, 9000.0, 0.0, null)
+    val out = Drift.benford(vals.toDF("v"), F.col("v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    out(1) shouldBe 1L // 123.45
+    out(6) shouldBe 1L // 0.067
+    out(2) shouldBe 1L // -200.0
+    out(9) shouldBe 1L // 9000.0
+    out.values.sum shouldBe 4L // 0.0 and null contribute no digit
+    out.keySet shouldBe (1 to 9).toSet // grid zero-fills missing digits
+  }
+
+  it("the expected shares are the Benford law and sum to one") {
+    val out = Drift.benford(Seq(1.0).toDF("v"), F.col("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    out(1) shouldBe math.round(math.log10(2.0) * 1e6) / 1e6
+    out.values.sum shouldBe 1.0 +- 1e-5
+  }
+
+  it("the chi-square distance matches a scala recomputation on a random sample") {
+    val r = new scala.util.Random(17)
+    val vals = Seq.fill(500)((r.nextInt(9000) + 1).toDouble)
+    val got = Drift.benford(vals.toDF("v"), F.col("v")).collect()
+    val counts = vals.map(_.toString.dropWhile(c => !('1' to '9').contains(c)).head.asDigit)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = vals.length.toDouble
+    val want = (1 to 9).map { d =>
+      val e = n * math.log10(1.0 + 1.0 / d)
+      val o = counts.getOrElse(d, 0L)
+      (o - e) * (o - e) / e
+    }.sum
+    got.head.getDouble(4) shouldBe math.round(want * 1e4) / 1e4 +- 1e-6
+    got.map(r0 => r0.getLong(1)).sum shouldBe 500L
+  }
+
   it("a downward shift drives the LOWER statistic only") {
     val xs = Seq.fill(8)(20.0) ++ Seq.fill(8)(10.0)
     val out = cusumOut(xs, threshold = 20.0)

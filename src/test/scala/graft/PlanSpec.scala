@@ -388,4 +388,51 @@ class PlanSpec extends SparkSpec {
       p should not include "BroadcastNestedLoopJoin"
     }
   }
+
+  it("q_assoc_rules: apriori prune is a semi-join UPSTREAM of the pair self-join") {
+    val p = plan("q_assoc_rules")
+    p should not include "CartesianProduct"
+    // the only nested loop is the broadcast of the 1-row N aggregate
+    val bnlj = p.split("\n").filter(_.contains("BroadcastNestedLoopJoin"))
+    bnlj should have length 1
+    bnlj.head should include("BuildRight, Cross")
+    // the pruning semi-join and the tid-keyed pair join both hash-join
+    p should include("LeftSemi")
+    val lines = p.split("\n")
+    val semiAt = lines.indexWhere(_.contains("LeftSemi"))
+    val pairAt = lines.indexWhere(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    semiAt should be >= 0
+    // plan trees print top-down: the pair join consumes the semi-join's
+    // output, so the semi-join appears BELOW it
+    if (pairAt >= 0) semiAt should be > pairAt
+  }
+
+  it("q_cov_matrix: the moments pass is a mergeable typed aggregate (map-side partial)") {
+    val p = plan("q_cov_matrix")
+    p.split("\n").count(_.contains("ObjectHashAggregate")) should be >= 2
+    p should include("covmomentsaggregator")
+  }
+
+  it("graph suite rounds (hits/kcore/lcc/assortativity) plan no cartesian products") {
+    Seq("q_hits", "q_kcore", "q_clustering_coef", "q_assortativity").foreach { q =>
+      withClue(s"$q: ") { plan(q) should not include "CartesianProduct" }
+    }
+  }
+
+  it("q_xcorr: the lag grid broadcasts; the shifted-date join is an equi-join") {
+    val p = plan("q_xcorr")
+    p.split("\n").count(_.contains("BroadcastExchange")) should be >= 1
+    p should not include "CartesianProduct"
+    p should not include "SortMergeJoin(condition" // no residual-only join
+  }
+
+  it("q_cusum / q_survival windows are the intended shapes — keyed for cusum, duration-axis for KM") {
+    // cusum: every window partitions by the series key
+    val cu = plan("q_cusum").split("\n").filter(_.contains("windowspecdefinition"))
+    cu should not be empty
+    cu.foreach(_ should include("k#"))
+    // KM: the window runs over the per-duration aggregate (no partition
+    // key by design), and everything upstream is a combinable count
+    plan("q_survival") should include("windowspecdefinition")
+  }
 }

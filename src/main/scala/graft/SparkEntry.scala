@@ -865,6 +865,25 @@ object SparkEntry {
         .select("src", "dst")
       Graph.labelPropagation(e, iters = 3)
     }),
+    // Did the communities beat chance? Newman modularity of the LPA
+    // partition — exact inside-edge counts and degree sums vs the
+    // degree-preserving null model, per community + total. The fixture's
+    // thresholded projection is COMPLETE at these SFs, so LPA correctly
+    // finds one community and Q is exactly 0 — the oracle still proves
+    // both engines agree on the full per-community algebra; GraphSpec
+    // pins the hand-computed non-trivial cases (bridged K4s, splits).
+    "q_modularity" -> ((s, dir) => {
+      val su = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_suppkey").as("sk")).distinct()
+      val e = su.as("x").join(su.as("y"),
+          F.col("x.o") === F.col("y.o") && F.col("x.sk") < F.col("y.sk"))
+        .groupBy(F.col("x.sk").as("src"), F.col("y.sk").as("dst"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("src", "dst")
+        .localCheckpoint(true) // feeds the LPA rounds AND the modularity joins
+      Graph.modularity(e, Graph.labelPropagation(e, iters = 3))
+    }),
     // Pareto skyline (cheapest AND largest parts): pivot-prefiltered
     // local-then-global BNL (Skyline.scala); the oracle is the literal
     // quadratic NOT EXISTS dominance definition, so equality proves the
@@ -2611,7 +2630,9 @@ object SparkEntry {
     * co-order projection: round i = neighbor-label counts (c_i) then the
     * deterministic argmax (max count, min label — row_number with the
     * same composite order the engine's struct-min encodes). */
-  private def labelPropOracle(iters: Int): String = {
+  /** The LPA CTE chain alone (su, e0 canonical, e symmetrized, l0..lN) —
+    * shared by the label query and the modularity score over it. */
+  private def labelPropCtes(iters: Int): String = {
     val base = "WITH su AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem), " +
       "e0 AS (SELECT x.sk AS a, y.sk AS b FROM su x JOIN su y ON x.o = y.o AND x.sk < y.sk " +
       "GROUP BY 1, 2 HAVING count(*) >= 5), " +
@@ -2623,8 +2644,29 @@ object SparkEntry {
         s"l$i AS (SELECT node AS id, lbl FROM (SELECT node, lbl, " +
         s"row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"
     }.mkString(", ", ", ", "")
-    base + rounds + s" SELECT id AS node_id, lbl AS label FROM l$iters"
+    base + rounds
   }
+
+  private def labelPropOracle(iters: Int): String =
+    labelPropCtes(iters) + s" SELECT id AS node_id, lbl AS label FROM l$iters"
+
+  /** Modularity of the LPA partition: exact integer m / degree sums /
+    * inside-edge counts over the same CTE chain, then the Q algebra
+    * with the operator's operand shapes. */
+  private def modularityOracle(iters: Int): String =
+    labelPropCtes(iters) +
+      ", mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0), " +
+      "dg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1), " +
+      s"dc AS (SELECT lbl AS label, CAST(sum(d) AS BIGINT) AS d_tot, " +
+      s"CAST(count(*) AS BIGINT) AS n_nodes FROM dg JOIN l$iters ON l$iters.id = dg.node GROUP BY 1), " +
+      s"ec AS (SELECT x.lbl AS label, CAST(count(*) AS BIGINT) AS e_in FROM e0 " +
+      s"JOIN l$iters x ON x.id = e0.a JOIN l$iters y ON y.id = e0.b AND y.lbl = x.lbl GROUP BY 1), " +
+      "per AS (SELECT dc.label, n_nodes, coalesce(ec.e_in, CAST(0 AS BIGINT)) AS e_in, d_tot, " +
+      "CAST(coalesce(ec.e_in, CAST(0 AS BIGINT)) AS DOUBLE) / m - " +
+      "(CAST(d_tot AS DOUBLE) / (2 * m)) * (CAST(d_tot AS DOUBLE) / (2 * m)) AS q " +
+      "FROM dc LEFT JOIN ec ON ec.label = dc.label, mm), " +
+      "tq AS (SELECT sum(q) AS tQ FROM per) " +
+      "SELECT label, n_nodes, e_in, d_tot, round(q, 6) AS q_c, round(tQ, 6) AS modularity FROM per, tq"
 
   /** Unrolled greedy k-center trajectory: step i keeps a running `mind`
     * CTE (least of the previous floor and the distance to the newly
@@ -3138,6 +3180,7 @@ object SparkEntry {
         "WHERE a.p_partkey <= 400 AND b.p_partkey <= 400) " +
         "ORDER BY jw_sim DESC, ka, kb LIMIT 20"),
     "q_label_prop" -> labelPropOracle(iters = 3),
+    "q_modularity" -> modularityOracle(iters = 3),
     "q_skyline" ->
       ("WITH t AS (SELECT p_partkey, p_size, CAST(p_retailprice AS DOUBLE) AS p_price FROM part) " +
         "SELECT p_partkey, p_size, p_price FROM t x " +

@@ -331,6 +331,46 @@ object Graph {
           .otherwise(F.lit(0.0)).as("lcc"))
   }
 
+  /** Newman MODULARITY of a node partition (Newman & Girvan, "Finding
+    * and evaluating community structure in networks", PRE 2004) — the
+    * score that says whether a community assignment (e.g.
+    * [[labelPropagation]]'s) actually beats chance: Q = Σ_c (e_c/m −
+    * (d_c/2m)²), fraction of edges inside community c minus the
+    * fraction expected under the degree-preserving null model.
+    *
+    * Everything is exact integer counts (edges inside, degree sums, m)
+    * flowing through one degree count, two label joins, and a per-label
+    * aggregate; the Q algebra is fixed-shape IEEE over them. Output:
+    * one row per community — (label, n_nodes, e_in, d_tot, q_c) — with
+    * the total `modularity` on every row (the psi layout). Nodes
+    * missing from `labels` form no community and contribute only
+    * through m. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = undirect(edges).localCheckpoint(true) // feeds m, degrees, AND the e_in join
+    val lab = labels.select(F.col(labels.columns(0)).as("node"),
+      F.col(labels.columns(1)).as("label"))
+    val mAgg = und.agg(F.count(F.lit(1)).as("m"))
+    val dC = degrees(und).join(lab, "node")
+      .groupBy("label").agg(F.sum("d").as("d_tot"), F.count(F.lit(1)).as("n_nodes"))
+    val eC = und
+      .join(lab.select(F.col("node").as("a"), F.col("label").as("la")), "a")
+      .join(lab.select(F.col("node").as("b"), F.col("label").as("lb")), "b")
+      .filter(F.col("la") === F.col("lb"))
+      .groupBy(F.col("la").as("label")).agg(F.count(F.lit(1)).as("e_in"))
+    val per = dC.join(eC, Seq("label"), "left")
+      .select(F.col("label"), F.col("n_nodes"),
+        F.coalesce(F.col("e_in"), F.lit(0L)).as("e_in"), F.col("d_tot"))
+      .crossJoin(F.broadcast(mAgg))
+      .withColumn("__q",
+        F.col("e_in").cast("double") / F.col("m")
+          - (F.col("d_tot").cast("double") / (F.lit(2) * F.col("m")))
+          * (F.col("d_tot").cast("double") / (F.lit(2) * F.col("m"))))
+    val tot = per.agg(F.sum("__q").as("__qtot"))
+    per.crossJoin(F.broadcast(tot))
+      .select(F.col("label"), F.col("n_nodes"), F.col("e_in"), F.col("d_tot"),
+        F.round(F.col("__q"), 6).as("q_c"), F.round(F.col("__qtot"), 6).as("modularity"))
+  }
+
   /** The k-CORE — the maximal subgraph in which every node keeps degree
     * ≥ k — by iterative peeling (Seidman, "Network structure and minimum
     * degree", Social Networks 1983): drop all nodes of degree < k,

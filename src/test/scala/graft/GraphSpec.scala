@@ -287,6 +287,55 @@ class GraphSpec extends SparkSpec {
     assort(Seq(("a", "b"), ("b", "c"), ("c", "a"))) shouldBe (6L, None)
   }
 
+  // ---- modularity ---------------------------------------------------
+
+  private def modOut(e: Seq[(String, String)], labels: Map[String, String]) =
+    Graph.modularity(e.toDF("src", "dst"),
+      labels.toSeq.toDF("node_id", "label"))
+
+  it("two bridged K4s under their natural communities score the hand-computed Q") {
+    val k4a = for { a <- Seq("a1", "a2", "a3", "a4"); b <- Seq("a1", "a2", "a3", "a4") if a < b } yield (a, b)
+    val k4b = for { a <- Seq("b1", "b2", "b3", "b4"); b <- Seq("b1", "b2", "b3", "b4") if a < b } yield (a, b)
+    val e = k4a ++ k4b :+ (("a4", "b1"))
+    val labels = (Seq("a1", "a2", "a3", "a4").map(_ -> "A") ++
+      Seq("b1", "b2", "b3", "b4").map(_ -> "B")).toMap
+    val out = modOut(e, labels).collect()
+    // m=13; each side: e_in=6, d_tot=13 => q_c = 6/13 - (13/26)^2
+    val qc = 6.0 / 13 - 0.25
+    out.foreach { r =>
+      r.getLong(2) shouldBe 6L
+      r.getLong(3) shouldBe 13L
+      r.getDouble(4) shouldBe math.round(qc * 1e6) / 1e6
+      r.getDouble(5) shouldBe math.round(2 * qc * 1e6) / 1e6
+    }
+  }
+
+  it("one community holding everything scores exactly 0; splitting real structure scores positive") {
+    val tri2 = Seq(("x1", "x2"), ("x2", "x3"), ("x3", "x1"),
+      ("y1", "y2"), ("y2", "y3"), ("y3", "y1"), ("x1", "y1"))
+    val allOne = modOut(tri2, tri2.flatMap(p => Seq(p._1, p._2)).distinct.map(_ -> "all").toMap)
+      .collect().head
+    allOne.getDouble(5) shouldBe 0.0 // e_in/m = 1, (2m/2m)^2 = 1
+    val split = modOut(tri2,
+      (Seq("x1", "x2", "x3").map(_ -> "X") ++ Seq("y1", "y2", "y3").map(_ -> "Y")).toMap)
+      .collect().head
+    split.getDouble(5) should be > 0.3
+  }
+
+  it("the LPA partition on bridged cliques scores higher than a random split") {
+    val c1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (s"n$i", s"n$j")
+    val c2 = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (s"n$i", s"n$j")
+    val e = c1 ++ c2 :+ (("n4", "n11"))
+    val lpaLabels = Graph.labelPropagation(e.toDF("a", "b"), 3)
+    val good = Graph.modularity(e.toDF("src", "dst"), lpaLabels)
+      .collect().head.getDouble(5)
+    val bad = modOut(e, e.flatMap(p => Seq(p._1, p._2)).distinct
+      .zipWithIndex.map { case (n, i) => n -> (if (i % 2 == 0) "odd" else "even") }.toMap)
+      .collect().head.getDouble(5)
+    good should be > bad
+    good should be > 0.3
+  }
+
   // ---- kCore --------------------------------------------------------
 
   private def core(e: Seq[(String, String)], k: Int): Map[String, Long] =

@@ -34,12 +34,18 @@ object Survival {
     * from the window sum) while DuckDB returns −∞, so the explicit
     * branch is what keeps the engines agreeing; such a step is
     * necessarily the last row (nobody remains at risk after it). */
-  def kaplanMeier(subjects: DataFrame, durCol: String, obsCol: String): DataFrame = {
-    val byT = subjects
+  def kaplanMeier(subjects: DataFrame, durCol: String, obsCol: String): DataFrame =
+    kaplanMeierFromCounts(subjects
       .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull)
       .groupBy(F.col(durCol).cast("long").as("t"))
       .agg(F.sum(F.col(obsCol).cast("long")).as("d"),
-        F.count(F.lit(1)).as("c"))
+        F.count(F.lit(1)).as("c")))
+
+  /** The estimator over a pre-aggregated (t, d, c) frame — per-duration
+    * event/subject counts are the curve's MERGEABLE summary (plain
+    * sums), the entry a streaming accumulator re-enters
+    * (graft.streaming.StreamingSurvival). */
+  def kaplanMeierFromCounts(byT: DataFrame): DataFrame = {
     val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byT.agg(F.sum("c").as("__n"))
     byT.crossJoin(F.broadcast(tot))

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Survival
+
+/** Streaming Kaplan–Meier: subjects arrive as (duration, observed)
+  * rows — completed support tickets, finished sessions, resolved jobs —
+  * and the retention curve is re-derivable at any time. The curve's
+  * accumulating state is per-(duration, observed) COUNTS, so the write
+  * side IS [[StreamingDrift.attachCategorical]] (duration as the slice,
+  * the observed flag as the category — same batch_id-partitioned,
+  * replay-idempotent partial layout); the read side folds the merged
+  * counts back into the batch estimator's (t, d, c) entry. Counts are a
+  * pure function of the input multiset: streamed == batch exactly. */
+object StreamingSurvival {
+
+  /** Persist per-batch (duration, observed) counts. `durCol` must be a
+    * non-negative integer column, `obsCol` ∈ {0, 1}. */
+  def attach(
+      subjects: DataFrame,
+      checkpointDir: String,
+      countsDir: String,
+      durCol: String,
+      obsCol: String,
+      triggerMillis: Long = 1000L): StreamingQuery =
+    StreamingDrift.attachCategorical(
+      subjects.select(F.col(durCol).cast("long").cast("string").as("slice"),
+        F.col(obsCol).cast("int").cast("string").as("cat")),
+      checkpointDir, countsDir, triggerMillis = triggerMillis)
+
+  /** The survival curve over everything streamed so far — the
+    * [[Survival.kaplanMeier]] output shape. */
+  def kmNow(spark: SparkSession, countsDir: String): DataFrame =
+    Survival.kaplanMeierFromCounts(
+      StreamingDrift.categoricalCounts(spark, countsDir)
+        .groupBy(F.col("slice").cast("long").as("t"))
+        .agg(
+          F.sum(F.when(F.col("cat") === "1", F.col("n")).otherwise(F.lit(0L))).as("d"),
+          F.sum(F.col("n")).as("c")))
+}

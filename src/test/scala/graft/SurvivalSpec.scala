@@ -49,4 +49,33 @@ class SurvivalSpec extends SparkSpec {
     out(0L) shouldBe ((2L, 1L, 0L, 0.5))
     out(3L)._4 shouldBe 0.5
   }
+
+  it("streamed subjects across a restart yield the batch curve exactly") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import org.apache.spark.sql.{functions => F}
+    val r = new scala.util.Random(41)
+    val subjects = Seq.fill(120)((r.nextInt(12), if (r.nextInt(4) == 0) 0 else 1))
+    val inDir = JFiles.createTempDirectory("graft-km-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-km-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-km-counts").toString
+    def write(name: String, part: Seq[(Int, Int)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (d, o) => s"$d,$o" }.mkString("\n"))
+    write("f1.txt", subjects.take(60))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).cast("int").as("dur"),
+        F.split(F.col("value"), ",").getItem(1).cast("int").as("obs"))
+    val q1 = graft.streaming.StreamingSurvival.attach(src(), ckpt, cDir, "dur", "obs", 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", subjects.drop(60))
+    val q2 = graft.streaming.StreamingSurvival.attach(src(), ckpt, cDir, "dur", "obs", 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = graft.streaming.StreamingSurvival.kmNow(spark, cDir)
+      .collect().map(x => x.getLong(0) -> x.toSeq).toMap
+    val batch = Survival.kaplanMeier(subjects.toDF("dur", "obs"), "dur", "obs")
+      .collect().map(x => x.getLong(0) -> x.toSeq).toMap
+    streamed shouldBe batch
+    streamed.size should be > 5
+  }
 }

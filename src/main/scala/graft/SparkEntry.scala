@@ -798,6 +798,16 @@ object SparkEntry {
           F.round(F.col("est_jaccard"), 4).as("jaccard"),
           (F.col("saturated_a") || F.col("saturated_b")).as("saturated"))
     }),
+    // Sliding 7-day distinct users per day — COUNT(DISTINCT) does NOT
+    // decompose over sliding windows; day-sketch k-min unions do. One
+    // scan builds per-day theta sketches; each output day folds its
+    // window's retained hashes. k=4096 keeps every fixture window
+    // lossless, so the oracle pins the estimates against the EXACT
+    // windowed distinct counts (and FALSE for every saturated bit).
+    "q_sliding_distinct" -> ((s, dir) =>
+      SetSketches.slidingDistinct(t(s, dir, "events"),
+          F.to_date(F.col("ts")), F.col("user_id"), window = 7, k = 4096)
+        .select(F.col("day"), F.col("est").cast("long").as("n_users"), F.col("saturated"))),
     // The SATURATED theta regime, error-gated in-query (the
     // q_col_stats_approx treatment): per-returnflag orderkey sets
     // (~1.1k–110k distinct per flag across SFs) sketched at k=1024, the
@@ -2666,7 +2676,8 @@ object SparkEntry {
       "(CAST(d_tot AS DOUBLE) / (2 * m)) * (CAST(d_tot AS DOUBLE) / (2 * m)) AS q " +
       "FROM dc LEFT JOIN ec ON ec.label = dc.label, mm), " +
       "tq AS (SELECT sum(q) AS tQ FROM per) " +
-      "SELECT label, n_nodes, e_in, d_tot, round(q, 6) AS q_c, round(tQ, 6) AS modularity FROM per, tq"
+      "SELECT label, n_nodes, e_in, d_tot, round(q, 6) + 0.0 AS q_c, " +
+      "round(tQ, 6) + 0.0 AS modularity FROM per, tq"
 
   /** Unrolled greedy k-center trajectory: step i keeps a running `mind`
     * CTE (least of the previous floor and the distance to the newly
@@ -3150,6 +3161,14 @@ object SparkEntry {
     "q_join_card" ->
       "SELECT count(*) AS est_rows FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
     // Lossless-regime theta pin: exact pairwise distinct-user overlap.
+    // The lossless-regime pin for the sliding union: exact windowed
+    // COUNT(DISTINCT) plus FALSE for every saturated bit.
+    "q_sliding_distinct" ->
+      ("WITH g AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events), " +
+        "w AS (SELECT g.day, e.user_id FROM g JOIN events e " +
+        "ON CAST(e.ts AS DATE) BETWEEN g.day - 6 AND g.day) " +
+        "SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, FALSE AS saturated " +
+        "FROM w GROUP BY 1"),
     "q_theta_users" ->
       ("WITH s AS (SELECT DISTINCT event_type, user_id FROM events), " +
         "n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1), " +
@@ -3344,7 +3363,7 @@ object SparkEntry {
         "FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2), " +
         "s AS (SELECT i, sum(x) AS sx FROM u GROUP BY 1) " +
         "SELECT CAST(p.i - 1 AS INT) AS i, CAST(p.j - 1 AS INT) AS j, n, " +
-        "round((sxy - si.sx * sj.sx / n) / (n - 1), 6) AS cov " +
+        "round((sxy - si.sx * sj.sx / n) / (n - 1), 6) + 0.0 AS cov " +
         "FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j"),
     "q_xcorr" ->
       ("WITH cx AS (SELECT CAST(ts AS DATE) AS t, CAST(count(*) AS BIGINT) AS x " +
@@ -3362,7 +3381,7 @@ object SparkEntry {
         "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0 THEN " +
         "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
         "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
-        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) END AS xcorr FROM a"),
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) + 0.0 END AS xcorr FROM a"),
     // 24 CASE-sum profile terms, then the shared cosine chain at dims=24.
     "q_ts_user_topk" -> cosineOracle(
       "WITH prof AS (SELECT user_id, [" +

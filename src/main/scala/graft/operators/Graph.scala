@@ -368,7 +368,9 @@ object Graph {
     val tot = per.agg(F.sum("__q").as("__qtot"))
     per.crossJoin(F.broadcast(tot))
       .select(F.col("label"), F.col("n_nodes"), F.col("e_in"), F.col("d_tot"),
-        F.round(F.col("__q"), 6).as("q_c"), F.round(F.col("__qtot"), 6).as("modularity"))
+        // + 0.0: −0.0 normalization (prints differently, compares equal)
+        (F.round(F.col("__q"), 6) + F.lit(0.0)).as("q_c"),
+        (F.round(F.col("__qtot"), 6) + F.lit(0.0)).as("modularity"))
   }
 
   /** The k-CORE — the maximal subgraph in which every node keeps degree

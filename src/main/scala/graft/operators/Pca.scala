@@ -37,10 +37,14 @@ object Pca {
       + (F.col("j") - F.col("i"))).cast("int")
     grid.crossJoin(F.broadcast(moments))
       .select(F.col("i"), F.col("j"), F.col("n"),
-        F.round((F.element_at(F.col("prods"), idx + 1)
+        // + 0.0 normalizes the −0.0 a just-below-zero covariance rounds
+        // to (IEEE: −0.0 + 0.0 = +0.0, identity otherwise) — −0.0 and
+        // 0.0 compare equal but PRINT differently, which derails any
+        // row-sort-by-representation comparison over 2 080 rows
+        (F.round((F.element_at(F.col("prods"), idx + 1)
             - F.element_at(F.col("sums"), F.col("i") + 1)
             * F.element_at(F.col("sums"), F.col("j") + 1) / F.col("n"))
-          / (F.col("n") - 1), 6).as("cov"))
+          / (F.col("n") - 1), 6) + F.lit(0.0)).as("cov"))
   }
 
   /** Dominant eigenpair of the covariance matrix by POWER ITERATION on

@@ -97,6 +97,36 @@ object SetSketches {
         F.col("saturated_a"), F.col("saturated_b"))
   }
 
+  /** SLIDING-WINDOW distinct counts — the query COUNT(DISTINCT) cannot
+    * decompose: distinct-over-7-days is not a sum of daily distincts,
+    * and the exact answer re-scans `window` days of raw data PER output
+    * day. Sketch unions decompose it: ONE scan builds a theta sketch
+    * per day, then each output day k-min-folds its window's ≤ k·window
+    * retained hashes ([[graft.functions.ThetaHashAggregator]] — the
+    * distributed rebuild, nothing collected). Exact while every window
+    * stays under k distinct values (the observable lossless regime);
+    * day frames are tiny, so the window-membership range join is a
+    * broadcast over days × window rows, never data.
+    *
+    * Output: (day, est, saturated) — one row per day with data,
+    * covering the `window` days ending at it. */
+  def slidingDistinct(df: DataFrame, dayCol: Column, valueCol: Column,
+                      window: Int, k: Int): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val daySk = sketchSets(df.select(dayCol.as("d"), valueCol.as("v")),
+      "d", F.col("v"), k).localCheckpoint(true) // feeds the day grid AND the member join
+    val days = daySk.select(F.col("set_key").as("wd"))
+    val members = days.join(
+      daySk.select(F.col("set_key").as("md"), F.col("sk")),
+      F.col("md") >= F.date_sub(F.col("wd"), window - 1) && F.col("md") <= F.col("wd"))
+    val ag = F.udaf(new graft.functions.ThetaHashAggregator(k), Encoders.scalaLong)
+    val unions = members
+      .select(F.col("wd"), F.explode(F.col("sk.retained")).as("h"))
+      .groupBy(F.col("wd").as("set_key"))
+      .agg(ag(F.col("h")).as("sk"))
+    estimates(unions, k).withColumnRenamed("set_key", "day")
+  }
+
   /** Per-slice scalar frame shared by the public surfaces: θ (sentinel
     * when unsaturated), retained size, and the cardinality estimate. */
   private def meta(sketches: DataFrame, k: Int): DataFrame =

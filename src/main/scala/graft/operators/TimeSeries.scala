@@ -264,8 +264,10 @@ object TimeSeries {
     val vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     val vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
     a.select(F.col("lag"), F.col("n").as("n_days"),
+      // + 0.0: a correlation rounding to −0.0 prints differently from
+      // 0.0 and would derail representation-sorted comparisons
       F.when(vx * vy > 0.0,
         F.round((nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
-          / F.sqrt(vx * vy), 6)).as("xcorr"))
+          / F.sqrt(vx * vy), 6) + F.lit(0.0)).as("xcorr"))
   }
 }

@@ -140,4 +140,46 @@ class ThetaSketchSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-theta-empty").toString
     graft.streaming.StreamingSetSketches.overlap(spark, dir, k = 64).collect() shouldBe empty
   }
+
+  // ---- slidingDistinct ----------------------------------------------
+
+  private def dayRows(rows: Seq[(Int, String)]) =
+    rows.map { case (d, u) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2026, 2, 1).plusDays(d.toLong)), u)
+    }.toDF("day", "uid")
+
+  it("sliding distinct equals the exact windowed COUNT DISTINCT while lossless") {
+    val r = new scala.util.Random(29)
+    val rows = Seq.fill(600)((r.nextInt(10), s"u${r.nextInt(80)}"))
+    val got = SetSketches.slidingDistinct(dayRows(rows), F.col("day"), F.col("uid"),
+        window = 3, k = 512)
+      .collect().map(x => x.getDate(0).toString -> ((x.getDouble(1), x.getBoolean(2)))).toMap
+    val byDay = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0 to 9).foreach { d =>
+      val want = (math.max(0, d - 2) to d).flatMap(byDay.getOrElse(_, Set.empty)).toSet.size
+      val day = java.time.LocalDate.of(2026, 2, 1).plusDays(d.toLong).toString
+      withClue(s"day $day: ") {
+        got(day)._1 shouldBe want.toDouble
+        got(day)._2 shouldBe false
+      }
+    }
+  }
+
+  it("window=1 degenerates to per-day distincts; saturated windows stay inside 3x RSE") {
+    val r = new scala.util.Random(71)
+    val rows = Seq.fill(400)((r.nextInt(5), s"u${r.nextInt(50)}"))
+    val one = SetSketches.slidingDistinct(dayRows(rows), F.col("day"), F.col("uid"), 1, 256)
+      .collect().map(x => x.getDate(0).toString -> x.getDouble(1)).toMap
+    rows.groupBy(_._1).foreach { case (d, g) =>
+      val day = java.time.LocalDate.of(2026, 2, 1).plusDays(d.toLong).toString
+      one(day) shouldBe g.map(_._2).distinct.size.toDouble
+    }
+    // k far below cardinality: estimates bounded, saturation OBSERVABLE
+    val big = Seq.tabulate(3000)(i => (i % 3, s"u$i"))
+    val sat = SetSketches.slidingDistinct(dayRows(big), F.col("day"), F.col("uid"), 3, 64)
+      .collect().map(x => (x.getDouble(1), x.getBoolean(2)))
+    val full = sat.maxBy(_._1)
+    full._2 shouldBe true
+    full._1 shouldBe 3000.0 +- 3 * 3000.0 / math.sqrt(62.0)
+  }
 }

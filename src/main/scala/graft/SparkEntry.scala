@@ -1014,6 +1014,20 @@ object SparkEntry {
       TimeSeries.crossCorrelation(
         daily("click", "x"), daily("purchase", "y"), "t", "x", "y", maxLag = 5)
     }),
+    // Robust seasonal decomposition of daily per-type volume: x = trend
+    // (7-day running MEDIAN) + seasonal (per-weekday median of the
+    // detrended) + residual — the weekly shape the anomaly queries sit
+    // on. Medians of integral counts are exact dyadic rationals with the
+    // percentile_cont(0.5) interpolation both engines define.
+    "q_seasonal" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(F.col("event_type").as("k"), F.to_date(F.col("ts")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("x"))
+      TimeSeries.seasonalDecompose(daily, "k", "t", "x")
+        .select(F.col("k").as("event_type"), F.col("t").as("day"),
+          F.col("x").cast("long").as("n"),
+          F.col("trend"), F.col("seasonal"), F.col("residual"))
+    }),
     // CUSUM changepoints of daily per-type event volume: WHEN the rate
     // shifted (PSI says whether, not when). Two key-partitioned running
     // windows — the closed form, no recursion; alarms on the rounded
@@ -3302,6 +3316,21 @@ object SparkEntry {
         "SELECT n, round(mi, 4) AS mi, round(hr.h, 4) AS h_row, round(hc.h, 4) AS h_col, " +
         "CASE WHEN hr.h > 0 AND hc.h > 0 THEN round(mi / sqrt(hr.h * hc.h), 4) END AS nmi " +
         "FROM mi, nn, hr, hc"),
+    // DuckDB's windowed/grouped median uses the same percentile_cont
+    // interpolation as the operator's explicit sorted-middle formula;
+    // inputs are integral counts, so every value is an exact dyadic.
+    "q_seasonal" ->
+      ("WITH s AS (SELECT event_type AS k, CAST(ts AS DATE) AS t, CAST(count(*) AS DOUBLE) AS x " +
+        "FROM events GROUP BY 1, 2), " +
+        "tr AS (SELECT k, t, x, median(x) OVER (PARTITION BY k ORDER BY t " +
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend FROM s), " +
+        "de AS (SELECT k, t, x, trend, x - trend AS det, " +
+        "(t - DATE '1970-01-01') % 7 AS phase FROM tr), " +
+        "se AS (SELECT k, phase, median(det) AS seasonal FROM de GROUP BY 1, 2) " +
+        "SELECT de.k AS event_type, de.t AS day, CAST(x AS BIGINT) AS n, " +
+        "round(trend, 6) + 0.0 AS trend, round(seasonal, 6) + 0.0 AS seasonal, " +
+        "round(x - trend - seasonal, 6) + 0.0 AS residual " +
+        "FROM de JOIN se ON se.k = de.k AND se.phase = de.phase"),
     // Same closed-form windows (running sum + running extremum per key);
     // alarm compares the ROUNDED statistic in both engines.
     "q_cusum" ->

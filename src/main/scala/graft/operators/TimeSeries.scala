@@ -228,6 +228,48 @@ object TimeSeries {
       .drop("__med", "__dev", "__mad")
   }
 
+  /** Robust SEASONAL DECOMPOSITION of a per-key daily series (an
+    * STL-style additive split on medians): x = trend + seasonal +
+    * residual, where trend is the centered (2·half+1)-day running
+    * MEDIAN (medians, not means — one outage spike must not bend the
+    * baseline it will later be judged against), seasonal is the per-
+    * (key, phase) median of the detrended values (phase = day-of-cycle,
+    * `(t − epoch) mod period`), and the residual is what anomaly logic
+    * should score. The robustAnomalies/q_anomaly_mad complement: that
+    * flags days; this explains the weekly shape they sit on.
+    *
+    * Determinism: inputs are integral counts, the running median is an
+    * explicit sorted-array middle ((a[⌈n/2⌉−1] + a[⌊n/2⌋]) / 2 — the
+    * percentile_cont(0.5) interpolation both engines define), so every
+    * derived value is an exact small dyadic rational; edge windows clamp
+    * identically in both engines. Windows partition BY KEY (rows per key
+    * = days); the seasonal join is per (key, phase) — frames of
+    * aggregate size throughout. */
+  def seasonalDecompose(series: DataFrame, keyCol: String, tCol: String,
+                        xCol: String, period: Int = 7, halfWindow: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("t")
+      .rowsBetween(-halfWindow, halfWindow)
+    val base = series.select(F.col(keyCol).as("k"), F.col(tCol).as("t"),
+      F.col(xCol).cast("double").as("x"))
+    val tr = base
+      .withColumn("__arr", F.sort_array(F.collect_list("x").over(w)))
+      .withColumn("__n", F.size(F.col("__arr")))
+      .withColumn("trend",
+        (F.element_at(F.col("__arr"), ((F.col("__n") + 1) / 2).cast("int"))
+          + F.element_at(F.col("__arr"), (F.col("__n") / 2).cast("int") + 1)) / 2.0)
+      .withColumn("__det", F.col("x") - F.col("trend"))
+      .withColumn("__phase",
+        F.pmod(F.datediff(F.col("t"), F.to_date(F.lit("1970-01-01"))), F.lit(period)))
+    val se = tr.groupBy("k", "__phase")
+      .agg(F.expr("percentile(__det, 0.5)").as("seasonal"))
+    tr.join(se, Seq("k", "__phase"))
+      .select(F.col("k"), F.col("t"), F.col("x"),
+        (F.round(F.col("trend"), 6) + F.lit(0.0)).as("trend"),
+        (F.round(F.col("seasonal"), 6) + F.lit(0.0)).as("seasonal"),
+        (F.round(F.col("x") - F.col("trend") - F.col("seasonal"), 6) + F.lit(0.0)).as("residual"))
+  }
+
   /** Lead–lag CROSS-CORRELATION between two aligned daily series — does
     * series x anticipate series y, and by how many days? (clicks →
     * purchases, errors → churn: the causal-direction screen run before

@@ -87,6 +87,48 @@ class PcaSpec extends SparkSpec {
     out.filter(_._1 != 2).values.flatten.foreach(_ should be < 1.0)
   }
 
+  // ---- seasonalDecompose --------------------------------------------
+
+  private def seasonal(xs: Seq[Double]) =
+    TimeSeries.seasonalDecompose(
+      xs.zipWithIndex.map { case (x, i) =>
+        ("k", java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 5).plusDays(i.toLong)), x)
+      }.toDF("k", "t", "x"), "k", "t", "x")
+      .orderBy("t").collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+
+  it("recovers a planted weekly pattern on a flat trend, interior rows exactly") {
+    // pattern with median 0 over a week; x = 20 + p(phase)
+    val p = Seq(0.0, 4.0, -4.0, 2.0, -2.0, 6.0, -6.0)
+    val xs = (0 until 28).map(i => 20.0 + p(i % 7))
+    val out = seasonal(xs)
+    // interior rows (full 7-day windows): trend = 20, seasonal = p, residual = 0
+    (3 until 25).foreach { i =>
+      withClue(s"row $i: ") {
+        out(i)._2 shouldBe 20.0
+        out(i)._3 shouldBe p(i % 7)
+        out(i)._4 shouldBe 0.0
+      }
+    }
+  }
+
+  it("trend + seasonal + residual reassembles x on every row, edges included") {
+    val r = new scala.util.Random(3)
+    val xs = Seq.fill(30)((r.nextInt(50) + 10).toDouble)
+    seasonal(xs).foreach { case (x, tr, se, res) =>
+      (tr + se + res) shouldBe x +- 1e-6
+    }
+  }
+
+  it("a single 100x spike does not bend the surrounding trend (median robustness)") {
+    val base = Seq.fill(21)(10.0)
+    val spiked = base.updated(10, 1000.0)
+    val out = seasonal(spiked)
+    out(6)._2 shouldBe 10.0 // trend before the spike's window untouched
+    out(10)._2 shouldBe 10.0 // even AT the spike: 1 of 7 values cannot move a median
+    out(10)._4 should be > 900.0 // the spike lands in the residual, where it belongs
+  }
+
   it("overlap counts shrink with |lag| and zero-variance overlaps are NULL") {
     val out = TimeSeries.crossCorrelation(
         dayDf(Seq(1L, 2L, 3L, 4L, 5L), "x"), dayDf(Seq(7L, 7L, 7L, 7L, 7L), "y"),

@@ -236,10 +236,17 @@ object Bench {
       System.err.println(s"[bench] ${errors.size} FAILED queries: ${errors.keys.toSeq.sorted.mkString(", ")}")
     // the artifact ALSO lands in a file: the driver's stdout tail capture
     // once truncated a round's bench line (BENCH_r02) — a sidecar file
-    // makes the full per-query map always recoverable
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    // makes the full per-query map always recoverable. A SPARK_GRAFT_ONLY
+    // iteration run must NOT clobber the full board with a few-row
+    // artifact (it did once: the committed BENCH_LOCAL briefly held a
+    // single smoke row) — restricted runs write only when a file is
+    // explicitly named.
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_FILE")
+      .orElse(if (only.isDefined) None else Some("BENCH_LOCAL.json"))
+    outFile.foreach { f =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
+    }
     // Print the artifact line BEFORE teardown ...
     println(line)
     System.out.flush()

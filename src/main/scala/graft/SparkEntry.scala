@@ -3393,7 +3393,7 @@ object SparkEntry {
         "s AS (SELECT i, sum(x) AS sx FROM u GROUP BY 1) " +
         "SELECT CAST(p.i - 1 AS INT) AS i, CAST(p.j - 1 AS INT) AS j, n, " +
         "round((sxy - si.sx * sj.sx / n) / (n - 1), 6) + 0.0 AS cov " +
-        "FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j"),
+        "FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j WHERE n >= 2"),
     "q_xcorr" ->
       ("WITH cx AS (SELECT CAST(ts AS DATE) AS t, CAST(count(*) AS BIGINT) AS x " +
         "FROM events WHERE event_type = 'click' GROUP BY 1), " +
@@ -3716,7 +3716,7 @@ object SparkEntry {
         "(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0 THEN " +
         "round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
         "sqrt((CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
-        "(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) END AS assortativity FROM a"),
+        "(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) + 0.0 END AS assortativity FROM a"),
     // Brute-force basket mirror: same apriori HAVING, same pair join,
     // divisions mirrored operand-for-operand (confidence filtered on the
     // UNROUNDED ratio in both engines — exact-integer division, no

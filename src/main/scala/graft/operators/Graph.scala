@@ -387,7 +387,9 @@ object Graph {
     * The fixpoint is unique (the k-core is well-defined), so a mirror
     * that unrolls AT LEAST as many peels reproduces it exactly —
     * `maxRounds` only guards pathological cascades (a chain peels one
-    * node per round; real graphs settle in a handful).
+    * node per round; real graphs settle in a handful), and hitting it
+    * THROWS rather than returning a silently-wrong partial peel (nodes
+    * under k would otherwise survive, violating the contract below).
     *
     * Output: (node_id, core_degree) over the k-core, core_degree its
     * within-core degree (≥ k by definition). Empty when no k-core
@@ -410,6 +412,7 @@ object Graph {
       und = pruned
       rounds += 1
     }
+    require(!changed, s"k-core peel did not reach its fixpoint within $maxRounds rounds")
     degrees(und).select(F.col("node").as("node_id"), F.col("d").as("core_degree"))
   }
 
@@ -426,7 +429,7 @@ object Graph {
     * assortativity is NULL there, not a divide blowup. Output: one row
     * (m_edges, assortativity round 6). */
   def assortativity(edges: DataFrame): DataFrame = {
-    val und = undirect(edges)
+    val und = undirect(edges).localCheckpoint(true) // feeds sym AND degrees
     val deg = degrees(und)
     val sym = und.select(F.col("a").as("s"), F.col("b").as("t"))
       .unionAll(und.select(F.col("b").as("s"), F.col("a").as("t")))
@@ -439,12 +442,7 @@ object Graph {
       F.sum(F.col("da") * F.col("db")).as("sxy"),
       F.sum(F.col("da") * F.col("da")).as("sxx"),
       F.sum(F.col("db") * F.col("db")).as("syy"))
-    val md = F.col("m").cast("double")
-    val vx = md * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    val vy = md * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
     a.select(F.col("m").as("m_edges"),
-      F.when(vx * vy > 0.0,
-        F.round((md * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
-          / F.sqrt(vx * vy), 6)).as("assortativity"))
+      Pearson.fromSums(F.col("m")).as("assortativity"))
   }
 }

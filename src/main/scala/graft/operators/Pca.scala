@@ -36,6 +36,9 @@ object Pca {
     val idx = (F.col("i") * dim - F.col("i") * (F.col("i") - 1) / 2
       + (F.col("j") - F.col("i"))).cast("int")
     grid.crossJoin(F.broadcast(moments))
+      // n < 2 has no sample covariance: emit nothing, like the SQL
+      // mirror's empty unnest (not 2 080 rows of 0/0 NULLs)
+      .filter(F.col("n") >= 2)
       .select(F.col("i"), F.col("j"), F.col("n"),
         // + 0.0 normalizes the −0.0 a just-below-zero covariance rounds
         // to (IEEE: −0.0 + 0.0 = +0.0, identity otherwise) — −0.0 and

@@ -111,10 +111,18 @@ object SetSketches {
     * Output: (day, est, saturated) — one row per day with data,
     * covering the `window` days ending at it. */
   def slidingDistinct(df: DataFrame, dayCol: Column, valueCol: Column,
-                      window: Int, k: Int): DataFrame = {
+                      window: Int, k: Int): DataFrame =
+    slidingFromDaySketches(
+      sketchSets(df.select(dayCol.as("d"), valueCol.as("v")), "d", F.col("v"), k),
+      window, k)
+
+  /** The window-union tail over a pre-built (set_key: date, sk) day-
+    * sketch frame — day sketches are the sliding monitor's mergeable
+    * summary, the entry the streaming accumulator re-enters
+    * (graft.streaming.StreamingSetSketches.slidingDistinctNow). */
+  def slidingFromDaySketches(daySketches: DataFrame, window: Int, k: Int): DataFrame = {
     require(window >= 1, "window must be positive")
-    val daySk = sketchSets(df.select(dayCol.as("d"), valueCol.as("v")),
-      "d", F.col("v"), k).localCheckpoint(true) // feeds the day grid AND the member join
+    val daySk = daySketches.localCheckpoint(true) // feeds the day grid AND the member join
     val days = daySk.select(F.col("set_key").as("wd"))
     val members = days.join(
       daySk.select(F.col("set_key").as("md"), F.col("sk")),

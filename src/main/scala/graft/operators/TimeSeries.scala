@@ -279,10 +279,10 @@ object TimeSeries {
     * Scale shape: the x side is replicated once per lag (2·maxLag + 1
     * copies of an already-aggregated series — rows = days × lags, not
     * events), one equi-join on the shifted date, then ONE combinable
-    * six-sum aggregate per lag. With integer-valued series the sums are
-    * exact BIGINTs (the assortativity determinism anchor) and the
-    * correlation is fixed-shape IEEE algebra; a zero-variance overlap
-    * yields NULL, not a blowup.
+    * six-sum aggregate per lag feeding the shared [[Pearson.fromSums]]
+    * operand shape (exact BIGINT sums; see its range caveat for values
+    * near the 64-bit boundary); a zero-variance overlap yields NULL,
+    * not a blowup.
     *
     * Inputs: (tCol: date, xCol) and (tCol: date, yCol) frames, one row
     * per day. Output: (lag, n_days, xcorr round 6). */
@@ -302,14 +302,7 @@ object TimeSeries {
         F.sum(F.col("x") * F.col("y")).as("sxy"),
         F.sum(F.col("x") * F.col("x")).as("sxx"),
         F.sum(F.col("y") * F.col("y")).as("syy"))
-    val nd = F.col("n").cast("double")
-    val vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    val vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
     a.select(F.col("lag"), F.col("n").as("n_days"),
-      // + 0.0: a correlation rounding to −0.0 prints differently from
-      // 0.0 and would derail representation-sorted comparisons
-      F.when(vx * vy > 0.0,
-        F.round((nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
-          / F.sqrt(vx * vy), 6) + F.lit(0.0)).as("xcorr"))
+      Pearson.fromSums(F.col("n")).as("xcorr"))
   }
 }

@@ -67,4 +67,17 @@ object StreamingSetSketches {
   /** Stream-wide pairwise overlap estimates (see SetSketches). */
   def overlap(spark: SparkSession, summariesDir: String, k: Int): DataFrame =
     SetSketches.pairOverlap(sketches(spark, summariesDir, k), k)
+
+  /** Sliding-window distinct counts over the stream so far: attach with
+    * the DAY as the slice, and each output day k-min-folds its window's
+    * per-day sketches ([[SetSketches.slidingFromDaySketches]]) — the
+    * sliding COUNT(DISTINCT) monitor over an append stream, exact while
+    * windows stay under k. A day split across micro-batches (or
+    * replayed) folds back losslessly: retained hashes union by k-min. */
+  def slidingDistinctNow(spark: SparkSession, summariesDir: String,
+                         k: Int, window: Int): DataFrame =
+    SetSketches.slidingFromDaySketches(
+      sketches(spark, summariesDir, k)
+        .select(F.col("set_key").cast("date").as("set_key"), F.col("sk")),
+      window, k)
 }

@@ -363,6 +363,14 @@ class GraphSpec extends SparkSpec {
     core(e, 2) shouldBe Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L)
   }
 
+  it("a cascade deeper than maxRounds THROWS instead of returning a partial peel") {
+    // a 7-chain's 2-core peels one endpoint pair per round
+    val chain = (1 to 6).map(i => (s"c$i", s"c${i + 1}"))
+    an[IllegalArgumentException] should be thrownBy
+      Graph.kCore(chain.toDF("src", "dst"), k = 2, maxRounds = 2)
+    Graph.kCore(chain.toDF("src", "dst"), k = 2, maxRounds = 10).collect() shouldBe empty
+  }
+
   it("core degrees are WITHIN-core: the bridge between two triangles drops from its count") {
     // two triangles joined by a bridge x—y: 2-core keeps everything
     val e = Seq(("a", "b"), ("b", "x"), ("x", "a"), ("p", "q"), ("q", "y"), ("y", "p"), ("x", "y"))

@@ -41,6 +41,11 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  it("fewer than two valid vectors yield an EMPTY frame, matching the mirror's empty unnest") {
+    Pca.covarianceMatrix(vecsDf(Seq(Seq(1f, 2f))), "embedding", 2).collect() shouldBe empty
+    Pca.covarianceMatrix(vecsDf(Seq.empty), "embedding", 2).collect() shouldBe empty
+  }
+
   it("malformed and null vectors are skipped, not crashed on") {
     val df = Seq((0L, Seq(1f, 2f)), (1L, Seq(3f, 4f)), (2L, null), (3L, Seq(9f)))
       .toDF("vec_id", "embedding")

@@ -182,4 +182,34 @@ class ThetaSketchSpec extends SparkSpec {
     full._2 shouldBe true
     full._1 shouldBe 3000.0 +- 3 * 3000.0 / math.sqrt(62.0)
   }
+
+  it("streamed day sketches across a restart yield the batch sliding counts exactly") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val r = new scala.util.Random(53)
+    val rows = r.shuffle(Seq.fill(500)((r.nextInt(8), s"u${r.nextInt(90)}"))).toVector
+    def dayStr(d: Int) = java.time.LocalDate.of(2026, 2, 1).plusDays(d.toLong).toString
+    val inDir = JFiles.createTempDirectory("graft-slide-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-slide-ckpt").toString
+    val sumDir = JFiles.createTempDirectory("graft-slide-sum").toString
+    def write(name: String, part: Seq[(Int, String)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (d, u) => s"${dayStr(d)},$u" }.mkString("\n"))
+    write("f1.txt", rows.take(250)) // days straddle the restart: k-min folds must merge
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("value"))
+    val q1 = graft.streaming.StreamingSetSketches.attach(src(), ckpt, sumDir, 256, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", rows.drop(250))
+    val q2 = graft.streaming.StreamingSetSketches.attach(src(), ckpt, sumDir, 256, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = graft.streaming.StreamingSetSketches
+      .slidingDistinctNow(spark, sumDir, k = 256, window = 3)
+      .collect().map(x => x.getDate(0).toString -> ((x.getDouble(1), x.getBoolean(2)))).toMap
+    val batch = SetSketches.slidingDistinct(dayRows(rows), F.col("day"), F.col("uid"), 3, 256)
+      .collect().map(x => x.getDate(0).toString -> ((x.getDouble(1), x.getBoolean(2)))).toMap
+    streamed shouldBe batch
+    streamed.size shouldBe 8
+  }
 }

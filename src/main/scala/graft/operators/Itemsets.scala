@@ -42,12 +42,26 @@ object Itemsets {
         F.col("x.tid") === F.col("y.tid") && F.col("x.item") < F.col("y.item"))
       .groupBy(F.col("x.item").as("a"), F.col("y.item").as("b"))
       .agg(F.count(F.lit(1)).as("n_pair"))
-      .filter(F.col("n_pair") >= minSupport)
-    val directed = pairs.select(F.col("a"), F.col("b"), F.col("n_pair"))
-      .unionAll(pairs.select(F.col("b").as("a"), F.col("a").as("b"), F.col("n_pair")))
+    rulesFromCounts(nTx, itemN, pairs, minSupport, minConfidence)
+  }
+
+  /** The rule algebra over pre-aggregated count frames — transaction,
+    * item, and unordered-pair counts are the miner's MERGEABLE summary
+    * (plain sums), the entry the streaming accumulator re-enters
+    * (graft.streaming.StreamingItemsets). Expects `nTx` (n_tx), `itemN`
+    * (item, n_item), `pairs` (a, b, n_pair with a < b); thresholds are
+    * applied here, so the pair frame may arrive unpruned — by the
+    * apriori property the item filter loses nothing a surviving pair
+    * needs. */
+  def rulesFromCounts(nTx: DataFrame, itemN: DataFrame, pairs: DataFrame,
+                      minSupport: Long, minConfidence: Double): DataFrame = {
+    val freqItems = itemN.filter(F.col("n_item") >= minSupport)
+    val freqPairs = pairs.filter(F.col("n_pair") >= minSupport)
+    val directed = freqPairs.select(F.col("a"), F.col("b"), F.col("n_pair"))
+      .unionAll(freqPairs.select(F.col("b").as("a"), F.col("a").as("b"), F.col("n_pair")))
     directed
-      .join(itemN.select(F.col("item").as("a"), F.col("n_item").as("na")), "a")
-      .join(itemN.select(F.col("item").as("b"), F.col("n_item").as("nb")), "b")
+      .join(freqItems.select(F.col("item").as("a"), F.col("n_item").as("na")), "a")
+      .join(freqItems.select(F.col("item").as("b"), F.col("n_item").as("nb")), "b")
       .crossJoin(F.broadcast(nTx))
       .withColumn("confidence", F.col("n_pair").cast("double") / F.col("na"))
       .filter(F.col("confidence") >= minConfidence)

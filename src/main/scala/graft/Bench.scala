@@ -175,7 +175,10 @@ object Bench {
     // graph headline (Θ(Σ outdeg²) — legitimately superlinear on the
     // near-complete co-order projection; the point is the TREND, read
     // via RUNBOOK.md).
-    val scalingQueries = Seq("q_jaccard_join", "q_triangle_count")
+    // third probe: the iterative-graph headline — HITS is iters × |E|
+    // joins, so its exponent should track edge growth (~linear), unlike
+    // the candidate-volume and wedge-bounded stories of the other two
+    val scalingQueries = Seq("q_jaccard_join", "q_triangle_count", "q_hits")
     // gated on the FIXTURES, not on the isolated tier being non-empty — a
     // round where every grid min dips under the threshold must not
     // silently drop the documented per-round cost-exponent probe

@@ -1014,6 +1014,18 @@ object SparkEntry {
       TimeSeries.crossCorrelation(
         daily("click", "x"), daily("purchase", "y"), "t", "x", "y", maxLag = 5)
     }),
+    // Per-user burstiness of inter-event gaps: (sigma-mu)/(sigma+mu) —
+    // metronome -1, Poisson ~0, bursts -> 1; the bot-vs-human signal.
+    // Exact microsecond gaps, one three-sum aggregate per user.
+    "q_burstiness" -> ((s, dir) =>
+      TimeSeries.burstiness(t(s, dir, "events"), "user_id", "ts")
+        .withColumnRenamed("k", "user_id")),
+    // How predictable is the NEXT event type given the current one:
+    // H(next), H(next|cur), and the information gain between them, from
+    // one (ts, id)-ordered bigram count scan.
+    "q_seq_entropy" -> ((s, dir) =>
+      TimeSeries.sequenceEntropy(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")),
     // Robust seasonal decomposition of daily per-type volume: x = trend
     // (7-day running MEDIAN) + seasonal (per-weekday median of the
     // detrended) + residual — the weekly shape the anomaly queries sit
@@ -3316,6 +3328,32 @@ object SparkEntry {
         "SELECT n, round(mi, 4) AS mi, round(hr.h, 4) AS h_row, round(hc.h, 4) AS h_col, " +
         "CASE WHEN hr.h > 0 AND hc.h > 0 THEN round(mi / sqrt(hr.h * hc.h), 4) END AS nmi " +
         "FROM mi, nn, hr, hc"),
+    // Gap multiset is tie-order-invariant (no id tiebreak needed); the
+    // variance is floored at 0 before sqrt in BOTH engines.
+    "q_burstiness" ->
+      ("WITH b AS (SELECT user_id AS k, epoch_us(ts) AS t FROM events), " +
+        "g AS (SELECT k, CAST(t - lag(t) OVER (PARTITION BY k ORDER BY t) AS DOUBLE) / 1000000.0 AS gap FROM b), " +
+        "a AS (SELECT k, CAST(count(*) AS BIGINT) AS n, sum(gap) AS sg, sum(gap * gap) AS sg2 " +
+        "FROM g WHERE gap IS NOT NULL GROUP BY 1) " +
+        "SELECT k AS user_id, n AS n_gaps, round(sg / n, 4) AS mean_gap_s, " +
+        "CASE WHEN sg > 0 THEN round(sqrt(greatest((sg2 - sg * sg / n) / n, CAST(0 AS DOUBLE))) / (sg / n), 4) END AS cv, " +
+        "CASE WHEN sqrt(greatest((sg2 - sg * sg / n) / n, CAST(0 AS DOUBLE))) + sg / n > 0 THEN " +
+        "round((sqrt(greatest((sg2 - sg * sg / n) / n, CAST(0 AS DOUBLE))) - sg / n) / " +
+        "(sqrt(greatest((sg2 - sg * sg / n) / n, CAST(0 AS DOUBLE))) + sg / n), 4) + 0.0 END AS burstiness FROM a"),
+    // Bigram identity DOES depend on tie order: the unique event id is
+    // the tiebreak in both engines. H terms are IEEE over exact counts.
+    "q_seq_entropy" ->
+      ("WITH s AS (SELECT user_id AS k, ts, event_id AS id, event_type AS nx FROM events), " +
+        "bg AS (SELECT lag(nx) OVER (PARTITION BY k ORDER BY ts, id) AS cur, nx FROM s), " +
+        "bi AS (SELECT cur, nx, CAST(count(*) AS BIGINT) AS o FROM bg WHERE cur IS NOT NULL GROUP BY 1, 2), " +
+        "tt AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM bi), " +
+        "cm AS (SELECT cur, CAST(sum(o) AS BIGINT) AS nc FROM bi GROUP BY 1), " +
+        "nm AS (SELECT nx, CAST(sum(o) AS BIGINT) AS nn FROM bi GROUP BY 1), " +
+        "hc AS (SELECT -sum(CAST(o AS DOUBLE) / CAST(t AS DOUBLE) * ln(CAST(o AS DOUBLE) / CAST(nc AS DOUBLE))) AS h_cond " +
+        "FROM bi JOIN cm USING (cur), tt), " +
+        "hn AS (SELECT -sum(CAST(nn AS DOUBLE) / CAST(t AS DOUBLE) * ln(CAST(nn AS DOUBLE) / CAST(t AS DOUBLE))) AS h_next FROM nm, tt) " +
+        "SELECT t AS n_bigrams, round(h_next, 4) AS h_next, round(h_cond, 4) AS h_cond, " +
+        "round(h_next - h_cond, 4) + 0.0 AS info_gain FROM tt, hc, hn"),
     // DuckDB's windowed/grouped median uses the same percentile_cont
     // interpolation as the operator's explicit sorted-middle formula;
     // inputs are integral counts, so every value is an exact dyadic.

@@ -270,6 +270,77 @@ object TimeSeries {
         (F.round(F.col("x") - F.col("trend") - F.col("seasonal"), 6) + F.lit(0.0)).as("residual"))
   }
 
+  /** Per-key BURSTINESS of inter-event gaps (Goh & Barabási, "Burstiness
+    * and memory in complex systems", EPL 2008): B = (σ−μ)/(σ+μ) over the
+    * gaps between a key's consecutive events — −1 for a metronome, → 0
+    * for a Poisson process, → 1 for extreme bursts. The behavioral
+    * fingerprint that separates bots (periodic, B < 0) from humans
+    * (bursty, B > 0) and flags scraping/replay traffic.
+    *
+    * Gaps are exact microsecond differences over a per-key ordered
+    * window (the gap MULTISET is invariant to how ties order, so no
+    * tiebreak is needed for these aggregates); one combinable three-sum
+    * aggregate per key; the variance is floored at 0 before the sqrt
+    * (float drift must not manufacture NaN). Output: (key, n_gaps,
+    * mean_gap_s, cv, burstiness), round 4. */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("t")
+    val gaps = events
+      .select(F.col(keyCol).as("k"), F.unix_micros(F.col(tsCol)).as("t"))
+      .withColumn("gap", (F.col("t") - F.lag("t", 1).over(w)).cast("double") / 1000000.0)
+      .filter(F.col("gap").isNotNull)
+    val a = gaps.groupBy("k").agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("gap").as("sg"),
+      F.sum(F.col("gap") * F.col("gap")).as("sg2"))
+    val mu = F.col("sg") / F.col("n")
+    val sig = F.sqrt(F.greatest(
+      (F.col("sg2") - F.col("sg") * F.col("sg") / F.col("n")) / F.col("n"), F.lit(0.0)))
+    a.select(F.col("k"), F.col("n").as("n_gaps"),
+      F.round(mu, 4).as("mean_gap_s"),
+      F.when(F.col("sg") > 0, F.round(sig / mu, 4)).as("cv"),
+      F.when(sig + mu > 0.0,
+        F.round((sig - mu) / (sig + mu), 4) + F.lit(0.0)).as("burstiness"))
+  }
+
+  /** CONDITIONAL ENTROPY of the next event type given the current one —
+    * how predictable is each step of the behavioral sequence, and how
+    * much does knowing the current state buy (info_gain = H(next) −
+    * H(next|cur), the q_transition_matrix's single-number summary).
+    * Bigrams come from the per-key (ts, id)-ordered lag (ties broken by
+    * the unique id — bigram IDENTITY, unlike gap sums, depends on tie
+    * order); H terms are IEEE functions of exact counts, summation
+    * order collapsed at round 4. Output one row: (n_bigrams, h_next,
+    * h_cond, info_gain). */
+  def sequenceEntropy(events: DataFrame, keyCol: String, tsCol: String,
+                      typeCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("t", "id")
+    val bi = events
+      .select(F.col(keyCol).as("k"), F.col(tsCol).as("t"), F.col(idCol).as("id"),
+        F.col(typeCol).as("nx"))
+      .withColumn("cur", F.lag("nx", 1).over(w))
+      .filter(F.col("cur").isNotNull)
+      .groupBy("cur", "nx").agg(F.count(F.lit(1)).as("o"))
+      .localCheckpoint(true) // margins + total + terms all read it
+    val tot = bi.agg(F.sum("o").as("t"))
+    val curM = bi.groupBy("cur").agg(F.sum("o").as("nc"))
+    val nxM = bi.groupBy("nx").agg(F.sum("o").as("nn"))
+    val od = F.col("o").cast("double")
+    val td = F.col("t").cast("double")
+    val hCond = bi.join(curM, "cur").crossJoin(F.broadcast(tot))
+      .agg((-F.sum(od / td * F.log(od / F.col("nc").cast("double")))).as("h_cond"))
+    val hNext = nxM.crossJoin(F.broadcast(tot))
+      .agg((-F.sum(F.col("nn").cast("double") / td
+        * F.log(F.col("nn").cast("double") / td))).as("h_next"))
+    tot.crossJoin(F.broadcast(hNext)).crossJoin(F.broadcast(hCond))
+      .select(F.col("t").as("n_bigrams"),
+        F.round(F.col("h_next"), 4).as("h_next"),
+        F.round(F.col("h_cond"), 4).as("h_cond"),
+        (F.round(F.col("h_next") - F.col("h_cond"), 4) + F.lit(0.0)).as("info_gain"))
+  }
+
   /** Lead–lag CROSS-CORRELATION between two aligned daily series — does
     * series x anticipate series y, and by how many days? (clicks →
     * purchases, errors → churn: the causal-direction screen run before

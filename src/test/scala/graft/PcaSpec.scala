@@ -92,6 +92,50 @@ class PcaSpec extends SparkSpec {
     out.filter(_._1 != 2).values.flatten.foreach(_ should be < 1.0)
   }
 
+  // ---- burstiness / sequenceEntropy ---------------------------------
+
+  private def evDf(rows: Seq[(String, Long, Long, String)]) =
+    rows.map { case (k, s, id, tp) =>
+      (k, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)), id, tp)
+    }.toDF("user_id", "ts", "event_id", "event_type")
+
+  it("a metronome scores burstiness −1; a bursty train matches the (σ−μ)/(σ+μ) formula") {
+    val metro = (0 until 10).map(i => ("m", i * 60L, i.toLong, "x"))
+    val burst = Seq(0L, 1L, 2L, 3L, 100L).zipWithIndex
+      .map { case (s, i) => ("b", s, (100 + i).toLong, "x") }
+    val out = TimeSeries.burstiness(evDf(metro ++ burst), "user_id", "ts")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    out("m") shouldBe ((9L, 60.0, 0.0, -1.0))
+    val gaps = Seq(1.0, 1.0, 1.0, 97.0)
+    val mu = gaps.sum / 4
+    val sig = math.sqrt(gaps.map(g => g * g).sum / 4 - mu * mu)
+    out("b")._1 shouldBe 4L
+    out("b")._4 shouldBe math.round((sig - mu) / (sig + mu) * 1e4) / 1e4 +- 1e-9
+    out("b")._4 should be > 0.0
+  }
+
+  it("an alternating sequence is perfectly predictable: h_cond 0, full gain of ln 2") {
+    val rows = (0 until 9).map(i => ("u", i.toLong, i.toLong, if (i % 2 == 0) "a" else "b"))
+    val r = TimeSeries.sequenceEntropy(evDf(rows), "user_id", "ts", "event_type", "event_id")
+      .collect().head
+    val ln2 = math.round(math.log(2.0) * 1e4) / 1e4
+    r.getAs[Long]("n_bigrams") shouldBe 8L
+    r.getAs[Double]("h_cond") shouldBe 0.0
+    r.getAs[Double]("h_next") shouldBe ln2
+    r.getAs[Double]("info_gain") shouldBe ln2
+  }
+
+  it("conditioning never hurts: h_cond ≤ h_next on random sequences, gain ≥ 0") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map(i =>
+      (s"u${i % 5}", i.toLong, i.toLong, s"t${rnd.nextInt(4)}"))
+    val r = TimeSeries.sequenceEntropy(evDf(rows), "user_id", "ts", "event_type", "event_id")
+      .collect().head
+    r.getAs[Double]("h_cond") should be <= r.getAs[Double]("h_next")
+    r.getAs[Double]("info_gain") should be >= 0.0
+  }
+
   // ---- seasonalDecompose --------------------------------------------
 
   private def seasonal(xs: Seq[Double]) =

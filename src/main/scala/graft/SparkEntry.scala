@@ -1014,6 +1014,12 @@ object SparkEntry {
       TimeSeries.crossCorrelation(
         daily("click", "x"), daily("purchase", "y"), "t", "x", "y", maxLag = 5)
     }),
+    // Robust per-group means: raw vs 10/90-trimmed vs winsorized price
+    // averages — the outlier-poisoning fix when the mean IS the
+    // deliverable. Percentile bounds are engine-bit-identical, so WHICH
+    // rows trim is exact; the means collapse at round 4.
+    "q_trimmed_mean" -> ((s, dir) =>
+      RobustStats.trimmedMeans(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")),
     // Per-user burstiness of inter-event gaps: (sigma-mu)/(sigma+mu) —
     // metronome -1, Poisson ~0, bursts -> 1; the bot-vs-human signal.
     // Exact microsecond gaps, one three-sum aggregate per user.
@@ -3328,6 +3334,19 @@ object SparkEntry {
         "SELECT n, round(mi, 4) AS mi, round(hr.h, 4) AS h_row, round(hc.h, 4) AS h_col, " +
         "CASE WHEN hr.h > 0 AND hc.h > 0 THEN round(mi / sqrt(hr.h * hc.h), 4) END AS nmi " +
         "FROM mi, nn, hr, hc"),
+    // percentile_cont bounds are bit-identical on exact inputs; only
+    // the double mean sums need the round-4 collapse.
+    "q_trimmed_mean" ->
+      ("WITH b AS (SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS x " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "q AS (SELECT grp, percentile_cont(0.1) WITHIN GROUP (ORDER BY x) AS lo, " +
+        "percentile_cont(0.9) WITHIN GROUP (ORDER BY x) AS hi FROM b GROUP BY 1) " +
+        "SELECT b.grp, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(CASE WHEN x >= lo AND x <= hi THEN 1 END) AS BIGINT) AS n_kept, " +
+        "round(avg(x), 4) AS raw_mean, " +
+        "round(avg(CASE WHEN x >= lo AND x <= hi THEN x END), 4) AS trimmed_mean, " +
+        "round(avg(least(greatest(x, lo), hi)), 4) AS winsorized_mean " +
+        "FROM b JOIN q ON q.grp = b.grp GROUP BY 1"),
     // Gap multiset is tie-order-invariant (no id tiebreak needed); the
     // variance is floored at 0 before sqrt in BOTH engines.
     "q_burstiness" ->

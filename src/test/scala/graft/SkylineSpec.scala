@@ -79,4 +79,50 @@ class SkylineSpec extends SparkSpec {
       r.getBoolean(2) shouldBe (r.getDouble(0) != 5.0)
     }
   }
+
+  // ---- trimmedMeans -------------------------------------------------
+
+  /** percentile_cont(q): interpolated value at rank (n−1)·q. */
+  private def pct(sorted: Seq[Double], q: Double): Double = {
+    val h = (sorted.size - 1) * q
+    val lo = math.floor(h).toInt
+    if (lo + 1 >= sorted.size) sorted(lo)
+    else sorted(lo) + (h - lo) * (sorted(lo + 1) - sorted(lo))
+  }
+
+  it("one outlier poisons the raw mean but not the trimmed or winsorized one") {
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val out = graft.operators.RobustStats
+      .trimmedMeans(vals.map(("g", _)).toDF("k", "v"), "k", "v")
+      .collect().head
+    val (lo, hi) = (pct(vals, 0.1), pct(vals, 0.9))
+    val keptVals = vals.filter(v => v >= lo && v <= hi)
+    out.getAs[Long]("n") shouldBe 10L
+    out.getAs[Long]("n_kept") shouldBe keptVals.size.toLong
+    out.getAs[Double]("raw_mean") shouldBe 104.5
+    out.getAs[Double]("trimmed_mean") shouldBe
+      math.round(keptVals.sum / keptVals.size * 1e4) / 1e4 +- 1e-9
+    out.getAs[Double]("winsorized_mean") shouldBe
+      math.round(vals.map(v => math.min(math.max(v, lo), hi)).sum / 10 * 1e4) / 1e4 +- 1e-9
+    out.getAs[Double]("trimmed_mean") should be < 10.0
+  }
+
+  it("a constant group has all three means equal and keeps every row") {
+    val out = graft.operators.RobustStats
+      .trimmedMeans(Seq.fill(8)(("c", 4.5)).toDF("k", "v"), "k", "v")
+      .collect().head
+    out.getAs[Long]("n_kept") shouldBe 8L
+    out.getAs[Double]("raw_mean") shouldBe 4.5
+    out.getAs[Double]("trimmed_mean") shouldBe 4.5
+    out.getAs[Double]("winsorized_mean") shouldBe 4.5
+  }
+
+  it("groups trim independently") {
+    val rows = (1 to 10).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(i => ("b", i * 100.0))
+    val out = graft.operators.RobustStats.trimmedMeans(rows.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("trimmed_mean")).toMap
+    out("a") shouldBe 5.5
+    out("b") shouldBe 550.0
+  }
 }

@@ -426,6 +426,22 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin(condition" // no residual-only join
   }
 
+  it("q_burstiness / q_seasonal windows partition by the series key") {
+    Seq("q_burstiness", "q_seasonal").foreach { q =>
+      val lines = plan(q).split("\n").filter(_.contains("windowspecdefinition"))
+      withClue(s"$q: ") {
+        lines should not be empty
+        lines.foreach(_ should include("k#"))
+      }
+    }
+  }
+
+  it("q_trimmed_mean / q_sliding_distinct / q_seq_entropy plan no cartesian products") {
+    Seq("q_trimmed_mean", "q_sliding_distinct", "q_seq_entropy").foreach { q =>
+      withClue(s"$q: ") { plan(q) should not include "CartesianProduct" }
+    }
+  }
+
   it("q_cusum / q_survival windows are the intended shapes — keyed for cusum, duration-axis for KM") {
     // cusum: every window partitions by the series key
     val cu = plan("q_cusum").split("\n").filter(_.contains("windowspecdefinition"))

@@ -3371,7 +3371,7 @@ object SparkEntry {
         "hc AS (SELECT -sum(CAST(o AS DOUBLE) / CAST(t AS DOUBLE) * ln(CAST(o AS DOUBLE) / CAST(nc AS DOUBLE))) AS h_cond " +
         "FROM bi JOIN cm USING (cur), tt), " +
         "hn AS (SELECT -sum(CAST(nn AS DOUBLE) / CAST(t AS DOUBLE) * ln(CAST(nn AS DOUBLE) / CAST(t AS DOUBLE))) AS h_next FROM nm, tt) " +
-        "SELECT t AS n_bigrams, round(h_next, 4) AS h_next, round(h_cond, 4) AS h_cond, " +
+        "SELECT t AS n_bigrams, round(h_next, 4) + 0.0 AS h_next, round(h_cond, 4) + 0.0 AS h_cond, " +
         "round(h_next - h_cond, 4) + 0.0 AS info_gain FROM tt, hc, hn"),
     // DuckDB's windowed/grouped median uses the same percentile_cont
     // interpolation as the operator's explicit sorted-middle formula;

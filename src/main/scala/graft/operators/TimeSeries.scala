@@ -336,8 +336,10 @@ object TimeSeries {
         * F.log(F.col("nn").cast("double") / td))).as("h_next"))
     tot.crossJoin(F.broadcast(hNext)).crossJoin(F.broadcast(hCond))
       .select(F.col("t").as("n_bigrams"),
-        F.round(F.col("h_next"), 4).as("h_next"),
-        F.round(F.col("h_cond"), 4).as("h_cond"),
+        // + 0.0 on all three: a fully deterministic sequence makes each
+        // statistic −Σ of zero terms = −0.0 (the repo-wide guard)
+        (F.round(F.col("h_next"), 4) + F.lit(0.0)).as("h_next"),
+        (F.round(F.col("h_cond"), 4) + F.lit(0.0)).as("h_cond"),
         (F.round(F.col("h_next") - F.col("h_cond"), 4) + F.lit(0.0)).as("info_gain"))
   }
 

@@ -114,9 +114,10 @@ object StreamingDrift {
       "k", "t", "x", slack, threshold)
 
   /** Partial reader: key columns cast back (partition-column inference,
-    * the foreachBatch-partial gotcha), empty/missing dir → empty frame. */
-  private def readPartials(spark: SparkSession, dir: String,
-                           keys: Seq[(String, String)]): DataFrame = {
+    * the foreachBatch-partial gotcha), empty/missing dir → empty frame.
+    * Shared by every count-partial accumulator in this package. */
+  private[streaming] def readPartials(spark: SparkSession, dir: String,
+                                      keys: Seq[(String, String)]): DataFrame = {
     val raw =
       try spark.read.option("basePath", dir).parquet(dir)
       catch {

@@ -39,6 +39,13 @@ object StreamingItemsets {
           .filter(F.col("tid").isNotNull && F.col("item").isNotNull)
           .distinct()
           .localCheckpoint(true) // three consumers below
+        // the three families commit non-atomically: write the DENOMINATOR
+        // first, so a read (or crash) between writes sees n_tx ahead of
+        // the numerators — supports/confidences UNDER-estimate until the
+        // batch replays, and no phantom rule can cross a threshold (the
+        // reverse order could inflate support past 1)
+        tx.agg(F.countDistinct(F.col("tid")).as("n"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$countsDir/tx/batch_id=$batchId")
         tx.groupBy("item").agg(F.count(F.lit(1)).as("n"))
           .write.mode(SaveMode.Overwrite).parquet(s"$countsDir/items/batch_id=$batchId")
         tx.as("x").join(tx.as("y"),
@@ -46,8 +53,6 @@ object StreamingItemsets {
           .groupBy(F.col("x.item").as("a"), F.col("y.item").as("b"))
           .agg(F.count(F.lit(1)).as("n"))
           .write.mode(SaveMode.Overwrite).parquet(s"$countsDir/pairs/batch_id=$batchId")
-        tx.agg(F.countDistinct(F.col("tid")).as("n"))
-          .write.mode(SaveMode.Overwrite).parquet(s"$countsDir/tx/batch_id=$batchId")
         ()
       }
       .start()
@@ -56,29 +61,14 @@ object StreamingItemsets {
     * [[Itemsets.assocRules]] output shape. */
   def rulesNow(spark: SparkSession, countsDir: String,
                minSupport: Long, minConfidence: Double): DataFrame = {
-    val nTx = read(spark, s"$countsDir/tx", Nil)
+    def read(sub: String, keys: Seq[String]) =
+      StreamingDrift.readPartials(spark, s"$countsDir/$sub", keys.map(_ -> "string"))
+    val nTx = read("tx", Nil)
       .agg(F.coalesce(F.sum("n"), F.lit(0L)).as("n_tx"))
-    val itemN = read(spark, s"$countsDir/items", Seq("item"))
+    val itemN = read("items", Seq("item"))
       .groupBy("item").agg(F.sum("n").as("n_item"))
-    val pairs = read(spark, s"$countsDir/pairs", Seq("a", "b"))
+    val pairs = read("pairs", Seq("a", "b"))
       .groupBy("a", "b").agg(F.sum("n").as("n_pair"))
     Itemsets.rulesFromCounts(nTx, itemN, pairs, minSupport, minConfidence)
-  }
-
-  private def read(spark: SparkSession, dir: String, keys: Seq[String]): DataFrame = {
-    val raw =
-      try spark.read.option("basePath", dir).parquet(dir)
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          return spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](),
-            org.apache.spark.sql.types.StructType(
-              keys.map(k => org.apache.spark.sql.types.StructField(k,
-                org.apache.spark.sql.types.StringType)) :+
-                org.apache.spark.sql.types.StructField("n",
-                  org.apache.spark.sql.types.LongType)))
-      }
-    raw.select(keys.map(k => F.col(k).cast("string").as(k)) :+
-      F.col("n").cast("long").as("n"): _*)
   }
 }

@@ -1014,6 +1014,12 @@ object SparkEntry {
       TimeSeries.crossCorrelation(
         daily("click", "x"), daily("purchase", "y"), "t", "x", "y", maxLag = 5)
     }),
+    // Two-sample Kolmogorov-Smirnov on event values between click and
+    // purchase traffic: binning-free CDF-shape drift with the classic
+    // rejection threshold; cumulative counts via the two-phase prefix
+    // (no single-partition window over the data-sized value axis).
+    "q_ks_test" -> ((s, dir) =>
+      Drift.ksTest(t(s, dir, "events"), "event_type", "value", "click", "purchase")),
     // Robust per-group means: raw vs 10/90-trimmed vs winsorized price
     // averages — the outlier-poisoning fix when the mean IS the
     // deliverable. Percentile bounds are engine-bit-identical, so WHICH
@@ -3334,6 +3340,21 @@ object SparkEntry {
         "SELECT n, round(mi, 4) AS mi, round(hr.h, 4) AS h_row, round(hc.h, 4) AS h_col, " +
         "CASE WHEN hr.h > 0 AND hc.h > 0 THEN round(mi / sqrt(hr.h * hc.h), 4) END AS nmi " +
         "FROM mi, nn, hr, hc"),
+    // Every CDF ratio is an exact-integer division — the oracle's
+    // single-window cumulative equals the engine's two-phase one
+    // bit-for-bit, and reject_95 compares the UNROUNDED statistic.
+    "q_ks_test" ->
+      ("WITH v AS (SELECT CAST(value AS DOUBLE) AS x, " +
+        "CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS c1, " +
+        "CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS c2 " +
+        "FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'purchase') GROUP BY 1), " +
+        "c AS (SELECT x, sum(c1) OVER w AS k1, sum(c2) OVER w AS k2 FROM v " +
+        "WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM v), " +
+        "d AS (SELECT max(abs(CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)) AS ks FROM c, t) " +
+        "SELECT n1 AS n_a, n2 AS n_b, round(ks, 6) AS ks_stat, " +
+        "ks > 1.358 * sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2)) AS reject_95 " +
+        "FROM d, t"),
     // percentile_cont bounds are bit-identical on exact inputs; only
     // the double mean sums need the round-4 collapse.
     "q_trimmed_mean" ->

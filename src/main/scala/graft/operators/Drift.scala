@@ -129,6 +129,58 @@ object Drift {
       .agg(F.round(F.sum("__t"), 4).as("js_div"))
   }
 
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic between slice `a` and
+    * slice `b` of `valueCol`: D = sup_x |F_a(x) − F_b(x)| — the
+    * distribution-shape drift test that needs no binning (PSI's grid) and
+    * no smoothing, sensitive anywhere in the CDF, with the classic
+    * finite-sample rejection threshold c(α)·√((n_a+n_b)/(n_a·n_b)).
+    *
+    * Scale shape: one grouped count per distinct value, then the
+    * CUMULATIVE counts via the two-phase distributed prefix sum (range-
+    * repartition, per-partition running sums, broadcast per-partition
+    * offsets — the packSequences pattern; NO single-partition window over
+    * the value axis, which is data-sized here, unlike the day/duration
+    * axes elsewhere). The sup is a max over exact-integer CDF ratios —
+    * every term bit-identical across engines, so the rejection decision
+    * compares UNROUNDED statistics and still agrees.
+    *
+    * Output: one row — (n_a, n_b, ks_stat round 6, reject_95). */
+  def ksTest(df: DataFrame, sliceCol: String, valueCol: String,
+             a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = F.col(valueCol).cast("double")
+    val byV = df
+      .filter(v.isNotNull && (F.col(sliceCol) === a || F.col(sliceCol) === b))
+      .groupBy(v.as("x"))
+      .agg(F.count(F.when(F.col(sliceCol) === a, 1)).as("c1"),
+        F.count(F.when(F.col(sliceCol) === b, 1)).as("c2"))
+    val parted = byV.repartitionByRange(F.col("x"))
+      .withColumn("__pid", F.spark_partition_id())
+    val within = Window.partitionBy("__pid").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = parted.groupBy("__pid")
+      .agg(F.sum("c1").as("__t1"), F.sum("c2").as("__t2"))
+    val offWin = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals // ≤ shuffle-partitions rows: the tiny-frame window
+      .withColumn("__o1", F.coalesce(F.sum("__t1").over(offWin), F.lit(0L)))
+      .withColumn("__o2", F.coalesce(F.sum("__t2").over(offWin), F.lit(0L)))
+      .select("__pid", "__o1", "__o2")
+    val n = byV.agg(F.sum("c1").as("n1"), F.sum("c2").as("n2"))
+    val d = parted.join(F.broadcast(offsets), "__pid")
+      .withColumn("__k1", F.col("__o1") + F.sum("c1").over(within))
+      .withColumn("__k2", F.col("__o2") + F.sum("c2").over(within))
+      .crossJoin(F.broadcast(n))
+      .select(F.abs(F.col("__k1").cast("double") / F.col("n1")
+        - F.col("__k2").cast("double") / F.col("n2")).as("__d"))
+      .agg(F.max("__d").as("ks"))
+    d.crossJoin(F.broadcast(n))
+      .select(F.col("n1").as("n_a"), F.col("n2").as("n_b"),
+        F.round(F.col("ks"), 6).as("ks_stat"),
+        (F.col("ks") > F.lit(1.358) * F.sqrt(
+          (F.col("n1").cast("double") + F.col("n2"))
+            / (F.col("n1").cast("double") * F.col("n2")))).as("reject_95"))
+  }
+
   /** Benford first-significant-digit screen — the classic fabricated-
     * numbers / broken-ETL detector: natural multi-scale magnitudes put
     * digit d first with probability log₁₀(1 + 1/d); uniform, truncated,

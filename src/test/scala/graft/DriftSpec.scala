@@ -169,6 +169,50 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  // ---- ksTest -------------------------------------------------------
+
+  private def ks(a: Seq[Double], b: Seq[Double], parts: Int = 4) =
+    Drift.ksTest(
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("s", "v").repartition(parts),
+      "s", "v", "a", "b")
+      .collect().head
+
+  /** Naive sup over the pooled value set. */
+  private def ksRef(a: Seq[Double], b: Seq[Double]): Double = {
+    val xs = (a ++ b).distinct.sorted
+    xs.map(x => math.abs(a.count(_ <= x).toDouble / a.size
+      - b.count(_ <= x).toDouble / b.size)).max
+  }
+
+  it("identical samples score 0 and never reject; disjoint supports score 1 and reject") {
+    val same = ks(Seq(1, 2, 3, 4, 5).map(_.toDouble), Seq(1, 2, 3, 4, 5).map(_.toDouble))
+    same.getAs[Double]("ks_stat") shouldBe 0.0
+    same.getAs[Boolean]("reject_95") shouldBe false
+    val far = ks((1 to 40).map(_.toDouble), (100 to 139).map(_.toDouble))
+    far.getAs[Double]("ks_stat") shouldBe 1.0
+    far.getAs[Boolean]("reject_95") shouldBe true
+  }
+
+  it("matches the textbook overlap case and the naive sup on random data, any partitioning") {
+    val hand = ks(Seq(1.0, 2, 3, 4), Seq(3.0, 4, 5, 6))
+    hand.getAs[Double]("ks_stat") shouldBe 0.5
+    val r = new scala.util.Random(37)
+    val a = Seq.fill(200)(r.nextGaussian())
+    val b = Seq.fill(150)(r.nextGaussian() + 0.3)
+    Seq(1, 7).foreach { p =>
+      val got = ks(a, b, parts = p)
+      got.getAs[Long]("n_a") shouldBe 200L
+      got.getAs[Double]("ks_stat") shouldBe
+        math.round(ksRef(a, b) * 1e6) / 1e6 +- 1e-9
+    }
+  }
+
+  it("duplicate values fold into one CDF step, not several") {
+    // ties concentrated at 2.0: F_a jumps by 3/4 there
+    val out = ks(Seq(1.0, 2, 2, 2), Seq(2.0, 3, 3, 3))
+    out.getAs[Double]("ks_stat") shouldBe 0.75 // at x=2: F_a=1, F_b=0.25
+  }
+
   // ---- benford ------------------------------------------------------
 
   it("extracts the first significant digit across magnitudes, signs, and renderings") {

@@ -1020,6 +1020,11 @@ object SparkEntry {
     // (no single-partition window over the data-sized value axis).
     "q_ks_test" -> ((s, dir) =>
       Drift.ksTest(t(s, dir, "events"), "event_type", "value", "click", "purchase")),
+    // KS's rank-based sibling: does one slice produce systematically
+    // LARGER values. Midranks are exact dyadics, so the rank sum (and
+    // the rejection decision on the unrounded z) is engine-exact.
+    "q_mannwhitney" -> ((s, dir) =>
+      Drift.mannWhitney(t(s, dir, "events"), "event_type", "value", "click", "purchase")),
     // Robust per-group means: raw vs 10/90-trimmed vs winsorized price
     // averages — the outlier-poisoning fix when the mean IS the
     // deliverable. Percentile bounds are engine-bit-identical, so WHICH
@@ -3355,6 +3360,28 @@ object SparkEntry {
         "SELECT n1 AS n_a, n2 AS n_b, round(ks, 6) AS ks_stat, " +
         "ks > 1.358 * sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2)) AS reject_95 " +
         "FROM d, t"),
+    // Midrank algebra over the same cumulative CTE; every operand shape
+    // mirrors Drift.mannWhitney (left-assoc products, CASE-guarded z).
+    "q_mannwhitney" ->
+      ("WITH v AS (SELECT CAST(value AS DOUBLE) AS x, " +
+        "CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS c1, " +
+        "CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS c2 " +
+        "FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'purchase') GROUP BY 1), " +
+        "c AS (SELECT x, c1, c2, sum(c1) OVER w AS k1, sum(c2) OVER w AS k2 FROM v " +
+        "WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM v), " +
+        "s AS (SELECT sum(CAST(c1 AS DOUBLE) * (CAST(k1 + k2 - (c1 + c2) AS DOUBLE) + " +
+        "(CAST(c1 + c2 AS DOUBLE) + 1.0) / 2.0)) AS r1, " +
+        "sum(CAST(c1 + c2 AS DOUBLE) * (c1 + c2) * (c1 + c2) - CAST(c1 + c2 AS DOUBLE)) AS ties FROM c), " +
+        "f AS (SELECT n1, n2, " +
+        "CAST(n1 AS DOUBLE) * n2 + CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 - r1 AS u, " +
+        "CAST(n1 AS DOUBLE) * n2 / 2.0 AS mu, " +
+        "sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 * ((CAST(n1 + n2 AS DOUBLE) + 1.0) - " +
+        "ties / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))) AS sig " +
+        "FROM s, t) " +
+        "SELECT n1 AS n_a, n2 AS n_b, round(u, 4) + 0.0 AS u_stat, " +
+        "CASE WHEN sig > 0 THEN round((u - mu) / sig, 4) + 0.0 END AS z, " +
+        "CASE WHEN sig > 0 THEN abs((u - mu) / sig) > 1.96 END AS reject_95 FROM f"),
     // percentile_cont bounds are bit-identical on exact inputs; only
     // the double mean sums need the round-4 collapse.
     "q_trimmed_mean" ->

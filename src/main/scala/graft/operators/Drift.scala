@@ -147,6 +147,64 @@ object Drift {
     * Output: one row — (n_a, n_b, ks_stat round 6, reject_95). */
   def ksTest(df: DataFrame, sliceCol: String, valueCol: String,
              a: String, b: String): DataFrame = {
+    val (cum, n) = cdfCounts(df, sliceCol, valueCol, a, b)
+    val d = cum
+      .crossJoin(F.broadcast(n))
+      .select(F.abs(F.col("__k1").cast("double") / F.col("n1")
+        - F.col("__k2").cast("double") / F.col("n2")).as("__d"))
+      .agg(F.max("__d").as("ks"))
+    d.crossJoin(F.broadcast(n))
+      .select(F.col("n1").as("n_a"), F.col("n2").as("n_b"),
+        F.round(F.col("ks"), 6).as("ks_stat"),
+        (F.col("ks") > F.lit(1.358) * F.sqrt(
+          (F.col("n1").cast("double") + F.col("n2"))
+            / (F.col("n1").cast("double") * F.col("n2")))).as("reject_95"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between slice `a` and slice `b`
+    * of `valueCol` — KS's rank-based sibling: does one slice
+    * systematically produce LARGER values (location shift), where KS
+    * reacts to any shape difference. Tie-corrected normal approximation:
+    * ranks are midranks per distinct value (exact dyadic rationals, so
+    * the rank sum is engine-exact), U = n₁n₂ + n₁(n₁+1)/2 − R₁, σ
+    * carries the Σ(t³−t) tie term; |z| > 1.96 rejects at 95%, decided
+    * on the UNROUNDED statistic in both engines. Same two-phase
+    * cumulative scaffold as [[ksTest]]. Output: (n_a, n_b, u_stat,
+    * z round 4, reject_95). */
+  def mannWhitney(df: DataFrame, sliceCol: String, valueCol: String,
+                  a: String, b: String): DataFrame = {
+    val (cum, n) = cdfCounts(df, sliceCol, valueCol, a, b)
+    val t = F.col("c1") + F.col("c2") // pooled multiplicity at this value
+    val before = (F.col("__k1") + F.col("__k2") - t).cast("double")
+    val midrank = before + (t.cast("double") + 1.0) / 2.0
+    val s = cum.agg(
+      F.sum(F.col("c1").cast("double") * midrank).as("r1"),
+      F.sum(t.cast("double") * t * t - t.cast("double")).as("ties"))
+    s.crossJoin(F.broadcast(n))
+      .withColumn("__nn", (F.col("n1") + F.col("n2")).cast("double"))
+      .withColumn("__u", F.col("n1").cast("double") * F.col("n2")
+        + F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0 - F.col("r1"))
+      .withColumn("__mu", F.col("n1").cast("double") * F.col("n2") / 2.0)
+      .withColumn("__sig", F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / 12.0
+          * ((F.col("__nn") + 1.0)
+            - F.col("ties") / (F.col("__nn") * (F.col("__nn") - 1.0)))))
+      .withColumn("__z",
+        F.when(F.col("__sig") > 0.0, (F.col("__u") - F.col("__mu")) / F.col("__sig")))
+      .select(F.col("n1").as("n_a"), F.col("n2").as("n_b"),
+        (F.round(F.col("__u"), 4) + F.lit(0.0)).as("u_stat"),
+        (F.round(F.col("__z"), 4) + F.lit(0.0)).as("z"),
+        (F.abs(F.col("__z")) > 1.96).as("reject_95"))
+  }
+
+  /** Shared two-sample scaffold: per-distinct-value counts (c1, c2) with
+    * INCLUSIVE cumulative counts (__k1, __k2) via the two-phase
+    * distributed prefix sum (range-repartition + per-partition running
+    * sums + broadcast partition offsets — never a single-partition
+    * window over the data-sized value axis), plus the 1-row (n1, n2)
+    * totals frame. */
+  private def cdfCounts(df: DataFrame, sliceCol: String, valueCol: String,
+                        a: String, b: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val v = F.col(valueCol).cast("double")
     val byV = df
@@ -166,19 +224,10 @@ object Drift {
       .withColumn("__o2", F.coalesce(F.sum("__t2").over(offWin), F.lit(0L)))
       .select("__pid", "__o1", "__o2")
     val n = byV.agg(F.sum("c1").as("n1"), F.sum("c2").as("n2"))
-    val d = parted.join(F.broadcast(offsets), "__pid")
+    val cum = parted.join(F.broadcast(offsets), "__pid")
       .withColumn("__k1", F.col("__o1") + F.sum("c1").over(within))
       .withColumn("__k2", F.col("__o2") + F.sum("c2").over(within))
-      .crossJoin(F.broadcast(n))
-      .select(F.abs(F.col("__k1").cast("double") / F.col("n1")
-        - F.col("__k2").cast("double") / F.col("n2")).as("__d"))
-      .agg(F.max("__d").as("ks"))
-    d.crossJoin(F.broadcast(n))
-      .select(F.col("n1").as("n_a"), F.col("n2").as("n_b"),
-        F.round(F.col("ks"), 6).as("ks_stat"),
-        (F.col("ks") > F.lit(1.358) * F.sqrt(
-          (F.col("n1").cast("double") + F.col("n2"))
-            / (F.col("n1").cast("double") * F.col("n2")))).as("reject_95"))
+    (cum, n)
   }
 
   /** Benford first-significant-digit screen — the classic fabricated-

@@ -207,6 +207,60 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  // ---- mannWhitney --------------------------------------------------
+
+  private def mw(a: Seq[Double], b: Seq[Double]) =
+    Drift.mannWhitney(
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("s", "v").repartition(5),
+      "s", "v", "a", "b").collect().head
+
+  /** Naive midrank U and tie-corrected z. */
+  private def mwRef(a: Seq[Double], b: Seq[Double]): (Double, Double) = {
+    val pooled = (a.map((_, 1)) ++ b.map((_, 2))).sortBy(_._1)
+    val ranks = new Array[Double](pooled.size)
+    var i = 0
+    while (i < pooled.size) {
+      var j = i
+      while (j < pooled.size && pooled(j)._1 == pooled(i)._1) j += 1
+      (i until j).foreach(k => ranks(k) = (i + 1 + j).toDouble / 2)
+      i = j
+    }
+    val r1 = pooled.zipWithIndex.collect { case ((_, 1), k) => ranks(k) }.sum
+    val (n1, n2) = (a.size, b.size)
+    val u = n1.toDouble * n2 + n1 * (n1 + 1) / 2.0 - r1
+    val nn = (n1 + n2).toDouble
+    val ties = pooled.groupBy(_._1).values
+      .map { g => val t = g.size.toDouble; t * t * t - t }.sum
+    val sig = math.sqrt(n1.toDouble * n2 / 12.0 * ((nn + 1) - ties / (nn * (nn - 1))))
+    (u, (u - n1.toDouble * n2 / 2.0) / sig)
+  }
+
+  it("matches the hand case and never rejects equal tiny samples") {
+    // a={1,2} b={3,4}: R1=3, U=4, sigma=sqrt(5/3), z~1.549
+    val out = mw(Seq(1.0, 2.0), Seq(3.0, 4.0))
+    out.getAs[Double]("u_stat") shouldBe 4.0
+    out.getAs[Double]("z") shouldBe math.round(2.0 / math.sqrt(5.0 / 3.0) * 1e4) / 1e4
+    out.getAs[Boolean]("reject_95") shouldBe false
+  }
+
+  it("agrees with the naive midrank reference on tied random data, and flags a real shift") {
+    val r = new scala.util.Random(43)
+    val a = Seq.fill(120)((r.nextInt(30) + 1).toDouble) // heavy ties
+    val b = Seq.fill(100)((r.nextInt(30) + 6).toDouble) // shifted up by 5
+    val (u, z) = mwRef(a, b)
+    val out = mw(a, b)
+    out.getAs[Double]("u_stat") shouldBe math.round(u * 1e4) / 1e4 +- 1e-9
+    out.getAs[Double]("z") shouldBe math.round(z * 1e4) / 1e4 +- 1e-9
+    out.getAs[Boolean]("reject_95") shouldBe true
+    out.getAs[Double]("z") should be > 0.0 // a smaller => low ranks => U above its mean
+  }
+
+  it("a constant pooled sample has zero variance: z is NULL, not a blowup") {
+    val out = mw(Seq(5.0, 5.0, 5.0), Seq(5.0, 5.0))
+    out.isNullAt(out.fieldIndex("z")) shouldBe true
+    out.isNullAt(out.fieldIndex("reject_95")) shouldBe true
+  }
+
   it("duplicate values fold into one CDF step, not several") {
     // ties concentrated at 2.0: F_a jumps by 3/4 there
     val out = ks(Seq(1.0, 2, 2, 2), Seq(2.0, 3, 3, 3))

@@ -3324,10 +3324,13 @@ object SparkEntry {
         "rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS nr FROM cell GROUP BY 1), " +
         "cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS nc FROM cell GROUP BY 1), " +
         "nn AS (SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT r) AS dr, count(DISTINCT c) AS dc FROM cell), " +
-        "sc AS (SELECT o, CAST(nr AS DOUBLE) * nc / n AS e, dr, dc " +
+        "sc AS (SELECT o, CAST(nr AS DOUBLE) * nc / n AS e, dr, dc, n " +
         "FROM cell JOIN rm USING (r) JOIN cm USING (c), nn) " +
         "SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2, " +
-        "CAST(max((dr - 1) * (dc - 1)) AS BIGINT) AS dof FROM sc"),
+        "CAST(max((dr - 1) * (dc - 1)) AS BIGINT) AS dof, " +
+        "CASE WHEN max(least(dr, dc)) - 1 > 0 THEN " +
+        "round(sqrt(sum((o - e) * (o - e) / e) / " +
+        "(CAST(max(n) AS DOUBLE) * (max(least(dr, dc)) - 1))), 4) END AS cramers_v FROM sc"),
     // Same cell/margin CTE skeleton as q_chi2; per-term expressions
     // mirror Drift.mutualInfo operand-for-operand (exact integer counts
     // through identical IEEE ops; summation order collapsed at round 4).

@@ -350,10 +350,13 @@ object Drift {
   }
 
   /** Pearson χ² statistic of independence for the `rowCol` × `colCol`
-    * contingency table: Σ (O − E)²/E with E = row·col/N, plus the degrees
-    * of freedom (r−1)(c−1). One combinable cell-count scan; margins are
-    * re-aggregations of the cell frame. Zero-margin levels cannot occur
-    * (levels come from the data). */
+    * contingency table: Σ (O − E)²/E with E = row·col/N, the degrees of
+    * freedom (r−1)(c−1), and CRAMÉR'S V = √(χ²/(N·(min(r,c)−1))) — the
+    * [0, 1] effect size that, unlike χ² itself, does not grow with N at
+    * fixed dependence (NULL on a degenerate single-level margin). One
+    * combinable cell-count scan; margins are re-aggregations of the
+    * cell frame. Zero-margin levels cannot occur (levels come from the
+    * data). */
   def chiSquare(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
     val cells = df.filter(rowCol.isNotNull && colCol.isNotNull)
       .groupBy(rowCol.as("r"), colCol.as("c"))
@@ -365,7 +368,13 @@ object Drift {
     cells.join(rows, "r").join(cols, "c").crossJoin(F.broadcast(n))
       .withColumn("e", F.col("nr").cast("double") * F.col("nc") / F.col("n"))
       .withColumn("__t", (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
-      .agg(F.round(F.sum("__t"), 4).as("chi2"),
-        F.first((F.col("__dr") - 1) * (F.col("__dc") - 1)).as("dof"))
+      .agg(F.sum("__t").as("__chi2"),
+        F.first((F.col("__dr") - 1) * (F.col("__dc") - 1)).as("dof"),
+        F.first(F.least(F.col("__dr"), F.col("__dc")) - 1).as("__mindim"),
+        F.first(F.col("n")).as("__n"))
+      .select(F.round(F.col("__chi2"), 4).as("chi2"), F.col("dof"),
+        F.when(F.col("__mindim") > 0,
+          F.round(F.sqrt(F.col("__chi2")
+            / (F.col("__n").cast("double") * F.col("__mindim"))), 4)).as("cramers_v"))
   }
 }

@@ -72,6 +72,7 @@ class DriftSpec extends SparkSpec {
     val out = Drift.chiSquare(rows.toDF("r", "c"), F.col("r"), F.col("c")).collect().head
     out.getAs[Double]("chi2") shouldBe 0.0
     out.getAs[Long]("dof") shouldBe 2L // (3-1)*(2-1)
+    out.getAs[Double]("cramers_v") shouldBe 0.0
   }
 
   it("chi2 matches the hand-computed 2x2 statistic") {
@@ -81,6 +82,7 @@ class DriftSpec extends SparkSpec {
     val out = Drift.chiSquare(rows.toDF("r", "c"), F.col("r"), F.col("c")).collect().head
     out.getAs[Double]("chi2") shouldBe 20.0
     out.getAs[Long]("dof") shouldBe 1L
+    out.getAs[Double]("cramers_v") shouldBe 0.5 // sqrt(20 / (80 * 1))
   }
 
   // ---- mutualInfo ---------------------------------------------------

@@ -146,8 +146,14 @@ object Drift {
     *
     * Output: one row — (n_a, n_b, ks_stat round 6, reject_95). */
   def ksTest(df: DataFrame, sliceCol: String, valueCol: String,
-             a: String, b: String): DataFrame = {
-    val (cum, n) = cdfCounts(df, sliceCol, valueCol, a, b)
+             a: String, b: String): DataFrame =
+    ksFromCounts(valueCounts(df, sliceCol, valueCol, a, b))
+
+  /** [[ksTest]] over a pre-aggregated (x, c1, c2) per-distinct-value
+    * count frame — the two-sample tests' MERGEABLE summary (plain sums
+    * per value), the entry the streaming accumulator re-enters. */
+  def ksFromCounts(byV: DataFrame): DataFrame = {
+    val (cum, n) = cdfFromCounts(byV)
     val d = cum
       .crossJoin(F.broadcast(n))
       .select(F.abs(F.col("__k1").cast("double") / F.col("n1")
@@ -172,8 +178,12 @@ object Drift {
     * cumulative scaffold as [[ksTest]]. Output: (n_a, n_b, u_stat,
     * z round 4, reject_95). */
   def mannWhitney(df: DataFrame, sliceCol: String, valueCol: String,
-                  a: String, b: String): DataFrame = {
-    val (cum, n) = cdfCounts(df, sliceCol, valueCol, a, b)
+                  a: String, b: String): DataFrame =
+    mannWhitneyFromCounts(valueCounts(df, sliceCol, valueCol, a, b))
+
+  /** [[mannWhitney]] over a pre-aggregated (x, c1, c2) count frame. */
+  def mannWhitneyFromCounts(byV: DataFrame): DataFrame = {
+    val (cum, n) = cdfFromCounts(byV)
     val t = F.col("c1") + F.col("c2") // pooled multiplicity at this value
     val before = (F.col("__k1") + F.col("__k2") - t).cast("double")
     val midrank = before + (t.cast("double") + 1.0) / 2.0
@@ -197,21 +207,23 @@ object Drift {
         (F.abs(F.col("__z")) > 1.96).as("reject_95"))
   }
 
-  /** Shared two-sample scaffold: per-distinct-value counts (c1, c2) with
-    * INCLUSIVE cumulative counts (__k1, __k2) via the two-phase
-    * distributed prefix sum (range-repartition + per-partition running
-    * sums + broadcast partition offsets — never a single-partition
-    * window over the data-sized value axis), plus the 1-row (n1, n2)
-    * totals frame. */
-  private def cdfCounts(df: DataFrame, sliceCol: String, valueCol: String,
-                        a: String, b: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+  /** One row per distinct value with per-slice counts. */
+  private def valueCounts(df: DataFrame, sliceCol: String, valueCol: String,
+                          a: String, b: String): DataFrame = {
     val v = F.col(valueCol).cast("double")
-    val byV = df
-      .filter(v.isNotNull && (F.col(sliceCol) === a || F.col(sliceCol) === b))
+    df.filter(v.isNotNull && (F.col(sliceCol) === a || F.col(sliceCol) === b))
       .groupBy(v.as("x"))
       .agg(F.count(F.when(F.col(sliceCol) === a, 1)).as("c1"),
         F.count(F.when(F.col(sliceCol) === b, 1)).as("c2"))
+  }
+
+  /** Shared two-sample scaffold: INCLUSIVE cumulative counts (__k1,
+    * __k2) over a (x, c1, c2) frame via the two-phase distributed prefix
+    * sum (range-repartition + per-partition running sums + broadcast
+    * partition offsets — never a single-partition window over the
+    * data-sized value axis), plus the 1-row (n1, n2) totals frame. */
+  private def cdfFromCounts(byV: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val parted = byV.repartitionByRange(F.col("x"))
       .withColumn("__pid", F.spark_partition_id())
     val within = Window.partitionBy("__pid").orderBy("x")

@@ -101,6 +101,28 @@ object StreamingDrift {
   def jsNow(spark: SparkSession, countsDir: String): DataFrame =
     Drift.jsDivergenceFromCounts(categoricalCounts(spark, countsDir))
 
+  /** Two-sample KS over the accumulated per-value counts:
+    * [[attachCategorical]] with slice ∈ {a, b} and the VALUE as the
+    * category. Per-value counts are the two-sample tests' mergeable
+    * summary; the value's double→string→double round trip through the
+    * partial layout is exact (shortest-representation formatting). */
+  def ksNow(spark: SparkSession, countsDir: String, a: String, b: String): DataFrame =
+    Drift.ksFromCounts(twoSampleCounts(spark, countsDir, a, b))
+
+  /** Mann–Whitney U over the same accumulated per-value counts. */
+  def mannWhitneyNow(spark: SparkSession, countsDir: String,
+                     a: String, b: String): DataFrame =
+    Drift.mannWhitneyFromCounts(twoSampleCounts(spark, countsDir, a, b))
+
+  private def twoSampleCounts(spark: SparkSession, countsDir: String,
+                              a: String, b: String): DataFrame =
+    categoricalCounts(spark, countsDir)
+      .filter(F.col("slice") === a || F.col("slice") === b)
+      .groupBy(F.col("cat").cast("double").as("x"))
+      .agg(
+        F.sum(F.when(F.col("slice") === a, F.col("n")).otherwise(F.lit(0L))).as("c1"),
+        F.sum(F.when(F.col("slice") === b, F.col("n")).otherwise(F.lit(0L))).as("c2"))
+
   /** CUSUM changepoints over the stream's accumulated per-(key, day)
     * volume — [[attachCategorical]] with the DAY as the category, then
     * the batch operator over the merged counts (daily counts are sums:

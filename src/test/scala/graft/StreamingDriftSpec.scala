@@ -116,6 +116,36 @@ class StreamingDriftSpec extends SparkSpec {
     streamed.values.map(_(1).asInstanceOf[Double]).max should be > 20.0
   }
 
+  it("streamed two-sample KS and Mann-Whitney equal the batch tests exactly") {
+    val r = new scala.util.Random(67)
+    val rows = r.shuffle(
+      Seq.fill(300)(("a", (r.nextInt(40) + 1).toDouble)) ++
+        Seq.fill(250)(("b", (r.nextInt(40) + 9).toDouble))).toVector // shifted, tied
+
+    val inDir = JFiles.createTempDirectory("graft-ks-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-ks-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-ks-counts").toString
+    def write(name: String, part: Seq[(String, Double)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (s, v) => s"$s,$v" }.mkString("\n"))
+    val half = rows.length / 2
+    write("f1.txt", rows.take(half))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("cat"))
+    val q1 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", rows.drop(half))
+    val q2 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val batchDf = rows.toDF("s", "v")
+    StreamingDrift.ksNow(spark, cDir, "a", "b").collect().head.toSeq shouldBe
+      Drift.ksTest(batchDf, "s", "v", "a", "b").collect().head.toSeq
+    StreamingDrift.mannWhitneyNow(spark, cDir, "a", "b").collect().head.toSeq shouldBe
+      Drift.mannWhitney(batchDf, "s", "v", "a", "b").collect().head.toSeq
+  }
+
   it("an empty stream reads as zero current counts, not a throw") {
     val dir = JFiles.createTempDirectory("graft-drift-empty").toString
     val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")

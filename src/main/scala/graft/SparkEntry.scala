@@ -3377,7 +3377,7 @@ object SparkEntry {
         "(CAST(c1 + c2 AS DOUBLE) + 1.0) / 2.0)) AS r1, " +
         "sum(CAST(c1 + c2 AS DOUBLE) * (c1 + c2) * (c1 + c2) - CAST(c1 + c2 AS DOUBLE)) AS ties FROM c), " +
         "f AS (SELECT n1, n2, " +
-        "CAST(n1 AS DOUBLE) * n2 + CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 - r1 AS u, " +
+        "r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 AS u, " +
         "CAST(n1 AS DOUBLE) * n2 / 2.0 AS mu, " +
         "sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 * ((CAST(n1 + n2 AS DOUBLE) + 1.0) - " +
         "ties / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1.0)))) AS sig " +

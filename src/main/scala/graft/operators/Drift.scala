@@ -172,11 +172,12 @@ object Drift {
     * systematically produce LARGER values (location shift), where KS
     * reacts to any shape difference. Tie-corrected normal approximation:
     * ranks are midranks per distinct value (exact dyadic rationals, so
-    * the rank sum is engine-exact), U = n₁n₂ + n₁(n₁+1)/2 − R₁, σ
-    * carries the Σ(t³−t) tie term; |z| > 1.96 rejects at 95%, decided
-    * on the UNROUNDED statistic in both engines. Same two-phase
-    * cumulative scaffold as [[ksTest]]. Output: (n_a, n_b, u_stat,
-    * z round 4, reject_95). */
+    * the rank sum is engine-exact), U₁ = R₁ − n₁(n₁+1)/2 — slice a's U,
+    * the scipy.stats.mannwhitneyu orientation, so z < 0 means slice a
+    * runs SMALLER — σ carries the Σ(t³−t) tie term; |z| > 1.96 rejects
+    * at 95%, decided on the UNROUNDED statistic in both engines. Same
+    * two-phase cumulative scaffold as [[ksTest]]. Output: (n_a, n_b,
+    * u_stat, z round 4, reject_95). */
   def mannWhitney(df: DataFrame, sliceCol: String, valueCol: String,
                   a: String, b: String): DataFrame =
     mannWhitneyFromCounts(valueCounts(df, sliceCol, valueCol, a, b))
@@ -192,8 +193,8 @@ object Drift {
       F.sum(t.cast("double") * t * t - t.cast("double")).as("ties"))
     s.crossJoin(F.broadcast(n))
       .withColumn("__nn", (F.col("n1") + F.col("n2")).cast("double"))
-      .withColumn("__u", F.col("n1").cast("double") * F.col("n2")
-        + F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0 - F.col("r1"))
+      .withColumn("__u",
+        F.col("r1") - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0)
       .withColumn("__mu", F.col("n1").cast("double") * F.col("n2") / 2.0)
       .withColumn("__sig", F.sqrt(
         F.col("n1").cast("double") * F.col("n2") / 12.0
@@ -224,7 +225,9 @@ object Drift {
     * data-sized value axis), plus the 1-row (n1, n2) totals frame. */
   private def cdfFromCounts(byV: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val parted = byV.repartitionByRange(F.col("x"))
+    val parted = byV
+      .filter(F.col("x").isNotNull) // count-frame callers may carry a failed cast
+      .repartitionByRange(F.col("x"))
       .withColumn("__pid", F.spark_partition_id())
     val within = Window.partitionBy("__pid").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -235,7 +238,8 @@ object Drift {
       .withColumn("__o1", F.coalesce(F.sum("__t1").over(offWin), F.lit(0L)))
       .withColumn("__o2", F.coalesce(F.sum("__t2").over(offWin), F.lit(0L)))
       .select("__pid", "__o1", "__o2")
-    val n = byV.agg(F.sum("c1").as("n1"), F.sum("c2").as("n2"))
+    // totals are already per-partition sums: fold the tiny frame, not byV
+    val n = totals.agg(F.sum("__t1").as("n1"), F.sum("__t2").as("n2"))
     val cum = parted.join(F.broadcast(offsets), "__pid")
       .withColumn("__k1", F.col("__o1") + F.sum("c1").over(within))
       .withColumn("__k2", F.col("__o2") + F.sum("c2").over(within))

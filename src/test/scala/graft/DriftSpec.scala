@@ -229,7 +229,7 @@ class DriftSpec extends SparkSpec {
     }
     val r1 = pooled.zipWithIndex.collect { case ((_, 1), k) => ranks(k) }.sum
     val (n1, n2) = (a.size, b.size)
-    val u = n1.toDouble * n2 + n1 * (n1 + 1) / 2.0 - r1
+    val u = r1 - n1 * (n1 + 1) / 2.0 // U1, the scipy orientation
     val nn = (n1 + n2).toDouble
     val ties = pooled.groupBy(_._1).values
       .map { g => val t = g.size.toDouble; t * t * t - t }.sum
@@ -238,10 +238,10 @@ class DriftSpec extends SparkSpec {
   }
 
   it("matches the hand case and never rejects equal tiny samples") {
-    // a={1,2} b={3,4}: R1=3, U=4, sigma=sqrt(5/3), z~1.549
+    // a={1,2} b={3,4}: R1=3, U1 = 3-3 = 0, sigma=sqrt(5/3), z~-1.549
     val out = mw(Seq(1.0, 2.0), Seq(3.0, 4.0))
-    out.getAs[Double]("u_stat") shouldBe 4.0
-    out.getAs[Double]("z") shouldBe math.round(2.0 / math.sqrt(5.0 / 3.0) * 1e4) / 1e4
+    out.getAs[Double]("u_stat") shouldBe 0.0
+    out.getAs[Double]("z") shouldBe -(math.round(2.0 / math.sqrt(5.0 / 3.0) * 1e4) / 1e4)
     out.getAs[Boolean]("reject_95") shouldBe false
   }
 
@@ -254,7 +254,7 @@ class DriftSpec extends SparkSpec {
     out.getAs[Double]("u_stat") shouldBe math.round(u * 1e4) / 1e4 +- 1e-9
     out.getAs[Double]("z") shouldBe math.round(z * 1e4) / 1e4 +- 1e-9
     out.getAs[Boolean]("reject_95") shouldBe true
-    out.getAs[Double]("z") should be > 0.0 // a smaller => low ranks => U above its mean
+    out.getAs[Double]("z") should be < 0.0 // a smaller => low ranks => U1 below its mean (scipy sign)
   }
 
   it("a constant pooled sample has zero variance: z is NULL, not a blowup") {

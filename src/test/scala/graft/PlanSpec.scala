@@ -426,6 +426,23 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin(condition" // no residual-only join
   }
 
+  it("q_ks_test / q_mannwhitney run their value-axis cumulatives as partitioned windows (two-phase prefix)") {
+    Seq("q_ks_test", "q_mannwhitney").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q: ") {
+        p should include("rangepartitioning")
+        p should include("__pid")
+        // the cumulative c1/c2 sums over the data-sized value axis must
+        // partition by __pid; the only partition-less window allowed is
+        // the per-partition-offsets frame (sums __t1/__t2, tiny)
+        val cdfWindows = p.split("\n").filter(l =>
+          l.contains("Window [sum(c1") || l.contains("Window [sum(c2"))
+        cdfWindows should not be empty
+        cdfWindows.foreach(_ should include("windowspecdefinition(__pid"))
+      }
+    }
+  }
+
   it("q_burstiness / q_seasonal windows partition by the series key") {
     Seq("q_burstiness", "q_seasonal").foreach { q =>
       val lines = plan(q).split("\n").filter(_.contains("windowspecdefinition"))

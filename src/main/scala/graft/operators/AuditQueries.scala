@@ -146,18 +146,9 @@ object AuditQueries {
       base: Long,
       orderCols: Seq[String] = Seq("created_at", "guid")): DataFrame = {
     val oc = orderCols.map(F.col)
-    val parted = batch
-      .repartitionByRange(oc: _*)
-      .withColumn("__pid", F.spark_partition_id())
+    val (parted, offsets) = TwoPhase.partitionOffsets(batch, oc,
+      Seq(F.count(F.lit(1)) -> "__off"))
     val within = Window.partitionBy(F.col("__pid")).orderBy(oc: _*)
-    val counts = parted.groupBy(F.col("__pid")).agg(F.count(F.lit(1)).as("__cnt"))
-    val offsets = counts
-      .withColumn("__off",
-        F.coalesce(
-          F.sum(F.col("__cnt")).over(
-            Window.orderBy(F.col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          F.lit(0L)))
-      .select(F.col("__pid"), F.col("__off"))
     parted
       .join(F.broadcast(offsets), "__pid")
       .withColumn("id", F.row_number().over(within).cast("long") + F.col("__off") + F.lit(base))

@@ -215,22 +215,10 @@ object DataShaping {
     * naive `sum() OVER (ORDER BY id)` form. */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
                     tokenBudget: Long): DataFrame = {
-    val parted = df
-      .repartitionByRange(F.col(idCol))
-      .withColumn("__pid", F.spark_partition_id())
+    val (parted, offsets) = TwoPhase.partitionOffsets(df, Seq(F.col(idCol)),
+      Seq(F.sum(F.col(tokenCol)) -> "__off"))
     val within = Window.partitionBy(F.col("__pid")).orderBy(F.col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val totals = parted.groupBy(F.col("__pid"))
-      .agg(F.sum(F.col(tokenCol)).as("__tot"))
-    // exclusive prefix over per-partition totals: one row per partition,
-    // so this window frame is tiny by construction (≤ shuffle partitions)
-    val offsets = totals
-      .withColumn("__off",
-        F.coalesce(
-          F.sum(F.col("__tot")).over(
-            Window.orderBy(F.col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          F.lit(0L)))
-      .select(F.col("__pid"), F.col("__off"))
     parted
       .join(F.broadcast(offsets), "__pid")
       .withColumn("pack_id", // floor, not cast: cast-of-double truncates in
@@ -253,22 +241,12 @@ object DataShaping {
     * re-cut at a different budget without rescoring. */
   def budgetSelect(df: DataFrame, idCol: String, tokenCol: String,
                    scoreCol: String, budget: Long): DataFrame = {
-    val parted = df
-      .repartitionByRange(F.col(scoreCol).desc, F.col(idCol).asc)
-      .withColumn("__pid", F.spark_partition_id())
+    val (parted, offsets) = TwoPhase.partitionOffsets(df,
+      Seq(F.col(scoreCol).desc, F.col(idCol).asc),
+      Seq(F.sum(F.col(tokenCol)) -> "__off"))
     val within = Window.partitionBy(F.col("__pid"))
       .orderBy(F.col(scoreCol).desc, F.col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = parted.groupBy(F.col("__pid"))
-      .agg(F.sum(F.col(tokenCol)).as("__tot"))
-    // exclusive prefix over per-partition totals (≤ shuffle-partitions rows)
-    val offsets = totals
-      .withColumn("__off",
-        F.coalesce(
-          F.sum(F.col("__tot")).over(
-            Window.orderBy(F.col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-          F.lit(0L)))
-      .select(F.col("__pid"), F.col("__off"))
     parted
       .join(F.broadcast(offsets), "__pid")
       .withColumn("cum_tokens", F.col("__off") + F.sum(F.col(tokenCol)).over(within))

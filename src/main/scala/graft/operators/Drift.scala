@@ -225,21 +225,18 @@ object Drift {
     * data-sized value axis), plus the 1-row (n1, n2) totals frame. */
   private def cdfFromCounts(byV: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val parted = byV
-      .filter(F.col("x").isNotNull) // count-frame callers may carry a failed cast
-      .repartitionByRange(F.col("x"))
-      .withColumn("__pid", F.spark_partition_id())
+    val (parted, offsets) = TwoPhase.partitionOffsets(
+      byV.filter(F.col("x").isNotNull), // count-frame callers may carry a failed cast
+      Seq(F.col("x")),
+      Seq(F.sum("c1") -> "__o1", F.sum("c2") -> "__o2"))
     val within = Window.partitionBy("__pid").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = parted.groupBy("__pid")
-      .agg(F.sum("c1").as("__t1"), F.sum("c2").as("__t2"))
-    val offWin = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = totals // ≤ shuffle-partitions rows: the tiny-frame window
-      .withColumn("__o1", F.coalesce(F.sum("__t1").over(offWin), F.lit(0L)))
-      .withColumn("__o2", F.coalesce(F.sum("__t2").over(offWin), F.lit(0L)))
-      .select("__pid", "__o1", "__o2")
-    // totals are already per-partition sums: fold the tiny frame, not byV
-    val n = totals.agg(F.sum("__t1").as("n1"), F.sum("__t2").as("n2"))
+    // the offsets frame's LAST row plus its partition total = the grand
+    // totals, but folding the tiny offsets frame directly is simpler:
+    // n1/n2 from one more pass over ≤ shuffle-partitions rows
+    val n = parted.groupBy("__pid")
+      .agg(F.sum("c1").as("__s1"), F.sum("c2").as("__s2"))
+      .agg(F.sum("__s1").as("n1"), F.sum("__s2").as("n2"))
     val cum = parted.join(F.broadcast(offsets), "__pid")
       .withColumn("__k1", F.col("__o1") + F.sum("c1").over(within))
       .withColumn("__k2", F.col("__o2") + F.sum("c2").over(within))

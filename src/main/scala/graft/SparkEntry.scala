@@ -3469,7 +3469,7 @@ object SparkEntry {
         "byt AS (SELECT CAST(t0 AS BIGINT) AS t, CAST(sum(obs) AS BIGINT) AS d, " +
         "CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY 1), " +
         "tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM byt), " +
-        "r AS (SELECT t, d, c, nn - sum(c) OVER w + c AS n_risk, " +
+        "r AS (SELECT t, d, c, CAST(nn - sum(c) OVER w + c AS BIGINT) AS n_risk, " +
         "CASE WHEN d > 0 AND d < nn - sum(c) OVER w + c " +
         "THEN ln(1.0 - CAST(d AS DOUBLE) / (nn - sum(c) OVER w + c)) " +
         "ELSE CAST(0 AS DOUBLE) END AS term FROM byt, tot " +

@@ -26,8 +26,33 @@ def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted([tuple(canon(r[i]) for i in order) for r in rows], key=repr)
 
+# Oracle type lint: the driver's hash is TYPE-sensitive even when values
+# match. DuckDB silently widens (sum(BIGINT) -> HUGEINT, including inside
+# derived window/arithmetic expressions whose operands were cast) and the
+# Spark side can never emit HUGEINT, so any HUGEINT column is a guaranteed
+# driver hash-fail: q_concurrency (r9) and q_survival (r11) were both this.
+# Binding a relation is lazy — .types does not execute the query.
+BAD_TYPES = {"HUGEINT", "UHUGEINT"}
+WARN_TYPES = {"UINTEGER", "UBIGINT", "USMALLINT", "UTINYINT"}
+def type_lint(name, sql):
+    try:
+        rel = con.sql(sql)
+        cols = list(zip(rel.columns, [str(t) for t in rel.types]))
+    except Exception:
+        return True  # binding errors surface in the main compare below
+    bad = [(c, t) for c, t in cols if t in BAD_TYPES]
+    warn = [(c, t) for c, t in cols if t in WARN_TYPES]
+    if bad:
+        print(f"FAIL {name}: oracle TYPE LINT — {bad} (CAST to BIGINT; driver hash is type-sensitive)")
+        return False
+    if warn:
+        print(f"warn {name}: oracle unsigned cols {warn} (driver may render differently; consider CAST)")
+    return True
+
 fails = 0
 for name in sorted(oracle):
+    if not type_lint(name, oracle[name]):
+        fails += 1; continue
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue

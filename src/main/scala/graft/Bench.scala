@@ -1,6 +1,49 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Min-of-N for one query in a FRESH JVM: forks `java graft.Bench` in
+    * SPARK_GRAFT_ONLY mode (which never forks again — no recursion) with
+    * this build's classes dir + the Spark jars, reads the child's sidecar
+    * artifact, and returns its single queries_min entry. The child's
+    * stdout goes to a log file, NOT the parent's stdout — the driver
+    * parses the parent's last {"metric"...} line and must never see the
+    * child's restricted artifact line. */
+  private def forkedMin(name: String, sfDir: String, cpus: String,
+                        samples: Int): Option[Double] = {
+    import scala.jdk.CollectionConverters._
+    val classes = new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+    val cp = classes + ":/opt/spark/jars/*"
+    val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    // Spark on JDK 17 needs the module opens; the launcher jar publishes
+    // the canonical set so a bare `java` fork matches spark-submit's JVM
+    val moduleOpts = org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+    val sidecar = java.nio.file.Files.createTempFile("graft-arbiter-", ".json").toFile
+    val log = new java.io.File(sidecar.getPath.stripSuffix(".json") + ".log")
+    val cmd = (Seq(javaBin, "-Xmx16g", "-cp", cp) ++ moduleOpts :+ "graft.Bench").asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_ONLY", name)
+    pb.environment().put("SPARK_GRAFT_PASSES", samples.toString)
+    pb.environment().put("SPARK_GRAFT_HEAVY_PASSES", "0")
+    pb.environment().put("SPARK_GRAFT_BENCH_FILE", sidecar.getPath)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.redirectOutput(log)
+    pb.redirectError(log)
+    try {
+      val p = pb.start()
+      if (!p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) {
+        p.destroyForcibly(); System.err.println(s"[bench] arbiter $name: child timed out"); return None
+      }
+      val body = java.nio.file.Files.readString(sidecar.toPath)
+      val re = ("\"queries_min\":\\{\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.]+)").r
+      re.findFirstMatchIn(body).map(_.group(1).toDouble)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] arbiter $name: $e"); None
+    } finally { sidecar.delete(); () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -228,10 +271,38 @@ object Bench {
         }
         (if (iso.isEmpty) None else Some(jmap(iso)), scal)
       }
+    // FRESH-PROCESS ARBITER (round-11 verdict item 2): ivf_pq_serve's
+    // isolated min swung 2.2-4.8 s across rounds on byte-identical ANN
+    // code — even the end-of-grid fresh SESSION carries residue (heap
+    // shape, JIT state, page cache) from a 50-minute grid. The designed
+    // escape hatch was a fresh-PROCESS SPARK_GRAFT_ONLY run, but it was
+    // never recorded in an artifact; now every full run forks a clean
+    // JVM per arbiter query (min-of-5, own warmup, nothing before it)
+    // and the JSON carries `queries_arbiter` — the number regressions on
+    // the serve row are adjudicated against. Skipped in restricted runs
+    // (they already ARE fresh-process one-query measurements).
+    val arbiterNames: Seq[String] =
+      if (only.isDefined || sys.env.contains("SPARK_GRAFT_SKIP_ISOLATED")) Seq.empty
+      else sys.env.getOrElse("SPARK_GRAFT_ARBITER", "ivf_pq_serve")
+        .split(",").toSeq.filter(finalOk.contains)
+    val arbiterJson: Option[String] =
+      if (arbiterNames.isEmpty) None
+      else {
+        spark.stop() // the child gets the whole machine
+        val iso: Map[String, Double] = arbiterNames.flatMap { n =>
+          forkedMin(n, sfDir, cpus, samples = 5) match {
+            case Some(sec) => Some(n -> sec)
+            case None => System.err.println(s"[bench] arbiter $n: fork failed (see stderr)"); None
+          }
+        }.toMap
+        spark = newSession() // anything after (nothing today) gets a live session back
+        if (iso.isEmpty) None else Some(jmap(iso))
+      }
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},""" +
       s""""queries_min":${jmap(mins)},""" +
       isolatedJson.fold("")(j => s""""queries_isolated":$j,""") +
       scalingJson.fold("")(j => s""""scaling":$j,""") +
+      arbiterJson.fold("")(j => s""""queries_arbiter":$j,""") +
       s""""errors":${jerr(errors)},"failures":${errors.size},""" +
       pipeline.fold("")(p => s""""pipeline":$p,""") +
       s""""sf":"$sfDir","passes":$passes,"heavy_passes":$heavyPasses}"""

@@ -1049,10 +1049,40 @@ object Similarity {
       else // production-sized kC: join-form probing (see inRowKcMax)
         probeCellsJoin(base.select(F.col("id"), F.col("v")), centroids, nprobe)
           .select(F.col("id").as("qid"), F.col("cell"), F.col("v").as("qv"))
-    val probes = codedBuckets.fold(probed.repartition(F.col("cell")))(b =>
-        probed.repartition(b, F.col("cell")))
-      .withColumn("__adc", adcTables(F.col("qv"), codebooks))
-      .select(F.col("qid"), F.col("cell"), F.col("__adc"))
+    // PARALLELISM GUARD on the cell exchange: the candidate join's output
+    // partitioning is the cell key, so when the model's cell count sits
+    // below the session's shuffle width the ADC scoring and the bounded-
+    // heap shortlist run on ≤ kC tasks no matter how many slots exist
+    // (the kC=8 serve row measured ~2.5 s of its 3.3 s wall inside an
+    // 8-way heap stage on a 32-slot host). Salting restores full width
+    // without moving more candidate rows: each query keeps ONE
+    // deterministic salt (hash(qid) mod R) so no probe row is duplicated,
+    // and the compact (cid, cell, pq_code) index side — m bytes + id per
+    // row, the cheap side by construction — is replicated R ways so every
+    // (cell, salt) bucket still holds its whole cell. Candidate pairs,
+    // scores, and heap contents are identical; only the partition count
+    // changes. R = ceil(2·width / kC) (the 2× over-partitions the
+    // (cell, salt) key space so hash collisions still fill ~85% of the
+    // width; capped at 64 so a misconfigured tiny-kC/huge-width serve
+    // can't explode the index side) is 1 whenever kC ≥ 2·width — at the
+    // production kC ≈ √N sizing the plan is byte-identical to the
+    // unsalted one — and the bucketed-catalog path (codedBuckets) pins
+    // R = 1: its whole point is reusing the store's HashPartitioning(cell),
+    // which a (cell, salt) requirement would re-exchange away.
+    //
+    // The salted exchange pins an EXPLICIT partition count: measured at
+    // sf0.1, AQE's coalesce sized this exchange from its tiny pre-join
+    // inputs (10k probe rows, 2k codes) and merged it to TWO partitions —
+    // blind to the 250× join fan-out behind it — which is also where the
+    // serve row's long-standing 2.2–4.8 s cross-round swings came from
+    // (the coalesce decision flips with block-size estimates). A
+    // user-specified numPartitions is exempt from AQE coalescing, so the
+    // candidate stage's width is deterministic.
+    val width = embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val rep =
+      if (codedBuckets.isDefined) 1
+      else math.min(64,
+        math.max(1, math.ceil(2.0 * width / math.max(1, centroids.length)).toInt))
     // candidate generation: probe and index sides shuffle on CELL — the
     // coarse cell is the unit of index locality, and at a production
     // kC ≈ √N it is a well-spread key (AQE's skew split covers hot cells).
@@ -1067,7 +1097,24 @@ object Similarity {
     // the sf0.1 fixture (2.5 M candidates), a 70× cliff. The merge join
     // keeps the wide row on a sorted stream (no per-match copy) and is
     // the only shape that survives corpus growth anyway.
-    val adcScored = probes.hint("shuffle_merge").join(coded, "cell")
+    val joined =
+      if (rep <= 1) {
+        val probes = codedBuckets.fold(probed.repartition(F.col("cell")))(b =>
+            probed.repartition(b, F.col("cell")))
+          .withColumn("__adc", adcTables(F.col("qv"), codebooks))
+          .select(F.col("qid"), F.col("cell"), F.col("__adc"))
+        probes.hint("shuffle_merge").join(coded, "cell")
+      } else {
+        val probes = probed
+          .withColumn("__salt", F.pmod(F.hash(F.col("qid")), F.lit(rep)))
+          .repartition(width, F.col("cell"), F.col("__salt"))
+          .withColumn("__adc", adcTables(F.col("qv"), codebooks))
+          .select(F.col("qid"), F.col("cell"), F.col("__salt"), F.col("__adc"))
+        val codedR = coded.withColumn("__salt",
+          F.explode(F.typedlit((0 until rep).toVector)))
+        probes.hint("shuffle_merge").join(codedR, Seq("cell", "__salt"))
+      }
+    val adcScored = joined
       .filter(F.col("qid") =!= F.col("cid"))
       .select(F.col("qid"), F.col("cid"), adcScore(m, kC).as("pq_dot"))
     // bounded-heap shortlist: the ADC stage emits |Q|·(corpus/kC)·nprobe

@@ -894,6 +894,44 @@ object SparkEntry {
         .localCheckpoint(true) // feeds the LPA rounds AND the modularity joins
       Graph.modularity(e, Graph.labelPropagation(e, iters = 3))
     }),
+    // One-level Louvain refinement of the LPA partition — the round-11
+    // directive's composition of labelPropagation and modularity's ΔQ
+    // algebra. On the fixture's complete projection LPA already finds the
+    // single community, so this row proves the no-move path end-to-end
+    // (empty candidate set, reject-on-no-improvement) with q_init =
+    // q_final; the ascent row below exercises the real climb.
+    "q_louvain" -> ((s, dir) => {
+      val su = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_suppkey").as("sk")).distinct()
+      val e = su.as("x").join(su.as("y"),
+          F.col("x.o") === F.col("y.o") && F.col("x.sk") < F.col("y.sk"))
+        .groupBy(F.col("x.sk").as("src"), F.col("y.sk").as("dst"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("src", "dst")
+        .localCheckpoint(true) // feeds LPA, the sweeps, AND every Q score
+      Graph.louvainRefine(e, Graph.labelPropagation(e, iters = 3), sweeps = 2)
+    }),
+    // Louvain from the classic SINGLETON seed (level-1 proper): on the
+    // complete projection every node's best strictly-positive ΔQ move is
+    // the minimum neighboring label (the swap guard holds the minimum
+    // node in place), so sweep 1 collapses the partition to one community
+    // and Q climbs from the singleton baseline −Σ(k_v/2m)² to exactly 0 —
+    // a real accepted ascent, hash-pinned across engines.
+    "q_louvain_ascent" -> ((s, dir) => {
+      val su = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_suppkey").as("sk")).distinct()
+      val e = su.as("x").join(su.as("y"),
+          F.col("x.o") === F.col("y.o") && F.col("x.sk") < F.col("y.sk"))
+        .groupBy(F.col("x.sk").as("src"), F.col("y.sk").as("dst"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val nodes = e.select(F.col("src").as("node"))
+        .union(e.select(F.col("dst").as("node"))).distinct()
+      Graph.louvainRefine(e, nodes.select(F.col("node"), F.col("node").as("label")), sweeps = 2)
+    }),
     // Pareto skyline (cheapest AND largest parts): pivot-prefiltered
     // local-then-global BNL (Skyline.scala); the oracle is the literal
     // quadratic NOT EXISTS dominance definition, so equality proves the
@@ -2697,7 +2735,62 @@ object SparkEntry {
         s"l$i AS (SELECT node AS id, lbl FROM (SELECT node, lbl, " +
         s"row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"
     }.mkString(", ", ", ", "")
-    base + rounds
+    // iters = 0 is the SINGLETON seed (l0 alone) — mkString on an empty
+    // rounds list would emit a stray ", "
+    if (iters == 0) base else base + rounds
+  }
+
+  /** Unrolled one-level-Louvain mirror over the same projection: each
+    * sweep replays the operator's exact synchronous-move algebra —
+    * community degree sums / sizes (sg), node→community edge counts (kv),
+    * the 9-snapped ΔQ candidate scores (cd), the (max ΔQ, min label)
+    * argmax with the singleton-swap guard (bt), the proposed partition
+    * (pp), its Q score (12-snapped terms, 9-snapped total), and the
+    * accept-iff-strictly-better CASE (lv/qv). `seed` names the initial
+    * label CTE: l3 (the LPA-3 partition) or l0 (singletons). */
+  private def louvainCtes(seed: String, sweeps: Int): String = {
+    def qSql(l: String): String =
+      "SELECT round(sum(t), 9) AS q FROM (" +
+        "SELECT round(CAST(coalesce(ec.e_in, CAST(0 AS BIGINT)) AS DOUBLE) / m " +
+        "- (CAST(sg.sig AS DOUBLE) / (2 * m)) * (CAST(sg.sig AS DOUBLE) / (2 * m)), 12) AS t " +
+        s"FROM (SELECT l.lbl AS label, CAST(sum(dgv.kv) AS BIGINT) AS sig " +
+        s"FROM $l l JOIN dgv ON dgv.node = l.id GROUP BY 1) sg " +
+        s"LEFT JOIN (SELECT x.lbl AS label, CAST(count(*) AS BIGINT) AS e_in " +
+        s"FROM e0 JOIN $l x ON x.id = e0.a JOIN $l y ON y.id = e0.b AND y.lbl = x.lbl " +
+        "GROUP BY 1) ec ON ec.label = sg.label, mm)"
+    val prelude =
+      ", dgv AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS kv FROM e GROUP BY 1)" +
+      ", mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e0)" +
+      s", lv0 AS MATERIALIZED (SELECT id, lbl FROM $seed)" +
+      s", qv0 AS MATERIALIZED (${qSql("lv0")})"
+    val rounds = (1 to sweeps).map { i =>
+      s"sg$i AS MATERIALIZED (SELECT l.lbl AS label, CAST(sum(dgv.kv) AS BIGINT) AS sig, " +
+        s"CAST(count(*) AS BIGINT) AS nc FROM lv${i - 1} l JOIN dgv ON dgv.node = l.id GROUP BY 1), " +
+        s"kv$i AS MATERIALIZED (SELECT e.src AS node, l.lbl AS cand, CAST(count(*) AS BIGINT) AS k_to " +
+        s"FROM e JOIN lv${i - 1} l ON l.id = e.dst GROUP BY 1, 2), " +
+        s"bs$i AS MATERIALIZED (SELECT l.id AS node, l.lbl AS label, dgv.kv AS kv, " +
+        s"sg.sig AS sig_a, sg.nc AS n_a, coalesce(ka.k_to, CAST(0 AS BIGINT)) AS k_va " +
+        s"FROM lv${i - 1} l JOIN dgv ON dgv.node = l.id JOIN sg$i sg ON sg.label = l.lbl " +
+        s"LEFT JOIN kv$i ka ON ka.node = l.id AND ka.cand = l.lbl), " +
+        s"cd$i AS (SELECT b.node, b.label, c.cand, " +
+        "round(CAST(c.k_to - b.k_va AS DOUBLE) / m - CAST(b.kv AS DOUBLE) " +
+        "* CAST(s2.sig - b.sig_a + b.kv AS DOUBLE) / (2.0 * m * m), 9) AS dq, " +
+        s"b.n_a, s2.nc AS n_b FROM kv$i c JOIN bs$i b ON b.node = c.node AND c.cand <> b.label " +
+        s"JOIN sg$i s2 ON s2.label = c.cand, mm), " +
+        s"bt$i AS (SELECT node, cand FROM (SELECT node, cand, " +
+        "row_number() OVER (PARTITION BY node ORDER BY dq DESC, cand) AS rn " +
+        s"FROM cd$i WHERE dq > 0 AND NOT (n_a = 1 AND n_b = 1 AND cand > label)) WHERE rn = 1), " +
+        s"pp$i AS MATERIALIZED (SELECT b.node AS id, coalesce(bt.cand, b.label) AS lbl " +
+        s"FROM bs$i b LEFT JOIN bt$i bt ON bt.node = b.node), " +
+        s"qp$i AS MATERIALIZED (${qSql(s"pp$i")}), " +
+        s"lv$i AS MATERIALIZED (SELECT p.id, CASE WHEN qp.q > ql.q THEN p.lbl ELSE l.lbl END AS lbl " +
+        s"FROM pp$i p JOIN lv${i - 1} l ON l.id = p.id, qp$i qp, qv${i - 1} ql), " +
+        s"qv$i AS MATERIALIZED (SELECT CASE WHEN qp.q > ql.q THEN qp.q ELSE ql.q END AS q " +
+        s"FROM qp$i qp, qv${i - 1} ql)"
+    }.mkString(", ", ", ", "")
+    prelude + rounds +
+      s" SELECT l.id AS node_id, l.lbl AS label, round(q0.q, 6) + 0.0 AS q_init, " +
+      s"round(qs.q, 6) + 0.0 AS q_final FROM lv$sweeps l, qv0 q0, qv$sweeps qs"
   }
 
   private def labelPropOracle(iters: Int): String =
@@ -3243,6 +3336,8 @@ object SparkEntry {
         "ORDER BY jw_sim DESC, ka, kb LIMIT 20"),
     "q_label_prop" -> labelPropOracle(iters = 3),
     "q_modularity" -> modularityOracle(iters = 3),
+    "q_louvain" -> (labelPropCtes(3) + louvainCtes(seed = "l3", sweeps = 2)),
+    "q_louvain_ascent" -> (labelPropCtes(0) + louvainCtes(seed = "l0", sweeps = 2)),
     "q_skyline" ->
       ("WITH t AS (SELECT p_partkey, p_size, CAST(p_retailprice AS DOUBLE) AS p_price FROM part) " +
         "SELECT p_partkey, p_size, p_price FROM t x " +

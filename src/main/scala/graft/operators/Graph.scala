@@ -373,6 +373,122 @@ object Graph {
         (F.round(F.col("__qtot"), 6) + F.lit(0.0)).as("modularity"))
   }
 
+  /** ONE-LEVEL LOUVAIN refinement (the local-move phase of Blondel,
+    * Guillaume, Lambiotte & Lefebvre, "Fast unfolding of communities in
+    * large networks", J. Stat. Mech. 2008) — greedy modularity ascent
+    * over an initial partition (a [[labelPropagation]] result, or the
+    * classic singleton seed): each sweep, every node evaluates moving to
+    * each NEIGHBORING community under the exact ΔQ algebra of
+    * [[modularity]]'s score,
+    *
+    *   ΔQ(v: a→b) = (k_vb − k_va)/m − k_v·(Σ_b − Σ_a + k_v)/(2m²),
+    *
+    * and takes the best strictly-positive move. Two departures from the
+    * sequential textbook sweep make it distributed AND deterministic:
+    *
+    *   1. moves are SYNCHRONOUS — every node scores against the same
+    *      pinned partition, so a sweep is two |E|-row aggregates plus
+    *      |V|-row joins, not a node-at-a-time driver loop. Synchronous
+    *      moves can oscillate (two adjacent singletons swapping labels
+    *      forever — the known parallel-Louvain pathology), so a
+    *      singleton may only move INTO another singleton's community
+    *      when the target label is smaller (the deterministic variant of
+    *      the swap guard in Lu, Halappanavar & Kalyanaraman, "Parallel
+    *      heuristics for scalable community detection", ParCo 2015);
+    *   2. a sweep is ACCEPTED only if the re-scored Q strictly improves
+    *      (one 1-row driver scalar per sweep, the pageRank-n pattern) —
+    *      which makes Q(final) ≥ Q(init) a structural guarantee, not a
+    *      hope, and caps the damage of any residual oscillation at
+    *      "no further improvement".
+    *
+    * Every ΔQ input is an exact integer (edge counts, degree sums, m),
+    * so each candidate score is one fixed-shape IEEE expression — bit-
+    * identical across engines — snapped to 9 decimals before the
+    * (max ΔQ, min label) argmax; Q totals sum 12-snapped per-community
+    * terms and snap to 9 (the pageRank discipline), so accept/reject
+    * decisions replay exactly and the whole trajectory is oracle-able by
+    * an unrolled SQL mirror. `init` must label every node of the graph
+    * (extra labels for non-edge nodes are ignored; the partition is over
+    * non-isolated nodes, like [[modularity]]).
+    *
+    * Output: (node_id, label, q_init, q_final), the Q columns (round 6)
+    * repeated on every row — the psi layout. */
+  def louvainRefine(edges: DataFrame, init: DataFrame, sweeps: Int = 2): DataFrame = {
+    val und = undirect(edges).localCheckpoint(true) // feeds m, sym, degrees, AND every sweep's e_in
+    val m = und.count() // 1-row driver scalar (the pageRank-n pattern)
+    require(m > 0, "louvainRefine needs at least one edge")
+    val mD = m.toDouble
+    val dg = degrees(und).withColumnRenamed("d", "kv").localCheckpoint(true)
+    val sym = und.select(F.col("a").as("src"), F.col("b").as("dst"))
+      .unionAll(und.select(F.col("b").as("src"), F.col("a").as("dst")))
+      .repartition(F.col("dst")) // every sweep's neighbor-label join keys on dst
+      .localCheckpoint(true)
+    // Q of a partition: 12-snapped per-community terms, 9-snapped total.
+    // Rounding INSIDE the frame (F.round = the Catalyst Round the oracle's
+    // round() is calibrated against), never driver-side BigDecimal.
+    def qOf(lab: DataFrame): Double = {
+      val sig = lab.join(dg, "node").groupBy("label").agg(F.sum("kv").as("sig"))
+      val ein = und
+        .join(lab.select(F.col("node").as("a"), F.col("label").as("la")), "a")
+        .join(lab.select(F.col("node").as("b"), F.col("label").as("lb")), "b")
+        .filter(F.col("la") === F.col("lb"))
+        .groupBy(F.col("la").as("label")).agg(F.count(F.lit(1)).as("e_in"))
+      val row = sig.join(ein, Seq("label"), "left")
+        .select(F.round(
+          F.coalesce(F.col("e_in"), F.lit(0L)).cast("double") / F.lit(mD)
+            - (F.col("sig").cast("double") / F.lit(2 * mD))
+            * (F.col("sig").cast("double") / F.lit(2 * mD)), 12).as("t"))
+        .agg(F.round(F.sum("t"), 9)).collect()(0)
+      if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    }
+    var lab = init
+      .select(F.col(init.columns(0)).as("node"), F.col(init.columns(1)).as("label"))
+      .join(dg.select("node"), Seq("node"), "left_semi") // partition over graph nodes only
+      .localCheckpoint(true)
+    var q = qOf(lab)
+    val qInit = q
+    for (_ <- 1 to sweeps) {
+      val sig = lab.join(dg, "node")
+        .groupBy("label").agg(F.sum("kv").as("sig"), F.count(F.lit(1)).as("nc"))
+      // k_vc: edges from each node into each neighboring community —
+      // ONE combinable |E|-row aggregate per sweep, the sweep's only
+      // data-sized exchange
+      val kvc = sym.join(lab.select(F.col("node").as("dst"), F.col("label").as("cand")), "dst")
+        .groupBy(F.col("src").as("node"), F.col("cand"))
+        .agg(F.count(F.lit(1)).as("k_to"))
+      val kva = kvc.join(lab, Seq("node")).filter(F.col("cand") === F.col("label"))
+        .select(F.col("node"), F.col("k_to").as("k_va"))
+      val base = lab.join(dg, "node")
+        .join(sig.select(F.col("label"), F.col("sig").as("sig_a"), F.col("nc").as("n_a")), "label")
+        .join(kva, Seq("node"), "left")
+        .select(F.col("node"), F.col("label"), F.col("kv"), F.col("sig_a"), F.col("n_a"),
+          F.coalesce(F.col("k_va"), F.lit(0L)).as("k_va"))
+      val cand = kvc.join(base, "node").filter(F.col("cand") =!= F.col("label"))
+        .join(sig.select(F.col("label").as("cand"), F.col("sig").as("sig_b"), F.col("nc").as("n_b")), "cand")
+        .withColumn("dq", F.round(
+          (F.col("k_to") - F.col("k_va")).cast("double") / F.lit(mD)
+            - F.col("kv").cast("double")
+            * (F.col("sig_b") - F.col("sig_a") + F.col("kv")).cast("double")
+            / F.lit(2 * mD * mD), 9))
+        .filter(F.col("dq") > 0 &&
+          !(F.col("n_a") === 1 && F.col("n_b") === 1 && F.col("cand") > F.col("label")))
+      val best = cand.groupBy("node")
+        // lexicographic struct-min = (max ΔQ, then min target label):
+        // the labelPropagation tie-break, no per-node sort window
+        .agg(F.min(F.struct((-F.col("dq")).as("nd"), F.col("cand").as("c"))).as("mv"))
+        .select(F.col("node"), F.col("mv.c").as("new_label"))
+      val prop = lab.join(best, Seq("node"), "left")
+        .select(F.col("node"), F.coalesce(F.col("new_label"), F.col("label")).as("label"))
+        .localCheckpoint(true) // scored by qOf AND possibly next sweep's base
+      val qp = qOf(prop)
+      if (qp > q) { lab = prop; q = qp }
+    }
+    lab.select(F.col("node").as("node_id"), F.col("label"),
+      // + 0.0: −0.0 normalization (a just-below-zero Q rounds to −0.0)
+      (F.round(F.lit(qInit), 6) + F.lit(0.0)).as("q_init"),
+      (F.round(F.lit(q), 6) + F.lit(0.0)).as("q_final"))
+  }
+
   /** The k-CORE — the maximal subgraph in which every node keeps degree
     * ≥ k — by iterative peeling (Seidman, "Network structure and minimum
     * degree", Social Networks 1983): drop all nodes of degree < k,

@@ -125,6 +125,52 @@ class GraphSpec extends SparkSpec {
     lpa(messy, 2) shouldBe lpaRef(Seq((1L, 2L), (2L, 3L)), 2)
   }
 
+  // ---- louvainRefine ------------------------------------------------
+
+  private def louvain(e: Seq[(Long, Long)], init: Seq[(Long, Long)], sweeps: Int) = {
+    val out = Graph.louvainRefine(e.toDF("src", "dst"), init.toDF("node", "label"), sweeps)
+      .collect()
+    (out.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      out.head.getDouble(2), out.head.getDouble(3))
+  }
+
+  it("louvain recovers two bridged K4 cliques from singletons in two sweeps") {
+    // hand-traced trajectory: sweep 1 merges nodes into min-label-ward
+    // piles ({1,2,3,4} + {5}/{6}/{7,8}), sweep 2 folds 5 and 6 into the
+    // {7,8} community — the exact cliques, Q = 2·(6/13 − (13/26)²)
+    val c1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val c2 = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val edges = c1 ++ c2 :+ ((4L, 5L))
+    val (labels, qInit, qFinal) = louvain(edges, (1L to 8L).map(n => (n, n)), 2)
+    (1L to 4L).map(labels).toSet.size shouldBe 1
+    (5L to 8L).map(labels).toSet.size shouldBe 1
+    labels(1L) should not be labels(5L)
+    qInit shouldBe -0.127219 // −Σ(k_v/2m)² over singletons, round 6
+    qFinal shouldBe 0.423077 // 2·(6/13 − (13/26)²), round 6
+  }
+
+  it("louvain never decreases Q (accept-iff-better) and is deterministic") {
+    val r = new scala.util.Random(7)
+    val e = Seq.fill(80)((r.nextInt(24).toLong, r.nextInt(24).toLong))
+      .filter(p => p._1 != p._2)
+    val init = e.flatMap(p => Seq(p._1, p._2)).distinct.map(n => (n, n))
+    val (l1, qi, qf) = louvain(e, init, 3)
+    qf should be >= qi
+    val (l2, qi2, qf2) = louvain(e, init, 3)
+    l2 shouldBe l1; qi2 shouldBe qi; qf2 shouldBe qf
+  }
+
+  it("louvain from an already-optimal partition is a no-op with equal Qs") {
+    val c1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val c2 = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val edges = c1 ++ c2 :+ ((4L, 5L))
+    val init = (1L to 4L).map(n => (n, 1L)) ++ (5L to 8L).map(n => (n, 5L))
+    val (labels, qInit, qFinal) = louvain(edges, init, 2)
+    labels shouldBe init.toMap
+    qInit shouldBe qFinal
+    qFinal shouldBe 0.423077
+  }
+
   // ---- hopDistances -------------------------------------------------
 
   private def hops(e: Seq[(Long, Long)], src: Seq[Long], maxHops: Int): Map[Long, Long] =

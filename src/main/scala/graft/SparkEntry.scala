@@ -1041,6 +1041,14 @@ object SparkEntry {
     // oracle recomputes every pairwise sum from exploded elements.
     "q_cov_matrix" -> ((s, dir) =>
       Pca.covarianceMatrix(t(s, dir, "embeddings"), "embedding", dim = 64)),
+    // Top-4 principal components by power iteration + Hotelling deflation
+    // on the driver-side d×d matrix (ONE data pass behind it — the cov
+    // moments aggregate). Every product is 12-snapped and every completed
+    // sum 9-snapped, so the oracle replays the whole trajectory as
+    // unrolled CTEs over the same 6-snapped covariance frame.
+    "q_pca_topk" -> ((s, dir) =>
+      Pca.topComponentsDF(t(s, dir, "embeddings"), "embedding",
+        dim = 64, k = 4, iters = 30)),
     // Lead-lag cross-correlation: do clicks anticipate purchases, and by
     // how many days? Six exact BIGINT sums per lag (the assortativity
     // determinism anchor), x side replicated once per lag over an
@@ -2815,6 +2823,65 @@ object SparkEntry {
       "SELECT label, n_nodes, e_in, d_tot, round(q, 6) + 0.0 AS q_c, " +
       "round(tQ, 6) + 0.0 AS modularity FROM per, tq"
 
+  /** Unrolled power-iteration + Hotelling-deflation mirror over the
+    * 6-snapped covariance frame (the verified q_cov_matrix values): per
+    * component, `iters` matvec/MAX-normalize rounds (the HITS
+    * discipline: raw matvec sums unrounded — an absolute snap would be
+    * coarse relative to the catastrophically-cancelled post-deflation
+    * matvec — the max-|entry| normalizer order-independent and exact,
+    * only the [−1,1] normalized entries 9-snapped), then the Rayleigh
+    * eigenvalue, the largest-|coordinate|-positive sign fix (EXACT
+    * negation, no re-round), and the rank-one deflation that seeds the
+    * next component's matrix. MATERIALIZED throughout — each a/v/u CTE
+    * is referenced several times and chained, the k-core inlining
+    * lesson. */
+  private def pcaTopkOracle(k: Int, iters: Int): String = {
+    val base = "WITH u0 AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+      "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+      "p0 AS (SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n, sum(a.x * b.x) AS sxy " +
+      "FROM u0 a JOIN u0 b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2), " +
+      "s0 AS (SELECT i, sum(x) AS sx FROM u0 GROUP BY 1), " +
+      "cm0 AS MATERIALIZED (SELECT CAST(p0.i - 1 AS INT) AS i, CAST(p0.j - 1 AS INT) AS j, " +
+      "round((sxy - si.sx * sj.sx / n) / (n - 1), 6) + 0.0 AS cov " +
+      "FROM p0 JOIN s0 si ON si.i = p0.i JOIN s0 sj ON sj.i = p0.j WHERE n >= 2), " +
+      "a1 AS MATERIALIZED (SELECT i, j, cov FROM cm0 " +
+      "UNION ALL SELECT j AS i, i AS j, cov FROM cm0 WHERE i <> j), " +
+      "tr AS (SELECT round(sum(cov), 9) AS tr FROM a1 WHERE i = j), " +
+      "dim0 AS (SELECT CAST(count(*) AS BIGINT) AS d FROM (SELECT DISTINCT i FROM a1))"
+    val comps = (1 to k).map { c =>
+      val start = s"v${c}_0 AS (SELECT i, CAST(1 AS DOUBLE) AS x FROM (SELECT DISTINCT i FROM a1))"
+      val its = (1 to iters).map { t =>
+        s"w${c}_$t AS MATERIALIZED (SELECT a.i, sum(a.cov * v.x) AS w " +
+          s"FROM a$c a JOIN v${c}_${t - 1} v ON v.i = a.j GROUP BY 1), " +
+          s"n${c}_$t AS (SELECT max(abs(w)) AS mv FROM w${c}_$t), " +
+          s"v${c}_$t AS MATERIALIZED (SELECT i, CASE WHEN mv = 0 THEN CAST(0 AS DOUBLE) " +
+          s"ELSE round(w / mv, 9) END AS x FROM w${c}_$t, n${c}_$t)"
+      }.mkString(", ")
+      val tail = s"av$c AS MATERIALIZED (SELECT a.i, sum(a.cov * v.x) AS w " +
+        s"FROM a$c a JOIN v${c}_$iters v ON v.i = a.j GROUP BY 1), " +
+        s"r$c AS MATERIALIZED (SELECT CASE WHEN sum(v.x * v.x) = 0 THEN CAST(0 AS DOUBLE) " +
+        s"ELSE round(sum(av.w * v.x) / sum(v.x * v.x), 9) END AS lam " +
+        s"FROM av$c av JOIN v${c}_$iters v ON v.i = av.i), " +
+        s"sg$c AS (SELECT CASE WHEN (SELECT x FROM v${c}_$iters ORDER BY abs(x) DESC, i LIMIT 1) " +
+        s"< 0 THEN -1.0 ELSE 1.0 END AS sg), " +
+        s"uc$c AS MATERIALIZED (SELECT i, x * sg AS x FROM v${c}_$iters, sg$c), " +
+        s"d2$c AS (SELECT round(sum(x * x), 9) AS d2 FROM uc$c)" +
+        (if (c < k)
+          s", a${c + 1} AS MATERIALIZED (SELECT a.i, a.j, " +
+            s"CASE WHEN d2.d2 = 0 THEN a.cov " +
+            s"ELSE round(a.cov - r.lam * u1.x * u2.x / d2.d2, 9) END AS cov " +
+            s"FROM a$c a JOIN uc$c u1 ON u1.i = a.i JOIN uc$c u2 ON u2.i = a.j, r$c r, d2$c d2)"
+         else "")
+      s"$start, $its, $tail"
+    }.mkString(", ", ", ", "")
+    val sel = (1 to k).map { c =>
+      s"SELECT $c AS component, u.i, round(u.x, 6) + 0.0 AS loading, " +
+        s"round(r.lam, 6) + 0.0 AS eigenvalue, round(r.lam / tr.tr, 6) + 0.0 AS variance_explained " +
+        s"FROM uc$c u, r$c r, tr"
+    }.mkString(" UNION ALL ")
+    base + comps + " " + sel
+  }
+
   /** Unrolled greedy k-center trajectory: step i keeps a running `mind`
     * CTE (least of the previous floor and the distance to the newly
     * selected center), selects the argmax row by (mind DESC, vec_id) —
@@ -3597,6 +3664,7 @@ object SparkEntry {
         "SELECT CAST(p.i - 1 AS INT) AS i, CAST(p.j - 1 AS INT) AS j, n, " +
         "round((sxy - si.sx * sj.sx / n) / (n - 1), 6) + 0.0 AS cov " +
         "FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j WHERE n >= 2"),
+    "q_pca_topk" -> pcaTopkOracle(k = 4, iters = 30),
     "q_xcorr" ->
       ("WITH cx AS (SELECT CAST(ts AS DATE) AS t, CAST(count(*) AS BIGINT) AS x " +
         "FROM events WHERE event_type = 'click' GROUP BY 1), " +

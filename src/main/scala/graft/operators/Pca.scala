@@ -82,6 +82,110 @@ object Pca {
     (lambda, sv)
   }
 
+  /** TOP-K components by power iteration + HOTELLING DEFLATION on the
+    * same driver-side d×d matrix (A ← A − λ·vvᵀ after each extracted
+    * pair) — the embedding-diagnostics shape: intrinsic dimensionality,
+    * variance-explained curves, k-dim whitening. Still exactly ONE data
+    * pass (the moments aggregate behind [[covarianceMatrix]]); everything
+    * after is dim²-bounded driver algebra.
+    *
+    * Engine-exactness is the HITS discipline, for the same reason HITS
+    * uses it: (1) products and matvec sums stay UNROUNDED — IEEE
+    * multiplies of identical doubles are bit-identical everywhere, and
+    * per-step snapping of raw sums is actively HARMFUL here because the
+    * first post-deflation matvec is catastrophically cancelled (A·v₀
+    * after removing the dominant direction can be ~1e-4), so an
+    * absolute 1e-9 snap is COARSE relative to the values and a single
+    * grid hit amplifies 10⁴× through the normalizer (observed as
+    * trajectory forks before this design); (2) each iteration
+    * normalizes by the MAX-|entry| — summation-order-independent and
+    * exact where an L2 norm aggregates the whole vector — and only the
+    * normalized entries (all in [−1, 1], the max itself at ±1) snap to
+    * 9 decimals, collapsing the ~1e-12 relative drift every round; (3)
+    * the Rayleigh eigenvalue is a RATIO of two unrounded sums over the
+    * same rows (order drift cancels to ~1e-16 relative), snapped at 9.
+    * Driver rounding is the same scala BigDecimal HALF_UP that
+    * Catalyst's Round uses, so the full trajectory (matvec, max-
+    * normalize, Rayleigh, sign fix, rank-one deflation with the
+    * 9-snapped ‖v‖² denominator) replays bit-identically in an
+    * unrolled SQL mirror. All-ones start vector; sign convention:
+    * largest-|coordinate| positive (that coordinate is exactly +1.0),
+    * ties to the lowest index.
+    *
+    * Returns (trace, components) — trace = 9-snapped Σ diag(A) (total
+    * variance, the variance_explained denominator) and one
+    * (eigenvalue, MAX-normalized loading vector) per component,
+    * eigenvalues descending by construction (eigenvalues and
+    * variance_explained are normalization-free; rescale loadings by
+    * 1/‖v‖₂ downstream if unit vectors are needed). */
+  def topComponents(vecs: DataFrame, vecCol: String, dim: Int, k: Int,
+                    iters: Int = 30): (Double, Seq[(Double, Array[Double])]) = {
+    def rd(x: Double, s: Int): Double = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = covarianceMatrix(vecs, vecCol, dim)
+      .select("i", "j", "cov").collect()
+    val a = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val trace = rd((0 until dim).map(i => a(i)(i)).sum, 9)
+    val out = (1 to k).map { _ =>
+      var v = Array.fill(dim)(1.0)
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dim)(i => (0 until dim).map(j => a(i)(j) * v(j)).sum)
+        val mabs = w.map(math.abs).max
+        v = if (mabs == 0) Array.fill(dim)(0.0) else w.map(x => rd(x / mabs, 9))
+      }
+      val av = Array.tabulate(dim)(i => (0 until dim).map(j => a(i)(j) * v(j)).sum)
+      val num = (0 until dim).map(i => av(i) * v(i)).sum
+      val den = (0 until dim).map(i => v(i) * v(i)).sum
+      val lam = if (den == 0) 0.0 else rd(num / den, 9)
+      val kMax = v.indices.minBy(i => (-math.abs(v(i)), i))
+      // exact negation, NOT a re-round: the entries are already 9-snapped
+      // and the SQL mirror negates without rounding too
+      val u = if (v(kMax) < 0) v.map(x => -x) else v
+      val d2 = rd(u.map(x => x * x).sum, 9)
+      for (i <- 0 until dim; j <- 0 until dim)
+        // left-associated lam·u_i·u_j/d2, matching the mirror's expression
+        a(i)(j) = if (d2 == 0) a(i)(j) else rd(a(i)(j) - lam * u(i) * u(j) / d2, 9)
+      (lam, u)
+    }
+    (trace, out)
+  }
+
+  /** [[topComponents]] as a frame — one row per (component, dimension):
+    * (component 1-based, i 0-based, loading, eigenvalue,
+    * variance_explained), scores round 6 with the −0.0 guard, the
+    * component-constant columns repeated per row (the psi layout). */
+  def topComponentsDF(vecs: DataFrame, vecCol: String, dim: Int, k: Int,
+                      iters: Int = 30): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    def rd6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val (trace, comps) = topComponents(vecs, vecCol, dim, k, iters)
+    comps.zipWithIndex.flatMap { case ((lam, u), c) =>
+      u.zipWithIndex.map { case (x, i) =>
+        (c + 1, i, rd6(x), rd6(lam), rd6(lam / trace))
+      }
+    }.toDF("component", "i", "loading", "eigenvalue", "variance_explained")
+  }
+
+  /** k-dim projection: each vector's coordinates on the `components`
+    * loading vectors — the compressed representation. One map-side
+    * fused dot product per component; no shuffle. */
+  def projectK(vecs: DataFrame, idCol: String, vecCol: String,
+               components: Seq[Array[Double]]): DataFrame = {
+    val dim = components.head.length
+    val cols = components.zipWithIndex.map { case (comp, c) =>
+      val lit = F.array(comp.map(F.lit): _*)
+      F.aggregate(
+        F.zip_with(F.col(vecCol).cast("array<double>"), lit, (a, b) => a * b),
+        F.lit(0.0), (acc, x) => acc + x).as(s"pc${c + 1}")
+    }
+    vecs.filter(F.col(vecCol).isNotNull && F.size(F.col(vecCol)) === dim)
+      .select(F.col(idCol) +: cols: _*)
+  }
+
   /** Per-vector projection onto a (driver-supplied) component: the 1-D
     * compressed coordinate. One map-side dot product via the same
     * fold every scoring path here uses; no shuffle. */

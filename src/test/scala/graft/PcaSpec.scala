@@ -74,6 +74,60 @@ class PcaSpec extends SparkSpec {
     proj(0L) shouldBe want(0L) +- 1e-4
   }
 
+  // ---- topComponents (deflation) -------------------------------------
+
+  it("top-k recovers two planted orthogonal directions with descending eigenvalues") {
+    // dominant along (1,1,0,0)/√2 (var ~100), second along (0,0,1,-1)/√2
+    // (var ~25), tiny noise elsewhere
+    val r = new scala.util.Random(13)
+    val rows = Seq.fill(400) {
+      val a = r.nextGaussian() * 10
+      val b = r.nextGaussian() * 5
+      val e = r.nextGaussian() * 0.05
+      Seq((a + e).toFloat, (a - e).toFloat, (b + e).toFloat, (-b + e).toFloat)
+    }
+    val (trace, comps) = Pca.topComponents(vecsDf(rows), "embedding", 4, k = 3, iters = 40)
+    val lams = comps.map(_._1)
+    lams.sliding(2).foreach { case Seq(x, y) => x should be >= y }
+    lams.head should be > 50.0
+    // loadings are MAX-normalized; compare directions via normalized dots
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val u1 = unit(comps(0)._2); val u2 = unit(comps(1)._2)
+    math.abs(u1(0)) shouldBe math.abs(u1(1)) +- 0.02
+    math.abs(u2(2)) shouldBe math.abs(u2(3)) +- 0.02
+    math.abs(u1.zip(u2).map { case (x, y) => x * y }.sum) should be < 0.05 // orthogonal
+    // variance explained by the two planted directions dominates
+    (lams(0) + lams(1)) / trace should be > 0.95
+  }
+
+  it("successive components are pairwise orthogonal on random data") {
+    val r = new scala.util.Random(31)
+    val rows = Seq.fill(300)(Seq.fill(6)(r.nextFloat() * 2 - 1))
+    val (_, comps) = Pca.topComponents(vecsDf(rows), "embedding", 6, k = 4, iters = 40)
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val us = comps.map(c => unit(c._2))
+    for (i <- us.indices; j <- (i + 1) until us.size)
+      math.abs(us(i).zip(us(j)).map { case (x, y) => x * y }.sum) should be < 0.02
+    comps.map(_._1).sliding(2).foreach { case Seq(x, y) => x should be >= y }
+  }
+
+  it("topComponentsDF carries eigenvalue/variance_explained per row and projectK projects") {
+    val r = new scala.util.Random(17)
+    val rows = Seq.fill(100)(Seq.fill(3)(r.nextFloat()))
+    val df = vecsDf(rows)
+    val frame = Pca.topComponentsDF(df, "embedding", 3, k = 2, iters = 30)
+    frame.count() shouldBe 6 // 2 components × 3 dims
+    val ve = frame.select("component", "variance_explained").distinct().collect()
+      .map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    ve.values.sum should be <= 1.0 + 1e-6
+    val (_, comps) = Pca.topComponents(df, "embedding", 3, k = 2, iters = 30)
+    val proj = Pca.projectK(df, "vec_id", "embedding", comps.map(_._2))
+    proj.columns.toSeq shouldBe Seq("vec_id", "pc1", "pc2")
+    val p0 = proj.filter(F.col("vec_id") === 0L).collect().head
+    val want1 = rows.head.map(_.toDouble).zip(comps(0)._2).map { case (x, c) => x * c }.sum
+    p0.getDouble(1) shouldBe want1 +- 1e-6
+  }
+
   // ---- crossCorrelation ---------------------------------------------
 
   private def dayDf(vals: Seq[Long], col: String) =

@@ -378,4 +378,93 @@ object TimeSeries {
     a.select(F.col("lag"), F.col("n").as("n_days"),
       Pearson.fromSums(F.col("n")).as("xcorr"))
   }
+
+  /** HOLT-WINTERS additive forecast (Winters, "Forecasting sales by
+    * exponentially weighted moving averages", Mgmt. Sci. 1960) over a
+    * per-key regular series `(key, t, x)` — the projection a
+    * capacity-planning story ends with: consume the level/trend/seasonal
+    * structure FORWARD `h` steps, with a flat in-sample-MAE error band.
+    *
+    *   l_t = α·(x_t − s_{t−p}) + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(x_t − l_t) + (1−γ)·s_{t−p}
+    *   ŷ_{T+m} = l_T + m·b_T + s_{T+m−p}   (m ≤ p)
+    *
+    * Initialized from the first two seasons (l₀ = mean of season 1, b₀ =
+    * (mean₂ − mean₁)/p, s_i = x_i − l₀); keys with fewer than 2p points
+    * are dropped. The smoothing COMPLEMENTS (1−α etc.) are passed as
+    * explicit literals, never computed — `1.0 - 0.3` and the literal
+    * `0.7` are DIFFERENT doubles, the kind of ulp fork no snap absorbs.
+    *
+    * Spark-first shape: ONE combinable aggregate builds each key's
+    * day-ordered value array (bounded by the TIME RANGE, the
+    * seasonalDecompose axis discipline — never by event count), then the
+    * whole recursion runs inside `F.aggregate` (a codegen'd sequential
+    * fold, no UDF): the accumulator struct carries (l, b, the rolling
+    * p-slot seasonal array via slice‖concat, Σ|one-step error|). Fold
+    * order is the array order, so every step is fixed-shape IEEE on
+    * identical operands — engine-exact — with l/b/s snapped at 9 per
+    * step and the init means snapped at 9 (the only order-dependent
+    * sums), which lets a DuckDB RECURSIVE CTE carrying the same list
+    * replay the trajectory bit-for-bit.
+    *
+    * Output: one row per (key, step 1..h): forecast, mae (mean |x −
+    * one-step prediction| over the fitted tail), lo/hi = forecast ∓ mae,
+    * all round 6 with the −0.0 guard. `h` ≤ `period`. */
+  def holtWintersForecast(series: DataFrame, keyCol: String, tCol: String,
+      xCol: String, period: Int = 7, h: Int = 7,
+      alpha: Double = 0.3, oneMinusAlpha: Double = 0.7,
+      beta: Double = 0.1, oneMinusBeta: Double = 0.9,
+      gamma: Double = 0.2, oneMinusGamma: Double = 0.8): DataFrame = {
+    require(h <= period, "forecast horizon beyond one season needs seasonal cycling")
+    val p = period
+    def r9(c: Column): Column = F.round(c, 9)
+    val byKey = series
+      .groupBy(F.col(keyCol).as("k"))
+      .agg(F.array_sort(F.collect_list(F.struct(F.col(tCol).as("t"),
+        F.col(xCol).cast("double").as("x")))).as("sx"))
+      .select(F.col("k"), F.transform(F.col("sx"), e => e.getField("x")).as("xs"))
+      .filter(F.size(F.col("xs")) >= 2 * p)
+    val mean1 = r9(F.aggregate(F.slice(F.col("xs"), 1, p),
+      F.lit(0.0), (a, x) => a + x) / p)
+    val mean2 = r9(F.aggregate(F.slice(F.col("xs"), p + 1, p),
+      F.lit(0.0), (a, x) => a + x) / p)
+    val withInit = byKey
+      .withColumn("l0", mean1)
+      .withColumn("b0", r9((mean2 - F.col("l0")) / p))
+      .withColumn("s0", F.transform(F.slice(F.col("xs"), 1, p),
+        x => r9(x - F.col("l0"))))
+    // the fold: state (l, b, s[p], ae) over the post-init tail
+    val state = F.aggregate(
+      F.slice(F.col("xs"), F.lit(p + 1), F.size(F.col("xs")) - p),
+      F.struct(F.col("l0").as("l"), F.col("b0").as("b"),
+        F.col("s0").as("s"), F.lit(0.0).as("ae")),
+      (acc, x) => {
+        val sOld = F.element_at(acc.getField("s"), 1)
+        val pred = acc.getField("l") + acc.getField("b") + sOld
+        val lN = r9(F.lit(alpha) * (x - sOld)
+          + F.lit(oneMinusAlpha) * (acc.getField("l") + acc.getField("b")))
+        val bN = r9(F.lit(beta) * (lN - acc.getField("l"))
+          + F.lit(oneMinusBeta) * acc.getField("b"))
+        val sN = r9(F.lit(gamma) * (x - lN) + F.lit(oneMinusGamma) * sOld)
+        F.struct(lN.as("l"), bN.as("b"),
+          F.concat(F.slice(acc.getField("s"), 2, p - 1), F.array(sN)).as("s"),
+          (acc.getField("ae") + F.abs(x - pred)).as("ae"))
+      })
+    val fitted = withInit
+      .withColumn("n_fit", (F.size(F.col("xs")) - p).cast("double"))
+      .withColumn("st", state)
+      .select(F.col("k"), F.col("n_fit"),
+        F.col("st.l").as("l"), F.col("st.b").as("b"), F.col("st.s").as("s"),
+        (F.round(F.col("st.ae") / F.col("n_fit"), 6) + F.lit(0.0)).as("mae"))
+    fitted
+      .select(F.col("k"), F.col("mae"), F.col("l"), F.col("b"), F.col("s"),
+        F.explode(F.sequence(F.lit(1), F.lit(h))).as("step"))
+      .withColumn("forecast",
+        F.round(F.col("l") + F.col("step").cast("double") * F.col("b")
+          + F.element_at(F.col("s"), F.col("step")), 6) + F.lit(0.0))
+      .select(F.col("k"), F.col("step"), F.col("forecast"), F.col("mae"),
+        (F.round(F.col("forecast") - F.col("mae"), 6) + F.lit(0.0)).as("lo"),
+        (F.round(F.col("forecast") + F.col("mae"), 6) + F.lit(0.0)).as("hi"))
+  }
 }

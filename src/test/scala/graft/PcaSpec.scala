@@ -232,6 +232,52 @@ class PcaSpec extends SparkSpec {
     out(10)._4 should be > 900.0 // the spike lands in the residual, where it belongs
   }
 
+  // ---- holtWintersForecast -------------------------------------------
+
+  private def hwDf(xs: Seq[Double]) =
+    xs.zipWithIndex.map { case (x, i) =>
+      ("k", java.sql.Date.valueOf(java.time.LocalDate.of(2026, 2, 2).plusDays(i.toLong)), x)
+    }.toDF("k", "t", "x")
+
+  it("a perfectly seasonal flat series is a FIXED POINT: MAE 0, exact forecasts") {
+    // zero-median... zero-MEAN weekly pattern on a flat level: the init
+    // (l=c, b=0, s=pattern) reproduces every observation, so level/trend/
+    // seasonal never move and the projection is exact
+    val p = Seq(0.0, 4.0, -4.0, 2.0, -2.0, 6.0, -6.0)
+    val xs = (0 until 28).map(i => 20.0 + p(i % 7))
+    val out = TimeSeries.holtWintersForecast(hwDf(xs), "k", "t", "x")
+      .orderBy("step").collect()
+    out should have length 7
+    out.foreach { r =>
+      r.getAs[Double]("mae") shouldBe 0.0
+      r.getAs[Double]("lo") shouldBe r.getAs[Double]("forecast")
+    }
+    // 28 points end at phase 27 % 7 = 6; step m forecasts phase (27+m) % 7
+    (1 to 7).foreach { m =>
+      out(m - 1).getAs[Double]("forecast") shouldBe 20.0 + p((27 + m) % 7)
+    }
+  }
+
+  it("a pure linear trend forecasts its continuation within the MAE band") {
+    val xs = (0 until 28).map(i => 5.0 + 2.0 * i)
+    val out = TimeSeries.holtWintersForecast(hwDf(xs), "k", "t", "x")
+      .orderBy("step").collect()
+    // x_27 = 59; the projection must keep climbing monotonically
+    val fs = out.map(_.getAs[Double]("forecast"))
+    fs.sliding(2).foreach { case Array(a, b) => b should be > a }
+    fs.head should be > 55.0
+    out.foreach { r =>
+      math.abs(r.getAs[Double]("forecast")) should be < 100.0
+      r.getAs[Double]("hi") - r.getAs[Double]("lo") shouldBe
+        (2 * r.getAs[Double]("mae")) +- 1e-5
+    }
+  }
+
+  it("keys shorter than two seasons are dropped, not mis-forecast") {
+    TimeSeries.holtWintersForecast(hwDf(Seq.fill(13)(1.0)), "k", "t", "x")
+      .collect() shouldBe empty
+  }
+
   it("overlap counts shrink with |lag| and zero-variance overlaps are NULL") {
     val out = TimeSeries.crossCorrelation(
         dayDf(Seq(1L, 2L, 3L, 4L, 5L), "x"), dayDf(Seq(7L, 7L, 7L, 7L, 7L), "y"),

@@ -27,6 +27,24 @@ class JaroWinklerSpec extends SparkSpec {
     }
   }
 
+  it("agrees with DuckDB on ODD out-of-order counts (the integer-halving branch)") {
+    // (m − t/2)/m floors the transposition halving with INTEGER division;
+    // every literature pair above happens to have an even out-of-order
+    // count, so this branch was previously covered only by offline fuzz.
+    // Each pair below has an odd count (t in the comment = out-of-order
+    // matched positions before halving); expected doubles are DuckDB
+    // 1.0.0's jaro_winkler_similarity on the same pair.
+    val cases = Seq(
+      ("prefixabcde", "prefixbcade", 0.9818181818181818), // 3-cycle tail, t=3
+      ("eadbdba", "bddabae", 0.7428571428571429), // t=3, below the boost gate
+      ("caaeddb", "cddaeab", 0.7685714285714286), // t=3, boosted (prefix 1)
+      ("bbdcbcace", "dbecbccab", 0.7566137566137566), // t=5
+      ("dedaaaead", "aaeddeaad", 0.8888888888888888)) // t=7
+    cases.foreach { case (a, b, want) =>
+      withClue(s"$a / $b: ") { JaroWinklerAlgo.similarity(a, b) shouldBe want +- eps }
+    }
+  }
+
   it("returns 0.0 when either side is empty (the DuckDB convention)") {
     JaroWinklerAlgo.similarity("", "") shouldBe 0.0
     JaroWinklerAlgo.similarity("a", "") shouldBe 0.0

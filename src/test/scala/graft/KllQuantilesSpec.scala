@@ -179,6 +179,55 @@ class KllQuantilesSpec extends SparkSpec {
     }
   }
 
+  it("PROPERTY: the rank bound survives ANY random merge tree over a Zipf multiset") {
+    // The scaladoc's distributed caveat — "merge order can vary estimates
+    // within the rank bound" — as a tested bound instead of a comment:
+    // random chunkings merged in random tree order (the space of shapes a
+    // distributed partial aggregation can produce) must all land every
+    // probe estimate within ε·n of its target rank. Zipf frequencies
+    // (count ∝ 1/rank) make the multiset heavy on duplicates — the domain
+    // where rank estimates are most brittle.
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val k = 200
+    val zipfBase = (1 to 1500).flatMap(r => Seq.fill(math.max(1, 1500 / r))(r.toDouble)).toVector
+    val sorted = zipfBase.sorted
+    val n = zipfBase.size.toLong
+    val prop = Prop.forAll(Gen.chooseNum(0L, Long.MaxValue), Gen.chooseNum(4, 32)) {
+      (seed, nChunks) =>
+        val rnd = new scala.util.Random(seed)
+        val vals = rnd.shuffle(zipfBase)
+        // random contiguous chunking into nChunks partial sketches
+        val cuts = (Vector(0, vals.size) ++ Vector.fill(nChunks - 1)(rnd.nextInt(vals.size + 1)))
+          .sorted
+        val parts = scala.collection.mutable.ArrayBuffer(
+          cuts.sliding(2).map { case Seq(a, b) =>
+            vals.slice(a, b).foldLeft(Kll.empty)((s, x) => Kll.insert(s, x, k))
+          }.toSeq: _*)
+        // random merge tree: repeatedly merge two random partials
+        while (parts.size > 1) {
+          val a = parts.remove(rnd.nextInt(parts.size))
+          val b = parts.remove(rnd.nextInt(parts.size))
+          parts += Kll.merge(a, b, k)
+        }
+        val s = parts.head
+        s.n == n && qsProbe.forall { q =>
+          // duplicate-aware rank error: a value with count c occupies the
+          // whole rank interval [#{< v}+1, #{<= v}] — the estimate is off
+          // only by its distance from the TARGET rank to that interval
+          // (count(_ <= est) alone would charge a Zipf head value its own
+          // duplicate run as "error")
+          val est = Kll.estimate(s, q)
+          val lo = sorted.count(_ < est).toLong + 1
+          val hi = sorted.count(_ <= est).toLong
+          val target = math.ceil(q * n).toLong
+          val err = if (target < lo) lo - target else if (target > hi) target - hi else 0L
+          err <= (0.025 * n).toLong
+        }
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    withClue(res.status.toString) { res.passed shouldBe true }
+  }
+
   it("grouped streaming partials merge to exact per-group answers at ample capacity") {
     import java.nio.file.{Files => JFiles, Paths}
     val r = new scala.util.Random(23)

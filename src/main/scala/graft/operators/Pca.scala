@@ -21,14 +21,26 @@ object Pca {
     * as upper-triangle rows (i ≤ j, 0-based): (i, j, n, cov) with
     * cov = (Σxy − Σx·Σy/n)/(n−1), round 6 (summation-order drift is far
     * below the snap; per-term arithmetic mirrors the SQL oracle). */
-  def covarianceMatrix(vecs: DataFrame, vecCol: String, dim: Int): DataFrame = {
+  def covarianceMatrix(vecs: DataFrame, vecCol: String, dim: Int): DataFrame =
+    covarianceFromMoments(moments(vecs, vecCol, dim), dim)
+
+  /** The one-pass moments frame behind [[covarianceMatrix]]: ONE row of
+    * (n, sums[d], prods[d(d+1)/2]). These are plain sums — mergeable by
+    * element-wise addition — which is what makes the STREAMING twin a
+    * partial-sums store rather than a re-scan. */
+  def moments(vecs: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val agg = F.udaf(new CovMomentsAggregator(dim),
       implicitly[org.apache.spark.sql.Encoder[Seq[Float]]])
-    val moments = vecs.filter(F.col(vecCol).isNotNull && F.size(F.col(vecCol)) === dim)
+    vecs.filter(F.col(vecCol).isNotNull && F.size(F.col(vecCol)) === dim)
       .agg(agg(F.col(vecCol)).as("m"))
       .select(F.col("m.n").as("n"), F.col("m.sums").as("sums"), F.col("m.prods").as("prods"))
+  }
+
+  /** [[covarianceMatrix]] from an explicit 1-row moments frame. */
+  def covarianceFromMoments(moments: DataFrame, dim: Int): DataFrame = {
+    val spark = moments.sparkSession
     val grid = spark.range(0, dim.toLong).select(F.col("id").cast("int").as("i"))
       .crossJoin(spark.range(0, dim.toLong).select(F.col("id").cast("int").as("j")))
       .filter(F.col("i") <= F.col("j"))
@@ -119,10 +131,16 @@ object Pca {
     * variance_explained are normalization-free; rescale loadings by
     * 1/‖v‖₂ downstream if unit vectors are needed). */
   def topComponents(vecs: DataFrame, vecCol: String, dim: Int, k: Int,
-                    iters: Int = 30): (Double, Seq[(Double, Array[Double])]) = {
+                    iters: Int = 30): (Double, Seq[(Double, Array[Double])]) =
+    topComponentsFromCov(covarianceMatrix(vecs, vecCol, dim), dim, k, iters)
+
+  /** [[topComponents]] from an explicit covariance frame (i, j, cov) —
+    * the streaming twin's entry point, where the matrix comes from
+    * merged moment partials instead of a fresh data pass. */
+  def topComponentsFromCov(cov: DataFrame, dim: Int, k: Int,
+                           iters: Int = 30): (Double, Seq[(Double, Array[Double])]) = {
     def rd(x: Double, s: Int): Double = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val rows = covarianceMatrix(vecs, vecCol, dim)
-      .select("i", "j", "cov").collect()
+    val rows = cov.select("i", "j", "cov").collect()
     val a = Array.ofDim[Double](dim, dim)
     rows.foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))

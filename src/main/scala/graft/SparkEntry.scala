@@ -1073,6 +1073,18 @@ object SparkEntry {
       TimeSeries.holtWintersForecast(daily, "k", "d", "x", period = 7, h = 7)
         .withColumnRenamed("k", "event_type")
     }),
+    // Would the forecast have worked? Rolling-origin backtest: the same
+    // single fold carries every origin's one-step prediction in its
+    // accumulator (no origin × refit explosion); origins inside the
+    // two-season init window are withheld (the trend seed consumes the
+    // second season's mean — those predictions leak their own future).
+    "q_forecast_backtest" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(F.col("event_type").as("k"), F.to_date(F.col("ts")).as("d"))
+        .agg(F.count(F.lit(1)).cast("double").as("x"))
+      TimeSeries.holtWintersBacktest(daily, "k", "d", "x", period = 7)
+        .withColumnRenamed("k", "event_type")
+    }),
     // Two-sample Kolmogorov-Smirnov on event values between click and
     // purchase traffic: binning-free CDF-shape drift with the classic
     // rejection threshold; cumulative counts via the two-phase prefix
@@ -2836,6 +2848,32 @@ object SparkEntry {
       "SELECT label, n_nodes, e_in, d_tot, round(q, 6) + 0.0 AS q_c, " +
       "round(tQ, 6) + 0.0 AS modularity FROM per, tq"
 
+  /** The Holt-Winters recursive-CTE chain (daily per-type counts →
+    * indexed series → two-season init → the `hw` recursion carrying
+    * (l, b, seasonal-list, Σ|err|)) — shared by q_forecast (terminal-row
+    * projection) and q_forecast_backtest (every row i joined to
+    * observation i+1 = each origin's one-step forecast). Level re-derives
+    * inline where referenced (textually identical expression ⇒ identical
+    * IEEE value); smoothing complements are literals on BOTH sides,
+    * never 1 − α (different doubles). */
+  private def hwRecursiveCtes: String =
+    "WITH RECURSIVE s AS (SELECT event_type AS k, CAST(ts AS DATE) AS d, " +
+      "CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
+      "ix AS (SELECT k, d, x, CAST(row_number() OVER (PARTITION BY k ORDER BY d) AS BIGINT) AS i FROM s), " +
+      "nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM ix GROUP BY 1 HAVING count(*) >= 14), " +
+      "m1 AS (SELECT ix.k, round(sum(x) / 7, 9) AS m FROM ix JOIN nn ON nn.k = ix.k WHERE i <= 7 GROUP BY 1), " +
+      "m2 AS (SELECT ix.k, round(sum(x) / 7, 9) AS m FROM ix JOIN nn ON nn.k = ix.k WHERE i > 7 AND i <= 14 GROUP BY 1), " +
+      "s0 AS (SELECT ix.k, list(round(ix.x - m1.m, 9) ORDER BY ix.i) AS s FROM ix JOIN m1 ON m1.k = ix.k WHERE ix.i <= 7 GROUP BY 1), " +
+      "init AS (SELECT m1.k, m1.m AS l0, round((m2.m - m1.m) / 7, 9) AS b0, s0.s AS s0 " +
+      "FROM m1 JOIN m2 ON m2.k = m1.k JOIN s0 ON s0.k = m1.k), " +
+      "hw AS (SELECT k, CAST(7 AS BIGINT) AS i, l0 AS l, b0 AS b, s0 AS s, CAST(0 AS DOUBLE) AS ae FROM init " +
+      "UNION ALL SELECT hw.k, hw.i + 1, " +
+      "round(0.3 * (ix.x - hw.s[1]) + 0.7 * (hw.l + hw.b), 9), " +
+      "round(0.1 * (round(0.3 * (ix.x - hw.s[1]) + 0.7 * (hw.l + hw.b), 9) - hw.l) + 0.9 * hw.b, 9), " +
+      "hw.s[2:7] || [round(0.2 * (ix.x - round(0.3 * (ix.x - hw.s[1]) + 0.7 * (hw.l + hw.b), 9)) + 0.8 * hw.s[1], 9)], " +
+      "hw.ae + abs(ix.x - (hw.l + hw.b + hw.s[1])) " +
+      "FROM hw JOIN ix ON ix.k = hw.k AND ix.i = hw.i + 1)"
+
   /** Unrolled power-iteration + Hotelling-deflation mirror over the
     * 6-snapped covariance frame (the verified q_cov_matrix values): per
     * component, `iters` matvec/MAX-normalize rounds (the HITS
@@ -3683,29 +3721,24 @@ object SparkEntry {
     // identical expression => identical IEEE value); smoothing complements
     // are literals on BOTH sides, never 1 − α (different doubles).
     "q_forecast" ->
-      ("WITH RECURSIVE s AS (SELECT event_type AS k, CAST(ts AS DATE) AS d, " +
-        "CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
-        "ix AS (SELECT k, d, x, CAST(row_number() OVER (PARTITION BY k ORDER BY d) AS BIGINT) AS i FROM s), " +
-        "nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM ix GROUP BY 1 HAVING count(*) >= 14), " +
-        "m1 AS (SELECT ix.k, round(sum(x) / 7, 9) AS m FROM ix JOIN nn ON nn.k = ix.k WHERE i <= 7 GROUP BY 1), " +
-        "m2 AS (SELECT ix.k, round(sum(x) / 7, 9) AS m FROM ix JOIN nn ON nn.k = ix.k WHERE i > 7 AND i <= 14 GROUP BY 1), " +
-        "s0 AS (SELECT ix.k, list(round(ix.x - m1.m, 9) ORDER BY ix.i) AS s FROM ix JOIN m1 ON m1.k = ix.k WHERE ix.i <= 7 GROUP BY 1), " +
-        "init AS (SELECT m1.k, m1.m AS l0, round((m2.m - m1.m) / 7, 9) AS b0, s0.s AS s0 " +
-        "FROM m1 JOIN m2 ON m2.k = m1.k JOIN s0 ON s0.k = m1.k), " +
-        "hw AS (SELECT k, CAST(7 AS BIGINT) AS i, l0 AS l, b0 AS b, s0 AS s, CAST(0 AS DOUBLE) AS ae FROM init " +
-        "UNION ALL SELECT hw.k, hw.i + 1, " +
-        "round(0.3 * (ix.x - hw.s[1]) + 0.7 * (hw.l + hw.b), 9), " +
-        "round(0.1 * (round(0.3 * (ix.x - hw.s[1]) + 0.7 * (hw.l + hw.b), 9) - hw.l) + 0.9 * hw.b, 9), " +
-        "hw.s[2:7] || [round(0.2 * (ix.x - round(0.3 * (ix.x - hw.s[1]) + 0.7 * (hw.l + hw.b), 9)) + 0.8 * hw.s[1], 9)], " +
-        "hw.ae + abs(ix.x - (hw.l + hw.b + hw.s[1])) " +
-        "FROM hw JOIN ix ON ix.k = hw.k AND ix.i = hw.i + 1), " +
-        "fin AS (SELECT hw.k, hw.l, hw.b, hw.s, round(hw.ae / (nn.n - 7), 6) + 0.0 AS mae " +
+      (hwRecursiveCtes +
+        ", fin AS (SELECT hw.k, hw.l, hw.b, hw.s, round(hw.ae / (nn.n - 7), 6) + 0.0 AS mae " +
         "FROM hw JOIN nn ON nn.k = hw.k WHERE hw.i = nn.n), " +
         "st AS (SELECT CAST(range AS INT) AS step FROM range(1, 8)), " +
         "fc AS (SELECT fin.k, st.step, " +
         "round(fin.l + st.step * fin.b + fin.s[st.step], 6) + 0.0 AS forecast, fin.mae FROM fin, st) " +
         "SELECT k AS event_type, step, forecast, mae, " +
         "round(forecast - mae, 6) + 0.0 AS lo, round(forecast + mae, 6) + 0.0 AS hi FROM fc"),
+    // Rolling-origin backtest: a recursive CTE returns ALL its rows, so
+    // each step's pre-update state IS row i joined to observation i+1;
+    // origins inside the init window (i < 2p) are withheld on both sides.
+    "q_forecast_backtest" ->
+      (hwRecursiveCtes +
+        " SELECT hw.k AS event_type, ix.d AS day, ix.x AS actual, " +
+        "round(hw.l + hw.b + hw.s[1], 6) + 0.0 AS forecast, " +
+        "round(ix.x - (hw.l + hw.b + hw.s[1]), 6) + 0.0 AS err " +
+        "FROM hw JOIN ix ON ix.k = hw.k AND ix.i = hw.i + 1 WHERE hw.i >= 14"),
+
     "q_xcorr" ->
       ("WITH cx AS (SELECT CAST(ts AS DATE) AS t, CAST(count(*) AS BIGINT) AS x " +
         "FROM events WHERE event_type = 'click' GROUP BY 1), " +

@@ -467,4 +467,77 @@ object TimeSeries {
         (F.round(F.col("forecast") - F.col("mae"), 6) + F.lit(0.0)).as("lo"),
         (F.round(F.col("forecast") + F.col("mae"), 6) + F.lit(0.0)).as("hi"))
   }
+
+  /** ROLLING-ORIGIN backtest of [[holtWintersForecast]]: every one-step
+    * prediction the recursion makes against the actual that arrived —
+    * the "would this forecast have worked" evaluation a capacity model
+    * needs before anyone trusts its bands.
+    *
+    * The recursion already produces every origin's one-step forecast as
+    * it advances (pred_t = l_{t−1} + b_{t−1} + s_{t−p}, the same term
+    * the MAE accumulates), so the whole backtest is the SAME single
+    * fold with the prediction list carried in the accumulator — no
+    * origin × refit explosion. Rows before index 2p are withheld: the
+    * trend seed b₀ consumes the second season's mean, so one-step
+    * predictions inside [p+1, 2p] leak their own future through the
+    * init (the honest-origin cutoff).
+    *
+    * Output per (key, day > the 2p-th): actual, forecast, err (round 6,
+    * −0.0-guarded). The oracle reuses q_forecast's recursive CTE — a
+    * recursive CTE returns ALL its rows, so each step's pre-update
+    * state IS the join of row i with observation i+1. */
+  def holtWintersBacktest(series: DataFrame, keyCol: String, tCol: String,
+      xCol: String, period: Int = 7,
+      alpha: Double = 0.3, oneMinusAlpha: Double = 0.7,
+      beta: Double = 0.1, oneMinusBeta: Double = 0.9,
+      gamma: Double = 0.2, oneMinusGamma: Double = 0.8): DataFrame = {
+    val p = period
+    def r9(c: Column): Column = F.round(c, 9)
+    val byKey = series
+      .groupBy(F.col(keyCol).as("k"))
+      .agg(F.array_sort(F.collect_list(F.struct(F.col(tCol).as("t"),
+        F.col(xCol).cast("double").as("x")))).as("sx"))
+      .select(F.col("k"), F.transform(F.col("sx"), e => e.getField("x")).as("xs"),
+        F.transform(F.col("sx"), e => e.getField("t")).as("ts"))
+      .filter(F.size(F.col("xs")) > 2 * p)
+    val mean1 = r9(F.aggregate(F.slice(F.col("xs"), 1, p),
+      F.lit(0.0), (a, x) => a + x) / p)
+    val mean2 = r9(F.aggregate(F.slice(F.col("xs"), p + 1, p),
+      F.lit(0.0), (a, x) => a + x) / p)
+    val withInit = byKey
+      .withColumn("l0", mean1)
+      .withColumn("b0", r9((mean2 - F.col("l0")) / p))
+      .withColumn("s0", F.transform(F.slice(F.col("xs"), 1, p),
+        x => r9(x - F.col("l0"))))
+    val state = F.aggregate(
+      F.slice(F.col("xs"), F.lit(p + 1), F.size(F.col("xs")) - p),
+      F.struct(F.col("l0").as("l"), F.col("b0").as("b"),
+        F.col("s0").as("s"), F.array().cast("array<double>").as("preds")),
+      (acc, x) => {
+        val sOld = F.element_at(acc.getField("s"), 1)
+        val pred = acc.getField("l") + acc.getField("b") + sOld
+        val lN = r9(F.lit(alpha) * (x - sOld)
+          + F.lit(oneMinusAlpha) * (acc.getField("l") + acc.getField("b")))
+        val bN = r9(F.lit(beta) * (lN - acc.getField("l"))
+          + F.lit(oneMinusBeta) * acc.getField("b"))
+        val sN = r9(F.lit(gamma) * (x - lN) + F.lit(oneMinusGamma) * sOld)
+        F.struct(lN.as("l"), bN.as("b"),
+          F.concat(F.slice(acc.getField("s"), 2, p - 1), F.array(sN)).as("s"),
+          F.concat(acc.getField("preds"), F.array(pred)).as("preds"))
+      })
+    withInit
+      .withColumn("preds", state.getField("preds"))
+      // sliced position pos (1-based) ↔ series index 2p + pos: the first
+      // p predictions (indices p+1..2p) are the init-leaky ones
+      .select(F.col("k"), F.col("xs"), F.col("ts"),
+        F.posexplode(F.slice(F.col("preds"), F.lit(p + 1),
+          F.size(F.col("preds")) - p)).as(Seq("__pos", "__pred")))
+      .withColumn("__idx", F.col("__pos") + 2 * p + 1) // posexplode is 0-based
+      .select(F.col("k"),
+        F.element_at(F.col("ts"), F.col("__idx")).as("day"),
+        F.element_at(F.col("xs"), F.col("__idx")).as("actual"),
+        (F.round(F.col("__pred"), 6) + F.lit(0.0)).as("forecast"),
+        (F.round(F.element_at(F.col("xs"), F.col("__idx")) - F.col("__pred"), 6)
+          + F.lit(0.0)).as("err"))
+  }
 }

@@ -273,6 +273,31 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  it("backtest on the seasonal fixed point predicts every held-out day exactly") {
+    val p = Seq(0.0, 4.0, -4.0, 2.0, -2.0, 6.0, -6.0)
+    val xs = (0 until 28).map(i => 20.0 + p(i % 7))
+    val out = TimeSeries.holtWintersBacktest(hwDf(xs), "k", "t", "x")
+      .orderBy("day").collect()
+    out should have length 14 // n − 2p: the init window is withheld
+    out.foreach { r =>
+      r.getAs[Double]("forecast") shouldBe r.getAs[Double]("actual")
+      r.getAs[Double]("err") shouldBe 0.0
+    }
+    // withheld window: first emitted day is the 15th of the series
+    out.head.getAs[java.sql.Date]("day").toString shouldBe "2026-02-16"
+  }
+
+  it("backtest errors reflect a level break the smoother has to chase") {
+    val xs = Seq.fill(21)(10.0) ++ Seq.fill(7)(30.0) // step up in week 4
+    val out = TimeSeries.holtWintersBacktest(hwDf(xs), "k", "t", "x")
+      .orderBy("day").collect()
+    val errByDay = out.map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Double]("err")).toMap
+    errByDay("2026-02-22") shouldBe 0.0 // last flat day: no surprise
+    errByDay("2026-02-23") shouldBe 20.0 +- 1e-6 // the break day: full miss
+    // the smoother closes on the new level: later misses shrink
+    math.abs(errByDay("2026-03-01")) should be < 20.0
+  }
+
   it("keys shorter than two seasons are dropped, not mis-forecast") {
     TimeSeries.holtWintersForecast(hwDf(Seq.fill(13)(1.0)), "k", "t", "x")
       .collect() shouldBe empty

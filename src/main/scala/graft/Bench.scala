@@ -1,19 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** One arbiter measurement: min + every raw sample + the 1-min load
+    * average read at fork time. The samples make contamination VISIBLE
+    * in the artifact (a clean run is tight around the min; a contaminated
+    * one has a long tail); loadavg records the ambient state the number
+    * was taken under. */
+  final case class ArbiterResult(min: Double, samples: Seq[Double], loadavg: Double)
+
+  /** 1-minute load average from /proc/loadavg; -1.0 if unreadable. */
+  private def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   /** Min-of-N for one query in a FRESH JVM: forks `java graft.Bench` in
     * SPARK_GRAFT_ONLY mode (which never forks again — no recursion) with
     * this build's classes dir + the Spark jars, reads the child's sidecar
-    * artifact, and returns its single queries_min entry. The child's
+    * artifact, and returns its single-query min PLUS all raw samples (the
+    * child emits `queries_samples` in restricted mode). The child's
     * stdout goes to a log file, NOT the parent's stdout — the driver
     * parses the parent's last {"metric"...} line and must never see the
-    * child's restricted artifact line. */
+    * child's restricted artifact line. The log is deleted on success and
+    * kept (path printed) on failure. */
   private def forkedMin(name: String, sfDir: String, cpus: String,
-                        samples: Int): Option[Double] = {
+                        samples: Int): Option[ArbiterResult] = {
     import scala.jdk.CollectionConverters._
     val classes = new java.io.File(
       getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
-    val cp = classes + ":/opt/spark/jars/*"
+    // jars via SPARK_HOME so a non-/opt layout still forks correctly
+    val sparkJars = sys.env.getOrElse("SPARK_HOME", "/opt/spark") + "/jars/*"
+    val cp = classes + ":" + sparkJars
     val javaBin = new java.io.File(new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
     // Spark on JDK 17 needs the module opens; the launcher jar publishes
     // the canonical set so a bare `java` fork matches spark-submit's JVM
@@ -21,7 +38,11 @@ object Bench {
       .split("\\s+").toSeq.filter(_.nonEmpty)
     val sidecar = java.nio.file.Files.createTempFile("graft-arbiter-", ".json").toFile
     val log = new java.io.File(sidecar.getPath.stripSuffix(".json") + ".log")
-    val cmd = (Seq(javaBin, "-Xmx16g", "-cp", cp) ++ moduleOpts :+ "graft.Bench").asJava
+    // child heap = parent heap: the arbiter must measure under the SAME
+    // JVM config as the grid it adjudicates (and a hard-coded 16g would
+    // fail or swap on a smaller host)
+    val heapMb = math.max(1024L, Runtime.getRuntime.maxMemory() / (1L << 20))
+    val cmd = (Seq(javaBin, s"-Xmx${heapMb}m", "-cp", cp) ++ moduleOpts :+ "graft.Bench").asJava
     val pb = new ProcessBuilder(cmd)
     pb.environment().put("SPARK_GRAFT_ONLY", name)
     pb.environment().put("SPARK_GRAFT_PASSES", samples.toString)
@@ -31,17 +52,32 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
     pb.redirectOutput(log)
     pb.redirectError(log)
+    val load = loadAvg1m()
+    var ok = false
     try {
       val p = pb.start()
       if (!p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) {
         p.destroyForcibly(); System.err.println(s"[bench] arbiter $name: child timed out"); return None
       }
       val body = java.nio.file.Files.readString(sidecar.toPath)
-      val re = ("\"queries_min\":\\{\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.]+)").r
-      re.findFirstMatchIn(body).map(_.group(1).toDouble)
+      val q = java.util.regex.Pattern.quote(name)
+      val minRe = ("\"queries_min\":\\{\"" + q + "\":([0-9.]+)").r
+      val samplesRe = ("\"queries_samples\":\\{\"" + q + "\":\\[([0-9.,]*)\\]").r
+      val res = minRe.findFirstMatchIn(body).map { m =>
+        val xs = samplesRe.findFirstMatchIn(body)
+          .map(_.group(1).split(",").toSeq.filter(_.nonEmpty).map(_.toDouble))
+          .getOrElse(Seq.empty)
+        ArbiterResult(m.group(1).toDouble, xs, load)
+      }
+      ok = res.isDefined
+      res
     } catch { case e: Throwable =>
       System.err.println(s"[bench] arbiter $name: $e"); None
-    } finally { sidecar.delete(); () }
+    } finally {
+      sidecar.delete()
+      if (ok) { log.delete(); () }
+      else System.err.println(s"[bench] arbiter $name: child log kept at ${log.getPath}")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -135,6 +171,24 @@ object Bench {
     // samples of one query.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     val names = selected.toSeq.sortBy(_._1).map(_._1)
+    // AMBIENT-DRIFT CANARY (round-12 verdict missing #2): a fixed-work
+    // CPU+shuffle row — independent of sf and of every operator under
+    // test — timed once at the head of each interleaved pass. Cross-round
+    // in-grid comparison divides by the canary median to separate ambient
+    // machine drift (r12's uniform +18.5% on untouched code) from real
+    // regressions; loadavg at grid start/end records the state the board
+    // ran under. ~20M-row range → modulo-keyed shuffle agg: all CPU +
+    // shuffle machinery, no disk, no fixture dependence.
+    def canaryOnce(): Double = {
+      val s = spark
+      val t0 = System.nanoTime()
+      s.range(0L, 20000000L, 1L, cpus.toInt)
+        .selectExpr("id % 9973 AS k")
+        .groupBy("k").count().count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val loadStart = loadAvg1m()
     // First error pins the query as failed; later passes skip it (it would
     // fail identically and waste grid time) and it reports in `errors`.
     val errors = scala.collection.mutable.Map[String, String]()
@@ -146,6 +200,8 @@ object Bench {
       }
     val baseSamples: Seq[Map[String, Double]] = (1 to passes).map { p =>
       System.err.println(s"[bench] pass $p/$passes")
+      try canarySamples += canaryOnce()
+      catch { case e: Throwable => System.err.println(s"[bench] canary failed: $e") }
       names.flatMap(n => sample(n).map(n -> _)).toMap
     }
     // Round-over-round calibration on BYTE-IDENTICAL code showed the
@@ -174,6 +230,15 @@ object Bench {
     val results: Map[String, Double] = finalOk.map(n => n -> med(allSamples(n))).toMap
     val mins: Map[String, Double] = finalOk.map(n => n -> allSamples(n).min).toMap
     def r3(v: Double): String = f"$v%.3f"
+    // Raw per-query samples, emitted ONLY in restricted mode: the arbiter
+    // parent reads them from its child's sidecar so contamination is
+    // visible (all 5 samples, not just the min). A full 230-row grid would
+    // bloat the artifact line ~4x for no reader, so full runs skip it.
+    val samplesJson: Option[String] =
+      if (only.isEmpty) None
+      else Some(finalOk.sorted.map { n =>
+        "\"" + n + "\":[" + allSamples(n).map(r3).mkString(",") + "]"
+      }.mkString("{", ",", "}"))
     def jmap(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     def jerr(m: scala.collection.Map[String, String]): String = m.toSeq.sortBy(_._1)
@@ -220,8 +285,13 @@ object Bench {
     // via RUNBOOK.md).
     // third probe: the iterative-graph headline — HITS is iters × |E|
     // joins, so its exponent should track edge growth (~linear), unlike
-    // the candidate-volume and wedge-bounded stories of the other two
-    val scalingQueries = Seq("q_jaccard_join", "q_triangle_count", "q_hits")
+    // the candidate-volume and wedge-bounded stories of the other two.
+    // fourth probe (round-12 verdict item 4): q_louvain is the board's
+    // heaviest row and its per-sweep cost is one |E|-row combinable
+    // aggregate + |V|-row joins, so its exponent should track edge
+    // growth like q_hits — a drift toward 2 would mean the sweep
+    // degenerated to pairwise work.
+    val scalingQueries = Seq("q_jaccard_join", "q_triangle_count", "q_hits", "q_louvain")
     // gated on the FIXTURES, not on the isolated tier being non-empty — a
     // round where every grid min dips under the threshold must not
     // silently drop the documented per-round cost-exponent probe
@@ -285,24 +355,54 @@ object Bench {
       if (only.isDefined || sys.env.contains("SPARK_GRAFT_SKIP_ISOLATED")) Seq.empty
       else sys.env.getOrElse("SPARK_GRAFT_ARBITER", "ivf_pq_serve")
         .split(",").toSeq.filter(finalOk.contains)
+    // Bar the arbiter adjudicates against (round-12 verdict item 1): when
+    // the fresh-process min still exceeds it, the artifact says so in a
+    // machine-readable flag instead of leaving the contradiction for a
+    // judge rerun to discover. One bar for all arbiter queries today
+    // (serve's 3.5 s); override via env if a second arbiter row ever
+    // carries a different bar.
+    val arbiterBar = sys.env.getOrElse("SPARK_GRAFT_ARBITER_BAR", "3.5").toDouble
     val arbiterJson: Option[String] =
       if (arbiterNames.isEmpty) None
       else {
         spark.stop() // the child gets the whole machine
-        val iso: Map[String, Double] = arbiterNames.flatMap { n =>
+        // Quiesce BEFORE the fork (round-12 verdict item 1): the fork
+        // launches seconds after a ~40-minute grid's JVM releases the
+        // machine — parent heap residency, page-cache churn and scheduler
+        // state contaminated r12's recorded 10.2 s (vs 2.6-3.0 s on a
+        // quiet machine). The isolated tier already learned this; the
+        // arbiter gets the same gc + 10 s pause.
+        System.gc()
+        Thread.sleep(10000)
+        val iso: Map[String, ArbiterResult] = arbiterNames.flatMap { n =>
           forkedMin(n, sfDir, cpus, samples = 5) match {
-            case Some(sec) => Some(n -> sec)
+            case Some(res) => Some(n -> res)
             case None => System.err.println(s"[bench] arbiter $n: fork failed (see stderr)"); None
           }
         }.toMap
         spark = newSession() // anything after (nothing today) gets a live session back
-        if (iso.isEmpty) None else Some(jmap(iso))
+        if (iso.isEmpty) None
+        else Some(iso.toSeq.sortBy(_._1).map { case (n, r) =>
+          val flag = if (r.min > arbiterBar) ",\"arbiter_bar_exceeded\":true" else ""
+          "\"" + n + "\":{\"min\":" + r3(r.min) +
+            ",\"samples\":[" + r.samples.map(r3).mkString(",") + "]" +
+            ",\"loadavg\":" + r3(r.loadavg) + ",\"bar\":" + r3(arbiterBar) + flag + "}"
+        }.mkString("{", ",", "}"))
       }
+    val loadEnd = loadAvg1m()
+    val canaryJson: Option[String] =
+      if (canarySamples.isEmpty) None
+      else Some("{\"median\":" + r3(med(canarySamples.toSeq)) +
+        ",\"min\":" + r3(canarySamples.min) +
+        ",\"samples\":[" + canarySamples.map(r3).mkString(",") + "]}")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},""" +
       s""""queries_min":${jmap(mins)},""" +
+      samplesJson.fold("")(j => s""""queries_samples":$j,""") +
       isolatedJson.fold("")(j => s""""queries_isolated":$j,""") +
       scalingJson.fold("")(j => s""""scaling":$j,""") +
       arbiterJson.fold("")(j => s""""queries_arbiter":$j,""") +
+      canaryJson.fold("")(j => s""""canary":$j,""") +
+      s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},""" +
       s""""errors":${jerr(errors)},"failures":${errors.size},""" +
       pipeline.fold("")(p => s""""pipeline":$p,""") +
       s""""sf":"$sfDir","passes":$passes,"heavy_passes":$heavyPasses}"""

@@ -932,6 +932,49 @@ object SparkEntry {
         .union(e.select(F.col("dst").as("node"))).distinct()
       Graph.louvainRefine(e, nodes.select(F.col("node"), F.col("node").as("label")), sweeps = 2)
     }),
+    // Two-level Louvain (Blondel phase 2) from the LPA-3 seed: level 1
+    // already finds the complete projection's single community, so the
+    // contraction collapses to ONE supernode (a pure self-loop) and the
+    // weighted sweep proves the degenerate path end-to-end — empty
+    // cross-edge set, empty candidate set, reject-on-no-improvement,
+    // q_init = q_final; the ascent row below exercises the real
+    // contracted-graph climb.
+    "q_louvain_l2" -> ((s, dir) => {
+      val su = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_suppkey").as("sk")).distinct()
+      val e = su.as("x").join(su.as("y"),
+          F.col("x.o") === F.col("y.o") && F.col("x.sk") < F.col("y.sk"))
+        .groupBy(F.col("x.sk").as("src"), F.col("y.sk").as("dst"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("src", "dst")
+        .localCheckpoint(true)
+      Graph.louvainLevel2(e, Graph.labelPropagation(e, iters = 3), sweeps1 = 2, sweeps2 = 2)
+    }),
+    // Level-2 ascent: a PARITY seed pinned through level 1 (sweeps1 = 0 —
+    // the under-merge harness) contracts to two supernodes carrying real
+    // self-loops and a cross weight; the weighted sweep merges the
+    // bigger label into the smaller (the swap guard's deterministic
+    // direction) and Q climbs from the negative two-block score to the
+    // complete graph's 0 — a genuine accepted move ON the contracted
+    // multigraph, with every weighted ΔQ operand hash-pinned across
+    // engines.
+    "q_louvain_l2_ascent" -> ((s, dir) => {
+      val su = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_suppkey").as("sk")).distinct()
+      val e = su.as("x").join(su.as("y"),
+          F.col("x.o") === F.col("y.o") && F.col("x.sk") < F.col("y.sk"))
+        .groupBy(F.col("x.sk").as("src"), F.col("y.sk").as("dst"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val nodes = e.select(F.col("src").as("node"))
+        .union(e.select(F.col("dst").as("node"))).distinct()
+      Graph.louvainLevel2(e,
+        nodes.select(F.col("node"), (F.col("node") % 2).as("label")),
+        sweeps1 = 0, sweeps2 = 2)
+    }),
     // Pareto skyline (cheapest AND largest parts): pivot-prefiltered
     // local-then-global BNL (Skyline.scala); the oracle is the literal
     // quadratic NOT EXISTS dominance definition, so equality proves the
@@ -2781,7 +2824,16 @@ object SparkEntry {
     * (pp), its Q score (12-snapped terms, 9-snapped total), and the
     * accept-iff-strictly-better CASE (lv/qv). `seed` names the initial
     * label CTE: l3 (the LPA-3 partition) or l0 (singletons). */
-  private def louvainCtes(seed: String, sweeps: Int): String = {
+  private def louvainCtes(seed: String, sweeps: Int): String =
+    louvainSweepCtes(seed, sweeps) +
+      s" SELECT l.id AS node_id, l.lbl AS label, round(q0.q, 6) + 0.0 AS q_init, " +
+      s"round(qs.q, 6) + 0.0 AS q_final FROM lv$sweeps l, qv0 q0, qv$sweeps qs"
+
+  /** The louvain sweep CTE chain WITHOUT the terminal projection — the
+    * level-2 mirror builds its contraction on top of `lv$sweeps`. A 0
+    * sweep count yields just the prelude (lv0 = the seed partition, qv0
+    * its score) — the under-merge harness for the level-2 ascent row. */
+  private def louvainSweepCtes(seed: String, sweeps: Int): String = {
     def qSql(l: String): String =
       "SELECT round(sum(t), 9) AS q FROM (" +
         "SELECT round(CAST(coalesce(ec.e_in, CAST(0 AS BIGINT)) AS DOUBLE) / m " +
@@ -2821,9 +2873,76 @@ object SparkEntry {
         s"qv$i AS MATERIALIZED (SELECT CASE WHEN qp.q > ql.q THEN qp.q ELSE ql.q END AS q " +
         s"FROM qp$i qp, qv${i - 1} ql)"
     }.mkString(", ", ", ", "")
-    prelude + rounds +
-      s" SELECT l.id AS node_id, l.lbl AS label, round(q0.q, 6) + 0.0 AS q_init, " +
-      s"round(qs.q, 6) + 0.0 AS q_final FROM lv$sweeps l, qv0 q0, qv$sweeps qs"
+    // sweeps = 0 → prelude alone (mkString on an empty rounds list would
+    // emit a stray ", " — the labelPropCtes lesson)
+    if (sweeps == 0) prelude else prelude + rounds
+  }
+
+  /** Unrolled TWO-LEVEL Louvain mirror (Blondel 2008 phase 2): the level-1
+    * sweep chain, then the contraction — community endpoints of every
+    * undirected edge, (least, greatest)-canonicalized, counted into
+    * weights `ce` (a = b rows are the self-loops) — weighted degrees
+    * `dg2` (self-loops twice, so k_C = Σ k_v), the directed cross-edge
+    * view `e2s`, the identity seed `wl0`, and `sweeps2` weighted replays
+    * of the exact sweep algebra (sum(w) where level 1 counts; the
+    * self-loop cancels out of ΔQ so the candidate expression is
+    * unchanged). Terminal projection maps node → level-1 community →
+    * level-2 label and carries q_init = Q(level-1 partition) (= qw0 by
+    * the operand-for-operand identity) and the accepted q_final. */
+  private def louvainL2Ctes(seed: String, sweeps1: Int, sweeps2: Int): String = {
+    def qSql2(l: String): String =
+      "SELECT round(sum(t), 9) AS q FROM (" +
+        "SELECT round(CAST(coalesce(ec.e_in, CAST(0 AS BIGINT)) AS DOUBLE) / m " +
+        "- (CAST(sg.sig AS DOUBLE) / (2 * m)) * (CAST(sg.sig AS DOUBLE) / (2 * m)), 12) AS t " +
+        s"FROM (SELECT l.lbl AS label, CAST(sum(dg2.kv) AS BIGINT) AS sig " +
+        s"FROM $l l JOIN dg2 ON dg2.node = l.id GROUP BY 1) sg " +
+        s"LEFT JOIN (SELECT x.lbl AS label, CAST(sum(ce.w) AS BIGINT) AS e_in " +
+        s"FROM ce JOIN $l x ON x.id = ce.a JOIN $l y ON y.id = ce.b AND y.lbl = x.lbl " +
+        "GROUP BY 1) ec ON ec.label = sg.label, mm)"
+    val contraction =
+      s", ce AS MATERIALIZED (SELECT least(x.lbl, y.lbl) AS a, greatest(x.lbl, y.lbl) AS b, " +
+      s"CAST(count(*) AS BIGINT) AS w FROM e0 JOIN lv$sweeps1 x ON x.id = e0.a " +
+      s"JOIN lv$sweeps1 y ON y.id = e0.b GROUP BY 1, 2)" +
+      ", dg2 AS MATERIALIZED (SELECT node, CAST(sum(wd) AS BIGINT) AS kv FROM (" +
+      "SELECT a AS node, CASE WHEN a = b THEN w * 2 ELSE w END AS wd FROM ce " +
+      "UNION ALL SELECT b AS node, w AS wd FROM ce WHERE a <> b) GROUP BY 1)" +
+      ", e2s AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ce WHERE a <> b " +
+      "UNION ALL SELECT b AS src, a AS dst, w FROM ce WHERE a <> b)" +
+      ", wl0 AS MATERIALIZED (SELECT node AS id, node AS lbl FROM dg2)" +
+      s", qw0 AS MATERIALIZED (${qSql2("wl0")})"
+    val rounds = (1 to sweeps2).map { i =>
+      s"sw$i AS MATERIALIZED (SELECT l.lbl AS label, CAST(sum(dg2.kv) AS BIGINT) AS sig, " +
+        s"CAST(count(*) AS BIGINT) AS nc FROM wl${i - 1} l JOIN dg2 ON dg2.node = l.id GROUP BY 1), " +
+        s"kw$i AS MATERIALIZED (SELECT e2s.src AS node, l.lbl AS cand, CAST(sum(e2s.w) AS BIGINT) AS k_to " +
+        s"FROM e2s JOIN wl${i - 1} l ON l.id = e2s.dst GROUP BY 1, 2), " +
+        s"bw$i AS MATERIALIZED (SELECT l.id AS node, l.lbl AS label, dg2.kv AS kv, " +
+        s"sg.sig AS sig_a, sg.nc AS n_a, coalesce(ka.k_to, CAST(0 AS BIGINT)) AS k_va " +
+        s"FROM wl${i - 1} l JOIN dg2 ON dg2.node = l.id JOIN sw$i sg ON sg.label = l.lbl " +
+        s"LEFT JOIN kw$i ka ON ka.node = l.id AND ka.cand = l.lbl), " +
+        s"cw$i AS (SELECT b.node, b.label, c.cand, " +
+        "round(CAST(c.k_to - b.k_va AS DOUBLE) / m - CAST(b.kv AS DOUBLE) " +
+        "* CAST(s2.sig - b.sig_a + b.kv AS DOUBLE) / (2.0 * m * m), 9) AS dq, " +
+        s"b.n_a, s2.nc AS n_b FROM kw$i c JOIN bw$i b ON b.node = c.node AND c.cand <> b.label " +
+        s"JOIN sw$i s2 ON s2.label = c.cand, mm), " +
+        s"tw$i AS (SELECT node, cand FROM (SELECT node, cand, " +
+        "row_number() OVER (PARTITION BY node ORDER BY dq DESC, cand) AS rn " +
+        // parity gate: sweep i admits movers whose current label has
+        // parity i % 2 (breaks synchronous down-label chains; see
+        // Graph.louvainLevel2)
+        s"FROM cw$i WHERE dq > 0 AND (label % 2 = ${i % 2}) " +
+        "AND NOT (n_a = 1 AND n_b = 1 AND cand > label)) WHERE rn = 1), " +
+        s"pw$i AS MATERIALIZED (SELECT b.node AS id, coalesce(bt.cand, b.label) AS lbl " +
+        s"FROM bw$i b LEFT JOIN tw$i bt ON bt.node = b.node), " +
+        s"qq$i AS MATERIALIZED (${qSql2(s"pw$i")}), " +
+        s"wl$i AS MATERIALIZED (SELECT p.id, CASE WHEN qp.q > ql.q THEN p.lbl ELSE l.lbl END AS lbl " +
+        s"FROM pw$i p JOIN wl${i - 1} l ON l.id = p.id, qq$i qp, qw${i - 1} ql), " +
+        s"qw$i AS MATERIALIZED (SELECT CASE WHEN qp.q > ql.q THEN qp.q ELSE ql.q END AS q " +
+        s"FROM qq$i qp, qw${i - 1} ql)"
+    }.mkString(", ", ", ", "")
+    louvainSweepCtes(seed, sweeps1) + contraction + rounds +
+      s" SELECT l1.id AS node_id, w.lbl AS label, round(q0.q, 6) + 0.0 AS q_init, " +
+      s"round(qs.q, 6) + 0.0 AS q_final FROM lv$sweeps1 l1 JOIN wl$sweeps2 w ON w.id = l1.lbl, " +
+      s"qw0 q0, qw$sweeps2 qs"
   }
 
   private def labelPropOracle(iters: Int): String =
@@ -3456,6 +3575,10 @@ object SparkEntry {
     "q_modularity" -> modularityOracle(iters = 3),
     "q_louvain" -> (labelPropCtes(3) + louvainCtes(seed = "l3", sweeps = 2)),
     "q_louvain_ascent" -> (labelPropCtes(0) + louvainCtes(seed = "l0", sweeps = 2)),
+    "q_louvain_l2" -> (labelPropCtes(3) + louvainL2Ctes(seed = "l3", sweeps1 = 2, sweeps2 = 2)),
+    "q_louvain_l2_ascent" -> (labelPropCtes(0) +
+      ", lp AS (SELECT id, id % 2 AS lbl FROM l0)" +
+      louvainL2Ctes(seed = "lp", sweeps1 = 0, sweeps2 = 2)),
     "q_skyline" ->
       ("WITH t AS (SELECT p_partkey, p_size, CAST(p_retailprice AS DOUBLE) AS p_price FROM part) " +
         "SELECT p_partkey, p_size, p_price FROM t x " +

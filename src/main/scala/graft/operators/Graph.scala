@@ -489,6 +489,155 @@ object Graph {
       (F.round(F.lit(q), 6) + F.lit(0.0)).as("q_final"))
   }
 
+  /** Two-level Louvain (Blondel, Guillaume, Lambiotte & Lefebvre, "Fast
+    * unfolding of communities in large networks", J. Stat. Mech. 2008
+    * §2, phase 2): run [[louvainRefine]]'s local-move phase, CONTRACT the
+    * refined partition to a supernode multigraph — community → node,
+    * inter-community edge counts → weights, intra-community edge counts →
+    * self-loops (ONE grouped aggregate over |E|) — re-run the local-move
+    * sweep WEIGHTED on the coarsened graph, and map labels back. This is
+    * where modularity actually climbs on real graphs: level 1 stops at
+    * the resolution floor of single-node moves; moving whole communities
+    * is exactly what the contraction buys (a supernode move is a
+    * community merge).
+    *
+    * The weighted ΔQ is the same algebra as level 1 — a supernode's
+    * self-loop cancels out of ΔQ (it leaves community A and enters B with
+    * the node), so
+    *
+    *   ΔQ(C: A→B) = (w_CB − w_CA)/m − k_C·(Σ_B − Σ_A + k_C)/(2m²),
+    *
+    * with w_C· sums of contracted edge weights (excluding C's self-loop)
+    * and k_C the weighted degree counting the self-loop twice, so that
+    * k_C = Σ_{v∈C} k_v and m is unchanged — exact integers all, making
+    * every candidate score the same fixed-shape IEEE expression as level
+    * 1, replayable by an unrolled SQL mirror. Q(identity partition of the
+    * contracted graph) = Q(level-1 partition of the original graph)
+    * OPERAND-FOR-OPERAND (sig_C = k_C, e_in(C) = selfloop(C)), so the
+    * level-2 climb continues from exactly the level-1 score, and the
+    * accept-iff-strictly-better sweep guard makes Q(l2) ≥ Q(l1) a
+    * structural guarantee. Synchronous-move determinism (swap guard,
+    * (max ΔQ, min label) argmax, 9/12-snap discipline) carries over
+    * verbatim.
+    *
+    * At 100 TB scale the contracted graph is orders of magnitude smaller
+    * than the input (|communities| ≤ |V|, usually ≪), so level 2's
+    * per-sweep exchanges are tiny; the only |E|-sized work is the one
+    * contraction aggregate.
+    *
+    * `sweeps1` = level-1 local-move sweeps (0 pins the init partition —
+    * the under-merge harness used by the spec); `sweeps2` = sweeps on the
+    * contracted graph. Output: (node_id, label, q_init, q_final) with
+    * q_init = Q(level-1 partition) and q_final = Q after level 2 —
+    * labels are level-1 community ids re-labeled by level 2's merge. */
+  def louvainLevel2(edges: DataFrame, init: DataFrame,
+                    sweeps1: Int = 2, sweeps2: Int = 2): DataFrame = {
+    val und = undirect(edges).localCheckpoint(true) // feeds m AND the contraction
+    val m = und.count() // unchanged by contraction: Σw + Σselfloops = |E|
+    require(m > 0, "louvainLevel2 needs at least one edge")
+    val mD = m.toDouble
+    val lab1 = louvainRefine(edges, init, sweeps1)
+      .select(F.col("node_id").as("node"), F.col("label"))
+      .localCheckpoint(true) // feeds the contraction AND the final map-back
+    // Phase-2 contraction: community endpoints, canonical (least, greatest)
+    // orientation, weight = original-edge multiplicity. a = b rows are the
+    // self-loops (intra-community edges).
+    val ce = und
+      .join(lab1.select(F.col("node").as("a"), F.col("label").as("la")), "a")
+      .join(lab1.select(F.col("node").as("b"), F.col("label").as("lb")), "b")
+      .select(F.least(F.col("la"), F.col("lb")).as("a"),
+        F.greatest(F.col("la"), F.col("lb")).as("b"))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("w"))
+      .localCheckpoint(true) // feeds degrees, sym, AND every sweep's e_in
+    // weighted degree k_C = Σ_{v∈C} k_v: self-loops twice, cross once per end
+    val dg = ce.select(F.col("a").as("node"),
+        F.when(F.col("a") === F.col("b"), F.col("w") * 2).otherwise(F.col("w")).as("wd"))
+      .unionAll(ce.filter(F.col("a") =!= F.col("b"))
+        .select(F.col("b").as("node"), F.col("w").as("wd")))
+      .groupBy("node").agg(F.sum("wd").as("kv"))
+      .localCheckpoint(true)
+    val cross = ce.filter(F.col("a") =!= F.col("b"))
+    val sym = cross.select(F.col("a").as("src"), F.col("b").as("dst"), F.col("w"))
+      .unionAll(cross.select(F.col("b").as("src"), F.col("a").as("dst"), F.col("w")))
+      .repartition(F.col("dst")) // every sweep's neighbor-label join keys on dst
+      .localCheckpoint(true)
+    // Weighted Q: e_in(label) = Σ w over contracted edges with both ends in
+    // the label — self-loops (a = b) qualify automatically. Same 12-snap
+    // terms / 9-snap total as level 1.
+    def qOf(lab: DataFrame): Double = {
+      val sig = lab.join(dg, "node").groupBy("label").agg(F.sum("kv").as("sig"))
+      val ein = ce
+        .join(lab.select(F.col("node").as("a"), F.col("label").as("la")), "a")
+        .join(lab.select(F.col("node").as("b"), F.col("label").as("lb")), "b")
+        .filter(F.col("la") === F.col("lb"))
+        .groupBy(F.col("la").as("label")).agg(F.sum("w").as("e_in"))
+      val row = sig.join(ein, Seq("label"), "left")
+        .select(F.round(
+          F.coalesce(F.col("e_in"), F.lit(0L)).cast("double") / F.lit(mD)
+            - (F.col("sig").cast("double") / F.lit(2 * mD))
+            * (F.col("sig").cast("double") / F.lit(2 * mD)), 12).as("t"))
+        .agg(F.round(F.sum("t"), 9)).collect()(0)
+      if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    }
+    // identity seed: each supernode its own community (label = community id)
+    var lab = dg.select(F.col("node"), F.col("node").as("label")).localCheckpoint(true)
+    var q = qOf(lab)
+    val qInit = q // = Q(level-1 partition) operand-for-operand
+    for (s <- 1 to sweeps2) {
+      val sig = lab.join(dg, "node")
+        .groupBy("label").agg(F.sum("kv").as("sig"), F.count(F.lit(1)).as("nc"))
+      // w_Cc: weight from each supernode into each neighboring community —
+      // the sweep's only contracted-graph-sized exchange
+      val kvc = sym.join(lab.select(F.col("node").as("dst"), F.col("label").as("cand")), "dst")
+        .groupBy(F.col("src").as("node"), F.col("cand"))
+        .agg(F.sum("w").as("k_to"))
+      val kva = kvc.join(lab, Seq("node")).filter(F.col("cand") === F.col("label"))
+        .select(F.col("node"), F.col("k_to").as("k_va"))
+      val base = lab.join(dg, "node")
+        .join(sig.select(F.col("label"), F.col("sig").as("sig_a"), F.col("nc").as("n_a")), "label")
+        .join(kva, Seq("node"), "left")
+        .select(F.col("node"), F.col("label"), F.col("kv"), F.col("sig_a"), F.col("n_a"),
+          F.coalesce(F.col("k_va"), F.lit(0L)).as("k_va"))
+      val cand = kvc.join(base, "node").filter(F.col("cand") =!= F.col("label"))
+        .join(sig.select(F.col("label").as("cand"), F.col("sig").as("sig_b"), F.col("nc").as("n_b")), "cand")
+        .withColumn("dq", F.round(
+          (F.col("k_to") - F.col("k_va")).cast("double") / F.lit(mD)
+            - F.col("kv").cast("double")
+            * (F.col("sig_b") - F.col("sig_a") + F.col("kv")).cast("double")
+            / F.lit(2 * mD * mD), 9))
+        // the PARITY GATE (level-2 only): in sweep s only supernodes whose
+        // current label has parity s % 2 may move. A contracted graph's
+        // supernodes are few and densely adjacent, so the synchronous
+        // all-move proposal chains (every node shifts one step down-label
+        // in the same sweep) and the chained proposal can score BELOW the
+        // start — accept-iff-better then rejects every sweep and level 2
+        // stalls exactly where it should climb (the ring-of-cliques spec
+        // pins this). Alternating halves breaks chains deterministically
+        // (the coloring idea of Lu, Halappanavar & Kalyanaraman, ParCo
+        // 2015, reduced to a 2-coloring of labels): neighbors with
+        // opposite-parity labels can never both move in one sweep. A pure
+        // filter — scale-free, oracle-able, and the swap guard still
+        // covers same-parity singleton pairs.
+        .filter(F.col("dq") > 0 &&
+          F.col("label") % 2 === F.lit((s % 2).toLong) &&
+          !(F.col("n_a") === 1 && F.col("n_b") === 1 && F.col("cand") > F.col("label")))
+      val best = cand.groupBy("node")
+        .agg(F.min(F.struct((-F.col("dq")).as("nd"), F.col("cand").as("c"))).as("mv"))
+        .select(F.col("node"), F.col("mv.c").as("new_label"))
+      val prop = lab.join(best, Seq("node"), "left")
+        .select(F.col("node"), F.coalesce(F.col("new_label"), F.col("label")).as("label"))
+        .localCheckpoint(true)
+      val qp = qOf(prop)
+      if (qp > q) { lab = prop; q = qp }
+    }
+    // map back: node → level-1 community → level-2 label
+    lab1.join(lab.select(F.col("node").as("__c"), F.col("label").as("l2")),
+        F.col("label") === F.col("__c"))
+      .select(F.col("node").as("node_id"), F.col("l2").as("label"),
+        (F.round(F.lit(qInit), 6) + F.lit(0.0)).as("q_init"),
+        (F.round(F.lit(q), 6) + F.lit(0.0)).as("q_final"))
+  }
+
   /** The k-CORE — the maximal subgraph in which every node keeps degree
     * ≥ k — by iterative peeling (Seidman, "Network structure and minimum
     * degree", Social Networks 1983): drop all nodes of degree < k,

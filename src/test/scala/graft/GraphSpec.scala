@@ -171,6 +171,80 @@ class GraphSpec extends SparkSpec {
     qFinal shouldBe 0.423077
   }
 
+  // ---- louvainLevel2 --------------------------------------------------
+
+  private def louvainL2(e: Seq[(Long, Long)], init: Seq[(Long, Long)],
+                        s1: Int, s2: Int) = {
+    val out = Graph.louvainLevel2(e.toDF("src", "dst"), init.toDF("node", "label"), s1, s2)
+      .collect()
+    (out.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      out.head.getDouble(2), out.head.getDouble(3))
+  }
+
+  it("level 2 climbs past the per-clique resolution floor on a ring of triangles") {
+    // ring of 10 K3s (m = 40): the per-clique partition scores
+    // Q = 10·(3/40 − (8/80)²) = 0.65, but merging clique PAIRS scores
+    // 5·(7/40 − (16/80)²) = 0.675 — the Fortunato–Barthélemy resolution
+    // limit. Level 1 is provably stuck: every single-node move out of a
+    // triangle has ΔQ < 0 ((1−2)/40 minus a positive degree term), so
+    // the per-clique seed survives both sweeps untouched. Level 2 moves
+    // whole cliques (supernodes) and climbs.
+    val cliq = (0L until 10L).flatMap { c =>
+      val n = Seq(3 * c + 1, 3 * c + 2, 3 * c + 3)
+      for (i <- 0 until 3; j <- i + 1 until 3) yield (n(i), n(j))
+    }
+    val ring = (0L until 10L).map(c => (3 * c + 3, 3 * ((c + 1) % 10) + 1))
+    val edges = cliq ++ ring
+    val init = (0L until 10L).flatMap(c =>
+      Seq(3 * c + 1, 3 * c + 2, 3 * c + 3).map(n => (n, 3 * c + 1)))
+    val (_, qi1, qf1) = louvain(edges, init, 2)
+    qi1 shouldBe 0.65
+    qf1 shouldBe 0.65 // one level under-merges: stuck at the floor
+    val (labels, qi2, qf2) = louvainL2(edges, init, 0, 2)
+    qi2 shouldBe 0.65 // Q(identity on contracted) = Q(l1) operand-for-operand
+    // hand-traced parity-gated sweeps: sweep 1 (odd labels move) forms 4
+    // pairs (Q = 0.67), sweep 2 (even) closes the last pair {c_0, c_9} —
+    // the textbook pair-merge optimum 5·(7/40 − (16/80)²)
+    qf2 shouldBe 0.675
+    labels.values.toSet.size shouldBe 5
+    // cliques are never split by a supernode move — level 2 can only merge
+    (0L until 10L).foreach { c =>
+      Seq(3 * c + 1, 3 * c + 2, 3 * c + 3).map(labels).toSet.size shouldBe 1
+    }
+  }
+
+  it("level 2 merges pair-communities into the bridged K4 cliques") {
+    // seed splits each K4 into two pairs; the contracted graph is 4
+    // supernodes (self-loop 1 each, cross weight 4 within a clique,
+    // bridge weight 1). Hand-traced weighted sweep: P2 joins P1
+    // (ΔQ = 4/13 − 7·6/338 > 0), P4 joins P3; the bridge merge stays
+    // negative — final = the cliques, Q = 2·(6/13 − (13/26)²).
+    val c1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val c2 = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val edges = c1 ++ c2 :+ ((4L, 5L))
+    val init = Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L)
+    val (labels, qInit, qFinal) = louvainL2(edges, init, 0, 2)
+    qInit shouldBe 0.056213 // 2·(1/13 − (6/26)²) + 2·(1/13 − (7/26)²)
+    qFinal shouldBe 0.423077
+    (1L to 4L).map(labels).toSet.size shouldBe 1
+    (5L to 8L).map(labels).toSet.size shouldBe 1
+    labels(1L) should not be labels(5L)
+  }
+
+  it("level 2 never scores below level 1 and is deterministic") {
+    val r = new scala.util.Random(11)
+    val e = Seq.fill(80)((r.nextInt(24).toLong, r.nextInt(24).toLong))
+      .filter(p => p._1 != p._2)
+    val init = e.flatMap(p => Seq(p._1, p._2)).distinct.map(n => (n, n))
+    val (_, _, qf1) = louvain(e, init, 2)
+    val (la, qia, qfa) = louvainL2(e, init, 2, 2)
+    qia shouldBe qf1 // level-2 q_init IS the level-1 score
+    qfa should be >= qia // accept-iff-better carries through the contraction
+    val (lb, qib, qfb) = louvainL2(e, init, 2, 2)
+    lb shouldBe la; qib shouldBe qia; qfb shouldBe qfa
+  }
+
   // ---- hopDistances -------------------------------------------------
 
   private def hops(e: Seq[(Long, Long)], src: Seq[Long], maxHops: Int): Map[Long, Long] =

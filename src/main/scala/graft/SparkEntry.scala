@@ -1072,6 +1072,28 @@ object SparkEntry {
           F.col("p0").isNotNull.cast("int").as("obs"))
       Survival.kaplanMeier(subj, "dur", "obs")
     }),
+    // Log-rank two-cohort comparison on the same time-to-first-purchase
+    // design: cohorts = user-id parity (a null-effect split, so the row
+    // proves the full observed/expected/variance algebra with χ² near 0
+    // rather than a foregone rejection). At-risk counts fall out of the
+    // KM cumulative window; E and V accumulate as ORDERED window sums
+    // over the days-sized event axis — bit-replayable in both engines.
+    "q_logrank" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+      val seen = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
+      val f = seen.groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("f0"))
+      val p = seen.filter(F.col("event_type") === "purchase")
+        .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("p0"))
+      val subj = f.join(p, Seq("user_id"), "left").crossJoin(F.broadcast(cut))
+        .select(
+          F.when(F.col("p0").isNotNull,
+              F.datediff(F.to_date(F.col("p0")), F.to_date(F.col("f0"))))
+            .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
+          F.col("p0").isNotNull.cast("int").as("obs"),
+          (F.col("user_id") % 2).as("cohort"))
+      Survival.logRank(subj, "dur", "obs", "cohort")
+    }),
     // Benford first-digit screen on pricing: digit from the STRING
     // rendering's first [1-9] (immune to log/pow edge rounding and
     // trailing-zero rendering differences), Pearson distance from the
@@ -3813,6 +3835,50 @@ object SparkEntry {
         "SELECT t, n_risk, d AS d_events, c - d AS n_censored, " +
         "CASE WHEN d = n_risk THEN CAST(0 AS DOUBLE) " +
         "ELSE round(exp(sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) END AS survival FROM r"),
+    // Same subject derivation as q_survival plus the parity cohort; the
+    // at-risk windows are the KM shape (HUGEINT-cast, the r11 lesson),
+    // E/V accumulate as ordered window sums, and the terminal row is
+    // row_number DESC = 1 — the operator's exact shapes operand for
+    // operand.
+    "q_logrank" ->
+      ("WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
+        "f AS (SELECT user_id, min(ts) AS f0 FROM events, cut WHERE ts <= c GROUP BY 1), " +
+        "p AS (SELECT user_id, min(ts) AS p0 FROM events, cut " +
+        "WHERE event_type = 'purchase' AND ts <= c GROUP BY 1), " +
+        "subj AS (SELECT f.user_id % 2 AS g, CASE WHEN p0 IS NOT NULL " +
+        "THEN date_diff('day', CAST(f0 AS DATE), CAST(p0 AS DATE)) " +
+        "ELSE date_diff('day', CAST(f0 AS DATE), CAST(c AS DATE)) END AS t0, " +
+        "CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS obs " +
+        "FROM f LEFT JOIN p ON p.user_id = f.user_id, cut), " +
+        "bytg AS (SELECT CAST(t0 AS BIGINT) AS t, g, CAST(sum(obs) AS BIGINT) AS d, " +
+        "CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY 1, 2), " +
+        "gg AS (SELECT min(g) AS ga, max(g) AS gb FROM bytg), " +
+        "pert AS (SELECT t, CAST(sum(CASE WHEN g = ga THEN d ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS d1, " +
+        "CAST(sum(CASE WHEN g = ga THEN c ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN g = gb THEN d ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS d2, " +
+        "CAST(sum(CASE WHEN g = gb THEN c ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c2 " +
+        "FROM bytg, gg GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c1) AS BIGINT) AS nn1, CAST(sum(c2) AS BIGINT) AS nn2 FROM pert), " +
+        "rr AS (SELECT t, d1, d2, CAST(nn1 - sum(c1) OVER w + c1 AS BIGINT) AS n1, " +
+        "CAST(nn2 - sum(c2) OVER w + c2 AS BIGINT) AS n2, nn1, nn2 FROM pert, tot " +
+        "WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)), " +
+        "evr AS (SELECT t, d1, d2, n1, n2, nn1, nn2, n1 + n2 AS nt, d1 + d2 AS dt FROM rr " +
+        "WHERE d1 + d2 > 0), " +
+        "tm AS (SELECT t, d1, d2, nn1, nn2, " +
+        "CAST(dt AS DOUBLE) * n1 / nt AS e1, " +
+        "CAST(dt AS DOUBLE) * n2 / nt AS e2, " +
+        "CASE WHEN nt > 1 THEN CAST(dt AS DOUBLE) * n1 / nt * n2 / nt * (nt - dt) / (nt - 1) " +
+        "ELSE CAST(0 AS DOUBLE) END AS vt FROM evr), " +
+        "cum AS (SELECT nn1, nn2, " +
+        "CAST(sum(d1) OVER w AS BIGINT) AS o1s, CAST(sum(d2) OVER w AS BIGINT) AS o2s, " +
+        "sum(e1) OVER w AS e1s, sum(e2) OVER w AS e2s, sum(vt) OVER w AS vs, " +
+        "row_number() OVER (ORDER BY t DESC) AS rn FROM tm " +
+        "WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT nn1 AS n_a, nn2 AS n_b, o1s AS o_a, round(e1s, 6) + 0.0 AS e_a, " +
+        "o2s AS o_b, round(e2s, 6) + 0.0 AS e_b, " +
+        "round(CASE WHEN vs > 0 THEN (CAST(o1s AS DOUBLE) - e1s) * (CAST(o1s AS DOUBLE) - e1s) / vs END, 6) + 0.0 AS chi2, " +
+        "CASE WHEN vs > 0 THEN (CAST(o1s AS DOUBLE) - e1s) * (CAST(o1s AS DOUBLE) - e1s) / vs > CAST(3.841459 AS DOUBLE) END AS reject_95 " +
+        "FROM cum WHERE rn = 1"),
     // NULLIF guards the no-nonzero-digit rendering ('' casts to NULL in
     // Spark but errors in DuckDB); same grid/total/chi layout as q_psi.
     "q_benford" ->

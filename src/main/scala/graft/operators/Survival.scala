@@ -60,4 +60,90 @@ object Survival {
       .select(F.col("t"), F.col("n_risk"), F.col("d").as("d_events"),
         (F.col("c") - F.col("d")).as("n_censored"), F.col("survival"))
   }
+
+  /** Two-cohort log-rank test (Mantel, Cancer Chemother. Rep. 1966;
+    * Peto & Peto, JRSS A 1972) — "do these two cohorts retain
+    * differently?": at every event time, compare each cohort's OBSERVED
+    * events against the events EXPECTED if both shared one hazard
+    * (d_t · n_{at}/n_t — the at-risk-proportional split), accumulate
+    * observed − expected, and normalize by the hypergeometric variance
+    *
+    *   V_t = d_t · (n_{at}/n_t) · (n_{bt}/n_t) · (n_t − d_t)/(n_t − 1),
+    *
+    * giving χ² = (O_a − E_a)²/V ~ χ²₁ under the null. Same per-duration
+    * count scaffold as [[kaplanMeier]] — at-risk counts fall out of the
+    * identical cumulative-count window, every V/E input is an exact
+    * integer, and both Σs run as ORDERED window sums over the duration
+    * axis (sequential accumulation in t order in both engines — the
+    * exp(Σ ln) discipline), so the statistic is bit-replayable. The
+    * duration axis is days-sized, so the global ordered window is over
+    * an aggregate, never data. Cohorts are the MIN and MAX value of the
+    * group column (two-cohort test; callers with more groups filter
+    * first — other groups' rows are excluded from the risk sets).
+    *
+    * Output: ONE row — (n_a, n_b, o_a, e_a, o_b, e_b, chi2, reject_95),
+    * expected counts and χ² round-6; χ² is NULL when the variance is 0
+    * (events exist but no event time carries a real comparison — e.g.
+    * n_t = 1 throughout); EMPTY when there is no event time at all (an
+    * all-censored input, like KM on no subjects); reject_95 compares
+    * the UNROUNDED χ² to the χ²₁ 95% critical value in both engines. */
+  def logRank(subjects: DataFrame, durCol: String, obsCol: String,
+              groupCol: String): DataFrame =
+    logRankFromCounts(subjects
+      .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull &&
+        F.col(groupCol).isNotNull)
+      .groupBy(F.col(durCol).cast("long").as("t"), F.col(groupCol).as("g"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"),
+        F.count(F.lit(1)).as("c")))
+
+  /** The test over a pre-aggregated (t, g, d, c) frame — per-duration
+    * per-group event/subject counts, the mergeable summary a streaming
+    * accumulator re-enters (graft.streaming.StreamingSurvival). */
+  def logRankFromCounts(byTG: DataFrame): DataFrame = {
+    val gs = byTG.agg(F.min("g").as("ga"), F.max("g").as("gb"))
+    val perT = byTG.crossJoin(F.broadcast(gs))
+      .groupBy("t")
+      .agg(
+        F.sum(F.when(F.col("g") === F.col("ga"), F.col("d")).otherwise(F.lit(0L))).as("d1"),
+        F.sum(F.when(F.col("g") === F.col("ga"), F.col("c")).otherwise(F.lit(0L))).as("c1"),
+        F.sum(F.when(F.col("g") === F.col("gb"), F.col("d")).otherwise(F.lit(0L))).as("d2"),
+        F.sum(F.when(F.col("g") === F.col("gb"), F.col("c")).otherwise(F.lit(0L))).as("c2"))
+    val tot = perT.agg(F.sum("c1").as("nn1"), F.sum("c2").as("nn2"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = perT.crossJoin(F.broadcast(tot))
+      .withColumn("n1", F.col("nn1") - F.sum("c1").over(w) + F.col("c1"))
+      .withColumn("n2", F.col("nn2") - F.sum("c2").over(w) + F.col("c2"))
+      .filter(F.col("d1") + F.col("d2") > 0) // event times only
+      .withColumn("nt", F.col("n1") + F.col("n2"))
+      .withColumn("dt", F.col("d1") + F.col("d2"))
+      // expected events in cohort a at t: d_t · n_{at}/n_t — fixed-shape
+      // IEEE over exact integers (left-assoc: ((d·n1)/n))
+      .withColumn("e1", F.col("dt").cast("double") * F.col("n1") / F.col("nt"))
+      .withColumn("e2", F.col("dt").cast("double") * F.col("n2") / F.col("nt"))
+      .withColumn("vt", F.when(F.col("nt") > 1,
+        F.col("dt").cast("double") * F.col("n1") / F.col("nt")
+          * F.col("n2") / F.col("nt")
+          * (F.col("nt") - F.col("dt")) / (F.col("nt") - F.lit(1L)))
+        .otherwise(F.lit(0.0)))
+      // ordered accumulation over the (days-sized) event-time axis
+      .withColumn("o1s", F.sum("d1").over(w))
+      .withColumn("o2s", F.sum("d2").over(w))
+      .withColumn("e1s", F.sum("e1").over(w))
+      .withColumn("e2s", F.sum("e2").over(w))
+      .withColumn("vs", F.sum("vt").over(w))
+    val last = ev
+      .withColumn("__rn", F.row_number().over(Window.orderBy(F.col("t").desc)))
+      .filter(F.col("__rn") === 1)
+    val chi2 = F.when(F.col("vs") > 0.0,
+      (F.col("o1s").cast("double") - F.col("e1s"))
+        * (F.col("o1s").cast("double") - F.col("e1s")) / F.col("vs"))
+    last.select(
+      F.col("nn1").as("n_a"), F.col("nn2").as("n_b"),
+      F.col("o1s").as("o_a"),
+      (F.round(F.col("e1s"), 6) + F.lit(0.0)).as("e_a"),
+      F.col("o2s").as("o_b"),
+      (F.round(F.col("e2s"), 6) + F.lit(0.0)).as("e_b"),
+      (F.round(chi2, 6) + F.lit(0.0)).as("chi2"),
+      (chi2 > F.lit(3.841459)).as("reject_95"))
+  }
 }

@@ -39,4 +39,37 @@ object StreamingSurvival {
         .agg(
           F.sum(F.when(F.col("cat") === "1", F.col("n")).otherwise(F.lit(0L))).as("d"),
           F.sum(F.col("n")).as("c")))
+
+  /** Persist per-batch (duration, observed, cohort) counts for the
+    * two-cohort log-rank test: the cohort rides the same categorical
+    * partial layout as "obs|group" (the group value must not contain
+    * '|' — obs is read before the FIRST pipe, the group after the
+    * LAST). Counts stay plain mergeable sums, so streamed == batch. */
+  def attachGrouped(
+      subjects: DataFrame,
+      checkpointDir: String,
+      countsDir: String,
+      durCol: String,
+      obsCol: String,
+      groupCol: String,
+      triggerMillis: Long = 1000L): StreamingQuery =
+    StreamingDrift.attachCategorical(
+      subjects.select(F.col(durCol).cast("long").cast("string").as("slice"),
+        F.concat_ws("|", F.col(obsCol).cast("int").cast("string"),
+          F.col(groupCol).cast("string")).as("cat")),
+      checkpointDir, countsDir, triggerMillis = triggerMillis)
+
+  /** The log-rank statistic over everything streamed so far — the
+    * [[Survival.logRank]] one-row output shape. */
+  def logRankNow(spark: SparkSession, countsDir: String): DataFrame =
+    Survival.logRankFromCounts(
+      StreamingDrift.categoricalCounts(spark, countsDir)
+        .select(F.col("slice").cast("long").as("t"),
+          F.substring_index(F.col("cat"), "|", 1).cast("int").as("__obs"),
+          F.substring_index(F.col("cat"), "|", -1).as("g"),
+          F.col("n"))
+        .groupBy("t", "g")
+        .agg(
+          F.sum(F.when(F.col("__obs") === 1, F.col("n")).otherwise(F.lit(0L))).as("d"),
+          F.sum(F.col("n")).as("c")))
 }

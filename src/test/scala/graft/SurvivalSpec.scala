@@ -78,4 +78,92 @@ class SurvivalSpec extends SparkSpec {
     streamed shouldBe batch
     streamed.size should be > 5
   }
+
+  // ---- logRank --------------------------------------------------------
+
+  private def lr(rows: Seq[(Int, Int, String)]) = {
+    val r = Survival.logRank(rows.toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .collect()
+    r.length shouldBe 1
+    r.head
+  }
+
+  it("log-rank matches the hand-worked two-cohort table") {
+    // A: events at 1 and 2, censored at 3; B: events at 2 and 3,
+    // censored at 4. Per event time (n_a, n_b, d_a, d_b):
+    //   t=1 (3,3,1,0): E_a = 0.5,  V = 0.25
+    //   t=2 (2,3,1,1): E_a = 0.8,  V = 0.36
+    //   t=3 (1,2,0,1): E_a = 1/3,  V = 2/9
+    // O_a = 2, E_a = 1.633333, V = 0.832222, χ² = 0.161549
+    val r = lr(Seq((1, 1, "a"), (2, 1, "a"), (3, 0, "a"),
+      (2, 1, "b"), (3, 1, "b"), (4, 0, "b")))
+    r.getLong(0) shouldBe 3L // n_a
+    r.getLong(1) shouldBe 3L // n_b
+    r.getLong(2) shouldBe 2L // o_a
+    r.getDouble(3) shouldBe 1.633333 // e_a
+    r.getLong(4) shouldBe 2L // o_b
+    r.getDouble(5) shouldBe 2.366667 // e_b
+    r.getDouble(6) shouldBe 0.161549 // chi2
+    r.getBoolean(7) shouldBe false // far under 3.84
+  }
+
+  it("log-rank is exactly zero when the cohorts share every count") {
+    // identical duration/censoring multisets → O = E at every event time
+    val rows = Seq((1, 1), (2, 1), (3, 0), (5, 1))
+      .flatMap { case (d, o) => Seq((d, o, "a"), (d, o, "b")) }
+    val r = lr(rows)
+    r.getDouble(6) shouldBe 0.0
+    r.getBoolean(7) shouldBe false
+  }
+
+  it("log-rank rejects when one cohort dies early and the other survives") {
+    val rows = (1 to 10).map(i => (1, 1, "a")) ++ (1 to 10).map(i => (9, 0, "b"))
+    val r = lr(rows)
+    r.getDouble(6) should be > 3.841459
+    r.getBoolean(7) shouldBe true
+  }
+
+  it("log-rank χ² is NULL (not 0) when no event time carries variance") {
+    // b is censored at 0, so at a's event time only ONE subject is at
+    // risk (n_t = 1): E = O exactly and V = 0 — comparison impossible
+    val r = lr(Seq((1, 1, "a"), (0, 0, "b")))
+    r.isNullAt(6) shouldBe true
+    r.isNullAt(7) shouldBe true
+  }
+
+  it("log-rank output is empty when there are no event times at all") {
+    val out = Survival.logRank(
+      Seq((2, 0, "a"), (3, 0, "b")).toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .collect()
+    out shouldBe empty // all-censored: the test is undefined, like KM on no subjects
+  }
+
+  it("streamed grouped subjects across a restart yield the batch statistic") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import org.apache.spark.sql.{functions => F}
+    val r = new scala.util.Random(43)
+    val subjects = Seq.fill(100)(
+      (r.nextInt(10), if (r.nextInt(4) == 0) 0 else 1, if (r.nextBoolean()) "x" else "y"))
+    val inDir = JFiles.createTempDirectory("graft-lr-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-lr-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-lr-counts").toString
+    def write(name: String, part: Seq[(Int, Int, String)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (d, o, g) => s"$d,$o,$g" }.mkString("\n"))
+    write("f1.txt", subjects.take(50))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).cast("int").as("dur"),
+        F.split(F.col("value"), ",").getItem(1).cast("int").as("obs"),
+        F.split(F.col("value"), ",").getItem(2).as("g"))
+    val q1 = graft.streaming.StreamingSurvival.attachGrouped(src(), ckpt, cDir, "dur", "obs", "g", 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", subjects.drop(50))
+    val q2 = graft.streaming.StreamingSurvival.attachGrouped(src(), ckpt, cDir, "dur", "obs", "g", 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = graft.streaming.StreamingSurvival.logRankNow(spark, cDir).collect().head.toSeq
+    val batch = Survival.logRank(subjects.toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .collect().head.toSeq
+    streamed shouldBe batch
+  }
 }

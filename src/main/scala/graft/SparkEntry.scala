@@ -1150,6 +1150,19 @@ object SparkEntry {
       TimeSeries.holtWintersBacktest(daily, "k", "d", "x", period = 7)
         .withColumnRenamed("k", "event_type")
     }),
+    // Split-conformal bands for the same forecast: each horizon's half-
+    // width is the ⌈(n_cal+1)·0.9⌉-th smallest |j-step residual| over
+    // the honest origins (finite-sample ≥90% coverage by construction),
+    // replacing the nominal ±MAE. The fold carries per-step state
+    // snapshots; the oracle reads the SAME states back out of the
+    // recursive CTE's rows — every score an exact order statistic.
+    "q_forecast_conformal" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(F.col("event_type").as("k"), F.to_date(F.col("ts")).as("d"))
+        .agg(F.count(F.lit(1)).cast("double").as("x"))
+      TimeSeries.holtWintersConformal(daily, "k", "d", "x", period = 7, h = 7, level = 0.9)
+        .withColumnRenamed("k", "event_type")
+    }),
     // Two-sample Kolmogorov-Smirnov on event values between click and
     // purchase traffic: binning-free CDF-shape drift with the classic
     // rejection threshold; cumulative counts via the two-phase prefix
@@ -3927,6 +3940,32 @@ object SparkEntry {
         "round(hw.l + hw.b + hw.s[1], 6) + 0.0 AS forecast, " +
         "round(ix.x - (hw.l + hw.b + hw.s[1]), 6) + 0.0 AS err " +
         "FROM hw JOIN ix ON ix.k = hw.k AND ix.i = hw.i + 1 WHERE hw.i >= 14"),
+    // The recursive CTE's rows ARE the fold's per-origin state snapshots:
+    // j-step scores join row i to observation i + j, the conformal rank
+    // is the same IEEE ceil((n+1)*0.9) in both engines (0.9 CAST to
+    // DOUBLE — a bare literal is DECIMAL in DuckDB and would ceil the
+    // exact product), ties in the order statistic are value-identical.
+    "q_forecast_conformal" ->
+      (hwRecursiveCtes +
+        ", stp AS (SELECT CAST(range AS INT) AS step FROM range(1, 8)), " +
+        "cal AS (SELECT hw.k, stp.step, " +
+        "abs(ix.x - (hw.l + stp.step * hw.b + hw.s[stp.step])) AS score " +
+        "FROM hw CROSS JOIN stp JOIN ix ON ix.k = hw.k AND ix.i = hw.i + stp.step " +
+        "WHERE hw.i >= 14), " +
+        "qb AS (SELECT k, step, score, " +
+        "row_number() OVER (PARTITION BY k, step ORDER BY score) AS rn, " +
+        "CAST(count(*) OVER (PARTITION BY k, step) AS BIGINT) AS cnt FROM cal), " +
+        "bd AS (SELECT k, step, cnt AS n_cal, score AS q FROM qb " +
+        "WHERE rn = least(CAST(ceil((cnt + 1) * CAST(0.9 AS DOUBLE)) AS BIGINT), cnt)), " +
+        "fin AS (SELECT hw.k, hw.l, hw.b, hw.s FROM hw JOIN nn ON nn.k = hw.k WHERE hw.i = nn.n), " +
+        "fc AS (SELECT fin.k, stp.step, " +
+        "round(fin.l + stp.step * fin.b + fin.s[stp.step], 6) + 0.0 AS forecast FROM fin, stp) " +
+        "SELECT fc.k AS event_type, fc.step, fc.forecast, " +
+        "coalesce(bd.n_cal, CAST(0 AS BIGINT)) AS n_cal, " +
+        "round(bd.q, 6) + 0.0 AS band, " +
+        "round(fc.forecast - bd.q, 6) + 0.0 AS lo, " +
+        "round(fc.forecast + bd.q, 6) + 0.0 AS hi " +
+        "FROM fc LEFT JOIN bd ON bd.k = fc.k AND bd.step = fc.step"),
 
     "q_xcorr" ->
       ("WITH cx AS (SELECT CAST(ts AS DATE) AS t, CAST(count(*) AS BIGINT) AS x " +

@@ -540,4 +540,110 @@ object TimeSeries {
         (F.round(F.element_at(F.col("xs"), F.col("__idx")) - F.col("__pred"), 6)
           + F.lit(0.0)).as("err"))
   }
+
+  /** SPLIT-CONFORMAL prediction bands for [[holtWintersForecast]]
+    * (Vovk et al., "Algorithmic Learning in a Random World", 2005; the
+    * split/inductive form of Papadopoulos et al., ECML 2002): instead of
+    * the flat in-sample ±MAE, each horizon's band half-width is the
+    * ⌈(n_cal + 1)·level⌉-th smallest |residual| among that horizon's
+    * OWN calibration scores — residuals of real j-step-ahead forecasts
+    * made at every honest origin of the fitted series. Under
+    * exchangeability the band then COVERS with probability ≥ `level`
+    * by construction (finite-sample, distribution-free), which is what
+    * "calibrated" means; the MAE band is merely nominal.
+    *
+    * The same single fold produces everything: the accumulator also
+    * carries a per-step (l, b, s) SNAPSHOT (day-axis-bounded — at most
+    * (n − p) structs of p + 2 doubles), each snapshot is an origin, and
+    * the j-step residual is |xs[i + j] − (l_i + j·b_i + s_i[j])| — one
+    * posexplode, no origin × refit explosion. Honest origins start at
+    * i ≥ 2p (the backtest's init-leak cutoff). The quantile is an exact
+    * ORDER STATISTIC on the sorted score array (no interpolation), with
+    * the conformal rank computed by the same IEEE ceil in both engines
+    * and capped at n_cal (the standard take-the-max fallback when the
+    * calibration set is smaller than the level demands).
+    *
+    * Output per (key, step 1..h): forecast (= [[holtWintersForecast]]'s
+    * value exactly), n_cal, band, lo/hi = forecast ∓ band, all round 6
+    * −0.0-guarded; horizons whose calibration set is empty (series
+    * shorter than 2p + j) keep the forecast with NULL band/lo/hi. */
+  def holtWintersConformal(series: DataFrame, keyCol: String, tCol: String,
+      xCol: String, period: Int = 7, h: Int = 7, level: Double = 0.9,
+      alpha: Double = 0.3, oneMinusAlpha: Double = 0.7,
+      beta: Double = 0.1, oneMinusBeta: Double = 0.9,
+      gamma: Double = 0.2, oneMinusGamma: Double = 0.8): DataFrame = {
+    require(h <= period, "forecast horizon beyond one season needs seasonal cycling")
+    val p = period
+    def r9(c: Column): Column = F.round(c, 9)
+    val byKey = series
+      .groupBy(F.col(keyCol).as("k"))
+      .agg(F.array_sort(F.collect_list(F.struct(F.col(tCol).as("t"),
+        F.col(xCol).cast("double").as("x")))).as("sx"))
+      .select(F.col("k"), F.transform(F.col("sx"), e => e.getField("x")).as("xs"))
+      .filter(F.size(F.col("xs")) >= 2 * p)
+    val mean1 = r9(F.aggregate(F.slice(F.col("xs"), 1, p),
+      F.lit(0.0), (a, x) => a + x) / p)
+    val mean2 = r9(F.aggregate(F.slice(F.col("xs"), p + 1, p),
+      F.lit(0.0), (a, x) => a + x) / p)
+    val withInit = byKey
+      .withColumn("l0", mean1)
+      .withColumn("b0", r9((mean2 - F.col("l0")) / p))
+      .withColumn("s0", F.transform(F.slice(F.col("xs"), 1, p),
+        x => r9(x - F.col("l0"))))
+    val snapType = "array<struct<l:double,b:double,s:array<double>>>"
+    val state = F.aggregate(
+      F.slice(F.col("xs"), F.lit(p + 1), F.size(F.col("xs")) - p),
+      F.struct(F.col("l0").as("l"), F.col("b0").as("b"),
+        F.col("s0").as("s"), F.array().cast(snapType).as("snaps")),
+      (acc, x) => {
+        val sOld = F.element_at(acc.getField("s"), 1)
+        val lN = r9(F.lit(alpha) * (x - sOld)
+          + F.lit(oneMinusAlpha) * (acc.getField("l") + acc.getField("b")))
+        val bN = r9(F.lit(beta) * (lN - acc.getField("l"))
+          + F.lit(oneMinusBeta) * acc.getField("b"))
+        val sN = r9(F.lit(gamma) * (x - lN) + F.lit(oneMinusGamma) * sOld)
+        val sNew = F.concat(F.slice(acc.getField("s"), 2, p - 1), F.array(sN))
+        F.struct(lN.as("l"), bN.as("b"), sNew.as("s"),
+          F.concat(acc.getField("snaps"),
+            F.array(F.struct(lN.as("l"), bN.as("b"), sNew.as("s")))).as("snaps"))
+      })
+    val snapped = withInit
+      .withColumn("st", state)
+      .select(F.col("k"), F.col("xs"), F.size(F.col("xs")).as("n"),
+        F.col("st.l").as("l"), F.col("st.b").as("b"), F.col("st.s").as("s"),
+        F.col("st.snaps").as("snaps"))
+      .localCheckpoint(true) // feeds the calibration explode AND the forecast
+    // calibration scores: origin i = p + m + 1 (snapshot m is the state
+    // after consuming xs[p + m + 1]), honest from i >= 2p, target i + j
+    val cal = snapped
+      .select(F.col("k"), F.col("xs"), F.col("n"),
+        F.posexplode(F.col("snaps")).as(Seq("__m", "__st")))
+      .withColumn("__i", F.col("__m") + (p + 1))
+      .filter(F.col("__i") >= 2 * p)
+      .select(F.col("k"), F.col("xs"), F.col("n"), F.col("__i"), F.col("__st"),
+        F.explode(F.sequence(F.lit(1), F.lit(h))).as("step"))
+      .filter(F.col("__i") + F.col("step") <= F.col("n"))
+      .select(F.col("k"), F.col("step"),
+        F.abs(F.element_at(F.col("xs"), (F.col("__i") + F.col("step")).cast("int"))
+          - (F.col("__st.l") + F.col("step").cast("double") * F.col("__st.b")
+            + F.element_at(F.col("__st.s"), F.col("step")))).as("score"))
+    val bands = cal.groupBy("k", "step")
+      .agg(F.sort_array(F.collect_list(F.col("score"))).as("sc"))
+      .select(F.col("k"), F.col("step"), F.size(F.col("sc")).as("n_cal"),
+        F.element_at(F.col("sc"),
+          F.least(F.ceil((F.size(F.col("sc")) + 1) * F.lit(level)).cast("int"),
+            F.size(F.col("sc")))).as("__q"))
+    val fc = snapped
+      .select(F.col("k"), F.col("l"), F.col("b"), F.col("s"),
+        F.explode(F.sequence(F.lit(1), F.lit(h))).as("step"))
+      .withColumn("forecast",
+        F.round(F.col("l") + F.col("step").cast("double") * F.col("b")
+          + F.element_at(F.col("s"), F.col("step")), 6) + F.lit(0.0))
+    fc.join(bands, Seq("k", "step"), "left")
+      .select(F.col("k"), F.col("step"), F.col("forecast"),
+        F.coalesce(F.col("n_cal").cast("long"), F.lit(0L)).as("n_cal"),
+        (F.round(F.col("__q"), 6) + F.lit(0.0)).as("band"),
+        (F.round(F.col("forecast") - F.col("__q"), 6) + F.lit(0.0)).as("lo"),
+        (F.round(F.col("forecast") + F.col("__q"), 6) + F.lit(0.0)).as("hi"))
+  }
 }

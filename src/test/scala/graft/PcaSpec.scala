@@ -303,6 +303,74 @@ class PcaSpec extends SparkSpec {
       .collect() shouldBe empty
   }
 
+  // ---- holtWintersConformal ------------------------------------------
+
+  it("conformal bands on the seasonal fixed point collapse to zero width") {
+    val p7 = Seq(0.0, 4.0, -4.0, 2.0, -2.0, 6.0, -6.0)
+    val xs = (0 until 28).map(i => 20.0 + p7(i % 7))
+    val out = TimeSeries.holtWintersConformal(hwDf(xs), "k", "t", "x")
+      .orderBy("step").collect()
+    out should have length 7
+    (1 to 7).foreach { j =>
+      val r = out(j - 1)
+      r.getAs[Long]("n_cal") shouldBe (15L - j) // honest origins 14..(28−j)
+      r.getAs[Double]("band") shouldBe 0.0 // every j-step residual is exactly 0
+      r.getAs[Double]("lo") shouldBe r.getAs[Double]("forecast")
+      r.getAs[Double]("hi") shouldBe r.getAs[Double]("forecast")
+    }
+  }
+
+  it("conformal forecasts equal the MAE variant's forecasts exactly") {
+    val r = new scala.util.Random(5)
+    val xs = (0 until 35).map(i =>
+      30.0 + 0.4 * i + 3.0 * math.sin(i * 2 * math.Pi / 7) + r.nextGaussian())
+    val a = TimeSeries.holtWintersForecast(hwDf(xs), "k", "t", "x").orderBy("step")
+      .collect().map(_.getAs[Double]("forecast")).toSeq
+    val b = TimeSeries.holtWintersConformal(hwDf(xs), "k", "t", "x").orderBy("step")
+      .collect().map(_.getAs[Double]("forecast")).toSeq
+    b shouldBe a // same end state, same projection — only the bands differ
+  }
+
+  it("conformal bands cover a held-out tail at roughly the nominal level") {
+    val r = new scala.util.Random(9)
+    // 20 independent keys: train on 63 days, hold out the next 7 — the
+    // bands never see the held-out week
+    val keys = (0 until 20).map(k => f"k$k%02d")
+    val series = keys.map { k =>
+      val pat = Seq.tabulate(7)(i => 5.0 * math.sin(i * 2 * math.Pi / 7))
+      k -> (0 until 70).map(i => 50.0 + 0.3 * i + pat(i % 7) + 2.0 * r.nextGaussian())
+    }.toMap
+    val train = keys.flatMap { k =>
+      series(k).take(63).zipWithIndex.map { case (x, i) =>
+        (k, java.sql.Date.valueOf(java.time.LocalDate.of(2026, 2, 2).plusDays(i.toLong)), x)
+      }
+    }.toDF("k", "t", "x")
+    val bands = TimeSeries.holtWintersConformal(train, "k", "t", "x")
+      .collect()
+      .map(row => (row.getString(0), row.getInt(1)) ->
+        (row.getAs[Double]("lo"), row.getAs[Double]("hi")))
+      .toMap
+    val hits = for (k <- keys; j <- 1 to 7) yield {
+      val actual = series(k)(62 + j)
+      val (lo, hi) = bands((k, j))
+      if (actual >= lo && actual <= hi) 1 else 0
+    }
+    val coverage = hits.sum.toDouble / hits.size
+    coverage should be >= 0.8 // nominal 0.9; finite-sample wobble allowed
+  }
+
+  it("a series of exactly two seasons forecasts with NULL bands (no honest j-step origin)") {
+    val p7 = Seq(0.0, 4.0, -4.0, 2.0, -2.0, 6.0, -6.0)
+    val xs = (0 until 14).map(i => 20.0 + p7(i % 7))
+    val out = TimeSeries.holtWintersConformal(hwDf(xs), "k", "t", "x").collect()
+    out should have length 7
+    out.foreach { row =>
+      row.getAs[Long]("n_cal") shouldBe 0L
+      row.isNullAt(row.fieldIndex("band")) shouldBe true
+      row.isNullAt(row.fieldIndex("lo")) shouldBe true
+    }
+  }
+
   it("overlap counts shrink with |lag| and zero-variance overlaps are NULL") {
     val out = TimeSeries.crossCorrelation(
         dayDf(Seq(1L, 2L, 3L, 4L, 5L), "x"), dayDf(Seq(7L, 7L, 7L, 7L, 7L), "y"),

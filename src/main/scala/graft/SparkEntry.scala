@@ -62,6 +62,7 @@ object SparkEntry {
   @volatile private var negMiningStash: Option[Array[Array[Double]]] = None
   @volatile private var bpeStash: Option[Seq[(String, String)]] = None
   @volatile private var annSizedModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+  @volatile private var pcaOutlierStash: Option[(Array[Double], Seq[Array[Double]])] = None
   @volatile private var clusterKeywordsStash: Option[Array[Array[Double]]] = None
 
   /** Once-per-(process, sf-dir) trained BPE merge list — train-rarely/
@@ -1114,6 +1115,20 @@ object SparkEntry {
     "q_pca_topk" -> ((s, dir) =>
       Pca.topComponentsDF(t(s, dir, "embeddings"), "embedding",
         dim = 64, k = 4, iters = 30)),
+    // PCA reconstruction-error (Q/SPE) outliers — the subspace complement
+    // of q_embed_outliers' centroid-distance score: vectors ORTHOGONAL to
+    // the top-2 principal plane rank high even when they sit near the
+    // mean. Components + mean are driver-side (stashed — the oracle
+    // scores against the same literal model, the kmeans-stash
+    // discipline); scoring is entirely map-side folds, one shuffle-free
+    // pass plus the 1-row exact percentile.
+    "q_pca_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (_, comps) = Pca.topComponents(e, "embedding", dim = 64, k = 2, iters = 30)
+      val mu = Pca.meanVector(e, "embedding", dim = 64)
+      pcaOutlierStash = Some((mu, comps.map(_._2)))
+      Pca.reconstructionErrors(e, "vec_id", "embedding", mu, comps.map(_._2), pct = 0.95)
+    }),
     // Lead-lag cross-correlation: do clicks anticipate purchases, and by
     // how many days? Six exact BIGINT sums per lag (the assortativity
     // determinism anchor), x side replicated once per lag over an
@@ -4517,6 +4532,38 @@ object SparkEntry {
         ", ms AS (SELECT id AS vec_id, max(sim) AS max_sim FROM asim GROUP BY id) " +
         "SELECT vec_id, max_sim, max_sim < (SELECT quantile_cont(max_sim, 0.05) FROM ms) AS is_outlier FROM ms")
       .getOrElse("SELECT NULL AS vec_id, NULL AS max_sim, NULL AS is_outlier WHERE 1 = 0"),
+    // Reconstruction scoring against the stashed literal model (mean +
+    // loading vectors + driver-exact ||u||^2): per-dim centering, one
+    // coefficient sum per component, then the SAME left-associated
+    // residual chain c - p0*u0[i] - p1*u1[i] the operator folds, squared
+    // and round-6 before the percentile threshold.
+    "q_pca_outliers" -> pcaOutlierStash
+      .map { case (mu, us) =>
+        val uCtes = us.zipWithIndex.map { case (u, c) =>
+          s"u$c AS (SELECT CAST([${u.mkString(", ")}] AS DOUBLE[]) AS u)"
+        }.mkString(", ")
+        val cfCtes = us.zipWithIndex.map { case (u, c) =>
+          val uu = u.map(x => x * x).sum
+          s"cf$c AS (SELECT vec_id, sum(c * u.u[i]) / CAST($uu AS DOUBLE) AS p " +
+            s"FROM cent, u$c u GROUP BY vec_id)"
+        }.mkString(", ")
+        val residChain = us.indices.map(c => s" - cf$c.p * u$c.u[cent.i]").mkString
+        val cfJoins = us.indices.map(c => s"JOIN cf$c ON cf$c.vec_id = cent.vec_id").mkString(" ")
+        val uFroms = us.indices.map(c => s"u$c").mkString(", ")
+        "WITH base AS (SELECT vec_id, embedding AS v FROM embeddings " +
+          "WHERE embedding IS NOT NULL AND len(embedding) = 64), " +
+          s"mu AS (SELECT CAST([${mu.mkString(", ")}] AS DOUBLE[]) AS m), " +
+          uCtes + ", " +
+          "terms AS (SELECT vec_id, v, unnest(range(1, 65)) AS i FROM base), " +
+          "cent AS (SELECT vec_id, CAST(i AS INT) AS i, " +
+          "CAST(v[CAST(i AS INT)] AS DOUBLE) - mu.m[CAST(i AS INT)] AS c FROM terms, mu), " +
+          cfCtes + ", " +
+          s"rec AS (SELECT cent.vec_id, cent.c$residChain AS r FROM cent $cfJoins, $uFroms), " +
+          "sc AS (SELECT vec_id, round(sum(r * r), 6) + 0.0 AS recon_err FROM rec GROUP BY 1) " +
+          "SELECT vec_id, recon_err, " +
+          "recon_err > (SELECT quantile_cont(recon_err, 0.95) FROM sc) AS is_outlier FROM sc"
+      }
+      .getOrElse("SELECT NULL AS vec_id, NULL AS recon_err, NULL AS is_outlier WHERE 1 = 0"),
     // Cluster-blocked cosine pairs over the stashed literal centroids,
     // then the q_dedup_clusters recursive-CTE transitive closure.
     "q_semantic_dedup" -> semdedupStash

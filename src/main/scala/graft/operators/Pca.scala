@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 import graft.functions.CovMomentsAggregator
 
@@ -183,7 +183,9 @@ object Pca {
     val (trace, comps) = topComponents(vecs, vecCol, dim, k, iters)
     comps.zipWithIndex.flatMap { case ((lam, u), c) =>
       u.zipWithIndex.map { case (x, i) =>
-        (c + 1, i, rd6(x), rd6(lam), rd6(lam / trace))
+        // trace 0 (all-constant or n < 2 input) degrades to 0 shares,
+        // matching the other entry points' empty/zero degradations
+        (c + 1, i, rd6(x), rd6(lam), if (trace == 0) 0.0 else rd6(lam / trace))
       }
     }.toDF("component", "i", "loading", "eigenvalue", "variance_explained")
   }
@@ -193,6 +195,7 @@ object Pca {
     * fused dot product per component; no shuffle. */
   def projectK(vecs: DataFrame, idCol: String, vecCol: String,
                components: Seq[Array[Double]]): DataFrame = {
+    require(components.nonEmpty, "projectK needs at least one component")
     val dim = components.head.length
     val cols = components.zipWithIndex.map { case (comp, c) =>
       val lit = F.array(comp.map(F.lit): _*)
@@ -215,5 +218,86 @@ object Pca {
         F.aggregate(
           F.zip_with(F.col(vecCol).cast("array<double>"), lit, (a, b) => a * b),
           F.lit(0.0), (acc, x) => acc + x).as("pc1"))
+  }
+
+  /** Per-dimension mean of the valid vectors, 9-snapped — the centering
+    * vector reconstruction needs (the covariance pass centers
+    * implicitly and never materializes it). One exploded aggregate; a
+    * d-bounded collect. */
+  def meanVector(vecs: DataFrame, vecCol: String, dim: Int): Array[Double] = {
+    def rd9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m = Array.ofDim[Double](dim)
+    vecs.filter(F.col(vecCol).isNotNull && F.size(F.col(vecCol)) === dim)
+      .select(F.posexplode(F.col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      .groupBy("i").agg(F.avg("x").as("mu"))
+      .collect()
+      .foreach(r => m(r.getInt(0)) = rd9(r.getDouble(1)))
+    m
+  }
+
+  /** RECONSTRUCTION-ERROR outlier score — the subspace complement of the
+    * centroid-distance score (q_embed_outliers): project each centered
+    * vector onto the k-dim PCA subspace, reconstruct, and score
+    * ‖x − x̂‖². A point far from every centroid but INSIDE the data's
+    * principal plane scores low here; a point orthogonal to the plane
+    * (the structurally-novel kind — corrupt encodings, wrong-modality
+    * rows) scores high even when it sits near the data's mean. This is
+    * classic PCA residual analysis (Jackson & Mudholkar, Technometrics
+    * 1979 — the Q/SPE statistic).
+    *
+    * Entirely map-side per vector (the projectK fold discipline): center
+    * against the driver-supplied `mean`, one fused dot product per
+    * component (divided by the driver-exact ‖u‖² — deflation makes the
+    * loading vectors orthogonal, so per-component coefficients ARE the
+    * least-squares fit), then one LEFT-ASSOCIATED residual chain
+    * c − p₀u₀ − p₁u₁ − … (the mirror subtracts in the same order) and a
+    * squared-sum fold, round 6. No shuffle until the 1-row exact
+    * percentile; flagging compares the ROUNDED score to the
+    * percentile-of-rounded threshold, so both engines threshold
+    * identical inputs.
+    *
+    * Output: (vec_id, recon_err, is_outlier = recon_err > pct-th
+    * percentile). */
+  def reconstructionErrors(vecs: DataFrame, idCol: String, vecCol: String,
+                           mean: Array[Double], components: Seq[Array[Double]],
+                           pct: Double = 0.95): DataFrame = {
+    require(components.nonEmpty, "reconstruction needs at least one component")
+    val dim = mean.length
+    require(components.forall(_.length == dim), "component/mean dimension mismatch")
+    val muLit = F.array(mean.map(F.lit): _*)
+    val centered = vecs
+      .filter(F.col(vecCol).isNotNull && F.size(F.col(vecCol)) === dim)
+      .select(F.col(idCol).as("vec_id"),
+        F.zip_with(F.col(vecCol).cast("array<double>"), muLit, (a, b) => a - b).as("__c"))
+    val withCoefs = components.zipWithIndex.foldLeft(centered) { case (df, (u, ci)) =>
+      val uu = u.map(x => x * x).sum // driver-exact, embedded in the mirror verbatim
+      val uLit = F.array(u.map(F.lit): _*)
+      df.withColumn(s"__p$ci",
+        F.aggregate(F.zip_with(F.col("__c"), uLit, (a, b) => a * b),
+          F.lit(0.0), (acc, x) => acc + x) / uu)
+    }
+    var resid: Column = F.col("__c")
+    components.zipWithIndex.foreach { case (u, ci) =>
+      val uLit = F.array(u.map(F.lit): _*)
+      resid = F.zip_with(resid, uLit, (a, b) => a - F.col(s"__p$ci") * b)
+    }
+    val scored = withCoefs.select(F.col("vec_id"),
+      (F.round(F.aggregate(resid, F.lit(0.0), (acc, x) => acc + x * x), 6)
+        + F.lit(0.0)).as("recon_err"))
+    val thr = scored.agg(F.expr(s"percentile(recon_err, $pct)").as("__thr"))
+    scored.crossJoin(F.broadcast(thr))
+      .select(F.col("vec_id"), F.col("recon_err"),
+        (F.col("recon_err") > F.col("__thr")).as("is_outlier"))
+  }
+
+  /** [[reconstructionErrors]] end-to-end: fit the top-k subspace and the
+    * mean, then score. */
+  def reconstructionOutliers(vecs: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, k: Int, iters: Int = 30,
+                             pct: Double = 0.95): DataFrame = {
+    val (_, comps) = topComponents(vecs, vecCol, dim, k, iters)
+    reconstructionErrors(vecs, idCol, vecCol, meanVector(vecs, vecCol, dim),
+      comps.map(_._2), pct)
   }
 }

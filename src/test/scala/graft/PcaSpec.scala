@@ -232,6 +232,45 @@ class PcaSpec extends SparkSpec {
     out(10)._4 should be > 900.0 // the spike lands in the residual, where it belongs
   }
 
+  // ---- reconstructionErrors ------------------------------------------
+
+  it("a planted off-subspace point takes the top reconstruction error and the flag") {
+    val r = new scala.util.Random(17)
+    val dim = 8
+    // 49 points living in the span of e0/e1; one point orthogonal to it
+    def inPlane(): Seq[Double] = {
+      val a = r.nextGaussian() * 5; val b = r.nextGaussian() * 2
+      Seq.tabulate(dim)(i => if (i == 0) a else if (i == 1) b else 0.0)
+    }
+    // displacement 9: its induced variance 9²/49 ≈ 1.7 stays BELOW the
+    // plane's weaker direction (σ² = 4), so the top-2 fit cannot be
+    // hijacked into capturing the outlier direction (masking)
+    val rows = (0 until 49).map(i => (i.toLong, inPlane())) :+
+      (99L, Seq.tabulate(dim)(i => if (i == 4) 9.0 else 0.0))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Pca.reconstructionOutliers(df, "vec_id", "embedding", dim, k = 2, iters = 30)
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getBoolean(2))).toMap
+    out.maxBy(_._2._1)._1 shouldBe 99L
+    out(99L)._1 should be > 50.0 // ~(9·48/50)² off-plane displacement
+    out(99L)._2 shouldBe true
+    // in-plane points only carry the mean shift the outlier induced
+    (0L until 49L).foreach(i => out(i)._1 should be < 1.0)
+  }
+
+  it("projectK refuses an empty component list") {
+    val df = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    an[IllegalArgumentException] should be thrownBy
+      Pca.projectK(df, "vec_id", "embedding", Seq.empty)
+  }
+
+  it("topComponentsDF on a zero-variance corpus emits zero shares, not NaN") {
+    val df = (0 until 5).map(i => (i.toLong, Seq.fill(4)(2.0))).toDF("vec_id", "embedding")
+    Pca.topComponentsDF(df, "embedding", dim = 4, k = 2).collect().foreach { r =>
+      r.getDouble(4).isNaN shouldBe false
+      r.getDouble(4) shouldBe 0.0
+    }
+  }
+
   // ---- holtWintersForecast -------------------------------------------
 
   private def hwDf(xs: Seq[Double]) =

@@ -44,17 +44,30 @@ object StreamingSkyline {
       .start()
 
   /** The exact skyline over everything streamed so far: union of the
-    * per-batch local skylines, re-skylined. Empty (schema-less) frame
-    * before the first batch lands. */
+    * per-batch local skylines, re-skylined. Before the first batch lands
+    * (directory absent or empty) the board is a TYPED empty frame
+    * carrying the dim columns — the readPartials discipline — so callers
+    * selecting them don't throw; payload columns are unknowable before
+    * the first batch. Dim types come from `dimTypes` where provided
+    * (same (name, sql-type) shape as readPartials), double otherwise.
+    * The catch is on the exception CLASS, not message text, which
+    * varies across Spark versions. */
   def skylineNow(spark: SparkSession, partsDir: String,
-                 dims: Seq[(String, Boolean)]): DataFrame =
+                 dims: Seq[(String, Boolean)],
+                 dimTypes: Seq[(String, String)] = Seq.empty): DataFrame =
     try {
       val parts = spark.read.parquet(partsDir).drop("batch_id")
       Skyline.skyline(parts, dims)
     } catch {
-      // no partials yet: directory absent or empty — an empty board, not a throw
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.contains("PATH_NOT_FOUND") || e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
-        spark.emptyDataFrame
+      case _: org.apache.spark.sql.AnalysisException =>
+        val tm = dimTypes.toMap
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(
+            dims.map { case (d, _) =>
+              org.apache.spark.sql.types.StructField(d,
+                org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(
+                  tm.getOrElse(d, "double")))
+            }))
     }
 }

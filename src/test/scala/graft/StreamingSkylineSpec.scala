@@ -72,4 +72,17 @@ class StreamingSkylineSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-sky-empty").toString
     StreamingSkyline.skylineNow(spark, dir, dims).collect() shouldBe empty
   }
+
+  it("the pre-first-batch empty board carries the TYPED dim columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sky-empty2").toString
+    val board = StreamingSkyline.skylineNow(spark, dir, dims,
+      dimTypes = Seq("x" -> "double", "y" -> "int"))
+    // selecting the dim columns on the empty board must not throw
+    board.select("x", "y").collect() shouldBe empty
+    board.schema("x").dataType.typeName shouldBe "double"
+    board.schema("y").dataType.typeName shouldBe "integer"
+    // and without a hint the dims default to double, still selectable
+    StreamingSkyline.skylineNow(spark, dir, dims)
+      .select("x", "y").collect() shouldBe empty
+  }
 }

@@ -182,7 +182,13 @@ final class SplunkShipper(
       mkClient: () => SplunkHecClient,
       postBatchSize: Int = 1,
       clientPoolKey: Option[String] = None): (Long, Long) = {
+    // localCheckpoint before the range repartition: RangePartitioner
+    // SAMPLES its input to pick boundaries, which would re-run the whole
+    // store query a second time per tick (measured: the parallel path
+    // lost to serial on engine cost alone). Materializing the ≤page-size
+    // batch once makes the sampling pass read checkpointed partitions.
     val batch = withPayload(store.getUnshippedCFAuditEventsForShipper(shipperName))
+      .localCheckpoint(true)
       .repartitionByRange(parallelism, F.col("created_at"), F.col("guid"))
       .sortWithinPartitions("created_at", "guid")
     val perPart = batch.select("__payload", "created_at_raw", "guid").rdd

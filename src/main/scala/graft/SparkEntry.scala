@@ -1095,6 +1095,41 @@ object SparkEntry {
           (F.col("user_id") % 2).as("cohort"))
       Survival.logRank(subj, "dur", "obs", "cohort")
     }),
+    // The same KM curve with Greenwood 95% bands — the variance a curve
+    // needs before two of them are compared by eye; se/lo/hi NULL at an
+    // everyone-dies step (variance undefined at S = 0).
+    "q_survival_ci" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+      val seen = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
+      val f = seen.groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("f0"))
+      val p = seen.filter(F.col("event_type") === "purchase")
+        .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("p0"))
+      val subj = f.join(p, Seq("user_id"), "left").crossJoin(F.broadcast(cut))
+        .select(
+          F.when(F.col("p0").isNotNull,
+              F.datediff(F.to_date(F.col("p0")), F.to_date(F.col("f0"))))
+            .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
+          F.col("p0").isNotNull.cast("int").as("obs"))
+      Survival.kaplanMeierCI(subj, "dur", "obs")
+    }),
+    // Nelson-Aalen cumulative hazard on the same subjects — the
+    // hazard-scale twin of the KM curve, with the Poisson-form se.
+    "q_cumhaz" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+      val seen = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
+      val f = seen.groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("f0"))
+      val p = seen.filter(F.col("event_type") === "purchase")
+        .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("p0"))
+      val subj = f.join(p, Seq("user_id"), "left").crossJoin(F.broadcast(cut))
+        .select(
+          F.when(F.col("p0").isNotNull,
+              F.datediff(F.to_date(F.col("p0")), F.to_date(F.col("f0"))))
+            .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
+          F.col("p0").isNotNull.cast("int").as("obs"))
+      Survival.nelsonAalen(subj, "dur", "obs")
+    }),
     // Benford first-digit screen on pricing: digit from the STRING
     // rendering's first [1-9] (immune to log/pow edge rounding and
     // trailing-zero rendering differences), Pearson distance from the
@@ -1178,12 +1213,29 @@ object SparkEntry {
       TimeSeries.holtWintersConformal(daily, "k", "d", "x", period = 7, h = 7, level = 0.9)
         .withColumnRenamed("k", "event_type")
     }),
+    // MASE skill: the backtest MAE against the seasonal-naive MAE on
+    // the same honest targets — is the smoother beating "last week's
+    // value"? Both error sums fold in index order (ordered-window
+    // mirror); mase NULL on a perfectly periodic series.
+    "q_forecast_skill" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(F.col("event_type").as("k"), F.to_date(F.col("ts")).as("d"))
+        .agg(F.count(F.lit(1)).cast("double").as("x"))
+      TimeSeries.holtWintersSkill(daily, "k", "d", "x", period = 7)
+        .withColumnRenamed("k", "event_type")
+    }),
     // Two-sample Kolmogorov-Smirnov on event values between click and
     // purchase traffic: binning-free CDF-shape drift with the classic
     // rejection threshold; cumulative counts via the two-phase prefix
     // (no single-partition window over the data-sized value axis).
     "q_ks_test" -> ((s, dir) =>
       Drift.ksTest(t(s, dir, "events"), "event_type", "value", "click", "purchase")),
+    // Welch's unequal-variance t — the parametric mean-difference
+    // companion to KS/MWU from the same one-scan count frame; the moment
+    // sums are unordered doubles (unlike MWU's exact dyadics), so
+    // agreement rests on round-4/2 outputs, the benford class.
+    "q_ttest" -> ((s, dir) =>
+      Drift.welchT(t(s, dir, "events"), "event_type", "value", "click", "purchase")),
     // KS's rank-based sibling: does one slice produce systematically
     // LARGER values. Midranks are exact dyadics, so the rank sum (and
     // the rejection decision on the unrounded z) is engine-exact.
@@ -3025,6 +3077,24 @@ object SparkEntry {
     * inline where referenced (textually identical expression ⇒ identical
     * IEEE value); smoothing complements are literals on BOTH sides,
     * never 1 − α (different doubles). */
+  /** The survival suite's shared subject derivation (time-to-first-
+    * purchase with the 3-day analysis cutoff) down to the per-duration
+    * (t, d, c) counts + the nn total — shared by q_survival /
+    * q_survival_ci / q_cumhaz. */
+  private def survivalByTCtes: String =
+    "WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
+      "f AS (SELECT user_id, min(ts) AS f0 FROM events, cut WHERE ts <= c GROUP BY 1), " +
+      "p AS (SELECT user_id, min(ts) AS p0 FROM events, cut " +
+      "WHERE event_type = 'purchase' AND ts <= c GROUP BY 1), " +
+      "subj AS (SELECT CASE WHEN p0 IS NOT NULL " +
+      "THEN date_diff('day', CAST(f0 AS DATE), CAST(p0 AS DATE)) " +
+      "ELSE date_diff('day', CAST(f0 AS DATE), CAST(c AS DATE)) END AS t0, " +
+      "CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS obs " +
+      "FROM f LEFT JOIN p ON p.user_id = f.user_id, cut), " +
+      "byt AS (SELECT CAST(t0 AS BIGINT) AS t, CAST(sum(obs) AS BIGINT) AS d, " +
+      "CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM byt)"
+
   private def hwRecursiveCtes: String =
     "WITH RECURSIVE s AS (SELECT event_type AS k, CAST(ts AS DATE) AS d, " +
       "CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
@@ -3749,6 +3819,27 @@ object SparkEntry {
         "SELECT n1 AS n_a, n2 AS n_b, round(ks, 6) AS ks_stat, " +
         "ks > 1.358 * sqrt((CAST(n1 AS DOUBLE) + n2) / (CAST(n1 AS DOUBLE) * n2)) AS reject_95 " +
         "FROM d, t"),
+    // Welch moments from the same count frame; every intermediate
+    // (m/v/g/sem/t/df) is its own CTE column so the operand shapes match
+    // the operator's withColumns exactly.
+    "q_ttest" ->
+      ("WITH vc AS (SELECT CAST(value AS DOUBLE) AS x, " +
+        "CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS c1, " +
+        "CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS c2 " +
+        "FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'purchase') GROUP BY 1), " +
+        "s AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2, " +
+        "sum(x * c1) AS s1, sum(x * c2) AS s2, " +
+        "sum(x * x * c1) AS q1, sum(x * x * c2) AS q2 FROM vc), " +
+        "m AS (SELECT *, s1 / n1 AS m1, s2 / n2 AS m2, " +
+        "CASE WHEN n1 > 1 THEN (q1 - s1 * s1 / n1) / (n1 - 1) END AS v1, " +
+        "CASE WHEN n2 > 1 THEN (q2 - s2 * s2 / n2) / (n2 - 1) END AS v2 FROM s), " +
+        "g AS (SELECT *, v1 / n1 AS g1, v2 / n2 AS g2, v1 / n1 + v2 / n2 AS sem FROM m), " +
+        "z AS (SELECT *, CASE WHEN sem > 0 THEN (m1 - m2) / sqrt(sem) END AS tt, " +
+        "CASE WHEN sem > 0 THEN sem * sem " +
+        "/ (g1 * g1 / (n1 - 1) + g2 * g2 / (n2 - 1)) END AS dfw FROM g) " +
+        "SELECT n1 AS n_a, n2 AS n_b, round(m1, 6) + 0.0 AS mean_a, round(m2, 6) + 0.0 AS mean_b, " +
+        "round(tt, 4) + 0.0 AS t, round(dfw, 2) + 0.0 AS df_welch, " +
+        "abs(tt) > 1.96 AS reject_95 FROM z"),
     // Midrank algebra over the same cumulative CTE; every operand shape
     // mirrors Drift.mannWhitney (left-assoc products, CASE-guarded z).
     "q_mannwhitney" ->
@@ -3843,19 +3934,8 @@ object SparkEntry {
     // Window terms and the exp(cum-sum-of-ln) product mirror the
     // operator; n_risk recomputed inline from the same exact integers.
     "q_survival" ->
-      ("WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
-        "f AS (SELECT user_id, min(ts) AS f0 FROM events, cut WHERE ts <= c GROUP BY 1), " +
-        "p AS (SELECT user_id, min(ts) AS p0 FROM events, cut " +
-        "WHERE event_type = 'purchase' AND ts <= c GROUP BY 1), " +
-        "subj AS (SELECT CASE WHEN p0 IS NOT NULL " +
-        "THEN date_diff('day', CAST(f0 AS DATE), CAST(p0 AS DATE)) " +
-        "ELSE date_diff('day', CAST(f0 AS DATE), CAST(c AS DATE)) END AS t0, " +
-        "CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS obs " +
-        "FROM f LEFT JOIN p ON p.user_id = f.user_id, cut), " +
-        "byt AS (SELECT CAST(t0 AS BIGINT) AS t, CAST(sum(obs) AS BIGINT) AS d, " +
-        "CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY 1), " +
-        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM byt), " +
-        "r AS (SELECT t, d, c, CAST(nn - sum(c) OVER w + c AS BIGINT) AS n_risk, " +
+      (survivalByTCtes +
+        ", r AS (SELECT t, d, c, CAST(nn - sum(c) OVER w + c AS BIGINT) AS n_risk, " +
         "CASE WHEN d > 0 AND d < nn - sum(c) OVER w + c " +
         "THEN ln(1.0 - CAST(d AS DOUBLE) / (nn - sum(c) OVER w + c)) " +
         "ELSE CAST(0 AS DOUBLE) END AS term FROM byt, tot " +
@@ -3907,6 +3987,43 @@ object SparkEntry {
         "round(CASE WHEN vs > 0 THEN (CAST(o1s AS DOUBLE) - e1s) * (CAST(o1s AS DOUBLE) - e1s) / vs END, 6) + 0.0 AS chi2, " +
         "CASE WHEN vs > 0 THEN (CAST(o1s AS DOUBLE) - e1s) * (CAST(o1s AS DOUBLE) - e1s) / vs > CAST(3.841459 AS DOUBLE) END AS reject_95 " +
         "FROM cum WHERE rn = 1"),
+    // KM + Greenwood: the gw increment d/(n(n-d)) rides the same window
+    // row as the ln term; se = S*sqrt(cum gw); bands clipped to [0,1]
+    // with explicit NULLs at an everyone-dies step (greatest/least SKIP
+    // nulls in both engines — an unguarded band would silently read
+    // [0,1] where the variance is undefined).
+    "q_survival_ci" ->
+      (survivalByTCtes +
+        ", r AS (SELECT t, d, c, CAST(nn - sum(c) OVER w + c AS BIGINT) AS n_risk, " +
+        "CASE WHEN d > 0 AND d < nn - sum(c) OVER w + c " +
+        "THEN ln(1.0 - CAST(d AS DOUBLE) / (nn - sum(c) OVER w + c)) " +
+        "ELSE CAST(0 AS DOUBLE) END AS term, " +
+        "CASE WHEN d > 0 AND d < nn - sum(c) OVER w + c " +
+        "THEN CAST(d AS DOUBLE) / CAST((nn - sum(c) OVER w + c) * (nn - sum(c) OVER w + c - d) AS DOUBLE) " +
+        "ELSE CAST(0 AS DOUBLE) END AS gw FROM byt, tot " +
+        "WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)), " +
+        "r2 AS (SELECT t, n_risk, d, c, exp(sum(term) OVER w2) AS s, " +
+        "sqrt(sum(gw) OVER w2) AS sg FROM r " +
+        "WINDOW w2 AS (ORDER BY t ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT t, n_risk, d AS d_events, c - d AS n_censored, " +
+        "CASE WHEN d = n_risk THEN CAST(0 AS DOUBLE) ELSE round(s, 6) END AS survival, " +
+        "round(CASE WHEN d = n_risk THEN NULL ELSE s * sg END, 6) + 0.0 AS se, " +
+        "CASE WHEN d = n_risk THEN NULL " +
+        "ELSE round(greatest(CAST(0 AS DOUBLE), s - 1.96 * (s * sg)), 6) + 0.0 END AS lo, " +
+        "CASE WHEN d = n_risk THEN NULL " +
+        "ELSE round(least(CAST(1 AS DOUBLE), s + 1.96 * (s * sg)), 6) + 0.0 END AS hi FROM r2"),
+    // Nelson-Aalen: h = d/n and v = d/n² ride the same n_risk window
+    // expression; cumulative sums ordered by t.
+    "q_cumhaz" ->
+      (survivalByTCtes +
+        ", r AS (SELECT t, d, CAST(nn - sum(c) OVER w + c AS BIGINT) AS n_risk, " +
+        "CAST(d AS DOUBLE) / (nn - sum(c) OVER w + c) AS h, " +
+        "CAST(d AS DOUBLE) / CAST((nn - sum(c) OVER w + c) * (nn - sum(c) OVER w + c) AS DOUBLE) AS v " +
+        "FROM byt, tot WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT t, n_risk, d AS d_events, " +
+        "round(sum(h) OVER w2, 6) + 0.0 AS cumhaz, " +
+        "round(sqrt(sum(v) OVER w2), 6) + 0.0 AS se FROM r " +
+        "WINDOW w2 AS (ORDER BY t ROWS UNBOUNDED PRECEDING)"),
     // NULLIF guards the no-nonzero-digit rendering ('' casts to NULL in
     // Spark but errors in DuckDB); same grid/total/chi layout as q_psi.
     "q_benford" ->
@@ -3981,6 +4098,25 @@ object SparkEntry {
         "round(fc.forecast - bd.q, 6) + 0.0 AS lo, " +
         "round(fc.forecast + bd.q, 6) + 0.0 AS hi " +
         "FROM fc LEFT JOIN bd ON bd.k = fc.k AND bd.step = fc.step"),
+    // Backtest errors (the proven one-step join) + seasonal-naive errors
+    // from the i-7 self-join; both accumulate as ordered window sums so
+    // the fold replays bit-for-bit; terminal row = row_number DESC.
+    "q_forecast_skill" ->
+      (hwRecursiveCtes +
+        ", errs AS (SELECT hw.k, ix.i, " +
+        "abs(ix.x - (hw.l + hw.b + hw.s[1])) AS em, abs(ix.x - ixp.x) AS en " +
+        "FROM hw JOIN ix ON ix.k = hw.k AND ix.i = hw.i + 1 " +
+        "JOIN ix ixp ON ixp.k = hw.k AND ixp.i = ix.i - 7 WHERE hw.i >= 14), " +
+        "acc AS (SELECT k, i, CAST(count(*) OVER pk AS BIGINT) AS n_eval, " +
+        "sum(em) OVER w AS sm, sum(en) OVER w AS sn, " +
+        "row_number() OVER (PARTITION BY k ORDER BY i DESC) AS rn FROM errs " +
+        "WINDOW w AS (PARTITION BY k ORDER BY i ROWS UNBOUNDED PRECEDING), " +
+        "pk AS (PARTITION BY k)) " +
+        "SELECT k AS event_type, n_eval, " +
+        "round(sm / n_eval, 6) + 0.0 AS mae_model, " +
+        "round(sn / n_eval, 6) + 0.0 AS mae_naive, " +
+        "round(CASE WHEN sn > 0 THEN (sm / n_eval) / (sn / n_eval) END, 6) + 0.0 AS mase " +
+        "FROM acc WHERE rn = 1"),
 
     "q_xcorr" ->
       ("WITH cx AS (SELECT CAST(ts AS DATE) AS t, CAST(count(*) AS BIGINT) AS x " +

@@ -208,6 +208,61 @@ object Drift {
         (F.abs(F.col("__z")) > 1.96).as("reject_95"))
   }
 
+  /** WELCH'S t-test (Welch, Biometrika 1947) between slice `a` and slice
+    * `b` of `valueCol` — the parametric mean-difference companion to KS
+    * (any shape) and MWU (location shift): does slice a's MEAN differ,
+    * without assuming equal variances. Computed from the same one-scan
+    * (x, c1, c2) count frame as the other two-sample tests: per-slice
+    * n, Σx·c, Σx²·c (three doubles per slice — the mergeable summary a
+    * streaming accumulator could re-enter), then
+    *
+    *   t = (m₁ − m₂) / √(v₁/n₁ + v₂/n₂),
+    *   df = (v₁/n₁ + v₂/n₂)² / ((v₁/n₁)²/(n₁−1) + (v₂/n₂)²/(n₂−1)).
+    *
+    * The moment sums are unordered double sums (unlike MWU's exact
+    * dyadics), so cross-engine agreement rests on round-4/round-2
+    * outputs — the benford/chi2 class. reject_95 compares the UNROUNDED
+    * |t| to 1.96: the normal approximation, appropriate at the df these
+    * count frames produce (hundreds+); NULL t (a slice with n ≤ 1 or
+    * zero pooled variance) gives NULL reject.
+    *
+    * Output: one row — (n_a, n_b, mean_a, mean_b, t, df_welch,
+    * reject_95), means round 6, t round 4, df round 2. */
+  def welchT(df: DataFrame, sliceCol: String, valueCol: String,
+             a: String, b: String): DataFrame =
+    welchTFromCounts(valueCounts(df, sliceCol, valueCol, a, b))
+
+  /** [[welchT]] over a pre-aggregated (x, c1, c2) count frame. */
+  def welchTFromCounts(byV: DataFrame): DataFrame = {
+    byV.agg(
+        F.sum("c1").as("n1"), F.sum("c2").as("n2"),
+        F.sum(F.col("x") * F.col("c1")).as("s1"),
+        F.sum(F.col("x") * F.col("c2")).as("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("c1")).as("q1"),
+        F.sum(F.col("x") * F.col("x") * F.col("c2")).as("q2"))
+      .withColumn("m1", F.col("s1") / F.col("n1"))
+      .withColumn("m2", F.col("s2") / F.col("n2"))
+      .withColumn("v1", F.when(F.col("n1") > 1,
+        (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)))
+      .withColumn("v2", F.when(F.col("n2") > 1,
+        (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)))
+      .withColumn("g1", F.col("v1") / F.col("n1"))
+      .withColumn("g2", F.col("v2") / F.col("n2"))
+      .withColumn("sem", F.col("g1") + F.col("g2"))
+      .withColumn("tt", F.when(F.col("sem") > 0,
+        (F.col("m1") - F.col("m2")) / F.sqrt(F.col("sem"))))
+      .withColumn("dfw", F.when(F.col("sem") > 0,
+        F.col("sem") * F.col("sem")
+          / (F.col("g1") * F.col("g1") / (F.col("n1") - 1)
+            + F.col("g2") * F.col("g2") / (F.col("n2") - 1))))
+      .select(F.col("n1").as("n_a"), F.col("n2").as("n_b"),
+        (F.round(F.col("m1"), 6) + F.lit(0.0)).as("mean_a"),
+        (F.round(F.col("m2"), 6) + F.lit(0.0)).as("mean_b"),
+        (F.round(F.col("tt"), 4) + F.lit(0.0)).as("t"),
+        (F.round(F.col("dfw"), 2) + F.lit(0.0)).as("df_welch"),
+        (F.abs(F.col("tt")) > 1.96).as("reject_95"))
+  }
+
   /** One row per distinct value with per-slice counts. */
   private def valueCounts(df: DataFrame, sliceCol: String, valueCol: String,
                           a: String, b: String): DataFrame = {

@@ -61,6 +61,94 @@ object Survival {
         (F.col("c") - F.col("d")).as("n_censored"), F.col("survival"))
   }
 
+  /** [[kaplanMeier]] with GREENWOOD 95% confidence bands (Greenwood,
+    * Reports on Public Health 1926): Var(Ŝ(t)) = Ŝ(t)² · Σ_{tᵢ≤t}
+    * dᵢ/(nᵢ(nᵢ−dᵢ)), CI = Ŝ ± 1.96·se clipped to [0, 1] — the bands a
+    * retention curve needs before anyone compares two of them by eye.
+    * Each Greenwood term is one fixed-shape IEEE division of exact
+    * integers accumulated by the same ordered duration window as the
+    * ln-sum, so the bands replay exactly. A duration where everyone at
+    * risk dies (Ŝ = 0 exactly) has no defined variance — se/lo/hi are
+    * NULL there, the literature's convention, and such a step is
+    * necessarily the last row.
+    *
+    * Output: (t, n_risk, d_events, n_censored, survival, se, lo, hi),
+    * se and bands round 6. */
+  def kaplanMeierCI(subjects: DataFrame, durCol: String, obsCol: String): DataFrame =
+    kaplanMeierCIFromCounts(subjects
+      .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull)
+      .groupBy(F.col(durCol).cast("long").as("t"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"),
+        F.count(F.lit(1)).as("c")))
+
+  /** [[kaplanMeierCI]] over the pre-aggregated (t, d, c) frame. */
+  def kaplanMeierCIFromCounts(byT: DataFrame): DataFrame = {
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byT.agg(F.sum("c").as("__n"))
+    byT.crossJoin(F.broadcast(tot))
+      .withColumn("n_risk", F.col("__n") - F.sum("c").over(w) + F.col("c"))
+      .withColumn("__term",
+        F.when(F.col("d") > 0 && F.col("d") < F.col("n_risk"),
+          F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")))
+          .otherwise(F.lit(0.0)))
+      // Greenwood increment d/(n(n−d)) — 0 at censoring-only rows, the
+      // everyone-dies row never contributes (its bands are NULL anyway)
+      .withColumn("__gw",
+        F.when(F.col("d") > 0 && F.col("d") < F.col("n_risk"),
+          F.col("d").cast("double")
+            / (F.col("n_risk") * (F.col("n_risk") - F.col("d"))).cast("double"))
+          .otherwise(F.lit(0.0)))
+      .withColumn("__s",
+        F.when(F.col("d") === F.col("n_risk"), F.lit(0.0))
+          .otherwise(F.exp(F.sum("__term").over(w))))
+      .withColumn("__se",
+        F.when(F.col("d") === F.col("n_risk"), F.lit(null).cast("double"))
+          .otherwise(F.col("__s") * F.sqrt(F.sum("__gw").over(w))))
+      .select(F.col("t"), F.col("n_risk"), F.col("d").as("d_events"),
+        (F.col("c") - F.col("d")).as("n_censored"),
+        F.when(F.col("d") === F.col("n_risk"), F.lit(0.0))
+          .otherwise(F.round(F.col("__s"), 6)).as("survival"),
+        (F.round(F.col("__se"), 6) + F.lit(0.0)).as("se"),
+        // explicit NULL at the everyone-dies row: greatest/least SKIP
+        // nulls in both engines, which would silently turn an undefined
+        // band into [0, 1]
+        F.when(F.col("d") === F.col("n_risk"), F.lit(null).cast("double"))
+          .otherwise(F.round(F.greatest(F.lit(0.0),
+            F.col("__s") - F.lit(1.96) * F.col("__se")), 6) + F.lit(0.0)).as("lo"),
+        F.when(F.col("d") === F.col("n_risk"), F.lit(null).cast("double"))
+          .otherwise(F.round(F.least(F.lit(1.0),
+            F.col("__s") + F.lit(1.96) * F.col("__se")), 6) + F.lit(0.0)).as("hi"))
+  }
+
+  /** NELSON–AALEN cumulative hazard (Nelson, J. Qual. Tech. 1969; Aalen,
+    * Ann. Stat. 1978): Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with the Poisson-form
+    * standard error √(Σ dᵢ/nᵢ²) — the hazard-scale twin of the KM curve
+    * (more stable than −ln Ŝ at small risk sets, and the quantity rate
+    * comparisons actually want). Same per-duration count scaffold and
+    * ordered duration window; every term is exact-integer IEEE.
+    *
+    * Output: (t, n_risk, d_events, cumhaz, se), round 6. */
+  def nelsonAalen(subjects: DataFrame, durCol: String, obsCol: String): DataFrame =
+    nelsonAalenFromCounts(subjects
+      .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull)
+      .groupBy(F.col(durCol).cast("long").as("t"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"),
+        F.count(F.lit(1)).as("c")))
+
+  /** [[nelsonAalen]] over the pre-aggregated (t, d, c) frame. */
+  def nelsonAalenFromCounts(byT: DataFrame): DataFrame = {
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byT.agg(F.sum("c").as("__n"))
+    byT.crossJoin(F.broadcast(tot))
+      .withColumn("n_risk", F.col("__n") - F.sum("c").over(w) + F.col("c"))
+      .withColumn("__h", F.col("d").cast("double") / F.col("n_risk"))
+      .withColumn("__v",
+        F.col("d").cast("double") / (F.col("n_risk") * F.col("n_risk")).cast("double"))
+      .select(F.col("t"), F.col("n_risk"), F.col("d").as("d_events"),
+        (F.round(F.sum("__h").over(w), 6) + F.lit(0.0)).as("cumhaz"),
+        (F.round(F.sqrt(F.sum("__v").over(w)), 6) + F.lit(0.0)).as("se"))
+  }
+
   /** Two-cohort log-rank test (Mantel, Cancer Chemother. Rep. 1966;
     * Peto & Peto, JRSS A 1972) — "do these two cohorts retain
     * differently?": at every event time, compare each cohort's OBSERVED

@@ -541,6 +541,84 @@ object TimeSeries {
           + F.lit(0.0)).as("err"))
   }
 
+  /** MASE forecast skill (Hyndman & Koehler, "Another look at measures
+    * of forecast accuracy", IJF 2006): the model's one-step backtest MAE
+    * over the honest origins divided by the SEASONAL-NAIVE MAE
+    * (x̂_t = x_{t−p}) on the exact same target range — the
+    * scale-free "is this forecast better than doing nothing" number.
+    * MASE < 1 beats the naive; > 1 means the smoother is losing to
+    * last week's value. Same single fold as the backtest (the
+    * prediction list rides the accumulator); the naive errors are pure
+    * array arithmetic on the same day-ordered array. Both error sums
+    * fold in index order, so an ordered-window mirror replays them
+    * bit-for-bit.
+    *
+    * Output per key: (k, n_eval, mae_model, mae_naive, mase), round 6;
+    * mase NULL when the naive MAE is 0 (a perfectly periodic series —
+    * nothing to beat). */
+  def holtWintersSkill(series: DataFrame, keyCol: String, tCol: String,
+      xCol: String, period: Int = 7,
+      alpha: Double = 0.3, oneMinusAlpha: Double = 0.7,
+      beta: Double = 0.1, oneMinusBeta: Double = 0.9,
+      gamma: Double = 0.2, oneMinusGamma: Double = 0.8): DataFrame = {
+    val p = period
+    def r9(c: Column): Column = F.round(c, 9)
+    val byKey = series
+      .groupBy(F.col(keyCol).as("k"))
+      .agg(F.array_sort(F.collect_list(F.struct(F.col(tCol).as("t"),
+        F.col(xCol).cast("double").as("x")))).as("sx"))
+      .select(F.col("k"), F.transform(F.col("sx"), e => e.getField("x")).as("xs"))
+      .filter(F.size(F.col("xs")) > 2 * p)
+    val mean1 = r9(F.aggregate(F.slice(F.col("xs"), 1, p),
+      F.lit(0.0), (a, x) => a + x) / p)
+    val mean2 = r9(F.aggregate(F.slice(F.col("xs"), p + 1, p),
+      F.lit(0.0), (a, x) => a + x) / p)
+    val withInit = byKey
+      .withColumn("l0", mean1)
+      .withColumn("b0", r9((mean2 - F.col("l0")) / p))
+      .withColumn("s0", F.transform(F.slice(F.col("xs"), 1, p),
+        x => r9(x - F.col("l0"))))
+    val state = F.aggregate(
+      F.slice(F.col("xs"), F.lit(p + 1), F.size(F.col("xs")) - p),
+      F.struct(F.col("l0").as("l"), F.col("b0").as("b"),
+        F.col("s0").as("s"), F.array().cast("array<double>").as("preds")),
+      (acc, x) => {
+        val sOld = F.element_at(acc.getField("s"), 1)
+        val pred = acc.getField("l") + acc.getField("b") + sOld
+        val lN = r9(F.lit(alpha) * (x - sOld)
+          + F.lit(oneMinusAlpha) * (acc.getField("l") + acc.getField("b")))
+        val bN = r9(F.lit(beta) * (lN - acc.getField("l"))
+          + F.lit(oneMinusBeta) * acc.getField("b"))
+        val sN = r9(F.lit(gamma) * (x - lN) + F.lit(oneMinusGamma) * sOld)
+        F.struct(lN.as("l"), bN.as("b"),
+          F.concat(F.slice(acc.getField("s"), 2, p - 1), F.array(sN)).as("s"),
+          F.concat(acc.getField("preds"), F.array(pred)).as("preds"))
+      })
+    withInit
+      .withColumn("preds", state.getField("preds"))
+      // honest targets: indices 2p+1..n (the backtest's init-leak cutoff)
+      .withColumn("hp", F.slice(F.col("preds"), F.lit(p + 1),
+        F.size(F.col("preds")) - p))
+      .withColumn("ha", F.slice(F.col("xs"), F.lit(2 * p + 1),
+        F.size(F.col("xs")) - 2 * p))
+      // seasonal-naive predictions for the same targets: x_{t−p}
+      .withColumn("hb", F.slice(F.col("xs"), F.lit(p + 1),
+        F.size(F.col("xs")) - 2 * p))
+      .withColumn("n_eval", F.size(F.col("ha")))
+      .withColumn("__sm", F.aggregate(
+        F.zip_with(F.col("ha"), F.col("hp"), (a, q) => F.abs(a - q)),
+        F.lit(0.0), (acc, e) => acc + e))
+      .withColumn("__sn", F.aggregate(
+        F.zip_with(F.col("ha"), F.col("hb"), (a, q) => F.abs(a - q)),
+        F.lit(0.0), (acc, e) => acc + e))
+      .select(F.col("k"), F.col("n_eval").cast("long").as("n_eval"),
+        (F.round(F.col("__sm") / F.col("n_eval"), 6) + F.lit(0.0)).as("mae_model"),
+        (F.round(F.col("__sn") / F.col("n_eval"), 6) + F.lit(0.0)).as("mae_naive"),
+        (F.round(F.when(F.col("__sn") > 0,
+          (F.col("__sm") / F.col("n_eval")) / (F.col("__sn") / F.col("n_eval"))), 6)
+          + F.lit(0.0)).as("mase"))
+  }
+
   /** SPLIT-CONFORMAL prediction bands for [[holtWintersForecast]]
     * (Vovk et al., "Algorithmic Learning in a Random World", 2005; the
     * split/inductive form of Papadopoulos et al., ECML 2002): instead of

@@ -269,6 +269,54 @@ class DriftSpec extends SparkSpec {
     out.getAs[Double]("ks_stat") shouldBe 0.75 // at x=2: F_a=1, F_b=0.25
   }
 
+  // ---- welchT ---------------------------------------------------------
+
+  private def tt(a: Seq[Double], b: Seq[Double]) =
+    Drift.welchT(
+      (a.map(("a", _)) ++ b.map(("b", _))).toDF("s", "v").repartition(5),
+      "s", "v", "a", "b").collect().head
+
+  it("Welch t matches the hand-worked unequal-variance case") {
+    // a = {1,2,3,4}: m=2.5, v=5/3; b = {3,5,7,9,11}: m=7, v=10
+    // sem = 5/12 + 2 = 2.416667, t = −4.5/√sem = −2.8947, df = 5.52
+    val out = tt(Seq(1.0, 2, 3, 4), Seq(3.0, 5, 7, 9, 11))
+    out.getAs[Long]("n_a") shouldBe 4L
+    out.getAs[Long]("n_b") shouldBe 5L
+    out.getAs[Double]("mean_a") shouldBe 2.5
+    out.getAs[Double]("mean_b") shouldBe 7.0
+    out.getAs[Double]("t") shouldBe -2.8947
+    out.getAs[Double]("df_welch") shouldBe 5.52
+    out.getAs[Boolean]("reject_95") shouldBe true
+  }
+
+  it("Welch t is exactly zero on identical samples and never rejects") {
+    val xs = Seq(1.0, 2.0, 5.0, 9.0)
+    val out = tt(xs, xs)
+    out.getAs[Double]("t") shouldBe 0.0
+    out.getAs[Boolean]("reject_95") shouldBe false
+  }
+
+  it("Welch t is NULL on degenerate inputs (n ≤ 1 or zero pooled variance)") {
+    val single = tt(Seq(3.0), Seq(1.0, 2.0, 3.0))
+    single.isNullAt(single.fieldIndex("t")) shouldBe true
+    single.isNullAt(single.fieldIndex("reject_95")) shouldBe true
+    val constant = tt(Seq(5.0, 5.0, 5.0), Seq(5.0, 5.0))
+    constant.isNullAt(constant.fieldIndex("t")) shouldBe true
+  }
+
+  it("Welch t is invariant to how the rows are partitioned") {
+    val r = new scala.util.Random(19)
+    val a = Seq.fill(200)(r.nextGaussian() * 2 + 10)
+    val b = Seq.fill(150)(r.nextGaussian() * 5 + 11)
+    val rows = (a.map(("a", _)) ++ b.map(("b", _)))
+    val one = Drift.welchT(rows.toDF("s", "v").repartition(1), "s", "v", "a", "b")
+      .collect().head
+    val many = Drift.welchT(rows.toDF("s", "v").repartition(13), "s", "v", "a", "b")
+      .collect().head
+    one.getAs[Double]("t") shouldBe many.getAs[Double]("t")
+    one.getAs[Double]("df_welch") shouldBe many.getAs[Double]("df_welch")
+  }
+
   // ---- benford ------------------------------------------------------
 
   it("extracts the first significant digit across magnitudes, signs, and renderings") {

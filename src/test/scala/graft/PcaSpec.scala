@@ -342,6 +342,35 @@ class PcaSpec extends SparkSpec {
       .collect() shouldBe empty
   }
 
+  // ---- holtWintersSkill ----------------------------------------------
+
+  it("skill on the seasonal fixed point: model MAE 0, naive MAE 0, MASE NULL") {
+    val p7 = Seq(0.0, 4.0, -4.0, 2.0, -2.0, 6.0, -6.0)
+    val xs = (0 until 28).map(i => 20.0 + p7(i % 7))
+    val out = TimeSeries.holtWintersSkill(hwDf(xs), "k", "t", "x").collect()
+    out should have length 1
+    val r = out.head
+    r.getAs[Long]("n_eval") shouldBe 14L // targets 15..28
+    r.getAs[Double]("mae_model") shouldBe 0.0
+    r.getAs[Double]("mae_naive") shouldBe 0.0 // x_t = x_{t−7} exactly
+    r.isNullAt(r.fieldIndex("mase")) shouldBe true // nothing to beat
+  }
+
+  it("skill on a pure linear trend: the smoother beats seasonal-naive (MASE < 1)") {
+    val xs = (0 until 28).map(i => 5.0 + 2.0 * i)
+    val r = TimeSeries.holtWintersSkill(hwDf(xs), "k", "t", "x").collect().head
+    r.getAs[Double]("mae_naive") shouldBe 14.0 // |x_t − x_{t−7}| = 7·slope
+    r.getAs[Double]("mase") should be < 1.0
+  }
+
+  it("skill on white noise: seasonal-naive is competitive (MASE near 1)") {
+    val r0 = new scala.util.Random(31)
+    val xs = (0 until 42).map(_ => 50.0 + 3.0 * r0.nextGaussian())
+    val r = TimeSeries.holtWintersSkill(hwDf(xs), "k", "t", "x").collect().head
+    r.getAs[Double]("mase") should be > 0.4
+    r.getAs[Double]("mase") should be < 2.0
+  }
+
   // ---- holtWintersConformal ------------------------------------------
 
   it("conformal bands on the seasonal fixed point collapse to zero width") {

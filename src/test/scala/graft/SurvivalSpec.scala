@@ -79,6 +79,56 @@ class SurvivalSpec extends SparkSpec {
     streamed.size should be > 5
   }
 
+  // ---- kaplanMeierCI / nelsonAalen -------------------------------------
+
+  it("Greenwood bands match the hand-worked textbook case and clip to [0, 1]") {
+    val out = Survival.kaplanMeierCI(
+        Seq((1, 1), (2, 1), (3, 0), (4, 1), (5, 0)).toDF("dur", "obs"), "dur", "obs")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    out(1L) shouldBe ((0.8, 0.178885, 0.449385, 1.0)) // hi clipped at 1
+    out(2L) shouldBe ((0.6, 0.219089, 0.170586, 1.0))
+    out(3L) shouldBe ((0.6, 0.219089, 0.170586, 1.0)) // censoring moves nothing
+    out(4L) shouldBe ((0.3, 0.238747, 0.0, 0.767944)) // lo clipped at 0
+  }
+
+  it("Greenwood bands are NULL (not [0,1]) at an everyone-dies step") {
+    val out = Survival.kaplanMeierCI(
+        Seq((1, 1), (2, 1)).toDF("dur", "obs"), "dur", "obs")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1L).getDouble(4) shouldBe 0.5
+    out(1L).isNullAt(5) shouldBe false
+    out(2L).getDouble(4) shouldBe 0.0 // the last subject dies: S = 0 exactly
+    out(2L).isNullAt(5) shouldBe true // variance undefined at S = 0
+    out(2L).isNullAt(6) shouldBe true
+    out(2L).isNullAt(7) shouldBe true
+  }
+
+  it("Nelson-Aalen accumulates d/n with the Poisson-form se") {
+    val out = Survival.nelsonAalen(
+        Seq((1, 1), (2, 1), (3, 0), (4, 1), (5, 0)).toDF("dur", "obs"), "dur", "obs")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    out(1L) shouldBe ((5L, 0.2, 0.2))
+    out(2L) shouldBe ((4L, 0.45, 0.320156))
+    out(3L) shouldBe ((3L, 0.45, 0.320156)) // censoring-only step: flat
+    out(4L) shouldBe ((2L, 0.95, 0.593717))
+    out(5L) shouldBe ((1L, 0.95, 0.593717))
+  }
+
+  it("cumulative hazard is monotone and bounded by −ln(survival) exactly") {
+    val r = new scala.util.Random(23)
+    val subj = Seq.fill(400)((r.nextInt(8), if (r.nextInt(5) == 0) 0 else 1))
+    val km = Survival.kaplanMeier(subj.toDF("dur", "obs"), "dur", "obs")
+      .collect().map(x => x.getLong(0) -> x.getDouble(4)).toMap
+    val na = Survival.nelsonAalen(subj.toDF("dur", "obs"), "dur", "obs")
+      .collect().sortBy(_.getLong(0)).map(x => (x.getLong(0), x.getDouble(3)))
+    // −ln Ŝ = Σ −ln(1 − d/n) ≥ Σ d/n = Ĥ term by term — EXACT, any hazard
+    na.filter(p => km(p._1) > 0).foreach { case (t, h) =>
+      h should be <= -math.log(km(t)) + 1e-6
+    }
+    na.sliding(2).foreach { w => w(1)._2 should be >= w(0)._2 } // Ĥ never decreases
+  }
+
   // ---- logRank --------------------------------------------------------
 
   private def lr(rows: Seq[(Int, Int, String)]) = {

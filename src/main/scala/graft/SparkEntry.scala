@@ -1164,6 +1164,13 @@ object SparkEntry {
       pcaOutlierStash = Some((mu, comps.map(_._2)))
       Pca.reconstructionErrors(e, "vec_id", "embedding", mu, comps.map(_._2), pct = 0.95)
     }),
+    // TwoNN intrinsic dimension: how many dimensions the corpus actually
+    // occupies (μ = r2/r1 is Pareto(ID) regardless of density — the MLE
+    // needs only each point's two nearest neighbors). The oracle row
+    // runs the exact brute-force two-NN baseline; at scale the same
+    // estimator folds over any ANN top-2 frame (intrinsicDimensionFromKnn).
+    "q_intrinsic_dim" -> ((s, dir) =>
+      Pca.intrinsicDimension(t(s, dir, "embeddings"), "vec_id", "embedding")),
     // Lead-lag cross-correlation: do clicks anticipate purchases, and by
     // how many days? Six exact BIGINT sums per lag (the assortativity
     // determinism anchor), x side replicated once per lag over an
@@ -1247,6 +1254,14 @@ object SparkEntry {
     // rows trim is exact; the means collapse at round 4.
     "q_trimmed_mean" -> ((s, dir) =>
       RobustStats.trimmedMeans(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")),
+    // Gini concentration of per-customer spend — the "does the top 1%
+    // dominate" inequality number; rank formula over the two-phase
+    // distributed prefix (no single-partition window over customers).
+    "q_gini" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(F.col("o_custkey")).agg(F.sum(F.col("o_totalprice")).as("spend"))
+      RobustStats.gini(spend, "o_custkey", "spend")
+    }),
     // Per-user burstiness of inter-event gaps: (sigma-mu)/(sigma+mu) —
     // metronome -1, Poisson ~0, bursts -> 1; the bot-vs-human signal.
     // Exact microsecond gaps, one three-sum aggregate per user.
@@ -3875,6 +3890,17 @@ object SparkEntry {
         "round(avg(CASE WHEN x >= lo AND x <= hi THEN x END), 4) AS trimmed_mean, " +
         "round(avg(least(greatest(x, lo), hi)), 4) AS winsorized_mean " +
         "FROM b JOIN q ON q.grp = b.grp GROUP BY 1"),
+    // Ascending rank over (x, key) mirrors the two-phase rank exactly
+    // (within-tie permutations leave the weighted sum unchanged anyway).
+    "q_gini" ->
+      ("WITH spend AS (SELECT o_custkey AS k, sum(o_totalprice) AS x0 FROM orders GROUP BY 1), " +
+        "b AS (SELECT k, CAST(x0 AS DOUBLE) AS x FROM spend WHERE x0 IS NOT NULL AND x0 >= 0), " +
+        "r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS i FROM b), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS t, " +
+        "sum(CAST(i AS DOUBLE) * x) AS w FROM r) " +
+        "SELECT n, round(t, 4) + 0.0 AS total, " +
+        "round(CASE WHEN t > 0 THEN 2.0 * w / (n * t) - CAST(n + 1 AS DOUBLE) / n END, 6) + 0.0 AS gini " +
+        "FROM a WHERE n > 0"),
     // Gap multiset is tie-order-invariant (no id tiebreak needed); the
     // variance is floored at 0 before sqrt in BOTH engines.
     "q_burstiness" ->
@@ -4668,6 +4694,24 @@ object SparkEntry {
         ", ms AS (SELECT id AS vec_id, max(sim) AS max_sim FROM asim GROUP BY id) " +
         "SELECT vec_id, max_sim, max_sim < (SELECT quantile_cont(max_sim, 0.05) FROM ms) AS is_outlier FROM ms")
       .getOrElse("SELECT NULL AS vec_id, NULL AS max_sim, NULL AS is_outlier WHERE 1 = 0"),
+    // Exact two-NN from the full pair grid (row_number over d2, cid ties
+    // — the bounded-heap struct-min's order), then the Pareto MLE.
+    "q_intrinsic_dim" ->
+      ("WITH base AS (SELECT vec_id, embedding AS v FROM embeddings), " +
+        "pr AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.v AS qv, b.v AS cv " +
+        "FROM base a JOIN base b ON a.vec_id <> b.vec_id), " +
+        "pt AS (SELECT qid, cid, qv, cv, unnest(range(1, 65)) AS i FROM pr), " +
+        "pd AS (SELECT qid, cid, " +
+        "sum((CAST(qv[CAST(i AS INT)] AS DOUBLE) - CAST(cv[CAST(i AS INT)] AS DOUBLE)) " +
+        "* (CAST(qv[CAST(i AS INT)] AS DOUBLE) - CAST(cv[CAST(i AS INT)] AS DOUBLE))) AS d2 " +
+        "FROM pt GROUP BY 1, 2), " +
+        "rk AS (SELECT qid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn FROM pd), " +
+        "two AS (SELECT qid, max(CASE WHEN rn = 1 THEN d2 END) AS r1, " +
+        "max(CASE WHEN rn = 2 THEN d2 END) AS r2 FROM rk WHERE rn <= 2 GROUP BY 1), " +
+        "mu AS (SELECT ln(sqrt(r2 / r1)) AS lm FROM two WHERE r1 > 0 AND r2 IS NOT NULL), " +
+        "ag AS (SELECT CAST(count(*) AS BIGINT) AS n_used, sum(lm) AS s FROM mu) " +
+        "SELECT n_used, round(s, 6) + 0.0 AS sum_log_mu, " +
+        "round(n_used / s, 6) + 0.0 AS id_twonn FROM ag WHERE n_used > 0 AND s > 0"),
     // Reconstruction scoring against the stashed literal model (mean +
     // loading vectors + driver-exact ||u||^2): per-dim centering, one
     // coefficient sum per component, then the SAME left-associated

@@ -300,4 +300,60 @@ object Pca {
     reconstructionErrors(vecs, idCol, vecCol, meanVector(vecs, vecCol, dim),
       comps.map(_._2), pct)
   }
+
+  /** TwoNN INTRINSIC DIMENSION (Facco, d'Errico, Rodriguez & Laio,
+    * "Estimating the intrinsic dimension of datasets by a minimal
+    * neighborhood information", Sci. Rep. 2017): for each point, the
+    * ratio μ = r₂/r₁ of its second- to first-nearest-neighbor distance
+    * is Pareto(ID)-distributed regardless of density, so the MLE
+    * ID ≈ n / Σ ln μ reads the manifold dimension from two neighbors
+    * alone — the embedding-corpus diagnostic that says how much of the
+    * ambient 64 dims the data actually occupies (PCA's variance-based
+    * count overestimates on curved manifolds; this one doesn't).
+    *
+    * This entry scores from ANY (qid, d2, rn ∈ {1, 2}) neighbor frame —
+    * exact brute force for the oracle row, or any of the ANN top-k paths
+    * (LSH/IVF/IVF-PQ with k = 2) at scale, which is exactly how a 100 TB
+    * corpus would run it: the estimator is one grouped pivot + one 1-row
+    * aggregate on top of whatever neighbor search is already running.
+    * Points with r₁ = 0 (exact duplicates) are excluded, the paper's
+    * convention. `d2` is the SQUARED distance — μ = √(d₂/d₁) — so
+    * callers can skip the sqrt in the search.
+    *
+    * Output: ONE row — (n_used, sum_log_mu, id_twonn), round 6; empty
+    * when no point has two distinct-distance neighbors. */
+  def intrinsicDimensionFromKnn(knn: DataFrame): DataFrame = {
+    val two = knn.filter(F.col("rn") <= 2)
+      .groupBy("qid")
+      .agg(F.max(F.when(F.col("rn") === 1, F.col("d2"))).as("r1"),
+        F.max(F.when(F.col("rn") === 2, F.col("d2"))).as("r2"))
+      .filter(F.col("r1") > 0 && F.col("r2").isNotNull)
+      .select(F.log(F.sqrt(F.col("r2") / F.col("r1"))).as("lm"))
+    two.agg(F.count(F.lit(1)).as("n_used"), F.sum("lm").as("__s"))
+      .filter(F.col("n_used") > 0 && F.col("__s") > 0)
+      .select(F.col("n_used"),
+        (F.round(F.col("__s"), 6) + F.lit(0.0)).as("sum_log_mu"),
+        (F.round(F.col("n_used") / F.col("__s"), 6) + F.lit(0.0)).as("id_twonn"))
+  }
+
+  /** [[intrinsicDimensionFromKnn]] over exact brute-force euclidean
+    * two-NN — the oracle-able baseline (N² pairs; swap in an ANN top-2
+    * at scale). Per-pair squared distance is one index-ordered fold. */
+  def intrinsicDimension(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = vecs.select(F.col(idCol).as("qid"), F.col(vecCol).cast("array<double>").as("qv"))
+    val c = vecs.select(F.col(idCol).as("cid"), F.col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.crossJoin(F.broadcast(q))
+      .filter(F.col("cid") =!= F.col("qid"))
+      .withColumn("d2", F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), (a, b) => (a - b) * (a - b)),
+        F.lit(0.0), (acc, x) => acc + x))
+    // smallest-2 via the bounded-heap top-k on the negated distance
+    // ((−d2) desc = d2 asc, ties by candidate id asc)
+    val knn = scored.groupBy("qid")
+      .agg(graft.functions.TopK.collectTopK(
+        F.struct((-F.col("d2")).as("nd"), (-F.col("cid")).as("nid")), 2).as("__tk"))
+      .select(F.col("qid"), F.posexplode(F.col("__tk")).as(Seq("__pos", "__e")))
+      .select(F.col("qid"), (-F.col("__e.nd")).as("d2"), (F.col("__pos") + 1).as("rn"))
+    intrinsicDimensionFromKnn(knn)
+  }
 }

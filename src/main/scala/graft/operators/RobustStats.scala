@@ -39,4 +39,41 @@ object RobustStats {
         F.round(F.avg(F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi"))), 4)
           .as("winsorized_mean"))
   }
+
+  /** GINI coefficient of a non-negative value column — the inequality /
+    * concentration number (Gini 1912): 0 = everyone equal, →1 = one key
+    * holds everything. The workload question it answers here: how
+    * concentrated is spend / document length / token mass across keys —
+    * the "does the top 1% dominate the corpus" curation check.
+    *
+    * Computed by the rank formula over the ascending sort,
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n, with the global rank i from the
+    * TWO-PHASE distributed prefix (range repartition + per-partition
+    * row_number + broadcast offsets — the packSequences pattern; never a
+    * single-partition window over the data-sized value axis). Ties
+    * break by key, so the rank assignment is deterministic; any
+    * within-tie permutation leaves Σ i·xᵢ unchanged anyway (equal x).
+    * Negative values are excluded (Gini is defined on non-negative
+    * support); NULL gini when the total is 0.
+    *
+    * Output: ONE row — (n, total round 4, gini round 6). */
+  def gini(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(F.col(keyCol).as("k"), F.col(valCol).cast("double").as("x"))
+      .filter(F.col("x").isNotNull && F.col("x") >= 0)
+    val (parted, offsets) = TwoPhase.partitionOffsets(
+      base, Seq(F.col("x"), F.col("k")), Seq(F.count(F.lit(1)) -> "__o"))
+    val within = Window.partitionBy("__pid").orderBy("x", "k")
+    val ranked = parted.join(F.broadcast(offsets), "__pid")
+      .withColumn("i", F.col("__o") + F.row_number().over(within))
+    ranked.agg(F.count(F.lit(1)).as("n"), F.sum("x").as("__t"),
+        F.sum(F.col("i").cast("double") * F.col("x")).as("__w"))
+      .filter(F.col("n") > 0)
+      .select(F.col("n"),
+        (F.round(F.col("__t"), 4) + F.lit(0.0)).as("total"),
+        (F.round(F.when(F.col("__t") > 0,
+          F.lit(2.0) * F.col("__w") / (F.col("n") * F.col("__t"))
+            - (F.col("n") + 1).cast("double") / F.col("n")), 6)
+          + F.lit(0.0)).as("gini"))
+  }
 }

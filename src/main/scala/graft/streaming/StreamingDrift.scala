@@ -114,6 +114,12 @@ object StreamingDrift {
                      a: String, b: String): DataFrame =
     Drift.mannWhitneyFromCounts(twoSampleCounts(spark, countsDir, a, b))
 
+  /** Welch's t over the same accumulated per-value counts — the third
+    * two-sample test the one-partial layout buys for free. */
+  def welchTNow(spark: SparkSession, countsDir: String,
+                a: String, b: String): DataFrame =
+    Drift.welchTFromCounts(twoSampleCounts(spark, countsDir, a, b))
+
   private def twoSampleCounts(spark: SparkSession, countsDir: String,
                               a: String, b: String): DataFrame =
     categoricalCounts(spark, countsDir)

@@ -33,12 +33,23 @@ object StreamingSurvival {
   /** The survival curve over everything streamed so far — the
     * [[Survival.kaplanMeier]] output shape. */
   def kmNow(spark: SparkSession, countsDir: String): DataFrame =
-    Survival.kaplanMeierFromCounts(
-      StreamingDrift.categoricalCounts(spark, countsDir)
-        .groupBy(F.col("slice").cast("long").as("t"))
-        .agg(
-          F.sum(F.when(F.col("cat") === "1", F.col("n")).otherwise(F.lit(0L))).as("d"),
-          F.sum(F.col("n")).as("c")))
+    Survival.kaplanMeierFromCounts(kmCounts(spark, countsDir))
+
+  /** The KM curve with Greenwood bands over everything streamed so far —
+    * the [[Survival.kaplanMeierCI]] output shape from the same partials. */
+  def kmCiNow(spark: SparkSession, countsDir: String): DataFrame =
+    Survival.kaplanMeierCIFromCounts(kmCounts(spark, countsDir))
+
+  /** Nelson–Aalen cumulative hazard over everything streamed so far. */
+  def cumhazNow(spark: SparkSession, countsDir: String): DataFrame =
+    Survival.nelsonAalenFromCounts(kmCounts(spark, countsDir))
+
+  private def kmCounts(spark: SparkSession, countsDir: String): DataFrame =
+    StreamingDrift.categoricalCounts(spark, countsDir)
+      .groupBy(F.col("slice").cast("long").as("t"))
+      .agg(
+        F.sum(F.when(F.col("cat") === "1", F.col("n")).otherwise(F.lit(0L))).as("d"),
+        F.sum(F.col("n")).as("c"))
 
   /** Persist per-batch (duration, observed, cohort) counts for the
     * two-cohort log-rank test: the cohort rides the same categorical

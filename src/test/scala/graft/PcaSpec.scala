@@ -257,6 +257,40 @@ class PcaSpec extends SparkSpec {
     (0L until 49L).foreach(i => out(i)._1 should be < 1.0)
   }
 
+  it("TwoNN reads the manifold dimension, not the ambient one") {
+    val r = new scala.util.Random(29)
+    // 300 points on a 2-plane embedded in 8 ambient dims
+    val plane = (0 until 300).map { i =>
+      val a = r.nextGaussian() * 10; val b = r.nextGaussian() * 10
+      (i.toLong, Seq(a, b, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    }
+    val id2 = Pca.intrinsicDimension(plane.toDF("vec_id", "embedding"),
+      "vec_id", "embedding").collect().head.getDouble(2)
+    id2 should be > 1.4
+    id2 should be < 2.8
+    // 300 points on a 1-line: ID ≈ 1
+    val line = (0 until 300).map { i =>
+      val a = r.nextGaussian() * 10
+      (i.toLong, Seq(a, 2 * a, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    }
+    val id1 = Pca.intrinsicDimension(line.toDF("vec_id", "embedding"),
+      "vec_id", "embedding").collect().head.getDouble(2)
+    id1 should be > 0.7
+    id1 should be < 1.5
+    id1 should be < id2
+  }
+
+  it("TwoNN excludes exact duplicates (r1 = 0) from the MLE") {
+    val r = new scala.util.Random(37)
+    val pts = (0 until 50).map(i =>
+      (i.toLong, Seq(r.nextGaussian(), r.nextGaussian(), 0.0, 0.0)))
+    val withDup = pts :+ (99L, pts.head._2) // exact copy of point 0
+    val out = Pca.intrinsicDimension(withDup.toDF("vec_id", "embedding"),
+      "vec_id", "embedding").collect().head
+    // points 0 and 99 both have a zero first-NN distance — both excluded
+    out.getLong(0) shouldBe 49L
+  }
+
   it("projectK refuses an empty component list") {
     val df = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
     an[IllegalArgumentException] should be thrownBy

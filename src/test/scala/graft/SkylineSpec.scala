@@ -107,6 +107,35 @@ class SkylineSpec extends SparkSpec {
     out.getAs[Double]("trimmed_mean") should be < 10.0
   }
 
+  // ---- gini -----------------------------------------------------------
+
+  private def giniOf(vals: Seq[Double], parts: Int = 5) =
+    graft.operators.RobustStats.gini(
+      vals.zipWithIndex.map { case (v, i) => (f"k$i%04d", v) }
+        .toDF("k", "v").repartition(parts), "k", "v")
+      .collect().head
+
+  it("gini is exactly 0 on perfect equality and (n−1)/n on total concentration") {
+    giniOf(Seq.fill(10)(5.0)).getDouble(2) shouldBe 0.0
+    giniOf(Seq.fill(99)(0.0) :+ 100.0).getDouble(2) shouldBe 0.99 // (n−1)/n
+  }
+
+  it("gini matches the hand rank formula and is partition-invariant") {
+    // x = 1,2,3,4: Σ i·x = 30 → 60/40 − 5/4 = 0.25
+    giniOf(Seq(1.0, 2.0, 3.0, 4.0)).getDouble(2) shouldBe 0.25
+    val r = new scala.util.Random(47)
+    val xs = Seq.fill(500)(r.nextInt(1000).toDouble)
+    giniOf(xs, parts = 1).toSeq shouldBe giniOf(xs, parts = 13).toSeq
+  }
+
+  it("gini excludes negative values and NULLs the degenerate all-zero case") {
+    val out = giniOf(Seq(-5.0, 1.0, 1.0))
+    out.getLong(0) shouldBe 2L // the negative row is out of support
+    out.getDouble(2) shouldBe 0.0
+    val zeros = giniOf(Seq(0.0, 0.0, 0.0))
+    zeros.isNullAt(2) shouldBe true // total 0: inequality undefined
+  }
+
   it("a constant group has all three means equal and keeps every row") {
     val out = graft.operators.RobustStats
       .trimmedMeans(Seq.fill(8)(("c", 4.5)).toDF("k", "v"), "k", "v")

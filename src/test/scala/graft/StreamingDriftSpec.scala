@@ -144,6 +144,10 @@ class StreamingDriftSpec extends SparkSpec {
       Drift.ksTest(batchDf, "s", "v", "a", "b").collect().head.toSeq
     StreamingDrift.mannWhitneyNow(spark, cDir, "a", "b").collect().head.toSeq shouldBe
       Drift.mannWhitney(batchDf, "s", "v", "a", "b").collect().head.toSeq
+    // integer-valued fixture → the Welch moment sums are exact in any
+    // order, so streamed == batch bit-for-bit here too
+    StreamingDrift.welchTNow(spark, cDir, "a", "b").collect().head.toSeq shouldBe
+      Drift.welchT(batchDf, "s", "v", "a", "b").collect().head.toSeq
   }
 
   it("an empty stream reads as zero current counts, not a throw") {

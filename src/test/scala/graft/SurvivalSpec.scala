@@ -77,6 +77,15 @@ class SurvivalSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.toSeq).toMap
     streamed shouldBe batch
     streamed.size should be > 5
+    // the CI and hazard readers fold the SAME partials — streamed == batch too
+    graft.streaming.StreamingSurvival.kmCiNow(spark, cDir)
+      .collect().map(_.toSeq).toSet shouldBe
+      Survival.kaplanMeierCI(subjects.toDF("dur", "obs"), "dur", "obs")
+        .collect().map(_.toSeq).toSet
+    graft.streaming.StreamingSurvival.cumhazNow(spark, cDir)
+      .collect().map(_.toSeq).toSet shouldBe
+      Survival.nelsonAalen(subjects.toDF("dur", "obs"), "dur", "obs")
+        .collect().map(_.toSeq).toSet
   }
 
   // ---- kaplanMeierCI / nelsonAalen -------------------------------------

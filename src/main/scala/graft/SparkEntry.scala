@@ -1262,6 +1262,22 @@ object SparkEntry {
         .groupBy(F.col("o_custkey")).agg(F.sum(F.col("o_totalprice")).as("spend"))
       RobustStats.gini(spend, "o_custkey", "spend")
     }),
+    // Hill tail index of per-customer spend: the heavy-tail exponent
+    // from the top-51 order statistics alone — one bounded-heap
+    // aggregate, the log terms folded in descending-value order.
+    "q_hill" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(F.col("o_custkey")).agg(F.sum(F.col("o_totalprice")).as("spend"))
+      RobustStats.hillTailIndex(spend, "spend", k = 50)
+    }),
+    // Spearman rank correlation of part price vs size: Pearson on exact
+    // dyadic midranks — order-independent exact sums, the MWU anchor.
+    "q_spearman" -> ((s, dir) =>
+      Drift.spearman(t(s, dir, "part"), "p_retailprice", "p_size")),
+    // Zipf rank-frequency fit over the document vocabulary: the cheapest
+    // "is this corpus natural language" distributional check.
+    "q_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 200)),
     // Per-user burstiness of inter-event gaps: (sigma-mu)/(sigma+mu) —
     // metronome -1, Poisson ~0, bursts -> 1; the bot-vs-human signal.
     // Exact microsecond gaps, one three-sum aggregate per user.
@@ -3901,6 +3917,59 @@ object SparkEntry {
         "SELECT n, round(t, 4) + 0.0 AS total, " +
         "round(CASE WHEN t > 0 THEN 2.0 * w / (n * t) - CAST(n + 1 AS DOUBLE) / n END, 6) + 0.0 AS gini " +
         "FROM a WHERE n > 0"),
+    // Top-51 values by ORDER BY x DESC (ties carry equal log terms, so
+    // the arbitrary row_number among ties is harmless); the ln-sum
+    // accumulates in the same descending order as the operator's fold.
+    "q_hill" ->
+      ("WITH spend AS (SELECT o_custkey AS k, sum(o_totalprice) AS x0 FROM orders GROUP BY 1), " +
+        "b AS (SELECT CAST(x0 AS DOUBLE) AS x FROM spend WHERE x0 IS NOT NULL AND x0 > 0), " +
+        "t1 AS (SELECT x, rn FROM (SELECT x, row_number() OVER (ORDER BY x DESC) AS rn FROM b) WHERE rn <= 51), " +
+        "xk AS (SELECT x AS v FROM t1 WHERE rn = 51), " +
+        "cnt AS (SELECT CAST(count(*) AS BIGINT) AS m FROM t1), " +
+        "s AS (SELECT rn, sum(ln(x / xk.v)) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) / 50 AS h, xk.v " +
+        "FROM t1, xk WHERE rn <= 50) " +
+        "SELECT CAST(50 AS BIGINT) AS k, round(v, 6) + 0.0 AS x_k, " +
+        "round(h, 6) + 0.0 AS hill_h, " +
+        "round(CASE WHEN h > 0 THEN 1.0 / h END, 6) + 0.0 AS alpha " +
+        "FROM s, cnt WHERE rn = 50 AND m = 51"),
+    // Midranks per column from the single-window cumulative (the MWU
+    // shape), joined back by value; the Pearson operands are exact
+    // dyadic sums — order-independent, no rounding discipline needed.
+    "q_spearman" ->
+      ("WITH b AS (SELECT CAST(p_retailprice AS DOUBLE) AS x, CAST(p_size AS DOUBLE) AS y " +
+        "FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL), " +
+        "cx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1), " +
+        "rx AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS DOUBLE) " +
+        "+ (CAST(c AS DOUBLE) + 1.0) / 2.0 AS r FROM cx), " +
+        "cy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1), " +
+        "ry AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS DOUBLE) " +
+        "+ (CAST(c AS DOUBLE) + 1.0) / 2.0 AS r FROM cy), " +
+        "j AS (SELECT rx.r AS ra, ry.r AS rb FROM b JOIN rx ON rx.v = b.x JOIN ry ON ry.v = b.y), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(ra) AS sx, sum(rb) AS sy, " +
+        "sum(ra * rb) AS sxy, sum(ra * ra) AS sxx, sum(rb * rb) AS syy FROM j) " +
+        "SELECT n, CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy) > 0 " +
+        "THEN round((CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+        "sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0 " +
+        "END AS rho FROM s"),
+    // Positional ranks over (count DESC, term DESC) — the bounded-heap
+    // struct order — then five ordered-window regression sums.
+    "q_zipf" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok WHERE term <> '' GROUP BY 1), " +
+        "tp AS (SELECT c, rank FROM (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, term DESC) AS BIGINT) AS rank " +
+        "FROM c) WHERE rank <= 200), " +
+        "a AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS lx, ln(CAST(c AS DOUBLE)) AS ly FROM tp), " +
+        "cs AS (SELECT rank, sum(lx) OVER w AS sx, sum(ly) OVER w AS sy, " +
+        "sum(lx * ly) OVER w AS sxy, sum(lx * lx) OVER w AS sxx, sum(ly * ly) OVER w AS syy, " +
+        "row_number() OVER (ORDER BY rank DESC) AS rn FROM a " +
+        "WINDOW w AS (ORDER BY rank ROWS UNBOUNDED PRECEDING)) " +
+        "SELECT rank AS n_terms, " +
+        "round(CASE WHEN CAST(rank AS DOUBLE) * sxx - sx * sx > 0 " +
+        "THEN (CAST(rank AS DOUBLE) * sxy - sx * sy) / (CAST(rank AS DOUBLE) * sxx - sx * sx) END, 6) + 0.0 AS zipf_slope, " +
+        "round(CASE WHEN (CAST(rank AS DOUBLE) * sxx - sx * sx) * (CAST(rank AS DOUBLE) * syy - sy * sy) > 0 " +
+        "THEN (CAST(rank AS DOUBLE) * sxy - sx * sy) / " +
+        "sqrt((CAST(rank AS DOUBLE) * sxx - sx * sx) * (CAST(rank AS DOUBLE) * syy - sy * sy)) END, 6) + 0.0 AS zipf_r " +
+        "FROM cs WHERE rn = 1"),
     // Gap multiset is tie-order-invariant (no id tiebreak needed); the
     // variance is floored at 0 before sqrt in BOTH engines.
     "q_burstiness" ->

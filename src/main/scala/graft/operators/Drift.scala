@@ -263,6 +263,49 @@ object Drift {
         (F.abs(F.col("tt")) > 1.96).as("reject_95"))
   }
 
+  /** SPEARMAN rank correlation between two columns — Pearson on
+    * midranks: the monotone-association number that ignores the
+    * columns' scales and outliers entirely (Spearman 1904). Midranks
+    * per distinct value are exact dyadic rationals (the MWU anchor), so
+    * every sum here — Σr, Σr², Σr_x·r_y — is an ORDER-INDEPENDENT exact
+    * double and the statistic is engine-bit-identical with no rounding
+    * discipline beyond the output snap. Ranks come from the two-phase
+    * distributed prefix per column (never a single-partition window
+    * over the data-sized value axis); the rank join back to rows is
+    * value-keyed.
+    *
+    * Output: ONE row — (n, rho round 6), NULL rho when either column is
+    * constant. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(F.col(xCol).cast("double").as("x"),
+        F.col(yCol).cast("double").as("y"))
+      .filter(F.col("x").isNotNull && F.col("y").isNotNull)
+      .localCheckpoint(true) // feeds both rank maps AND the rank join
+    def rankMap(col: String): DataFrame = {
+      val counts = base.groupBy(F.col(col).as("v")).agg(F.count(F.lit(1)).as("c"))
+      val (parted, offsets) = TwoPhase.partitionOffsets(
+        counts, Seq(F.col("v")), Seq(F.sum("c") -> "__o"))
+      val within = Window.partitionBy("__pid").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parted.join(F.broadcast(offsets), "__pid")
+        .withColumn("__k", F.col("__o") + F.sum("c").over(within))
+        // midrank = (# strictly smaller) + (t + 1)/2 — the MWU shape
+        .select(F.col("v"),
+          ((F.col("__k") - F.col("c")).cast("double")
+            + (F.col("c").cast("double") + 1.0) / 2.0).as("r"))
+    }
+    val rx = rankMap("x").select(F.col("v").as("x"), F.col("r").as("ra"))
+    val ry = rankMap("y").select(F.col("v").as("y"), F.col("r").as("rb"))
+    val s = base.join(rx, "x").join(ry, "y").agg(
+      F.count(F.lit(1)).as("cnt"),
+      F.sum("ra").as("sx"), F.sum("rb").as("sy"),
+      F.sum(F.col("ra") * F.col("rb")).as("sxy"),
+      F.sum(F.col("ra") * F.col("ra")).as("sxx"),
+      F.sum(F.col("rb") * F.col("rb")).as("syy"))
+    s.select(F.col("cnt").as("n"), Pearson.fromSums(F.col("cnt")).as("rho"))
+  }
+
   /** One row per distinct value with per-slice counts. */
   private def valueCounts(df: DataFrame, sliceCol: String, valueCol: String,
                           a: String, b: String): DataFrame = {

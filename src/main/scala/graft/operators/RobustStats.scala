@@ -40,6 +40,40 @@ object RobustStats {
           .as("winsorized_mean"))
   }
 
+  /** HILL tail-index estimator (Hill, Ann. Stat. 1975) over the top-k
+    * order statistics: H = (1/k)·Σᵢ₌₁..k ln(x₍ₙ₋ᵢ₊₁₎ / x₍ₙ₋ₖ₎) and
+    * α = 1/H — the heavy-tail exponent behind every "how Pareto is this
+    * distribution" question (spend, doc lengths, degree tails). α ≈ 1
+    * means an extremely heavy tail where sums are dominated by maxima;
+    * large α means the tail is effectively thin.
+    *
+    * Only the top k+1 VALUES are needed: one bounded-heap top-k
+    * aggregate (the group-topk machinery, k+2 small structs of state),
+    * no sort of the data. The log terms fold over the descending value
+    * array in order — ties carry equal terms, so the fold is
+    * deterministic — and the threshold x₍ₙ₋ₖ₎ is the (k+1)-th value.
+    *
+    * Output: ONE row — (k, x_k threshold round 6, hill_h round 6,
+    * alpha round 6); empty when fewer than k+1 positive values exist,
+    * NULL alpha when H = 0 (all top values tie the threshold). */
+  def hillTailIndex(df: DataFrame, valCol: String, k: Int = 50): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val base = df.select(F.col(valCol).cast("double").as("x"))
+      .filter(F.col("x").isNotNull && F.col("x") > 0)
+    base.agg(graft.functions.TopK.collectTopK(
+        F.struct(F.col("x"), F.lit(0L).as("nid")), k + 1).as("__tk"))
+      .select(F.transform(F.col("__tk"), e => e.getField("x")).as("xs"))
+      .filter(F.size(F.col("xs")) === k + 1)
+      .withColumn("xk", F.element_at(F.col("xs"), k + 1))
+      .withColumn("__h", F.aggregate(F.slice(F.col("xs"), 1, k),
+        F.lit(0.0), (acc, v) => acc + F.log(v / F.col("xk"))) / k)
+      .select(F.lit(k.toLong).as("k"),
+        (F.round(F.col("xk"), 6) + F.lit(0.0)).as("x_k"),
+        (F.round(F.col("__h"), 6) + F.lit(0.0)).as("hill_h"),
+        (F.round(F.when(F.col("__h") > 0, F.lit(1.0) / F.col("__h")), 6)
+          + F.lit(0.0)).as("alpha"))
+  }
+
   /** GINI coefficient of a non-negative value column — the inequality /
     * concentration number (Gini 1912): 0 = everyone equal, →1 = one key
     * holds everything. The workload question it answers here: how

@@ -568,4 +568,51 @@ object TextAnalysis {
       F.md5(F.lower(F.trim(F.col(textCol)))).as("md5_fp"),
       (F.aggregate(terms, F.lit(0L), (acc, x) => acc + x) % 1000003L).as("pos_fp"))
   }
+
+  /** ZIPF rank-frequency fit (Zipf 1949): OLS slope of ln(freq) on
+    * ln(rank) over the top-N vocabulary — natural language sits near
+    * slope −1, and a corpus that doesn't (synthetic text, boilerplate
+    * floods, truncated vocab) fails the cheapest distributional sanity
+    * check there is. `zipf_r` is the fit's Pearson r: |r| near 1 says
+    * the corpus is actually power-law, not merely sloped.
+    *
+    * One token-count scan, then ONE bounded-heap top-N aggregate (never
+    * a vocabulary sort); ranks are positional over the (count desc,
+    * term desc) struct order — fully deterministic, ties included — and
+    * all five regression sums accumulate as ordered window sums over
+    * the N-row rank axis, so the mirror replays them bit-for-bit.
+    *
+    * Output: ONE row — (n_terms, zipf_slope round 6, zipf_r round 6);
+    * NULL slope/r when fewer than two distinct ranks carry variance. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(F.explode(F.split(F.col(textCol), " ")).as("term"))
+      .filter(F.col("term") =!= "")
+      .groupBy("term").agg(F.count(F.lit(1)).as("c"))
+    val top = counts.agg(graft.functions.TopK.collectTopK(
+        F.struct(F.col("c"), F.col("term")), topN).as("__tk"))
+      .select(F.posexplode(F.col("__tk")).as(Seq("__pos", "__e")))
+      .select((F.col("__pos") + 1).cast("long").as("rank"), F.col("__e.c").as("c"))
+    val w = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val acc = top
+      .withColumn("lx", F.log(F.col("rank").cast("double")))
+      .withColumn("ly", F.log(F.col("c").cast("double")))
+      .withColumn("sx", F.sum("lx").over(w))
+      .withColumn("sy", F.sum("ly").over(w))
+      .withColumn("sxy", F.sum(F.col("lx") * F.col("ly")).over(w))
+      .withColumn("sxx", F.sum(F.col("lx") * F.col("lx")).over(w))
+      .withColumn("syy", F.sum(F.col("ly") * F.col("ly")).over(w))
+      .withColumn("__rn", F.row_number().over(Window.orderBy(F.col("rank").desc)))
+      .filter(F.col("__rn") === 1)
+    val nd = F.col("rank").cast("double")
+    val den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    val vy = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    acc.select(F.col("rank").as("n_terms"),
+      (F.round(F.when(den > 0,
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / den), 6)
+        + F.lit(0.0)).as("zipf_slope"),
+      (F.round(F.when(den * vy > 0,
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(den * vy)), 6)
+        + F.lit(0.0)).as("zipf_r"))
+  }
 }

@@ -317,6 +317,47 @@ class DriftSpec extends SparkSpec {
     one.getAs[Double]("df_welch") shouldBe many.getAs[Double]("df_welch")
   }
 
+  // ---- spearman -------------------------------------------------------
+
+  private def rho(pairs: Seq[(Double, Double)], parts: Int = 5) =
+    Drift.spearman(pairs.toDF("a", "b").repartition(parts), "a", "b").collect().head
+
+  it("spearman is exactly ±1 on any monotone relation, regardless of shape") {
+    val xs = Seq(1.0, 2.0, 5.0, 9.0, 100.0)
+    rho(xs.map(x => (x, math.exp(x / 10)))).getDouble(1) shouldBe 1.0
+    rho(xs.map(x => (x, -x * x * x))).getDouble(1) shouldBe -1.0
+  }
+
+  it("spearman handles ties by midrank, matching the naive reference") {
+    def naive(pairs: Seq[(Double, Double)]): Double = {
+      def ranks(v: Seq[Double]): Seq[Double] = {
+        val sorted = v.sorted
+        v.map { x =>
+          val lo = sorted.indexOf(x); val hi = sorted.lastIndexOf(x)
+          (lo + hi + 2).toDouble / 2
+        }
+      }
+      val ra = ranks(pairs.map(_._1)); val rb = ranks(pairs.map(_._2))
+      val n = pairs.size.toDouble
+      val (ma, mb) = (ra.sum / n, rb.sum / n)
+      val num = ra.zip(rb).map { case (a, b) => (a - ma) * (b - mb) }.sum
+      val den = math.sqrt(ra.map(a => (a - ma) * (a - ma)).sum
+        * rb.map(b => (b - mb) * (b - mb)).sum)
+      num / den
+    }
+    val r = new scala.util.Random(53)
+    val pairs = Seq.fill(150)(((r.nextInt(12) + 1).toDouble, (r.nextInt(9) + 1).toDouble))
+    rho(pairs).getDouble(1) shouldBe
+      math.round(naive(pairs) * 1e6) / 1e6 +- 1e-9
+  }
+
+  it("spearman is NULL when a column is constant and partition-invariant otherwise") {
+    rho(Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0))).isNullAt(1) shouldBe true
+    val r = new scala.util.Random(59)
+    val pairs = Seq.fill(300)((r.nextGaussian(), r.nextGaussian()))
+    rho(pairs, parts = 1).toSeq shouldBe rho(pairs, parts = 11).toSeq
+  }
+
   // ---- benford ------------------------------------------------------
 
   it("extracts the first significant digit across magnitudes, signs, and renderings") {

@@ -898,5 +898,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  describe("TextAnalysis.zipfFit") {
+    it("reads slope ≈ −1 with near-perfect fit on a planted Zipf corpus") {
+      // term r appears ⌊2000/r⌋ times → ln(freq) ≈ ln 2000 − ln(rank)
+      val words = (1 to 120).flatMap(r => Seq.fill(2000 / r)(f"w$r%04d"))
+      val doc = new scala.util.Random(71).shuffle(words).mkString(" ")
+      val out = TextAnalysis.zipfFit(Seq(("d1", doc)).toDF("id", "text"), "text", topN = 100)
+        .collect().head
+      out.getLong(0) shouldBe 100L
+      out.getDouble(1) shouldBe -1.0 +- 0.05 // the Zipf signature
+      out.getDouble(2) should be < -0.999 // essentially a perfect log-log line
+    }
+
+    it("a flat vocabulary has no rank-frequency relation: slope ~0 or NULL") {
+      // every term equally frequent → ly constant → r undefined, slope 0
+      val doc = (1 to 50).flatMap(r => Seq.fill(10)(s"t$r")).mkString(" ")
+      val out = TextAnalysis.zipfFit(Seq(("d1", doc)).toDF("id", "text"), "text", topN = 50)
+        .collect().head
+      out.getDouble(1) shouldBe 0.0 // ly constant: zero covariance
+      out.isNullAt(2) shouldBe true // zero variance in y: r undefined
+    }
+  }
+
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
 }

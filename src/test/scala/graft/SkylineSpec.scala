@@ -128,6 +128,32 @@ class SkylineSpec extends SparkSpec {
     giniOf(xs, parts = 1).toSeq shouldBe giniOf(xs, parts = 13).toSeq
   }
 
+  it("hill matches the hand-worked geometric tail and recovers a Pareto exponent") {
+    // x = 2^1..2^60, k = 10: H = (1/10)·Σ_{j=1..10} ln(2^(61−j)/2^50)
+    //   = ln2·(10+9+…+1)/10 = 5.5·ln2
+    val geo = (1 to 60).map(i => math.pow(2.0, i))
+    val out = graft.operators.RobustStats.hillTailIndex(
+      geo.zipWithIndex.map { case (v, i) => (i.toString, v) }.toDF("k", "v"), "v", k = 10)
+      .collect().head
+    out.getDouble(1) shouldBe math.pow(2.0, 50) // the threshold x_(n−k)
+    out.getDouble(2) shouldBe
+      math.round(5.5 * math.log(2.0) * 1e6) / 1e6 +- 1e-9
+    // Pareto(α = 2) sample via inverse CDF: the estimate lands near 2
+    val r = new scala.util.Random(61)
+    val par = Seq.fill(4000)(math.pow(1.0 - r.nextDouble(), -1.0 / 2.0))
+    val a = graft.operators.RobustStats.hillTailIndex(
+      par.zipWithIndex.map { case (v, i) => (i.toString, v) }.toDF("k", "v"), "v", k = 200)
+      .collect().head.getDouble(3)
+    a should be > 1.5
+    a should be < 2.6
+  }
+
+  it("hill is empty below k+1 positive values") {
+    graft.operators.RobustStats.hillTailIndex(
+      (1 to 10).map(i => (i.toString, i.toDouble)).toDF("k", "v"), "v", k = 10)
+      .collect() shouldBe empty
+  }
+
   it("gini excludes negative values and NULLs the degenerate all-zero case") {
     val out = giniOf(Seq(-5.0, 1.0, 1.0))
     out.getLong(0) shouldBe 2L // the negative row is out of support

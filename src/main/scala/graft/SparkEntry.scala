@@ -1170,7 +1170,7 @@ object SparkEntry {
     // runs the exact brute-force two-NN baseline; at scale the same
     // estimator folds over any ANN top-2 frame (intrinsicDimensionFromKnn).
     "q_intrinsic_dim" -> ((s, dir) =>
-      Pca.intrinsicDimension(t(s, dir, "embeddings"), "vec_id", "embedding")),
+      Pca.intrinsicDimension(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)),
     // Lead-lag cross-correlation: do clicks anticipate purchases, and by
     // how many days? Six exact BIGINT sums per lag (the assortativity
     // determinism anchor), x side replicated once per lag over an

@@ -265,7 +265,7 @@ class PcaSpec extends SparkSpec {
       (i.toLong, Seq(a, b, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
     }
     val id2 = Pca.intrinsicDimension(plane.toDF("vec_id", "embedding"),
-      "vec_id", "embedding").collect().head.getDouble(2)
+      "vec_id", "embedding", dim = 8).collect().head.getDouble(2)
     id2 should be > 1.4
     id2 should be < 2.8
     // 300 points on a 1-line: ID ≈ 1
@@ -274,7 +274,7 @@ class PcaSpec extends SparkSpec {
       (i.toLong, Seq(a, 2 * a, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
     }
     val id1 = Pca.intrinsicDimension(line.toDF("vec_id", "embedding"),
-      "vec_id", "embedding").collect().head.getDouble(2)
+      "vec_id", "embedding", dim = 8).collect().head.getDouble(2)
     id1 should be > 0.7
     id1 should be < 1.5
     id1 should be < id2
@@ -286,7 +286,7 @@ class PcaSpec extends SparkSpec {
       (i.toLong, Seq(r.nextGaussian(), r.nextGaussian(), 0.0, 0.0)))
     val withDup = pts :+ (99L, pts.head._2) // exact copy of point 0
     val out = Pca.intrinsicDimension(withDup.toDF("vec_id", "embedding"),
-      "vec_id", "embedding").collect().head
+      "vec_id", "embedding", dim = 4).collect().head
     // points 0 and 99 both have a zero first-NN distance — both excluded
     out.getLong(0) shouldBe 49L
   }

@@ -1243,6 +1243,20 @@ object SparkEntry {
     // agreement rests on round-4/2 outputs, the benford class.
     "q_ttest" -> ((s, dir) =>
       Drift.welchT(t(s, dir, "events"), "event_type", "value", "click", "purchase")),
+    // CUPED: per-user pre-period (first 2 days) event counts adjust the
+    // post-period counts; arms = user parity (null effect, so diff_adj
+    // tracks diff_raw while var_reduction reports the pre/post corr²).
+    // Integer count metrics → every moment sum exact, engine-bit-identical.
+    "q_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 2 DAYS")).as("c"))
+      val units = ev.crossJoin(F.broadcast(cut))
+        .groupBy(F.col("user_id"))
+        .agg(F.sum(F.when(F.col("ts") <= F.col("c"), 1L).otherwise(0L)).as("x"),
+          F.sum(F.when(F.col("ts") > F.col("c"), 1L).otherwise(0L)).as("y"))
+        .withColumn("arm", F.col("user_id") % 2)
+      Drift.cuped(units, "arm", "x", "y")
+    }),
     // KS's rank-based sibling: does one slice produce systematically
     // LARGER values. Midranks are exact dyadics, so the rank sum (and
     // the rejection decision on the unrounded z) is engine-exact.
@@ -3871,6 +3885,36 @@ object SparkEntry {
         "SELECT n1 AS n_a, n2 AS n_b, round(m1, 6) + 0.0 AS mean_a, round(m2, 6) + 0.0 AS mean_b, " +
         "round(tt, 4) + 0.0 AS t, round(dfw, 2) + 0.0 AS df_welch, " +
         "abs(tt) > 1.96 AS reject_95 FROM z"),
+    // Exact BIGINT moment sums over per-user (pre, post) counts; θ,
+    // adjusted means, and corr² mirrored shape for shape; the parity
+    // arms resolve to literals 0/1 (min/max of user_id % 2).
+    "q_cuped" ->
+      ("WITH cut AS (SELECT min(ts) + INTERVAL 2 DAY AS c FROM events), " +
+        "u AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN ts <= c THEN 1 ELSE 0 END) AS BIGINT) AS x, " +
+        "CAST(sum(CASE WHEN ts > c THEN 1 ELSE 0 END) AS BIGINT) AS y, " +
+        "user_id % 2 AS g FROM events, cut GROUP BY 1), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx, " +
+        "CAST(sum(y * y) AS BIGINT) AS syy, " +
+        "CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, " +
+        "CAST(sum(CASE WHEN g = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa, " +
+        "CAST(sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT) AS sya, " +
+        "CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, " +
+        "CAST(sum(CASE WHEN g = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb, " +
+        "CAST(sum(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT) AS syb FROM u), " +
+        "z AS (SELECT *, CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx, " +
+        "CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy, " +
+        "CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num FROM s), " +
+        "tt AS (SELECT *, CASE WHEN vx > 0 THEN num / vx END AS theta, " +
+        "CAST(sx AS DOUBLE) / n AS mx FROM z) " +
+        "SELECT na AS n_a, nb AS n_b, round(theta, 6) + 0.0 AS theta, " +
+        "round(CAST(sya AS DOUBLE) / na - CAST(syb AS DOUBLE) / nb, 6) + 0.0 AS diff_raw, " +
+        "round((CAST(sya AS DOUBLE) / na - theta * (CAST(sxa AS DOUBLE) / na - mx)) " +
+        "- (CAST(syb AS DOUBLE) / nb - theta * (CAST(sxb AS DOUBLE) / nb - mx)), 6) + 0.0 AS diff_adj, " +
+        "round(CASE WHEN vx > 0 AND vy > 0 THEN num * num / (vx * vy) END, 6) + 0.0 AS var_reduction " +
+        "FROM tt WHERE na > 0 AND nb > 0"),
     // Midrank algebra over the same cumulative CTE; every operand shape
     // mirrors Drift.mannWhitney (left-assoc products, CASE-guarded z).
     "q_mannwhitney" ->

@@ -306,6 +306,65 @@ object Drift {
     s.select(F.col("cnt").as("n"), Pearson.fromSums(F.col("cnt")).as("rho"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) —
+    * the modern A/B-test workhorse: adjust each unit's experiment-period
+    * metric Y by its PRE-period metric X, Y' = Y − θ·(X − X̄) with
+    * θ = cov(X,Y)/var(X) pooled across arms, and the arm difference
+    * keeps its expectation while its variance drops by exactly
+    * corr(X,Y)² — typically 40-70% fewer samples for the same power on
+    * count metrics.
+    *
+    * Input: one row per unit — (arm, x, y) with INTEGER count metrics
+    * (the common case), so every moment sum is an exact BIGINT and θ,
+    * the adjusted means, and the variance reduction are fixed-shape
+    * IEEE over exact integers — engine-bit-identical, the Pearson
+    * anchor. Arms are the min/max of the arm column (two-arm; others'
+    * rows are excluded). One combinable aggregate over units — nothing
+    * else shuffles.
+    *
+    * Output: ONE row — (n_a, n_b, theta, diff_raw, diff_adj,
+    * var_reduction = corr²(X,Y)), round 6; θ/adjusted columns NULL when
+    * var(X) = 0 (no pre-period signal — CUPED degenerates to the raw
+    * difference). */
+  def cuped(units: DataFrame, armCol: String, xCol: String, yCol: String): DataFrame = {
+    val gs = units.agg(F.min(armCol).as("ga"), F.max(armCol).as("gb"))
+    val b = units.crossJoin(F.broadcast(gs))
+      .select(F.col(armCol).as("g"), F.col("ga"), F.col("gb"),
+        F.col(xCol).cast("long").as("x"), F.col(yCol).cast("long").as("y"))
+      .filter(F.col("x").isNotNull && F.col("y").isNotNull &&
+        (F.col("g") === F.col("ga") || F.col("g") === F.col("gb")))
+    val s = b.agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("x").as("sx"), F.sum("y").as("sy"),
+      F.sum(F.col("x") * F.col("y")).as("sxy"),
+      F.sum(F.col("x") * F.col("x")).as("sxx"),
+      F.sum(F.col("y") * F.col("y")).as("syy"),
+      F.sum(F.when(F.col("g") === F.col("ga"), 1L).otherwise(0L)).as("na"),
+      F.sum(F.when(F.col("g") === F.col("ga"), F.col("x")).otherwise(0L)).as("sxa"),
+      F.sum(F.when(F.col("g") === F.col("ga"), F.col("y")).otherwise(0L)).as("sya"),
+      F.sum(F.when(F.col("g") === F.col("gb"), 1L).otherwise(0L)).as("nb"),
+      F.sum(F.when(F.col("g") === F.col("gb"), F.col("x")).otherwise(0L)).as("sxb"),
+      F.sum(F.when(F.col("g") === F.col("gb"), F.col("y")).otherwise(0L)).as("syb"))
+    val nd = F.col("n").cast("double")
+    val vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    val vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    val num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    val theta = F.when(vx > 0.0, num / vx)
+    val meanX = F.col("sx").cast("double") / F.col("n")
+    val adjA = F.col("sya").cast("double") / F.col("na") -
+      theta * (F.col("sxa").cast("double") / F.col("na") - meanX)
+    val adjB = F.col("syb").cast("double") / F.col("nb") -
+      theta * (F.col("sxb").cast("double") / F.col("nb") - meanX)
+    s.filter(F.col("na") > 0 && F.col("nb") > 0)
+      .select(F.col("na").as("n_a"), F.col("nb").as("n_b"),
+        (F.round(theta, 6) + F.lit(0.0)).as("theta"),
+        (F.round(F.col("sya").cast("double") / F.col("na")
+          - F.col("syb").cast("double") / F.col("nb"), 6) + F.lit(0.0)).as("diff_raw"),
+        (F.round(adjA - adjB, 6) + F.lit(0.0)).as("diff_adj"),
+        (F.round(F.when(vx > 0.0 && vy > 0.0, num * num / (vx * vy)), 6)
+          + F.lit(0.0)).as("var_reduction"))
+  }
+
   /** One row per distinct value with per-slice counts. */
   private def valueCounts(df: DataFrame, sliceCol: String, valueCol: String,
                           a: String, b: String): DataFrame = {

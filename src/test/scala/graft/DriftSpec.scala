@@ -317,6 +317,44 @@ class DriftSpec extends SparkSpec {
     one.getAs[Double]("df_welch") shouldBe many.getAs[Double]("df_welch")
   }
 
+  // ---- cuped ----------------------------------------------------------
+
+  it("cuped matches the hand case: θ = 2, exact corr² reduction, unchanged diff") {
+    // Y = 2X within both arms (arm b shifted +1): θ = 2 exactly, the
+    // adjusted diff equals the raw diff (−1, a − b), and the variance
+    // reduction is corr²(X,Y) = 48²/(24·105) = 0.914286
+    val units = Seq((0L, 1L, 2L), (0L, 2L, 4L), (0L, 3L, 6L),
+      (1L, 1L, 3L), (1L, 2L, 5L), (1L, 3L, 7L))
+    val out = Drift.cuped(units.toDF("arm", "x", "y"), "arm", "x", "y").collect().head
+    out.getLong(0) shouldBe 3L
+    out.getLong(1) shouldBe 3L
+    out.getDouble(2) shouldBe 2.0 // theta
+    out.getDouble(3) shouldBe -1.0 // diff_raw
+    out.getDouble(4) shouldBe -1.0 // diff_adj (arms share the X profile)
+    out.getDouble(5) shouldBe 0.914286
+  }
+
+  it("cuped shrinks the measured diff's noise when pre explains post") {
+    // both arms: y = x + small noise, NO true effect; x varies a lot —
+    // the adjusted diff must sit closer to 0 than the raw diff
+    val r = new scala.util.Random(73)
+    val units = (0 until 400).map { i =>
+      val x = r.nextInt(100).toLong
+      (i % 2L, x, x + r.nextInt(5).toLong)
+    }
+    val out = Drift.cuped(units.toDF("arm", "x", "y"), "arm", "x", "y").collect().head
+    out.getDouble(5) should be > 0.95 // pre explains nearly all post variance
+    math.abs(out.getDouble(4)) should be < math.abs(out.getDouble(3))
+  }
+
+  it("cuped with a constant pre-metric degrades to the raw difference (NULL θ)") {
+    val units = Seq((0L, 5L, 2L), (0L, 5L, 4L), (1L, 5L, 3L), (1L, 5L, 9L))
+    val out = Drift.cuped(units.toDF("arm", "x", "y"), "arm", "x", "y").collect().head
+    out.isNullAt(2) shouldBe true // theta
+    out.getDouble(3) shouldBe -3.0 // raw diff still reported
+    out.isNullAt(4) shouldBe true // adjusted diff undefined
+  }
+
   // ---- spearman -------------------------------------------------------
 
   private def rho(pairs: Seq[(Double, Double)], parts: Int = 5) =

@@ -342,10 +342,10 @@ object Pca {
     * associated `dim`-term expression (element_at chains), not a
     * zip_with/aggregate fold: higher-order-function lambdas run
     * interpreted per element with boxing and are excluded from
-    * whole-stage codegen — measured 36 s → ~3 s on the 2000² grid from
-    * this one change. The candidate side is also re-spread across the
-    * shuffle width so the quadratic kernel never inherits the input
-    * file's partitioning. */
+    * whole-stage codegen — measured 36.5 s → 5.7 s (min-of-2, sf0.1's
+    * 2000² grid) from this one change. The candidate side is also
+    * re-spread across the shuffle width so the quadratic kernel never
+    * inherits the input file's partitioning. */
   def intrinsicDimension(vecs: DataFrame, idCol: String, vecCol: String,
                          dim: Int): DataFrame = {
     val q = vecs.select(F.col(idCol).as("qid"), F.col(vecCol).cast("array<double>").as("qv"))

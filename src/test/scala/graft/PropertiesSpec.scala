@@ -210,4 +210,63 @@ object PropertiesSpec extends Properties("graft") {
         .map(r => r.getString(0) -> math.min(k.toLong, r.getLong(1))).toMap
       perGroup == truth
     }
+
+  // ---- round-13 stats invariants --------------------------------------
+
+  private val genVals: Gen[List[Int]] =
+    Gen.listOfN(30, Gen.chooseNum(1, 40)).suchThat(_.distinct.size >= 2)
+
+  property("spearman is EXACTLY invariant under strictly monotone transforms") =
+    Prop.forAll(genVals, genVals) { (xs, ys) =>
+      val pairs = xs.zip(ys).map { case (x, y) => (x.toDouble, y.toDouble) }
+      def rho(p: Seq[(Double, Double)]) = graft.operators.Drift
+        .spearman(p.toDF("a", "b"), "a", "b").collect().head
+      val base = rho(pairs)
+      // exp and cube are strictly increasing: ranks — hence ρ — unchanged
+      val mono = rho(pairs.map { case (x, y) => (math.exp(x / 10), y * y * y) })
+      (base.isNullAt(1) && mono.isNullAt(1)) ||
+        (!base.isNullAt(1) && base.getDouble(1) == mono.getDouble(1))
+    }
+
+  property("gini is scale-invariant and 0 iff all values equal") =
+    Prop.forAll(genVals, Gen.chooseNum(2, 9)) { (xs, c) =>
+      def g(v: Seq[Double]) = graft.operators.RobustStats
+        .gini(v.zipWithIndex.map { case (x, i) => (i.toString, x) }.toDF("k", "v"),
+          "k", "v").collect().head.getDouble(2)
+      val base = g(xs.map(_.toDouble))
+      val scaled = g(xs.map(x => (x * c).toDouble))
+      math.abs(base - scaled) <= 2e-6 && // round-6 on both sides
+        ((xs.distinct.size == 1) == (base == 0.0))
+    }
+
+  property("log-rank χ² is symmetric under swapping the cohort labels") =
+    Prop.forAll(genVals, genVals) { (da, db) =>
+      val rows = da.map(d => (d, d % 3 != 0, "a")) ++ db.map(d => (d, d % 3 != 0, "b"))
+      def lr(rs: Seq[(Int, Boolean, String)]) = graft.operators.Survival
+        .logRank(rs.map { case (d, o, g) => (d, if (o) 1 else 0, g) }
+          .toDF("dur", "obs", "g"), "dur", "obs", "g").collect()
+      val x = lr(rows)
+      val y = lr(rows.map { case (d, o, g) => (d, o, if (g == "a") "b" else "a") })
+      (x.isEmpty && y.isEmpty) || {
+        val (rx, ry) = (x.head, y.head)
+        // o/e columns swap sides; χ² agrees to rounding (the two sides'
+        // E-sums are separate IEEE accumulations, equal only in reals)
+        rx.getLong(2) == ry.getLong(4) && rx.getLong(4) == ry.getLong(2) &&
+          ((rx.isNullAt(6) && ry.isNullAt(6)) ||
+            math.abs(rx.getDouble(6) - ry.getDouble(6)) <= 2e-6)
+      }
+    }
+
+  property("welch t negates under swapping the slices; df and rejection hold") =
+    Prop.forAll(genVals, genVals) { (xs, ys) =>
+      val rows = xs.map(x => ("a", x.toDouble)) ++ ys.map(y => ("b", y.toDouble))
+      val fwd = graft.operators.Drift
+        .welchT(rows.toDF("s", "v"), "s", "v", "a", "b").collect().head
+      val rev = graft.operators.Drift
+        .welchT(rows.toDF("s", "v"), "s", "v", "b", "a").collect().head
+      (fwd.isNullAt(4) && rev.isNullAt(4)) ||
+        (fwd.getDouble(4) == -rev.getDouble(4) &&
+          fwd.getDouble(5) == rev.getDouble(5) &&
+          fwd.getBoolean(6) == rev.getBoolean(6))
+    }
 }

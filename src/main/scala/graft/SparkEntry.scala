@@ -737,6 +737,12 @@ object SparkEntry {
     // distinct active users per (cohort, week offset).
     "q_cohort_retention" -> ((s, dir) =>
       TimeSeries.cohortRetention(t(s, dir, "events"), "user_id", "ts")),
+    // Top user journeys: the most common first-4 event-type paths —
+    // which funnels actually happen, not the one we hypothesized.
+    // Exact integer counts; the only window is per-user.
+    "q_top_paths" -> ((s, dir) =>
+      TimeSeries.topPaths(t(s, dir, "events"), "user_id", "ts", "event_type",
+        "event_id", depth = 4, k = 20)),
     // Recency-weighted (exponentially decayed) per-user activity score:
     // one combinable aggregate, decay weight from the broadcast max ts.
     "q_decayed" -> ((s, dir) =>
@@ -3669,6 +3675,17 @@ object SparkEntry {
         "c AS (SELECT user_id, min(wk) AS cohort_wk FROM w GROUP BY 1) " +
         "SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset, count(*) AS n_users " +
         "FROM w JOIN c ON w.user_id = c.user_id GROUP BY 1, 2"),
+    // string_agg ORDER BY rn mirrors the array_sort-struct join; the
+    // rank window runs over the type-space-bounded path counts.
+    "q_top_paths" ->
+      ("WITH fk AS (SELECT user_id AS u, event_type AS et, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL), " +
+        "p AS (SELECT u, string_agg(et, '>' ORDER BY rn) AS path FROM fk WHERE rn <= 4 GROUP BY 1), " +
+        "c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1), " +
+        "r AS (SELECT CAST(row_number() OVER (ORDER BY n_users DESC, path) AS BIGINT) AS rank, " +
+        "path, n_users FROM c) " +
+        "SELECT rank, path, n_users FROM r WHERE rank <= 20"),
     "q_decayed" ->
       ("WITH m AS (SELECT max(epoch_us(ts)) AS tmax FROM events) " +
         "SELECT user_id, " +

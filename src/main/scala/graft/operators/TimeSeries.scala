@@ -119,6 +119,43 @@ object TimeSeries {
     * is presentation, not semantics). One min-aggregate to the entity
     * frame + one distinct count over (entity, week) — both map-side
     * combinable; nothing larger than events ever shuffles. */
+  /** TOP USER JOURNEYS: the most common first-`depth` event-type paths —
+    * funnel analysis's exploratory sibling (the funnel checks ONE
+    * hypothesized path; this surfaces which paths actually happen).
+    * Each user's first `depth` events in (ts, id) order — the id
+    * tie-break makes equal timestamps replay identically — concatenate
+    * into a '>'-joined path; paths are counted and ranked (count desc,
+    * path asc).
+    *
+    * Scale shape: the only window is per-user over that user's events;
+    * the path-count frame is bounded by |event types|^depth (a type-
+    * space constant, not data), so the final rank window is over a
+    * bounded aggregate. Exact integers throughout — hash-exact.
+    *
+    * Output: (rank 1-based, path, n_users), top `k` rows. */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               typeCol: String, idCol: String,
+               depth: Int = 4, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u").orderBy("t", "eid")
+    val firstK = events
+      .select(F.col(userCol).as("u"), F.col(tsCol).as("t"),
+        F.col(typeCol).as("et"), F.col(idCol).as("eid"))
+      .filter(F.col("u").isNotNull && F.col("t").isNotNull && F.col("et").isNotNull)
+      .withColumn("rn", F.row_number().over(w))
+      .filter(F.col("rn") <= depth)
+    val paths = firstK.groupBy("u")
+      .agg(F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct(F.col("rn"), F.col("et")))),
+          e => e.getField("et")), ">").as("path"))
+      .groupBy("path").agg(F.count(F.lit(1)).as("n_users"))
+    paths
+      .withColumn("rank", F.row_number().over(
+        Window.orderBy(F.col("n_users").desc, F.col("path"))))
+      .filter(F.col("rank") <= k)
+      .select(F.col("rank").cast("long").as("rank"), F.col("path"), F.col("n_users"))
+  }
+
   def cohortRetention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val wk = F.call_function("div", F.unix_micros(F.col(tsCol)), F.lit(604800000000L))
     val weekly = events.select(F.col(keyCol).as("k"), wk.as("wk")).distinct()

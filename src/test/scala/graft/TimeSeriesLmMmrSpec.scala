@@ -77,6 +77,34 @@ class TimeSeriesLmMmrSpec extends SparkSpec {
     }
   }
 
+  describe("TimeSeries.topPaths") {
+    def at(s: Long) = new Timestamp(s * 1000)
+    it("counts first-depth journeys with deterministic tie-breaks and ranking") {
+      val ev = Seq(
+        // two users share view>click>purchase
+        (1L, "view", at(10), 100L), (1L, "click", at(20), 101L), (1L, "purchase", at(30), 102L),
+        (2L, "view", at(10), 200L), (2L, "click", at(25), 201L), (2L, "purchase", at(30), 202L),
+        // one user: click>view — and a 5th event beyond depth is ignored
+        (3L, "click", at(5), 300L), (3L, "view", at(10), 301L),
+        // u4: simultaneous events — event_id breaks the tie (401 before 402)
+        (4L, "view", at(10), 401L), (4L, "error", at(10), 402L)
+      ).toDF("user_id", "event_type", "ts", "event_id")
+      val out = TimeSeries.topPaths(ev, "user_id", "ts", "event_type", "event_id",
+          depth = 3, k = 10)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      out.head shouldBe ((1L, "view>click>purchase", 2L))
+      // count-1 paths rank by path asc
+      out.drop(1).map(_._2) shouldBe Array("click>view", "view>error")
+      out.map(_._3).drop(1).toSet shouldBe Set(1L)
+    }
+    it("k truncates the ranking") {
+      val ev = (1 to 9).map(u =>
+        (u.toLong, s"t$u", at(u.toLong), u.toLong)).toDF("user_id", "event_type", "ts", "event_id")
+      TimeSeries.topPaths(ev, "user_id", "ts", "event_type", "event_id",
+        depth = 2, k = 3).count() shouldBe 3
+    }
+  }
+
   describe("TimeSeries.cohortRetention") {
     it("buckets by first-activity week and counts distinct users per offset") {
       val wkUs = 604800000000L

@@ -1294,6 +1294,14 @@ object SparkEntry {
     // dyadic midranks — order-independent exact sums, the MWU anchor.
     "q_spearman" -> ((s, dir) =>
       Drift.spearman(t(s, dir, "part"), "p_retailprice", "p_size")),
+    // Theil T of document token counts decomposed by source: is length
+    // concentration a cross-source artifact (between) or intrinsic to
+    // every source (within)? Three combinable per-group sums.
+    "q_theil" -> ((s, dir) =>
+      RobustStats.theil(
+        t(s, dir, "documents")
+          .select(F.col("source"), F.size(F.split(F.col("text"), " ")).as("toks")),
+        "source", "toks")),
     // Zipf rank-frequency fit over the document vocabulary: the cheapest
     // "is this corpus natural language" distributional check.
     "q_zipf" -> ((s, dir) =>
@@ -4012,6 +4020,25 @@ object SparkEntry {
         "THEN round((CAST(n AS DOUBLE) * sxy - sx * sy) / " +
         "sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0 " +
         "END AS rho FROM s"),
+    // Per-group (n, Σx, Σx·lnx) with the explicit 0·ln0 = 0 branch;
+    // T_g = Σxlnx/Σx − ln μ_g; len() counts split elements like size().
+    "q_theil" ->
+      ("WITH b AS (SELECT source AS grp, " +
+        "CAST(len(string_split(text, ' ')) AS DOUBLE) AS x FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, " +
+        "sum(CASE WHEN x > 0 THEN x * ln(x) ELSE CAST(0 AS DOUBLE) END) AS sxlx " +
+        "FROM b WHERE x IS NOT NULL AND x >= 0 GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sx) AS tsx, sum(sxlx) AS tsxlx FROM g), " +
+        "sc AS (SELECT g.grp, g.n, g.sx / tt.tsx AS share, " +
+        "CASE WHEN g.sx > 0 THEN g.sxlx / g.sx - ln(g.sx / g.n) END AS tw, " +
+        "CASE WHEN g.sx > 0 THEN g.sx / tt.tsx * ln((g.sx / g.n) / (tt.tsx / tt.nn)) " +
+        "ELSE CAST(0 AS DOUBLE) END AS btw, tt.tsx, tt.tsxlx, tt.nn FROM g, tt), " +
+        "rl AS (SELECT sum(btw) AS btw FROM sc) " +
+        "SELECT grp, n, round(share, 6) + 0.0 AS share, " +
+        "round(tw, 6) + 0.0 AS theil_within, " +
+        "round(tsxlx / tsx - ln(tsx / nn), 6) + 0.0 AS theil_total, " +
+        "round(rl.btw, 6) + 0.0 AS theil_between FROM sc, rl"),
     // Positional ranks over (count DESC, term DESC) — the bounded-heap
     // struct order — then five ordered-window regression sums.
     "q_zipf" ->

@@ -40,6 +40,52 @@ object RobustStats {
           .as("winsorized_mean"))
   }
 
+  /** THEIL T index with between/within decomposition (Theil 1967) — the
+    * GROUPED inequality story Gini can't tell: total inequality splits
+    * EXACTLY into "inequality between the groups' means" plus the
+    * share-weighted inequality inside each group, so the answer to "is
+    * doc-length concentration a cross-source artifact or intrinsic to
+    * every source" is one aggregate.
+    *
+    * Everything reduces to three combinable per-group sums (n, Σx,
+    * Σ x·ln x — the 0·ln 0 = 0 convention branched explicitly), via the
+    * algebra T_g = Σx·lnx/Σx − ln μ_g; the group frame is group-sized,
+    * so the roll-up to totals is trivial. Negatives excluded (T is
+    * defined on non-negative support). Double sums are unordered — the
+    * benford rounding class, round 6.
+    *
+    * Output: one row per group — (grp, n, share = the group's slice of
+    * the total mass, theil_within) — with (theil_total, theil_between)
+    * repeated on every row (the psi layout); the identity
+    * total = between + Σ share·within holds to rounding. */
+  def theil(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val base = df.select(F.col(keyCol).as("grp"), F.col(valCol).cast("double").as("x"))
+      .filter(F.col("x").isNotNull && F.col("x") >= 0)
+    val g = base.groupBy("grp").agg(
+      F.count(F.lit(1)).as("n"),
+      F.sum("x").as("sx"),
+      F.sum(F.when(F.col("x") > 0, F.col("x") * F.log(F.col("x")))
+        .otherwise(F.lit(0.0))).as("sxlx"))
+    val tot = g.agg(F.sum("n").as("nn"), F.sum("sx").as("tsx"), F.sum("sxlx").as("tsxlx"))
+    val mug = F.col("sx") / F.col("n")
+    val mu = F.col("tsx") / F.col("nn")
+    val tw = F.when(F.col("sx") > 0, F.col("sxlx") / F.col("sx") - F.log(mug))
+    val share = F.col("sx") / F.col("tsx")
+    val scored = g.crossJoin(F.broadcast(tot))
+      .withColumn("__share", share)
+      .withColumn("__tw", tw)
+      .withColumn("__btw", F.when(F.col("sx") > 0, F.col("__share") * F.log(mug / mu))
+        .otherwise(F.lit(0.0)))
+    val roll = scored.agg(F.sum("__btw").as("btw"))
+    scored.crossJoin(F.broadcast(roll))
+      .select(F.col("grp"), F.col("n"),
+        (F.round(F.col("__share"), 6) + F.lit(0.0)).as("share"),
+        (F.round(F.col("__tw"), 6) + F.lit(0.0)).as("theil_within"),
+        (F.round(F.col("tsxlx") / F.col("tsx") - F.log(F.col("tsx") / F.col("nn")), 6)
+          + F.lit(0.0)).as("theil_total"),
+        (F.round(F.col("btw"), 6) + F.lit(0.0)).as("theil_between"))
+  }
+
   /** HILL tail-index estimator (Hill, Ann. Stat. 1975) over the top-k
     * order statistics: H = (1/k)·Σᵢ₌₁..k ln(x₍ₙ₋ᵢ₊₁₎ / x₍ₙ₋ₖ₎) and
     * α = 1/H — the heavy-tail exponent behind every "how Pareto is this

@@ -468,4 +468,40 @@ class PlanSpec extends SparkSpec {
     // key by design), and everything upstream is a combinable count
     plan("q_survival") should include("windowspecdefinition")
   }
+
+  it("q_gini and q_spearman rank via range repartition, never a data-sized global window") {
+    Seq("q_gini", "q_spearman").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q: ") {
+        p should include("rangepartitioning") // the two-phase prefix spread
+        // the only unpartitioned window work is the per-partition pass
+        // AFTER the range exchange (__pid-partitioned), never a global sort
+        p.split("\n").filter(_.contains("windowspecdefinition"))
+          .foreach(_ should include("__pid"))
+      }
+    }
+  }
+
+  it("q_top_paths windows per-user; the global rank runs over the bounded path aggregate") {
+    val p = plan("q_top_paths")
+    val wins = p.split("\n").filter(_.contains("windowspecdefinition"))
+    wins should not be empty
+    // exactly one window line has no user partition: the rank over path
+    // counts (bounded by |types|^depth, a type-space constant)
+    wins.count(l => !l.contains("u#")) shouldBe 1
+  }
+
+  it("q_intrinsic_dim's quadratic kernel is ONE broadcast nested loop — queries broadcast, candidates spread") {
+    val p = plan("q_intrinsic_dim")
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+    p.split("\n").count(_.contains("BroadcastExchange")) shouldBe 1
+  }
+
+  it("q_cuped is one combinable aggregate — no join, no window, one exchange pair") {
+    val p = plan("q_cuped")
+    p should not include "windowspecdefinition"
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
 }

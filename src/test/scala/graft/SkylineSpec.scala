@@ -128,6 +128,45 @@ class SkylineSpec extends SparkSpec {
     giniOf(xs, parts = 1).toSeq shouldBe giniOf(xs, parts = 13).toSeq
   }
 
+  it("theil decomposes exactly: equal group means put ALL inequality within") {
+    // groups share mean 4 → ln(μ_g/μ) = ln 1 = 0 for both: between = 0
+    val rows = Seq(("a", 2.0), ("a", 6.0), ("b", 4.0), ("b", 4.0))
+    val out = graft.operators.RobustStats
+      .theil(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("a").getDouble(5) shouldBe 0.0 // theil_between
+    out("b").getDouble(3) shouldBe 0.0 // group b is internally equal
+    // T_a = (2·ln2 + 6·ln6)/8 − ln4; total = share-weighted within
+    val ta = (2 * math.log(2) + 6 * math.log(6)) / 8 - math.log(4)
+    out("a").getDouble(3) shouldBe math.round(ta * 1e6) / 1e6 +- 1e-9
+    out("a").getDouble(4) shouldBe
+      math.round(0.5 * ta * 1e6) / 1e6 +- 2e-6 // total = Σ share·within here
+  }
+
+  it("theil's total = between + share-weighted within on skewed random groups") {
+    val r = new scala.util.Random(83)
+    val rows = (0 until 300).map { i =>
+      val g = s"g${i % 4}"
+      (g, (r.nextInt(50) + 1).toDouble * (i % 4 + 1)) // different group scales
+    }
+    val out = graft.operators.RobustStats
+      .theil(rows.toDF("g", "v"), "g", "v").collect()
+    val total = out.head.getDouble(4)
+    val between = out.head.getDouble(5)
+    val withinSum = out.map(x => x.getDouble(2) * x.getDouble(3)).sum
+    total shouldBe (between + withinSum) +- 1e-5
+    between should be > 0.0 // the planted scale differences
+    total should be > between
+  }
+
+  it("theil is exactly 0 on perfect equality") {
+    val out = graft.operators.RobustStats
+      .theil(Seq.fill(12)(("x", 7.0)).toDF("g", "v"), "g", "v").collect().head
+    out.getDouble(3) shouldBe 0.0
+    out.getDouble(4) shouldBe 0.0
+    out.getDouble(5) shouldBe 0.0
+  }
+
   it("hill matches the hand-worked geometric tail and recovers a Pareto exponent") {
     // x = 2^1..2^60, k = 10: H = (1/10)·Σ_{j=1..10} ln(2^(61−j)/2^50)
     //   = ln2·(10+9+…+1)/10 = 5.5·ln2

@@ -156,4 +156,40 @@ object RobustStats {
             - (F.col("n") + 1).cast("double") / F.col("n")), 6)
           + F.lit(0.0)).as("gini"))
   }
+
+  /** [[gini]] over a pre-aggregated (x, c) per-distinct-value count
+    * frame — the mergeable summary a streaming accumulator re-enters
+    * (graft.streaming.StreamingDrift.giniNow). A tied run of value x
+    * with multiplicity c occupying ranks K+1..K+c contributes
+    * x·(c·K + c(c+1)/2) to the rank-weighted sum regardless of the
+    * within-tie order — the same rank algebra as the row-level [[gini]]
+    * (tie permutations cancel), EXACTLY equal when x·rank products are
+    * integer-exact (count metrics, the common case) and within the
+    * round-6 snap otherwise (one product per value vs c per-row adds).
+    * Cumulative counts via the same two-phase prefix over the
+    * distinct-value axis. */
+  def giniFromCounts(byV: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = byV.select(F.col("x").cast("double").as("x"), F.col("c").cast("long").as("c"))
+      .filter(F.col("x").isNotNull && F.col("x") >= 0 && F.col("c") > 0)
+    val (parted, offsets) = TwoPhase.partitionOffsets(
+      base, Seq(F.col("x")), Seq(F.sum("c") -> "__o"))
+    val within = Window.partitionBy("__pid").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = parted.join(F.broadcast(offsets), "__pid")
+      // K = count of strictly smaller values (exclusive cumulative)
+      .withColumn("__k", F.col("__o") + F.sum("c").over(within) - F.col("c"))
+      .withColumn("__wi",
+        F.col("x") * (F.col("c") * F.col("__k")
+          + F.col("c") * (F.col("c") + 1) / 2).cast("double"))
+    ranked.agg(F.sum("c").as("n"), F.sum(F.col("x") * F.col("c")).as("__t"),
+        F.sum("__wi").as("__w"))
+      .filter(F.col("n") > 0)
+      .select(F.col("n"),
+        (F.round(F.col("__t"), 4) + F.lit(0.0)).as("total"),
+        (F.round(F.when(F.col("__t") > 0,
+          F.lit(2.0) * F.col("__w") / (F.col("n") * F.col("__t"))
+            - (F.col("n") + 1).cast("double") / F.col("n")), 6)
+          + F.lit(0.0)).as("gini"))
+  }
 }

@@ -120,6 +120,15 @@ object StreamingDrift {
                 a: String, b: String): DataFrame =
     Drift.welchTFromCounts(twoSampleCounts(spark, countsDir, a, b))
 
+  /** Gini concentration of everything streamed so far — the VALUE rides
+    * the category dimension ([[attachCategorical]] with a constant
+    * slice), merged counts re-enter the batch rank algebra. */
+  def giniNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.RobustStats.giniFromCounts(
+      categoricalCounts(spark, countsDir)
+        .groupBy(F.col("cat").cast("double").as("x"))
+        .agg(F.sum("n").as("c")))
+
   private def twoSampleCounts(spark: SparkSession, countsDir: String,
                               a: String, b: String): DataFrame =
     categoricalCounts(spark, countsDir)

@@ -148,6 +148,12 @@ class StreamingDriftSpec extends SparkSpec {
     // order, so streamed == batch bit-for-bit here too
     StreamingDrift.welchTNow(spark, cDir, "a", "b").collect().head.toSeq shouldBe
       Drift.welchT(batchDf, "s", "v", "a", "b").collect().head.toSeq
+    // and the gini reader folds the SAME value counts (pooled slices)
+    val pooled = rows.map(_._2)
+    StreamingDrift.giniNow(spark, cDir).collect().head.toSeq shouldBe
+      graft.operators.RobustStats.gini(
+        pooled.zipWithIndex.map { case (v, i) => (i.toString, v) }.toDF("k", "v"),
+        "k", "v").collect().head.toSeq
   }
 
   it("an empty stream reads as zero current counts, not a throw") {

@@ -3688,7 +3688,7 @@ object SparkEntry {
     "q_top_paths" ->
       ("WITH fk AS (SELECT user_id AS u, event_type AS et, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
-        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL), " +
+        "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL), " +
         "p AS (SELECT u, string_agg(et, '>' ORDER BY rn) AS path FROM fk WHERE rn <= 4 GROUP BY 1), " +
         "c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM p GROUP BY 1), " +
         "r AS (SELECT CAST(row_number() OVER (ORDER BY n_users DESC, path) AS BIGINT) AS rank, " +

@@ -327,7 +327,11 @@ object Drift {
     * var(X) = 0 (no pre-period signal — CUPED degenerates to the raw
     * difference). */
   def cuped(units: DataFrame, armCol: String, xCol: String, yCol: String): DataFrame = {
+    // Single-arm degeneracy guard (same shape as logRankFromCounts):
+    // ga == gb would double-count every unit (n_a = n_b = n,
+    // diff_raw = 0) — require two distinct arms, else EMPTY.
     val gs = units.agg(F.min(armCol).as("ga"), F.max(armCol).as("gb"))
+      .filter(F.col("ga") =!= F.col("gb"))
     val b = units.crossJoin(F.broadcast(gs))
       .select(F.col(armCol).as("g"), F.col("ga"), F.col("gb"),
         F.col(xCol).cast("long").as("x"), F.col(yCol).cast("long").as("y"))

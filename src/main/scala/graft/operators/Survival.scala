@@ -188,7 +188,13 @@ object Survival {
     * per-group event/subject counts, the mergeable summary a streaming
     * accumulator re-enters (graft.streaming.StreamingSurvival). */
   def logRankFromCounts(byTG: DataFrame): DataFrame = {
+    // Single-group degeneracy guard: with one distinct group ga == gb
+    // would count every subject in BOTH cohorts and emit a plausible
+    // χ² = 0 row; requiring ga ≠ gb empties gs, and the crossJoin
+    // propagates the empty → EMPTY output, matching the all-censored
+    // contract above.
     val gs = byTG.agg(F.min("g").as("ga"), F.max("g").as("gb"))
+      .filter(F.col("ga") =!= F.col("gb"))
     val perT = byTG.crossJoin(F.broadcast(gs))
       .groupBy("t")
       .agg(

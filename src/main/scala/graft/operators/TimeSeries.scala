@@ -141,7 +141,12 @@ object TimeSeries {
     val firstK = events
       .select(F.col(userCol).as("u"), F.col(tsCol).as("t"),
         F.col(typeCol).as("et"), F.col(idCol).as("eid"))
-      .filter(F.col("u").isNotNull && F.col("t").isNotNull && F.col("et").isNotNull)
+      // eid is the tie-break: NULL ids sort FIRST in Spark but LAST in
+      // DuckDB's default ORDER BY, so tied-timestamp rows with NULL ids
+      // would order differently across engines — exclude them (the SQL
+      // mirror carries the same predicate).
+      .filter(F.col("u").isNotNull && F.col("t").isNotNull &&
+        F.col("et").isNotNull && F.col("eid").isNotNull)
       .withColumn("rn", F.row_number().over(w))
       .filter(F.col("rn") <= depth)
     val paths = firstK.groupBy("u")

@@ -50,8 +50,10 @@ object StreamingSkyline {
     * selecting them don't throw; payload columns are unknowable before
     * the first batch. Dim types come from `dimTypes` where provided
     * (same (name, sql-type) shape as readPartials), double otherwise.
-    * The catch is on the exception CLASS, not message text, which
-    * varies across Spark versions. */
+    * The catch matches the exception's error CONDITION (PATH_NOT_FOUND /
+    * UNABLE_TO_INFER_SCHEMA — the two "no batch yet" shapes), not the
+    * whole AnalysisException class: a genuine analysis error (misspelled
+    * dim, corrupt partials) must surface, not return an empty board. */
   def skylineNow(spark: SparkSession, partsDir: String,
                  dims: Seq[(String, Boolean)],
                  dimTypes: Seq[(String, String)] = Seq.empty): DataFrame =
@@ -59,7 +61,9 @@ object StreamingSkyline {
       val parts = spark.read.parquet(partsDir).drop("batch_id")
       Skyline.skyline(parts, dims)
     } catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      case e: org.apache.spark.sql.AnalysisException
+          if Set("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            .contains(e.getCondition) =>
         val tm = dimTypes.toMap
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),

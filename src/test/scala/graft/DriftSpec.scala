@@ -355,6 +355,12 @@ class DriftSpec extends SparkSpec {
     out.isNullAt(4) shouldBe true // adjusted diff undefined
   }
 
+  it("cuped with a single arm is empty (not a bogus null-effect row)") {
+    val units = Seq((0L, 1L, 2L), (0L, 2L, 4L), (0L, 3L, 6L))
+    Drift.cuped(units.toDF("arm", "x", "y"), "arm", "x", "y")
+      .collect() shouldBe empty
+  }
+
   // ---- spearman -------------------------------------------------------
 
   private def rho(pairs: Seq[(Double, Double)], parts: Int = 5) =

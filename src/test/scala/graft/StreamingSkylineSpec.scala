@@ -85,4 +85,15 @@ class StreamingSkylineSpec extends SparkSpec {
     StreamingSkyline.skylineNow(spark, dir, dims)
       .select("x", "y").collect() shouldBe empty
   }
+
+  it("a genuine analysis error (misspelled dim) SURFACES, not an empty board") {
+    // partials exist but lack the requested column: UNRESOLVED_COLUMN is
+    // not a "no batch yet" condition and must propagate to the caller
+    val dir = java.nio.file.Files.createTempDirectory("graft-sky-err").toString
+    Seq((1L, 2.0)).toDF("id", "x")
+      .write.mode("overwrite").parquet(s"$dir/batch_id=0")
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      StreamingSkyline.skylineNow(spark, dir,
+        Seq("x" -> true, "nope" -> true)).collect()
+  }
 }

@@ -197,6 +197,15 @@ class SurvivalSpec extends SparkSpec {
     out shouldBe empty // all-censored: the test is undefined, like KM on no subjects
   }
 
+  it("log-rank output is empty with a single cohort (not a bogus χ²=0 row)") {
+    // one distinct group → ga == gb would double-count every subject;
+    // the guard empties the output instead
+    val out = Survival.logRank(
+      Seq((1, 1, "a"), (2, 1, "a"), (3, 0, "a")).toDF("dur", "obs", "g"),
+      "dur", "obs", "g").collect()
+    out shouldBe empty
+  }
+
   it("streamed grouped subjects across a restart yield the batch statistic") {
     import java.nio.file.{Files => JFiles, Paths}
     import org.apache.spark.sql.{functions => F}

@@ -304,8 +304,16 @@ object Bench {
         Some((small.toString, big.toString))
       else None
     }
-    val (isolatedJson, scalingJson): (Option[String], Option[String]) =
-      if (isolatedNames.isEmpty && scalingDirs.isEmpty) (None, None)
+    // {min, samples[], loadavg} — the arbiter's record shape, reused by
+    // the isolated tier so both carry their full evidence in-artifact
+    def jdetail(m: Map[String, ArbiterResult], extra: ArbiterResult => String = _ => ""): String =
+      m.toSeq.sortBy(_._1).map { case (n, r) =>
+        "\"" + n + "\":{\"min\":" + r3(r.min) +
+          ",\"samples\":[" + r.samples.map(r3).mkString(",") + "]" +
+          ",\"loadavg\":" + r3(r.loadavg) + extra(r) + "}"
+      }.mkString("{", ",", "}")
+    val (isolatedJson, isolatedDetailJson, scalingJson): (Option[String], Option[String], Option[String]) =
+      if (isolatedNames.isEmpty && scalingDirs.isEmpty) (None, None, None)
       else {
         System.err.println(s"[bench] isolated pass (${isolatedNames.size} queries, $isolatedPasses samples)")
         spark.stop()
@@ -321,10 +329,22 @@ object Bench {
         if (isolatedNames.contains("quality_lr_score"))
           try SparkEntry.benchOps("quality_lr_train")(spark, sfDir)
           catch { case e: Throwable => System.err.println(s"[bench] isolated lr warmup failed: $e") }
-        val iso: Map[String, Double] = isolatedNames.flatMap { n =>
+        // The tier below the arbiter gets the arbiter's discipline
+        // (round-13 verdict item 2: q_record_linkage shipped a
+        // contaminated 6.27 s as its ONLY isolated number while its
+        // in-grid min improved): gc + a short quiesce BETWEEN queries so
+        // one query's heap/page-cache residue can't poison the next, a
+        // per-query loadavg at sample time, and ALL samples in the
+        // artifact — a single bad pass is now visible, not the record.
+        val isoDetail: Map[String, ArbiterResult] = isolatedNames.flatMap { n =>
+          System.gc()
+          Thread.sleep(3000)
+          val load = loadAvg1m()
           val samples = (1 to isolatedPasses).flatMap(_ => timeOne(n, all(n)).toOption)
-          if (samples.isEmpty) None else Some(n -> samples.min)
+          if (samples.isEmpty) None
+          else Some(n -> ArbiterResult(samples.min, samples, load))
         }.toMap
+        val iso: Map[String, Double] = isoDetail.map { case (n, r) => n -> r.min }
         val scal = scalingDirs.flatMap { case (small, big) =>
           def minAt(name: String, dir: String): Option[Double] = {
             val fn = (ss: SparkSession, _: String) => SparkEntry.queries(name)(ss, dir)
@@ -339,7 +359,9 @@ object Bench {
           }
           if (entries.isEmpty) None else Some(entries.mkString("{", ",", "}"))
         }
-        (if (iso.isEmpty) None else Some(jmap(iso)), scal)
+        (if (iso.isEmpty) None else Some(jmap(iso.toMap)),
+          if (isoDetail.isEmpty) None else Some(jdetail(isoDetail)),
+          scal)
       }
     // FRESH-PROCESS ARBITER (round-11 verdict item 2): ivf_pq_serve's
     // isolated min swung 2.2-4.8 s across rounds on byte-identical ANN
@@ -382,12 +404,9 @@ object Bench {
         }.toMap
         spark = newSession() // anything after (nothing today) gets a live session back
         if (iso.isEmpty) None
-        else Some(iso.toSeq.sortBy(_._1).map { case (n, r) =>
-          val flag = if (r.min > arbiterBar) ",\"arbiter_bar_exceeded\":true" else ""
-          "\"" + n + "\":{\"min\":" + r3(r.min) +
-            ",\"samples\":[" + r.samples.map(r3).mkString(",") + "]" +
-            ",\"loadavg\":" + r3(r.loadavg) + ",\"bar\":" + r3(arbiterBar) + flag + "}"
-        }.mkString("{", ",", "}"))
+        else Some(jdetail(iso, r =>
+          ",\"bar\":" + r3(arbiterBar) +
+            (if (r.min > arbiterBar) ",\"arbiter_bar_exceeded\":true" else "")))
       }
     val loadEnd = loadAvg1m()
     val canaryJson: Option[String] =
@@ -395,13 +414,67 @@ object Bench {
       else Some("{\"median\":" + r3(med(canarySamples.toSeq)) +
         ",\"min\":" + r3(canarySamples.min) +
         ",\"samples\":[" + canarySamples.map(r3).mkString(",") + "]}")
+    // CANARY-NORMALIZED cross-round read, in-artifact (round-13 verdict
+    // item 7): divide the in-grid total — and each per-query median — by
+    // this run's canary median, compare against the SAME ratio from the
+    // prior committed artifact (the BENCH_LOCAL.json this run is about to
+    // overwrite), and ship the answer to "ambient drift or regression?"
+    // directly: `total_over_canary` ratios out uniform machine drift
+    // (r12's +18.5% on untouched code), and `regressions` lists only the
+    // queries whose canary-normalized median moved >1.25x above 0.5 s —
+    // bounded, not a 250-row dump. Prior artifact override:
+    // SPARK_GRAFT_PRIOR_BENCH (the driver keeps BENCH_r{N}.json copies).
+    val canaryNormJson: Option[String] =
+      if (only.isDefined || canarySamples.isEmpty) None
+      else {
+        val canaryMed = med(canarySamples.toSeq)
+        val normTotal = total / canaryMed
+        val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR_BENCH", "BENCH_LOCAL.json")
+        val prior: Option[(Double, Map[String, Double])] =
+          try {
+            val body = java.nio.file.Files.readString(java.nio.file.Paths.get(priorPath))
+            // a prior artifact from a DIFFERENT fixture scale is not a
+            // comparison baseline — skip rather than report bogus deltas
+            val sameSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(body)
+              .forall(_.group(1) == sfDir)
+            val cm = if (!sameSf) None
+              else "\"canary\":\\{\"median\":([0-9.]+)".r.findFirstMatchIn(body)
+                .map(_.group(1).toDouble)
+            val qm = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(body).map { m =>
+              m.group(1).split(",").toSeq.flatMap { kv =>
+                kv.split(":") match {
+                  case Array(k, v) => Some(k.replace("\"", "") -> v.toDouble)
+                  case _ => None
+                }
+              }.toMap
+            }
+            for (c <- cm; q <- qm) yield (c, q)
+          } catch { case _: Throwable => None }
+        val priorPart = prior.fold("") { case (pc, pq) =>
+          val priorNormTotal = pq.valuesIterator.sum / pc
+          val regs = results.toSeq.flatMap { case (n, cur) =>
+            pq.get(n).collect {
+              case prev if cur >= 0.5 && prev > 0.0 &&
+                (cur / canaryMed) / (prev / pc) > 1.25 =>
+                n -> (cur / canaryMed) / (prev / pc)
+            }
+          }.sortBy(-_._2)
+          ",\"prior_total_over_canary\":" + r3(priorNormTotal) +
+            ",\"normalized_total_ratio\":" + r3(normTotal / priorNormTotal) +
+            ",\"regressions\":" + regs.map { case (n, x) =>
+              "\"" + n + "\":" + r3(x) }.mkString("{", ",", "}")
+        }
+        Some("{\"total_over_canary\":" + r3(normTotal) + priorPart + "}")
+      }
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},""" +
       s""""queries_min":${jmap(mins)},""" +
       samplesJson.fold("")(j => s""""queries_samples":$j,""") +
       isolatedJson.fold("")(j => s""""queries_isolated":$j,""") +
+      isolatedDetailJson.fold("")(j => s""""queries_isolated_detail":$j,""") +
       scalingJson.fold("")(j => s""""scaling":$j,""") +
       arbiterJson.fold("")(j => s""""queries_arbiter":$j,""") +
       canaryJson.fold("")(j => s""""canary":$j,""") +
+      canaryNormJson.fold("")(j => s""""canary_norm":$j,""") +
       s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},""" +
       s""""errors":${jerr(errors)},"failures":${errors.size},""" +
       pipeline.fold("")(p => s""""pipeline":$p,""") +

@@ -64,6 +64,7 @@ object SparkEntry {
   @volatile private var annSizedModelStash: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
   @volatile private var pcaOutlierStash: Option[(Array[Double], Seq[Array[Double]])] = None
   @volatile private var clusterKeywordsStash: Option[Array[Array[Double]]] = None
+  @volatile private var intrinsicAnnStash: Option[Array[Array[Double]]] = None
 
   /** Once-per-(process, sf-dir) trained BPE merge list — train-rarely/
     * encode-always, the [[kmeansModels]] pattern for the tokenizer. */
@@ -1177,6 +1178,20 @@ object SparkEntry {
     // estimator folds over any ANN top-2 frame (intrinsicDimensionFromKnn).
     "q_intrinsic_dim" -> ((s, dir) =>
       Pca.intrinsicDimension(t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64)),
+    // The SAME TwoNN estimator fed by a SUB-QUADRATIC neighbor search —
+    // the 100 TB path made a measured row instead of prose: IVF cell
+    // routing (shared trained+snapped k-means model), nprobe=3 probed
+    // cells, exact euclidean d2 within cells, bounded-heap top-2 — no
+    // corpus broadcast, no nested-loop join (PlanSpec-pinned). The
+    // oracle replays the WHOLE path (assignment, probing, in-cell d2,
+    // top-2, Pareto MLE) from the stashed centroid literals.
+    "q_intrinsic_dim_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = sharedKmeans(s, dir)
+      intrinsicAnnStash = Some(cents)
+      Pca.intrinsicDimensionFromKnn(
+        Similarity.ivfProbeKnnD2(e, "vec_id", "embedding", cents, nprobe = 3, k = 2))
+    }),
     // Lead-lag cross-correlation: do clicks anticipate purchases, and by
     // how many days? Six exact BIGINT sums per lag (the assortativity
     // determinism anchor), x side replicated once per lag over an
@@ -3346,6 +3361,25 @@ object SparkEntry {
       "arank AS (SELECT id, centroid AS cell, row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid) AS crn FROM asim)"
   }
 
+  /** TwoNN Pareto-MLE tail over a `(qid, cid, qv, cv)` pairs CTE named
+    * `pairsName`: exact per-pair squared euclidean, per-query two
+    * smallest (ties by cid — the bounded-heap struct-min's order), then
+    * ID = n / Σ ln √(r2/r1). Shared by the exact-grid oracle
+    * (q_intrinsic_dim) and the IVF-probed one (q_intrinsic_dim_ann). */
+  private def twoNnTailSql(pairsName: String): String =
+    s", pt AS (SELECT qid, cid, qv, cv, unnest(range(1, 65)) AS i FROM $pairsName), " +
+      "pd AS (SELECT qid, cid, " +
+      "sum((CAST(qv[CAST(i AS INT)] AS DOUBLE) - CAST(cv[CAST(i AS INT)] AS DOUBLE)) " +
+      "* (CAST(qv[CAST(i AS INT)] AS DOUBLE) - CAST(cv[CAST(i AS INT)] AS DOUBLE))) AS d2 " +
+      "FROM pt GROUP BY 1, 2), " +
+      "rk AS (SELECT qid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn FROM pd), " +
+      "two AS (SELECT qid, max(CASE WHEN rn = 1 THEN d2 END) AS r1, " +
+      "max(CASE WHEN rn = 2 THEN d2 END) AS r2 FROM rk WHERE rn <= 2 GROUP BY 1), " +
+      "mu AS (SELECT ln(sqrt(r2 / r1)) AS lm FROM two WHERE r1 > 0 AND r2 IS NOT NULL), " +
+      "ag AS (SELECT CAST(count(*) AS BIGINT) AS n_used, sum(lm) AS s FROM mu) " +
+      "SELECT n_used, round(s, 6) + 0.0 AS sum_log_mu, " +
+      "round(n_used / s, 6) + 0.0 AS id_twonn FROM ag WHERE n_used > 0 AND s > 0"
+
   /** Trained-IVF nprobe pairs CTE: index cells at crn=1, probe cells at
     * crn<=nprobe, pair within cell. Mirrors [[Similarity.ivfProbeTopK]]. */
   private def ivfProbePairsCte(cents: Array[Array[Double]], nprobe: Int): String =
@@ -4856,19 +4890,14 @@ object SparkEntry {
     "q_intrinsic_dim" ->
       ("WITH base AS (SELECT vec_id, embedding AS v FROM embeddings), " +
         "pr AS (SELECT a.vec_id AS qid, b.vec_id AS cid, a.v AS qv, b.v AS cv " +
-        "FROM base a JOIN base b ON a.vec_id <> b.vec_id), " +
-        "pt AS (SELECT qid, cid, qv, cv, unnest(range(1, 65)) AS i FROM pr), " +
-        "pd AS (SELECT qid, cid, " +
-        "sum((CAST(qv[CAST(i AS INT)] AS DOUBLE) - CAST(cv[CAST(i AS INT)] AS DOUBLE)) " +
-        "* (CAST(qv[CAST(i AS INT)] AS DOUBLE) - CAST(cv[CAST(i AS INT)] AS DOUBLE))) AS d2 " +
-        "FROM pt GROUP BY 1, 2), " +
-        "rk AS (SELECT qid, d2, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn FROM pd), " +
-        "two AS (SELECT qid, max(CASE WHEN rn = 1 THEN d2 END) AS r1, " +
-        "max(CASE WHEN rn = 2 THEN d2 END) AS r2 FROM rk WHERE rn <= 2 GROUP BY 1), " +
-        "mu AS (SELECT ln(sqrt(r2 / r1)) AS lm FROM two WHERE r1 > 0 AND r2 IS NOT NULL), " +
-        "ag AS (SELECT CAST(count(*) AS BIGINT) AS n_used, sum(lm) AS s FROM mu) " +
-        "SELECT n_used, round(s, 6) + 0.0 AS sum_log_mu, " +
-        "round(n_used / s, 6) + 0.0 AS id_twonn FROM ag WHERE n_used > 0 AND s > 0"),
+        "FROM base a JOIN base b ON a.vec_id <> b.vec_id)" +
+        twoNnTailSql("pr")),
+    // The IVF-probed TwoNN: the SAME estimator tail over the stashed
+    // model's probed-cell pairs instead of the N² grid — DuckDB replays
+    // assignment → nprobe routing → in-cell exact d2 → top-2 → MLE.
+    "q_intrinsic_dim_ann" -> intrinsicAnnStash
+      .map(c => ivfProbePairsCte(c, nprobe = 3) + twoNnTailSql("pairs"))
+      .getOrElse("SELECT NULL AS n_used, NULL AS sum_log_mu, NULL AS id_twonn WHERE 1 = 0"),
     // Reconstruction scoring against the stashed literal model (mean +
     // loading vectors + driver-exact ||u||^2): per-dim centering, one
     // coefficient sum per component, then the SAME left-associated

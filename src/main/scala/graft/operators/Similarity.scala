@@ -697,6 +697,53 @@ object Similarity {
     topKPerQuery(scored, "cos_sim", k)
   }
 
+  /** IVF-probed k-nearest by SQUARED EUCLIDEAN distance — the
+    * sub-quadratic neighbor frame [[graft.operators.Pca.intrinsicDimensionFromKnn]]
+    * scores at scale: same cosine cell routing as [[ivfProbeTopK]]
+    * (in-row argmax assignment, nprobe in-row probe ranking, pinned
+    * shuffle-merge cell join — no broadcast of the corpus, no
+    * nested-loop), but the pair score is the d2 the TwoNN estimator
+    * needs. Cells partition the corpus, so a candidate meets a query at
+    * most once — no dedup. d2 is the STATIC left-associated element_at
+    * chain (HOF folds run interpreted outside codegen — the measured 6×
+    * on the brute kernel), identical term order to the exact baseline.
+    * Cost: |N|·kC in-row assignment + ~nprobe/kC of the corpus per
+    * query, vs the baseline's N² — the 100 TB path.
+    *
+    * Output: (qid, d2, rn ∈ 1..k), smallest d2 first, ties by candidate
+    * id, k per query via the bounded-heap top-k (no window sort). */
+  def ivfProbeKnnD2(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      nprobe: Int,
+      k: Int = 2): DataFrame = {
+    val dim = centroids.head.length
+    // routing (cell argmax / probe ranking) reads the raw FLOAT vector —
+    // the codegen'd float-dot kernel; the d2 chain runs on the double cast
+    val base = embeddings
+      .select(F.col(idCol).as("id"), F.col(vecCol).as("fv"),
+        F.col(vecCol).cast("array<double>").as("v"))
+      .filter(F.size(F.col("v")) === dim)
+    val cells = base.select(F.col("id").as("cid"), F.col("v").as("cv"),
+      nearestCell(F.col("fv"), centroids).as("cell"))
+    val probes = base.select(F.col("id").as("qid"), F.col("v").as("qv"),
+      F.explode(probeCells(F.col("fv"), centroids, nprobe)).as("cell"))
+    val d2 = (1 to dim).map { i =>
+      val d = F.element_at(F.col("qv"), i) - F.element_at(F.col("cv"), i)
+      d * d
+    }.reduce(_ + _) // left-assoc i = 1..dim, the exact baseline's order
+    val scored = probes.hint("shuffle_merge").join(cells, "cell")
+      .filter(F.col("qid") =!= F.col("cid"))
+      .select(F.col("qid"), F.col("cid"), d2.as("d2"))
+    scored.groupBy("qid")
+      .agg(graft.functions.TopK.collectTopK(
+        F.struct((-F.col("d2")).as("nd"), (-F.col("cid")).as("nid")), k).as("__tk"))
+      .select(F.col("qid"), F.posexplode(F.col("__tk")).as(Seq("__pos", "__e")))
+      .select(F.col("qid"), (-F.col("__e.nd")).as("d2"), (F.col("__pos") + 1).as("rn"))
+  }
+
   /** IVF with TRAINED (Lloyd) centroids, snapped to fixed precision, and
     * multi-cell probing — train + [[snapCentroids]] + [[ivfProbeTopK]]. */
   def ivfTrainedTopK(

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{functions => F}
 
-import graft.operators.{Pca, TimeSeries}
+import graft.operators.{Pca, Similarity, TimeSeries}
 
 /** One-pass covariance moments, power-iteration PCA, and the lead–lag
   * cross-correlation screen. */
@@ -278,6 +278,28 @@ class PcaSpec extends SparkSpec {
     id1 should be > 0.7
     id1 should be < 1.5
     id1 should be < id2
+  }
+
+  it("IVF-probed TwoNN tracks the exact estimator — the sub-quadratic scale path") {
+    val r = new scala.util.Random(29)
+    // float vectors: the centroid trainer reads the fixture's float type
+    val plane = (0 until 300).map { i =>
+      val a = (r.nextGaussian() * 10).toFloat; val b = (r.nextGaussian() * 10).toFloat
+      (i.toLong, Seq(a, b, 0f, 0f, 0f, 0f, 0f, 0f))
+    }
+    val df = plane.toDF("vec_id", "embedding")
+    val exact = Pca.intrinsicDimension(df, "vec_id", "embedding", dim = 8)
+      .collect().head.getDouble(2)
+    val cents = Similarity.snapCentroids(
+      Similarity.trainIvfCentroids(df, "vec_id", "embedding", kC = 4, iters = 2, dim = 8))
+    val ann = Pca.intrinsicDimensionFromKnn(
+      Similarity.ivfProbeKnnD2(df, "vec_id", "embedding", cents, nprobe = 2))
+      .collect().head.getDouble(2)
+    // probing 2/4 cells misses some true neighbors; the Pareto MLE is
+    // ratio-based and robust to it — the estimate must stay close
+    math.abs(ann - exact) / exact should be < 0.2
+    ann should be > 1.4
+    ann should be < 2.8
   }
 
   it("TwoNN excludes exact duplicates (r1 = 0) from the MLE") {

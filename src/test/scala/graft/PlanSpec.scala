@@ -498,6 +498,15 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(_.contains("BroadcastExchange")) shouldBe 1
   }
 
+  it("q_intrinsic_dim_ann's kernel is SUB-quadratic: no nested loop, no cartesian, cell join is shuffle-merge") {
+    val p = plan("q_intrinsic_dim_ann")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    // the corpus is never a broadcast build side; cells meet probes in a
+    // pinned shuffle-merge join on the low-cardinality cell key
+    p should include("SortMergeJoin")
+  }
+
   it("q_cuped is one combinable aggregate — no join, no window, one exchange pair") {
     val p = plan("q_cuped")
     p should not include "windowspecdefinition"

@@ -179,6 +179,26 @@ object SparkEntry {
       Similarity.snapCentroids(
         Similarity.trainIvfCentroids(t(s, dir, "embeddings"), "vec_id", "embedding", kC)))
 
+  /** Shared two-cohort survival design (q_logrank / q_coxph): time to
+    * first purchase from first sight, administratively censored at
+    * min(ts) + 3 days, cohorts = user-id parity (a null-effect split —
+    * the rows prove the algebra, not a foregone rejection). */
+  private def cohortSubjects(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+    val seen = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
+    val f = seen.groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("f0"))
+    val p = seen.filter(F.col("event_type") === "purchase")
+      .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("p0"))
+    f.join(p, Seq("user_id"), "left").crossJoin(F.broadcast(cut))
+      .select(
+        F.when(F.col("p0").isNotNull,
+            F.datediff(F.to_date(F.col("p0")), F.to_date(F.col("f0"))))
+          .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
+        F.col("p0").isNotNull.cast("int").as("obs"),
+        (F.col("user_id") % 2).as("cohort"))
+  }
+
   private val shipperName = "cf-audit-events-to-splunk"
   private val cursorTs = Timestamp.from(Instant.parse("2024-01-15T00:00:00Z"))
   private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -1087,20 +1107,17 @@ object SparkEntry {
     // KM cumulative window; E and V accumulate as ORDERED window sums
     // over the days-sized event axis — bit-replayable in both engines.
     "q_logrank" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
-      val seen = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
-      val f = seen.groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("f0"))
-      val p = seen.filter(F.col("event_type") === "purchase")
-        .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("p0"))
-      val subj = f.join(p, Seq("user_id"), "left").crossJoin(F.broadcast(cut))
-        .select(
-          F.when(F.col("p0").isNotNull,
-              F.datediff(F.to_date(F.col("p0")), F.to_date(F.col("f0"))))
-            .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
-          F.col("p0").isNotNull.cast("int").as("obs"),
-          (F.col("user_id") % 2).as("cohort"))
-      Survival.logRank(subj, "dur", "obs", "cohort")
+      Survival.logRank(cohortSubjects(s, dir), "dur", "obs", "cohort")
+    }),
+    // Cox proportional hazards on the SAME two-cohort design: the effect
+    // SIZE log-rank doesn't give — hazard ratio of cohort 1 vs cohort 0
+    // with an inverse-information se. Breslow ties; 4 Newton steps over
+    // the days-sized duration axis, each step's score/information
+    // accumulated in t order (driver-side fold == the oracle's ordered
+    // window sums, each β 9-snapped). Wald rejection is asymptotically
+    // the log-rank test, so the two rows must agree on this fixture.
+    "q_coxph" -> ((s, dir) => {
+      Survival.coxPh(cohortSubjects(s, dir), "dur", "obs", "cohort")
     }),
     // The same KM curve with Greenwood 95% bands — the variance a curve
     // needs before two of them are compared by eye; se/lo/hi NULL at an
@@ -3361,6 +3378,74 @@ object SparkEntry {
       "arank AS (SELECT id, centroid AS cell, row_number() OVER (PARTITION BY id ORDER BY sim DESC, centroid) AS crn FROM asim)"
   }
 
+  /** Shared two-cohort survival CTE chain (q_logrank / q_coxph): the
+    * [[cohortSubjects]] derivation, per-(t, g) counts, per-event-time
+    * risk sets from the KM cumulative window — ends at `evr(t, d1, d2,
+    * n1, n2, nn1, nn2, nt, dt)`, event times only. The gg HAVING guard
+    * mirrors the operators' single-cohort degeneracy guard (empty, not
+    * a bogus both-cohorts-equal row). */
+  private val cohortSurvCtes: String =
+    "WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
+      "f AS (SELECT user_id, min(ts) AS f0 FROM events, cut WHERE ts <= c GROUP BY 1), " +
+      "p AS (SELECT user_id, min(ts) AS p0 FROM events, cut " +
+      "WHERE event_type = 'purchase' AND ts <= c GROUP BY 1), " +
+      "subj AS (SELECT f.user_id % 2 AS g, CASE WHEN p0 IS NOT NULL " +
+      "THEN date_diff('day', CAST(f0 AS DATE), CAST(p0 AS DATE)) " +
+      "ELSE date_diff('day', CAST(f0 AS DATE), CAST(c AS DATE)) END AS t0, " +
+      "CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS obs " +
+      "FROM f LEFT JOIN p ON p.user_id = f.user_id, cut), " +
+      "bytg AS (SELECT CAST(t0 AS BIGINT) AS t, g, CAST(sum(obs) AS BIGINT) AS d, " +
+      "CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY 1, 2), " +
+      "gg AS (SELECT min(g) AS ga, max(g) AS gb FROM bytg HAVING min(g) <> max(g)), " +
+      "pert AS (SELECT t, CAST(sum(CASE WHEN g = ga THEN d ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS d1, " +
+      "CAST(sum(CASE WHEN g = ga THEN c ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c1, " +
+      "CAST(sum(CASE WHEN g = gb THEN d ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS d2, " +
+      "CAST(sum(CASE WHEN g = gb THEN c ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c2 " +
+      "FROM bytg, gg GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(c1) AS BIGINT) AS nn1, CAST(sum(c2) AS BIGINT) AS nn2 FROM pert), " +
+      "rr AS (SELECT t, d1, d2, CAST(nn1 - sum(c1) OVER w + c1 AS BIGINT) AS n1, " +
+      "CAST(nn2 - sum(c2) OVER w + c2 AS BIGINT) AS n2, nn1, nn2 FROM pert, tot " +
+      "WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)), " +
+      "evr AS (SELECT t, d1, d2, n1, n2, nn1, nn2, n1 + n2 AS nt, d1 + d2 AS dt FROM rr " +
+      "WHERE d1 + d2 > 0)"
+
+  /** Breslow Cox-PH Newton iteration unrolled into CTEs over
+    * [[cohortSurvCtes]]'s `evr`: per step k a score/information pass —
+    * ordered window sums over the event-time axis of EXACTLY the term
+    * shapes the driver fold writes (left-assoc products, nx·e^β before
+    * the n0 addition) — then β_k = round(β_{k-1} + U/I, 9), the same
+    * BigDecimal HALF_UP snap. Final row recomputes I(β̂) for the se and
+    * the Wald test. */
+  private def coxTailSql(steps: Int): String = {
+    val uT = "CAST(dx AS DOUBLE) - CAST(d AS DOUBLE) * nx * exp(beta) / " +
+      "(CAST(n0 AS DOUBLE) + CAST(nx AS DOUBLE) * exp(beta))"
+    val iT = "CAST(d AS DOUBLE) * n0 * nx * exp(beta) / " +
+      "((CAST(n0 AS DOUBLE) + CAST(nx AS DOUBLE) * exp(beta)) * " +
+      "(CAST(n0 AS DOUBLE) + CAST(nx AS DOUBLE) * exp(beta)))"
+    def pass(name: String, prevB: String): String =
+      s"$name AS (SELECT sum($uT) OVER w AS us, sum($iT) OVER w AS is_, " +
+        "row_number() OVER (ORDER BY t DESC) AS rn " +
+        s"FROM ev2, $prevB WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING))"
+    val stepCtes = (1 to steps).map { k =>
+      pass(s"s$k", s"b${k - 1}") + ", " +
+        s"b$k AS (SELECT CASE WHEN is_ > 0 THEN round(beta + us / is_, 9) " +
+        s"ELSE beta END AS beta FROM s$k, b${k - 1} WHERE rn = 1)"
+    }.mkString(", ")
+    ", ev2 AS (SELECT t, dt AS d, d2 AS dx, n1 AS n0, n2 AS nx FROM evr), " +
+      "tot2 AS (SELECT max(nn1) AS n_a, max(nn2) AS n_b, " +
+      "CAST(sum(dt) AS BIGINT) AS d_total FROM evr), " +
+      "b0 AS (SELECT CAST(0 AS DOUBLE) AS beta), " +
+      stepCtes + ", " +
+      pass("sfin", s"b$steps") + " " +
+      "SELECT n_a, n_b, d_total, " +
+      "CASE WHEN is_ > 0 THEN round(beta, 6) + 0.0 END AS beta, " +
+      "CASE WHEN is_ > 0 THEN round(exp(beta), 6) + 0.0 END AS hr, " +
+      "CASE WHEN is_ > 0 THEN round(1.0 / sqrt(is_), 6) + 0.0 END AS se, " +
+      "CASE WHEN is_ > 0 THEN (beta / (1.0 / sqrt(is_))) * (beta / (1.0 / sqrt(is_))) " +
+      "> CAST(3.841459 AS DOUBLE) END AS reject_95 " +
+      s"FROM sfin, b$steps, tot2 WHERE rn = 1"
+  }
+
   /** TwoNN Pareto-MLE tail over a `(qid, cid, qv, cv)` pairs CTE named
     * `pairsName`: exact per-pair squared euclidean, per-query two
     * smallest (ties by cid — the bounded-heap struct-min's order), then
@@ -4166,30 +4251,8 @@ object SparkEntry {
     // row_number DESC = 1 — the operator's exact shapes operand for
     // operand.
     "q_logrank" ->
-      ("WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
-        "f AS (SELECT user_id, min(ts) AS f0 FROM events, cut WHERE ts <= c GROUP BY 1), " +
-        "p AS (SELECT user_id, min(ts) AS p0 FROM events, cut " +
-        "WHERE event_type = 'purchase' AND ts <= c GROUP BY 1), " +
-        "subj AS (SELECT f.user_id % 2 AS g, CASE WHEN p0 IS NOT NULL " +
-        "THEN date_diff('day', CAST(f0 AS DATE), CAST(p0 AS DATE)) " +
-        "ELSE date_diff('day', CAST(f0 AS DATE), CAST(c AS DATE)) END AS t0, " +
-        "CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS obs " +
-        "FROM f LEFT JOIN p ON p.user_id = f.user_id, cut), " +
-        "bytg AS (SELECT CAST(t0 AS BIGINT) AS t, g, CAST(sum(obs) AS BIGINT) AS d, " +
-        "CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY 1, 2), " +
-        "gg AS (SELECT min(g) AS ga, max(g) AS gb FROM bytg), " +
-        "pert AS (SELECT t, CAST(sum(CASE WHEN g = ga THEN d ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS d1, " +
-        "CAST(sum(CASE WHEN g = ga THEN c ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c1, " +
-        "CAST(sum(CASE WHEN g = gb THEN d ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS d2, " +
-        "CAST(sum(CASE WHEN g = gb THEN c ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c2 " +
-        "FROM bytg, gg GROUP BY 1), " +
-        "tot AS (SELECT CAST(sum(c1) AS BIGINT) AS nn1, CAST(sum(c2) AS BIGINT) AS nn2 FROM pert), " +
-        "rr AS (SELECT t, d1, d2, CAST(nn1 - sum(c1) OVER w + c1 AS BIGINT) AS n1, " +
-        "CAST(nn2 - sum(c2) OVER w + c2 AS BIGINT) AS n2, nn1, nn2 FROM pert, tot " +
-        "WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)), " +
-        "evr AS (SELECT t, d1, d2, n1, n2, nn1, nn2, n1 + n2 AS nt, d1 + d2 AS dt FROM rr " +
-        "WHERE d1 + d2 > 0), " +
-        "tm AS (SELECT t, d1, d2, nn1, nn2, " +
+      (cohortSurvCtes +
+        ", tm AS (SELECT t, d1, d2, nn1, nn2, " +
         "CAST(dt AS DOUBLE) * n1 / nt AS e1, " +
         "CAST(dt AS DOUBLE) * n2 / nt AS e2, " +
         "CASE WHEN nt > 1 THEN CAST(dt AS DOUBLE) * n1 / nt * n2 / nt * (nt - dt) / (nt - 1) " +
@@ -4204,6 +4267,10 @@ object SparkEntry {
         "round(CASE WHEN vs > 0 THEN (CAST(o1s AS DOUBLE) - e1s) * (CAST(o1s AS DOUBLE) - e1s) / vs END, 6) + 0.0 AS chi2, " +
         "CASE WHEN vs > 0 THEN (CAST(o1s AS DOUBLE) - e1s) * (CAST(o1s AS DOUBLE) - e1s) / vs > CAST(3.841459 AS DOUBLE) END AS reject_95 " +
         "FROM cum WHERE rn = 1"),
+    // Breslow Cox over the same risk-set scaffold: 4 unrolled Newton
+    // steps, each an ordered score/information window pass + a 9-snapped
+    // β update; final pass recomputes I(β̂) for the se and Wald test.
+    "q_coxph" -> (cohortSurvCtes + coxTailSql(steps = 4)),
     // KM + Greenwood: the gw increment d/(n(n-d)) rides the same window
     // row as the ln term; se = S*sqrt(cum gw); bands clipped to [0,1]
     // with explicit NULLs at an everyone-dies step (greatest/least SKIP

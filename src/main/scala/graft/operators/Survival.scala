@@ -240,4 +240,119 @@ object Survival {
       (F.round(chi2, 6) + F.lit(0.0)).as("chi2"),
       (chi2 > F.lit(3.841459)).as("reject_95"))
   }
+
+  /** COX PROPORTIONAL HAZARDS, single binary covariate (Cox, JRSS-B
+    * 1972), Breslow tie handling (Breslow, Biometrics 1974) — the
+    * question log-rank leaves open: not just "do the cohorts differ"
+    * but BY HOW MUCH, as a hazard ratio with a standard error. With one
+    * binary covariate x ∈ {0 = cohort a, 1 = cohort b} the Breslow
+    * partial log-likelihood needs only per-event-time counts — events
+    * d_t (of which dx_t in cohort b) and at-risk counts n0_t / nx_t —
+    * the SAME risk-set scaffold as [[logRank]]:
+    *
+    *   U(β) = Σ_t [ dx_t − d_t·nx_t·e^β / (n0_t + nx_t·e^β) ]
+    *   I(β) = Σ_t [ d_t·n0_t·nx_t·e^β / (n0_t + nx_t·e^β)² ]
+    *
+    * Newton from β₀ = 0: β ← β + U/I, a FIXED number of steps (default
+    * 4 — quadratic convergence puts 4 steps at ~1e-12 of the MLE on any
+    * non-pathological two-cohort input). Each step's sums run as
+    * ordered left-associated accumulation over the duration axis (the
+    * engine-bit-identical double-Σ discipline) and each β is 9-snapped
+    * (BigDecimal HALF_UP — DuckDB's round(x, 9) replays it), so the
+    * whole iteration unrolls into oracle CTEs. The duration axis is
+    * days-sized, so collecting it to the driver is a bounded collect —
+    * the Newton loop is driver-side scalars over it, nothing data-sized
+    * leaves the cluster.
+    *
+    * Output: ONE row — (n_a, n_b, d_total, beta, hr, se, reject_95):
+    * β and hr = e^β round-6 (hazard of cohort b relative to a), se the
+    * inverse-information standard error, reject_95 the Wald χ² =
+    * (β/se)² against the χ²₁ 95% critical value (consistent with
+    * [[logRank]]'s rejection on the same fixture, asymptotically the
+    * same test). All four NULL when no event time carries a comparison
+    * (I(0) = 0). EMPTY when there are no event times or a single
+    * cohort ([[logRankFromCounts]]'s conventions). */
+  def coxPh(subjects: DataFrame, durCol: String, obsCol: String,
+            groupCol: String, steps: Int = 4): DataFrame =
+    coxPhFromCounts(subjects
+      .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull &&
+        F.col(groupCol).isNotNull)
+      .groupBy(F.col(durCol).cast("long").as("t"), F.col(groupCol).as("g"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"),
+        F.count(F.lit(1)).as("c")), steps)
+
+  /** The fit over the pre-aggregated (t, g, d, c) frame — the same
+    * mergeable summary [[logRankFromCounts]] re-enters. */
+  def coxPhFromCounts(byTG: DataFrame, steps: Int = 4): DataFrame = {
+    val spark = byTG.sparkSession
+    val gs = byTG.agg(F.min("g").as("ga"), F.max("g").as("gb"))
+      .filter(F.col("ga") =!= F.col("gb"))
+    val perT = byTG.crossJoin(F.broadcast(gs))
+      .groupBy("t")
+      .agg(
+        F.sum(F.when(F.col("g") === F.col("ga"), F.col("d")).otherwise(F.lit(0L))).as("d1"),
+        F.sum(F.when(F.col("g") === F.col("ga"), F.col("c")).otherwise(F.lit(0L))).as("c1"),
+        F.sum(F.when(F.col("g") === F.col("gb"), F.col("d")).otherwise(F.lit(0L))).as("d2"),
+        F.sum(F.when(F.col("g") === F.col("gb"), F.col("c")).otherwise(F.lit(0L))).as("c2"))
+    val tot = perT.agg(F.sum("c1").as("nn1"), F.sum("c2").as("nn2"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-event-time risk sets, the logRank construction: n at risk =
+    // total − everyone who exited strictly before t
+    val ev = perT.crossJoin(F.broadcast(tot))
+      .withColumn("n0", F.col("nn1") - F.sum("c1").over(w) + F.col("c1"))
+      .withColumn("nx", F.col("nn2") - F.sum("c2").over(w) + F.col("c2"))
+      .filter(F.col("d1") + F.col("d2") > 0)
+      .select(F.col("t"), (F.col("d1") + F.col("d2")).as("d"),
+        F.col("d2").as("dx"), F.col("n0"), F.col("nx"),
+        F.col("nn1"), F.col("nn2"))
+    // duration axis (days-sized, bounded) to the driver, in t order —
+    // the fold below must accumulate in exactly this order
+    val rows = ev.orderBy("t")
+      .select("d", "dx", "n0", "nx", "nn1", "nn2").collect()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_b", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d_total", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("beta", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("hr", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("se", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("reject_95", org.apache.spark.sql.types.BooleanType)))
+    if (rows.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val nA = rows.head.getLong(4); val nB = rows.head.getLong(5)
+    val dTotal = rows.map(_.getLong(0)).sum
+    // (U, I) at a given β — term shapes EXACTLY as the SQL mirror writes
+    // them (left-associated products, nx·e^β before the n0 addition),
+    // accumulated in t order: bit-identical to the ordered window sums
+    def scoreInfo(beta: Double): (Double, Double) = {
+      val eb = math.exp(beta)
+      var u = 0.0; var i = 0.0
+      rows.foreach { r =>
+        val d = r.getLong(0).toDouble; val dx = r.getLong(1).toDouble
+        val n0 = r.getLong(2).toDouble; val nx = r.getLong(3).toDouble
+        val den = n0 + nx * eb
+        u = u + (dx - d * nx * eb / den)
+        i = i + d * n0 * nx * eb / (den * den)
+      }
+      (u, i)
+    }
+    def rd9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    var beta = 0.0
+    (1 to steps).foreach { _ =>
+      val (u, i) = scoreInfo(beta)
+      if (i > 0) beta = rd9(beta + u / i)
+    }
+    val (_, iFinal) = scoreInfo(beta)
+    val row: org.apache.spark.sql.Row =
+      if (iFinal > 0) {
+        val se = 1.0 / math.sqrt(iFinal)
+        val wald = (beta / se) * (beta / se)
+        org.apache.spark.sql.Row(nA, nB, dTotal, rd6(beta), rd6(math.exp(beta)),
+          rd6(se), java.lang.Boolean.valueOf(wald > 3.841459))
+      } else org.apache.spark.sql.Row(nA, nB, dTotal, null, null, null, null)
+    spark.createDataFrame(java.util.Arrays.asList(row), outSchema)
+  }
 }

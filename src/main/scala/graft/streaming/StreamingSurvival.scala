@@ -73,14 +73,23 @@ object StreamingSurvival {
   /** The log-rank statistic over everything streamed so far — the
     * [[Survival.logRank]] one-row output shape. */
   def logRankNow(spark: SparkSession, countsDir: String): DataFrame =
-    Survival.logRankFromCounts(
-      StreamingDrift.categoricalCounts(spark, countsDir)
-        .select(F.col("slice").cast("long").as("t"),
-          F.substring_index(F.col("cat"), "|", 1).cast("int").as("__obs"),
-          F.substring_index(F.col("cat"), "|", -1).as("g"),
-          F.col("n"))
-        .groupBy("t", "g")
-        .agg(
-          F.sum(F.when(F.col("__obs") === 1, F.col("n")).otherwise(F.lit(0L))).as("d"),
-          F.sum(F.col("n")).as("c")))
+    Survival.logRankFromCounts(groupedCounts(spark, countsDir))
+
+  /** The Breslow Cox-PH fit over everything streamed so far — the
+    * [[Survival.coxPh]] one-row output shape, from the SAME grouped
+    * counts store [[attachGrouped]] maintains (the per-(t, g) counts
+    * are the fit's complete sufficient statistics). */
+  def coxPhNow(spark: SparkSession, countsDir: String): DataFrame =
+    Survival.coxPhFromCounts(groupedCounts(spark, countsDir))
+
+  private def groupedCounts(spark: SparkSession, countsDir: String): DataFrame =
+    StreamingDrift.categoricalCounts(spark, countsDir)
+      .select(F.col("slice").cast("long").as("t"),
+        F.substring_index(F.col("cat"), "|", 1).cast("int").as("__obs"),
+        F.substring_index(F.col("cat"), "|", -1).as("g"),
+        F.col("n"))
+      .groupBy("t", "g")
+      .agg(
+        F.sum(F.when(F.col("__obs") === 1, F.col("n")).otherwise(F.lit(0L))).as("d"),
+        F.sum(F.col("n")).as("c"))
 }

@@ -206,6 +206,76 @@ class SurvivalSpec extends SparkSpec {
     out shouldBe empty
   }
 
+  // ---- coxPh ----------------------------------------------------------
+
+  /** Gehan (1965) leukemia trial — the dataset of Cox's 1972 paper:
+    * x = 0 the 6-MP arm (censoring-heavy), x = 1 the control arm (all
+    * relapse). Published Breslow-ties fit: β̂ = 1.509, se = 0.410,
+    * HR ≈ 4.52 (e.g. R survival::coxph(..., ties = "breslow")). */
+  private val gehan: Seq[(Int, Int, String)] = {
+    val mp = Seq((6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1),
+      (10, 0), (11, 0), (13, 1), (16, 1), (17, 0), (19, 0), (20, 0),
+      (22, 1), (23, 1), (25, 0), (32, 0), (32, 0), (34, 0), (35, 0))
+    val ctl = Seq(1, 1, 2, 2, 3, 4, 4, 5, 5, 8, 8, 8, 8, 11, 11, 12, 12,
+      15, 17, 22, 23).map((_, 1))
+    mp.map { case (t, o) => (t, o, "a_6mp") } ++
+      ctl.map { case (t, o) => (t, o, "b_control") }
+  }
+
+  it("Cox PH reproduces the published Breslow fit on the Gehan trial") {
+    val r = Survival.coxPh(gehan.toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .collect()
+    r.length shouldBe 1
+    val row = r.head
+    row.getLong(0) shouldBe 21L // n 6-MP
+    row.getLong(1) shouldBe 21L // n control
+    row.getLong(2) shouldBe 30L // observed relapses
+    row.getDouble(3) shouldBe 1.509191 // β̂ (R: 1.5092)
+    row.getDouble(4) shouldBe 4.523072 // HR = e^β̂
+    row.getDouble(5) shouldBe 0.409564 // se (R: 0.4096)
+    row.getBoolean(6) shouldBe true    // Wald χ² = 13.58 ≫ 3.84
+  }
+
+  it("Cox PH label swap negates β and inverts the hazard ratio") {
+    val swapped = gehan.map { case (t, o, g) =>
+      (t, o, if (g == "a_6mp") "z_control" else "a_6mp") // control sorts last
+    }
+    val a = Survival.coxPh(gehan.toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .collect().head
+    val b = Survival.coxPh(swapped.toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .collect().head
+    b.getDouble(3) shouldBe (-a.getDouble(3) +- 2e-6)
+    (a.getDouble(4) * b.getDouble(4)) shouldBe (1.0 +- 1e-4)
+    b.getDouble(5) shouldBe (a.getDouble(5) +- 2e-6)
+    b.getBoolean(6) shouldBe a.getBoolean(6)
+  }
+
+  it("Cox Wald and log-rank agree on rejection (asymptotically the same test)") {
+    val lrChi2 = Survival.logRank(gehan.toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .collect().head.getDouble(6)
+    val cox = Survival.coxPh(gehan.toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .collect().head
+    val wald = math.pow(cox.getDouble(3) / cox.getDouble(5), 2)
+    lrChi2 should be > 3.841459 // both reject on this fixture
+    wald should be > 3.841459
+    // same order of magnitude: the two χ² statistics track each other
+    (wald / lrChi2) should (be > 0.5 and be < 2.0)
+  }
+
+  it("Cox PH output is empty with a single cohort / no events; NULL β with no comparison") {
+    Survival.coxPh(Seq((1, 1, "a"), (2, 1, "a")).toDF("dur", "obs", "g"),
+      "dur", "obs", "g").collect() shouldBe empty
+    Survival.coxPh(Seq((2, 0, "a"), (3, 0, "b")).toDF("dur", "obs", "g"),
+      "dur", "obs", "g").collect() shouldBe empty
+    // b censored at 0: the only event time has one subject at risk —
+    // I(0) = 0, no comparison — β/hr/se/reject NULL, counts kept
+    val r = Survival.coxPh(Seq((1, 1, "a"), (0, 0, "b")).toDF("dur", "obs", "g"),
+      "dur", "obs", "g").collect().head
+    r.getLong(2) shouldBe 1L
+    r.isNullAt(3) shouldBe true
+    r.isNullAt(6) shouldBe true
+  }
+
   it("streamed grouped subjects across a restart yield the batch statistic") {
     import java.nio.file.{Files => JFiles, Paths}
     import org.apache.spark.sql.{functions => F}
@@ -233,5 +303,11 @@ class SurvivalSpec extends SparkSpec {
     val batch = Survival.logRank(subjects.toDF("dur", "obs", "g"), "dur", "obs", "g")
       .collect().head.toSeq
     streamed shouldBe batch
+    // the same grouped counts are Cox-PH's complete sufficient stats
+    val coxStreamed = graft.streaming.StreamingSurvival.coxPhNow(spark, cDir)
+      .collect().head.toSeq
+    val coxBatch = Survival.coxPh(subjects.toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .collect().head.toSeq
+    coxStreamed shouldBe coxBatch
   }
 }

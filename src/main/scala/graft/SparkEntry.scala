@@ -65,6 +65,7 @@ object SparkEntry {
   @volatile private var pcaOutlierStash: Option[(Array[Double], Seq[Array[Double]])] = None
   @volatile private var clusterKeywordsStash: Option[Array[Array[Double]]] = None
   @volatile private var intrinsicAnnStash: Option[Array[Array[Double]]] = None
+  @volatile private var louvainDeepStash: Option[Int] = None // accepted contracted levels
 
   /** Once-per-(process, sf-dir) trained BPE merge list — train-rarely/
     * encode-always, the [[kmeansModels]] pattern for the tokenizer. */
@@ -1002,6 +1003,30 @@ object SparkEntry {
       Graph.louvainLevel2(e,
         nodes.select(F.col("node"), (F.col("node") % 2).as("label")),
         sweeps1 = 0, sweeps2 = 2)
+    }),
+    // MULTI-LEVEL Louvain to the modularity fixpoint: the mod-4 seed
+    // pinned through level 1 (the under-merge harness) contracts to 4
+    // dense-relabeled supernodes; contract-and-sweep then recurses until
+    // a level fails to improve Q. The stashed accepted-level count sizes
+    // the unrolled mirror (every q value is recomputed by the SQL, the
+    // stash only fixes the CTE depth — the ANN-serve stash discipline).
+    "q_louvain_deep" -> ((s, dir) => {
+      val su = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_suppkey").as("sk")).distinct()
+      val e = su.as("x").join(su.as("y"),
+          F.col("x.o") === F.col("y.o") && F.col("x.sk") < F.col("y.sk"))
+        .groupBy(F.col("x.sk").as("src"), F.col("y.sk").as("dst"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val nodes = e.select(F.col("src").as("node"))
+        .union(e.select(F.col("dst").as("node"))).distinct()
+      val out = Graph.louvainDeep(e,
+        nodes.select(F.col("node"), (F.col("node") % 4).as("label")),
+        sweeps1 = 0, sweepsL = 2)
+      louvainDeepStash = Some(out.select("n_levels").head.getInt(0) - 1)
+      out
     }),
     // Pareto skyline (cheapest AND largest parts): pivot-prefiltered
     // local-then-global BNL (Skyline.scala); the oracle is the literal
@@ -3138,6 +3163,99 @@ object SparkEntry {
       s"qw0 q0, qw$sweeps2 qs"
   }
 
+  /** Unrolled MULTI-LEVEL Louvain mirror: the level-1 chain, then per
+    * ACCEPTED contracted level — contraction of the previous weighted
+    * edge set by its final labels, the DENSE relabel (row_number over
+    * community ids — what keeps the parity gate bisecting, see
+    * Graph.louvainDeep), weighted degrees / directed view / identity
+    * seed, `sweepsL` parity-gated weighted sweeps threading the previous
+    * level's q as the start score (the operand-for-operand identity the
+    * operator also uses). `accepted` (stashed by the query closure —
+    * every q is STILL recomputed here, the stash only fixes the CTE
+    * depth) is the number of contracted levels that strictly improved.
+    * Terminal projection composes node → level-1 community → dense id →
+    * level-i label → ... and reports q_init = Q(level 1), q_final =
+    * Q(last accepted level), n_levels = accepted + 1. */
+  private def louvainDeepCtes(seed: String, sweeps1: Int, sweepsL: Int,
+                              accepted: Int): String = {
+    def contractionCtes(k: Int, labName: String): String =
+      s", cd$k AS MATERIALIZED (SELECT least(x.lbl, y.lbl) AS a, greatest(x.lbl, y.lbl) AS b, " +
+        s"CAST(sum(src.w) AS BIGINT) AS w FROM ww$k src " +
+        s"JOIN $labName x ON x.id = src.a JOIN $labName y ON y.id = src.b GROUP BY 1, 2)" +
+        s", dn$k AS MATERIALIZED (SELECT old, CAST(row_number() OVER (ORDER BY old) AS BIGINT) AS nid " +
+        s"FROM (SELECT a AS old FROM cd$k UNION SELECT b FROM cd$k))" +
+        s", ww${k + 1} AS MATERIALIZED (SELECT least(na.nid, nb.nid) AS a, " +
+        s"greatest(na.nid, nb.nid) AS b, src.w FROM cd$k src " +
+        s"JOIN dn$k na ON na.old = src.a JOIN dn$k nb ON nb.old = src.b)"
+    def levelCtes(i: Int): String = {
+      val prevQ = if (i == 1) s"qv$sweeps1" else s"qd${i - 1}x$sweepsL"
+      def qSqlW(l: String): String =
+        "SELECT round(sum(t), 9) AS q FROM (" +
+          "SELECT round(CAST(coalesce(ec.e_in, CAST(0 AS BIGINT)) AS DOUBLE) / m " +
+          "- (CAST(sg.sig AS DOUBLE) / (2 * m)) * (CAST(sg.sig AS DOUBLE) / (2 * m)), 12) AS t " +
+          s"FROM (SELECT l.lbl AS label, CAST(sum(dw$i.kv) AS BIGINT) AS sig " +
+          s"FROM $l l JOIN dw$i ON dw$i.node = l.id GROUP BY 1) sg " +
+          s"LEFT JOIN (SELECT x.lbl AS label, CAST(sum(ww$i.w) AS BIGINT) AS e_in " +
+          s"FROM ww$i JOIN $l x ON x.id = ww$i.a JOIN $l y ON y.id = ww$i.b AND y.lbl = x.lbl " +
+          "GROUP BY 1) ec ON ec.label = sg.label, mm)"
+      val prelude =
+        s", dw$i AS MATERIALIZED (SELECT node, CAST(sum(wd) AS BIGINT) AS kv FROM (" +
+          s"SELECT a AS node, CASE WHEN a = b THEN w * 2 ELSE w END AS wd FROM ww$i " +
+          s"UNION ALL SELECT b AS node, w AS wd FROM ww$i WHERE a <> b) GROUP BY 1)" +
+          s", ez$i AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM ww$i WHERE a <> b " +
+          s"UNION ALL SELECT b AS src, a AS dst, w FROM ww$i WHERE a <> b)" +
+          s", wm${i}x0 AS MATERIALIZED (SELECT node AS id, node AS lbl FROM dw$i)" +
+          s", qd${i}x0 AS MATERIALIZED (SELECT q FROM $prevQ)"
+      val rounds = (1 to sweepsL).map { j =>
+        val p = s"${i}x$j"; val pv = s"${i}x${j - 1}"
+        s"sg$p AS MATERIALIZED (SELECT l.lbl AS label, CAST(sum(dw$i.kv) AS BIGINT) AS sig, " +
+          s"CAST(count(*) AS BIGINT) AS nc FROM wm$pv l JOIN dw$i ON dw$i.node = l.id GROUP BY 1), " +
+          s"kw$p AS MATERIALIZED (SELECT ez$i.src AS node, l.lbl AS cand, CAST(sum(ez$i.w) AS BIGINT) AS k_to " +
+          s"FROM ez$i JOIN wm$pv l ON l.id = ez$i.dst GROUP BY 1, 2), " +
+          s"bw$p AS MATERIALIZED (SELECT l.id AS node, l.lbl AS label, dw$i.kv AS kv, " +
+          s"sg.sig AS sig_a, sg.nc AS n_a, coalesce(ka.k_to, CAST(0 AS BIGINT)) AS k_va " +
+          s"FROM wm$pv l JOIN dw$i ON dw$i.node = l.id JOIN sg$p sg ON sg.label = l.lbl " +
+          s"LEFT JOIN kw$p ka ON ka.node = l.id AND ka.cand = l.lbl), " +
+          s"cw$p AS (SELECT b.node, b.label, c.cand, " +
+          "round(CAST(c.k_to - b.k_va AS DOUBLE) / m - CAST(b.kv AS DOUBLE) " +
+          "* CAST(s2.sig - b.sig_a + b.kv AS DOUBLE) / (2.0 * m * m), 9) AS dq, " +
+          s"b.n_a, s2.nc AS n_b FROM kw$p c JOIN bw$p b ON b.node = c.node AND c.cand <> b.label " +
+          s"JOIN sg$p s2 ON s2.label = c.cand, mm), " +
+          s"tw$p AS (SELECT node, cand FROM (SELECT node, cand, " +
+          "row_number() OVER (PARTITION BY node ORDER BY dq DESC, cand) AS rn " +
+          s"FROM cw$p WHERE dq > 0 AND (label % 2 = ${j % 2}) " +
+          "AND NOT (n_a = 1 AND n_b = 1 AND cand > label)) WHERE rn = 1), " +
+          s"pw$p AS MATERIALIZED (SELECT b.node AS id, coalesce(bt.cand, b.label) AS lbl " +
+          s"FROM bw$p b LEFT JOIN tw$p bt ON bt.node = b.node), " +
+          s"qq$p AS MATERIALIZED (${qSqlW(s"pw$p")}), " +
+          s"wm$p AS MATERIALIZED (SELECT p.id, CASE WHEN qp.q > ql.q THEN p.lbl ELSE l.lbl END AS lbl " +
+          s"FROM pw$p p JOIN wm$pv l ON l.id = p.id, qq$p qp, qd$pv ql), " +
+          s"qd$p AS MATERIALIZED (SELECT CASE WHEN qp.q > ql.q THEN qp.q ELSE ql.q END AS q " +
+          s"FROM qq$p qp, qd$pv ql)"
+      }.mkString(", ", ", ", "")
+      prelude + rounds
+    }
+    val body = new StringBuilder(louvainSweepCtes(seed, sweeps1))
+    body ++= ", ww0 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM e0)"
+    body ++= contractionCtes(0, s"lv$sweeps1")
+    (1 to accepted).foreach { i =>
+      body ++= levelCtes(i)
+      body ++= contractionCtes(i, s"wm${i}x$sweepsL")
+    }
+    val qFinal = if (accepted == 0) s"qv$sweeps1" else s"qd${accepted}x$sweepsL"
+    val joins = new StringBuilder(s" FROM lv$sweeps1 l1 JOIN dn0 d0 ON d0.old = l1.lbl")
+    (1 to accepted).foreach { i =>
+      joins ++= s" JOIN wm${i}x$sweepsL w$i ON w$i.id = d${i - 1}.nid"
+      joins ++= s" JOIN dn$i d$i ON d$i.old = w$i.lbl"
+    }
+    body ++=
+      s" SELECT l1.id AS node_id, d$accepted.nid AS label, " +
+        s"round(q0.q, 6) + 0.0 AS q_init, round(qf.q, 6) + 0.0 AS q_final, " +
+        s"CAST(${accepted + 1} AS INTEGER) AS n_levels" +
+        joins.toString + s", qv$sweeps1 q0, $qFinal qf"
+    body.toString
+  }
+
   private def labelPropOracle(iters: Int): String =
     labelPropCtes(iters) + s" SELECT id AS node_id, lbl AS label FROM l$iters"
 
@@ -3888,6 +4006,14 @@ object SparkEntry {
     "q_louvain_l2_ascent" -> (labelPropCtes(0) +
       ", lp AS (SELECT id, id % 2 AS lbl FROM l0)" +
       louvainL2Ctes(seed = "lp", sweeps1 = 0, sweeps2 = 2)),
+    // Multi-level mirror: stashed accepted-level count fixes the CTE
+    // depth; every q is recomputed by the unrolled chain itself.
+    "q_louvain_deep" -> louvainDeepStash
+      .map(a => labelPropCtes(0) +
+        ", lp4 AS (SELECT id, id % 4 AS lbl FROM l0)" +
+        louvainDeepCtes(seed = "lp4", sweeps1 = 0, sweepsL = 2, accepted = a))
+      .getOrElse("SELECT NULL AS node_id, NULL AS label, NULL AS q_init, " +
+        "NULL AS q_final, NULL AS n_levels WHERE 1 = 0"),
     "q_skyline" ->
       ("WITH t AS (SELECT p_partkey, p_size, CAST(p_retailprice AS DOUBLE) AS p_price FROM part) " +
         "SELECT p_partkey, p_size, p_price FROM t x " +

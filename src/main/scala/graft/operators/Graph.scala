@@ -414,25 +414,81 @@ object Graph {
     * Output: (node_id, label, q_init, q_final), the Q columns (round 6)
     * repeated on every row — the psi layout. */
   def louvainRefine(edges: DataFrame, init: DataFrame, sweeps: Int = 2): DataFrame = {
-    val und = undirect(edges).localCheckpoint(true) // feeds m, sym, degrees, AND every sweep's e_in
+    val und = undirect(edges).localCheckpoint(true) // feeds m, degrees, AND every sweep
     val m = und.count() // 1-row driver scalar (the pageRank-n pattern)
     require(m > 0, "louvainRefine needs at least one edge")
-    val mD = m.toDouble
-    val dg = degrees(und).withColumnRenamed("d", "kv").localCheckpoint(true)
-    val sym = und.select(F.col("a").as("src"), F.col("b").as("dst"))
-      .unionAll(und.select(F.col("b").as("src"), F.col("a").as("dst")))
+    val (lab, qInit, q) = weightedSweeps(
+      und.select(F.col("a"), F.col("b"), F.lit(1L).as("w")),
+      m.toDouble, init, sweeps, parityGate = false, pinStatic = true)
+    lab.select(F.col("node").as("node_id"), F.col("label"),
+      // + 0.0: −0.0 normalization (a just-below-zero Q rounds to −0.0)
+      (F.round(F.lit(qInit), 6) + F.lit(0.0)).as("q_init"),
+      (F.round(F.lit(q), 6) + F.lit(0.0)).as("q_final"))
+  }
+
+  /** The shared weighted local-move core both Louvain levels (and every
+    * [[louvainDeep]] level) run: `ew` is the canonical (a ≤ b) WEIGHTED
+    * undirected edge set — original edges with w = 1 at level 1 (sum(w)
+    * ≡ count, so the weighted algebra IS the unweighted one,
+    * bit-identically), a contracted multigraph with self-loops above —
+    * and `mD` stays the ORIGINAL graph's edge count at every level
+    * (contraction preserves Σw). One fused per-state `sig` frame serves
+    * BOTH the sweep's move scoring and the Q re-score (the round-13
+    * verdict's fuse directive — previously computed twice per state);
+    * `pinStatic` pins the per-level static frames (degrees, directed
+    * view, seed) where they are data-sized (level 1) and skips the
+    * checkpoint jobs where they are communities-sized (contracted
+    * levels); proposals stay pinned at every level — the unpinned
+    * variant was measured slower (cross-sweep lineage replanning).
+    * `parityGate` enables the contracted-level anti-chaining filter (see
+    * [[louvainLevel2]]'s scaladoc). Returns (final (node, label) frame,
+    * Q(seed), Q(final)). */
+  private def weightedSweeps(
+      ew0: DataFrame,
+      mD: Double,
+      seed: DataFrame,
+      sweeps: Int,
+      parityGate: Boolean,
+      pinStatic: Boolean,
+      qInit0: Option[Double] = None): (DataFrame, Double, Double) = {
+    val ew = ew0 // caller-pinned (und / ce localCheckpoint) — never re-pin here
+    // pinStatic marks the DATA-SIZED level (level 1): static per-level
+    // frames (degrees, directed view, seed) get a localCheckpoint there;
+    // on contracted levels they are communities-sized and the checkpoint
+    // job costs more than recomputing them from the pinned ce (measured —
+    // see RUNBOOK). PROPOSALS stay pinned at EVERY level: an unpinned
+    // proposal chains lineage across sweeps and the per-action replanning
+    // measured SLOWER than the checkpoint round trip it saved.
+    def pin(df: DataFrame): DataFrame = if (pinStatic) df.localCheckpoint(true) else df
+    // weighted degree k_C = Σ_{v∈C} k_v: self-loops twice, cross once per end
+    val dg = ew.select(F.col("a").as("node"),
+        F.when(F.col("a") === F.col("b"), F.col("w") * 2).otherwise(F.col("w")).as("wd"))
+      .unionAll(ew.filter(F.col("a") =!= F.col("b"))
+        .select(F.col("b").as("node"), F.col("w").as("wd")))
+      .groupBy("node").agg(F.sum("wd").as("kv"))
+    val dgP = pin(dg)
+    val cross = ew.filter(F.col("a") =!= F.col("b"))
+    val sym = cross.select(F.col("a").as("src"), F.col("b").as("dst"), F.col("w"))
+      .unionAll(cross.select(F.col("b").as("src"), F.col("a").as("dst"), F.col("w")))
       .repartition(F.col("dst")) // every sweep's neighbor-label join keys on dst
-      .localCheckpoint(true)
-    // Q of a partition: 12-snapped per-community terms, 9-snapped total.
-    // Rounding INSIDE the frame (F.round = the Catalyst Round the oracle's
-    // round() is calibrated against), never driver-side BigDecimal.
-    def qOf(lab: DataFrame): Double = {
-      val sig = lab.join(dg, "node").groupBy("label").agg(F.sum("kv").as("sig"))
-      val ein = und
+    val symP = pin(sym)
+    // per-state community degree sums + sizes — ONE frame for both the
+    // sweep's candidate scoring and the Q re-score
+    def sigOf(lab: DataFrame): DataFrame =
+      lab.join(dgP, "node")
+        .groupBy("label").agg(F.sum("kv").as("sig"), F.count(F.lit(1)).as("nc"))
+        .cache()
+    // Q of a partition from its fused sig frame: e_in(label) = Σ w over
+    // edges with both ends in the label (self-loops qualify). 12-snapped
+    // per-community terms, 9-snapped total — rounding INSIDE the frame
+    // (F.round = the Catalyst Round the oracle's round() is calibrated
+    // against), never driver-side BigDecimal.
+    def qFromSig(sig: DataFrame, lab: DataFrame): Double = {
+      val ein = ew
         .join(lab.select(F.col("node").as("a"), F.col("label").as("la")), "a")
         .join(lab.select(F.col("node").as("b"), F.col("label").as("lb")), "b")
         .filter(F.col("la") === F.col("lb"))
-        .groupBy(F.col("la").as("label")).agg(F.count(F.lit(1)).as("e_in"))
+        .groupBy(F.col("la").as("label")).agg(F.sum("w").as("e_in"))
       val row = sig.join(ein, Seq("label"), "left")
         .select(F.round(
           F.coalesce(F.col("e_in"), F.lit(0L)).cast("double") / F.lit(mD)
@@ -441,53 +497,85 @@ object Graph {
         .agg(F.round(F.sum("t"), 9)).collect()(0)
       if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     }
-    var lab = init
-      .select(F.col(init.columns(0)).as("node"), F.col(init.columns(1)).as("label"))
-      .join(dg.select("node"), Seq("node"), "left_semi") // partition over graph nodes only
-      .localCheckpoint(true)
-    var q = qOf(lab)
+    var lab = pin(seed
+      .select(F.col(seed.columns(0)).as("node"), F.col(seed.columns(1)).as("label"))
+      .join(dgP.select("node"), Seq("node"), "left_semi")) // partition over graph nodes only
+    var sig = sigOf(lab)
+    // a contracted level's identity-seed Q EQUALS the previous level's
+    // final Q operand-for-operand (sig_C = k_C, e_in(C) = selfloop(C)) —
+    // callers pass it in and skip one full Q-score round trip
+    var q = qInit0.getOrElse(qFromSig(sig, lab))
     val qInit = q
-    for (_ <- 1 to sweeps) {
-      val sig = lab.join(dg, "node")
-        .groupBy("label").agg(F.sum("kv").as("sig"), F.count(F.lit(1)).as("nc"))
-      // k_vc: edges from each node into each neighboring community —
+    for (s <- 1 to sweeps) {
+      // k_vc: weight from each node into each neighboring community —
       // ONE combinable |E|-row aggregate per sweep, the sweep's only
       // data-sized exchange
-      val kvc = sym.join(lab.select(F.col("node").as("dst"), F.col("label").as("cand")), "dst")
+      val kvc = symP.join(lab.select(F.col("node").as("dst"), F.col("label").as("cand")), "dst")
         .groupBy(F.col("src").as("node"), F.col("cand"))
-        .agg(F.count(F.lit(1)).as("k_to"))
+        .agg(F.sum("w").as("k_to"))
       val kva = kvc.join(lab, Seq("node")).filter(F.col("cand") === F.col("label"))
         .select(F.col("node"), F.col("k_to").as("k_va"))
-      val base = lab.join(dg, "node")
+      val base = lab.join(dgP, "node")
         .join(sig.select(F.col("label"), F.col("sig").as("sig_a"), F.col("nc").as("n_a")), "label")
         .join(kva, Seq("node"), "left")
         .select(F.col("node"), F.col("label"), F.col("kv"), F.col("sig_a"), F.col("n_a"),
           F.coalesce(F.col("k_va"), F.lit(0L)).as("k_va"))
-      val cand = kvc.join(base, "node").filter(F.col("cand") =!= F.col("label"))
+      val cand0 = kvc.join(base, "node").filter(F.col("cand") =!= F.col("label"))
         .join(sig.select(F.col("label").as("cand"), F.col("sig").as("sig_b"), F.col("nc").as("n_b")), "cand")
         .withColumn("dq", F.round(
           (F.col("k_to") - F.col("k_va")).cast("double") / F.lit(mD)
             - F.col("kv").cast("double")
             * (F.col("sig_b") - F.col("sig_a") + F.col("kv")).cast("double")
             / F.lit(2 * mD * mD), 9))
+        // swap guard: a singleton may only move INTO another singleton's
+        // community when the target label is smaller (Lu, Halappanavar &
+        // Kalyanaraman, ParCo 2015, deterministic variant)
         .filter(F.col("dq") > 0 &&
           !(F.col("n_a") === 1 && F.col("n_b") === 1 && F.col("cand") > F.col("label")))
+      // the PARITY GATE (contracted levels only): in sweep s only nodes
+      // whose current label has parity s % 2 may move — breaks the
+      // synchronous down-label chains dense contracted graphs produce
+      // (see louvainLevel2's scaladoc)
+      val cand = if (parityGate)
+        cand0.filter(F.col("label") % 2 === F.lit((s % 2).toLong)) else cand0
       val best = cand.groupBy("node")
         // lexicographic struct-min = (max ΔQ, then min target label):
         // the labelPropagation tie-break, no per-node sort window
         .agg(F.min(F.struct((-F.col("dq")).as("nd"), F.col("cand").as("c"))).as("mv"))
         .select(F.col("node"), F.col("mv.c").as("new_label"))
-      val prop = lab.join(best, Seq("node"), "left")
+      val prop0 = lab.join(best, Seq("node"), "left")
         .select(F.col("node"), F.coalesce(F.col("new_label"), F.col("label")).as("label"))
-        .localCheckpoint(true) // scored by qOf AND possibly next sweep's base
-      val qp = qOf(prop)
-      if (qp > q) { lab = prop; q = qp }
+      // always pinned: scored by Q AND possibly next sweep's base — the
+      // unpinned and cache() variants both measured SLOWER (cross-sweep
+      // lineage replanning / recompute outweigh the checkpoint job)
+      val prop = prop0.localCheckpoint(true)
+      val propSig = sigOf(prop)
+      val qp = qFromSig(propSig, prop)
+      if (qp > q) { lab = prop; sig = propSig; q = qp }
     }
-    lab.select(F.col("node").as("node_id"), F.col("label"),
-      // + 0.0: −0.0 normalization (a just-below-zero Q rounds to −0.0)
-      (F.round(F.lit(qInit), 6) + F.lit(0.0)).as("q_init"),
-      (F.round(F.lit(q), 6) + F.lit(0.0)).as("q_final"))
+    (lab, qInit, q)
   }
+
+  /** Phase-2 contraction: community endpoints of every weighted edge,
+    * canonical (least, greatest) orientation, weights summed — a = b
+    * rows are the self-loops (intra-community weight). Level 1 → 2 runs
+    * it with w = 1 (count); deeper levels contract the already-weighted
+    * multigraph. ONE grouped aggregate over the level's edge set. */
+  private def contract(ew: DataFrame, lab: DataFrame): DataFrame =
+    ew
+      .join(lab.select(F.col("node").as("a"), F.col("label").as("la")), "a")
+      .join(lab.select(F.col("node").as("b"), F.col("label").as("lb")), "b")
+      .select(F.least(F.col("la"), F.col("lb")).as("a"),
+        F.greatest(F.col("la"), F.col("lb")).as("b"), F.col("w"))
+      .groupBy("a", "b").agg(F.sum("w").as("w"))
+
+  /** Identity seed over a contracted graph: each supernode its own
+    * community. */
+  private def identitySeed(ew: DataFrame): DataFrame =
+    ew.select(F.col("a").as("node"))
+      .unionAll(ew.select(F.col("b").as("node")))
+      .distinct()
+      .select(F.col("node"), F.col("node").as("label"))
 
   /** Two-level Louvain (Blondel, Guillaume, Lambiotte & Lefebvre, "Fast
     * unfolding of communities in large networks", J. Stat. Mech. 2008
@@ -518,7 +606,18 @@ object Graph {
     * accept-iff-strictly-better sweep guard makes Q(l2) ≥ Q(l1) a
     * structural guarantee. Synchronous-move determinism (swap guard,
     * (max ΔQ, min label) argmax, 9/12-snap discipline) carries over
-    * verbatim.
+    * verbatim. The PARITY GATE on contracted sweeps: supernodes are few
+    * and densely adjacent, so the synchronous all-move proposal chains
+    * (every node shifts one step down-label in the same sweep) and the
+    * chained proposal can score BELOW the start — accept-iff-better then
+    * rejects every sweep and level 2 stalls exactly where it should
+    * climb (the ring-of-cliques spec pins this). Alternating label
+    * parity per sweep breaks chains deterministically (the coloring idea
+    * of Lu, Halappanavar & Kalyanaraman, ParCo 2015, reduced to a
+    * 2-coloring of labels): neighbors with opposite-parity labels can
+    * never both move in one sweep. A pure filter — scale-free,
+    * oracle-able, and the swap guard still covers same-parity singleton
+    * pairs.
     *
     * At 100 TB scale the contracted graph is orders of magnitude smaller
     * than the input (|communities| ≤ |V|, usually ≪), so level 2's
@@ -532,110 +631,108 @@ object Graph {
     * labels are level-1 community ids re-labeled by level 2's merge. */
   def louvainLevel2(edges: DataFrame, init: DataFrame,
                     sweeps1: Int = 2, sweeps2: Int = 2): DataFrame = {
-    val und = undirect(edges).localCheckpoint(true) // feeds m AND the contraction
+    val und = undirect(edges).localCheckpoint(true) // feeds m, level 1, AND the contraction
     val m = und.count() // unchanged by contraction: Σw + Σselfloops = |E|
     require(m > 0, "louvainLevel2 needs at least one edge")
-    val mD = m.toDouble
-    val lab1 = louvainRefine(edges, init, sweeps1)
-      .select(F.col("node_id").as("node"), F.col("label"))
-      .localCheckpoint(true) // feeds the contraction AND the final map-back
-    // Phase-2 contraction: community endpoints, canonical (least, greatest)
-    // orientation, weight = original-edge multiplicity. a = b rows are the
-    // self-loops (intra-community edges).
-    val ce = und
-      .join(lab1.select(F.col("node").as("a"), F.col("label").as("la")), "a")
-      .join(lab1.select(F.col("node").as("b"), F.col("label").as("lb")), "b")
-      .select(F.least(F.col("la"), F.col("lb")).as("a"),
-        F.greatest(F.col("la"), F.col("lb")).as("b"))
-      .groupBy("a", "b").agg(F.count(F.lit(1)).as("w"))
-      .localCheckpoint(true) // feeds degrees, sym, AND every sweep's e_in
-    // weighted degree k_C = Σ_{v∈C} k_v: self-loops twice, cross once per end
-    val dg = ce.select(F.col("a").as("node"),
-        F.when(F.col("a") === F.col("b"), F.col("w") * 2).otherwise(F.col("w")).as("wd"))
-      .unionAll(ce.filter(F.col("a") =!= F.col("b"))
-        .select(F.col("b").as("node"), F.col("w").as("wd")))
-      .groupBy("node").agg(F.sum("wd").as("kv"))
-      .localCheckpoint(true)
-    val cross = ce.filter(F.col("a") =!= F.col("b"))
-    val sym = cross.select(F.col("a").as("src"), F.col("b").as("dst"), F.col("w"))
-      .unionAll(cross.select(F.col("b").as("src"), F.col("a").as("dst"), F.col("w")))
-      .repartition(F.col("dst")) // every sweep's neighbor-label join keys on dst
-      .localCheckpoint(true)
-    // Weighted Q: e_in(label) = Σ w over contracted edges with both ends in
-    // the label — self-loops (a = b) qualify automatically. Same 12-snap
-    // terms / 9-snap total as level 1.
-    def qOf(lab: DataFrame): Double = {
-      val sig = lab.join(dg, "node").groupBy("label").agg(F.sum("kv").as("sig"))
-      val ein = ce
-        .join(lab.select(F.col("node").as("a"), F.col("label").as("la")), "a")
-        .join(lab.select(F.col("node").as("b"), F.col("label").as("lb")), "b")
-        .filter(F.col("la") === F.col("lb"))
-        .groupBy(F.col("la").as("label")).agg(F.sum("w").as("e_in"))
-      val row = sig.join(ein, Seq("label"), "left")
-        .select(F.round(
-          F.coalesce(F.col("e_in"), F.lit(0L)).cast("double") / F.lit(mD)
-            - (F.col("sig").cast("double") / F.lit(2 * mD))
-            * (F.col("sig").cast("double") / F.lit(2 * mD)), 12).as("t"))
-        .agg(F.round(F.sum("t"), 9)).collect()(0)
-      if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-    }
-    // identity seed: each supernode its own community (label = community id)
-    var lab = dg.select(F.col("node"), F.col("node").as("label")).localCheckpoint(true)
-    var q = qOf(lab)
-    val qInit = q // = Q(level-1 partition) operand-for-operand
-    for (s <- 1 to sweeps2) {
-      val sig = lab.join(dg, "node")
-        .groupBy("label").agg(F.sum("kv").as("sig"), F.count(F.lit(1)).as("nc"))
-      // w_Cc: weight from each supernode into each neighboring community —
-      // the sweep's only contracted-graph-sized exchange
-      val kvc = sym.join(lab.select(F.col("node").as("dst"), F.col("label").as("cand")), "dst")
-        .groupBy(F.col("src").as("node"), F.col("cand"))
-        .agg(F.sum("w").as("k_to"))
-      val kva = kvc.join(lab, Seq("node")).filter(F.col("cand") === F.col("label"))
-        .select(F.col("node"), F.col("k_to").as("k_va"))
-      val base = lab.join(dg, "node")
-        .join(sig.select(F.col("label"), F.col("sig").as("sig_a"), F.col("nc").as("n_a")), "label")
-        .join(kva, Seq("node"), "left")
-        .select(F.col("node"), F.col("label"), F.col("kv"), F.col("sig_a"), F.col("n_a"),
-          F.coalesce(F.col("k_va"), F.lit(0L)).as("k_va"))
-      val cand = kvc.join(base, "node").filter(F.col("cand") =!= F.col("label"))
-        .join(sig.select(F.col("label").as("cand"), F.col("sig").as("sig_b"), F.col("nc").as("n_b")), "cand")
-        .withColumn("dq", F.round(
-          (F.col("k_to") - F.col("k_va")).cast("double") / F.lit(mD)
-            - F.col("kv").cast("double")
-            * (F.col("sig_b") - F.col("sig_a") + F.col("kv")).cast("double")
-            / F.lit(2 * mD * mD), 9))
-        // the PARITY GATE (level-2 only): in sweep s only supernodes whose
-        // current label has parity s % 2 may move. A contracted graph's
-        // supernodes are few and densely adjacent, so the synchronous
-        // all-move proposal chains (every node shifts one step down-label
-        // in the same sweep) and the chained proposal can score BELOW the
-        // start — accept-iff-better then rejects every sweep and level 2
-        // stalls exactly where it should climb (the ring-of-cliques spec
-        // pins this). Alternating halves breaks chains deterministically
-        // (the coloring idea of Lu, Halappanavar & Kalyanaraman, ParCo
-        // 2015, reduced to a 2-coloring of labels): neighbors with
-        // opposite-parity labels can never both move in one sweep. A pure
-        // filter — scale-free, oracle-able, and the swap guard still
-        // covers same-parity singleton pairs.
-        .filter(F.col("dq") > 0 &&
-          F.col("label") % 2 === F.lit((s % 2).toLong) &&
-          !(F.col("n_a") === 1 && F.col("n_b") === 1 && F.col("cand") > F.col("label")))
-      val best = cand.groupBy("node")
-        .agg(F.min(F.struct((-F.col("dq")).as("nd"), F.col("cand").as("c"))).as("mv"))
-        .select(F.col("node"), F.col("mv.c").as("new_label"))
-      val prop = lab.join(best, Seq("node"), "left")
-        .select(F.col("node"), F.coalesce(F.col("new_label"), F.col("label")).as("label"))
-        .localCheckpoint(true)
-      val qp = qOf(prop)
-      if (qp > q) { lab = prop; q = qp }
-    }
+    val ew1 = und.select(F.col("a"), F.col("b"), F.lit(1L).as("w"))
+    val (lab1, _, q1) = weightedSweeps(ew1, m.toDouble, init, sweeps1,
+      parityGate = false, pinStatic = true) // returned lab is core-pinned
+    val ce = contract(ew1, lab1).localCheckpoint(true) // feeds every level-2 sweep
+    val (lab2, qInit, q) = weightedSweeps(ce, m.toDouble, identitySeed(ce), sweeps2,
+      parityGate = true, pinStatic = false, qInit0 = Some(q1))
     // map back: node → level-1 community → level-2 label
-    lab1.join(lab.select(F.col("node").as("__c"), F.col("label").as("l2")),
+    lab1.join(lab2.select(F.col("node").as("__c"), F.col("label").as("l2")),
         F.col("label") === F.col("__c"))
       .select(F.col("node").as("node_id"), F.col("l2").as("label"),
         (F.round(F.lit(qInit), 6) + F.lit(0.0)).as("q_init"),
         (F.round(F.lit(q), 6) + F.lit(0.0)).as("q_final"))
+  }
+
+  /** MULTI-LEVEL Louvain to the modularity FIXPOINT (the full Blondel
+    * 2008 recursion): contract-and-sweep repeatedly — each accepted
+    * level re-runs [[weightedSweeps]] on an ever-smaller contracted
+    * multigraph — until a level fails to strictly improve Q (or
+    * `maxLevels` caps a pathological cascade). Levels ≥ 3 are the same
+    * weighted sweep [[louvainLevel2]] runs, on the recursively
+    * contracted graph, so Q(l∞) ≥ Q(l2) ≥ Q(l1) is structural: every
+    * level starts from the identity partition of its contraction (whose
+    * Q EQUALS the previous level's final Q operand-for-operand) and only
+    * strictly-improving levels are kept.
+    *
+    * Scale shape: the |E|-sized work is level 1 plus ONE contraction
+    * aggregate; every deeper level operates on the contracted graph,
+    * which shrinks at least geometrically on real graphs (each accepted
+    * level merges ≥ 2 communities) — the classic Louvain depth is
+    * O(log |V|) with a tiny constant.
+    *
+    * Output: (node_id, label, q_init, q_final, n_levels) — q_init =
+    * Q(level-1 partition), q_final = Q at the fixpoint, n_levels the
+    * number of PARTITION levels kept (1 = level 1 alone, 2 = the
+    * louvainLevel2 answer, 3+ = genuinely deeper merges). */
+  def louvainDeep(edges: DataFrame, init: DataFrame,
+                  sweeps1: Int = 2, sweepsL: Int = 2,
+                  maxLevels: Int = 8): DataFrame = {
+    val und = undirect(edges).localCheckpoint(true)
+    val m = und.count()
+    require(m > 0, "louvainDeep needs at least one edge")
+    val mD = m.toDouble
+    val ew1 = und.select(F.col("a"), F.col("b"), F.lit(1L).as("w"))
+    val (lab1, _, q1) = weightedSweeps(ew1, mD, init, sweeps1,
+      parityGate = false, pinStatic = true) // returned lab is core-pinned
+    // Contract AND dense-relabel: supernode ids become row_number over
+    // the community labels (deterministic, engine-replayable). Without
+    // the relabel, community labels can share parity (e.g. min-node ids
+    // of equal-size cliques are spaced evenly), the parity gate then
+    // admits EVERY supernode in one sweep and the synchronous down-label
+    // chain re-appears — the ring-of-36 fixture stalls at level 2. Dense
+    // ids alternate parity by construction, so the gate bisects every
+    // level the way it was designed to.
+    def contractDense(ewIn: DataFrame, lab: DataFrame): (DataFrame, DataFrame) = {
+      val ce0 = contract(ewIn, lab)
+      val dense = ce0.select(F.col("a").as("old"))
+        .unionAll(ce0.select(F.col("b").as("old")))
+        .distinct()
+        .withColumn("nid", F.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("old")).cast("long"))
+        .localCheckpoint(true) // tiny: one row per community
+      val ce = ce0
+        .join(dense.select(F.col("old").as("a"), F.col("nid").as("na")), "a")
+        .join(dense.select(F.col("old").as("b"), F.col("nid").as("nb")), "b")
+        .select(F.least(F.col("na"), F.col("nb")).as("a"),
+          F.greatest(F.col("na"), F.col("nb")).as("b"), F.col("w"))
+        .localCheckpoint(true)
+      (ce, dense)
+    }
+    var mapping = lab1 // node → current level's community id
+    var (ew, d0) = contractDense(ew1, mapping)
+    mapping = mapping
+      .join(d0.select(F.col("old").as("label"), F.col("nid")), "label")
+      .select(F.col("node"), F.col("nid").as("label"))
+      .localCheckpoint(true)
+    var q = q1
+    var levels = 1
+    var improved = true
+    while (improved && levels < maxLevels) {
+      val (labL, _, qf) = weightedSweeps(ew, mD, identitySeed(ew), sweepsL,
+        parityGate = true, pinStatic = false, qInit0 = Some(q))
+      if (qf > q) {
+        q = qf
+        levels += 1
+        val (ew2, dense) = contractDense(ew, labL)
+        mapping = mapping
+          .join(labL.select(F.col("node").as("__c"), F.col("label").as("__l")),
+            F.col("label") === F.col("__c"))
+          .join(dense.select(F.col("old").as("__l2"), F.col("nid")),
+            F.col("__l") === F.col("__l2"))
+          .select(F.col("node"), F.col("nid").as("label"))
+          .localCheckpoint(true) // feeds the next composition AND the output
+        ew = ew2
+      } else improved = false
+    }
+    mapping.select(F.col("node").as("node_id"), F.col("label"),
+      (F.round(F.lit(q1), 6) + F.lit(0.0)).as("q_init"),
+      (F.round(F.lit(q), 6) + F.lit(0.0)).as("q_final"),
+      F.lit(levels).cast("int").as("n_levels"))
   }
 
   /** The k-CORE — the maximal subgraph in which every node keeps degree

@@ -245,6 +245,82 @@ class GraphSpec extends SparkSpec {
     lb shouldBe la; qib shouldBe qia; qfb shouldBe qfa
   }
 
+  // ---- louvainDeep ----------------------------------------------------
+
+  private def ringOfTriangles(n: Long) = {
+    val cliq = (0L until n).flatMap { c =>
+      val nd = Seq(3 * c + 1, 3 * c + 2, 3 * c + 3)
+      for (i <- 0 until 3; j <- i + 1 until 3) yield (nd(i), nd(j))
+    }
+    val ring = (0L until n).map(c => (3 * c + 3, 3 * ((c + 1) % n) + 1))
+    val init = (0L until n).flatMap(c =>
+      Seq(3 * c + 1, 3 * c + 2, 3 * c + 3).map(nd => (nd, 3 * c + 1)))
+    (cliq ++ ring, init)
+  }
+
+  private def deep(e: Seq[(Long, Long)], init: Seq[(Long, Long)],
+                   s1: Int, sL: Int) = {
+    val out = Graph.louvainDeep(e.toDF("src", "dst"), init.toDF("node", "label"), s1, sL)
+      .collect()
+    (out.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      out.head.getDouble(2), out.head.getDouble(3), out.head.getInt(4))
+  }
+
+  it("deep louvain climbs PAST level 2 on a ring of 36 triangles (3 levels)") {
+    // per-clique floor Q = 1 − 1/4 − 1/36 = 0.722222; level 2 merges
+    // clique PAIRS (1 − 1/8 − 2/36 = 0.819444 — where louvainLevel2
+    // provably stops); level 3 merges pairs into QUADS, the deeper
+    // optimum reachable by pair doubling: 1 − 1/16 − 4/36 = 0.826389.
+    // The dense relabel is load-bearing: the pair supernodes' min-node
+    // labels are all ≡ 1 (mod 6) — same parity — so without it the gate
+    // admits every supernode at once, the synchronous down-label chain
+    // scores below start, and the recursion stalls at level 2.
+    val (edges, init) = ringOfTriangles(36)
+    val (_, _, qfL2) = louvainL2(edges, init, 0, 2)
+    qfL2 shouldBe 0.819444 // level 2's ceiling on this fixture
+    val (labels, qi, qf, nLevels) = deep(edges, init, 0, 2)
+    qi shouldBe 0.722222
+    qf shouldBe 0.826389
+    nLevels shouldBe 3
+    labels.values.toSet.size shouldBe 9 // 36 cliques → 9 quads
+    // no quad splits a clique: every 4-consecutive-clique block is whole
+    (0L until 36L).foreach { c =>
+      Seq(3 * c + 1, 3 * c + 2, 3 * c + 3).map(labels).toSet.size shouldBe 1
+    }
+  }
+
+  it("deep louvain never scores below level 2 and is deterministic") {
+    // ring of 10 triangles: pairs are the optimum (quads score 0.5375 <
+    // 0.675), so deep must settle exactly where level 2 does — a cheap
+    // fixpoint + determinism battery (a dense random graph here ran
+    // many tiny-merge levels and cost minutes of suite time for no
+    // extra coverage)
+    val (edges, init) = ringOfTriangles(10)
+    val (_, _, qfL2) = louvainL2(edges, init, 0, 2)
+    val (la, qia, qfa, nla) = deep(edges, init, 0, 2)
+    qfa should be >= qfL2 // Q(l∞) ≥ Q(l2): only improving levels are kept
+    qfa shouldBe 0.675   // pair optimum; the quad level is rejected
+    qia shouldBe 0.65
+    nla shouldBe 2
+    val (lb, qib, qfb, nlb) = deep(edges, init, 0, 2)
+    lb shouldBe la; qib shouldBe qia; qfb shouldBe qfa; nlb shouldBe nla
+  }
+
+  it("deep louvain stops at the fixpoint: an optimal partition keeps n_levels = 1") {
+    // bridged K4s at their optimum: level 1 is a no-op, the contracted
+    // 2-supernode merge has ΔQ < 0, so the first contracted level fails
+    // to improve and the recursion stops immediately
+    val c1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val c2 = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val edges = c1 ++ c2 :+ ((4L, 5L))
+    val init = (1L to 4L).map(n => (n, 1L)) ++ (5L to 8L).map(n => (n, 5L))
+    val (labels, qi, qf, nLevels) = deep(edges, init, 2, 2)
+    nLevels shouldBe 1
+    qi shouldBe 0.423077
+    qf shouldBe 0.423077
+    labels.values.toSet.size shouldBe 2
+  }
+
   // ---- hopDistances -------------------------------------------------
 
   private def hops(e: Seq[(Long, Long)], src: Seq[Long], maxHops: Int): Map[Long, Long] =

@@ -277,24 +277,12 @@ object Drift {
     * Output: ONE row — (n, rho round 6), NULL rho when either column is
     * constant. */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(F.col(xCol).cast("double").as("x"),
         F.col(yCol).cast("double").as("y"))
       .filter(F.col("x").isNotNull && F.col("y").isNotNull)
       .localCheckpoint(true) // feeds both rank maps AND the rank join
-    def rankMap(col: String): DataFrame = {
-      val counts = base.groupBy(F.col(col).as("v")).agg(F.count(F.lit(1)).as("c"))
-      val (parted, offsets) = TwoPhase.partitionOffsets(
-        counts, Seq(F.col("v")), Seq(F.sum("c") -> "__o"))
-      val within = Window.partitionBy("__pid").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      parted.join(F.broadcast(offsets), "__pid")
-        .withColumn("__k", F.col("__o") + F.sum("c").over(within))
-        // midrank = (# strictly smaller) + (t + 1)/2 — the MWU shape
-        .select(F.col("v"),
-          ((F.col("__k") - F.col("c")).cast("double")
-            + (F.col("c").cast("double") + 1.0) / 2.0).as("r"))
-    }
+    def rankMap(col: String): DataFrame =
+      midranks(base.groupBy(F.col(col).as("v")).agg(F.count(F.lit(1)).as("c")))
     val rx = rankMap("x").select(F.col("v").as("x"), F.col("r").as("ra"))
     val ry = rankMap("y").select(F.col("v").as("y"), F.col("r").as("rb"))
     val s = base.join(rx, "x").join(ry, "y").agg(
@@ -303,6 +291,50 @@ object Drift {
       F.sum(F.col("ra") * F.col("rb")).as("sxy"),
       F.sum(F.col("ra") * F.col("ra")).as("sxx"),
       F.sum(F.col("rb") * F.col("rb")).as("syy"))
+    s.select(F.col("cnt").as("n"), Pearson.fromSums(F.col("cnt")).as("rho"))
+  }
+
+  /** Midranks over a per-distinct-value (v, c) count frame via the
+    * two-phase distributed prefix — midrank = (# strictly smaller) +
+    * (t + 1)/2, the MWU shape. Shared by [[spearman]] and
+    * [[spearmanFromCounts]]. */
+  private def midranks(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (parted, offsets) = TwoPhase.partitionOffsets(
+      counts, Seq(F.col("v")), Seq(F.sum("c") -> "__o"))
+    val within = Window.partitionBy("__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(F.broadcast(offsets), "__pid")
+      .withColumn("__k", F.col("__o") + F.sum("c").over(within))
+      .select(F.col("v"),
+        ((F.col("__k") - F.col("c")).cast("double")
+          + (F.col("c").cast("double") + 1.0) / 2.0).as("r"))
+  }
+
+  /** [[spearman]] over a pre-aggregated (x, y, n) PAIR-count frame — the
+    * mergeable summary a streaming accumulator re-enters
+    * (graft.streaming.StreamingDrift.spearmanNow): marginal value counts
+    * are the pair counts' marginal sums, and every rank sum is the
+    * count-weighted form of the row sum. Midranks are exact dyadic
+    * rationals and counts exact integers, so each weighted product and
+    * sum stays an exact double (within 2⁵³) — streamed == batch
+    * bit-for-bit, no rounding margin needed. */
+  def spearmanFromCounts(byXY: DataFrame): DataFrame = {
+    val base = byXY.select(F.col("x").cast("double").as("x"),
+        F.col("y").cast("double").as("y"), F.col("n").cast("long").as("c"))
+      .filter(F.col("x").isNotNull && F.col("y").isNotNull && F.col("c") > 0)
+      .localCheckpoint(true)
+    def rankMap(col: String): DataFrame =
+      midranks(base.groupBy(F.col(col).as("v")).agg(F.sum("c").as("c")))
+    val rx = rankMap("x").select(F.col("v").as("x"), F.col("r").as("ra"))
+    val ry = rankMap("y").select(F.col("v").as("y"), F.col("r").as("rb"))
+    val cd = F.col("c").cast("double")
+    val s = base.join(rx, "x").join(ry, "y").agg(
+      F.sum("c").as("cnt"),
+      F.sum(F.col("ra") * cd).as("sx"), F.sum(F.col("rb") * cd).as("sy"),
+      F.sum(F.col("ra") * F.col("rb") * cd).as("sxy"),
+      F.sum(F.col("ra") * F.col("ra") * cd).as("sxx"),
+      F.sum(F.col("rb") * F.col("rb") * cd).as("syy"))
     s.select(F.col("cnt").as("n"), Pearson.fromSums(F.col("cnt")).as("rho"))
   }
 

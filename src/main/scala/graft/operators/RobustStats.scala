@@ -66,6 +66,33 @@ object RobustStats {
       F.sum("x").as("sx"),
       F.sum(F.when(F.col("x") > 0, F.col("x") * F.log(F.col("x")))
         .otherwise(F.lit(0.0))).as("sxlx"))
+    theilFromGroupSums(g)
+  }
+
+  /** [[theil]] over a pre-aggregated (grp, x, n) per-group value-count
+    * frame — the mergeable summary a streaming accumulator re-enters
+    * (graft.streaming.StreamingDrift.theilNow): the three per-group
+    * sums become count-weighted (Σn, Σ n·x, Σ n·x·lnx). On integer
+    * count metrics n·x is exact; the x·lnx terms are the same doubles
+    * the row form adds n times, so the weighted sums agree with the
+    * row-wise ones to summation-order ulps — collapsed by the round-6
+    * output snap (the benford class, like [[theil]] itself). */
+  def theilFromCounts(byKV: DataFrame): DataFrame = {
+    val base = byKV.select(F.col("grp"), F.col("x").cast("double").as("x"),
+        F.col("n").cast("long").as("c"))
+      .filter(F.col("x").isNotNull && F.col("x") >= 0 && F.col("c") > 0)
+    val cd = F.col("c").cast("double")
+    val g = base.groupBy("grp").agg(
+      F.sum("c").as("n"),
+      F.sum(F.col("x") * cd).as("sx"),
+      F.sum(F.when(F.col("x") > 0, F.col("x") * F.log(F.col("x")) * cd)
+        .otherwise(F.lit(0.0))).as("sxlx"))
+    theilFromGroupSums(g)
+  }
+
+  /** The decomposition over per-group (grp, n, Σx, Σx·lnx) moment sums —
+    * the shared tail of [[theil]] and [[theilFromCounts]]. */
+  private def theilFromGroupSums(g: DataFrame): DataFrame = {
     val tot = g.agg(F.sum("n").as("nn"), F.sum("sx").as("tsx"), F.sum("sxlx").as("tsxlx"))
     val mug = F.col("sx") / F.col("n")
     val mu = F.col("tsx") / F.col("nn")
@@ -155,6 +182,36 @@ object RobustStats {
           F.lit(2.0) * F.col("__w") / (F.col("n") * F.col("__t"))
             - (F.col("n") + 1).cast("double") / F.col("n")), 6)
           + F.lit(0.0)).as("gini"))
+  }
+
+  /** [[hillTailIndex]] over a pre-aggregated (x, c) per-distinct-value
+    * count frame — the mergeable summary a streaming accumulator
+    * re-enters (graft.streaming.StreamingDrift.hillNow): the top-(k+1)
+    * ORDER STATISTICS are the descending distinct values expanded by
+    * multiplicity, so k+1 distinct values always suffice; the heap runs
+    * over the (small) distinct-value frame and the expansion is an
+    * in-row array_repeat bounded by k+1. The fold adds the SAME term
+    * sequence as the row form (ties carry equal terms), so streamed ==
+    * batch bit-for-bit. */
+  def hillFromCounts(byV: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val base = byV.select(F.col("x").cast("double").as("x"), F.col("c").cast("long").as("c"))
+      .filter(F.col("x").isNotNull && F.col("x") > 0 && F.col("c") > 0)
+    base.agg(graft.functions.TopK.collectTopK(
+        F.struct(F.col("x"), F.col("c")), k + 1).as("__tk"))
+      .select(F.slice(F.flatten(F.transform(F.col("__tk"),
+        e => F.array_repeat(e.getField("x"),
+          F.least(e.getField("c"), F.lit((k + 1).toLong)).cast("int")))),
+        1, k + 1).as("xs"))
+      .filter(F.size(F.col("xs")) === k + 1)
+      .withColumn("xk", F.element_at(F.col("xs"), k + 1))
+      .withColumn("__h", F.aggregate(F.slice(F.col("xs"), 1, k),
+        F.lit(0.0), (acc, v) => acc + F.log(v / F.col("xk"))) / k)
+      .select(F.lit(k.toLong).as("k"),
+        (F.round(F.col("xk"), 6) + F.lit(0.0)).as("x_k"),
+        (F.round(F.col("__h"), 6) + F.lit(0.0)).as("hill_h"),
+        (F.round(F.when(F.col("__h") > 0, F.lit(1.0) / F.col("__h")), 6)
+          + F.lit(0.0)).as("alpha"))
   }
 
   /** [[gini]] over a pre-aggregated (x, c) per-distinct-value count

@@ -129,6 +129,37 @@ object StreamingDrift {
         .groupBy(F.col("cat").cast("double").as("x"))
         .agg(F.sum("n").as("c")))
 
+  /** Hill tail index of everything streamed so far — same single-slice
+    * value-count layout as [[giniNow]]; the top-(k+1) order statistics
+    * fall out of the merged distinct-value counts, so streamed == batch
+    * bit-for-bit (ties carry equal log terms). */
+  def hillNow(spark: SparkSession, countsDir: String, k: Int = 50): DataFrame =
+    graft.operators.RobustStats.hillFromCounts(
+      categoricalCounts(spark, countsDir)
+        .groupBy(F.col("cat").cast("double").as("x"))
+        .agg(F.sum("n").as("c")), k)
+
+  /** Theil between/within decomposition of the stream so far — the GROUP
+    * rides the slice dimension, the value the category; merged
+    * per-(group, value) counts re-enter the batch moment algebra. */
+  def theilNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.RobustStats.theilFromCounts(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").as("grp"), F.col("cat").cast("double").as("x"),
+          F.col("n")))
+
+  /** Spearman rank correlation of the stream's (x, y) pairs so far — x
+    * rides the slice dimension, y the category; merged PAIR counts are
+    * the statistic's complete mergeable summary (marginal midranks +
+    * weighted rank sums, all exact dyadics — streamed == batch
+    * bit-for-bit). The double→string→double round trip through the
+    * partial layout is exact (shortest-representation formatting). */
+  def spearmanNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.Drift.spearmanFromCounts(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").cast("double").as("x"),
+          F.col("cat").cast("double").as("y"), F.col("n")))
+
   private def twoSampleCounts(spark: SparkSession, countsDir: String,
                               a: String, b: String): DataFrame =
     categoricalCounts(spark, countsDir)

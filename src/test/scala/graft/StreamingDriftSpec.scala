@@ -156,6 +156,46 @@ class StreamingDriftSpec extends SparkSpec {
         "k", "v").collect().head.toSeq
   }
 
+  it("streamed spearman / theil / hill equal the batch operators across a restart") {
+    val r = new scala.util.Random(71)
+    // integer-valued monotone-ish pairs with ties: (x, y = x/2 + noise);
+    // the slice carries x, the category y — pair counts are spearman's
+    // complete summary. For theil/hill the group rides the slice.
+    val rows = Vector.fill(400)((r.nextInt(30) + 1, r.nextInt(15) + r.nextInt(30) / 2 + 1))
+    val inDir = JFiles.createTempDirectory("graft-sp-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-sp-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-sp-counts").toString
+    def write(name: String, part: Seq[(Int, Int)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (x, y) => s"$x,$y" }.mkString("\n"))
+    val half = rows.length / 2
+    write("f1.txt", rows.take(half))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("cat"))
+    val q1 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", rows.drop(half)) // restart: new query, same checkpoint
+    val q2 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val pairsDf = rows.toDF("x", "y")
+    // spearman: exact dyadic rank sums — bit-for-bit
+    StreamingDrift.spearmanNow(spark, cDir).collect().head.toSeq shouldBe
+      Drift.spearman(pairsDf, "x", "y").collect().head.toSeq
+    // theil: group = the slice column (x here), value = y
+    val theilStreamed = StreamingDrift.theilNow(spark, cDir)
+      .collect().map(rr => rr.getString(0) -> rr.toSeq.drop(1)).toMap
+    val theilBatch = graft.operators.RobustStats.theil(
+        rows.map { case (x, y) => (x.toString, y) }.toDF("g", "v"), "g", "v")
+      .collect().map(rr => rr.getString(0) -> rr.toSeq.drop(1)).toMap
+    theilStreamed shouldBe theilBatch
+    // hill: top-(k+1) order stats from merged value counts — bit-for-bit
+    StreamingDrift.hillNow(spark, cDir, k = 20).collect().head.toSeq shouldBe
+      graft.operators.RobustStats.hillTailIndex(
+        rows.map(_._2).toDF("v"), "v", k = 20).collect().head.toSeq
+  }
+
   it("an empty stream reads as zero current counts, not a throw") {
     val dir = JFiles.createTempDirectory("graft-drift-empty").toString
     val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")

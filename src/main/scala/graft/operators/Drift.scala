@@ -381,6 +381,44 @@ object Drift {
       F.sum(F.when(F.col("g") === F.col("gb"), 1L).otherwise(0L)).as("nb"),
       F.sum(F.when(F.col("g") === F.col("gb"), F.col("x")).otherwise(0L)).as("sxb"),
       F.sum(F.when(F.col("g") === F.col("gb"), F.col("y")).otherwise(0L)).as("syb"))
+    cupedFromMoments(s)
+  }
+
+  /** [[cuped]] over a pre-aggregated (arm, x, y, n) count frame — the
+    * mergeable summary a streaming accumulator re-enters
+    * (graft.streaming.StreamingDrift.cupedNow): every moment becomes the
+    * count-weighted exact-BIGINT form of the row sum (integer metrics —
+    * the operator's contract), so streamed == batch bit-for-bit. The
+    * arm min/max is taken over the MERGED counts, so a micro-batch that
+    * saw one arm only can never skew the arm identification. */
+  def cupedFromCounts(byAXY: DataFrame): DataFrame = {
+    val gs = byAXY.agg(F.min("arm").as("ga"), F.max("arm").as("gb"))
+      .filter(F.col("ga") =!= F.col("gb"))
+    val b = byAXY.crossJoin(F.broadcast(gs))
+      .select(F.col("arm").as("g"), F.col("ga"), F.col("gb"),
+        F.col("x").cast("long").as("x"), F.col("y").cast("long").as("y"),
+        F.col("n").cast("long").as("c"))
+      .filter(F.col("x").isNotNull && F.col("y").isNotNull && F.col("c") > 0 &&
+        (F.col("g") === F.col("ga") || F.col("g") === F.col("gb")))
+    val s = b.agg(
+      F.sum("c").as("n"),
+      F.sum(F.col("x") * F.col("c")).as("sx"),
+      F.sum(F.col("y") * F.col("c")).as("sy"),
+      F.sum(F.col("x") * F.col("y") * F.col("c")).as("sxy"),
+      F.sum(F.col("x") * F.col("x") * F.col("c")).as("sxx"),
+      F.sum(F.col("y") * F.col("y") * F.col("c")).as("syy"),
+      F.sum(F.when(F.col("g") === F.col("ga"), F.col("c")).otherwise(0L)).as("na"),
+      F.sum(F.when(F.col("g") === F.col("ga"), F.col("x") * F.col("c")).otherwise(0L)).as("sxa"),
+      F.sum(F.when(F.col("g") === F.col("ga"), F.col("y") * F.col("c")).otherwise(0L)).as("sya"),
+      F.sum(F.when(F.col("g") === F.col("gb"), F.col("c")).otherwise(0L)).as("nb"),
+      F.sum(F.when(F.col("g") === F.col("gb"), F.col("x") * F.col("c")).otherwise(0L)).as("sxb"),
+      F.sum(F.when(F.col("g") === F.col("gb"), F.col("y") * F.col("c")).otherwise(0L)).as("syb"))
+    cupedFromMoments(s)
+  }
+
+  /** The θ / adjusted-difference tail over the 12-moment one-row frame —
+    * the shared scoring of [[cuped]] and [[cupedFromCounts]]. */
+  private def cupedFromMoments(s: DataFrame): DataFrame = {
     val nd = F.col("n").cast("double")
     val vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     val vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")

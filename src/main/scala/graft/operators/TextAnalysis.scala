@@ -584,11 +584,19 @@ object TextAnalysis {
     *
     * Output: ONE row — (n_terms, zipf_slope round 6, zipf_r round 6);
     * NULL slope/r when fewer than two distinct ranks carry variance. */
-  def zipfFit(df: DataFrame, textCol: String, topN: Int = 200): DataFrame = {
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 200): DataFrame =
+    zipfFitFromCounts(
+      df.select(F.explode(F.split(F.col(textCol), " ")).as("term"))
+        .filter(F.col("term") =!= "")
+        .groupBy("term").agg(F.count(F.lit(1)).as("c")), topN)
+
+  /** [[zipfFit]] over a pre-aggregated (term, c) count frame — the
+    * mergeable summary a streaming accumulator re-enters
+    * (graft.streaming.StreamingDrift.zipfNow): term counts are plain
+    * sums, the top-N heap and the ordered regression sums are functions
+    * of the merged counts alone — streamed == batch bit-for-bit. */
+  def zipfFitFromCounts(counts: DataFrame, topN: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df.select(F.explode(F.split(F.col(textCol), " ")).as("term"))
-      .filter(F.col("term") =!= "")
-      .groupBy("term").agg(F.count(F.lit(1)).as("c"))
     val top = counts.agg(graft.functions.TopK.collectTopK(
         F.struct(F.col("c"), F.col("term")), topN).as("__tk"))
       .select(F.posexplode(F.col("__tk")).as(Seq("__pos", "__e")))

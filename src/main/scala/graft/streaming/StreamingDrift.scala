@@ -160,6 +160,27 @@ object StreamingDrift {
         .select(F.col("slice").cast("double").as("x"),
           F.col("cat").cast("double").as("y"), F.col("n")))
 
+  /** Zipf rank-frequency fit of the stream's tokens so far — the TERM
+    * rides the category dimension (constant slice); merged term counts
+    * re-enter the batch top-N + regression tail bit-for-bit. */
+  def zipfNow(spark: SparkSession, countsDir: String, topN: Int = 200): DataFrame =
+    graft.operators.TextAnalysis.zipfFitFromCounts(
+      categoricalCounts(spark, countsDir)
+        .groupBy(F.col("cat").as("term")).agg(F.sum("n").as("c")), topN)
+
+  /** CUPED variance reduction over the stream's units so far — the
+    * (arm, pre-metric) pair rides the slice dimension as "arm|x" (arm
+    * must not contain '|': arm reads before the FIRST pipe, x after the
+    * LAST — the attachGrouped convention), y the category. Merged
+    * (arm, x, y) counts are CUPED's complete sufficient statistics
+    * (exact-BIGINT moments): streamed == batch bit-for-bit. */
+  def cupedNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.Drift.cupedFromCounts(
+      categoricalCounts(spark, countsDir)
+        .select(F.substring_index(F.col("slice"), "|", 1).as("arm"),
+          F.substring_index(F.col("slice"), "|", -1).cast("long").as("x"),
+          F.col("cat").cast("long").as("y"), F.col("n")))
+
   private def twoSampleCounts(spark: SparkSession, countsDir: String,
                               a: String, b: String): DataFrame =
     categoricalCounts(spark, countsDir)

@@ -5,7 +5,7 @@ import java.nio.file.{Files => JFiles, Paths}
 import org.apache.spark.sql.{functions => F}
 
 import graft.operators.Drift
-import graft.streaming.StreamingDrift
+import graft.streaming.{StreamingDrift, StreamingPaths}
 
 /** Streaming drift counts are a pure function of the input multiset, so
   * streamed == batch must hold EXACTLY, across a checkpointed restart. */
@@ -194,6 +194,89 @@ class StreamingDriftSpec extends SparkSpec {
     StreamingDrift.hillNow(spark, cDir, k = 20).collect().head.toSeq shouldBe
       graft.operators.RobustStats.hillTailIndex(
         rows.map(_._2).toDF("v"), "v", k = 20).collect().head.toSeq
+  }
+
+  it("streamed zipf and CUPED equal the batch operators across a restart") {
+    val r = new scala.util.Random(73)
+    // CUPED units: (arm, pre, post) integer metrics with pre→post signal;
+    // zipf reuses the same layout with the token as the category
+    val units = Vector.fill(300) {
+      val x = r.nextInt(20) + 1
+      (r.nextInt(2).toLong, x.toLong, (2 * x + r.nextInt(7)).toLong)
+    }
+    val inDir = JFiles.createTempDirectory("graft-cp-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-cp-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-cp-counts").toString
+    def write(name: String, part: Seq[(Long, Long, Long)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (a, x, y) => s"$a|$x,$y" }.mkString("\n"))
+    val half = units.length / 2
+    write("f1.txt", units.take(half))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("cat"))
+    val q1 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", units.drop(half))
+    val q2 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    StreamingDrift.cupedNow(spark, cDir).collect().head.toSeq shouldBe
+      Drift.cuped(units.toDF("arm", "x", "y"), "arm", "x", "y").collect().head.toSeq
+
+    // zipf over a token stream: same categorical layout, term = category
+    val docs = Vector.fill(200)(
+      Seq.fill(r.nextInt(6) + 2)("tok" + (r.nextInt(40) + 1)).mkString(" "))
+    val zDir = JFiles.createTempDirectory("graft-zp-counts").toString
+    val zIn = JFiles.createTempDirectory("graft-zp-in").toString
+    val zCk = JFiles.createTempDirectory("graft-zp-ckpt").toString
+    JFiles.writeString(Paths.get(zIn, "f1.txt"),
+      docs.take(100).flatMap(_.split(" ")).map(t => s"_,$t").mkString("\n"))
+    val zsrc = () => spark.readStream.text(zIn)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("cat"))
+    val z1 = StreamingDrift.attachCategorical(zsrc(), zCk, zDir, triggerMillis = 100)
+    try z1.processAllAvailable() finally z1.stop()
+    JFiles.writeString(Paths.get(zIn, "f2.txt"),
+      docs.drop(100).flatMap(_.split(" ")).map(t => s"_,$t").mkString("\n"))
+    val z2 = StreamingDrift.attachCategorical(zsrc(), zCk, zDir, triggerMillis = 100)
+    try z2.processAllAvailable() finally z2.stop()
+    StreamingDrift.zipfNow(spark, zDir, topN = 30).collect().head.toSeq shouldBe
+      graft.operators.TextAnalysis.zipfFit(docs.toDF("text"), "text", topN = 30)
+        .collect().head.toSeq
+  }
+
+  it("streamed top user journeys equal the batch ranking across a restart") {
+    val r = new scala.util.Random(79)
+    val types = Seq("view", "click", "cart", "purchase")
+    val events = Vector.tabulate(300) { i =>
+      (r.nextInt(40).toLong, 1000L + r.nextInt(500), types(r.nextInt(4)), i.toLong)
+    }
+    val inDir = JFiles.createTempDirectory("graft-tp-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-tp-ckpt").toString
+    val pDir = JFiles.createTempDirectory("graft-tp-parts").toString
+    def write(name: String, part: Seq[(Long, Long, String, Long)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (u, t, et, id) => s"$u,$t,$et,$id" }.mkString("\n"))
+    val half = events.length / 2
+    write("f1.txt", events.take(half))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).cast("long").as("u"),
+        F.split(F.col("value"), ",").getItem(1).cast("long").as("t"),
+        F.split(F.col("value"), ",").getItem(2).as("et"),
+        F.split(F.col("value"), ",").getItem(3).cast("long").as("id"))
+    val q1 = StreamingPaths.attach(src(), ckpt, pDir, "u", "t", "et", "id", depth = 3)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", events.drop(half)) // later batch may carry EARLIER events
+    val q2 = StreamingPaths.attach(src(), ckpt, pDir, "u", "t", "et", "id", depth = 3)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = StreamingPaths.topPathsNow(spark, pDir, depth = 3, k = 10)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.TimeSeries.topPaths(
+        events.toDF("u", "t", "et", "id"), "u", "t", "et", "id", depth = 3, k = 10)
+      .collect().map(_.toSeq)
+    streamed shouldBe batch
   }
 
   it("an empty stream reads as zero current counts, not a throw") {

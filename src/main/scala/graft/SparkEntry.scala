@@ -1125,6 +1125,12 @@ object SparkEntry {
           F.col("p0").isNotNull.cast("int").as("obs"))
       Survival.kaplanMeier(subj, "dur", "obs")
     }),
+    // Restricted mean survival time at τ=2 days over the same design —
+    // "expected retention days in the first 2": the area under the KM
+    // step curve, the mean censoring still allows. τ inside the 0..3-day
+    // duration range exercises both interval clamps.
+    "q_rmst" -> ((s, dir) =>
+      Survival.rmst(cohortSubjects(s, dir).select("dur", "obs"), "dur", "obs", tau = 2L)),
     // Log-rank two-cohort comparison on the same time-to-first-purchase
     // design: cohorts = user-id parity (a null-effect split, so the row
     // proves the full observed/expected/variance algebra with χ² near 0
@@ -1401,6 +1407,17 @@ object SparkEntry {
         .select(F.col("k").as("event_type"), F.col("t").as("day"),
           F.col("x").cast("long").as("n"),
           F.col("cusum_hi"), F.col("cusum_lo"), F.col("alarm_hi"), F.col("alarm_lo"))
+    }),
+    // Mann–Kendall monotone-trend test per event type over the daily
+    // volumes — CUSUM's distribution-free sibling (is the level
+    // TRENDING, not just shifted): exact-integer S and tie-corrected
+    // variance, pair join over the bounded time axis only.
+    "q_trend_mk" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(F.col("event_type").as("k"), F.to_date(F.col("ts")).as("t"))
+        .agg(F.count(F.lit(1)).as("x"))
+      TimeSeries.mannKendall(daily, "k", "t", "x")
+        .withColumnRenamed("k", "event_type")
     }),
     // Personalized PageRank (random walk with restart into customers
     // 1-10) over the same bipartite graph as q_pagerank: teleport mass
@@ -4359,6 +4376,46 @@ object SparkEntry {
         "WINDOW w AS (PARTITION BY k ORDER BY d ROWS UNBOUNDED PRECEDING)) " +
         "SELECT k AS event_type, d AS day, CAST(x AS BIGINT) AS n, " +
         "sh AS cusum_hi, sl AS cusum_lo, sh > 50.0 AS alarm_hi, sl > 50.0 AS alarm_lo FROM c"),
+    // Exact-integer S / tie-corrected variance / continuity-corrected z,
+    // the pair join over the bounded day axis — operand-for-operand.
+    "q_trend_mk" ->
+      ("WITH s AS (SELECT event_type AS k, CAST(ts AS DATE) AS d, " +
+        "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "pr AS (SELECT a.k, CASE WHEN b.x > a.x THEN CAST(1 AS BIGINT) " +
+        "WHEN b.x < a.x THEN CAST(-1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS sg " +
+        "FROM s a JOIN s b ON a.k = b.k AND a.d < b.d), " +
+        "sa AS (SELECT k, CAST(sum(sg) AS BIGINT) AS s FROM pr GROUP BY 1), " +
+        "na AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1), " +
+        "tc AS (SELECT k, CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS corr " +
+        "FROM (SELECT k, x, CAST(count(*) AS BIGINT) AS tg FROM s GROUP BY 1, 2) GROUP BY 1), " +
+        "j AS (SELECT na.k, n, corr, coalesce(sa.s, CAST(0 AS BIGINT)) AS s, " +
+        "CAST(n * (n - 1) * (2 * n + 5) - corr AS DOUBLE) / 18.0 AS vs " +
+        "FROM na JOIN tc ON tc.k = na.k LEFT JOIN sa ON sa.k = na.k), " +
+        "z AS (SELECT k, n, s, vs, CASE WHEN vs > 0 AND s > 0 THEN (CAST(s AS DOUBLE) - 1) / sqrt(vs) " +
+        "WHEN vs > 0 AND s < 0 THEN (CAST(s AS DOUBLE) + 1) / sqrt(vs) " +
+        "WHEN vs > 0 THEN CAST(0 AS DOUBLE) END AS zv FROM j) " +
+        "SELECT k AS event_type, n AS n_points, s, round(vs, 6) + 0.0 AS var_s, " +
+        "round(zv, 4) + 0.0 AS z, abs(zv) > CAST(1.96 AS DOUBLE) AS reject_95 FROM z"),
+    // The KM step curve's area up to τ: head interval at S = 1, per-step
+    // S·(clamped width), ordered accumulation over the duration axis.
+    "q_rmst" ->
+      (survivalByTCtes +
+        ", r AS (SELECT t, d, c, CAST(nn - sum(c) OVER w + c AS BIGINT) AS n_risk, " +
+        "CASE WHEN d > 0 AND d < nn - sum(c) OVER w + c " +
+        "THEN ln(1.0 - CAST(d AS DOUBLE) / (nn - sum(c) OVER w + c)) " +
+        "ELSE CAST(0 AS DOUBLE) END AS term FROM byt, tot " +
+        "WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)), " +
+        "sv AS (SELECT t, CASE WHEN d = n_risk THEN CAST(0 AS DOUBLE) " +
+        "ELSE round(exp(sum(term) OVER w), 6) END AS survival FROM r " +
+        "WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)), " +
+        "seg AS (SELECT t, survival, coalesce(lead(t) OVER (ORDER BY t), 2) AS nxt, " +
+        "CASE WHEN row_number() OVER (ORDER BY t) = 1 " +
+        "THEN CAST(least(t, 2) AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS head FROM sv), " +
+        "ac AS (SELECT sum(head + survival * CAST(least(nxt, 2) - least(t, 2) AS DOUBLE)) " +
+        "OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS rm, " +
+        "row_number() OVER (ORDER BY t DESC) AS rn FROM seg) " +
+        "SELECT CAST(2 AS BIGINT) AS tau, nn AS n_subjects, round(rm, 6) + 0.0 AS rmst " +
+        "FROM ac, tot WHERE rn = 1"),
     // Window terms and the exp(cum-sum-of-ln) product mirror the
     // operator; n_risk recomputed inline from the same exact integers.
     "q_survival" ->

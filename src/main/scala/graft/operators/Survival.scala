@@ -149,6 +149,52 @@ object Survival {
         (F.round(F.sqrt(F.sum("__v").over(w)), 6) + F.lit(0.0)).as("se"))
   }
 
+  /** RESTRICTED MEAN SURVIVAL TIME (Irwin 1949; Royston & Parmar, BMC
+    * Med. Res. Methodol. 2013): RMST(τ) = ∫₀^τ Ŝ(t)dt — the area under
+    * the KM curve up to the horizon τ, i.e. "expected retention days in
+    * the first τ days". The mean the censored data CAN estimate: the
+    * plain mean of durations is undefined under censoring, while RMST
+    * is a deterministic functional of the KM steps — with NO censoring
+    * and τ ≥ max duration it equals the sample mean exactly.
+    *
+    * Computed over the [[kaplanMeierFromCounts]] step function: the
+    * head interval [0, min(t₁, τ)) at S = 1, then each step's
+    * S(tᵢ)·(min(tᵢ₊₁, τ) − min(tᵢ, τ)) — interval widths are exact
+    * integer differences, S the round-6 step values, and the total
+    * accumulates as an ORDERED window sum over the days-sized duration
+    * axis (bit-replayable, the logRank discipline).
+    *
+    * Output: ONE row — (tau, n_subjects, rmst round 6); empty on an
+    * empty input. */
+  def rmst(subjects: DataFrame, durCol: String, obsCol: String, tau: Long): DataFrame =
+    rmstFromCounts(subjects
+      .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull)
+      .groupBy(F.col(durCol).cast("long").as("t"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"),
+        F.count(F.lit(1)).as("c")), tau)
+
+  /** [[rmst]] over the pre-aggregated (t, d, c) frame — the same
+    * mergeable summary every KM-family reader re-enters. */
+  def rmstFromCounts(byT: DataFrame, tau: Long): DataFrame = {
+    require(tau > 0, "need tau > 0")
+    val wOrd = Window.orderBy("t")
+    val wSum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byT.agg(F.sum("c").as("__n"))
+    val seg = kaplanMeierFromCounts(byT)
+      .withColumn("__next", F.coalesce(F.lead("t", 1).over(wOrd), F.lit(tau)))
+      .withColumn("__contrib", F.col("survival") *
+        (F.least(F.col("__next"), F.lit(tau)) - F.least(F.col("t"), F.lit(tau))).cast("double"))
+      // the pre-first-step interval at S = 1 rides the first row
+      .withColumn("__head", F.when(F.row_number().over(wOrd) === 1,
+        F.least(F.col("t"), F.lit(tau)).cast("double")).otherwise(F.lit(0.0)))
+      .withColumn("__rmst", F.sum(F.col("__head") + F.col("__contrib")).over(wSum))
+      .withColumn("__rn", F.row_number().over(Window.orderBy(F.col("t").desc)))
+      .filter(F.col("__rn") === 1)
+    seg.crossJoin(F.broadcast(tot))
+      .select(F.lit(tau).as("tau"), F.col("__n").as("n_subjects"),
+        (F.round(F.col("__rmst"), 6) + F.lit(0.0)).as("rmst"))
+  }
+
   /** Two-cohort log-rank test (Mantel, Cancer Chemother. Rep. 1966;
     * Peto & Peto, JRSS A 1972) — "do these two cohorts retain
     * differently?": at every event time, compare each cohort's OBSERVED

@@ -161,6 +161,53 @@ object TimeSeries {
       .select(F.col("rank").cast("long").as("rank"), F.col("path"), F.col("n_users"))
   }
 
+  /** MANN–KENDALL trend test per key (Mann, Econometrica 1945; Kendall
+    * 1975) — "is this series monotonically trending?" without assuming
+    * linearity or a distribution: S = Σ_{i<j} sgn(x_j − x_i) over the
+    * time order, Var(S) = [n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18
+    * (t_g the tied-value group sizes), z = (S ∓ 1)/√Var with the
+    * continuity correction. Every operand is an exact BIGINT (sgn of
+    * integer counts, polynomial tie correction), so S/Var/z are
+    * fixed-shape IEEE — engine-bit-identical, no rounding discipline
+    * beyond the output snap.
+    *
+    * Scale shape: the pair join is per-key over the TIME axis —
+    * days-sized per key (the xcorr/holt-winters argument: the series
+    * length is bounded by the calendar, not the data), partitioned by
+    * key; tie counts and n are one grouped aggregate each.
+    *
+    * Output: per key — (key, n_points, s, var_s round 6, z round 4,
+    * reject_95 on the UNROUNDED |z| > 1.96); z NULL when Var = 0
+    * (all values tied, or n < 2 — no trend information). */
+  def mannKendall(series: DataFrame, keyCol: String, tCol: String,
+                  xCol: String): DataFrame = {
+    val s = series.select(F.col(keyCol).as("k"), F.col(tCol).as("t"),
+        F.col(xCol).cast("long").as("x"))
+      .filter(F.col("k").isNotNull && F.col("t").isNotNull && F.col("x").isNotNull)
+      .localCheckpoint(true) // feeds the pair join (both sides), ties, n
+    val pairs = s.select(F.col("k"), F.col("t").as("ti"), F.col("x").as("xi"))
+      .join(s.select(F.col("k"), F.col("t").as("tj"), F.col("x").as("xj")), "k")
+      .filter(F.col("ti") < F.col("tj"))
+    val sv = pairs.groupBy("k").agg(F.sum(
+      F.when(F.col("xj") > F.col("xi"), 1L)
+        .when(F.col("xj") < F.col("xi"), -1L).otherwise(0L)).as("s"))
+    val n = s.groupBy("k").agg(F.count(F.lit(1)).as("n"))
+    val ties = s.groupBy("k", "x").agg(F.count(F.lit(1)).as("tg"))
+      .groupBy("k").agg(F.sum(
+        F.col("tg") * (F.col("tg") - 1) * (F.lit(2L) * F.col("tg") + 5)).as("corr"))
+    val vs = (F.col("n") * (F.col("n") - 1) * (F.lit(2L) * F.col("n") + 5)
+      - F.col("corr")).cast("double") / 18.0
+    val z = F.when(vs > 0.0 && F.col("s") > 0, (F.col("s").cast("double") - 1) / F.sqrt(vs))
+      .when(vs > 0.0 && F.col("s") < 0, (F.col("s").cast("double") + 1) / F.sqrt(vs))
+      .when(vs > 0.0, F.lit(0.0))
+    n.join(ties, "k").join(sv, Seq("k"), "left")
+      .select(F.col("k"), F.col("n").as("n_points"),
+        F.coalesce(F.col("s"), F.lit(0L)).as("s"),
+        (F.round(vs, 6) + F.lit(0.0)).as("var_s"),
+        (F.round(z, 4) + F.lit(0.0)).as("z"),
+        (F.abs(z) > 1.96).as("reject_95"))
+  }
+
   def cohortRetention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val wk = F.call_function("div", F.unix_micros(F.col(tsCol)), F.lit(604800000000L))
     val weekly = events.select(F.col(keyCol).as("k"), wk.as("wk")).distinct()

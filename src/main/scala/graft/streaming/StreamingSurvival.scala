@@ -44,6 +44,12 @@ object StreamingSurvival {
   def cumhazNow(spark: SparkSession, countsDir: String): DataFrame =
     Survival.nelsonAalenFromCounts(kmCounts(spark, countsDir))
 
+  /** Restricted mean survival time over everything streamed so far —
+    * the area under the current KM curve up to `tau`, from the same
+    * counts. */
+  def rmstNow(spark: SparkSession, countsDir: String, tau: Long): DataFrame =
+    Survival.rmstFromCounts(kmCounts(spark, countsDir), tau)
+
   private def kmCounts(spark: SparkSession, countsDir: String): DataFrame =
     StreamingDrift.categoricalCounts(spark, countsDir)
       .groupBy(F.col("slice").cast("long").as("t"))

@@ -138,6 +138,43 @@ class SurvivalSpec extends SparkSpec {
     na.sliding(2).foreach { w => w(1)._2 should be >= w(0)._2 } // Ĥ never decreases
   }
 
+  // ---- rmst -----------------------------------------------------------
+
+  it("RMST is the area under the KM steps: hand case and clamping") {
+    // durations (1,obs), (2,obs), (3,cens): S = 1 on [0,1), 2/3 on [1,2),
+    // 1/3 on [2,3). RMST(3) = 1 + 2/3 + 1/3 = 2; RMST(2) = 1 + 2/3
+    val subj = Seq((1, 1), (2, 1), (3, 0)).toDF("dur", "obs")
+    Survival.rmst(subj, "dur", "obs", tau = 3L)
+      .collect().head.getDouble(2) shouldBe 2.0 +- 1e-6
+    Survival.rmst(subj, "dur", "obs", tau = 2L)
+      .collect().head.getDouble(2) shouldBe (1.0 + 2.0 / 3) +- 1e-6
+    // τ beyond the last duration adds the final-step tail — the steps
+    // are the ROUND-6 KM values, so the 7-day tail amplifies the snap:
+    // 1 + 0.666667 + 0.333333 + 7·0.333333 = 4.333331
+    Survival.rmst(subj, "dur", "obs", tau = 10L)
+      .collect().head.getDouble(2) shouldBe 4.333331 +- 1e-9
+  }
+
+  it("RMST with no censoring and τ ≥ max duration is the sample mean") {
+    val durs = Seq(2, 5, 5, 9, 1, 7)
+    val out = Survival.rmst(durs.map((_, 1)).toDF("dur", "obs"), "dur", "obs", tau = 20L)
+      .collect().head
+    out.getLong(1) shouldBe durs.length.toLong
+    out.getDouble(2) shouldBe (durs.sum.toDouble / durs.length +- 1e-6)
+  }
+
+  it("streamed RMST equals batch from the same counts") {
+    // reuse any counts-equivalence: FromCounts on the batch-derived
+    // frame IS the streamed read's algebra
+    val subj = Seq((1, 1), (1, 0), (4, 1), (6, 0), (2, 1))
+    import org.apache.spark.sql.{functions => SF}
+    val byT = subj.toDF("dur", "obs")
+      .groupBy(SF.col("dur").cast("long").as("t"))
+      .agg(SF.sum(SF.col("obs").cast("long")).as("d"), SF.count(SF.lit(1)).as("c"))
+    Survival.rmstFromCounts(byT, 5L).collect().head.toSeq shouldBe
+      Survival.rmst(subj.toDF("dur", "obs"), "dur", "obs", 5L).collect().head.toSeq
+  }
+
   // ---- logRank --------------------------------------------------------
 
   private def lr(rows: Seq[(Int, Int, String)]) = {

@@ -105,6 +105,49 @@ class TimeSeriesLmMmrSpec extends SparkSpec {
     }
   }
 
+  describe("TimeSeries.mannKendall") {
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-01-${i + 1}%02d")
+    def mk(series: Seq[(String, Int, Long)]) =
+      TimeSeries.mannKendall(
+        series.map { case (k, d, x) => (k, day(d), x) }.toDF("k", "t", "x"),
+        "k", "t", "x")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3),
+            if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+            if (r.isNullAt(5)) null else r.getBoolean(5))).toMap
+
+    it("hand case: strictly increasing 5-point series has S = 10 and rejects at n=10") {
+      // n=5 monotone: S = C(5,2) = 10, Var = 5·4·15/18; z = 9/√16.667
+      val inc = (0 until 5).map(i => ("up", i, (i + 1).toLong))
+      val r5 = mk(inc)("up")
+      r5._2 shouldBe 10L
+      r5._3 shouldBe (5.0 * 4 * 15 / 18 +- 1e-6) // round-6 output snap
+      r5._4 shouldBe (9.0 / math.sqrt(5.0 * 4 * 15 / 18) +- 1e-4)
+      // n=10 monotone: S = 45, z = 44/√(10·9·25/18) = 3.93 > 1.96
+      val r10 = mk((0 until 10).map(i => ("up", i, (i + 1).toLong)))("up")
+      r10._2 shouldBe 45L
+      r10._5 shouldBe true
+    }
+
+    it("reversal negates S exactly; a constant series has NULL z") {
+      val xs = Seq(3L, 7L, 2L, 9L, 9L, 4L, 8L)
+      val a = mk(xs.zipWithIndex.map { case (x, i) => ("f", i, x) })("f")
+      val b = mk(xs.reverse.zipWithIndex.map { case (x, i) => ("r", i, x) })("r")
+      b._2 shouldBe -a._2
+      b._3 shouldBe a._3 // tie correction is order-free
+      val c = mk((0 until 6).map(i => ("c", i, 5L)))("c")
+      c._3 shouldBe 0.0 // all tied: zero variance
+      c._4.isNaN shouldBe true
+    }
+
+    it("tie correction matches the published formula under heavy ties") {
+      // values 1,1,2,2,2: ties t = {2, 3} → corr = 2·1·9 + 3·2·11 = 84;
+      // Var = (5·4·15 − 84)/18 = 12
+      val r = mk(Seq(1L, 1L, 2L, 2L, 2L).zipWithIndex.map { case (x, i) => ("t", i, x) })("t")
+      r._3 shouldBe 12.0
+    }
+  }
+
   describe("TimeSeries.cohortRetention") {
     it("buckets by first-activity week and counts distinct users per offset") {
       val wkUs = 604800000000L

@@ -1419,6 +1419,79 @@ object SparkEntry {
       TimeSeries.mannKendall(daily, "k", "t", "x")
         .withColumnRenamed("k", "event_type")
     }),
+    // Theil–Sen robust slope of daily per-type volume — Mann–Kendall's
+    // estimator companion (BY HOW MUCH the level trends, outlier-
+    // immune). Pair slopes are IEEE divisions of exact integers over
+    // the days-sized axis; the median interpolates identical doubles.
+    "q_theil_sen" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(F.col("event_type").as("k"),
+          F.datediff(F.to_date(F.col("ts")), F.to_date(F.lit("1970-01-01"))).as("t"))
+        .agg(F.count(F.lit(1)).as("x"))
+      TimeSeries.theilSen(daily, "k", "t", "x")
+        .withColumnRenamed("k", "event_type")
+    }),
+    // One-way ANOVA F across all five event types' values — the k-group
+    // mean comparison (welch is the 2-group rung). One combinable
+    // per-group moment aggregate; round-4/6 collapse on double sums.
+    "q_anova" -> ((s, dir) =>
+      Drift.anovaF(t(s, dir, "events"), "event_type", "value")),
+    // Kruskal–Wallis H across the same five groups — ANOVA's
+    // distribution-free sibling on exact dyadic midranks; rejection at
+    // the Wilson–Hilferty χ²(k−1) critical value, decided on rounded
+    // statistics in both engines.
+    "q_kruskal" -> ((s, dir) =>
+      Drift.kruskalWallis(t(s, dir, "events"), "event_type", "value")),
+    // Cliff's delta ordinal effect size for click-vs-purchase values —
+    // the "how big, not how significant" companion to q_mannwhitney;
+    // dominance counts are exact integers from the same cumulative
+    // scaffold, so delta and its Romano label are engine-exact.
+    "q_cliffs_delta" -> ((s, dir) =>
+      Drift.cliffsDelta(t(s, dir, "events"), "event_type", "value", "click", "purchase")),
+    // Benjamini–Hochberg FDR over a per-type Welch screen (first 3 days
+    // vs rest): the multiple-comparisons gate a metric-family drift
+    // monitor must pass before alarming. p-values via the shared A&S
+    // Φ approximation from ROUNDED t statistics.
+    "q_fdr_bh" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+      val sliced = ev.crossJoin(F.broadcast(cut))
+        .withColumn("half", F.when(F.col("ts") <= F.col("c"), "h1").otherwise("h2"))
+      val tests = Drift.welchTPerGroup(sliced, "event_type", "half", "value", "h1", "h2")
+        .withColumn("p", F.round(Drift.pFromZ(F.col("t")), 9) + F.lit(0.0))
+      Drift.bhAdjust(tests.select(F.col("g"), F.col("p")), "g", "p")
+        .withColumnRenamed("key", "event_type")
+    }),
+    // Poisson bootstrap 95% CI for the mean event value — the
+    // cluster-scale resampling scheme (each row draws its replicate
+    // multiplicity independently); 200 replicates from one map-only
+    // explode into a map-side-combined aggregate, exact-integer
+    // replicate sums.
+    "q_bootstrap_ci" -> ((s, dir) =>
+      RobustStats.poissonBootstrap(t(s, dir, "events"), "event_id", "value", b = 200)),
+    // Aalen–Johansen cumulative incidence: purchase (cause 1) vs error
+    // (cause 2) compete for each user's first exit; per-cause naive
+    // 1−KM would overstate both. Σ_k CIF_k + Ŝ = 1 at every event time.
+    "q_competing_risks" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+      val seen = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
+      val f = seen.groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("f0"))
+      val p = seen.filter(F.col("event_type") === "purchase")
+        .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("p0"))
+      val e = seen.filter(F.col("event_type") === "error")
+        .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("e0"))
+      val isP = F.col("p0").isNotNull && (F.col("e0").isNull || F.col("p0") <= F.col("e0"))
+      val subj = f.join(p, Seq("user_id"), "left").join(e, Seq("user_id"), "left")
+        .crossJoin(F.broadcast(cut))
+        .select(
+          F.when(isP, F.datediff(F.to_date(F.col("p0")), F.to_date(F.col("f0"))))
+            .when(F.col("e0").isNotNull,
+              F.datediff(F.to_date(F.col("e0")), F.to_date(F.col("f0"))))
+            .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
+          F.when(isP, 1L).when(F.col("e0").isNotNull, 2L).otherwise(0L).as("cause"))
+      Survival.aalenJohansen(subj, "dur", "cause")
+    }),
     // Personalized PageRank (random walk with restart into customers
     // 1-10) over the same bipartite graph as q_pagerank: teleport mass
     // re-enters only at the seeds, rank decays with distance from them.
@@ -4396,6 +4469,167 @@ object SparkEntry {
         "WHEN vs > 0 THEN CAST(0 AS DOUBLE) END AS zv FROM j) " +
         "SELECT k AS event_type, n AS n_points, s, round(vs, 6) + 0.0 AS var_s, " +
         "round(zv, 4) + 0.0 AS z, abs(zv) > CAST(1.96 AS DOUBLE) AS reject_95 FROM z"),
+    // Pair slopes over the same days-sized self-join as q_trend_mk;
+    // medians interpolate identical doubles (quantile_cont ≡ percentile,
+    // the q_percentiles contract), slope snapped round-6 before the
+    // intercept pass.
+    "q_theil_sen" ->
+      ("WITH d AS (SELECT event_type AS k, " +
+        "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS t, " +
+        "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "pr AS (SELECT a.k AS k, CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slv " +
+        "FROM d a JOIN d b ON a.k = b.k AND a.t < b.t), " +
+        "sl AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "round(quantile_cont(slv, 0.5), 6) + 0.0 AS slope FROM pr GROUP BY 1), " +
+        "ic AS (SELECT d.k AS k, sl.n_pairs, sl.slope, " +
+        "CAST(d.x AS DOUBLE) - sl.slope * d.t AS v FROM d JOIN sl ON sl.k = d.k) " +
+        "SELECT k AS event_type, CAST(count(*) AS BIGINT) AS n_points, n_pairs, slope, " +
+        "round(quantile_cont(v, 0.5), 6) + 0.0 AS intercept FROM ic GROUP BY k, n_pairs, slope"),
+    // One combinable per-group moment CTE; the F algebra is the Welch
+    // shape generalized — identical left-assoc operand order.
+    "q_anova" ->
+      ("WITH m AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n, " +
+        "sum(CAST(value AS DOUBLE)) AS s, " +
+        "sum(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS q " +
+        "FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS n, " +
+        "sum(s) AS ts, sum(q) AS tq, sum(s * s / n) AS sb FROM m), " +
+        "z AS (SELECT *, tq - ts * ts / n AS sst, sb - ts * ts / n AS ssb FROM a), " +
+        "y AS (SELECT *, sst - ssb AS ssw, CAST(k - 1 AS DOUBLE) AS d1, " +
+        "CAST(n - k AS DOUBLE) AS d2 FROM z) " +
+        "SELECT k, n, round(ssb, 2) + 0.0 AS ss_between, round(ssw, 2) + 0.0 AS ss_within, " +
+        "round(CASE WHEN d1 > 0 AND d2 > 0 AND ssw > 0 THEN (ssb / d1) / (ssw / d2) END, 4) + 0.0 AS f_stat, " +
+        "k - 1 AS df_between, n - k AS df_within, " +
+        "CASE WHEN sst > 0 THEN round(ssb / sst, 6) + 0.0 END AS eta2 FROM y"),
+    // Midranks from the pooled cumulative (the q_mannwhitney window),
+    // joined back by value; H, the tie correction, and the Wilson–
+    // Hilferty critical value mirror the operator's operand order.
+    "q_kruskal" ->
+      ("WITH v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x, " +
+        "CAST(count(*) AS BIGINT) AS c FROM events " +
+        "WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2), " +
+        "p AS (SELECT x, CAST(sum(c) AS BIGINT) AS t FROM v GROUP BY 1), " +
+        "cum AS (SELECT x, t, sum(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS kk FROM p), " +
+        "mid AS (SELECT x, CAST(kk - t AS DOUBLE) + (CAST(t AS DOUBLE) + 1.0) / 2.0 AS r FROM cum), " +
+        "tots AS (SELECT CAST(sum(t) AS BIGINT) AS nn, " +
+        "sum(CAST(t AS DOUBLE) * t * t - CAST(t AS DOUBLE)) AS ties FROM p), " +
+        "pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng, " +
+        "sum(CAST(c AS DOUBLE) * r) AS rg FROM v JOIN mid ON mid.x = v.x GROUP BY 1), " +
+        "ag AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(rg * rg / ng) AS hs FROM pg), " +
+        "z AS (SELECT k, nn, CAST(nn AS DOUBLE) AS n, hs, ties FROM ag, tots), " +
+        "y AS (SELECT *, 12.0 / (n * (n + 1.0)) * hs - 3.0 * (n + 1.0) AS h, " +
+        "1.0 - ties / (n * n * n - n) AS tc FROM z), " +
+        "w AS (SELECT *, CASE WHEN tc > 0 THEN h / tc END AS ha, " +
+        "CAST(k - 1 AS DOUBLE) AS nu FROM y), " +
+        "f AS (SELECT *, CASE WHEN nu > 0 THEN nu * pow(1.0 - 2.0 / (9.0 * nu) " +
+        "+ 1.6448536269514722 * sqrt(2.0 / (9.0 * nu)), 3.0) END AS crit FROM w) " +
+        "SELECT k, nn AS n, round(h, 4) + 0.0 AS h, round(ha, 4) + 0.0 AS h_adj, " +
+        "k - 1 AS df, round(ha, 4) > round(crit, 4) AS reject_95 FROM f"),
+    // Dominance counts as exact integers over the q_mannwhitney
+    // cumulative; delta is an exact rational, so the Romano label
+    // decides identically.
+    "q_cliffs_delta" ->
+      ("WITH v AS (SELECT CAST(value AS DOUBLE) AS x, " +
+        "CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS c1, " +
+        "CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS c2 " +
+        "FROM events WHERE value IS NOT NULL AND event_type IN ('click', 'purchase') GROUP BY 1), " +
+        "c AS (SELECT x, c1, c2, sum(c2) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS k2 FROM v), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM v), " +
+        "s AS (SELECT CAST(sum(c1 * (k2 - c2)) AS BIGINT) AS n_gt, " +
+        "CAST(sum(c1 * c2) AS BIGINT) AS eq FROM c), " +
+        "f AS (SELECT n1, n2, n_gt, n1 * n2 - n_gt - eq AS n_lt FROM s, t), " +
+        "g AS (SELECT *, CAST(n_gt - n_lt AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d FROM f) " +
+        "SELECT n1 AS n_a, n2 AS n_b, n_gt, n_lt, round(d, 6) + 0.0 AS delta, " +
+        "CASE WHEN abs(d) < 0.147 THEN 'negligible' WHEN abs(d) < 0.33 THEN 'small' " +
+        "WHEN abs(d) < 0.474 THEN 'medium' ELSE 'large' END AS magnitude FROM g"),
+    // Per-type Welch moments → rounded t → the shared A&S Φ polynomial
+    // → BH step-up over the 5-member family (two family-sized windows).
+    "q_fdr_bh" ->
+      ("WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
+        "m AS (SELECT event_type AS g, " +
+        "CAST(count(CASE WHEN ts <= c AND value IS NOT NULL THEN 1 END) AS BIGINT) AS n1, " +
+        "CAST(count(CASE WHEN ts > c AND value IS NOT NULL THEN 1 END) AS BIGINT) AS n2, " +
+        "sum(CASE WHEN ts <= c THEN CAST(value AS DOUBLE) ELSE 0.0 END) AS s1, " +
+        "sum(CASE WHEN ts > c THEN CAST(value AS DOUBLE) ELSE 0.0 END) AS s2, " +
+        "sum(CASE WHEN ts <= c THEN CAST(value AS DOUBLE) * CAST(value AS DOUBLE) ELSE 0.0 END) AS q1, " +
+        "sum(CASE WHEN ts > c THEN CAST(value AS DOUBLE) * CAST(value AS DOUBLE) ELSE 0.0 END) AS q2 " +
+        "FROM events, cut WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1), " +
+        "w AS (SELECT g, s1 / n1 AS m1, s2 / n2 AS m2, " +
+        "CASE WHEN n1 > 1 THEN (q1 - s1 * s1 / n1) / (n1 - 1) END / n1 " +
+        "+ CASE WHEN n2 > 1 THEN (q2 - s2 * s2 / n2) / (n2 - 1) END / n2 AS sem FROM m), " +
+        "tst AS (SELECT g, round(CASE WHEN sem > 0 THEN (m1 - m2) / sqrt(sem) END, 4) + 0.0 AS t FROM w), " +
+        "pz AS (SELECT g, abs(t) AS az, 1.0 / (1.0 + 0.2316419 * abs(t)) AS u FROM tst), " +
+        "pv AS (SELECT g, round(2.0 * (exp(az * az / -2.0) / " + math.sqrt(2.0 * math.Pi) + ") " +
+        "* (u * (0.319381530 + u * (-0.356563782 + u * (1.781477937 " +
+        "+ u * (-1.821255978 + u * 1.330274429))))), 9) + 0.0 AS p FROM pz), " +
+        "rk AS (SELECT g, p, row_number() OVER (ORDER BY p, g) AS i, " +
+        "count(*) OVER () AS mm FROM pv), " +
+        "q AS (SELECT g, p, i, p * CAST(mm AS DOUBLE) / i AS qv FROM rk), " +
+        "adj AS (SELECT g, p, i, least(min(qv) OVER (ORDER BY p DESC, g DESC " +
+        "ROWS UNBOUNDED PRECEDING), 1.0) AS a FROM q) " +
+        "SELECT g AS event_type, round(p, 9) + 0.0 AS p, CAST(i AS BIGINT) AS rank, " +
+        "round(a, 9) + 0.0 AS p_adj, round(a, 9) <= 0.05 AS reject FROM adj"),
+    // Identical md5(id:rep) uniforms and fixed Poisson(1) hex
+    // thresholds; per-replicate sums are exact BIGINTs, each replicate
+    // mean one fixed-shape division rounded 6, percentiles interpolate
+    // identical doubles.
+    "q_bootstrap_ci" -> {
+      val th = graft.operators.RobustStats.poissonHexThresholds
+      val wcase = "CASE " + th.zipWithIndex.map { case (hx, k) =>
+        s"WHEN h < '$hx' THEN $k " }.mkString + s"ELSE ${th.size} END"
+      ("WITH base AS (SELECT CAST(event_id AS VARCHAR) AS id, " +
+        "CAST(round(CAST(value AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS x6 " +
+        "FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL), " +
+        "reps AS (SELECT CAST(range AS INT) AS rep FROM range(200)), " +
+        "e AS (SELECT x6, rep, substr(md5(id || ':' || CAST(rep AS VARCHAR)), 1, 8) AS h " +
+        "FROM base, reps), " +
+        s"w AS (SELECT rep, x6, $wcase AS w FROM e), " +
+        "pr AS (SELECT rep, CAST(sum(w) AS BIGINT) AS ws, " +
+        "CAST(sum(w * x6) AS BIGINT) AS xs FROM w GROUP BY 1), " +
+        "rm AS (SELECT CASE WHEN ws > 0 THEN round(CAST(xs AS DOUBLE) / 1000000.0 / ws, 6) END AS rm FROM pr), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x6) AS BIGINT) AS t6 FROM base), " +
+        "ag AS (SELECT CAST(count(*) AS BIGINT) AS b, round(stddev(rm), 6) + 0.0 AS boot_se, " +
+        "round(quantile_cont(rm, 0.025), 6) + 0.0 AS lo95, " +
+        "round(quantile_cont(rm, 0.5), 6) + 0.0 AS median, " +
+        "round(quantile_cont(rm, 0.975), 6) + 0.0 AS hi95 FROM rm) " +
+        "SELECT b, n, round(CAST(t6 AS DOUBLE) / 1000000.0 / n, 6) + 0.0 AS mean, " +
+        "boot_se, lo95, median, hi95 FROM ag, tot")
+    },
+    // All-cause KM scaffold (the q_survival window) with Ŝ(t−) snapped
+    // round-9 before it multiplies each cause's hazard; per-cause
+    // ordered accumulation over the days-sized event-time axis.
+    "q_competing_risks" ->
+      ("WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
+        "seen AS (SELECT e.* FROM events e, cut WHERE ts <= c), " +
+        "fs AS (SELECT user_id, min(ts) AS f0 FROM seen GROUP BY 1), " +
+        "ps AS (SELECT user_id, min(ts) AS p0 FROM seen WHERE event_type = 'purchase' GROUP BY 1), " +
+        "es AS (SELECT user_id, min(ts) AS e0 FROM seen WHERE event_type = 'error' GROUP BY 1), " +
+        "subj AS (SELECT CASE WHEN p0 IS NOT NULL AND (e0 IS NULL OR p0 <= e0) " +
+        "THEN datediff('day', CAST(f0 AS DATE), CAST(p0 AS DATE)) " +
+        "WHEN e0 IS NOT NULL THEN datediff('day', CAST(f0 AS DATE), CAST(e0 AS DATE)) " +
+        "ELSE datediff('day', CAST(f0 AS DATE), CAST(c AS DATE)) END AS dur, " +
+        "CASE WHEN p0 IS NOT NULL AND (e0 IS NULL OR p0 <= e0) THEN 1 " +
+        "WHEN e0 IS NOT NULL THEN 2 ELSE 0 END AS cause " +
+        "FROM fs LEFT JOIN ps USING (user_id) LEFT JOIN es USING (user_id), cut), " +
+        "btk AS (SELECT CAST(dur AS BIGINT) AS t, CAST(cause AS BIGINT) AS cause, " +
+        "CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY 1, 2), " +
+        "pt AS (SELECT t, CAST(sum(CASE WHEN cause > 0 THEN c ELSE 0 END) AS BIGINT) AS d, " +
+        "CAST(sum(c) AS BIGINT) AS cc FROM btk GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(cc) AS BIGINT) AS nn FROM pt), " +
+        "km AS (SELECT t, nn - sum(cc) OVER w + cc AS n_risk, " +
+        "CASE WHEN d > 0 AND d < nn - sum(cc) OVER w + cc " +
+        "THEN ln(1.0 - CAST(d AS DOUBLE) / (nn - sum(cc) OVER w + cc)) " +
+        "WHEN d = nn - sum(cc) OVER w + cc THEN CAST('-infinity' AS DOUBLE) " +
+        "ELSE 0.0 END AS term FROM pt, tot " +
+        "WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)), " +
+        "kp AS (SELECT t, n_risk, round(exp(coalesce(sum(term) OVER " +
+        "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)), 9) AS s_prev FROM km), " +
+        "terms AS (SELECT b.t AS t, b.cause AS cause, kp.n_risk AS n_risk, b.c AS c, " +
+        "kp.s_prev * CAST(b.c AS DOUBLE) / kp.n_risk AS inc " +
+        "FROM btk b JOIN kp ON kp.t = b.t WHERE b.cause > 0) " +
+        "SELECT t, cause, CAST(n_risk AS BIGINT) AS n_risk, c AS d_events, " +
+        "round(sum(inc) OVER (PARTITION BY cause ORDER BY t ROWS UNBOUNDED PRECEDING), 6) + 0.0 AS cif " +
+        "FROM terms"),
     // The KM step curve's area up to τ: head interval at S = 1, per-step
     // S·(clamped width), ordered accumulation over the duration axis.
     "q_rmst" ->

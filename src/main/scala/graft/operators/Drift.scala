@@ -601,6 +601,235 @@ object Drift {
     * combinable cell-count scan; margins are re-aggregations of the
     * cell frame. Zero-margin levels cannot occur (levels come from the
     * data). */
+  /** ONE-WAY ANOVA F (Fisher 1925): does the mean of `valueCol` differ
+    * across the k levels of `groupCol` — the k-group generalization of
+    * the two-sample t ([[welchT]]), under the classic equal-variance
+    * pooling. Computed from one combinable per-group moment aggregate
+    * (n, Σx, Σx²): SS_between = Σ s_g²/n_g − S²/N, SS_within = SS_total
+    * − SS_between, F = (SSB/(k−1)) / (SSW/(N−k)), plus η² = SSB/SS_total
+    * — the effect size that, unlike F, does not grow with N at fixed
+    * separation. The moment sums are unordered double sums (the
+    * [[welchT]] class), so cross-engine agreement rests on the round-4 /
+    * round-6 outputs. Output: one row — (k, n, ss_between, ss_within,
+    * f_stat, df_between, df_within, eta2). */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = F.col(valueCol).cast("double")
+    anovaFromMoments(df.filter(v.isNotNull && F.col(groupCol).isNotNull)
+      .groupBy(F.col(groupCol).as("g"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(v).as("s"), F.sum(v * v).as("q")))
+  }
+
+  /** [[anovaF]] over a pre-aggregated per-group (g, n, s, q) moment
+    * frame — three plain sums per group, the mergeable summary a
+    * streaming accumulator re-enters (graft.streaming.StreamingDrift). */
+  def anovaFromMoments(byG: DataFrame): DataFrame =
+    byG.agg(
+        F.count(F.lit(1)).as("k"), F.sum("n").as("n"),
+        F.sum("s").as("__ts"), F.sum("q").as("__tq"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).as("__sb"))
+      .withColumn("__sst", F.col("__tq") - F.col("__ts") * F.col("__ts") / F.col("n"))
+      .withColumn("__ssb", F.col("__sb") - F.col("__ts") * F.col("__ts") / F.col("n"))
+      .withColumn("__ssw", F.col("__sst") - F.col("__ssb"))
+      .withColumn("__d1", (F.col("k") - 1).cast("double"))
+      .withColumn("__d2", (F.col("n") - F.col("k")).cast("double"))
+      .withColumn("__f", F.when(F.col("__d1") > 0 && F.col("__d2") > 0 && F.col("__ssw") > 0,
+        (F.col("__ssb") / F.col("__d1")) / (F.col("__ssw") / F.col("__d2"))))
+      .select(F.col("k"), F.col("n"),
+        // the SS are data-magnitude double sums (unlike the F/η² ratios,
+        // whose fp error cancels) — round 2, the benford/chi2 class
+        (F.round(F.col("__ssb"), 2) + F.lit(0.0)).as("ss_between"),
+        (F.round(F.col("__ssw"), 2) + F.lit(0.0)).as("ss_within"),
+        (F.round(F.col("__f"), 4) + F.lit(0.0)).as("f_stat"),
+        (F.col("k") - 1).as("df_between"),
+        (F.col("n") - F.col("k")).as("df_within"),
+        F.when(F.col("__sst") > 0,
+          F.round(F.col("__ssb") / F.col("__sst"), 6) + F.lit(0.0)).as("eta2"))
+
+  /** [[anovaF]] over a pre-aggregated (g, x, c) count frame — the same
+    * mergeable per-(group, value) multiplicities the rank tests
+    * accumulate, folded into the moment sums (the streaming-twin entry:
+    * one partial layout serves ANOVA and Kruskal–Wallis both). */
+  def anovaFromCounts(byGV: DataFrame): DataFrame =
+    anovaFromMoments(byGV.groupBy("g").agg(
+      F.sum("c").as("n"),
+      F.sum(F.col("x") * F.col("c")).as("s"),
+      F.sum(F.col("x") * F.col("x") * F.col("c")).as("q")))
+
+  /** KRUSKAL–WALLIS H (Kruskal & Wallis, JASA 1952): the rank-based
+    * k-group test — does ANY of `groupCol`'s levels produce
+    * systematically larger `valueCol`, the [[mannWhitney]] ladder's
+    * multi-group rung (and [[anovaF]]'s distribution-free sibling).
+    * Midranks over the POOLED distinct values are exact dyadic
+    * rationals from the same two-phase cumulative scaffold as the
+    * two-sample tests, so every per-group rank sum R_g is engine-exact;
+    * H = 12/(N(N+1)) Σ R_g²/n_g − 3(N+1), tie-corrected by
+    * C = 1 − Σ(t³−t)/(N³−N). The 95% rejection compares the ROUNDED
+    * h_adj to the Wilson–Hilferty χ²(k−1) critical value (Wilson &
+    * Hilferty, PNAS 1931: ν(1 − 2/9ν + z₀.₉₅√(2/9ν))³) — a fixed
+    * algebraic form both engines evaluate identically, where the exact
+    * quantile has no closed form. Output: one row — (k, n, h, h_adj,
+    * df, reject_95). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = F.col(valueCol).cast("double")
+    kruskalFromCounts(df.filter(v.isNotNull && F.col(groupCol).isNotNull)
+      .groupBy(F.col(groupCol).as("g"), v.as("x"))
+      .agg(F.count(F.lit(1)).as("c")))
+  }
+
+  /** [[kruskalWallis]] over a pre-aggregated (g, x, c) count frame —
+    * per-(group, value) multiplicities are the mergeable summary. */
+  def kruskalFromCounts(byGV: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pooled = byGV.groupBy("x").agg(F.sum("c").as("t"))
+    val (parted, offsets) = TwoPhase.partitionOffsets(
+      pooled, Seq(F.col("x")), Seq(F.sum("t") -> "__o"))
+    val within = Window.partitionBy("__pid").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mid = parted.join(F.broadcast(offsets), "__pid")
+      .withColumn("__k", F.col("__o") + F.sum("t").over(within))
+      .select(F.col("x"),
+        ((F.col("__k") - F.col("t")).cast("double")
+          + (F.col("t").cast("double") + 1.0) / 2.0).as("__r"))
+    // N and the tie term need only the pooled multiplicities — one
+    // 1-row aggregate, not a second pass over the midrank scaffold
+    val totals = pooled.agg(F.sum("t").as("__nn"),
+      F.sum(F.col("t").cast("double") * F.col("t") * F.col("t")
+        - F.col("t").cast("double")).as("__ties"))
+    val perG = byGV.join(mid, "x")
+      .groupBy("g")
+      .agg(F.sum("c").as("__ng"), F.sum(F.col("c").cast("double") * F.col("__r")).as("__rg"))
+    perG.agg(F.count(F.lit(1)).as("k"),
+        F.sum(F.col("__rg") * F.col("__rg") / F.col("__ng")).as("__hs"))
+      .crossJoin(F.broadcast(totals))
+      .withColumn("__n", F.col("__nn").cast("double"))
+      .withColumn("__h",
+        F.lit(12.0) / (F.col("__n") * (F.col("__n") + 1.0)) * F.col("__hs")
+          - F.lit(3.0) * (F.col("__n") + 1.0))
+      .withColumn("__c",
+        F.lit(1.0) - F.col("__ties") / (F.col("__n") * F.col("__n") * F.col("__n") - F.col("__n")))
+      .withColumn("__ha", F.when(F.col("__c") > 0, F.col("__h") / F.col("__c")))
+      .withColumn("__nu", (F.col("k") - 1).cast("double"))
+      .withColumn("__crit", F.when(F.col("__nu") > 0,
+        F.col("__nu") * F.pow(
+          F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * F.col("__nu"))
+            + F.lit(1.6448536269514722) * F.sqrt(F.lit(2.0) / (F.lit(9.0) * F.col("__nu"))), 3.0)))
+      .select(F.col("k"), F.col("__nn").as("n"),
+        (F.round(F.col("__h"), 4) + F.lit(0.0)).as("h"),
+        (F.round(F.col("__ha"), 4) + F.lit(0.0)).as("h_adj"),
+        (F.col("k") - 1).as("df"),
+        (F.round(F.col("__ha"), 4) > F.round(F.col("__crit"), 4)).as("reject_95"))
+  }
+
+  /** CLIFF'S DELTA (Cliff, Psych. Bull. 1993) between slice `a` and
+    * slice `b` of `valueCol` — the ORDINAL effect size the two-sample
+    * tests need next to their p-values: δ = (#(xₐ > x_b) − #(xₐ < x_b))
+    * / (n_a·n_b) ∈ [−1, 1], how often a random a-row beats a random
+    * b-row beyond ties. Both dominance counts come from the same
+    * two-phase cumulative count scaffold as [[mannWhitney]] — strict
+    * dominance is c₁(x)·(cum c₂ below x) — as EXACT integers, so δ is
+    * an exact rational and the Romano magnitude label (|δ| < 0.147
+    * negligible / < 0.33 small / < 0.474 medium / else large; Romano et
+    * al. 2006) is engine-exact. Output: (n_a, n_b, n_gt, n_lt, delta,
+    * magnitude). */
+  def cliffsDelta(df: DataFrame, sliceCol: String, valueCol: String,
+                  a: String, b: String): DataFrame =
+    cliffsDeltaFromCounts(valueCounts(df, sliceCol, valueCol, a, b))
+
+  /** [[cliffsDelta]] over a pre-aggregated (x, c1, c2) count frame. */
+  def cliffsDeltaFromCounts(byV: DataFrame): DataFrame = {
+    val (cum, n) = cdfFromCounts(byV)
+    val s = cum.agg(
+      F.sum(F.col("c1") * (F.col("__k2") - F.col("c2"))).as("n_gt"),
+      F.sum(F.col("c1") * F.col("c2")).as("__eq"))
+    s.crossJoin(F.broadcast(n))
+      .withColumn("n_lt", F.col("n1") * F.col("n2") - F.col("n_gt") - F.col("__eq"))
+      .withColumn("__d", (F.col("n_gt") - F.col("n_lt")).cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double"))
+      .select(F.col("n1").as("n_a"), F.col("n2").as("n_b"),
+        F.col("n_gt"), F.col("n_lt"),
+        (F.round(F.col("__d"), 6) + F.lit(0.0)).as("delta"),
+        F.when(F.abs(F.col("__d")) < 0.147, "negligible")
+          .when(F.abs(F.col("__d")) < 0.33, "small")
+          .when(F.abs(F.col("__d")) < 0.474, "medium")
+          .otherwise("large").as("magnitude"))
+  }
+
+  /** Two-sided normal p-value from a z/t statistic via the
+    * Abramowitz–Stegun 26.2.17 five-term Φ approximation (|ε| <
+    * 7.5·10⁻⁸) — the fixed algebraic form this library uses wherever a
+    * p-value is needed but the exact CDF has no closed form (both
+    * engines evaluate the identical polynomial, so p is as deterministic
+    * as its input; feed it a ROUNDED statistic). */
+  def pFromZ(z: Column): Column = {
+    val az = F.abs(z)
+    val t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    val poly = t * (F.lit(0.319381530)
+      + t * (F.lit(-0.356563782)
+        + t * (F.lit(1.781477937)
+          + t * (F.lit(-1.821255978) + t * F.lit(1.330274429)))))
+    val phi = F.exp(az * az / -2.0) / math.sqrt(2.0 * math.Pi)
+    F.lit(2.0) * phi * poly
+  }
+
+  /** BENJAMINI–HOCHBERG step-up FDR adjustment (Benjamini & Hochberg,
+    * JRSS-B 1995) over a FAMILY of tests — the multiple-comparisons
+    * gate a per-metric drift screen must pass before alarming: rank the
+    * m p-values ascending, qᵢ = pᵢ·m/i, adjusted pᵢ = min_{j≥i} qⱼ
+    * (capped at 1), reject at level α iff adjusted p ≤ α. Two windows
+    * over the FAMILY frame — bounded by the metric vocabulary (one row
+    * per screened metric), never by the corpus, which is why plain
+    * global windows are the right plan here. Ties in p break by
+    * `keyCol` identically in both engines. Output: one row per family
+    * member — (key, p, rank, p_adj, reject). */
+  def bhAdjust(tests: DataFrame, keyCol: String, pCol: String,
+               alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val up = Window.orderBy(F.col(pCol).asc, F.col(keyCol).asc)
+    val down = Window.orderBy(F.col(pCol).desc, F.col(keyCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tests.filter(F.col(pCol).isNotNull)
+      .withColumn("__m", F.count(F.lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__i", F.row_number().over(up).cast("long"))
+      .withColumn("__q", F.col(pCol) * F.col("__m").cast("double") / F.col("__i"))
+      .withColumn("__adj", F.least(F.min("__q").over(down), F.lit(1.0)))
+      .select(F.col(keyCol).as("key"),
+        (F.round(F.col(pCol), 9) + F.lit(0.0)).as("p"),
+        F.col("__i").as("rank"),
+        (F.round(F.col("__adj"), 9) + F.lit(0.0)).as("p_adj"),
+        (F.round(F.col("__adj"), 9) <= alpha).as("reject"))
+  }
+
+  /** [[welchT]] PER GROUP — one Welch test per level of `familyCol`
+    * (e.g. one per screened metric), the frame [[bhAdjust]] consumes.
+    * Same moment algebra as [[welchT]], from ONE combinable grouped
+    * aggregate; t is rounded (round 4) so the downstream p-values are
+    * deterministic. Output: (g, n_a, n_b, t). */
+  def welchTPerGroup(df: DataFrame, familyCol: String, sliceCol: String,
+                     valueCol: String, a: String, b: String): DataFrame = {
+    val v = F.col(valueCol).cast("double")
+    df.filter(v.isNotNull && F.col(familyCol).isNotNull
+        && (F.col(sliceCol) === a || F.col(sliceCol) === b))
+      .groupBy(F.col(familyCol).as("g"))
+      .agg(F.count(F.when(F.col(sliceCol) === a, 1)).as("n1"),
+        F.count(F.when(F.col(sliceCol) === b, 1)).as("n2"),
+        F.sum(F.when(F.col(sliceCol) === a, v).otherwise(0.0)).as("s1"),
+        F.sum(F.when(F.col(sliceCol) === b, v).otherwise(0.0)).as("s2"),
+        F.sum(F.when(F.col(sliceCol) === a, v * v).otherwise(0.0)).as("q1"),
+        F.sum(F.when(F.col(sliceCol) === b, v * v).otherwise(0.0)).as("q2"))
+      .withColumn("m1", F.col("s1") / F.col("n1"))
+      .withColumn("m2", F.col("s2") / F.col("n2"))
+      .withColumn("v1", F.when(F.col("n1") > 1,
+        (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1")) / (F.col("n1") - 1)))
+      .withColumn("v2", F.when(F.col("n2") > 1,
+        (F.col("q2") - F.col("s2") * F.col("s2") / F.col("n2")) / (F.col("n2") - 1)))
+      .withColumn("sem", F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+      .withColumn("tt", F.when(F.col("sem") > 0,
+        (F.col("m1") - F.col("m2")) / F.sqrt(F.col("sem"))))
+      .select(F.col("g"), F.col("n1").as("n_a"), F.col("n2").as("n_b"),
+        (F.round(F.col("tt"), 4) + F.lit(0.0)).as("t"))
+  }
+
   def chiSquare(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
     val cells = df.filter(rowCol.isNotNull && colCol.isNotNull)
       .groupBy(rowCol.as("r"), colCol.as("c"))

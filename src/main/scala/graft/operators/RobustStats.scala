@@ -225,6 +225,70 @@ object RobustStats {
     * round-6 snap otherwise (one product per value vs c per-row adds).
     * Cumulative counts via the same two-phase prefix over the
     * distinct-value axis. */
+  /** Cumulative Poisson(1) thresholds as 8-hex-digit strings over the
+    * md5 uniform (floor(P(X ≤ k)·2³²) for k = 0..5) — shared between
+    * [[poissonBootstrap]] and its SQL mirror so both engines draw the
+    * IDENTICAL weight from the identical hash. */
+  private[graft] val poissonHexThresholds: Seq[String] = {
+    val e1 = math.exp(-1.0)
+    val pk = (0 to 5).map(k => e1 / (1 to k).product)
+    pk.scanLeft(0.0)(_ + _).tail
+      .map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
+  }
+
+  /** POISSON BOOTSTRAP confidence interval for the mean of `valueCol`
+    * (Oza & Russell, AISTATS 2001; the standard resampling scheme at
+    * cluster scale): classic bootstrap resampling needs N draws WITH
+    * replacement per replicate — impossible to coordinate across
+    * executors — but each row's multiplicity in a replicate is
+    * asymptotically Poisson(1), which each row can draw INDEPENDENTLY.
+    * Replicate r weights row i by the Poisson(1) inverse CDF of the
+    * md5(id:r) uniform (the hashSample hex-threshold compare, so both
+    * engines draw identical weights; tail truncated at 6, mass 1−P(≤5)
+    * ≈ 6·10⁻⁵), giving B weighted means whose 2.5/50/97.5 percentiles
+    * are the CI — no distributional assumption, no second data pass per
+    * replicate.
+    *
+    * Scale shape: ONE map-only explode(sequence(0, B−1)) feeds a
+    * map-side-combined groupBy(rep) — the shuffle carries
+    * partitions×B partial rows, never N×B — then percentiles over the
+    * B-row frame. Determinism: the metric is snapped to integer
+    * micros, so every per-replicate (Σw·x, Σw) is an exact BIGINT
+    * pair; each replicate mean is one fixed-shape IEEE division
+    * rounded to 6, and the percentile interpolates identical doubles.
+    *
+    * Output: one row — (b, n, mean, boot_se, lo95, median, hi95). */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+                       b: Int = 200): DataFrame = {
+    require(b >= 2, "need at least 2 replicates")
+    val base = df.select(F.col(idCol).cast("string").as("__id"),
+        (F.round(F.col(valueCol).cast("double") * 1e6, 0)).cast("long").as("__x6"))
+      .filter(F.col("__id").isNotNull && F.col("__x6").isNotNull)
+    val rep = F.explode(F.sequence(F.lit(0), F.lit(b - 1))).as("rep")
+    val h = F.substring(F.md5(F.concat_ws(":", F.col("__id"), F.col("rep").cast("string"))), 1, 8)
+    val w = poissonHexThresholds.zipWithIndex
+      .foldLeft(F.when(F.lit(false), 0L)) { case (acc, (hx, k)) =>
+        acc.when(h < F.lit(hx), k.toLong)
+      }.otherwise(F.lit(poissonHexThresholds.size.toLong))
+    val perRep = base.select(F.col("__id"), F.col("__x6"), rep)
+      .withColumn("__w", w)
+      .groupBy("rep")
+      .agg(F.sum("__w").as("__ws"), F.sum(F.col("__w") * F.col("__x6")).as("__xs"))
+      .withColumn("__rm", F.when(F.col("__ws") > 0,
+        F.round(F.col("__xs").cast("double") / 1e6 / F.col("__ws"), 6)))
+    val tot = base.agg(F.count(F.lit(1)).as("n"), F.sum("__x6").as("__t6"))
+    perRep.agg(
+        F.count(F.lit(1)).as("b"),
+        (F.round(F.stddev(F.col("__rm")), 6) + F.lit(0.0)).as("boot_se"),
+        (F.round(F.expr("percentile(__rm, 0.025)"), 6) + F.lit(0.0)).as("lo95"),
+        (F.round(F.expr("percentile(__rm, 0.5)"), 6) + F.lit(0.0)).as("median"),
+        (F.round(F.expr("percentile(__rm, 0.975)"), 6) + F.lit(0.0)).as("hi95"))
+      .crossJoin(F.broadcast(tot))
+      .select(F.col("b"), F.col("n"),
+        (F.round(F.col("__t6").cast("double") / 1e6 / F.col("n"), 6) + F.lit(0.0)).as("mean"),
+        F.col("boot_se"), F.col("lo95"), F.col("median"), F.col("hi95"))
+  }
+
   def giniFromCounts(byV: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = byV.select(F.col("x").cast("double").as("x"), F.col("c").cast("long").as("c"))

@@ -287,6 +287,63 @@ object Survival {
       (chi2 > F.lit(3.841459)).as("reject_95"))
   }
 
+  /** AALEN–JOHANSEN cumulative incidence under COMPETING RISKS (Aalen &
+    * Johansen, Scand. J. Stat. 1978): when a subject can exit by more
+    * than one cause (converted vs churned; failed vs replaced), the
+    * per-cause "1 − KM" overstates every cause — the correct
+    * cause-k incidence is CIF_k(t) = Σ_{s≤t} Ŝ(s−)·d_k(s)/n(s), with Ŝ
+    * the ALL-cause Kaplan–Meier. Input: one row per subject —
+    * non-negative integer `durCol` and `causeCol` ∈ {0 = censored,
+    * 1, 2, …}. Output: one row per (event time, cause ≥ 1) —
+    * (t, cause, n_risk, d_events, cif), and by construction
+    * Σ_k CIF_k(t) + Ŝ(t) = 1 at every event time (the AalenSpec
+    * invariant).
+    *
+    * Determinism: same per-duration count scaffold and ordered
+    * duration window as [[kaplanMeier]] (the duration axis is
+    * days-sized, never subject-sized); Ŝ(s−) is the exp-of-ln-sum form
+    * with the everyone-dies branch, SNAPPED to 9 decimals before it
+    * multiplies the hazard so both engines accumulate identical terms;
+    * round-6 output. */
+  def aalenJohansen(subjects: DataFrame, durCol: String, causeCol: String): DataFrame =
+    aalenJohansenFromCounts(subjects
+      .filter(F.col(durCol).isNotNull && F.col(causeCol).isNotNull)
+      .groupBy(F.col(durCol).cast("long").as("t"), F.col(causeCol).cast("long").as("cause"))
+      .agg(F.count(F.lit(1)).as("c")))
+
+  /** [[aalenJohansen]] over a pre-aggregated (t, cause, c) frame —
+    * per-(duration, cause) subject counts are the mergeable summary. */
+  def aalenJohansenFromCounts(byTK: DataFrame): DataFrame = {
+    val perT = byTK.groupBy("t")
+      .agg(F.sum(F.when(F.col("cause") > 0, F.col("c")).otherwise(F.lit(0L))).as("d"),
+        F.sum("c").as("c"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val tot = perT.agg(F.sum("c").as("__n"))
+    // all-cause KM scaffold: n_risk, Ŝ(t−) = exp(Σ_{s<t} ln(1 − d/n)),
+    // snapped to 9 decimals — the multiplier every cause shares at t
+    val km = perT.crossJoin(F.broadcast(tot))
+      .withColumn("n_risk", F.col("__n") - F.sum("c").over(w) + F.col("c"))
+      .withColumn("__term",
+        F.when(F.col("d") > 0 && F.col("d") < F.col("n_risk"),
+          F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")))
+          .when(F.col("d") === F.col("n_risk"), F.lit(Double.NegativeInfinity))
+          .otherwise(F.lit(0.0)))
+      .withColumn("s_prev",
+        F.round(F.exp(F.coalesce(F.sum("__term").over(wPrev), F.lit(0.0))), 9))
+      .select(F.col("t"), F.col("n_risk"), F.col("s_prev"))
+    val terms = byTK.filter(F.col("cause") > 0)
+      .join(km, "t")
+      .withColumn("__inc",
+        F.col("s_prev") * F.col("c").cast("double") / F.col("n_risk"))
+    val wk = Window.partitionBy("cause").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    terms
+      .withColumn("cif", F.round(F.sum("__inc").over(wk), 6) + F.lit(0.0))
+      .select(F.col("t"), F.col("cause"), F.col("n_risk"),
+        F.col("c").as("d_events"), F.col("cif"))
+  }
+
   /** COX PROPORTIONAL HAZARDS, single binary covariate (Cox, JRSS-B
     * 1972), Breslow tie handling (Breslow, Biometrics 1974) — the
     * question log-rank leaves open: not just "do the cohorts differ"

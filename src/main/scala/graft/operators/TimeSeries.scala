@@ -208,6 +208,48 @@ object TimeSeries {
         (F.abs(z) > 1.96).as("reject_95"))
   }
 
+  /** THEIL–SEN robust slope per key (Theil, 1950; Sen, JASA 1968) —
+    * Mann–Kendall's estimator companion: [[mannKendall]] says WHETHER
+    * the series trends; this says BY HOW MUCH, immune to ~29% outlier
+    * contamination where OLS breaks at one bad day. slope = median over
+    * all i<j pair slopes (x_j − x_i)/(t_j − t_i), intercept = median of
+    * (x_i − slope·t_i) (the Conover form).
+    *
+    * Same per-key time-axis pair join as Mann–Kendall (days-sized per
+    * key, never data-sized). Each pair slope is ONE IEEE division of
+    * exact integers — identical in both engines — and the median
+    * interpolates identical double sets (`percentile` ≡ DuckDB
+    * `quantile_cont`, the q_percentiles contract), so WHICH value is
+    * the median is engine-exact; the slope is rounded (round 6) before
+    * the intercept pass so the residual medians are as deterministic as
+    * their inputs. `tCol` must be integer-valued (e.g. epoch days).
+    *
+    * Output: per key — (key, n_points, n_pairs, slope, intercept),
+    * round 6. */
+  def theilSen(series: DataFrame, keyCol: String, tCol: String,
+               xCol: String): DataFrame = {
+    val s = series.select(F.col(keyCol).as("k"), F.col(tCol).cast("long").as("t"),
+        F.col(xCol).cast("long").as("x"))
+      .filter(F.col("k").isNotNull && F.col("t").isNotNull && F.col("x").isNotNull)
+      .localCheckpoint(true) // feeds the pair join (both sides) + the intercept pass
+    val pairs = s.select(F.col("k"), F.col("t").as("ti"), F.col("x").as("xi"))
+      .join(s.select(F.col("k"), F.col("t").as("tj"), F.col("x").as("xj")), "k")
+      .filter(F.col("ti") < F.col("tj"))
+    val sl = pairs
+      .withColumn("__sl", (F.col("xj") - F.col("xi")).cast("double")
+        / (F.col("tj") - F.col("ti")).cast("double"))
+      .groupBy("k")
+      .agg(F.count(F.lit(1)).as("n_pairs"),
+        (F.round(F.expr("percentile(__sl, 0.5)"), 6) + F.lit(0.0)).as("slope"))
+    s.join(sl, "k")
+      .withColumn("__ic", F.col("x").cast("double") - F.col("slope") * F.col("t"))
+      .groupBy("k")
+      .agg(F.count(F.lit(1)).as("n_points"),
+        F.first("n_pairs").as("n_pairs"), F.first("slope").as("slope"),
+        (F.round(F.expr("percentile(__ic, 0.5)"), 6) + F.lit(0.0)).as("intercept"))
+      .select("k", "n_points", "n_pairs", "slope", "intercept")
+  }
+
   def cohortRetention(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val wk = F.call_function("div", F.unix_micros(F.col(tsCol)), F.lit(604800000000L))
     val weekly = events.select(F.col(keyCol).as("k"), wk.as("wk")).distinct()

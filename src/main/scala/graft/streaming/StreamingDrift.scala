@@ -181,6 +181,34 @@ object StreamingDrift {
           F.substring_index(F.col("slice"), "|", -1).cast("long").as("x"),
           F.col("cat").cast("long").as("y"), F.col("n")))
 
+  /** One-way ANOVA across the stream's groups so far — the GROUP rides
+    * the slice dimension, the value the category (the theilNow layout);
+    * merged per-(group, value) counts fold into the moment sums. Output
+    * ratios (F, η²) are as deterministic as their round-4/6 snap; the
+    * SS columns carry the batch operator's round-2 discipline. */
+  def anovaNow(spark: SparkSession, countsDir: String): DataFrame =
+    Drift.anovaFromCounts(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").as("g"), F.col("cat").cast("double").as("x"),
+          F.col("n").as("c")))
+
+  /** Kruskal–Wallis H across the stream's groups so far — same layout
+    * as [[anovaNow]]; merged counts re-enter the batch midrank algebra,
+    * so streamed == batch bit-for-bit (exact dyadic rank sums). */
+  def kruskalNow(spark: SparkSession, countsDir: String): DataFrame =
+    Drift.kruskalFromCounts(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").as("g"), F.col("cat").cast("double").as("x"),
+          F.col("n").as("c")))
+
+  /** Cliff's delta between slices `a` and `b` of the stream so far —
+    * the two-sample count layout ([[ksNow]]/[[mannWhitneyNow]]); the
+    * dominance counts are exact integers, so streamed == batch
+    * bit-for-bit. */
+  def cliffsDeltaNow(spark: SparkSession, countsDir: String,
+                     a: String, b: String): DataFrame =
+    Drift.cliffsDeltaFromCounts(twoSampleCounts(spark, countsDir, a, b))
+
   private def twoSampleCounts(spark: SparkSession, countsDir: String,
                               a: String, b: String): DataFrame =
     categoricalCounts(spark, countsDir)

@@ -50,6 +50,18 @@ object StreamingSurvival {
   def rmstNow(spark: SparkSession, countsDir: String, tau: Long): DataFrame =
     Survival.rmstFromCounts(kmCounts(spark, countsDir), tau)
 
+  /** Aalen–Johansen cumulative incidence over everything streamed so
+    * far — the CAUSE (0 = censored, 1, 2, …) rides the category
+    * dimension of the SAME [[attach]] layout (obs ∈ {0, 1} is just the
+    * single-cause special case); merged (t, cause, c) counts re-enter
+    * the batch estimator, so streamed == batch exactly. Attach with
+    * `obsCol` = the cause column. */
+  def aalenJohansenNow(spark: SparkSession, countsDir: String): DataFrame =
+    Survival.aalenJohansenFromCounts(
+      StreamingDrift.categoricalCounts(spark, countsDir)
+        .select(F.col("slice").cast("long").as("t"),
+          F.col("cat").cast("long").as("cause"), F.col("n").as("c")))
+
   private def kmCounts(spark: SparkSession, countsDir: String): DataFrame =
     StreamingDrift.categoricalCounts(spark, countsDir)
       .groupBy(F.col("slice").cast("long").as("t"))

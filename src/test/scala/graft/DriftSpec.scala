@@ -446,4 +446,111 @@ class DriftSpec extends SparkSpec {
     out.last._1 shouldBe 0.0
     out.map(_._4).count(identity) shouldBe 4 // lo alarms at 25, 30, 35, 40 > 20
   }
+
+  // ---- anovaF -------------------------------------------------------
+
+  it("one-way ANOVA matches the hand-worked 3-group case") {
+    // a:[1..4] b:[2..5] c:[10..13] — SSB=194.666667, SSW=15, F=58.4
+    val rows = Seq(1, 2, 3, 4).map(("a", _)) ++ Seq(2, 3, 4, 5).map(("b", _)) ++
+      Seq(10, 11, 12, 13).map(("c", _))
+    val r = Drift.anovaF(rows.toDF("g", "v"), "g", "v").collect().head
+    r.getAs[Long]("k") shouldBe 3L
+    r.getAs[Long]("n") shouldBe 12L
+    r.getAs[Double]("ss_between") shouldBe 194.67 +- 1e-9
+    r.getAs[Double]("ss_within") shouldBe 15.0 +- 1e-9
+    r.getAs[Double]("f_stat") shouldBe 58.4 +- 1e-9
+    r.getAs[Long]("df_between") shouldBe 2L
+    r.getAs[Long]("df_within") shouldBe 9L
+    r.getAs[Double]("eta2") shouldBe 0.928458 +- 1e-6
+  }
+
+  it("ANOVA F is NULL when every group is constant-identical (zero within AND between)") {
+    val rows = Seq.fill(5)(("a", 7)) ++ Seq.fill(5)(("b", 7))
+    val r = Drift.anovaF(rows.toDF("g", "v"), "g", "v").collect().head
+    r.isNullAt(r.fieldIndex("f_stat")) shouldBe true
+    r.isNullAt(r.fieldIndex("eta2")) shouldBe true
+  }
+
+  // ---- kruskalWallis ------------------------------------------------
+
+  it("Kruskal-Wallis matches the hand-worked tie-corrected case") {
+    // same fixture as the ANOVA case: H=7.855769, H/C=7.939046 (ties
+    // at 2,3,4 across groups), df=2; WH chi2(2) crit ~5.9367 -> reject
+    val rows = Seq(1, 2, 3, 4).map(("a", _)) ++ Seq(2, 3, 4, 5).map(("b", _)) ++
+      Seq(10, 11, 12, 13).map(("c", _))
+    val r = Drift.kruskalWallis(rows.toDF("g", "v"), "g", "v").collect().head
+    r.getAs[Long]("k") shouldBe 3L
+    r.getAs[Long]("n") shouldBe 12L
+    r.getAs[Double]("h") shouldBe 7.8558 +- 1e-9
+    r.getAs[Double]("h_adj") shouldBe 7.939 +- 1e-9
+    r.getAs[Long]("df") shouldBe 2L
+    r.getAs[Boolean]("reject_95") shouldBe true
+  }
+
+  it("Kruskal-Wallis on identical group distributions does not reject") {
+    val rows = (1 to 40).flatMap(i => Seq(("a", i % 10), ("b", i % 10)))
+    val r = Drift.kruskalWallis(rows.toDF("g", "v"), "g", "v").collect().head
+    r.getAs[Double]("h_adj") shouldBe 0.0 // equal rank sums exactly
+    r.getAs[Boolean]("reject_95") shouldBe false
+  }
+
+  it("Kruskal-Wallis all-values-tied gives NULL h_adj (zero tie-correction denominator)") {
+    val rows = Seq.fill(4)(("a", 5)) ++ Seq.fill(4)(("b", 5))
+    val r = Drift.kruskalWallis(rows.toDF("g", "v"), "g", "v").collect().head
+    r.isNullAt(r.fieldIndex("h_adj")) shouldBe true
+  }
+
+  // ---- cliffsDelta --------------------------------------------------
+
+  it("Cliff's delta matches the exact hand count and Romano label") {
+    // a=[1,2,3,4] b=[2,3,4,5]: gt=3, lt=10, eq=3 -> delta=-7/16=-0.4375
+    val rows = Seq(1, 2, 3, 4).map(x => ("a", x)) ++ Seq(2, 3, 4, 5).map(x => ("b", x))
+    val r = Drift.cliffsDelta(rows.toDF("g", "v"), "g", "v", "a", "b").collect().head
+    r.getAs[Long]("n_gt") shouldBe 3L
+    r.getAs[Long]("n_lt") shouldBe 10L
+    r.getAs[Double]("delta") shouldBe -0.4375
+    r.getAs[String]("magnitude") shouldBe "medium" // |delta| in [0.33, 0.474)
+  }
+
+  it("Cliff's delta is +1/-1 on fully separated slices and 0 on identical ones") {
+    val sep = (1 to 5).map(x => ("a", x + 100)) ++ (1 to 5).map(x => ("b", x))
+    Drift.cliffsDelta(sep.toDF("g", "v"), "g", "v", "a", "b")
+      .collect().head.getAs[Double]("delta") shouldBe 1.0
+    val same = (1 to 5).flatMap(x => Seq(("a", x), ("b", x)))
+    val r = Drift.cliffsDelta(same.toDF("g", "v"), "g", "v", "a", "b").collect().head
+    r.getAs[Double]("delta") shouldBe 0.0
+    r.getAs[String]("magnitude") shouldBe "negligible"
+  }
+
+  // ---- pFromZ / bhAdjust --------------------------------------------
+
+  it("the A&S normal tail matches published two-sided p-values to 1e-7") {
+    val zs = Seq(0.0 -> 1.0, 1.96 -> 0.0499958, 2.5 -> 0.0124193, 3.29 -> 0.0010016)
+    val df = zs.map(_._1).toDF("z")
+      .select(F.col("z"), Drift.pFromZ(F.col("z")).as("p"))
+    df.collect().map(r => r.getDouble(0) -> r.getDouble(1)).foreach { case (z, p) =>
+      p shouldBe zs.toMap.apply(z) +- 1e-6
+    }
+  }
+
+  it("BH step-up reproduces the textbook adjustment and monotone rejection set") {
+    // p=[.01,.02,.03,.04,.5], m=5: q=[.05,.05,.05,.05,.5], running min
+    // from the bottom keeps them; all but the last reject at alpha=.05
+    val tests = Seq(("m1", 0.01), ("m2", 0.02), ("m3", 0.03), ("m4", 0.04), ("m5", 0.5))
+    val out = Drift.bhAdjust(tests.toDF("g", "p"), "g", "p", alpha = 0.05)
+      .orderBy("rank").collect()
+    out.map(_.getAs[Double]("p_adj")).toSeq shouldBe Seq(0.05, 0.05, 0.05, 0.05, 0.5)
+    out.map(_.getAs[Boolean]("reject")).toSeq shouldBe Seq(true, true, true, true, false)
+    // rejection set is a prefix of the p-ordered family (step-up shape)
+    val rejects = out.map(_.getAs[Boolean]("reject"))
+    rejects.zip(rejects.tail).foreach { case (hi, lo) => (hi || !lo) shouldBe true }
+  }
+
+  it("BH adjusted p is capped at 1 and a single test passes through unchanged") {
+    val out = Drift.bhAdjust(Seq(("only", 0.7)).toDF("g", "p"), "g", "p").collect().head
+    out.getAs[Double]("p_adj") shouldBe 0.7
+    val big = Drift.bhAdjust(Seq(("a", 0.9), ("b", 0.95)).toDF("g", "p"), "g", "p")
+      .orderBy("rank").collect()
+    big.map(_.getAs[Double]("p_adj")).foreach(_ should be <= 1.0)
+  }
 }

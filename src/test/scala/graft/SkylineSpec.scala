@@ -231,4 +231,41 @@ class SkylineSpec extends SparkSpec {
     out("a") shouldBe 5.5
     out("b") shouldBe 550.0
   }
+
+  // ---- RobustStats.poissonBootstrap ---------------------------------
+
+  it("poisson bootstrap is hash-deterministic and brackets the point mean") {
+    val rows = (1 to 500).map(i => (i.toLong, 50.0 + (i % 21) - 10)) // mean 50.0476...
+    val df = rows.toDF("id", "v")
+    val a = graft.operators.RobustStats.poissonBootstrap(df, "id", "v", b = 100)
+      .collect().head
+    a.getAs[Long]("b") shouldBe 100L
+    a.getAs[Long]("n") shouldBe 500L
+    val mean = a.getAs[Double]("mean")
+    mean shouldBe rows.map(_._2).sum / 500 +- 1e-6
+    // the 95% band contains the point mean and the replicate median
+    a.getAs[Double]("lo95") should be < mean
+    a.getAs[Double]("hi95") should be > mean
+    a.getAs[Double]("lo95") should be < a.getAs[Double]("median")
+    a.getAs[Double]("hi95") should be > a.getAs[Double]("median")
+    // CI width tracks sigma/sqrt(n): sd ~ 6.06, n=500 -> se ~ 0.27;
+    // the percentile band is ~4 se wide, well inside [0.5, 3]
+    val width = a.getAs[Double]("hi95") - a.getAs[Double]("lo95")
+    width should be > 0.5
+    width should be < 3.0
+    // hash determinism: a second run is bit-identical
+    val b2 = graft.operators.RobustStats.poissonBootstrap(df, "id", "v", b = 100)
+      .collect().head
+    b2.toSeq shouldBe a.toSeq
+  }
+
+  it("poisson bootstrap narrows as n grows (the se scaling sanity check)") {
+    def width(n: Int): Double = {
+      val df = (1 to n).map(i => (i.toLong, (i % 11).toDouble)).toDF("id", "v")
+      val r = graft.operators.RobustStats.poissonBootstrap(df, "id", "v", b = 80)
+        .collect().head
+      r.getAs[Double]("hi95") - r.getAs[Double]("lo95")
+    }
+    width(2000) should be < width(120) // se ~ 1/sqrt(n)
+  }
 }

@@ -196,6 +196,39 @@ class StreamingDriftSpec extends SparkSpec {
         rows.map(_._2).toDF("v"), "v", k = 20).collect().head.toSeq
   }
 
+  it("streamed ANOVA / Kruskal-Wallis / Cliff's delta equal the batch operators across a restart") {
+    val r = new scala.util.Random(79)
+    // two groups with a real location shift and heavy ties; the group
+    // rides the slice, the (integer) value the category — one partial
+    // layout serves all three readers
+    val rows = Vector.fill(300)(("a", r.nextInt(20) + 1)) ++
+      Vector.fill(280)(("b", r.nextInt(20) + 4))
+    val inDir = JFiles.createTempDirectory("graft-kw-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-kw-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-kw-counts").toString
+    def write(name: String, part: Seq[(String, Int)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (g, v) => s"$g,$v" }.mkString("\n"))
+    val half = rows.length / 2
+    write("f1.txt", rows.take(half))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("cat"))
+    val q1 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", rows.drop(half)) // restart: new query, same checkpoint
+    val q2 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val df = rows.toDF("g", "v")
+    StreamingDrift.kruskalNow(spark, cDir).collect().head.toSeq shouldBe
+      Drift.kruskalWallis(df, "g", "v").collect().head.toSeq
+    StreamingDrift.anovaNow(spark, cDir).collect().head.toSeq shouldBe
+      Drift.anovaF(df, "g", "v").collect().head.toSeq
+    StreamingDrift.cliffsDeltaNow(spark, cDir, "a", "b").collect().head.toSeq shouldBe
+      Drift.cliffsDelta(df, "g", "v", "a", "b").collect().head.toSeq
+  }
+
   it("streamed zipf and CUPED equal the batch operators across a restart") {
     val r = new scala.util.Random(73)
     // CUPED units: (arm, pre, post) integer metrics with pre→post signal;

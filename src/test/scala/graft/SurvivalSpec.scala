@@ -347,4 +347,80 @@ class SurvivalSpec extends SparkSpec {
       .collect().head.toSeq
     coxStreamed shouldBe coxBatch
   }
+
+  it("streamed competing-risks subjects across a restart yield the batch CIF exactly") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import org.apache.spark.sql.{functions => F}
+    val r = new scala.util.Random(43)
+    // three-way exits: cause 0 (censored) / 1 / 2
+    val subjects = Seq.fill(150)((r.nextInt(10), r.nextInt(3)))
+    val inDir = JFiles.createTempDirectory("graft-aj-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-aj-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-aj-counts").toString
+    def write(name: String, part: Seq[(Int, Int)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (d, k) => s"$d,$k" }.mkString("\n"))
+    write("f1.txt", subjects.take(75))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).cast("int").as("dur"),
+        F.split(F.col("value"), ",").getItem(1).cast("int").as("cause"))
+    val q1 = graft.streaming.StreamingSurvival.attach(src(), ckpt, cDir, "dur", "cause", 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", subjects.drop(75))
+    val q2 = graft.streaming.StreamingSurvival.attach(src(), ckpt, cDir, "dur", "cause", 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = graft.streaming.StreamingSurvival.aalenJohansenNow(spark, cDir)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.toSeq).toMap
+    val batch = Survival.aalenJohansen(subjects.toDF("dur", "cause"), "dur", "cause")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.toSeq).toMap
+    streamed shouldBe batch
+    streamed.size should be > 8
+  }
+
+  // ---- aalenJohansen ------------------------------------------------
+
+  it("Aalen-Johansen matches the hand-worked two-cause case") {
+    // subjects: (t=1,cause1), (t=1,cause2), (t=2,censored), (t=3,cause1)
+    // t=1: n=4, S(0-)=1 -> CIF1=CIF2=0.25; S(1)=0.5
+    // t=2: censoring only, no CIF row
+    // t=3: n=1, S(2-)=0.5 -> CIF1 = 0.25 + 0.5*1/1 = 0.75
+    val out = Survival.aalenJohansen(
+        Seq((1, 1), (1, 2), (2, 0), (3, 1)).toDF("dur", "cause"), "dur", "cause")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    out((1L, 1L)) shouldBe ((4L, 1L, 0.25))
+    out((1L, 2L)) shouldBe ((4L, 1L, 0.25))
+    out((3L, 1L)) shouldBe ((1L, 1L, 0.75))
+    out.size shouldBe 3 // the pure-censoring duration emits no CIF step
+  }
+
+  it("Aalen-Johansen incidences and all-cause survival partition the probability space") {
+    // random-ish competing fixture: at the LAST event time,
+    // sum_k CIF_k + S = 1 exactly when everyone has exited, and <= 1
+    // always; single-cause AJ degenerates to 1 - KM.
+    val subj = Seq((1, 1), (1, 0), (2, 2), (2, 1), (3, 0), (4, 2), (5, 1), (5, 2))
+    val aj = Survival.aalenJohansen(subj.toDF("dur", "cause"), "dur", "cause").collect()
+    val kmS = Survival.kaplanMeier(
+        subj.map { case (d, k) => (d, if (k > 0) 1 else 0) }.toDF("dur", "obs"),
+        "dur", "obs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val lastCif = aj.groupBy(_.getLong(1)).map { case (_, rows) =>
+      rows.maxBy(_.getLong(0)).getDouble(4) }.sum
+    lastCif + kmS(5L) shouldBe 1.0 +- 2e-6
+    // monotone per cause
+    aj.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val cifs = rows.sortBy(_.getLong(0)).map(_.getDouble(4))
+      cifs.zip(cifs.tail).foreach { case (a, b) => b should be >= a }
+    }
+  }
+
+  it("single-cause Aalen-Johansen equals 1 - KM at every event time") {
+    val subj = Seq((1, 1), (2, 0), (2, 1), (4, 1), (6, 0), (7, 1))
+    val aj = Survival.aalenJohansen(subj.toDF("dur", "cause"), "dur", "cause")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val kmS = Survival.kaplanMeier(subj.toDF("dur", "obs"), "dur", "obs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    aj.foreach { case (t, cif) => cif shouldBe (1.0 - kmS(t)) +- 2e-6 }
+  }
 }

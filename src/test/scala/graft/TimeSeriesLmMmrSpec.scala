@@ -148,6 +148,37 @@ class TimeSeriesLmMmrSpec extends SparkSpec {
     }
   }
 
+  describe("TimeSeries.theilSen") {
+    def ts(rows: Seq[(String, Int, Long)]) =
+      TimeSeries.theilSen(rows.toDF("k", "t", "x"), "k", "t", "x")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    it("hand case: median pair slope and Conover intercept") {
+      // t=[0,1,2,3], x=[1,3,2,7]: slopes sorted [-1,.5,2,2,2,5] ->
+      // median 2; intercept = median(x - 2t) = median(1,1,-2,1) = 1
+      val r = ts(Seq(("a", 0, 1L), ("a", 1, 3L), ("a", 2, 2L), ("a", 3, 7L)))("a")
+      r shouldBe ((4L, 6L, 2.0, 1.0))
+    }
+
+    it("is exact on a noiseless line and immune to one wild outlier") {
+      val clean = (0 until 10).map(i => ("c", i, 3L * i + 5))
+      ts(clean)("c")._3 shouldBe 3.0
+      ts(clean)("c")._4 shouldBe 5.0
+      // poison one point: OLS slope would move; the pair-slope median doesn't
+      val dirty = clean.map { case (k, t0, x) => if (t0 == 4) (k, t0, 1000L) else (k, t0, x) }
+      ts(dirty)("c")._3 shouldBe 3.0
+    }
+
+    it("keys are independent and a flat series has slope 0") {
+      val r = ts((0 until 5).map(i => ("f", i, 7L)) ++
+        (0 until 5).map(i => ("up", i, i.toLong)))
+      r("f")._3 shouldBe 0.0
+      r("up")._3 shouldBe 1.0
+      r("up")._4 shouldBe 0.0
+    }
+  }
+
   describe("TimeSeries.cohortRetention") {
     it("buckets by first-activity week and counts distinct users per offset") {
       val wkUs = 604800000000L

@@ -1839,6 +1839,23 @@ object SparkEntry {
           F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).as("dst"))
       Graph.kCore(e, k = 10)
     }),
+    // k-truss of the part co-purchase graph (parts sharing >= 2 orders):
+    // every surviving edge must close >= k-2 triangles INSIDE the
+    // surviving subgraph — the community core a degree filter (q_kcore)
+    // can be faked into and mutual triangles cannot. Peel rounds are
+    // integer-exact; the oracle unrolls 5 (rounds past the fixpoint are
+    // no-ops). Live peeling at both SFs (sf0.01: 3445 -> 181 edges).
+    "q_ktruss" -> ((s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey").as("o"), F.col("l_partkey").as("p")).distinct()
+      val e = lp.as("x").join(lp.as("y"),
+          F.col("x.o") === F.col("y.o") && F.col("x.p") < F.col("y.p"))
+        .groupBy(F.col("x.p").as("src"), F.col("y.p").as("dst"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("src", "dst")
+      Graph.kTruss(e, k = 3)
+    }),
     // Degree assortativity of the projection — hubs-with-hubs vs hubs-
     // with-leaves, one row: six exact BIGINT sums then fixed-shape IEEE
     // correlation algebra (mirrored operand-for-operand by the oracle).
@@ -3071,6 +3088,34 @@ object SparkEntry {
       s"FROM (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds) GROUP BY 1"
   }
 
+  /** Unrolled k-truss mirror: each peel round enumerates the CURRENT
+    * subgraph's triangles with the canonical a<b<c 3-join (≡ the
+    * operator's degree-oriented enumeration — each triangle once),
+    * credits the three edges, and drops those under k−2; rounds past
+    * the fixpoint are no-ops, so a fixed unroll ≥ the observed fixpoint
+    * is exact. All counts integer — engine-exact. */
+  private def kTrussOracle(k: Int, rounds: Int): String = {
+    val base = "WITH e0 AS MATERIALIZED (WITH lp AS (SELECT DISTINCT l_orderkey AS o, " +
+      "l_partkey AS p FROM lineitem) " +
+      "SELECT x.p AS a, y.p AS b FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2)"
+    def supCtes(i: Int, src: String) =
+      s"t$i AS MATERIALIZED (SELECT e1.a AS u, e1.b AS v, e2.b AS w FROM $src e1 " +
+        s"JOIN $src e2 ON e2.a = e1.b JOIN $src e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        s"g$i AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM " +
+        s"(SELECT u AS a, v AS b FROM t$i UNION ALL SELECT u, w FROM t$i " +
+        s"UNION ALL SELECT v, w FROM t$i) GROUP BY 1, 2)"
+    val peels = (1 to rounds).map { i =>
+      supCtes(i, s"e${i - 1}") + ", " +
+        s"e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e " +
+        s"LEFT JOIN g$i ON g$i.a = e.a AND g$i.b = e.b " +
+        s"WHERE coalesce(g$i.c, 0) >= ${k - 2})"
+    }.mkString(", ", ", ", "")
+    base + peels + ", " + supCtes(rounds + 1, s"e$rounds") +
+      s" SELECT e.a AS src, e.b AS dst, coalesce(g${rounds + 1}.c, CAST(0 AS BIGINT)) AS support " +
+      s"FROM e$rounds e LEFT JOIN g${rounds + 1} ON g${rounds + 1}.a = e.a AND g${rounds + 1}.b = e.b"
+  }
+
   /** Unrolled HITS mirror: each round is two half-steps (authority from
     * hub over in-edges, then hub from the fresh authority over
     * out-edges), each max-normalized and snapped to 9 decimals — max is
@@ -4171,6 +4216,7 @@ object SparkEntry {
     "q_ppr" -> pprOracle(damping = 0.85, iters = 5),
     "q_hits" -> hitsOracle(iters = 4),
     "q_kcore" -> kCoreOracle(k = 10, rounds = 6),
+    "q_ktruss" -> kTrussOracle(k = 3, rounds = 5),
     "q_skew_gini" ->
       ("WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1), " +
         "r AS (SELECT k, c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS id FROM c), " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** Distributed graph analytics over relational edge lists.
   *
@@ -284,6 +284,18 @@ object Graph {
       .groupBy("node").agg(F.count(F.lit(1)).as("d"))
 
   private def triangleCore(und: DataFrame, deg: DataFrame): DataFrame = {
+    val tri = triangles(und, deg)
+    tri.select(F.col("u").as("node"))
+      .unionAll(tri.select(F.col("x").as("node")))
+      .unionAll(tri.select(F.col("y").as("node")))
+      .groupBy("node").agg(F.count(F.lit(1)).as("triangles"))
+  }
+
+  /** The degree-oriented triangle enumeration itself — one row (u, x, y)
+    * per triangle, generated exactly once at its (degree, id)-smallest
+    * corner. [[triangleCore]] folds it to node counts; [[kTruss]] folds
+    * it to per-EDGE support. */
+  private def triangles(und: DataFrame, deg: DataFrame): DataFrame = {
     val withDeg = und
       .join(deg.select(F.col("node").as("a"), F.col("d").as("da")), "a")
       .join(deg.select(F.col("node").as("b"), F.col("d").as("db")), "b")
@@ -299,13 +311,61 @@ object Graph {
       .filter(F.struct(F.col("dx"), F.col("x")) < F.struct(F.col("dy"), F.col("y")))
       .select("u", "x", "y")
     // a wedge (u; x ≺ y) closes iff the oriented edge x→y exists
-    val tri = wedges.join(
+    wedges.join(
       oriented.select(F.col("u").as("x"), F.col("v").as("y")),
       Seq("x", "y"), "left_semi")
-    tri.select(F.col("u").as("node"))
-      .unionAll(tri.select(F.col("x").as("node")))
-      .unionAll(tri.select(F.col("y").as("node")))
-      .groupBy("node").agg(F.count(F.lit(1)).as("triangles"))
+  }
+
+  /** Per-canonical-edge triangle SUPPORT: each enumerated triangle
+    * credits its three edges (mapped back to (min, max) id order); edges
+    * closing no triangle report 0. One |triangles|·3-row union into a
+    * combinable count — never a per-edge neighbor-set intersection. */
+  private def edgeSupport(und: DataFrame): DataFrame = {
+    val tri = triangles(und, degrees(und))
+    def leg(p: Column, q: Column) =
+      tri.select(F.least(p, q).as("a"), F.greatest(p, q).as("b"))
+    val sup = leg(F.col("u"), F.col("x"))
+      .unionAll(leg(F.col("u"), F.col("y")))
+      .unionAll(leg(F.col("x"), F.col("y")))
+      .groupBy("a", "b").agg(F.count(F.lit(1)).as("support"))
+    und.join(sup, Seq("a", "b"), "left")
+      .select(F.col("a"), F.col("b"),
+        F.coalesce(F.col("support"), F.lit(0L)).as("support"))
+  }
+
+  /** k-TRUSS membership (Cohen, NSA TR 2008): the maximal subgraph whose
+    * EVERY edge closes at least k−2 triangles WITHIN the subgraph — the
+    * community-core filter one notch stronger than [[kCore]] (a star
+    * fakes degree; nothing fakes mutual triangles). Iterative peel:
+    * per-edge support from the degree-oriented triangle core
+    * ([[edgeSupport]]), drop edges under k−2, recompute on the pruned
+    * graph, to the fixpoint — the same single-action round shape as
+    * [[kCore]] (one localCheckpoint + one count per round; the graph
+    * only shrinks, so round cost falls monotonically). All counts are
+    * exact integers: the surviving edge set and its supports are
+    * engine-exact, oracle-able by unrolled peel rounds (extra unrolled
+    * rounds past the fixpoint are no-ops). Output: (src, dst, support)
+    * for the surviving canonical edges, support measured IN the truss. */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 3, "k-truss needs k >= 3 (k-2 >= 1 triangle per edge)")
+    var und = undirect(edges).localCheckpoint(true)
+    var m = und.count()
+    var rounds = 0
+    var changed = m > 0
+    while (changed && rounds < maxRounds) {
+      val kept = edgeSupport(und)
+        .filter(F.col("support") >= k - 2)
+        .select("a", "b")
+        .localCheckpoint(true) // next round's base AND this round's count
+      val m2 = kept.count()
+      changed = m2 != m
+      m = m2
+      und = kept
+      rounds += 1
+    }
+    require(!changed, s"k-truss peel did not reach its fixpoint within $maxRounds rounds")
+    edgeSupport(und)
+      .select(F.col("a").as("src"), F.col("b").as("dst"), F.col("support"))
   }
 
   /** Per-node LOCAL clustering coefficient — lcc(v) = 2·tri(v) /

@@ -230,6 +230,29 @@ object StreamingDrift {
           F.col("n").cast("double").as("x")),
       "k", "t", "x", slack, threshold)
 
+  /** Mann–Kendall trend test over the stream's accumulated per-(key,
+    * day) volume — the [[cusumNow]] layout; daily counts merge exactly,
+    * and the batch S/Var(S)/z are exact-integer functions of them, so
+    * streamed == batch bit-for-bit. */
+  def mannKendallNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.TimeSeries.mannKendall(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").as("k"), F.col("cat").cast("date").as("t"),
+          F.col("n").as("x")),
+      "k", "t", "x")
+
+  /** Theil–Sen robust slope over the same accumulated per-(key, day)
+    * volume — the estimator companion to [[mannKendallNow]] from the
+    * SAME partials; the time axis re-enters as epoch days (the batch
+    * operator's integer-t contract). */
+  def theilSenNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.TimeSeries.theilSen(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").as("k"),
+          F.datediff(F.col("cat").cast("date"), F.to_date(F.lit("1970-01-01"))).as("t"),
+          F.col("n").as("x")),
+      "k", "t", "x")
+
   /** Partial reader: key columns cast back (partition-column inference,
     * the foreachBatch-partial gotcha), empty/missing dir → empty frame.
     * Shared by every count-partial accumulator in this package. */

@@ -575,4 +575,43 @@ class GraphSpec extends SparkSpec {
     // but at k=3 both triangles fail (x,y have 3 but their neighbors 2)
     core(e, 3) shouldBe Map.empty
   }
+
+  // ---- kTruss -------------------------------------------------------
+
+  private def truss(e: Seq[(String, String)], k: Int): Map[(String, String), Long] =
+    Graph.kTruss(e.toDF("src", "dst"), k)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  it("the 3-truss keeps exactly the triangle and sheds the pendant edge") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+    truss(e, 3) shouldBe Map(("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 1L)
+  }
+
+  it("K4 is its own 4-truss with support 2 on every edge; an attached triangle peels") {
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)
+    val withSide = k4 ++ Seq(("d", "e"), ("d", "f"), ("e", "f")) // side triangle at d
+    val out = truss(withSide, 4)
+    out.keySet shouldBe k4.toSet
+    out.values.foreach(_ shouldBe 2L) // within-truss support, side contribution gone
+    // at k=3 everything survives, and d's K4 edges still count only K4 triangles
+    truss(withSide, 3).keySet shouldBe withSide.toSet
+  }
+
+  it("truss peeling CASCADES: losing one weak edge re-weakens its triangle partners") {
+    // two triangles sharing edge (b,c): (a,b,c) and (b,c,d); every edge
+    // except (b,c) has support 1, so the 4-truss empties in cascade
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"))
+    truss(e, 4) shouldBe Map.empty
+    // the 3-truss keeps both triangles; the shared edge reports support 2
+    val t3 = truss(e, 3)
+    t3(("b", "c")) shouldBe 2L
+    t3.size shouldBe 5
+  }
+
+  it("truss membership is stricter than core membership: a star has a 2-core-ish hub but no truss") {
+    val star = (1 to 5).map(i => ("hub", s"leaf$i"))
+    truss(star, 3) shouldBe Map.empty
+  }
 }

@@ -513,4 +513,41 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"
   }
+
+  it("q_kruskal midranks ride the two-phase prefix — no data-sized global window") {
+    val p = plan("q_kruskal")
+    p should include("rangepartitioning")
+    p should include("__pid")
+    // the only partition-less windows allowed are the tiny per-partition
+    // offsets frame (sums __tot) — never the value-axis cumulative
+    val valueWindows = p.split("\n").filter(l =>
+      l.contains("windowspecdefinition") && !l.contains("__pid") && !l.contains("__tot"))
+    valueWindows shouldBe empty
+  }
+
+  it("q_anova is one combinable moment aggregate — no join, no window") {
+    val p = plan("q_anova")
+    p should not include "windowspecdefinition"
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  it("q_bootstrap_ci combines replicate sums map-side — the shuffle carries partials, never N x B rows") {
+    val p = plan("q_bootstrap_ci")
+    // partial + final hash aggregate around the rep exchange: the
+    // explode's N x B stream is folded before it moves
+    p.split("\n").count(l => l.contains("HashAggregate") &&
+      l.contains("partial_sum")) should be >= 1
+    p should not include "CartesianProduct"
+    // exactly one BNLJ: the 1-row (n, total) scalar broadcast onto the
+    // 1-row percentile frame — never a data-sized side
+    p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) shouldBe 1
+    p should not include "windowspecdefinition"
+  }
+
+  it("q_theil_sen's pair join is key-partitioned over the days-sized time axis — never a cartesian") {
+    val p = plan("q_theil_sen")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -114,6 +114,19 @@ class StreamingDriftSpec extends SparkSpec {
     streamed shouldBe batch
     // the planted shift is seen
     streamed.values.map(_(1).asInstanceOf[Double]).max should be > 20.0
+
+    // Mann-Kendall + Theil-Sen ride the SAME per-(key, day) partials:
+    // streamed == batch, and the planted upward shift trends
+    val daily = rows.groupBy(identity).map { case ((k, d), g) =>
+      (k, java.sql.Date.valueOf(d), g.size.toLong) }.toSeq.toDF("k", "t", "x")
+    val mkS = StreamingDrift.mannKendallNow(spark, cDir).collect().head
+    mkS.toSeq shouldBe graft.operators.TimeSeries.mannKendall(daily, "k", "t", "x")
+      .collect().head.toSeq
+    mkS.getAs[Boolean]("reject_95") shouldBe true
+    val tsDaily = daily.select(F.col("k"),
+      F.datediff(F.col("t"), F.to_date(F.lit("1970-01-01"))).as("t"), F.col("x"))
+    StreamingDrift.theilSenNow(spark, cDir).collect().head.toSeq shouldBe
+      graft.operators.TimeSeries.theilSen(tsDaily, "k", "t", "x").collect().head.toSeq
   }
 
   it("streamed two-sample KS and Mann-Whitney equal the batch tests exactly") {

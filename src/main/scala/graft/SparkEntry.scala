@@ -1419,6 +1419,27 @@ object SparkEntry {
       TimeSeries.mannKendall(daily, "k", "t", "x")
         .withColumnRenamed("k", "event_type")
     }),
+    // Autocorrelation of daily per-type volume at lags 1..7 — the
+    // seasonality detector (a weekly rhythm spikes lag 7 before anyone
+    // fits a seasonal model). Pairwise-Pearson per lag over exact
+    // BIGINT sums — the xcorr contract, engine-exact.
+    "q_acf" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(F.col("event_type").as("k"), F.to_date(F.col("ts")).as("t"))
+        .agg(F.count(F.lit(1)).as("x"))
+      TimeSeries.acf(daily, "k", "t", "x", maxLag = 7)
+        .withColumnRenamed("k", "event_type")
+    }),
+    // Two-proportion z: purchase share of the click/purchase stream by
+    // user-parity arm — the conversion-rate A/B test (rates where
+    // q_ttest compares means). Exact-integer counts, fixed-shape IEEE z.
+    "q_prop_test" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .withColumn("arm",
+          F.when(F.col("user_id") % 2 === 0, "even").otherwise("odd"))
+      Drift.twoProportionZ(ev, "arm", F.col("event_type") === "purchase", "even", "odd")
+    }),
     // Theil–Sen robust slope of daily per-type volume — Mann–Kendall's
     // estimator companion (BY HOW MUCH the level trends, outlier-
     // immune). Pair slopes are IEEE divisions of exact integers over
@@ -4515,6 +4536,43 @@ object SparkEntry {
         "WHEN vs > 0 THEN CAST(0 AS DOUBLE) END AS zv FROM j) " +
         "SELECT k AS event_type, n AS n_points, s, round(vs, 6) + 0.0 AS var_s, " +
         "round(zv, 4) + 0.0 AS z, abs(zv) > CAST(1.96 AS DOUBLE) AS reject_95 FROM z"),
+    // The q_xcorr mirror keyed per type with positive lags only; six
+    // exact BIGINT sums per (key, lag), identical Pearson algebra.
+    "q_acf" ->
+      ("WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS t, " +
+        "CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), " +
+        "l AS (SELECT CAST(range AS INT) AS lag FROM range(1, 8)), " +
+        "sh AS (SELECT k, lag, x, t + lag AS t2 FROM d, l), " +
+        "a AS (SELECT sh.k AS k, lag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(sh.x) AS BIGINT) AS sx, CAST(sum(d2.x) AS BIGINT) AS sy, " +
+        "CAST(sum(sh.x * d2.x) AS BIGINT) AS sxy, " +
+        "CAST(sum(sh.x * sh.x) AS BIGINT) AS sxx, " +
+        "CAST(sum(d2.x * d2.x) AS BIGINT) AS syy " +
+        "FROM sh JOIN d d2 ON d2.k = sh.k AND d2.t = sh.t2 GROUP BY 1, 2) " +
+        "SELECT k AS event_type, lag, n AS n_days, " +
+        "CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0 THEN " +
+        "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+        "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+        "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) + 0.0 END AS acf FROM a"),
+    // Exact-integer counts into the pooled-null z; operand-for-operand
+    // mirror of the Spark algebra, rejection on the rounded statistic.
+    "q_prop_test" ->
+      ("WITH b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS arm, " +
+        "event_type = 'purchase' AS s FROM events WHERE event_type IN ('click', 'purchase')), " +
+        "c AS (SELECT CAST(count(CASE WHEN arm = 'even' THEN 1 END) AS BIGINT) AS n1, " +
+        "CAST(count(CASE WHEN arm = 'even' AND s THEN 1 END) AS BIGINT) AS s1, " +
+        "CAST(count(CASE WHEN arm = 'odd' THEN 1 END) AS BIGINT) AS n2, " +
+        "CAST(count(CASE WHEN arm = 'odd' AND s THEN 1 END) AS BIGINT) AS s2 FROM b), " +
+        "z AS (SELECT *, CASE WHEN n1 > 0 THEN CAST(s1 AS DOUBLE) / n1 END AS p1, " +
+        "CASE WHEN n2 > 0 THEN CAST(s2 AS DOUBLE) / n2 END AS p2, " +
+        "CASE WHEN n1 + n2 > 0 THEN CAST(s1 + s2 AS DOUBLE) / (n1 + n2) END AS pp FROM c), " +
+        "w AS (SELECT *, CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+        "sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)) END AS se FROM z), " +
+        "f AS (SELECT *, CASE WHEN se > 0 THEN (p1 - p2) / se END AS zz FROM w) " +
+        "SELECT n1 AS n_a, s1 AS s_a, round(p1, 6) + 0.0 AS rate_a, " +
+        "n2 AS n_b, s2 AS s_b, round(p2, 6) + 0.0 AS rate_b, " +
+        "round(zz, 4) + 0.0 AS z, abs(round(zz, 4)) > 1.96 AS reject_95 FROM f"),
     // Pair slopes over the same days-sized self-join as q_trend_mk;
     // medians interpolate identical doubles (quantile_cont ≡ percentile,
     // the q_percentiles contract), slope snapped round-6 before the

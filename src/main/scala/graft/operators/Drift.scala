@@ -754,6 +754,42 @@ object Drift {
           .otherwise("large").as("magnitude"))
   }
 
+  /** TWO-PROPORTION z-test between slice `a` and slice `b` — the
+    * conversion-rate A/B companion to [[welchT]] (rates, not means):
+    * z = (p̂₁ − p̂₂) / √(p̂(1−p̂)(1/n₁ + 1/n₂)) under the pooled null.
+    * One combinable count aggregate; every operand is an exact BIGINT
+    * count, so z is fixed-shape IEEE — engine-exact up to the round-4
+    * output snap, rejection decided on the rounded statistic. NULL z on
+    * an empty arm or a degenerate pooled rate (0 or 1). Output: one row
+    * — (n_a, s_a, rate_a, n_b, s_b, rate_b, z, reject_95). */
+  def twoProportionZ(df: DataFrame, sliceCol: String, successCol: Column,
+                     a: String, b: String): DataFrame = {
+    val s = successCol.cast("boolean")
+    df.filter(s.isNotNull && (F.col(sliceCol) === a || F.col(sliceCol) === b))
+      .agg(
+        F.count(F.when(F.col(sliceCol) === a, 1)).as("n1"),
+        F.count(F.when(F.col(sliceCol) === a && s, 1)).as("s1"),
+        F.count(F.when(F.col(sliceCol) === b, 1)).as("n2"),
+        F.count(F.when(F.col(sliceCol) === b && s, 1)).as("s2"))
+      // ANSI divide-by-zero guards: an empty arm yields NULL rate/z,
+      // not a throw (CASE branches evaluate lazily in both engines)
+      .withColumn("p1", F.when(F.col("n1") > 0, F.col("s1").cast("double") / F.col("n1")))
+      .withColumn("p2", F.when(F.col("n2") > 0, F.col("s2").cast("double") / F.col("n2")))
+      .withColumn("pp", F.when(F.col("n1") + F.col("n2") > 0,
+        (F.col("s1") + F.col("s2")).cast("double") / (F.col("n1") + F.col("n2"))))
+      .withColumn("se", F.when(F.col("n1") > 0 && F.col("n2") > 0,
+        F.sqrt(F.col("pp") * (F.lit(1.0) - F.col("pp"))
+          * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2")))))
+      .withColumn("zz", F.when(F.col("se") > 0,
+        (F.col("p1") - F.col("p2")) / F.col("se")))
+      .select(F.col("n1").as("n_a"), F.col("s1").as("s_a"),
+        (F.round(F.col("p1"), 6) + F.lit(0.0)).as("rate_a"),
+        F.col("n2").as("n_b"), F.col("s2").as("s_b"),
+        (F.round(F.col("p2"), 6) + F.lit(0.0)).as("rate_b"),
+        (F.round(F.col("zz"), 4) + F.lit(0.0)).as("z"),
+        (F.abs(F.round(F.col("zz"), 4)) > 1.96).as("reject_95"))
+  }
+
   /** Two-sided normal p-value from a z/t statistic via the
     * Abramowitz–Stegun 26.2.17 five-term Φ approximation (|ε| <
     * 7.5·10⁻⁸) — the fixed algebraic form this library uses wherever a

@@ -510,6 +510,44 @@ object TimeSeries {
       Pearson.fromSums(F.col("n")).as("xcorr"))
   }
 
+  /** AUTOCORRELATION FUNCTION per key — [[crossCorrelation]]'s
+    * self-variant: the Pearson correlation of each key's series with
+    * its own lag-l shift, for l = 1..maxLag. THE seasonality detector: a
+    * weekly rhythm puts a spike at lag 7 before anyone fits a seasonal
+    * model, and a slow-decaying ACF is the trend/burst signature the
+    * anomaly thresholds should know about. (The pairwise-Pearson form —
+    * each lag correlates only its overlapping pairs — rather than the
+    * global-mean estimator: every sum here is then an exact BIGINT, the
+    * cross-engine determinism anchor, exactly the xcorr contract.)
+    *
+    * Scale shape: the lag table (maxLag rows) broadcasts onto the
+    * date-shifted series; ONE equi-join on (key, shifted day) and one
+    * combinable six-sum aggregate per (key, lag). The series axis is
+    * calendar-bounded per key — never event-sized. Output: (key, lag,
+    * n_days, acf round 6); acf NULL when either side is constant. */
+  def acf(series: DataFrame, keyCol: String, tCol: String, xCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "need at least one lag")
+    val spark = series.sparkSession
+    val lags = spark.range(1L, maxLag + 1L).select(F.col("id").cast("int").as("lag"))
+    val s = series.select(F.col(keyCol).as("k"), F.col(tCol).as("t"),
+        F.col(xCol).cast("long").as("x"))
+      .filter(F.col("k").isNotNull && F.col("t").isNotNull && F.col("x").isNotNull)
+      .localCheckpoint(true) // feeds both sides of the lag join
+    val shifted = s.crossJoin(F.broadcast(lags))
+      .select(F.col("k"), F.col("lag"), F.col("x"), F.expr("date_add(t, lag)").as("t2"))
+    shifted
+      .join(s.select(F.col("k"), F.col("t").as("t2"), F.col("x").as("y")), Seq("k", "t2"))
+      .groupBy("k", "lag")
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum("x").as("sx"), F.sum("y").as("sy"),
+        F.sum(F.col("x") * F.col("y")).as("sxy"),
+        F.sum(F.col("x") * F.col("x")).as("sxx"),
+        F.sum(F.col("y") * F.col("y")).as("syy"))
+      .select(F.col("k"), F.col("lag"), F.col("n").as("n_days"),
+        Pearson.fromSums(F.col("n")).as("acf"))
+  }
+
   /** HOLT-WINTERS additive forecast (Winters, "Forecasting sales by
     * exponentially weighted moving averages", Mgmt. Sci. 1960) over a
     * per-key regular series `(key, t, x)` — the projection a

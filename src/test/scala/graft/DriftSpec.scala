@@ -522,6 +522,38 @@ class DriftSpec extends SparkSpec {
     r.getAs[String]("magnitude") shouldBe "negligible"
   }
 
+  // ---- twoProportionZ -----------------------------------------------
+
+  it("two-proportion z matches the hand-worked pooled-null case") {
+    // a: 30/100 vs b: 20/100 -> pooled .25, se = sqrt(.25*.75*.02),
+    // z = .1/0.0612372 = 1.633 (no reject); 40/100 vs 20/100 -> 3.0861
+    def rows(sa: Int) = (1 to 100).map(i => ("a", i <= sa)) ++
+      (1 to 100).map(i => ("b", i <= 20))
+    val r1 = Drift.twoProportionZ(rows(30).toDF("g", "s"), "g", F.col("s"), "a", "b")
+      .collect().head
+    r1.getAs[Long]("n_a") shouldBe 100L
+    r1.getAs[Long]("s_a") shouldBe 30L
+    r1.getAs[Double]("rate_a") shouldBe 0.3
+    r1.getAs[Double]("z") shouldBe 1.633 +- 1e-9
+    r1.getAs[Boolean]("reject_95") shouldBe false
+    val r2 = Drift.twoProportionZ(rows(40).toDF("g", "s"), "g", F.col("s"), "a", "b")
+      .collect().head
+    r2.getAs[Double]("z") shouldBe 3.0861 +- 1e-9
+    r2.getAs[Boolean]("reject_95") shouldBe true
+  }
+
+  it("two-proportion z is NULL on a degenerate pooled rate or an empty arm") {
+    val allTrue = Seq(("a", true), ("a", true), ("b", true))
+    val r = Drift.twoProportionZ(allTrue.toDF("g", "s"), "g", F.col("s"), "a", "b")
+      .collect().head
+    r.isNullAt(r.fieldIndex("z")) shouldBe true // pooled p = 1 -> se = 0
+    val oneArm = Seq(("a", true), ("a", false))
+    val r2 = Drift.twoProportionZ(oneArm.toDF("g", "s"), "g", F.col("s"), "a", "b")
+      .collect().head
+    r2.getAs[Long]("n_b") shouldBe 0L
+    r2.isNullAt(r2.fieldIndex("z")) shouldBe true
+  }
+
   // ---- pFromZ / bhAdjust --------------------------------------------
 
   it("the A&S normal tail matches published two-sided p-values to 1e-7") {

@@ -179,6 +179,39 @@ class TimeSeriesLmMmrSpec extends SparkSpec {
     }
   }
 
+  describe("TimeSeries.acf") {
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2026, 3, 1).plusDays(i.toLong))
+
+    it("a perfectly periodic series autocorrelates to exactly 1 at its period") {
+      // period 3, repeating [1, 5, 9] over 18 days
+      val rows = (0 until 18).map(i => ("p", day(i), Seq(1L, 5L, 9L)(i % 3)))
+      val out = TimeSeries.acf(rows.toDF("k", "t", "x"), "k", "t", "x", maxLag = 7)
+        .collect().map(r => r.getInt(1) -> (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+      out(3) shouldBe 1.0
+      out(6) shouldBe 1.0
+      out(1).asInstanceOf[Double] should be < 0.0 // within-period anticorrelation
+    }
+
+    it("a constant series has NULL acf (zero variance) and lags count overlapping days") {
+      val rows = (0 until 10).map(i => ("c", day(i), 4L))
+      val out = TimeSeries.acf(rows.toDF("k", "t", "x"), "k", "t", "x", maxLag = 3)
+        .collect().map(r => r.getInt(1) -> (r.getLong(2), r.isNullAt(3))).toMap
+      out(1) shouldBe ((9L, true))
+      out(3) shouldBe ((7L, true))
+    }
+
+    it("keys are independent: one key's rhythm does not leak into another's lags") {
+      val periodic = (0 until 12).map(i => ("p", day(i), Seq(2L, 8L)(i % 2)))
+      val trending = (0 until 12).map(i => ("up", day(i), i.toLong))
+      val out = TimeSeries.acf((periodic ++ trending).toDF("k", "t", "x"),
+          "k", "t", "x", maxLag = 2)
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+      out(("p", 2)) shouldBe 1.0
+      out(("p", 1)) shouldBe -1.0
+      out(("up", 1)) shouldBe 1.0 // a clean linear trend is lag-1 perfect
+    }
+  }
+
   describe("TimeSeries.cohortRetention") {
     it("buckets by first-activity week and counts distinct users per offset") {
       val wkUs = 604800000000L

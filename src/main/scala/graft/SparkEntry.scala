@@ -1408,6 +1408,19 @@ object SparkEntry {
           F.col("x").cast("long").as("n"),
           F.col("cusum_hi"), F.col("cusum_lo"), F.col("alarm_hi"), F.col("alarm_lo"))
     }),
+    // EWMA control chart of daily per-type volume — CUSUM's memory-
+    // weighted sibling (small sustained shifts) with time-varying
+    // limits; the z trajectory is 9-snapped per step, so the recursive-
+    // CTE mirror replays it bit-for-bit.
+    "q_ewma" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(F.col("event_type").as("k"), F.to_date(F.col("ts")).as("t"))
+        .agg(F.count(F.lit(1)).cast("double").as("x"))
+      Drift.ewmaChart(daily, "k", "t", "x", lambda = 0.2, limitL = 3.0)
+        .select(F.col("k").as("event_type"), F.col("t").as("day"),
+          F.col("x").cast("long").as("n"),
+          F.col("ewma"), F.col("ucl"), F.col("lcl"), F.col("alarm"))
+    }),
     // Mann–Kendall monotone-trend test per event type over the daily
     // volumes — CUSUM's distribution-free sibling (is the level
     // TRENDING, not just shifted): exact-integer S and tie-corrected
@@ -4536,6 +4549,31 @@ object SparkEntry {
         "WHEN vs > 0 THEN CAST(0 AS DOUBLE) END AS zv FROM j) " +
         "SELECT k AS event_type, n AS n_points, s, round(vs, 6) + 0.0 AS var_s, " +
         "round(zv, 4) + 0.0 AS z, abs(zv) > CAST(1.96 AS DOUBLE) AS reject_95 FROM z"),
+    // Recursive-CTE replay of the 9-snapped EWMA trajectory (the
+    // q_forecast discipline); λ, 1−λ, λ/(2−λ), L interpolated from the
+    // SAME Scala doubles into both engines; daily-count sums are exact
+    // (integral-valued doubles), so μ/σ seed identically.
+    "q_ewma" -> {
+      val lambda = 0.2; val oneMinus = 1.0 - lambda
+      val lamFac = lambda / (2.0 - lambda); val limitL = 3.0
+      ("WITH RECURSIVE s AS (SELECT event_type AS k, CAST(ts AS DATE) AS d, " +
+        "CAST(count(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2), " +
+        "ix AS (SELECT k, d, x, CAST(row_number() OVER (PARTITION BY k ORDER BY d) AS BIGINT) AS i FROM s), " +
+        "st AS (SELECT k, CAST(count(*) AS BIGINT) AS n, round(sum(x) / count(*), 9) AS mu, " +
+        "round(sqrt((sum(x * x) - sum(x) * sum(x) / count(*)) / (count(*) - 1)), 9) AS sigma " +
+        "FROM s GROUP BY 1 HAVING count(*) >= 2), " +
+        "ch AS (SELECT k, CAST(0 AS BIGINT) AS i, mu AS z FROM st " +
+        s"UNION ALL SELECT ch.k, ch.i + 1, round($lambda * ix.x + $oneMinus * ch.z, 9) " +
+        "FROM ch JOIN ix ON ix.k = ch.k AND ix.i = ch.i + 1), " +
+        s"f AS (SELECT ch.k, ix.d, ix.x, ch.z, st.mu, $limitL * st.sigma * " +
+        s"sqrt($lamFac * (1.0 - pow($oneMinus, ch.i * 2))) AS hw " +
+        "FROM ch JOIN ix ON ix.k = ch.k AND ix.i = ch.i JOIN st ON st.k = ch.k WHERE ch.i >= 1) " +
+        "SELECT k AS event_type, d AS day, CAST(x AS BIGINT) AS n, " +
+        "round(z, 6) + 0.0 AS ewma, round(mu + hw, 6) + 0.0 AS ucl, " +
+        "round(mu - hw, 6) + 0.0 AS lcl, " +
+        "(round(z, 6) + 0.0 > round(mu + hw, 6) + 0.0 " +
+        "OR round(z, 6) + 0.0 < round(mu - hw, 6) + 0.0) AS alarm FROM f")
+    },
     // The q_xcorr mirror keyed per type with positive lags only; six
     // exact BIGINT sums per (key, lag), identical Pearson algebra.
     "q_acf" ->

@@ -146,8 +146,10 @@ object Drift {
     *
     * Output: one row — (n_a, n_b, ks_stat round 6, reject_95). */
   def ksTest(df: DataFrame, sliceCol: String, valueCol: String,
-             a: String, b: String): DataFrame =
+             a: String, b: String): DataFrame = {
+    require(a != b, "slices must be distinct labels") // else every row lands in both
     ksFromCounts(valueCounts(df, sliceCol, valueCol, a, b))
+  }
 
   /** [[ksTest]] over a pre-aggregated (x, c1, c2) per-distinct-value
     * count frame — the two-sample tests' MERGEABLE summary (plain sums
@@ -179,8 +181,10 @@ object Drift {
     * two-phase cumulative scaffold as [[ksTest]]. Output: (n_a, n_b,
     * u_stat, z round 4, reject_95). */
   def mannWhitney(df: DataFrame, sliceCol: String, valueCol: String,
-                  a: String, b: String): DataFrame =
+                  a: String, b: String): DataFrame = {
+    require(a != b, "slices must be distinct labels") // else every row lands in both
     mannWhitneyFromCounts(valueCounts(df, sliceCol, valueCol, a, b))
+  }
 
   /** [[mannWhitney]] over a pre-aggregated (x, c1, c2) count frame. */
   def mannWhitneyFromCounts(byV: DataFrame): DataFrame = {
@@ -229,8 +233,10 @@ object Drift {
     * Output: one row — (n_a, n_b, mean_a, mean_b, t, df_welch,
     * reject_95), means round 6, t round 4, df round 2. */
   def welchT(df: DataFrame, sliceCol: String, valueCol: String,
-             a: String, b: String): DataFrame =
+             a: String, b: String): DataFrame = {
+    require(a != b, "slices must be distinct labels") // else every row lands in both
     welchTFromCounts(valueCounts(df, sliceCol, valueCol, a, b))
+  }
 
   /** [[welchT]] over a pre-aggregated (x, c1, c2) count frame. */
   def welchTFromCounts(byV: DataFrame): DataFrame = {
@@ -551,6 +557,62 @@ object Drift {
         (F.col("__sl") > threshold).as("alarm_lo"))
   }
 
+  /** EWMA control chart (Roberts, Technometrics 1959) over a per-key
+    * time series — [[cusum]]'s memory-weighted sibling: zₜ = λ·xₜ +
+    * (1−λ)·zₜ₋₁ reacts to SMALL sustained shifts a Shewhart-style
+    * threshold misses, with the classic time-varying control limits
+    * μ ± L·σ·√(λ/(2−λ)·(1 − (1−λ)^(2t))). μ, σ are the key's own
+    * retrospective moments (the cusum baseline discipline).
+    *
+    * Spark-first shape: ONE combinable aggregate builds each key's
+    * t-ordered value array (bounded by the TIME axis, never event
+    * count), the recursion runs inside a single codegen'd `aggregate`
+    * fold with each zₜ snapped to 9 decimals (the Holt-Winters
+    * trajectory discipline — a DuckDB recursive CTE replays it
+    * bit-for-bit), and λ's complement is interpolated ONCE from the
+    * same Scala double into both engines (1−λ recomputed per engine is
+    * the ulp fork no snap absorbs). Alarms compare ROUNDED z to ROUNDED
+    * limits. Keys with < 2 points (no σ) are dropped.
+    *
+    * Output: (k, t, x, ewma, ucl, lcl, alarm), round 6. */
+  def ewmaChart(series: DataFrame, keyCol: String, tCol: String, xCol: String,
+                lambda: Double = 0.2, limitL: Double = 3.0): DataFrame = {
+    require(lambda > 0 && lambda <= 1, "lambda in (0, 1]")
+    val oneMinus = 1.0 - lambda
+    val lamFac = lambda / (2.0 - lambda)
+    val base = series.select(F.col(keyCol).as("k"), F.col(tCol).as("t"),
+        F.col(xCol).cast("double").as("x"))
+      .filter(F.col("k").isNotNull && F.col("t").isNotNull && F.col("x").isNotNull)
+    val stats = base.groupBy("k")
+      .agg(F.count(F.lit(1)).as("__n"), F.sum("x").as("__s"),
+        F.sum(F.col("x") * F.col("x")).as("__q"))
+      .filter(F.col("__n") >= 2)
+      .withColumn("__mu", F.round(F.col("__s") / F.col("__n"), 9))
+      .withColumn("__sigma", F.round(F.sqrt(
+        (F.col("__q") - F.col("__s") * F.col("__s") / F.col("__n"))
+          / (F.col("__n") - 1)), 9))
+      .select("k", "__mu", "__sigma")
+    val arr = base.groupBy("k")
+      .agg(F.sort_array(F.collect_list(F.struct(F.col("t"), F.col("x")))).as("__a"))
+    val zs = s"aggregate(__a, cast(array() as array<double>), (zs, e) -> " +
+      s"zs || array(round($lambda * e.x + $oneMinus * " +
+      s"(if(size(zs) = 0, __mu, element_at(zs, size(zs)))), 9)))"
+    arr.join(stats, "k")
+      .withColumn("__zs", F.expr(zs))
+      .select(F.col("k"), F.col("__mu"), F.col("__sigma"),
+        F.posexplode(F.arrays_zip(F.col("__a"), F.col("__zs"))))
+      .withColumn("__i", F.col("pos") + 1)
+      .withColumn("__hw", F.lit(limitL) * F.col("__sigma")
+        * F.sqrt(F.lit(lamFac) * (F.lit(1.0)
+          - F.pow(F.lit(oneMinus), F.col("__i") * 2))))
+      .withColumn("ewma", F.round(F.col("col.__zs"), 6) + F.lit(0.0))
+      .withColumn("ucl", F.round(F.col("__mu") + F.col("__hw"), 6) + F.lit(0.0))
+      .withColumn("lcl", F.round(F.col("__mu") - F.col("__hw"), 6) + F.lit(0.0))
+      .select(F.col("k"), F.col("col.__a.t").as("t"), F.col("col.__a.x").as("x"),
+        F.col("ewma"), F.col("ucl"), F.col("lcl"),
+        (F.col("ewma") > F.col("ucl") || F.col("ewma") < F.col("lcl")).as("alarm"))
+  }
+
   /** Mutual information (natural log) of the `rowCol` × `colCol` pair —
     * the effect-SIZE companion to [[chiSquare]]'s significance statistic
     * (χ² grows with N at fixed dependence; MI does not), and the feature-
@@ -732,8 +794,10 @@ object Drift {
     * al. 2006) is engine-exact. Output: (n_a, n_b, n_gt, n_lt, delta,
     * magnitude). */
   def cliffsDelta(df: DataFrame, sliceCol: String, valueCol: String,
-                  a: String, b: String): DataFrame =
+                  a: String, b: String): DataFrame = {
+    require(a != b, "slices must be distinct labels") // else every row lands in both
     cliffsDeltaFromCounts(valueCounts(df, sliceCol, valueCol, a, b))
+  }
 
   /** [[cliffsDelta]] over a pre-aggregated (x, c1, c2) count frame. */
   def cliffsDeltaFromCounts(byV: DataFrame): DataFrame = {
@@ -764,6 +828,7 @@ object Drift {
     * — (n_a, s_a, rate_a, n_b, s_b, rate_b, z, reject_95). */
   def twoProportionZ(df: DataFrame, sliceCol: String, successCol: Column,
                      a: String, b: String): DataFrame = {
+    require(a != b, "slices must be distinct labels") // else every row lands in both
     val s = successCol.cast("boolean")
     df.filter(s.isNotNull && (F.col(sliceCol) === a || F.col(sliceCol) === b))
       .agg(
@@ -843,6 +908,7 @@ object Drift {
     * deterministic. Output: (g, n_a, n_b, t). */
   def welchTPerGroup(df: DataFrame, familyCol: String, sliceCol: String,
                      valueCol: String, a: String, b: String): DataFrame = {
+    require(a != b, "slices must be distinct labels") // else every row lands in both
     val v = F.col(valueCol).cast("double")
     df.filter(v.isNotNull && F.col(familyCol).isNotNull
         && (F.col(sliceCol) === a || F.col(sliceCol) === b))

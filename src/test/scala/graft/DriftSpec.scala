@@ -447,6 +447,38 @@ class DriftSpec extends SparkSpec {
     out.map(_._4).count(identity) shouldBe 4 // lo alarms at 25, 30, 35, 40 > 20
   }
 
+  // ---- ewmaChart ----------------------------------------------------
+
+  it("EWMA tracks a constant series flat at the mean with widening-then-plateau limits") {
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2026, 4, 1).plusDays(i.toLong))
+    val rows = (0 until 10).map(i => ("c", day(i), if (i % 2 == 0) 9.0 else 11.0))
+    val out = Drift.ewmaChart(rows.toDF("k", "t", "x"), "k", "t", "x",
+        lambda = 0.2, limitL = 3.0)
+      .orderBy("t").collect()
+    // mu = 10; z oscillates around it and never alarms
+    out.foreach(_.getAs[Boolean]("alarm") shouldBe false)
+    // limits widen monotonically toward the asymptote
+    val widths = out.map(r => r.getAs[Double]("ucl") - r.getAs[Double]("lcl"))
+    widths.zip(widths.tail).foreach { case (a, b) => b should be >= a }
+    // first step: z1 = 0.2*x1 + 0.8*mu = 0.2*9 + 0.8*10 = 9.8
+    out.head.getAs[Double]("ewma") shouldBe 9.8
+  }
+
+  it("EWMA alarms on a sustained shift once z accumulates past the limit") {
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2026, 4, 1).plusDays(i.toLong))
+    // 40 points at 10 (+-1 alternation), then 8 at 14. The retrospective
+    // mu/sigma absorb some of the shift (mu ~ 10.67, sigma ~ 1.77,
+    // ucl ~ 13.3 at lambda=0.4), so single base points can never alarm,
+    // but z = 14 - 4*0.6^m crosses ucl at the 4th shifted point.
+    val rows = (0 until 40).map(i => ("s", day(i), 10.0 + (if (i % 2 == 0) -1 else 1))) ++
+      (40 until 48).map(i => ("s", day(i), 14.0))
+    val out = Drift.ewmaChart(rows.toDF("k", "t", "x"), "k", "t", "x",
+        lambda = 0.4, limitL = 3.0)
+      .orderBy("t").collect()
+    out.take(40).foreach(_.getAs[Boolean]("alarm") shouldBe false)
+    out.takeRight(5).foreach(_.getAs[Boolean]("alarm") shouldBe true) // shift caught
+  }
+
   // ---- anovaF -------------------------------------------------------
 
   it("one-way ANOVA matches the hand-worked 3-group case") {

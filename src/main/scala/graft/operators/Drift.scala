@@ -830,12 +830,20 @@ object Drift {
                      a: String, b: String): DataFrame = {
     require(a != b, "slices must be distinct labels") // else every row lands in both
     val s = successCol.cast("boolean")
-    df.filter(s.isNotNull && (F.col(sliceCol) === a || F.col(sliceCol) === b))
+    twoProportionZFromCounts(df
+      .filter(s.isNotNull && (F.col(sliceCol) === a || F.col(sliceCol) === b))
       .agg(
         F.count(F.when(F.col(sliceCol) === a, 1)).as("n1"),
         F.count(F.when(F.col(sliceCol) === a && s, 1)).as("s1"),
         F.count(F.when(F.col(sliceCol) === b, 1)).as("n2"),
-        F.count(F.when(F.col(sliceCol) === b && s, 1)).as("s2"))
+        F.count(F.when(F.col(sliceCol) === b && s, 1)).as("s2")))
+  }
+
+  /** [[twoProportionZ]] over a pre-aggregated one-row (n1, s1, n2, s2)
+    * count frame — four plain BIGINT counts, the test's complete
+    * mergeable summary (graft.streaming.StreamingDrift.propTestNow). */
+  def twoProportionZFromCounts(counts: DataFrame): DataFrame = {
+    counts
       // ANSI divide-by-zero guards: an empty arm yields NULL rate/z,
       // not a throw (CASE branches evaluate lazily in both engines)
       .withColumn("p1", F.when(F.col("n1") > 0, F.col("s1").cast("double") / F.col("n1")))

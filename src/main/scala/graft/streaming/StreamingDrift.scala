@@ -230,6 +230,46 @@ object StreamingDrift {
           F.col("n").cast("double").as("x")),
       "k", "t", "x", slack, threshold)
 
+  /** Two-proportion z over the stream so far — the ARM rides the slice
+    * dimension, the boolean success flag the category ('true'/'false');
+    * the four pooled counts are the test's complete mergeable summary,
+    * so streamed == batch bit-for-bit. */
+  def propTestNow(spark: SparkSession, countsDir: String,
+                  a: String, b: String): DataFrame = {
+    require(a != b, "arms must be distinct labels")
+    Drift.twoProportionZFromCounts(
+      categoricalCounts(spark, countsDir)
+        .filter(F.col("slice") === a || F.col("slice") === b)
+        .agg(
+          F.sum(F.when(F.col("slice") === a, F.col("n")).otherwise(0L)).as("n1"),
+          F.sum(F.when(F.col("slice") === a && F.col("cat") === "true", F.col("n"))
+            .otherwise(0L)).as("s1"),
+          F.sum(F.when(F.col("slice") === b, F.col("n")).otherwise(0L)).as("n2"),
+          F.sum(F.when(F.col("slice") === b && F.col("cat") === "true", F.col("n"))
+            .otherwise(0L)).as("s2")))
+  }
+
+  /** Autocorrelation over the stream's accumulated per-(key, day)
+    * volume — the [[cusumNow]] layout; merged daily counts re-enter the
+    * batch exact-BIGINT Pearson sums, so streamed == batch bit-for-bit. */
+  def acfNow(spark: SparkSession, countsDir: String, maxLag: Int): DataFrame =
+    graft.operators.TimeSeries.acf(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").as("k"), F.col("cat").cast("date").as("t"),
+          F.col("n").as("x")),
+      "k", "t", "x", maxLag)
+
+  /** EWMA control chart over the same accumulated per-(key, day)
+    * volume — merged counts re-enter the batch fold (the 9-snapped
+    * trajectory is a pure function of the merged series). */
+  def ewmaNow(spark: SparkSession, countsDir: String,
+              lambda: Double = 0.2, limitL: Double = 3.0): DataFrame =
+    Drift.ewmaChart(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").as("k"), F.col("cat").cast("date").as("t"),
+          F.col("n").cast("double").as("x")),
+      "k", "t", "x", lambda, limitL)
+
   /** Mann–Kendall trend test over the stream's accumulated per-(key,
     * day) volume — the [[cusumNow]] layout; daily counts merge exactly,
     * and the batch S/Var(S)/z are exact-integer functions of them, so

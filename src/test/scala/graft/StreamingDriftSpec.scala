@@ -127,6 +127,42 @@ class StreamingDriftSpec extends SparkSpec {
       F.datediff(F.col("t"), F.to_date(F.lit("1970-01-01"))).as("t"), F.col("x"))
     StreamingDrift.theilSenNow(spark, cDir).collect().head.toSeq shouldBe
       graft.operators.TimeSeries.theilSen(tsDaily, "k", "t", "x").collect().head.toSeq
+    // ACF + EWMA consume the same merged daily counts
+    StreamingDrift.acfNow(spark, cDir, maxLag = 3)
+      .collect().map(_.toSeq).toSet shouldBe
+      graft.operators.TimeSeries.acf(daily, "k", "t", "x", maxLag = 3)
+        .collect().map(_.toSeq).toSet
+    StreamingDrift.ewmaNow(spark, cDir).collect().map(_.toSeq).toSet shouldBe
+      Drift.ewmaChart(daily.select(F.col("k"), F.col("t"),
+          F.col("x").cast("double").as("x")), "k", "t", "x")
+        .collect().map(_.toSeq).toSet
+  }
+
+  it("streamed two-proportion z equals the batch test exactly") {
+    val r = new scala.util.Random(83)
+    val rows = Vector.fill(400)((if (r.nextBoolean()) "even" else "odd",
+      (r.nextInt(10) < 3).toString))
+    val inDir = JFiles.createTempDirectory("graft-pz-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-pz-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-pz-counts").toString
+    JFiles.writeString(Paths.get(inDir, "f1.txt"),
+      rows.take(200).map { case (a, s) => s"$a,$s" }.mkString("\n"))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("cat"))
+    val q1 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    JFiles.writeString(Paths.get(inDir, "f2.txt"),
+      rows.drop(200).map { case (a, s) => s"$a,$s" }.mkString("\n"))
+    val q2 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val batch = Drift.twoProportionZ(
+        rows.map { case (a, s) => (a, s.toBoolean) }.toDF("g", "s"),
+        "g", F.col("s"), "even", "odd")
+      .collect().head.toSeq
+    StreamingDrift.propTestNow(spark, cDir, "even", "odd")
+      .collect().head.toSeq shouldBe batch
   }
 
   it("streamed two-sample KS and Mann-Whitney equal the batch tests exactly") {

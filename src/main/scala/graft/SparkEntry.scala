@@ -175,6 +175,12 @@ object SparkEntry {
     * bench row is the train+serve cost, vs q_ann_index_serve's serve-only. */
   private val kmeansModels =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val sq8Models =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Double, Double)]]()
+  @volatile private var sq8Stash: Option[Array[(Double, Double)]] = None
+  private def sharedSq8(s: SparkSession, dir: String): Array[(Double, Double)] =
+    sq8Models.computeIfAbsent(dir, _ =>
+      Quantization.sq8Calibrate(t(s, dir, "embeddings"), "embedding"))
   private def sharedKmeans(s: SparkSession, dir: String, kC: Int = 8): Array[Array[Double]] =
     kmeansModels.computeIfAbsent(s"$dir#$kC", _ =>
       Similarity.snapCentroids(
@@ -2035,6 +2041,27 @@ object SparkEntry {
     // Symmetric per-vector int8 quantization quality stats (map-only).
     "q_embed_int8" -> ((s, dir) =>
       Quantization.int8Symmetric(t(s, dir, "embeddings"), "vec_id", "embedding")),
+    // Per-DIM asymmetric int8 (the trained scalar quantizer): codes
+    // spend all 256 levels inside each dimension's own range — the
+    // anisotropy fix over q_embed_int8's per-vector symmetric scheme.
+    // The 9-snapped calibration is stashed so the oracle encodes with
+    // identical literals (the train->snap->serve discipline).
+    "q_embed_sq8" -> ((s, dir) => {
+      val calib = sharedSq8(s, dir)
+      sq8Stash = Some(calib)
+      Quantization.sq8Stats(t(s, dir, "embeddings"), "vec_id", "embedding", calib)
+    }),
+    // Asymmetric-distance serve over the per-dim codes: dot(q, x_hat)
+    // distributes over the dequantized form, so scoring touches 1-byte
+    // codes + the d-bounded literal model only (float query side).
+    "q_sq8_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val calib = sharedSq8(s, dir)
+      sq8Stash = Some(calib)
+      Quantization.sq8TopK(e, e.filter(F.col("vec_id") < 10),
+          "vec_id", "embedding", calib, k = 3)
+        .withColumn("rn", F.col("rn").cast("long"))
+    }),
     // Top-k served entirely from int8 codes: integer dot x snapped scales,
     // never touching the float vectors after encode.
     "q_int8_topk" -> ((s, dir) => {
@@ -5151,6 +5178,42 @@ object SparkEntry {
         "FROM d JOIN sc sq ON d.qid = sq.vec_id JOIN sc sc2 ON d.cid = sc2.vec_id), " +
         "r AS (SELECT qid, cid, i8_sim, CAST(row_number() OVER (PARTITION BY qid ORDER BY i8_sim DESC, cid) AS BIGINT) AS rn FROM sco) " +
         "SELECT qid, cid, i8_sim, rn FROM r WHERE rn <= 3"),
+    // Codes re-derived in SQL from the stashed 9-snapped per-dim
+    // literals — identical ints in both engines; the MAE fold's 64
+    // fixed-shape terms collapse at round 6.
+    "q_embed_sq8" -> sq8Stash.map { cal =>
+      val mins = cal.map(_._1).mkString("[", ", ", "]")
+      val scales = cal.map(_._2).mkString("[", ", ", "]")
+      "WITH t AS (SELECT vec_id, embedding, unnest(range(1, 65)) AS i FROM embeddings), " +
+        s"cal AS (SELECT $mins AS mins, $scales AS scales), " +
+        "q AS (SELECT vec_id, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS vi, " +
+        "mins[CAST(i AS INT)] AS m, scales[CAST(i AS INT)] AS s, " +
+        "CAST(greatest(0.0, least(255.0, round((CAST(embedding[CAST(i AS INT)] AS DOUBLE) " +
+        "- mins[CAST(i AS INT)]) / scales[CAST(i AS INT)]))) AS INT) AS qi FROM t, cal) " +
+        "SELECT vec_id, min(qi) AS q_min, max(qi) AS q_max, " +
+        "CAST(sum(CASE WHEN qi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo, " +
+        "CAST(sum(CASE WHEN qi = 255 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi, " +
+        "round(sum(abs(vi - (m + qi * s))) / 64, 6) AS recon_mae FROM q GROUP BY vec_id"
+    }.getOrElse("SELECT NULL AS vec_id WHERE 1 = 0"),
+    // Asymmetric dot over codes from the same literals; rank on the
+    // rounded score with the cid tie-break (the cosineOracle shape).
+    "q_sq8_topk" -> sq8Stash.map { cal =>
+      val mins = cal.map(_._1).mkString("[", ", ", "]")
+      val scales = cal.map(_._2).mkString("[", ", ", "]")
+      s"WITH cal AS (SELECT $mins AS mins, $scales AS scales), " +
+        "q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10), " +
+        "c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings), " +
+        "pr AS (SELECT qid, cid, qv, cv FROM q, c WHERE cid <> qid), " +
+        "terms AS (SELECT qid, cid, qv, cv, unnest(range(1, 65)) AS i FROM pr), " +
+        "sc AS (SELECT qid, cid, sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * " +
+        "(mins[CAST(i AS INT)] + CAST(CAST(greatest(0.0, least(255.0, " +
+        "round((CAST(cv[CAST(i AS INT)] AS DOUBLE) - mins[CAST(i AS INT)]) " +
+        "/ scales[CAST(i AS INT)]))) AS INT) AS DOUBLE) * scales[CAST(i AS INT)])) AS dot " +
+        "FROM terms, cal GROUP BY 1, 2), " +
+        "r AS (SELECT qid, cid, round(dot, 4) + 0.0 AS ip_score, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY round(dot, 4) + 0.0 DESC, cid) AS rn FROM sc) " +
+        "SELECT qid, cid, ip_score, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 3"
+    }.getOrElse("SELECT NULL AS qid WHERE 1 = 0"),
     "q_embed_int8" ->
       ("WITH t AS (SELECT vec_id, embedding, unnest(range(1, 65)) AS i FROM embeddings), " +
         "pe AS (SELECT vec_id, max(abs(CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS am FROM t GROUP BY vec_id), " +

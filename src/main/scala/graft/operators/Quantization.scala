@@ -206,6 +206,100 @@ object Quantization {
     exactCosineRerank(short2, embeddings, queries, idCol, vecCol, k)
   }
 
+  /** Per-DIMENSION asymmetric int8 CALIBRATION — the classic trained
+    * scalar quantizer (the FAISS QT_8bit semantics): codes c_d =
+    * round((x_d − min_d)/scale_d) ∈ [0, 255] with scale_d = (max_d −
+    * min_d)/255 fit per dimension over the corpus. Complements
+    * [[int8Symmetric]]: the per-vector symmetric scheme wastes levels
+    * when dimensions differ in spread (anisotropic embeddings — the
+    * usual case); per-dim calibration spends all 256 levels inside each
+    * dimension's actual range at the same 1 byte/dim.
+    *
+    * Returns the d-bounded (min, scale) model as a driver array (the
+    * meanVector discipline: ONE d-row collect off a combinable per-dim
+    * min/max aggregate — never data-sized), 9-snapped so the model
+    * embeds as identical literals in any engine (the snapCentroids
+    * train→snap→serve discipline). A constant dimension gets scale 1
+    * (code 0 everywhere). */
+  def sq8Calibrate(embeddings: DataFrame, vecCol: String): Array[(Double, Double)] = {
+    val rows = embeddings
+      .select(F.posexplode(F.col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(F.min(F.col("x").cast("double")).as("mn"),
+        F.max(F.col("x").cast("double")).as("mx"))
+      .orderBy("pos").collect()
+    require(rows.nonEmpty, "sq8Calibrate needs a non-empty corpus")
+    rows.map { r =>
+      val mn = r.getDouble(1); val mx = r.getDouble(2)
+      (rd9(mn), rd9(if (mx > mn) (mx - mn) / 255.0 else 1.0))
+    }
+  }
+
+  private def rd9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Per-vector encode/reconstruction stats under a FROZEN [[sq8Calibrate]]
+    * model — the [[int8Symmetric]] output shape for the per-dim scheme:
+    * (id, q_min, q_max, n_lo, n_hi, recon_mae). n_lo/n_hi count codes
+    * pinned at 0/255 — on the training corpus these are the genuine
+    * range endpoints; on NEW data they are saturation, the drift signal
+    * that says recalibrate. Codes are exact integers from literal
+    * calibration arrays (map-only, engine-exact); the MAE is an in-row
+    * fold rounded 6. */
+  def sq8Stats(embeddings: DataFrame, idCol: String, vecCol: String,
+               calib: Array[(Double, Double)]): DataFrame = {
+    val enc = sq8Encoded(embeddings, vecCol, calib)
+    val err = s"aggregate(transform(__q, (c, i) -> " +
+      s"abs(cast(element_at($vecCol, i + 1) as double) - " +
+      s"(element_at(__mins, i + 1) + cast(c as double) * element_at(__scales, i + 1)))), " +
+      s"cast(0.0 as double), (a, x) -> a + x)"
+    enc
+      .withColumn("__err", F.expr(err))
+      .select(F.col(idCol),
+        F.array_min(F.col("__q")).as("q_min"),
+        F.array_max(F.col("__q")).as("q_max"),
+        F.size(F.filter(F.col("__q"), c => c === 0)).cast("long").as("n_lo"),
+        F.size(F.filter(F.col("__q"), c => c === 255)).cast("long").as("n_hi"),
+        F.round(F.col("__err") / F.size(F.col(vecCol)), 6).as("recon_mae"))
+  }
+
+  /** Asymmetric-distance top-k serve from the per-dim codes: the query
+    * stays FLOAT, the corpus is 1 byte/dim, and the inner product
+    * distributes over the dequantized form — dot(q, x̂) = Σ q_d·(min_d +
+    * c_d·scale_d) — so scoring touches codes and the d-bounded literal
+    * model only (never a reconstructed float corpus at rest). Queries
+    * broadcast (the bruteForceTopK shape: this is the exact-over-codes
+    * baseline the bucketed ANN tiers compare against). Output: (qid,
+    * cid, ip_score round 4, rn ≤ k) ranked by inner product. */
+  def sq8TopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, calib: Array[(Double, Double)], k: Int): DataFrame = {
+    val q = queries.select(F.col(idCol).as("qid"), F.col(vecCol).as("qv"))
+    val c = sq8Encoded(embeddings, vecCol, calib)
+      .select(F.col(idCol).as("cid"), F.col("__q"), F.col("__mins"), F.col("__scales"))
+    val dot = "aggregate(transform(__q, (c, i) -> " +
+      "cast(element_at(qv, i + 1) as double) * " +
+      "(element_at(__mins, i + 1) + cast(c as double) * element_at(__scales, i + 1))), " +
+      "cast(0.0 as double), (a, x) -> a + x)"
+    val scored = c.crossJoin(F.broadcast(q))
+      .filter(F.col("cid") =!= F.col("qid"))
+      .withColumn("ip_score", F.round(F.expr(dot), 4) + F.lit(0.0))
+    Similarity.topKPerQuery(scored.select("qid", "cid", "ip_score"), "ip_score", k)
+  }
+
+  /** (id, codes, literal model columns) under a frozen calibration. */
+  private def sq8Encoded(embeddings: DataFrame, vecCol: String,
+                         calib: Array[(Double, Double)]): DataFrame = {
+    require(calib.nonEmpty, "empty calibration")
+    val minsL = F.array(calib.map(c => F.lit(c._1)): _*)
+    val scalesL = F.array(calib.map(c => F.lit(c._2)): _*)
+    val codes = s"transform($vecCol, (x, i) -> cast(greatest(0.0, least(255.0, " +
+      s"round((cast(x as double) - element_at(__mins, i + 1)) / element_at(__scales, i + 1), 0))) as int))"
+    embeddings
+      .withColumn("__mins", minsL)
+      .withColumn("__scales", scalesL)
+      .withColumn("__q", F.expr(codes))
+  }
+
   def int8Symmetric(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = F.col(vecCol)
     val absMax = F.array_max(F.transform(v, x => F.abs(x.cast("double"))))

@@ -1438,6 +1438,11 @@ object SparkEntry {
       TimeSeries.mannKendall(daily, "k", "t", "x")
         .withColumnRenamed("k", "event_type")
     }),
+    // Flesch readability + FK grade per document — the standard
+    // text-difficulty bucketing scores; per-word syllable floors fold
+    // in-row (map-only, no explode).
+    "q_text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")),
     // Autocorrelation of daily per-type volume at lags 1..7 — the
     // seasonality detector (a weekly rhythm spikes lag 7 before anyone
     // fits a seasonal model). Pairwise-Pearson per lag over exact
@@ -4601,6 +4606,21 @@ object SparkEntry {
         "(round(z, 6) + 0.0 > round(mu + hw, 6) + 0.0 " +
         "OR round(z, 6) + 0.0 < round(mu - hw, 6) + 0.0) AS alarm FROM f")
     },
+    // Same per-word syllable floor via list_transform; all three counts
+    // exact BIGINTs, the scores one fixed-shape IEEE line each.
+    "q_text_readability" ->
+      ("WITH w AS (SELECT doc_id, text, " +
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS words, " +
+        "CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS sentences, " +
+        "CAST(coalesce(list_sum(list_transform(ws, x -> " +
+        "greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0) AS BIGINT) AS syllables FROM w), " +
+        "z AS (SELECT *, CAST(words AS DOUBLE) / sentences AS wps, " +
+        "CASE WHEN words > 0 THEN CAST(syllables AS DOUBLE) / words END AS spw FROM c) " +
+        "SELECT doc_id, words, sentences, syllables, " +
+        "round(206.835 - 1.015 * wps - 84.6 * spw, 4) + 0.0 AS flesch, " +
+        "round(0.39 * wps + 11.8 * spw - 15.59, 4) + 0.0 AS fk_grade FROM z"),
     // The q_xcorr mirror keyed per type with positive lags only; six
     // exact BIGINT sums per (key, lag), identical Pearson algebra.
     "q_acf" ->

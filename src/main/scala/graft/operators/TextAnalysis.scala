@@ -584,6 +584,45 @@ object TextAnalysis {
     *
     * Output: ONE row — (n_terms, zipf_slope round 6, zipf_r round 6);
     * NULL slope/r when fewer than two distinct ranks carry variance. */
+  /** FLESCH readability (Flesch, J. Appl. Psych. 1948) + Flesch–Kincaid
+    * grade level (Kincaid et al. 1975) — the standard "how hard is this
+    * text" scores a curation pipeline buckets documents by:
+    *
+    *   ease  = 206.835 − 1.015·(W/S) − 84.6·(Syl/W)
+    *   grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59
+    *
+    * with W whitespace words, S sentence-ending punctuation runs
+    * (floored at 1), and syllables the per-word count of [aeiouy]+
+    * vowel-group runs floored at 1 (the classic heuristic; zero-vowel
+    * tokens like numbers still cost one beat — the FLOOR is per word,
+    * not on the total, which is why the counting folds word-by-word).
+    *
+    * Entirely map-only in-row folds — no explode, no shuffle; all three
+    * counts are exact integers, the scores fixed-shape IEEE rounded 4.
+    * Empty texts report zero counts with NULL scores. Output: (id,
+    * words, sentences, syllables, flesch, fk_grade). */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = F.filter(F.split(F.lower(F.col(textCol)), " "), w => w =!= "")
+    val syl = "aggregate(__ws, cast(0 as bigint), (a, w) -> " +
+      "a + greatest(cast(1 as bigint), cast(size(regexp_extract_all(w, '[aeiouy]+', 0)) as bigint)))"
+    df.filter(F.col(textCol).isNotNull)
+      .withColumn("__ws", words)
+      .withColumn("__w", F.size(F.col("__ws")).cast("long"))
+      .withColumn("__s", F.greatest(F.lit(1),
+        F.regexp_count(F.col(textCol), F.lit("[.!?]+"))).cast("long"))
+      .withColumn("__sy", F.expr(syl))
+      .withColumn("__wps", F.col("__w").cast("double") / F.col("__s"))
+      .withColumn("__spw", F.when(F.col("__w") > 0,
+        F.col("__sy").cast("double") / F.col("__w")))
+      .select(F.col(idCol),
+        F.col("__w").as("words"), F.col("__s").as("sentences"),
+        F.col("__sy").as("syllables"),
+        (F.round(F.lit(206.835) - F.lit(1.015) * F.col("__wps")
+          - F.lit(84.6) * F.col("__spw"), 4) + F.lit(0.0)).as("flesch"),
+        (F.round(F.lit(0.39) * F.col("__wps") + F.lit(11.8) * F.col("__spw")
+          - 15.59, 4) + F.lit(0.0)).as("fk_grade"))
+  }
+
   def zipfFit(df: DataFrame, textCol: String, topN: Int = 200): DataFrame =
     zipfFitFromCounts(
       df.select(F.explode(F.split(F.col(textCol), " ")).as("term"))

@@ -566,6 +566,27 @@ class OperatorsSpec extends SparkSpec {
       q.getAs[Double]("stopword_ratio") shouldBe 0.6 // the, and, the
     }
 
+    it("readability matches the hand-worked Flesch counts, per-word syllable floors included") {
+      val rd = Seq(
+        (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 syllables
+        (2L, "7 90"),                      // zero-vowel tokens still cost 1 beat each
+        (3L, "beautiful onomatopoeia")     // multi-syllable: beau-ti-ful=3 runs (eau,i,u), o-o-a-o-oeia=4 runs
+      ).toDF("doc_id", "text")
+      val out = TextAnalysis.readability(rd, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      out(1L).getAs[Long]("words") shouldBe 6L
+      out(1L).getAs[Long]("sentences") shouldBe 2L
+      out(1L).getAs[Long]("syllables") shouldBe 6L
+      // 206.835 - 1.015*3 - 84.6*1 = 119.19 (the "very easy" band)
+      out(1L).getAs[Double]("flesch") shouldBe 119.19 +- 1e-9
+      out(2L).getAs[Long]("words") shouldBe 2L
+      out(2L).getAs[Long]("syllables") shouldBe 2L // floored, not 0
+      out(2L).getAs[Long]("sentences") shouldBe 1L // no terminator -> floor 1
+      // the long-word doc reads harder: more syllables per word -> lower ease
+      out(3L).getAs[Double]("flesch") should be < out(1L).getAs[Double]("flesch")
+      out(3L).getAs[Double]("fk_grade") should be > out(1L).getAs[Double]("fk_grade")
+    }
+
     it("repetition: looping text scores high dup/top fractions; varied text scores low") {
       val rep = Seq(
         (1L, "spam spam spam spam"),     // 3 identical 2-grams

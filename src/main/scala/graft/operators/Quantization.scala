@@ -273,16 +273,20 @@ object Quantization {
     * cid, ip_score round 4, rn ≤ k) ranked by inner product. */
   def sq8TopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, calib: Array[(Double, Double)], k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.{fdDot => ndotD}
     val q = queries.select(F.col(idCol).as("qid"), F.col(vecCol).as("qv"))
+    // dequantize ONCE per corpus row (an O(N·d) interpreted transform),
+    // so the O(N·|q|·d) scoring loop runs the codegen'd fd_dot kernel —
+    // the per-term algebra q_d·(min_d + c_d·scale_d) is unchanged, just
+    // factored so the parenthesized reconstruction computes per row, not
+    // per pair (bit-identical accumulation, the TwoNN HOF lesson)
     val c = sq8Encoded(embeddings, vecCol, calib)
-      .select(F.col(idCol).as("cid"), F.col("__q"), F.col("__mins"), F.col("__scales"))
-    val dot = "aggregate(transform(__q, (c, i) -> " +
-      "cast(element_at(qv, i + 1) as double) * " +
-      "(element_at(__mins, i + 1) + cast(c as double) * element_at(__scales, i + 1))), " +
-      "cast(0.0 as double), (a, x) -> a + x)"
+      .withColumn("__xhat", F.expr("transform(__q, (c, i) -> " +
+        "element_at(__mins, i + 1) + cast(c as double) * element_at(__scales, i + 1))"))
+      .select(F.col(idCol).as("cid"), F.col("__xhat"))
     val scored = c.crossJoin(F.broadcast(q))
       .filter(F.col("cid") =!= F.col("qid"))
-      .withColumn("ip_score", F.round(F.expr(dot), 4) + F.lit(0.0))
+      .withColumn("ip_score", F.round(ndotD(F.col("qv"), F.col("__xhat")), 4) + F.lit(0.0))
     Similarity.topKPerQuery(scored.select("qid", "cid", "ip_score"), "ip_score", k)
   }
 

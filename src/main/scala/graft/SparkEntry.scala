@@ -1454,6 +1454,18 @@ object SparkEntry {
       TimeSeries.acf(daily, "k", "t", "x", maxLag = 7)
         .withColumnRenamed("k", "event_type")
     }),
+    // Always-valid sequential test (mSPRT) of the parity arms' mean
+    // value, read daily — the peeking-safe p-sequence a live experiment
+    // dashboard needs (fixed-n tests lie to daily lookers). Null-effect
+    // arms: the p floats near 1 and never rejects, proving the algebra
+    // rather than a foregone conclusion.
+    "q_sprt" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("arm", F.when(F.col("user_id") % 2 === 0, "even").otherwise("odd"))
+        .withColumn("day", F.to_date(F.col("ts")))
+      Drift.msprt(ev, "day", "arm", "value", "even", "odd", tau = 1.0)
+        .withColumnRenamed("t", "day")
+    }),
     // Two-proportion z: purchase share of the click/purchase stream by
     // user-parity arm — the conversion-rate A/B test (rates where
     // q_ttest compares means). Exact-integer counts, fixed-shape IEEE z.
@@ -4640,6 +4652,38 @@ object SparkEntry {
         "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
         "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
         "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) + 0.0 END AS acf FROM a"),
+    // Micro-snapped metric -> exact BIGINT cumulative arm sums; the
+    // mixture-LR algebra is operand-for-operand, 1/Lambda 9-snapped
+    // BEFORE the running min so both engines carry the identical
+    // p-sequence.
+    "q_sprt" -> {
+      val tau2 = 1.0 * 1.0
+      ("WITH b AS (SELECT CAST(ts AS DATE) AS t, " +
+        "CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g, " +
+        "CAST(round(CAST(value AS DOUBLE) * 100.0, 0) AS BIGINT) AS x2 " +
+        "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL), " +
+        "pd AS (SELECT t, CAST(count(CASE WHEN g = 'even' THEN 1 END) AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN g = 'even' THEN x2 ELSE 0 END) AS BIGINT) AS sa, " +
+        "CAST(count(CASE WHEN g = 'odd' THEN 1 END) AS BIGINT) AS cb, " +
+        "CAST(sum(CASE WHEN g = 'odd' THEN x2 ELSE 0 END) AS BIGINT) AS sb FROM b GROUP BY 1), " +
+        "sg AS (SELECT CASE WHEN count(*) > 1 THEN round((CAST(sum(x2 * x2) AS DOUBLE) / 10000.0 " +
+        "- (CAST(sum(x2) AS DOUBLE) / 100.0) * (CAST(sum(x2) AS BIGINT) / 100.0) / count(*)) " +
+        "/ (count(*) - 1), 9) END AS sig2 FROM b), " +
+        "c AS (SELECT t, sum(ca) OVER w AS na, sum(sa) OVER w AS sa2, " +
+        "sum(cb) OVER w AS nb, sum(sb) OVER w AS sb2 FROM pd " +
+        "WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)), " +
+        "z AS (SELECT t, na, nb, " +
+        "CASE WHEN na > 0 AND nb > 0 THEN CAST(sa2 AS DOUBLE) / 100.0 / na " +
+        "- CAST(sb2 AS DOUBLE) / 100.0 / nb END AS diff, " +
+        "CASE WHEN na > 0 AND nb > 0 AND sig2 > 0 THEN sig2 * (1.0 / na + 1.0 / nb) END AS v " +
+        "FROM c, sg), " +
+        s"l AS (SELECT *, sqrt(v / (v + $tau2)) * exp(diff * diff * $tau2 " +
+        s"/ (2.0 * v * (v + $tau2))) AS lam FROM z), " +
+        "i AS (SELECT *, round(1.0 / lam, 9) AS invl FROM l), " +
+        "p AS (SELECT *, least(1.0, min(invl) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS pav FROM i) " +
+        "SELECT t AS day, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "round(diff, 6) + 0.0 AS diff, pav AS p_always_valid, pav <= 0.05 AS reject FROM p")
+    },
     // Exact-integer counts into the pooled-null z; operand-for-operand
     // mirror of the Spark algebra, rejection on the rounded statistic.
     "q_prop_test" ->

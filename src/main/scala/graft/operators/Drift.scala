@@ -557,6 +557,79 @@ object Drift {
         (F.col("__sl") > threshold).as("alarm_lo"))
   }
 
+  /** MIXTURE SPRT with always-valid p-values (Robbins 1970; Johari,
+    * Koomen, Pekelis & Walsh, KDD 2017 — the "peeking" fix): a fixed-n
+    * test lies to anyone who looks every day; the mSPRT's p-sequence is
+    * valid at EVERY stopping time, so the dashboard can stop the moment
+    * it crosses α with the false-positive guarantee intact. Per day t,
+    * with exact cumulative arm counts/sums, θ̂ₜ = x̄ₐ − x̄_b and
+    * vₜ = σ̂²(1/Nₐ + 1/N_b) feed the Gaussian-mixture likelihood ratio
+    *
+    *   Λₜ = √(vₜ/(vₜ+τ²)) · exp(θ̂ₜ²·τ² / (2vₜ(vₜ+τ²))),
+    *
+    * and pₜ = min(1, min_{s≤t} 1/Λₛ) is monotone non-increasing —
+    * running-min over the day axis. σ̂² is the pooled retrospective
+    * variance (one 9-snapped scalar — the ewma baseline discipline); τ
+    * is the mixture scale (≈ the effect size the test is tuned to).
+    *
+    * Determinism: the metric is snapped to integer micros so every
+    * cumulative (N, Σx) pair is an exact BIGINT; θ̂/v/Λ are fixed-shape
+    * IEEE of those, 1/Λ is 9-snapped BEFORE the running min, and the
+    * rejection compares the rounded p to α — both engines decide
+    * identically. Day-axis windows only (calendar-bounded).
+    *
+    * Output: one row per day — (t, n_a, n_b, diff, p_always_valid,
+    * reject); p NULL until both arms have data and σ̂² > 0. */
+  def msprt(df: DataFrame, tCol: String, armCol: String, valueCol: String,
+            a: String, b: String, tau: Double, alpha: Double = 0.05): DataFrame = {
+    require(a != b, "arms must be distinct labels")
+    require(tau > 0, "mixture scale tau must be positive")
+    // centi-snap (not micros): the pooled variance needs Σx², and cent
+    // codes keep x² sums inside BIGINT headroom at any realistic scale
+    // (1e4² × 1e8 rows ≈ 1e16) while staying EXACT integer moments
+    val x2 = F.round(F.col(valueCol).cast("double") * 1e2, 0).cast("long")
+    val base = df
+      .filter(F.col(tCol).isNotNull && F.col(valueCol).isNotNull
+        && (F.col(armCol) === a || F.col(armCol) === b))
+      .select(F.col(tCol).as("t"), F.col(armCol).as("g"), x2.as("x2"))
+    val perDay = base.groupBy("t").agg(
+      F.count(F.when(F.col("g") === a, 1)).as("ca"),
+      F.sum(F.when(F.col("g") === a, F.col("x2")).otherwise(0L)).as("sa"),
+      F.count(F.when(F.col("g") === b, 1)).as("cb"),
+      F.sum(F.when(F.col("g") === b, F.col("x2")).otherwise(0L)).as("sb"))
+    // pooled retrospective variance of the (centi-snapped) metric — one
+    // 9-snapped scalar from exact integer moments
+    val sig = base.agg(F.count(F.lit(1)).as("__n"),
+        F.sum("x2").as("__s"), F.sum(F.col("x2") * F.col("x2")).as("__q"))
+      .select(F.when(F.col("__n") > 1, F.round(
+        (F.col("__q").cast("double") / 1e4
+          - (F.col("__s").cast("double") / 1e2) * (F.col("__s") / 1e2) / F.col("__n"))
+          / (F.col("__n") - 1), 9)).as("__sig2"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tau2 = tau * tau
+    perDay.crossJoin(F.broadcast(sig))
+      .withColumn("__na", F.sum("ca").over(w))
+      .withColumn("__sa", F.sum("sa").over(w))
+      .withColumn("__nb", F.sum("cb").over(w))
+      .withColumn("__sb", F.sum("sb").over(w))
+      .withColumn("__diff", F.when(F.col("__na") > 0 && F.col("__nb") > 0,
+        F.col("__sa").cast("double") / 1e2 / F.col("__na")
+          - F.col("__sb").cast("double") / 1e2 / F.col("__nb")))
+      .withColumn("__v", F.when(F.col("__na") > 0 && F.col("__nb") > 0 && F.col("__sig2") > 0,
+        F.col("__sig2") * (F.lit(1.0) / F.col("__na") + F.lit(1.0) / F.col("__nb"))))
+      .withColumn("__lam",
+        F.sqrt(F.col("__v") / (F.col("__v") + tau2))
+          * F.exp(F.col("__diff") * F.col("__diff") * tau2
+            / (F.lit(2.0) * F.col("__v") * (F.col("__v") + tau2))))
+      .withColumn("__invl", F.round(F.lit(1.0) / F.col("__lam"), 9))
+      .withColumn("p_always_valid", F.least(F.lit(1.0), F.min("__invl").over(w)))
+      .select(F.col("t"), F.col("__na").as("n_a"), F.col("__nb").as("n_b"),
+        (F.round(F.col("__diff"), 6) + F.lit(0.0)).as("diff"),
+        F.col("p_always_valid"),
+        (F.col("p_always_valid") <= alpha).as("reject"))
+  }
+
   /** EWMA control chart (Roberts, Technometrics 1959) over a per-key
     * time series — [[cusum]]'s memory-weighted sibling: zₜ = λ·xₜ +
     * (1−λ)·zₜ₋₁ reacts to SMALL sustained shifts a Shewhart-style

@@ -447,6 +447,34 @@ class DriftSpec extends SparkSpec {
     out.map(_._4).count(identity) shouldBe 4 // lo alarms at 25, 30, 35, 40 > 20
   }
 
+  // ---- msprt ----------------------------------------------------------
+
+  it("mSPRT always-valid p is monotone, stays high under the null, and crosses under a real effect") {
+    def day(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2026, 5, 1).plusDays(i.toLong))
+    val r = new scala.util.Random(17)
+    def arm(shiftB: Double) = (0 until 20).flatMap { d =>
+      (0 until 40).map(j => (day(d), "a", 10.0 + (j % 7) - 3 + r.nextInt(3))) ++
+        (0 until 40).map(j => (day(d), "b", 10.0 + (j % 7) - 3 + r.nextInt(3) + shiftB))
+    }
+    // null: identical generators -> p never rejects and is non-increasing
+    val nullP = Drift.msprt(arm(0.0).toDF("t", "g", "v"), "t", "g", "v",
+        "a", "b", tau = 1.0)
+      .orderBy("t").collect()
+    val ps = nullP.map(_.getAs[Double]("p_always_valid"))
+    ps.zip(ps.tail).foreach { case (hi, lo) => lo should be <= hi }
+    nullP.foreach(_.getAs[Boolean]("reject") shouldBe false)
+    // planted +2 shift on arm b: evidence accumulates, the sequence
+    // crosses alpha and STAYS crossed (the always-valid guarantee shape)
+    val eff = Drift.msprt(arm(2.0).toDF("t", "g", "v"), "t", "g", "v",
+        "a", "b", tau = 1.0)
+      .orderBy("t").collect()
+    eff.last.getAs[Boolean]("reject") shouldBe true
+    val firstRej = eff.indexWhere(_.getAs[Boolean]("reject"))
+    eff.drop(firstRej).foreach(_.getAs[Boolean]("reject") shouldBe true)
+    // the effect estimate is near the planted -2 (a - b)
+    eff.last.getAs[Double]("diff") shouldBe -2.0 +- 0.5
+  }
+
   // ---- ewmaChart ----------------------------------------------------
 
   it("EWMA tracks a constant series flat at the mean with widening-then-plateau limits") {

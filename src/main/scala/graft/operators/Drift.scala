@@ -785,10 +785,15 @@ object Drift {
     * accumulate, folded into the moment sums (the streaming-twin entry:
     * one partial layout serves ANOVA and Kruskal–Wallis both). */
   def anovaFromCounts(byGV: DataFrame): DataFrame =
-    anovaFromMoments(byGV.groupBy("g").agg(
-      F.sum("c").as("n"),
-      F.sum(F.col("x") * F.col("c")).as("s"),
-      F.sum(F.col("x") * F.col("x") * F.col("c")).as("q")))
+    anovaFromMoments(byGV
+      // count-frame callers (streaming readers) may carry a failed cast:
+      // a NULL value would be skipped by the moment sums but still
+      // counted by n — drop the row entirely instead
+      .filter(F.col("g").isNotNull && F.col("x").isNotNull)
+      .groupBy("g").agg(
+        F.sum("c").as("n"),
+        F.sum(F.col("x") * F.col("c")).as("s"),
+        F.sum(F.col("x") * F.col("x") * F.col("c")).as("q")))
 
   /** KRUSKAL–WALLIS H (Kruskal & Wallis, JASA 1952): the rank-based
     * k-group test — does ANY of `groupCol`'s levels produce
@@ -813,8 +818,11 @@ object Drift {
 
   /** [[kruskalWallis]] over a pre-aggregated (g, x, c) count frame —
     * per-(group, value) multiplicities are the mergeable summary. */
-  def kruskalFromCounts(byGV: DataFrame): DataFrame = {
+  def kruskalFromCounts(byGV0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a NULL value from a failed streaming cast would enter N through the
+    // pooled totals but never rejoin its midrank (null ≠ null) — drop it
+    val byGV = byGV0.filter(F.col("g").isNotNull && F.col("x").isNotNull)
     val pooled = byGV.groupBy("x").agg(F.sum("c").as("t"))
     val (parted, offsets) = TwoPhase.partitionOffsets(
       pooled, Seq(F.col("x")), Seq(F.sum("t") -> "__o"))
@@ -969,7 +977,7 @@ object Drift {
     val up = Window.orderBy(F.col(pCol).asc, F.col(keyCol).asc)
     val down = Window.orderBy(F.col(pCol).desc, F.col(keyCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tests.filter(F.col(pCol).isNotNull)
+    tests.filter(F.col(pCol).isNotNull && F.col(keyCol).isNotNull)
       .withColumn("__m", F.count(F.lit(1)).over(
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("__i", F.row_number().over(up).cast("long"))

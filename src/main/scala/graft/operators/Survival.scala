@@ -313,7 +313,10 @@ object Survival {
 
   /** [[aalenJohansen]] over a pre-aggregated (t, cause, c) frame —
     * per-(duration, cause) subject counts are the mergeable summary. */
-  def aalenJohansenFromCounts(byTK: DataFrame): DataFrame = {
+  def aalenJohansenFromCounts(byTK0: DataFrame): DataFrame = {
+    // a NULL duration/cause from a failed streaming cast would sit in
+    // the risk set forever (counted in c, never in d) — drop it
+    val byTK = byTK0.filter(F.col("t").isNotNull && F.col("cause").isNotNull)
     val perT = byTK.groupBy("t")
       .agg(F.sum(F.when(F.col("cause") > 0, F.col("c")).otherwise(F.lit(0L))).as("d"),
         F.sum("c").as("c"))

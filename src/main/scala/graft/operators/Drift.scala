@@ -588,19 +588,34 @@ object Drift {
     // codes keep x² sums inside BIGINT headroom at any realistic scale
     // (1e4² × 1e8 rows ≈ 1e16) while staying EXACT integer moments
     val x2 = F.round(F.col(valueCol).cast("double") * 1e2, 0).cast("long")
-    val base = df
+    msprtFromCounts(df
       .filter(F.col(tCol).isNotNull && F.col(valueCol).isNotNull
         && (F.col(armCol) === a || F.col(armCol) === b))
-      .select(F.col(tCol).as("t"), F.col(armCol).as("g"), x2.as("x2"))
-    val perDay = base.groupBy("t").agg(
-      F.count(F.when(F.col("g") === a, 1)).as("ca"),
-      F.sum(F.when(F.col("g") === a, F.col("x2")).otherwise(0L)).as("sa"),
-      F.count(F.when(F.col("g") === b, 1)).as("cb"),
-      F.sum(F.when(F.col("g") === b, F.col("x2")).otherwise(0L)).as("sb"))
+      .groupBy(F.col(tCol).as("t"), F.col(armCol).as("g"), x2.as("x2"))
+      .agg(F.count(F.lit(1)).as("c")),
+      a, b, tau, alpha)
+  }
+
+  /** [[msprt]] over a pre-aggregated (t, g, x2, c) count frame — the
+    * per-(day, arm, centi-value) multiplicities are the test's complete
+    * mergeable summary, the entry a streaming accumulator re-enters
+    * (graft.streaming.StreamingDrift.msprtNow). */
+  def msprtFromCounts(byTGX0: DataFrame, a: String, b: String,
+                      tau: Double, alpha: Double = 0.05): DataFrame = {
+    require(a != b, "arms must be distinct labels")
+    require(tau > 0, "mixture scale tau must be positive")
+    val byTGX = byTGX0.filter(F.col("t").isNotNull && F.col("x2").isNotNull
+      && (F.col("g") === a || F.col("g") === b))
+    val perDay = byTGX.groupBy("t").agg(
+      F.sum(F.when(F.col("g") === a, F.col("c")).otherwise(0L)).as("ca"),
+      F.sum(F.when(F.col("g") === a, F.col("x2") * F.col("c")).otherwise(0L)).as("sa"),
+      F.sum(F.when(F.col("g") === b, F.col("c")).otherwise(0L)).as("cb"),
+      F.sum(F.when(F.col("g") === b, F.col("x2") * F.col("c")).otherwise(0L)).as("sb"))
     // pooled retrospective variance of the (centi-snapped) metric — one
     // 9-snapped scalar from exact integer moments
-    val sig = base.agg(F.count(F.lit(1)).as("__n"),
-        F.sum("x2").as("__s"), F.sum(F.col("x2") * F.col("x2")).as("__q"))
+    val sig = byTGX.agg(F.sum(F.col("c")).as("__n"),
+        F.sum(F.col("x2") * F.col("c")).as("__s"),
+        F.sum(F.col("x2") * F.col("x2") * F.col("c")).as("__q"))
       .select(F.when(F.col("__n") > 1, F.round(
         (F.col("__q").cast("double") / 1e4
           - (F.col("__s").cast("double") / 1e2) * (F.col("__s") / 1e2) / F.col("__n"))

@@ -249,6 +249,20 @@ object StreamingDrift {
             .otherwise(0L)).as("s2")))
   }
 
+  /** Always-valid mSPRT p-sequence over the stream so far — the
+    * (day, arm) pair rides the slice dimension as "day|arm" (the
+    * cupedNow pipe convention), the centi-snapped metric the category;
+    * merged (t, g, x2, c) counts are the test's complete sufficient
+    * statistics, so streamed == batch bit-for-bit. */
+  def msprtNow(spark: SparkSession, countsDir: String, a: String, b: String,
+               tau: Double, alpha: Double = 0.05): DataFrame =
+    Drift.msprtFromCounts(
+      categoricalCounts(spark, countsDir)
+        .select(F.to_date(F.substring_index(F.col("slice"), "|", 1)).as("t"),
+          F.substring_index(F.col("slice"), "|", -1).as("g"),
+          F.col("cat").cast("long").as("x2"), F.col("n").as("c")),
+      a, b, tau, alpha)
+
   /** Autocorrelation over the stream's accumulated per-(key, day)
     * volume — the [[cusumNow]] layout; merged daily counts re-enter the
     * batch exact-BIGINT Pearson sums, so streamed == batch bit-for-bit. */

@@ -138,6 +138,40 @@ class StreamingDriftSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
   }
 
+  it("streamed mSPRT p-sequence equals the batch test exactly across a restart") {
+    val r = new scala.util.Random(89)
+    def day(i: Int) = java.time.LocalDate.of(2026, 6, 1).plusDays(i.toLong).toString
+    // (day, arm, integral value): the arm b carries a +2 shift so the
+    // p-sequence actually moves; x2 = value*100 rides the category
+    val rows = for (d <- 0 until 12; j <- 0 until 25; g <- Seq("a", "b"))
+      yield (day(d), g, (10 + (j % 5) + r.nextInt(3) + (if (g == "b") 2 else 0)).toDouble)
+    val inDir = JFiles.createTempDirectory("graft-sprt-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-sprt-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-sprt-counts").toString
+    def enc(part: Seq[(String, String, Double)]) =
+      part.map { case (d, g, v) => s"$d|$g,${(v * 100).toLong}" }.mkString("\n")
+    val half = rows.length / 2
+    JFiles.writeString(Paths.get(inDir, "f1.txt"), enc(rows.take(half)))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("cat"))
+    val q1 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    JFiles.writeString(Paths.get(inDir, "f2.txt"), enc(rows.drop(half)))
+    val q2 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val batch = Drift.msprt(
+        rows.map { case (d, g, v) => (java.sql.Date.valueOf(d), g, v) }.toDF("t", "g", "v"),
+        "t", "g", "v", "a", "b", tau = 1.0)
+      .orderBy("t").collect().map(_.toSeq)
+    val streamed = StreamingDrift.msprtNow(spark, cDir, "a", "b", tau = 1.0)
+      .orderBy("t").collect().map(_.toSeq)
+    streamed shouldBe batch
+    // the planted shift eventually rejects (sanity that the fixture bites)
+    batch.last.last shouldBe true
+  }
+
   it("streamed two-proportion z equals the batch test exactly") {
     val r = new scala.util.Random(83)
     val rows = Vector.fill(400)((if (r.nextBoolean()) "even" else "odd",

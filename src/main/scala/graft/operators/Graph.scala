@@ -747,28 +747,40 @@ object Graph {
     // chain re-appears — the ring-of-36 fixture stalls at level 2. Dense
     // ids alternate parity by construction, so the gate bisects every
     // level the way it was designed to.
+    // Re-root a tiny already-checkpointed frame as a FRESH LogicalRDD:
+    // localCheckpoint keeps the producing plan's size ESTIMATE, and
+    // Catalyst's join-stats visitor MULTIPLIES child estimates — so a
+    // level's checkpoint inherits the product over the previous level's
+    // leaves, and across recursion levels the BigInt estimate compounds
+    // DOUBLE-EXPONENTIALLY (measured: level-4 sweeps at ~120 s with
+    // ~all wall inside BigInteger.multiply under
+    // SizeInBytesOnlyStatsPlanVisitor — on a 3-edge graph). Rebuilding
+    // from the checkpointed RDD resets the leaf estimate; the data and
+    // every downstream result are unchanged.
+    def reRoot(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
     def contractDense(ewIn: DataFrame, lab: DataFrame): (DataFrame, DataFrame) = {
       val ce0 = contract(ewIn, lab)
-      val dense = ce0.select(F.col("a").as("old"))
+      val dense = reRoot(ce0.select(F.col("a").as("old"))
         .unionAll(ce0.select(F.col("b").as("old")))
         .distinct()
         .withColumn("nid", F.row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("old")).cast("long"))
-        .localCheckpoint(true) // tiny: one row per community
-      val ce = ce0
+        .localCheckpoint(true)) // tiny: one row per community
+      val ce = reRoot(ce0
         .join(dense.select(F.col("old").as("a"), F.col("nid").as("na")), "a")
         .join(dense.select(F.col("old").as("b"), F.col("nid").as("nb")), "b")
         .select(F.least(F.col("na"), F.col("nb")).as("a"),
           F.greatest(F.col("na"), F.col("nb")).as("b"), F.col("w"))
-        .localCheckpoint(true)
+        .localCheckpoint(true))
       (ce, dense)
     }
     var mapping = lab1 // node → current level's community id
     var (ew, d0) = contractDense(ew1, mapping)
-    mapping = mapping
+    mapping = reRoot(mapping
       .join(d0.select(F.col("old").as("label"), F.col("nid")), "label")
       .select(F.col("node"), F.col("nid").as("label"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     var q = q1
     var levels = 1
     var improved = true
@@ -779,13 +791,13 @@ object Graph {
         q = qf
         levels += 1
         val (ew2, dense) = contractDense(ew, labL)
-        mapping = mapping
+        mapping = reRoot(mapping
           .join(labL.select(F.col("node").as("__c"), F.col("label").as("__l")),
             F.col("label") === F.col("__c"))
           .join(dense.select(F.col("old").as("__l2"), F.col("nid")),
             F.col("__l") === F.col("__l2"))
           .select(F.col("node"), F.col("nid").as("label"))
-          .localCheckpoint(true) // feeds the next composition AND the output
+          .localCheckpoint(true)) // feeds the next composition AND the output
         ew = ew2
       } else improved = false
     }

@@ -1454,6 +1454,36 @@ object SparkEntry {
       TimeSeries.acf(daily, "k", "t", "x", maxLag = 7)
         .withColumnRenamed("k", "event_type")
     }),
+    // Median survival time: the KM curve read as "when had half the
+    // cohort purchased" — decided on the round-6 curve, NULL if the
+    // curve never falls to 0.5 (the honest censoring answer).
+    "q_median_survival" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+      val seen = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
+      val f = seen.groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("f0"))
+      val p = seen.filter(F.col("event_type") === "purchase")
+        .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("p0"))
+      val subj = f.join(p, Seq("user_id"), "left").crossJoin(F.broadcast(cut))
+        .select(
+          F.when(F.col("p0").isNotNull,
+              F.datediff(F.to_date(F.col("p0")), F.to_date(F.col("f0"))))
+            .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
+          F.col("p0").isNotNull.cast("int").as("obs"))
+      Survival.quantileSurvival(subj, "dur", "obs", p = 0.5)
+    }),
+    // Difference-in-differences on the 2x2 (parity arm x first-3-days
+    // vs rest) design — the non-randomized-treatment estimator: each
+    // arm's own pre-period level cancels, only differential change
+    // remains. Null design, so did ~ 0 proves the algebra.
+    "q_did" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+      val base = ev.crossJoin(F.broadcast(cut))
+        .withColumn("grp", F.when(F.col("user_id") % 2 === 0, "even").otherwise("odd"))
+        .withColumn("period", F.when(F.col("ts") <= F.col("c"), "pre").otherwise("post"))
+      Drift.diffInDiff(base, "grp", "period", "value", "even", "odd", "pre", "post")
+    }),
     // Always-valid sequential test (mSPRT) of the parity arms' mean
     // value, read daily — the peeking-safe p-sequence a live experiment
     // dashboard needs (fixed-n tests lie to daily lookers). Null-effect
@@ -4652,6 +4682,50 @@ object SparkEntry {
         "round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
         "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
         "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) + 0.0 END AS acf FROM a"),
+    // The q_survival KM chain folded to one row: min t where the
+    // round-6 curve falls to 0.5 — both engines pick the identical step.
+    "q_median_survival" ->
+      (survivalByTCtes +
+        ", r AS (SELECT t, d, c, CAST(nn - sum(c) OVER w + c AS BIGINT) AS n_risk, " +
+        "CASE WHEN d > 0 AND d < nn - sum(c) OVER w + c " +
+        "THEN ln(1.0 - CAST(d AS DOUBLE) / (nn - sum(c) OVER w + c)) " +
+        "ELSE CAST(0 AS DOUBLE) END AS term FROM byt, tot " +
+        "WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)), " +
+        "km AS (SELECT t, n_risk, d, " +
+        "CASE WHEN d = n_risk THEN CAST(0 AS DOUBLE) " +
+        "ELSE round(exp(sum(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) END AS survival FROM r) " +
+        "SELECT CAST(max(n_risk) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS d_events, " +
+        "0.5 + 0.0 AS p, min(CASE WHEN survival <= 0.5 THEN t END) AS t_quantile FROM km"),
+    // Twelve cell moments in one scan; the DiD/SE/z algebra mirrored
+    // operand-for-operand, rejection on the rounded statistic.
+    "q_did" ->
+      ("WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
+        "b AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS g, " +
+        "CASE WHEN ts <= c THEN 'pre' ELSE 'post' END AS per, " +
+        "CAST(value AS DOUBLE) AS x FROM events, cut WHERE value IS NOT NULL), " +
+        "m AS (SELECT " +
+        Seq(("tp", "even", "pre"), ("tq", "even", "post"),
+          ("cp", "odd", "pre"), ("cq", "odd", "post")).map { case (t0, g, per) =>
+          s"CAST(count(CASE WHEN g = '$g' AND per = '$per' THEN 1 END) AS BIGINT) AS n_$t0, " +
+            s"sum(CASE WHEN g = '$g' AND per = '$per' THEN x ELSE 0.0 END) AS s_$t0, " +
+            s"sum(CASE WHEN g = '$g' AND per = '$per' THEN x * x ELSE 0.0 END) AS q_$t0"
+        }.mkString(", ") +
+        " FROM b), " +
+        "z AS (SELECT *, " +
+        Seq("tp", "tq", "cp", "cq").map { t0 =>
+          s"CASE WHEN n_$t0 > 0 THEN s_$t0 / n_$t0 END AS m_$t0, " +
+            s"CASE WHEN n_$t0 > 1 THEN ((q_$t0 - s_$t0 * s_$t0 / n_$t0) " +
+            s"/ (n_$t0 - 1)) / n_$t0 END AS v_$t0"
+        }.mkString(", ") +
+        " FROM m), " +
+        "y AS (SELECT *, (m_tq - m_tp) - (m_cq - m_cp) AS did, " +
+        "sqrt(v_tp + v_tq + v_cp + v_cq) AS se FROM z), " +
+        "f AS (SELECT *, CASE WHEN se > 0 THEN did / se END AS zz FROM y) " +
+        "SELECT n_tp, n_tq, n_cp, n_cq, " +
+        "round(m_tp, 6) + 0.0 AS mean_treat_pre, round(m_tq, 6) + 0.0 AS mean_treat_post, " +
+        "round(m_cp, 6) + 0.0 AS mean_ctl_pre, round(m_cq, 6) + 0.0 AS mean_ctl_post, " +
+        "round(did, 6) + 0.0 AS did, round(se, 6) + 0.0 AS se, " +
+        "round(zz, 4) + 0.0 AS z, abs(round(zz, 4)) > 1.96 AS reject_95 FROM f"),
     // Micro-snapped metric -> exact BIGINT cumulative arm sums; the
     // mixture-LR algebra is operand-for-operand, 1/Lambda 9-snapped
     // BEFORE the running min so both engines carry the identical

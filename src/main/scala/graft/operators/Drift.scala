@@ -557,6 +557,58 @@ object Drift {
         (F.col("__sl") > threshold).as("alarm_lo"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES (the 2×2 Card & Krueger 1994 design):
+    * when treatment wasn't randomized, the naive post-period gap
+    * confounds selection with effect — DiD subtracts each group's OWN
+    * pre-period level, so any fixed group difference cancels and only
+    * the differential CHANGE remains (valid under parallel trends):
+    *
+    *   DiD = (x̄_treat,post − x̄_treat,pre) − (x̄_ctl,post − x̄_ctl,pre)
+    *
+    * with the large-sample SE √(Σ_cell v/n) over the four cells'
+    * Welch-style variances. One combinable moment aggregate; the cell
+    * moments are unordered double sums (the welch class), so agreement
+    * rests on the round-4/6 outputs — rejection decided on the ROUNDED
+    * statistic. NULL z when any cell has n ≤ 1 or zero variance ride
+    * through the sum as NULL. Output: one row — (n_tp, n_tq, n_cp,
+    * n_cq, mean_treat_pre, mean_treat_post, mean_ctl_pre,
+    * mean_ctl_post, did, se, z, reject_95). */
+  def diffInDiff(df: DataFrame, groupCol: String, periodCol: String,
+                 valueCol: String, treat: String, control: String,
+                 pre: String, post: String): DataFrame = {
+    require(treat != control, "groups must be distinct labels")
+    require(pre != post, "periods must be distinct labels")
+    val v = F.col(valueCol).cast("double")
+    def cell(g: String, per: String, tag: String) = Seq(
+      F.count(F.when(F.col(groupCol) === g && F.col(periodCol) === per, 1))
+        .as(s"n_$tag"),
+      F.sum(F.when(F.col(groupCol) === g && F.col(periodCol) === per, v)
+        .otherwise(0.0)).as(s"s_$tag"),
+      F.sum(F.when(F.col(groupCol) === g && F.col(periodCol) === per, v * v)
+        .otherwise(0.0)).as(s"q_$tag"))
+    val aggs = cell(treat, pre, "tp") ++ cell(treat, post, "tq") ++
+      cell(control, pre, "cp") ++ cell(control, post, "cq")
+    def m(t: String) = F.when(F.col(s"n_$t") > 0, F.col(s"s_$t") / F.col(s"n_$t"))
+    def vn(t: String) = F.when(F.col(s"n_$t") > 1,
+      ((F.col(s"q_$t") - F.col(s"s_$t") * F.col(s"s_$t") / F.col(s"n_$t"))
+        / (F.col(s"n_$t") - 1)) / F.col(s"n_$t"))
+    df.filter(v.isNotNull && F.col(groupCol).isNotNull && F.col(periodCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__did", (m("tq") - m("tp")) - (m("cq") - m("cp")))
+      .withColumn("__se",
+        F.sqrt(vn("tp") + vn("tq") + vn("cp") + vn("cq")))
+      .withColumn("__z", F.when(F.col("__se") > 0, F.col("__did") / F.col("__se")))
+      .select(F.col("n_tp"), F.col("n_tq"), F.col("n_cp"), F.col("n_cq"),
+        (F.round(m("tp"), 6) + F.lit(0.0)).as("mean_treat_pre"),
+        (F.round(m("tq"), 6) + F.lit(0.0)).as("mean_treat_post"),
+        (F.round(m("cp"), 6) + F.lit(0.0)).as("mean_ctl_pre"),
+        (F.round(m("cq"), 6) + F.lit(0.0)).as("mean_ctl_post"),
+        (F.round(F.col("__did"), 6) + F.lit(0.0)).as("did"),
+        (F.round(F.col("__se"), 6) + F.lit(0.0)).as("se"),
+        (F.round(F.col("__z"), 4) + F.lit(0.0)).as("z"),
+        (F.abs(F.round(F.col("__z"), 4)) > 1.96).as("reject_95"))
+  }
+
   /** MIXTURE SPRT with always-valid p-values (Robbins 1970; Johari,
     * Koomen, Pekelis & Walsh, KDD 2017 — the "peeking" fix): a fixed-n
     * test lies to anyone who looks every day; the mSPRT's p-sequence is

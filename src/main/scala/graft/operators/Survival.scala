@@ -287,6 +287,26 @@ object Survival {
       (chi2 > F.lit(3.841459)).as("reject_95"))
   }
 
+  /** QUANTILE SURVIVAL TIME — the KM curve read as "when has a p
+    * fraction exited": t_p = inf{t : Ŝ(t) ≤ 1−p} (p = 0.5 is the median
+    * survival time, THE headline number of a retention analysis — the
+    * mean is not estimable under censoring, the median usually is).
+    * Decided on the curve's ROUND-6 survival values, so both engines
+    * pick the identical step; NULL when the curve never falls that far
+    * (heavy censoring — the honest answer, not an extrapolation).
+    * Output: one row — (n, d_events, p, t_quantile). */
+  def quantileSurvival(subjects: DataFrame, durCol: String, obsCol: String,
+                       p: Double = 0.5): DataFrame = {
+    require(p > 0 && p < 1, "p in (0, 1)")
+    val km = kaplanMeier(subjects, durCol, obsCol)
+    km.agg(
+        (F.max("n_risk")).as("n"), // first row's risk set = every subject
+        F.sum("d_events").as("d_events"),
+        F.min(F.when(F.col("survival") <= 1.0 - p, F.col("t"))).as("t_quantile"))
+      .select(F.col("n"), F.col("d_events"),
+        (F.lit(p) + F.lit(0.0)).as("p"), F.col("t_quantile"))
+  }
+
   /** AALEN–JOHANSEN cumulative incidence under COMPETING RISKS (Aalen &
     * Johansen, Scand. J. Stat. 1978): when a subject can exit by more
     * than one cause (converted vs churned; failed vs replaced), the

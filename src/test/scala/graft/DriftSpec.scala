@@ -447,6 +447,43 @@ class DriftSpec extends SparkSpec {
     out.map(_._4).count(identity) shouldBe 4 // lo alarms at 25, 30, 35, 40 > 20
   }
 
+  // ---- diffInDiff -----------------------------------------------------
+
+  it("DiD cancels the group fixed effect and the common time trend, keeping the planted effect") {
+    // ctl: 5 -> 6 (trend +1); treat: 15 -> 19 (fixed +10, trend +1,
+    // EFFECT +3). Naive post-gap = 13; DiD = (19-15) - (6-5) = 3.
+    // deterministic +-1 dither: every cell has the identical noise
+    // composition, so the null design nulls out EXACTLY
+    def cellRows(g: String, per: String, mu: Double, n: Int) =
+      (1 to n).map(i => (g, per, mu + (i % 3) - 1))
+    val rows = cellRows("t", "pre", 15, 200) ++ cellRows("t", "post", 19, 200) ++
+      cellRows("c", "pre", 5, 200) ++ cellRows("c", "post", 6, 200)
+    val out = Drift.diffInDiff(rows.toDF("g", "per", "v"), "g", "per", "v",
+        "t", "c", "pre", "post")
+      .collect().head
+    out.getAs[Long]("n_tp") shouldBe 200L
+    out.getAs[Double]("did") shouldBe 3.0 // exact: cell dithers cancel
+    out.getAs[Boolean]("reject_95") shouldBe true
+    // a pure fixed-effect + trend design (no differential change) nulls out
+    val nullRows = cellRows("t", "pre", 15, 200) ++ cellRows("t", "post", 16, 200) ++
+      cellRows("c", "pre", 5, 200) ++ cellRows("c", "post", 6, 200)
+    val nr = Drift.diffInDiff(nullRows.toDF("g", "per", "v"), "g", "per", "v",
+        "t", "c", "pre", "post")
+      .collect().head
+    nr.getAs[Double]("did") shouldBe 0.0
+    nr.getAs[Boolean]("reject_95") shouldBe false
+  }
+
+  it("DiD with an empty cell yields NULL estimate, not a throw") {
+    val rows = Seq(("t", "pre", 1.0), ("t", "post", 2.0), ("c", "pre", 1.0))
+    val out = Drift.diffInDiff(rows.toDF("g", "per", "v"), "g", "per", "v",
+        "t", "c", "pre", "post")
+      .collect().head
+    out.getAs[Long]("n_cq") shouldBe 0L
+    out.isNullAt(out.fieldIndex("did")) shouldBe true
+    out.isNullAt(out.fieldIndex("z")) shouldBe true
+  }
+
   // ---- msprt ----------------------------------------------------------
 
   it("mSPRT always-valid p is monotone, stays high under the null, and crosses under a real effect") {

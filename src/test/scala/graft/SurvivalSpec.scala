@@ -378,6 +378,26 @@ class SurvivalSpec extends SparkSpec {
     streamed.size should be > 8
   }
 
+  // ---- quantileSurvival ----------------------------------------------
+
+  it("median survival reads the first step at or below 0.5 off the textbook curve") {
+    // S = .8, .6, .6, .3, .3 at t = 1..5 -> median at t=4, quartile at t=2
+    val subj = Seq((1, 1), (2, 1), (3, 0), (4, 1), (5, 0)).toDF("dur", "obs")
+    val med = Survival.quantileSurvival(subj, "dur", "obs", p = 0.5).collect().head
+    med.getAs[Long]("n") shouldBe 5L
+    med.getAs[Long]("d_events") shouldBe 3L
+    med.getAs[Long]("t_quantile") shouldBe 4L
+    Survival.quantileSurvival(subj, "dur", "obs", p = 0.25)
+      .collect().head.getAs[Long]("t_quantile") shouldBe 2L
+  }
+
+  it("median survival is NULL when censoring keeps the curve above the threshold") {
+    // one late event among heavy censoring: S(3) = 2/3, never <= .5
+    val subj = Seq((1, 0), (2, 0), (3, 1), (4, 0), (5, 0)).toDF("dur", "obs")
+    val r = Survival.quantileSurvival(subj, "dur", "obs", p = 0.5).collect().head
+    r.isNullAt(r.fieldIndex("t_quantile")) shouldBe true
+  }
+
   // ---- aalenJohansen ------------------------------------------------
 
   it("Aalen-Johansen matches the hand-worked two-cause case") {

@@ -1438,6 +1438,17 @@ object SparkEntry {
       TimeSeries.mannKendall(daily, "k", "t", "x")
         .withColumnRenamed("k", "event_type")
     }),
+    // Per-class precision/recall/F1 of the langId heuristic against the
+    // fixture's true lang labels — the model-eval gate a learned filter
+    // passes before its labels feed curation. One confusion-cell scan.
+    "q_classifier_eval" -> ((s, dir) =>
+      Evaluation.perClass(
+        TextAnalysis.langId(t(s, dir, "documents"), "text"), "pred_lang", "lang")),
+    // Cohen's kappa for the same prediction/label pair — accuracy
+    // corrected for the agreement the margins produce by chance.
+    "q_kappa" -> ((s, dir) =>
+      Evaluation.kappa(
+        TextAnalysis.langId(t(s, dir, "documents"), "text"), "pred_lang", "lang")),
     // Flesch readability + FK grade per document — the standard
     // text-difficulty bucketing scores; per-word syllable floors fold
     // in-row (map-only, no explode).
@@ -3533,6 +3544,30 @@ object SparkEntry {
     * purchase with the 3-day analysis cutoff) down to the per-duration
     * (t, d, c) counts + the nn total — shared by q_survival /
     * q_survival_ci / q_cumhaz. */
+  /** The q_text_langid prediction logic as a confusion-cell CTE chain
+    * ending in `cells(pred, label, n)` — shared by the classifier-eval
+    * and kappa mirrors (ties break by the 'en'-first declaration order,
+    * exactly the operator's reversed fold). */
+  private def langidCellsCte: String =
+    "WITH pr AS (SELECT lang, " +
+      "CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de' " +
+      "WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr' " +
+      "WHEN score_zh = best THEN 'zh' ELSE 'und' END AS pred FROM (" +
+      "SELECT lang, " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))) AS score_en, " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und'))) AS score_de, " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('el','la','los','que'))) AS score_es, " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('le','les','des','est'))) AS score_fr, " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('的','是','了','在'))) AS score_zh, " +
+      "greatest(" +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and'))), " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('der','die','das','und'))), " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('el','la','los','que'))), " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('le','les','des','est'))), " +
+      "len(list_filter(string_split(text, ' '), x -> x IN ('的','是','了','在')))) AS best FROM documents)), " +
+      "cells AS (SELECT pred, lang AS label, CAST(count(*) AS BIGINT) AS n " +
+      "FROM pr WHERE lang IS NOT NULL GROUP BY 1, 2)"
+
   private def survivalByTCtes: String =
     "WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
       "f AS (SELECT user_id, min(ts) AS f0 FROM events, cut WHERE ts <= c GROUP BY 1), " +
@@ -4648,6 +4683,34 @@ object SparkEntry {
         "(round(z, 6) + 0.0 > round(mu + hw, 6) + 0.0 " +
         "OR round(z, 6) + 0.0 < round(mu - hw, 6) + 0.0) AS alarm FROM f")
     },
+    // The q_text_langid prediction CTE folded to confusion cells; all
+    // margins exact BIGINTs, the P/R/F1 and kappa algebra mirrored
+    // operand-for-operand.
+    "q_classifier_eval" ->
+      (langidCellsCte +
+        ", pn AS (SELECT pred AS class, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1), " +
+        "an AS (SELECT label AS class, CAST(sum(n) AS BIGINT) AS n_actual FROM cells GROUP BY 1), " +
+        "tp AS (SELECT pred AS class, n AS tp FROM cells WHERE pred = label), " +
+        "j AS (SELECT coalesce(pn.class, an.class) AS class, coalesce(n_pred, 0) AS n_pred, " +
+        "coalesce(n_actual, 0) AS n_actual, coalesce(tp.tp, CAST(0 AS BIGINT)) AS tp " +
+        "FROM pn FULL OUTER JOIN an ON an.class = pn.class " +
+        "LEFT JOIN tp ON tp.class = coalesce(pn.class, an.class)), " +
+        "z AS (SELECT *, CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END AS p, " +
+        "CASE WHEN n_actual > 0 THEN CAST(tp AS DOUBLE) / n_actual END AS r FROM j), " +
+        "f AS (SELECT *, CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END AS f1 FROM z) " +
+        "SELECT class, n_pred, n_actual, tp, round(p, 6) + 0.0 AS precision, " +
+        "round(r, 6) + 0.0 AS recall, round(f1, 6) + 0.0 AS f1 FROM f"),
+    "q_kappa" ->
+      (langidCellsCte +
+        ", po AS (SELECT CAST(sum(n) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN pred = label THEN n ELSE 0 END) AS BIGINT) AS agree FROM cells), " +
+        "pe AS (SELECT sum(CAST(np AS DOUBLE) * na) AS pewn FROM " +
+        "(SELECT pred, CAST(sum(n) AS BIGINT) AS np FROM cells GROUP BY 1) a " +
+        "JOIN (SELECT label, CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY 1) b " +
+        "ON a.pred = b.label), " +
+        "z AS (SELECT n, CAST(agree AS DOUBLE) / n AS po2, pewn / n / n AS pe2 FROM po, pe) " +
+        "SELECT n, round(po2, 6) + 0.0 AS accuracy, round(pe2, 6) + 0.0 AS expected_accuracy, " +
+        "round(CASE WHEN pe2 < 1.0 THEN (po2 - pe2) / (1.0 - pe2) END, 4) + 0.0 AS kappa FROM z"),
     // Same per-word syllable floor via list_transform; all three counts
     // exact BIGINTs, the scores one fixed-shape IEEE line each.
     "q_text_readability" ->

@@ -566,6 +566,41 @@ class OperatorsSpec extends SparkSpec {
       q.getAs[Double]("stopword_ratio") shouldBe 0.6 // the, and, the
     }
 
+    it("classifier eval matches the hand confusion matrix; kappa corrects for chance") {
+      import graft.operators.Evaluation
+      // confusion: pred a: (a:4, b:1); pred b: (a:1, b:3); pred c: (b:1)
+      // class c never TRUE, class a/b mixed; n = 10
+      val rows = Seq.fill(4)(("a", "a")) ++ Seq(("a", "b")) ++
+        Seq(("b", "a")) ++ Seq.fill(3)(("b", "b")) ++ Seq(("c", "b"))
+      val df = rows.toDF("pred", "label")
+      val pc = Evaluation.perClass(df, "pred", "label")
+        .collect().map(r => r.getString(0) -> r).toMap
+      pc("a").getAs[Long]("n_pred") shouldBe 5L
+      pc("a").getAs[Long]("n_actual") shouldBe 5L
+      pc("a").getAs[Double]("precision") shouldBe 0.8
+      pc("a").getAs[Double]("recall") shouldBe 0.8
+      pc("a").getAs[Double]("f1") shouldBe 0.8
+      pc("b").getAs[Double]("precision") shouldBe 0.75
+      pc("b").getAs[Double]("recall") shouldBe 0.6
+      // class c: predicted once, never true -> precision 0, recall NULL
+      pc("c").getAs[Long]("n_actual") shouldBe 0L
+      pc("c").getAs[Double]("precision") shouldBe 0.0
+      pc("c").isNullAt(pc("c").fieldIndex("recall")) shouldBe true
+      pc("c").isNullAt(pc("c").fieldIndex("f1")) shouldBe true
+      // kappa: po = 0.7; pe = (5*5 + 4*5 + 1*0)/100 = 0.45
+      // kappa = (0.7 - 0.45)/0.55 = 0.4545
+      val k = Evaluation.kappa(df, "pred", "label").collect().head
+      k.getAs[Long]("n") shouldBe 10L
+      k.getAs[Double]("accuracy") shouldBe 0.7
+      k.getAs[Double]("expected_accuracy") shouldBe 0.45
+      k.getAs[Double]("kappa") shouldBe 0.4545 +- 1e-9
+      // single-class degenerate margins: agreement unmeasurable -> NULL
+      val deg = Evaluation.kappa(Seq.fill(5)(("x", "x")).toDF("pred", "label"),
+        "pred", "label").collect().head
+      deg.getAs[Double]("accuracy") shouldBe 1.0
+      deg.isNullAt(deg.fieldIndex("kappa")) shouldBe true
+    }
+
     it("readability matches the hand-worked Flesch counts, per-word syllable floors included") {
       val rd = Seq(
         (1L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 syllables

@@ -35,6 +35,16 @@ object SparkEntry {
     * (session TZ is pinned UTC, so the wall clock equals the instant). */
   private def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")
 
+  /** Shared fixture for the probability-forecast evaluators (brier /
+    * calibration / ECE): a deterministic "probability of English" read
+    * p = min(n_chars, 600)/600 — IEEE division of exact integers, so
+    * both engines hold the identical double — with the true label
+    * alongside. */
+  private def docProb(docs: DataFrame): DataFrame =
+    docs.select(
+      (F.least(F.col("n_chars"), F.lit(600L)).cast("double") / 600.0).as("p_en"),
+      (F.col("lang") === "en").as("is_en"))
+
   /** The `events` fixture mapped into the audit-event vocabulary:
     * guid := event_id (stringified), created_at := ts. The original columns
     * ride along as the payload. */
@@ -1156,6 +1166,13 @@ object SparkEntry {
     "q_coxph" -> ((s, dir) => {
       Survival.coxPh(cohortSubjects(s, dir), "dur", "obs", "cohort")
     }),
+    // Harrell's C for the same binary risk score (cohort 1 vs 0, the
+    // coxph x = 1 coding): discrimination, the third read of the
+    // two-cohort design — pair counting folded over the per-duration
+    // risk sets (exact BIGINTs, one final division), never O(n²) pairs.
+    "q_cindex" -> ((s, dir) => {
+      Survival.cIndexBinary(cohortSubjects(s, dir), "dur", "obs", "cohort")
+    }),
     // The same KM curve with Greenwood 95% bands — the variance a curve
     // needs before two of them are compared by eye; se/lo/hi NULL at an
     // everyone-dies step (variance undefined at S = 0).
@@ -1454,6 +1471,65 @@ object SparkEntry {
     // in-row (map-only, no explode).
     "q_text_readability" -> ((s, dir) =>
       TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")),
+    // ROC AUC of "length predicts English" — the tie-aware Mann–Whitney
+    // rank formulation over the mergeable (score, pos, neg) count frame;
+    // midranks are exact dyadics, so the rank sum is engine-exact.
+    "q_roc_auc" -> ((s, dir) =>
+      Evaluation.rocAuc(
+        t(s, dir, "documents").withColumn("is_en", F.col("lang") === "en"),
+        "n_chars", "is_en")),
+    // Average precision (PR-AUC, step convention) of the same scorer —
+    // tied score blocks enter as one step, never an arbitrary
+    // within-tie order; prevalence alongside as the random-ranker bar.
+    "q_pr_auc" -> ((s, dir) =>
+      Evaluation.averagePrecision(
+        t(s, dir, "documents").withColumn("is_en", F.col("lang") === "en"),
+        "n_chars", "is_en")),
+    // Brier score + skill of a deterministic probability read (capped
+    // length / 600 — IEEE division, engine-exact) against the English
+    // label; skill vs the climatology forecast p ≡ prevalence.
+    "q_brier" -> ((s, dir) =>
+      Evaluation.brier(docProb(t(s, dir, "documents")), "p_en", "is_en")),
+    // Reliability diagram of the same probability: 10 equal-width bins,
+    // predicted-vs-observed positive rate per bin, right-edge clamped.
+    "q_calibration" -> ((s, dir) =>
+      Evaluation.calibrationBins(docProb(t(s, dir, "documents")), "p_en", "is_en")
+        .orderBy("bin")),
+    // Expected calibration error: the diagram folded to one
+    // bin-weighted number, decided on UNROUNDED bin means.
+    "q_ece" -> ((s, dir) =>
+      Evaluation.ece(docProb(t(s, dir, "documents")), "p_en", "is_en")),
+    // Cumulative gains / lift deciles of the same scorer — per-tile
+    // response rate vs prevalence and cumulative capture; tie blocks
+    // land wholly in their LAST member's tile (exact integer ceil).
+    "q_lift" -> ((s, dir) =>
+      Evaluation.liftTable(
+        t(s, dir, "documents").withColumn("is_en", F.col("lang") === "en"),
+        "n_chars", "is_en").orderBy("tile")),
+    // Retrieval-quality per query: exact cosine top-10 for the first 10
+    // vectors scored against the same-label relevant universe —
+    // precision/recall@k, MRR, nDCG@k with the ideal DCG taken against
+    // the FULL relevant set (a ≤k fold per query, qid-partitioned).
+    "q_retrieval_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ranked = Similarity.bruteForceTopK(e, e.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", 10)
+      val truth = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").as("qid"), F.col("label").as("ql"))
+        .join(e.select(F.col("vec_id").as("cid"), F.col("label").as("cl")),
+          F.col("ql") === F.col("cl") && F.col("qid") =!= F.col("cid"))
+      Evaluation.retrievalEval(ranked, truth, 10).orderBy("qid")
+    }),
+    // The same board folded to the macro (per-query-equal) means — the
+    // one-row index-health read.
+    "q_retrieval_macro" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ranked = Similarity.bruteForceTopK(e, e.filter(F.col("vec_id") < 10),
+        "vec_id", "embedding", 10)
+      val truth = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").as("qid"), F.col("label").as("ql"))
+        .join(e.select(F.col("vec_id").as("cid"), F.col("label").as("cl")),
+          F.col("ql") === F.col("cl") && F.col("qid") =!= F.col("cid"))
+      Evaluation.retrievalEvalMacro(ranked, truth, 10)
+    }),
     // Autocorrelation of daily per-type volume at lags 1..7 — the
     // seasonality detector (a weekly rhythm spikes lag 7 before anyone
     // fits a seasonal model). Pairwise-Pearson per lag over exact
@@ -3548,6 +3624,48 @@ object SparkEntry {
     * ending in `cells(pred, label, n)` — shared by the classifier-eval
     * and kappa mirrors (ties break by the 'en'-first declaration order,
     * exactly the operator's reversed fold). */
+  /** Shared (x, c1 = positives, c2 = negatives) count-frame CTE for the
+    * score-based evaluators — [[Evaluation.binaryScoreCounts]]'s mirror
+    * with the English label as the slice; `xExpr` is the score
+    * expression over `documents`. */
+  private def binCountsCte(xExpr: String): String =
+    "WITH s AS (SELECT " + xExpr + " AS x, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y " +
+      "FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL), " +
+      "c AS (SELECT x, CAST(sum(y) AS BIGINT) AS c1, CAST(count(*) - sum(y) AS BIGINT) AS c2 FROM s GROUP BY 1)"
+
+  /** The deterministic "probability of English" fixture (docProb's
+    * mirror): min(n_chars, 600)/600, an IEEE division of exact ints. */
+  private def docProbSql: String = "CAST(least(n_chars, 600) AS DOUBLE) / 600.0"
+
+  /** Per-query retrieval metrics over the exact-cosine top-10 of the
+    * first 10 vectors vs the same-label relevant universe —
+    * [[Evaluation.retrievalEval]]'s mirror on the serve oracles'
+    * cosine kernel (round-4 similarity, cid tiebreak). */
+  private def retrievalEvalSql: String =
+    "WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS ql FROM embeddings WHERE vec_id < 10), " +
+      "c AS (SELECT vec_id AS cid, embedding AS cv, label AS cl FROM embeddings), " +
+      "pairs AS (SELECT qid, cid, qv, cv FROM q JOIN c ON cid <> qid), " +
+      "terms AS (SELECT qid, cid, qv, cv, unnest(range(1, 65)) AS i FROM pairs), " +
+      "dots AS (SELECT qid, cid, " +
+      "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS dot, " +
+      "sum(CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE)) AS qq, " +
+      "sum(CAST(cv[CAST(i AS INT)] AS DOUBLE) * CAST(cv[CAST(i AS INT)] AS DOUBLE)) AS cc " +
+      "FROM terms GROUP BY qid, cid), " +
+      "scored AS (SELECT qid, cid, round(dot / (sqrt(qq) * sqrt(cc)), 4) AS cos_sim FROM dots), " +
+      "ranked AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn FROM scored), " +
+      "nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM q JOIN c ON cl = ql AND cid <> qid GROUP BY qid), " +
+      "top AS (SELECT r.qid, r.rn, CASE WHEN cc2.cl = qq2.ql THEN 1 ELSE 0 END AS hit " +
+      "FROM ranked r JOIN q qq2 ON qq2.qid = r.qid JOIN c cc2 ON cc2.cid = r.cid WHERE r.rn <= 10), " +
+      "perq AS (SELECT qid, CAST(sum(hit) AS BIGINT) AS hits, min(CASE WHEN hit = 1 THEN rn END) AS first_hit, " +
+      "sum(CASE WHEN hit = 1 THEN 1.0 / log2(rn + 1.0) ELSE 0.0 END) AS dcg FROM top GROUP BY qid), " +
+      "j AS (SELECT p.qid, coalesce(n.n_rel, 0) AS n_rel, p.hits, p.first_hit, p.dcg, " +
+      "list_sum(list_transform(range(1, CAST(least(10, coalesce(n.n_rel, 0)) AS BIGINT) + 1), i -> 1.0 / log2(i + 1.0))) AS ideal " +
+      "FROM perq p LEFT JOIN nrel n ON n.qid = p.qid) " +
+      "SELECT qid, n_rel, hits, round(CAST(hits AS DOUBLE) / 10, 6) + 0.0 AS precision_at_k, " +
+      "round(CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / n_rel END, 6) + 0.0 AS recall_at_k, " +
+      "round(coalesce(1.0 / first_hit, 0.0), 6) + 0.0 AS mrr, " +
+      "round(CASE WHEN n_rel > 0 THEN dcg / ideal END, 6) + 0.0 AS ndcg FROM j"
+
   private def langidCellsCte: String =
     "WITH pr AS (SELECT lang, " +
       "CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de' " +
@@ -4711,6 +4829,80 @@ object SparkEntry {
         "z AS (SELECT n, CAST(agree AS DOUBLE) / n AS po2, pewn / n / n AS pe2 FROM po, pe) " +
         "SELECT n, round(po2, 6) + 0.0 AS accuracy, round(pe2, 6) + 0.0 AS expected_accuracy, " +
         "round(CASE WHEN pe2 < 1.0 THEN (po2 - pe2) / (1.0 - pe2) END, 4) + 0.0 AS kappa FROM z"),
+    // Midrank algebra mirrored operand-for-operand: the rank sum is a
+    // dyadic-rational double sum (exact in both engines), AUC one IEEE
+    // ratio of it.
+    "q_roc_auc" ->
+      (binCountsCte("CAST(n_chars AS DOUBLE)") +
+        ", k AS (SELECT c1, c2, sum(c1) OVER w AS k1, sum(c2) OVER w AS k2 FROM c " +
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "r AS (SELECT sum(CAST(c1 AS DOUBLE) * ((k1 + k2 - (c1 + c2)) + (CAST(c1 + c2 AS DOUBLE) + 1.0) / 2.0)) AS r1 FROM k), " +
+        "n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c) " +
+        "SELECT n1 AS n_pos, n2 AS n_neg, " +
+        "round(CASE WHEN n1 > 0 AND n2 > 0 THEN (r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n2) END, 6) + 0.0 AS auc FROM r, n"),
+    // Step-convention AP: per distinct-score block descending,
+    // ΔR·P folded from the ascending cumulatives exactly as the
+    // operator folds them (n − exclusive prefix).
+    "q_pr_auc" ->
+      (binCountsCte("CAST(n_chars AS DOUBLE)") +
+        ", k AS (SELECT c1, c2, sum(c1) OVER w AS k1, sum(c2) OVER w AS k2 FROM c " +
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c), " +
+        "st AS (SELECT CASE WHEN c1 > 0 THEN CAST(c1 AS DOUBLE) / n1 * (CAST(n1 - (k1 - c1) AS DOUBLE) / ((n1 + n2) - (k1 + k2 - (c1 + c2)))) ELSE 0.0 END AS step FROM k, n), " +
+        "a AS (SELECT sum(step) AS ap FROM st) " +
+        "SELECT n1 AS n_pos, n2 AS n_neg, round(CAST(n1 AS DOUBLE) / (n1 + n2), 6) + 0.0 AS prevalence, " +
+        "round(CASE WHEN n1 > 0 THEN ap END, 6) + 0.0 AS pr_auc FROM a, n"),
+    // The probability fixture is an IEEE division of exact integers —
+    // both engines hold the identical double — and the Brier sum is
+    // mirrored in the operator's left-assoc multiply order.
+    "q_brier" ->
+      (binCountsCte(docProbSql) +
+        ", a AS (SELECT CAST(sum(c1) AS BIGINT) AS n_pos, CAST(sum(c1 + c2) AS BIGINT) AS n, " +
+        "sum(c1 * (x - 1.0) * (x - 1.0) + c2 * x * x) AS se FROM c), " +
+        "z AS (SELECT n, n_pos, se / n AS bs, (CAST(n_pos AS DOUBLE) / n) * (1.0 - CAST(n_pos AS DOUBLE) / n) AS ref FROM a) " +
+        "SELECT n, n_pos, round(bs, 6) + 0.0 AS brier, round(ref, 6) + 0.0 AS brier_ref, " +
+        "round(CASE WHEN ref > 0.0 THEN 1.0 - bs / ref END, 4) + 0.0 AS skill FROM z"),
+    "q_calibration" ->
+      (binCountsCte(docProbSql) +
+        ", b AS (SELECT CAST(least(floor(x * 10), 9) AS BIGINT) AS bin, CAST(sum(c1 + c2) AS BIGINT) AS n, " +
+        "sum(x * (c1 + c2)) AS sp, CAST(sum(c1) AS BIGINT) AS pos FROM c GROUP BY 1) " +
+        "SELECT bin, n, round(sp / n, 6) + 0.0 AS mean_pred, round(CAST(pos AS DOUBLE) / n, 6) + 0.0 AS frac_pos, " +
+        "round(abs(CAST(pos AS DOUBLE) / n - sp / n), 6) + 0.0 AS gap FROM b ORDER BY bin"),
+    "q_ece" ->
+      (binCountsCte(docProbSql) +
+        ", b AS (SELECT CAST(least(floor(x * 10), 9) AS BIGINT) AS bin, CAST(sum(c1 + c2) AS BIGINT) AS n, " +
+        "sum(x * (c1 + c2)) AS sp, CAST(sum(c1) AS BIGINT) AS pos FROM c GROUP BY 1) " +
+        "SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS bins_used, " +
+        "round(sum(abs(CAST(pos AS DOUBLE) / n - sp / n) * n) / sum(n), 6) + 0.0 AS ece FROM b"),
+    // Block-tile assignment in exact integer arithmetic ((cum−1)·tiles
+    // // n + 1 — DuckDB's // is Spark's div); the per-tile cumulative
+    // window is tiles-sized, never the corpus.
+    "q_lift" ->
+      (binCountsCte("CAST(n_chars AS DOUBLE)") +
+        ", k AS (SELECT c1, c2, sum(c1) OVER w AS k1, sum(c2) OVER w AS k2 FROM c " +
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c), " +
+        "tl AS (SELECT CAST(((((n1 + n2) - ((k1 + k2) - (c1 + c2))) - 1) * 10) // (n1 + n2) + 1 AS BIGINT) AS tile, " +
+        "c1, c2 FROM k, n), " +
+        "pt AS (SELECT tile, CAST(sum(c1 + c2) AS BIGINT) AS n, CAST(sum(c1) AS BIGINT) AS n_pos FROM tl GROUP BY 1), " +
+        "cu AS (SELECT tile, n, n_pos, CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos, " +
+        "CAST(sum(n) OVER w AS BIGINT) AS cumn FROM pt WINDOW w AS (ORDER BY tile ROWS UNBOUNDED PRECEDING)), " +
+        "z AS (SELECT cu.*, CAST(n1 AS DOUBLE) / (n1 + n2) AS prev, CAST(n_pos AS DOUBLE) / n AS rate, n1 FROM cu, n) " +
+        "SELECT tile, n, n_pos, round(rate, 6) + 0.0 AS response_rate, " +
+        "round(CASE WHEN prev > 0.0 THEN rate / prev END, 6) + 0.0 AS lift, cum_pos, " +
+        "round(CASE WHEN n1 > 0 THEN CAST(cum_pos AS DOUBLE) / n1 END, 6) + 0.0 AS cum_capture, " +
+        "round(CASE WHEN prev > 0.0 THEN (CAST(cum_pos AS DOUBLE) / cumn) / prev END, 6) + 0.0 AS cum_lift " +
+        "FROM z ORDER BY tile"),
+    // The exact-cosine ranking reuses the serve oracles' kernel; the
+    // metric algebra (hits, first-hit rank, DCG against the
+    // full-universe ideal) is mirrored term-for-term.
+    "q_retrieval_eval" -> (retrievalEvalSql + " ORDER BY qid"),
+    "q_retrieval_macro" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
+        "round(avg(precision_at_k), 6) + 0.0 AS macro_precision, " +
+        "round(avg(recall_at_k), 6) + 0.0 AS macro_recall, " +
+        "round(avg(mrr), 6) + 0.0 AS macro_mrr, " +
+        "round(avg(ndcg), 6) + 0.0 AS macro_ndcg FROM (" + retrievalEvalSql + ")"),
     // Same per-word syllable floor via list_transform; all three counts
     // exact BIGINTs, the scores one fixed-shape IEEE line each.
     "q_text_readability" ->
@@ -5058,6 +5250,18 @@ object SparkEntry {
     // steps, each an ordered score/information window pass + a 9-snapped
     // β update; final pass recomputes I(β̂) for the se and Wald test.
     "q_coxph" -> (cohortSurvCtes + coxTailSql(steps = 4)),
+    // Pair counts folded over the same evr risk-set frame: concordant =
+    // gb-event × ga-longer, ties (same-score pairs) half-credited by
+    // carrying 2× the numerator — all BIGINT until the final division.
+    "q_cindex" ->
+      (cohortSurvCtes +
+        ", cc AS (SELECT CAST(max(nn1) AS BIGINT) AS n_a, CAST(max(nn2) AS BIGINT) AS n_b, " +
+        "CAST(sum(d2 * (n1 - d1)) AS BIGINT) AS con, CAST(sum(d1 * (n2 - d2)) AS BIGINT) AS dis, " +
+        "CAST(sum(d1 * (n1 - d1) + d2 * (n2 - d2)) AS BIGINT) AS tie FROM evr) " +
+        "SELECT n_a, n_b, con + dis + tie AS pairs, 2 * con + tie AS concordant2, " +
+        "round(CASE WHEN con + dis + tie > 0 THEN CAST(2 * con + tie AS DOUBLE) / (2 * (con + dis + tie)) END, 6) + 0.0 AS c_index, " +
+        "round(CASE WHEN con + dis + tie > 0 THEN CAST(2 * con + tie AS DOUBLE) / (con + dis + tie) - 1.0 END, 6) + 0.0 AS somers_d " +
+        "FROM cc WHERE n_a IS NOT NULL"),
     // KM + Greenwood: the gw increment d/(n(n-d)) rides the same window
     // row as the ln term; se = S*sqrt(cum gw); bands clipped to [0,1]
     // with explicit NULLs at an everyone-dies step (greatest/least SKIP

@@ -460,7 +460,7 @@ object Drift {
     * sum (range-repartition + per-partition running sums + broadcast
     * partition offsets — never a single-partition window over the
     * data-sized value axis), plus the 1-row (n1, n2) totals frame. */
-  private def cdfFromCounts(byV: DataFrame): (DataFrame, DataFrame) = {
+  private[operators] def cdfFromCounts(byV: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val (parted, offsets) = TwoPhase.partitionOffsets(
       byV.filter(F.col("x").isNotNull), // count-frame callers may carry a failed cast

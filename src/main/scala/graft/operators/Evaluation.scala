@@ -84,4 +84,296 @@ object Evaluation {
     df.filter(F.col(predCol).isNotNull && F.col(labelCol).isNotNull)
       .groupBy(F.col(predCol).as("pred"), F.col(labelCol).as("label"))
       .agg(F.count(F.lit(1)).as("n"))
+
+  // ---------------------------------------------------------------------
+  // Score-based evaluation: every statistic below reduces to ONE
+  // mergeable (x, c1, c2) per-distinct-score count frame — c1 positives,
+  // c2 negatives at score x — the SAME layout the two-sample drift tests
+  // accumulate, so each gets a streaming twin for free and the heavy
+  // lifting (the corpus-wide cumulative) rides [[Drift.cdfFromCounts]]'s
+  // two-phase distributed prefix, never a single-partition window.
+  // ---------------------------------------------------------------------
+
+  /** ROC AUC via the Mann–Whitney formulation (Hanley & McNeil,
+    * Radiology 1982): AUC = P(score⁺ > score⁻) + ½P(tie), computed as
+    * (R₁ − n₁(n₁+1)/2) / (n₁n₂) with R₁ the positives' midrank sum —
+    * tie-aware (midranks are exact dyadic rationals over BIGINT counts,
+    * the [[Drift.mannWhitneyFromCounts]] discipline, so the rank sum is
+    * engine-exact) and rank-based, so it never materializes the O(n₁n₂)
+    * pair space. NULL when either class is empty (AUC is undefined, not
+    * 0.5). Output: one row — (n_pos, n_neg, auc), round 6. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    rocAucFromCounts(binaryScoreCounts(df, scoreCol, labelCol))
+
+  /** [[rocAuc]] over a pre-aggregated (x, c1 = positives, c2 =
+    * negatives) count frame — the streaming re-entry point. */
+  def rocAucFromCounts(byV: DataFrame): DataFrame = {
+    val (cum, n) = Drift.cdfFromCounts(byV)
+    val t = F.col("c1") + F.col("c2")
+    val before = (F.col("__k1") + F.col("__k2") - t).cast("double")
+    val midrank = before + (t.cast("double") + 1.0) / 2.0
+    val s = cum.agg(F.sum(F.col("c1").cast("double") * midrank).as("__r1"))
+    s.crossJoin(F.broadcast(n))
+      .withColumn("__auc", F.when(F.col("n1") > 0 && F.col("n2") > 0,
+        (F.col("__r1") - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0)
+          / (F.col("n1").cast("double") * F.col("n2"))))
+      .select(F.col("n1").as("n_pos"), F.col("n2").as("n_neg"),
+        (F.round(F.col("__auc"), 6) + F.lit(0.0)).as("auc"))
+  }
+
+  /** Average precision (area under the precision–recall curve, the
+    * step-function convention scikit-learn's average_precision_score
+    * uses): walking distinct scores DESCENDING, AP = Σₓ ΔRₓ · Pₓ with
+    * Pₓ = precision and Rₓ = recall at threshold "score ≥ x". Ties are
+    * handled by construction — a tied block enters as one step, never
+    * an arbitrary within-tie order (the trap of row-at-a-time AP).
+    * Descending cumulatives fold from the SAME ascending two-phase
+    * prefix as [[rocAuc]] (n − exclusive-ascending), one scan total.
+    * The baseline for "is this good" is prevalence = n₊/n — a random
+    * ranker's AP — emitted alongside. NULL AP when there are no
+    * positives. Output: one row — (n_pos, n_neg, prevalence, pr_auc),
+    * round 6. */
+  def averagePrecision(df: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame =
+    averagePrecisionFromCounts(binaryScoreCounts(df, scoreCol, labelCol))
+
+  /** [[averagePrecision]] over a pre-aggregated (x, c1, c2) count
+    * frame. */
+  def averagePrecisionFromCounts(byV: DataFrame): DataFrame = {
+    val (cum, n) = Drift.cdfFromCounts(byV)
+    val t = F.col("c1") + F.col("c2")
+    // positives / total with score >= x: grand total minus the
+    // EXCLUSIVE ascending prefix (inclusive __k minus own block).
+    val posGe = F.col("n1") - (F.col("__k1") - F.col("c1"))
+    val totGe = (F.col("n1") + F.col("n2")) - ((F.col("__k1") + F.col("__k2")) - t)
+    val step = F.when(F.col("c1") > 0,
+      F.col("c1").cast("double") / F.col("n1")
+        * (posGe.cast("double") / totGe)).otherwise(F.lit(0.0))
+    val s = cum.crossJoin(F.broadcast(n)).agg(F.sum(step).as("__ap"))
+    s.crossJoin(F.broadcast(n))
+      .select(F.col("n1").as("n_pos"), F.col("n2").as("n_neg"),
+        (F.round(F.col("n1").cast("double") / (F.col("n1") + F.col("n2")), 6)
+          + F.lit(0.0)).as("prevalence"),
+        (F.round(F.when(F.col("n1") > 0, F.col("__ap")), 6)
+          + F.lit(0.0)).as("pr_auc"))
+  }
+
+  /** Brier score (Brier, Monthly Weather Review 1950) + skill: mean
+    * squared gap between a probability forecast and the 0/1 outcome,
+    * and the skill score 1 − BS/BS_ref against the climatology forecast
+    * p ≡ prevalence (BS_ref = prev·(1−prev)) — the number that says
+    * whether the model beats "always predict the base rate". Skill is
+    * NULL on a single-class input (BS_ref = 0: skill is unmeasurable,
+    * not perfect). One combinable scan. Output: one row — (n, n_pos,
+    * brier, brier_ref, skill), round 6 / skill round 4. */
+  def brier(df: DataFrame, probCol: String, labelCol: String): DataFrame =
+    brierFromCounts(binaryScoreCounts(df, probCol, labelCol))
+
+  /** [[brier]] over a pre-aggregated (x = probability, c1, c2) count
+    * frame: BS = Σ[c1·(x−1)² + c2·x²] / n. */
+  def brierFromCounts(byV: DataFrame): DataFrame =
+    byV.agg(
+        F.sum("c1").as("n_pos"), F.sum(F.col("c1") + F.col("c2")).as("n"),
+        F.sum(F.col("c1") * (F.col("x") - 1.0) * (F.col("x") - 1.0)
+          + F.col("c2") * F.col("x") * F.col("x")).as("__se"))
+      .withColumn("__prev", F.col("n_pos").cast("double") / F.col("n"))
+      .withColumn("__bs", F.col("__se") / F.col("n"))
+      .withColumn("__ref", F.col("__prev") * (F.lit(1.0) - F.col("__prev")))
+      .select(F.col("n"), F.col("n_pos"),
+        (F.round(F.col("__bs"), 6) + F.lit(0.0)).as("brier"),
+        (F.round(F.col("__ref"), 6) + F.lit(0.0)).as("brier_ref"),
+        (F.round(F.when(F.col("__ref") > 0.0,
+          F.lit(1.0) - F.col("__bs") / F.col("__ref")), 4)
+          + F.lit(0.0)).as("skill"))
+
+  /** Reliability diagram: `bins` equal-width probability buckets, each
+    * reporting how often the outcome actually happened vs what the
+    * model predicted — the calibration read ("of everything scored
+    * ~0.7, did ~70% turn out positive?"). p = 1.0 lands in the TOP bin
+    * (least-clamp, the histogram right-edge convention). `gap` is
+    * |frac_pos − mean_pred| on the UNROUNDED means. Bin key space is
+    * `bins`, never the corpus. Output: one row per non-empty bin —
+    * (bin, n, mean_pred, frac_pos, gap), round 6. */
+  def calibrationBins(df: DataFrame, probCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame =
+    calibrationBinsFromCounts(binaryScoreCounts(df, probCol, labelCol), bins)
+
+  /** [[calibrationBins]] over a pre-aggregated (x, c1, c2) count
+    * frame. */
+  def calibrationBinsFromCounts(byV: DataFrame, bins: Int = 10): DataFrame =
+    byV.groupBy(F.least(F.floor(F.col("x") * bins), F.lit(bins - 1L))
+        .cast("long").as("bin"))
+      .agg(F.sum(F.col("c1") + F.col("c2")).as("n"),
+        F.sum(F.col("x") * (F.col("c1") + F.col("c2"))).as("__sp"),
+        F.sum("c1").as("__pos"))
+      .withColumn("__mp", F.col("__sp") / F.col("n"))
+      .withColumn("__fp", F.col("__pos").cast("double") / F.col("n"))
+      .select(F.col("bin"), F.col("n"),
+        (F.round(F.col("__mp"), 6) + F.lit(0.0)).as("mean_pred"),
+        (F.round(F.col("__fp"), 6) + F.lit(0.0)).as("frac_pos"),
+        (F.round(F.abs(F.col("__fp") - F.col("__mp")), 6) + F.lit(0.0)).as("gap"))
+
+  /** Expected calibration error: the bin-weighted mean of the
+    * reliability gaps, ECE = Σ_b (n_b/n)·|frac_pos_b − mean_pred_b| —
+    * the calibration diagram folded to one number (Naeini et al., AAAI
+    * 2015). Decided on UNROUNDED bin means over a ≤`bins`-row frame.
+    * Output: one row — (n, bins_used, ece), round 6. */
+  def ece(df: DataFrame, probCol: String, labelCol: String,
+          bins: Int = 10): DataFrame =
+    eceFromCounts(binaryScoreCounts(df, probCol, labelCol), bins)
+
+  /** [[ece]] over a pre-aggregated (x, c1, c2) count frame. */
+  def eceFromCounts(byV: DataFrame, bins: Int = 10): DataFrame =
+    byV.groupBy(F.least(F.floor(F.col("x") * bins), F.lit(bins - 1L))
+        .cast("long").as("bin"))
+      .agg(F.sum(F.col("c1") + F.col("c2")).as("n"),
+        F.sum(F.col("x") * (F.col("c1") + F.col("c2"))).as("__sp"),
+        F.sum("c1").as("__pos"))
+      .agg(F.sum("n").as("n"), F.count(F.lit(1)).as("bins_used"),
+        F.sum(F.abs(F.col("__pos").cast("double") / F.col("n")
+          - F.col("__sp") / F.col("n"))
+          * F.col("n")).as("__wgap"))
+      .select(F.col("n"), F.col("bins_used"),
+        (F.round(F.col("__wgap") / F.col("n"), 6) + F.lit(0.0)).as("ece"))
+
+  /** Cumulative gains / lift table — the model-TARGETING read the
+    * AUC's single number hides: rank the corpus by score descending,
+    * cut it into `tiles` equal slices, and report how much of the
+    * positive class each slice captures vs the random-targeting
+    * baseline ("the top decile holds 3.1× its share"). Tile assignment
+    * is per distinct-score BLOCK: a tied block lands wholly in the tile
+    * of its LAST (lowest-ranked) member, tile = ⌈cum_desc·tiles/n⌉
+    * computed in exact integer arithmetic ((cum−1)·tiles div n + 1) —
+    * no arbitrary within-tie split, engine-exact. Rides the same
+    * two-phase ascending prefix as [[rocAuc]] (descending cumulatives
+    * fold as n − exclusive prefix); the per-tile cumulative is a
+    * ≤`tiles`-row window (the BH-adjust family-size class, never the
+    * corpus). Output: one row per non-empty tile — (tile, n, n_pos,
+    * response_rate, lift, cum_pos, cum_capture, cum_lift), round 6. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+                tiles: Int = 10): DataFrame =
+    liftTableFromCounts(binaryScoreCounts(df, scoreCol, labelCol), tiles)
+
+  /** [[liftTable]] over a pre-aggregated (x, c1, c2) count frame. */
+  def liftTableFromCounts(byV: DataFrame, tiles: Int = 10): DataFrame = {
+    require(tiles > 0, "need at least one tile")
+    val (cum, n) = Drift.cdfFromCounts(byV)
+    val t = F.col("c1") + F.col("c2")
+    val perTile = cum.crossJoin(F.broadcast(n))
+      .withColumn("tile",
+        F.expr(s"(($cumDescSql - 1) * $tiles) div (n1 + n2) + 1"))
+      .groupBy("tile")
+      .agg(F.sum(t).as("n"), F.sum("c1").as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("tile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perTile.crossJoin(F.broadcast(n))
+      .withColumn("cum_pos", F.sum("n_pos").over(w))
+      .withColumn("__prev", F.col("n1").cast("double") / (F.col("n1") + F.col("n2")))
+      .withColumn("__rate", F.col("n_pos").cast("double") / F.col("n"))
+      .withColumn("__cumn", F.sum("n").over(w))
+      .select(F.col("tile"), F.col("n"), F.col("n_pos"),
+        (F.round(F.col("__rate"), 6) + F.lit(0.0)).as("response_rate"),
+        (F.round(F.when(F.col("__prev") > 0.0, F.col("__rate") / F.col("__prev")), 6)
+          + F.lit(0.0)).as("lift"),
+        F.col("cum_pos"),
+        (F.round(F.when(F.col("n1") > 0,
+          F.col("cum_pos").cast("double") / F.col("n1")), 6)
+          + F.lit(0.0)).as("cum_capture"),
+        (F.round(F.when(F.col("__prev") > 0.0,
+          (F.col("cum_pos").cast("double") / F.col("__cumn")) / F.col("__prev")), 6)
+          + F.lit(0.0)).as("cum_lift"))
+  }
+
+  // the tile expression rendered once for F.expr (kept next to its
+  // Column twin so the two can't drift): cum_desc = n − exclusive prefix
+  private val cumDescSql =
+    "((n1 + n2) - ((__k1 + __k2) - (c1 + c2)))"
+
+  /** Retrieval-quality metrics per query over a ranked candidate list —
+    * the serve-side answer to "is the index returning the RIGHT things",
+    * completing the ANN surface's recall-vs-exact gates with the
+    * standard IR read: `ranked` is (qid, cid, rn) with rn = 1-based rank
+    * (the [[Similarity.bruteForceTopK]] / IVF serve output shape),
+    * `truth` is the (qid, cid) relevant-pair universe. Per query at
+    * cutoff k (binary relevance):
+    *
+    *   precision@k = hits/k,   recall@k = hits/n_rel,
+    *   MRR         = 1/rank of the first hit (0 when none — the
+    *                 convention that keeps the macro mean defined),
+    *   nDCG@k      = Σ_hits 1/log₂(rn+1)  /  Σ_{i=1..min(k,n_rel)} 1/log₂(i+1),
+    *
+    * with the ideal DCG taken against the FULL relevant universe (a
+    * query with fewer than k relevant items can still score 1.0, and
+    * one with more cannot cheat by retrieving only k). The truth join is
+    * a left semi-style hit flag; n_rel is a count per query — both shuffle
+    * on qid, the serve partitioning. The log₂ folds are over ≤k hits per
+    * query (bounded, in-row via the ideal-DCG closed sequence). Queries
+    * with NO relevant items report NULL recall/ndcg (undefined, not 0).
+    * Output: one row per qid — (qid, n_rel, hits, precision_at_k,
+    * recall_at_k, mrr, ndcg), round 6. */
+  def retrievalEval(ranked: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "cutoff k must be positive")
+    val rel = truth.select(F.col("qid"), F.col("cid"))
+      .distinct().withColumn("__rel", F.lit(1))
+    val nRel = rel.groupBy("qid").agg(F.count(F.lit(1)).as("n_rel"))
+    val top = ranked.filter(F.col("rn") <= k)
+      .join(rel, Seq("qid", "cid"), "left")
+      .withColumn("__hit", F.coalesce(F.col("__rel"), F.lit(0)))
+    val perQ = top.groupBy("qid").agg(
+      F.sum("__hit").as("hits"),
+      F.min(F.when(F.col("__hit") === 1, F.col("rn"))).as("__first"),
+      F.sum(F.when(F.col("__hit") === 1,
+        F.lit(1.0) / F.log2(F.col("rn").cast("double") + 1.0))
+        .otherwise(F.lit(0.0))).as("__dcg"))
+    perQ.join(nRel, Seq("qid"), "left")
+      .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0L)))
+      .withColumn("__ideal", F.aggregate(
+        F.sequence(F.lit(1L), F.least(F.lit(k.toLong), F.col("n_rel"))),
+        F.lit(0.0),
+        (acc, i) => acc + F.lit(1.0) / F.log2(i.cast("double") + 1.0)))
+      .select(F.col("qid"), F.col("n_rel"), F.col("hits"),
+        (F.round(F.col("hits").cast("double") / k, 6) + F.lit(0.0)).as("precision_at_k"),
+        (F.round(F.when(F.col("n_rel") > 0,
+          F.col("hits").cast("double") / F.col("n_rel")), 6)
+          + F.lit(0.0)).as("recall_at_k"),
+        (F.round(F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)), 6)
+          + F.lit(0.0)).as("mrr"),
+        (F.round(F.when(F.col("n_rel") > 0, F.col("__dcg") / F.col("__ideal")), 6)
+          + F.lit(0.0)).as("ndcg"))
+  }
+
+  /** [[retrievalEval]] folded to the corpus read: the macro (unweighted
+    * per-query) mean of each metric — every query votes equally, the
+    * convention that stops one easy high-n_rel query from hiding broken
+    * tail queries. Queries with no relevant items are EXCLUDED from the
+    * recall/ndcg means (their per-query value is NULL) but still count
+    * in n_queries. Output: one row — (n_queries, macro_precision,
+    * macro_recall, macro_mrr, macro_ndcg), round 6. */
+  def retrievalEvalMacro(ranked: DataFrame, truth: DataFrame,
+                         k: Int): DataFrame =
+    retrievalEval(ranked, truth, k).agg(
+        F.count(F.lit(1)).as("n_queries"),
+        F.avg("precision_at_k").as("__p"),
+        F.avg("recall_at_k").as("__r"),
+        F.avg("mrr").as("__m"),
+        F.avg("ndcg").as("__n"))
+      .select(F.col("n_queries"),
+        (F.round(F.col("__p"), 6) + F.lit(0.0)).as("macro_precision"),
+        (F.round(F.col("__r"), 6) + F.lit(0.0)).as("macro_recall"),
+        (F.round(F.col("__m"), 6) + F.lit(0.0)).as("macro_mrr"),
+        (F.round(F.col("__n"), 6) + F.lit(0.0)).as("macro_ndcg"))
+
+  /** The shared score frame: one row per distinct score with (positive,
+    * negative) counts — the mergeable summary every statistic above
+    * re-enters, and the two-sample drift layout with the label as the
+    * slice. */
+  private[operators] def binaryScoreCounts(df: DataFrame, scoreCol: String,
+                                           labelCol: String): DataFrame = {
+    val x = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(x.as("x"))
+      .agg(F.count(F.when(y, 1)).as("c1"),
+        F.count(F.when(!y, 1)).as("c2"))
+  }
 }

@@ -287,6 +287,85 @@ object Survival {
       (chi2 > F.lit(3.841459)).as("reject_95"))
   }
 
+  /** HARRELL'S C-INDEX for the binary-covariate risk score (Harrell et
+    * al., JAMA 1982) — the discrimination companion to [[coxPh]]'s
+    * effect size and [[logRank]]'s test: of all usable subject pairs
+    * (the one with the SHORTER time had an observed event), how often
+    * did the score rank the shorter-lived subject riskier? The score
+    * is membership in cohort gb (the MAX group label — the same x = 1
+    * coding as [[coxPh]], so C > 0.5 exactly when β̂ > 0).
+    *
+    * Pair counting folds over the [[logRankFromCounts]] per-duration
+    * risk-set scaffold instead of materializing the O(n²) pair space:
+    * at each event time t, with longer_g(t) = n_g(t) − d_g(t) (at-risk
+    * minus same-time events — a subject censored AT t counts as longer,
+    * the standard convention),
+    *
+    *   concordant   += d_b(t) · longer_a(t)          (gb event first)
+    *   discordant   += d_a(t) · longer_b(t)
+    *   tied score   += d_a(t)·longer_a(t) + d_b(t)·longer_b(t)  (½ credit)
+    *
+    * and same-time event pairs are not comparable. Every sum is an
+    * exact BIGINT; the ½ credits stay integral by carrying 2× the
+    * numerator, so C = num2 / (2·pairs) is ONE final IEEE division —
+    * engine-exact. EMPTY on a single-group or all-censored input (no
+    * usable pair exists — the [[logRankFromCounts]] contracts); NULL C
+    * when event times exist but no pair is comparable.
+    *
+    * Output: one row — (n_a, n_b, pairs, concordant2, c_index,
+    * somers_d), C and Somers' D (= 2C − 1) round 6. */
+  def cIndexBinary(subjects: DataFrame, durCol: String, obsCol: String,
+                   groupCol: String): DataFrame =
+    cIndexFromCounts(subjects
+      .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull &&
+        F.col(groupCol).isNotNull)
+      .groupBy(F.col(durCol).cast("long").as("t"), F.col(groupCol).as("g"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"),
+        F.count(F.lit(1)).as("c")))
+
+  /** [[cIndexBinary]] over the pre-aggregated (t, g, d, c) frame — the
+    * same mergeable summary the other survival readers re-enter. */
+  def cIndexFromCounts(byTG: DataFrame): DataFrame = {
+    val gs = byTG.agg(F.min("g").as("ga"), F.max("g").as("gb"))
+      .filter(F.col("ga") =!= F.col("gb"))
+    val perT = byTG.crossJoin(F.broadcast(gs))
+      .groupBy("t")
+      .agg(
+        F.sum(F.when(F.col("g") === F.col("ga"), F.col("d")).otherwise(F.lit(0L))).as("d1"),
+        F.sum(F.when(F.col("g") === F.col("ga"), F.col("c")).otherwise(F.lit(0L))).as("c1"),
+        F.sum(F.when(F.col("g") === F.col("gb"), F.col("d")).otherwise(F.lit(0L))).as("d2"),
+        F.sum(F.when(F.col("g") === F.col("gb"), F.col("c")).otherwise(F.lit(0L))).as("c2"))
+    val tot = perT.agg(F.sum("c1").as("nn1"), F.sum("c2").as("nn2"))
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = perT.crossJoin(F.broadcast(tot))
+      .withColumn("n1", F.col("nn1") - F.sum("c1").over(w) + F.col("c1"))
+      .withColumn("n2", F.col("nn2") - F.sum("c2").over(w) + F.col("c2"))
+      // event times only: non-event rows contribute nothing, and folding
+      // over the filtered frame keeps the all-censored input EMPTY (the
+      // logRank contract) in both engines
+      .filter(F.col("d1") + F.col("d2") > 0)
+      .withColumn("l1", F.col("n1") - F.col("d1"))
+      .withColumn("l2", F.col("n2") - F.col("d2"))
+      .agg(
+        F.first("nn1").as("n_a"), F.first("nn2").as("n_b"),
+        F.sum(F.col("d2") * F.col("l1")).as("__con"),
+        F.sum(F.col("d1") * F.col("l2")).as("__dis"),
+        F.sum(F.col("d1") * F.col("l1") + F.col("d2") * F.col("l2")).as("__tie"))
+    agg
+      // a single-group input leaves perT empty and the global agg emits
+      // one all-NULL row — drop it to honor the EMPTY contract
+      .filter(F.col("n_a").isNotNull)
+      .withColumn("pairs", F.col("__con") + F.col("__dis") + F.col("__tie"))
+      .withColumn("concordant2", F.lit(2L) * F.col("__con") + F.col("__tie"))
+      .select(F.col("n_a"), F.col("n_b"), F.col("pairs"), F.col("concordant2"),
+        (F.round(F.when(F.col("pairs") > 0,
+          F.col("concordant2").cast("double") / (F.lit(2L) * F.col("pairs"))), 6)
+          + F.lit(0.0)).as("c_index"),
+        (F.round(F.when(F.col("pairs") > 0,
+          F.col("concordant2").cast("double") / F.col("pairs") - 1.0), 6)
+          + F.lit(0.0)).as("somers_d"))
+  }
+
   /** QUANTILE SURVIVAL TIME — the KM curve read as "when has a p
     * fraction exited": t_p = inf{t : Ŝ(t) ≤ 1−p} (p = 0.5 is the median
     * survival time, THE headline number of a retention analysis — the

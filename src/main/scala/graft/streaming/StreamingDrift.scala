@@ -120,6 +120,47 @@ object StreamingDrift {
                 a: String, b: String): DataFrame =
     Drift.welchTFromCounts(twoSampleCounts(spark, countsDir, a, b))
 
+  /** ROC AUC of everything streamed so far — the model-monitoring read
+    * over the SAME two-slice count layout (slice `pos` = positives,
+    * `neg` = negatives, the score as the category): merged counts
+    * re-enter [[graft.operators.Evaluation.rocAucFromCounts]]'s exact
+    * midrank algebra, so streamed == batch exactly. */
+  def rocAucNow(spark: SparkSession, countsDir: String,
+                pos: String, neg: String): DataFrame =
+    graft.operators.Evaluation.rocAucFromCounts(
+      twoSampleCounts(spark, countsDir, pos, neg))
+
+  /** Average precision (PR-AUC) over the same accumulated counts. */
+  def averagePrecisionNow(spark: SparkSession, countsDir: String,
+                          pos: String, neg: String): DataFrame =
+    graft.operators.Evaluation.averagePrecisionFromCounts(
+      twoSampleCounts(spark, countsDir, pos, neg))
+
+  /** Brier + skill over the same accumulated counts (the category is
+    * the predicted probability). */
+  def brierNow(spark: SparkSession, countsDir: String,
+               pos: String, neg: String): DataFrame =
+    graft.operators.Evaluation.brierFromCounts(
+      twoSampleCounts(spark, countsDir, pos, neg))
+
+  /** Reliability bins over the same accumulated counts. */
+  def calibrationNow(spark: SparkSession, countsDir: String,
+                     pos: String, neg: String, bins: Int = 10): DataFrame =
+    graft.operators.Evaluation.calibrationBinsFromCounts(
+      twoSampleCounts(spark, countsDir, pos, neg), bins)
+
+  /** Expected calibration error over the same accumulated counts. */
+  def eceNow(spark: SparkSession, countsDir: String,
+             pos: String, neg: String, bins: Int = 10): DataFrame =
+    graft.operators.Evaluation.eceFromCounts(
+      twoSampleCounts(spark, countsDir, pos, neg), bins)
+
+  /** Cumulative gains / lift table over the same accumulated counts. */
+  def liftNow(spark: SparkSession, countsDir: String,
+              pos: String, neg: String, tiles: Int = 10): DataFrame =
+    graft.operators.Evaluation.liftTableFromCounts(
+      twoSampleCounts(spark, countsDir, pos, neg), tiles)
+
   /** Gini concentration of everything streamed so far — the VALUE rides
     * the category dimension ([[attachCategorical]] with a constant
     * slice), merged counts re-enter the batch rank algebra. */

@@ -100,6 +100,12 @@ object StreamingSurvival {
   def coxPhNow(spark: SparkSession, countsDir: String): DataFrame =
     Survival.coxPhFromCounts(groupedCounts(spark, countsDir))
 
+  /** Harrell's C-index over everything streamed so far — the pair
+    * counting is a pure function of the same per-(t, g) counts, so
+    * streamed == batch exactly. */
+  def cIndexNow(spark: SparkSession, countsDir: String): DataFrame =
+    Survival.cIndexFromCounts(groupedCounts(spark, countsDir))
+
   private def groupedCounts(spark: SparkSession, countsDir: String): DataFrame =
     StreamingDrift.categoricalCounts(spark, countsDir)
       .select(F.col("slice").cast("long").as("t"),

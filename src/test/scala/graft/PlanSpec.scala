@@ -443,6 +443,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  it("q_roc_auc / q_pr_auc ride the same two-phase prefix — no data-sized global window") {
+    Seq("q_roc_auc", "q_pr_auc").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q: ") {
+        p should include("rangepartitioning")
+        p should include("__pid")
+        val cdfWindows = p.split("\n").filter(l =>
+          l.contains("Window [sum(c1") || l.contains("Window [sum(c2"))
+        cdfWindows should not be empty
+        cdfWindows.foreach(_ should include("windowspecdefinition(__pid"))
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+
+  it("q_brier / q_ece fold to combinable aggregates — no window, no cartesian") {
+    Seq("q_brier", "q_ece").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q: ") {
+        p should not include "windowspecdefinition"
+        p should not include "CartesianProduct"
+      }
+    }
+  }
+
+  it("q_retrieval_eval shuffles on the query key; only the documented serve kernel broadcasts") {
+    val p = plan("q_retrieval_eval")
+    // one BroadcastExchange: the 10-query side of bruteForceTopK; the
+    // relevance join and per-query aggregation hash on qid
+    p should not include "CartesianProduct"
+    p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) should be <= 1
+  }
+
   it("q_burstiness / q_seasonal windows partition by the series key") {
     Seq("q_burstiness", "q_seasonal").foreach { q =>
       val lines = plan(q).split("\n").filter(_.contains("windowspecdefinition"))

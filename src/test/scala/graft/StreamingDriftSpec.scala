@@ -395,6 +395,52 @@ class StreamingDriftSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  it("streamed ROC AUC / AP / Brier / calibration equal the batch evaluators across a restart") {
+    import graft.operators.Evaluation
+    val r = new scala.util.Random(59)
+    // probabilities on the 1/64 grid (dyadic — every count-frame moment
+    // is exact in any accumulation order), biased so positives score
+    // higher and the AUC actually separates
+    val rows = Vector.fill(500) {
+      val pos = r.nextBoolean()
+      val p = (r.nextInt(49) + (if (pos) 16 else 0)) / 64.0
+      (if (pos) "pos" else "neg", p)
+    }
+    val inDir = JFiles.createTempDirectory("graft-auc-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-auc-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-auc-counts").toString
+    def write(name: String, part: Seq[(String, Double)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (s, v) => s"$s,$v" }.mkString("\n"))
+    val half = rows.length / 2
+    write("f1.txt", rows.take(half))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("cat"))
+    val q1 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", rows.drop(half))
+    val q2 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val batchDf = rows.map { case (s, v) => (v, s == "pos") }.toDF("p", "y")
+    StreamingDrift.rocAucNow(spark, cDir, "pos", "neg").collect().head.toSeq shouldBe
+      Evaluation.rocAuc(batchDf, "p", "y").collect().head.toSeq
+    StreamingDrift.averagePrecisionNow(spark, cDir, "pos", "neg")
+      .collect().head.toSeq shouldBe
+      Evaluation.averagePrecision(batchDf, "p", "y").collect().head.toSeq
+    StreamingDrift.brierNow(spark, cDir, "pos", "neg").collect().head.toSeq shouldBe
+      Evaluation.brier(batchDf, "p", "y").collect().head.toSeq
+    StreamingDrift.calibrationNow(spark, cDir, "pos", "neg")
+      .orderBy("bin").collect().map(_.toSeq) shouldBe
+      Evaluation.calibrationBins(batchDf, "p", "y").orderBy("bin").collect().map(_.toSeq)
+    StreamingDrift.eceNow(spark, cDir, "pos", "neg").collect().head.toSeq shouldBe
+      Evaluation.ece(batchDf, "p", "y").collect().head.toSeq
+    // the planted separation bites: AUC well above chance
+    StreamingDrift.rocAucNow(spark, cDir, "pos", "neg")
+      .collect().head.getAs[Double]("auc") should be > 0.6
+  }
+
   it("an empty stream reads as zero current counts, not a throw") {
     val dir = JFiles.createTempDirectory("graft-drift-empty").toString
     val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")

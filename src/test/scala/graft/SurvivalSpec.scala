@@ -346,6 +346,12 @@ class SurvivalSpec extends SparkSpec {
     val coxBatch = Survival.coxPh(subjects.toDF("dur", "obs", "g"), "dur", "obs", "g")
       .collect().head.toSeq
     coxStreamed shouldBe coxBatch
+    // ... and the C-index pair counts are exact-integer functions of them
+    val cStreamed = graft.streaming.StreamingSurvival.cIndexNow(spark, cDir)
+      .collect().head.toSeq
+    val cBatch = Survival.cIndexBinary(subjects.toDF("dur", "obs", "g"),
+      "dur", "obs", "g").collect().head.toSeq
+    cStreamed shouldBe cBatch
   }
 
   it("streamed competing-risks subjects across a restart yield the batch CIF exactly") {
@@ -433,6 +439,47 @@ class SurvivalSpec extends SparkSpec {
       val cifs = rows.sortBy(_.getLong(0)).map(_.getDouble(4))
       cifs.zip(cifs.tail).foreach { case (a, b) => b should be >= a }
     }
+  }
+
+  it("C-index matches the hand pair count, half-crediting same-score pairs") {
+    // a: (1,e)(3,c)(5,e); b: (2,e)(4,e)(6,c) — usable pairs by hand:
+    // con = 3 (B1>A2,A3; B2>A3), dis = 4 (A1>B*, A3>B3), ties = 5
+    // C = (3 + 2.5)/12 = 0.458333
+    val rows = Seq((1, 1, "a"), (3, 0, "a"), (5, 1, "a"),
+      (2, 1, "b"), (4, 1, "b"), (6, 0, "b")).toDF("dur", "obs", "g")
+    val r = Survival.cIndexBinary(rows, "dur", "obs", "g").collect().head
+    r.getAs[Long]("n_a") shouldBe 3L
+    r.getAs[Long]("n_b") shouldBe 3L
+    r.getAs[Long]("pairs") shouldBe 12L
+    r.getAs[Long]("concordant2") shouldBe 11L
+    r.getAs[Double]("c_index") shouldBe 0.458333 +- 1e-9
+    r.getAs[Double]("somers_d") shouldBe -0.083333 +- 1e-9
+    // direction agrees with the Cox fit's x = 1 (group b) coding:
+    // C < 0.5 exactly when beta < 0 on the same design
+    val beta = Survival.coxPh(rows, "dur", "obs", "g")
+      .collect().head.getAs[Double]("beta")
+    beta should be < 0.0
+  }
+
+  it("C-index treats a subject censored at the event's own time as longer-lived") {
+    val rows = Seq((2, 0, "a"), (2, 1, "b")).toDF("dur", "obs", "g")
+    val r = Survival.cIndexBinary(rows, "dur", "obs", "g").collect().head
+    r.getAs[Long]("pairs") shouldBe 1L
+    r.getAs[Double]("c_index") shouldBe 1.0
+  }
+
+  it("C-index is EMPTY on single-group and all-censored inputs, NULL when only same-time events exist") {
+    import spark.implicits._
+    Survival.cIndexBinary(Seq((1, 1, "a"), (2, 1, "a")).toDF("dur", "obs", "g"),
+      "dur", "obs", "g").collect() shouldBe empty
+    Survival.cIndexBinary(Seq((1, 0, "a"), (2, 0, "b")).toDF("dur", "obs", "g"),
+      "dur", "obs", "g").collect() shouldBe empty
+    // two events at the same instant: an event time exists but no pair
+    // is comparable -> one row, NULL C
+    val r = Survival.cIndexBinary(Seq((2, 1, "a"), (2, 1, "b")).toDF("dur", "obs", "g"),
+      "dur", "obs", "g").collect().head
+    r.getAs[Long]("pairs") shouldBe 0L
+    r.isNullAt(r.fieldIndex("c_index")) shouldBe true
   }
 
   it("single-cause Aalen-Johansen equals 1 - KM at every event time") {

@@ -216,6 +216,26 @@ object SparkEntry {
         (F.col("user_id") % 2).as("cohort"))
   }
 
+  /** [[cohortSubjects]] with a stratification key alongside (user_id
+    * mod 3 — independent of the mod-2 cohort, all six combinations
+    * occur), for the stratified log-rank fixture. */
+  private def cohortSubjectsStrat(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+    val seen = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
+    val f = seen.groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("f0"))
+    val p = seen.filter(F.col("event_type") === "purchase")
+      .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("p0"))
+    f.join(p, Seq("user_id"), "left").crossJoin(F.broadcast(cut))
+      .select(
+        F.when(F.col("p0").isNotNull,
+            F.datediff(F.to_date(F.col("p0")), F.to_date(F.col("f0"))))
+          .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
+        F.col("p0").isNotNull.cast("int").as("obs"),
+        (F.col("user_id") % 2).as("cohort"),
+        (F.col("user_id") % 3).as("stratum"))
+  }
+
   private val shipperName = "cf-audit-events-to-splunk"
   private val cursorTs = Timestamp.from(Instant.parse("2024-01-15T00:00:00Z"))
   private val eventCols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -1173,6 +1193,13 @@ object SparkEntry {
     "q_cindex" -> ((s, dir) => {
       Survival.cIndexBinary(cohortSubjects(s, dir), "dur", "obs", "cohort")
     }),
+    // The confounder-adjusted variant: risk sets confined to user_id%3
+    // strata, O−E and V Mantel–Haenszel-pooled across them (per-stratum
+    // windows, then an ordered fold over the strata-sized summary).
+    "q_logrank_strat" -> ((s, dir) => {
+      Survival.logRankStratified(cohortSubjectsStrat(s, dir),
+        "dur", "obs", "cohort", "stratum")
+    }),
     // The same KM curve with Greenwood 95% bands — the variance a curve
     // needs before two of them are compared by eye; se/lo/hi NULL at an
     // everyone-dies step (variance undefined at S = 0).
@@ -1506,6 +1533,49 @@ object SparkEntry {
       Evaluation.liftTable(
         t(s, dir, "documents").withColumn("is_en", F.col("lang") === "en"),
         "n_chars", "is_en").orderBy("tile")),
+    // The AUC with its DeLong 95% CI — the SE a model comparison needs;
+    // placement values fold from the same one-scan cumulatives.
+    "q_auc_ci" -> ((s, dir) =>
+      Evaluation.rocAucCi(
+        t(s, dir, "documents").withColumn("is_en", F.col("lang") === "en"),
+        "n_chars", "is_en")),
+    // Isotonic calibration: the monotone P(en | p) fit, PAVA over the
+    // value-bounded score axis (exact integer pooling decisions) — the
+    // reliability diagram without the arbitrary bin edges.
+    "q_isotonic" -> ((s, dir) =>
+      Evaluation.isotonicCalibration(docProb(t(s, dir, "documents")),
+        "p_en", "is_en").orderBy("x")),
+    // The operating point: the threshold maximizing Youden's J
+    // (TPR − FPR, the classifier KS distance), tie-broken to the
+    // smallest cut; precision/accuracy at the winner ride along.
+    "q_youden" -> ((s, dir) =>
+      Evaluation.bestThreshold(
+        t(s, dir, "documents").withColumn("is_en", F.col("lang") === "en"),
+        "n_chars", "is_en")),
+    // Per-source AUC of the same scorer — the fairness-audit read: a
+    // pooled AUC can mask one slice scoring at chance; midranks never
+    // cross groups (the window partitions by the audit key).
+    "q_auc_by_group" -> ((s, dir) =>
+      Evaluation.rocAucByGroup(
+        t(s, dir, "documents").withColumn("is_en", F.col("lang") === "en"),
+        "n_chars", "is_en", "source").orderBy("group")),
+    // Per-source selection/TPR/FPR board for the thresholded filter
+    // "keep if n_chars > 300" — the audit a curation gate runs before a
+    // learned filter's keep/drop ships.
+    "q_fairness" -> ((s, dir) =>
+      Evaluation.groupFairness(
+        t(s, dir, "documents")
+          .withColumn("keep", F.col("n_chars") > 300)
+          .withColumn("is_en", F.col("lang") === "en"),
+        "source", "keep", "is_en").orderBy("group")),
+    // The board folded to the headline numbers: demographic-parity gap
+    // and the Hardt equalized-odds gap (max of TPR/FPR spreads).
+    "q_fairness_gaps" -> ((s, dir) =>
+      Evaluation.fairnessGaps(
+        t(s, dir, "documents")
+          .withColumn("keep", F.col("n_chars") > 300)
+          .withColumn("is_en", F.col("lang") === "en"),
+        "source", "keep", "is_en")),
     // Retrieval-quality per query: exact cosine top-10 for the first 10
     // vectors scored against the same-label relevant universe —
     // precision/recall@k, MRR, nDCG@k with the ideal DCG taken against
@@ -3898,6 +3968,48 @@ object SparkEntry {
     * n1, n2, nn1, nn2, nt, dt)`, event times only. The gg HAVING guard
     * mirrors the operators' single-cohort degeneracy guard (empty, not
     * a bogus both-cohorts-equal row). */
+  /** Per-source fairness board over the "keep if n_chars > 300" filter
+    * vs the English label — [[Evaluation.groupFairness]]'s mirror. */
+  private def fairnessBoardSql: String =
+    "SELECT source AS \"group\", CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS n_pos, " +
+      "round(CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS DOUBLE) / count(*), 6) + 0.0 AS base_rate, " +
+      "round(CAST(count(CASE WHEN n_chars > 300 THEN 1 END) AS DOUBLE) / count(*), 6) + 0.0 AS selection_rate, " +
+      "round(CASE WHEN count(CASE WHEN lang = 'en' THEN 1 END) > 0 " +
+      "THEN CAST(count(CASE WHEN n_chars > 300 AND lang = 'en' THEN 1 END) AS DOUBLE) " +
+      "/ count(CASE WHEN lang = 'en' THEN 1 END) END, 6) + 0.0 AS tpr, " +
+      "round(CASE WHEN count(*) - count(CASE WHEN lang = 'en' THEN 1 END) > 0 " +
+      "THEN CAST(count(CASE WHEN n_chars > 300 AND lang <> 'en' THEN 1 END) AS DOUBLE) " +
+      "/ (count(*) - count(CASE WHEN lang = 'en' THEN 1 END)) END, 6) + 0.0 AS fpr " +
+      "FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL " +
+      "GROUP BY 1"
+
+  /** [[cohortSurvCtes]] with the user_id%3 stratum riding along —
+    * per-stratum risk sets for the stratified log-rank mirror. */
+  private val stratSurvCtes: String =
+    "WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
+      "f AS (SELECT user_id, min(ts) AS f0 FROM events, cut WHERE ts <= c GROUP BY 1), " +
+      "p AS (SELECT user_id, min(ts) AS p0 FROM events, cut " +
+      "WHERE event_type = 'purchase' AND ts <= c GROUP BY 1), " +
+      "subj AS (SELECT f.user_id % 3 AS s, f.user_id % 2 AS g, CASE WHEN p0 IS NOT NULL " +
+      "THEN date_diff('day', CAST(f0 AS DATE), CAST(p0 AS DATE)) " +
+      "ELSE date_diff('day', CAST(f0 AS DATE), CAST(c AS DATE)) END AS t0, " +
+      "CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS obs " +
+      "FROM f LEFT JOIN p ON p.user_id = f.user_id, cut), " +
+      "bystg AS (SELECT s, CAST(t0 AS BIGINT) AS t, g, CAST(sum(obs) AS BIGINT) AS d, " +
+      "CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY 1, 2, 3), " +
+      "gg AS (SELECT min(g) AS ga, max(g) AS gb FROM bystg HAVING min(g) <> max(g)), " +
+      "pert AS (SELECT s, t, CAST(sum(CASE WHEN g = ga THEN d ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS d1, " +
+      "CAST(sum(CASE WHEN g = ga THEN c ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c1, " +
+      "CAST(sum(CASE WHEN g = gb THEN d ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS d2, " +
+      "CAST(sum(CASE WHEN g = gb THEN c ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS c2 " +
+      "FROM bystg, gg GROUP BY 1, 2), " +
+      "tots AS (SELECT s, CAST(sum(c1) AS BIGINT) AS nn1, CAST(sum(c2) AS BIGINT) AS nn2 FROM pert GROUP BY 1), " +
+      "rr AS (SELECT pert.s AS s, t, d1, d2, CAST(nn1 - sum(c1) OVER w + c1 AS BIGINT) AS n1, " +
+      "CAST(nn2 - sum(c2) OVER w + c2 AS BIGINT) AS n2 FROM pert JOIN tots ON tots.s = pert.s " +
+      "WINDOW w AS (PARTITION BY pert.s ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "evr AS (SELECT s, t, d1, d2, n1, n2, n1 + n2 AS nt, d1 + d2 AS dt FROM rr WHERE d1 + d2 > 0)"
+
   private val cohortSurvCtes: String =
     "WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
       "f AS (SELECT user_id, min(ts) AS f0 FROM events, cut WHERE ts <= c GROUP BY 1), " +
@@ -4893,6 +5005,108 @@ object SparkEntry {
         "round(CASE WHEN n1 > 0 THEN CAST(cum_pos AS DOUBLE) / n1 END, 6) + 0.0 AS cum_capture, " +
         "round(CASE WHEN prev > 0.0 THEN (CAST(cum_pos AS DOUBLE) / cumn) / prev END, 6) + 0.0 AS cum_lift " +
         "FROM z ORDER BY tile"),
+    // DeLong placements from the same cumulatives; variance clamps and
+    // null-guards mirrored (greatest/least skip NULLs in both engines).
+    "q_auc_ci" ->
+      (binCountsCte("CAST(n_chars AS DOUBLE)") +
+        ", k AS (SELECT c1, c2, sum(c1) OVER w AS k1, sum(c2) OVER w AS k2 FROM c " +
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c), " +
+        "pl AS (SELECT c1, c2, (CAST(k2 - c2 AS DOUBLE) + CAST(c2 AS DOUBLE) / 2.0) / n2 AS v10, " +
+        "(CAST(n1 - k1 AS DOUBLE) + CAST(c1 AS DOUBLE) / 2.0) / n1 AS v01 FROM k, n), " +
+        "sm AS (SELECT sum(c1 * v10) AS s10, sum(c1 * v10 * v10) AS q10, " +
+        "sum(c2 * v01) AS s01, sum(c2 * v01 * v01) AS q01 FROM pl), " +
+        "z AS (SELECT n1, n2, CASE WHEN n1 > 0 AND n2 > 0 THEN s10 / n1 END AS auc, " +
+        "CASE WHEN n1 > 1 THEN greatest(0.0, (q10 - s10 * s10 / n1) / (n1 - 1)) END AS v10v, " +
+        "CASE WHEN n2 > 1 THEN greatest(0.0, (q01 - s01 * s01 / n2) / (n2 - 1)) END AS v01v FROM sm, n), " +
+        "w2 AS (SELECT n1, n2, auc, sqrt(v10v / n1 + v01v / n2) AS se FROM z) " +
+        "SELECT n1 AS n_pos, n2 AS n_neg, round(auc, 6) + 0.0 AS auc, round(se, 6) + 0.0 AS se, " +
+        "round(CASE WHEN se IS NOT NULL THEN greatest(auc - 1.96 * se, 0.0) END, 6) + 0.0 AS ci_lo, " +
+        "round(CASE WHEN se IS NOT NULL THEN least(auc + 1.96 * se, 1.0) END, 6) + 0.0 AS ci_hi FROM w2"),
+    // PAVA's fixed point via the minimax identity ŷ_k = max_{i≤k}
+    // min_{j≥k} mean(i..j) over exact prefix sums — the O(V²) closed
+    // form on the value-bounded axis, equal to the operator's stack
+    // fold by the classical theorem (differences die at the 6-snap).
+    "q_isotonic" ->
+      (binCountsCte(docProbSql) +
+        ", v AS (SELECT x, c1, c1 + c2 AS n, row_number() OVER (ORDER BY x) AS k FROM c), " +
+        "ps AS (SELECT k, x, c1, n, CAST(sum(c1) OVER w AS BIGINT) AS sy, " +
+        "CAST(sum(n) OVER w AS BIGINT) AS sn FROM v " +
+        "WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "grid AS (SELECT a.k AS i, b.k AS j, " +
+        "CAST(b.sy - (a.sy - a.c1) AS DOUBLE) / (b.sn - (a.sn - a.n)) AS m " +
+        "FROM ps a JOIN ps b ON a.k <= b.k), " +
+        "sm AS (SELECT i, j, min(m) OVER (PARTITION BY i ORDER BY j DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn FROM grid), " +
+        "iso AS (SELECT j AS k, max(mn) AS yi FROM sm GROUP BY 1) " +
+        "SELECT v.x AS x, CAST(v.n AS BIGINT) AS n, " +
+        "round(CAST(v.c1 AS DOUBLE) / v.n, 6) + 0.0 AS rate, " +
+        "round(iso.yi, 6) + 0.0 AS iso_rate FROM v JOIN iso ON iso.k = v.k ORDER BY x"),
+    // The argmax is ORDER BY (tpr − fpr) DESC, x ASC LIMIT 1 on the
+    // UNROUNDED operating curve — IEEE divisions identical in both
+    // engines, so both pick the same cut.
+    "q_youden" ->
+      (binCountsCte("CAST(n_chars AS DOUBLE)") +
+        ", k AS (SELECT x, c1, c2, sum(c1) OVER w AS k1, sum(c2) OVER w AS k2 FROM c " +
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c), " +
+        "sc AS (SELECT x, CAST(n1 - (k1 - c1) AS BIGINT) AS pge, CAST(n2 - (k2 - c2) AS BIGINT) AS nge, " +
+        "n1, n2 FROM k, n WHERE n1 > 0 AND n2 > 0), " +
+        "z AS (SELECT x, pge, nge, n1, n2, CAST(pge AS DOUBLE) / n1 AS tpr, " +
+        "CAST(nge AS DOUBLE) / n2 AS fpr FROM sc) " +
+        "SELECT x AS threshold, n1 AS n_pos, n2 AS n_neg, round(tpr, 6) + 0.0 AS tpr, " +
+        "round(fpr, 6) + 0.0 AS fpr, round(tpr - fpr, 6) + 0.0 AS j_stat, " +
+        "round(CAST(pge AS DOUBLE) / (pge + nge), 6) + 0.0 AS precision, " +
+        "round(CAST(pge + (n2 - nge) AS DOUBLE) / (n1 + n2), 6) + 0.0 AS accuracy " +
+        "FROM z ORDER BY (tpr - fpr) DESC, x ASC LIMIT 1"),
+    // Per-group midranks: the SAME rank algebra with the cumulative
+    // window partitioned by source, so no group's ranks mix.
+    "q_auc_by_group" ->
+      ("WITH s AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS x, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents " +
+        "WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL), " +
+        "c AS (SELECT g, x, CAST(sum(y) AS BIGINT) AS c1, CAST(count(*) - sum(y) AS BIGINT) AS c2 FROM s GROUP BY 1, 2), " +
+        "k AS (SELECT g, c1, c2, sum(c1 + c2) OVER w AS kt FROM c " +
+        "WINDOW w AS (PARTITION BY g ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "r AS (SELECT g, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2, " +
+        "sum(CAST(c1 AS DOUBLE) * ((kt - (c1 + c2)) + (CAST(c1 + c2 AS DOUBLE) + 1.0) / 2.0)) AS r1 FROM k GROUP BY 1) " +
+        "SELECT g AS \"group\", n1 AS n_pos, n2 AS n_neg, " +
+        "round(CASE WHEN n1 > 0 AND n2 > 0 THEN (r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0) / (CAST(n1 AS DOUBLE) * n2) END, 6) + 0.0 AS auc " +
+        "FROM r ORDER BY 1"),
+    // One confusion-cell scan keyed by source; rates CASE-guarded.
+    "q_fairness" -> (fairnessBoardSql + " ORDER BY 1"),
+    // Gaps over the ROUNDED per-group rates (the operator's contract);
+    // NULL with fewer than two groups.
+    "q_fairness_gaps" ->
+      ("WITH b AS (" + fairnessBoardSql + ") " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "round(CASE WHEN count(*) > 1 THEN max(selection_rate) - min(selection_rate) END, 6) + 0.0 AS parity_gap, " +
+        "round(CASE WHEN count(*) > 1 THEN max(tpr) - min(tpr) END, 6) + 0.0 AS tpr_gap, " +
+        "round(CASE WHEN count(*) > 1 THEN max(fpr) - min(fpr) END, 6) + 0.0 AS fpr_gap, " +
+        "round(CASE WHEN count(*) > 1 THEN greatest(max(tpr) - min(tpr), max(fpr) - min(fpr)) END, 6) + 0.0 AS eq_odds_gap FROM b"),
+    // Per-stratum risk sets (windows partitioned by s), per-stratum
+    // O/E/V read off each stratum's last event row in t order, then the
+    // Mantel–Haenszel pool folded in stratum order — the operator's
+    // exact accumulation shape.
+    "q_logrank_strat" ->
+      (stratSurvCtes +
+        ", tm AS (SELECT s, t, d1, d2, CAST(dt AS DOUBLE) * n1 / nt AS e1, " +
+        "CASE WHEN nt > 1 THEN CAST(dt AS DOUBLE) * n1 / nt * n2 / nt * (nt - dt) / (nt - 1) " +
+        "ELSE CAST(0 AS DOUBLE) END AS vt FROM evr), " +
+        "cum AS (SELECT s, CAST(sum(d1) OVER w AS BIGINT) AS o1s, " +
+        "sum(e1) OVER w AS e1s, sum(vt) OVER w AS vss, " +
+        "row_number() OVER (PARTITION BY s ORDER BY t DESC) AS rn FROM tm " +
+        "WINDOW w AS (PARTITION BY s ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "pers AS (SELECT s, o1s, e1s, vss FROM cum WHERE rn = 1), " +
+        "pool AS (SELECT CAST(sum(o1s) OVER wa AS BIGINT) AS oa, sum(e1s) OVER wa AS ea, " +
+        "sum(vss) OVER wa AS v, CAST(count(*) OVER wa AS BIGINT) AS k, " +
+        "row_number() OVER (ORDER BY s DESC) AS rn2 FROM pers " +
+        "WINDOW wa AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "nall AS (SELECT CAST(sum(nn1) AS BIGINT) AS na, CAST(sum(nn2) AS BIGINT) AS nb FROM tots) " +
+        "SELECT na AS n_a, nb AS n_b, k AS n_strata, oa AS o_a, round(ea, 6) + 0.0 AS e_a, " +
+        "round(CASE WHEN v > 0 THEN (CAST(oa AS DOUBLE) - ea) * (CAST(oa AS DOUBLE) - ea) / v END, 6) + 0.0 AS chi2, " +
+        "(CASE WHEN v > 0 THEN (CAST(oa AS DOUBLE) - ea) * (CAST(oa AS DOUBLE) - ea) / v END) > 3.841459 AS reject_95 " +
+        "FROM pool, nall WHERE rn2 = 1"),
     // The exact-cosine ranking reuses the serve oracles' kernel; the
     // metric algebra (hits, first-hit rank, DCG against the
     // full-universe ideal) is mirrored term-for-term.

@@ -121,6 +121,61 @@ object Evaluation {
         (F.round(F.col("__auc"), 6) + F.lit(0.0)).as("auc"))
   }
 
+  /** ROC AUC with the DeLong 95% confidence interval (DeLong, DeLong &
+    * Clarke-Pearson, Biometrics 1988) — the distribution-free SE the
+    * bare AUC needs before two models are compared: per-positive
+    * placement values V₁₀(x) = (neg_below + ½·neg_at)/n₂ (and V₀₁
+    * symmetrically), S₁₀ = var(V₁₀), SE² = S₁₀/n₁ + S₀₁/n₂. Every
+    * placement value folds from the SAME ascending cumulatives as
+    * [[rocAuc]] — one scan, no pair space; variances are count-weighted
+    * moment sums (the welch round-snap class). CI clipped to [0, 1];
+    * SE/CI NULL when either class has < 2 members (a variance needs
+    * two). Output: one row — (n_pos, n_neg, auc, se, ci_lo, ci_hi),
+    * auc round 6, se round 6, CI round 6. */
+  def rocAucCi(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    rocAucCiFromCounts(binaryScoreCounts(df, scoreCol, labelCol))
+
+  /** [[rocAucCi]] over a pre-aggregated (x, c1, c2) count frame. */
+  def rocAucCiFromCounts(byV: DataFrame): DataFrame = {
+    val (cum, n) = Drift.cdfFromCounts(byV)
+    val c = cum.crossJoin(F.broadcast(n))
+    // placement of positives at x among negatives (and symmetrically):
+    // strictly-below cumulative + half the same-score mass
+    val v10 = ((F.col("__k2") - F.col("c2")).cast("double")
+      + F.col("c2").cast("double") / 2.0) / F.col("n2")
+    val v01 = ((F.col("n1") - F.col("__k1")).cast("double")
+      + F.col("c1").cast("double") / 2.0) / F.col("n1")
+    val s = c.agg(
+      F.sum(F.col("c1") * v10).as("__s10"),
+      F.sum(F.col("c1") * v10 * v10).as("__q10"),
+      F.sum(F.col("c2") * v01).as("__s01"),
+      F.sum(F.col("c2") * v01 * v01).as("__q01"))
+    s.crossJoin(F.broadcast(n))
+      .withColumn("__auc", F.when(F.col("n1") > 0 && F.col("n2") > 0,
+        F.col("__s10") / F.col("n1")))
+      // clamp the FP-cancellation shadow below zero INSIDE the guard
+      // (greatest skips nulls — an n ≤ 1 class must stay NULL)
+      .withColumn("__v10", F.when(F.col("n1") > 1, F.greatest(F.lit(0.0),
+        (F.col("__q10") - F.col("__s10") * F.col("__s10") / F.col("n1"))
+          / (F.col("n1") - 1))))
+      .withColumn("__v01", F.when(F.col("n2") > 1, F.greatest(F.lit(0.0),
+        (F.col("__q01") - F.col("__s01") * F.col("__s01") / F.col("n2"))
+          / (F.col("n2") - 1))))
+      .withColumn("__se", F.sqrt(F.col("__v10") / F.col("n1")
+        + F.col("__v01") / F.col("n2")))
+      .select(F.col("n1").as("n_pos"), F.col("n2").as("n_neg"),
+        (F.round(F.col("__auc"), 6) + F.lit(0.0)).as("auc"),
+        (F.round(F.col("__se"), 6) + F.lit(0.0)).as("se"),
+        // greatest/least SKIP nulls (the q_survival_ci trap): an
+        // undefined SE must yield NULL bands, not a clipped [0, 1]
+        (F.round(F.when(F.col("__se").isNotNull,
+          F.greatest(F.col("__auc") - F.lit(1.96) * F.col("__se"),
+            F.lit(0.0))), 6) + F.lit(0.0)).as("ci_lo"),
+        (F.round(F.when(F.col("__se").isNotNull,
+          F.least(F.col("__auc") + F.lit(1.96) * F.col("__se"),
+            F.lit(1.0))), 6) + F.lit(0.0)).as("ci_hi"))
+  }
+
   /** Average precision (area under the precision–recall curve, the
     * step-function convention scikit-learn's average_precision_score
     * uses): walking distinct scores DESCENDING, AP = Σₓ ΔRₓ · Pₓ with
@@ -235,6 +290,99 @@ object Evaluation {
           * F.col("n")).as("__wgap"))
       .select(F.col("n"), F.col("bins_used"),
         (F.round(F.col("__wgap") / F.col("n"), 6) + F.lit(0.0)).as("ece"))
+
+  /** Per-group ROC AUC — the FAIRNESS-AUDIT read of [[rocAuc]]: a
+    * scorer can hold a healthy pooled AUC while discriminating well for
+    * one slice and at chance for another (the aggregation masking
+    * Simpson-style). Same tie-aware midrank algebra, but the cumulative
+    * runs as a window PARTITIONED by the group (the per-key window
+    * class — the shuffle key IS the audit key), so no group's ranks mix
+    * with another's and no global window touches the pooled value axis.
+    * Groups with one class report NULL (AUC undefined there — the
+    * honest answer, not 0.5). Output: one row per group — (group,
+    * n_pos, n_neg, auc), round 6. */
+  def rocAucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
+                    groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val byGX = df.filter(x.isNotNull && y.isNotNull && F.col(groupCol).isNotNull)
+      .groupBy(F.col(groupCol).as("group"), x.as("x"))
+      .agg(F.count(F.when(y, 1)).as("c1"), F.count(F.when(!y, 1)).as("c2"))
+    val w = Window.partitionBy("group").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = F.col("c1") + F.col("c2")
+    val mid = (F.sum(t).over(w) - t).cast("double") + (t.cast("double") + 1.0) / 2.0
+    byGX
+      .withColumn("__r", F.col("c1").cast("double") * mid)
+      .groupBy("group")
+      .agg(F.sum("c1").as("n_pos"), F.sum("c2").as("n_neg"),
+        F.sum("__r").as("__r1"))
+      .select(F.col("group"), F.col("n_pos"), F.col("n_neg"),
+        (F.round(F.when(F.col("n_pos") > 0 && F.col("n_neg") > 0,
+          (F.col("__r1") - F.col("n_pos").cast("double") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos").cast("double") * F.col("n_neg"))), 6)
+          + F.lit(0.0)).as("auc"))
+  }
+
+  /** Per-group classification-fairness board: for each group, the
+    * selection rate (demographic parity's operand), TPR and FPR
+    * (equalized odds' operands), and the group's base rate — the table
+    * a curation pipeline audits before a learned filter's keep/drop
+    * decisions ship. One confusion-cell scan keyed by group; rates are
+    * CASE-guarded (a group with no positives has NULL TPR, not 0).
+    * Output: one row per group — (group, n, n_pos, base_rate,
+    * selection_rate, tpr, fpr), round 6. */
+  def groupFairness(df: DataFrame, groupCol: String, predCol: String,
+                    labelCol: String): DataFrame = {
+    val p = F.col(predCol).cast("boolean")
+    val y = F.col(labelCol).cast("boolean")
+    df.filter(p.isNotNull && y.isNotNull && F.col(groupCol).isNotNull)
+      .groupBy(F.col(groupCol).as("group"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.count(F.when(y, 1)).as("n_pos"),
+        F.count(F.when(p, 1)).as("__sel"),
+        F.count(F.when(p && y, 1)).as("__tp"),
+        F.count(F.when(p && !y, 1)).as("__fp"))
+      .select(F.col("group"), F.col("n"), F.col("n_pos"),
+        (F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+          + F.lit(0.0)).as("base_rate"),
+        (F.round(F.col("__sel").cast("double") / F.col("n"), 6)
+          + F.lit(0.0)).as("selection_rate"),
+        (F.round(F.when(F.col("n_pos") > 0,
+          F.col("__tp").cast("double") / F.col("n_pos")), 6)
+          + F.lit(0.0)).as("tpr"),
+        (F.round(F.when(F.col("n") - F.col("n_pos") > 0,
+          F.col("__fp").cast("double") / (F.col("n") - F.col("n_pos"))), 6)
+          + F.lit(0.0)).as("fpr"))
+  }
+
+  /** [[groupFairness]] folded to the headline gaps: demographic-parity
+    * gap = max − min selection rate across groups, and the equalized-
+    * odds gap = the larger of the TPR and FPR spreads (Hardt et al.,
+    * NeurIPS 2016) — the two numbers a fairness gate thresholds.
+    * Spreads are over the ROUNDED per-group rates (group key space
+    * bounds the fold); groups with undefined TPR/FPR drop from their
+    * spread, and a board with < 2 groups reports NULL gaps. Output: one
+    * row — (n_groups, parity_gap, tpr_gap, fpr_gap, eq_odds_gap),
+    * round 6. */
+  def fairnessGaps(df: DataFrame, groupCol: String, predCol: String,
+                   labelCol: String): DataFrame =
+    groupFairness(df, groupCol, predCol, labelCol).agg(
+        F.count(F.lit(1)).as("n_groups"),
+        (F.max("selection_rate") - F.min("selection_rate")).as("__pg"),
+        (F.max("tpr") - F.min("tpr")).as("__tg"),
+        (F.max("fpr") - F.min("fpr")).as("__fg"))
+      .select(F.col("n_groups"),
+        (F.round(F.when(F.col("n_groups") > 1, F.col("__pg")), 6)
+          + F.lit(0.0)).as("parity_gap"),
+        (F.round(F.when(F.col("n_groups") > 1, F.col("__tg")), 6)
+          + F.lit(0.0)).as("tpr_gap"),
+        (F.round(F.when(F.col("n_groups") > 1, F.col("__fg")), 6)
+          + F.lit(0.0)).as("fpr_gap"),
+        (F.round(F.when(F.col("n_groups") > 1,
+          F.greatest(F.col("__tg"), F.col("__fg"))), 6)
+          + F.lit(0.0)).as("eq_odds_gap"))
 
   /** Cumulative gains / lift table — the model-TARGETING read the
     * AUC's single number hides: rank the corpus by score descending,
@@ -362,6 +510,109 @@ object Evaluation {
         (F.round(F.col("__r"), 6) + F.lit(0.0)).as("macro_recall"),
         (F.round(F.col("__m"), 6) + F.lit(0.0)).as("macro_mrr"),
         (F.round(F.col("__n"), 6) + F.lit(0.0)).as("macro_ndcg"))
+
+  /** Optimal decision threshold by Youden's J (Youden, Cancer 1950):
+    * over every candidate cut "predict positive when score ≥ x", the x
+    * maximizing J = TPR − FPR — equivalently the classifier KS distance,
+    * the point where the class CDFs separate most. TPR/FPR at each cut
+    * fold from the same descending cumulatives as [[averagePrecision]]
+    * (one scan, exact integer operands, IEEE divisions identical in both
+    * engines); the argmax tie-breaks to the SMALLEST threshold (the
+    * higher-recall cut, deterministically). Precision/accuracy at the
+    * winning cut ride along. EMPTY when either class is absent (no cut
+    * is comparable). Output: one row — (threshold, n_pos, n_neg, tpr,
+    * fpr, j_stat, precision, accuracy), round 6. */
+  def bestThreshold(df: DataFrame, scoreCol: String,
+                    labelCol: String): DataFrame =
+    bestThresholdFromCounts(binaryScoreCounts(df, scoreCol, labelCol))
+
+  /** [[bestThreshold]] over a pre-aggregated (x, c1, c2) count frame. */
+  def bestThresholdFromCounts(byV: DataFrame): DataFrame = {
+    val (cum, n) = Drift.cdfFromCounts(byV)
+    val t = F.col("c1") + F.col("c2")
+    val posGe = F.col("n1") - (F.col("__k1") - F.col("c1"))
+    val negGe = F.col("n2") - (F.col("__k2") - (t - F.col("c1")))
+    val scored = cum.crossJoin(F.broadcast(n))
+      .filter(F.col("n1") > 0 && F.col("n2") > 0)
+      .withColumn("tpr", posGe.cast("double") / F.col("n1"))
+      .withColumn("fpr", negGe.cast("double") / F.col("n2"))
+      .withColumn("__j", F.col("tpr") - F.col("fpr"))
+    // argmax over the distinct-score axis: top-1 by (J desc, x asc) as
+    // orderBy+limit — TakeOrderedAndProject, never a data-sized sort or
+    // a partition-less window
+    scored
+      .orderBy(F.col("__j").desc, F.col("x").asc)
+      .limit(1)
+      .select(F.col("x").as("threshold"),
+        F.col("n1").as("n_pos"), F.col("n2").as("n_neg"),
+        (F.round(F.col("tpr"), 6) + F.lit(0.0)).as("tpr"),
+        (F.round(F.col("fpr"), 6) + F.lit(0.0)).as("fpr"),
+        (F.round(F.col("__j"), 6) + F.lit(0.0)).as("j_stat"),
+        (F.round(posGe.cast("double") / (posGe + negGe), 6)
+          + F.lit(0.0)).as("precision"),
+        (F.round((posGe + (F.col("n2") - negGe)).cast("double")
+          / (F.col("n1") + F.col("n2")), 6) + F.lit(0.0)).as("accuracy"))
+  }
+
+  /** Isotonic calibration (PAVA — Ayer et al., Ann. Math. Stat. 1955;
+    * Zadrozny & Elkan, KDD 2002 for the calibration use): the
+    * nonparametric monotone fit of P(y=1 | score) — [[calibrationBins]]
+    * without the arbitrary bin edges. Pool-adjacent-violators runs as a
+    * driver-side stack fold over the (x, c1, n) count frame in score
+    * order — the VALUE-AXIS-BOUNDED collect (the coxPh duration-axis
+    * discipline: distinct scores are a vocabulary — rounded
+    * probabilities, bounded features — never the corpus). Pooling
+    * decisions compare block means as exact INTEGER cross-products
+    * (sy_a·n_b > sy_b·n_a — no IEEE in the decision path, so the block
+    * structure is bit-deterministic); each block's fitted rate is ONE
+    * final division, 6-snapped HALF_UP (the F.round contract). The
+    * result is the least-squares monotone regression (= the minimax
+    * formula max_{i≤k} min_{j≥k} mean(i..j), which the oracle mirrors).
+    * Output: one row per distinct score — (x, n, rate, iso_rate),
+    * iso_rate nondecreasing in x. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+                          labelCol: String): DataFrame =
+    isotonicFromCounts(binaryScoreCounts(df, scoreCol, labelCol))
+
+  /** [[isotonicCalibration]] over a pre-aggregated (x, c1, c2) count
+    * frame — the streaming re-entry point. */
+  def isotonicFromCounts(byV: DataFrame): DataFrame = {
+    val spark = byV.sparkSession
+    val rows = byV
+      .select(F.col("x").cast("double"),
+        F.col("c1").cast("long"), (F.col("c1") + F.col("c2")).cast("long"))
+      .orderBy("x").collect()
+    final class Block(var sy: Long, var sn: Long, var cnt: Int)
+    val st = new scala.collection.mutable.ArrayBuffer[Block]()
+    rows.foreach { r =>
+      st += new Block(r.getLong(1), r.getLong(2), 1)
+      // pool while the previous block's mean EXCEEDS the new one's —
+      // exact integer cross-product compare (BigInt: sy·sn can pass 2^63)
+      while (st.length >= 2 && {
+        val a = st(st.length - 2); val b = st.last
+        BigInt(a.sy) * b.sn > BigInt(b.sy) * a.sn
+      }) {
+        val b = st.remove(st.length - 1)
+        val a = st.last
+        a.sy += b.sy; a.sn += b.sn; a.cnt += b.cnt
+      }
+    }
+    def snap6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val iso = st.iterator
+      .flatMap(b => Iterator.fill(b.cnt)(b.sy.toDouble / b.sn)).toArray
+    val out = rows.zip(iso).map { case (r, yi) =>
+      org.apache.spark.sql.Row(r.getDouble(0), r.getLong(2),
+        snap6(r.getLong(1).toDouble / r.getLong(2)), snap6(yi))
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(out: _*)),
+      StructType(Seq(
+        StructField("x", DoubleType), StructField("n", LongType),
+        StructField("rate", DoubleType), StructField("iso_rate", DoubleType))))
+  }
 
   /** The shared score frame: one row per distinct score with (positive,
     * negative) counts — the mergeable summary every statistic above

@@ -287,6 +287,91 @@ object Survival {
       (chi2 > F.lit(3.841459)).as("reject_95"))
   }
 
+  /** STRATIFIED two-cohort log-rank test — the confounder-adjusted
+    * variant: when a third variable (signup channel, region, device)
+    * both selects cohort membership and shifts the hazard, the pooled
+    * test confounds the two. Stratifying runs the [[logRank]]
+    * comparison WITHIN each stratum (risk sets never cross strata — the
+    * per-duration window partitions by the stratum key) and pools only
+    * the O−E and hypergeometric-V sums: χ² = (Σₛ(O_a,s − E_a,s))²/ΣₛVₛ
+    * (Mantel–Haenszel pooling). Cohorts are the GLOBAL min/max group
+    * labels so the x = 1 coding is consistent across strata; a stratum
+    * containing one cohort self-cancels (O = E, V = 0). The cross-strata
+    * fold runs as an ORDERED window over the strata-sized summary frame
+    * (the BH family-size class), keeping the statistic bit-replayable.
+    * Output: one row — (n_a, n_b, n_strata, o_a, e_a, chi2, reject_95),
+    * contracts as [[logRankFromCounts]]. */
+  def logRankStratified(subjects: DataFrame, durCol: String, obsCol: String,
+                        groupCol: String, strataCol: String): DataFrame =
+    logRankStratifiedFromCounts(subjects
+      .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull &&
+        F.col(groupCol).isNotNull && F.col(strataCol).isNotNull)
+      .groupBy(F.col(strataCol).as("s"), F.col(durCol).cast("long").as("t"),
+        F.col(groupCol).as("g"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"),
+        F.count(F.lit(1)).as("c")))
+
+  /** [[logRankStratified]] over a pre-aggregated (s, t, g, d, c)
+    * frame. */
+  def logRankStratifiedFromCounts(bySTG: DataFrame): DataFrame = {
+    val gs = bySTG.agg(F.min("g").as("ga"), F.max("g").as("gb"))
+      .filter(F.col("ga") =!= F.col("gb"))
+    val perT = bySTG.crossJoin(F.broadcast(gs))
+      .groupBy("s", "t")
+      .agg(
+        F.sum(F.when(F.col("g") === F.col("ga"), F.col("d")).otherwise(F.lit(0L))).as("d1"),
+        F.sum(F.when(F.col("g") === F.col("ga"), F.col("c")).otherwise(F.lit(0L))).as("c1"),
+        F.sum(F.when(F.col("g") === F.col("gb"), F.col("d")).otherwise(F.lit(0L))).as("d2"),
+        F.sum(F.when(F.col("g") === F.col("gb"), F.col("c")).otherwise(F.lit(0L))).as("c2"))
+    val tot = perT.groupBy("s").agg(F.sum("c1").as("nn1"), F.sum("c2").as("nn2"))
+    val w = Window.partitionBy("s").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-stratum O/E/V accumulated in t order, read off each stratum's
+    // last event row — the logRank construction, keyed by stratum
+    val perS = perT.join(tot, Seq("s"))
+      .withColumn("n1", F.col("nn1") - F.sum("c1").over(w) + F.col("c1"))
+      .withColumn("n2", F.col("nn2") - F.sum("c2").over(w) + F.col("c2"))
+      .filter(F.col("d1") + F.col("d2") > 0)
+      .withColumn("nt", F.col("n1") + F.col("n2"))
+      .withColumn("dt", F.col("d1") + F.col("d2"))
+      .withColumn("e1", F.col("dt").cast("double") * F.col("n1") / F.col("nt"))
+      .withColumn("vt", F.when(F.col("nt") > 1,
+        F.col("dt").cast("double") * F.col("n1") / F.col("nt")
+          * F.col("n2") / F.col("nt")
+          * (F.col("nt") - F.col("dt")) / (F.col("nt") - F.lit(1L)))
+        .otherwise(F.lit(0.0)))
+      .withColumn("o1s", F.sum("d1").over(w))
+      .withColumn("e1s", F.sum("e1").over(w))
+      .withColumn("vss", F.sum("vt").over(w))
+      .withColumn("__rn", F.row_number().over(
+        Window.partitionBy("s").orderBy(F.col("t").desc)))
+      .filter(F.col("__rn") === 1)
+    // pooled fold over the strata-sized summary frame, ORDERED by the
+    // stratum key so the double sums replay identically in both engines
+    val wAll = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pooled = perS
+      .withColumn("__oa", F.sum("o1s").over(wAll))
+      .withColumn("__ea", F.sum("e1s").over(wAll))
+      .withColumn("__v", F.sum("vss").over(wAll))
+      .withColumn("__k", F.count(F.lit(1)).over(wAll))
+      .withColumn("__last", F.row_number().over(Window.orderBy(F.col("s").desc)))
+      .filter(F.col("__last") === 1)
+    // cohort sizes over ALL strata (an event-free stratum still holds
+    // subjects); n_strata counts only strata that contributed an event
+    val nAll = tot.agg(F.sum("nn1").as("__na"), F.sum("nn2").as("__nb"))
+    val chi2 = F.when(F.col("__v") > 0.0,
+      (F.col("__oa").cast("double") - F.col("__ea"))
+        * (F.col("__oa").cast("double") - F.col("__ea")) / F.col("__v"))
+    pooled.crossJoin(F.broadcast(nAll)).select(
+      F.col("__na").as("n_a"), F.col("__nb").as("n_b"),
+      F.col("__k").as("n_strata"),
+      F.col("__oa").as("o_a"),
+      (F.round(F.col("__ea"), 6) + F.lit(0.0)).as("e_a"),
+      (F.round(chi2, 6) + F.lit(0.0)).as("chi2"),
+      (chi2 > F.lit(3.841459)).as("reject_95"))
+  }
+
   /** HARRELL'S C-INDEX for the binary-covariate risk score (Harrell et
     * al., JAMA 1982) — the discrimination companion to [[coxPh]]'s
     * effect size and [[logRank]]'s test: of all usable subject pairs

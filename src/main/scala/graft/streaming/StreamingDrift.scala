@@ -161,6 +161,18 @@ object StreamingDrift {
     graft.operators.Evaluation.liftTableFromCounts(
       twoSampleCounts(spark, countsDir, pos, neg), tiles)
 
+  /** Youden-optimal threshold over the same accumulated counts. */
+  def bestThresholdNow(spark: SparkSession, countsDir: String,
+                       pos: String, neg: String): DataFrame =
+    graft.operators.Evaluation.bestThresholdFromCounts(
+      twoSampleCounts(spark, countsDir, pos, neg))
+
+  /** Isotonic calibration over the same accumulated counts. */
+  def isotonicNow(spark: SparkSession, countsDir: String,
+                  pos: String, neg: String): DataFrame =
+    graft.operators.Evaluation.isotonicFromCounts(
+      twoSampleCounts(spark, countsDir, pos, neg))
+
   /** Gini concentration of everything streamed so far — the VALUE rides
     * the category dimension ([[attachCategorical]] with a constant
     * slice), merged counts re-enter the batch rank algebra. */

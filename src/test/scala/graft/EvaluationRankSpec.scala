@@ -36,6 +36,28 @@ class EvaluationRankSpec extends SparkSpec {
     r.isNullAt(r.fieldIndex("auc")) shouldBe true
   }
 
+  it("rocAucCi matches the hand DeLong variance and degenerates honestly") {
+    // placements on the tied fixture: V10 = {.375, .625, .625, 1},
+    // V01 = {1, .875, .5, .25}; S10 = .06640625, S01 = .11848958;
+    // se = sqrt(S10/4 + S01/4) ~= .214997
+    val r = Evaluation.rocAucCi(tiedScores, "score", "y").collect().head
+    r.getAs[Double]("auc") shouldBe 0.65625 +- 1e-9
+    r.getAs[Double]("se") shouldBe 0.214997 +- 1e-5
+    r.getAs[Double]("ci_lo") shouldBe (0.65625 - 1.96 * 0.2149966) +- 1e-4
+    r.getAs[Double]("ci_hi") shouldBe 1.0 // clipped
+    // perfect separation: zero variance, a degenerate [1, 1] interval
+    val perfect = Seq((2.0, true), (3.0, true), (0.0, false), (1.0, false)).toDF("s", "y")
+    val p = Evaluation.rocAucCi(perfect, "s", "y").collect().head
+    p.getAs[Double]("auc") shouldBe 1.0
+    p.getAs[Double]("se") shouldBe 0.0
+    p.getAs[Double]("ci_lo") shouldBe 1.0
+    // a single positive cannot carry a variance: NULL se and bands
+    val one = Seq((2.0, true), (1.0, false), (0.0, false)).toDF("s", "y")
+    val o = Evaluation.rocAucCi(one, "s", "y").collect().head
+    o.isNullAt(o.fieldIndex("se")) shouldBe true
+    o.isNullAt(o.fieldIndex("ci_lo")) shouldBe true
+  }
+
   it("averagePrecision matches the hand step walk over tied blocks") {
     // thresholds desc: 7 -> (1/4)(1/1); 5 -> (2/4)(3/5); 3 -> (1/4)(4/7)
     // AP = 0.25 + 0.3 + 1/7 = 0.692857
@@ -86,6 +108,94 @@ class EvaluationRankSpec extends SparkSpec {
     e.getAs[Long]("n") shouldBe 5L
     e.getAs[Long]("bins_used") shouldBe 3L
     e.getAs[Double]("ece") shouldBe 0.16 +- 1e-9
+  }
+
+  it("isotonicCalibration pools adjacent violators to the least-squares monotone fit") {
+    // rates by x: 1.0, 0.0, 1.0 -> PAVA pools the first two to 0.5
+    val df = Seq((1.0, true), (2.0, false), (3.0, true)).toDF("s", "y")
+    val out = Evaluation.isotonicCalibration(df, "s", "y")
+      .orderBy("x").collect()
+    out.map(_.getAs[Double]("rate")).toSeq shouldBe Seq(1.0, 0.0, 1.0)
+    out.map(_.getAs[Double]("iso_rate")).toSeq shouldBe Seq(0.5, 0.5, 1.0)
+    // a fully decreasing input pools to the global mean everywhere
+    val dec = Seq((1.0, true), (2.0, true), (3.0, false), (4.0, false)).toDF("s", "y")
+    Evaluation.isotonicCalibration(dec, "s", "y").collect()
+      .map(_.getAs[Double]("iso_rate")).toSet shouldBe Set(0.5)
+    // an already-monotone input is a fixed point
+    val mono = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true)).toDF("s", "y")
+    val m = Evaluation.isotonicCalibration(mono, "s", "y").orderBy("x").collect()
+    m.map(_.getAs[Double]("iso_rate")).toSeq shouldBe Seq(0.0, 0.0, 1.0, 1.0)
+    // monotonicity is structural: iso_rate never decreases in x
+    val rand = new scala.util.Random(17)
+    val noisy = Seq.fill(300)(((rand.nextInt(40) + 1).toDouble, rand.nextInt(3) > 0))
+      .toDF("s", "y")
+    val fit = Evaluation.isotonicCalibration(noisy, "s", "y")
+      .orderBy("x").collect().map(_.getAs[Double]("iso_rate"))
+    fit.sliding(2).foreach { case Array(a, b) => a should be <= b }
+  }
+
+  it("bestThreshold picks the max-J cut, tie-broken to the smallest threshold") {
+    // J over cuts of the tied fixture: x=3 -> 0.25, x=5 -> 0.25, x=7 ->
+    // 0.25 (three-way tie) -> smallest cut 3 wins
+    val r = Evaluation.bestThreshold(tiedScores, "score", "y").collect().head
+    r.getAs[Double]("threshold") shouldBe 3.0
+    r.getAs[Double]("tpr") shouldBe 1.0
+    r.getAs[Double]("fpr") shouldBe 0.75
+    r.getAs[Double]("j_stat") shouldBe 0.25
+    r.getAs[Double]("precision") shouldBe 0.571429 +- 1e-9 // 4 of 7 kept
+    r.getAs[Double]("accuracy") shouldBe 0.625
+    // perfect separation: J = 1 at the positive class's minimum
+    val perfect = Seq((2.0, true), (3.0, true), (0.0, false), (1.0, false)).toDF("s", "y")
+    val p = Evaluation.bestThreshold(perfect, "s", "y").collect().head
+    p.getAs[Double]("threshold") shouldBe 2.0
+    p.getAs[Double]("j_stat") shouldBe 1.0
+    // one-class input: no cut is comparable -> EMPTY
+    Evaluation.bestThreshold(Seq((1.0, true), (2.0, true)).toDF("s", "y"),
+      "s", "y").collect() shouldBe empty
+  }
+
+  it("rocAucByGroup scores each slice independently; a one-class slice is NULL, not 0.5") {
+    // slice A = the tied fixture (0.65625), B perfectly separated, C one-class
+    val rows =
+      Seq((3.0, true), (5.0, true), (5.0, true), (7.0, true),
+        (1.0, false), (3.0, false), (5.0, false), (6.0, false)).map(r => ("A", r._1, r._2)) ++
+      Seq(("B", 2.0, true), ("B", 1.0, false)) ++
+      Seq(("C", 4.0, true), ("C", 9.0, true))
+    val out = Evaluation.rocAucByGroup(rows.toDF("g", "s", "y"), "s", "y", "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("A").getAs[Double]("auc") shouldBe 0.65625 +- 1e-9
+    out("B").getAs[Double]("auc") shouldBe 1.0
+    out("C").isNullAt(out("C").fieldIndex("auc")) shouldBe true
+    // pooled-vs-sliced masking: the pooled AUC is NOT the slice A value
+    Evaluation.rocAuc(rows.toDF("g", "s", "y"), "s", "y")
+      .collect().head.getAs[Double]("auc") should not be 0.65625
+  }
+
+  it("groupFairness reports the hand per-group rates; fairnessGaps folds the spreads") {
+    // g1: y [1,1,0,0] pred [1,0,1,0]; g2: y [1,0,0,0] pred [1,1,0,0]
+    val rows = Seq(
+      ("g1", true, true), ("g1", false, true), ("g1", true, false), ("g1", false, false),
+      ("g2", true, true), ("g2", true, false), ("g2", false, false), ("g2", false, false))
+      .toDF("g", "pred", "y")
+    val b = Evaluation.groupFairness(rows, "g", "pred", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    b("g1").getAs[Double]("base_rate") shouldBe 0.5
+    b("g1").getAs[Double]("selection_rate") shouldBe 0.5
+    b("g1").getAs[Double]("tpr") shouldBe 0.5
+    b("g1").getAs[Double]("fpr") shouldBe 0.5
+    b("g2").getAs[Double]("base_rate") shouldBe 0.25
+    b("g2").getAs[Double]("tpr") shouldBe 1.0
+    b("g2").getAs[Double]("fpr") shouldBe 0.333333 +- 1e-9
+    val gaps = Evaluation.fairnessGaps(rows, "g", "pred", "y").collect().head
+    gaps.getAs[Long]("n_groups") shouldBe 2L
+    gaps.getAs[Double]("parity_gap") shouldBe 0.0
+    gaps.getAs[Double]("tpr_gap") shouldBe 0.5
+    gaps.getAs[Double]("fpr_gap") shouldBe 0.166667 +- 1e-9
+    gaps.getAs[Double]("eq_odds_gap") shouldBe 0.5
+    // a single-group board has no spread to report
+    val one = Evaluation.fairnessGaps(rows.filter(F.col("g") === "g1"),
+      "g", "pred", "y").collect().head
+    one.isNullAt(one.fieldIndex("parity_gap")) shouldBe true
   }
 
   it("liftTable matches the hand decile walk; a tie block lands in its last member's tile") {

@@ -458,6 +458,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  it("q_youden's argmax is TakeOrderedAndProject; q_auc_by_group windows partition by the audit key") {
+    val y = plan("q_youden")
+    y should include("TakeOrderedAndProject")
+    y should not include "CartesianProduct"
+    val g = plan("q_auc_by_group")
+    val wins = g.split("\n").filter(_.contains("windowspecdefinition"))
+    wins should not be empty
+    wins.foreach(_ should include("group#"))
+  }
+
   it("q_brier / q_ece fold to combinable aggregates — no window, no cartesian") {
     Seq("q_brier", "q_ece").foreach { q =>
       val p = plan(q)

@@ -441,6 +441,34 @@ class SurvivalSpec extends SparkSpec {
     }
   }
 
+  it("stratified log-rank equals the plain test on one stratum and pools O-E/V across copies") {
+    import org.apache.spark.sql.{functions => F}
+    val rows = Seq((1, 1, "a"), (3, 0, "a"), (5, 1, "a"),
+      (2, 1, "b"), (4, 1, "b"), (6, 0, "b")).toDF("dur", "obs", "g")
+    val plain = Survival.logRank(rows, "dur", "obs", "g").collect().head
+    val one = Survival.logRankStratified(rows.withColumn("s", F.lit(0)),
+      "dur", "obs", "g", "s").collect().head
+    one.getAs[Long]("n_strata") shouldBe 1L
+    one.getAs[Long]("o_a") shouldBe plain.getAs[Long]("o_a")
+    one.getAs[Double]("e_a") shouldBe plain.getAs[Double]("e_a")
+    one.getAs[Double]("chi2") shouldBe plain.getAs[Double]("chi2")
+    // two identical strata: O-E and V both double, so chi2 doubles
+    val twice = rows.withColumn("s", F.lit(0))
+      .unionAll(rows.withColumn("s", F.lit(1)))
+    val two = Survival.logRankStratified(twice, "dur", "obs", "g", "s")
+      .collect().head
+    two.getAs[Long]("n_strata") shouldBe 2L
+    two.getAs[Long]("n_a") shouldBe 6L
+    two.getAs[Double]("chi2") shouldBe (2.0 * plain.getAs[Double]("chi2")) +- 1e-5
+    // a stratum holding only one cohort self-cancels (O = E, V = 0):
+    // adding it changes nothing
+    val degen = twice.unionAll(
+      Seq((2, 1, "a"), (4, 1, "a")).toDF("dur", "obs", "g").withColumn("s", F.lit(2)))
+    val three = Survival.logRankStratified(degen, "dur", "obs", "g", "s")
+      .collect().head
+    three.getAs[Double]("chi2") shouldBe two.getAs[Double]("chi2")
+  }
+
   it("C-index matches the hand pair count, half-crediting same-score pairs") {
     // a: (1,e)(3,c)(5,e); b: (2,e)(4,e)(6,c) — usable pairs by hand:
     // con = 3 (B1>A2,A3; B2>A3), dis = 4 (A1>B*, A3>B3), ties = 5

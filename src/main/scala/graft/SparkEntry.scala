@@ -1539,6 +1539,29 @@ object SparkEntry {
       Evaluation.rocAucCi(
         t(s, dir, "documents").withColumn("is_en", F.col("lang") === "en"),
         "n_chars", "is_en")),
+    // Paired DeLong: does char-length beat word-count at predicting
+    // English ON THE SAME ROWS — the correlated-AUC z the unpaired test
+    // overstates; placements joined back by score value.
+    "q_auc_compare" -> ((s, dir) =>
+      Evaluation.aucCompare(
+        t(s, dir, "documents")
+          .withColumn("wc", F.size(F.split(F.col("text"), " ")))
+          .withColumn("is_en", F.col("lang") === "en"),
+        "n_chars", "wc", "is_en")),
+    // Good–Turing unseen mass + Chao1 richness: is more data from this
+    // corpus still buying new vocabulary — from the frequency-of-
+    // frequencies frame (two grouped counts, exact BIGINTs).
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text")),
+    // Did the 3-bit sign-LSH buckets recover the label structure? ARI +
+    // NMI from the vocabulary-sized contingency table — the clustering
+    // gate before bucket ids feed curation.
+    "q_ari" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Evaluation.clusterAgreement(
+        e.withColumn("bucket", Similarity.signBucket(F.col("embedding"), 3)),
+        "label", "bucket")
+    }),
     // Isotonic calibration: the monotone P(en | p) fit, PAVA over the
     // value-bounded score axis (exact integer pooling decisions) — the
     // reliability diagram without the arbitrary bin edges.
@@ -5005,6 +5028,88 @@ object SparkEntry {
         "round(CASE WHEN n1 > 0 THEN CAST(cum_pos AS DOUBLE) / n1 END, 6) + 0.0 AS cum_capture, " +
         "round(CASE WHEN prev > 0.0 THEN (CAST(cum_pos AS DOUBLE) / cumn) / prev END, 6) + 0.0 AS cum_lift " +
         "FROM z ORDER BY tile"),
+    // Both scores' placement CTEs joined back to the row frame by score
+    // value; per-class moment sums and the paired-covariance SE mirrored
+    // operand-for-operand (z decided unrounded, the welch class).
+    "q_auc_compare" ->
+      ("WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS xa, " +
+        "CAST(len(string_split(text, ' ')) AS DOUBLE) AS xb, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents " +
+        "WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND text IS NOT NULL), " +
+        "ca AS (SELECT xa AS x, CAST(sum(y) AS BIGINT) AS c1, CAST(count(*) - sum(y) AS BIGINT) AS c2 FROM s GROUP BY 1), " +
+        "cb AS (SELECT xb AS x, CAST(sum(y) AS BIGINT) AS c1, CAST(count(*) - sum(y) AS BIGINT) AS c2 FROM s GROUP BY 1), " +
+        "n AS (SELECT CAST(sum(y) AS BIGINT) AS n1, CAST(count(*) - sum(y) AS BIGINT) AS n2 FROM s), " +
+        "ka AS (SELECT x, c1, c2, sum(c1) OVER w AS k1, sum(c2) OVER w AS k2 FROM ca " +
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "kb AS (SELECT x, c1, c2, sum(c1) OVER w AS k1, sum(c2) OVER w AS k2 FROM cb " +
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "pa AS (SELECT x, (CAST(k2 - c2 AS DOUBLE) + CAST(c2 AS DOUBLE) / 2.0) / n2 AS v10a, " +
+        "(CAST(n1 - k1 AS DOUBLE) + CAST(c1 AS DOUBLE) / 2.0) / n1 AS v01a FROM ka, n), " +
+        "pb AS (SELECT x, (CAST(k2 - c2 AS DOUBLE) + CAST(c2 AS DOUBLE) / 2.0) / n2 AS v10b, " +
+        "(CAST(n1 - k1 AS DOUBLE) + CAST(c1 AS DOUBLE) / 2.0) / n1 AS v01b FROM kb, n), " +
+        "pl AS (SELECT s.y, pa.v10a, pa.v01a, pb.v10b, pb.v01b FROM s " +
+        "JOIN pa ON pa.x = s.xa JOIN pb ON pb.x = s.xb), " +
+        "pz AS (SELECT CAST(count(*) AS BIGINT) AS n1, sum(v10a) AS sa, sum(v10b) AS sb, " +
+        "sum(v10a * v10a) AS qa, sum(v10b * v10b) AS qb, sum(v10a * v10b) AS qab FROM pl WHERE y = 1), " +
+        "nz AS (SELECT CAST(count(*) AS BIGINT) AS n2, sum(v01a) AS ta, sum(v01b) AS tb, " +
+        "sum(v01a * v01a) AS ra, sum(v01b * v01b) AS rb, sum(v01a * v01b) AS rab FROM pl WHERE y = 0), " +
+        "z AS (SELECT n1, n2, CASE WHEN n1 > 0 THEN sa / n1 END AS aa, CASE WHEN n1 > 0 THEN sb / n1 END AS ab, " +
+        "CASE WHEN n1 > 1 THEN (qa - sa * sa / n1) / (n1 - 1) END AS s10a, " +
+        "CASE WHEN n1 > 1 THEN (qb - sb * sb / n1) / (n1 - 1) END AS s10b, " +
+        "CASE WHEN n1 > 1 THEN (qab - sa * sb / n1) / (n1 - 1) END AS s10ab, " +
+        "CASE WHEN n2 > 1 THEN (ra - ta * ta / n2) / (n2 - 1) END AS s01a, " +
+        "CASE WHEN n2 > 1 THEN (rb - tb * tb / n2) / (n2 - 1) END AS s01b, " +
+        "CASE WHEN n2 > 1 THEN (rab - ta * tb / n2) / (n2 - 1) END AS s01ab FROM pz, nz), " +
+        "w2 AS (SELECT n1, n2, aa, ab, (s10a + s10b - 2.0 * s10ab) / n1 + (s01a + s01b - 2.0 * s01ab) / n2 AS se2 FROM z), " +
+        "w3 AS (SELECT n1, n2, aa, ab, CASE WHEN se2 > 0.0 THEN sqrt(se2) END AS se FROM w2) " +
+        "SELECT n1 AS n_pos, n2 AS n_neg, round(aa, 6) + 0.0 AS auc_a, round(ab, 6) + 0.0 AS auc_b, " +
+        "round(aa - ab, 6) + 0.0 AS diff, round(se, 6) + 0.0 AS se, " +
+        "round((aa - ab) / se, 4) + 0.0 AS z, abs((aa - ab) / se) > 1.96 AS reject_95 FROM w3"),
+    // Contingency cells + margins; pair counts in exact integer
+    // arithmetic ((c·(c−1)) // 2), the entropy/MI lines count-weighted
+    // ln sums with the n·ln n terms folded analytically.
+    "q_ari" ->
+      ("WITH z AS (SELECT label AS a, concat(" +
+        "CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END, " +
+        "CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END, " +
+        "CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) AS b FROM embeddings " +
+        "WHERE label IS NOT NULL AND embedding IS NOT NULL), " +
+        "cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nij FROM z GROUP BY 1, 2), " +
+        "ij AS (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS sij, " +
+        "CAST(sum(nij) AS BIGINT) AS n, CAST(count(DISTINCT a) AS BIGINT) AS ka, " +
+        "CAST(count(DISTINCT b) AS BIGINT) AS kb FROM cells), " +
+        "ma0 AS (SELECT a, CAST(sum(nij) AS BIGINT) AS na FROM cells GROUP BY 1), " +
+        "mb0 AS (SELECT b, CAST(sum(nij) AS BIGINT) AS nb FROM cells GROUP BY 1), " +
+        "ma AS (SELECT CAST(sum((na * (na - 1)) // 2) AS BIGINT) AS sa, " +
+        "sum(CASE WHEN na > 0 THEN -CAST(na AS DOUBLE) * ln(CAST(na AS DOUBLE)) ELSE 0.0 END) AS hap FROM ma0), " +
+        "mb AS (SELECT CAST(sum((nb * (nb - 1)) // 2) AS BIGINT) AS sb, " +
+        "sum(CASE WHEN nb > 0 THEN -CAST(nb AS DOUBLE) * ln(CAST(nb AS DOUBLE)) ELSE 0.0 END) AS hbp FROM mb0), " +
+        "mi AS (SELECT sum(CAST(nij AS DOUBLE) * ln(CAST(nij AS DOUBLE) / na / nb)) AS mip " +
+        "FROM cells JOIN ma0 USING (a) JOIN mb0 USING (b)), " +
+        "fin AS (SELECT n, ka, kb, sij, sa, sb, hap, hbp, mip, (n * (n - 1)) // 2 AS tot, " +
+        "CAST(n AS DOUBLE) AS nd FROM ij, ma, mb, mi WHERE n IS NOT NULL), " +
+        "fx AS (SELECT n, ka, kb, " +
+        "CASE WHEN tot > 0 THEN CAST(sa AS DOUBLE) * sb / tot END AS expd, " +
+        "CAST(sa + sb AS DOUBLE) / 2.0 AS maxd, sij, " +
+        "ln(nd) + hap / nd AS ha, ln(nd) + hbp / nd AS hb, mip / nd + ln(nd) AS mi2 FROM fin) " +
+        "SELECT n, ka AS k_a, kb AS k_b, " +
+        "round(CASE WHEN maxd - expd <> 0.0 THEN (CAST(sij AS DOUBLE) - expd) / (maxd - expd) END, 6) + 0.0 AS ari, " +
+        "round(CASE WHEN ha > 0.0 AND hb > 0.0 THEN mi2 / sqrt(ha * hb) END, 6) + 0.0 AS nmi FROM fx"),
+    // Two grouped counts to the frequency-of-frequencies frame; the
+    // Good–Turing and Chao1 lines are fixed-shape IEEE over BIGINTs.
+    "q_vocab_coverage" ->
+      ("WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok WHERE term <> '' GROUP BY 1), " +
+        "ff AS (SELECT c AS k, CAST(count(*) AS BIGINT) AS fk FROM tc GROUP BY 1), " +
+        "a AS (SELECT CAST(sum(k * fk) AS BIGINT) AS n_tokens, CAST(sum(fk) AS BIGINT) AS n_types, " +
+        "CAST(sum(CASE WHEN k = 1 THEN fk ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f1, " +
+        "CAST(sum(CASE WHEN k = 2 THEN fk ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f2 FROM ff) " +
+        "SELECT n_tokens, n_types, f1, f2, " +
+        "round(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) + 0.0 AS coverage, " +
+        "round(CAST(f1 AS DOUBLE) / n_tokens, 6) + 0.0 AS p_unseen, " +
+        "round(n_types + CASE WHEN f2 > 0 THEN CAST(f1 AS DOUBLE) * f1 / (2.0 * f2) " +
+        "ELSE CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)) END, 2) + 0.0 AS chao1 " +
+        "FROM a WHERE n_tokens IS NOT NULL"),
     // DeLong placements from the same cumulatives; variance clamps and
     // null-guards mirrored (greatest/least skip NULLs in both engines).
     "q_auc_ci" ->

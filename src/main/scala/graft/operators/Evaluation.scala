@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** Classifier evaluation over a (prediction, label) pair — the scoring
   * half of the learned-filter loop ([[QualityModel]], [[TextAnalysis.langId]]):
@@ -174,6 +174,78 @@ object Evaluation {
         (F.round(F.when(F.col("__se").isNotNull,
           F.least(F.col("__auc") + F.lit(1.96) * F.col("__se"),
             F.lit(1.0))), 6) + F.lit(0.0)).as("ci_hi"))
+  }
+
+  /** PAIRED DeLong test: are two scorers' AUCs different ON THE SAME
+    * ROWS (DeLong et al. 1988, §3)? The unpaired z ignores that both
+    * models rank the same subjects, wasting the correlation; the paired
+    * SE subtracts it: SE² = (S₁₀ᴬ + S₁₀ᴮ − 2S₁₀ᴬᴮ)/n₁ + (·)₀₁/n₂ with
+    * S₁₀ᴬᴮ the covariance of the two models' placement values over the
+    * positives. Placements come from each score's own cumulative count
+    * frame JOINED BACK to the rows by score value (equi-joins on the
+    * score — data-sized but key-partitioned, never a pair space), then
+    * one combinable moment scan per class. z is decided on the
+    * UNROUNDED statistic (the welch class); NULL when either class has
+    * < 2 members or the variance degenerates. Output: one row —
+    * (n_pos, n_neg, auc_a, auc_b, diff, se, z, reject_95), AUCs/diff/se
+    * round 6, z round 4. */
+  def aucCompare(df: DataFrame, scoreACol: String, scoreBCol: String,
+                 labelCol: String): DataFrame = {
+    val xa = F.col(scoreACol).cast("double")
+    val xb = F.col(scoreBCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    val base = df.filter(xa.isNotNull && xb.isNotNull && y.isNotNull)
+      .select(xa.as("xa"), xb.as("xb"), y.as("y"))
+    def placeFrame(col: String, out: String): DataFrame = {
+      val byV = base.groupBy(F.col(col).as("x"))
+        .agg(F.count(F.when(F.col("y"), 1)).as("c1"),
+          F.count(F.when(!F.col("y"), 1)).as("c2"))
+      val (cum, n) = Drift.cdfFromCounts(byV)
+      cum.crossJoin(F.broadcast(n)).select(
+        F.col("x").as(col),
+        (((F.col("__k2") - F.col("c2")).cast("double")
+          + F.col("c2").cast("double") / 2.0) / F.col("n2")).as(s"v10$out"),
+        (((F.col("n1") - F.col("__k1")).cast("double")
+          + F.col("c1").cast("double") / 2.0) / F.col("n1")).as(s"v01$out"))
+    }
+    val placed = base
+      .join(placeFrame("xa", "a"), Seq("xa"))
+      .join(placeFrame("xb", "b"), Seq("xb"))
+    val pos = placed.filter(F.col("y"))
+      .agg(F.count(F.lit(1)).as("n1"),
+        F.sum("v10a").as("sa"), F.sum("v10b").as("sb"),
+        F.sum(F.col("v10a") * F.col("v10a")).as("qa"),
+        F.sum(F.col("v10b") * F.col("v10b")).as("qb"),
+        F.sum(F.col("v10a") * F.col("v10b")).as("qab"))
+    val neg = placed.filter(!F.col("y"))
+      .agg(F.count(F.lit(1)).as("n2"),
+        F.sum("v01a").as("ta"), F.sum("v01b").as("tb"),
+        F.sum(F.col("v01a") * F.col("v01a")).as("ra"),
+        F.sum(F.col("v01b") * F.col("v01b")).as("rb"),
+        F.sum(F.col("v01a") * F.col("v01b")).as("rab"))
+    def svar(q: Column, s1: Column, s2: Column, n: Column): Column =
+      F.when(n > 1, (q - s1 * s2 / n) / (n - 1))
+    val z0 = pos.crossJoin(neg)
+      .withColumn("__aa", F.when(F.col("n1") > 0, F.col("sa") / F.col("n1")))
+      .withColumn("__ab", F.when(F.col("n1") > 0, F.col("sb") / F.col("n1")))
+      .withColumn("__s10a", svar(F.col("qa"), F.col("sa"), F.col("sa"), F.col("n1")))
+      .withColumn("__s10b", svar(F.col("qb"), F.col("sb"), F.col("sb"), F.col("n1")))
+      .withColumn("__s10ab", svar(F.col("qab"), F.col("sa"), F.col("sb"), F.col("n1")))
+      .withColumn("__s01a", svar(F.col("ra"), F.col("ta"), F.col("ta"), F.col("n2")))
+      .withColumn("__s01b", svar(F.col("rb"), F.col("tb"), F.col("tb"), F.col("n2")))
+      .withColumn("__s01ab", svar(F.col("rab"), F.col("ta"), F.col("tb"), F.col("n2")))
+      .withColumn("__se2",
+        (F.col("__s10a") + F.col("__s10b") - F.lit(2.0) * F.col("__s10ab")) / F.col("n1")
+          + (F.col("__s01a") + F.col("__s01b") - F.lit(2.0) * F.col("__s01ab")) / F.col("n2"))
+      .withColumn("__se", F.when(F.col("__se2") > 0.0, F.sqrt(F.col("__se2"))))
+      .withColumn("__z", (F.col("__aa") - F.col("__ab")) / F.col("__se"))
+    z0.select(F.col("n1").as("n_pos"), F.col("n2").as("n_neg"),
+      (F.round(F.col("__aa"), 6) + F.lit(0.0)).as("auc_a"),
+      (F.round(F.col("__ab"), 6) + F.lit(0.0)).as("auc_b"),
+      (F.round(F.col("__aa") - F.col("__ab"), 6) + F.lit(0.0)).as("diff"),
+      (F.round(F.col("__se"), 6) + F.lit(0.0)).as("se"),
+      (F.round(F.col("__z"), 4) + F.lit(0.0)).as("z"),
+      (F.abs(F.col("__z")) > 1.96).as("reject_95"))
   }
 
   /** Average precision (area under the precision–recall curve, the
@@ -612,6 +684,72 @@ object Evaluation {
       StructType(Seq(
         StructField("x", DoubleType), StructField("n", LongType),
         StructField("rate", DoubleType), StructField("iso_rate", DoubleType))))
+  }
+
+  /** Clustering agreement: Adjusted Rand Index (Hubert & Arabie, J.
+    * Classif. 1985) + normalized mutual information — "did the
+    * clustering recover the known structure", the gate before cluster
+    * ids feed curation (dedup clusters vs gold labels, LSH buckets vs
+    * true classes). Everything folds from the k_a×k_b contingency table
+    * (ONE grouped count — the key space is the label vocabularies,
+    * never the corpus): pair counts Σ C(n_ij, 2) and margins are exact
+    * BIGINTs, so ARI is fixed-shape IEEE over exact integers; NMI =
+    * I(A;B)/√(H(A)·H(B)) sums k²-bounded ln terms (round-snap class).
+    * ARI is NULL when the expected index equals the maximum (both
+    * partitions trivial — agreement unmeasurable); NMI is NULL when
+    * either entropy is 0 (a single cluster carries no information).
+    * Output: one row — (n, k_a, k_b, ari, nmi), round 6. */
+  def clusterAgreement(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(F.col(aCol).isNotNull && F.col(bCol).isNotNull)
+      .groupBy(F.col(aCol).as("a"), F.col(bCol).as("b"))
+      .agg(F.count(F.lit(1)).as("nij"))
+      .localCheckpoint(true)
+    // exact: n(n−1) is even, and the halving must stay INTEGRAL — a
+    // long `/ 2` is IEEE division in Spark and rounds past 2^53
+    def pairs(c: Column): Column = F.shiftright(c * (c - 1), 1)
+    val ij = cells.agg(F.sum(pairs(F.col("nij"))).as("sij"),
+      F.sum("nij").as("n"), F.countDistinct("a").as("ka"),
+      F.countDistinct("b").as("kb"))
+    val ma = cells.groupBy("a").agg(F.sum("nij").as("na"))
+      .agg(F.sum(pairs(F.col("na"))).as("sa"),
+        F.sum(F.when(F.col("na") > 0, // H(A): −Σ p ln p over exact counts
+          -(F.col("na").cast("double")) * F.log(F.col("na").cast("double")))
+          .otherwise(F.lit(0.0))).as("__ha_part"))
+    val mb = cells.groupBy("b").agg(F.sum("nij").as("nb"))
+      .agg(F.sum(pairs(F.col("nb"))).as("sb"),
+        F.sum(F.when(F.col("nb") > 0,
+          -(F.col("nb").cast("double")) * F.log(F.col("nb").cast("double")))
+          .otherwise(F.lit(0.0))).as("__hb_part"))
+    // I(A;B) needs n_ij against BOTH margins: join the margins back to
+    // the cell frame (vocabulary-sized joins)
+    val mi = cells
+      .join(cells.groupBy("a").agg(F.sum("nij").as("na")), Seq("a"))
+      .join(cells.groupBy("b").agg(F.sum("nij").as("nb")), Seq("b"))
+      .agg(F.sum(F.col("nij").cast("double")
+        * F.log(F.col("nij").cast("double") / F.col("na")
+          / F.col("nb"))).as("__mi_part"))
+    ij.crossJoin(F.broadcast(ma)).crossJoin(F.broadcast(mb))
+      .crossJoin(F.broadcast(mi))
+      .filter(F.col("n").isNotNull)
+      // ARI = (sij − exp) / (max − exp), exp = sa·sb/tot, max = (sa+sb)/2
+      .withColumn("__tot", pairs(F.col("n")))
+      .withColumn("__exp", F.when(F.col("__tot") > 0,
+        F.col("sa").cast("double") * F.col("sb") / F.col("__tot")))
+      .withColumn("__max", (F.col("sa") + F.col("sb")).cast("double") / 2.0)
+      .withColumn("__ari", F.when(F.col("__max") - F.col("__exp") =!= 0.0,
+        (F.col("sij").cast("double") - F.col("__exp"))
+          / (F.col("__max") - F.col("__exp"))))
+      // H and I from the count-weighted ln parts: H(A) = ln n + ha/n,
+      // I = mi/n + ln n (the n·ln n terms folded analytically)
+      .withColumn("__n", F.col("n").cast("double"))
+      .withColumn("__ha", F.log(F.col("__n")) + F.col("__ha_part") / F.col("__n"))
+      .withColumn("__hb", F.log(F.col("__n")) + F.col("__hb_part") / F.col("__n"))
+      .withColumn("__i", F.col("__mi_part") / F.col("__n") + F.log(F.col("__n")))
+      .withColumn("__nmi", F.when(F.col("__ha") > 0.0 && F.col("__hb") > 0.0,
+        F.col("__i") / F.sqrt(F.col("__ha") * F.col("__hb"))))
+      .select(F.col("n"), F.col("ka").as("k_a"), F.col("kb").as("k_b"),
+        (F.round(F.col("__ari"), 6) + F.lit(0.0)).as("ari"),
+        (F.round(F.col("__nmi"), 6) + F.lit(0.0)).as("nmi"))
   }
 
   /** The shared score frame: one row per distinct score with (positive,

@@ -662,4 +662,46 @@ object TextAnalysis {
         (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(den * vy)), 6)
         + F.lit(0.0)).as("zipf_r"))
   }
+
+  /** VOCABULARY COVERAGE — "how much of this corpus's vocabulary have
+    * we actually seen?": the Good–Turing unseen-mass estimate (Good,
+    * Biometrika 1953) P(next token is a NEW type) = f₁/N, and the
+    * Chao1 richness floor (Chao, Scand. J. Stat. 1984)
+    * V̂ = V + f₁²/(2f₂) — the sampling-theory answer to "is more data
+    * still buying new vocabulary", the curation read before deciding a
+    * source is mined out. Everything folds from the frequency-of-
+    * frequencies frame (how many types occur exactly k times), which is
+    * TWO grouped counts off the term frame — counts are exact BIGINTs,
+    * the two estimates one fixed-shape IEEE line each. Chao1 uses the
+    * bias-corrected form f₁(f₁−1)/(2(f₂+1)) when f₂ = 0 would blow the
+    * classic one; coverage = 1 − f₁/N (Turing's estimate of the seen
+    * mass). Output: one row — (n_tokens, n_types, f1, f2, coverage,
+    * p_unseen, chao1), round 6 / chao1 round 2. */
+  def vocabCoverage(df: DataFrame, textCol: String): DataFrame =
+    vocabCoverageFromCounts(
+      df.select(F.explode(F.split(F.col(textCol), " ")).as("term"))
+        .filter(F.col("term") =!= "")
+        .groupBy("term").agg(F.count(F.lit(1)).as("c")))
+
+  /** [[vocabCoverage]] over a pre-aggregated (term, c) count frame —
+    * the zipfFit summary, so the streaming twin shares its store. */
+  def vocabCoverageFromCounts(counts: DataFrame): DataFrame =
+    counts
+      .groupBy(F.col("c").as("k"))
+      .agg(F.count(F.lit(1)).as("fk"))
+      .agg(
+        F.sum(F.col("k") * F.col("fk")).as("n_tokens"),
+        F.sum("fk").as("n_types"),
+        F.sum(F.when(F.col("k") === 1, F.col("fk")).otherwise(F.lit(0L))).as("f1"),
+        F.sum(F.when(F.col("k") === 2, F.col("fk")).otherwise(F.lit(0L))).as("f2"))
+      .filter(F.col("n_tokens").isNotNull) // empty corpus -> EMPTY, not a NULL row
+      .select(F.col("n_tokens"), F.col("n_types"), F.col("f1"), F.col("f2"),
+        (F.round(F.lit(1.0) - F.col("f1").cast("double") / F.col("n_tokens"), 6)
+          + F.lit(0.0)).as("coverage"),
+        (F.round(F.col("f1").cast("double") / F.col("n_tokens"), 6)
+          + F.lit(0.0)).as("p_unseen"),
+        (F.round(F.col("n_types") + F.when(F.col("f2") > 0,
+          F.col("f1").cast("double") * F.col("f1") / (F.lit(2.0) * F.col("f2")))
+          .otherwise(F.col("f1").cast("double") * (F.col("f1") - 1)
+            / (F.lit(2.0) * (F.col("f2") + 1))), 2) + F.lit(0.0)).as("chao1"))
 }

@@ -221,6 +221,15 @@ object StreamingDrift {
       categoricalCounts(spark, countsDir)
         .groupBy(F.col("cat").as("term")).agg(F.sum("n").as("c")), topN)
 
+  /** Vocabulary coverage (Good–Turing unseen mass + Chao1 richness) of
+    * the stream's tokens so far — the SAME term-count store as
+    * [[zipfNow]]; the frequency-of-frequencies frame is a pure function
+    * of the merged counts, so streamed == batch exactly. */
+  def vocabCoverageNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.TextAnalysis.vocabCoverageFromCounts(
+      categoricalCounts(spark, countsDir)
+        .groupBy(F.col("cat").as("term")).agg(F.sum("n").as("c")))
+
   /** CUPED variance reduction over the stream's units so far — the
     * (arm, pre-metric) pair rides the slice dimension as "arm|x" (arm
     * must not contain '|': arm reads before the FIRST pipe, x after the

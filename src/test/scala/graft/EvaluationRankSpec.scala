@@ -110,6 +110,104 @@ class EvaluationRankSpec extends SparkSpec {
     e.getAs[Double]("ece") shouldBe 0.16 +- 1e-9
   }
 
+  it("aucCompare detects the better scorer with a paired z; identical scorers are NULL") {
+    // A separates perfectly, B ranks backwards — the paired diff is 1
+    val df = Seq(
+      (10.0, 1.0, true), (9.0, 2.0, true), (8.0, 3.0, true), (7.0, 4.0, true),
+      (4.0, 7.0, false), (3.0, 8.0, false), (2.0, 9.0, false), (1.0, 10.0, false))
+      .toDF("a", "b", "y")
+    val r = Evaluation.aucCompare(df, "a", "b", "y").collect().head
+    r.getAs[Double]("auc_a") shouldBe 1.0
+    r.getAs[Double]("auc_b") shouldBe 0.0
+    r.getAs[Double]("diff") shouldBe 1.0
+    // both scorers are deterministic on this fixture: every placement
+    // is 0 or 1 with no within-class spread, so the paired variance is
+    // 0 and the honest z is NULL, not infinite
+    r.isNullAt(r.fieldIndex("z")) shouldBe true
+    // a real scorer vs a chance scorer on the same rows: rejects, and
+    // swapping the operands negates z
+    val rnd2 = new scala.util.Random(41)
+    val mix = Seq.fill(300) {
+      val y = rnd2.nextBoolean()
+      ((if (y) 8 else 0) + rnd2.nextInt(10).toDouble, rnd2.nextInt(20).toDouble, y)
+    }.toDF("a", "b", "y")
+    val m = Evaluation.aucCompare(mix, "a", "b", "y").collect().head
+    m.getAs[Boolean]("reject_95") shouldBe true
+    m.getAs[Double]("z") should be > 1.96
+    val rev = Evaluation.aucCompare(mix, "b", "a", "y").collect().head
+    rev.getAs[Double]("z") shouldBe -m.getAs[Double]("z")
+    // the same scorer twice: zero diff, degenerate variance -> NULL z
+    val same = Evaluation.aucCompare(
+      df.withColumn("a2", F.col("a")), "a", "a2", "y").collect().head
+    same.getAs[Double]("diff") shouldBe 0.0
+    same.isNullAt(same.fieldIndex("z")) shouldBe true
+    // paired beats unpaired: correlated noisy scorers with a planted
+    // gap — the paired SE must be smaller than either solo DeLong SE
+    val rnd = new scala.util.Random(23)
+    val corr = Seq.fill(400) {
+      val y = rnd.nextBoolean()
+      val base = rnd.nextInt(30) + (if (y) 6 else 0)
+      (base + rnd.nextInt(3).toDouble, base + rnd.nextInt(6).toDouble, y)
+    }.toDF("a", "b", "y")
+    val pairedSe = Evaluation.aucCompare(corr, "a", "b", "y")
+      .collect().head.getAs[Double]("se")
+    val soloSe = Evaluation.rocAucCi(corr, "a", "y").collect().head.getAs[Double]("se")
+    pairedSe should be < soloSe
+  }
+
+  it("clusterAgreement: identity scores 1, independence ~0, degenerate partitions NULL honestly") {
+    import graft.operators.Evaluation
+    val ident = (0 until 60).map(i => (i % 3, i % 3)).toDF("a", "b")
+    val r1 = Evaluation.clusterAgreement(ident, "a", "b").collect().head
+    r1.getAs[Double]("ari") shouldBe 1.0
+    r1.getAs[Double]("nmi") shouldBe 1.0
+    // balanced independent partitions: I(A;B) = 0 exactly; ARI the
+    // small hand-computed negative (1200 - 1212.62...)/(2450 - 1212.62...)
+    val indep = (0 until 100).map(i => (i % 2, (i / 2) % 2)).toDF("a", "b")
+    val r2 = Evaluation.clusterAgreement(indep, "a", "b").collect().head
+    r2.getAs[Double]("nmi") shouldBe 0.0
+    r2.getAs[Double]("ari") shouldBe -0.010204 +- 1e-4
+    // one side a single cluster: ARI 0 (chance), NMI undefined
+    val onec = (0 until 40).map(i => (i % 4, 0)).toDF("a", "b")
+    val r3 = Evaluation.clusterAgreement(onec, "a", "b").collect().head
+    r3.getAs[Double]("ari") shouldBe 0.0
+    r3.isNullAt(r3.fieldIndex("nmi")) shouldBe true
+    // both trivial: agreement unmeasurable, not perfect
+    val triv = (0 until 10).map(_ => (1, 1)).toDF("a", "b")
+    val r4 = Evaluation.clusterAgreement(triv, "a", "b").collect().head
+    r4.isNullAt(r4.fieldIndex("ari")) shouldBe true
+    // a label permutation is still a perfect recovery
+    val perm = (0 until 60).map(i => (i % 3, (i % 3 + 1) % 3)).toDF("a", "b")
+    Evaluation.clusterAgreement(perm, "a", "b")
+      .collect().head.getAs[Double]("ari") shouldBe 1.0
+  }
+
+  it("vocabCoverage matches the hand Good-Turing/Chao1 numbers") {
+    import graft.operators.TextAnalysis
+    // tokens: a a b c -> N=4, V=3, f1=2, f2=1; coverage .5; chao1 = 3 + 4/2
+    val r = TextAnalysis.vocabCoverage(Seq("a a", "b c").toDF("text"), "text")
+      .collect().head
+    r.getAs[Long]("n_tokens") shouldBe 4L
+    r.getAs[Long]("n_types") shouldBe 3L
+    r.getAs[Long]("f1") shouldBe 2L
+    r.getAs[Long]("f2") shouldBe 1L
+    r.getAs[Double]("coverage") shouldBe 0.5
+    r.getAs[Double]("p_unseen") shouldBe 0.5
+    r.getAs[Double]("chao1") shouldBe 5.0
+    // f2 = 0: the bias-corrected Chao1 form, not a division blowup
+    val z = TextAnalysis.vocabCoverage(Seq("a b").toDF("text"), "text")
+      .collect().head
+    z.getAs[Double]("chao1") shouldBe 3.0
+    // a saturated corpus (every type repeated) reads coverage 1
+    val sat = TextAnalysis.vocabCoverage(Seq("x x y y").toDF("text"), "text")
+      .collect().head
+    sat.getAs[Double]("coverage") shouldBe 1.0
+    sat.getAs[Double]("chao1") shouldBe 2.0
+    // empty corpus -> EMPTY, not a NULL row
+    TextAnalysis.vocabCoverage(Seq("").toDF("text"), "text")
+      .collect() shouldBe empty
+  }
+
   it("isotonicCalibration pools adjacent violators to the least-squares monotone fit") {
     // rates by x: 1.0, 0.0, 1.0 -> PAVA pools the first two to 0.5
     val df = Seq((1.0, true), (2.0, false), (3.0, true)).toDF("s", "y")

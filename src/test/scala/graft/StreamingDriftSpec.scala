@@ -360,6 +360,10 @@ class StreamingDriftSpec extends SparkSpec {
     StreamingDrift.zipfNow(spark, zDir, topN = 30).collect().head.toSeq shouldBe
       graft.operators.TextAnalysis.zipfFit(docs.toDF("text"), "text", topN = 30)
         .collect().head.toSeq
+    // the vocabulary-coverage reader folds the SAME term-count store
+    StreamingDrift.vocabCoverageNow(spark, zDir).collect().head.toSeq shouldBe
+      graft.operators.TextAnalysis.vocabCoverage(docs.toDF("text"), "text")
+        .collect().head.toSeq
   }
 
   it("streamed top user journeys equal the batch ranking across a restart") {

@@ -2703,6 +2703,26 @@ object SparkEntry {
     "q_kanon" -> ((s, dir) =>
       DataShaping.kAnonymize(t(s, dir, "events"), Seq("user_id", "event_type"), 5L)
         .select("event_id", "user_id", "event_type")),
+    // l-diversity: k-anonymity's homogeneity fix — keep (type, day)
+    // groups carrying >= 5 distinct user buckets, so no group discloses
+    // its sensitive value by unanimity.
+    "q_ldiversity" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day", F.to_date(F.col("ts")))
+        .withColumn("ubucket", F.col("user_id") % 10)
+      DataShaping.lDiversify(ev, Seq("event_type", "day"), "ubucket", 5L)
+        .select("event_id", "event_type", "day")
+    }),
+    // t-closeness audit: per-(type, day) total-variation distance of the
+    // user-bucket distribution from the corpus-wide one — the skewness
+    // read l-diversity misses; absent values carry their global mass.
+    "q_tcloseness" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("day", F.to_date(F.col("ts")))
+        .withColumn("ubucket", F.col("user_id") % 10)
+      DataShaping.tCloseness(ev, Seq("event_type", "day"), "ubucket")
+        .orderBy("event_type", "day")
+    }),
     // CCNet-style head/middle/tail cut: per-language perplexity terciles
     // of the corpus-trained bigram LM score. The per-language window is
     // scale-safe — partitions are languages, each ordered independently.
@@ -6578,6 +6598,28 @@ object SparkEntry {
         "SELECT event_id, user_id, event_type, " +
         "count(*) OVER (PARTITION BY user_id, event_type) AS n FROM events) " +
         "WHERE n >= 5"),
+    "q_ldiversity" ->
+      ("WITH e AS (SELECT event_id, event_type, CAST(ts AS DATE) AS day, " +
+        "user_id % 10 AS ub FROM events), " +
+        "ok AS (SELECT event_type, day FROM e GROUP BY 1, 2 " +
+        "HAVING count(DISTINCT ub) >= 5) " +
+        "SELECT event_id, event_type, day FROM e JOIN ok USING (event_type, day)"),
+    // Cell/margin ratios of exact BIGINTs; the absent-value mass enters
+    // as 1 − covered global mass, exactly the operator's fold.
+    "q_tcloseness" ->
+      ("WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id % 10 AS ub " +
+        "FROM events WHERE user_id IS NOT NULL), " +
+        "cells AS (SELECT event_type, day, ub, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2, 3), " +
+        "gt AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS ng FROM cells GROUP BY 1, 2), " +
+        "vt AS (SELECT ub, CAST(count(*) AS BIGINT) AS cv FROM e GROUP BY 1), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e), " +
+        "j AS (SELECT cells.event_type, cells.day, ng, CAST(c AS DOUBLE) / ng AS pg, " +
+        "CAST(cv AS DOUBLE) / n AS pv FROM cells JOIN gt USING (event_type, day) " +
+        "JOIN vt USING (ub), nn), " +
+        "g AS (SELECT event_type, day, ng AS n, sum(abs(pg - pv)) AS present, " +
+        "sum(pv) AS covered FROM j GROUP BY 1, 2, 3) " +
+        "SELECT event_type, day, n, round((present + (1.0 - covered)) / 2.0, 6) + 0.0 AS tvd " +
+        "FROM g ORDER BY 1, 2"),
     // The q_lm_score CTE with a per-language ntile(3) cut on top; ordering
     // is on the ROUNDED avg_nll with doc_id tiebreak on both engines.
     "q_lang_ppl_buckets" ->

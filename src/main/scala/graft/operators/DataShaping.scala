@@ -100,6 +100,65 @@ object DataShaping {
     df.join(big, quasiCols, "left_semi")
   }
 
+  /** l-diversity suppression (Machanavajjhala et al., ICDE 2006):
+    * k-anonymity's fix for the homogeneity attack — a group of k rows
+    * that all share the SAME sensitive value still discloses it. Keep
+    * only rows whose quasi-identifier group carries at least `l`
+    * DISTINCT sensitive values. Same shape as [[kAnonymize]]: one
+    * combinable distinct-count to the group frame + a semi-join back
+    * (count_distinct partials are sets over the sensitive vocabulary,
+    * bounded). */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 l: Long): DataFrame = {
+    val ok = df.groupBy(quasiCols.map(F.col): _*)
+      .agg(F.countDistinct(F.col(sensitiveCol)).as("__l"))
+      .filter(F.col("__l") >= l)
+      .drop("__l")
+    df.join(ok, quasiCols, "left_semi")
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007):
+    * l-diversity's fix for the skewness attack — distinct values that
+    * are still 99% one class disclose it probabilistically. Per
+    * quasi-identifier group, the total-variation distance between the
+    * group's sensitive-value distribution and the corpus-wide one,
+    * TVD = ½ Σᵥ |p_g(v) − p(v)| (the unordered-categorical EMD). One
+    * (group × sensitive) count scan joined to the broadcast global
+    * value frame — key space is groups × the sensitive vocabulary,
+    * never the corpus. Distances are ratios of exact BIGINTs summed
+    * over the bounded vocabulary (round-snap class). A missing value
+    * in a group contributes its full global mass — the per-group sum
+    * adds Σ_{v∉g} p(v) = 1 − (group's covered global mass) as the
+    * absent-value term. Output: one row per group — (quasi..., n,
+    * tvd), round 6; `breaches(t)` = filter(tvd > t) downstream. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String): DataFrame = {
+    val base = df.filter(F.col(sensitiveCol).isNotNull)
+    val cells = base.groupBy(
+        (quasiCols.map(F.col) :+ F.col(sensitiveCol).as("__v")): _*)
+      .agg(F.count(F.lit(1)).as("__c"))
+    val gTot = cells.groupBy(quasiCols.map(F.col): _*)
+      .agg(F.sum("__c").as("__ng"))
+    val vTot = base.groupBy(F.col(sensitiveCol).as("__v"))
+      .agg(F.count(F.lit(1)).as("__cv"))
+    val n = base.agg(F.count(F.lit(1)).as("__n"))
+    val joined = cells
+      .join(gTot, quasiCols)
+      .crossJoin(F.broadcast(n))
+      .join(F.broadcast(vTot), Seq("__v"))
+      .withColumn("__pg", F.col("__c").cast("double") / F.col("__ng"))
+      .withColumn("__pv", F.col("__cv").cast("double") / F.col("__n"))
+    joined.groupBy((quasiCols.map(F.col) :+ F.col("__ng").as("n")): _*)
+      .agg(
+        F.sum(F.abs(F.col("__pg") - F.col("__pv"))).as("__present"),
+        // global mass of the values PRESENT in this group — the
+        // absent-value term is its complement
+        F.sum(F.col("__pv")).as("__covered"))
+      .select((quasiCols.map(F.col) :+ F.col("n") :+
+        ((F.round((F.col("__present") + (F.lit(1.0) - F.col("__covered")))
+          / 2.0, 6) + F.lit(0.0)).as("tvd"))): _*)
+  }
+
   /** Per-group quota: keep at most `cap` rows per group, preferring by
     * `orderCol` (desc) with id tiebreak — e.g. "keep the 50 longest docs per
     * source domain". One shuffle on the group key. */

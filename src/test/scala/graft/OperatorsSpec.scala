@@ -977,4 +977,41 @@ class OperatorsSpec extends SparkSpec {
   }
 
   private def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+
+  describe("DataShaping privacy gates") {
+    import graft.operators.DataShaping
+
+    it("lDiversify keeps only groups with >= l distinct sensitive values") {
+      // group A: sensitive {1,1,1,2} (2 distinct); group B: {1,2,3} (3)
+      val df = (Seq.fill(3)(("A", 1)) ++ Seq(("A", 2)) ++
+        Seq(("B", 1), ("B", 2), ("B", 3))).toDF("q", "s")
+      val l3 = DataShaping.lDiversify(df, Seq("q"), "s", 3L)
+      l3.select("q").distinct().collect().map(_.getString(0)).toSet shouldBe Set("B")
+      // l = 2 keeps both; idempotent
+      val l2 = DataShaping.lDiversify(df, Seq("q"), "s", 2L)
+      l2.count() shouldBe 7L
+      DataShaping.lDiversify(l2, Seq("q"), "s", 2L).count() shouldBe l2.count()
+      // a k-anonymous-but-homogeneous group is exactly what it drops
+      val homog = Seq.fill(10)(("H", 7)).toDF("q", "s")
+      DataShaping.lDiversify(homog, Seq("q"), "s", 2L).count() shouldBe 0L
+    }
+
+    it("tCloseness matches the hand total-variation distances, absent values included") {
+      // global sensitive dist over 8 rows: v1 x4, v2 x2, v3 x2 -> (.5, .25, .25)
+      // group X = {v1 x4}: present |1 - .5| = .5; absent mass .25 + .25 = .5
+      //   -> TVD = (.5 + .5)/2 = 0.5
+      // group Y = {v2 x2, v3 x2}: |.5-.25| x2 = .5; absent .5 -> TVD = .5
+      val df = (Seq.fill(4)(("X", "v1")) ++
+        Seq(("Y", "v2"), ("Y", "v2"), ("Y", "v3"), ("Y", "v3"))).toDF("q", "s")
+      val out = DataShaping.tCloseness(df, Seq("q"), "s")
+        .collect().map(r => r.getString(0) -> r).toMap
+      out("X").getAs[Long]("n") shouldBe 4L
+      out("X").getAs[Double]("tvd") shouldBe 0.5 +- 1e-9
+      out("Y").getAs[Double]("tvd") shouldBe 0.5 +- 1e-9
+      // a group mirroring the global distribution is perfectly close
+      val uni = (Seq(("P", "a"), ("P", "b"), ("Q", "a"), ("Q", "b"))).toDF("q", "s")
+      DataShaping.tCloseness(uni, Seq("q"), "s").collect()
+        .foreach(_.getAs[Double]("tvd") shouldBe 0.0)
+    }
+  }
 }

@@ -1167,6 +1167,12 @@ object SparkEntry {
     // duration range exercises both interval clamps.
     "q_rmst" -> ((s, dir) =>
       Survival.rmst(cohortSubjects(s, dir).select("dur", "obs"), "dur", "obs", tau = 2L)),
+    // RMST difference between the parity cohorts at tau = 2 with the
+    // Klein–Moeschberger variance — the effect size in TIME units that
+    // survives a proportional-hazards violation; null design, so z ~ 0
+    // proves the area/variance algebra rather than a foregone rejection.
+    "q_rmst_diff" -> ((s, dir) =>
+      Survival.rmstDiff(cohortSubjects(s, dir), "dur", "obs", "cohort", tau = 2L)),
     // Log-rank two-cohort comparison on the same time-to-first-purchase
     // design: cohorts = user-id parity (a null-effect split, so the row
     // proves the full observed/expected/variance algebra with χ² near 0
@@ -5568,6 +5574,59 @@ object SparkEntry {
     // E/V accumulate as ordered window sums, and the terminal row is
     // row_number DESC = 1 — the operator's exact shapes operand for
     // operand.
+    // Per-cohort KM/area/variance under PARTITION BY x windows, the
+    // tail-area Greenwood weights and the pooled z mirrored
+    // operand-for-operand on the round-6 curve.
+    "q_rmst_diff" ->
+      ("WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
+        "f AS (SELECT user_id, min(ts) AS f0 FROM events, cut WHERE ts <= c GROUP BY 1), " +
+        "p AS (SELECT user_id, min(ts) AS p0 FROM events, cut " +
+        "WHERE event_type = 'purchase' AND ts <= c GROUP BY 1), " +
+        "subj AS (SELECT f.user_id % 2 AS g, CASE WHEN p0 IS NOT NULL " +
+        "THEN date_diff('day', CAST(f0 AS DATE), CAST(p0 AS DATE)) " +
+        "ELSE date_diff('day', CAST(f0 AS DATE), CAST(c AS DATE)) END AS t0, " +
+        "CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS obs " +
+        "FROM f LEFT JOIN p ON p.user_id = f.user_id, cut), " +
+        "gg AS (SELECT min(g) AS ga, max(g) AS gb FROM subj HAVING min(g) <> max(g)), " +
+        "byxt AS (SELECT CASE WHEN g = ga THEN 0 ELSE 1 END AS x, CAST(t0 AS BIGINT) AS t, " +
+        "CAST(sum(obs) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS c FROM subj, gg " +
+        "WHERE g = ga OR g = gb GROUP BY 1, 2), " +
+        "tot AS (SELECT x, CAST(sum(c) AS BIGINT) AS ng FROM byxt GROUP BY 1), " +
+        "r AS (SELECT byxt.x AS x, t, d, c, ng, " +
+        "CAST(ng - sum(c) OVER wsum + c AS BIGINT) AS n_risk, " +
+        "CASE WHEN d > 0 AND d < ng - sum(c) OVER wsum + c " +
+        "THEN ln(1.0 - CAST(d AS DOUBLE) / (ng - sum(c) OVER wsum + c)) " +
+        "ELSE CAST(0 AS DOUBLE) END AS term FROM byxt JOIN tot USING (x) " +
+        "WINDOW wsum AS (PARTITION BY byxt.x ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "s AS (SELECT x, t, d, ng, n_risk, " +
+        "CASE WHEN d = n_risk THEN 0.0 ELSE round(exp(sum(term) OVER wsum), 6) END AS survival, " +
+        "coalesce(lead(t) OVER (PARTITION BY x ORDER BY t), 2) AS nxt, " +
+        "row_number() OVER (PARTITION BY x ORDER BY t) AS rn1 FROM r " +
+        "WINDOW wsum AS (PARTITION BY x ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "a AS (SELECT x, t, d, ng, n_risk, " +
+        "survival * CAST(least(nxt, 2) - least(t, 2) AS DOUBLE) AS contrib, " +
+        "CASE WHEN rn1 = 1 THEN CAST(least(t, 2) AS DOUBLE) ELSE 0.0 END AS head FROM s), " +
+        "b AS (SELECT x, t, d, ng, n_risk, contrib, " +
+        "sum(head + contrib) OVER wsum AS area, " +
+        "sum(head + contrib) OVER (PARTITION BY x) AS rmst, " +
+        "CASE WHEN d > 0 AND d < n_risk THEN CAST(d AS DOUBLE) / CAST(n_risk * (n_risk - d) AS DOUBLE) " +
+        "ELSE 0.0 END AS gw FROM a " +
+        "WINDOW wsum AS (PARTITION BY x ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "v AS (SELECT x, ng, rmst, " +
+        "sum((rmst - (area - contrib)) * (rmst - (area - contrib)) * gw) OVER wsum AS vcum, " +
+        "row_number() OVER (PARTITION BY x ORDER BY t DESC) AS rn FROM b " +
+        "WINDOW wsum AS (PARTITION BY x ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "l AS (SELECT x, ng, rmst, vcum FROM v WHERE rn = 1), " +
+        "o AS (SELECT CAST(sum(CASE WHEN x = 0 THEN ng END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN x = 1 THEN ng END) AS BIGINT) AS n_b, " +
+        "sum(CASE WHEN x = 0 THEN rmst END) AS ra, sum(CASE WHEN x = 1 THEN rmst END) AS rb, " +
+        "sum(CASE WHEN x = 0 THEN vcum END) AS va, sum(CASE WHEN x = 1 THEN vcum END) AS vb FROM l) " +
+        "SELECT CAST(2 AS BIGINT) AS tau, n_a, n_b, round(ra, 6) + 0.0 AS rmst_a, " +
+        "round(rb, 6) + 0.0 AS rmst_b, round(ra - rb, 6) + 0.0 AS diff, " +
+        "round(CASE WHEN va + vb > 0.0 THEN sqrt(va + vb) END, 6) + 0.0 AS se, " +
+        "round(CASE WHEN va + vb > 0.0 THEN (ra - rb) / sqrt(va + vb) END, 4) + 0.0 AS z, " +
+        "abs(CASE WHEN va + vb > 0.0 THEN (ra - rb) / sqrt(va + vb) END) > 1.96 AS reject_95 " +
+        "FROM o WHERE n_a IS NOT NULL AND n_b IS NOT NULL"),
     "q_logrank" ->
       (cohortSurvCtes +
         ", tm AS (SELECT t, d1, d2, nn1, nn2, " +

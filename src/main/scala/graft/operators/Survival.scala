@@ -287,6 +287,91 @@ object Survival {
       (chi2 > F.lit(3.841459)).as("reject_95"))
   }
 
+  /** RMST DIFFERENCE between two cohorts with its large-sample z test
+    * (restricted mean survival time; variance per Klein & Moeschberger
+    * §4.5 / Royston & Parmar 2013): Δ = RMST_a(τ) − RMST_b(τ) — "how
+    * many more days-to-τ does cohort a survive on average", the effect
+    * size in TIME units that stays valid when proportional hazards
+    * fails (where [[coxPh]]'s single ratio misleads). Var(RMST) =
+    * Σ_{events} A(tᵢ)² · dᵢ/(nᵢ(nᵢ−dᵢ)) with A(tᵢ) = ∫_tᵢ^τ Ŝ — the
+    * Greenwood increments weighted by the remaining area. Each cohort's
+    * KM/area/variance algebra runs under windows PARTITIONED by the
+    * cohort (the per-key window class), every accumulation t-ordered
+    * (the exp(Σ ln) discipline), areas on the ROUND-6 curve. EMPTY on a
+    * single-group input; z NULL when the pooled variance is 0.
+    * Output: one row — (tau, n_a, n_b, rmst_a, rmst_b, diff, se, z,
+    * reject_95), rmst/diff/se round 6, z round 4. */
+  def rmstDiff(subjects: DataFrame, durCol: String, obsCol: String,
+               groupCol: String, tau: Long): DataFrame =
+    rmstDiffFromCounts(subjects
+      .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull &&
+        F.col(groupCol).isNotNull)
+      .groupBy(F.col(durCol).cast("long").as("t"), F.col(groupCol).as("g"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"),
+        F.count(F.lit(1)).as("c")), tau)
+
+  /** [[rmstDiff]] over the pre-aggregated (t, g, d, c) frame. */
+  def rmstDiffFromCounts(byTG: DataFrame, tau: Long): DataFrame = {
+    require(tau > 0, "need tau > 0")
+    val gs = byTG.agg(F.min("g").as("ga"), F.max("g").as("gb"))
+      .filter(F.col("ga") =!= F.col("gb"))
+    val tagged = byTG.crossJoin(F.broadcast(gs))
+      .filter(F.col("g") === F.col("ga") || F.col("g") === F.col("gb"))
+      .withColumn("__x", F.when(F.col("g") === F.col("ga"), 0).otherwise(1))
+      .groupBy("__x", "t")
+      .agg(F.sum("d").as("d"), F.sum("c").as("c"))
+    val wOrd = Window.partitionBy("__x").orderBy("t")
+    val wSum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("__x")
+    val tot = tagged.groupBy("__x").agg(F.sum("c").as("__ng"))
+    val seg = tagged.join(F.broadcast(tot), Seq("__x"))
+      .withColumn("n_risk", F.col("__ng") - F.sum("c").over(wSum) + F.col("c"))
+      .withColumn("__term",
+        F.when(F.col("d") > 0 && F.col("d") < F.col("n_risk"),
+          F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")))
+          .otherwise(F.lit(0.0)))
+      .withColumn("survival",
+        F.when(F.col("d") === F.col("n_risk"), F.lit(0.0))
+          .otherwise(F.round(F.exp(F.sum("__term").over(wSum)), 6)))
+      .withColumn("__next", F.coalesce(F.lead("t", 1).over(wOrd), F.lit(tau)))
+      .withColumn("__contrib", F.col("survival") *
+        (F.least(F.col("__next"), F.lit(tau)) - F.least(F.col("t"), F.lit(tau))).cast("double"))
+      .withColumn("__head", F.when(F.row_number().over(wOrd) === 1,
+        F.least(F.col("t"), F.lit(tau)).cast("double")).otherwise(F.lit(0.0)))
+      .withColumn("__area", F.sum(F.col("__head") + F.col("__contrib")).over(wSum))
+      .withColumn("__rmst", F.sum(F.col("__head") + F.col("__contrib")).over(wAll))
+      // tail area past t_i: total minus everything before segment i
+      .withColumn("__tail", F.col("__rmst") - (F.col("__area") - F.col("__contrib")))
+      .withColumn("__gw", F.when(F.col("d") > 0 && F.col("d") < F.col("n_risk"),
+        F.col("d").cast("double")
+          / (F.col("n_risk") * (F.col("n_risk") - F.col("d"))).cast("double"))
+        .otherwise(F.lit(0.0)))
+      .withColumn("__vcum",
+        F.sum(F.col("__tail") * F.col("__tail") * F.col("__gw")).over(wSum))
+      .withColumn("__rn", F.row_number().over(
+        Window.partitionBy("__x").orderBy(F.col("t").desc)))
+      .filter(F.col("__rn") === 1)
+    val one = seg.agg(
+      F.sum(F.when(F.col("__x") === 0, F.col("__ng"))).as("n_a"),
+      F.sum(F.when(F.col("__x") === 1, F.col("__ng"))).as("n_b"),
+      F.sum(F.when(F.col("__x") === 0, F.col("__rmst"))).as("__ra"),
+      F.sum(F.when(F.col("__x") === 1, F.col("__rmst"))).as("__rb"),
+      F.sum(F.when(F.col("__x") === 0, F.col("__vcum"))).as("__va"),
+      F.sum(F.when(F.col("__x") === 1, F.col("__vcum"))).as("__vb"))
+    val z = F.when(F.col("__va") + F.col("__vb") > 0.0,
+      (F.col("__ra") - F.col("__rb")) / F.sqrt(F.col("__va") + F.col("__vb")))
+    one
+      .filter(F.col("n_a").isNotNull && F.col("n_b").isNotNull)
+      .select(F.lit(tau).as("tau"), F.col("n_a"), F.col("n_b"),
+        (F.round(F.col("__ra"), 6) + F.lit(0.0)).as("rmst_a"),
+        (F.round(F.col("__rb"), 6) + F.lit(0.0)).as("rmst_b"),
+        (F.round(F.col("__ra") - F.col("__rb"), 6) + F.lit(0.0)).as("diff"),
+        (F.round(F.when(F.col("__va") + F.col("__vb") > 0.0,
+          F.sqrt(F.col("__va") + F.col("__vb"))), 6) + F.lit(0.0)).as("se"),
+        (F.round(z, 4) + F.lit(0.0)).as("z"),
+        (F.abs(z) > 1.96).as("reject_95"))
+  }
+
   /** STRATIFIED two-cohort log-rank test — the confounder-adjusted
     * variant: when a third variable (signup channel, region, device)
     * both selects cohort membership and shifts the hazard, the pooled

@@ -440,6 +440,15 @@ class StreamingDriftSpec extends SparkSpec {
       Evaluation.calibrationBins(batchDf, "p", "y").orderBy("bin").collect().map(_.toSeq)
     StreamingDrift.eceNow(spark, cDir, "pos", "neg").collect().head.toSeq shouldBe
       Evaluation.ece(batchDf, "p", "y").collect().head.toSeq
+    StreamingDrift.liftNow(spark, cDir, "pos", "neg")
+      .orderBy("tile").collect().map(_.toSeq) shouldBe
+      Evaluation.liftTable(batchDf, "p", "y").orderBy("tile").collect().map(_.toSeq)
+    StreamingDrift.bestThresholdNow(spark, cDir, "pos", "neg")
+      .collect().head.toSeq shouldBe
+      Evaluation.bestThreshold(batchDf, "p", "y").collect().head.toSeq
+    StreamingDrift.isotonicNow(spark, cDir, "pos", "neg")
+      .orderBy("x").collect().map(_.toSeq) shouldBe
+      Evaluation.isotonicCalibration(batchDf, "p", "y").orderBy("x").collect().map(_.toSeq)
     // the planted separation bites: AUC well above chance
     StreamingDrift.rocAucNow(spark, cDir, "pos", "neg")
       .collect().head.getAs[Double]("auc") should be > 0.6

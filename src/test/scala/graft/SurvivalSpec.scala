@@ -441,6 +441,40 @@ class SurvivalSpec extends SparkSpec {
     }
   }
 
+  it("rmstDiff reproduces each cohort's standalone RMST and zeroes out on identical cohorts") {
+    import org.apache.spark.sql.{functions => F}
+    val a = Seq((1, 1), (3, 0), (5, 1))
+    val b = Seq((2, 1), (4, 1), (6, 0))
+    val rows = (a.map(x => (x._1, x._2, "a")) ++ b.map(x => (x._1, x._2, "b")))
+      .toDF("dur", "obs", "g")
+    val d = Survival.rmstDiff(rows, "dur", "obs", "g", tau = 6L).collect().head
+    val ra = Survival.rmst(a.toDF("dur", "obs"), "dur", "obs", tau = 6L)
+      .collect().head.getAs[Double]("rmst")
+    val rb = Survival.rmst(b.toDF("dur", "obs"), "dur", "obs", tau = 6L)
+      .collect().head.getAs[Double]("rmst")
+    d.getAs[Double]("rmst_a") shouldBe ra
+    d.getAs[Double]("rmst_b") shouldBe rb
+    d.getAs[Double]("diff") shouldBe (ra - rb) +- 1e-6
+    d.getAs[Double]("se") should be > 0.0
+    // two copies of the same cohort: diff exactly 0, z 0, no rejection
+    val same = (a.map(x => (x._1, x._2, "a")) ++ a.map(x => (x._1, x._2, "b")))
+      .toDF("dur", "obs", "g")
+    val s = Survival.rmstDiff(same, "dur", "obs", "g", tau = 6L).collect().head
+    s.getAs[Double]("diff") shouldBe 0.0
+    s.getAs[Double]("z") shouldBe 0.0
+    s.getAs[Boolean]("reject_95") shouldBe false
+    // single group -> EMPTY (no comparison exists)
+    Survival.rmstDiff(a.map(x => (x._1, x._2, "a")).toDF("dur", "obs", "g"),
+      "dur", "obs", "g", tau = 6L).collect() shouldBe empty
+    // a planted large gap rejects: cohort a mostly exits at day 1 (a few
+    // censored keep its variance alive), b never does
+    val gap = (Seq.fill(25)((1, 1, "a")) ++ Seq.fill(5)((9, 0, "a")) ++
+      Seq.fill(30)((9, 0, "b"))).toDF("dur", "obs", "g")
+    val gg = Survival.rmstDiff(gap, "dur", "obs", "g", tau = 6L).collect().head
+    gg.getAs[Double]("rmst_b") shouldBe 6.0
+    gg.getAs[Boolean]("reject_95") shouldBe true
+  }
+
   it("stratified log-rank equals the plain test on one stratum and pools O-E/V across copies") {
     import org.apache.spark.sql.{functions => F}
     val rows = Seq((1, 1, "a"), (3, 0, "a"), (5, 1, "a"),

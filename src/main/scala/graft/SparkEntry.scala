@@ -1545,6 +1545,15 @@ object SparkEntry {
       Evaluation.rocAucCi(
         t(s, dir, "documents").withColumn("is_en", F.col("lang") === "en"),
         "n_chars", "is_en")),
+    // Kendall's tau-b between length and word-count deciles — the
+    // inversion-counting association read over bounded vocabularies;
+    // one conditional aggregate over the cells x cells bounded kernel.
+    "q_kendall" -> ((s, dir) =>
+      Drift.kendallTau(
+        t(s, dir, "documents")
+          .withColumn("xb", F.expr("n_chars div 50"))
+          .withColumn("yb", F.expr("size(split(text, ' ')) div 10")),
+        "xb", "yb")),
     // Paired DeLong: does char-length beat word-count at predicting
     // English ON THE SAME ROWS — the correlated-AUC z the unpaired test
     // overstates; placements joined back by score value.
@@ -5054,6 +5063,26 @@ object SparkEntry {
         "round(CASE WHEN n1 > 0 THEN CAST(cum_pos AS DOUBLE) / n1 END, 6) + 0.0 AS cum_capture, " +
         "round(CASE WHEN prev > 0.0 THEN (CAST(cum_pos AS DOUBLE) / cumn) / prev END, 6) + 0.0 AS cum_lift " +
         "FROM z ORDER BY tile"),
+    // P/Q as one conditional aggregate over the cells self-product;
+    // tie corrections in exact // 2 integer halving, the sqrt operand
+    // cast-then-multiplied exactly as the operator.
+    "q_kendall" ->
+      ("WITH s AS (SELECT CAST(n_chars // 50 AS DOUBLE) AS x, " +
+        "CAST(len(string_split(text, ' ')) // 10 AS DOUBLE) AS y FROM documents " +
+        "WHERE n_chars IS NOT NULL AND text IS NOT NULL), " +
+        "cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nij FROM s GROUP BY 1, 2), " +
+        "pq AS (SELECT CAST(coalesce(sum(CASE WHEN c1.x < c2.x AND c1.y < c2.y THEN c1.nij * c2.nij END), 0) AS BIGINT) AS p, " +
+        "CAST(coalesce(sum(CASE WHEN c1.x < c2.x AND c1.y > c2.y THEN c1.nij * c2.nij END), 0) AS BIGINT) AS q " +
+        "FROM cells c1, cells c2), " +
+        "tx AS (SELECT CAST(sum((cx * (cx - 1)) // 2) AS BIGINT) AS n1t FROM " +
+        "(SELECT x, CAST(sum(nij) AS BIGINT) AS cx FROM cells GROUP BY 1)), " +
+        "ty AS (SELECT CAST(sum((cy * (cy - 1)) // 2) AS BIGINT) AS n2t FROM " +
+        "(SELECT y, CAST(sum(nij) AS BIGINT) AS cy FROM cells GROUP BY 1)), " +
+        "nn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cells), " +
+        "f AS (SELECT n, p, q, n1t, n2t, (n * (n - 1)) // 2 AS n0 FROM nn, pq, tx, ty WHERE n IS NOT NULL) " +
+        "SELECT n, p AS concordant, q AS discordant, " +
+        "round(CASE WHEN n0 > n1t AND n0 > n2t THEN CAST(p - q AS DOUBLE) " +
+        "/ sqrt(CAST(n0 - n1t AS DOUBLE) * (n0 - n2t)) END, 6) + 0.0 AS tau_b FROM f"),
     // Both scores' placement CTEs joined back to the row frame by score
     // value; per-class moment sums and the paired-covariance SE mirrored
     // operand-for-operand (z decided unrounded, the welch class).

@@ -269,6 +269,56 @@ object Drift {
         (F.abs(F.col("tt")) > 1.96).as("reject_95"))
   }
 
+  /** KENDALL'S τ-b (Kendall, Biometrika 1938; tie correction per
+    * Kendall 1945) — [[spearman]]'s pair-counting sibling: the
+    * probability a random row pair is ranked the same way by both
+    * columns, minus the probability it is ranked oppositely, with tied
+    * margins normalized out: τ_b = (P − Q)/√((n₀−t_x)(n₀−t_y)). Where
+    * Spearman averages rank displacement, τ counts INVERSIONS — the
+    * number a ranking-quality reader wants.
+    *
+    * CONTRACT: both columns carry BOUNDED vocabularies (buckets,
+    * grades, deciles — the isotonic value-axis discipline). The
+    * concordance count folds over the distinct-cell contingency frame:
+    * P and Q are ONE conditional aggregate over the cells × cells
+    * broadcast nested loop (vocabulary², never the corpus — the
+    * documented bounded kernel, the q_intrinsic_dim class), every count
+    * an exact BIGINT (shiftright halving, overflow-safe √ via
+    * cast-then-multiply). EMPTY on empty input; NULL τ when a margin is
+    * fully tied (a constant column ranks nothing).
+    *
+    * Output: one row — (n, concordant, discordant, tau_b), round 6. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.select(F.col(xCol).cast("double").as("x"),
+        F.col(yCol).cast("double").as("y"))
+      .filter(F.col("x").isNotNull && F.col("y").isNotNull)
+      .groupBy("x", "y").agg(F.count(F.lit(1)).as("nij"))
+      .localCheckpoint(true) // feeds the pair kernel + margins + totals
+    def half(c: Column): Column = F.shiftright(c * (c - 1), 1)
+    val c2 = cells.select(F.col("x").as("x2"), F.col("y").as("y2"),
+      F.col("nij").as("n2"))
+    val pq = cells.crossJoin(F.broadcast(c2)).agg(
+      F.coalesce(F.sum(F.when(F.col("x") < F.col("x2") && F.col("y") < F.col("y2"),
+        F.col("nij") * F.col("n2"))), F.lit(0L)).as("p"),
+      F.coalesce(F.sum(F.when(F.col("x") < F.col("x2") && F.col("y") > F.col("y2"),
+        F.col("nij") * F.col("n2"))), F.lit(0L)).as("q"))
+    val tx = cells.groupBy("x").agg(F.sum("nij").as("cx"))
+      .agg(F.sum(half(F.col("cx"))).as("n1t"))
+    val ty = cells.groupBy("y").agg(F.sum("nij").as("cy"))
+      .agg(F.sum(half(F.col("cy"))).as("n2t"))
+    val n = cells.agg(F.sum("nij").as("n"))
+    pq.crossJoin(F.broadcast(n)).crossJoin(F.broadcast(tx))
+      .crossJoin(F.broadcast(ty))
+      .filter(F.col("n").isNotNull)
+      .withColumn("__n0", half(F.col("n")))
+      .select(F.col("n"), F.col("p").as("concordant"), F.col("q").as("discordant"),
+        (F.round(F.when(F.col("__n0") > F.col("n1t") && F.col("__n0") > F.col("n2t"),
+          (F.col("p") - F.col("q")).cast("double")
+            / F.sqrt((F.col("__n0") - F.col("n1t")).cast("double")
+              * (F.col("__n0") - F.col("n2t")))), 6)
+          + F.lit(0.0)).as("tau_b"))
+  }
+
   /** SPEARMAN rank correlation between two columns — Pearson on
     * midranks: the monotone-association number that ignores the
     * columns' scales and outliers entirely (Spearman 1904). Midranks

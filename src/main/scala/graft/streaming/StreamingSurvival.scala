@@ -106,6 +106,11 @@ object StreamingSurvival {
   def cIndexNow(spark: SparkSession, countsDir: String): DataFrame =
     Survival.cIndexFromCounts(groupedCounts(spark, countsDir))
 
+  /** RMST difference at τ over everything streamed so far — the same
+    * grouped counts are the per-cohort KM curve's complete summary. */
+  def rmstDiffNow(spark: SparkSession, countsDir: String, tau: Long): DataFrame =
+    Survival.rmstDiffFromCounts(groupedCounts(spark, countsDir), tau)
+
   private def groupedCounts(spark: SparkSession, countsDir: String): DataFrame =
     StreamingDrift.categoricalCounts(spark, countsDir)
       .select(F.col("slice").cast("long").as("t"),

@@ -361,6 +361,32 @@ class DriftSpec extends SparkSpec {
       .collect() shouldBe empty
   }
 
+  // ---- kendallTau -----------------------------------------------------
+
+  it("kendallTau counts the hand inversions and applies the tie correction") {
+    // one adjacent swap among 5 ranks: P = 9, Q = 1, tau = 0.8
+    val swap = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 5.0), (5.0, 4.0))
+      .toDF("a", "b")
+    val r = Drift.kendallTau(swap, "a", "b").collect().head
+    r.getAs[Long]("concordant") shouldBe 9L
+    r.getAs[Long]("discordant") shouldBe 1L
+    r.getAs[Double]("tau_b") shouldBe 0.8
+    // tie correction: x [1,1,2], y [1,2,2] -> P=1, tx=ty=1, tau_b = 0.5
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0)).toDF("a", "b")
+    val t2 = Drift.kendallTau(tied, "a", "b").collect().head
+    t2.getAs[Long]("concordant") shouldBe 1L
+    t2.getAs[Double]("tau_b") shouldBe 0.5
+    // perfect inversion is exactly -1; a constant margin is NULL
+    val inv = (1 to 6).map(i => (i.toDouble, -i.toDouble)).toDF("a", "b")
+    Drift.kendallTau(inv, "a", "b").collect().head.getAs[Double]("tau_b") shouldBe -1.0
+    val const = (1 to 6).map(i => (i.toDouble, 7.0)).toDF("a", "b")
+    val c = Drift.kendallTau(const, "a", "b").collect().head
+    c.isNullAt(c.fieldIndex("tau_b")) shouldBe true
+    // empty input -> EMPTY
+    Drift.kendallTau(Seq.empty[(Double, Double)].toDF("a", "b"), "a", "b")
+      .collect() shouldBe empty
+  }
+
   // ---- spearman -------------------------------------------------------
 
   private def rho(pairs: Seq[(Double, Double)], parts: Int = 5) =

@@ -352,6 +352,11 @@ class SurvivalSpec extends SparkSpec {
     val cBatch = Survival.cIndexBinary(subjects.toDF("dur", "obs", "g"),
       "dur", "obs", "g").collect().head.toSeq
     cStreamed shouldBe cBatch
+    // ... and the RMST-difference reader re-enters the same store
+    graft.streaming.StreamingSurvival.rmstDiffNow(spark, cDir, tau = 6L)
+      .collect().head.toSeq shouldBe
+      Survival.rmstDiff(subjects.toDF("dur", "obs", "g"),
+        "dur", "obs", "g", tau = 6L).collect().head.toSeq
   }
 
   it("streamed competing-risks subjects across a restart yield the batch CIF exactly") {

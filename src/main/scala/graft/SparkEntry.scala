@@ -1568,6 +1568,13 @@ object SparkEntry {
     // frequencies frame (two grouped counts, exact BIGINTs).
     "q_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text")),
+    // Pairwise source vocabulary overlap — "is src_i the same corpus as
+    // src_j wearing a different name": Jaccard + containment of the
+    // type sets, term-keyed intersections, zero-overlap pairs kept.
+    "q_vocab_overlap" -> ((s, dir) =>
+      TextAnalysis.vocabOverlap(
+        t(s, dir, "documents").filter(F.col("source") < "src5"),
+        "source", "text").orderBy("g1", "g2")),
     // Did the 3-bit sign-LSH buckets recover the label structure? ARI +
     // NMI from the vocabulary-sized contingency table — the clustering
     // gate before bucket ids feed curation.
@@ -5120,6 +5127,24 @@ object SparkEntry {
         "SELECT n1 AS n_pos, n2 AS n_neg, round(aa, 6) + 0.0 AS auc_a, round(ab, 6) + 0.0 AS auc_b, " +
         "round(aa - ab, 6) + 0.0 AS diff, round(se, 6) + 0.0 AS se, " +
         "round((aa - ab) / se, 4) + 0.0 AS z, abs((aa - ab) / se) > 1.96 AS reject_95 FROM w3"),
+    // Type-set DISTINCT + term-keyed intersections; the pair universe
+    // from sizes² keeps zero-overlap pairs at 0.
+    "q_vocab_overlap" ->
+      ("WITH ts AS (SELECT DISTINCT g, term FROM (SELECT source AS g, " +
+        "unnest(string_split(text, ' ')) AS term FROM documents " +
+        "WHERE source IS NOT NULL AND text IS NOT NULL AND source < 'src5') " +
+        "WHERE term <> ''), " +
+        "sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS nv FROM ts GROUP BY 1), " +
+        "inter AS (SELECT a.g AS g1, b.g AS g2, CAST(count(*) AS BIGINT) AS ni " +
+        "FROM ts a JOIN ts b ON a.term = b.term AND a.g < b.g GROUP BY 1, 2), " +
+        "pairs AS (SELECT s1.g AS g1, s2.g AS g2, s1.nv AS v1, s2.nv AS v2 " +
+        "FROM sizes s1 JOIN sizes s2 ON s1.g < s2.g), " +
+        "j AS (SELECT g1, g2, v1, v2, coalesce(ni, CAST(0 AS BIGINT)) AS n_inter " +
+        "FROM pairs LEFT JOIN inter USING (g1, g2)) " +
+        "SELECT g1, g2, v1, v2, n_inter, " +
+        "round(CAST(n_inter AS DOUBLE) / (v1 + v2 - n_inter), 6) + 0.0 AS jaccard, " +
+        "round(CAST(n_inter AS DOUBLE) / least(v1, v2), 6) + 0.0 AS containment " +
+        "FROM j ORDER BY 1, 2"),
     // Contingency cells + margins; pair counts in exact integer
     // arithmetic ((c·(c−1)) // 2), the entropy/MI lines count-weighted
     // ln sums with the n·ln n terms folded analytically.

@@ -704,4 +704,44 @@ object TextAnalysis {
           F.col("f1").cast("double") * F.col("f1") / (F.lit(2.0) * F.col("f2")))
           .otherwise(F.col("f1").cast("double") * (F.col("f1") - 1)
             / (F.lit(2.0) * (F.col("f2") + 1))), 2) + F.lit(0.0)).as("chao1"))
+
+  /** CROSS-SOURCE VOCABULARY OVERLAP — pairwise Jaccard and containment
+    * of the sources' TYPE sets: "are these two crawls the same corpus
+    * wearing different names" (near-duplicate sources waste mixing
+    * budget and leak dedup across splits) vs "is this source genuinely
+    * new vocabulary". The type-set frame is one DISTINCT over (group,
+    * term); intersections fold from a TERM-KEYED self-join (hot terms
+    * fan out groups² per term — the group vocabulary, bounded), sizes
+    * from one grouped count, and the pair universe comes from the
+    * sizes² frame so ZERO-overlap pairs still report 0 rather than
+    * vanishing. All counts exact BIGINTs; Jaccard and containment
+    * (∩ / min — the "subset detector": 1.0 means the smaller source is
+    * contained) are one IEEE division each. Output: one row per
+    * unordered group pair — (g1, g2, v1, v2, n_inter, jaccard,
+    * containment), round 6. */
+  def vocabOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val ts = df.filter(F.col(groupCol).isNotNull && F.col(textCol).isNotNull)
+      .select(F.col(groupCol).as("g"),
+        F.explode(F.split(F.col(textCol), " ")).as("term"))
+      .filter(F.col("term") =!= "")
+      .distinct()
+      .localCheckpoint(true) // feeds sizes AND both sides of the self-join
+    val sizes = ts.groupBy("g").agg(F.count(F.lit(1)).as("nv"))
+    val inter = ts.select(F.col("g").as("g1"), F.col("term"))
+      .join(ts.select(F.col("g").as("g2"), F.col("term")), Seq("term"))
+      .filter(F.col("g1") < F.col("g2"))
+      .groupBy("g1", "g2").agg(F.count(F.lit(1)).as("__ni"))
+    val pairs = sizes.select(F.col("g").as("g1"), F.col("nv").as("v1"))
+      .join(sizes.select(F.col("g").as("g2"), F.col("nv").as("v2")),
+        F.col("g1") < F.col("g2"))
+    pairs.join(inter, Seq("g1", "g2"), "left")
+      .withColumn("n_inter", F.coalesce(F.col("__ni"), F.lit(0L)))
+      .select(F.col("g1"), F.col("g2"), F.col("v1"), F.col("v2"), F.col("n_inter"),
+        (F.round(F.col("n_inter").cast("double")
+          / (F.col("v1") + F.col("v2") - F.col("n_inter")), 6)
+          + F.lit(0.0)).as("jaccard"),
+        (F.round(F.col("n_inter").cast("double")
+          / F.least(F.col("v1"), F.col("v2")), 6)
+          + F.lit(0.0)).as("containment"))
+  }
 }

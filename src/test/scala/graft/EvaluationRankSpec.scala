@@ -182,6 +182,27 @@ class EvaluationRankSpec extends SparkSpec {
       .collect().head.getAs[Double]("ari") shouldBe 1.0
   }
 
+  it("vocabOverlap reports hand Jaccard/containment and keeps zero-overlap pairs") {
+    import graft.operators.TextAnalysis
+    val df = Seq(("A", "a b c"), ("B", "b c d"), ("C", "x")).toDF("src", "text")
+    val out = TextAnalysis.vocabOverlap(df, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    out.keySet shouldBe Set(("A", "B"), ("A", "C"), ("B", "C"))
+    val ab = out(("A", "B"))
+    ab.getAs[Long]("v1") shouldBe 3L
+    ab.getAs[Long]("n_inter") shouldBe 2L // {b, c}
+    ab.getAs[Double]("jaccard") shouldBe 0.5
+    ab.getAs[Double]("containment") shouldBe 0.666667 +- 1e-9
+    // the disjoint pair is PRESENT at zero, not missing
+    out(("A", "C")).getAs[Long]("n_inter") shouldBe 0L
+    out(("A", "C")).getAs[Double]("jaccard") shouldBe 0.0
+    // a subset source reads containment 1.0 while Jaccard stays < 1
+    val sub = Seq(("A", "a b c d"), ("B", "b c")).toDF("src", "text")
+    val s2 = TextAnalysis.vocabOverlap(sub, "src", "text").collect().head
+    s2.getAs[Double]("containment") shouldBe 1.0
+    s2.getAs[Double]("jaccard") shouldBe 0.5
+  }
+
   it("vocabCoverage matches the hand Good-Turing/Chao1 numbers") {
     import graft.operators.TextAnalysis
     // tokens: a a b c -> N=4, V=3, f1=2, f2=1; coverage .5; chao1 = 3 + 4/2

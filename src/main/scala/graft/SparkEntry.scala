@@ -1545,6 +1545,19 @@ object SparkEntry {
       Evaluation.rocAucCi(
         t(s, dir, "documents").withColumn("is_en", F.col("lang") === "en"),
         "n_chars", "is_en")),
+    // IPW ATE under a deterministic confound: English docs are treated
+    // at 0.8 vs 0.3, the outcome is the length read — the Hájek
+    // reweighting recovers the assignment-corrected arm means where the
+    // naive diff is confounded.
+    "q_ipw_ate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("treat",
+          (F.col("doc_id") % 10) < F.when(F.col("lang") === "en", 8).otherwise(3))
+        .withColumn("p", F.when(F.col("lang") === "en", 0.8).otherwise(0.3))
+        .withColumn("y",
+          F.least(F.col("n_chars"), F.lit(600L)).cast("double") / 600.0)
+      Drift.ipwAte(d, "treat", "y", "p")
+    }),
     // Kendall's tau-b between length and word-count deciles — the
     // inversion-counting association read over bounded vocabularies;
     // one conditional aggregate over the cells x cells bounded kernel.
@@ -5070,6 +5083,24 @@ object SparkEntry {
         "round(CASE WHEN n1 > 0 THEN CAST(cum_pos AS DOUBLE) / n1 END, 6) + 0.0 AS cum_capture, " +
         "round(CASE WHEN prev > 0.0 THEN (CAST(cum_pos AS DOUBLE) / cumn) / prev END, 6) + 0.0 AS cum_lift " +
         "FROM z ORDER BY tile"),
+    // Clip, weight, and Hájek-normalize in the operator's operand
+    // order; arm guards mirrored (an empty arm is NULL, not a blowup).
+    "q_ipw_ate" ->
+      ("WITH d AS (SELECT doc_id % 10 < CASE WHEN lang = 'en' THEN 8 ELSE 3 END AS t, " +
+        "CAST(least(n_chars, 600) AS DOUBLE) / 600.0 AS y, " +
+        "CASE WHEN lang = 'en' THEN 0.8 ELSE 0.3 END AS p0 FROM documents " +
+        "WHERE lang IS NOT NULL AND n_chars IS NOT NULL AND doc_id IS NOT NULL), " +
+        "c AS (SELECT t, y, least(greatest(p0, 0.01), 0.99) AS p FROM d), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS n_treated, " +
+        "sum(CASE WHEN t THEN y / p ELSE 0.0 END) AS sy1, " +
+        "sum(CASE WHEN t THEN 1.0 / p ELSE 0.0 END) AS sw1, " +
+        "sum(CASE WHEN NOT t THEN y / (1.0 - p) ELSE 0.0 END) AS sy0, " +
+        "sum(CASE WHEN NOT t THEN 1.0 / (1.0 - p) ELSE 0.0 END) AS sw0 FROM c), " +
+        "z AS (SELECT n, n_treated, CASE WHEN sw1 > 0.0 THEN sy1 / sw1 END AS m1, " +
+        "CASE WHEN sw0 > 0.0 THEN sy0 / sw0 END AS m0 FROM a WHERE n > 0) " +
+        "SELECT n, n_treated, round(m1, 6) + 0.0 AS mu_treated, " +
+        "round(m0, 6) + 0.0 AS mu_control, round(m1 - m0, 6) + 0.0 AS ate FROM z"),
     // P/Q as one conditional aggregate over the cells self-product;
     // tie corrections in exact // 2 integer halving, the sqrt operand
     // cast-then-multiplied exactly as the operator.

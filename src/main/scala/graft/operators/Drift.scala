@@ -269,6 +269,52 @@ object Drift {
         (F.abs(F.col("tt")) > 1.96).as("reject_95"))
   }
 
+  /** INVERSE-PROPENSITY-WEIGHTED ATE (Horvitz–Thompson 1952 weights,
+    * Hájek ratio form) — the third leg of the causal set: [[cuped]]
+    * reduces variance under randomization, [[diffInDiff]] cancels fixed
+    * selection via a pre-period, IPW corrects CONFOUNDED assignment
+    * when a propensity model P(treat | covariates) is available: each
+    * arm's outcome mean is reweighted by 1/p (treated) or 1/(1−p)
+    * (control), recovering the population mean each arm would have had
+    * under full assignment. The Hájek normalization (weighted mean, not
+    * the raw HT sum) keeps the estimate inside the outcome's range.
+    * Propensities are CLIPPED to [0.01, 0.99] first — the standard
+    * positivity guard; an unclipped p → 0 row would dominate the whole
+    * estimate. ONE combinable aggregate; every operand is a per-row
+    * IEEE product of engine-identical doubles (round-snap class).
+    * EMPTY on empty input; NULL means when an arm is empty.
+    * Output: one row — (n, n_treated, mu_treated, mu_control, ate),
+    * round 6. */
+  def ipwAte(df: DataFrame, treatCol: String, outcomeCol: String,
+             probCol: String): DataFrame = {
+    val t = F.col(treatCol).cast("boolean")
+    val y = F.col(outcomeCol).cast("double")
+    val p = F.least(F.greatest(F.col(probCol).cast("double"),
+      F.lit(0.01)), F.lit(0.99))
+    df.filter(t.isNotNull && y.isNotNull && F.col(probCol).isNotNull)
+      .select(t.as("t"), y.as("y"), p.as("p"))
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.count(F.when(F.col("t"), 1)).as("n_treated"),
+        F.sum(F.when(F.col("t"), F.col("y") / F.col("p"))
+          .otherwise(F.lit(0.0))).as("__sy1"),
+        F.sum(F.when(F.col("t"), F.lit(1.0) / F.col("p"))
+          .otherwise(F.lit(0.0))).as("__sw1"),
+        F.sum(F.when(!F.col("t"), F.col("y") / (F.lit(1.0) - F.col("p")))
+          .otherwise(F.lit(0.0))).as("__sy0"),
+        F.sum(F.when(!F.col("t"), F.lit(1.0) / (F.lit(1.0) - F.col("p")))
+          .otherwise(F.lit(0.0))).as("__sw0"))
+      .filter(F.col("n").isNotNull && F.col("n") > 0)
+      .withColumn("__m1", F.when(F.col("__sw1") > 0.0,
+        F.col("__sy1") / F.col("__sw1")))
+      .withColumn("__m0", F.when(F.col("__sw0") > 0.0,
+        F.col("__sy0") / F.col("__sw0")))
+      .select(F.col("n"), F.col("n_treated"),
+        (F.round(F.col("__m1"), 6) + F.lit(0.0)).as("mu_treated"),
+        (F.round(F.col("__m0"), 6) + F.lit(0.0)).as("mu_control"),
+        (F.round(F.col("__m1") - F.col("__m0"), 6) + F.lit(0.0)).as("ate"))
+  }
+
   /** KENDALL'S τ-b (Kendall, Biometrika 1938; tie correction per
     * Kendall 1945) — [[spearman]]'s pair-counting sibling: the
     * probability a random row pair is ranked the same way by both

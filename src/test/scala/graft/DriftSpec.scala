@@ -361,6 +361,39 @@ class DriftSpec extends SparkSpec {
       .collect() shouldBe empty
   }
 
+  // ---- ipwAte ---------------------------------------------------------
+
+  it("ipwAte undoes a planted confound exactly; constant propensity reduces to the naive diff") {
+    // covariate x drives BOTH assignment (p = .8 for A, .2 for B) and
+    // the outcome (y = 1 iff A); there is NO treatment effect. The
+    // naive diff reads 0.6; IPW with the true propensity reads 0.
+    val rows =
+      Seq.fill(8)((true, 1.0, 0.8)) ++ Seq.fill(2)((false, 1.0, 0.8)) ++ // x = A
+      Seq.fill(2)((true, 0.0, 0.2)) ++ Seq.fill(8)((false, 0.0, 0.2))    // x = B
+    val r = Drift.ipwAte(rows.toDF("t", "y", "p"), "t", "y", "p").collect().head
+    r.getAs[Long]("n") shouldBe 20L
+    r.getAs[Long]("n_treated") shouldBe 10L
+    r.getAs[Double]("mu_treated") shouldBe 0.5
+    r.getAs[Double]("mu_control") shouldBe 0.5
+    r.getAs[Double]("ate") shouldBe 0.0
+    // the naive read on the same rows is the planted 0.6 bias
+    val naive = rows.toDF("t", "y", "p")
+      .groupBy("t").agg(F.avg("y").as("m")).collect()
+      .map(x => x.getBoolean(0) -> x.getDouble(1)).toMap
+    (naive(true) - naive(false)) shouldBe 0.6 +- 1e-9
+    // constant p = 0.5: IPW degenerates to exactly the naive difference
+    val flat = rows.map { case (t, y, _) => (t, y, 0.5) }
+    val f2 = Drift.ipwAte(flat.toDF("t", "y", "p"), "t", "y", "p").collect().head
+    f2.getAs[Double]("ate") shouldBe 0.6 +- 1e-9
+    // an empty arm reports NULL means, never a division blowup
+    val one = Seq((true, 1.0, 0.5), (true, 0.0, 0.5)).toDF("t", "y", "p")
+    val o = Drift.ipwAte(one, "t", "y", "p").collect().head
+    o.isNullAt(o.fieldIndex("mu_control")) shouldBe true
+    // empty input -> EMPTY
+    Drift.ipwAte(Seq.empty[(Boolean, Double, Double)].toDF("t", "y", "p"),
+      "t", "y", "p").collect() shouldBe empty
+  }
+
   // ---- kendallTau -----------------------------------------------------
 
   it("kendallTau counts the hand inversions and applies the tie correction") {

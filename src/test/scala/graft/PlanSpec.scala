@@ -458,6 +458,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  it("q_kendall's pair kernel is ONE bounded broadcast nested loop plus 1-row scalar attaches") {
+    val p = plan("q_kendall")
+    p should not include "CartesianProduct"
+    // 4 BNLs total: the cells x cells pair kernel (vocabulary-bounded)
+    // plus the three 1-row scalar frames (n / tx / ty) attached by
+    // broadcast — the documented scalar-crossJoin pattern
+    p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) shouldBe 4
+  }
+
+  it("q_vocab_overlap intersects by TERM equi-join; q_ipw_ate is one combinable aggregate") {
+    val v = plan("q_vocab_overlap")
+    v should not include "CartesianProduct"
+    // the type-set intersection must key on the term, not loop pairs:
+    // the only nested loop allowed is the sizes² pair-universe frame
+    v.split("\n").count(_.contains("BroadcastNestedLoopJoin")) should be <= 2
+    v should (include("SortMergeJoin") or include("BroadcastHashJoin")
+      or include("ShuffledHashJoin"))
+    val i = plan("q_ipw_ate")
+    i should not include "windowspecdefinition"
+    i should not include "CartesianProduct"
+    i should not include "Join"
+  }
+
   it("q_youden's argmax is TakeOrderedAndProject; q_auc_by_group windows partition by the audit key") {
     val y = plan("q_youden")
     y should include("TakeOrderedAndProject")

@@ -1634,6 +1634,26 @@ object SparkEntry {
           .withColumn("keep", F.col("n_chars") > 300)
           .withColumn("is_en", F.col("lang") === "en"),
         "source", "keep", "is_en")),
+    // The triad's third criterion — sufficiency: per-source ECE of the
+    // probability read (is the score equally well-calibrated for every
+    // slice, not just selected/erring at equal rates).
+    "q_fairness_calib" -> ((s, dir) =>
+      Evaluation.eceByGroup(
+        t(s, dir, "documents")
+          .withColumn("p_en",
+            F.least(F.col("n_chars"), F.lit(600L)).cast("double") / 600.0)
+          .withColumn("is_en", F.col("lang") === "en"),
+        "source", "p_en", "is_en").orderBy("group")),
+    // Uplift deciles: both arms ranked by the SAME score, per-tile
+    // treated-minus-control response — separates "finds responders"
+    // from "finds people the treatment moves". Parity-arm null design:
+    // uplift ~ 0 everywhere proves the split-count algebra.
+    "q_uplift" -> ((s, dir) =>
+      Evaluation.upliftTable(
+        t(s, dir, "documents")
+          .withColumn("treat", (F.col("doc_id") % 2) === 0)
+          .withColumn("is_en", F.col("lang") === "en"),
+        "n_chars", "treat", "is_en").orderBy("tile")),
     // Retrieval-quality per query: exact cosine top-10 for the first 10
     // vectors scored against the same-label relevant universe —
     // precision/recall@k, MRR, nDCG@k with the ideal DCG taken against
@@ -5082,6 +5102,46 @@ object SparkEntry {
         "round(CASE WHEN prev > 0.0 THEN rate / prev END, 6) + 0.0 AS lift, cum_pos, " +
         "round(CASE WHEN n1 > 0 THEN CAST(cum_pos AS DOUBLE) / n1 END, 6) + 0.0 AS cum_capture, " +
         "round(CASE WHEN prev > 0.0 THEN (CAST(cum_pos AS DOUBLE) / cumn) / prev END, 6) + 0.0 AS cum_lift " +
+        "FROM z ORDER BY tile"),
+    // Per-(source, bin) cells; ECE and worst-bin gap on UNROUNDED bin
+    // means, exactly the single-group ece algebra keyed by the group.
+    "q_fairness_calib" ->
+      ("WITH s AS (SELECT source AS g, CAST(least(n_chars, 600) AS DOUBLE) / 600.0 AS p, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents " +
+        "WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL), " +
+        "b AS (SELECT g, CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, " +
+        "CAST(count(*) AS BIGINT) AS n, sum(p) AS sp, CAST(sum(y) AS BIGINT) AS pos FROM s GROUP BY 1, 2), " +
+        "gp AS (SELECT g, n, abs(CAST(pos AS DOUBLE) / n - sp / n) AS gap FROM b) " +
+        "SELECT g AS \"group\", CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS bins_used, " +
+        "round(sum(gap * n) / sum(n), 6) + 0.0 AS ece, round(max(gap), 6) + 0.0 AS max_gap " +
+        "FROM gp GROUP BY 1 ORDER BY 1"),
+    // The liftTable tile ceil on the COMBINED ranking with per-arm
+    // counts riding alongside; uplift/cum-uplift as guarded differences
+    // of exact-count ratios.
+    "q_uplift" ->
+      ("WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS x, doc_id % 2 = 0 AS tr, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents " +
+        "WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL AND lang IS NOT NULL), " +
+        "c AS (SELECT x, CAST(count(CASE WHEN tr THEN 1 END) AS BIGINT) AS t1, " +
+        "CAST(count(CASE WHEN tr AND y = 1 THEN 1 END) AS BIGINT) AS p1, " +
+        "CAST(count(CASE WHEN NOT tr THEN 1 END) AS BIGINT) AS t0, " +
+        "CAST(count(CASE WHEN NOT tr AND y = 1 THEN 1 END) AS BIGINT) AS p0 FROM s GROUP BY 1), " +
+        "k AS (SELECT x, t1, p1, t0, p0, t1 + t0 AS ct, sum(t1 + t0) OVER w AS kt FROM c " +
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "nn AS (SELECT CAST(sum(t1 + t0) AS BIGINT) AS n FROM c), " +
+        "tl AS (SELECT CAST((((n - (kt - ct)) - 1) * 10) // n + 1 AS BIGINT) AS tile, " +
+        "t1, p1, t0, p0 FROM k, nn), " +
+        "pt AS (SELECT tile, CAST(sum(t1) AS BIGINT) AS n_treated, CAST(sum(p1) AS BIGINT) AS pp1, " +
+        "CAST(sum(t0) AS BIGINT) AS n_control, CAST(sum(p0) AS BIGINT) AS pp0 FROM tl GROUP BY 1), " +
+        "cu AS (SELECT tile, n_treated, pp1, n_control, pp0, " +
+        "CAST(sum(n_treated) OVER w AS BIGINT) AS ct1, CAST(sum(pp1) OVER w AS BIGINT) AS cp1, " +
+        "CAST(sum(n_control) OVER w AS BIGINT) AS ct0, CAST(sum(pp0) OVER w AS BIGINT) AS cp0 FROM pt " +
+        "WINDOW w AS (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "z AS (SELECT cu.*, CASE WHEN n_treated > 0 THEN CAST(pp1 AS DOUBLE) / n_treated END AS rt, " +
+        "CASE WHEN n_control > 0 THEN CAST(pp0 AS DOUBLE) / n_control END AS rc FROM cu) " +
+        "SELECT tile, n_treated, n_control, round(rt, 6) + 0.0 AS rate_treated, " +
+        "round(rc, 6) + 0.0 AS rate_control, round(rt - rc, 6) + 0.0 AS uplift, " +
+        "round(CASE WHEN ct1 > 0 AND ct0 > 0 THEN CAST(cp1 AS DOUBLE) / ct1 - CAST(cp0 AS DOUBLE) / ct0 END, 6) + 0.0 AS cum_uplift " +
         "FROM z ORDER BY tile"),
     // Clip, weight, and Hájek-normalize in the operator's operand
     // order; arm guards mirrored (an empty arm is NULL, not a blowup).

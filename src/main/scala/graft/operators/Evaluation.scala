@@ -509,6 +509,63 @@ object Evaluation {
   private val cumDescSql =
     "((n1 + n2) - ((__k1 + __k2) - (c1 + c2)))"
 
+  /** Uplift table — [[liftTable]]'s CAUSAL sibling (Radcliffe 2007):
+    * rank EVERYONE (both arms) by the targeting score descending, cut
+    * into `tiles`, and report per tile how much MORE the treated
+    * respond than the control — the read that separates "the model
+    * finds responders" from "the model finds people the TREATMENT
+    * moves" (persuadables vs sure-things). Tile assignment is the
+    * [[liftTable]] block-exact integer ceil on the COMBINED ranking, so
+    * both arms share identical cuts; per-tile and cumulative uplift are
+    * differences of exact-count ratios. An arm empty within a tile
+    * yields NULL uplift there (no comparison), and the cumulative curve
+    * keeps running past it. Output: one row per non-empty tile —
+    * (tile, n_treated, n_control, rate_treated, rate_control, uplift,
+    * cum_uplift), round 6. */
+  def upliftTable(df: DataFrame, scoreCol: String, treatCol: String,
+                  labelCol: String, tiles: Int = 10): DataFrame = {
+    require(tiles > 0, "need at least one tile")
+    val x = F.col(scoreCol).cast("double")
+    val tr = F.col(treatCol).cast("boolean")
+    val y = F.col(labelCol).cast("boolean")
+    val byV = df.filter(x.isNotNull && tr.isNotNull && y.isNotNull)
+      .groupBy(x.as("x"))
+      .agg(F.count(F.when(tr, 1)).as("t1"),
+        F.count(F.when(tr && y, 1)).as("p1"),
+        F.count(F.when(!tr, 1)).as("t0"),
+        F.count(F.when(!tr && y, 1)).as("p0"))
+      // ride the shared two-phase scaffold: the COMBINED count is c1
+      // (c2 = 0), the per-arm counts travel alongside
+      .withColumn("c1", F.col("t1") + F.col("t0"))
+      .withColumn("c2", F.lit(0L))
+    val (cum, n) = Drift.cdfFromCounts(byV)
+    val perTile = cum.crossJoin(F.broadcast(n))
+      .withColumn("tile",
+        F.expr(s"(($cumDescSql - 1) * $tiles) div (n1 + n2) + 1"))
+      .groupBy("tile")
+      .agg(F.sum("t1").as("n_treated"), F.sum("p1").as("__p1"),
+        F.sum("t0").as("n_control"), F.sum("p0").as("__p0"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("tile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perTile
+      .withColumn("__ct1", F.sum("n_treated").over(w))
+      .withColumn("__cp1", F.sum("__p1").over(w))
+      .withColumn("__ct0", F.sum("n_control").over(w))
+      .withColumn("__cp0", F.sum("__p0").over(w))
+      .withColumn("__rt", F.when(F.col("n_treated") > 0,
+        F.col("__p1").cast("double") / F.col("n_treated")))
+      .withColumn("__rc", F.when(F.col("n_control") > 0,
+        F.col("__p0").cast("double") / F.col("n_control")))
+      .select(F.col("tile"), F.col("n_treated"), F.col("n_control"),
+        (F.round(F.col("__rt"), 6) + F.lit(0.0)).as("rate_treated"),
+        (F.round(F.col("__rc"), 6) + F.lit(0.0)).as("rate_control"),
+        (F.round(F.col("__rt") - F.col("__rc"), 6) + F.lit(0.0)).as("uplift"),
+        (F.round(F.when(F.col("__ct1") > 0 && F.col("__ct0") > 0,
+          F.col("__cp1").cast("double") / F.col("__ct1")
+            - F.col("__cp0").cast("double") / F.col("__ct0")), 6)
+          + F.lit(0.0)).as("cum_uplift"))
+  }
+
   /** Retrieval-quality metrics per query over a ranked candidate list —
     * the serve-side answer to "is the index returning the RIGHT things",
     * completing the ANN surface's recall-vs-exact gates with the
@@ -624,6 +681,37 @@ object Evaluation {
           + F.lit(0.0)).as("precision"),
         (F.round((posGe + (F.col("n2") - negGe)).cast("double")
           / (F.col("n1") + F.col("n2")), 6) + F.lit(0.0)).as("accuracy"))
+  }
+
+  /** Per-group expected calibration error — the SUFFICIENCY criterion,
+    * completing the fairness triad ([[fairnessGaps]] covers
+    * independence via the parity gap and separation via equalized
+    * odds): a score is sufficient when P(y | score) is the same across
+    * groups, i.e. each group is individually well-calibrated. One
+    * (group × bin) scan; per-group ECE is the bin-weighted gap on
+    * UNROUNDED bin means (the [[ece]] algebra keyed by the audit
+    * group), plus the group's worst single-bin gap. Key space is
+    * groups × bins, never the corpus. Output: one row per group —
+    * (group, n, bins_used, ece, max_gap), round 6. */
+  def eceByGroup(df: DataFrame, groupCol: String, probCol: String,
+                 labelCol: String, bins: Int = 10): DataFrame = {
+    val p = F.col(probCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    df.filter(p.isNotNull && y.isNotNull && F.col(groupCol).isNotNull)
+      .groupBy(F.col(groupCol).as("group"),
+        F.least(F.floor(p * bins), F.lit(bins - 1L)).cast("long").as("bin"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(p).as("__sp"),
+        F.count(F.when(y, 1)).as("__pos"))
+      .withColumn("__gap", F.abs(F.col("__pos").cast("double") / F.col("n")
+        - F.col("__sp") / F.col("n")))
+      .groupBy("group")
+      .agg(F.sum("n").as("n"), F.count(F.lit(1)).as("bins_used"),
+        F.sum(F.col("__gap") * F.col("n")).as("__wgap"),
+        F.max("__gap").as("__mg"))
+      .select(F.col("group"), F.col("n"), F.col("bins_used"),
+        (F.round(F.col("__wgap") / F.col("n"), 6) + F.lit(0.0)).as("ece"),
+        (F.round(F.col("__mg"), 6) + F.lit(0.0)).as("max_gap"))
   }
 
   /** Isotonic calibration (PAVA — Ayer et al., Ann. Math. Stat. 1955;

@@ -110,6 +110,44 @@ class EvaluationRankSpec extends SparkSpec {
     e.getAs[Double]("ece") shouldBe 0.16 +- 1e-9
   }
 
+  it("eceByGroup keys the calibration read by the audit group") {
+    val df = Seq(("g1", 0.15, true), ("g1", 0.15, false),
+      ("g2", 0.95, true), ("g2", 0.95, true)).toDF("g", "p", "y")
+    val out = Evaluation.eceByGroup(df, "g", "p", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // g1: one bin, frac .5 vs mean .15 -> gap .35; g2: |1 - .95| = .05
+    out("g1").getAs[Double]("ece") shouldBe 0.35 +- 1e-9
+    out("g1").getAs[Double]("max_gap") shouldBe 0.35 +- 1e-9
+    out("g2").getAs[Double]("ece") shouldBe 0.05 +- 1e-9
+    out("g2").getAs[Long]("bins_used") shouldBe 1L
+  }
+
+  it("upliftTable separates the arms on the combined ranking and finds the planted top-tile effect") {
+    // scores 4..1, each with one treated and one control row; only the
+    // top two scores respond, and only under treatment
+    val rows = Seq(
+      (4.0, true, true), (4.0, false, false),
+      (3.0, true, true), (3.0, false, false),
+      (2.0, true, false), (2.0, false, false),
+      (1.0, true, false), (1.0, false, false)).toDF("s", "t", "y")
+    val out = Evaluation.upliftTable(rows, "s", "t", "y", tiles = 2)
+      .collect().map(r => r.getAs[Long]("tile") -> r).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L).getAs[Long]("n_treated") shouldBe 2L
+    out(1L).getAs[Double]("rate_treated") shouldBe 1.0
+    out(1L).getAs[Double]("rate_control") shouldBe 0.0
+    out(1L).getAs[Double]("uplift") shouldBe 1.0
+    out(2L).getAs[Double]("uplift") shouldBe 0.0
+    // cumulative through tile 2: 2/4 treated vs 0/4 control
+    out(2L).getAs[Double]("cum_uplift") shouldBe 0.5
+    // a tile with an empty arm reports NULL uplift, not a blowup
+    val oneArm = Seq((2.0, true, true), (1.0, false, false)).toDF("s", "t", "y")
+    val oa = Evaluation.upliftTable(oneArm, "s", "t", "y", tiles = 2)
+      .collect().map(r => r.getAs[Long]("tile") -> r).toMap
+    oa(1L).isNullAt(oa(1L).fieldIndex("rate_control")) shouldBe true
+    oa(1L).isNullAt(oa(1L).fieldIndex("uplift")) shouldBe true
+  }
+
   it("aucCompare detects the better scorer with a paired z; identical scorers are NULL") {
     // A separates perfectly, B ranks backwards — the paired diff is 1
     val df = Seq(

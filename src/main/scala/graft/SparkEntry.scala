@@ -1654,6 +1654,15 @@ object SparkEntry {
           .withColumn("treat", (F.col("doc_id") % 2) === 0)
           .withColumn("is_en", F.col("lang") === "en"),
         "n_chars", "treat", "is_en").orderBy("tile")),
+    // The uplift curve folded to one number: area between the
+    // incremental-gain curve and the random diagonal — ~0 on this null
+    // design, the honest "targeting no better than random" read.
+    "q_qini" -> ((s, dir) =>
+      Evaluation.qini(
+        t(s, dir, "documents")
+          .withColumn("treat", (F.col("doc_id") % 2) === 0)
+          .withColumn("is_en", F.col("lang") === "en"),
+        "n_chars", "treat", "is_en")),
     // Retrieval-quality per query: exact cosine top-10 for the first 10
     // vectors scored against the same-label relevant universe —
     // precision/recall@k, MRR, nDCG@k with the ideal DCG taken against
@@ -5143,6 +5152,37 @@ object SparkEntry {
         "round(rc, 6) + 0.0 AS rate_control, round(rt - rc, 6) + 0.0 AS uplift, " +
         "round(CASE WHEN ct1 > 0 AND ct0 > 0 THEN CAST(cp1 AS DOUBLE) / ct1 - CAST(cp0 AS DOUBLE) / ct0 END, 6) + 0.0 AS cum_uplift " +
         "FROM z ORDER BY tile"),
+    // The uplift cumulatives extended with the control-scaled gain, a
+    // tiles-sized lag/trapezoid fold, and the random-diagonal subtract.
+    "q_qini" ->
+      ("WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS x, doc_id % 2 = 0 AS tr, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents " +
+        "WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL AND lang IS NOT NULL), " +
+        "c AS (SELECT x, CAST(count(CASE WHEN tr THEN 1 END) AS BIGINT) AS t1, " +
+        "CAST(count(CASE WHEN tr AND y = 1 THEN 1 END) AS BIGINT) AS p1, " +
+        "CAST(count(CASE WHEN NOT tr THEN 1 END) AS BIGINT) AS t0, " +
+        "CAST(count(CASE WHEN NOT tr AND y = 1 THEN 1 END) AS BIGINT) AS p0 FROM s GROUP BY 1), " +
+        "k AS (SELECT x, t1, p1, t0, p0, t1 + t0 AS ct, sum(t1 + t0) OVER w AS kt FROM c " +
+        "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "nn AS (SELECT CAST(sum(t1 + t0) AS BIGINT) AS n FROM c), " +
+        "tl AS (SELECT CAST((((n - (kt - ct)) - 1) * 10) // n + 1 AS BIGINT) AS tile, " +
+        "t1, p1, t0, p0 FROM k, nn), " +
+        "pt AS (SELECT tile, CAST(sum(t1) AS BIGINT) AS n_treated, CAST(sum(p1) AS BIGINT) AS pp1, " +
+        "CAST(sum(t0) AS BIGINT) AS n_control, CAST(sum(p0) AS BIGINT) AS pp0 FROM tl GROUP BY 1), " +
+        "cu AS (SELECT tile, " +
+        "CAST(sum(n_treated) OVER w AS BIGINT) AS ct1, CAST(sum(pp1) OVER w AS BIGINT) AS cp1, " +
+        "CAST(sum(n_control) OVER w AS BIGINT) AS ct0, CAST(sum(pp0) OVER w AS BIGINT) AS cp0 FROM pt " +
+        "WINDOW w AS (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "qq AS (SELECT tile, ct1, ct0, " +
+        "CASE WHEN ct0 > 0 THEN CAST(cp1 AS DOUBLE) - CAST(cp0 AS DOUBLE) * ct1 / ct0 END AS q, " +
+        "CAST(ct1 + ct0 AS DOUBLE) / n AS frac FROM cu, nn), " +
+        "tr2 AS (SELECT tile, q, frac, coalesce(lag(q) OVER (ORDER BY tile), 0.0) AS pq, " +
+        "coalesce(lag(frac) OVER (ORDER BY tile), 0.0) AS pf FROM qq), " +
+        "ar AS (SELECT sum((q + pq) / 2.0 * (frac - pf)) AS area FROM tr2), " +
+        "lf AS (SELECT ct1 AS n_treated, ct0 AS n_control, q AS qfinal FROM qq ORDER BY tile DESC LIMIT 1) " +
+        "SELECT n_treated, n_control, round(qfinal, 6) + 0.0 AS q_final, " +
+        "round(CASE WHEN n_treated > 0 AND n_control > 0 THEN (area - qfinal / 2.0) / n_treated END, 6) + 0.0 AS qini " +
+        "FROM ar, lf"),
     // Clip, weight, and Hájek-normalize in the operator's operand
     // order; arm guards mirrored (an empty arm is NULL, not a blowup).
     "q_ipw_ate" ->

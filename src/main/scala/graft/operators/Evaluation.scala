@@ -524,27 +524,9 @@ object Evaluation {
     * cum_uplift), round 6. */
   def upliftTable(df: DataFrame, scoreCol: String, treatCol: String,
                   labelCol: String, tiles: Int = 10): DataFrame = {
-    require(tiles > 0, "need at least one tile")
-    val x = F.col(scoreCol).cast("double")
-    val tr = F.col(treatCol).cast("boolean")
-    val y = F.col(labelCol).cast("boolean")
-    val byV = df.filter(x.isNotNull && tr.isNotNull && y.isNotNull)
-      .groupBy(x.as("x"))
-      .agg(F.count(F.when(tr, 1)).as("t1"),
-        F.count(F.when(tr && y, 1)).as("p1"),
-        F.count(F.when(!tr, 1)).as("t0"),
-        F.count(F.when(!tr && y, 1)).as("p0"))
-      // ride the shared two-phase scaffold: the COMBINED count is c1
-      // (c2 = 0), the per-arm counts travel alongside
-      .withColumn("c1", F.col("t1") + F.col("t0"))
-      .withColumn("c2", F.lit(0L))
-    val (cum, n) = Drift.cdfFromCounts(byV)
-    val perTile = cum.crossJoin(F.broadcast(n))
-      .withColumn("tile",
-        F.expr(s"(($cumDescSql - 1) * $tiles) div (n1 + n2) + 1"))
-      .groupBy("tile")
-      .agg(F.sum("t1").as("n_treated"), F.sum("p1").as("__p1"),
-        F.sum("t0").as("n_control"), F.sum("p0").as("__p0"))
+    // per-arm counts ride the shared two-phase scaffold (the COMBINED
+    // count is c1 with c2 = 0) — see upliftTileCounts
+    val perTile = upliftTileCounts(df, scoreCol, treatCol, labelCol, tiles)
     val w = org.apache.spark.sql.expressions.Window.orderBy("tile")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     perTile
@@ -564,6 +546,85 @@ object Evaluation {
           F.col("__cp1").cast("double") / F.col("__ct1")
             - F.col("__cp0").cast("double") / F.col("__ct0")), 6)
           + F.lit(0.0)).as("cum_uplift"))
+  }
+
+  /** Qini coefficient — the [[upliftTable]] folded to ONE number
+    * (Radcliffe 2007): the area between the model's incremental-gain
+    * curve and the random-targeting diagonal. The gain at depth k is
+    * the control-scaled incremental responders
+    * q_k = cp1_k − cp0_k·(ct1_k/ct0_k); random targeting traces the
+    * straight line to q_final, and the coefficient sums the trapezoid
+    * area of (q_k − diagonal) over the tile fractions, normalized by
+    * total treated — positive means the score ranks persuadables first,
+    * ~0 means the targeting is no better than random (the honest null
+    * read), negative means it ranks sure-things/lost-causes first. One
+    * ≤`tiles`-row fold over the uplift tiles (the BH family-size
+    * class); NULL when either arm is empty overall. Output: one row —
+    * (n_treated, n_control, q_final, qini), round 6. */
+  def qini(df: DataFrame, scoreCol: String, treatCol: String,
+           labelCol: String, tiles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("tile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perTile = upliftTileCounts(df, scoreCol, treatCol, labelCol, tiles)
+    val tot = perTile.agg(
+      (F.sum("n_treated") + F.sum("n_control")).as("__n"))
+    val base = perTile.crossJoin(F.broadcast(tot))
+      .withColumn("__ct1", F.sum("n_treated").over(w))
+      .withColumn("__cp1", F.sum("__p1").over(w))
+      .withColumn("__ct0", F.sum("n_control").over(w))
+      .withColumn("__cp0", F.sum("__p0").over(w))
+      .withColumn("__q", F.when(F.col("__ct0") > 0,
+        F.col("__cp1").cast("double")
+          - F.col("__cp0").cast("double") * F.col("__ct1") / F.col("__ct0")))
+      .withColumn("__frac", (F.col("__ct1") + F.col("__ct0")).cast("double")
+        / F.col("__n"))
+    // trapezoid area of q over the depth fractions, minus the random
+    // diagonal to q_final — a tiles-sized ordered fold
+    val last = base
+      .withColumn("__rn", F.row_number().over(Window.orderBy(F.col("tile").desc)))
+    val qf = last.filter(F.col("__rn") === 1)
+      .select(F.col("__ct1").as("n_treated"), F.col("__ct0").as("n_control"),
+        F.col("__q").as("__qfinal"))
+    val area = base
+      .withColumn("__prevQ", F.coalesce(
+        F.lag("__q", 1).over(Window.orderBy("tile")), F.lit(0.0)))
+      .withColumn("__prevF", F.coalesce(
+        F.lag("__frac", 1).over(Window.orderBy("tile")), F.lit(0.0)))
+      .agg(F.sum((F.col("__q") + F.col("__prevQ")) / 2.0
+        * (F.col("__frac") - F.col("__prevF"))).as("__area"))
+    area.crossJoin(F.broadcast(qf))
+      .select(F.col("n_treated"), F.col("n_control"),
+        (F.round(F.col("__qfinal"), 6) + F.lit(0.0)).as("q_final"),
+        (F.round(F.when(F.col("n_treated") > 0 && F.col("n_control") > 0,
+          (F.col("__area") - F.col("__qfinal") / 2.0)
+            / F.col("n_treated")), 6) + F.lit(0.0)).as("qini"))
+  }
+
+  /** The shared per-tile arm-split counts behind [[upliftTable]] and
+    * [[qini]]: (tile, n_treated, __p1, n_control, __p0). */
+  private def upliftTileCounts(df: DataFrame, scoreCol: String,
+                               treatCol: String, labelCol: String,
+                               tiles: Int): DataFrame = {
+    require(tiles > 0, "need at least one tile")
+    val x = F.col(scoreCol).cast("double")
+    val tr = F.col(treatCol).cast("boolean")
+    val y = F.col(labelCol).cast("boolean")
+    val byV = df.filter(x.isNotNull && tr.isNotNull && y.isNotNull)
+      .groupBy(x.as("x"))
+      .agg(F.count(F.when(tr, 1)).as("t1"),
+        F.count(F.when(tr && y, 1)).as("p1"),
+        F.count(F.when(!tr, 1)).as("t0"),
+        F.count(F.when(!tr && y, 1)).as("p0"))
+      .withColumn("c1", F.col("t1") + F.col("t0"))
+      .withColumn("c2", F.lit(0L))
+    val (cum, n) = Drift.cdfFromCounts(byV)
+    cum.crossJoin(F.broadcast(n))
+      .withColumn("tile",
+        F.expr(s"(($cumDescSql - 1) * $tiles) div (n1 + n2) + 1"))
+      .groupBy("tile")
+      .agg(F.sum("t1").as("n_treated"), F.sum("p1").as("__p1"),
+        F.sum("t0").as("n_control"), F.sum("p0").as("__p0"))
   }
 
   /** Retrieval-quality metrics per query over a ranked candidate list —

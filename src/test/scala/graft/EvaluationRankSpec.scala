@@ -148,6 +148,31 @@ class EvaluationRankSpec extends SparkSpec {
     oa(1L).isNullAt(oa(1L).fieldIndex("uplift")) shouldBe true
   }
 
+  it("qini matches the hand trapezoid walk and reads ~0 for random targeting") {
+    // the planted-uplift fixture: q = 2 at both tiles -> area 1.5,
+    // random diagonal area 1, qini = (1.5 - 1)/4 treated = 0.125
+    val rows = Seq(
+      (4.0, true, true), (4.0, false, false),
+      (3.0, true, true), (3.0, false, false),
+      (2.0, true, false), (2.0, false, false),
+      (1.0, true, false), (1.0, false, false)).toDF("s", "t", "y")
+    val r = Evaluation.qini(rows, "s", "t", "y", tiles = 2).collect().head
+    r.getAs[Long]("n_treated") shouldBe 4L
+    r.getAs[Double]("q_final") shouldBe 2.0
+    r.getAs[Double]("qini") shouldBe 0.125 +- 1e-9
+    // uniform uplift (every score carries the full arm x outcome grid):
+    // the gain curve IS the diagonal, qini exactly 0
+    val unif = (for {
+      sc <- 1 to 4; t <- Seq(true, false); y <- Seq(true, false)
+    } yield (sc.toDouble, t, y)).toDF("s", "t", "y")
+    Evaluation.qini(unif, "s", "t", "y", tiles = 4)
+      .collect().head.getAs[Double]("qini") shouldBe 0.0 +- 1e-9
+    // an anti-ranker (persuadables ranked LAST) goes negative
+    val anti = rows.withColumn("s", -F.col("s"))
+    Evaluation.qini(anti, "s", "t", "y", tiles = 2)
+      .collect().head.getAs[Double]("qini") should be < 0.0
+  }
+
   it("aucCompare detects the better scorer with a paired z; identical scorers are NULL") {
     // A separates perfectly, B ranks backwards — the paired diff is 1
     val df = Seq(

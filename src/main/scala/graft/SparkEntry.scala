@@ -1545,6 +1545,12 @@ object SparkEntry {
       Evaluation.rocAucCi(
         t(s, dir, "documents").withColumn("is_en", F.col("lang") === "en"),
         "n_chars", "is_en")),
+    // Per-source language diversity: Shannon/Simpson/effective-count —
+    // the composition read before mixing weights are set ("does src_i
+    // behave like 5 languages or 1.2").
+    "q_diversity" -> ((s, dir) =>
+      Drift.diversityIndices(t(s, dir, "documents"), "source", "lang")
+        .orderBy("group")),
     // IPW ATE under a deterministic confound: English docs are treated
     // at 0.8 vs 0.3, the outcome is the length read — the Hájek
     // reweighting recovers the assignment-corrected arm means where the
@@ -5152,6 +5158,20 @@ object SparkEntry {
         "round(rc, 6) + 0.0 AS rate_control, round(rt - rc, 6) + 0.0 AS uplift, " +
         "round(CASE WHEN ct1 > 0 AND ct0 > 0 THEN CAST(cp1 AS DOUBLE) / ct1 - CAST(cp0 AS DOUBLE) / ct0 END, 6) + 0.0 AS cum_uplift " +
         "FROM z ORDER BY tile"),
+    // The count-weighted ln fold with n·ln n restored analytically (the
+    // q_ari trick); the Simpson square in DOUBLE as the operator does.
+    "q_diversity" ->
+      ("WITH c AS (SELECT source AS g, lang AS l, CAST(count(*) AS BIGINT) AS nc " +
+        "FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2), " +
+        "a AS (SELECT g, CAST(sum(nc) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k, " +
+        "sum(-CAST(nc AS DOUBLE) * ln(CAST(nc AS DOUBLE))) AS hp, " +
+        "sum(CAST(nc AS DOUBLE) * nc) AS ss FROM c GROUP BY 1), " +
+        "z AS (SELECT g, n, k, ln(CAST(n AS DOUBLE)) + hp / n AS h, " +
+        "ss / (CAST(n AS DOUBLE) * n) AS sim FROM a) " +
+        "SELECT g AS \"group\", n, k, round(h, 6) + 0.0 AS shannon, " +
+        "round(sim, 6) + 0.0 AS simpson, round(exp(h), 4) + 0.0 AS effective, " +
+        "round(CASE WHEN k > 1 THEN h / ln(CAST(k AS DOUBLE)) END, 6) + 0.0 AS evenness " +
+        "FROM z ORDER BY 1"),
     // The uplift cumulatives extended with the control-scaled gain, a
     // tiles-sized lag/trapezoid fold, and the random-diagonal subtract.
     "q_qini" ->

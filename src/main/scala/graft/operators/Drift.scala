@@ -269,6 +269,45 @@ object Drift {
         (F.abs(F.col("tt")) > 1.96).as("reject_95"))
   }
 
+  /** Per-group DIVERSITY INDICES of a categorical column — the
+    * corpus-composition read ("how language-diverse is each source",
+    * "how concentrated is each day's event mix"): Shannon entropy
+    * H = −Σ p ln p (nats), Simpson concentration λ = Σ p² (the
+    * probability two random rows share the category — 1/λ is the
+    * Hunter–Gaston diversity), the effective category count e^H (Hill
+    * number q=1: "this mix behaves like N equally-common categories"),
+    * and Pielou evenness H/ln k. One (group × category) count scan;
+    * p-ratios are exact-BIGINT divisions and the Σ folds are bounded by
+    * the category vocabulary (round-snap class). Evenness is NULL for a
+    * single-category group (ln 1 = 0 — undefined, not perfect).
+    * Output: one row per group — (group, n, k, shannon, simpson,
+    * effective, evenness), round 6 / effective round 4. */
+  def diversityIndices(df: DataFrame, groupCol: String,
+                       catCol: String): DataFrame =
+    df.filter(F.col(groupCol).isNotNull && F.col(catCol).isNotNull)
+      .groupBy(F.col(groupCol).as("group"), F.col(catCol).as("__c"))
+      .agg(F.count(F.lit(1)).as("__nc"))
+      .groupBy("group")
+      .agg(F.sum("__nc").as("n"), F.count(F.lit(1)).as("k"),
+        // count-weighted ln fold with the n·ln n term restored after:
+        // H = ln n + (−Σ nc·ln nc)/n, exactly the clusterAgreement trick
+        F.sum(-(F.col("__nc").cast("double"))
+          * F.log(F.col("__nc").cast("double"))).as("__hp"),
+        // square in DOUBLE: an integer nc² passes 2^63 at corpus scale
+        // and would wrap silently where the double merely rounds
+        F.sum(F.col("__nc").cast("double") * F.col("__nc")).as("__ss"))
+      .withColumn("__h", F.log(F.col("n").cast("double"))
+        + F.col("__hp") / F.col("n"))
+      .withColumn("__sim", F.col("__ss")
+        / (F.col("n").cast("double") * F.col("n")))
+      .select(F.col("group"), F.col("n"), F.col("k"),
+        (F.round(F.col("__h"), 6) + F.lit(0.0)).as("shannon"),
+        (F.round(F.col("__sim"), 6) + F.lit(0.0)).as("simpson"),
+        (F.round(F.exp(F.col("__h")), 4) + F.lit(0.0)).as("effective"),
+        (F.round(F.when(F.col("k") > 1,
+          F.col("__h") / F.log(F.col("k").cast("double"))), 6)
+          + F.lit(0.0)).as("evenness"))
+
   /** INVERSE-PROPENSITY-WEIGHTED ATE (Horvitz–Thompson 1952 weights,
     * Hájek ratio form) — the third leg of the causal set: [[cuped]]
     * reduces variance under randomization, [[diffInDiff]] cancels fixed

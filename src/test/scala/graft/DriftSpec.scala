@@ -361,6 +361,29 @@ class DriftSpec extends SparkSpec {
       .collect() shouldBe empty
   }
 
+  // ---- diversityIndices -----------------------------------------------
+
+  it("diversityIndices matches the hand entropy/Simpson numbers per group") {
+    // gU: 4 equally-common cats -> H = ln 4, simpson .25, effective 4,
+    // evenness 1; gS: one cat -> H 0, simpson 1, evenness NULL;
+    // gM: (3,1)/4 -> H = ln4 - (3 ln3)/4, simpson = 10/16
+    val rows = (1 to 4).map(i => ("gU", s"c$i")) ++
+      Seq.fill(5)(("gS", "only")) ++
+      (Seq.fill(3)(("gM", "a")) ++ Seq(("gM", "b")))
+    val out = Drift.diversityIndices(rows.toDF("g", "c"), "g", "c")
+      .collect().map(r => r.getString(0) -> r).toMap
+    out("gU").getAs[Double]("shannon") shouldBe math.log(4.0) +- 1e-6
+    out("gU").getAs[Double]("simpson") shouldBe 0.25
+    out("gU").getAs[Double]("effective") shouldBe 4.0 +- 1e-3
+    out("gU").getAs[Double]("evenness") shouldBe 1.0 +- 1e-6
+    out("gS").getAs[Double]("shannon") shouldBe 0.0
+    out("gS").getAs[Double]("simpson") shouldBe 1.0
+    out("gS").isNullAt(out("gS").fieldIndex("evenness")) shouldBe true
+    val hM = math.log(4.0) - 3.0 * math.log(3.0) / 4.0
+    out("gM").getAs[Double]("shannon") shouldBe hM +- 1e-6
+    out("gM").getAs[Double]("simpson") shouldBe 0.625
+  }
+
   // ---- ipwAte ---------------------------------------------------------
 
   it("ipwAte undoes a planted confound exactly; constant propensity reduces to the naive diff") {

@@ -3841,9 +3841,10 @@ object SparkEntry {
       "FROM ranked r JOIN q qq2 ON qq2.qid = r.qid JOIN c cc2 ON cc2.cid = r.cid WHERE r.rn <= 10), " +
       "perq AS (SELECT qid, CAST(sum(hit) AS BIGINT) AS hits, min(CASE WHEN hit = 1 THEN rn END) AS first_hit, " +
       "sum(CASE WHEN hit = 1 THEN 1.0 / log2(rn + 1.0) ELSE 0.0 END) AS dcg FROM top GROUP BY qid), " +
-      "j AS (SELECT p.qid, coalesce(n.n_rel, 0) AS n_rel, p.hits, p.first_hit, p.dcg, " +
+      "j AS (SELECT coalesce(p.qid, n.qid) AS qid, coalesce(n.n_rel, 0) AS n_rel, " +
+      "coalesce(p.hits, 0) AS hits, p.first_hit, coalesce(p.dcg, 0.0) AS dcg, " +
       "list_sum(list_transform(range(1, CAST(least(10, coalesce(n.n_rel, 0)) AS BIGINT) + 1), i -> 1.0 / log2(i + 1.0))) AS ideal " +
-      "FROM perq p LEFT JOIN nrel n ON n.qid = p.qid) " +
+      "FROM perq p FULL OUTER JOIN nrel n ON n.qid = p.qid) " +
       "SELECT qid, n_rel, hits, round(CAST(hits AS DOUBLE) / 10, 6) + 0.0 AS precision_at_k, " +
       "round(CASE WHEN n_rel > 0 THEN CAST(hits AS DOUBLE) / n_rel END, 6) + 0.0 AS recall_at_k, " +
       "round(coalesce(1.0 / first_hit, 0.0), 6) + 0.0 AS mrr, " +
@@ -5196,7 +5197,8 @@ object SparkEntry {
         "qq AS (SELECT tile, ct1, ct0, " +
         "CASE WHEN ct0 > 0 THEN CAST(cp1 AS DOUBLE) - CAST(cp0 AS DOUBLE) * ct1 / ct0 END AS q, " +
         "CAST(ct1 + ct0 AS DOUBLE) / n AS frac FROM cu, nn), " +
-        "tr2 AS (SELECT tile, q, frac, coalesce(lag(q) OVER (ORDER BY tile), 0.0) AS pq, " +
+        "tr2 AS (SELECT tile, q, frac, coalesce(last_value(q IGNORE NULLS) " +
+        "OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS pq, " +
         "coalesce(lag(frac) OVER (ORDER BY tile), 0.0) AS pf FROM qq), " +
         "ar AS (SELECT sum((q + pq) / 2.0 * (frac - pf)) AS area FROM tr2), " +
         "lf AS (SELECT ct1 AS n_treated, ct0 AS n_control, q AS qfinal FROM qq ORDER BY tile DESC LIMIT 1) " +

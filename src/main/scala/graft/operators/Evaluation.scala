@@ -559,8 +559,17 @@ object Evaluation {
     * ~0 means the targeting is no better than random (the honest null
     * read), negative means it ranks sure-things/lost-causes first. One
     * ≤`tiles`-row fold over the uplift tiles (the BH family-size
-    * class); NULL when either arm is empty overall. Output: one row —
-    * (n_treated, n_control, q_final, qini), round 6. */
+    * class); NULL when either arm is empty overall.
+    *
+    * Degenerate leading tiles: a tile whose CUMULATIVE control count is
+    * still zero has undefined incremental gain (NULL q) — its segment
+    * is EXCLUDED from the area (no gain estimate exists there), and the
+    * first defined segment's left edge carries the last defined gain
+    * forward (last_value ignore-nulls; 0 when none exists — cumulative
+    * control counts are monotone, so NULL q can only be a leading
+    * prefix and the carried value is then the 0-at-depth-0 origin).
+    * Output: one row — (n_treated, n_control, q_final, qini),
+    * round 6. */
   def qini(df: DataFrame, scoreCol: String, treatCol: String,
            labelCol: String, tiles: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -586,9 +595,14 @@ object Evaluation {
     val qf = last.filter(F.col("__rn") === 1)
       .select(F.col("__ct1").as("n_treated"), F.col("__ct0").as("n_control"),
         F.col("__q").as("__qfinal"))
+    // left edge = last DEFINED gain, not lag: a bare lag(__q) would read
+    // a leading control-free tile's NULL and zero the next segment's
+    // edge even when a defined gain precedes it (ADVICE r14)
+    val wPrev = Window.orderBy("tile")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val area = base
       .withColumn("__prevQ", F.coalesce(
-        F.lag("__q", 1).over(Window.orderBy("tile")), F.lit(0.0)))
+        F.last("__q", ignoreNulls = true).over(wPrev), F.lit(0.0)))
       .withColumn("__prevF", F.coalesce(
         F.lag("__frac", 1).over(Window.orderBy("tile")), F.lit(0.0)))
       .agg(F.sum((F.col("__q") + F.col("__prevQ")) / 2.0
@@ -647,8 +661,14 @@ object Evaluation {
     * on qid, the serve partitioning. The log₂ folds are over ≤k hits per
     * query (bounded, in-row via the ideal-DCG closed sequence). Queries
     * with NO relevant items report NULL recall/ndcg (undefined, not 0).
-    * Output: one row per qid — (qid, n_rel, hits, precision_at_k,
-    * recall_at_k, mrr, ndcg), round 6. */
+    *
+    * The qid universe is the UNION of both sides (full-outer on qid): a
+    * query present in `truth` that the index returned NOTHING for (or
+    * no rows at rn ≤ k) still reports a row — hits 0, precision 0,
+    * mrr 0, recall/ndcg 0 when n_rel > 0 — so a broken index cannot
+    * silently inflate the macro means by dropping its failures
+    * (ADVICE r14). Output: one row per qid — (qid, n_rel, hits,
+    * precision_at_k, recall_at_k, mrr, ndcg), round 6. */
   def retrievalEval(ranked: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     require(k > 0, "cutoff k must be positive")
     val rel = truth.select(F.col("qid"), F.col("cid"))
@@ -663,8 +683,12 @@ object Evaluation {
       F.sum(F.when(F.col("__hit") === 1,
         F.lit(1.0) / F.log2(F.col("rn").cast("double") + 1.0))
         .otherwise(F.lit(0.0))).as("__dcg"))
-    perQ.join(nRel, Seq("qid"), "left")
+    perQ.join(nRel, Seq("qid"), "full_outer")
       .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0L)))
+      // a truth-only query retrieved nothing: zero hits and zero DCG
+      // (its __first stays NULL, so mrr coalesces to 0 below)
+      .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0L)))
+      .withColumn("__dcg", F.coalesce(F.col("__dcg"), F.lit(0.0)))
       .withColumn("__ideal", F.aggregate(
         F.sequence(F.lit(1L), F.least(F.lit(k.toLong), F.col("n_rel"))),
         F.lit(0.0),
@@ -683,7 +707,9 @@ object Evaluation {
   /** [[retrievalEval]] folded to the corpus read: the macro (unweighted
     * per-query) mean of each metric — every query votes equally, the
     * convention that stops one easy high-n_rel query from hiding broken
-    * tail queries. Queries with no relevant items are EXCLUDED from the
+    * tail queries — and the per-query board's full-outer qid universe
+    * means zero-result queries vote their zeros here instead of
+    * vanishing. Queries with no relevant items are EXCLUDED from the
     * recall/ndcg means (their per-query value is NULL) but still count
     * in n_queries. Output: one row — (n_queries, macro_precision,
     * macro_recall, macro_mrr, macro_ndcg), round 6. */
@@ -792,17 +818,54 @@ object Evaluation {
     * Output: one row per distinct score — (x, n, rate, iso_rate),
     * iso_rate nondecreasing in x. */
   def isotonicCalibration(df: DataFrame, scoreCol: String,
-                          labelCol: String): DataFrame =
-    isotonicFromCounts(binaryScoreCounts(df, scoreCol, labelCol))
+                          labelCol: String,
+                          maxDistinctScores: Int = 100000): DataFrame =
+    isotonicFromCounts(binaryScoreCounts(df, scoreCol, labelCol),
+      maxDistinctScores)
+
+  /** [[isotonicCalibration]] with the score PRE-ROUNDED to `decimals`
+    * decimal places (HALF_UP, the F.round contract) before counting —
+    * the documented escape hatch for a CONTINUOUS-scored corpus, where
+    * the raw distinct-score axis is data-sized and would trip
+    * [[isotonicFromCounts]]'s guard. The fit is then over the 10^decimals
+    * + 1 grid (probabilities in [0, 1] → ≤ 10^decimals + 1 rows), and an
+    * oracle mirroring it must round the score IDENTICALLY before its own
+    * PAVA. */
+  def isotonicCalibrationGridded(df: DataFrame, scoreCol: String,
+                                 labelCol: String,
+                                 decimals: Int = 4): DataFrame = {
+    val x = F.col(scoreCol).cast("double")
+    val y = F.col(labelCol).cast("boolean")
+    isotonicFromCounts(df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(F.round(x, decimals).as("x"))
+      .agg(F.count(F.when(y, 1)).as("c1"),
+        F.count(F.when(!y, 1)).as("c2")))
+  }
 
   /** [[isotonicCalibration]] over a pre-aggregated (x, c1, c2) count
-    * frame — the streaming re-entry point. */
-  def isotonicFromCounts(byV: DataFrame): DataFrame = {
+    * frame — the streaming re-entry point.
+    *
+    * GUARD (r14 verdict #4): the PAVA stack fold collects ONE ROW PER
+    * DISTINCT SCORE to the driver — sound only when the score axis is a
+    * vocabulary (rounded probabilities, bounded features), never the
+    * corpus. A continuous-scored input at scale would make the collect
+    * data-sized, so the fold REFUSES (fails loudly, before
+    * materializing more than the cap) past `maxDistinctScores` rather
+    * than OOM-ing the driver; pre-round such scores to a documented
+    * grid first ([[isotonicCalibrationGridded]]). */
+  def isotonicFromCounts(byV: DataFrame,
+                         maxDistinctScores: Int = 100000): DataFrame = {
     val spark = byV.sparkSession
+    require(maxDistinctScores > 0, "maxDistinctScores must be positive")
     val rows = byV
       .select(F.col("x").cast("double"),
         F.col("c1").cast("long"), (F.col("c1") + F.col("c2")).cast("long"))
-      .orderBy("x").collect()
+      .orderBy("x").limit(maxDistinctScores + 1).collect()
+    require(rows.length <= maxDistinctScores,
+      s"isotonic: > $maxDistinctScores distinct scores — the PAVA driver " +
+        "fold is bounded by the score vocabulary; pre-round a continuous " +
+        "score to a grid (isotonicCalibrationGridded) or raise the cap " +
+        "deliberately")
     final class Block(var sy: Long, var sn: Long, var cnt: Int)
     val st = new scala.collection.mutable.ArrayBuffer[Block]()
     rows.foreach { r =>

@@ -444,4 +444,64 @@ class EvaluationRankSpec extends SparkSpec {
     r.getAs[Double]("recall_at_k") shouldBe 1.0
     r.getAs[Double]("precision_at_k") shouldBe 0.333333 +- 1e-6
   }
+
+  it("a truth-only query the index returned NOTHING for reports zeros, not a missing row") {
+    // qid 2 has relevant items but no ranked rows: a broken index must
+    // not inflate the macro means by dropping its failures (ADVICE r14)
+    val ranked = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("qid", "cid", "rn")
+    val truth = Seq((1L, 10L), (2L, 30L), (2L, 40L)).toDF("qid", "cid")
+    val out = Evaluation.retrievalEval(ranked, truth, 2).collect()
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    val q2 = out(2L)
+    q2.getAs[Long]("n_rel") shouldBe 2L
+    q2.getAs[Long]("hits") shouldBe 0L
+    q2.getAs[Double]("precision_at_k") shouldBe 0.0
+    q2.getAs[Double]("recall_at_k") shouldBe 0.0
+    q2.getAs[Double]("mrr") shouldBe 0.0
+    q2.getAs[Double]("ndcg") shouldBe 0.0
+    // the macro board counts it AND averages its zeros in
+    val m = Evaluation.retrievalEvalMacro(ranked, truth, 2).collect().head
+    m.getAs[Long]("n_queries") shouldBe 2L
+    m.getAs[Double]("macro_recall") shouldBe 0.5 +- 1e-9 // (1.0 + 0.0) / 2
+    m.getAs[Double]("macro_mrr") shouldBe 0.5 +- 1e-9
+  }
+
+  it("qini excludes leading control-free tiles from the area and carries the origin forward") {
+    // tile 1 is treated-only (cumulative control 0 -> q undefined): its
+    // segment drops from the area; tile 2's left edge carries the last
+    // DEFINED gain (none -> the 0 origin). Hand walk: tile2 q = 1,
+    // frac1 = 1/3, area = (1+0)/2 * (1 - 1/3) = 1/3, qini =
+    // (1/3 - 1/2) / 4 = -1/24
+    val rows = Seq(
+      (4.0, true, true), (3.0, true, false),
+      (2.0, true, false), (2.0, false, false),
+      (1.0, true, false), (1.0, false, false)).toDF("s", "t", "y")
+    val r = Evaluation.qini(rows, "s", "t", "y", tiles = 2).collect().head
+    r.getAs[Long]("n_treated") shouldBe 4L
+    r.getAs[Long]("n_control") shouldBe 2L
+    r.getAs[Double]("q_final") shouldBe 1.0
+    r.getAs[Double]("qini") shouldBe -0.041667 +- 1e-6
+  }
+
+  it("the PAVA driver fold refuses a data-sized score axis; the gridded variant tames it") {
+    // 12 distinct continuous scores against a cap of 10: fail LOUDLY
+    // before the driver materializes an unbounded axis
+    val cont = (1 to 12).map(i => (i / 12.345, i % 3 == 0)).toDF("s", "y")
+    val e = intercept[IllegalArgumentException] {
+      Evaluation.isotonicCalibration(cont, "s", "y", maxDistinctScores = 10)
+        .collect()
+    }
+    e.getMessage should include("distinct scores")
+    // pre-rounding to 1 decimal collapses the axis under the cap and
+    // the fit is the PAVA of the ROUNDED counts (monotone by
+    // construction)
+    val fit = Evaluation.isotonicCalibrationGridded(cont, "s", "y", decimals = 1)
+      .orderBy("x").collect()
+    fit.length should be <= 11
+    fit.map(_.getAs[Double]("iso_rate")).sliding(2).foreach {
+      case Array(a, b) => a should be <= b
+      case _ => ()
+    }
+  }
 }

@@ -204,9 +204,10 @@ class PlanSpec extends SparkSpec {
     // bounded-heap collect_top_k -> partial ObjectHashAggregate before the
     // qid exchange (the shortlist scales with k, not candidates)
     p should include("ObjectHashAggregate")
-    // exactly one broadcast: the <=10 query rows; the corpus side must
-    // stay partitioned (an O(N) corpus broadcast OOMs at scale)
-    p.split("\n").count(_.contains("BroadcastExchange")) shouldBe 1
+    // at most one broadcast: the <=10 query rows; the corpus side must
+    // stay partitioned (an O(N) corpus broadcast OOMs at scale) — an
+    // upper bound so a planner that drops the exchange doesn't fail
+    p.split("\n").count(_.contains("BroadcastExchange")) should be <= 1
     p should not include "CartesianProduct"
   }
 
@@ -461,10 +462,13 @@ class PlanSpec extends SparkSpec {
   it("q_kendall's pair kernel is ONE bounded broadcast nested loop plus 1-row scalar attaches") {
     val p = plan("q_kendall")
     p should not include "CartesianProduct"
-    // 4 BNLs total: the cells x cells pair kernel (vocabulary-bounded)
-    // plus the three 1-row scalar frames (n / tx / ty) attached by
-    // broadcast — the documented scalar-crossJoin pattern
-    p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) shouldBe 4
+    // ≤ 4 BNLs: the cells x cells pair kernel (vocabulary-bounded)
+    // plus up to three 1-row scalar frames (n / tx / ty) attached by
+    // broadcast — an UPPER bound, not an exact count (ADVICE r14: a
+    // planner that fuses a scalar attach must not fail the pin; the
+    // disallowed shape is a cartesian or a data-sized loop, asserted
+    // separately)
+    p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) should be <= 4
   }
 
   it("q_vocab_overlap intersects by TERM equi-join; q_ipw_ate is one combinable aggregate") {
@@ -552,16 +556,19 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_top_paths")
     val wins = p.split("\n").filter(_.contains("windowspecdefinition"))
     wins should not be empty
-    // exactly one window line has no user partition: the rank over path
-    // counts (bounded by |types|^depth, a type-space constant)
-    wins.count(l => !l.contains("u#")) shouldBe 1
+    // at most one window line has no user partition: the rank over path
+    // counts (bounded by |types|^depth, a type-space constant) — an
+    // upper bound per the ADVICE-r14 brittleness rule
+    wins.count(l => !l.contains("u#")) should be <= 1
   }
 
   it("q_intrinsic_dim's quadratic kernel is ONE broadcast nested loop — queries broadcast, candidates spread") {
     val p = plan("q_intrinsic_dim")
     p should include("BroadcastNestedLoopJoin")
     p should not include "CartesianProduct"
-    p.split("\n").count(_.contains("BroadcastExchange")) shouldBe 1
+    // upper bound (ADVICE-r14): queries broadcast once at most; the
+    // corpus side must never be a build side
+    p.split("\n").count(_.contains("BroadcastExchange")) should be <= 1
   }
 
   it("q_intrinsic_dim_ann's kernel is SUB-quadratic: no nested loop, no cartesian, cell join is shuffle-merge") {
@@ -605,9 +612,10 @@ class PlanSpec extends SparkSpec {
     p.split("\n").count(l => l.contains("HashAggregate") &&
       l.contains("partial_sum")) should be >= 1
     p should not include "CartesianProduct"
-    // exactly one BNLJ: the 1-row (n, total) scalar broadcast onto the
-    // 1-row percentile frame — never a data-sized side
-    p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) shouldBe 1
+    // at most one BNLJ: the 1-row (n, total) scalar broadcast onto the
+    // 1-row percentile frame — never a data-sized side (upper bound,
+    // the ADVICE-r14 brittleness rule)
+    p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) should be <= 1
     p should not include "windowspecdefinition"
   }
 

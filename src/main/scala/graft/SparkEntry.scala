@@ -216,6 +216,27 @@ object SparkEntry {
         (F.col("user_id") % 2).as("cohort"))
   }
 
+  /** [[cohortSubjects]] with TWO binary covariates for the adjusted
+    * Cox fit: x1 = the mod-2 cohort, x2 = (user_id % 3 == 0) — jointly
+    * independent null flags (all four patterns occur), so both adjusted
+    * hazard ratios should sit near 1 and the rows prove the algebra. */
+  private def cohortSubjectsMulti(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+    val seen = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
+    val f = seen.groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("f0"))
+    val p = seen.filter(F.col("event_type") === "purchase")
+      .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("p0"))
+    f.join(p, Seq("user_id"), "left").crossJoin(F.broadcast(cut))
+      .select(
+        F.when(F.col("p0").isNotNull,
+            F.datediff(F.to_date(F.col("p0")), F.to_date(F.col("f0"))))
+          .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
+        F.col("p0").isNotNull.cast("int").as("obs"),
+        (F.col("user_id") % 2).as("x1"),
+        (F.col("user_id") % 3 === 0).cast("long").as("x2"))
+  }
+
   /** [[cohortSubjects]] with a stratification key alongside (user_id
     * mod 3 — independent of the mod-2 cohort, all six combinations
     * occur), for the stratified log-rank fixture. */
@@ -1191,6 +1212,16 @@ object SparkEntry {
     // the log-rank test, so the two rows must agree on this fixture.
     "q_coxph" -> ((s, dir) => {
       Survival.coxPh(cohortSubjects(s, dir), "dur", "obs", "cohort")
+    }),
+    // The adjusted fit: both binary flags in ONE partial likelihood —
+    // does the cohort effect survive adjusting for the mod-3 flag. The
+    // 2^2 covariate patterns ride the logRank risk-set scaffold one
+    // dimension wider; Newton solves per step by 2x2 Cramer written
+    // term-for-term (each beta component 9-snapped), so the whole
+    // iteration unrolls into oracle CTEs like q_coxph's.
+    "q_coxph_multi" -> ((s, dir) => {
+      Survival.coxPhMulti(cohortSubjectsMulti(s, dir), "dur", "obs",
+        Seq("x1", "x2")).orderBy("covariate")
     }),
     // Harrell's C for the same binary risk score (cohort 1 vs 0, the
     // coxph x = 1 coding): discrimination, the third read of the
@@ -4186,6 +4217,84 @@ object SparkEntry {
       s"FROM sfin, b$steps, tot2 WHERE rn = 1"
   }
 
+  /** Two-binary-covariate Breslow Cox-PH mirror ([[Survival.coxPhMulti]]
+    * on the [[cohortSubjectsMulti]] design): per-(t, pattern) counts
+    * with pattern k = 2·x1 + x2, per-pattern risk sets off the shared
+    * cumulative window, then the Newton iteration unrolled into CTEs —
+    * per step the five ordered window sums (U1, U2, I11, I12, I22) over
+    * EXACTLY the term shapes the driver fold writes (pattern terms added
+    * in ascending k, left-associated; dt·S1/S0 with the product before
+    * the division), then a 2×2 Cramer step with each β 9-snapped. Final
+    * row recomputes the information at β̂ for the per-covariate se. */
+  private def coxMultiSql(steps: Int): String = {
+    // shared per-step expression fragments over ev2 × the prior betas
+    val s0 = "(CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * exp(b2) " +
+      "+ CAST(n2 AS DOUBLE) * exp(b1) + CAST(n3 AS DOUBLE) * exp(b1 + b2))"
+    val s11 = "(CAST(n2 AS DOUBLE) * exp(b1) + CAST(n3 AS DOUBLE) * exp(b1 + b2))"
+    val s12 = "(CAST(n1 AS DOUBLE) * exp(b2) + CAST(n3 AS DOUBLE) * exp(b1 + b2))"
+    val s212 = "(CAST(n3 AS DOUBLE) * exp(b1 + b2))"
+    val u1t = s"CAST(dx1 AS DOUBLE) - CAST(dt AS DOUBLE) * $s11 / $s0"
+    val u2t = s"CAST(dx2 AS DOUBLE) - CAST(dt AS DOUBLE) * $s12 / $s0"
+    val i11t = s"CAST(dt AS DOUBLE) * ($s11 / $s0 - ($s11 / $s0) * ($s11 / $s0))"
+    val i12t = s"CAST(dt AS DOUBLE) * ($s212 / $s0 - ($s11 / $s0) * ($s12 / $s0))"
+    val i22t = s"CAST(dt AS DOUBLE) * ($s12 / $s0 - ($s12 / $s0) * ($s12 / $s0))"
+    def pass(name: String, prevB: String): String =
+      s"$name AS (SELECT sum($u1t) OVER w AS u1, sum($u2t) OVER w AS u2, " +
+        s"sum($i11t) OVER w AS i11, sum($i12t) OVER w AS i12, sum($i22t) OVER w AS i22, " +
+        "row_number() OVER (ORDER BY t DESC) AS rn " +
+        s"FROM ev2, $prevB WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING))"
+    val stepCtes = (1 to steps).map { k =>
+      pass(s"s$k", s"b${k - 1}") + ", " +
+        s"b$k AS (SELECT " +
+        "CASE WHEN i11 * i22 - i12 * i12 > 0 THEN round(b1 + (u1 * i22 - u2 * i12) / (i11 * i22 - i12 * i12), 9) ELSE b1 END AS b1, " +
+        "CASE WHEN i11 * i22 - i12 * i12 > 0 THEN round(b2 + (i11 * u2 - i12 * u1) / (i11 * i22 - i12 * i12), 9) ELSE b2 END AS b2 " +
+        s"FROM s$k, b${k - 1} WHERE rn = 1)"
+    }.mkString(", ")
+    def kSum(col: String, k: Int): String =
+      s"CAST(sum(CASE WHEN k = $k THEN $col ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+    "WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
+      "f AS (SELECT user_id, min(ts) AS f0 FROM events, cut WHERE ts <= c GROUP BY 1), " +
+      "p AS (SELECT user_id, min(ts) AS p0 FROM events, cut " +
+      "WHERE event_type = 'purchase' AND ts <= c GROUP BY 1), " +
+      "subj AS (SELECT 2 * (f.user_id % 2) + CASE WHEN f.user_id % 3 = 0 THEN 1 ELSE 0 END AS k, " +
+      "CASE WHEN p0 IS NOT NULL THEN date_diff('day', CAST(f0 AS DATE), CAST(p0 AS DATE)) " +
+      "ELSE date_diff('day', CAST(f0 AS DATE), CAST(c AS DATE)) END AS t0, " +
+      "CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS obs " +
+      "FROM f LEFT JOIN p ON p.user_id = f.user_id, cut), " +
+      "bytp AS (SELECT CAST(t0 AS BIGINT) AS t, k, CAST(sum(obs) AS BIGINT) AS d, " +
+      "CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY 1, 2), " +
+      "pert AS (SELECT t, " +
+      (0 to 3).map(k => kSum("d", k) + s" AS d$k, " + kSum("c", k) + s" AS c$k")
+        .mkString(", ") + " FROM bytp GROUP BY 1), " +
+      "tot AS (SELECT " +
+      (0 to 3).map(k => s"CAST(sum(c$k) AS BIGINT) AS nn$k").mkString(", ") +
+      " FROM pert), " +
+      "rr AS (SELECT t, d0, d1, d2, d3, " +
+      (0 to 3).map(k => s"CAST(nn$k - sum(c$k) OVER w + c$k AS BIGINT) AS n$k")
+        .mkString(", ") + ", nn0, nn1, nn2, nn3 " +
+      "FROM pert, tot WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)), " +
+      "ev2 AS (SELECT t, d0 + d1 + d2 + d3 AS dt, d2 + d3 AS dx1, d1 + d3 AS dx2, " +
+      "n0, n1, n2, n3 FROM rr WHERE d0 + d1 + d2 + d3 > 0), " +
+      "tot2 AS (SELECT CAST(max(nn0) + max(nn1) + max(nn2) + max(nn3) AS BIGINT) AS n, " +
+      "CAST(sum(d0 + d1 + d2 + d3) AS BIGINT) AS d_total FROM rr WHERE d0 + d1 + d2 + d3 > 0), " +
+      "b0 AS (SELECT CAST(0 AS DOUBLE) AS b1, CAST(0 AS DOUBLE) AS b2), " +
+      stepCtes + ", " +
+      pass("sfin", s"b$steps") + ", " +
+      s"fin AS (SELECT b1, b2, i11, i12, i22, i11 * i22 - i12 * i12 AS dd FROM sfin, b$steps WHERE rn = 1) " +
+      "SELECT 'x1' AS covariate, n, d_total, " +
+      "CASE WHEN dd > 0 THEN round(b1, 6) + 0.0 END AS beta, " +
+      "CASE WHEN dd > 0 THEN round(exp(b1), 6) + 0.0 END AS hr, " +
+      "CASE WHEN dd > 0 THEN round(sqrt(i22 / dd), 6) + 0.0 END AS se, " +
+      "CASE WHEN dd > 0 THEN (b1 / sqrt(i22 / dd)) * (b1 / sqrt(i22 / dd)) > CAST(3.841459 AS DOUBLE) END AS reject_95 " +
+      "FROM fin, tot2 " +
+      "UNION ALL SELECT 'x2' AS covariate, n, d_total, " +
+      "CASE WHEN dd > 0 THEN round(b2, 6) + 0.0 END AS beta, " +
+      "CASE WHEN dd > 0 THEN round(exp(b2), 6) + 0.0 END AS hr, " +
+      "CASE WHEN dd > 0 THEN round(sqrt(i11 / dd), 6) + 0.0 END AS se, " +
+      "CASE WHEN dd > 0 THEN (b2 / sqrt(i11 / dd)) * (b2 / sqrt(i11 / dd)) > CAST(3.841459 AS DOUBLE) END AS reject_95 " +
+      "FROM fin, tot2 ORDER BY covariate"
+  }
+
   /** TwoNN Pareto-MLE tail over a `(qid, cid, qv, cv)` pairs CTE named
     * `pairsName`: exact per-pair squared euclidean, per-query two
     * smallest (ties by cid — the bounded-heap struct-min's order), then
@@ -5855,6 +5964,10 @@ object SparkEntry {
     // steps, each an ordered score/information window pass + a 9-snapped
     // β update; final pass recomputes I(β̂) for the se and Wald test.
     "q_coxph" -> (cohortSurvCtes + coxTailSql(steps = 4)),
+    // The 2-covariate Breslow fit: pattern-pivoted risk sets, the
+    // 5-sum score/information passes, and the 2x2 Cramer Newton steps
+    // unrolled — every term shape written exactly as the driver fold.
+    "q_coxph_multi" -> coxMultiSql(steps = 4),
     // Pair counts folded over the same evr risk-set frame: concordant =
     // gb-event × ga-longer, ties (same-score pairs) half-credited by
     // carrying 2× the numerator — all BIGINT until the final division.

@@ -730,4 +730,211 @@ object Survival {
       } else org.apache.spark.sql.Row(nA, nB, dTotal, null, null, null, null)
     spark.createDataFrame(java.util.Arrays.asList(row), outSchema)
   }
+
+  /** MULTI-COVARIATE Cox proportional hazards (Cox 1972, Breslow ties)
+    * over 1–3 BINARY covariates — the adjusted-hazard-ratio read
+    * [[coxPh]] stops short of: "does the cohort effect survive adjusting
+    * for the other flags". With binary covariates the risk-set state
+    * collapses to the 2^p covariate PATTERNS, so the whole fit needs
+    * only per-(event time, pattern) counts — the [[logRank]] scaffold
+    * keyed one dimension wider, never per-subject state:
+    *
+    *   S0(t)    = Σ_k n_k(t)·e^{βᵀx_k}
+    *   S1_i(t)  = Σ_{k: x_i=1} n_k(t)·e^{βᵀx_k}
+    *   S2_ij(t) = Σ_{k: x_i=x_j=1} n_k(t)·e^{βᵀx_k}   (binary: x² = x)
+    *   U_i = Σ_t [dx_i(t) − d(t)·S1_i/S0]
+    *   I_ij = Σ_t d(t)·[S2_ij/S0 − (S1_i/S0)(S1_j/S0)]
+    *
+    * Newton from β = 0, a FIXED number of steps, each solved by
+    * CRAMER'S RULE written term-for-term (p ≤ 3 → at most a 3×3
+    * determinant expansion — a fixed IEEE shape both engines replay, no
+    * pivoting-order ambiguity) and each β component 9-snapped per step
+    * (BigDecimal HALF_UP), so the iteration unrolls into oracle CTEs
+    * exactly as [[coxPh]]'s does. Per-step sums accumulate as ordered
+    * left-associated folds over the duration axis with the pattern
+    * terms added in ascending pattern order — bit-identical to the
+    * mirror's ordered window sums over the same written shapes. The
+    * collected axis is (event times) rows of 2^p bounded columns — the
+    * days-sized bounded collect, nothing data-sized leaves the cluster.
+    *
+    * Covariates must be 0/1 (a non-binary value fails loudly — the
+    * pattern space IS the boundedness argument). Pattern index: the
+    * FIRST covariate is the high bit (p = 2: k = 2·x₁ + x₂). se_i =
+    * √(cofactor_ii/det), the inverse-information diagonal; reject_95
+    * is the per-covariate Wald χ²₁ test. All-NULL estimates when the
+    * information matrix degenerates (det ≤ 0 at β = 0 — e.g. a
+    * constant covariate); EMPTY when there are no event times.
+    * Output: one row per covariate, in `covCols` order —
+    * (covariate, n, d_total, beta, hr, se, reject_95), β/hr/se
+    * round 6. */
+  def coxPhMulti(subjects: DataFrame, durCol: String, obsCol: String,
+                 covCols: Seq[String], steps: Int = 4): DataFrame = {
+    require(covCols.nonEmpty && covCols.size <= 3,
+      "coxPhMulti fits 1-3 binary covariates (Cramer solve is written per arity)")
+    val p = covCols.size
+    val kPats = 1 << p
+    val spark = subjects.sparkSession
+    val xs = covCols.map(c => F.col(c).cast("long"))
+    val isBin = xs.map(x => x === 0L || x === 1L).reduce(_ && _)
+    // non-binary covariate values land in pattern -1 and trip the guard
+    // AFTER aggregation (one job, no extra validation pass)
+    val patt = F.when(isBin,
+      xs.zipWithIndex.map { case (x, i) => x * (1L << (p - 1 - i)) }
+        .reduce(_ + _)).otherwise(F.lit(-1L))
+    val notNull = (F.col(durCol).isNotNull && F.col(obsCol).isNotNull) &&
+      covCols.map(F.col(_).isNotNull).reduce(_ && _)
+    val byTP = subjects.filter(notNull)
+      .groupBy(F.col(durCol).cast("long").as("t"), patt.as("k"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c"))
+    val perTAggs = (0 until kPats).flatMap { k =>
+      Seq(F.sum(F.when(F.col("k") === k, F.col("d")).otherwise(F.lit(0L))).as(s"d$k"),
+        F.sum(F.when(F.col("k") === k, F.col("c")).otherwise(F.lit(0L))).as(s"c$k"))
+    } :+ F.sum(F.when(F.col("k") === -1L, F.col("c")).otherwise(F.lit(0L))).as("bad")
+    val perT = byTP.groupBy("t").agg(perTAggs.head, perTAggs.tail: _*)
+    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totAggs = (0 until kPats).map(k => F.sum(F.col(s"c$k")).as(s"nn$k")) :+
+      F.sum("bad").as("badTot")
+    val tot = perT.agg(totAggs.head, totAggs.tail: _*)
+    val withRisk = (0 until kPats).foldLeft(perT.crossJoin(F.broadcast(tot))) {
+      case (df, k) => df.withColumn(s"n$k",
+        F.col(s"nn$k") - F.sum(s"c$k").over(w) + F.col(s"c$k"))
+    }
+    val dTotCol = (0 until kPats).map(k => F.col(s"d$k")).reduce(_ + _)
+    val ev = withRisk.filter(dTotCol > 0)
+      .select(F.col("t") +: F.col("badTot") +:
+        (0 until kPats).flatMap(k => Seq(F.col(s"d$k"), F.col(s"n$k"), F.col(s"nn$k"))): _*)
+    val rows = ev.orderBy("t").collect()
+    require(rows.isEmpty || rows.head.getLong(1) == 0L,
+      s"coxPhMulti: non-binary covariate values in ${covCols.mkString(",")} " +
+        "— the pattern-space boundedness argument needs 0/1 covariates")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("covariate", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d_total", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("beta", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("hr", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("se", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("reject_95", org.apache.spark.sql.types.BooleanType)))
+    if (rows.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    // per-t (d_k, n_k) in pattern order; grand totals off the first row
+    def dAt(r: org.apache.spark.sql.Row, k: Int): Long = r.getLong(2 + 3 * k)
+    def nAt(r: org.apache.spark.sql.Row, k: Int): Long = r.getLong(3 + 3 * k)
+    val nTotal = (0 until kPats).map(k => rows.head.getLong(4 + 3 * k)).sum
+    val dTotal = rows.map(r => (0 until kPats).map(dAt(r, _)).sum).sum
+    // x_k[i]: bit (p-1-i) of pattern k — covCols.head is the high bit
+    val bits = Array.tabulate(kPats, p)((k, i) => (k >> (p - 1 - i)) & 1)
+    // (U, I) at β: left-assoc over t (outer) and ascending k (inner) —
+    // the exact shapes the SQL mirror's ordered window sums replay
+    def scoreInfo(beta: Array[Double]): (Array[Double], Array[Array[Double]]) = {
+      val u = new Array[Double](p)
+      val inf = Array.ofDim[Double](p, p)
+      val wk = Array.tabulate(kPats) { k =>
+        var s = 0.0; var i = 0
+        while (i < p) { if (bits(k)(i) == 1) s = s + beta(i); i += 1 }
+        math.exp(s)
+      }
+      rows.foreach { r =>
+        var s0 = 0.0; var dt = 0L
+        val s1 = new Array[Double](p)
+        var k = 0
+        while (k < kPats) {
+          val nk = nAt(r, k).toDouble
+          s0 = s0 + nk * wk(k)
+          dt += dAt(r, k)
+          k += 1
+        }
+        var i = 0
+        while (i < p) {
+          var dx = 0L; var k2 = 0; var s = 0.0
+          while (k2 < kPats) {
+            if (bits(k2)(i) == 1) { s = s + nAt(r, k2).toDouble * wk(k2); dx += dAt(r, k2) }
+            k2 += 1
+          }
+          s1(i) = s
+          u(i) = u(i) + (dx.toDouble - dt.toDouble * s1(i) / s0)
+          i += 1
+        }
+        i = 0
+        while (i < p) {
+          var j = i
+          while (j < p) {
+            var s2 = 0.0; var k3 = 0
+            while (k3 < kPats) {
+              if (bits(k3)(i) == 1 && bits(k3)(j) == 1) s2 = s2 + nAt(r, k3).toDouble * wk(k3)
+              k3 += 1
+            }
+            val term = dt.toDouble * (s2 / s0 - (s1(i) / s0) * (s1(j) / s0))
+            inf(i)(j) = inf(i)(j) + term
+            if (j != i) inf(j)(i) = inf(j)(i) + term
+            j += 1
+          }
+          i += 1
+        }
+      }
+      (u, inf)
+    }
+    def rd9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    // Cramer determinant + per-covariate solve/cofactor, written
+    // term-for-term per arity (the fixed IEEE shapes the mirror reuses)
+    def det(m: Array[Array[Double]]): Double = p match {
+      case 1 => m(0)(0)
+      case 2 => m(0)(0) * m(1)(1) - m(0)(1) * m(0)(1)
+      case _ =>
+        m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(1)(2)) -
+          m(0)(1) * (m(0)(1) * m(2)(2) - m(1)(2) * m(0)(2)) +
+          m(0)(2) * (m(0)(1) * m(1)(2) - m(1)(1) * m(0)(2))
+    }
+    def solve(u: Array[Double], m: Array[Array[Double]], dd: Double): Array[Double] = p match {
+      case 1 => Array(u(0) / dd)
+      case 2 => Array(
+        (u(0) * m(1)(1) - u(1) * m(0)(1)) / dd,
+        (m(0)(0) * u(1) - m(0)(1) * u(0)) / dd)
+      case _ => Array(
+        (u(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(1)(2)) -
+          m(0)(1) * (u(1) * m(2)(2) - m(1)(2) * u(2)) +
+          m(0)(2) * (u(1) * m(1)(2) - m(1)(1) * u(2))) / dd,
+        (m(0)(0) * (u(1) * m(2)(2) - m(1)(2) * u(2)) -
+          u(0) * (m(0)(1) * m(2)(2) - m(1)(2) * m(0)(2)) +
+          m(0)(2) * (m(0)(1) * u(2) - u(1) * m(0)(2))) / dd,
+        (m(0)(0) * (m(1)(1) * u(2) - u(1) * m(1)(2)) -
+          m(0)(1) * (m(0)(1) * u(2) - u(1) * m(0)(2)) +
+          u(0) * (m(0)(1) * m(1)(2) - m(1)(1) * m(0)(2))) / dd)
+    }
+    def cofDiag(m: Array[Array[Double]], i: Int): Double = p match {
+      case 1 => 1.0
+      case 2 => if (i == 0) m(1)(1) else m(0)(0)
+      case _ => i match {
+        case 0 => m(1)(1) * m(2)(2) - m(1)(2) * m(1)(2)
+        case 1 => m(0)(0) * m(2)(2) - m(0)(2) * m(0)(2)
+        case _ => m(0)(0) * m(1)(1) - m(0)(1) * m(0)(1)
+      }
+    }
+    val beta = new Array[Double](p)
+    (1 to steps).foreach { _ =>
+      val (u, inf) = scoreInfo(beta)
+      val dd = det(inf)
+      if (dd > 0) {
+        val db = solve(u, inf, dd)
+        var i = 0
+        while (i < p) { beta(i) = rd9(beta(i) + db(i)); i += 1 }
+      }
+    }
+    val (_, iFin) = scoreInfo(beta)
+    val ddFin = det(iFin)
+    val out: Seq[org.apache.spark.sql.Row] = covCols.zipWithIndex.map { case (cname, i) =>
+      if (ddFin > 0) {
+        val se = math.sqrt(cofDiag(iFin, i) / ddFin)
+        val wald = (beta(i) / se) * (beta(i) / se)
+        org.apache.spark.sql.Row(cname, nTotal, dTotal, rd6(beta(i)),
+          rd6(math.exp(beta(i))), rd6(se), java.lang.Boolean.valueOf(wald > 3.841459))
+      } else org.apache.spark.sql.Row(cname, nTotal, dTotal, null, null, null, null)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(out: _*)), outSchema)
+  }
 }

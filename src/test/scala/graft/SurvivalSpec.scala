@@ -313,6 +313,148 @@ class SurvivalSpec extends SparkSpec {
     r.isNullAt(6) shouldBe true
   }
 
+  // ---- coxPhMulti ------------------------------------------------------
+
+  /** Independent per-subject reference fit: textbook Breslow score /
+    * information over explicit risk-set scans (no count frame, no
+    * per-step snapping) solved by Gaussian elimination with partial
+    * pivoting — a genuinely different algorithm and data layout from
+    * the operator's pattern-pivoted Cramer fold, so agreement is a real
+    * cross-check, not a replay. Returns (β̂, se). */
+  private def refCoxMulti(subjects: Seq[(Int, Int, Array[Int])],
+                          steps: Int = 25): (Array[Double], Array[Double]) = {
+    val p = subjects.head._3.length
+    val times = subjects.filter(_._2 == 1).map(_._1).distinct.sorted
+    def scoreInfo(b: Array[Double]): (Array[Double], Array[Array[Double]]) = {
+      val u = Array.fill(p)(0.0)
+      val inf = Array.ofDim[Double](p, p)
+      for (t <- times) {
+        val risk = subjects.filter(_._1 >= t)
+        val ev = subjects.filter(s => s._1 == t && s._2 == 1)
+        val d = ev.size.toDouble
+        val w = risk.map(s => math.exp((0 until p).map(i => b(i) * s._3(i)).sum))
+        val s0 = w.sum
+        val s1 = Array.tabulate(p)(i =>
+          risk.zip(w).map { case (s, wi) => s._3(i) * wi }.sum)
+        val s2 = Array.tabulate(p, p)((i, j) =>
+          risk.zip(w).map { case (s, wi) => s._3(i) * s._3(j) * wi }.sum)
+        for (i <- 0 until p) u(i) += ev.map(_._3(i)).sum - d * s1(i) / s0
+        for (i <- 0 until p; j <- 0 until p)
+          inf(i)(j) += d * (s2(i)(j) / s0 - (s1(i) / s0) * (s1(j) / s0))
+      }
+      (u, inf)
+    }
+    def gauss(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+      val a = a0.map(_.clone); val b = b0.clone; val n = b.length
+      for (c <- 0 until n) {
+        val piv = (c until n).maxBy(r => math.abs(a(r)(c)))
+        val tmp = a(c); a(c) = a(piv); a(piv) = tmp
+        val tb = b(c); b(c) = b(piv); b(piv) = tb
+        for (r <- c + 1 until n) {
+          val f = a(r)(c) / a(c)(c)
+          for (cc <- c until n) a(r)(cc) -= f * a(c)(cc)
+          b(r) -= f * b(c)
+        }
+      }
+      val x = new Array[Double](n)
+      for (r <- n - 1 to 0 by -1)
+        x(r) = (b(r) - (r + 1 until n).map(cc => a(r)(cc) * x(cc)).sum) / a(r)(r)
+      x
+    }
+    val beta = Array.fill(p)(0.0)
+    (1 to steps).foreach { _ =>
+      val (u, inf) = scoreInfo(beta)
+      val db = gauss(inf, u)
+      (0 until p).foreach(i => beta(i) += db(i))
+    }
+    val (_, infF) = scoreInfo(beta)
+    // inverse diagonal via solving I·e_i = unit columns
+    val se = Array.tabulate(p) { i =>
+      val e = Array.tabulate(p)(j => if (j == i) 1.0 else 0.0)
+      math.sqrt(gauss(infF, e)(i))
+    }
+    (beta, se)
+  }
+
+  /** Gehan with a pure-noise second flag (row parity) — real effect on
+    * x1, null on x2, censoring and ties preserved. */
+  private def gehan2: Seq[(Int, Int, Array[Int])] =
+    gehan.zipWithIndex.map { case ((t, o, g), i) =>
+      (t, o, Array(if (g == "b_control") 1 else 0, i % 2))
+    }
+
+  it("coxPhMulti with ONE covariate reproduces the binary coxPh fit (Gehan)") {
+    val df = gehan.map { case (t, o, g) =>
+      (t, o, if (g == "b_control") 1 else 0) }.toDF("dur", "obs", "x")
+    val r = Survival.coxPhMulti(df, "dur", "obs", Seq("x")).collect()
+    r.length shouldBe 1
+    r.head.getAs[String]("covariate") shouldBe "x"
+    r.head.getAs[Long]("n") shouldBe 42L
+    r.head.getAs[Long]("d_total") shouldBe 30L
+    // the published Breslow numbers coxPh pins (R: 1.5092 / 0.4096)
+    r.head.getAs[Double]("beta") shouldBe 1.509191 +- 2e-6
+    r.head.getAs[Double]("hr") shouldBe 4.523072 +- 2e-5
+    r.head.getAs[Double]("se") shouldBe 0.409564 +- 2e-6
+    r.head.getAs[Boolean]("reject_95") shouldBe true
+  }
+
+  it("coxPhMulti (2 covariates) matches the independent per-subject Newton fit") {
+    val df = gehan2.map { case (t, o, x) => (t, o, x(0), x(1)) }
+      .toDF("dur", "obs", "x1", "x2")
+    val out = Survival.coxPhMulti(df, "dur", "obs", Seq("x1", "x2"))
+      .collect().map(r => r.getAs[String]("covariate") -> r).toMap
+    val (refB, refSe) = refCoxMulti(gehan2)
+    out("x1").getAs[Double]("beta") shouldBe refB(0) +- 1e-4
+    out("x2").getAs[Double]("beta") shouldBe refB(1) +- 1e-4
+    out("x1").getAs[Double]("se") shouldBe refSe(0) +- 1e-4
+    out("x2").getAs[Double]("se") shouldBe refSe(1) +- 1e-4
+    // the treatment effect survives adjustment; the noise flag is null
+    out("x1").getAs[Boolean]("reject_95") shouldBe true
+    out("x2").getAs[Boolean]("reject_95") shouldBe false
+    out("x1").getAs[Long]("d_total") shouldBe 30L
+  }
+
+  it("coxPhMulti (3 covariates) matches the reference; row order follows covCols") {
+    // third flag: a mod-3 bucket indicator — all 8 patterns occur
+    val subj3 = gehan.zipWithIndex.map { case ((t, o, g), i) =>
+      (t, o, Array(if (g == "b_control") 1 else 0, i % 2, if (i % 3 == 0) 1 else 0))
+    }
+    val df = subj3.map { case (t, o, x) => (t, o, x(0), x(1), x(2)) }
+      .toDF("dur", "obs", "x1", "x2", "x3")
+    val rows = Survival.coxPhMulti(df, "dur", "obs", Seq("x1", "x2", "x3")).collect()
+    rows.map(_.getAs[String]("covariate")).toSeq shouldBe Seq("x1", "x2", "x3")
+    val (refB, refSe) = refCoxMulti(subj3)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      r.getAs[Double]("beta") shouldBe refB(i) +- 1e-4
+      r.getAs[Double]("se") shouldBe refSe(i) +- 1e-4
+    }
+  }
+
+  it("coxPhMulti degenerates honestly: constant covariate NULLs, non-binary throws, no events empty") {
+    // x2 constant: its information row is 0 -> det 0 -> NULL estimates,
+    // counts kept (the coxPh NULL-β convention)
+    val const = Seq((1, 1, 0, 1), (2, 1, 1, 1), (3, 1, 0, 1), (4, 1, 1, 1))
+      .toDF("dur", "obs", "x1", "x2")
+    val c = Survival.coxPhMulti(const, "dur", "obs", Seq("x1", "x2")).collect()
+    c.length shouldBe 2
+    c.foreach { r =>
+      r.getAs[Long]("n") shouldBe 4L
+      r.isNullAt(r.fieldIndex("beta")) shouldBe true
+    }
+    // a covariate outside {0, 1} must fail loudly, not silently bucket
+    val bad = Seq((1, 1, 2, 0), (2, 1, 0, 1)).toDF("dur", "obs", "x1", "x2")
+    val e = intercept[IllegalArgumentException] {
+      Survival.coxPhMulti(bad, "dur", "obs", Seq("x1", "x2")).collect()
+    }
+    e.getMessage should include("non-binary")
+    // all censored: no event times -> EMPTY
+    Survival.coxPhMulti(Seq((1, 0, 1, 0), (2, 0, 0, 1)).toDF("dur", "obs", "x1", "x2"),
+      "dur", "obs", Seq("x1", "x2")).collect() shouldBe empty
+    // arity guard
+    an[IllegalArgumentException] should be thrownBy
+      Survival.coxPhMulti(const, "dur", "obs", Seq("a", "b", "c", "d"))
+  }
+
   it("streamed grouped subjects across a restart yield the batch statistic") {
     import java.nio.file.{Files => JFiles, Paths}
     import org.apache.spark.sql.{functions => F}

@@ -5228,14 +5228,19 @@ object SparkEntry {
         "round(CASE WHEN n1 > 0 THEN CAST(cum_pos AS DOUBLE) / n1 END, 6) + 0.0 AS cum_capture, " +
         "round(CASE WHEN prev > 0.0 THEN (CAST(cum_pos AS DOUBLE) / cumn) / prev END, 6) + 0.0 AS cum_lift " +
         "FROM z ORDER BY tile"),
-    // Per-(source, bin) cells; ECE and worst-bin gap on UNROUNDED bin
+    // Per-(source, distinct-p) counts first (the eceFromCounts weighted
+    // form — the streaming twin's mergeable summary), then the
+    // per-(source, bin) fold; ECE and worst-bin gap on UNROUNDED bin
     // means, exactly the single-group ece algebra keyed by the group.
     "q_fairness_calib" ->
       ("WITH s AS (SELECT source AS g, CAST(least(n_chars, 600) AS DOUBLE) / 600.0 AS p, " +
         "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents " +
         "WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL), " +
-        "b AS (SELECT g, CAST(least(floor(p * 10), 9) AS BIGINT) AS bin, " +
-        "CAST(count(*) AS BIGINT) AS n, sum(p) AS sp, CAST(sum(y) AS BIGINT) AS pos FROM s GROUP BY 1, 2), " +
+        "c AS (SELECT g, p AS x, CAST(sum(y) AS BIGINT) AS c1, " +
+        "CAST(count(*) - sum(y) AS BIGINT) AS c2 FROM s GROUP BY 1, 2), " +
+        "b AS (SELECT g, CAST(least(floor(x * 10), 9) AS BIGINT) AS bin, " +
+        "CAST(sum(c1 + c2) AS BIGINT) AS n, sum(x * (c1 + c2)) AS sp, " +
+        "CAST(sum(c1) AS BIGINT) AS pos FROM c GROUP BY 1, 2), " +
         "gp AS (SELECT g, n, abs(CAST(pos AS DOUBLE) / n - sp / n) AS gap FROM b) " +
         "SELECT g AS \"group\", CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS bins_used, " +
         "round(sum(gap * n) / sum(n), 6) + 0.0 AS ece, round(max(gap), 6) + 0.0 AS max_gap " +

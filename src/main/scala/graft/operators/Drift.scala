@@ -373,11 +373,18 @@ object Drift {
     * fully tied (a constant column ranks nothing).
     *
     * Output: one row — (n, concordant, discordant, tau_b), round 6. */
-  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val cells = df.select(F.col(xCol).cast("double").as("x"),
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    kendallTauFromCounts(df.select(F.col(xCol).cast("double").as("x"),
         F.col(yCol).cast("double").as("y"))
       .filter(F.col("x").isNotNull && F.col("y").isNotNull)
-      .groupBy("x", "y").agg(F.count(F.lit(1)).as("nij"))
+      .groupBy("x", "y").agg(F.count(F.lit(1)).as("nij")))
+
+  /** [[kendallTau]] over a pre-aggregated (x, y, nij) PAIR-count
+    * contingency frame — the streaming re-entry point: P/Q/margins are
+    * exact-integer functions of the merged cells, so streamed == batch
+    * bit-for-bit. */
+  def kendallTauFromCounts(byXY: DataFrame): DataFrame = {
+    val cells = byXY
       .localCheckpoint(true) // feeds the pair kernel + margins + totals
     def half(c: Column): Column = F.shiftright(c * (c - 1), 1)
     val c2 = cells.select(F.col("x").as("x2"), F.col("y").as("y2"),

@@ -25,8 +25,13 @@ object Evaluation {
     * NULL precision, no true instances NULL recall, and F1 is NULL
     * unless precision + recall > 0. Output: one row per class —
     * (class, n_pred, n_actual, tp, precision, recall, f1), round 6. */
-  def perClass(df: DataFrame, predCol: String, labelCol: String): DataFrame = {
-    val cells = confusionCells(df, predCol, labelCol)
+  def perClass(df: DataFrame, predCol: String, labelCol: String): DataFrame =
+    perClassFromCells(confusionCells(df, predCol, labelCol))
+
+  /** [[perClass]] over a pre-aggregated (pred, label, n) confusion-cell
+    * frame — the streaming re-entry point (cells are trivially
+    * mergeable partials, so streamed == batch exactly). */
+  def perClassFromCells(cells: DataFrame): DataFrame = {
     val predN = cells.groupBy(F.col("pred").as("class"))
       .agg(F.sum("n").as("n_pred"))
     val actualN = cells.groupBy(F.col("label").as("class"))
@@ -59,8 +64,12 @@ object Evaluation {
     * single-class degenerate margin — agreement is unmeasurable, not
     * perfect). Output: one row — (n, accuracy, expected_accuracy,
     * kappa), round 6 / κ round 4. */
-  def kappa(df: DataFrame, predCol: String, labelCol: String): DataFrame = {
-    val cells = confusionCells(df, predCol, labelCol).localCheckpoint(true)
+  def kappa(df: DataFrame, predCol: String, labelCol: String): DataFrame =
+    kappaFromCells(confusionCells(df, predCol, labelCol))
+
+  /** [[kappa]] over a pre-aggregated (pred, label, n) cell frame. */
+  def kappaFromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0.localCheckpoint(true)
     val po = cells.agg(F.sum("n").as("n"),
       F.sum(F.when(F.col("pred") === F.col("label"), F.col("n")).otherwise(0L)).as("agree"))
     val pe = cells.groupBy("pred").agg(F.sum("n").as("np"))
@@ -523,10 +532,16 @@ object Evaluation {
     * (tile, n_treated, n_control, rate_treated, rate_control, uplift,
     * cum_uplift), round 6. */
   def upliftTable(df: DataFrame, scoreCol: String, treatCol: String,
-                  labelCol: String, tiles: Int = 10): DataFrame = {
+                  labelCol: String, tiles: Int = 10): DataFrame =
+    upliftTableFromArmCounts(armCounts(df, scoreCol, treatCol, labelCol), tiles)
+
+  /** [[upliftTable]] over a pre-aggregated (x, t1, p1, t0, p0) per-score
+    * arm-count frame — the streaming re-entry point (per-arm counts per
+    * distinct score are the table's complete mergeable summary). */
+  def upliftTableFromArmCounts(byArm: DataFrame, tiles: Int = 10): DataFrame = {
     // per-arm counts ride the shared two-phase scaffold (the COMBINED
     // count is c1 with c2 = 0) — see upliftTileCounts
-    val perTile = upliftTileCounts(df, scoreCol, treatCol, labelCol, tiles)
+    val perTile = upliftTileCounts(byArm, tiles)
     val w = org.apache.spark.sql.expressions.Window.orderBy("tile")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     perTile
@@ -571,11 +586,16 @@ object Evaluation {
     * Output: one row — (n_treated, n_control, q_final, qini),
     * round 6. */
   def qini(df: DataFrame, scoreCol: String, treatCol: String,
-           labelCol: String, tiles: Int = 10): DataFrame = {
+           labelCol: String, tiles: Int = 10): DataFrame =
+    qiniFromArmCounts(armCounts(df, scoreCol, treatCol, labelCol), tiles)
+
+  /** [[qini]] over a pre-aggregated (x, t1, p1, t0, p0) arm-count
+    * frame — the streaming re-entry point. */
+  def qiniFromArmCounts(byArm: DataFrame, tiles: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("tile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val perTile = upliftTileCounts(df, scoreCol, treatCol, labelCol, tiles)
+    val perTile = upliftTileCounts(byArm, tiles)
     val tot = perTile.agg(
       (F.sum("n_treated") + F.sum("n_control")).as("__n"))
     val base = perTile.crossJoin(F.broadcast(tot))
@@ -615,21 +635,27 @@ object Evaluation {
             / F.col("n_treated")), 6) + F.lit(0.0)).as("qini"))
   }
 
-  /** The shared per-tile arm-split counts behind [[upliftTable]] and
-    * [[qini]]: (tile, n_treated, __p1, n_control, __p0). */
-  private def upliftTileCounts(df: DataFrame, scoreCol: String,
-                               treatCol: String, labelCol: String,
-                               tiles: Int): DataFrame = {
-    require(tiles > 0, "need at least one tile")
+  /** The per-distinct-score arm-split counts both uplift reads key on:
+    * (x, t1 = treated, p1 = treated positives, t0, p0). */
+  private def armCounts(df: DataFrame, scoreCol: String, treatCol: String,
+                        labelCol: String): DataFrame = {
     val x = F.col(scoreCol).cast("double")
     val tr = F.col(treatCol).cast("boolean")
     val y = F.col(labelCol).cast("boolean")
-    val byV = df.filter(x.isNotNull && tr.isNotNull && y.isNotNull)
+    df.filter(x.isNotNull && tr.isNotNull && y.isNotNull)
       .groupBy(x.as("x"))
       .agg(F.count(F.when(tr, 1)).as("t1"),
         F.count(F.when(tr && y, 1)).as("p1"),
         F.count(F.when(!tr, 1)).as("t0"),
         F.count(F.when(!tr && y, 1)).as("p0"))
+  }
+
+  /** The shared per-tile arm-split counts behind [[upliftTable]] and
+    * [[qini]], over an [[armCounts]]-shaped frame:
+    * (tile, n_treated, __p1, n_control, __p0). */
+  private def upliftTileCounts(byArm: DataFrame, tiles: Int): DataFrame = {
+    require(tiles > 0, "need at least one tile")
+    val byV = byArm
       .withColumn("c1", F.col("t1") + F.col("t0"))
       .withColumn("c2", F.lit(0L))
     val (cum, n) = Drift.cdfFromCounts(byV)
@@ -784,12 +810,24 @@ object Evaluation {
                  labelCol: String, bins: Int = 10): DataFrame = {
     val p = F.col(probCol).cast("double")
     val y = F.col(labelCol).cast("boolean")
-    df.filter(p.isNotNull && y.isNotNull && F.col(groupCol).isNotNull)
-      .groupBy(F.col(groupCol).as("group"),
-        F.least(F.floor(p * bins), F.lit(bins - 1L)).cast("long").as("bin"))
-      .agg(F.count(F.lit(1)).as("n"),
-        F.sum(p).as("__sp"),
-        F.count(F.when(y, 1)).as("__pos"))
+    eceByGroupFromCounts(
+      df.filter(p.isNotNull && y.isNotNull && F.col(groupCol).isNotNull)
+        .groupBy(F.col(groupCol).as("group"), p.as("x"))
+        .agg(F.count(F.when(y, 1)).as("c1"),
+          F.count(F.when(!y, 1)).as("c2")), bins)
+  }
+
+  /** [[eceByGroup]] over a pre-aggregated (group, x, c1, c2) count
+    * frame — the streaming re-entry point (the [[eceFromCounts]]
+    * weighted-count algebra keyed by the audit group). */
+  def eceByGroupFromCounts(byGX: DataFrame, bins: Int = 10): DataFrame = {
+    byGX
+      .groupBy(F.col("group"),
+        F.least(F.floor(F.col("x") * bins), F.lit(bins - 1L))
+          .cast("long").as("bin"))
+      .agg(F.sum(F.col("c1") + F.col("c2")).as("n"),
+        F.sum(F.col("x") * (F.col("c1") + F.col("c2"))).as("__sp"),
+        F.sum("c1").as("__pos"))
       .withColumn("__gap", F.abs(F.col("__pos").cast("double") / F.col("n")
         - F.col("__sp") / F.col("n")))
       .groupBy("group")
@@ -911,11 +949,17 @@ object Evaluation {
     * partitions trivial — agreement unmeasurable); NMI is NULL when
     * either entropy is 0 (a single cluster carries no information).
     * Output: one row — (n, k_a, k_b, ari, nmi), round 6. */
-  def clusterAgreement(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.filter(F.col(aCol).isNotNull && F.col(bCol).isNotNull)
-      .groupBy(F.col(aCol).as("a"), F.col(bCol).as("b"))
-      .agg(F.count(F.lit(1)).as("nij"))
-      .localCheckpoint(true)
+  def clusterAgreement(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    clusterAgreementFromCells(
+      df.filter(F.col(aCol).isNotNull && F.col(bCol).isNotNull)
+        .groupBy(F.col(aCol).as("a"), F.col(bCol).as("b"))
+        .agg(F.count(F.lit(1)).as("nij")))
+
+  /** [[clusterAgreement]] over a pre-aggregated (a, b, nij) contingency
+    * frame — the streaming re-entry point (cells merge exactly, and
+    * every statistic is a pure function of the merged cells). */
+  def clusterAgreementFromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0.localCheckpoint(true)
     // exact: n(n−1) is even, and the halving must stay INTEGRAL — a
     // long `/ 2` is IEEE division in Spark and rounds past 2^53
     def pairs(c: Column): Column = F.shiftright(c * (c - 1), 1)

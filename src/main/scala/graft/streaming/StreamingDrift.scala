@@ -173,6 +173,94 @@ object StreamingDrift {
     graft.operators.Evaluation.isotonicFromCounts(
       twoSampleCounts(spark, countsDir, pos, neg))
 
+  /** Per-class precision/recall/F1 of everything streamed so far — the
+    * PREDICTION rides the slice dimension, the label the category;
+    * merged confusion cells are the board's complete mergeable summary
+    * (trivially: cells are counts), so streamed == batch exactly. */
+  def perClassNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.Evaluation.perClassFromCells(
+      confusionCellsNow(spark, countsDir))
+
+  /** Cohen's κ + accuracy over the same accumulated confusion cells. */
+  def kappaNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.Evaluation.kappaFromCells(
+      confusionCellsNow(spark, countsDir))
+
+  private def confusionCellsNow(spark: SparkSession,
+                                countsDir: String): DataFrame =
+    categoricalCounts(spark, countsDir)
+      .select(F.col("slice").as("pred"), F.col("cat").as("label"), F.col("n"))
+
+  /** ARI + NMI of the stream's two partitions so far — partition A
+    * rides the slice dimension, B the category; merged contingency
+    * cells re-enter the batch pair-count algebra bit-for-bit. */
+  def clusterAgreementNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.Evaluation.clusterAgreementFromCells(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").as("a"), F.col("cat").as("b"),
+          F.col("n").as("nij")))
+
+  /** Kendall τ-b of the stream's (x, y) pairs so far — the
+    * [[spearmanNow]] pair-count layout (both axes bounded vocabularies,
+    * the batch operator's contract); P/Q/margins are exact integers
+    * over the merged cells, so streamed == batch bit-for-bit. */
+  def kendallNow(spark: SparkSession, countsDir: String): DataFrame =
+    Drift.kendallTauFromCounts(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").cast("double").as("x"),
+          F.col("cat").cast("double").as("y"), F.col("n").as("nij")))
+
+  /** Per-group calibration (sufficiency) of the stream so far — the
+    * (group, outcome) pair rides the slice dimension as "group|true"
+    * (the cupedNow pipe convention: group before the FIRST pipe, the
+    * boolean label after the LAST), the probability the category;
+    * merged (group, x, c1, c2) counts re-enter the weighted-count ECE
+    * algebra, so streamed == batch exactly. */
+  def eceByGroupNow(spark: SparkSession, countsDir: String,
+                    bins: Int = 10): DataFrame =
+    graft.operators.Evaluation.eceByGroupFromCounts(
+      categoricalCounts(spark, countsDir)
+        .select(F.substring_index(F.col("slice"), "|", 1).as("group"),
+          F.substring_index(F.col("slice"), "|", -1).as("y"),
+          F.col("cat").cast("double").as("x"), F.col("n"))
+        .groupBy("group", "x")
+        .agg(
+          F.sum(F.when(F.col("y") === "true", F.col("n")).otherwise(0L)).as("c1"),
+          F.sum(F.when(F.col("y") =!= "true", F.col("n")).otherwise(0L)).as("c2")),
+      bins)
+
+  /** The stream's per-score arm-split counts — (treat, outcome) ride
+    * the slice as "true|false" booleans around the pipe, the targeting
+    * score the category. The complete mergeable summary of the uplift
+    * family. */
+  private def armCountsNow(spark: SparkSession, countsDir: String): DataFrame =
+    categoricalCounts(spark, countsDir)
+      .select(F.substring_index(F.col("slice"), "|", 1).as("t"),
+        F.substring_index(F.col("slice"), "|", -1).as("y"),
+        F.col("cat").cast("double").as("x"), F.col("n"))
+      .groupBy("x")
+      .agg(
+        F.sum(F.when(F.col("t") === "true", F.col("n")).otherwise(0L)).as("t1"),
+        F.sum(F.when(F.col("t") === "true" && F.col("y") === "true", F.col("n"))
+          .otherwise(0L)).as("p1"),
+        F.sum(F.when(F.col("t") =!= "true", F.col("n")).otherwise(0L)).as("t0"),
+        F.sum(F.when(F.col("t") =!= "true" && F.col("y") === "true", F.col("n"))
+          .otherwise(0L)).as("p0"))
+
+  /** Uplift-by-tile of everything streamed so far — merged arm counts
+    * re-enter the batch tile ceil + guarded ratio algebra exactly. */
+  def upliftNow(spark: SparkSession, countsDir: String,
+                tiles: Int = 10): DataFrame =
+    graft.operators.Evaluation.upliftTableFromArmCounts(
+      armCountsNow(spark, countsDir), tiles)
+
+  /** Qini coefficient of everything streamed so far — same partials as
+    * [[upliftNow]]. */
+  def qiniNow(spark: SparkSession, countsDir: String,
+              tiles: Int = 10): DataFrame =
+    graft.operators.Evaluation.qiniFromArmCounts(
+      armCountsNow(spark, countsDir), tiles)
+
   /** Gini concentration of everything streamed so far — the VALUE rides
     * the category dimension ([[attachCategorical]] with a constant
     * slice), merged counts re-enter the batch rank algebra. */

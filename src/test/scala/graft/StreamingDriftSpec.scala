@@ -454,6 +454,119 @@ class StreamingDriftSpec extends SparkSpec {
       .collect().head.getAs[Double]("auc") should be > 0.6
   }
 
+  it("streamed confusion-cell family (per-class / kappa / ARI+NMI / Kendall) equals batch across a restart") {
+    import graft.operators.Evaluation
+    val r = new scala.util.Random(61)
+    // a 5-class labeler that's right ~60% of the time
+    val cells = Vector.fill(400) {
+      val label = s"c${r.nextInt(5)}"
+      val pred = if (r.nextInt(10) < 6) label else s"c${r.nextInt(5)}"
+      (pred, label)
+    }
+    // bounded ordinal pair axes for tau-b (both vocabularies size ≤ 8)
+    val pairs = Vector.fill(400) {
+      val x = r.nextInt(8)
+      val y = math.min(7, math.max(0, x + r.nextInt(5) - 2))
+      (x.toString, y.toString)
+    }
+    def run(rows: Vector[(String, String)], tag: String): String = {
+      val inDir = JFiles.createTempDirectory(s"graft-$tag-in").toString
+      val ckpt = JFiles.createTempDirectory(s"graft-$tag-ckpt").toString
+      val cDir = JFiles.createTempDirectory(s"graft-$tag-counts").toString
+      def write(name: String, part: Seq[(String, String)]): Unit =
+        JFiles.writeString(Paths.get(inDir, name),
+          part.map { case (s, c) => s"$s,$c" }.mkString("\n"))
+      val src = () => spark.readStream.text(inDir)
+        .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+          F.split(F.col("value"), ",").getItem(1).as("cat"))
+      write("f1.txt", rows.take(rows.length / 2))
+      val q1 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+      try q1.processAllAvailable() finally q1.stop()
+      write("f2.txt", rows.drop(rows.length / 2))
+      val q2 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+      try q2.processAllAvailable() finally q2.stop()
+      cDir
+    }
+    val cellsDir = run(cells, "cells")
+    val pairDir = run(pairs, "kt")
+    val batchCells = cells.toDF("pred", "label")
+    StreamingDrift.perClassNow(spark, cellsDir)
+      .orderBy("class").collect().map(_.toSeq) shouldBe
+      Evaluation.perClass(batchCells, "pred", "label")
+        .orderBy("class").collect().map(_.toSeq)
+    StreamingDrift.kappaNow(spark, cellsDir).collect().head.toSeq shouldBe
+      Evaluation.kappa(batchCells, "pred", "label").collect().head.toSeq
+    StreamingDrift.clusterAgreementNow(spark, cellsDir).collect().head.toSeq shouldBe
+      Evaluation.clusterAgreement(batchCells, "pred", "label").collect().head.toSeq
+    val batchPairs = pairs.map { case (x, y) => (x.toDouble, y.toDouble) }
+      .toDF("x", "y")
+    StreamingDrift.kendallNow(spark, pairDir).collect().head.toSeq shouldBe
+      Drift.kendallTau(batchPairs, "x", "y").collect().head.toSeq
+    // the planted agreement bites: kappa above chance, tau positive
+    StreamingDrift.kappaNow(spark, cellsDir)
+      .collect().head.getAs[Double]("kappa") should be > 0.3
+    StreamingDrift.kendallNow(spark, pairDir)
+      .collect().head.getAs[Double]("tau_b") should be > 0.3
+  }
+
+  it("streamed fairness/uplift family (per-group ECE / uplift tiles / qini) equals batch across a restart") {
+    import graft.operators.Evaluation
+    val r = new scala.util.Random(67)
+    // groups g0..g3, dyadic-grid probabilities, outcomes tracking p
+    val calib = Vector.fill(500) {
+      val g = s"g${r.nextInt(4)}"
+      val p = r.nextInt(65) / 64.0
+      val y = r.nextDouble() < p
+      (s"$g|$y", p.toString)
+    }
+    // treat|y slices over a dyadic targeting score with planted uplift
+    val uplift = Vector.fill(500) {
+      val t = r.nextBoolean()
+      val s = r.nextInt(33) / 32.0
+      val y = r.nextDouble() < (if (t) s * 0.8 else 0.2)
+      (s"$t|$y", s.toString)
+    }
+    def run(rows: Vector[(String, String)], tag: String): String = {
+      val inDir = JFiles.createTempDirectory(s"graft-$tag-in").toString
+      val ckpt = JFiles.createTempDirectory(s"graft-$tag-ckpt").toString
+      val cDir = JFiles.createTempDirectory(s"graft-$tag-counts").toString
+      def write(name: String, part: Seq[(String, String)]): Unit =
+        JFiles.writeString(Paths.get(inDir, name),
+          part.map { case (s, c) => s"$s,$c" }.mkString("\n"))
+      val src = () => spark.readStream.text(inDir)
+        .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+          F.split(F.col("value"), ",").getItem(1).as("cat"))
+      write("f1.txt", rows.take(rows.length / 2))
+      val q1 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+      try q1.processAllAvailable() finally q1.stop()
+      write("f2.txt", rows.drop(rows.length / 2))
+      val q2 = StreamingDrift.attachCategorical(src(), ckpt, cDir, triggerMillis = 100)
+      try q2.processAllAvailable() finally q2.stop()
+      cDir
+    }
+    val calibDir = run(calib, "gece")
+    val upliftDir = run(uplift, "uplt")
+    val batchCalib = calib.map { case (sl, p) =>
+      (sl.split('|')(0), p.toDouble, sl.split('|')(1).toBoolean)
+    }.toDF("g", "p", "y")
+    StreamingDrift.eceByGroupNow(spark, calibDir)
+      .orderBy("group").collect().map(_.toSeq) shouldBe
+      Evaluation.eceByGroup(batchCalib, "g", "p", "y")
+        .orderBy("group").collect().map(_.toSeq)
+    val batchUplift = uplift.map { case (sl, s) =>
+      (s.toDouble, sl.split('|')(0).toBoolean, sl.split('|')(1).toBoolean)
+    }.toDF("s", "t", "y")
+    StreamingDrift.upliftNow(spark, upliftDir)
+      .orderBy("tile").collect().map(_.toSeq) shouldBe
+      Evaluation.upliftTable(batchUplift, "s", "t", "y")
+        .orderBy("tile").collect().map(_.toSeq)
+    StreamingDrift.qiniNow(spark, upliftDir).collect().head.toSeq shouldBe
+      Evaluation.qini(batchUplift, "s", "t", "y").collect().head.toSeq
+    // the planted uplift bites: qini positive
+    StreamingDrift.qiniNow(spark, upliftDir)
+      .collect().head.getAs[Double]("qini") should be > 0.0
+  }
+
   it("an empty stream reads as zero current counts, not a throw") {
     val dir = JFiles.createTempDirectory("graft-drift-empty").toString
     val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")

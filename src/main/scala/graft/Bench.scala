@@ -2,17 +2,49 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** One arbiter measurement: min + every raw sample + the 1-min load
-    * average read at fork time. The samples make contamination VISIBLE
-    * in the artifact (a clean run is tight around the min; a contaminated
-    * one has a long tail); loadavg records the ambient state the number
-    * was taken under. */
-  final case class ArbiterResult(min: Double, samples: Seq[Double], loadavg: Double)
+    * average read at fork time + the JVM GC time spent WHILE the samples
+    * ran (-1 when not measured, e.g. a forked child whose GC the parent
+    * cannot see). The samples make contamination VISIBLE in the artifact
+    * (a clean run is tight around the min; a contaminated one has a long
+    * tail); loadavg records CPU-contention ambient and gc_ms records
+    * ALLOCATOR-state ambient — the round-14 lesson was that a flat
+    * canary plus +16% raw drift was GC state from a preceding test JVM,
+    * which loadavg alone cannot adjudicate. */
+  final case class ArbiterResult(min: Double, samples: Seq[Double],
+                                 loadavg: Double, gcMs: Long = -1L)
 
   /** 1-minute load average from /proc/loadavg; -1.0 if unreadable. */
   private def loadAvg1m(): Double =
     try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
       .split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** Cumulative (collection ms, collection count) across all GC beans —
+    * deltas of this pair attribute a run's allocator-state ambient. */
+  private def gcStats(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val beans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    (beans.map(_.getCollectionTime).filter(_ >= 0).sum,
+      beans.map(_.getCollectionCount).filter(_ >= 0).sum)
+  }
+
+  /** Heap high-water (MB) summed over heap pools since the last peak
+    * reset; [[resetHeapPeaks]] at grid start scopes it to this run. */
+  private def heapPeakMb(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(p => Option(p.getPeakUsage).map(_.getUsed).getOrElse(0L))
+      .sum / (1L << 20)
+  }
+
+  private def resetHeapPeaks(): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
+  }
 
   /** Min-of-N for one query in a FRESH JVM: forks `java graft.Bench` in
     * SPARK_GRAFT_ONLY mode (which never forks again — no recursion) with
@@ -189,6 +221,11 @@ object Bench {
     }
     val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
     val loadStart = loadAvg1m()
+    // allocator-state evidence (round-14 verdict #2): GC totals and the
+    // heap high-water scoped to this run make a +15% raw-total drift
+    // with a flat canary attributable from the artifact alone
+    val (gcMsStart, gcCntStart) = gcStats()
+    resetHeapPeaks()
     // First error pins the query as failed; later passes skip it (it would
     // fail identically and waste grid time) and it reports in `errors`.
     val errors = scala.collection.mutable.Map[String, String]()
@@ -223,6 +260,8 @@ object Bench {
       System.err.println(s"[bench] heavy pass $p/$heavyPasses (${heavy.size} queries)")
       heavy.flatMap(n => sample(n).map(n -> _)).toMap
     }
+    val (gcMsGridEnd, gcCntGridEnd) = gcStats()
+    val heapPeakGridMb = heapPeakMb()
     val finalOk = names.filterNot(errors.contains)
     val allSamples: Map[String, Seq[Double]] = finalOk.map { n =>
       n -> (baseSamples.flatMap(_.get(n)) ++ heavySamples.flatMap(_.get(n)))
@@ -310,7 +349,8 @@ object Bench {
       m.toSeq.sortBy(_._1).map { case (n, r) =>
         "\"" + n + "\":{\"min\":" + r3(r.min) +
           ",\"samples\":[" + r.samples.map(r3).mkString(",") + "]" +
-          ",\"loadavg\":" + r3(r.loadavg) + extra(r) + "}"
+          ",\"loadavg\":" + r3(r.loadavg) +
+          (if (r.gcMs >= 0) ",\"gc_ms\":" + r.gcMs else "") + extra(r) + "}"
       }.mkString("{", ",", "}")
     val (isolatedJson, isolatedDetailJson, scalingJson): (Option[String], Option[String], Option[String]) =
       if (isolatedNames.isEmpty && scalingDirs.isEmpty) (None, None, None)
@@ -340,21 +380,32 @@ object Bench {
           System.gc()
           Thread.sleep(3000)
           val load = loadAvg1m()
+          val (gcBefore, _) = gcStats()
           val samples = (1 to isolatedPasses).flatMap(_ => timeOne(n, all(n)).toOption)
+          val gcDelta = gcStats()._1 - gcBefore
           if (samples.isEmpty) None
-          else Some(n -> ArbiterResult(samples.min, samples, load))
+          else Some(n -> ArbiterResult(samples.min, samples, load, gcDelta))
         }.toMap
         val iso: Map[String, Double] = isoDetail.map { case (n, r) => n -> r.min }
+        // min-of-N at BOTH fixture scales, ALL samples in-artifact
+        // (round-14 verdict #6: the sf0.01 denominator was effectively
+        // single-sample under contention and made exponents wander
+        // 0.62→0.82 on identical code — now a bad pass is visible and
+        // the min absorbs it, the isolated-tier discipline one tier down)
         val scal = scalingDirs.flatMap { case (small, big) =>
-          def minAt(name: String, dir: String): Option[Double] = {
+          def samplesAt(name: String, dir: String): Seq[Double] = {
             val fn = (ss: SparkSession, _: String) => SparkEntry.queries(name)(ss, dir)
-            val xs = (1 to isolatedPasses).flatMap(_ => timeOne(s"$name@$dir", fn).toOption)
-            if (xs.isEmpty) None else Some(xs.min)
+            (1 to isolatedPasses).flatMap(_ => timeOne(s"$name@$dir", fn).toOption)
           }
           val entries = scalingQueries.flatMap { name =>
-            for (ts <- minAt(name, small); tb <- minAt(name, big)) yield {
+            val xs = samplesAt(name, small)
+            val xb = samplesAt(name, big)
+            if (xs.isEmpty || xb.isEmpty) None
+            else {
+              val ts = xs.min; val tb = xb.min
               val exp = math.log10(tb / ts) // fixtures are 10x apart
-              s""""$name":{"sf0.01_sec":${r3(ts)},"sf0.1_sec":${r3(tb)},"exponent":${r3(exp)}}"""
+              Some(s""""$name":{"sf0.01_sec":${r3(ts)},"sf0.01_samples":[${xs.map(r3).mkString(",")}],""" +
+                s""""sf0.1_sec":${r3(tb)},"sf0.1_samples":[${xb.map(r3).mkString(",")}],"exponent":${r3(exp)}}""")
             }
           }
           if (entries.isEmpty) None else Some(entries.mkString("{", ",", "}"))
@@ -415,48 +466,57 @@ object Bench {
         ",\"min\":" + r3(canarySamples.min) +
         ",\"samples\":[" + canarySamples.map(r3).mkString(",") + "]}")
     // CANARY-NORMALIZED cross-round read, in-artifact (round-13 verdict
-    // item 7): divide the in-grid total — and each per-query median — by
-    // this run's canary median, compare against the SAME ratio from the
-    // prior committed artifact (the BENCH_LOCAL.json this run is about to
-    // overwrite), and ship the answer to "ambient drift or regression?"
-    // directly: `total_over_canary` ratios out uniform machine drift
-    // (r12's +18.5% on untouched code), and `regressions` lists only the
-    // queries whose canary-normalized median moved >1.25x above 0.5 s —
-    // bounded, not a 250-row dump. Prior artifact override:
-    // SPARK_GRAFT_PRIOR_BENCH (the driver keeps BENCH_r{N}.json copies).
+    // item 7): divide the in-grid total by this run's canary median,
+    // compare against the SAME ratio from the prior committed artifact
+    // (the BENCH_LOCAL.json this run is about to overwrite), and ship
+    // the answer to "ambient drift or regression?" directly:
+    // `total_over_canary` ratios out uniform machine drift (r12's
+    // +18.5% on untouched code). `regressions` is keyed on MIN-of-N,
+    // not medians (round-14 verdict #3: all four r14 "regressions" were
+    // median noise with mins at or below r13 — the min is the
+    // contention-free estimate identical code agrees on): a query fires
+    // only when its canary-min-normalized in-grid min moved >1.25x
+    // above the 0.5 s floor; a clean round emits regressions: {}.
+    // Prior artifact override: SPARK_GRAFT_PRIOR_BENCH (the driver
+    // keeps BENCH_r{N}.json copies).
     val canaryNormJson: Option[String] =
       if (only.isDefined || canarySamples.isEmpty) None
       else {
         val canaryMed = med(canarySamples.toSeq)
+        val canaryMin = canarySamples.min
         val normTotal = total / canaryMed
         val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR_BENCH", "BENCH_LOCAL.json")
-        val prior: Option[(Double, Map[String, Double])] =
+        def parseMap(body: String, key: String): Option[Map[String, Double]] =
+          ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(body).map { m =>
+            m.group(1).split(",").toSeq.flatMap { kv =>
+              kv.split(":") match {
+                case Array(k, v) => Some(k.replace("\"", "") -> v.toDouble)
+                case _ => None
+              }
+            }.toMap
+          }
+        val prior: Option[(Double, Double, Map[String, Double], Map[String, Double])] =
           try {
             val body = java.nio.file.Files.readString(java.nio.file.Paths.get(priorPath))
             // a prior artifact from a DIFFERENT fixture scale is not a
             // comparison baseline — skip rather than report bogus deltas
             val sameSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(body)
               .forall(_.group(1) == sfDir)
-            val cm = if (!sameSf) None
-              else "\"canary\":\\{\"median\":([0-9.]+)".r.findFirstMatchIn(body)
-                .map(_.group(1).toDouble)
-            val qm = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(body).map { m =>
-              m.group(1).split(",").toSeq.flatMap { kv =>
-                kv.split(":") match {
-                  case Array(k, v) => Some(k.replace("\"", "") -> v.toDouble)
-                  case _ => None
-                }
-              }.toMap
-            }
-            for (c <- cm; q <- qm) yield (c, q)
+            val cRe = "\"canary\":\\{\"median\":([0-9.]+),\"min\":([0-9.]+)".r
+              .findFirstMatchIn(body)
+            val cm = if (sameSf) cRe.map(_.group(1).toDouble) else None
+            val cmin = if (sameSf) cRe.map(_.group(2).toDouble) else None
+            for (c <- cm; ci <- cmin; q <- parseMap(body, "queries");
+                 qm <- parseMap(body, "queries_min").orElse(Some(Map.empty[String, Double])))
+              yield (c, ci, q, qm)
           } catch { case _: Throwable => None }
-        val priorPart = prior.fold("") { case (pc, pq) =>
+        val priorPart = prior.fold("") { case (pc, pcMin, pq, pqMin) =>
           val priorNormTotal = pq.valuesIterator.sum / pc
-          val regs = results.toSeq.flatMap { case (n, cur) =>
-            pq.get(n).collect {
-              case prev if cur >= 0.5 && prev > 0.0 &&
-                (cur / canaryMed) / (prev / pc) > 1.25 =>
-                n -> (cur / canaryMed) / (prev / pc)
+          val regs = mins.toSeq.flatMap { case (n, curMin) =>
+            pqMin.get(n).collect {
+              case prevMin if curMin >= 0.5 && prevMin > 0.0 && pcMin > 0.0 &&
+                (curMin / canaryMin) / (prevMin / pcMin) > 1.25 =>
+                n -> (curMin / canaryMin) / (prevMin / pcMin)
             }
           }.sortBy(-_._2)
           ",\"prior_total_over_canary\":" + r3(priorNormTotal) +
@@ -476,6 +536,8 @@ object Bench {
       canaryJson.fold("")(j => s""""canary":$j,""") +
       canaryNormJson.fold("")(j => s""""canary_norm":$j,""") +
       s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},""" +
+      s""""gc_ms_grid":${gcMsGridEnd - gcMsStart},"gc_count_grid":${gcCntGridEnd - gcCntStart},""" +
+      s""""gc_ms_total":${gcStats()._1 - gcMsStart},"heap_peak_grid_mb":$heapPeakGridMb,""" +
       s""""errors":${jerr(errors)},"failures":${errors.size},""" +
       pipeline.fold("")(p => s""""pipeline":$p,""") +
       s""""sf":"$sfDir","passes":$passes,"heavy_passes":$heavyPasses}"""

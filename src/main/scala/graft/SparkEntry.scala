@@ -1530,6 +1530,48 @@ object SparkEntry {
     "q_kappa" -> ((s, dir) =>
       Evaluation.kappa(
         TextAnalysis.langId(t(s, dir, "documents"), "text"), "pred_lang", "lang")),
+    // Matthews correlation (multiclass R_K) for the same pair — the
+    // skew-honest single number; margin products in DOUBLE (s² outgrows
+    // BIGINT at corpus scale), one cell scan.
+    "q_mcc" -> ((s, dir) =>
+      Evaluation.mcc(
+        TextAnalysis.langId(t(s, dir, "documents"), "text"), "pred_lang", "lang")),
+    // The board's headline fold: accuracy, balanced accuracy (mean
+    // recall — chance 1/k on any skew), macro-F1 over the ROUNDED
+    // per-class rates.
+    "q_class_summary" -> ((s, dir) =>
+      Evaluation.classSummary(
+        TextAnalysis.langId(t(s, dir, "documents"), "text"), "pred_lang", "lang")),
+    // McNemar: do the length rule and the stopword rule err on the
+    // SAME documents — only disagreement cells carry information.
+    "q_mcnemar" -> ((s, dir) =>
+      Evaluation.mcnemar(
+        t(s, dir, "documents")
+          .withColumn("by_len", F.col("n_chars") > 300)
+          .withColumn("by_the", F.col("text").contains(" the "))
+          .withColumn("is_en", F.col("lang") === "en"),
+        "by_len", "by_the", "is_en")),
+    // Quadratic-weighted kappa over the q_kendall ordinal buckets —
+    // grade-distance-aware agreement; expected disagreement is the
+    // vocabulary² margin kernel.
+    "q_weighted_kappa" -> ((s, dir) =>
+      Evaluation.weightedKappa(
+        t(s, dir, "documents")
+          .withColumn("xb", F.expr("n_chars div 50"))
+          .withColumn("yb", F.expr("size(split(text, ' ')) div 10")),
+        "xb", "yb")),
+    // Hosmer–Lemeshow calibration χ² over the shared probability
+    // fixture — the reliability diagram folded to a test statistic.
+    "q_hosmer" -> ((s, dir) =>
+      Evaluation.hosmerLemeshow(docProb(t(s, dir, "documents")),
+        "p_en", "is_en")),
+    // Lin's CCC: does word count AGREE with char count (45°-line
+    // agreement), not merely correlate — one moment scan.
+    "q_ccc" -> ((s, dir) =>
+      Evaluation.concordanceCcc(
+        t(s, dir, "documents")
+          .withColumn("wc", F.size(F.split(F.col("text"), " "))),
+        "n_chars", "wc")),
     // Flesch readability + FK grade per document — the standard
     // text-difficulty bucketing scores; per-word syllable floors fold
     // in-row (map-only, no explode).
@@ -5164,6 +5206,100 @@ object SparkEntry {
         "z AS (SELECT n, CAST(agree AS DOUBLE) / n AS po2, pewn / n / n AS pe2 FROM po, pe) " +
         "SELECT n, round(po2, 6) + 0.0 AS accuracy, round(pe2, 6) + 0.0 AS expected_accuracy, " +
         "round(CASE WHEN pe2 < 1.0 THEN (po2 - pe2) / (1.0 - pe2) END, 4) + 0.0 AS kappa FROM z"),
+    // Margin products in DOUBLE (the operator's s²-outgrows-BIGINT
+    // rationale); full-outer class margins so one-sided classes weigh 0.
+    "q_mcc" ->
+      (langidCellsCte +
+        ", base AS (SELECT CAST(sum(n) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN pred = label THEN n ELSE 0 END) AS BIGINT) AS n_correct FROM cells), " +
+        "m AS (SELECT sum(CAST(coalesce(np, 0) AS DOUBLE) * coalesce(nt, 0)) AS pt, " +
+        "sum(CAST(coalesce(np, 0) AS DOUBLE) * coalesce(np, 0)) AS pp, " +
+        "sum(CAST(coalesce(nt, 0) AS DOUBLE) * coalesce(nt, 0)) AS tt FROM " +
+        "(SELECT pred AS class, CAST(sum(n) AS BIGINT) AS np FROM cells GROUP BY 1) a " +
+        "FULL OUTER JOIN (SELECT label AS class, CAST(sum(n) AS BIGINT) AS nt FROM cells GROUP BY 1) b USING (class)), " +
+        "z AS (SELECT n, n_correct, CAST(n AS DOUBLE) AS s, " +
+        "CAST(n_correct AS DOUBLE) * CAST(n AS DOUBLE) - pt AS num FROM base, m), " +
+        "z2 AS (SELECT *, s * s - pp AS dp, s * s - tt AS dt FROM z, m) " +
+        "SELECT n, n_correct, round(CASE WHEN dp > 0.0 AND dt > 0.0 " +
+        "THEN num / (sqrt(dp) * sqrt(dt)) END, 6) + 0.0 AS mcc FROM z2"),
+    // The classifier_eval chain folded: accuracy off the cells, the
+    // balanced/macro means over the ROUNDED per-class rates (the
+    // operator's fairnessGaps contract; NULLs drop from avg in both
+    // engines).
+    "q_class_summary" ->
+      (langidCellsCte +
+        ", pn AS (SELECT pred AS class, CAST(sum(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1), " +
+        "an AS (SELECT label AS class, CAST(sum(n) AS BIGINT) AS n_actual FROM cells GROUP BY 1), " +
+        "tp AS (SELECT pred AS class, n AS tp FROM cells WHERE pred = label), " +
+        "j AS (SELECT coalesce(pn.class, an.class) AS class, coalesce(n_pred, 0) AS n_pred, " +
+        "coalesce(n_actual, 0) AS n_actual, coalesce(tp.tp, CAST(0 AS BIGINT)) AS tp " +
+        "FROM pn FULL OUTER JOIN an ON an.class = pn.class " +
+        "LEFT JOIN tp ON tp.class = coalesce(pn.class, an.class)), " +
+        "z AS (SELECT *, CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END AS p, " +
+        "CASE WHEN n_actual > 0 THEN CAST(tp AS DOUBLE) / n_actual END AS r FROM j), " +
+        "f AS (SELECT *, CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END AS f1 FROM z), " +
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_classes, " +
+        "avg(round(r, 6) + 0.0) AS ba, avg(round(f1, 6) + 0.0) AS mf FROM f), " +
+        "a2 AS (SELECT CAST(sum(n) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN pred = label THEN n ELSE 0 END) AS BIGINT) AS agree FROM cells) " +
+        "SELECT n, n_classes, round(CAST(agree AS DOUBLE) / n, 6) + 0.0 AS accuracy, " +
+        "round(ba, 6) + 0.0 AS balanced_accuracy, round(mf, 6) + 0.0 AS macro_f1 FROM a2, g"),
+    // Only disagreement cells carry information; the uncorrected χ²
+    // (the operator's documented convention).
+    "q_mcnemar" ->
+      ("WITH s AS (SELECT n_chars > 300 AS a, contains(text, ' the ') AS b, lang = 'en' AS y " +
+        "FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL), " +
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(CASE WHEN a = y AND b <> y THEN 1 END) AS BIGINT) AS only_a, " +
+        "CAST(count(CASE WHEN a <> y AND b = y THEN 1 END) AS BIGINT) AS only_b FROM s), " +
+        "z AS (SELECT *, CASE WHEN only_a + only_b > 0 THEN " +
+        "CAST(only_a - only_b AS DOUBLE) * (only_a - only_b) / (only_a + only_b) END AS chi FROM c) " +
+        "SELECT n, only_a, only_b, round(chi, 4) + 0.0 AS chi2, " +
+        "chi > CAST(3.841459 AS DOUBLE) AS reject_95 FROM z"),
+    // Observed disagreement one cell scan; expected the vocabulary²
+    // margin kernel — ri·cj in DOUBLE, the operator's operand order.
+    "q_weighted_kappa" ->
+      ("WITH s AS (SELECT CAST(n_chars // 50 AS DOUBLE) AS pred, " +
+        "CAST(len(string_split(text, ' ')) // 10 AS DOUBLE) AS label FROM documents " +
+        "WHERE n_chars IS NOT NULL AND text IS NOT NULL), " +
+        "cells AS (SELECT pred, label, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2), " +
+        "o AS (SELECT CAST(sum(n) AS BIGINT) AS n, " +
+        "sum((pred - label) * (pred - label) * n) AS od FROM cells), " +
+        "e AS (SELECT sum((i - j) * (i - j) * (CAST(ri AS DOUBLE) * cj)) AS ewn FROM " +
+        "(SELECT pred AS i, CAST(sum(n) AS BIGINT) AS ri FROM cells GROUP BY 1) a, " +
+        "(SELECT label AS j, CAST(sum(n) AS BIGINT) AS cj FROM cells GROUP BY 1) b) " +
+        "SELECT n, round(CASE WHEN ewn / n > 0.0 THEN 1.0 - od / (ewn / n) END, 4) + 0.0 AS kappa_w " +
+        "FROM o, e WHERE n IS NOT NULL"),
+    // The weighted-count bin fold (the q_ece form); degenerate-
+    // expectation bins skipped and counted, χ² NULL under 3 usable bins.
+    "q_hosmer" ->
+      (binCountsCte(docProbSql) +
+        ", b AS (SELECT CAST(least(floor(x * 10), 9) AS BIGINT) AS bin, " +
+        "CAST(sum(c1 + c2) AS BIGINT) AS ng, sum(x * (c1 + c2)) AS e, " +
+        "CAST(sum(c1) AS BIGINT) AS o FROM c GROUP BY 1), " +
+        "t AS (SELECT ng, e, o, e > 0.0 AND e < ng AS ok FROM b), " +
+        "z AS (SELECT CAST(sum(ng) AS BIGINT) AS n, " +
+        "CAST(count(CASE WHEN ok THEN 1 END) AS BIGINT) AS bins_used, " +
+        "CAST(count(CASE WHEN NOT ok THEN 1 END) AS BIGINT) AS bins_skipped, " +
+        "sum(CASE WHEN ok THEN (o - e) * (o - e) / (e * (1.0 - e / ng)) END) AS chi FROM t) " +
+        "SELECT n, bins_used, bins_skipped, " +
+        "round(CASE WHEN bins_used >= 3 THEN chi END, 4) + 0.0 AS chi2, " +
+        "CASE WHEN bins_used >= 3 THEN bins_used - 2 END AS df FROM z"),
+    // Population (1/n) moments in the operator's exact shapes; CCC and
+    // Pearson r off one scan.
+    "q_ccc" ->
+      ("WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS x, " +
+        "CAST(len(string_split(text, ' ')) AS DOUBLE) AS y FROM documents " +
+        "WHERE n_chars IS NOT NULL AND text IS NOT NULL), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM s), " +
+        "z AS (SELECT n, sx / n AS mx, sy / n AS my, " +
+        "sxx / n - (sx / n) * (sx / n) AS vx, syy / n - (sy / n) * (sy / n) AS vy, " +
+        "sxy / n - (sx / n) * (sy / n) AS cov FROM a WHERE n > 0), " +
+        "z2 AS (SELECT *, vx + vy + (mx - my) * (mx - my) AS den FROM z) " +
+        "SELECT n, round(mx, 6) + 0.0 AS mean_x, round(my, 6) + 0.0 AS mean_y, " +
+        "round(CASE WHEN vx > 0.0 AND vy > 0.0 THEN cov / (sqrt(vx) * sqrt(vy)) END, 6) + 0.0 AS pearson_r, " +
+        "round(CASE WHEN den > 0.0 THEN 2.0 * cov / den END, 6) + 0.0 AS ccc FROM z2"),
     // Midrank algebra mirrored operand-for-operand: the rank sum is a
     // dyadic-rational double sum (exact in both engines), AUC one IEEE
     // ratio of it.

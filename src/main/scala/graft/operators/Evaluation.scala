@@ -1008,6 +1008,208 @@ object Evaluation {
         (F.round(F.col("__nmi"), 6) + F.lit(0.0)).as("nmi"))
   }
 
+  /** MATTHEWS correlation coefficient, multiclass R_K form (Matthews
+    * 1975; Gorodkin, Comput. Biol. Chem. 2004): the single number that
+    * stays honest on skewed label distributions where accuracy and even
+    * F1 flatter — MCC = (c·s − Σ_k p_k·t_k) /
+    * √(s² − Σp²)·√(s² − Σt²), with c = correct, s = total, p_k/t_k the
+    * predicted/true margins. Folds from ONE confusion-cell scan; margin
+    * products run in DOUBLE (the kappa discipline — at corpus scale s²
+    * outgrows BIGINT, and the statistic is a ratio anyway). NULL when
+    * either margin is single-class (a constant predictor correlates
+    * with nothing). Output: one row — (n, n_correct, mcc), round 6. */
+  def mcc(df: DataFrame, predCol: String, labelCol: String): DataFrame =
+    mccFromCells(confusionCells(df, predCol, labelCol))
+
+  /** [[mcc]] over a pre-aggregated (pred, label, n) cell frame. */
+  def mccFromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0.localCheckpoint(true)
+    val base = cells.agg(F.sum("n").as("n"),
+      F.sum(F.when(F.col("pred") === F.col("label"), F.col("n")).otherwise(0L))
+        .as("n_correct"))
+    val margins = cells.groupBy(F.col("pred").as("class"))
+      .agg(F.sum("n").as("np"))
+      .join(cells.groupBy(F.col("label").as("class")).agg(F.sum("n").as("nt")),
+        Seq("class"), "full_outer")
+      .agg(
+        F.sum(F.coalesce(F.col("np"), F.lit(0L)).cast("double")
+          * F.coalesce(F.col("nt"), F.lit(0L))).as("__pt"),
+        F.sum(F.coalesce(F.col("np"), F.lit(0L)).cast("double")
+          * F.coalesce(F.col("np"), F.lit(0L))).as("__pp"),
+        F.sum(F.coalesce(F.col("nt"), F.lit(0L)).cast("double")
+          * F.coalesce(F.col("nt"), F.lit(0L))).as("__tt"))
+    base.crossJoin(F.broadcast(margins))
+      .withColumn("__s", F.col("n").cast("double"))
+      .withColumn("__num",
+        F.col("n_correct").cast("double") * F.col("__s") - F.col("__pt"))
+      .withColumn("__dp", F.col("__s") * F.col("__s") - F.col("__pp"))
+      .withColumn("__dt", F.col("__s") * F.col("__s") - F.col("__tt"))
+      .select(F.col("n"), F.col("n_correct"),
+        (F.round(F.when(F.col("__dp") > 0.0 && F.col("__dt") > 0.0,
+          F.col("__num") / (F.sqrt(F.col("__dp")) * F.sqrt(F.col("__dt")))), 6)
+          + F.lit(0.0)).as("mcc"))
+  }
+
+  /** McNEMAR's test (McNemar, Psychometrika 1947) — the PAIRED
+    * accuracy comparison [[aucCompare]]'s threshold-free z leaves open:
+    * two classifiers on the SAME rows, does one make fewer errors? Only
+    * the DISAGREEMENT cells carry information — b = A-right/B-wrong,
+    * c = A-wrong/B-right — and χ² = (b − c)²/(b + c) against χ²₁ (the
+    * uncorrected form; document the convention, don't split the
+    * difference with a hidden continuity correction). One combinable
+    * aggregate. χ²/reject NULL when the classifiers never disagree.
+    * Output: one row — (n, only_a, only_b, chi2, reject_95), χ²
+    * round 4. */
+  def mcnemar(df: DataFrame, predACol: String, predBCol: String,
+              labelCol: String): DataFrame = {
+    val a = F.col(predACol).cast("boolean")
+    val b = F.col(predBCol).cast("boolean")
+    val y = F.col(labelCol).cast("boolean")
+    df.filter(a.isNotNull && b.isNotNull && y.isNotNull)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.count(F.when((a === y) && (b =!= y), 1)).as("only_a"),
+        F.count(F.when((a =!= y) && (b === y), 1)).as("only_b"))
+      .withColumn("__chi",
+        F.when(F.col("only_a") + F.col("only_b") > 0,
+          (F.col("only_a") - F.col("only_b")).cast("double")
+            * (F.col("only_a") - F.col("only_b"))
+            / (F.col("only_a") + F.col("only_b"))))
+      .select(F.col("n"), F.col("only_a"), F.col("only_b"),
+        (F.round(F.col("__chi"), 4) + F.lit(0.0)).as("chi2"),
+        (F.col("__chi") > 3.841459).as("reject_95"))
+  }
+
+  /** WEIGHTED kappa with quadratic weights (Cohen, Psychol. Bull.
+    * 1968) — [[kappa]] for ORDINAL classes, where confusing grade 1
+    * with grade 5 should cost more than with grade 2: κ_w = 1 −
+    * Σw_ij·o_ij / Σw_ij·e_ij with w_ij = (i−j)² and e_ij = r_i·c_j/n.
+    * CONTRACT: classes are a bounded NUMERIC vocabulary (grades,
+    * buckets — the kendallTau axis discipline). The observed
+    * disagreement is one cell scan; the expected one is the margin ×
+    * margin cross product (vocabulary², the documented bounded kernel).
+    * NULL when the expected disagreement is 0 (a single occupied grade
+    * on either margin). Output: one row — (n, kappa_w), round 4. */
+  def weightedKappa(df: DataFrame, predCol: String, labelCol: String): DataFrame = {
+    val x = F.col(predCol).cast("double")
+    val y = F.col(labelCol).cast("double")
+    val cells = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(x.as("pred"), y.as("label"))
+      .agg(F.count(F.lit(1)).as("n"))
+      .localCheckpoint(true)
+    val obs = cells.agg(F.sum("n").as("n"),
+      F.sum((F.col("pred") - F.col("label")) * (F.col("pred") - F.col("label"))
+        * F.col("n")).as("__o"))
+    val rp = cells.groupBy(F.col("pred").as("i")).agg(F.sum("n").as("ri"))
+    val cp = cells.groupBy(F.col("label").as("j")).agg(F.sum("n").as("cj"))
+    val exp = rp.crossJoin(F.broadcast(cp))
+      .agg(F.sum((F.col("i") - F.col("j")) * (F.col("i") - F.col("j"))
+        * (F.col("ri").cast("double") * F.col("cj"))).as("__ewn"))
+    obs.crossJoin(F.broadcast(exp))
+      .filter(F.col("n").isNotNull)
+      .withColumn("__e", F.col("__ewn") / F.col("n"))
+      .select(F.col("n"),
+        (F.round(F.when(F.col("__e") > 0.0,
+          F.lit(1.0) - F.col("__o") / F.col("__e")), 4)
+          + F.lit(0.0)).as("kappa_w"))
+  }
+
+  /** The multiclass board folded to its headline numbers: overall
+    * accuracy, BALANCED accuracy (the unweighted mean recall — chance
+    * level 1/k on any skew, unlike raw accuracy), and macro-F1. Folds
+    * over [[perClass]]'s ROUNDED per-class rates (the fairnessGaps
+    * contract; class key space bounds the fold) — classes with
+    * undefined recall/F1 drop from their mean. Micro-F1 for
+    * single-label classification IS the accuracy, so it is not emitted
+    * twice. Output: one row — (n, n_classes, accuracy,
+    * balanced_accuracy, macro_f1), round 6. */
+  def classSummary(df: DataFrame, predCol: String, labelCol: String): DataFrame = {
+    val cells = confusionCells(df, predCol, labelCol).localCheckpoint(true)
+    val acc = cells.agg(F.sum("n").as("n"),
+      F.sum(F.when(F.col("pred") === F.col("label"), F.col("n")).otherwise(0L))
+        .as("__agree"))
+    val per = perClassFromCells(cells).agg(
+      F.count(F.lit(1)).as("n_classes"),
+      F.avg("recall").as("__ba"), F.avg("f1").as("__mf"))
+    acc.crossJoin(F.broadcast(per))
+      .select(F.col("n"), F.col("n_classes"),
+        (F.round(F.col("__agree").cast("double") / F.col("n"), 6)
+          + F.lit(0.0)).as("accuracy"),
+        (F.round(F.col("__ba"), 6) + F.lit(0.0)).as("balanced_accuracy"),
+        (F.round(F.col("__mf"), 6) + F.lit(0.0)).as("macro_f1"))
+  }
+
+  /** HOSMER–LEMESHOW goodness-of-fit (Hosmer & Lemeshow 1980) — the
+    * calibration χ² behind the reliability diagram: over probability
+    * bins, χ² = Σ_g (O_g − E_g)² / (E_g·(1 − E_g/n_g)) with E_g the sum
+    * of predicted probabilities in the bin. Bins with degenerate
+    * expectation (E = 0 or E = n — the variance term dies) are skipped
+    * and reported in bins_used vs bins_skipped. Same equal-width bin
+    * convention as [[calibrationBins]] (the fixed-cut variant of the
+    * classical equal-size deciles — document, don't pretend). Folds
+    * from the shared (x, c1, c2) count frame, weighted-count form.
+    * Output: one row — (n, bins_used, bins_skipped, chi2, df), χ²
+    * round 4; df = bins_used − 2 (NULL χ²/df when < 3 usable bins). */
+  def hosmerLemeshow(df: DataFrame, probCol: String, labelCol: String,
+                     bins: Int = 10): DataFrame =
+    hosmerLemeshowFromCounts(binaryScoreCounts(df, probCol, labelCol), bins)
+
+  /** [[hosmerLemeshow]] over a pre-aggregated (x, c1, c2) count frame. */
+  def hosmerLemeshowFromCounts(byV: DataFrame, bins: Int = 10): DataFrame =
+    byV.groupBy(F.least(F.floor(F.col("x") * bins), F.lit(bins - 1L))
+        .cast("long").as("bin"))
+      .agg(F.sum(F.col("c1") + F.col("c2")).as("ng"),
+        F.sum(F.col("x") * (F.col("c1") + F.col("c2"))).as("__e"),
+        F.sum("c1").as("__o"))
+      .withColumn("__ok", F.col("__e") > 0.0 && F.col("__e") < F.col("ng"))
+      .withColumn("__term", F.when(F.col("__ok"),
+        (F.col("__o") - F.col("__e")) * (F.col("__o") - F.col("__e"))
+          / (F.col("__e") * (F.lit(1.0) - F.col("__e") / F.col("ng")))))
+      .agg(F.sum("ng").as("n"),
+        F.count(F.when(F.col("__ok"), 1)).as("bins_used"),
+        F.count(F.when(!F.col("__ok"), 1)).as("bins_skipped"),
+        F.sum("__term").as("__chi"))
+      .select(F.col("n"), F.col("bins_used"), F.col("bins_skipped"),
+        (F.round(F.when(F.col("bins_used") >= 3, F.col("__chi")), 4)
+          + F.lit(0.0)).as("chi2"),
+        F.when(F.col("bins_used") >= 3, F.col("bins_used") - 2).as("df"))
+
+  /** LIN's concordance correlation coefficient (Lin, Biometrics
+    * 1989) — agreement of a prediction with a gold CONTINUOUS value:
+    * Pearson r rewards any linear relation, CCC additionally charges
+    * for being off the 45° line (scale or location shift): CCC =
+    * 2·cov / (var_x + var_y + (μx − μy)²), population (1/n) moments.
+    * One combinable moment scan over exact casts; NULL when both
+    * variances AND the mean gap are 0 (a constant identical pair — no
+    * agreement to measure). Output: one row — (n, mean_x, mean_y,
+    * pearson_r, ccc), means round 6, r/ccc round 6. */
+  def concordanceCcc(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    df.filter(x.isNotNull && y.isNotNull)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(x).as("__sx"), F.sum(y).as("__sy"),
+        F.sum(x * x).as("__sxx"), F.sum(y * y).as("__syy"),
+        F.sum(x * y).as("__sxy"))
+      .filter(F.col("n") > 0)
+      .withColumn("__mx", F.col("__sx") / F.col("n"))
+      .withColumn("__my", F.col("__sy") / F.col("n"))
+      .withColumn("__vx", F.col("__sxx") / F.col("n") - F.col("__mx") * F.col("__mx"))
+      .withColumn("__vy", F.col("__syy") / F.col("n") - F.col("__my") * F.col("__my"))
+      .withColumn("__cov", F.col("__sxy") / F.col("n") - F.col("__mx") * F.col("__my"))
+      .withColumn("__den",
+        F.col("__vx") + F.col("__vy")
+          + (F.col("__mx") - F.col("__my")) * (F.col("__mx") - F.col("__my")))
+      .select(F.col("n"),
+        (F.round(F.col("__mx"), 6) + F.lit(0.0)).as("mean_x"),
+        (F.round(F.col("__my"), 6) + F.lit(0.0)).as("mean_y"),
+        (F.round(F.when(F.col("__vx") > 0.0 && F.col("__vy") > 0.0,
+          F.col("__cov") / (F.sqrt(F.col("__vx")) * F.sqrt(F.col("__vy")))), 6)
+          + F.lit(0.0)).as("pearson_r"),
+        (F.round(F.when(F.col("__den") > 0.0,
+          F.lit(2.0) * F.col("__cov") / F.col("__den")), 6)
+          + F.lit(0.0)).as("ccc"))
+  }
+
   /** The shared score frame: one row per distinct score with (positive,
     * negative) counts — the mergeable summary every statistic above
     * re-enters, and the two-sample drift layout with the label as the

@@ -484,6 +484,115 @@ class EvaluationRankSpec extends SparkSpec {
     r.getAs[Double]("qini") shouldBe -0.041667 +- 1e-6
   }
 
+  it("mcc matches the hand binary computation and degenerates to NULL on a constant margin") {
+    // TP=4 TN=3 FP=1 FN=2: binary MCC = (4·3 − 1·2)/√(5·6·4·5) = 0.408248;
+    // the multiclass R_K form reproduces it (num 20, dp 50, dt 48)
+    val df = (Seq.fill(4)(("t", "t")) ++ Seq.fill(3)(("f", "f")) ++
+      Seq.fill(1)(("t", "f")) ++ Seq.fill(2)(("f", "t"))).toDF("p", "y")
+    val r = Evaluation.mcc(df, "p", "y").collect().head
+    r.getAs[Long]("n") shouldBe 10L
+    r.getAs[Long]("n_correct") shouldBe 7L
+    r.getAs[Double]("mcc") shouldBe 0.408248 +- 1e-6
+    // perfect prediction is 1; label swap on balanced classes is −1
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("p", "y")
+    Evaluation.mcc(perfect, "p", "y").collect().head.getAs[Double]("mcc") shouldBe 1.0
+    val anti = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("b", "a")).toDF("p", "y")
+    Evaluation.mcc(anti, "p", "y").collect().head.getAs[Double]("mcc") shouldBe -1.0
+    // a constant predictor: dp = 0 -> NULL, not 0
+    val const = Seq(("a", "a"), ("a", "b")).toDF("p", "y")
+    val c = Evaluation.mcc(const, "p", "y").collect().head
+    c.isNullAt(c.fieldIndex("mcc")) shouldBe true
+  }
+
+  it("mcnemar counts only disagreements; never-disagreeing classifiers are NULL") {
+    // A right/B wrong 6 times, reverse 2: χ² = (6−2)²/8 = 2.0 < 3.84
+    val df = (Seq.fill(6)((true, false, true)) ++ Seq.fill(2)((false, true, true)) ++
+      Seq.fill(5)((true, true, true))).toDF("a", "b", "y")
+    val r = Evaluation.mcnemar(df, "a", "b", "y").collect().head
+    r.getAs[Long]("n") shouldBe 13L
+    r.getAs[Long]("only_a") shouldBe 6L
+    r.getAs[Long]("only_b") shouldBe 2L
+    r.getAs[Double]("chi2") shouldBe 2.0
+    r.getAs[Boolean]("reject_95") shouldBe false
+    // identical classifiers never disagree: χ² undefined, not 0
+    val same = Seq((true, true, true), (false, false, true)).toDF("a", "b", "y")
+    val s = Evaluation.mcnemar(same, "a", "b", "y").collect().head
+    s.isNullAt(s.fieldIndex("chi2")) shouldBe true
+    // a one-sided 10-0 disagreement rejects (χ² = 10)
+    val oneSided = Seq.fill(10)((true, false, true)).toDF("a", "b", "y")
+    Evaluation.mcnemar(oneSided, "a", "b", "y").collect().head
+      .getAs[Boolean]("reject_95") shouldBe true
+  }
+
+  it("weightedKappa charges quadratic grade distance; perfect agreement is 1") {
+    // pairs (0,0),(1,1),(2,2),(0,2): observed Σ(i−j)²n = 4; expected
+    // Σ(i−j)²·ri·cj/n = 26/4 = 6.5 -> κ_w = 1 − 4/6.5 = 0.3846
+    val df = Seq((0, 0), (1, 1), (2, 2), (0, 2)).toDF("p", "y")
+    Evaluation.weightedKappa(df, "p", "y").collect().head
+      .getAs[Double]("kappa_w") shouldBe 0.3846 +- 1e-9
+    val perfect = Seq((0, 0), (1, 1), (2, 2)).toDF("p", "y")
+    Evaluation.weightedKappa(perfect, "p", "y").collect().head
+      .getAs[Double]("kappa_w") shouldBe 1.0
+    // single occupied grade on both margins: expected disagreement 0 -> NULL
+    val const = Seq((1, 1), (1, 1)).toDF("p", "y")
+    val c = Evaluation.weightedKappa(const, "p", "y").collect().head
+    c.isNullAt(c.fieldIndex("kappa_w")) shouldBe true
+  }
+
+  it("classSummary folds the per-class board: balanced accuracy is the mean recall") {
+    // labels: a×3 (2 right), b×1 (0 right), c×2 (2 right); pred-only
+    // class d exists -> recalls {2/3, 0, 1}, balanced = 5/9
+    val df = Seq(("a", "a"), ("a", "a"), ("d", "a"), ("a", "b"),
+      ("c", "c"), ("c", "c")).toDF("p", "y")
+    val r = Evaluation.classSummary(df, "p", "y").collect().head
+    r.getAs[Long]("n") shouldBe 6L
+    r.getAs[Long]("n_classes") shouldBe 4L // a, b, c, d (pred-only counts)
+    r.getAs[Double]("accuracy") shouldBe 0.666667 +- 1e-6
+    r.getAs[Double]("balanced_accuracy") shouldBe (5.0 / 9.0) +- 1e-4
+    // macro-F1 averages only defined F1s (b has no predictions and no
+    // hits -> NULL F1; d has no recall basis but precision 0 -> NULL F1)
+    val f1a = 2.0 * (2.0 / 3.0) * (2.0 / 3.0) / (4.0 / 3.0) // = 2/3
+    r.getAs[Double]("macro_f1") shouldBe ((f1a + 1.0) / 2.0) +- 1e-4
+  }
+
+  it("hosmerLemeshow matches the hand 3-bin walk and skips degenerate bins") {
+    // p=0.05×4 (0 pos): term (0−0.2)²/(0.2·0.95) = 0.210526; p=0.5×4
+    // (2 pos): 0; p=0.95×4 (4 pos): (4−3.8)²/(3.8·0.05) = 0.210526
+    val rows = Seq.fill(4)((0.05, false)) ++
+      Seq((0.5, true), (0.5, true), (0.5, false), (0.5, false)) ++
+      Seq.fill(4)((0.95, true))
+    val r = Evaluation.hosmerLemeshow(rows.toDF("p", "y"), "p", "y")
+      .collect().head
+    r.getAs[Long]("n") shouldBe 12L
+    r.getAs[Long]("bins_used") shouldBe 3L
+    r.getAs[Long]("bins_skipped") shouldBe 0L
+    r.getAs[Double]("chi2") shouldBe 0.4211 +- 1e-9
+    r.getAs[Long]("df") shouldBe 1L
+    // p ≡ 0 bins die (E = 0) and under 3 usable bins χ² is NULL
+    val degen = (Seq.fill(4)((0.0, false)) ++ Seq.fill(4)((0.5, true)))
+      .toDF("p", "y")
+    val d = Evaluation.hosmerLemeshow(degen, "p", "y").collect().head
+    d.getAs[Long]("bins_skipped") shouldBe 1L
+    d.isNullAt(d.fieldIndex("chi2")) shouldBe true
+  }
+
+  it("concordanceCcc charges location shift that Pearson forgives") {
+    // y = x + 1: r = 1 but CCC = 2·(2/3)/(2/3 + 2/3 + 1) = 4/7
+    val df = Seq((1.0, 2.0), (2.0, 3.0), (3.0, 4.0)).toDF("x", "y")
+    val r = Evaluation.concordanceCcc(df, "x", "y").collect().head
+    r.getAs[Double]("pearson_r") shouldBe 1.0
+    r.getAs[Double]("ccc") shouldBe (4.0 / 7.0) +- 1e-6
+    // perfect identity: both 1
+    val id = Seq((1.0, 1.0), (2.0, 2.0), (5.0, 5.0)).toDF("x", "y")
+    val i = Evaluation.concordanceCcc(id, "x", "y").collect().head
+    i.getAs[Double]("ccc") shouldBe 1.0
+    i.getAs[Double]("pearson_r") shouldBe 1.0
+    // identical constants: nothing to agree on -> NULL, not 1
+    val const = Seq((2.0, 2.0), (2.0, 2.0)).toDF("x", "y")
+    val c = Evaluation.concordanceCcc(const, "x", "y").collect().head
+    c.isNullAt(c.fieldIndex("ccc")) shouldBe true
+  }
+
   it("the PAVA driver fold refuses a data-sized score axis; the gridded variant tames it") {
     // 12 distinct continuous scores against a cap of 10: fail LOUDLY
     // before the driver materializes an unbounded axis

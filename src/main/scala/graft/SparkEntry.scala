@@ -1223,6 +1223,22 @@ object SparkEntry {
       Survival.coxPhMulti(cohortSubjectsMulti(s, dir), "dur", "obs",
         Seq("x1", "x2")).orderBy("covariate")
     }),
+    // The curves the hazard ratio summarizes: Breslow baseline
+    // cumulative hazard at the fit + both cohorts' model-predicted
+    // survival (proportional BY construction — the eyeball companion
+    // to the raw KM curves); driver fold over the same collected
+    // duration axis == the oracle's ordered window sum.
+    "q_cox_baseline" -> ((s, dir) => {
+      Survival.coxBaseline(cohortSubjects(s, dir), "dur", "obs", "cohort")
+        .orderBy("t")
+    }),
+    // The assumption audit under the whole family: Schoenfeld score
+    // residuals at the fit should be patternless in time — a
+    // significant corr(r_t, t) means the hazard ratio drifts and the
+    // single beta averages a moving target.
+    "q_cox_ph_check" -> ((s, dir) => {
+      Survival.coxSchoenfeldTrend(cohortSubjects(s, dir), "dur", "obs", "cohort")
+    }),
     // Harrell's C for the same binary risk score (cohort 1 vs 0, the
     // coxph x = 1 coding): discrimination, the third read of the
     // two-cohort design — pair counting folded over the per-duration
@@ -1530,6 +1546,21 @@ object SparkEntry {
     "q_kappa" -> ((s, dir) =>
       Evaluation.kappa(
         TextAnalysis.langId(t(s, dir, "documents"), "text"), "pred_lang", "lang")),
+    // Fleiss' kappa across THREE deterministic rule-raters per document
+    // (length, stopword, word-count votes on 'en'/'other') — the
+    // multi-rater agreement read before noisy labels are trusted.
+    "q_fleiss" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(F.col("doc_id").isNotNull && F.col("n_chars").isNotNull &&
+          F.col("text").isNotNull)
+      Evaluation.fleissKappa(
+        d.select(F.col("doc_id").as("item"), F.explode(F.array(
+          F.when(F.col("n_chars") > 300, "en").otherwise("other"),
+          F.when(F.col("text").contains(" the "), "en").otherwise("other"),
+          F.when(F.size(F.split(F.col("text"), " ")) > 50, "en").otherwise("other")
+        )).as("vote")),
+        "item", "vote")
+    }),
     // Matthews correlation (multiclass R_K) for the same pair — the
     // skew-honest single number; margin products in DOUBLE (s² outgrows
     // BIGINT at corpus scale), one cell scan.
@@ -1596,6 +1627,13 @@ object SparkEntry {
     // label; skill vs the climatology forecast p ≡ prevalence.
     "q_brier" -> ((s, dir) =>
       Evaluation.brier(docProb(t(s, dir, "documents")), "p_en", "is_en")),
+    // Murphy decomposition of the same score: BS = reliability −
+    // resolution + uncertainty EXACTLY at distinct-value bins — the
+    // "why is my Brier bad" read (calibration debt vs discrimination
+    // credit vs climate difficulty).
+    "q_brier_decomp" -> ((s, dir) =>
+      Evaluation.brierDecomposition(docProb(t(s, dir, "documents")),
+        "p_en", "is_en")),
     // Reliability diagram of the same probability: 10 equal-width bins,
     // predicted-vs-observed positive rate per bin, right-edge clamped.
     "q_calibration" -> ((s, dir) =>
@@ -1637,6 +1675,16 @@ object SparkEntry {
           F.least(F.col("n_chars"), F.lit(600L)).cast("double") / 600.0)
       Drift.ipwAte(d, "treat", "y", "p")
     }),
+    // E-value robustness audit of the crude treated/control risk ratio
+    // on the same confounded assignment: how strong an unmeasured
+    // confounder must be to explain the association away entirely.
+    "q_evalue" -> ((s, dir) =>
+      Drift.eValue(
+        t(s, dir, "documents")
+          .withColumn("treat",
+            (F.col("doc_id") % 10) < F.when(F.col("lang") === "en", 8).otherwise(3))
+          .withColumn("is_en", F.col("lang") === "en"),
+        "treat", "is_en")),
     // Kendall's tau-b between length and word-count deciles — the
     // inversion-counting association read over bounded vocabularies;
     // one conditional aggregate over the cells x cells bounded kernel.
@@ -4229,18 +4277,23 @@ object SparkEntry {
     * the n0 addition) — then β_k = round(β_{k-1} + U/I, 9), the same
     * BigDecimal HALF_UP snap. Final row recomputes I(β̂) for the se and
     * the Wald test. */
-  private def coxTailSql(steps: Int): String = {
-    val uT = "CAST(dx AS DOUBLE) - CAST(d AS DOUBLE) * nx * exp(beta) / " +
+  private val coxUtSql: String =
+    "CAST(dx AS DOUBLE) - CAST(d AS DOUBLE) * nx * exp(beta) / " +
       "(CAST(n0 AS DOUBLE) + CAST(nx AS DOUBLE) * exp(beta))"
-    val iT = "CAST(d AS DOUBLE) * n0 * nx * exp(beta) / " +
+  private val coxItSql: String =
+    "CAST(d AS DOUBLE) * n0 * nx * exp(beta) / " +
       "((CAST(n0 AS DOUBLE) + CAST(nx AS DOUBLE) * exp(beta)) * " +
       "(CAST(n0 AS DOUBLE) + CAST(nx AS DOUBLE) * exp(beta)))"
-    def pass(name: String, prevB: String): String =
-      s"$name AS (SELECT sum($uT) OVER w AS us, sum($iT) OVER w AS is_, " +
-        "row_number() OVER (ORDER BY t DESC) AS rn " +
-        s"FROM ev2, $prevB WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING))"
+  private def coxPassSql(name: String, prevB: String): String =
+    s"$name AS (SELECT sum($coxUtSql) OVER w AS us, sum($coxItSql) OVER w AS is_, " +
+      "row_number() OVER (ORDER BY t DESC) AS rn " +
+      s"FROM ev2, $prevB WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING))"
+  /** The shared Cox β̂ chain over `evr`: ev2/tot2/b0 + the unrolled
+    * 9-snapped Newton steps ending at CTE `b{steps}` — reused by the
+    * fit tail, the baseline-hazard mirror, and the PH-trend mirror. */
+  private def coxBetaCtes(steps: Int): String = {
     val stepCtes = (1 to steps).map { k =>
-      pass(s"s$k", s"b${k - 1}") + ", " +
+      coxPassSql(s"s$k", s"b${k - 1}") + ", " +
         s"b$k AS (SELECT CASE WHEN is_ > 0 THEN round(beta + us / is_, 9) " +
         s"ELSE beta END AS beta FROM s$k, b${k - 1} WHERE rn = 1)"
     }.mkString(", ")
@@ -4248,8 +4301,11 @@ object SparkEntry {
       "tot2 AS (SELECT max(nn1) AS n_a, max(nn2) AS n_b, " +
       "CAST(sum(dt) AS BIGINT) AS d_total FROM evr), " +
       "b0 AS (SELECT CAST(0 AS DOUBLE) AS beta), " +
-      stepCtes + ", " +
-      pass("sfin", s"b$steps") + " " +
+      stepCtes
+  }
+  private def coxTailSql(steps: Int): String = {
+    coxBetaCtes(steps) + ", " +
+      coxPassSql("sfin", s"b$steps") + " " +
       "SELECT n_a, n_b, d_total, " +
       "CASE WHEN is_ > 0 THEN round(beta, 6) + 0.0 END AS beta, " +
       "CASE WHEN is_ > 0 THEN round(exp(beta), 6) + 0.0 END AS hr, " +
@@ -5206,6 +5262,27 @@ object SparkEntry {
         "z AS (SELECT n, CAST(agree AS DOUBLE) / n AS po2, pewn / n / n AS pe2 FROM po, pe) " +
         "SELECT n, round(po2, 6) + 0.0 AS accuracy, round(pe2, 6) + 0.0 AS expected_accuracy, " +
         "round(CASE WHEN pe2 < 1.0 THEN (po2 - pe2) / (1.0 - pe2) END, 4) + 0.0 AS kappa FROM z"),
+    // Three rule-raters per doc via UNION ALL; P̄ from the pooled
+    // integer identity, P_e over the category vocabulary.
+    "q_fleiss" ->
+      ("WITH v AS (SELECT doc_id AS item, CASE WHEN n_chars > 300 THEN 'en' ELSE 'other' END AS cat " +
+        "FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND text IS NOT NULL " +
+        "UNION ALL SELECT doc_id, CASE WHEN contains(text, ' the ') THEN 'en' ELSE 'other' END " +
+        "FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND text IS NOT NULL " +
+        "UNION ALL SELECT doc_id, CASE WHEN len(string_split(text, ' ')) > 50 THEN 'en' ELSE 'other' END " +
+        "FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND text IS NOT NULL), " +
+        "cells AS (SELECT item, cat, CAST(count(*) AS BIGINT) AS nij FROM v GROUP BY 1, 2), " +
+        "pi AS (SELECT item, CAST(sum(nij) AS BIGINT) AS ni, CAST(sum(nij * nij) AS BIGINT) AS sq FROM cells GROUP BY 1), " +
+        "it AS (SELECT CAST(count(*) AS BIGINT) AS n_items, CAST(min(ni) AS BIGINT) AS nmin, " +
+        "CAST(max(ni) AS BIGINT) AS nmax, CAST(sum(sq) AS BIGINT) AS sqs, CAST(sum(ni) AS BIGINT) AS votes FROM pi), " +
+        "pe AS (SELECT sum((CAST(cj AS DOUBLE) / votes) * (CAST(cj AS DOUBLE) / votes)) AS pe2 FROM " +
+        "(SELECT CAST(sum(nij) AS BIGINT) AS cj FROM cells GROUP BY cat), it), " +
+        "z AS (SELECT n_items, nmin, nmax, nmin = nmax AND nmax > 1 AS ok, " +
+        "CASE WHEN nmin = nmax AND nmax > 1 THEN CAST(sqs - n_items * nmax AS DOUBLE) " +
+        "/ (n_items * nmax * (nmax - 1)) END AS pbar, pe2 FROM it, pe) " +
+        "SELECT n_items, CASE WHEN nmin = nmax THEN nmax END AS n_raters, " +
+        "round(pbar, 6) + 0.0 AS p_bar, round(CASE WHEN ok THEN pe2 END, 6) + 0.0 AS p_e, " +
+        "round(CASE WHEN ok AND pe2 < 1.0 THEN (pbar - pe2) / (1.0 - pe2) END, 4) + 0.0 AS kappa FROM z"),
     // Margin products in DOUBLE (the operator's s²-outgrows-BIGINT
     // rationale); full-outer class margins so one-sided classes weigh 0.
     "q_mcc" ->
@@ -5333,6 +5410,20 @@ object SparkEntry {
         "z AS (SELECT n, n_pos, se / n AS bs, (CAST(n_pos AS DOUBLE) / n) * (1.0 - CAST(n_pos AS DOUBLE) / n) AS ref FROM a) " +
         "SELECT n, n_pos, round(bs, 6) + 0.0 AS brier, round(ref, 6) + 0.0 AS brier_ref, " +
         "round(CASE WHEN ref > 0.0 THEN 1.0 - bs / ref END, 4) + 0.0 AS skill FROM z"),
+    // Murphy terms at distinct-value bins, per-value means in the
+    // operator's exact shapes; ȳ a 1-row broadcast in both engines.
+    "q_brier_decomp" ->
+      (binCountsCte(docProbSql) +
+        ", nn AS (SELECT CAST(sum(c1) AS BIGINT) AS n_pos, CAST(sum(c1 + c2) AS BIGINT) AS n FROM c), " +
+        "y AS (SELECT n, n_pos, CAST(n_pos AS DOUBLE) / n AS ybar FROM nn), " +
+        "ag AS (SELECT max(n) AS n, max(n_pos) AS n_pos, max(ybar) AS ybar, " +
+        "sum((c1 + c2) * (x - CAST(c1 AS DOUBLE) / (c1 + c2)) * (x - CAST(c1 AS DOUBLE) / (c1 + c2))) AS rel, " +
+        "sum((c1 + c2) * (CAST(c1 AS DOUBLE) / (c1 + c2) - ybar) * (CAST(c1 AS DOUBLE) / (c1 + c2) - ybar)) AS res, " +
+        "sum(c1 * (x - 1.0) * (x - 1.0) + c2 * x * x) AS se FROM c, y) " +
+        "SELECT CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos, " +
+        "round(se / n, 6) + 0.0 AS brier, round(rel / n, 6) + 0.0 AS reliability, " +
+        "round(res / n, 6) + 0.0 AS resolution, " +
+        "round(ybar * (1.0 - ybar), 6) + 0.0 AS uncertainty FROM ag WHERE n IS NOT NULL"),
     "q_calibration" ->
       (binCountsCte(docProbSql) +
         ", b AS (SELECT CAST(least(floor(x * 10), 9) AS BIGINT) AS bin, CAST(sum(c1 + c2) AS BIGINT) AS n, " +
@@ -5473,6 +5564,22 @@ object SparkEntry {
         "CASE WHEN sw0 > 0.0 THEN sy0 / sw0 END AS m0 FROM a WHERE n > 0) " +
         "SELECT n, n_treated, round(m1, 6) + 0.0 AS mu_treated, " +
         "round(m0, 6) + 0.0 AS mu_control, round(m1 - m0, 6) + 0.0 AS ate FROM z"),
+    // Crude two-arm risk ratio oriented above 1, E = RR* + √(RR*(RR*−1));
+    // RR = 0 stays NULL (an infinite E thresholds nothing).
+    "q_evalue" ->
+      ("WITH s AS (SELECT doc_id % 10 < CASE WHEN lang = 'en' THEN 8 ELSE 3 END AS t, " +
+        "lang = 'en' AS y FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(CASE WHEN t THEN 1 END) AS BIGINT) AS n_treated, " +
+        "CAST(count(CASE WHEN t AND y THEN 1 END) AS BIGINT) AS p1, " +
+        "CAST(count(CASE WHEN NOT t THEN 1 END) AS BIGINT) AS n0, " +
+        "CAST(count(CASE WHEN NOT t AND y THEN 1 END) AS BIGINT) AS p0 FROM s), " +
+        "z AS (SELECT n, n_treated, CASE WHEN n_treated > 0 THEN CAST(p1 AS DOUBLE) / n_treated END AS rt, " +
+        "CASE WHEN n0 > 0 THEN CAST(p0 AS DOUBLE) / n0 END AS rc FROM a), " +
+        "z2 AS (SELECT *, CASE WHEN rc > 0.0 THEN rt / rc END AS rr FROM z), " +
+        "z3 AS (SELECT *, CASE WHEN rr >= 1.0 THEN rr ELSE CASE WHEN rr > 0.0 THEN 1.0 / rr END END AS rs FROM z2) " +
+        "SELECT n, n_treated, round(rt, 6) + 0.0 AS rate_treated, round(rc, 6) + 0.0 AS rate_control, " +
+        "round(rr, 6) + 0.0 AS rr, round(rs + sqrt(rs * (rs - 1.0)), 4) + 0.0 AS evalue FROM z3"),
     // P/Q as one conditional aggregate over the cells self-product;
     // tie corrections in exact // 2 integer halving, the sqrt operand
     // cast-then-multiplied exactly as the operator.
@@ -6109,6 +6216,35 @@ object SparkEntry {
     // 5-sum score/information passes, and the 2x2 Cramer Newton steps
     // unrolled — every term shape written exactly as the driver fold.
     "q_coxph_multi" -> coxMultiSql(steps = 4),
+    // Baseline cumulative hazard at b4: one ordered window sum of
+    // d/S0(β̂) over the event axis, curves as exp() of it.
+    "q_cox_baseline" ->
+      (cohortSurvCtes + coxBetaCtes(4) +
+        ", bl AS (SELECT t, d, n0 + nx AS n_risk, " +
+        "sum(CAST(d AS DOUBLE) / (CAST(n0 AS DOUBLE) + CAST(nx AS DOUBLE) * exp(beta))) " +
+        "OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS h0 FROM ev2, b4) " +
+        "SELECT t, d, CAST(n_risk AS BIGINT) AS n_risk, round(h0, 6) + 0.0 AS h0, " +
+        "round(exp(-h0), 6) + 0.0 AS surv_a, " +
+        "round(exp(-h0 * exp(beta)), 6) + 0.0 AS surv_b FROM bl, b4 ORDER BY t"),
+    // Schoenfeld trend: the U-term at b4 as the residual, Pearson
+    // moments as ordered window sums (t sums exact BIGINTs), the
+    // corr/z algebra mirrored shape-for-shape.
+    "q_cox_ph_check" ->
+      (cohortSurvCtes + coxBetaCtes(4) +
+        s", sc AS (SELECT sum($coxUtSql) OVER w AS sr, " +
+        s"sum(($coxUtSql) * ($coxUtSql)) OVER w AS srr, " +
+        s"sum(CAST(t AS DOUBLE) * ($coxUtSql)) OVER w AS str, " +
+        "CAST(sum(t) OVER w AS BIGINT) AS st, CAST(sum(t * t) OVER w AS BIGINT) AS stt, " +
+        "CAST(count(*) OVER w AS BIGINT) AS ne, row_number() OVER (ORDER BY t DESC) AS rn " +
+        "FROM ev2, b4 WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)), " +
+        "ff AS (SELECT ne, CAST(ne AS DOUBLE) * str - CAST(st AS DOUBLE) * sr AS num, " +
+        "CAST(ne AS DOUBLE) * stt - CAST(st AS DOUBLE) * st AS dent, " +
+        "CAST(ne AS DOUBLE) * srr - sr * sr AS denr FROM sc WHERE rn = 1), " +
+        "cc AS (SELECT ne, CASE WHEN dent > 0 AND denr > 0 THEN num / (sqrt(dent) * sqrt(denr)) END AS corr FROM ff), " +
+        "zz AS (SELECT ne, corr, CASE WHEN ne > 2 AND abs(corr) < 1.0 " +
+        "THEN corr * sqrt(CAST(ne AS DOUBLE) - 2.0) / sqrt(1.0 - corr * corr) END AS z FROM cc) " +
+        "SELECT ne AS n_events, round(beta, 6) + 0.0 AS beta, round(corr, 4) + 0.0 AS corr, " +
+        "round(z, 4) + 0.0 AS z, abs(z) > CAST(1.96 AS DOUBLE) AS ph_violated_95 FROM zz, b4"),
     // Pair counts folded over the same evr risk-set frame: concordant =
     // gb-event × ga-longer, ties (same-score pairs) half-credited by
     // carrying 2× the numerator — all BIGINT until the final division.

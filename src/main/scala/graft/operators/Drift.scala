@@ -324,6 +324,46 @@ object Drift {
     * EMPTY on empty input; NULL means when an arm is empty.
     * Output: one row — (n, n_treated, mu_treated, mu_control, ate),
     * round 6. */
+  /** E-VALUE for unmeasured confounding (VanderWeele & Ding, Ann.
+    * Intern. Med. 2017) — the robustness audit every observational
+    * effect estimate owes its reader: the minimum risk ratio an
+    * UNMEASURED confounder would need with BOTH treatment and outcome
+    * to explain the whole observed association away, E = RR* +
+    * √(RR*·(RR*−1)) with RR* the observed risk ratio oriented above 1
+    * (a protective RR inverts first — the published convention). The
+    * crude RR here is the unadjusted two-arm rate ratio of a BINARY
+    * outcome — the honest companion to [[diffInDiff]]/[[ipwAte]], not a
+    * replacement. One combinable aggregate; RR/E NULL when either arm
+    * is empty or the control rate is 0 (RR undefined — not ∞).
+    * Output: one row — (n, n_treated, rate_treated, rate_control, rr,
+    * evalue), rates/rr round 6, E round 4. */
+  def eValue(df: DataFrame, treatCol: String, outcomeCol: String): DataFrame = {
+    val t = F.col(treatCol).cast("boolean")
+    val y = F.col(outcomeCol).cast("boolean")
+    df.filter(t.isNotNull && y.isNotNull)
+      .agg(F.count(F.lit(1)).as("n"),
+        F.count(F.when(t, 1)).as("n_treated"),
+        F.count(F.when(t && y, 1)).as("__p1"),
+        F.count(F.when(!t, 1)).as("__n0"),
+        F.count(F.when(!t && y, 1)).as("__p0"))
+      .withColumn("__rt", F.when(F.col("n_treated") > 0,
+        F.col("__p1").cast("double") / F.col("n_treated")))
+      .withColumn("__rc", F.when(F.col("__n0") > 0,
+        F.col("__p0").cast("double") / F.col("__n0")))
+      .withColumn("__rr", F.when(F.col("__rc") > 0.0, F.col("__rt") / F.col("__rc")))
+      // orient above 1; an exactly-null RR = 1 has E = 1 (nothing to
+      // explain); RR = 0 stays NULL (an infinite E is not a number a
+      // robustness gate can threshold)
+      .withColumn("__rs", F.when(F.col("__rr") >= 1.0, F.col("__rr"))
+        .otherwise(F.when(F.col("__rr") > 0.0, F.lit(1.0) / F.col("__rr"))))
+      .withColumn("__e", F.col("__rs") + F.sqrt(F.col("__rs") * (F.col("__rs") - 1.0)))
+      .select(F.col("n"), F.col("n_treated"),
+        (F.round(F.col("__rt"), 6) + F.lit(0.0)).as("rate_treated"),
+        (F.round(F.col("__rc"), 6) + F.lit(0.0)).as("rate_control"),
+        (F.round(F.col("__rr"), 6) + F.lit(0.0)).as("rr"),
+        (F.round(F.col("__e"), 4) + F.lit(0.0)).as("evalue"))
+  }
+
   def ipwAte(df: DataFrame, treatCol: String, outcomeCol: String,
              probCol: String): DataFrame = {
     val t = F.col(treatCol).cast("boolean")

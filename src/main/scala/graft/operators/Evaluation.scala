@@ -1173,6 +1173,91 @@ object Evaluation {
           + F.lit(0.0)).as("chi2"),
         F.when(F.col("bins_used") >= 3, F.col("bins_used") - 2).as("df"))
 
+  /** MURPHY decomposition of the Brier score (Murphy, J. Appl.
+    * Meteorol. 1973): binned by DISTINCT forecast value, BS splits
+    * EXACTLY into reliability − resolution + uncertainty —
+    * REL = Σ_k n_k(x_k − ȳ_k)²/n (how far each forecast value sits
+    * from its realized rate: the calibration debt), RES = Σ_k n_k(ȳ_k
+    * − ȳ)²/n (how much the forecasts separate outcomes: the
+    * discrimination credit), UNC = ȳ(1 − ȳ) (the climate's intrinsic
+    * difficulty — no forecast can beat it by more than RES). The
+    * identity BS = REL − RES + UNC holds exactly at distinct-value
+    * "bins" (it breaks under coarser binning — which is why this
+    * decomposes the [[brier]] number rather than the 10-bin diagram).
+    * One scan of the shared count frame + a broadcast prevalence.
+    * Output: one row — (n, n_pos, brier, reliability, resolution,
+    * uncertainty), round 6. */
+  def brierDecomposition(df: DataFrame, probCol: String,
+                         labelCol: String): DataFrame =
+    brierDecompositionFromCounts(binaryScoreCounts(df, probCol, labelCol))
+
+  /** [[brierDecomposition]] over a pre-aggregated (x, c1, c2) frame. */
+  def brierDecompositionFromCounts(byV: DataFrame): DataFrame = {
+    val tot = byV.agg(F.sum("c1").as("n_pos"),
+      F.sum(F.col("c1") + F.col("c2")).as("n"))
+      .withColumn("__ybar", F.col("n_pos").cast("double") / F.col("n"))
+    val nk = F.col("c1") + F.col("c2")
+    val yk = F.col("c1").cast("double") / nk
+    byV.crossJoin(F.broadcast(tot))
+      .agg(F.max("n").as("n"), F.max("n_pos").as("n_pos"),
+        F.max("__ybar").as("__ybar"),
+        F.sum(nk * (F.col("x") - yk) * (F.col("x") - yk)).as("__rel"),
+        F.sum(nk * (yk - F.col("__ybar")) * (yk - F.col("__ybar"))).as("__res"),
+        F.sum(F.col("c1") * (F.col("x") - 1.0) * (F.col("x") - 1.0)
+          + F.col("c2") * F.col("x") * F.col("x")).as("__se"))
+      .filter(F.col("n").isNotNull)
+      .select(F.col("n"), F.col("n_pos"),
+        (F.round(F.col("__se") / F.col("n"), 6) + F.lit(0.0)).as("brier"),
+        (F.round(F.col("__rel") / F.col("n"), 6) + F.lit(0.0)).as("reliability"),
+        (F.round(F.col("__res") / F.col("n"), 6) + F.lit(0.0)).as("resolution"),
+        (F.round(F.col("__ybar") * (F.lit(1.0) - F.col("__ybar")), 6)
+          + F.lit(0.0)).as("uncertainty"))
+  }
+
+  /** FLEISS' kappa (Fleiss, Psychol. Bull. 1971) — chance-corrected
+    * agreement for MANY raters: `df` is one row per (item, rater vote),
+    * n raters per item. P_i = (Σ_j n_ij² − n)/(n(n−1)) is item i's
+    * observed pair-agreement, P̄ their mean, P_e = Σ_j p_j² the chance
+    * agreement of the pooled category distribution, κ = (P̄ − P_e)/(1 −
+    * P_e). Everything folds from the (item, category) count frame —
+    * combinable scans keyed by the item (data-sized but never
+    * collected) and the category vocabulary. Requires a CONSTANT rater
+    * count per item (the classical statistic): a varying count yields
+    * NULL κ with the min/max counts reported rather than a silently
+    * wrong number. κ NULL when P_e = 1 (all votes one category).
+    * Output: one row — (n_items, n_raters, p_bar, p_e, kappa), P̄/P_e
+    * round 6, κ round 4. */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String): DataFrame = {
+    val cells = df.filter(F.col(itemCol).isNotNull && F.col(catCol).isNotNull)
+      .groupBy(F.col(itemCol).as("item"), F.col(catCol).as("cat"))
+      .agg(F.count(F.lit(1)).as("nij"))
+      .localCheckpoint(true)
+    val perItem = cells.groupBy("item")
+      .agg(F.sum("nij").as("ni"), F.sum(F.col("nij") * F.col("nij")).as("__sq"))
+    val items = perItem.agg(F.count(F.lit(1)).as("n_items"),
+      F.min("ni").as("__nmin"), F.max("ni").as("__nmax"),
+      F.sum("__sq").as("__sqs"), F.sum("ni").as("__votes"))
+    val catP = cells.groupBy("cat").agg(F.sum("nij").as("cj"))
+      .crossJoin(F.broadcast(items.select(F.col("__votes").as("__v"))))
+      .agg(F.sum((F.col("cj").cast("double") / F.col("__v"))
+        * (F.col("cj").cast("double") / F.col("__v"))).as("__pe"))
+    items.crossJoin(F.broadcast(catP))
+      .filter(F.col("n_items") > 0)
+      .withColumn("__n", F.col("__nmax"))
+      .withColumn("__ok", F.col("__nmin") === F.col("__nmax") && F.col("__n") > 1)
+      // P̄ = (Σ_i Σ_j n_ij² − N·n) / (N·n·(n−1)), the item mean folded
+      .withColumn("__pbar", F.when(F.col("__ok"),
+        (F.col("__sqs") - F.col("n_items") * F.col("__n")).cast("double")
+          / (F.col("n_items") * F.col("__n") * (F.col("__n") - 1))))
+      .select(F.col("n_items"),
+        F.when(F.col("__nmin") === F.col("__nmax"), F.col("__n")).as("n_raters"),
+        (F.round(F.col("__pbar"), 6) + F.lit(0.0)).as("p_bar"),
+        (F.round(F.when(F.col("__ok"), F.col("__pe")), 6) + F.lit(0.0)).as("p_e"),
+        (F.round(F.when(F.col("__ok") && F.col("__pe") < 1.0,
+          (F.col("__pbar") - F.col("__pe")) / (F.lit(1.0) - F.col("__pe"))), 4)
+          + F.lit(0.0)).as("kappa"))
+  }
+
   /** LIN's concordance correlation coefficient (Lin, Biometrics
     * 1989) — agreement of a prediction with a gold CONTINUOUS value:
     * Pearson r rewards any linear relation, CCC additionally charges

@@ -656,10 +656,11 @@ object Survival {
       .agg(F.sum(F.col(obsCol).cast("long")).as("d"),
         F.count(F.lit(1)).as("c")), steps)
 
-  /** The fit over the pre-aggregated (t, g, d, c) frame — the same
-    * mergeable summary [[logRankFromCounts]] re-enters. */
-  def coxPhFromCounts(byTG: DataFrame, steps: Int = 4): DataFrame = {
-    val spark = byTG.sparkSession
+  /** The shared two-cohort event frame behind the Cox family: per
+    * event time (t, d, dx, n0, nx, nn1, nn2) in t order, collected —
+    * the duration axis is days-sized, bounded, and every consumer's
+    * driver fold must accumulate in exactly this order. */
+  private def twoCohortEvents(byTG: DataFrame): Array[org.apache.spark.sql.Row] = {
     val gs = byTG.agg(F.min("g").as("ga"), F.max("g").as("gb"))
       .filter(F.col("ga") =!= F.col("gb"))
     val perT = byTG.crossJoin(F.broadcast(gs))
@@ -673,17 +674,54 @@ object Survival {
     val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // per-event-time risk sets, the logRank construction: n at risk =
     // total − everyone who exited strictly before t
-    val ev = perT.crossJoin(F.broadcast(tot))
+    perT.crossJoin(F.broadcast(tot))
       .withColumn("n0", F.col("nn1") - F.sum("c1").over(w) + F.col("c1"))
       .withColumn("nx", F.col("nn2") - F.sum("c2").over(w) + F.col("c2"))
       .filter(F.col("d1") + F.col("d2") > 0)
       .select(F.col("t"), (F.col("d1") + F.col("d2")).as("d"),
         F.col("d2").as("dx"), F.col("n0"), F.col("nx"),
         F.col("nn1"), F.col("nn2"))
-    // duration axis (days-sized, bounded) to the driver, in t order —
-    // the fold below must accumulate in exactly this order
-    val rows = ev.orderBy("t")
-      .select("d", "dx", "n0", "nx", "nn1", "nn2").collect()
+      .orderBy("t")
+      .select("t", "d", "dx", "n0", "nx", "nn1", "nn2").collect()
+  }
+
+  /** (U, I) at β over a [[twoCohortEvents]] frame — term shapes EXACTLY
+    * as the SQL mirror writes them (left-associated products, nx·e^β
+    * before the n0 addition), accumulated in t order: bit-identical to
+    * the ordered window sums. */
+  private def breslowScoreInfo(rows: Array[org.apache.spark.sql.Row],
+                               beta: Double): (Double, Double) = {
+    val eb = math.exp(beta)
+    var u = 0.0; var i = 0.0
+    rows.foreach { r =>
+      val d = r.getLong(1).toDouble; val dx = r.getLong(2).toDouble
+      val n0 = r.getLong(3).toDouble; val nx = r.getLong(4).toDouble
+      val den = n0 + nx * eb
+      u = u + (dx - d * nx * eb / den)
+      i = i + d * n0 * nx * eb / (den * den)
+    }
+    (u, i)
+  }
+
+  private def rdN(x: Double, n: Int): Double =
+    BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The 9-snapped Breslow Newton over a collected event frame. */
+  private def breslowBeta(rows: Array[org.apache.spark.sql.Row],
+                          steps: Int): Double = {
+    var beta = 0.0
+    (1 to steps).foreach { _ =>
+      val (u, i) = breslowScoreInfo(rows, beta)
+      if (i > 0) beta = rdN(beta + u / i, 9)
+    }
+    beta
+  }
+
+  /** The fit over the pre-aggregated (t, g, d, c) frame — the same
+    * mergeable summary [[logRankFromCounts]] re-enters. */
+  def coxPhFromCounts(byTG: DataFrame, steps: Int = 4): DataFrame = {
+    val spark = byTG.sparkSession
+    val rows = twoCohortEvents(byTG)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n_a", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_b", org.apache.spark.sql.types.LongType),
@@ -694,33 +732,11 @@ object Survival {
       org.apache.spark.sql.types.StructField("reject_95", org.apache.spark.sql.types.BooleanType)))
     if (rows.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
-    val nA = rows.head.getLong(4); val nB = rows.head.getLong(5)
-    val dTotal = rows.map(_.getLong(0)).sum
-    // (U, I) at a given β — term shapes EXACTLY as the SQL mirror writes
-    // them (left-associated products, nx·e^β before the n0 addition),
-    // accumulated in t order: bit-identical to the ordered window sums
-    def scoreInfo(beta: Double): (Double, Double) = {
-      val eb = math.exp(beta)
-      var u = 0.0; var i = 0.0
-      rows.foreach { r =>
-        val d = r.getLong(0).toDouble; val dx = r.getLong(1).toDouble
-        val n0 = r.getLong(2).toDouble; val nx = r.getLong(3).toDouble
-        val den = n0 + nx * eb
-        u = u + (dx - d * nx * eb / den)
-        i = i + d * n0 * nx * eb / (den * den)
-      }
-      (u, i)
-    }
-    def rd9(x: Double): Double =
-      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    def rd6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
-    var beta = 0.0
-    (1 to steps).foreach { _ =>
-      val (u, i) = scoreInfo(beta)
-      if (i > 0) beta = rd9(beta + u / i)
-    }
-    val (_, iFinal) = scoreInfo(beta)
+    val nA = rows.head.getLong(5); val nB = rows.head.getLong(6)
+    val dTotal = rows.map(_.getLong(1)).sum
+    def rd6(x: Double): Double = rdN(x, 6) + 0.0
+    val beta = breslowBeta(rows, steps)
+    val (_, iFinal) = breslowScoreInfo(rows, beta)
     val row: org.apache.spark.sql.Row =
       if (iFinal > 0) {
         val se = 1.0 / math.sqrt(iFinal)
@@ -728,6 +744,120 @@ object Survival {
         org.apache.spark.sql.Row(nA, nB, dTotal, rd6(beta), rd6(math.exp(beta)),
           rd6(se), java.lang.Boolean.valueOf(wald > 3.841459))
       } else org.apache.spark.sql.Row(nA, nB, dTotal, null, null, null, null)
+    spark.createDataFrame(java.util.Arrays.asList(row), outSchema)
+  }
+
+  /** BRESLOW baseline cumulative hazard + predicted survival curves at
+    * the Cox fit — the CURVES the hazard ratio summarizes: Ĥ₀(t) =
+    * Σ_{s≤t} d_s / (n0_s + nx_s·e^β̂) (the baseline = cohort a, x = 0),
+    * with the cohorts' predicted survival S_a(t) = e^{−Ĥ₀(t)} and
+    * S_b(t) = e^{−Ĥ₀(t)·e^β̂} (proportional hazards BY CONSTRUCTION —
+    * this is the model's view to eyeball against the raw KM curves,
+    * not a second estimate of them). β̂ from the same 9-snapped Newton
+    * as [[coxPh]]; Ĥ₀ accumulates as a driver-side left fold over the
+    * collected days-sized event axis — the oracle's ordered window sum,
+    * bit-identical. A degenerate fit (I(0) = 0) keeps β = 0, making
+    * the output the Nelson–Aalen-style pooled baseline (documented, not
+    * hidden). EMPTY on no events / single cohort. Output: one row per
+    * event time — (t, d, n_risk, h0, surv_a, surv_b), round 6. */
+  def coxBaseline(subjects: DataFrame, durCol: String, obsCol: String,
+                  groupCol: String, steps: Int = 4): DataFrame = {
+    val spark = subjects.sparkSession
+    val byTG = subjects
+      .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull &&
+        F.col(groupCol).isNotNull)
+      .groupBy(F.col(durCol).cast("long").as("t"), F.col(groupCol).as("g"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c"))
+    val rows = twoCohortEvents(byTG)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_risk", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("h0", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("surv_a", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("surv_b", org.apache.spark.sql.types.DoubleType)))
+    if (rows.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val beta = breslowBeta(rows, steps)
+    val eb = math.exp(beta)
+    def rd6(x: Double): Double = rdN(x, 6) + 0.0
+    var h0 = 0.0
+    val out = rows.map { r =>
+      val d = r.getLong(1).toDouble
+      val n0 = r.getLong(3).toDouble; val nx = r.getLong(4).toDouble
+      h0 = h0 + d / (n0 + nx * eb)
+      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+        r.getLong(3) + r.getLong(4),
+        rd6(h0), rd6(math.exp(-h0)), rd6(math.exp(-h0 * eb)))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(out: _*)), outSchema)
+  }
+
+  /** SCHOENFELD-residual trend — the proportional-hazards ASSUMPTION
+    * check the whole Cox family rests on (Schoenfeld, Biometrika 1982;
+    * the correlation-with-time read of Grambsch & Therneau 1994): the
+    * per-event-time score residual r_t = dx_t − d_t·nx_t·e^β̂/den_t (the
+    * Newton U-term at the fit) should be PATTERNLESS in time under PH;
+    * a nonzero correlation with t means the hazard ratio drifts and the
+    * single β̂ is averaging a moving target. Pearson corr(r_t, t) over
+    * event times, moments accumulated in t order (the ordered-fold
+    * discipline; t sums are exact BIGINTs), z = r·√(n−2)/√(1−r²)
+    * against ±1.96. NULL corr/z when fewer than 3 event times or a
+    * degenerate variance (all residuals equal). EMPTY on no events /
+    * single cohort. Output: one row — (n_events, beta, corr, z,
+    * ph_violated_95), β round 6, corr/z round 4. */
+  def coxSchoenfeldTrend(subjects: DataFrame, durCol: String, obsCol: String,
+                         groupCol: String, steps: Int = 4): DataFrame = {
+    val spark = subjects.sparkSession
+    val byTG = subjects
+      .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull &&
+        F.col(groupCol).isNotNull)
+      .groupBy(F.col(durCol).cast("long").as("t"), F.col(groupCol).as("g"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c"))
+    val rows = twoCohortEvents(byTG)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("beta", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("corr", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("z", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ph_violated_95", org.apache.spark.sql.types.BooleanType)))
+    if (rows.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val beta = breslowBeta(rows, steps)
+    val eb = math.exp(beta)
+    def rd6(x: Double): Double = rdN(x, 6) + 0.0
+    def rd4(x: Double): Double = rdN(x, 4) + 0.0
+    var st = 0L; var stt = 0L
+    var sr = 0.0; var srr = 0.0; var str = 0.0
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val d = r.getLong(1).toDouble; val dx = r.getLong(2).toDouble
+      val n0 = r.getLong(3).toDouble; val nx = r.getLong(4).toDouble
+      val den = n0 + nx * eb
+      val rt = dx - d * nx * eb / den
+      st += t; stt += t * t
+      sr = sr + rt; srr = srr + rt * rt; str = str + t.toDouble * rt
+    }
+    val ne = rows.length.toLong
+    val nD = ne.toDouble
+    val num = nD * str - st.toDouble * sr
+    val denT = nD * stt - st.toDouble * st
+    val denR = nD * srr - sr * sr
+    val corrOpt =
+      if (denT > 0 && denR > 0) Some(num / (math.sqrt(denT) * math.sqrt(denR)))
+      else None
+    val row = corrOpt match {
+      case Some(c) if ne > 2 && math.abs(c) < 1.0 =>
+        val z = c * math.sqrt(nD - 2.0) / math.sqrt(1.0 - c * c)
+        org.apache.spark.sql.Row(ne, rd6(beta), rd4(c), rd4(z),
+          java.lang.Boolean.valueOf(math.abs(z) > 1.96))
+      case Some(c) =>
+        org.apache.spark.sql.Row(ne, rd6(beta), rd4(c), null, null)
+      case None =>
+        org.apache.spark.sql.Row(ne, rd6(beta), null, null, null)
+    }
     spark.createDataFrame(java.util.Arrays.asList(row), outSchema)
   }
 

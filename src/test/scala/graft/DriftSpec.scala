@@ -419,6 +419,31 @@ class DriftSpec extends SparkSpec {
 
   // ---- kendallTau -----------------------------------------------------
 
+  it("eValue matches the hand RR walk, inverts protective effects, NULLs an undefined RR") {
+    // treated 6/10 vs control 2/10: RR = 3, E = 3 + √6 = 5.4495
+    val rows = (Seq.fill(6)((true, true)) ++ Seq.fill(4)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(8)((false, false)))
+    val r = Drift.eValue(rows.toDF("t", "y"), "t", "y").collect().head
+    r.getAs[Long]("n") shouldBe 20L
+    r.getAs[Long]("n_treated") shouldBe 10L
+    r.getAs[Double]("rr") shouldBe 3.0
+    r.getAs[Double]("evalue") shouldBe 5.4495 +- 1e-9
+    // a protective effect (RR = 1/3) orients to the same E
+    val swapped = rows.map { case (t, y) => (!t, y) }
+    val p = Drift.eValue(swapped.toDF("t", "y"), "t", "y").collect().head
+    p.getAs[Double]("rr") shouldBe 0.333333 +- 1e-6
+    p.getAs[Double]("evalue") shouldBe 5.4495 +- 1e-4
+    // a null effect needs no confounder: E = 1
+    val nullEff = Seq((true, true), (true, false), (false, true), (false, false))
+    Drift.eValue(nullEff.toDF("t", "y"), "t", "y").collect().head
+      .getAs[Double]("evalue") shouldBe 1.0
+    // control rate 0: RR undefined -> NULL, not infinity
+    val zeroCtl = Seq((true, true), (false, false)).toDF("t", "y")
+    val z = Drift.eValue(zeroCtl, "t", "y").collect().head
+    z.isNullAt(z.fieldIndex("rr")) shouldBe true
+    z.isNullAt(z.fieldIndex("evalue")) shouldBe true
+  }
+
   it("kendallTau counts the hand inversions and applies the tie correction") {
     // one adjacent swap among 5 ranks: P = 9, Q = 1, tau = 0.8
     val swap = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 5.0), (5.0, 4.0))

@@ -484,6 +484,49 @@ class EvaluationRankSpec extends SparkSpec {
     r.getAs[Double]("qini") shouldBe -0.041667 +- 1e-6
   }
 
+  it("brierDecomposition satisfies BS = REL − RES + UNC exactly at distinct-value bins") {
+    // x=0.25 ×4 (2 pos): REL term 4·(.25−.5)²; x=0.75 ×4 (3 pos): 0.
+    // ȳ = 5/8 -> REL .03125, RES .015625, UNC .234375, BS .25
+    val rows = Seq((0.25, true), (0.25, true), (0.25, false), (0.25, false),
+      (0.75, true), (0.75, true), (0.75, true), (0.75, false))
+    val r = Evaluation.brierDecomposition(rows.toDF("p", "y"), "p", "y")
+      .collect().head
+    r.getAs[Long]("n") shouldBe 8L
+    r.getAs[Double]("brier") shouldBe 0.25
+    r.getAs[Double]("reliability") shouldBe 0.03125
+    r.getAs[Double]("resolution") shouldBe 0.015625
+    r.getAs[Double]("uncertainty") shouldBe 0.234375
+    // the Murphy identity, off the emitted (rounded) terms
+    (r.getAs[Double]("reliability") - r.getAs[Double]("resolution")
+      + r.getAs[Double]("uncertainty")) shouldBe r.getAs[Double]("brier") +- 2e-6
+    // a perfectly calibrated forecaster has zero reliability debt
+    val calib = Seq((0.5, true), (0.5, false), (1.0, true)).toDF("p", "y")
+    Evaluation.brierDecomposition(calib, "p", "y").collect().head
+      .getAs[Double]("reliability") shouldBe 0.0
+  }
+
+  it("fleissKappa matches the hand 3-item walk; varying rater counts refuse a number") {
+    // items: AA, BB, AB with 2 raters -> P̄ = 2/3, P_e = .5, κ = 1/3
+    val votes = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B"),
+      (3L, "A"), (3L, "B")).toDF("item", "vote")
+    val r = Evaluation.fleissKappa(votes, "item", "vote").collect().head
+    r.getAs[Long]("n_items") shouldBe 3L
+    r.getAs[Long]("n_raters") shouldBe 2L
+    r.getAs[Double]("p_bar") shouldBe 0.666667 +- 1e-6
+    r.getAs[Double]("p_e") shouldBe 0.5
+    r.getAs[Double]("kappa") shouldBe 0.3333 +- 1e-9
+    // a varying rater count is NOT the classical statistic: NULL, loud
+    val vary = votes.union(Seq((3L, "A")).toDF("item", "vote"))
+    val v = Evaluation.fleissKappa(vary, "item", "vote").collect().head
+    v.isNullAt(v.fieldIndex("n_raters")) shouldBe true
+    v.isNullAt(v.fieldIndex("kappa")) shouldBe true
+    // unanimous single category: P_e = 1, agreement unmeasurable
+    val mono = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A")).toDF("item", "vote")
+    val m = Evaluation.fleissKappa(mono, "item", "vote").collect().head
+    m.getAs[Double]("p_bar") shouldBe 1.0
+    m.isNullAt(m.fieldIndex("kappa")) shouldBe true
+  }
+
   it("mcc matches the hand binary computation and degenerates to NULL on a constant margin") {
     // TP=4 TN=3 FP=1 FN=2: binary MCC = (4·3 − 1·2)/√(5·6·4·5) = 0.408248;
     // the multiclass R_K form reproduces it (num 20, dp 50, dt 48)

@@ -313,6 +313,71 @@ class SurvivalSpec extends SparkSpec {
     r.isNullAt(6) shouldBe true
   }
 
+  // ---- coxBaseline / coxSchoenfeldTrend --------------------------------
+
+  it("coxBaseline reduces to the pooled Nelson-Aalen on identical cohorts and orders the curves") {
+    // identical cohorts: U(0) = 0 at every event time so β̂ stays 0 and
+    // Ĥ₀ IS the pooled Nelson–Aalen cumulative hazard
+    val base = Seq((1, 1), (2, 1), (3, 0), (4, 1), (5, 0))
+    val twin = base.map { case (t, o) => (t, o, "a") } ++
+      base.map { case (t, o) => (t, o, "b") }
+    val bl = Survival.coxBaseline(twin.toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .orderBy("t").collect()
+    val na = Survival.nelsonAalen(base.toDF("dur", "obs"), "dur", "obs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    bl.foreach { r =>
+      r.getAs[Double]("h0") shouldBe na(r.getAs[Long]("t")) +- 2e-6
+      // β = 0: both predicted curves coincide with exp(−H0)
+      r.getAs[Double]("surv_a") shouldBe r.getAs[Double]("surv_b")
+      r.getAs[Double]("surv_a") shouldBe
+        math.exp(-r.getAs[Double]("h0")) +- 2e-6
+    }
+    // Gehan: H0 nondecreasing, survivals nonincreasing, and the higher-
+    // hazard cohort's predicted curve sits BELOW the baseline everywhere
+    val g = Survival.coxBaseline(gehan.toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .orderBy("t").collect()
+    g.map(_.getAs[Double]("h0")).sliding(2).foreach {
+      case Array(a, b) => a should be <= b
+      case _ => ()
+    }
+    g.foreach(r => r.getAs[Double]("surv_b") should be < r.getAs[Double]("surv_a"))
+    // PH by construction: S_b = S_a^{e^β̂} with the coxPh β̂
+    val beta = Survival.coxPh(gehan.toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .collect().head.getDouble(3)
+    g.foreach { r =>
+      r.getAs[Double]("surv_b") shouldBe
+        math.pow(r.getAs[Double]("surv_a"), math.exp(beta)) +- 1e-4
+    }
+  }
+
+  it("coxSchoenfeldTrend flags crossing hazards and NULLs the symmetric null honestly") {
+    // crossing hazards: treated all die early, control all die late —
+    // the residuals trend hard with time, PH is violated
+    val crossing = (1 to 5).map(t => (t, 1, 1)) ++
+      (10 to 14).map(t => (t, 1, 0))
+    val c = Survival.coxSchoenfeldTrend(crossing.toDF("dur", "obs", "x"),
+      "dur", "obs", "x").collect().head
+    c.getAs[Long]("n_events") shouldBe 10L
+    c.getAs[Double]("corr") should be < 0.0
+    c.getAs[Boolean]("ph_violated_95") shouldBe true
+    // identical cohorts: every residual is exactly 0 -> variance 0 ->
+    // corr NULL (nothing to trend), never a bogus 0
+    val base = Seq((1, 1), (2, 1), (3, 1), (4, 0))
+    val twin = base.map { case (t, o) => (t, o, "a") } ++
+      base.map { case (t, o) => (t, o, "b") }
+    val s = Survival.coxSchoenfeldTrend(twin.toDF("dur", "obs", "g"),
+      "dur", "obs", "g").collect().head
+    s.isNullAt(s.fieldIndex("corr")) shouldBe true
+    s.isNullAt(s.fieldIndex("ph_violated_95")) shouldBe true
+    // Gehan: the fit matches coxPh's β̂ and the PH read is defined
+    val g = Survival.coxSchoenfeldTrend(gehan.toDF("dur", "obs", "g"),
+      "dur", "obs", "g").collect().head
+    g.getAs[Double]("beta") shouldBe 1.509191 +- 2e-6
+    g.isNullAt(g.fieldIndex("corr")) shouldBe false
+    // z and corr agree in sign
+    (g.getAs[Double]("z") * g.getAs[Double]("corr")) should be >= 0.0
+  }
+
   // ---- coxPhMulti ------------------------------------------------------
 
   /** Independent per-subject reference fit: textbook Breslow score /

@@ -1092,10 +1092,15 @@ object Evaluation {
   def weightedKappa(df: DataFrame, predCol: String, labelCol: String): DataFrame = {
     val x = F.col(predCol).cast("double")
     val y = F.col(labelCol).cast("double")
-    val cells = df.filter(x.isNotNull && y.isNotNull)
+    weightedKappaFromCells(df.filter(x.isNotNull && y.isNotNull)
       .groupBy(x.as("pred"), y.as("label"))
-      .agg(F.count(F.lit(1)).as("n"))
-      .localCheckpoint(true)
+      .agg(F.count(F.lit(1)).as("n")))
+  }
+
+  /** [[weightedKappa]] over a pre-aggregated (pred, label, n) NUMERIC
+    * cell frame — the streaming re-entry point. */
+  def weightedKappaFromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0.localCheckpoint(true)
     val obs = cells.agg(F.sum("n").as("n"),
       F.sum((F.col("pred") - F.col("label")) * (F.col("pred") - F.col("label"))
         * F.col("n")).as("__o"))
@@ -1122,8 +1127,13 @@ object Evaluation {
     * single-label classification IS the accuracy, so it is not emitted
     * twice. Output: one row — (n, n_classes, accuracy,
     * balanced_accuracy, macro_f1), round 6. */
-  def classSummary(df: DataFrame, predCol: String, labelCol: String): DataFrame = {
-    val cells = confusionCells(df, predCol, labelCol).localCheckpoint(true)
+  def classSummary(df: DataFrame, predCol: String, labelCol: String): DataFrame =
+    classSummaryFromCells(confusionCells(df, predCol, labelCol))
+
+  /** [[classSummary]] over a pre-aggregated (pred, label, n) cell
+    * frame — the streaming re-entry point. */
+  def classSummaryFromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0.localCheckpoint(true)
     val acc = cells.agg(F.sum("n").as("n"),
       F.sum(F.when(F.col("pred") === F.col("label"), F.col("n")).otherwise(0L))
         .as("__agree"))
@@ -1227,11 +1237,17 @@ object Evaluation {
     * wrong number. κ NULL when P_e = 1 (all votes one category).
     * Output: one row — (n_items, n_raters, p_bar, p_e, kappa), P̄/P_e
     * round 6, κ round 4. */
-  def fleissKappa(df: DataFrame, itemCol: String, catCol: String): DataFrame = {
-    val cells = df.filter(F.col(itemCol).isNotNull && F.col(catCol).isNotNull)
-      .groupBy(F.col(itemCol).as("item"), F.col(catCol).as("cat"))
-      .agg(F.count(F.lit(1)).as("nij"))
-      .localCheckpoint(true)
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String): DataFrame =
+    fleissKappaFromCells(
+      df.filter(F.col(itemCol).isNotNull && F.col(catCol).isNotNull)
+        .groupBy(F.col(itemCol).as("item"), F.col(catCol).as("cat"))
+        .agg(F.count(F.lit(1)).as("nij")))
+
+  /** [[fleissKappa]] over a pre-aggregated (item, cat, nij) vote-count
+    * frame — the streaming re-entry point (vote counts merge exactly
+    * across batches and replays). */
+  def fleissKappaFromCells(cells0: DataFrame): DataFrame = {
+    val cells = cells0.localCheckpoint(true)
     val perItem = cells.groupBy("item")
       .agg(F.sum("nij").as("ni"), F.sum(F.col("nij") * F.col("nij")).as("__sq"))
     val items = perItem.agg(F.count(F.lit(1)).as("n_items"),

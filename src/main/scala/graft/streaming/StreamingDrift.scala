@@ -186,6 +186,45 @@ object StreamingDrift {
     graft.operators.Evaluation.kappaFromCells(
       confusionCellsNow(spark, countsDir))
 
+  /** Matthews correlation (multiclass R_K) over the same accumulated
+    * confusion cells. */
+  def mccNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.Evaluation.mccFromCells(confusionCellsNow(spark, countsDir))
+
+  /** Accuracy / balanced accuracy / macro-F1 over the same cells. */
+  def classSummaryNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.Evaluation.classSummaryFromCells(
+      confusionCellsNow(spark, countsDir))
+
+  /** Quadratic-weighted kappa over the stream's ordinal (pred, label)
+    * pairs — the [[kendallNow]] bounded-vocabulary pair layout. */
+  def weightedKappaNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.Evaluation.weightedKappaFromCells(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").cast("double").as("pred"),
+          F.col("cat").cast("double").as("label"), F.col("n")))
+
+  /** Fleiss' kappa over the stream's (item, rater-vote) pairs — the
+    * ITEM rides the slice dimension, the vote the category; merged
+    * vote counts re-enter the batch integer identities exactly. */
+  def fleissKappaNow(spark: SparkSession, countsDir: String): DataFrame =
+    graft.operators.Evaluation.fleissKappaFromCells(
+      categoricalCounts(spark, countsDir)
+        .select(F.col("slice").as("item"), F.col("cat"), F.col("n").as("nij")))
+
+  /** Hosmer–Lemeshow calibration χ² over the accumulated two-slice
+    * score counts (the [[rocAucNow]] layout). */
+  def hosmerNow(spark: SparkSession, countsDir: String,
+                pos: String, neg: String, bins: Int = 10): DataFrame =
+    graft.operators.Evaluation.hosmerLemeshowFromCounts(
+      twoSampleCounts(spark, countsDir, pos, neg), bins)
+
+  /** Murphy Brier decomposition over the same accumulated counts. */
+  def brierDecompositionNow(spark: SparkSession, countsDir: String,
+                            pos: String, neg: String): DataFrame =
+    graft.operators.Evaluation.brierDecompositionFromCounts(
+      twoSampleCounts(spark, countsDir, pos, neg))
+
   private def confusionCellsNow(spark: SparkSession,
                                 countsDir: String): DataFrame =
     categoricalCounts(spark, countsDir)

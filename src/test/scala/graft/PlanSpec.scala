@@ -624,4 +624,32 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  it("the round-15 confusion/agreement additions join on the class vocabulary — never a cartesian") {
+    Seq("q_mcc", "q_class_summary", "q_fleiss").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q: ") {
+        p should not include "CartesianProduct"
+        // no data-sized global window anywhere in these folds
+        p should not include "windowspecdefinition"
+      }
+    }
+    // the weighted-kappa expected-disagreement kernel is the bounded
+    // vocabulary² margin loop plus 1-row scalar attaches — upper bound
+    // per the ADVICE-r14 rule; the disallowed shape is a cartesian
+    val wk = plan("q_weighted_kappa")
+    wk should not include "CartesianProduct"
+    wk.split("\n").count(_.contains("BroadcastNestedLoopJoin")) should be <= 3
+  }
+
+  it("the round-15 one-scan evaluators stay single combinable aggregates — no join, no window") {
+    Seq("q_mcnemar", "q_ccc", "q_evalue").foreach { q =>
+      val p = plan(q)
+      withClue(s"$q: ") {
+        p should not include "windowspecdefinition"
+        p should not include "CartesianProduct"
+        p should not include "SortMergeJoin"
+      }
+    }
+  }
 }

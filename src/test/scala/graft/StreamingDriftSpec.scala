@@ -449,6 +449,11 @@ class StreamingDriftSpec extends SparkSpec {
     StreamingDrift.isotonicNow(spark, cDir, "pos", "neg")
       .orderBy("x").collect().map(_.toSeq) shouldBe
       Evaluation.isotonicCalibration(batchDf, "p", "y").orderBy("x").collect().map(_.toSeq)
+    StreamingDrift.hosmerNow(spark, cDir, "pos", "neg").collect().head.toSeq shouldBe
+      Evaluation.hosmerLemeshow(batchDf, "p", "y").collect().head.toSeq
+    StreamingDrift.brierDecompositionNow(spark, cDir, "pos", "neg")
+      .collect().head.toSeq shouldBe
+      Evaluation.brierDecomposition(batchDf, "p", "y").collect().head.toSeq
     // the planted separation bites: AUC well above chance
     StreamingDrift.rocAucNow(spark, cDir, "pos", "neg")
       .collect().head.getAs[Double]("auc") should be > 0.6
@@ -498,10 +503,24 @@ class StreamingDriftSpec extends SparkSpec {
       Evaluation.kappa(batchCells, "pred", "label").collect().head.toSeq
     StreamingDrift.clusterAgreementNow(spark, cellsDir).collect().head.toSeq shouldBe
       Evaluation.clusterAgreement(batchCells, "pred", "label").collect().head.toSeq
+    StreamingDrift.mccNow(spark, cellsDir).collect().head.toSeq shouldBe
+      Evaluation.mcc(batchCells, "pred", "label").collect().head.toSeq
+    StreamingDrift.classSummaryNow(spark, cellsDir).collect().head.toSeq shouldBe
+      Evaluation.classSummary(batchCells, "pred", "label").collect().head.toSeq
     val batchPairs = pairs.map { case (x, y) => (x.toDouble, y.toDouble) }
       .toDF("x", "y")
     StreamingDrift.kendallNow(spark, pairDir).collect().head.toSeq shouldBe
       Drift.kendallTau(batchPairs, "x", "y").collect().head.toSeq
+    StreamingDrift.weightedKappaNow(spark, pairDir).collect().head.toSeq shouldBe
+      Evaluation.weightedKappa(batchPairs, "x", "y").collect().head.toSeq
+    // Fleiss over an (item, rater vote) store: 4 deterministic raters
+    val fleissRows = (for {
+      item <- 0 until 100; rater <- 0 until 4
+    } yield (s"i$item", if ((item + rater) % 3 == 0) "yes" else "no")).toVector
+    val fleissDir = run(fleissRows, "fleiss")
+    StreamingDrift.fleissKappaNow(spark, fleissDir).collect().head.toSeq shouldBe
+      Evaluation.fleissKappa(fleissRows.toDF("item", "vote"), "item", "vote")
+        .collect().head.toSeq
     // the planted agreement bites: kappa above chance, tau positive
     StreamingDrift.kappaNow(spark, cellsDir)
       .collect().head.getAs[Double]("kappa") should be > 0.3

@@ -1596,6 +1596,14 @@ object SparkEntry {
     "q_hosmer" -> ((s, dir) =>
       Evaluation.hosmerLemeshow(docProb(t(s, dir, "documents")),
         "p_en", "is_en")),
+    // Calibration intercept + slope by logistic recalibration (Cox
+    // 1958): y ~ sigma(a + b*logit(p)) — slope < 1 = overconfident,
+    // intercept != 0 = a shift ECE can't localize. Newton over the
+    // value-bounded distinct-score axis, each coordinate 9-snapped —
+    // the third unrolled-Newton family (coxPh, coxPhMulti, this).
+    "q_calib_slope" -> ((s, dir) =>
+      Evaluation.calibrationSlope(docProb(t(s, dir, "documents")),
+        "p_en", "is_en")),
     // Lin's CCC: does word count AGREE with char count (45°-line
     // agreement), not merely correlate — one moment scan.
     "q_ccc" -> ((s, dir) =>
@@ -4393,6 +4401,52 @@ object SparkEntry {
       "FROM fin, tot2 ORDER BY covariate"
   }
 
+  /** Logistic-recalibration Newton unrolled over the distinct-score
+    * axis ([[Evaluation.calibrationSlopeFromCounts]]'s mirror): per step
+    * the five ordered window sums (Ua, Ub, Iaa, Iab, Ibb) of EXACTLY
+    * the driver fold's term shapes, then a 2×2 Cramer step with both
+    * coordinates 9-snapped. Windows ORDER BY the ORIGINAL score x (z is
+    * monotone in x but the clamp can tie at the edges — the window
+    * order must never depend on a tied key). */
+  private def calibSlopeSql(steps: Int): String = {
+    val ph = "1.0 / (1.0 + exp(-(a + b * z)))"
+    val uaT = s"CAST(c1 AS DOUBLE) - CAST(n AS DOUBLE) * ($ph)"
+    val ubT = s"z * (CAST(c1 AS DOUBLE) - CAST(n AS DOUBLE) * ($ph))"
+    val wT = s"CAST(n AS DOUBLE) * ($ph) * (1.0 - ($ph))"
+    val iabT = s"z * ($wT)"
+    val ibbT = s"z * z * ($wT)"
+    def pass(name: String, prevAb: String): String =
+      s"$name AS (SELECT sum($uaT) OVER w AS ua, sum($ubT) OVER w AS ub, " +
+        s"sum($wT) OVER w AS iaa, sum($iabT) OVER w AS iab, sum($ibbT) OVER w AS ibb, " +
+        "row_number() OVER (ORDER BY x DESC) AS rn " +
+        s"FROM vz, $prevAb WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING))"
+    val det = "iaa * ibb - iab * iab"
+    val stepCtes = (1 to steps).map { k =>
+      pass(s"p$k", s"ab${k - 1}") + ", " +
+        s"ab$k AS (SELECT CASE WHEN $det > 0 THEN round(a + (ua * ibb - ub * iab) / ($det), 9) ELSE a END AS a, " +
+        s"CASE WHEN $det > 0 THEN round(b + (iaa * ub - iab * ua) / ($det), 9) ELSE b END AS b " +
+        s"FROM p$k, ab${k - 1} WHERE rn = 1)"
+    }.mkString(", ")
+    val clamped = "least(greatest(x, 0.000001), 0.999999)"
+    ", vz AS (SELECT x, ln(" + clamped + " / (1.0 - " + clamped + ")) AS z, " +
+      "CAST(c1 AS BIGINT) AS c1, CAST(c1 + c2 AS BIGINT) AS n FROM c), " +
+      "nn AS (SELECT CAST(sum(c1 + c2) AS BIGINT) AS n, CAST(sum(c1) AS BIGINT) AS n_pos FROM c), " +
+      "ab0 AS (SELECT CAST(0 AS DOUBLE) AS a, CAST(1 AS DOUBLE) AS b), " +
+      stepCtes + ", " +
+      pass("pfin", s"ab$steps") + ", " +
+      s"fin AS (SELECT a, b, iaa, iab, ibb, $det AS det FROM pfin, ab$steps WHERE rn = 1), " +
+      "ok AS (SELECT n, n_pos, a, b, iaa, ibb, det, " +
+      "n_pos > 0 AND n_pos < n AND det > 0 AS gd FROM fin, nn) " +
+      "SELECT n, n_pos, " +
+      "CASE WHEN gd THEN round(a, 6) + 0.0 END AS intercept, " +
+      "CASE WHEN gd THEN round(b, 6) + 0.0 END AS slope, " +
+      "CASE WHEN gd THEN round(sqrt(ibb / det), 6) + 0.0 END AS se_intercept, " +
+      "CASE WHEN gd THEN round(sqrt(iaa / det), 6) + 0.0 END AS se_slope, " +
+      "CASE WHEN gd THEN abs(a / sqrt(ibb / det)) > CAST(1.96 AS DOUBLE) END AS intercept_reject_95, " +
+      "CASE WHEN gd THEN abs((b - 1.0) / sqrt(iaa / det)) > CAST(1.96 AS DOUBLE) END AS slope_reject_95 " +
+      "FROM ok"
+  }
+
   /** TwoNN Pareto-MLE tail over a `(qid, cid, qv, cv)` pairs CTE named
     * `pairsName`: exact per-pair squared euclidean, per-query two
     * smallest (ties by cid — the bounded-heap struct-min's order), then
@@ -5362,6 +5416,9 @@ object SparkEntry {
         "SELECT n, bins_used, bins_skipped, " +
         "round(CASE WHEN bins_used >= 3 THEN chi END, 4) + 0.0 AS chi2, " +
         "CASE WHEN bins_used >= 3 THEN bins_used - 2 END AS df FROM z"),
+    // The logit-Newton chain over the shared count frame; windows keyed
+    // by the original score so a clamp tie can't scramble the order.
+    "q_calib_slope" -> (binCountsCte(docProbSql) + calibSlopeSql(steps = 8)),
     // Population (1/n) moments in the operator's exact shapes; CCC and
     // Pearson r off one scan.
     "q_ccc" ->

@@ -1311,6 +1311,116 @@ object Evaluation {
           + F.lit(0.0)).as("ccc"))
   }
 
+  /** CALIBRATION INTERCEPT + SLOPE by logistic recalibration (Cox,
+    * Biometrika 1958; Miller et al. 1991 for the validation use): fit
+    * y ~ σ(a + b·logit(p)) — b < 1 means the model is overconfident
+    * (predictions too extreme), b > 1 underconfident, a ≠ 0 a
+    * calibration-in-the-large shift the ECE number can't localize.
+    * H₀: (a, b) = (0, 1) is "perfectly calibrated"; the two Wald reads
+    * test each coordinate.
+    *
+    * The likelihood depends on the data only through per-DISTINCT-SCORE
+    * counts (the shared (x, c1, c2) frame), so the Newton fit is a
+    * driver-side fold over the value-bounded score axis — the PAVA /
+    * coxPh collect discipline, guarded by the same `maxDistinctScores`
+    * cap (fail loudly, pre-round a continuous score first). p clamps to
+    * [1e-6, 1 − 1e-6] before the logit (a hard 0/1 probability is a
+    * modeling error, not an infinity). Newton from (0, 1) — the
+    * well-calibrated start — a FIXED `steps` (default 8), each step's
+    * five sums accumulated in score order (left-associated — the
+    * oracle's ordered window sums) and each coordinate 9-snapped, the
+    * coxPhMulti 2×2-Cramer discipline, so the whole iteration unrolls
+    * into oracle CTEs. NULL estimates when the MLE doesn't exist (a
+    * single-class input) or the information degenerates (det ≤ 0 — one
+    * distinct score can't identify a slope). Output: one row — (n,
+    * n_pos, intercept, slope, se_intercept, se_slope,
+    * intercept_reject_95, slope_reject_95), round 6. */
+  def calibrationSlope(df: DataFrame, probCol: String, labelCol: String,
+                       steps: Int = 8,
+                       maxDistinctScores: Int = 100000): DataFrame =
+    calibrationSlopeFromCounts(binaryScoreCounts(df, probCol, labelCol),
+      steps, maxDistinctScores)
+
+  /** [[calibrationSlope]] over a pre-aggregated (x, c1, c2) frame. */
+  def calibrationSlopeFromCounts(byV: DataFrame, steps: Int = 8,
+                                 maxDistinctScores: Int = 100000): DataFrame = {
+    val spark = byV.sparkSession
+    require(maxDistinctScores > 0, "maxDistinctScores must be positive")
+    val rows = byV
+      .select(F.col("x").cast("double"),
+        F.col("c1").cast("long"), (F.col("c1") + F.col("c2")).cast("long"))
+      .orderBy("x").limit(maxDistinctScores + 1).collect()
+    require(rows.length <= maxDistinctScores,
+      s"calibrationSlope: > $maxDistinctScores distinct scores — the " +
+        "Newton driver fold is bounded by the score vocabulary; pre-round " +
+        "a continuous score to a grid first")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_pos", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("intercept", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("slope", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("se_intercept", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("se_slope", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("intercept_reject_95", org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("slope_reject_95", org.apache.spark.sql.types.BooleanType)))
+    if (rows.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    // (z = clamped logit, c1, n) in score order — z is monotone in x,
+    // so score order IS z order (the oracle windows ORDER BY z)
+    val zs = rows.map { r =>
+      val xc = math.min(math.max(r.getDouble(0), 0.000001), 0.999999)
+      (math.log(xc / (1.0 - xc)), r.getLong(1), r.getLong(2))
+    }
+    val nTotal = zs.map(_._3).sum
+    val nPos = zs.map(_._2).sum
+    def rd9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rd6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    // five ordered sums at (a, b) — term shapes exactly as the SQL
+    // mirror writes them
+    def scoreInfo(a: Double, b: Double): (Double, Double, Double, Double, Double) = {
+      var ua = 0.0; var ub = 0.0; var iaa = 0.0; var iab = 0.0; var ibb = 0.0
+      zs.foreach { case (z, c1, n) =>
+        val ph = 1.0 / (1.0 + math.exp(-(a + b * z)))
+        val u = c1.toDouble - n.toDouble * ph
+        val w = n.toDouble * ph * (1.0 - ph)
+        ua = ua + u
+        ub = ub + z * u
+        iaa = iaa + w
+        iab = iab + z * w
+        ibb = ibb + z * z * w
+      }
+      (ua, ub, iaa, iab, ibb)
+    }
+    if (nPos == 0L || nPos == nTotal)
+      // a single-class input has no logistic MLE — NULL, not a runaway
+      return spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(nTotal, nPos, null, null, null, null, null, null)),
+        outSchema)
+    var a = 0.0; var b = 1.0
+    (1 to steps).foreach { _ =>
+      val (ua, ub, iaa, iab, ibb) = scoreInfo(a, b)
+      val det = iaa * ibb - iab * iab
+      if (det > 0) {
+        val da = (ua * ibb - ub * iab) / det
+        val db = (iaa * ub - iab * ua) / det
+        a = rd9(a + da); b = rd9(b + db)
+      }
+    }
+    val (_, _, iaa, iab, ibb) = scoreInfo(a, b)
+    val det = iaa * ibb - iab * iab
+    val row =
+      if (det > 0) {
+        val seA = math.sqrt(ibb / det)
+        val seB = math.sqrt(iaa / det)
+        org.apache.spark.sql.Row(nTotal, nPos, rd6(a), rd6(b), rd6(seA), rd6(seB),
+          java.lang.Boolean.valueOf(math.abs(a / seA) > 1.96),
+          java.lang.Boolean.valueOf(math.abs((b - 1.0) / seB) > 1.96))
+      } else org.apache.spark.sql.Row(nTotal, nPos, null, null, null, null, null, null)
+    spark.createDataFrame(java.util.Arrays.asList(row), outSchema)
+  }
+
   /** The shared score frame: one row per distinct score with (positive,
     * negative) counts — the mergeable summary every statistic above
     * re-enters, and the two-sample drift layout with the label as the

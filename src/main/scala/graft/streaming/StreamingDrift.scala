@@ -225,6 +225,14 @@ object StreamingDrift {
     graft.operators.Evaluation.brierDecompositionFromCounts(
       twoSampleCounts(spark, countsDir, pos, neg))
 
+  /** Calibration intercept + slope (logistic recalibration) over the
+    * same accumulated counts — the Newton fold re-enters the merged
+    * distinct-score frame, so streamed == batch exactly. */
+  def calibrationSlopeNow(spark: SparkSession, countsDir: String,
+                          pos: String, neg: String): DataFrame =
+    graft.operators.Evaluation.calibrationSlopeFromCounts(
+      twoSampleCounts(spark, countsDir, pos, neg))
+
   private def confusionCellsNow(spark: SparkSession,
                                 countsDir: String): DataFrame =
     categoricalCounts(spark, countsDir)

@@ -636,6 +636,44 @@ class EvaluationRankSpec extends SparkSpec {
     c.isNullAt(c.fieldIndex("ccc")) shouldBe true
   }
 
+  it("calibrationSlope recovers (0, 1) on a saturated-exact calibrated scorer and 0.5 on a 2x-stretched one") {
+    // p = k/10 with EXACTLY p·200 positives per cell: the score of
+    // (0, 1) is zero at every cell, so the MLE is exactly (0, 1)
+    def cells(stretch: Double) = (1 to 9).flatMap { k =>
+      val p = k / 10.0
+      val l = math.log(p / (1 - p))
+      val x = 1.0 / (1.0 + math.exp(-stretch * l))
+      Seq.fill(k * 20)((x, true)) ++ Seq.fill(200 - k * 20)((x, false))
+    }
+    val calib = Evaluation.calibrationSlope(cells(1.0).toDF("p", "y"), "p", "y")
+      .collect().head
+    calib.getAs[Long]("n") shouldBe 1800L
+    calib.getAs[Double]("intercept") shouldBe 0.0 +- 1e-6
+    calib.getAs[Double]("slope") shouldBe 1.0 +- 1e-6
+    calib.getAs[Boolean]("intercept_reject_95") shouldBe false
+    calib.getAs[Boolean]("slope_reject_95") shouldBe false
+    // logits stretched 2x (overconfident): recalibration finds slope 1/2
+    val over = Evaluation.calibrationSlope(cells(2.0).toDF("p", "y"), "p", "y")
+      .collect().head
+    over.getAs[Double]("slope") shouldBe 0.5 +- 1e-6
+    over.getAs[Double]("intercept") shouldBe 0.0 +- 1e-6
+    over.getAs[Boolean]("slope_reject_95") shouldBe true
+    // single-class input: no MLE -> NULL estimates, counts kept
+    val mono = Seq((0.3, true), (0.7, true)).toDF("p", "y")
+    val m = Evaluation.calibrationSlope(mono, "p", "y").collect().head
+    m.getAs[Long]("n_pos") shouldBe 2L
+    m.isNullAt(m.fieldIndex("slope")) shouldBe true
+    // one distinct score cannot identify a slope: det 0 -> NULL
+    val one = Seq((0.5, true), (0.5, false)).toDF("p", "y")
+    val o = Evaluation.calibrationSlope(one, "p", "y").collect().head
+    o.isNullAt(o.fieldIndex("slope")) shouldBe true
+    // the PAVA-style axis guard holds here too
+    val cont = (1 to 12).map(i => (i / 13.7, i % 2 == 0)).toDF("p", "y")
+    an[IllegalArgumentException] should be thrownBy
+      Evaluation.calibrationSlope(cont, "p", "y", maxDistinctScores = 10)
+        .collect()
+  }
+
   it("the PAVA driver fold refuses a data-sized score axis; the gridded variant tames it") {
     // 12 distinct continuous scores against a cap of 10: fail LOUDLY
     // before the driver materializes an unbounded axis

@@ -454,6 +454,9 @@ class StreamingDriftSpec extends SparkSpec {
     StreamingDrift.brierDecompositionNow(spark, cDir, "pos", "neg")
       .collect().head.toSeq shouldBe
       Evaluation.brierDecomposition(batchDf, "p", "y").collect().head.toSeq
+    StreamingDrift.calibrationSlopeNow(spark, cDir, "pos", "neg")
+      .collect().head.toSeq shouldBe
+      Evaluation.calibrationSlope(batchDf, "p", "y").collect().head.toSeq
     // the planted separation bites: AUC well above chance
     StreamingDrift.rocAucNow(spark, cDir, "pos", "neg")
       .collect().head.getAs[Double]("auc") should be > 0.6

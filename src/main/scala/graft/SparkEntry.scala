@@ -1223,6 +1223,14 @@ object SparkEntry {
       Survival.coxPhMulti(cohortSubjectsMulti(s, dir), "dur", "obs",
         Seq("x1", "x2")).orderBy("covariate")
     }),
+    // The confounder-adjusted effect size: each stratum keeps its own
+    // baseline (risk sets never cross user_id%3 strata), one shared
+    // beta pools the per-stratum scores — logRankStratified's
+    // effect-size sibling, and the two must agree on rejection here.
+    "q_coxph_strat" -> ((s, dir) => {
+      Survival.coxPhStratified(cohortSubjectsStrat(s, dir),
+        "dur", "obs", "cohort", "stratum")
+    }),
     // The curves the hazard ratio summarizes: Breslow baseline
     // cumulative hazard at the fit + both cohorts' model-predicted
     // survival (proportional BY construction — the eyeball companion
@@ -4323,6 +4331,37 @@ object SparkEntry {
       s"FROM sfin, b$steps, tot2 WHERE rn = 1"
   }
 
+  /** Stratified Cox mirror ([[Survival.coxPhStratified]]): the
+    * [[stratSurvCtes]] per-stratum risk sets feed the SAME U/I term
+    * shapes as [[coxTailSql]], pooled by ONE window ordered (s, t) —
+    * the driver fold's exact accumulation order. */
+  private def coxStratSql(steps: Int): String = {
+    def pass(name: String, prevB: String): String =
+      s"$name AS (SELECT sum($coxUtSql) OVER w AS us, sum($coxItSql) OVER w AS is_, " +
+        "row_number() OVER (ORDER BY s DESC, t DESC) AS rn " +
+        s"FROM ev2, $prevB WINDOW w AS (ORDER BY s, t ROWS UNBOUNDED PRECEDING))"
+    val stepCtes = (1 to steps).map { k =>
+      pass(s"s$k", s"b${k - 1}") + ", " +
+        s"b$k AS (SELECT CASE WHEN is_ > 0 THEN round(beta + us / is_, 9) " +
+        s"ELSE beta END AS beta FROM s$k, b${k - 1} WHERE rn = 1)"
+    }.mkString(", ")
+    stratSurvCtes +
+      ", ev2 AS (SELECT s, t, dt AS d, d2 AS dx, n1 AS n0, n2 AS nx FROM evr), " +
+      "tot2 AS (SELECT CAST(sum(nn1) AS BIGINT) AS n_a, CAST(sum(nn2) AS BIGINT) AS n_b, " +
+      "CAST(count(*) AS BIGINT) AS n_strata FROM tots), " +
+      "dt2 AS (SELECT CAST(sum(dt) AS BIGINT) AS d_total FROM evr), " +
+      "b0 AS (SELECT CAST(0 AS DOUBLE) AS beta), " +
+      stepCtes + ", " +
+      pass("sfin", s"b$steps") + " " +
+      "SELECT n_a, n_b, n_strata, d_total, " +
+      "CASE WHEN is_ > 0 THEN round(beta, 6) + 0.0 END AS beta, " +
+      "CASE WHEN is_ > 0 THEN round(exp(beta), 6) + 0.0 END AS hr, " +
+      "CASE WHEN is_ > 0 THEN round(1.0 / sqrt(is_), 6) + 0.0 END AS se, " +
+      "CASE WHEN is_ > 0 THEN (beta / (1.0 / sqrt(is_))) * (beta / (1.0 / sqrt(is_))) " +
+      "> CAST(3.841459 AS DOUBLE) END AS reject_95 " +
+      s"FROM sfin, b$steps, tot2, dt2 WHERE rn = 1"
+  }
+
   /** Two-binary-covariate Breslow Cox-PH mirror ([[Survival.coxPhMulti]]
     * on the [[cohortSubjectsMulti]] design): per-(t, pattern) counts
     * with pattern k = 2·x1 + x2, per-pattern risk sets off the shared
@@ -6273,6 +6312,8 @@ object SparkEntry {
     // 5-sum score/information passes, and the 2x2 Cramer Newton steps
     // unrolled — every term shape written exactly as the driver fold.
     "q_coxph_multi" -> coxMultiSql(steps = 4),
+    // Per-stratum risk sets, one (s, t)-ordered pooled Newton window.
+    "q_coxph_strat" -> coxStratSql(steps = 4),
     // Baseline cumulative hazard at b4: one ordered window sum of
     // d/S0(β̂) over the event axis, curves as exp() of it.
     "q_cox_baseline" ->

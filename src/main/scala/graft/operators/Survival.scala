@@ -861,6 +861,80 @@ object Survival {
     spark.createDataFrame(java.util.Arrays.asList(row), outSchema)
   }
 
+  /** STRATIFIED Cox PH (Cox 1972 §6) — the confounder-adjusted hazard
+    * ratio, the effect-size sibling of [[logRankStratified]]: each
+    * stratum keeps its OWN baseline hazard (risk sets never cross
+    * strata), one shared β pools the per-stratum scores and
+    * informations — U(β) = Σ_s U_s(β), I(β) = Σ_s I_s(β). The per-row
+    * term shapes are EXACTLY [[coxPh]]'s (a stratum where one cohort is
+    * absent contributes zero terms by algebra — nx = 0 kills both U and
+    * I — no special-casing); the driver fold runs over the collected
+    * (stratum, event time) axis in (s, t) order, matching the oracle's
+    * single ordered window over the same keys. Same 9-snapped Newton,
+    * inverse-information se, Wald test. EMPTY when no event times or a
+    * single cohort overall. Output: ONE row — (n_a, n_b, n_strata,
+    * d_total, beta, hr, se, reject_95). */
+  def coxPhStratified(subjects: DataFrame, durCol: String, obsCol: String,
+                      groupCol: String, strataCol: String,
+                      steps: Int = 4): DataFrame = {
+    val spark = subjects.sparkSession
+    val byTSG = subjects
+      .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull &&
+        F.col(groupCol).isNotNull && F.col(strataCol).isNotNull)
+      .groupBy(F.col(strataCol).as("s"), F.col(durCol).cast("long").as("t"),
+        F.col(groupCol).as("g"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c"))
+    val gs = byTSG.agg(F.min("g").as("ga"), F.max("g").as("gb"))
+      .filter(F.col("ga") =!= F.col("gb"))
+    val perT = byTSG.crossJoin(F.broadcast(gs))
+      .groupBy("s", "t")
+      .agg(
+        F.sum(F.when(F.col("g") === F.col("ga"), F.col("d")).otherwise(F.lit(0L))).as("d1"),
+        F.sum(F.when(F.col("g") === F.col("ga"), F.col("c")).otherwise(F.lit(0L))).as("c1"),
+        F.sum(F.when(F.col("g") === F.col("gb"), F.col("d")).otherwise(F.lit(0L))).as("d2"),
+        F.sum(F.when(F.col("g") === F.col("gb"), F.col("c")).otherwise(F.lit(0L))).as("c2"))
+    val tots = perT.groupBy("s").agg(F.sum("c1").as("nn1"), F.sum("c2").as("nn2"))
+    val w = Window.partitionBy("s").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = perT.join(F.broadcast(tots), Seq("s"))
+      .withColumn("n0", F.col("nn1") - F.sum("c1").over(w) + F.col("c1"))
+      .withColumn("nx", F.col("nn2") - F.sum("c2").over(w) + F.col("c2"))
+      .filter(F.col("d1") + F.col("d2") > 0)
+      .select(F.col("s"), (F.col("d1") + F.col("d2")).as("d"),
+        F.col("d2").as("dx"), F.col("n0"), F.col("nx"), F.col("t"))
+    // (s, t)-ordered collect: the row layout's slots 1-4 are the
+    // breslowScoreInfo contract (d, dx, n0, nx)
+    val rows = ev.orderBy("s", "t")
+      .select("s", "d", "dx", "n0", "nx").collect()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_a", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_b", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_strata", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d_total", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("beta", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("hr", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("se", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("reject_95", org.apache.spark.sql.types.BooleanType)))
+    if (rows.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val counts = tots.agg(F.sum("nn1").as("na"), F.sum("nn2").as("nb"),
+      F.count(F.lit(1)).as("ks")).collect().head
+    val dTotal = rows.map(_.getLong(1)).sum
+    def rd6(x: Double): Double = rdN(x, 6) + 0.0
+    val beta = breslowBeta(rows, steps)
+    val (_, iFinal) = breslowScoreInfo(rows, beta)
+    val row: org.apache.spark.sql.Row =
+      if (iFinal > 0) {
+        val se = 1.0 / math.sqrt(iFinal)
+        val wald = (beta / se) * (beta / se)
+        org.apache.spark.sql.Row(counts.getLong(0), counts.getLong(1),
+          counts.getLong(2), dTotal, rd6(beta), rd6(math.exp(beta)),
+          rd6(se), java.lang.Boolean.valueOf(wald > 3.841459))
+      } else org.apache.spark.sql.Row(counts.getLong(0), counts.getLong(1),
+        counts.getLong(2), dTotal, null, null, null, null)
+    spark.createDataFrame(java.util.Arrays.asList(row), outSchema)
+  }
+
   /** MULTI-COVARIATE Cox proportional hazards (Cox 1972, Breslow ties)
     * over 1–3 BINARY covariates — the adjusted-hazard-ratio read
     * [[coxPh]] stops short of: "does the cohort effect survive adjusting

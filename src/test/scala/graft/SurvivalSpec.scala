@@ -313,6 +313,41 @@ class SurvivalSpec extends SparkSpec {
     r.isNullAt(6) shouldBe true
   }
 
+  // ---- coxPhStratified ---------------------------------------------------
+
+  it("coxPhStratified equals plain coxPh on one stratum and pools identical strata") {
+    val g1 = gehan.map { case (t, o, g) => (t, o, g, "only") }
+      .toDF("dur", "obs", "g", "s")
+    val one = Survival.coxPhStratified(g1, "dur", "obs", "g", "s")
+      .collect().head
+    val plain = Survival.coxPh(gehan.toDF("dur", "obs", "g"), "dur", "obs", "g")
+      .collect().head
+    one.getAs[Long]("n_strata") shouldBe 1L
+    one.getAs[Double]("beta") shouldBe plain.getDouble(3)
+    one.getAs[Double]("se") shouldBe plain.getDouble(5)
+    // two identical copies as strata: per-stratum scores pool — same
+    // β̂, information doubles so se shrinks by √2
+    val g2 = (gehan.map { case (t, o, g) => (t, o, g, "s1") } ++
+      gehan.map { case (t, o, g) => (t, o, g, "s2") })
+      .toDF("dur", "obs", "g", "s")
+    val two = Survival.coxPhStratified(g2, "dur", "obs", "g", "s")
+      .collect().head
+    two.getAs[Long]("n_strata") shouldBe 2L
+    two.getAs[Long]("d_total") shouldBe 60L
+    two.getAs[Double]("beta") shouldBe plain.getDouble(3) +- 2e-6
+    two.getAs[Double]("se") shouldBe (plain.getDouble(5) / math.sqrt(2.0)) +- 1e-5
+    // a stratum missing one cohort contributes nothing (nx = 0 kills
+    // both U and I) — the fit is the other strata's, not a crash
+    val lop = (gehan.map { case (t, o, g) => (t, o, g, "s1") } ++
+      Seq((5, 1, "a_6mp", "s2"), (7, 1, "a_6mp", "s2")))
+      .toDF("dur", "obs", "g", "s")
+    val l = Survival.coxPhStratified(lop, "dur", "obs", "g", "s").collect().head
+    l.getAs[Double]("beta") shouldBe plain.getDouble(3)
+    // single cohort overall / all censored: EMPTY
+    Survival.coxPhStratified(Seq((1, 1, "a", "x")).toDF("dur", "obs", "g", "s"),
+      "dur", "obs", "g", "s").collect() shouldBe empty
+  }
+
   // ---- coxBaseline / coxSchoenfeldTrend --------------------------------
 
   it("coxBaseline reduces to the pooled Nelson-Aalen on identical cohorts and orders the curves") {

@@ -475,15 +475,20 @@ object Bench {
     // not medians (round-14 verdict #3: all four r14 "regressions" were
     // median noise with mins at or below r13 — the min is the
     // contention-free estimate identical code agrees on): a query fires
-    // only when its canary-min-normalized in-grid min moved >1.25x
-    // above the 0.5 s floor; a clean round emits regressions: {}.
+    // only when its canary-normalized in-grid min moved >1.25x above
+    // the 0.5 s floor; a clean round emits regressions: {}. The
+    // NORMALIZATION BASIS is the canary MEDIAN on both sides — a first
+    // r15 run normalized by the canary MIN and one lucky 3-sample
+    // canary (0.418 vs the prior round's 0.732) uniformly inflated
+    // every ratio 1.75x into 160 bogus flags; the numerator stays the
+    // query min, but the 3-sample canary's own min is too noisy to
+    // divide by.
     // Prior artifact override: SPARK_GRAFT_PRIOR_BENCH (the driver
     // keeps BENCH_r{N}.json copies).
     val canaryNormJson: Option[String] =
       if (only.isDefined || canarySamples.isEmpty) None
       else {
         val canaryMed = med(canarySamples.toSeq)
-        val canaryMin = canarySamples.min
         val normTotal = total / canaryMed
         val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR_BENCH", "BENCH_LOCAL.json")
         def parseMap(body: String, key: String): Option[Map[String, Double]] =
@@ -497,7 +502,13 @@ object Bench {
           }
         val prior: Option[(Double, Double, Map[String, Double], Map[String, Double])] =
           try {
-            val body = java.nio.file.Files.readString(java.nio.file.Paths.get(priorPath))
+            val body0 = java.nio.file.Files.readString(java.nio.file.Paths.get(priorPath))
+            // the round driver archives the artifact ESCAPED inside a
+            // {"tail": "..."} wrapper (BENCH_r{N}.json) — round 15
+            // pointed SPARK_GRAFT_PRIOR_BENCH at one and the regexes
+            // silently missed; unescape when the raw form isn't present
+            val body = if (body0.contains("\"canary\":{")) body0
+              else body0.replace("\\\"", "\"")
             // a prior artifact from a DIFFERENT fixture scale is not a
             // comparison baseline — skip rather than report bogus deltas
             val sameSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(body)
@@ -515,8 +526,8 @@ object Bench {
           val regs = mins.toSeq.flatMap { case (n, curMin) =>
             pqMin.get(n).collect {
               case prevMin if curMin >= 0.5 && prevMin > 0.0 && pcMin > 0.0 &&
-                (curMin / canaryMin) / (prevMin / pcMin) > 1.25 =>
-                n -> (curMin / canaryMin) / (prevMin / pcMin)
+                (curMin / canaryMed) / (prevMin / pc) > 1.25 =>
+                n -> (curMin / canaryMed) / (prevMin / pc)
             }
           }.sortBy(-_._2)
           ",\"prior_total_over_canary\":" + r3(priorNormTotal) +

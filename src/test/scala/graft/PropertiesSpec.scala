@@ -269,4 +269,80 @@ object PropertiesSpec extends Properties("graft") {
           fwd.getDouble(5) == rev.getDouble(5) &&
           fwd.getBoolean(6) == rev.getBoolean(6))
     }
+
+  // ---- round-15 evaluation invariants ----------------------------------
+
+  private val genScored: Gen[List[(Int, Boolean)]] = Gen.listOfN(30, for {
+    s <- Gen.chooseNum(0, 8)
+    y <- Gen.oneOf(true, false)
+  } yield (s, y))
+
+  property("rocAuc flips the label: auc(y) + auc(!y) = 1 on two-class inputs") =
+    Prop.forAll(genScored) { rows =>
+      val df = rows.map { case (s, y) => (s.toDouble, y) }.toDF("s", "y")
+      val a = graft.operators.Evaluation.rocAuc(df, "s", "y").collect().head
+      val b = graft.operators.Evaluation
+        .rocAuc(df.withColumn("y", !F.col("y")), "s", "y").collect().head
+      (a.isNullAt(2) && b.isNullAt(2)) ||
+        math.abs(a.getDouble(2) + b.getDouble(2) - 1.0) <= 2.5e-6
+    }
+
+  property("binary mcc negates under prediction flip") =
+    Prop.forAll(genScored) { rows =>
+      val df = rows.map { case (s, y) => (s % 2 == 0, y) }.toDF("p", "y")
+      val a = graft.operators.Evaluation.mcc(df, "p", "y").collect().head
+      val b = graft.operators.Evaluation
+        .mcc(df.withColumn("p", !F.col("p")), "p", "y").collect().head
+      (a.isNullAt(2) && b.isNullAt(2)) ||
+        math.abs(a.getDouble(2) + b.getDouble(2)) <= 2.5e-6
+    }
+
+  property("mcnemar is symmetric in the classifiers up to the disagreement labels") =
+    Prop.forAll(genScored) { rows =>
+      val df = rows.map { case (s, y) => (s % 2 == 0, s % 3 == 0, y) }
+        .toDF("a", "b", "y")
+      val fwd = graft.operators.Evaluation.mcnemar(df, "a", "b", "y").collect().head
+      val rev = graft.operators.Evaluation.mcnemar(df, "b", "a", "y").collect().head
+      fwd.getLong(1) == rev.getLong(2) && fwd.getLong(2) == rev.getLong(1) &&
+        ((fwd.isNullAt(3) && rev.isNullAt(3)) ||
+          fwd.getDouble(3) == rev.getDouble(3))
+    }
+
+  property("Murphy identity: brier = reliability − resolution + uncertainty at value bins") =
+    Prop.forAll(genScored) { rows =>
+      // dyadic-grid probabilities keep every moment exact
+      val df = rows.map { case (s, y) => (s / 8.0, y) }.toDF("p", "y")
+      val r = graft.operators.Evaluation.brierDecomposition(df, "p", "y")
+        .collect().head
+      math.abs(r.getDouble(3) - r.getDouble(4) + r.getDouble(5)
+        - r.getDouble(2)) <= 3e-6
+    }
+
+  property("coxPhMulti on ONE covariate agrees with the binary coxPh fit") =
+    Prop.forAll(Gen.listOfN(16, for {
+      dur <- Gen.chooseNum(0, 8)
+      obs <- Gen.oneOf(0, 1)
+      x <- Gen.oneOf(0, 1)
+    } yield (dur, obs, x))) { subj =>
+      // coxPh groups sort "a0" < "b1", matching x = 0/1
+      val g = subj.map { case (d, o, x) => (d, o, if (x == 1) "b1" else "a0") }
+      val ph = graft.operators.Survival
+        .coxPh(g.toDF("dur", "obs", "g"), "dur", "obs", "g").collect()
+      val mu = graft.operators.Survival
+        .coxPhMulti(subj.toDF("dur", "obs", "x"), "dur", "obs", Seq("x")).collect()
+      // coxPh is EMPTY on no-events AND on single-cohort inputs; multi
+      // still emits a NULL-estimate row for a constant covariate with
+      // events — only the both-present case aligns
+      if (ph.isEmpty) true
+      else {
+        mu.nonEmpty && {
+          val a = ph.head; val b = mu.head
+          a.getLong(2) == b.getLong(2) && // d_total
+            ((a.isNullAt(3) && b.isNullAt(3)) ||
+              (!a.isNullAt(3) && !b.isNullAt(3) &&
+                math.abs(a.getDouble(3) - b.getDouble(3)) <= 2e-5 &&
+                math.abs(a.getDouble(5) - b.getDouble(5)) <= 2e-5))
+        }
+      }
+    }
 }

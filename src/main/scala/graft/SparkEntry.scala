@@ -237,6 +237,27 @@ object SparkEntry {
         (F.col("user_id") % 3 === 0).cast("long").as("x2"))
   }
 
+  /** [[cohortSubjects]] with a CONTINUOUS engagement covariate for the
+    * gridded Cox fit: 0.5 · (pre-cut event count mod 7) — fractional,
+    * exactly representable halves on a 7-value grid (no cross-engine
+    * rounding ambiguity), correlated with nothing by construction. */
+  private def cohortSubjectsCont(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+    val seen = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
+    val f = seen.groupBy(F.col("user_id"))
+      .agg(F.min(F.col("ts")).as("f0"), F.count(F.lit(1)).as("ne"))
+    val p = seen.filter(F.col("event_type") === "purchase")
+      .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("p0"))
+    f.join(p, Seq("user_id"), "left").crossJoin(F.broadcast(cut))
+      .select(
+        F.when(F.col("p0").isNotNull,
+            F.datediff(F.to_date(F.col("p0")), F.to_date(F.col("f0"))))
+          .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
+        F.col("p0").isNotNull.cast("int").as("obs"),
+        ((F.col("ne") % 7).cast("double") * 0.5).as("engagement"))
+  }
+
   /** [[cohortSubjects]] with a stratification key alongside (user_id
     * mod 3 — independent of the mod-2 cohort, all six combinations
     * occur), for the stratified log-rank fixture. */
@@ -1246,6 +1267,15 @@ object SparkEntry {
     // single beta averages a moving target.
     "q_cox_ph_check" -> ((s, dir) => {
       Survival.coxSchoenfeldTrend(cohortSubjects(s, dir), "dur", "obs", "cohort")
+    }),
+    // The CONTINUOUS-covariate adjusted fit — beta per unit of the
+    // snapped engagement score (half-integer grid, so the round-4 snap
+    // is an exact identity): grid-total-minus-ordered-exit-cumulant
+    // risk sums, the same unrolled 9-snapped Newton, mirrored
+    // window-for-window.
+    "q_coxph_cont" -> ((s, dir) => {
+      Survival.coxPhCont(cohortSubjectsCont(s, dir), "dur", "obs",
+        "engagement", decimals = 4)
     }),
     // Harrell's C for the same binary risk score (cohort 1 vs 0, the
     // coxph x = 1 coding): discrimination, the third read of the
@@ -2814,6 +2844,15 @@ object SparkEntry {
       TextAnalysis.langId(t(s, dir, "documents"), "text")
         .select(Seq(F.col("doc_id"), F.col("lang"), F.col("pred_lang")) ++
           TextAnalysis.langMarkers.map { case (l, _) => F.col(s"score_$l") }: _*)),
+    // TRAINED language ID (r15 directive #6): char-trigram Naive Bayes,
+    // trained in-engine by pure integer counting and served as exact
+    // integer micro-nat sums (the only float op is the ln at snap time)
+    // — argmax ties to the ascending language code. κ vs truth ≈ 0.43
+    // on this fixture where the marker heuristic sits at chance
+    // (q_kappa = 0.0); the spec gates that gap.
+    "q_langid_nb" -> ((s, dir) =>
+      LangIdNB.trainScore(t(s, dir, "documents"), "text", "lang", "doc_id")
+        .orderBy("doc_id")),
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"), "text")
         .select("doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens",
@@ -4438,6 +4477,81 @@ object SparkEntry {
       "CASE WHEN dd > 0 THEN round(sqrt(i11 / dd), 6) + 0.0 END AS se, " +
       "CASE WHEN dd > 0 THEN (b2 / sqrt(i11 / dd)) * (b2 / sqrt(i11 / dd)) > CAST(3.841459 AS DOUBLE) END AS reject_95 " +
       "FROM fin, tot2 ORDER BY covariate"
+  }
+
+  /** Continuous-covariate Breslow Cox-PH mirror ([[Survival.coxPhCont]]
+    * on the [[cohortSubjectsCont]] design): per-(t, grid value) counts,
+    * then per Newton step the S-sums as GRID TOTALS minus ordered exit
+    * cumulants — the tot sums folded in ascending v (one window over
+    * the grid frame), the ce and te cumulants over the (t, v)-ordered
+    * exit rows with per-t partials (s = tot − ce + te read at each t's
+    * last row), U/I as
+    * t-ordered window sums of EXACTLY the driver fold's term shapes,
+    * then the 9-snapped β update. Final pass recomputes I(β̂). */
+  private def coxContSql(steps: Int): String = {
+    val e = "exp(beta * v)"
+    def tots(name: String, prevB: String): String =
+      s"$name AS (SELECT sum(CAST(nnv AS DOUBLE) * $e) OVER wv AS tot0, " +
+        s"sum(v * CAST(nnv AS DOUBLE) * $e) OVER wv AS tot1, " +
+        s"sum(v * v * CAST(nnv AS DOUBLE) * $e) OVER wv AS tot2, " +
+        "row_number() OVER (ORDER BY v DESC) AS rn " +
+        s"FROM pv, $prevB WINDOW wv AS (ORDER BY v ROWS UNBOUNDED PRECEDING))"
+    def cum(name: String, prevB: String): String =
+      s"$name AS (SELECT t, " +
+        s"sum(CAST(c AS DOUBLE) * $e) OVER wc AS ce0, " +
+        s"sum(v * CAST(c AS DOUBLE) * $e) OVER wc AS ce1, " +
+        s"sum(v * v * CAST(c AS DOUBLE) * $e) OVER wc AS ce2, " +
+        s"sum(CAST(c AS DOUBLE) * $e) OVER wt AS te0, " +
+        s"sum(v * CAST(c AS DOUBLE) * $e) OVER wt AS te1, " +
+        s"sum(v * v * CAST(c AS DOUBLE) * $e) OVER wt AS te2, " +
+        "sum(v * CAST(d AS DOUBLE)) OVER wt AS sxd, " +
+        "CAST(sum(d) OVER (PARTITION BY t) AS BIGINT) AS td, " +
+        "row_number() OVER (PARTITION BY t ORDER BY v DESC) AS rnt " +
+        s"FROM bytv, $prevB " +
+        "WINDOW wc AS (ORDER BY t, v ROWS UNBOUNDED PRECEDING), " +
+        "wt AS (PARTITION BY t ORDER BY v ROWS UNBOUNDED PRECEDING))"
+    def evf(name: String, cumName: String, totName: String): String =
+      s"$name AS (SELECT t, tot0 - ce0 + te0 AS s0, tot1 - ce1 + te1 AS s1, " +
+        s"tot2 - ce2 + te2 AS s2, sxd, td FROM $cumName, $totName " +
+        "WHERE rnt = 1 AND rn = 1 AND td > 0)"
+    def pass(name: String, evName: String): String =
+      s"$name AS (SELECT sum(sxd - CAST(td AS DOUBLE) * s1 / s0) OVER wu AS us, " +
+        "sum(CAST(td AS DOUBLE) * (s2 / s0 - (s1 / s0) * (s1 / s0))) OVER wu AS is_, " +
+        s"row_number() OVER (ORDER BY t DESC) AS rn FROM $evName " +
+        "WINDOW wu AS (ORDER BY t ROWS UNBOUNDED PRECEDING))"
+    val stepCtes = (1 to steps).map { k =>
+      Seq(tots(s"tt$k", s"b${k - 1}"), cum(s"cc$k", s"b${k - 1}"),
+        evf(s"ee$k", s"cc$k", s"tt$k"), pass(s"ss$k", s"ee$k"),
+        s"b$k AS (SELECT CASE WHEN is_ > 0 THEN round(beta + us / is_, 9) " +
+          s"ELSE beta END AS beta FROM ss$k, b${k - 1} WHERE rn = 1)").mkString(", ")
+    }.mkString(", ")
+    "WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
+      "f AS (SELECT user_id, min(ts) AS f0, CAST(count(*) AS BIGINT) AS ne " +
+      "FROM events, cut WHERE ts <= c GROUP BY 1), " +
+      "p AS (SELECT user_id, min(ts) AS p0 FROM events, cut " +
+      "WHERE event_type = 'purchase' AND ts <= c GROUP BY 1), " +
+      "subj AS (SELECT CASE WHEN p0 IS NOT NULL " +
+      "THEN date_diff('day', CAST(f0 AS DATE), CAST(p0 AS DATE)) " +
+      "ELSE date_diff('day', CAST(f0 AS DATE), CAST(c AS DATE)) END AS t0, " +
+      "CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS obs, " +
+      "CAST(f.ne % 7 AS DOUBLE) * 0.5 AS v " +
+      "FROM f LEFT JOIN p ON p.user_id = f.user_id, cut), " +
+      "bytv AS (SELECT CAST(t0 AS BIGINT) AS t, v, CAST(sum(obs) AS BIGINT) AS d, " +
+      "CAST(count(*) AS BIGINT) AS c FROM subj GROUP BY 1, 2), " +
+      "pv AS (SELECT v, CAST(sum(c) AS BIGINT) AS nnv FROM bytv GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(nnv) AS BIGINT) AS n FROM pv), " +
+      "dtot AS (SELECT CAST(sum(d) AS BIGINT) AS d_total FROM bytv), " +
+      "b0 AS (SELECT CAST(0 AS DOUBLE) AS beta), " +
+      stepCtes + ", " +
+      tots("ttf", s"b$steps") + ", " + cum("ccf", s"b$steps") + ", " +
+      evf("eef", "ccf", "ttf") + ", " + pass("ssf", "eef") + " " +
+      "SELECT 'engagement' AS covariate, n, d_total, " +
+      "CASE WHEN is_ > 0 THEN round(beta, 6) + 0.0 END AS beta, " +
+      "CASE WHEN is_ > 0 THEN round(exp(beta), 6) + 0.0 END AS hr, " +
+      "CASE WHEN is_ > 0 THEN round(1.0 / sqrt(is_), 6) + 0.0 END AS se, " +
+      "CASE WHEN is_ > 0 THEN (beta / (1.0 / sqrt(is_))) * (beta / (1.0 / sqrt(is_))) " +
+      "> CAST(3.841459 AS DOUBLE) END AS reject_95 " +
+      s"FROM ssf, b$steps, tot, dtot WHERE rn = 1"
   }
 
   /** Logistic-recalibration Newton unrolled over the distinct-score
@@ -6314,6 +6428,9 @@ object SparkEntry {
     "q_coxph_multi" -> coxMultiSql(steps = 4),
     // Per-stratum risk sets, one (s, t)-ordered pooled Newton window.
     "q_coxph_strat" -> coxStratSql(steps = 4),
+    // Continuous (gridded) covariate: S-sums as grid totals minus
+    // ordered exit cumulants, same unrolled 9-snapped Newton.
+    "q_coxph_cont" -> coxContSql(steps = 4),
     // Baseline cumulative hazard at b4: one ordered window sum of
     // d/S0(β̂) over the event axis, curves as exp() of it.
     "q_cox_baseline" ->
@@ -7215,6 +7332,30 @@ object SparkEntry {
         "sum(CAST(bv[CAST(i AS INT)] AS DOUBLE) * CAST(bv[CAST(i AS INT)] AS DOUBLE)) AS bb " +
         "FROM terms GROUP BY a, b) " +
         "SELECT a, b, round(dot / (sqrt(aa) * sqrt(bb)), 4) AS cos_sim FROM dots WHERE round(dot / (sqrt(aa) * sqrt(bb)), 4) >= 0.2"),
+
+    // Char-trigram NB mirror ([[LangIdNB.trainScore]]): the whole
+    // train+serve chain re-derives in SQL — integer (lang, gram)
+    // counts, micro-nat snap round(ln((n+1)/(tot+V))·1e6) as BIGINT,
+    // exact integer score sums, argmax ties to ascending language.
+    "q_langid_nb" ->
+      ("WITH d AS (SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL), " +
+        "g AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS gram " +
+        "FROM d, unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i)), " +
+        "cnt AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2), " +
+        "tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1), " +
+        "voc AS (SELECT DISTINCT gram FROM g), " +
+        "vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc), " +
+        "model AS (SELECT tot.lang, voc.gram, " +
+        "CAST(round(ln((CAST(coalesce(cnt.n, 0) AS DOUBLE) + 1.0) / (CAST(tot.tot AS DOUBLE) + CAST(vv.v AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS lp " +
+        "FROM voc CROSS JOIN tot CROSS JOIN vv " +
+        "LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.gram = voc.gram), " +
+        "pri AS (SELECT lang, CAST(round(ln(CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM d) AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS lp0 FROM d GROUP BY 1), " +
+        "dg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2), " +
+        "sc AS (SELECT dg.doc_id, m.lang, CAST(sum(dg.c * m.lp) AS BIGINT) AS s FROM dg JOIN model m ON m.gram = dg.gram GROUP BY 1, 2), " +
+        "allsc AS (SELECT d.doc_id, d.lang, pri.lang AS cand, pri.lp0 + coalesce(sc.s, CAST(0 AS BIGINT)) AS score " +
+        "FROM d CROSS JOIN pri LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = pri.lang), " +
+        "pred AS (SELECT doc_id, lang, cand, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn FROM allsc) " +
+        "SELECT doc_id, lang, cand AS pred_lang FROM pred WHERE rn = 1 ORDER BY doc_id"),
 
     "q_text_langid" ->
       ("SELECT doc_id, lang, " +

@@ -872,12 +872,18 @@ object Evaluation {
   def isotonicCalibrationGridded(df: DataFrame, scoreCol: String,
                                  labelCol: String,
                                  decimals: Int = 4): DataFrame = {
+    require(decimals >= 0 && decimals <= 8,
+      "isotonicCalibrationGridded: decimals must be in 0..8")
     val x = F.col(scoreCol).cast("double")
     val y = F.col(labelCol).cast("boolean")
+    // the escape hatch must actually escape: a decimals >= 5 grid
+    // (10^5 + 1 points) exceeds isotonicFromCounts' default cap, so
+    // pass the grid's own size through (r15 ADVICE)
+    val gridCap = math.max(100000, math.pow(10, decimals).toInt + 1)
     isotonicFromCounts(df.filter(x.isNotNull && y.isNotNull)
       .groupBy(F.round(x, decimals).as("x"))
       .agg(F.count(F.when(y, 1)).as("c1"),
-        F.count(F.when(!y, 1)).as("c2")))
+        F.count(F.when(!y, 1)).as("c2")), gridCap)
   }
 
   /** [[isotonicCalibration]] over a pre-aggregated (x, c1, c2) count

@@ -648,19 +648,41 @@ object Survival {
     * (I(0) = 0). EMPTY when there are no event times or a single
     * cohort ([[logRankFromCounts]]'s conventions). */
   def coxPh(subjects: DataFrame, durCol: String, obsCol: String,
-            groupCol: String, steps: Int = 4): DataFrame =
+            groupCol: String, steps: Int = 4,
+            maxDurations: Int = defaultMaxDurations): DataFrame =
     coxPhFromCounts(subjects
       .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull &&
         F.col(groupCol).isNotNull)
       .groupBy(F.col(durCol).cast("long").as("t"), F.col(groupCol).as("g"))
       .agg(F.sum(F.col(obsCol).cast("long")).as("d"),
-        F.count(F.lit(1)).as("c")), steps)
+        F.count(F.lit(1)).as("c")), steps, maxDurations)
+
+  /** Default cap on the collected event-duration axis shared by the Cox
+    * family's driver folds — the [[graft.operators.Evaluation.isotonicFromCounts]]
+    * guard shape: the fold is sound only when the duration axis is a
+    * vocabulary (integer days, bounded), never the corpus. A
+    * continuous-duration input at scale would make the collect
+    * data-sized, so every fold REFUSES loudly past the cap (before
+    * materializing more than cap + 1 rows) instead of OOM-ing the
+    * driver; snap such durations to a documented grid first (e.g.
+    * `F.round(dur / 86400.0, 0)` for epoch-seconds → days) or raise the
+    * cap deliberately. */
+  val defaultMaxDurations: Int = 100000
+
+  private def guardAxis(n: Int, cap: Int, what: String): Unit =
+    require(n <= cap,
+      s"$what: > $cap collected axis rows — the Cox-family driver fold " +
+        "is bounded by the event-duration vocabulary (integer days); " +
+        "snap a continuous duration to a grid first, or raise " +
+        "maxDurations deliberately")
 
   /** The shared two-cohort event frame behind the Cox family: per
     * event time (t, d, dx, n0, nx, nn1, nn2) in t order, collected —
-    * the duration axis is days-sized, bounded, and every consumer's
-    * driver fold must accumulate in exactly this order. */
-  private def twoCohortEvents(byTG: DataFrame): Array[org.apache.spark.sql.Row] = {
+    * the duration axis is days-sized, bounded (enforced by
+    * [[defaultMaxDurations]]), and every consumer's driver fold must
+    * accumulate in exactly this order. */
+  private def twoCohortEvents(byTG: DataFrame,
+                              maxDurations: Int = defaultMaxDurations): Array[org.apache.spark.sql.Row] = {
     val gs = byTG.agg(F.min("g").as("ga"), F.max("g").as("gb"))
       .filter(F.col("ga") =!= F.col("gb"))
     val perT = byTG.crossJoin(F.broadcast(gs))
@@ -674,7 +696,7 @@ object Survival {
     val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // per-event-time risk sets, the logRank construction: n at risk =
     // total − everyone who exited strictly before t
-    perT.crossJoin(F.broadcast(tot))
+    val rows = perT.crossJoin(F.broadcast(tot))
       .withColumn("n0", F.col("nn1") - F.sum("c1").over(w) + F.col("c1"))
       .withColumn("nx", F.col("nn2") - F.sum("c2").over(w) + F.col("c2"))
       .filter(F.col("d1") + F.col("d2") > 0)
@@ -682,7 +704,10 @@ object Survival {
         F.col("d2").as("dx"), F.col("n0"), F.col("nx"),
         F.col("nn1"), F.col("nn2"))
       .orderBy("t")
-      .select("t", "d", "dx", "n0", "nx", "nn1", "nn2").collect()
+      .select("t", "d", "dx", "n0", "nx", "nn1", "nn2")
+      .limit(maxDurations + 1).collect()
+    guardAxis(rows.length, maxDurations, "twoCohortEvents")
+    rows
   }
 
   /** (U, I) at β over a [[twoCohortEvents]] frame — term shapes EXACTLY
@@ -719,9 +744,10 @@ object Survival {
 
   /** The fit over the pre-aggregated (t, g, d, c) frame — the same
     * mergeable summary [[logRankFromCounts]] re-enters. */
-  def coxPhFromCounts(byTG: DataFrame, steps: Int = 4): DataFrame = {
+  def coxPhFromCounts(byTG: DataFrame, steps: Int = 4,
+                      maxDurations: Int = defaultMaxDurations): DataFrame = {
     val spark = byTG.sparkSession
-    val rows = twoCohortEvents(byTG)
+    val rows = twoCohortEvents(byTG, maxDurations)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n_a", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_b", org.apache.spark.sql.types.LongType),
@@ -761,14 +787,22 @@ object Survival {
     * hidden). EMPTY on no events / single cohort. Output: one row per
     * event time — (t, d, n_risk, h0, surv_a, surv_b), round 6. */
   def coxBaseline(subjects: DataFrame, durCol: String, obsCol: String,
-                  groupCol: String, steps: Int = 4): DataFrame = {
-    val spark = subjects.sparkSession
-    val byTG = subjects
+                  groupCol: String, steps: Int = 4,
+                  maxDurations: Int = defaultMaxDurations): DataFrame =
+    coxBaselineFromCounts(subjects
       .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull &&
         F.col(groupCol).isNotNull)
       .groupBy(F.col(durCol).cast("long").as("t"), F.col(groupCol).as("g"))
-      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c"))
-    val rows = twoCohortEvents(byTG)
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c")),
+      steps, maxDurations)
+
+  /** [[coxBaseline]] over a pre-aggregated (t, g, d, c) frame — the
+    * streaming re-entry point (the per-(t, g) counts are the curves'
+    * complete sufficient statistics, so streamed == batch exactly). */
+  def coxBaselineFromCounts(byTG: DataFrame, steps: Int = 4,
+                            maxDurations: Int = defaultMaxDurations): DataFrame = {
+    val spark = byTG.sparkSession
+    val rows = twoCohortEvents(byTG, maxDurations)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("t", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("d", org.apache.spark.sql.types.LongType),
@@ -803,20 +837,29 @@ object Survival {
     * a nonzero correlation with t means the hazard ratio drifts and the
     * single β̂ is averaging a moving target. Pearson corr(r_t, t) over
     * event times, moments accumulated in t order (the ordered-fold
-    * discipline; t sums are exact BIGINTs), z = r·√(n−2)/√(1−r²)
+    * discipline; time moments in Double — exact for the days-sized
+    * axis, overflow-proof for an epoch-sized one), z = r·√(n−2)/√(1−r²)
     * against ±1.96. NULL corr/z when fewer than 3 event times or a
     * degenerate variance (all residuals equal). EMPTY on no events /
     * single cohort. Output: one row — (n_events, beta, corr, z,
     * ph_violated_95), β round 6, corr/z round 4. */
   def coxSchoenfeldTrend(subjects: DataFrame, durCol: String, obsCol: String,
-                         groupCol: String, steps: Int = 4): DataFrame = {
-    val spark = subjects.sparkSession
-    val byTG = subjects
+                         groupCol: String, steps: Int = 4,
+                         maxDurations: Int = defaultMaxDurations): DataFrame =
+    coxSchoenfeldTrendFromCounts(subjects
       .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull &&
         F.col(groupCol).isNotNull)
       .groupBy(F.col(durCol).cast("long").as("t"), F.col(groupCol).as("g"))
-      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c"))
-    val rows = twoCohortEvents(byTG)
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c")),
+      steps, maxDurations)
+
+  /** [[coxSchoenfeldTrend]] over a pre-aggregated (t, g, d, c) frame —
+    * the streaming re-entry point (residuals are a pure function of the
+    * per-(t, g) counts, so streamed == batch exactly). */
+  def coxSchoenfeldTrendFromCounts(byTG: DataFrame, steps: Int = 4,
+                                   maxDurations: Int = defaultMaxDurations): DataFrame = {
+    val spark = byTG.sparkSession
+    val rows = twoCohortEvents(byTG, maxDurations)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n_events", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("beta", org.apache.spark.sql.types.DoubleType),
@@ -829,21 +872,24 @@ object Survival {
     val eb = math.exp(beta)
     def rd6(x: Double): Double = rdN(x, 6) + 0.0
     def rd4(x: Double): Double = rdN(x, 4) + 0.0
-    var st = 0L; var stt = 0L
+    var st = 0.0; var stt = 0.0
     var sr = 0.0; var srr = 0.0; var str = 0.0
     rows.foreach { r =>
-      val t = r.getLong(0)
+      // time moments in Double (the SQL mirror's CAST(t AS DOUBLE)
+      // reads): epoch-style t values must not overflow t*t silently
+      // (r15 ADVICE) — exact anyway for the documented days-sized axis
+      val t = r.getLong(0).toDouble
       val d = r.getLong(1).toDouble; val dx = r.getLong(2).toDouble
       val n0 = r.getLong(3).toDouble; val nx = r.getLong(4).toDouble
       val den = n0 + nx * eb
       val rt = dx - d * nx * eb / den
-      st += t; stt += t * t
-      sr = sr + rt; srr = srr + rt * rt; str = str + t.toDouble * rt
+      st = st + t; stt = stt + t * t
+      sr = sr + rt; srr = srr + rt * rt; str = str + t * rt
     }
     val ne = rows.length.toLong
     val nD = ne.toDouble
-    val num = nD * str - st.toDouble * sr
-    val denT = nD * stt - st.toDouble * st
+    val num = nD * str - st * sr
+    val denT = nD * stt - st * st
     val denR = nD * srr - sr * sr
     val corrOpt =
       if (denT > 0 && denR > 0) Some(num / (math.sqrt(denT) * math.sqrt(denR)))
@@ -876,14 +922,22 @@ object Survival {
     * d_total, beta, hr, se, reject_95). */
   def coxPhStratified(subjects: DataFrame, durCol: String, obsCol: String,
                       groupCol: String, strataCol: String,
-                      steps: Int = 4): DataFrame = {
-    val spark = subjects.sparkSession
-    val byTSG = subjects
+                      steps: Int = 4,
+                      maxDurations: Int = defaultMaxDurations): DataFrame =
+    coxPhStratifiedFromCounts(subjects
       .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull &&
         F.col(groupCol).isNotNull && F.col(strataCol).isNotNull)
       .groupBy(F.col(strataCol).as("s"), F.col(durCol).cast("long").as("t"),
         F.col(groupCol).as("g"))
-      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c")),
+      steps, maxDurations)
+
+  /** [[coxPhStratified]] over a pre-aggregated (s, t, g, d, c) frame —
+    * the streaming re-entry point (per-(stratum, t, g) counts are the
+    * pooled fit's complete sufficient statistics). */
+  def coxPhStratifiedFromCounts(byTSG: DataFrame, steps: Int = 4,
+                                maxDurations: Int = defaultMaxDurations): DataFrame = {
+    val spark = byTSG.sparkSession
     val gs = byTSG.agg(F.min("g").as("ga"), F.max("g").as("gb"))
       .filter(F.col("ga") =!= F.col("gb"))
     val perT = byTSG.crossJoin(F.broadcast(gs))
@@ -903,9 +957,12 @@ object Survival {
       .select(F.col("s"), (F.col("d1") + F.col("d2")).as("d"),
         F.col("d2").as("dx"), F.col("n0"), F.col("nx"), F.col("t"))
     // (s, t)-ordered collect: the row layout's slots 1-4 are the
-    // breslowScoreInfo contract (d, dx, n0, nx)
+    // breslowScoreInfo contract (d, dx, n0, nx); axis = (stratum, day)
+    // pairs, guarded like every Cox-family fold
     val rows = ev.orderBy("s", "t")
-      .select("s", "d", "dx", "n0", "nx").collect()
+      .select("s", "d", "dx", "n0", "nx")
+      .limit(maxDurations + 1).collect()
+    guardAxis(rows.length, maxDurations, "coxPhStratified")
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("n_a", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_b", org.apache.spark.sql.types.LongType),
@@ -972,24 +1029,47 @@ object Survival {
     * (covariate, n, d_total, beta, hr, se, reject_95), β/hr/se
     * round 6. */
   def coxPhMulti(subjects: DataFrame, durCol: String, obsCol: String,
-                 covCols: Seq[String], steps: Int = 4): DataFrame = {
+                 covCols: Seq[String], steps: Int = 4,
+                 maxDurations: Int = defaultMaxDurations): DataFrame = {
+    require(covCols.nonEmpty && covCols.size <= 3,
+      "coxPhMulti fits 1-3 binary covariates (Cramer solve is written per arity)")
+    val notNull = (F.col(durCol).isNotNull && F.col(obsCol).isNotNull) &&
+      covCols.map(F.col(_).isNotNull).reduce(_ && _)
+    coxPhMultiFromCounts(subjects.filter(notNull)
+      .groupBy(F.col(durCol).cast("long").as("t"),
+        patternCol(covCols).as("k"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c")),
+      covCols, steps, maxDurations)
+  }
+
+  /** The covariate-pattern index behind [[coxPhMulti]]: the FIRST
+    * covariate is the high bit (p = 2: k = 2·x₁ + x₂). The binary
+    * check runs on the ORIGINAL double value, not the long truncation —
+    * a fractional covariate (0.5 → long 0) must land in pattern -1 and
+    * trip the post-aggregation guard, not silently pass as 0 (r15
+    * ADVICE). Shared by the batch entry and the streaming write side
+    * ([[graft.streaming.StreamingSurvival]]). */
+  def patternCol(covCols: Seq[String]): org.apache.spark.sql.Column = {
+    val p = covCols.size
+    val xds = covCols.map(c => F.col(c).cast("double"))
+    val isBin = xds.map(x => x === 0.0 || x === 1.0).reduce(_ && _)
+    val xs = covCols.map(c => F.col(c).cast("long"))
+    F.when(isBin,
+      xs.zipWithIndex.map { case (x, i) => x * (1L << (p - 1 - i)) }
+        .reduce(_ + _)).otherwise(F.lit(-1L))
+  }
+
+  /** [[coxPhMulti]] over a pre-aggregated (t, k, d, c) frame keyed by
+    * the [[patternCol]] pattern index (k = -1 marks invalid covariate
+    * rows and trips the loud guard) — the streaming re-entry point. */
+  def coxPhMultiFromCounts(byTP: DataFrame, covCols: Seq[String],
+                           steps: Int = 4,
+                           maxDurations: Int = defaultMaxDurations): DataFrame = {
     require(covCols.nonEmpty && covCols.size <= 3,
       "coxPhMulti fits 1-3 binary covariates (Cramer solve is written per arity)")
     val p = covCols.size
     val kPats = 1 << p
-    val spark = subjects.sparkSession
-    val xs = covCols.map(c => F.col(c).cast("long"))
-    val isBin = xs.map(x => x === 0L || x === 1L).reduce(_ && _)
-    // non-binary covariate values land in pattern -1 and trip the guard
-    // AFTER aggregation (one job, no extra validation pass)
-    val patt = F.when(isBin,
-      xs.zipWithIndex.map { case (x, i) => x * (1L << (p - 1 - i)) }
-        .reduce(_ + _)).otherwise(F.lit(-1L))
-    val notNull = (F.col(durCol).isNotNull && F.col(obsCol).isNotNull) &&
-      covCols.map(F.col(_).isNotNull).reduce(_ && _)
-    val byTP = subjects.filter(notNull)
-      .groupBy(F.col(durCol).cast("long").as("t"), patt.as("k"))
-      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c"))
+    val spark = byTP.sparkSession
     val perTAggs = (0 until kPats).flatMap { k =>
       Seq(F.sum(F.when(F.col("k") === k, F.col("d")).otherwise(F.lit(0L))).as(s"d$k"),
         F.sum(F.when(F.col("k") === k, F.col("c")).otherwise(F.lit(0L))).as(s"c$k"))
@@ -1007,7 +1087,8 @@ object Survival {
     val ev = withRisk.filter(dTotCol > 0)
       .select(F.col("t") +: F.col("badTot") +:
         (0 until kPats).flatMap(k => Seq(F.col(s"d$k"), F.col(s"n$k"), F.col(s"nn$k"))): _*)
-    val rows = ev.orderBy("t").collect()
+    val rows = ev.orderBy("t").limit(maxDurations + 1).collect()
+    guardAxis(rows.length, maxDurations, "coxPhMulti")
     require(rows.isEmpty || rows.head.getLong(1) == 0L,
       s"coxPhMulti: non-binary covariate values in ${covCols.mkString(",")} " +
         "— the pattern-space boundedness argument needs 0/1 covariates")
@@ -1140,5 +1221,134 @@ object Survival {
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         java.util.Arrays.asList(out: _*)), outSchema)
+  }
+
+  /** CONTINUOUS-covariate Cox proportional hazards (Cox 1972, Breslow
+    * ties) — the adjusted-hazard-ratio question [[coxPhMulti]]'s binary
+    * contract can't answer: β for age / a quality score / an
+    * engagement count, e^β the hazard ratio PER UNIT of the covariate.
+    * The covariate is SNAPPED to a grid first (`F.round(x, decimals)` —
+    * the [[graft.operators.Evaluation.isotonicCalibrationGridded]]
+    * escape-hatch pattern) so the risk-set state stays a bounded
+    * per-(event time, grid value) count frame, never per-subject state:
+    *
+    *   S0(t) = Σ_v n_v(t)·e^{βv}     S1(t) = Σ_v v·n_v(t)·e^{βv}
+    *   S2(t) = Σ_v v²·n_v(t)·e^{βv}
+    *   U = Σ_t [Σ_{events at t} v  −  d_t·S1/S0]
+    *   I = Σ_t d_t·[S2/S0 − (S1/S0)²]
+    *
+    * Same 9-snapped fixed-step Newton as the whole family. The n_v(t)
+    * risk sets never materialize per (t, v): each S-sum is the grid
+    * TOTAL (Σ_v nn_v·e^{βv}, folded in ascending v) minus the ordered
+    * cumulative exit terms — exactly the logRank risk-set subtraction
+    * lifted to β-weighted floats, so the mirror replays it as two
+    * ordered window sums. Fold order per Newton pass: grid totals in
+    * ascending v; then the (t, v)-ordered exit rows, per-t partials in
+    * ascending v; event-time terms in ascending t — every sum
+    * left-associated, bit-identical to the mirror's window chain.
+    * Collected axes: the (grid value) frame (≤ `maxGridValues`) and the
+    * (t, v) exit frame (≤ `maxDurations`), both loudly guarded.
+    * Output: ONE row — (covariate, n, d_total, beta, hr, se,
+    * reject_95), the [[coxPhMulti]] row shape; all-NULL estimates when
+    * the information degenerates (constant covariate), EMPTY when no
+    * event times. */
+  def coxPhCont(subjects: DataFrame, durCol: String, obsCol: String,
+                covCol: String, decimals: Int = 4, steps: Int = 4,
+                maxGridValues: Int = 10000,
+                maxDurations: Int = defaultMaxDurations): DataFrame = {
+    require(decimals >= 0 && decimals <= 8,
+      "coxPhCont: decimals must be in 0..8")
+    val x = F.col(covCol).cast("double")
+    coxPhContFromCounts(subjects
+      .filter(F.col(durCol).isNotNull && F.col(obsCol).isNotNull && x.isNotNull)
+      .groupBy(F.col(durCol).cast("long").as("t"),
+        F.round(x, decimals).as("v"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c")),
+      covCol, steps, maxGridValues, maxDurations)
+  }
+
+  /** [[coxPhCont]] over a pre-aggregated (t, v, d, c) frame (v already
+    * snapped to the grid) — the streaming re-entry point. */
+  def coxPhContFromCounts(byTV: DataFrame, covName: String,
+                          steps: Int = 4,
+                          maxGridValues: Int = 10000,
+                          maxDurations: Int = defaultMaxDurations): DataFrame = {
+    val spark = byTV.sparkSession
+    val pv = byTV.groupBy("v").agg(F.sum("c").as("nnv"))
+      .select(F.col("v").cast("double"), F.col("nnv").cast("long"))
+      .orderBy("v").limit(maxGridValues + 1).collect()
+    guardAxis(pv.length, maxGridValues, "coxPhCont grid")
+    val rows = byTV
+      .select(F.col("t").cast("long"), F.col("v").cast("double"),
+        F.col("d").cast("long"), F.col("c").cast("long"))
+      .orderBy("t", "v").limit(maxDurations + 1).collect()
+    guardAxis(rows.length, maxDurations, "coxPhCont")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("covariate", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d_total", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("beta", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("hr", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("se", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("reject_95", org.apache.spark.sql.types.BooleanType)))
+    val anyEvents = rows.exists(_.getLong(2) > 0)
+    if (rows.isEmpty || !anyEvents)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val nTotal = pv.map(_.getLong(1)).sum
+    val dTotal = rows.map(_.getLong(2)).sum
+    // (U, I) at β — term shapes EXACTLY as the SQL mirror writes them:
+    // grid totals first (ascending v), then the (t, v)-ordered exit
+    // cumulants with per-t partials, s = tot − ce + te, u/i in t order
+    def scoreInfo(beta: Double): (Double, Double) = {
+      var tot0 = 0.0; var tot1 = 0.0; var tot2 = 0.0
+      pv.foreach { r =>
+        val v = r.getDouble(0); val nnv = r.getLong(1).toDouble
+        val e = math.exp(beta * v)
+        tot0 = tot0 + nnv * e
+        tot1 = tot1 + v * nnv * e
+        tot2 = tot2 + v * v * nnv * e
+      }
+      var ce0 = 0.0; var ce1 = 0.0; var ce2 = 0.0
+      var u = 0.0; var i = 0.0
+      var idx = 0
+      while (idx < rows.length) {
+        val t = rows(idx).getLong(0)
+        var te0 = 0.0; var te1 = 0.0; var te2 = 0.0
+        var td = 0L; var sxd = 0.0
+        while (idx < rows.length && rows(idx).getLong(0) == t) {
+          val r = rows(idx)
+          val v = r.getDouble(1); val d = r.getLong(2); val c = r.getLong(3)
+          val cD = c.toDouble
+          val e = math.exp(beta * v)
+          ce0 = ce0 + cD * e; ce1 = ce1 + v * cD * e; ce2 = ce2 + v * v * cD * e
+          te0 = te0 + cD * e; te1 = te1 + v * cD * e; te2 = te2 + v * v * cD * e
+          td += d; sxd = sxd + v * d.toDouble
+          idx += 1
+        }
+        if (td > 0) {
+          val s0 = tot0 - ce0 + te0
+          val s1 = tot1 - ce1 + te1
+          val s2 = tot2 - ce2 + te2
+          u = u + (sxd - td.toDouble * s1 / s0)
+          i = i + td.toDouble * (s2 / s0 - (s1 / s0) * (s1 / s0))
+        }
+      }
+      (u, i)
+    }
+    def rd6(x: Double): Double = rdN(x, 6) + 0.0
+    var beta = 0.0
+    (1 to steps).foreach { _ =>
+      val (u, i) = scoreInfo(beta)
+      if (i > 0) beta = rdN(beta + u / i, 9)
+    }
+    val (_, iFin) = scoreInfo(beta)
+    val row: org.apache.spark.sql.Row =
+      if (iFin > 0) {
+        val se = 1.0 / math.sqrt(iFin)
+        val wald = (beta / se) * (beta / se)
+        org.apache.spark.sql.Row(covName, nTotal, dTotal, rd6(beta),
+          rd6(math.exp(beta)), rd6(se), java.lang.Boolean.valueOf(wald > 3.841459))
+      } else org.apache.spark.sql.Row(covName, nTotal, dTotal, null, null, null, null)
+    spark.createDataFrame(java.util.Arrays.asList(row), outSchema)
   }
 }

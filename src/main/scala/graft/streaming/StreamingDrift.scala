@@ -201,8 +201,13 @@ object StreamingDrift {
   def weightedKappaNow(spark: SparkSession, countsDir: String): DataFrame =
     graft.operators.Evaluation.weightedKappaFromCells(
       categoricalCounts(spark, countsDir)
-        .select(F.col("slice").cast("double").as("pred"),
-          F.col("cat").cast("double").as("label"), F.col("n")))
+        // a non-numeric slice/cat try_casts to NULL — drop it like
+        // the batch path's pre-group filter, instead of NULLing
+        // kappa_w through the cell sums (ANSI cast would throw) —
+        // r15 ADVICE
+        .select(F.expr("try_cast(slice AS double)").as("pred"),
+          F.expr("try_cast(cat AS double)").as("label"), F.col("n"))
+        .filter(F.col("pred").isNotNull && F.col("label").isNotNull))
 
   /** Fleiss' kappa over the stream's (item, rater-vote) pairs — the
     * ITEM rides the slice dimension, the vote the category; merged
@@ -254,8 +259,10 @@ object StreamingDrift {
   def kendallNow(spark: SparkSession, countsDir: String): DataFrame =
     Drift.kendallTauFromCounts(
       categoricalCounts(spark, countsDir)
-        .select(F.col("slice").cast("double").as("x"),
-          F.col("cat").cast("double").as("y"), F.col("n").as("nij")))
+        // same try_cast NULL-drop as [[weightedKappaNow]] (r15 ADVICE)
+        .select(F.expr("try_cast(slice AS double)").as("x"),
+          F.expr("try_cast(cat AS double)").as("y"), F.col("n").as("nij"))
+        .filter(F.col("x").isNotNull && F.col("y").isNotNull))
 
   /** Per-group calibration (sufficiency) of the stream so far — the
     * (group, outcome) pair rides the slice dimension as "group|true"
@@ -345,8 +352,10 @@ object StreamingDrift {
   def spearmanNow(spark: SparkSession, countsDir: String): DataFrame =
     graft.operators.Drift.spearmanFromCounts(
       categoricalCounts(spark, countsDir)
-        .select(F.col("slice").cast("double").as("x"),
-          F.col("cat").cast("double").as("y"), F.col("n")))
+        // same try_cast NULL-drop as [[weightedKappaNow]] (r15 ADVICE)
+        .select(F.expr("try_cast(slice AS double)").as("x"),
+          F.expr("try_cast(cat AS double)").as("y"), F.col("n"))
+        .filter(F.col("x").isNotNull && F.col("y").isNotNull))
 
   /** Zipf rank-frequency fit of the stream's tokens so far — the TERM
     * rides the category dimension (constant slice); merged term counts

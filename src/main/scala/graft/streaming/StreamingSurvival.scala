@@ -121,4 +121,127 @@ object StreamingSurvival {
       .agg(
         F.sum(F.when(F.col("__obs") === 1, F.col("n")).otherwise(F.lit(0L))).as("d"),
         F.sum(F.col("n")).as("c"))
+
+  /** Breslow baseline hazard + predicted curves over everything
+    * streamed so far — [[Survival.coxBaseline]]'s output shape from the
+    * SAME [[attachGrouped]] counts store ([[coxPhNow]]'s sufficient
+    * statistics are also the curves'). */
+  def coxBaselineNow(spark: SparkSession, countsDir: String): DataFrame =
+    Survival.coxBaselineFromCounts(groupedCounts(spark, countsDir))
+
+  /** Schoenfeld PH-trend check over everything streamed so far — the
+    * residuals are a pure function of the same per-(t, g) counts, so
+    * streamed == batch exactly. */
+  def coxSchoenfeldNow(spark: SparkSession, countsDir: String): DataFrame =
+    Survival.coxSchoenfeldTrendFromCounts(groupedCounts(spark, countsDir))
+
+  /** Persist per-batch (duration, observed, stratum, cohort) counts for
+    * the stratified Cox fit: cat = "obs|stratum|group" (obs before the
+    * FIRST pipe, group after the LAST, the stratum between — neither
+    * value may contain '|'). */
+  def attachStrat(
+      subjects: DataFrame,
+      checkpointDir: String,
+      countsDir: String,
+      durCol: String,
+      obsCol: String,
+      groupCol: String,
+      strataCol: String,
+      triggerMillis: Long = 1000L): StreamingQuery =
+    StreamingDrift.attachCategorical(
+      subjects.select(F.col(durCol).cast("long").cast("string").as("slice"),
+        F.concat_ws("|", F.col(obsCol).cast("int").cast("string"),
+          F.col(strataCol).cast("string"),
+          F.col(groupCol).cast("string")).as("cat")),
+      checkpointDir, countsDir, triggerMillis = triggerMillis)
+
+  /** The stratified Cox fit over everything streamed so far — the
+    * [[Survival.coxPhStratified]] one-row shape from the merged
+    * (t, stratum, cohort) counts [[attachStrat]] maintains. */
+  def coxPhStratNow(spark: SparkSession, countsDir: String): DataFrame =
+    Survival.coxPhStratifiedFromCounts(
+      StreamingDrift.categoricalCounts(spark, countsDir)
+        .select(F.col("slice").cast("long").as("t"),
+          F.substring_index(F.col("cat"), "|", 1).cast("int").as("__obs"),
+          F.substring_index(F.substring_index(F.col("cat"), "|", 2), "|", -1).as("s"),
+          F.substring_index(F.col("cat"), "|", -1).as("g"),
+          F.col("n"))
+        .groupBy("s", "t", "g")
+        .agg(
+          F.sum(F.when(F.col("__obs") === 1, F.col("n")).otherwise(F.lit(0L))).as("d"),
+          F.sum(F.col("n")).as("c")))
+
+  /** Persist per-batch (duration, observed, covariate-pattern) counts
+    * for the multi-covariate Cox fit: the pattern index is computed on
+    * the WRITE side with the batch operator's own [[Survival.patternCol]]
+    * (non-binary covariate values land in pattern -1 and trip the batch
+    * guard at read time — the fail-loud contract survives streaming). */
+  def attachPattern(
+      subjects: DataFrame,
+      checkpointDir: String,
+      countsDir: String,
+      durCol: String,
+      obsCol: String,
+      covCols: Seq[String],
+      triggerMillis: Long = 1000L): StreamingQuery =
+    StreamingDrift.attachCategorical(
+      subjects.select(F.col(durCol).cast("long").cast("string").as("slice"),
+        F.concat_ws("|", F.col(obsCol).cast("int").cast("string"),
+          Survival.patternCol(covCols).cast("string")).as("cat")),
+      checkpointDir, countsDir, triggerMillis = triggerMillis)
+
+  /** The multi-covariate Cox fit over everything streamed so far — the
+    * [[Survival.coxPhMulti]] per-covariate row shape from the merged
+    * (t, pattern) counts [[attachPattern]] maintains. `covNames` labels
+    * the output rows and fixes the arity — it must match the covCols
+    * the stream was attached with. */
+  def coxPhMultiNow(spark: SparkSession, countsDir: String,
+                    covNames: Seq[String]): DataFrame =
+    Survival.coxPhMultiFromCounts(
+      StreamingDrift.categoricalCounts(spark, countsDir)
+        .select(F.col("slice").cast("long").as("t"),
+          F.substring_index(F.col("cat"), "|", 1).cast("int").as("__obs"),
+          F.substring_index(F.col("cat"), "|", -1).cast("long").as("k"),
+          F.col("n"))
+        .groupBy("t", "k")
+        .agg(
+          F.sum(F.when(F.col("__obs") === 1, F.col("n")).otherwise(F.lit(0L))).as("d"),
+          F.sum(F.col("n")).as("c")),
+      covNames)
+
+  /** Persist per-batch (duration, observed, snapped covariate) counts
+    * for the continuous-covariate Cox fit: the covariate must be
+    * PRE-SNAPPED to its grid (the [[Survival.coxPhCont]] decimals
+    * contract) before attaching — the double→string→double round trip
+    * through the partial layout is exact. */
+  def attachCont(
+      subjects: DataFrame,
+      checkpointDir: String,
+      countsDir: String,
+      durCol: String,
+      obsCol: String,
+      covCol: String,
+      triggerMillis: Long = 1000L): StreamingQuery =
+    StreamingDrift.attachCategorical(
+      subjects.select(F.col(durCol).cast("long").cast("string").as("slice"),
+        F.concat_ws("|", F.col(obsCol).cast("int").cast("string"),
+          F.col(covCol).cast("double").cast("string")).as("cat")),
+      checkpointDir, countsDir, triggerMillis = triggerMillis)
+
+  /** The continuous-covariate Cox fit over everything streamed so far —
+    * the [[Survival.coxPhCont]] one-row shape from the merged
+    * (t, grid value) counts [[attachCont]] maintains. */
+  def coxPhContNow(spark: SparkSession, countsDir: String,
+                   covName: String): DataFrame =
+    Survival.coxPhContFromCounts(
+      StreamingDrift.categoricalCounts(spark, countsDir)
+        .select(F.col("slice").cast("long").as("t"),
+          F.substring_index(F.col("cat"), "|", 1).cast("int").as("__obs"),
+          F.substring_index(F.col("cat"), "|", -1).cast("double").as("v"),
+          F.col("n"))
+        .groupBy("t", "v")
+        .agg(
+          F.sum(F.when(F.col("__obs") === 1, F.col("n")).otherwise(F.lit(0L))).as("d"),
+          F.sum(F.col("n")).as("c")),
+      covName)
 }

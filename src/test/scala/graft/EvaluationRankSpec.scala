@@ -694,4 +694,17 @@ class EvaluationRankSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  it("gridded isotonic escapes its own guard at decimals = 5 (10^5 + 1 grid points)") {
+    // before the r15 ADVICE fix the escape hatch handed the default
+    // 100000 cap to isotonicFromCounts and a full decimals-5 grid
+    // (100001 points) tripped the very guard it exists to avoid
+    import org.apache.spark.sql.{functions => F}
+    val cont = spark.range(100001)
+      .select((F.col("id") / 100000.0).as("s"), (F.col("id") % 2 === 0).as("y"))
+    val fit = Evaluation.isotonicCalibrationGridded(cont, "s", "y", decimals = 5)
+    fit.count() shouldBe 100001L
+    an[IllegalArgumentException] should be thrownBy
+      Evaluation.isotonicCalibrationGridded(cont, "s", "y", decimals = 9)
+  }
 }

@@ -531,6 +531,35 @@ class StreamingDriftSpec extends SparkSpec {
       .collect().head.getAs[Double]("tau_b") should be > 0.3
   }
 
+  it("numeric-pair readers drop non-numeric store rows instead of NULLing the statistic (r15 ADVICE)") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import graft.operators.{Drift, Evaluation}
+    val r = new scala.util.Random(71)
+    val clean = Vector.fill(200)((r.nextInt(5).toString, ((r.nextInt(5) + r.nextInt(2))).toString))
+    // a polluted store: numeric pairs plus rows whose slice/cat can't
+    // cast to double (e.g. another attach convention sharing the dir)
+    val rows = clean ++ Vector(("junk", "3"), ("2", "junk"), ("a|b", "x"))
+    val inDir = JFiles.createTempDirectory("graft-nn-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-nn-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-nn-counts").toString
+    JFiles.writeString(Paths.get(inDir, "f1.txt"),
+      rows.map { case (s, c) => s"$s,$c" }.mkString("\n"))
+    val src = spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).as("slice"),
+        F.split(F.col("value"), ",").getItem(1).as("cat"))
+    val q = StreamingDrift.attachCategorical(src, ckpt, cDir, triggerMillis = 100)
+    try q.processAllAvailable() finally q.stop()
+    val batch = clean.map { case (x, y) => (x.toDouble, y.toDouble) }.toDF("x", "y")
+    val kt = StreamingDrift.kendallNow(spark, cDir).collect().head
+    kt.toSeq shouldBe Drift.kendallTau(batch, "x", "y").collect().head.toSeq
+    kt.isNullAt(kt.fieldIndex("tau_b")) shouldBe false
+    val wk = StreamingDrift.weightedKappaNow(spark, cDir).collect().head
+    wk.toSeq shouldBe Evaluation.weightedKappa(batch, "x", "y").collect().head.toSeq
+    wk.isNullAt(wk.fieldIndex("kappa_w")) shouldBe false
+    StreamingDrift.spearmanNow(spark, cDir).collect().head.toSeq shouldBe
+      Drift.spearman(batch, "x", "y").collect().head.toSeq
+  }
+
   it("streamed fairness/uplift family (per-group ECE / uplift tiles / qini) equals batch across a restart") {
     import graft.operators.Evaluation
     val r = new scala.util.Random(67)

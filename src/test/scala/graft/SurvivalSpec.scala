@@ -601,6 +601,97 @@ class SurvivalSpec extends SparkSpec {
         "dur", "obs", "g", tau = 6L).collect().head.toSeq
   }
 
+  it("streamed baseline-hazard and Schoenfeld readers re-enter the grouped store exactly") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import org.apache.spark.sql.{functions => F}
+    val r = new scala.util.Random(47)
+    val subjects = Seq.fill(100)(
+      (r.nextInt(10), if (r.nextInt(4) == 0) 0 else 1, if (r.nextBoolean()) "x" else "y"))
+    val inDir = JFiles.createTempDirectory("graft-bl-in").toString
+    val ckpt = JFiles.createTempDirectory("graft-bl-ckpt").toString
+    val cDir = JFiles.createTempDirectory("graft-bl-counts").toString
+    def write(name: String, part: Seq[(Int, Int, String)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (d, o, g) => s"$d,$o,$g" }.mkString("\n"))
+    write("f1.txt", subjects.take(50))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).cast("int").as("dur"),
+        F.split(F.col("value"), ",").getItem(1).cast("int").as("obs"),
+        F.split(F.col("value"), ",").getItem(2).as("g"))
+    val q1 = graft.streaming.StreamingSurvival.attachGrouped(src(), ckpt, cDir, "dur", "obs", "g", 100)
+    try q1.processAllAvailable() finally q1.stop()
+    write("f2.txt", subjects.drop(50))
+    val q2 = graft.streaming.StreamingSurvival.attachGrouped(src(), ckpt, cDir, "dur", "obs", "g", 100)
+    try q2.processAllAvailable() finally q2.stop()
+
+    val blStreamed = graft.streaming.StreamingSurvival.coxBaselineNow(spark, cDir)
+      .collect().map(x => x.getLong(0) -> x.toSeq).toMap
+    val blBatch = Survival.coxBaseline(subjects.toDF("dur", "obs", "g"),
+      "dur", "obs", "g").collect().map(x => x.getLong(0) -> x.toSeq).toMap
+    blStreamed shouldBe blBatch
+    blStreamed.size should be > 5
+    graft.streaming.StreamingSurvival.coxSchoenfeldNow(spark, cDir)
+      .collect().head.toSeq shouldBe
+      Survival.coxSchoenfeldTrend(subjects.toDF("dur", "obs", "g"),
+        "dur", "obs", "g").collect().head.toSeq
+  }
+
+  it("streamed stratified / pattern / gridded-covariate Cox twins across a restart equal batch") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import org.apache.spark.sql.{functions => F}
+    val r = new scala.util.Random(51)
+    // (dur, obs, group, stratum, x1, x2, v) — v an exact-half grid
+    val subjects = Seq.fill(120)((r.nextInt(10),
+      if (r.nextInt(4) == 0) 0 else 1,
+      if (r.nextBoolean()) "x" else "y",
+      s"s${r.nextInt(3)}",
+      r.nextInt(2), r.nextInt(2), r.nextInt(7) * 0.5))
+    val inDir = JFiles.createTempDirectory("graft-ct-in").toString
+    def write(name: String, part: Seq[(Int, Int, String, String, Int, Int, Double)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (d, o, g, s, x1, x2, v) => s"$d,$o,$g,$s,$x1,$x2,$v" }.mkString("\n"))
+    write("f1.txt", subjects.take(60))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).cast("int").as("dur"),
+        F.split(F.col("value"), ",").getItem(1).cast("int").as("obs"),
+        F.split(F.col("value"), ",").getItem(2).as("g"),
+        F.split(F.col("value"), ",").getItem(3).as("s"),
+        F.split(F.col("value"), ",").getItem(4).cast("int").as("x1"),
+        F.split(F.col("value"), ",").getItem(5).cast("int").as("x2"),
+        F.split(F.col("value"), ",").getItem(6).cast("double").as("v"))
+    def drain(attach: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val q = attach(); try q.processAllAvailable() finally q.stop()
+    }
+    val (ckS, cdS) = (JFiles.createTempDirectory("ct-ck-s").toString,
+      JFiles.createTempDirectory("ct-cd-s").toString)
+    val (ckP, cdP) = (JFiles.createTempDirectory("ct-ck-p").toString,
+      JFiles.createTempDirectory("ct-cd-p").toString)
+    val (ckV, cdV) = (JFiles.createTempDirectory("ct-ck-v").toString,
+      JFiles.createTempDirectory("ct-cd-v").toString)
+    def drainAll(): Unit = {
+      drain(() => graft.streaming.StreamingSurvival.attachStrat(
+        src(), ckS, cdS, "dur", "obs", "g", "s", 100))
+      drain(() => graft.streaming.StreamingSurvival.attachPattern(
+        src(), ckP, cdP, "dur", "obs", Seq("x1", "x2"), 100))
+      drain(() => graft.streaming.StreamingSurvival.attachCont(
+        src(), ckV, cdV, "dur", "obs", "v", 100))
+    }
+    drainAll()
+    write("f2.txt", subjects.drop(60)) // restart: fresh queries, same stores
+    drainAll()
+
+    val df = subjects.toDF("dur", "obs", "g", "s", "x1", "x2", "v")
+    graft.streaming.StreamingSurvival.coxPhStratNow(spark, cdS)
+      .collect().head.toSeq shouldBe
+      Survival.coxPhStratified(df, "dur", "obs", "g", "s").collect().head.toSeq
+    graft.streaming.StreamingSurvival.coxPhMultiNow(spark, cdP, Seq("x1", "x2"))
+      .collect().map(_.toSeq).toSeq shouldBe
+      Survival.coxPhMulti(df, "dur", "obs", Seq("x1", "x2")).collect().map(_.toSeq).toSeq
+    graft.streaming.StreamingSurvival.coxPhContNow(spark, cdV, "v")
+      .collect().head.toSeq shouldBe
+      Survival.coxPhCont(df, "dur", "obs", "v").collect().head.toSeq
+  }
+
   it("streamed competing-risks subjects across a restart yield the batch CIF exactly") {
     import java.nio.file.{Files => JFiles, Paths}
     import org.apache.spark.sql.{functions => F}
@@ -798,5 +889,147 @@ class SurvivalSpec extends SparkSpec {
     val kmS = Survival.kaplanMeier(subj.toDF("dur", "obs"), "dur", "obs")
       .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
     aj.foreach { case (t, cif) => cif shouldBe (1.0 - kmS(t)) +- 2e-6 }
+  }
+
+  // ---- coxPhCont -------------------------------------------------------
+
+  /** Independent per-subject reference fit for ONE continuous
+    * covariate: textbook Breslow score/information over explicit
+    * risk-set scans (no count frame, no grid, no per-step snapping) —
+    * a genuinely different algorithm and data layout from the
+    * operator's grid-total-minus-exit-cumulant fold. Returns (β̂, se). */
+  private def refCoxCont(subjects: Seq[(Int, Int, Double)],
+                         steps: Int = 25): (Double, Double) = {
+    val times = subjects.filter(_._2 == 1).map(_._1).distinct.sorted
+    def scoreInfo(b: Double): (Double, Double) = {
+      var u = 0.0; var inf = 0.0
+      for (t <- times) {
+        val risk = subjects.filter(_._1 >= t)
+        val ev = subjects.filter(s => s._1 == t && s._2 == 1)
+        val d = ev.size.toDouble
+        val w = risk.map(s => math.exp(b * s._3))
+        val s0 = w.sum
+        val s1 = risk.zip(w).map { case (s, wi) => s._3 * wi }.sum
+        val s2 = risk.zip(w).map { case (s, wi) => s._3 * s._3 * wi }.sum
+        u += ev.map(_._3).sum - d * s1 / s0
+        inf += d * (s2 / s0 - (s1 / s0) * (s1 / s0))
+      }
+      (u, inf)
+    }
+    var beta = 0.0
+    (1 to steps).foreach { _ =>
+      val (u, i) = scoreInfo(beta); beta += u / i
+    }
+    val (_, iF) = scoreInfo(beta)
+    (beta, 1.0 / math.sqrt(iF))
+  }
+
+  it("coxPhCont on a 0/1 covariate reproduces the published Gehan Breslow fit") {
+    val df = gehan.map { case (t, o, g) =>
+      (t, o, if (g == "b_control") 1.0 else 0.0) }.toDF("dur", "obs", "x")
+    val r = Survival.coxPhCont(df, "dur", "obs", "x").collect()
+    r.length shouldBe 1
+    r.head.getAs[String]("covariate") shouldBe "x"
+    r.head.getAs[Long]("n") shouldBe 42L
+    r.head.getAs[Long]("d_total") shouldBe 30L
+    // the published Breslow numbers coxPh pins (R: 1.5092 / 0.4096)
+    r.head.getAs[Double]("beta") shouldBe 1.509191 +- 2e-6
+    r.head.getAs[Double]("hr") shouldBe 4.523072 +- 2e-5
+    r.head.getAs[Double]("se") shouldBe 0.409564 +- 2e-6
+    r.head.getAs[Boolean]("reject_95") shouldBe true
+  }
+
+  it("coxPhCont agrees with coxPhMulti on pre-binarized input (same fit, different algebra)") {
+    val dfC = gehan.map { case (t, o, g) =>
+      (t, o, if (g == "b_control") 1.0 else 0.0) }.toDF("dur", "obs", "x")
+    val dfB = gehan.map { case (t, o, g) =>
+      (t, o, if (g == "b_control") 1 else 0) }.toDF("dur", "obs", "x")
+    val c = Survival.coxPhCont(dfC, "dur", "obs", "x").collect().head
+    val m = Survival.coxPhMulti(dfB, "dur", "obs", Seq("x")).collect().head
+    c.getAs[Double]("beta") shouldBe m.getAs[Double]("beta") +- 1e-6
+    c.getAs[Double]("se") shouldBe m.getAs[Double]("se") +- 1e-6
+    c.getAs[Long]("n") shouldBe m.getAs[Long]("n")
+    c.getAs[Long]("d_total") shouldBe m.getAs[Long]("d_total")
+  }
+
+  it("coxPhCont on a FRACTIONAL grid matches the independent per-subject Newton fit") {
+    // exact-half engagement grid riding Gehan's times: v = (i % 7)·0.5
+    val subj = gehan.zipWithIndex.map { case ((t, o, _), i) =>
+      (t, o, (i % 7) * 0.5)
+    }
+    val r = Survival.coxPhCont(subj.toDF("dur", "obs", "x"), "dur", "obs", "x")
+      .collect().head
+    val (refB, refSe) = refCoxCont(subj)
+    r.getAs[Double]("beta") shouldBe refB +- 1e-4
+    r.getAs[Double]("se") shouldBe refSe +- 1e-4
+  }
+
+  it("coxPhCont snaps a raw continuous covariate to the decimals grid before fitting") {
+    // two covariates differing only past the 2nd decimal collapse to
+    // the same grid cell at decimals = 2 — identical fits
+    val noisy = gehan.zipWithIndex.map { case ((t, o, _), i) =>
+      (t, o, (i % 7) * 0.5 + 0.00123)
+    }
+    val clean = gehan.zipWithIndex.map { case ((t, o, _), i) =>
+      (t, o, (i % 7) * 0.5)
+    }
+    val a = Survival.coxPhCont(noisy.toDF("dur", "obs", "x"), "dur", "obs", "x",
+      decimals = 1).collect().head
+    val b = Survival.coxPhCont(clean.toDF("dur", "obs", "x"), "dur", "obs", "x",
+      decimals = 1).collect().head
+    a.getAs[Double]("beta") shouldBe b.getAs[Double]("beta")
+    a.getAs[Double]("se") shouldBe b.getAs[Double]("se")
+  }
+
+  it("coxPhCont: constant covariate degenerates to NULL estimates; no events to EMPTY") {
+    val const = gehan.map { case (t, o, _) => (t, o, 2.5) }
+    val r = Survival.coxPhCont(const.toDF("dur", "obs", "x"), "dur", "obs", "x")
+      .collect().head
+    r.isNullAt(r.fieldIndex("beta")) shouldBe true
+    r.isNullAt(r.fieldIndex("se")) shouldBe true
+    Survival.coxPhCont(Seq((1, 0, 0.5), (2, 0, 1.0)).toDF("dur", "obs", "x"),
+      "dur", "obs", "x").collect() shouldBe empty
+  }
+
+  // ---- loud axis guards (r15 directive #2) -------------------------------
+
+  it("Cox-family folds refuse a continuous-duration axis loudly instead of collecting it") {
+    val df = gehan.toDF("dur", "obs", "g") // 25 distinct durations
+    val eC = intercept[IllegalArgumentException] {
+      Survival.coxPh(df, "dur", "obs", "g", maxDurations = 5).collect()
+    }
+    eC.getMessage should include("snap a continuous duration")
+    val eS = intercept[IllegalArgumentException] {
+      Survival.coxPhStratified(
+        gehan.map { case (t, o, g) => (t, o, g, "s") }.toDF("dur", "obs", "g", "s"),
+        "dur", "obs", "g", "s", maxDurations = 5).collect()
+    }
+    eS.getMessage should include("coxPhStratified")
+    val eM = intercept[IllegalArgumentException] {
+      Survival.coxPhMulti(
+        gehan.map { case (t, o, g) => (t, o, if (g == "b_control") 1 else 0) }
+          .toDF("dur", "obs", "x"),
+        "dur", "obs", Seq("x"), maxDurations = 5).collect()
+    }
+    eM.getMessage should include("coxPhMulti")
+    val eK = intercept[IllegalArgumentException] {
+      Survival.coxPhCont(
+        gehan.map { case (t, o, g) => (t, o, if (g == "b_control") 1.0 else 0.0) }
+          .toDF("dur", "obs", "x"),
+        "dur", "obs", "x", maxGridValues = 1).collect()
+    }
+    eK.getMessage should include("coxPhCont grid")
+  }
+
+  it("coxPhMulti rejects a FRACTIONAL covariate loudly (binary check on the raw double)") {
+    // 0.5 truncates to long 0 — before the r15 ADVICE fix it silently
+    // passed the isBin check and fit a wrong adjusted model
+    val df = gehan.zipWithIndex.map { case ((t, o, g), i) =>
+      (t, o, if (g == "b_control") 1.0 else 0.0, if (i % 2 == 0) 0.5 else 1.0)
+    }.toDF("dur", "obs", "x1", "x2")
+    val e = intercept[IllegalArgumentException] {
+      Survival.coxPhMulti(df, "dur", "obs", Seq("x1", "x2")).collect()
+    }
+    e.getMessage should include("non-binary covariate")
   }
 }

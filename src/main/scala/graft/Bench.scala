@@ -140,6 +140,21 @@ object Bench {
       s
     }
     var spark = newSession()
+    // JVM-config stamp (round-15 verdict #5: two same-code runs reported
+    // heap peaks of 6,575 vs 30,706 MB and the artifact could not say
+    // whether the JVMs differed) — max heap, GC algorithm, Java version
+    // and the thread count the session was built with, read once up
+    // front so every cross-run comparison can first check the configs
+    // match.
+    val jvmJson: String = {
+      import scala.jdk.CollectionConverters._
+      val gcAlgos = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getName).mkString("+")
+      "{\"max_heap_mb\":" + (Runtime.getRuntime.maxMemory() / (1L << 20)) +
+        ",\"gc\":\"" + gcAlgos.replace("\"", "") + "\"" +
+        ",\"java\":\"" + String.valueOf(System.getProperty("java.version")).replace("\"", "") + "\"" +
+        ",\"cpus\":" + cpus + "}"
+    }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // bench-only operator rows (train/serve attribution splits) ride the
@@ -500,7 +515,7 @@ object Bench {
               }
             }.toMap
           }
-        val prior: Option[(Double, Double, Map[String, Double], Map[String, Double])] =
+        val prior: Option[(Double, Double, Map[String, Double], Option[Map[String, Double]])] =
           try {
             val body0 = java.nio.file.Files.readString(java.nio.file.Paths.get(priorPath))
             // the round driver archives the artifact ESCAPED inside a
@@ -517,23 +532,75 @@ object Bench {
               .findFirstMatchIn(body)
             val cm = if (sameSf) cRe.map(_.group(1).toDouble) else None
             val cmin = if (sameSf) cRe.map(_.group(2).toDouble) else None
-            for (c <- cm; ci <- cmin; q <- parseMap(body, "queries");
-                 qm <- parseMap(body, "queries_min").orElse(Some(Map.empty[String, Double])))
-              yield (c, ci, q, qm)
+            // queries_min stays an OPTION: a pre-r15 prior without it
+            // must surface as "no_min_baseline", not masquerade as a
+            // genuinely clean regressions:{} (r15 ADVICE)
+            for (c <- cm; ci <- cmin; q <- parseMap(body, "queries"))
+              yield (c, ci, q, parseMap(body, "queries_min"))
           } catch { case _: Throwable => None }
-        val priorPart = prior.fold("") { case (pc, pcMin, pq, pqMin) =>
+        val priorPart = prior.fold("") { case (pc, pcMin, pq, pqMinOpt) =>
           val priorNormTotal = pq.valuesIterator.sum / pc
-          val regs = mins.toSeq.flatMap { case (n, curMin) =>
-            pqMin.get(n).collect {
-              case prevMin if curMin >= 0.5 && prevMin > 0.0 && pcMin > 0.0 &&
-                (curMin / canaryMed) / (prevMin / pc) > 1.25 =>
-                n -> (curMin / canaryMed) / (prevMin / pc)
-            }
-          }.sortBy(-_._2)
+          val regsJson = pqMinOpt match {
+            case None =>
+              ",\"regressions\":null,\"no_min_baseline\":true"
+            // Canary-normalized cross-run ratios assume ambient scales
+            // the canary and the queries UNIFORMLY; when the two runs'
+            // canary medians differ by more than 2x the machine states
+            // are not comparable through one scalar (a contended run's
+            // canary inflates more than overhead-dominated sub-second
+            // rows, so every ratio skews together) — say so instead of
+            // emitting bogus flags.
+            case Some(_) if canaryMed / pc > 2.0 || canaryMed / pc < 0.5 =>
+              ",\"regressions\":null,\"canary_mismatch\":true" +
+                ",\"canary_ratio\":" + r3(canaryMed / pc)
+            case Some(pqMin) =>
+              val candidates = mins.toSeq.flatMap { case (n, curMin) =>
+                pqMin.get(n).collect {
+                  case prevMin if curMin >= 0.5 && prevMin > 0.0 && pcMin > 0.0 &&
+                    (curMin / canaryMed) / (prevMin / pc) > 1.25 =>
+                    (n, curMin, prevMin)
+                }
+              }.sortBy { case (_, c, p) => -(c / canaryMed) / (p / pc) }
+              // CONFIRM before flagging (round-15 verdict #3: two
+              // same-code runs flagged 9 and 7 DISJOINT untouched rows —
+              // grid-phase contention, not regressions): re-run each
+              // candidate standalone after a gc + quiesce and key the
+              // flag on the MINIMUM evidence anywhere (grid min or
+              // recheck min — contention only ever inflates, so the
+              // smallest observation is the closest to truth). A planted
+              // slowdown stays slow standalone and still fires; an
+              // ambient flag clears if EITHER measurement was clean.
+              // Recheck capped (a normalization accident once produced
+              // 160 bogus candidates); the uncheckable tail is reported
+              // as candidates, never as confirmed regressions.
+              val recheckCap = 24
+              val toCheck = candidates.take(recheckCap)
+              if (candidates.nonEmpty)
+                System.err.println(s"[bench] rechecking ${toCheck.size}/${candidates.size} regression candidates standalone")
+              val rechecked = toCheck.map { case (n, curMin, prevMin) =>
+                System.gc(); Thread.sleep(2000)
+                val again = (1 to 2).flatMap(_ => timeOne(s"$n@recheck", selected(n)).toOption)
+                val evidenceMin = (curMin +: again).min
+                (n, curMin, prevMin, again, evidenceMin,
+                  (evidenceMin / canaryMed) / (prevMin / pc))
+              }
+              val confirmed = rechecked.filter(_._6 > 1.25)
+              val candJson = candidates.map { case (n, c, p) =>
+                "\"" + n + "\":" + r3((c / canaryMed) / (p / pc)) }.mkString("{", ",", "}")
+              val recheckJson = rechecked.map { case (n, _, _, again, ev, ratio) =>
+                "\"" + n + "\":{\"samples\":[" + again.map(r3).mkString(",") +
+                  "],\"evidence_min\":" + r3(ev) + ",\"ratio\":" + r3(ratio) + "}"
+              }.mkString("{", ",", "}")
+              ",\"regression_candidates\":" + candJson +
+                (if (rechecked.nonEmpty) ",\"regression_recheck\":" + recheckJson else "") +
+                (if (candidates.size > recheckCap)
+                  ",\"regression_candidates_unchecked\":" + (candidates.size - recheckCap) else "") +
+                ",\"regressions\":" + confirmed.map { case (n, _, _, _, _, ratio) =>
+                  "\"" + n + "\":" + r3(ratio) }.mkString("{", ",", "}")
+          }
           ",\"prior_total_over_canary\":" + r3(priorNormTotal) +
             ",\"normalized_total_ratio\":" + r3(normTotal / priorNormTotal) +
-            ",\"regressions\":" + regs.map { case (n, x) =>
-              "\"" + n + "\":" + r3(x) }.mkString("{", ",", "}")
+            regsJson
         }
         Some("{\"total_over_canary\":" + r3(normTotal) + priorPart + "}")
       }
@@ -546,6 +613,7 @@ object Bench {
       arbiterJson.fold("")(j => s""""queries_arbiter":$j,""") +
       canaryJson.fold("")(j => s""""canary":$j,""") +
       canaryNormJson.fold("")(j => s""""canary_norm":$j,""") +
+      s""""jvm":$jvmJson,""" +
       s""""loadavg_start":${r3(loadStart)},"loadavg_end":${r3(loadEnd)},""" +
       s""""gc_ms_grid":${gcMsGridEnd - gcMsStart},"gc_count_grid":${gcCntGridEnd - gcCntStart},""" +
       s""""gc_ms_total":${gcStats()._1 - gcMsStart},"heap_peak_grid_mb":$heapPeakGridMb,""" +

@@ -652,4 +652,31 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  it("q_langid_nb scores through a BROADCAST model join — never a cartesian, no data-sized build side") {
+    val p = plan("q_langid_nb")
+    p should not include "CartesianProduct"
+    // the per-doc argmax window is doc-partitioned, never global
+    val wins = p.split("\n").filter(_.contains("windowspecdefinition"))
+    wins.foreach(l => l should include("doc_id"))
+    // the vocabulary-sized model/prior frames broadcast; the corpus
+    // never does (upper bound per the ADVICE-r14 brittleness rule)
+    p should include("BroadcastHashJoin")
+  }
+
+  it("q_coxph_cont's scalar attaches broadcast 1-row/bounded frames — never a cartesian on data") {
+    val p = plan("q_coxph_cont")
+    p should not include "CartesianProduct"
+    // the cumulative risk-set window is the days-sized event axis —
+    // bounded; no data-sized global sort feeds it (the collect is
+    // capped by the loud guard, not pinned here)
+    p.split("\n").count(_.contains("BroadcastNestedLoopJoin")) should be <= 3
+  }
+
+  it("q_unigram_tokens serves by DICTIONARY broadcast join — the corpus side never builds") {
+    val p = plan("q_unigram_tokens")
+    p should not include "CartesianProduct"
+    p should not include "windowspecdefinition"
+    p should include("BroadcastHashJoin")
+  }
 }

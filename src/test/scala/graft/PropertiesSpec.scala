@@ -345,4 +345,65 @@ object PropertiesSpec extends Properties("graft") {
         }
       }
     }
+
+  property("coxPhCont on a 0/1 covariate agrees with coxPhMulti (same fit, different algebra)") =
+    Prop.forAll(Gen.listOfN(60, for {
+      dur <- Gen.chooseNum(1, 10)
+      obs <- Gen.oneOf(0, 1)
+      x <- Gen.oneOf(0, 1)
+    } yield (dur, obs, x))) { subj =>
+      val mu = graft.operators.Survival
+        .coxPhMulti(subj.toDF("dur", "obs", "x"), "dur", "obs", Seq("x")).collect()
+      val co = graft.operators.Survival
+        .coxPhCont(subj.map { case (d, o, x) => (d, o, x.toDouble) }
+          .toDF("dur", "obs", "x"), "dur", "obs", "x").collect()
+      // cont is EMPTY on no events; multi additionally emits a row there
+      if (co.isEmpty) mu.isEmpty || mu.head.getLong(2) == 0L
+      else {
+        val a = mu.head; val b = co.head
+        a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2) &&
+          ((a.isNullAt(3) && b.isNullAt(3)) ||
+            (!a.isNullAt(3) && !b.isNullAt(3) &&
+              math.abs(a.getDouble(3) - b.getDouble(3)) <= 2e-5 &&
+              math.abs(a.getDouble(5) - b.getDouble(5)) <= 2e-5))
+      }
+    }
+
+  private val genWordList: Gen[List[String]] =
+    Gen.listOfN(30, Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+
+  property("unigram Viterbi segmentations concatenate back to the word and never beat the char floor twice over") =
+    Prop.forAll(genWordList) { words =>
+      val vocab = words.groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+      val model = graft.operators.UnigramLM.trainFromVocab(vocab)
+      val lp = model.toMap
+      vocab.forall { case (w, _) =>
+        graft.operators.UnigramLM.viterbi(w, lp, 4).exists { case (_, seg) =>
+          val parts = seg.split('|').filter(_.nonEmpty)
+          parts.mkString == w && parts.length >= 1 && parts.length <= w.length
+        }
+      }
+    }
+
+  property("langid NB is deterministic: row order and partitioning never move a prediction") =
+    Prop.forAll(Gen.listOfN(20, for {
+      lang <- Gen.oneOf("aa", "zz")
+      n <- Gen.chooseNum(3, 10)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'z'))
+    } yield (lang, cs.mkString))) { docs0 =>
+      // exact integer micro-nat sums are order-free BY CONSTRUCTION —
+      // assert it: a shuffled, repartitioned corpus trains and scores
+      // to the identical per-doc prediction (a float-scored NB could
+      // flip argmax under aggregation-order ties; this one cannot)
+      val docs = docs0.zipWithIndex.map { case ((l, t), i) => (i.toLong, t, l) }
+      val once = docs.toDF("doc_id", "text", "lang")
+      val shuffled = scala.util.Random.shuffle(docs)
+        .toDF("doc_id", "text", "lang").repartition(7)
+      val p1 = graft.operators.LangIdNB.trainScore(once, "text", "lang", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val p2 = graft.operators.LangIdNB.trainScore(shuffled, "text", "lang", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      p1 == p2
+    }
 }

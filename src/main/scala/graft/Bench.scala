@@ -298,6 +298,136 @@ object Bench {
     def jerr(m: scala.collection.Map[String, String]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // NOTE (r16): the canary-norm block below runs HERE — immediately
+    // after the grid, in the same session state that produced the grid
+    // mins — because a regression recheck delayed past the isolated/
+    // arbiter teardown executes in a dirtier JVM than the grid and can
+    // never clear an ambient flag (r16 measured recheck samples
+    // uniformly ABOVE the grid mins when run post-arbiter).
+    // CANARY-NORMALIZED cross-round read, in-artifact (round-13 verdict
+    // item 7): divide the in-grid total by this run's canary median,
+    // compare against the SAME ratio from the prior committed artifact
+    // (the BENCH_LOCAL.json this run is about to overwrite), and ship
+    // the answer to "ambient drift or regression?" directly:
+    // `total_over_canary` ratios out uniform machine drift (r12's
+    // +18.5% on untouched code). `regressions` is keyed on MIN-of-N,
+    // not medians (round-14 verdict #3: all four r14 "regressions" were
+    // median noise with mins at or below r13 — the min is the
+    // contention-free estimate identical code agrees on): a query fires
+    // only when its canary-normalized in-grid min moved >1.25x above
+    // the 0.5 s floor; a clean round emits regressions: {}. The
+    // NORMALIZATION BASIS is the canary MEDIAN on both sides — a first
+    // r15 run normalized by the canary MIN and one lucky 3-sample
+    // canary (0.418 vs the prior round's 0.732) uniformly inflated
+    // every ratio 1.75x into 160 bogus flags; the numerator stays the
+    // query min, but the 3-sample canary's own min is too noisy to
+    // divide by.
+    // Prior artifact override: SPARK_GRAFT_PRIOR_BENCH (the driver
+    // keeps BENCH_r{N}.json copies).
+    val canaryNormJson: Option[String] =
+      if (only.isDefined || canarySamples.isEmpty) None
+      else {
+        val canaryMed = med(canarySamples.toSeq)
+        val normTotal = total / canaryMed
+        val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR_BENCH", "BENCH_LOCAL.json")
+        def parseMap(body: String, key: String): Option[Map[String, Double]] =
+          ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(body).map { m =>
+            m.group(1).split(",").toSeq.flatMap { kv =>
+              kv.split(":") match {
+                case Array(k, v) => Some(k.replace("\"", "") -> v.toDouble)
+                case _ => None
+              }
+            }.toMap
+          }
+        val prior: Option[(Double, Double, Map[String, Double], Option[Map[String, Double]])] =
+          try {
+            val body0 = java.nio.file.Files.readString(java.nio.file.Paths.get(priorPath))
+            // the round driver archives the artifact ESCAPED inside a
+            // {"tail": "..."} wrapper (BENCH_r{N}.json) — round 15
+            // pointed SPARK_GRAFT_PRIOR_BENCH at one and the regexes
+            // silently missed; unescape when the raw form isn't present
+            val body = if (body0.contains("\"canary\":{")) body0
+              else body0.replace("\\\"", "\"")
+            // a prior artifact from a DIFFERENT fixture scale is not a
+            // comparison baseline — skip rather than report bogus deltas
+            val sameSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(body)
+              .forall(_.group(1) == sfDir)
+            val cRe = "\"canary\":\\{\"median\":([0-9.]+),\"min\":([0-9.]+)".r
+              .findFirstMatchIn(body)
+            val cm = if (sameSf) cRe.map(_.group(1).toDouble) else None
+            val cmin = if (sameSf) cRe.map(_.group(2).toDouble) else None
+            // queries_min stays an OPTION: a pre-r15 prior without it
+            // must surface as "no_min_baseline", not masquerade as a
+            // genuinely clean regressions:{} (r15 ADVICE)
+            for (c <- cm; ci <- cmin; q <- parseMap(body, "queries"))
+              yield (c, ci, q, parseMap(body, "queries_min"))
+          } catch { case _: Throwable => None }
+        val priorPart = prior.fold("") { case (pc, pcMin, pq, pqMinOpt) =>
+          val priorNormTotal = pq.valuesIterator.sum / pc
+          val regsJson = pqMinOpt match {
+            case None =>
+              ",\"regressions\":null,\"no_min_baseline\":true"
+            // Canary-normalized cross-run ratios assume ambient scales
+            // the canary and the queries UNIFORMLY; when the two runs'
+            // canary medians differ by more than 2x the machine states
+            // are not comparable through one scalar (a contended run's
+            // canary inflates more than overhead-dominated sub-second
+            // rows, so every ratio skews together) — say so instead of
+            // emitting bogus flags.
+            case Some(_) if canaryMed / pc > 2.0 || canaryMed / pc < 0.5 =>
+              ",\"regressions\":null,\"canary_mismatch\":true" +
+                ",\"canary_ratio\":" + r3(canaryMed / pc)
+            case Some(pqMin) =>
+              val candidates = mins.toSeq.flatMap { case (n, curMin) =>
+                pqMin.get(n).collect {
+                  case prevMin if curMin >= 0.5 && prevMin > 0.0 && pcMin > 0.0 &&
+                    (curMin / canaryMed) / (prevMin / pc) > 1.25 =>
+                    (n, curMin, prevMin)
+                }
+              }.sortBy { case (_, c, p) => -(c / canaryMed) / (p / pc) }
+              // CONFIRM before flagging (round-15 verdict #3: two
+              // same-code runs flagged 9 and 7 DISJOINT untouched rows —
+              // grid-phase contention, not regressions): re-run each
+              // candidate standalone after a gc + quiesce and key the
+              // flag on the MINIMUM evidence anywhere (grid min or
+              // recheck min — contention only ever inflates, so the
+              // smallest observation is the closest to truth). A planted
+              // slowdown stays slow standalone and still fires; an
+              // ambient flag clears if EITHER measurement was clean.
+              // Recheck capped (a normalization accident once produced
+              // 160 bogus candidates); the uncheckable tail is reported
+              // as candidates, never as confirmed regressions.
+              val recheckCap = 24
+              val toCheck = candidates.take(recheckCap)
+              if (candidates.nonEmpty)
+                System.err.println(s"[bench] rechecking ${toCheck.size}/${candidates.size} regression candidates standalone")
+              val rechecked = toCheck.map { case (n, curMin, prevMin) =>
+                System.gc(); Thread.sleep(2000)
+                val again = (1 to 2).flatMap(_ => timeOne(s"$n@recheck", selected(n)).toOption)
+                val evidenceMin = (curMin +: again).min
+                (n, curMin, prevMin, again, evidenceMin,
+                  (evidenceMin / canaryMed) / (prevMin / pc))
+              }
+              val confirmed = rechecked.filter(_._6 > 1.25)
+              val candJson = candidates.map { case (n, c, p) =>
+                "\"" + n + "\":" + r3((c / canaryMed) / (p / pc)) }.mkString("{", ",", "}")
+              val recheckJson = rechecked.map { case (n, _, _, again, ev, ratio) =>
+                "\"" + n + "\":{\"samples\":[" + again.map(r3).mkString(",") +
+                  "],\"evidence_min\":" + r3(ev) + ",\"ratio\":" + r3(ratio) + "}"
+              }.mkString("{", ",", "}")
+              ",\"regression_candidates\":" + candJson +
+                (if (rechecked.nonEmpty) ",\"regression_recheck\":" + recheckJson else "") +
+                (if (candidates.size > recheckCap)
+                  ",\"regression_candidates_unchecked\":" + (candidates.size - recheckCap) else "") +
+                ",\"regressions\":" + confirmed.map { case (n, _, _, _, _, ratio) =>
+                  "\"" + n + "\":" + r3(ratio) }.mkString("{", ",", "}")
+          }
+          ",\"prior_total_over_canary\":" + r3(priorNormTotal) +
+            ",\"normalized_total_ratio\":" + r3(normTotal / priorNormTotal) +
+            regsJson
+        }
+        Some("{\"total_over_canary\":" + r3(normTotal) + priorPart + "}")
+      }
     // Re-measure the store/ship throughput claim every round (the
     // baseline-ratio headline is ev/s vs the reference's fetch≈500 /
     // ship≈546 ceilings) instead of inheriting round-8's number. Skipped
@@ -480,130 +610,6 @@ object Bench {
       else Some("{\"median\":" + r3(med(canarySamples.toSeq)) +
         ",\"min\":" + r3(canarySamples.min) +
         ",\"samples\":[" + canarySamples.map(r3).mkString(",") + "]}")
-    // CANARY-NORMALIZED cross-round read, in-artifact (round-13 verdict
-    // item 7): divide the in-grid total by this run's canary median,
-    // compare against the SAME ratio from the prior committed artifact
-    // (the BENCH_LOCAL.json this run is about to overwrite), and ship
-    // the answer to "ambient drift or regression?" directly:
-    // `total_over_canary` ratios out uniform machine drift (r12's
-    // +18.5% on untouched code). `regressions` is keyed on MIN-of-N,
-    // not medians (round-14 verdict #3: all four r14 "regressions" were
-    // median noise with mins at or below r13 — the min is the
-    // contention-free estimate identical code agrees on): a query fires
-    // only when its canary-normalized in-grid min moved >1.25x above
-    // the 0.5 s floor; a clean round emits regressions: {}. The
-    // NORMALIZATION BASIS is the canary MEDIAN on both sides — a first
-    // r15 run normalized by the canary MIN and one lucky 3-sample
-    // canary (0.418 vs the prior round's 0.732) uniformly inflated
-    // every ratio 1.75x into 160 bogus flags; the numerator stays the
-    // query min, but the 3-sample canary's own min is too noisy to
-    // divide by.
-    // Prior artifact override: SPARK_GRAFT_PRIOR_BENCH (the driver
-    // keeps BENCH_r{N}.json copies).
-    val canaryNormJson: Option[String] =
-      if (only.isDefined || canarySamples.isEmpty) None
-      else {
-        val canaryMed = med(canarySamples.toSeq)
-        val normTotal = total / canaryMed
-        val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR_BENCH", "BENCH_LOCAL.json")
-        def parseMap(body: String, key: String): Option[Map[String, Double]] =
-          ("\"" + key + "\":\\{([^}]*)\\}").r.findFirstMatchIn(body).map { m =>
-            m.group(1).split(",").toSeq.flatMap { kv =>
-              kv.split(":") match {
-                case Array(k, v) => Some(k.replace("\"", "") -> v.toDouble)
-                case _ => None
-              }
-            }.toMap
-          }
-        val prior: Option[(Double, Double, Map[String, Double], Option[Map[String, Double]])] =
-          try {
-            val body0 = java.nio.file.Files.readString(java.nio.file.Paths.get(priorPath))
-            // the round driver archives the artifact ESCAPED inside a
-            // {"tail": "..."} wrapper (BENCH_r{N}.json) — round 15
-            // pointed SPARK_GRAFT_PRIOR_BENCH at one and the regexes
-            // silently missed; unescape when the raw form isn't present
-            val body = if (body0.contains("\"canary\":{")) body0
-              else body0.replace("\\\"", "\"")
-            // a prior artifact from a DIFFERENT fixture scale is not a
-            // comparison baseline — skip rather than report bogus deltas
-            val sameSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(body)
-              .forall(_.group(1) == sfDir)
-            val cRe = "\"canary\":\\{\"median\":([0-9.]+),\"min\":([0-9.]+)".r
-              .findFirstMatchIn(body)
-            val cm = if (sameSf) cRe.map(_.group(1).toDouble) else None
-            val cmin = if (sameSf) cRe.map(_.group(2).toDouble) else None
-            // queries_min stays an OPTION: a pre-r15 prior without it
-            // must surface as "no_min_baseline", not masquerade as a
-            // genuinely clean regressions:{} (r15 ADVICE)
-            for (c <- cm; ci <- cmin; q <- parseMap(body, "queries"))
-              yield (c, ci, q, parseMap(body, "queries_min"))
-          } catch { case _: Throwable => None }
-        val priorPart = prior.fold("") { case (pc, pcMin, pq, pqMinOpt) =>
-          val priorNormTotal = pq.valuesIterator.sum / pc
-          val regsJson = pqMinOpt match {
-            case None =>
-              ",\"regressions\":null,\"no_min_baseline\":true"
-            // Canary-normalized cross-run ratios assume ambient scales
-            // the canary and the queries UNIFORMLY; when the two runs'
-            // canary medians differ by more than 2x the machine states
-            // are not comparable through one scalar (a contended run's
-            // canary inflates more than overhead-dominated sub-second
-            // rows, so every ratio skews together) — say so instead of
-            // emitting bogus flags.
-            case Some(_) if canaryMed / pc > 2.0 || canaryMed / pc < 0.5 =>
-              ",\"regressions\":null,\"canary_mismatch\":true" +
-                ",\"canary_ratio\":" + r3(canaryMed / pc)
-            case Some(pqMin) =>
-              val candidates = mins.toSeq.flatMap { case (n, curMin) =>
-                pqMin.get(n).collect {
-                  case prevMin if curMin >= 0.5 && prevMin > 0.0 && pcMin > 0.0 &&
-                    (curMin / canaryMed) / (prevMin / pc) > 1.25 =>
-                    (n, curMin, prevMin)
-                }
-              }.sortBy { case (_, c, p) => -(c / canaryMed) / (p / pc) }
-              // CONFIRM before flagging (round-15 verdict #3: two
-              // same-code runs flagged 9 and 7 DISJOINT untouched rows —
-              // grid-phase contention, not regressions): re-run each
-              // candidate standalone after a gc + quiesce and key the
-              // flag on the MINIMUM evidence anywhere (grid min or
-              // recheck min — contention only ever inflates, so the
-              // smallest observation is the closest to truth). A planted
-              // slowdown stays slow standalone and still fires; an
-              // ambient flag clears if EITHER measurement was clean.
-              // Recheck capped (a normalization accident once produced
-              // 160 bogus candidates); the uncheckable tail is reported
-              // as candidates, never as confirmed regressions.
-              val recheckCap = 24
-              val toCheck = candidates.take(recheckCap)
-              if (candidates.nonEmpty)
-                System.err.println(s"[bench] rechecking ${toCheck.size}/${candidates.size} regression candidates standalone")
-              val rechecked = toCheck.map { case (n, curMin, prevMin) =>
-                System.gc(); Thread.sleep(2000)
-                val again = (1 to 2).flatMap(_ => timeOne(s"$n@recheck", selected(n)).toOption)
-                val evidenceMin = (curMin +: again).min
-                (n, curMin, prevMin, again, evidenceMin,
-                  (evidenceMin / canaryMed) / (prevMin / pc))
-              }
-              val confirmed = rechecked.filter(_._6 > 1.25)
-              val candJson = candidates.map { case (n, c, p) =>
-                "\"" + n + "\":" + r3((c / canaryMed) / (p / pc)) }.mkString("{", ",", "}")
-              val recheckJson = rechecked.map { case (n, _, _, again, ev, ratio) =>
-                "\"" + n + "\":{\"samples\":[" + again.map(r3).mkString(",") +
-                  "],\"evidence_min\":" + r3(ev) + ",\"ratio\":" + r3(ratio) + "}"
-              }.mkString("{", ",", "}")
-              ",\"regression_candidates\":" + candJson +
-                (if (rechecked.nonEmpty) ",\"regression_recheck\":" + recheckJson else "") +
-                (if (candidates.size > recheckCap)
-                  ",\"regression_candidates_unchecked\":" + (candidates.size - recheckCap) else "") +
-                ",\"regressions\":" + confirmed.map { case (n, _, _, _, _, ratio) =>
-                  "\"" + n + "\":" + r3(ratio) }.mkString("{", ",", "}")
-          }
-          ",\"prior_total_over_canary\":" + r3(priorNormTotal) +
-            ",\"normalized_total_ratio\":" + r3(normTotal / priorNormTotal) +
-            regsJson
-        }
-        Some("{\"total_over_canary\":" + r3(normTotal) + priorPart + "}")
-      }
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${jmap(results)},""" +
       s""""queries_min":${jmap(mins)},""" +
       samplesJson.fold("")(j => s""""queries_samples":$j,""") +

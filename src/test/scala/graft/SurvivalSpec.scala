@@ -1019,6 +1019,14 @@ class SurvivalSpec extends SparkSpec {
         "dur", "obs", "x", maxGridValues = 1).collect()
     }
     eK.getMessage should include("coxPhCont grid")
+    // ... and the (t, v) exit-frame axis carries its own cap too
+    val eV = intercept[IllegalArgumentException] {
+      Survival.coxPhCont(
+        gehan.map { case (t, o, g) => (t, o, if (g == "b_control") 1.0 else 0.0) }
+          .toDF("dur", "obs", "x"),
+        "dur", "obs", "x", maxDurations = 5).collect()
+    }
+    eV.getMessage should include("coxPhCont")
   }
 
   it("coxPhMulti rejects a FRACTIONAL covariate loudly (binary check on the raw double)") {

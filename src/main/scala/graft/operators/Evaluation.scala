@@ -871,15 +871,22 @@ object Evaluation {
     * PAVA. */
   def isotonicCalibrationGridded(df: DataFrame, scoreCol: String,
                                  labelCol: String,
-                                 decimals: Int = 4): DataFrame = {
+                                 decimals: Int = 4,
+                                 maxDistinctScores: Int = 1000001): DataFrame = {
     require(decimals >= 0 && decimals <= 8,
       "isotonicCalibrationGridded: decimals must be in 0..8")
     val x = F.col(scoreCol).cast("double")
     val y = F.col(labelCol).cast("boolean")
     // the escape hatch must actually escape: a decimals >= 5 grid
     // (10^5 + 1 points) exceeds isotonicFromCounts' default cap, so
-    // pass the grid's own size through (r15 ADVICE)
-    val gridCap = math.max(100000, math.pow(10, decimals).toInt + 1)
+    // pass the grid's own size through (r15 ADVICE) — but only up to
+    // 10^6 + 1 by default: decimals = 8 authorizes a 10^8 + 1-row
+    // driver collect (multi-GB), which would silently waive the very
+    // OOM protection the cap exists for (r16 ADVICE). Past 10^6 + 1
+    // the caller must RAISE `maxDistinctScores` explicitly, opting in
+    // to the driver-memory cost; otherwise the fold refuses loudly.
+    val gridCap = math.max(100000,
+      math.min(math.pow(10, decimals).toLong + 1, maxDistinctScores.toLong).toInt)
     isotonicFromCounts(df.filter(x.isNotNull && y.isNotNull)
       .groupBy(F.round(x, decimals).as("x"))
       .agg(F.count(F.when(y, 1)).as("c1"),

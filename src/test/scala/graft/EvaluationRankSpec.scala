@@ -707,4 +707,20 @@ class EvaluationRankSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Evaluation.isotonicCalibrationGridded(cont, "s", "y", decimals = 9)
   }
+
+  it("gridded isotonic past 10^6 + 1 distinct points requires an explicit driver-memory opt-in") {
+    // decimals = 8 used to authorize a 10^8 + 1-row driver collect by
+    // default (r16 ADVICE) — now the default escape hatch stops at
+    // 10^6 + 1 and the caller must raise maxDistinctScores explicitly
+    import org.apache.spark.sql.{functions => F}
+    val cont = spark.range(1100000)
+      .select((F.col("id") / 99999999.0).as("s"), (F.col("id") % 2 === 0).as("y"))
+    val e = intercept[IllegalArgumentException] {
+      Evaluation.isotonicCalibrationGridded(cont, "s", "y", decimals = 8).collect()
+    }
+    e.getMessage should include("distinct scores")
+    // the explicit opt-in works (and the loud guard message names it)
+    Evaluation.isotonicCalibrationGridded(cont, "s", "y", decimals = 8,
+      maxDistinctScores = 1200001).count() shouldBe 1100000L
+  }
 }

@@ -1351,4 +1351,250 @@ object Survival {
       } else org.apache.spark.sql.Row(covName, nTotal, dTotal, null, null, null, null)
     spark.createDataFrame(java.util.Arrays.asList(row), outSchema)
   }
+
+  /** Cramer pieces for the symmetric p×p (p ≤ 3) information matrices
+    * of the multi-parameter Cox fits — the SAME term-for-term fixed
+    * IEEE shapes [[coxPhMultiFromCounts]] pins for its mirror, shared
+    * with [[coxPhMixedFromCounts]]. */
+  private def cramerDet(p: Int, m: Array[Array[Double]]): Double = p match {
+    case 1 => m(0)(0)
+    case 2 => m(0)(0) * m(1)(1) - m(0)(1) * m(0)(1)
+    case _ =>
+      m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(1)(2)) -
+        m(0)(1) * (m(0)(1) * m(2)(2) - m(1)(2) * m(0)(2)) +
+        m(0)(2) * (m(0)(1) * m(1)(2) - m(1)(1) * m(0)(2))
+  }
+
+  private def cramerSolve(p: Int, u: Array[Double], m: Array[Array[Double]],
+                          dd: Double): Array[Double] = p match {
+    case 1 => Array(u(0) / dd)
+    case 2 => Array(
+      (u(0) * m(1)(1) - u(1) * m(0)(1)) / dd,
+      (m(0)(0) * u(1) - m(0)(1) * u(0)) / dd)
+    case _ => Array(
+      (u(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(1)(2)) -
+        m(0)(1) * (u(1) * m(2)(2) - m(1)(2) * u(2)) +
+        m(0)(2) * (u(1) * m(1)(2) - m(1)(1) * u(2))) / dd,
+      (m(0)(0) * (u(1) * m(2)(2) - m(1)(2) * u(2)) -
+        u(0) * (m(0)(1) * m(2)(2) - m(1)(2) * m(0)(2)) +
+        m(0)(2) * (m(0)(1) * u(2) - u(1) * m(0)(2))) / dd,
+      (m(0)(0) * (m(1)(1) * u(2) - u(1) * m(1)(2)) -
+        m(0)(1) * (m(0)(1) * u(2) - u(1) * m(0)(2)) +
+        u(0) * (m(0)(1) * m(1)(2) - m(1)(1) * m(0)(2))) / dd)
+  }
+
+  private def cramerCofDiag(p: Int, m: Array[Array[Double]], i: Int): Double = p match {
+    case 1 => 1.0
+    case 2 => if (i == 0) m(1)(1) else m(0)(0)
+    case _ => i match {
+      case 0 => m(1)(1) * m(2)(2) - m(1)(2) * m(1)(2)
+      case 1 => m(0)(0) * m(2)(2) - m(0)(2) * m(0)(2)
+      case _ => m(0)(0) * m(1)(1) - m(0)(1) * m(0)(1)
+    }
+  }
+
+  /** MIXED-model Cox proportional hazards (Cox 1972, Breslow ties) —
+    * one GRIDDED continuous covariate adjusted for 0–2 BINARY
+    * covariates: the standard ask ("HR per unit of age, adjusted for
+    * treatment arm") that neither [[coxPhCont]] (no adjustment) nor
+    * [[coxPhMulti]] (binary-only) can answer. The risk-set state is the
+    * JOINT (grid value × covariate pattern) count frame: with
+    * z = (v, b₁[, b₂]) and p = 1 + #binaries,
+    *
+    *   S0(t)     = Σ_{v,k} n_{v,k}(t)·e^{β·z}
+    *   S1_j(t)   = Σ z_j·n·e^{β·z}     S2_{jl}(t) = Σ z_j·z_l·n·e^{β·z}
+    *   U_j  = Σ_t [Σ_{events at t} z_j·d  −  d_t·S1_j/S0]
+    *   I_jl = Σ_t d_t·[S2_{jl}/S0 − (S1_j/S0)(S1_l/S0)]
+    *
+    * The n_{v,k}(t) risk sets never materialize per (t, v, k): each
+    * S-sum is the (v, k) grid TOTAL minus the ordered exit cumulants —
+    * [[coxPhCont]]'s grid-total-minus-exit subtraction lifted to the
+    * joint cells, replayable by the mirror as ordered window sums. Fold
+    * order per Newton pass: grid totals ascending (v, k); the
+    * (t, v, k)-ordered exit rows with per-t partials; event-time terms
+    * ascending t — every sum left-associated. Newton is the family's
+    * 9-snapped fixed-step solve ([[cramerSolve]] per arity p ≤ 3).
+    * Collected axes: the (v, k) grid (≤ `maxGridValues`) and the
+    * (t, v, k) exit frame (≤ `maxDurations`), both loudly guarded;
+    * non-binary adjustment values land in pattern -1 ([[patternCol]])
+    * and fail loudly. Output: one row per covariate — `covCol` first,
+    * then `binCols`, the [[coxPhMulti]] row shape; all-NULL estimates
+    * on a degenerate information matrix, EMPTY when no event times. */
+  def coxPhMixed(subjects: DataFrame, durCol: String, obsCol: String,
+                 covCol: String, binCols: Seq[String], decimals: Int = 4,
+                 steps: Int = 4, maxGridValues: Int = 10000,
+                 maxDurations: Int = defaultMaxDurations): DataFrame = {
+    require(binCols.size <= 2,
+      "coxPhMixed fits one gridded continuous + 0-2 binary covariates")
+    require(decimals >= 0 && decimals <= 8,
+      "coxPhMixed: decimals must be in 0..8")
+    val x = F.col(covCol).cast("double")
+    val notNull = (Seq(F.col(durCol).isNotNull, F.col(obsCol).isNotNull,
+      x.isNotNull) ++ binCols.map(F.col(_).isNotNull)).reduce(_ && _)
+    val k = if (binCols.isEmpty) F.lit(0L) else patternCol(binCols)
+    coxPhMixedFromCounts(subjects.filter(notNull)
+      .groupBy(F.col(durCol).cast("long").as("t"),
+        F.round(x, decimals).as("v"), k.as("k"))
+      .agg(F.sum(F.col(obsCol).cast("long")).as("d"), F.count(F.lit(1)).as("c")),
+      covCol, binCols, steps, maxGridValues, maxDurations)
+  }
+
+  /** [[coxPhMixed]] over a pre-aggregated (t, v, k, d, c) frame (v
+    * already snapped, k the [[patternCol]] index; k = -1 marks invalid
+    * binary values and trips the loud guard) — the streaming re-entry
+    * point. */
+  def coxPhMixedFromCounts(byTVK: DataFrame, covName: String,
+                           binCols: Seq[String], steps: Int = 4,
+                           maxGridValues: Int = 10000,
+                           maxDurations: Int = defaultMaxDurations): DataFrame = {
+    require(binCols.size <= 2,
+      "coxPhMixed fits one gridded continuous + 0-2 binary covariates")
+    val spark = byTVK.sparkSession
+    val q = binCols.size
+    val p = 1 + q
+    val pv = byTVK.groupBy("v", "k").agg(F.sum("c").as("nn"))
+      .select(F.col("v").cast("double"), F.col("k").cast("long"),
+        F.col("nn").cast("long"))
+      .orderBy("v", "k").limit(maxGridValues + 1).collect()
+    guardAxis(pv.length, maxGridValues, "coxPhMixed grid")
+    require(!pv.exists(_.getLong(1) == -1L),
+      s"coxPhMixed: non-binary values in ${binCols.mkString(",")} — the " +
+        "pattern-space boundedness argument needs 0/1 adjustment covariates")
+    val rows = byTVK
+      .select(F.col("t").cast("long"), F.col("v").cast("double"),
+        F.col("k").cast("long"), F.col("d").cast("long"), F.col("c").cast("long"))
+      .orderBy("t", "v", "k").limit(maxDurations + 1).collect()
+    guardAxis(rows.length, maxDurations, "coxPhMixed")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("covariate", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("d_total", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("beta", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("hr", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("se", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("reject_95", org.apache.spark.sql.types.BooleanType)))
+    val anyEvents = rows.exists(_.getLong(3) > 0)
+    if (rows.isEmpty || !anyEvents)
+      return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val nTotal = pv.map(_.getLong(2)).sum
+    val dTotal = rows.map(_.getLong(3)).sum
+    // z_0 = v; z_{1+i} = bit (q-1-i) of k (binCols.head is the high bit,
+    // the patternCol convention)
+    def zOf(v: Double, k: Long): Array[Double] = {
+      val z = new Array[Double](p)
+      z(0) = v
+      var i = 0
+      while (i < q) { z(1 + i) = ((k >> (q - 1 - i)) & 1L).toDouble; i += 1 }
+      z
+    }
+    // (U, I) at β — term shapes EXACTLY as the SQL mirror writes them:
+    // grid totals first (ascending v, k), then the (t, v, k)-ordered
+    // exit cumulants with per-t partials, s = tot − ce + te, u/i in t
+    // order; the exponent is the left-associated β·z dot product
+    def scoreInfo(beta: Array[Double]): (Array[Double], Array[Array[Double]]) = {
+      var tot0 = 0.0
+      val tot1 = new Array[Double](p)
+      val tot2 = Array.ofDim[Double](p, p)
+      pv.foreach { r =>
+        val z = zOf(r.getDouble(0), r.getLong(1))
+        var s = 0.0; var j = 0
+        while (j < p) { s = s + beta(j) * z(j); j += 1 }
+        val e = math.exp(s)
+        val nD = r.getLong(2).toDouble
+        tot0 = tot0 + nD * e
+        j = 0
+        while (j < p) {
+          tot1(j) = tot1(j) + z(j) * nD * e
+          var l = j
+          while (l < p) { tot2(j)(l) = tot2(j)(l) + z(j) * z(l) * nD * e; l += 1 }
+          j += 1
+        }
+      }
+      var ce0 = 0.0
+      val ce1 = new Array[Double](p)
+      val ce2 = Array.ofDim[Double](p, p)
+      val u = new Array[Double](p)
+      val inf = Array.ofDim[Double](p, p)
+      var idx = 0
+      while (idx < rows.length) {
+        val t = rows(idx).getLong(0)
+        var te0 = 0.0
+        val te1 = new Array[Double](p)
+        val te2 = Array.ofDim[Double](p, p)
+        var td = 0L
+        val szd = new Array[Double](p)
+        while (idx < rows.length && rows(idx).getLong(0) == t) {
+          val r = rows(idx)
+          val z = zOf(r.getDouble(1), r.getLong(2))
+          val d = r.getLong(3); val cD = r.getLong(4).toDouble
+          var s = 0.0; var j = 0
+          while (j < p) { s = s + beta(j) * z(j); j += 1 }
+          val e = math.exp(s)
+          ce0 = ce0 + cD * e; te0 = te0 + cD * e
+          j = 0
+          while (j < p) {
+            ce1(j) = ce1(j) + z(j) * cD * e
+            te1(j) = te1(j) + z(j) * cD * e
+            szd(j) = szd(j) + z(j) * d.toDouble
+            var l = j
+            while (l < p) {
+              ce2(j)(l) = ce2(j)(l) + z(j) * z(l) * cD * e
+              te2(j)(l) = te2(j)(l) + z(j) * z(l) * cD * e
+              l += 1
+            }
+            j += 1
+          }
+          td += d
+          idx += 1
+        }
+        if (td > 0) {
+          val s0 = tot0 - ce0 + te0
+          var j = 0
+          while (j < p) {
+            val s1j = tot1(j) - ce1(j) + te1(j)
+            u(j) = u(j) + (szd(j) - td.toDouble * s1j / s0)
+            var l = j
+            while (l < p) {
+              val s1l = tot1(l) - ce1(l) + te1(l)
+              val s2jl = tot2(j)(l) - ce2(j)(l) + te2(j)(l)
+              val term = td.toDouble * (s2jl / s0 - (s1j / s0) * (s1l / s0))
+              inf(j)(l) = inf(j)(l) + term
+              if (l != j) inf(l)(j) = inf(l)(j) + term
+              l += 1
+            }
+            j += 1
+          }
+        }
+      }
+      (u, inf)
+    }
+    def rd6(x: Double): Double = rdN(x, 6) + 0.0
+    val beta = new Array[Double](p)
+    (1 to steps).foreach { _ =>
+      val (u, inf) = scoreInfo(beta)
+      val dd = cramerDet(p, inf)
+      if (dd > 0) {
+        val db = cramerSolve(p, u, inf, dd)
+        var j = 0
+        while (j < p) { beta(j) = rdN(beta(j) + db(j), 9); j += 1 }
+      }
+    }
+    val (_, iFin) = scoreInfo(beta)
+    val ddFin = cramerDet(p, iFin)
+    val out: Seq[org.apache.spark.sql.Row] = (covName +: binCols).zipWithIndex.map { case (cname, i) =>
+      if (ddFin > 0) {
+        // p = 1 pins [[coxPhCont]]'s exact se expression (1/√I, not
+        // √(1/I) — the two can differ in the last ulp), so the
+        // no-binaries fit reproduces coxPhCont row-for-row
+        val se = if (p == 1) 1.0 / math.sqrt(ddFin)
+          else math.sqrt(cramerCofDiag(p, iFin, i) / ddFin)
+        val wald = (beta(i) / se) * (beta(i) / se)
+        org.apache.spark.sql.Row(cname, nTotal, dTotal, rd6(beta(i)),
+          rd6(math.exp(beta(i))), rd6(se), java.lang.Boolean.valueOf(wald > 3.841459))
+      } else org.apache.spark.sql.Row(cname, nTotal, dTotal, null, null, null, null)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(out: _*)), outSchema)
+  }
 }

@@ -16,6 +16,16 @@ import graft.operators.Survival
   * pure function of the input multiset: streamed == batch exactly. */
 object StreamingSurvival {
 
+  /** Null rows are dropped on the WRITE side of every attach variant,
+    * mirroring the batch entry points' `isNotNull` pre-filters
+    * (Survival.scala drops them before counting): `concat_ws` silently
+    * SKIPS null arguments, so an unfiltered null covariate/stratum/group
+    * would shift the pipe-segment layout and the read side would parse a
+    * neighbouring slot as the missing value — a silently corrupted fit
+    * instead of the batch semantics (row dropped). */
+  private def notNull(cols: String*): org.apache.spark.sql.Column =
+    cols.map(F.col(_).isNotNull).reduce(_ && _)
+
   /** Persist per-batch (duration, observed) counts. `durCol` must be a
     * non-negative integer column, `obsCol` ∈ {0, 1}. */
   def attach(
@@ -26,7 +36,8 @@ object StreamingSurvival {
       obsCol: String,
       triggerMillis: Long = 1000L): StreamingQuery =
     StreamingDrift.attachCategorical(
-      subjects.select(F.col(durCol).cast("long").cast("string").as("slice"),
+      subjects.filter(notNull(durCol, obsCol))
+        .select(F.col(durCol).cast("long").cast("string").as("slice"),
         F.col(obsCol).cast("int").cast("string").as("cat")),
       checkpointDir, countsDir, triggerMillis = triggerMillis)
 
@@ -83,7 +94,8 @@ object StreamingSurvival {
       groupCol: String,
       triggerMillis: Long = 1000L): StreamingQuery =
     StreamingDrift.attachCategorical(
-      subjects.select(F.col(durCol).cast("long").cast("string").as("slice"),
+      subjects.filter(notNull(durCol, obsCol, groupCol))
+        .select(F.col(durCol).cast("long").cast("string").as("slice"),
         F.concat_ws("|", F.col(obsCol).cast("int").cast("string"),
           F.col(groupCol).cast("string")).as("cat")),
       checkpointDir, countsDir, triggerMillis = triggerMillis)
@@ -149,7 +161,8 @@ object StreamingSurvival {
       strataCol: String,
       triggerMillis: Long = 1000L): StreamingQuery =
     StreamingDrift.attachCategorical(
-      subjects.select(F.col(durCol).cast("long").cast("string").as("slice"),
+      subjects.filter(notNull(durCol, obsCol, strataCol, groupCol))
+        .select(F.col(durCol).cast("long").cast("string").as("slice"),
         F.concat_ws("|", F.col(obsCol).cast("int").cast("string"),
           F.col(strataCol).cast("string"),
           F.col(groupCol).cast("string")).as("cat")),
@@ -185,7 +198,8 @@ object StreamingSurvival {
       covCols: Seq[String],
       triggerMillis: Long = 1000L): StreamingQuery =
     StreamingDrift.attachCategorical(
-      subjects.select(F.col(durCol).cast("long").cast("string").as("slice"),
+      subjects.filter(notNull(durCol +: obsCol +: covCols: _*))
+        .select(F.col(durCol).cast("long").cast("string").as("slice"),
         F.concat_ws("|", F.col(obsCol).cast("int").cast("string"),
           Survival.patternCol(covCols).cast("string")).as("cat")),
       checkpointDir, countsDir, triggerMillis = triggerMillis)
@@ -223,7 +237,8 @@ object StreamingSurvival {
       covCol: String,
       triggerMillis: Long = 1000L): StreamingQuery =
     StreamingDrift.attachCategorical(
-      subjects.select(F.col(durCol).cast("long").cast("string").as("slice"),
+      subjects.filter(notNull(durCol, obsCol, covCol))
+        .select(F.col(durCol).cast("long").cast("string").as("slice"),
         F.concat_ws("|", F.col(obsCol).cast("int").cast("string"),
           F.col(covCol).cast("double").cast("string")).as("cat")),
       checkpointDir, countsDir, triggerMillis = triggerMillis)
@@ -244,4 +259,51 @@ object StreamingSurvival {
           F.sum(F.when(F.col("__obs") === 1, F.col("n")).otherwise(F.lit(0L))).as("d"),
           F.sum(F.col("n")).as("c")),
       covName)
+
+  /** Persist per-batch (duration, observed, snapped covariate, binary
+    * pattern) counts for the MIXED continuous+binary Cox fit
+    * ([[Survival.coxPhMixed]]): the continuous covariate pre-snapped to
+    * its grid (the decimals contract), the 0–2 binary adjustment
+    * covariates encoded as their [[Survival.patternCol]] index. A
+    * non-binary adjustment value lands in pattern -1 and trips
+    * [[Survival.coxPhMixedFromCounts]]'s loud guard at read time. */
+  def attachMixed(
+      subjects: DataFrame,
+      checkpointDir: String,
+      countsDir: String,
+      durCol: String,
+      obsCol: String,
+      covCol: String,
+      binCols: Seq[String],
+      triggerMillis: Long = 1000L): StreamingQuery = {
+    val k = if (binCols.isEmpty) F.lit(0L) else Survival.patternCol(binCols)
+    StreamingDrift.attachCategorical(
+      subjects.filter(notNull(durCol +: obsCol +: covCol +: binCols: _*))
+        .select(F.col(durCol).cast("long").cast("string").as("slice"),
+          F.concat_ws("|", F.col(obsCol).cast("int").cast("string"),
+            F.col(covCol).cast("double").cast("string"),
+            k.cast("string")).as("cat")),
+      checkpointDir, countsDir, triggerMillis = triggerMillis)
+  }
+
+  /** The mixed continuous+binary Cox fit over everything streamed so
+    * far — [[Survival.coxPhMixed]]'s per-covariate row shape from the
+    * merged (t, v, k) counts [[attachMixed]] maintains. `covName` /
+    * `binNames` label the output rows and must match the columns the
+    * stream was attached with. */
+  def coxPhMixedNow(spark: SparkSession, countsDir: String,
+                    covName: String, binNames: Seq[String]): DataFrame =
+    Survival.coxPhMixedFromCounts(
+      StreamingDrift.categoricalCounts(spark, countsDir)
+        .select(F.col("slice").cast("long").as("t"),
+          F.substring_index(F.col("cat"), "|", 1).cast("int").as("__obs"),
+          F.substring_index(F.substring_index(F.col("cat"), "|", 2), "|", -1)
+            .cast("double").as("v"),
+          F.substring_index(F.col("cat"), "|", -1).cast("long").as("k"),
+          F.col("n"))
+        .groupBy("t", "v", "k")
+        .agg(
+          F.sum(F.when(F.col("__obs") === 1, F.col("n")).otherwise(F.lit(0L))).as("d"),
+          F.sum(F.col("n")).as("c")),
+      covName, binNames)
 }

@@ -692,6 +692,72 @@ class SurvivalSpec extends SparkSpec {
       Survival.coxPhCont(df, "dur", "obs", "v").collect().head.toSeq
   }
 
+  it("streamed attach variants drop null rows exactly as the batch entries do") {
+    // concat_ws silently SKIPS null arguments: an unfiltered null
+    // covariate/stratum/group would shift the pipe-segment layout and
+    // the read side would parse a neighbouring slot as the missing
+    // value — a silently corrupted fit where batch drops the row (r16
+    // ADVICE). The write-side isNotNull pre-filters must make streamed
+    // == batch on a null-bearing frame.
+    import java.nio.file.{Files => JFiles, Paths}
+    import org.apache.spark.sql.{functions => F}
+    val clean = Seq(
+      ("1", "1", "x", "s0", "1", "0", "0.5"), ("2", "0", "y", "s1", "0", "1", "1.0"),
+      ("3", "1", "x", "s0", "0", "0", "1.5"), ("4", "1", "y", "s1", "1", "1", "2.0"),
+      ("5", "0", "x", "s0", "1", "0", "0.5"), ("6", "1", "y", "s1", "0", "1", "1.0"),
+      ("2", "1", "x", "s0", "1", "1", "1.5"), ("3", "0", "y", "s1", "0", "0", "2.0"),
+      ("4", "1", "x", "s1", "0", "1", "0.5"), ("5", "1", "y", "s0", "1", "0", "1.5"))
+    // one poisoned row per nullable slot (empty field → null after cast)
+    val poisoned = Seq(
+      ("2", "1", "x", "s0", "1", "0", ""), ("2", "1", "x", "", "1", "0", "1.0"),
+      ("2", "1", "", "s0", "1", "0", "1.0"), ("2", "", "x", "s0", "1", "0", "1.0"),
+      ("", "1", "x", "s0", "1", "0", "1.0"), ("2", "1", "x", "s0", "", "0", "1.0"))
+    val inDir = JFiles.createTempDirectory("graft-nul-in").toString
+    JFiles.writeString(Paths.get(inDir, "f1.txt"),
+      (clean ++ poisoned).map(t => t.productIterator.mkString(",")).mkString("\n"))
+    // empty field → null (nullif BEFORE cast: ANSI cast rejects '')
+    def part(i: Int) = F.nullif(F.split(F.col("value"), ",").getItem(i), F.lit(""))
+    val src = () => spark.readStream.text(inDir)
+      .select(part(0).cast("int").as("dur"), part(1).cast("int").as("obs"),
+        part(2).as("g"), part(3).as("s"),
+        part(4).cast("int").as("x1"), part(5).cast("int").as("x2"),
+        part(6).cast("double").as("v"))
+    def drain(attach: () => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val q = attach(); try q.processAllAvailable() finally q.stop()
+    }
+    def tmp(p: String) = JFiles.createTempDirectory(p).toString
+    val (ckS, cdS, ckP, cdP, ckV, cdV, ckG, cdG) =
+      (tmp("nul-ck-s"), tmp("nul-cd-s"), tmp("nul-ck-p"), tmp("nul-cd-p"),
+        tmp("nul-ck-v"), tmp("nul-cd-v"), tmp("nul-ck-g"), tmp("nul-cd-g"))
+    drain(() => graft.streaming.StreamingSurvival.attachStrat(
+      src(), ckS, cdS, "dur", "obs", "g", "s", 100))
+    drain(() => graft.streaming.StreamingSurvival.attachPattern(
+      src(), ckP, cdP, "dur", "obs", Seq("x1", "x2"), 100))
+    drain(() => graft.streaming.StreamingSurvival.attachCont(
+      src(), ckV, cdV, "dur", "obs", "v", 100))
+    drain(() => graft.streaming.StreamingSurvival.attachGrouped(
+      src(), ckG, cdG, "dur", "obs", "g", 100))
+    // the batch frame carries the SAME nulls — each batch entry's
+    // isNotNull pre-filter defines the expected semantics
+    def opt(x: String): Option[String] = if (x.isEmpty) None else Some(x)
+    val df = (clean ++ poisoned).map { case (d, o, g, s, x1, x2, v) =>
+      (opt(d).map(_.toInt), opt(o).map(_.toInt), opt(g), opt(s),
+        opt(x1).map(_.toInt), opt(x2).map(_.toInt), opt(v).map(_.toDouble))
+    }.toDF("dur", "obs", "g", "s", "x1", "x2", "v")
+    graft.streaming.StreamingSurvival.coxPhStratNow(spark, cdS)
+      .collect().head.toSeq shouldBe
+      Survival.coxPhStratified(df, "dur", "obs", "g", "s").collect().head.toSeq
+    graft.streaming.StreamingSurvival.coxPhMultiNow(spark, cdP, Seq("x1", "x2"))
+      .collect().map(_.toSeq).toSeq shouldBe
+      Survival.coxPhMulti(df, "dur", "obs", Seq("x1", "x2")).collect().map(_.toSeq).toSeq
+    graft.streaming.StreamingSurvival.coxPhContNow(spark, cdV, "v")
+      .collect().head.toSeq shouldBe
+      Survival.coxPhCont(df, "dur", "obs", "v").collect().head.toSeq
+    graft.streaming.StreamingSurvival.logRankNow(spark, cdG)
+      .collect().head.toSeq shouldBe
+      Survival.logRank(df, "dur", "obs", "g").collect().head.toSeq
+  }
+
   it("streamed competing-risks subjects across a restart yield the batch CIF exactly") {
     import java.nio.file.{Files => JFiles, Paths}
     import org.apache.spark.sql.{functions => F}
@@ -989,6 +1055,155 @@ class SurvivalSpec extends SparkSpec {
     r.isNullAt(r.fieldIndex("se")) shouldBe true
     Survival.coxPhCont(Seq((1, 0, 0.5), (2, 0, 1.0)).toDF("dur", "obs", "x"),
       "dur", "obs", "x").collect() shouldBe empty
+  }
+
+  // ---- coxPhMixed ------------------------------------------------------
+
+  /** Independent per-subject reference fit for ONE continuous + ONE
+    * binary covariate: textbook 2-covariate Breslow score/information
+    * over explicit risk-set scans with a full-precision 2×2 Newton —
+    * a genuinely different algorithm and layout from the operator's
+    * joint-grid-total-minus-exit-cumulant fold. Returns
+    * (β̂v, β̂b, se_v, se_b). */
+  private def refCoxMixed(subjects: Seq[(Int, Int, Double, Double)],
+                          steps: Int = 25): (Double, Double, Double, Double) = {
+    val times = subjects.filter(_._2 == 1).map(_._1).distinct.sorted
+    def si(bv: Double, bb: Double): (Double, Double, Double, Double, Double) = {
+      var uv = 0.0; var ub = 0.0; var ivv = 0.0; var ivb = 0.0; var ibb = 0.0
+      for (t <- times) {
+        val risk = subjects.filter(_._1 >= t)
+        val ev = subjects.filter(s => s._1 == t && s._2 == 1)
+        val d = ev.size.toDouble
+        val w = risk.map(s => math.exp(bv * s._3 + bb * s._4))
+        val s0 = w.sum
+        val sv = risk.zip(w).map { case (s, wi) => s._3 * wi }.sum
+        val sb = risk.zip(w).map { case (s, wi) => s._4 * wi }.sum
+        val svv = risk.zip(w).map { case (s, wi) => s._3 * s._3 * wi }.sum
+        val svb = risk.zip(w).map { case (s, wi) => s._3 * s._4 * wi }.sum
+        val sbb = risk.zip(w).map { case (s, wi) => s._4 * s._4 * wi }.sum
+        uv += ev.map(_._3).sum - d * sv / s0
+        ub += ev.map(_._4).sum - d * sb / s0
+        ivv += d * (svv / s0 - (sv / s0) * (sv / s0))
+        ivb += d * (svb / s0 - (sv / s0) * (sb / s0))
+        ibb += d * (sbb / s0 - (sb / s0) * (sb / s0))
+      }
+      (uv, ub, ivv, ivb, ibb)
+    }
+    var bv = 0.0; var bb = 0.0
+    (1 to steps).foreach { _ =>
+      val (uv, ub, ivv, ivb, ibb) = si(bv, bb)
+      val det = ivv * ibb - ivb * ivb
+      bv += (uv * ibb - ub * ivb) / det
+      bb += (ivv * ub - ivb * uv) / det
+    }
+    val (_, _, ivv, ivb, ibb) = si(bv, bb)
+    val det = ivv * ibb - ivb * ivb
+    (bv, bb, math.sqrt(ibb / det), math.sqrt(ivv / det))
+  }
+
+  it("coxPhMixed with NO binary covariates reproduces coxPhCont row-for-row") {
+    // same algebra, p = 1 — the term shapes must agree to the bit
+    val subj = gehan.zipWithIndex.map { case ((t, o, _), i) =>
+      (t, o, (i % 7) * 0.5)
+    }
+    val df = subj.toDF("dur", "obs", "x")
+    Survival.coxPhMixed(df, "dur", "obs", "x", Nil).collect().head.toSeq shouldBe
+      Survival.coxPhCont(df, "dur", "obs", "x").collect().head.toSeq
+  }
+
+  it("coxPhMixed on a 0/1 covariate + one binary agrees with coxPhMulti (different state layout)") {
+    val df = gehan.zipWithIndex.map { case ((t, o, g), i) =>
+      (t, o, if (g == "b_control") 1.0 else 0.0, i % 2)
+    }.toDF("dur", "obs", "x1", "x2")
+    val mixed = Survival.coxPhMixed(df, "dur", "obs", "x1", Seq("x2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val multi = Survival.coxPhMulti(df, "dur", "obs", Seq("x1", "x2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("x1", "x2").foreach { c =>
+      mixed(c).getAs[Double]("beta") shouldBe multi(c).getAs[Double]("beta") +- 1e-6
+      mixed(c).getAs[Double]("se") shouldBe multi(c).getAs[Double]("se") +- 1e-6
+      mixed(c).getAs[Long]("n") shouldBe multi(c).getAs[Long]("n")
+      mixed(c).getAs[Long]("d_total") shouldBe multi(c).getAs[Long]("d_total")
+    }
+  }
+
+  it("coxPhMixed (fractional grid + binary) matches the independent per-subject Newton fit") {
+    val subj = gehan.zipWithIndex.map { case ((t, o, g), i) =>
+      (t, o, (i % 7) * 0.5, if (g == "b_control") 1.0 else 0.0)
+    }
+    val rows = Survival.coxPhMixed(subj.toDF("dur", "obs", "v", "b"),
+      "dur", "obs", "v", Seq("b")).collect()
+    rows.map(_.getString(0)).toSeq shouldBe Seq("v", "b") // covCol first, then binCols
+    val (refV, refB, refSeV, refSeB) = refCoxMixed(subj)
+    rows(0).getAs[Double]("beta") shouldBe refV +- 1e-4
+    rows(0).getAs[Double]("se") shouldBe refSeV +- 1e-4
+    rows(1).getAs[Double]("beta") shouldBe refB +- 1e-4
+    rows(1).getAs[Double]("se") shouldBe refSeB +- 1e-4
+  }
+
+  it("coxPhMixed degenerates honestly and rejects bad shapes loudly") {
+    // constant covariates: singular information → all-NULL estimates
+    val const = gehan.map { case (t, o, _) => (t, o, 2.5, 1) }
+      .toDF("dur", "obs", "v", "b")
+    val c = Survival.coxPhMixed(const, "dur", "obs", "v", Seq("b")).collect()
+    c.length shouldBe 2
+    c.foreach(r => r.isNullAt(r.fieldIndex("beta")) shouldBe true)
+    // no events → EMPTY
+    Survival.coxPhMixed(Seq((1, 0, 0.5, 0), (2, 0, 1.0, 1)).toDF("dur", "obs", "v", "b"),
+      "dur", "obs", "v", Seq("b")).collect() shouldBe empty
+    // a non-binary adjustment covariate trips the pattern guard
+    val bad = gehan.zipWithIndex.map { case ((t, o, _), i) =>
+      (t, o, (i % 7) * 0.5, 0.5)
+    }.toDF("dur", "obs", "v", "b")
+    intercept[IllegalArgumentException] {
+      Survival.coxPhMixed(bad, "dur", "obs", "v", Seq("b")).collect()
+    }.getMessage should include("coxPhMixed")
+    // arity: at most 2 binaries
+    intercept[IllegalArgumentException] {
+      Survival.coxPhMixed(const, "dur", "obs", "v", Seq("a", "b", "c"))
+    }
+    // both collected axes carry loud guards
+    val ok = gehan.zipWithIndex.map { case ((t, o, g), i) =>
+      (t, o, (i % 7) * 0.5, if (g == "b_control") 1 else 0)
+    }.toDF("dur", "obs", "v", "b")
+    intercept[IllegalArgumentException] {
+      Survival.coxPhMixed(ok, "dur", "obs", "v", Seq("b"), maxGridValues = 1).collect()
+    }.getMessage should include("coxPhMixed grid")
+    intercept[IllegalArgumentException] {
+      Survival.coxPhMixed(ok, "dur", "obs", "v", Seq("b"), maxDurations = 5).collect()
+    }.getMessage should include("coxPhMixed")
+  }
+
+  it("streamed mixed Cox twin across a restart equals batch row-for-row") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import org.apache.spark.sql.{functions => F}
+    val r = new scala.util.Random(52)
+    val subjects = Seq.fill(120)((r.nextInt(10),
+      if (r.nextInt(4) == 0) 0 else 1, r.nextInt(7) * 0.5, r.nextInt(2)))
+    val inDir = JFiles.createTempDirectory("graft-cm-in").toString
+    def write(name: String, part: Seq[(Int, Int, Double, Int)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (d, o, v, b) => s"$d,$o,$v,$b" }.mkString("\n"))
+    write("f1.txt", subjects.take(60))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).cast("int").as("dur"),
+        F.split(F.col("value"), ",").getItem(1).cast("int").as("obs"),
+        F.split(F.col("value"), ",").getItem(2).cast("double").as("v"),
+        F.split(F.col("value"), ",").getItem(3).cast("int").as("b"))
+    val (ck, cd) = (JFiles.createTempDirectory("cm-ck").toString,
+      JFiles.createTempDirectory("cm-cd").toString)
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingSurvival.attachMixed(
+        src(), ck, cd, "dur", "obs", "v", Seq("b"), 100)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    write("f2.txt", subjects.drop(60)) // restart: fresh query, same stores
+    drain()
+    graft.streaming.StreamingSurvival.coxPhMixedNow(spark, cd, "v", Seq("b"))
+      .collect().map(_.toSeq).toSeq shouldBe
+      Survival.coxPhMixed(subjects.toDF("dur", "obs", "v", "b"),
+        "dur", "obs", "v", Seq("b")).collect().map(_.toSeq).toSeq
   }
 
   // ---- loud axis guards (r15 directive #2) -------------------------------

@@ -47,16 +47,23 @@ object LangIdNB {
   private def microNats(x: Column): Column =
     F.round(F.ln(x) * 1000000.0, 0).cast("long")
 
-  /** Per-(lang, gram) micro-nat log-likelihoods over the labelled
-    * corpus: one row per (vocabulary gram × language), add-1 smoothed —
-    * (lang, gram, lp). Bounded by vocabulary × languages. */
-  def train(docs: DataFrame, textCol: String, labelCol: String): DataFrame = {
-    val d = docs.filter(F.col(textCol).isNotNull && F.col(labelCol).isNotNull)
-    val g = d.select(F.col(labelCol).as("lang"),
-      F.explode(gramsCol(F.col(textCol))).as("gram"))
-    val cnt = g.groupBy("lang", "gram").agg(F.count(F.lit(1)).as("n"))
+  /** Per-(lang, gram) integer counts over the labelled corpus — the
+    * model's sufficient statistic, and EXACTLY the streaming twin's
+    * mergeable count-store layout ([[graft.streaming.StreamingLangId]]):
+    * the model is a pure function of this frame. */
+  def gramCounts(docs: DataFrame, textCol: String, labelCol: String): DataFrame =
+    docs.filter(F.col(textCol).isNotNull && F.col(labelCol).isNotNull)
+      .select(F.col(labelCol).as("lang"),
+        F.explode(gramsCol(F.col(textCol))).as("gram"))
+      .groupBy("lang", "gram").agg(F.count(F.lit(1)).as("n"))
+
+  /** The snap step over a pre-aggregated (lang, gram, n) count frame —
+    * the streaming re-entry point: merged micro-batch partials produce
+    * the IDENTICAL model the batch trainer derives, because everything
+    * up to the one ln is associative integer arithmetic. */
+  def trainFromCounts(cnt: DataFrame): DataFrame = {
     val tot = cnt.groupBy("lang").agg(F.sum("n").as("tot"))
-    val voc = g.select("gram").distinct()
+    val voc = cnt.select("gram").distinct()
     val vv = voc.agg(F.count(F.lit(1)).as("v"))
     voc.crossJoin(F.broadcast(tot.crossJoin(vv)))
       .join(cnt, Seq("lang", "gram"), "left")
@@ -65,14 +72,27 @@ object LangIdNB {
           (F.col("tot").cast("double") + F.col("v").cast("double"))).as("lp"))
   }
 
-  /** Micro-nat class priors ln(n_docs(lang) / n_docs) — (lang, lp0). */
-  def priors(docs: DataFrame, textCol: String, labelCol: String): DataFrame = {
-    val d = docs.filter(F.col(textCol).isNotNull && F.col(labelCol).isNotNull)
-    val langs = d.groupBy(F.col(labelCol).as("lang")).agg(F.count(F.lit(1)).as("ndocs"))
-    langs.crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).as("nd"))))
+  /** Per-(lang, gram) micro-nat log-likelihoods over the labelled
+    * corpus: one row per (vocabulary gram × language), add-1 smoothed —
+    * (lang, gram, lp). Bounded by vocabulary × languages. */
+  def train(docs: DataFrame, textCol: String, labelCol: String): DataFrame =
+    trainFromCounts(gramCounts(docs, textCol, labelCol))
+
+  /** Per-language labelled document counts — the priors' sufficient
+    * statistic, streaming-mergeable like [[gramCounts]]. */
+  def docCounts(docs: DataFrame, textCol: String, labelCol: String): DataFrame =
+    docs.filter(F.col(textCol).isNotNull && F.col(labelCol).isNotNull)
+      .groupBy(F.col(labelCol).as("lang")).agg(F.count(F.lit(1)).as("ndocs"))
+
+  /** The priors' snap over a pre-aggregated (lang, ndocs) frame. */
+  def priorsFromCounts(dc: DataFrame): DataFrame =
+    dc.crossJoin(F.broadcast(dc.agg(F.sum("ndocs").as("nd"))))
       .select(F.col("lang"),
         microNats(F.col("ndocs").cast("double") / F.col("nd").cast("double")).as("lp0"))
-  }
+
+  /** Micro-nat class priors ln(n_docs(lang) / n_docs) — (lang, lp0). */
+  def priors(docs: DataFrame, textCol: String, labelCol: String): DataFrame =
+    priorsFromCounts(docCounts(docs, textCol, labelCol))
 
   /** Score every document against the trained model: argmax over
     * languages of prior + Σ count·lp, exact longs, ties to the
@@ -109,6 +129,31 @@ object LangIdNB {
     val p = priors(d, textCol, labelCol)
     d.select(F.col(idCol), F.col(labelCol).as("lang"))
       .join(score(d, textCol, idCol, m, p), Seq(idCol))
+      .select(F.col(idCol), F.col("lang"), F.col("pred_lang"))
+  }
+
+  /** HOLDOUT train + score — honest generalization where
+    * [[trainScore]] measures resubstitution (which memorizing rare
+    * trigrams can inflate): the labelled frame splits by the
+    * deterministic doc-id hash ([[DataShaping.splitAssign]]'s nibble
+    * discipline — md5 first hex digit, 0–b trains ≈ 75%, c–f holds out
+    * ≈ 25%), the model trains on the large side only, and every
+    * (id, lang, pred_lang) row returned is from the UNSEEN side.
+    * Holdout grams outside the trained vocabulary drop at the model
+    * join (the standard ignore-unknowns serve rule); a holdout language
+    * absent from the train side can never be predicted and scores
+    * against κ like any other miss. */
+  def trainScoreHoldout(docs: DataFrame, textCol: String, labelCol: String,
+                        idCol: String): DataFrame = {
+    val d = docs.filter(F.col(textCol).isNotNull && F.col(labelCol).isNotNull)
+    val nib = F.substring(F.md5(F.col(idCol).cast("string")), 1, 1)
+    val hold = nib.isin("c", "d", "e", "f")
+    val tr = d.filter(!hold)
+    val ho = d.filter(hold)
+    val m = train(tr, textCol, labelCol)
+    val p = priors(tr, textCol, labelCol)
+    ho.select(F.col(idCol), F.col(labelCol).as("lang"))
+      .join(score(ho, textCol, idCol, m, p), Seq(idCol))
       .select(F.col(idCol), F.col("lang"), F.col("pred_lang"))
   }
 }

@@ -68,6 +68,87 @@ class LangIdNBSpec extends SparkSpec {
     out(3).getString(2) shouldBe "aa" // majority prior (2/4 aa vs 2/4 zz → tie to aa)
   }
 
+  it("holdout κ is high when the labels are genuinely learnable from char statistics") {
+    // a corpus where language IS the char distribution: the holdout
+    // split (train ≈ 75% by md5 nibble, score the unseen ≈ 25%) must
+    // classify near-perfectly — the estimator generalizes when there
+    // is signal, so a collapsed holdout κ elsewhere indicts the DATA.
+    val r = new scala.util.Random(17)
+    def word(cs: String) = Seq.fill(4)(cs(r.nextInt(cs.length))).mkString
+    val docs = (0L until 200L).map { i =>
+      if (i % 2 == 0) (i, Seq.fill(5)(word("abcd")).mkString(" "), "aa")
+      else (i, Seq.fill(5)(word("wxyz")).mkString(" "), "zz")
+    }.toDF("doc_id", "text", "lang")
+    val ho = LangIdNB.trainScoreHoldout(docs, "text", "lang", "doc_id")
+    // every scored row is genuinely held out of training
+    val nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    val nHold = docs.filter(nib.isin("c", "d", "e", "f")).count()
+    ho.count() shouldBe nHold
+    nHold should be > 20L
+    val kHo = Evaluation.kappa(ho, "pred_lang", "lang")
+      .collect().head.getAs[Double]("kappa")
+    kHo should be >= 0.8 // disjoint charsets: near-perfect generalization
+  }
+
+  it("holdout κ exposes the board fixture's resubstitution as memorization (r16 verdict #4)") {
+    // The synthetic documents table's texts are label-independent
+    // vendor-word streams — the lang label is essentially unlearnable
+    // from text. Resubstitution κ ≈ 0.40 there is memorized
+    // doc-specific trigrams, and the honest holdout read must collapse
+    // toward chance. THIS GAP is what the holdout evaluation exists to
+    // catch; the assertion pins it instead of pretending the fixture
+    // generalizes.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kResub = Evaluation.kappa(
+      LangIdNB.trainScore(docs, "text", "lang", "doc_id"), "pred_lang", "lang")
+      .collect().head.getAs[Double]("kappa")
+    val kHo = Evaluation.kappa(
+      LangIdNB.trainScoreHoldout(docs, "text", "lang", "doc_id"), "pred_lang", "lang")
+      .collect().head.getAs[Double]("kappa")
+    kResub should be >= 0.25          // the memorized number (≈ 0.40)
+    kHo should be < (kResub - 0.2)    // the honest number (≈ 0.04)
+    kHo should be > -0.2              // and it is chance-like, not anti-predictive
+  }
+
+  it("streamed (lang, gram) counts rebuild the batch model exactly across a restart") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val docs = Seq(
+      (0L, "aaaa", "aa"), (1L, "aaab", "aa"), (2L, "zzzz", "zz"),
+      (3L, "zzzy", "zz"), (4L, "x", "aa"), (5L, "azaz", "zz"))
+    val inDir = JFiles.createTempDirectory("graft-li-in").toString
+    def write(name: String, part: Seq[(Long, String, String)]): Unit =
+      JFiles.writeString(Paths.get(inDir, name),
+        part.map { case (i, t, l) => s"$i,$t,$l" }.mkString("\n"))
+    write("f1.txt", docs.take(3))
+    val src = () => spark.readStream.text(inDir)
+      .select(F.split(F.col("value"), ",").getItem(0).cast("long").as("doc_id"),
+        F.split(F.col("value"), ",").getItem(1).as("text"),
+        F.split(F.col("value"), ",").getItem(2).as("lang"))
+    val (ck, cd) = (JFiles.createTempDirectory("li-ck").toString,
+      JFiles.createTempDirectory("li-cd").toString)
+    def drain(): Unit = {
+      val q = graft.streaming.StreamingLangId.attach(
+        src(), ck, cd, "text", "lang", 100)
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    write("f2.txt", docs.drop(3)) // restart: fresh query, same stores
+    drain()
+    val df = docs.toDF("doc_id", "text", "lang")
+    def sortedRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    sortedRows(graft.streaming.StreamingLangId.modelNow(spark, cd)) shouldBe
+      sortedRows(LangIdNB.train(df, "text", "lang"))
+    sortedRows(graft.streaming.StreamingLangId.priorsNow(spark, cd)) shouldBe
+      sortedRows(LangIdNB.priors(df, "text", "lang"))
+    // serve against the streamed model == batch trainScore predictions
+    graft.streaming.StreamingLangId.scoreNow(spark, cd, df, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq shouldBe
+      LangIdNB.score(df, "text", "doc_id",
+        LangIdNB.train(df, "text", "lang"), LangIdNB.priors(df, "text", "lang"))
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+  }
+
   it("beats the marker heuristic decisively on the fixture: κ ≥ 0.25 vs κ ≈ 0") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val nb = LangIdNB.trainScore(docs, "text", "lang", "doc_id")

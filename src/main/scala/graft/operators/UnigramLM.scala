@@ -116,22 +116,142 @@ object UnigramLM {
     val multis = freq.iterator.filter(_._1.length > 1).toSeq
       .sortBy { case (p, f) => (-f, p) }.take(seedSize).map(_._1)
     var pieces: Seq[String] = (chars ++ multis).distinct.sorted
-    def snap(counts: String => Long, total: Long, k: Int): Map[String, Long] =
-      pieces.map(p => p -> micro((counts(p) + 1.0) / (total + k.toDouble))).toMap
     val seedTotal = pieces.map(freq).sum
-    var lp: Map[String, Long] = snap(freq, seedTotal, pieces.size)
+    var lp: Map[String, Long] =
+      pieces.map(p => p -> micro((freq(p) + 1.0) / (seedTotal + pieces.size.toDouble))).toMap
     (1 to iters).foreach { _ =>
-      val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
-      vocab.foreach { case (w, c) =>
-        viterbi(w, lp, maxPieceLen).foreach { case (_, seg) =>
-          seg.split('|').foreach(p => if (p.nonEmpty) counts(p) += c)
-        }
-      }
-      pieces = pieces.filter(p => p.length == 1 || counts(p) > 0)
-      val total = pieces.map(counts).sum
-      lp = snap(counts, total, pieces.size)
+      val (kept, nlp) = countSnap(vocab, pieces, lp, maxPieceLen)
+      pieces = kept
+      lp = nlp
     }
     pieces.map(p => (p, lp(p)))
+  }
+
+  /** One hard-EM M-step: Viterbi-segment the vocabulary under `lp`
+    * (restricted to `pieces`), count piece usage, prune zero-count
+    * multi-char pieces (single chars always survive — coverage), add-1
+    * snap over the survivors. Returns (kept pieces, new lp). */
+  private def countSnap(vocab: Seq[(String, Long)], pieces: Seq[String],
+                        lp: Map[String, Long],
+                        maxPieceLen: Int): (Seq[String], Map[String, Long]) = {
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    vocab.foreach { case (w, c) =>
+      viterbi(w, lp, maxPieceLen).foreach { case (_, seg) =>
+        seg.split('|').foreach(p => if (p.nonEmpty) counts(p) += c)
+      }
+    }
+    val kept = pieces.filter(p => p.length == 1 || counts(p) > 0)
+    val total = kept.map(counts).sum
+    (kept, kept.map(p => p -> micro((counts(p) + 1.0) / (total + kept.size.toDouble))).toMap)
+  }
+
+  /** Total corpus (Viterbi) likelihood of a model over a (word, count)
+    * vocabulary, integer micro-nats — Σ_w c_w · score_w. The prune
+    * loop's objective, exposed so specs can compare vocabularies.
+    * Words with no path under the model score the per-char fallback's
+    * pieces where covered; strictly, uncovered words contribute the
+    * worst representable score so coverage loss is never free. */
+  def corpusScore(vocab: Seq[(String, Long)], model: Seq[(String, Long)],
+                  maxPieceLen: Int = 4): Long = {
+    val lp = model.toMap
+    vocab.foldLeft(0L) { case (acc, (w, c)) =>
+      acc + c * viterbi(w, lp, maxPieceLen).map(_._1).getOrElse(Long.MinValue / (1L << 20))
+    }
+  }
+
+  /** The naive same-size baseline [[trainPruned]] must beat: keep the
+    * single chars plus the most RAW-SUBSTRING-FREQUENT multi-char
+    * pieces of `model` up to `targetSize`, then one M-step
+    * re-normalize — selection by frequency instead of likelihood loss,
+    * everything else identical. Frequency ranks a piece by how often
+    * it occurs, not by how costly its removal is; a frequent piece
+    * whose characters are themselves common is cheap to lose, a rare
+    * piece over otherwise-unseen characters is not — the gap the
+    * likelihood objective sees and this baseline cannot. */
+  def truncateByFrequency(vocab: Seq[(String, Long)],
+                          model: Seq[(String, Long)], targetSize: Int,
+                          maxPieceLen: Int = 4): Seq[(String, Long)] = {
+    val freq = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    vocab.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= math.min(maxPieceLen, w.length - i)) {
+          freq(w.substring(i, i + l)) += c
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val chars = model.map(_._1).filter(_.length == 1)
+    val multis = model.map(_._1).filter(_.length > 1)
+      .sortBy(p => (-freq(p), p)).take(math.max(0, targetSize - chars.size))
+    val kept = (chars ++ multis).sorted
+    val lp = model.toMap
+    val (pieces2, lp2) = countSnap(vocab, kept,
+      lp.view.filterKeys(kept.toSet).toMap, maxPieceLen)
+    pieces2.map(p => (p, lp2(p)))
+  }
+
+  /** Kudo 2018's LIKELIHOOD-BASED vocabulary pruning on top of the
+    * hard-EM trainer — the "train me a 32k-piece vocab" knob
+    * ([[trainFromVocab]] prunes only zero-count pieces, so its final
+    * size is an accident of the corpus): train as usual, then
+    * repeatedly drop the multi-char pieces whose REMOVAL COSTS THE
+    * LEAST total corpus likelihood until at most `targetSize` pieces
+    * remain, re-running a count/snap M-step after each prune round so
+    * the surviving pieces' probabilities re-normalize.
+    *
+    * Per round: loss(p) = Σ_{w : best seg uses p} c_w·(score_w −
+    * score_w without p) — exact integer micro-nats, only words whose
+    * CURRENT Viterbi segmentation uses p re-segment (all others are
+    * unaffected by p's removal, their loss term is zero), and the
+    * re-segmentation always succeeds because single chars never prune.
+    * The `pruneFrac` lowest-loss pieces drop per round (ties to the
+    * lexicographically smaller piece), Kudo's batched-prune schedule.
+    * Everything stays in the trainer's deterministic integer-model
+    * discipline, so the pruned model serves through the SAME
+    * [[viterbiSql]] mirror. */
+  def trainPruned(vocab: Seq[(String, Long)], targetSize: Int,
+                  maxPieceLen: Int = 4, seedSize: Int = 200, iters: Int = 3,
+                  pruneFrac: Double = 0.2): Seq[(String, Long)] = {
+    require(pruneFrac > 0.0 && pruneFrac <= 1.0,
+      "UnigramLM.trainPruned: pruneFrac must be in (0, 1]")
+    var model = trainFromVocab(vocab, maxPieceLen, seedSize, iters)
+    val nChars = model.count(_._1.length == 1)
+    require(targetSize >= nChars,
+      s"UnigramLM.trainPruned: targetSize $targetSize is below the corpus's " +
+        s"$nChars single-char coverage floor — those pieces cannot prune")
+    while (model.size > targetSize) {
+      val lp = model.toMap
+      // current segmentations + which words each multi-char piece serves
+      val usedBy = scala.collection.mutable.Map[String, List[(String, Long, Long)]]()
+        .withDefaultValue(Nil)
+      vocab.foreach { case (w, c) =>
+        viterbi(w, lp, maxPieceLen).foreach { case (sc, seg) =>
+          seg.split('|').filter(_.length > 1).distinct
+            .foreach(p => usedBy(p) = (w, c, sc) :: usedBy(p))
+        }
+      }
+      val multi = model.map(_._1).filter(_.length > 1)
+      val losses = multi.map { p =>
+        val without = lp - p
+        val loss = usedBy(p).foldLeft(0L) { case (acc, (w, c, sc)) =>
+          // single chars survive, so a path always exists without p
+          acc + c * (sc - viterbi(w, without, maxPieceLen).map(_._1).get)
+        }
+        (loss, p)
+      }
+      val nDrop = math.min(model.size - targetSize,
+        math.max(1, (multi.size * pruneFrac).toInt))
+      val drop = losses.sortBy { case (l, p) => (l, p) }.take(nDrop).map(_._2).toSet
+      val kept = model.map(_._1).filterNot(drop)
+      // M-step under the survivors: re-segment (old scores, restricted),
+      // recount, re-snap — the trainer's own normalization
+      val (pieces2, lp2) = countSnap(vocab, kept, lp -- drop, maxPieceLen)
+      model = pieces2.map(p => (p, lp2(p)))
+    }
+    model
   }
 
   /** Train over a documents frame: the corpus-sized vocabulary
@@ -139,6 +259,15 @@ object UnigramLM {
   def train(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
             seedSize: Int = 200, iters: Int = 3): Seq[(String, Long)] =
     trainFromVocab(collectVocab(docs, textCol), maxPieceLen, seedSize, iters)
+
+  /** [[trainPruned]] over a documents frame — same guarded vocabulary
+    * collect as [[train]]. */
+  def trainPrunedFromDocs(docs: DataFrame, textCol: String, targetSize: Int,
+                          maxPieceLen: Int = 4, seedSize: Int = 200,
+                          iters: Int = 3,
+                          pruneFrac: Double = 0.2): Seq[(String, Long)] =
+    trainPruned(collectVocab(docs, textCol), targetSize, maxPieceLen,
+      seedSize, iters, pruneFrac)
 
   /** Segment the corpus vocabulary under a trained model: one row per
     * distinct word — (word, seg, n_tokens), the dictionary the serve
@@ -196,7 +325,9 @@ object UnigramLM {
     * whose length has been reached. One LEFT JOIN against the piece
     * table per step (the slot to extend selected by CASE on the piece
     * length), candidates ranked (score DESC, seg ASC) NULLS LAST —
-    * exactly the driver fold's comparison. Emits the CTE members
+    * exactly the driver fold's comparison. A word with no path (an
+    * uncovered character) falls back to the per-char split, matching
+    * [[segmentVocab]]. Emits the CTE members
     * `pieces, st0..st{maxWordLen}, fin(word, seg, n_tokens)`; callers
     * prepend WITH and a word-source CTE `w(word)`. */
   def viterbiSql(model: Seq[(String, Long)], maxPieceLen: Int = 4): String = {
@@ -231,9 +362,17 @@ object UnigramLM {
         s"AND ($scSel) IS NOT NULL" +
         ") WHERE rn = 1)"
     }
-    val fin = s"fin AS (SELECT word, dsg || '|' AS seg, " +
-      "CAST(len(list_filter(string_split(dsg || '|', '|'), t -> length(t) > 0)) AS BIGINT) AS n_tokens " +
-      s"FROM st$maxWordLen WHERE dsc IS NOT NULL)"
+    // A word with no Viterbi path (a character unseen in training —
+    // impossible on the training corpus, possible on a serve corpus)
+    // falls back to the per-char split, EXACTLY [[segmentVocab]]'s
+    // fallback — the mirror must not silently drop what the Scala
+    // serve path emits (r16 ADVICE).
+    val fin = s"fin AS (SELECT word, " +
+      "COALESCE(dsg || '|', '|' || array_to_string(regexp_extract_all(word, '.'), '|') || '|') AS seg, " +
+      "CAST(CASE WHEN dsc IS NOT NULL " +
+      "THEN len(list_filter(string_split(dsg || '|', '|'), t -> length(t) > 0)) " +
+      "ELSE len(regexp_extract_all(word, '.')) END AS BIGINT) AS n_tokens " +
+      s"FROM st$maxWordLen)"
     (Seq(s"pieces(piece, lp) AS (VALUES $values)", st0) ++ sts :+ fin).mkString(", ")
   }
 }

@@ -72,27 +72,82 @@ class UnigramLMSpec extends SparkSpec {
     out(1L)._1 shouldBe 3L
   }
 
+  it("likelihood pruning reaches the target size and beats frequency truncation on corpus likelihood") {
+    // 'ab' is the FREQUENT piece (100 occurrences) but its characters
+    // are themselves common standalone words, so losing it is cheap —
+    // the fallback '|a|b|' rides high char probabilities; 'wxyz' is
+    // rare (15) but its characters appear nowhere else, so losing it
+    // costs 4 bottom-probability chars per occurrence. Frequency
+    // ranking keeps 'ab' and drops 'wxyz'; the likelihood objective
+    // must do the opposite.
+    val vocab = Seq(("a", 50L), ("b", 50L), ("ab", 100L), ("wxyz", 15L))
+    val base = UnigramLM.trainFromVocab(vocab)
+    val chars = base.map(_._1).filter(_.length == 1)
+    base.map(_._1).filter(_.length > 1).toSet shouldBe Set("ab", "wxyz")
+    val target = chars.size + 1
+    val pruned = UnigramLM.trainPruned(vocab, target)
+    pruned.size should be <= target
+    pruned.map(_._1) should contain("wxyz")
+    pruned.map(_._1) should not contain "ab"
+    val trunc = UnigramLM.truncateByFrequency(vocab, base, target)
+    trunc.map(_._1) should contain("ab")
+    trunc.map(_._1) should not contain "wxyz"
+    UnigramLM.corpusScore(vocab, pruned) should be >
+      UnigramLM.corpusScore(vocab, trunc)
+  }
+
+  it("trainPruned refuses a target below the single-char coverage floor; no-op above current size") {
+    val vocab = Seq(("abab", 50L), ("ab", 30L))
+    intercept[IllegalArgumentException] {
+      UnigramLM.trainPruned(vocab, 1)
+    }.getMessage should include("coverage floor")
+    // already at/below target → unchanged model
+    val base = UnigramLM.trainFromVocab(vocab)
+    UnigramLM.trainPruned(vocab, base.size) shouldBe base
+  }
+
+  it("the pruned model serves through the same segmentVocab/dictionary-encode path") {
+    val docs = Seq((0L, "a b ab wxyz"), (1L, "ab ab a wxyz b")).toDF("doc_id", "text")
+    val model = UnigramLM.trainPrunedFromDocs(docs, "text", targetSize = 7)
+    val segs = UnigramLM.segmentVocab(docs, "text", model)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    segs("wxyz") shouldBe (("|wxyz|", 1L))
+    segs("ab") shouldBe (("|a|b|", 2L)) // the pruned piece falls back to chars
+  }
+
   it("the SQL mirror's unrolled Viterbi agrees with the driver fold on every vocab word") {
     // executed through Spark SQL (same semantics class as the DuckDB
     // mirror: standard windowed SQL over the VALUES model) — the
     // DuckDB-side agreement is the driver's oracle gate
     val docs = Seq((0L, "abab ab ba bab"), (1L, "abc cab ab")).toDF("doc_id", "text")
     val model = UnigramLM.train(docs, "text")
-    docs.createOrReplaceTempView("documents")
+    // the served corpus carries 'zz' — characters unseen in training —
+    // so the mirror's per-char COALESCE fallback is exercised alongside
+    // the Viterbi path (r16 ADVICE: the fin fallback must match
+    // segmentVocab's, not drop the word)
+    val served = docs.union(Seq((2L, "zz abc")).toDF("doc_id", "text"))
+    served.createOrReplaceTempView("documents")
     val sql = "WITH words AS (SELECT DISTINCT explode(split(text, ' ')) AS word FROM documents), " +
       "w AS (SELECT word FROM words WHERE length(word) > 0), " +
       UnigramLM.viterbiSql(model)
         .replace("CAST(NULL AS VARCHAR)", "CAST(NULL AS STRING)")
         .replace("list_filter(string_split(", "filter(split(")
-        .replace("CAST(len(filter(split(", "CAST(size(filter(split(")
+        .replace("THEN len(filter(split(", "THEN size(filter(split(")
+        // DuckDB's array_to_string/len over full-match extract-all →
+        // Spark's array_join/size with an explicit group index 0
+        .replace("array_to_string(regexp_extract_all(word, '.'), '|')",
+          "array_join(regexp_extract_all(word, '.', 0), '|')")
+        .replace("ELSE len(regexp_extract_all(word, '.'))",
+          "ELSE size(regexp_extract_all(word, '.', 0))")
         // Spark's split() takes a regex where DuckDB's string_split is
         // literal — escape the pipe delimiter for the Spark run
         .replace("split(dsg || '|', '|')", "split(dsg || '|', '\\\\|')") + " " +
       "SELECT word, seg, n_tokens FROM fin ORDER BY word"
     val viaSql = spark.sql(sql).collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
-    val viaFold = UnigramLM.segmentVocab(docs, "text", model)
+    val viaFold = UnigramLM.segmentVocab(served, "text", model)
       .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
     viaSql shouldBe viaFold
+    viaSql("zz") shouldBe (("|z|z|", 2L))
   }
 }

@@ -93,6 +93,22 @@ object SparkEntry {
       graft.operators.UnigramLM.train(t(s, dir, "documents"), "text"))
   @volatile private var unigramStash: Option[Seq[(String, Long)]] = None
 
+  /** Likelihood-PRUNED unigram model (Kudo's target-size knob): the
+    * multi-char piece budget halves relative to the unpruned model, so
+    * the prune loop's least-likelihood-loss ranking is genuinely
+    * exercised on every corpus with ≥ 2 multi-char pieces. */
+  private val unigramPrunedModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  private def sharedUnigramPruned(s: SparkSession, dir: String): Seq[(String, Long)] =
+    unigramPrunedModels.computeIfAbsent(dir, _ => {
+      val base = sharedUnigram(s, dir)
+      val nChars = base.count(_._1.length == 1)
+      val target = nChars + math.max(1, (base.size - nChars) / 2)
+      graft.operators.UnigramLM.trainPrunedFromDocs(
+        t(s, dir, "documents"), "text", target)
+    })
+  @volatile private var unigramPrunedStash: Option[Seq[(String, Long)]] = None
+
   /** Per-process persisted-ANN-index directory, one per sf dir: the FIRST
     * q_ann_index_serve call in a process builds the index (train + encode +
     * persist); every later call serves straight from the persisted codes
@@ -263,6 +279,28 @@ object SparkEntry {
           .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
         F.col("p0").isNotNull.cast("int").as("obs"),
         ((F.col("ne") % 7).cast("double") * 0.5).as("engagement"))
+  }
+
+  /** [[cohortSubjectsCont]]'s continuous engagement score PLUS the
+    * mod-2 cohort flag in one frame — the MIXED Cox fixture ("HR per
+    * engagement unit, adjusted for cohort"): one gridded continuous +
+    * one binary covariate, the standard adjusted-analysis ask. */
+  private def cohortSubjectsMixed(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cut = ev.agg((F.min(F.col("ts")) + F.expr("INTERVAL 3 DAYS")).as("c"))
+    val seen = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("c"))
+    val f = seen.groupBy(F.col("user_id"))
+      .agg(F.min(F.col("ts")).as("f0"), F.count(F.lit(1)).as("ne"))
+    val p = seen.filter(F.col("event_type") === "purchase")
+      .groupBy(F.col("user_id")).agg(F.min(F.col("ts")).as("p0"))
+    f.join(p, Seq("user_id"), "left").crossJoin(F.broadcast(cut))
+      .select(
+        F.when(F.col("p0").isNotNull,
+            F.datediff(F.to_date(F.col("p0")), F.to_date(F.col("f0"))))
+          .otherwise(F.datediff(F.to_date(F.col("c")), F.to_date(F.col("f0")))).as("dur"),
+        F.col("p0").isNotNull.cast("int").as("obs"),
+        ((F.col("ne") % 7).cast("double") * 0.5).as("engagement"),
+        (F.col("user_id") % 2).as("cohort"))
   }
 
   /** [[cohortSubjects]] with a stratification key alongside (user_id
@@ -1283,6 +1321,16 @@ object SparkEntry {
     "q_coxph_cont" -> ((s, dir) => {
       Survival.coxPhCont(cohortSubjectsCont(s, dir), "dur", "obs",
         "engagement", decimals = 4)
+    }),
+    // The MIXED adjusted fit — "HR per engagement unit, adjusted for
+    // cohort": joint (grid value × binary pattern) count state, the
+    // grid-total-minus-exit-cumulant S-sums per pattern cell, a 2×2
+    // Cramer Newton with both coordinates 9-snapped — the r16 verdict's
+    // standard-real-ask gap between coxPhCont (no adjustment) and
+    // coxPhMulti (binary-only).
+    "q_coxph_mixed" -> ((s, dir) => {
+      Survival.coxPhMixed(cohortSubjectsMixed(s, dir), "dur", "obs",
+        "engagement", Seq("cohort"), decimals = 4).orderBy("covariate")
     }),
     // Harrell's C for the same binary risk score (cohort 1 vs 0, the
     // coxph x = 1 coding): discrimination, the third read of the
@@ -2860,6 +2908,15 @@ object SparkEntry {
     "q_langid_nb" -> ((s, dir) =>
       LangIdNB.trainScore(t(s, dir, "documents"), "text", "lang", "doc_id")
         .orderBy("doc_id")),
+    // HOLDOUT generalization for the trained language ID (r16 verdict
+    // #4): deterministic md5-nibble split (0–b trains ≈75%, c–f holds
+    // out ≈25% — the q_split_assign discipline), model trained on the
+    // large side only, every returned row scored UNSEEN. The mirror
+    // re-derives the split, the train-side model, and the holdout
+    // serve entirely in SQL.
+    "q_langid_holdout" -> ((s, dir) =>
+      LangIdNB.trainScoreHoldout(t(s, dir, "documents"), "text", "lang", "doc_id")
+        .orderBy("doc_id")),
     "q_text_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"), "text")
         .select("doc_id", "n_chars_m", "n_tokens", "n_distinct_tokens",
@@ -2925,6 +2982,17 @@ object SparkEntry {
       val model = sharedUnigram(s, dir)
       unigramStash = Some(model)
       UnigramLM.tokenCounts(t(s, dir, "documents"), "text", "doc_id", model)
+    }),
+    // Kudo's likelihood-based vocabulary pruning (r16 verdict #5): the
+    // same trainer driven to a TARGET vocab size — multi-char pieces
+    // drop in least-likelihood-loss order with an M-step re-normalize
+    // per round — then served through the IDENTICAL integer Viterbi;
+    // the mirror replays the pruned model's segmentation end-to-end.
+    "q_unigram_pruned" -> ((s, dir) => {
+      val model = sharedUnigramPruned(s, dir)
+      unigramPrunedStash = Some(model)
+      UnigramLM.segmentVocab(t(s, dir, "documents"), "text", model)
+        .orderBy("word")
     }),
     "q_text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
@@ -4577,6 +4645,110 @@ object SparkEntry {
       "CASE WHEN is_ > 0 THEN (beta / (1.0 / sqrt(is_))) * (beta / (1.0 / sqrt(is_))) " +
       "> CAST(3.841459 AS DOUBLE) END AS reject_95 " +
       s"FROM ssf, b$steps, tot, dtot WHERE rn = 1"
+  }
+
+  /** MIXED continuous+binary Breslow Cox-PH mirror
+    * ([[Survival.coxPhMixed]] on the [[cohortSubjectsMixed]] design —
+    * engagement adjusted for the mod-2 cohort): [[coxContSql]]'s
+    * grid-total-minus-exit-cumulant S-sums lifted to the JOINT
+    * (grid value, binary pattern) cells — six S components
+    * (s0, sv, sb, svv, svb, sbb) as (v, b)-ordered window totals minus
+    * (t, v, b)-ordered cumulants, the 2-coordinate score/information as
+    * t-ordered window sums of EXACTLY the driver fold's term shapes,
+    * then a 2×2 Cramer Newton step with BOTH coordinates 9-snapped
+    * ([[coxMultiSql]]'s solve layout). Final pass recomputes I(β̂);
+    * output one row per covariate, [[coxMultiSql]]'s UNION ALL shape. */
+  private def coxMixedSql(steps: Int): String = {
+    val e = "exp(bv * v + bb * b)"
+    def tots(name: String, prevB: String): String =
+      s"$name AS (SELECT sum(CAST(nn AS DOUBLE) * $e) OVER wv AS tot0, " +
+        s"sum(v * CAST(nn AS DOUBLE) * $e) OVER wv AS totv, " +
+        s"sum(b * CAST(nn AS DOUBLE) * $e) OVER wv AS totb, " +
+        s"sum(v * v * CAST(nn AS DOUBLE) * $e) OVER wv AS totvv, " +
+        s"sum(v * b * CAST(nn AS DOUBLE) * $e) OVER wv AS totvb, " +
+        s"sum(b * b * CAST(nn AS DOUBLE) * $e) OVER wv AS totbb, " +
+        "row_number() OVER (ORDER BY v DESC, b DESC) AS rn " +
+        s"FROM pvk, $prevB WINDOW wv AS (ORDER BY v, b ROWS UNBOUNDED PRECEDING))"
+    def cum(name: String, prevB: String): String =
+      s"$name AS (SELECT t, " +
+        s"sum(CAST(c AS DOUBLE) * $e) OVER wc AS ce0, " +
+        s"sum(v * CAST(c AS DOUBLE) * $e) OVER wc AS cev, " +
+        s"sum(b * CAST(c AS DOUBLE) * $e) OVER wc AS ceb, " +
+        s"sum(v * v * CAST(c AS DOUBLE) * $e) OVER wc AS cevv, " +
+        s"sum(v * b * CAST(c AS DOUBLE) * $e) OVER wc AS cevb, " +
+        s"sum(b * b * CAST(c AS DOUBLE) * $e) OVER wc AS cebb, " +
+        s"sum(CAST(c AS DOUBLE) * $e) OVER wt AS te0, " +
+        s"sum(v * CAST(c AS DOUBLE) * $e) OVER wt AS tev, " +
+        s"sum(b * CAST(c AS DOUBLE) * $e) OVER wt AS teb, " +
+        s"sum(v * v * CAST(c AS DOUBLE) * $e) OVER wt AS tevv, " +
+        s"sum(v * b * CAST(c AS DOUBLE) * $e) OVER wt AS tevb, " +
+        s"sum(b * b * CAST(c AS DOUBLE) * $e) OVER wt AS tebb, " +
+        "sum(v * CAST(d AS DOUBLE)) OVER wt AS sxv, " +
+        "sum(b * CAST(d AS DOUBLE)) OVER wt AS sxb, " +
+        "CAST(sum(d) OVER (PARTITION BY t) AS BIGINT) AS td, " +
+        "row_number() OVER (PARTITION BY t ORDER BY v DESC, b DESC) AS rnt " +
+        s"FROM bytvk, $prevB " +
+        "WINDOW wc AS (ORDER BY t, v, b ROWS UNBOUNDED PRECEDING), " +
+        "wt AS (PARTITION BY t ORDER BY v, b ROWS UNBOUNDED PRECEDING))"
+    def evf(name: String, cumName: String, totName: String): String =
+      s"$name AS (SELECT t, tot0 - ce0 + te0 AS s0, totv - cev + tev AS sv, " +
+        "totb - ceb + teb AS sb, totvv - cevv + tevv AS svv, " +
+        "totvb - cevb + tevb AS svb, totbb - cebb + tebb AS sbb, " +
+        s"sxv, sxb, td FROM $cumName, $totName " +
+        "WHERE rnt = 1 AND rn = 1 AND td > 0)"
+    def pass(name: String, evName: String): String =
+      s"$name AS (SELECT sum(sxv - CAST(td AS DOUBLE) * sv / s0) OVER wu AS uv, " +
+        "sum(sxb - CAST(td AS DOUBLE) * sb / s0) OVER wu AS ub, " +
+        "sum(CAST(td AS DOUBLE) * (svv / s0 - (sv / s0) * (sv / s0))) OVER wu AS ivv, " +
+        "sum(CAST(td AS DOUBLE) * (svb / s0 - (sv / s0) * (sb / s0))) OVER wu AS ivb, " +
+        "sum(CAST(td AS DOUBLE) * (sbb / s0 - (sb / s0) * (sb / s0))) OVER wu AS ibb, " +
+        s"row_number() OVER (ORDER BY t DESC) AS rn FROM $evName " +
+        "WINDOW wu AS (ORDER BY t ROWS UNBOUNDED PRECEDING))"
+    val det = "ivv * ibb - ivb * ivb"
+    val stepCtes = (1 to steps).map { k =>
+      Seq(tots(s"tt$k", s"b${k - 1}"), cum(s"cc$k", s"b${k - 1}"),
+        evf(s"ee$k", s"cc$k", s"tt$k"), pass(s"ss$k", s"ee$k"),
+        s"b$k AS (SELECT " +
+          s"CASE WHEN $det > 0 THEN round(bv + (uv * ibb - ub * ivb) / ($det), 9) ELSE bv END AS bv, " +
+          s"CASE WHEN $det > 0 THEN round(bb + (ivv * ub - ivb * uv) / ($det), 9) ELSE bb END AS bb " +
+          s"FROM ss$k, b${k - 1} WHERE rn = 1)").mkString(", ")
+    }.mkString(", ")
+    "WITH cut AS (SELECT min(ts) + INTERVAL 3 DAY AS c FROM events), " +
+      "f AS (SELECT user_id, min(ts) AS f0, CAST(count(*) AS BIGINT) AS ne " +
+      "FROM events, cut WHERE ts <= c GROUP BY 1), " +
+      "p AS (SELECT user_id, min(ts) AS p0 FROM events, cut " +
+      "WHERE event_type = 'purchase' AND ts <= c GROUP BY 1), " +
+      "subj AS (SELECT CASE WHEN p0 IS NOT NULL " +
+      "THEN date_diff('day', CAST(f0 AS DATE), CAST(p0 AS DATE)) " +
+      "ELSE date_diff('day', CAST(f0 AS DATE), CAST(c AS DATE)) END AS t0, " +
+      "CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS obs, " +
+      "CAST(f.ne % 7 AS DOUBLE) * 0.5 AS v, " +
+      "CAST(f.user_id % 2 AS DOUBLE) AS b " +
+      "FROM f LEFT JOIN p ON p.user_id = f.user_id, cut), " +
+      "bytvk AS (SELECT CAST(t0 AS BIGINT) AS t, v, b, " +
+      "CAST(sum(obs) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS c " +
+      "FROM subj GROUP BY 1, 2, 3), " +
+      "pvk AS (SELECT v, b, CAST(sum(c) AS BIGINT) AS nn FROM bytvk GROUP BY 1, 2), " +
+      "tot AS (SELECT CAST(sum(nn) AS BIGINT) AS n FROM pvk), " +
+      "dtot AS (SELECT CAST(sum(d) AS BIGINT) AS d_total FROM bytvk), " +
+      "b0 AS (SELECT CAST(0 AS DOUBLE) AS bv, CAST(0 AS DOUBLE) AS bb), " +
+      stepCtes + ", " +
+      tots("ttf", s"b$steps") + ", " + cum("ccf", s"b$steps") + ", " +
+      evf("eef", "ccf", "ttf") + ", " + pass("ssf", "eef") + ", " +
+      s"fin AS (SELECT bv, bb, ivv, ivb, ibb, $det AS dd " +
+      s"FROM ssf, b$steps WHERE rn = 1) " +
+      "SELECT 'engagement' AS covariate, n, d_total, " +
+      "CASE WHEN dd > 0 THEN round(bv, 6) + 0.0 END AS beta, " +
+      "CASE WHEN dd > 0 THEN round(exp(bv), 6) + 0.0 END AS hr, " +
+      "CASE WHEN dd > 0 THEN round(sqrt(ibb / dd), 6) + 0.0 END AS se, " +
+      "CASE WHEN dd > 0 THEN (bv / sqrt(ibb / dd)) * (bv / sqrt(ibb / dd)) > CAST(3.841459 AS DOUBLE) END AS reject_95 " +
+      "FROM fin, tot, dtot " +
+      "UNION ALL SELECT 'cohort' AS covariate, n, d_total, " +
+      "CASE WHEN dd > 0 THEN round(bb, 6) + 0.0 END AS beta, " +
+      "CASE WHEN dd > 0 THEN round(exp(bb), 6) + 0.0 END AS hr, " +
+      "CASE WHEN dd > 0 THEN round(sqrt(ivv / dd), 6) + 0.0 END AS se, " +
+      "CASE WHEN dd > 0 THEN (bb / sqrt(ivv / dd)) * (bb / sqrt(ivv / dd)) > CAST(3.841459 AS DOUBLE) END AS reject_95 " +
+      "FROM fin, tot, dtot ORDER BY covariate"
   }
 
   /** Logistic-recalibration Newton unrolled over the distinct-score
@@ -6456,6 +6628,7 @@ object SparkEntry {
     // Continuous (gridded) covariate: S-sums as grid totals minus
     // ordered exit cumulants, same unrolled 9-snapped Newton.
     "q_coxph_cont" -> coxContSql(steps = 4),
+    "q_coxph_mixed" -> coxMixedSql(steps = 4),
     // Baseline cumulative hazard at b4: one ordered window sum of
     // d/S0(β̂) over the event axis, curves as exp() of it.
     "q_cox_baseline" ->
@@ -7382,6 +7555,36 @@ object SparkEntry {
         "pred AS (SELECT doc_id, lang, cand, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn FROM allsc) " +
         "SELECT doc_id, lang, cand AS pred_lang FROM pred WHERE rn = 1 ORDER BY doc_id"),
 
+    // Holdout mirror ([[LangIdNB.trainScoreHoldout]]): the md5-nibble
+    // split re-derived in SQL, the model/priors built from the TRAIN
+    // side only, the serve chain run over the HOLDOUT side only —
+    // train-side vocabulary, unknown holdout grams dropping at the
+    // model join exactly as the Scala serve path does.
+    "q_langid_holdout" ->
+      ("WITH d0 AS (SELECT doc_id, text, lang FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL), " +
+        "d AS (SELECT doc_id, text, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd', 'e', 'f') AS hold FROM d0), " +
+        "tr AS (SELECT doc_id, text, lang FROM d WHERE NOT hold), " +
+        "ho AS (SELECT doc_id, text, lang FROM d WHERE hold), " +
+        "gt AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS gram " +
+        "FROM tr, unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i)), " +
+        "cnt AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS n FROM gt GROUP BY 1, 2), " +
+        "tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1), " +
+        "voc AS (SELECT DISTINCT gram FROM gt), " +
+        "vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc), " +
+        "model AS (SELECT tot.lang, voc.gram, " +
+        "CAST(round(ln((CAST(coalesce(cnt.n, 0) AS DOUBLE) + 1.0) / (CAST(tot.tot AS DOUBLE) + CAST(vv.v AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS lp " +
+        "FROM voc CROSS JOIN tot CROSS JOIN vv " +
+        "LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.gram = voc.gram), " +
+        "pri AS (SELECT lang, CAST(round(ln(CAST(count(*) AS DOUBLE) / CAST((SELECT count(*) FROM tr) AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS lp0 FROM tr GROUP BY 1), " +
+        "gh AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram " +
+        "FROM ho, unnest(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i)), " +
+        "dg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM gh GROUP BY 1, 2), " +
+        "sc AS (SELECT dg.doc_id, m.lang, CAST(sum(dg.c * m.lp) AS BIGINT) AS s FROM dg JOIN model m ON m.gram = dg.gram GROUP BY 1, 2), " +
+        "allsc AS (SELECT ho.doc_id, ho.lang, pri.lang AS cand, pri.lp0 + coalesce(sc.s, CAST(0 AS BIGINT)) AS score " +
+        "FROM ho CROSS JOIN pri LEFT JOIN sc ON sc.doc_id = ho.doc_id AND sc.lang = pri.lang), " +
+        "pred AS (SELECT doc_id, lang, cand, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn FROM allsc) " +
+        "SELECT doc_id, lang, cand AS pred_lang FROM pred WHERE rn = 1 ORDER BY doc_id"),
+
     "q_text_langid" ->
       ("SELECT doc_id, lang, " +
         "CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de' WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr' WHEN score_zh = best THEN 'zh' ELSE 'und' END AS pred_lang, " +
@@ -7463,6 +7666,16 @@ object SparkEntry {
           "FROM j GROUP BY doc_id"
       }
       .getOrElse("SELECT NULL AS doc_id, NULL AS n_words, NULL AS n_unigram_tokens, NULL AS fertility WHERE 1 = 0"),
+    // The pruned model serves through the SAME unrolled Viterbi — only
+    // the stashed integer piece table differs (Kudo-pruned to target).
+    "q_unigram_pruned" -> unigramPrunedStash
+      .map { model =>
+        "WITH words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents), " +
+          "w AS (SELECT word FROM words WHERE length(word) > 0), " +
+          graft.operators.UnigramLM.viterbiSql(model) + " " +
+          "SELECT word, seg, n_tokens FROM fin ORDER BY word"
+      }
+      .getOrElse("SELECT NULL AS word, NULL AS seg, NULL AS n_tokens WHERE 1 = 0"),
     "q_text_fingerprint" ->
       ("WITH toks AS (SELECT doc_id, md5(lower(trim(text))) AS md5_fp, string_split(lower(trim(text)), ' ') AS arr FROM documents), " +
         "pos AS (SELECT doc_id, md5_fp, arr, unnest(range(1, len(arr) + 1)) AS i FROM toks), " +

@@ -215,7 +215,9 @@ object Bench {
       }
     }
     def tierDone(name: String): Unit = {
-      synchronized { tiers += name; () }
+      // idempotent: a periodic mid-pass flush re-announcing its pass
+      // must not grow the marker list
+      synchronized { if (!tiers.contains(name)) tiers += name; () }
       write()
     }
     def markDone(): Unit = { done = true }
@@ -472,7 +474,20 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] canary failed: $e") }
       // stable rows sit out every pass past the second
       val passNames = if (p > 2) names.filterNot(stableRows) else names
-      gridBuf += passNames.flatMap(n => sample(n).map(n -> _)).toMap
+      // mid-pass periodic flush: a pass at sf0.1 runs minutes, and a
+      // kill early in pass 1 would otherwise still lose every min
+      // measured so far (the per-pass flush alone leaves the B
+      // truncation experiment's artifact empty at small budgets)
+      val acc = scala.collection.mutable.Map[String, Double]()
+      var lastFlush = System.nanoTime()
+      passNames.foreach { n =>
+        sample(n).foreach(v => acc(n) = v)
+        if ((System.nanoTime() - lastFlush) / 1e9 > 90.0) {
+          flushGrid(gridBuf.toSeq :+ acc.toMap, s"grid_pass${p}_partial")
+          lastFlush = System.nanoTime()
+        }
+      }
+      gridBuf += acc.toMap
       flushGrid(gridBuf.toSeq, s"grid_pass$p")
     }
     val baseSamples: Seq[Map[String, Double]] = gridBuf.toSeq

@@ -71,6 +71,17 @@ class BenchArtifactSpec extends AnyFunSpec with Matchers {
     mapper.readTree(Files.readString(Paths.get(f))).has("interrupted") shouldBe false
   }
 
+  it("tierDone is idempotent: a periodic mid-pass flush re-announcing its pass never grows the marker list") {
+    val a = newArtifact()
+    a.tierDone("grid_pass1_partial")
+    a.tierDone("grid_pass1_partial")
+    a.tierDone("grid_pass1")
+    val node = mapper.readTree(a.render(interrupted = false))
+    node.get("completed_tiers").size() shouldBe 2
+    node.get("completed_tiers").get(0).asText() shouldBe "grid_pass1_partial"
+    node.get("completed_tiers").get(1).asText() shouldBe "grid_pass1"
+  }
+
   it("shed decisions are recorded in-artifact in order (no silent caps)") {
     val a = newArtifact()
     a.shed("heavy_passes:2")

@@ -679,4 +679,15 @@ class PlanSpec extends SparkSpec {
     p should not include "windowspecdefinition"
     p should include("BroadcastHashJoin")
   }
+
+  it("q_langid_holdout keeps the q_langid_nb plan shape: broadcast model join, doc-partitioned argmax") {
+    // the split adds two md5-nibble FILTERS, never a new shuffle or a
+    // data-sized build side — train-side model and priors broadcast,
+    // the holdout corpus streams through
+    val p = plan("q_langid_holdout")
+    p should not include "CartesianProduct"
+    val wins = p.split("\n").filter(_.contains("windowspecdefinition"))
+    wins.foreach(l => l should include("doc_id"))
+    p should include("BroadcastHashJoin")
+  }
 }

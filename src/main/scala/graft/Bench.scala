@@ -237,12 +237,15 @@ object Bench {
     // cannot fit the next tier, tiers shed in the documented order
     // (heavy passes → isolated detail tier → scaling probes → recheck
     // cap → pipeline as the beyond-plan last resort) and every decision
-    // is recorded in the artifact's `shed` list. The default 2700 s
-    // keeps a full run safely under the driver's observed ceiling
-    // (r15's run used 2928 s and passed; r16's was killed). Restricted
-    // runs are unbudgeted iteration aids.
+    // is recorded in the artifact's `shed` list. The default 2850 s
+    // keeps a full run under the driver's observed ceiling (r15's run
+    // used 2928 s and passed; r16's was killed) while leaving room for
+    // the full tier set — the r17 calibration run at 2700 s shed heavy
+    // passes + the isolated tier and still exited with 780 s unused
+    // (the median-based heavy estimate, since fixed, ran 2-3x high).
+    // Restricted runs are unbudgeted iteration aids.
     val budgetSec: Double = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").map(_.toDouble)
-      .getOrElse(if (only.isDefined) Double.MaxValue else 2700.0)
+      .getOrElse(if (only.isDefined) Double.MaxValue else 2850.0)
     def remainingSec: Double = budgetSec - elapsedSec
     // NOTE: measured at sf0.1, finer spark.sql.files.maxPartitionBytes
     // splits (1 MB) INCREASED total time 30.8s -> 51.6s — per-task overhead
@@ -503,7 +506,11 @@ object Bench {
     // min, while median stays the comparable headline.
     val okNames = names.filterNot(errors.contains)
     val provisional = okNames.map(n => n -> med(baseSamples.flatMap(_.get(n)))).toMap
-    val heavy = okNames.filter(provisional(_) >= 1.0)
+    // stable rows don't take heavy passes: their min is already
+    // established across rounds, which is the whole point of the
+    // reduction (r17 calibration: the first stable-reduced run handed
+    // 2 extra passes right back to the stable heavy rows)
+    val heavy = okNames.filter(provisional(_) >= 1.0).filterNot(stableRows)
     var heavyPasses = math.max(0, sys.env.getOrElse("SPARK_GRAFT_HEAVY_PASSES", "2").toInt)
     artifact.set("heavy_passes", heavyPasses.toString)
     // --- budget estimates for everything still ahead (grid mins are the
@@ -519,7 +526,10 @@ object Bench {
     def isolatedCandidates: Seq[String] =
       (okNames.filter(n => curMinOf(n) >= 2.0) ++
         Seq("ivf_pq_serve").filter(okNames.contains)).distinct.sorted
-    def estHeavy: Double = heavyPasses * heavy.map(provisional).sum
+    // min-based: a warm re-run of a query costs about its min, not its
+    // contended median (r17 calibration: the median-based estimate ran
+    // 2-3x high and shed heavy passes with 780s still unused at exit)
+    def estHeavy: Double = heavyPasses * 1.15 * heavy.map(curMinOf).sum
     def estIsolated: Double =
       12.0 + isolatedCandidates.map(n => curMinOf(n) * isolatedPasses + 4.0).sum
     def estScaling: Double =
@@ -561,7 +571,15 @@ object Bench {
     val allSamples: Map[String, Seq[Double]] = finalOk.map { n =>
       n -> (baseSamples.flatMap(_.get(n)) ++ heavySamples.flatMap(_.get(n)))
     }.toMap
-    val results: Map[String, Double] = finalOk.map(n => n -> med(allSamples(n))).toMap
+    // A stable row's samples are {cold pass-1, pass-2}: a plain median
+    // would weight the cold sample 50% (vs ~1/3 or ~1/5 for full rows)
+    // and inflate the headline total for no information (r17: +40% on
+    // `value` with mins flat). The cold sample is dropped from the
+    // MEDIAN only — the min still sees every sample.
+    val results: Map[String, Double] = finalOk.map { n =>
+      val xs = allSamples(n)
+      n -> med(if (stableRows(n) && xs.size >= 2) xs.drop(1) else xs)
+    }.toMap
     val mins: Map[String, Double] = finalOk.map(n => n -> allSamples(n).min).toMap
     // Raw per-query samples, emitted ONLY in restricted mode: the arbiter
     // parent reads them from its child's sidecar so contamination is
@@ -813,7 +831,10 @@ object Bench {
         // regression verdict with the isolated mins in the evidence set
         renderCanaryNorm(iso).foreach(artifact.set("canary_norm", _))
       }
-      artifact.tierDone("isolated")
+      // a shed isolated tier must not leave an "isolated" completion
+      // marker next to its own shed record (r17: the first governed run
+      // did exactly that — scaling shared the block)
+      if (isolatedNames.nonEmpty) artifact.tierDone("isolated")
       // min-of-N at BOTH fixture scales, ALL samples in-artifact
       // (round-14 verdict #6: the sf0.01 denominator was effectively
       // single-sample under contention and made exponents wander

@@ -486,6 +486,165 @@ object Graph {
       (F.round(F.lit(q), 6) + F.lit(0.0)).as("q_final"))
   }
 
+  /** Size gate for the LOCAL sweep fast path (r17 optimization round,
+    * guide §1/§2: the measured cost of the Louvain family at the bench
+    * scale is almost entirely AQE shuffle-stage latency — q_louvain_deep
+    * executed 292 jobs for 4.4 s of summed-task work spread over 37 s of
+    * wall — and at ANY corpus scale the deep recursion's contracted
+    * levels shrink geometrically toward graphs of a few hundred rows, so
+    * the tail levels pay the same per-exchange latency for near-zero
+    * data). A level whose edge multigraph PROVABLY fits under this cap
+    * (a `limit(cap+1)` probe — the loudly-guarded-collect idiom) runs
+    * the IDENTICAL sweep algebra single-threaded on the driver: every
+    * ΔQ/Q operand is the same integer, every float expression the same
+    * fixed-shape IEEE tree with the same HALF_UP snap (GraphSpec pins
+    * local ≡ distributed on every fixture), so the trajectory — and the
+    * oracle hash — is unchanged. 200k edges ≈ 5 MB of driver memory;
+    * larger levels take the distributed path untouched. 0 disables (the
+    * spec hook that keeps the distributed path covered). */
+  @volatile private[graft] var localSweepCapOverride: Option[Int] = None // spec hook
+  private[graft] def localSweepCap: Int = localSweepCapOverride.getOrElse(
+    sys.env.get("SPARK_GRAFT_LOCAL_SWEEP_MAX").map(_.toInt).getOrElse(200000))
+
+  /** Catalyst's `round(x, s)` for doubles, replicated exactly: Spark
+    * routes the double through `BigDecimal(Double.toString(x))` and
+    * HALF_UP setScale — so the local sweep's snaps are the SAME doubles
+    * the distributed expression produces (RoundSpec in GraphSpec pins
+    * the equivalence on boundary values). */
+  private[graft] def roundLikeSql(x: Double, s: Int): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+
+  /** Guarded probe: the named integral columns of `df` as longs IF the
+    * frame holds ≤ cap rows and no nulls — else None (distributed path).
+    * One collectLimit job; on the callers' already-pinned frames this
+    * reads checkpointed partitions, no recompute. */
+  private def collectIfSmall(df: DataFrame, cols: Seq[String], cap: Int): Option[Array[Array[Long]]] = {
+    val sch = df.schema
+    if (!cols.forall(c => sch.fieldNames.contains(c) && isIntegral(sch(c).dataType))) return None
+    val rows = df.select(cols.map(c => F.col(c).cast("long")): _*).limit(cap + 1).collect()
+    if (rows.length > cap || rows.exists(r => cols.indices.exists(r.isNullAt))) None
+    else Some(rows.map(r => Array.tabulate(cols.size)(r.getLong)))
+  }
+
+  /** The DRIVER-LOCAL twin of [[weightedSweeps]] — the same algebra,
+    * operand for operand: weighted degrees with self-loops twice, the
+    * fused (sig, nc) per-community frame, kvc from both cross-edge
+    * orientations, ΔQ = (k_to − k_va)/m − k_v·(Σ_b − Σ_a + k_v)/(2m²)
+    * snapped to 9, the singleton swap guard, the parity gate, the
+    * (max ΔQ, min label) argmax, Q from 12-snapped per-community terms
+    * summed in label order and snapped to 9, accept-iff-strictly-better.
+    * Inputs are exact integers so every candidate score is the same
+    * fixed-shape IEEE expression as the distributed plan; the only
+    * order-dependent float op is the Q total, whose reduction-order
+    * drift (~1e-16) both paths absorb by the same 9-snap — the
+    * discipline the distributed plan already relies on between its own
+    * runs. */
+  private def localSweeps(
+      edges: Array[Array[Long]],          // (a, b, w) canonical a ≤ b rows
+      mD: Double,
+      seed: Array[Array[Long]],           // (node, label)
+      sweeps: Int,
+      parityGate: Boolean,
+      qInit0: Option[Double]): (Array[(Long, Long)], Double, Double) = {
+    import scala.collection.mutable
+    // weighted degree k_v: self-loops twice, cross once per end
+    val kv = mutable.LongMap.empty[Long]
+    edges.foreach { e =>
+      if (e(0) == e(1)) kv(e(0)) = kv.getOrElse(e(0), 0L) + e(2) * 2
+      else {
+        kv(e(0)) = kv.getOrElse(e(0), 0L) + e(2)
+        kv(e(1)) = kv.getOrElse(e(1), 0L) + e(2)
+      }
+    }
+    // partition over graph nodes only (seed semi-joined to the degree frame)
+    var lab = mutable.LongMap.empty[Long]
+    seed.foreach { s => if (kv.contains(s(0))) lab(s(0)) = s(1) }
+    def sigOf(l: mutable.LongMap[Long]): mutable.LongMap[(Long, Long)] = {
+      val m = mutable.LongMap.empty[(Long, Long)]
+      l.foreach { case (n, c) =>
+        val cur = m.getOrElse(c, (0L, 0L))
+        m(c) = (cur._1 + kv(n), cur._2 + 1L)
+      }
+      m
+    }
+    val twoM = 2 * mD
+    val twoM2 = 2 * mD * mD
+    def qOf(sig: mutable.LongMap[(Long, Long)], l: mutable.LongMap[Long]): Double = {
+      if (sig.isEmpty) return 0.0
+      val ein = mutable.LongMap.empty[Long]
+      edges.foreach { e =>
+        (l.get(e(0)), l.get(e(1))) match {
+          case (Some(la), Some(lb)) if la == lb => ein(la) = ein.getOrElse(la, 0L) + e(2)
+          case _ => ()
+        }
+      }
+      var tot = 0.0
+      sig.keys.toArray.sorted.foreach { c =>
+        val s = sig(c)._1.toDouble
+        tot += roundLikeSql(ein.getOrElse(c, 0L).toDouble / mD - (s / twoM) * (s / twoM), 12)
+      }
+      roundLikeSql(tot, 9)
+    }
+    var sig = sigOf(lab)
+    var q = qInit0.getOrElse(qOf(sig, lab))
+    val qInit = q
+    for (s <- 1 to sweeps) {
+      // k_vc over both orientations of the cross edges (neighbor must be labeled)
+      val kvc = mutable.HashMap.empty[(Long, Long), Long]
+      edges.foreach { e =>
+        if (e(0) != e(1)) {
+          lab.get(e(1)).foreach { c => val k = (e(0), c); kvc(k) = kvc.getOrElse(k, 0L) + e(2) }
+          lab.get(e(0)).foreach { c => val k = (e(1), c); kvc(k) = kvc.getOrElse(k, 0L) + e(2) }
+        }
+      }
+      // best strictly-positive move per node: (max ΔQ, then min target label)
+      val best = mutable.LongMap.empty[(Double, Long)]
+      kvc.foreach { case ((node, cand), kTo) =>
+        lab.get(node).foreach { label =>
+          if (cand != label && (!parityGate || label % 2 == (s % 2).toLong)) {
+            val (sigA, nA) = sig(label)
+            val (sigB, nB) = sig(cand)
+            val kVa = kvc.getOrElse((node, label), 0L)
+            val dq = roundLikeSql(
+              (kTo - kVa).toDouble / mD - kv(node).toDouble * (sigB - sigA + kv(node)).toDouble / twoM2, 9)
+            if (dq > 0 && !(nA == 1 && nB == 1 && cand > label)) {
+              val better = best.get(node) match {
+                case Some((bd, bc)) => dq > bd || (dq == bd && cand < bc)
+                case None           => true
+              }
+              if (better) best(node) = (dq, cand)
+            }
+          }
+        }
+      }
+      val prop = lab.clone()
+      best.foreach { case (n, (_, c)) => prop(n) = c }
+      val propSig = sigOf(prop)
+      val qp = qOf(propSig, prop)
+      if (qp > q) { lab = prop; sig = propSig; q = qp }
+    }
+    (lab.toArray.sortBy(_._1), qInit, q)
+  }
+
+  /** Build the (node, label) frame a local sweep produced, cast to the
+    * dtypes the distributed path would have returned (the seed's column
+    * types — schema identity is part of the oracle gate). */
+  private def localLabFrame(spark: org.apache.spark.sql.SparkSession,
+                            lab: Array[(Long, Long)],
+                            nodeT: org.apache.spark.sql.types.DataType,
+                            labelT: org.apache.spark.sql.types.DataType): DataFrame = {
+    import spark.implicits._
+    lab.toSeq.toDF("node", "label")
+      .select(F.col("node").cast(nodeT), F.col("label").cast(labelT))
+  }
+
   /** The shared weighted local-move core both Louvain levels (and every
     * [[louvainDeep]] level) run: `ew` is the canonical (a ≤ b) WEIGHTED
     * undirected edge set — original edges with w = 1 at level 1 (sum(w)
@@ -501,7 +660,11 @@ object Graph {
     * levels); proposals stay pinned at every level — the unpinned
     * variant was measured slower (cross-sweep lineage replanning).
     * `parityGate` enables the contracted-level anti-chaining filter (see
-    * [[louvainLevel2]]'s scaladoc). Returns (final (node, label) frame,
+    * [[louvainLevel2]]'s scaladoc). When the level's edge multigraph
+    * fits [[localSweepCap]] the sweeps run driver-local instead
+    * ([[localSweeps]] — same algebra, zero exchanges); `tryLocal` lets
+    * [[louvainDeep]] suppress the probe where its own local tail already
+    * decided the level is big. Returns (final (node, label) frame,
     * Q(seed), Q(final)). */
   private def weightedSweeps(
       ew0: DataFrame,
@@ -510,8 +673,37 @@ object Graph {
       sweeps: Int,
       parityGate: Boolean,
       pinStatic: Boolean,
-      qInit0: Option[Double] = None): (DataFrame, Double, Double) = {
+      qInit0: Option[Double] = None,
+      tryLocal: Boolean = true): (DataFrame, Double, Double) = {
     val ew = ew0 // caller-pinned (und / ce localCheckpoint) — never re-pin here
+    val localResult: Option[(DataFrame, Double, Double)] =
+      if (!tryLocal || localSweepCap <= 0) None
+      else collectIfSmall(ew, Seq("a", "b", "w"), localSweepCap).flatMap { edgesArr =>
+        val nodeT = seed.schema(seed.columns(0)).dataType
+        val labelT = seed.schema(seed.columns(1)).dataType
+        val seedSel = seed.select(F.col(seed.columns(0)).as("node"),
+          F.col(seed.columns(1)).as("label"))
+        // seed rows ≤ nodes in every caller; the 2·cap guard only trips on
+        // a pathological oversized init, which falls back distributed
+        collectIfSmall(seedSel, Seq("node", "label"), 2 * localSweepCap).map { seedArr =>
+          val (labArr, qi, qf) =
+            localSweeps(edgesArr, mD, seedArr, sweeps, parityGate, qInit0)
+          (localLabFrame(ew.sparkSession, labArr, nodeT, labelT), qi, qf)
+        }
+      }
+    if (localResult.isDefined) localResult.get
+    else weightedSweepsDistributed(ew, mD, seed, sweeps, parityGate, pinStatic, qInit0)
+  }
+
+  /** The distributed body of [[weightedSweeps]] (unchanged algebra). */
+  private def weightedSweepsDistributed(
+      ew: DataFrame,
+      mD: Double,
+      seed: DataFrame,
+      sweeps: Int,
+      parityGate: Boolean,
+      pinStatic: Boolean,
+      qInit0: Option[Double]): (DataFrame, Double, Double) = {
     // pinStatic marks the DATA-SIZED level (level 1): static per-level
     // frames (degrees, directed view, seed) get a localCheckpoint there;
     // on contracted levels they are communities-sized and the checkpoint
@@ -708,6 +900,70 @@ object Graph {
         (F.round(F.lit(q), 6) + F.lit(0.0)).as("q_final"))
   }
 
+  /** Driver-local remainder of the [[louvainDeep]] recursion over a
+    * collected edge multigraph: per level — identity-seeded
+    * [[localSweeps]] (parity-gated, continuing from the previous level's
+    * Q), accept iff strictly better, then the SAME contraction
+    * (community endpoints canonicalized (least, greatest), weights
+    * summed) and dense relabel (ascending-id rank, 1-based) the
+    * distributed loop runs; all contraction/relabel arithmetic is
+    * integer-exact, so the only float ops remain localSweeps' pinned
+    * expressions. Returns (composed input-supernode-id → final-label
+    * map, final Q, final level count). */
+  private def localDeepTail(
+      edges0: Array[Array[Long]],
+      mD: Double,
+      q0: Double,
+      levels0: Int,
+      sweepsL: Int,
+      maxLevels: Int): (Array[(Long, Long)], Double, Int) = {
+    import scala.collection.mutable
+    var edges = edges0
+    var q = q0
+    var levels = levels0
+    var improved = true
+    def nodesOf(es: Array[Array[Long]]): Array[Long] = {
+      val s = mutable.LongMap.empty[Unit]
+      es.foreach { e => s(e(0)) = (); s(e(1)) = () }
+      s.keys.toArray
+    }
+    // composed map: input supernode id -> current-level id (identity start)
+    val comp = mutable.LongMap.empty[Long]
+    nodesOf(edges0).foreach(n => comp(n) = n)
+    while (improved && levels < maxLevels) {
+      val seed = nodesOf(edges).map(n => Array(n, n))
+      val (labArr, _, qf) =
+        localSweeps(edges, mD, seed, sweepsL, parityGate = true, qInit0 = Some(q))
+      if (qf > q) {
+        q = qf
+        levels += 1
+        val labMap = mutable.LongMap.empty[Long]
+        labArr.foreach { case (n, l) => labMap(n) = l }
+        // contract: (least, greatest) community endpoints, weights summed
+        val ce = mutable.HashMap.empty[(Long, Long), Long]
+        edges.foreach { e =>
+          val la = labMap(e(0)); val lb = labMap(e(1))
+          val k = (math.min(la, lb), math.max(la, lb))
+          ce(k) = ce.getOrElse(k, 0L) + e(2)
+        }
+        // dense relabel: row_number over ascending old id, 1-based
+        val olds = {
+          val s = mutable.LongMap.empty[Unit]
+          ce.keys.foreach { k => s(k._1) = (); s(k._2) = () }
+          s.keys.toArray.sorted
+        }
+        val nid = mutable.LongMap.empty[Long]
+        olds.zipWithIndex.foreach { case (o, i) => nid(o) = i + 1L }
+        edges = ce.toArray.map { case ((a, b), w) =>
+          val na = nid(a); val nb = nid(b)
+          Array(math.min(na, nb), math.max(na, nb), w)
+        }
+        comp.keys.toArray.foreach(k => comp(k) = nid(labMap(comp(k))))
+      } else improved = false
+    }
+    (comp.toArray.sortBy(_._1), q, levels)
+  }
+
   /** MULTI-LEVEL Louvain to the modularity FIXPOINT (the full Blondel
     * 2008 recursion): contract-and-sweep repeatedly — each accepted
     * level re-runs [[weightedSweeps]] on an ever-smaller contracted
@@ -785,21 +1041,49 @@ object Graph {
     var levels = 1
     var improved = true
     while (improved && levels < maxLevels) {
-      val (labL, _, qf) = weightedSweeps(ew, mD, identitySeed(ew), sweepsL,
-        parityGate = true, pinStatic = false, qInit0 = Some(q))
-      if (qf > q) {
-        q = qf
-        levels += 1
-        val (ew2, dense) = contractDense(ew, labL)
-        mapping = reRoot(mapping
-          .join(labL.select(F.col("node").as("__c"), F.col("label").as("__l")),
-            F.col("label") === F.col("__c"))
-          .join(dense.select(F.col("old").as("__l2"), F.col("nid")),
-            F.col("__l") === F.col("__l2"))
-          .select(F.col("node"), F.col("nid").as("label"))
-          .localCheckpoint(true)) // feeds the next composition AND the output
-        ew = ew2
-      } else improved = false
+      // LOCAL TAIL (r17 optimization): contracted levels shrink at least
+      // geometrically, so from the first level that provably fits the
+      // cap, ALL remaining sweeps + contractions + dense relabels run
+      // driver-local (same algebra — localSweeps plus integer-only
+      // contraction/relabel), and the per-level |V|-row mapping joins
+      // collapse into ONE broadcast join of the composed tiny map. At
+      // bench scale this is the difference between 292 and ~20 shuffle
+      // stages; at 100 TB the data-sized levels still run distributed
+      // and only the tail changes engine.
+      val localEdges =
+        if (localSweepCap > 0) collectIfSmall(ew, Seq("a", "b", "w"), localSweepCap)
+        else None
+      localEdges match {
+        case Some(edges0) =>
+          val (comp, qf, lv) = localDeepTail(edges0, mD, q, levels, sweepsL, maxLevels)
+          if (lv > levels) {
+            val sess = ew.sparkSession
+            import sess.implicits._
+            val compDf = comp.toSeq.toDF("__old", "__new")
+            mapping = mapping
+              .join(F.broadcast(compDf), F.col("label") === F.col("__old"))
+              .select(F.col("node"), F.col("__new").as("label"))
+            q = qf
+            levels = lv
+          }
+          improved = false // the tail consumed the recursion
+        case None =>
+          val (labL, _, qf) = weightedSweeps(ew, mD, identitySeed(ew), sweepsL,
+            parityGate = true, pinStatic = false, qInit0 = Some(q), tryLocal = false)
+          if (qf > q) {
+            q = qf
+            levels += 1
+            val (ew2, dense) = contractDense(ew, labL)
+            mapping = reRoot(mapping
+              .join(labL.select(F.col("node").as("__c"), F.col("label").as("__l")),
+                F.col("label") === F.col("__c"))
+              .join(dense.select(F.col("old").as("__l2"), F.col("nid")),
+                F.col("__l") === F.col("__l2"))
+              .select(F.col("node"), F.col("nid").as("label"))
+              .localCheckpoint(true)) // feeds the next composition AND the output
+            ew = ew2
+          } else improved = false
+      }
     }
     mapping.select(F.col("node").as("node_id"), F.col("label"),
       (F.round(F.lit(q1), 6) + F.lit(0.0)).as("q_init"),

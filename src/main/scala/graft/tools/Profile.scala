@@ -37,8 +37,19 @@ object Profile {
     @volatile var shufReadB = 0L
     @volatile var shufWriteB = 0L
     @volatile var inputB = 0L
+    // SPARK_GRAFT_PROFILE_JOBS=1: print each job's first-stage callsite so
+    // a 300-job query can be attributed to the code lines that launch jobs
+    val traceJobs = sys.env.contains("SPARK_GRAFT_PROFILE_JOBS")
+    val jobSites = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs += 1 }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs += 1
+        if (traceJobs) {
+          val site = j.stageInfos.headOption.map(_.name).getOrElse("?")
+          jobSites.merge(site, 1L, (a, b) => a + b)
+          ()
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = { stages += 1 }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks += 1
@@ -60,6 +71,7 @@ object Profile {
           (1 to passes).foreach { p =>
             jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0
             shufReadB = 0; shufWriteB = 0; inputB = 0
+            jobSites.clear()
             spark.sparkContext.setJobDescription(s"$n#$p")
             val t0 = System.nanoTime()
             fn(spark, dir).count()
@@ -68,6 +80,12 @@ object Profile {
             Thread.sleep(300)
             val core = taskTimeMs / 1e3 / cpus.toDouble
             println(f"""{"q":"$n","pass":$p,"wall_sec":$wall%.3f,"jobs":$jobs,"stages":$stages,"tasks":$tasks,"task_time_sec":${taskTimeMs / 1e3}%.2f,"task_over_cores_sec":$core%.3f,"driver_residue_sec":${wall - core}%.3f,"shuffle_read_mb":${shufReadB / 1e6}%.1f,"shuffle_write_mb":${shufWriteB / 1e6}%.1f,"input_mb":${inputB / 1e6}%.1f}""")
+            if (traceJobs) {
+              import scala.jdk.CollectionConverters._
+              jobSites.asScala.toSeq.sortBy(-_._2).foreach { case (site, c) =>
+                println(s"""  jobsite $c x $site""")
+              }
+            }
           }
         case None => System.err.println(s"unknown query: $n")
       }

@@ -321,6 +321,64 @@ class GraphSpec extends SparkSpec {
     labels.values.toSet.size shouldBe 2
   }
 
+  // ---- local sweep fast path ≡ distributed sweeps ---------------------
+  // The r17 fast path runs a level's sweeps driver-local when its edge
+  // multigraph provably fits the cap. These pins force BOTH engines over
+  // the same fixtures and require exact equality — labels, snapped Qs,
+  // level counts — so any drift in the replicated ΔQ/Q/round algebra
+  // fails loudly (the oracle-hash identity argument rests on this).
+
+  private def withDistributedSweeps[A](body: => A): A = {
+    Graph.localSweepCapOverride = Some(0)
+    try body finally Graph.localSweepCapOverride = None
+  }
+
+  it("local sweep path reproduces the distributed louvainRefine exactly") {
+    val fixtures = Seq(
+      // bridged K4s from singletons (the two-sweep recovery case)
+      (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)) ++
+        (for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)) :+ ((4L, 5L)),
+      // ring of 10 triangles (parity/swap-guard interplay at level 1)
+      ringOfTriangles(10)._1,
+      // a denser irregular graph: mod-7 / mod-11 collisions with dups
+      (1L to 60L).map(i => (i % 7 + 1, i % 11 + 9)).filter(p => p._1 != p._2))
+    fixtures.zipWithIndex.foreach { case (edges, fi) =>
+      Seq(
+        edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => (n, n)),      // singletons
+        edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => (n, n % 3))   // collided seed
+      ).foreach { init =>
+        val local = louvain(edges, init, 3)
+        val dist = withDistributedSweeps(louvain(edges, init, 3))
+        withClue(s"fixture $fi init ${init.take(3)}...: ") {
+          local shouldBe dist
+        }
+      }
+    }
+  }
+
+  it("local sweep path reproduces louvainLevel2 and louvainDeep exactly") {
+    val (edges36, init36) = ringOfTriangles(36)
+    louvainL2(edges36, init36, 0, 2) shouldBe
+      withDistributedSweeps(louvainL2(edges36, init36, 0, 2))
+    deep(edges36, init36, 0, 2) shouldBe
+      withDistributedSweeps(deep(edges36, init36, 0, 2))
+    val (edges10, init10) = ringOfTriangles(10)
+    deep(edges10, init10, 2, 2) shouldBe
+      withDistributedSweeps(deep(edges10, init10, 2, 2))
+  }
+
+  it("roundLikeSql matches Catalyst round() on boundary doubles") {
+    val probes = Seq(0.0, -0.0, 1.0 / 3.0, 2.0 / 3.0, 0.0000000005, -0.0000000005,
+      0.1234567885, -0.1234567885, 1e-13, -1e-13, 0.9999999995, 123.4567890123456,
+      -0.7222222225, 0.826388888888, 5e-10, -5e-10, 4.999999999e-10)
+    val viaSql = probes.toDF("x")
+      .select(F.round(F.col("x"), 9).as("r9"), F.round(F.col("x"), 12).as("r12"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val viaLocal = probes.map(x =>
+      (Graph.roundLikeSql(x, 9), Graph.roundLikeSql(x, 12)))
+    viaSql.toSeq shouldBe viaLocal
+  }
+
   // ---- hopDistances -------------------------------------------------
 
   private def hops(e: Seq[(Long, Long)], src: Seq[Long], maxHops: Int): Map[Long, Long] =

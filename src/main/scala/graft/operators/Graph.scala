@@ -172,6 +172,35 @@ object Graph {
           .otherwise(F.round(F.col("raw") / F.col("__mx"), 9)).as("x"))
   }
 
+  /** LOCAL twin of the [[labelPropagation]] rounds (r17 optimization —
+    * the same size-gated driver fast path as the Louvain sweeps): counts
+    * and the (max count, min label) argmin are exact integers, so the
+    * trajectory replays bit-for-bit; GraphSpec pins local ≡ distributed.
+    * `und` rows are BOTH orientations (as the distributed frame holds). */
+  private def localLpaRounds(und: Array[Array[Long]], iters: Int): Array[(Long, Long)] = {
+    import scala.collection.mutable
+    var labels = mutable.LongMap.empty[Long]
+    und.foreach(e => labels(e(0)) = e(0))
+    for (_ <- 1 to iters) {
+      val cnt = mutable.HashMap.empty[(Long, Long), Long]
+      und.foreach { e =>
+        val k = (e(0), labels(e(1))) // src adopts from dst's label
+        cnt(k) = cnt.getOrElse(k, 0L) + 1L
+      }
+      val next = mutable.LongMap.empty[Long]
+      cnt.foreach { case ((node, lbl), c) =>
+        next.get(node) match {
+          case Some(cur) =>
+            val curC = cnt((node, cur))
+            if (c > curC || (c == curC && lbl < cur)) next(node) = lbl
+          case None => next(node) = lbl
+        }
+      }
+      labels = next
+    }
+    labels.toArray.sortBy(_._1)
+  }
+
   /** Multi-source BFS hop distances over a DIRECTED edge list, bounded at
     * `maxHops` (symmetrize upstream for undirected reachability): the
     * "how far is every node from the seed set" question — crawl frontier
@@ -192,6 +221,37 @@ object Graph {
       .distinct()
       .repartition(F.col("src"))
       .localCheckpoint(true)
+    // size-gated local BFS (the Louvain-sweep idiom): levels are pure
+    // set algebra over integer ids — a provably-small graph settles on
+    // the driver with zero per-hop exchanges
+    val srcT = sources.schema(sources.columns(0)).dataType
+    val localOut: Option[DataFrame] =
+      if (localSweepCap <= 0 || srcT != e.schema("src").dataType) None
+      else collectIfSmall(e, Seq("src", "dst"), localSweepCap).flatMap { rows =>
+        val srcSel = sources.select(F.col(sources.columns(0)).as("id")).distinct()
+        collectIfSmall(srcSel, Seq("id"), localSweepCap).map { seeds =>
+          import scala.collection.mutable
+          val adj = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+          rows.foreach { r =>
+            adj.getOrElseUpdate(r(0), mutable.ArrayBuffer.empty[Long]) += r(1); ()
+          }
+          val dist = mutable.LongMap.empty[Long]
+          seeds.foreach(s => dist(s(0)) = 0L)
+          var frontier = seeds.map(_(0))
+          for (h <- 1 to maxHops) {
+            val next = mutable.LongMap.empty[Unit]
+            frontier.foreach { n =>
+              adj.get(n).foreach(_.foreach { d => if (!dist.contains(d)) next(d) = () })
+            }
+            frontier = next.keys.toArray
+            frontier.foreach(n => dist(n) = h.toLong)
+          }
+          localGraphRows(e.sparkSession, dist.toArray.sortBy(_._1)
+              .map { case (n, d) => Seq[Any](n, d) },
+            Seq("node_id" -> srcT, "dist" -> org.apache.spark.sql.types.LongType))
+        }
+      }
+    if (localOut.isDefined) return localOut.get
     var settled = sources.select(F.col(sources.columns(0)).as("id")).distinct()
       .select(F.col("id"), F.lit(0L).as("dist"))
       .localCheckpoint(true)
@@ -234,20 +294,35 @@ object Graph {
       .distinct()
       .repartition(F.col("dst")) // each round's join keys on dst
       .localCheckpoint(true)
-    var labels = und.select(F.col("src").as("id")).distinct()
-      .select(F.col("id"), F.col("id").as("lbl"))
-    for (_ <- 1 to iters) {
-      val nb = und.join(labels, und("dst") === labels("id"))
-        .select(und("src").as("node"), F.col("lbl"))
-      labels = nb.groupBy("node", "lbl")
-        .agg(F.count(F.lit(1)).as("c"))
-        .groupBy("node")
-        // lexicographic struct-min = (max count, then min label): the
-        // deterministic tie-break without a per-node sort window
-        .agg(F.min(F.struct((-F.col("c")).as("nc"), F.col("lbl").as("l"))).as("m"))
-        .select(F.col("node").as("id"), F.col("m.l").as("lbl"))
+    // size-gated local fast path (the Louvain-sweep idiom): the rounds
+    // are integer counts + a deterministic argmin, so a provably-small
+    // graph replays the identical trajectory on the driver with zero
+    // exchanges; larger graphs (or non-integral ids) fall through
+    val localOut: Option[DataFrame] =
+      if (localSweepCap <= 0) None
+      else collectIfSmall(und, Seq("src", "dst"), localSweepCap).map { rows =>
+        val idT = und.schema("src").dataType
+        val sess = und.sparkSession
+        import sess.implicits._
+        localLpaRounds(rows, iters).toSeq.toDF("id", "lbl")
+          .select(F.col("id").cast(idT).as("node_id"), F.col("lbl").cast(idT).as("label"))
+      }
+    localOut.getOrElse {
+      var labels = und.select(F.col("src").as("id")).distinct()
+        .select(F.col("id"), F.col("id").as("lbl"))
+      for (_ <- 1 to iters) {
+        val nb = und.join(labels, und("dst") === labels("id"))
+          .select(und("src").as("node"), F.col("lbl"))
+        labels = nb.groupBy("node", "lbl")
+          .agg(F.count(F.lit(1)).as("c"))
+          .groupBy("node")
+          // lexicographic struct-min = (max count, then min label): the
+          // deterministic tie-break without a per-node sort window
+          .agg(F.min(F.struct((-F.col("c")).as("nc"), F.col("lbl").as("l"))).as("m"))
+          .select(F.col("node").as("id"), F.col("m.l").as("lbl"))
+      }
+      labels.select(F.col("id").as("node_id"), F.col("lbl").as("label"))
     }
-    labels.select(F.col("id").as("node_id"), F.col("lbl").as("label"))
   }
 
   /** Per-node triangle counts over an undirected edge list (any input
@@ -264,8 +339,14 @@ object Graph {
     * triangle x≺y≺z is generated exactly once, at its smallest corner.
     * Output: (node, triangles) for every node in at least one triangle. */
   def triangleCount(edges: DataFrame): DataFrame = {
-    val und = undirect(edges)
-    triangleCore(und, degrees(und))
+    // pinned: deg + the oriented view both consume it (the unpinned form
+    // computed the distinct twice), and the pin feeds the size probe
+    val und = undirect(edges).localCheckpoint(true)
+    val nodeT = und.schema("a").dataType
+    localGraphOut(und, Seq("node" -> nodeT,
+        "triangles" -> org.apache.spark.sql.types.LongType)) { rows =>
+      localTriangles(localCanonical(rows)).toArray.map { case (n, t) => Seq[Any](n, t) }
+    }.getOrElse(triangleCore(und, degrees(und)))
   }
 
   /** Canonical undirected edge set: (min, max) endpoints, self-loops
@@ -282,6 +363,106 @@ object Graph {
     und.select(F.col("a").as("node"))
       .unionAll(und.select(F.col("b").as("node")))
       .groupBy("node").agg(F.count(F.lit(1)).as("d"))
+
+  /** LOCAL twins of the triangle/truss kernels (r17 size-gated driver
+    * fast path): all quantities are exact integer counts over the unique
+    * canonical edge set, so any enumeration order yields the identical
+    * result — GraphSpec pins local ≡ distributed on the fixtures. */
+  private def localCanonical(rows: Array[Array[Long]]): Array[(Long, Long)] = {
+    val s = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    rows.foreach { e =>
+      val a = math.min(e(0), e(1)); val b = math.max(e(0), e(1))
+      if (a != b) { s += ((a, b)); () }
+    }
+    s.toArray
+  }
+
+  private def localDegrees(und: Array[(Long, Long)]): scala.collection.mutable.LongMap[Long] = {
+    val d = scala.collection.mutable.LongMap.empty[Long]
+    und.foreach { case (a, b) =>
+      d(a) = d.getOrElse(a, 0L) + 1L
+      d(b) = d.getOrElse(b, 0L) + 1L
+    }
+    d
+  }
+
+  /** Size-gated local evaluation harness for the one-shot graph kernels:
+    * probe the pinned canonical edge frame (`a`, `b`), hand the rows to
+    * `f`, and build the output frame with the caller's target dtypes
+    * (node columns keep the input's integral type — schema identity is
+    * part of the oracle gate). None ⇒ distributed path. */
+  private def localGraphOut(und: DataFrame,
+                            cols: Seq[(String, org.apache.spark.sql.types.DataType)])(
+      f: Array[Array[Long]] => Array[Seq[Any]]): Option[DataFrame] =
+    if (localSweepCap <= 0) None
+    else collectIfSmall(und, Seq("a", "b"), localSweepCap).map { rows =>
+      localGraphRows(und.sparkSession, f(rows), cols)
+    }
+
+  /** Build a driver-computed result frame: Long/Double natural values,
+    * cast to the caller's target dtypes. */
+  private def localGraphRows(spark: org.apache.spark.sql.SparkSession,
+                             data: Array[Seq[Any]],
+                             cols: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val natural = StructType(cols.map { case (n, dt) =>
+      StructField(n, if (isIntegral(dt)) LongType else dt, nullable = false)
+    })
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(data.map(s => org.apache.spark.sql.Row(s: _*)).toSeq.asJava, natural)
+      .select(cols.map { case (n, dt) => F.col(n).cast(dt).as(n) }: _*)
+  }
+
+  /** Per-node triangle counts (degree-oriented, each triangle credited
+    * at all three corners), driver-local. */
+  private def localTriangles(und: Array[(Long, Long)]): scala.collection.mutable.LongMap[Long] = {
+    import scala.collection.mutable
+    val deg = localDegrees(und)
+    def before(x: Long, y: Long): Boolean = {
+      val dx = deg(x); val dy = deg(y)
+      dx < dy || (dx == dy && x < y)
+    }
+    val out = mutable.LongMap.empty[mutable.ArrayBuffer[Long]]
+    val oriented = mutable.HashSet.empty[(Long, Long)]
+    und.foreach { case (a, b) =>
+      val (u, v) = if (before(a, b)) (a, b) else (b, a)
+      out.getOrElseUpdate(u, mutable.ArrayBuffer.empty[Long]) += v
+      oriented += ((u, v))
+      ()
+    }
+    val tri = mutable.LongMap.empty[Long]
+    def credit(n: Long): Unit = { tri(n) = tri.getOrElse(n, 0L) + 1L; () }
+    out.foreach { case (u, nbrs) =>
+      val srt = nbrs.toArray.sortWith(before)
+      var i = 0
+      while (i < srt.length) {
+        var j = i + 1
+        while (j < srt.length) {
+          if (oriented.contains((srt(i), srt(j)))) { credit(u); credit(srt(i)); credit(srt(j)) }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    tri
+  }
+
+  /** Per-canonical-edge triangle support (|N(a) ∩ N(b)|), driver-local. */
+  private def localEdgeSupport(und: Array[(Long, Long)]): Array[((Long, Long), Long)] = {
+    import scala.collection.mutable
+    val adj = mutable.LongMap.empty[mutable.HashSet[Long]]
+    und.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, mutable.HashSet.empty[Long]) += b
+      adj.getOrElseUpdate(b, mutable.HashSet.empty[Long]) += a
+      ()
+    }
+    und.map { case (a, b) =>
+      val (small, large) = if (adj(a).size <= adj(b).size) (adj(a), adj(b)) else (adj(b), adj(a))
+      var c = 0L
+      small.foreach { n => if (n != a && n != b && large.contains(n)) c += 1L }
+      ((a, b), c)
+    }
+  }
 
   private def triangleCore(und: DataFrame, deg: DataFrame): DataFrame = {
     val tri = triangles(und, deg)
@@ -348,7 +529,27 @@ object Graph {
     * for the surviving canonical edges, support measured IN the truss. */
   def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3 (k-2 >= 1 triangle per edge)")
-    var und = undirect(edges).localCheckpoint(true)
+    val nodeT = edges.schema(edges.columns(0)).dataType
+    val und0 = undirect(edges).localCheckpoint(true)
+    val localOut = localGraphOut(und0, Seq("src" -> nodeT, "dst" -> nodeT,
+        "support" -> org.apache.spark.sql.types.LongType)) { rows =>
+      var cur = localCanonical(rows)
+      var m = cur.length.toLong
+      var rounds = 0
+      var changed = m > 0
+      while (changed && rounds < maxRounds) {
+        val kept = localEdgeSupport(cur).filter(_._2 >= k - 2).map(_._1)
+        val m2 = kept.length.toLong
+        changed = m2 != m
+        m = m2
+        cur = kept
+        rounds += 1
+      }
+      require(!changed, s"k-truss peel did not reach its fixpoint within $maxRounds rounds")
+      localEdgeSupport(cur).map { case ((a, b), s) => Seq[Any](a, b, s) }
+    }
+    if (localOut.isDefined) return localOut.get
+    var und = und0
     var m = und.count()
     var rounds = 0
     var changed = m > 0
@@ -380,15 +581,33 @@ object Graph {
     * lcc) for every non-isolated node. */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
     val und = undirect(edges).localCheckpoint(true) // feeds degrees AND the triangle core
-    val deg = degrees(und)
-    deg.join(triangleCore(und, deg), Seq("node"), "left")
-      .select(F.col("node").as("node_id"),
-        F.col("d").as("degree"),
-        F.coalesce(F.col("triangles"), F.lit(0L)).as("triangles"),
-        F.when(F.col("d") >= 2,
-            F.round(F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0L)) /
-              (F.col("d").cast("double") * (F.col("d") - 1)), 6))
-          .otherwise(F.lit(0.0)).as("lcc"))
+    localGraphOut(und, Seq("node_id" -> und.schema("a").dataType,
+        "degree" -> org.apache.spark.sql.types.LongType,
+        "triangles" -> org.apache.spark.sql.types.LongType,
+        "lcc" -> org.apache.spark.sql.types.DoubleType)) { rows =>
+      val cu = localCanonical(rows)
+      val deg = localDegrees(cu)
+      val tri = localTriangles(cu)
+      deg.toArray.map { case (n, d) =>
+        val t = tri.getOrElse(n, 0L)
+        // the distributed expression operand-for-operand: 2.0·tri is a
+        // double product, the denominator d·(d−1) promotes through
+        // double the same way, HALF_UP snap to 6
+        val lcc = if (d >= 2)
+          roundLikeSql(2.0 * t / (d.toDouble * (d - 1L).toDouble), 6) else 0.0
+        Seq[Any](n, d, t, lcc)
+      }
+    }.getOrElse {
+      val deg = degrees(und)
+      deg.join(triangleCore(und, deg), Seq("node"), "left")
+        .select(F.col("node").as("node_id"),
+          F.col("d").as("degree"),
+          F.coalesce(F.col("triangles"), F.lit(0L)).as("triangles"),
+          F.when(F.col("d") >= 2,
+              F.round(F.lit(2.0) * F.coalesce(F.col("triangles"), F.lit(0L)) /
+                (F.col("d").cast("double") * (F.col("d") - 1)), 6))
+            .otherwise(F.lit(0.0)).as("lcc"))
+    }
   }
 
   /** Newman MODULARITY of a node partition (Newman & Girvan, "Finding

@@ -367,6 +367,38 @@ class GraphSpec extends SparkSpec {
       withDistributedSweeps(deep(edges10, init10, 2, 2))
   }
 
+  it("local paths reproduce LPA, triangles, lcc, k-truss and BFS exactly") {
+    val edges = ((for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)) ++
+      (for (i <- 6L to 9L; j <- (i + 1) to 9L) yield (i, j)) ++
+      Seq((5L, 6L), (9L, 10L), (10L, 11L), (2L, 7L))).toSeq
+    val eDf = edges.toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val lpaL = rows(Graph.labelPropagation(eDf, iters = 3))
+    val triL = rows(Graph.triangleCount(eDf))
+    val lccL = rows(Graph.clusteringCoefficient(eDf))
+    val trussL = rows(Graph.kTruss(eDf, k = 3))
+    val hopsL = rows(Graph.hopDistances(eDf, Seq(1L, 99L).toDF("id"), maxHops = 3))
+    withDistributedSweeps {
+      rows(Graph.labelPropagation(eDf, iters = 3)) shouldBe lpaL
+      rows(Graph.triangleCount(eDf)) shouldBe triL
+      rows(Graph.clusteringCoefficient(eDf)) shouldBe lccL
+      rows(Graph.kTruss(eDf, k = 3)) shouldBe trussL
+      rows(Graph.hopDistances(eDf, Seq(1L, 99L).toDF("id"), maxHops = 3)) shouldBe hopsL
+    }
+    // schema identity at the driver-gate level (column names + types —
+    // the gate reads parquet through DuckDB, where nullability is
+    // invisible; only names/types can fail it)
+    def nameTypes(df: org.apache.spark.sql.DataFrame) =
+      df.schema.map(f => (f.name, f.dataType))
+    nameTypes(Graph.labelPropagation(eDf, iters = 3)) shouldBe
+      withDistributedSweeps(nameTypes(Graph.labelPropagation(eDf, iters = 3)))
+    nameTypes(Graph.kTruss(eDf, k = 3)) shouldBe
+      withDistributedSweeps(nameTypes(Graph.kTruss(eDf, k = 3)))
+    nameTypes(Graph.clusteringCoefficient(eDf)) shouldBe
+      withDistributedSweeps(nameTypes(Graph.clusteringCoefficient(eDf)))
+  }
+
   it("roundLikeSql matches Catalyst round() on boundary doubles") {
     val probes = Seq(0.0, -0.0, 1.0 / 3.0, 2.0 / 3.0, 0.0000000005, -0.0000000005,
       0.1234567885, -0.1234567885, 1e-13, -1e-13, 0.9999999995, 123.4567890123456,

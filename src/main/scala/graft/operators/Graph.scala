@@ -42,18 +42,25 @@ object Graph {
     val n = nodes.count() // one driver scalar, the only collect-shaped op
     val outW = edges.groupBy(F.col("src")).agg(F.sum(F.col("w")).as("wout"))
     // transition probability: one IEEE division on integer-valued doubles
-    // — bit-identical across engines, no snap needed
-    val ep = edges.join(outW, "src")
+    // — bit-identical across engines, no snap needed. SHUFFLE_HASH on the
+    // |V|-row side (guide §3.1): the planner's default SMJ re-SORTED the
+    // pinned |E|-row frame on every one of the `iters` joins — measured
+    // 69.5 s of task time at sf0.1 — while a hash build of the small
+    // side's partition streams the edges sort-free; the pre-partitioned
+    // edge side needs no exchange either way, and values are unchanged
+    // (the per-term 12-snap + per-rank 9-snap already absorb reduction-
+    // order drift, the discipline the plan relies on between runs).
+    val ep = edges.join(outW.hint("shuffle_hash"), "src")
       .select(F.col("src"), F.col("dst"), (F.col("w") / F.col("wout")).as("p"))
       .repartition(F.col("src"))
       .localCheckpoint(true)
     val base = F.lit(1.0 - damping) / F.lit(n.toDouble)
     var rank = nodes.select(F.col("id"), F.round(F.lit(1.0) / F.lit(n.toDouble), 9).as("r"))
     for (_ <- 1 to iters) {
-      val contrib = ep.join(rank, ep("src") === rank("id"))
+      val contrib = ep.join(rank.hint("shuffle_hash"), ep("src") === rank("id"))
         .groupBy(F.col("dst"))
         .agg(F.sum(F.round(F.col("r") * F.col("p"), 12)).as("m"))
-      rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      rank = nodes.join(contrib.hint("shuffle_hash"), nodes("id") === contrib("dst"), "left")
         .select(F.col("id"),
           F.round(base + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0)), 9).as("r"))
     }
@@ -81,7 +88,9 @@ object Graph {
     val ns = sd.count()
     require(ns > 0, "seed set must be non-empty")
     val outW = edges.groupBy(F.col("src")).agg(F.sum(F.col("w")).as("wout"))
-    val ep = edges.join(outW, "src")
+    // SHUFFLE_HASH on the |V|-row sides: see pageRank — same measured
+    // SMJ re-sort pathology, same snap-absorbed value identity
+    val ep = edges.join(outW.hint("shuffle_hash"), "src")
       .select(F.col("src"), F.col("dst"), (F.col("w") / F.col("wout")).as("p"))
       .repartition(F.col("src"))
       .localCheckpoint(true)
@@ -92,10 +101,10 @@ object Graph {
       .localCheckpoint(true) // read every iteration
     var rank = tele.select(F.col("id"), F.col("tele").as("r"))
     for (_ <- 1 to iters) {
-      val contrib = ep.join(rank, ep("src") === rank("id"))
+      val contrib = ep.join(rank.hint("shuffle_hash"), ep("src") === rank("id"))
         .groupBy(F.col("dst"))
         .agg(F.sum(F.round(F.col("r") * F.col("p"), 12)).as("m"))
-      rank = tele.join(contrib, tele("id") === contrib("dst"), "left")
+      rank = tele.join(contrib.hint("shuffle_hash"), tele("id") === contrib("dst"), "left")
         .select(tele("id"),
           F.round(F.lit(1.0 - damping) * F.col("tele")
             + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0)), 9).as("r"))
@@ -137,17 +146,23 @@ object Graph {
       .localCheckpoint(true)
     var hub = nodes.select(F.col("id"), F.lit(1.0).as("x"))
     var auth = nodes.select(F.col("id"), F.lit(0.0).as("x"))
+    // SHUFFLE_HASH on the |V|-row score side (guide §3.1): the default
+    // SMJ re-sorted the pinned |E|-row frame every half-round (see
+    // pageRank); score sums are snapped per round, so values are
+    // join-strategy-independent
     for (_ <- 1 to iters) {
       auth = normalizeMax(nodes,
-        eBySrc.join(hub, eBySrc("src") === hub("id"))
+        eBySrc.join(hub.hint("shuffle_hash"), eBySrc("src") === hub("id"))
           .groupBy(eBySrc("dst").as("id")).agg(F.sum(F.col("x")).as("raw")))
       hub = normalizeMax(nodes,
-        eByDst.join(auth, eByDst("dst") === auth("id"))
+        eByDst.join(auth.hint("shuffle_hash"), eByDst("dst") === auth("id"))
           .groupBy(eByDst("src").as("id")).agg(F.sum(F.col("x")).as("raw")))
     }
     nodes
-      .join(hub.select(F.col("id"), F.col("x").as("hub")), Seq("id"), "left")
-      .join(auth.select(F.col("id"), F.col("x").as("authority")), Seq("id"), "left")
+      .join(hub.select(F.col("id"), F.col("x").as("hub")).hint("shuffle_hash"),
+        Seq("id"), "left")
+      .join(auth.select(F.col("id"), F.col("x").as("authority")).hint("shuffle_hash"),
+        Seq("id"), "left")
       .select(F.col("id").as("node_id"),
         F.round(F.coalesce(F.col("hub"), F.lit(0.0)), 6).as("hub"),
         F.round(F.coalesce(F.col("authority"), F.lit(0.0)), 6).as("authority"))
@@ -164,7 +179,7 @@ object Graph {
   private def normalizeMax(nodes: DataFrame, raw: DataFrame): DataFrame = {
     val grouped = raw.localCheckpoint(true)
     val mx = grouped.agg(F.coalesce(F.max(F.col("raw")), F.lit(0.0)).as("__mx"))
-    nodes.join(grouped, Seq("id"), "left")
+    nodes.join(grouped.hint("shuffle_hash"), Seq("id"), "left")
       .select(F.col("id"), F.coalesce(F.col("raw"), F.lit(0.0)).as("raw"))
       .crossJoin(F.broadcast(mx))
       .select(F.col("id"),
@@ -1338,7 +1353,10 @@ object Graph {
     var rounds = 0
     var changed = m > 0
     while (changed && rounds < maxRounds) {
-      val keep = degrees(und).filter(F.col("d") >= k).select("node")
+      // SHUFFLE_HASH on the |V|-row keep side: the default SMJ sorted the
+      // |E|-row frame twice per peel round (guide §3.1); a semi-join's
+      // output is strategy-independent
+      val keep = degrees(und).filter(F.col("d") >= k).select("node").hint("shuffle_hash")
       val pruned = und
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")

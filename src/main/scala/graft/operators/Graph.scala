@@ -19,6 +19,19 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
   */
 object Graph {
 
+  /** The session's configured shuffle width. Keyed repartitions that feed
+    * pinned iteration frames or exploding joins pin this EXPLICIT count:
+    * a bare repartition(col) is subject to AQE coalescing, which sizes
+    * from the exchange's input BYTES — blind to a downstream join fan-out
+    * or to a frame being re-streamed once per iteration — and at bench
+    * scale collapsed these frames to ONE partition (measured: the whole
+    * per-iteration join of pageRank ran single-task). A user-specified
+    * numPartitions is exempt from coalescing (the Similarity salted-serve
+    * lesson, applied to every keyed pin). */
+  private def shuffleWidth(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+
   /** Weighted PageRank over a directed edge list `(src, dst, w)`.
     *
     * rank₀(v) = 1/N; rankₖ(v) = (1-d)/N + d · Σ_{(u,v)∈E} rankₖ₋₁(u) ·
@@ -52,7 +65,7 @@ object Graph {
     // order drift, the discipline the plan relies on between runs).
     val ep = edges.join(outW.hint("shuffle_hash"), "src")
       .select(F.col("src"), F.col("dst"), (F.col("w") / F.col("wout")).as("p"))
-      .repartition(F.col("src"))
+      .repartition(shuffleWidth(edges), F.col("src"))
       .localCheckpoint(true)
     val base = F.lit(1.0 - damping) / F.lit(n.toDouble)
     var rank = nodes.select(F.col("id"), F.round(F.lit(1.0) / F.lit(n.toDouble), 9).as("r"))
@@ -92,7 +105,7 @@ object Graph {
     // SMJ re-sort pathology, same snap-absorbed value identity
     val ep = edges.join(outW.hint("shuffle_hash"), "src")
       .select(F.col("src"), F.col("dst"), (F.col("w") / F.col("wout")).as("p"))
-      .repartition(F.col("src"))
+      .repartition(shuffleWidth(edges), F.col("src"))
       .localCheckpoint(true)
     val tele = nodes.join(sd.withColumn("__seed", F.lit(1)), Seq("id"), "left")
       .select(F.col("id"),
@@ -138,8 +151,8 @@ object Graph {
     // ep discipline): the authority step joins on src, the hub step on
     // dst — pre-partitioned, each round shuffles only the |V|-row score
     // frame, never the edges
-    val eBySrc = e.repartition(F.col("src")).localCheckpoint(true)
-    val eByDst = eBySrc.repartition(F.col("dst")).localCheckpoint(true)
+    val eBySrc = e.repartition(shuffleWidth(e), F.col("src")).localCheckpoint(true)
+    val eByDst = eBySrc.repartition(shuffleWidth(e), F.col("dst")).localCheckpoint(true)
     val nodes = eBySrc.select(F.col("src").as("id"))
       .union(eBySrc.select(F.col("dst").as("id")))
       .distinct()
@@ -234,7 +247,7 @@ object Graph {
   def hopDistances(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     val e = edges.select(F.col(edges.columns(0)).as("src"), F.col(edges.columns(1)).as("dst"))
       .distinct()
-      .repartition(F.col("src"))
+      .repartition(shuffleWidth(edges), F.col("src"))
       .localCheckpoint(true)
     // size-gated local BFS (the Louvain-sweep idiom): levels are pure
     // set algebra over integer ids — a provably-small graph settles on
@@ -307,7 +320,7 @@ object Graph {
     val und = half
       .unionAll(half.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .distinct()
-      .repartition(F.col("dst")) // each round's join keys on dst
+      .repartition(shuffleWidth(edges), F.col("dst")) // each round's join keys on dst
       .localCheckpoint(true)
     // size-gated local fast path (the Louvain-sweep idiom): the rounds
     // are integer counts + a deterministic argmin, so a provably-small
@@ -956,7 +969,7 @@ object Graph {
     val cross = ew.filter(F.col("a") =!= F.col("b"))
     val sym = cross.select(F.col("a").as("src"), F.col("b").as("dst"), F.col("w"))
       .unionAll(cross.select(F.col("b").as("src"), F.col("a").as("dst"), F.col("w")))
-      .repartition(F.col("dst")) // every sweep's neighbor-label join keys on dst
+      .repartition(shuffleWidth(ew), F.col("dst")) // every sweep's neighbor-label join keys on dst
     val symP = pin(sym)
     // per-state community degree sums + sizes — ONE frame for both the
     // sweep's candidate scoring and the Q re-score

@@ -351,7 +351,10 @@ object Pca {
     val q = vecs.select(F.col(idCol).as("qid"), F.col(vecCol).cast("array<double>").as("qv"))
     val c = vecs.select(F.col(idCol).as("cid"), F.col(vecCol).cast("array<double>").as("cv"))
       .filter(F.size(F.col("cv")) === dim)
-      .repartition(F.col("cid"))
+      // explicit width: AQE coalescing sizes from the tiny input bytes,
+      // blind to the N^2 kernel behind it (measured: single-task at sf0.1)
+      .repartition(vecs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+        F.col("cid"))
     val d2 = (1 to dim).map { i =>
       val d = F.element_at(F.col("qv"), i) - F.element_at(F.col("cv"), i)
       d * d

@@ -1146,7 +1146,7 @@ object Similarity {
     // the only shape that survives corpus growth anyway.
     val joined =
       if (rep <= 1) {
-        val probes = codedBuckets.fold(probed.repartition(F.col("cell")))(b =>
+        val probes = codedBuckets.fold(probed.repartition(width, F.col("cell")))(b =>
             probed.repartition(b, F.col("cell")))
           .withColumn("__adc", adcTables(F.col("qv"), codebooks))
           .select(F.col("qid"), F.col("cell"), F.col("__adc"))

@@ -181,8 +181,8 @@ object Bench {
       "queries_arbiter", "canary", "canary_norm", "jvm", "loadavg_start",
       "loadavg_end", "gc_ms_grid", "gc_count_grid", "gc_ms_total",
       "heap_peak_grid_mb", "errors", "failures", "pipeline", "sf",
-      "passes", "heavy_passes", "stable_reduced", "budget_sec",
-      "wall_sec", "shed")
+      "passes", "heavy_passes", "stable_reduced", "stable_single_pass",
+      "loadavg_wait_sec", "budget_sec", "wall_sec", "shed")
     private val frags = scala.collection.mutable.Map[String, String]()
     private val tiers = scala.collection.mutable.ArrayBuffer[String]()
     private val shedL = scala.collection.mutable.ArrayBuffer[String]()
@@ -372,21 +372,38 @@ object Bench {
     // {...}} line per full run, appended below (seeded r14–r16 from the
     // committed artifacts). The reduction count is in the artifact.
     val minsHistoryPath = sys.env.getOrElse("SPARK_GRAFT_MINS_HISTORY", "BENCH_MINS_HISTORY.jsonl")
-    val stableRows: Set[String] =
-      if (only.isDefined || passes < 3) Set.empty
+    // r18: history lines now carry the core count and the detector only
+    // reads lines from the SAME cpus (the r17 driver appended an 8-core
+    // run to a 32-core history and the mixed mins poisoned the spread
+    // test). Legacy lines without "cpus" still match — they predate the
+    // tag and were all same-machine full runs.
+    val (stableRows: Set[String], stableHistMin: Map[String, Double]) =
+      if (only.isDefined || passes < 3) (Set.empty[String], Map.empty[String, Double])
       else try {
         import scala.jdk.CollectionConverters._
         val hist = java.nio.file.Files
           .readAllLines(java.nio.file.Paths.get(minsHistoryPath)).asScala.toSeq
           .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+          .filter(l => !l.contains("\"cpus\":") || l.contains("\"cpus\":" + cpus + ","))
           .flatMap(parseNumMap(_, "queries_min"))
           .takeRight(3)
-        if (hist.size < 3) Set.empty
-        else names.filter { n =>
-          val vs = hist.flatMap(_.get(n))
-          vs.size == 3 && vs.min > 0.0 && vs.max / vs.min <= 1.10
-        }.toSet
-      } catch { case _: Throwable => Set.empty }
+        if (hist.size < 3) (Set.empty[String], Map.empty[String, Double])
+        else {
+          val stable = names.filter { n =>
+            val vs = hist.flatMap(_.get(n))
+            vs.size == 3 && vs.min > 0.0 && vs.max / vs.min <= 1.10
+          }.toSet
+          (stable, stable.iterator.map(n => n -> hist.flatMap(_.get(n)).min).toMap)
+        }
+      } catch { case _: Throwable => (Set.empty[String], Map.empty[String, Double]) }
+    // r17 verdict #2: the 384-row × 3-pass grid is the budget's cost
+    // driver — widen the stable-row reduction to SINGLE-pass for small
+    // stable rows. Rows >= 2 s keep two samples (one cold sample would
+    // carry a visible absolute codegen/planning penalty into their
+    // headline); sub-2 s flat rows have their min established by three
+    // prior runs and the recheck tier re-adjudicates any flag.
+    val singlePassRows: Set[String] =
+      stableRows.filter(n => stableHistMin.getOrElse(n, 2.0) < 2.0)
     // AMBIENT-DRIFT CANARY (round-12 verdict missing #2): a fixed-work
     // CPU+shuffle row — independent of sf and of every operator under
     // test — timed once at the head of each interleaved pass. Cross-round
@@ -404,6 +421,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val canarySamples = scala.collection.mutable.ArrayBuffer[Double]()
+    // LOAD GUARD (r17 verdict #3: the driver's 32-core run started at
+    // loadavg 4.3 and poisoned 109 candidate rows). A loaded machine at
+    // grid start is the single cheapest thing to avoid: wait, bounded, for
+    // the 1-minute load to fall below the threshold before the first
+    // timed pass. Never refuses — a late clean grid beats no grid — and
+    // the wait (if any) is recorded in the artifact.
+    var loadWaitSec = 0.0
+    if (only.isEmpty) {
+      val loadBar = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_BAR", "2.0").toDouble
+      val waitCap = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_WAIT_SEC", "150").toDouble
+      val t0 = System.nanoTime()
+      var waited = 0.0
+      while (loadAvg1m() > loadBar && waited < waitCap) {
+        System.err.println(f"[bench] loadavg ${loadAvg1m()}%.2f > $loadBar%.1f — waiting for a quiet machine")
+        Thread.sleep(15000)
+        waited = (System.nanoTime() - t0) / 1e9
+      }
+      loadWaitSec = waited
+    }
     val loadStart = loadAvg1m()
     // allocator-state evidence (round-14 verdict #2): GC totals and the
     // heap high-water scoped to this run make a +15% raw-total drift
@@ -428,12 +464,15 @@ object Bench {
       "wall_sec" -> r3(elapsedSec)))
     artifact.set("jvm", jvmJson)
     artifact.set("loadavg_start", r3(loadStart))
+    if (loadWaitSec > 0) artifact.set("loadavg_wait_sec", r3(loadWaitSec))
     artifact.set("errors", "{}")
     artifact.set("failures", "0")
     artifact.set("sf", "\"" + sfDir + "\"")
     artifact.set("passes", passes.toString)
     if (budgetSec != Double.MaxValue) artifact.set("budget_sec", r3(budgetSec))
     if (stableRows.nonEmpty) artifact.set("stable_reduced", stableRows.size.toString)
+    if (singlePassRows.nonEmpty)
+      artifact.set("stable_single_pass", singlePassRows.size.toString)
     // SIGTERM flush (r16 verdict #1): `timeout` sends SIGTERM, which
     // runs JVM shutdown hooks — whatever tiers completed are already in
     // the file, and this re-write stamps `interrupted` so a partial
@@ -475,8 +514,12 @@ object Bench {
       System.err.println(s"[bench] pass $p/$passes")
       try canarySamples += canaryOnce()
       catch { case e: Throwable => System.err.println(s"[bench] canary failed: $e") }
-      // stable rows sit out every pass past the second
-      val passNames = if (p > 2) names.filterNot(stableRows) else names
+      // stable rows sit out every pass past the second; small stable
+      // rows (<2 s history min) sit out everything past the first
+      val passNames =
+        if (p > 2) names.filterNot(stableRows)
+        else if (p > 1) names.filterNot(singlePassRows)
+        else names
       // mid-pass periodic flush: a pass at sf0.1 runs minutes, and a
       // kill early in pass 1 would otherwise still lose every min
       // measured so far (the per-pass flush alone leaves the B
@@ -711,16 +754,20 @@ object Bench {
                 shedScaling = true; artifact.shed("scaling")
                 System.err.println("[bench] budget: shedding scaling probes")
               }
-              while (cap > 0 && remainingSec < estRecheck(cap) + needBeyondRecheck) cap -= 1
+              // r17 verdict #2/#3: the recheck is the regression
+              // adjudicator and was shed to cap 0 with 109 candidates
+              // unchecked while the pipeline tier still ran. The pipeline
+              // now sheds BEFORE the recheck cap shrinks, and the cap
+              // never drops below 8 — ~30 s of standalone re-runs is
+              // always affordable relative to a wrong regression verdict.
+              if (remainingSec < estRecheck(cap) + needBeyondRecheck && !skipPipe && !shedPipeline) {
+                shedPipeline = true; artifact.shed("pipeline")
+                System.err.println("[bench] budget: shedding pipeline stage")
+              }
+              while (cap > 8 && remainingSec < estRecheck(cap) + needBeyondRecheck) cap -= 1
               if (cap < 24 && candidatesAll.size > cap) {
                 artifact.shed(s"recheck_cap:$cap")
                 System.err.println(s"[bench] budget: recheck cap reduced to $cap")
-              }
-              if (cap == 0 && !skipPipe && !shedPipeline &&
-                  remainingSec < needBeyondRecheck) {
-                // beyond the documented order: last resort before a kill
-                shedPipeline = true; artifact.shed("pipeline")
-                System.err.println("[bench] budget: shedding pipeline stage")
               }
             }
             recheckCapUsed = cap
@@ -908,7 +955,8 @@ object Bench {
       import scala.jdk.CollectionConverters._
       val existing = if (java.nio.file.Files.exists(p))
         java.nio.file.Files.readAllLines(p).asScala.toSeq else Seq.empty
-      val entry = "{\"sf\":\"" + sfDir + "\",\"queries_min\":" + jmap(mins) + "}"
+      val entry = "{\"sf\":\"" + sfDir + "\",\"cpus\":" + cpus +
+        ",\"queries_min\":" + jmap(mins) + "}"
       java.nio.file.Files.writeString(p,
         ((existing :+ entry).takeRight(12) :+ "").mkString("\n"))
     } catch { case e: Throwable => System.err.println(s"[bench] mins history append failed: $e") }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.model.Schemas
 import graft.operators._
+import graft.Pin._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -640,7 +641,7 @@ object SparkEntry {
         .groupBy(F.col("l_suppkey").as("supplier_no"))
         .agg(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
           .as("total_revenue"))
-        .localCheckpoint(true)
+        .pin()
       val mx = rev.agg(F.max("total_revenue").as("__mx"))
       t(s, dir, "supplier")
         .join(rev, F.col("s_suppkey") === F.col("supplier_no"))
@@ -1043,7 +1044,7 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("__n"))
         .filter(F.col("__n") >= 5)
         .select("src", "dst")
-        .localCheckpoint(true) // feeds the LPA rounds AND the modularity joins
+        .pin() // feeds the LPA rounds AND the modularity joins
       Graph.modularity(e, Graph.labelPropagation(e, iters = 3))
     }),
     // One-level Louvain refinement of the LPA partition — the round-11
@@ -1061,7 +1062,7 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("__n"))
         .filter(F.col("__n") >= 5)
         .select("src", "dst")
-        .localCheckpoint(true) // feeds LPA, the sweeps, AND every Q score
+        .pin() // feeds LPA, the sweeps, AND every Q score
       Graph.louvainRefine(e, Graph.labelPropagation(e, iters = 3), sweeps = 2)
     }),
     // Louvain from the classic SINGLETON seed (level-1 proper): on the
@@ -1079,7 +1080,7 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("__n"))
         .filter(F.col("__n") >= 5)
         .select("src", "dst")
-        .localCheckpoint(true)
+        .pin()
       val nodes = e.select(F.col("src").as("node"))
         .union(e.select(F.col("dst").as("node"))).distinct()
       Graph.louvainRefine(e, nodes.select(F.col("node"), F.col("node").as("label")), sweeps = 2)
@@ -1100,7 +1101,7 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("__n"))
         .filter(F.col("__n") >= 5)
         .select("src", "dst")
-        .localCheckpoint(true)
+        .pin()
       Graph.louvainLevel2(e, Graph.labelPropagation(e, iters = 3), sweeps1 = 2, sweeps2 = 2)
     }),
     // Level-2 ascent: a PARITY seed pinned through level 1 (sweeps1 = 0 —
@@ -1120,7 +1121,7 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("__n"))
         .filter(F.col("__n") >= 5)
         .select("src", "dst")
-        .localCheckpoint(true)
+        .pin()
       val nodes = e.select(F.col("src").as("node"))
         .union(e.select(F.col("dst").as("node"))).distinct()
       Graph.louvainLevel2(e,
@@ -1142,7 +1143,7 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("__n"))
         .filter(F.col("__n") >= 5)
         .select("src", "dst")
-        .localCheckpoint(true)
+        .pin()
       val nodes = e.select(F.col("src").as("node"))
         .union(e.select(F.col("dst").as("node"))).distinct()
       val out = Graph.louvainDeep(e,
@@ -2524,11 +2525,17 @@ object SparkEntry {
       val quality = TextAnalysis.quality(docs, "text")
         .filter(F.col("stopword_ratio") <= 0.4 && F.col("n_tokens") >= 30)
         .select("doc_id", "source", "text")
+      // slim survivor pin: the node list and the final per-source count
+      // need only (doc_id, source) — pinning THAT instead of re-running
+      // the quality tokenize for each consumer keeps the text payload out
+      // of storage (§8: pin the proxy, not the payload); the one
+      // text-consuming pass (minhash) reads quality directly.
+      val slim = quality.select("doc_id", "source").pin()
       val pairs = Dedup.minhashCandidates(quality, "doc_id", "text")
-      val reps = Dedup.connectedComponents(pairs, quality.select(F.col("doc_id").as("node")))
+      val reps = Dedup.connectedComponents(pairs, slim.select(F.col("doc_id").as("node")))
         .filter(F.col("node") === F.col("label"))
         .select(F.col("node").as("doc_id"))
-      quality.join(reps, "doc_id")
+      slim.join(reps, "doc_id")
         .groupBy("source").agg(F.count(F.lit(1)).as("n_kept"))
     }),
     // The PRODUCTION order-of-operations (ExactSubstr paper's pipeline):
@@ -3213,9 +3220,15 @@ object SparkEntry {
     // containment (fraction of a video's frames found in the other) >= 0.8
     // -> connected components. The sub-clip case text dedup can't see.
     "q_video_dedup" -> ((s, dir) => {
-      val vids = Multimodal.gifPooledPayloads(t(s, dir, "documents"), "doc_id")
+      val docs = t(s, dir, "documents")
+      val vids = Multimodal.gifPooledPayloads(docs, "doc_id")
+      // nodes passed directly: gifPooledPayloads emits exactly one row per
+      // doc with media_id = cast(doc_id as long), so this id list is
+      // identical to media.select(media_id) — minus a second full GIF
+      // encode pass behind the opaque mapPartitions.
       Multimodal.videoDedupClusters(vids, stride = 1, maxHamming = 3,
-        minContainment = 0.8)
+        minContainment = 0.8,
+        nodes = Some(docs.select(F.col("doc_id").cast("long").as("node"))))
     }),
     // The directed containment table itself (the evidence behind
     // q_video_dedup's edges): fraction of va's frames with a hamming<=3

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.Pin._
 
 /** Distributed byte-pair-encoding tokenizer — the train/serve pair of a
   * training-data pipeline's tokenization stage.
@@ -77,7 +78,7 @@ object Bpe {
       .groupBy("word").agg(F.count(F.lit(1)).as("wc"))
     var segged = vocab
       .select(F.col("wc"), segInit(F.col("word")).as("seg"))
-      .localCheckpoint(true)
+      .pin()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     for (_ <- 0 until numMerges if !exhausted) {
@@ -100,7 +101,7 @@ object Bpe {
         merges += ((x, y))
         segged = segged
           .select(F.col("wc"), applyMerge(F.col("seg"), x, y, passes).as("seg"))
-          .localCheckpoint(true)
+          .pin()
       }
     }
     merges.toSeq

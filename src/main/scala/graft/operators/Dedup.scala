@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.Pin._
 
 /** Document-deduplication operators for large-scale training-data pipelines:
   * exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
@@ -79,7 +80,10 @@ object Dedup {
     * shuffle input. Bands are then a cheap 4-row explode per doc. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 8): DataFrame =
-    candidatePairs(minhashBuckets(df, idCol, textCol, shingleN, k))
+    // PINNED: both sides of the bucket self-join derive from this frame —
+    // unpinned, the whole shingle-explode + wide-signature pipeline ran
+    // twice. (doc, band, key) is ~k/2 slim rows per doc at any scale.
+    candidatePairs(minhashBuckets(df, idCol, textCol, shingleN, k).pin())
 
   /** (doc, band, key) LSH bucket rows via the wide one-pass signature
     * aggregation — the building block shared by the batch candidate
@@ -187,12 +191,12 @@ object Dedup {
     // without them the full minhash pipeline runs 3× (docsInPlay twice +
     // the shared join) and the shingle explode 3× (two join sides + sizes)
     val cands = minhashCandidates(df, idCol, textCol, shingleN, k)
-      .localCheckpoint(true)
+      .pin()
     val sh = wordShingles(df, idCol, textCol, shingleN)
     val docsInPlay = cands.select(F.col("a").as("doc"))
       .union(cands.select(F.col("b").as("doc"))).distinct()
     val pruned = sh.join(docsInPlay, Seq("doc"), "left_semi")
-      .localCheckpoint(true)
+      .pin()
     // set sizes only ever join against in-play docs, so they can come from
     // the pruned frame — one less full-corpus shingle scan
     val sizes = pruned.groupBy(F.col("doc")).agg(F.count(F.lit(1)).as("sz"))
@@ -341,7 +345,10 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(64 % (maxHamming + 1) == 0,
       s"need 64 divisible by maxHamming+1, got ${maxHamming + 1} bands")
-    val (mem, groups) = contractPrints(fp0, idCol, loCol, hiCol)
+    val (mem0, groups) = contractPrints(fp0, idCol, loCol, hiCol)
+    // PINNED: mem feeds four joins below (within ×2, cross expansion ×2);
+    // unpinned each re-ran the membership join. One row per member id.
+    val mem = mem0.pin()
     // within-group pairs: identical prints, hamming 0 by definition
     val within = mem.select(F.col("fid"), F.col("doc").as("a"))
       .join(mem.select(F.col("fid"), F.col("doc").as("b")), "fid")
@@ -392,9 +399,9 @@ object Dedup {
   private def contractPrints(
       fp0: DataFrame, idCol: String, loCol: String, hiCol: String): (DataFrame, DataFrame) = {
     val fp = fp0.select(F.col(idCol).as("doc"), F.col(loCol).as("sh_lo"),
-      F.col(hiCol).as("sh_hi")).localCheckpoint(true)
+      F.col(hiCol).as("sh_hi")).pin()
     val groups = fp.groupBy("sh_lo", "sh_hi").agg(F.min("doc").as("fid"))
-      .localCheckpoint(true)
+      .pin()
     val mem = fp.join(groups, Seq("sh_lo", "sh_hi")).select("doc", "fid")
     (mem, groups)
   }
@@ -474,7 +481,7 @@ object Dedup {
     val spark = pairs.sparkSession
     val edges = pairs.select(F.col("a").as("src"), F.col("b").as("dst"))
       .unionAll(pairs.select(F.col("b").as("src"), F.col("a").as("dst")))
-      .localCheckpoint(true)
+      .pin()
     // count is ~free on the materialized checkpoint
     if (edges.count() <= driverEdgeBound * 2) {
       val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -511,7 +518,7 @@ object Dedup {
     // Isolated nodes get their identity labels attached once at the end.
     var labels = edges.select(F.col("src").as("node")).distinct()
       .select(F.col("node"), F.col("node").as("label"))
-      .localCheckpoint(true)
+      .pin()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -532,7 +539,7 @@ object Dedup {
       // of `agg` with itself hits Catalyst's ambiguous-attribute dedup
       val next = agg.join(jump, F.col("label") === F.col("jn"), "left")
         .select(F.col("node"), F.coalesce(F.col("jl"), F.col("label")).as("label"))
-        .localCheckpoint(true)
+        .pin()
       changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(F.col("label") =!= F.col("old")).count()
       labels = next
@@ -576,7 +583,7 @@ object Dedup {
       .select(F.least(F.col("x"), F.col("y")).as("lo"),
         F.greatest(F.col("x"), F.col("y")).as("hi"))
       .distinct()
-      .localCheckpoint(true)
+      .pin()
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
@@ -590,7 +597,7 @@ object Dedup {
         .filter(F.col("x") > F.col("n")) // m ≤ n < x, so no self-loops
         .select(F.col("m").as("lo"), F.col("x").as("hi"))
         .distinct()
-        .localCheckpoint(true)
+        .pin()
       // small-star: per node n, its SMALLER neighbours S = {lo : (lo,n)}
       // (canonical pairs make them exactly the lo side); all of S ∪ {n}
       // re-link to m = min S
@@ -599,7 +606,7 @@ object Dedup {
         .filter(F.col("lo") =!= F.col("m"))
         .select(F.col("m").as("lo"), F.col("lo").as("hi"))
       val ssSelf = sMin.select(F.col("m").as("lo"), F.col("hi"))
-      val next = ssOld.unionAll(ssSelf).distinct().localCheckpoint(true)
+      val next = ssOld.unionAll(ssSelf).distinct().pin()
       // fixpoint test: the round function is deterministic, so edge set
       // unchanged start-to-end ⇔ fixpoint. Both sets are distinct and
       // canonical, so equality ⇔ every (lo, hi) appears on BOTH sides of

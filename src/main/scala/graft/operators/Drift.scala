@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.Pin._
 
 /** Distribution-shift monitoring between corpus slices or time windows —
   * the drift triad an ML data pipeline alarms on: PSI for bucketed
@@ -425,7 +426,7 @@ object Drift {
     * bit-for-bit. */
   def kendallTauFromCounts(byXY: DataFrame): DataFrame = {
     val cells = byXY
-      .localCheckpoint(true) // feeds the pair kernel + margins + totals
+      .pin() // feeds the pair kernel + margins + totals
     def half(c: Column): Column = F.shiftright(c * (c - 1), 1)
     val c2 = cells.select(F.col("x").as("x2"), F.col("y").as("y2"),
       F.col("nij").as("n2"))
@@ -468,7 +469,7 @@ object Drift {
     val base = df.select(F.col(xCol).cast("double").as("x"),
         F.col(yCol).cast("double").as("y"))
       .filter(F.col("x").isNotNull && F.col("y").isNotNull)
-      .localCheckpoint(true) // feeds both rank maps AND the rank join
+      .pin() // feeds both rank maps AND the rank join
     def rankMap(col: String): DataFrame =
       midranks(base.groupBy(F.col(col).as("v")).agg(F.count(F.lit(1)).as("c")))
     val rx = rankMap("x").select(F.col("v").as("x"), F.col("r").as("ra"))
@@ -511,7 +512,7 @@ object Drift {
     val base = byXY.select(F.col("x").cast("double").as("x"),
         F.col("y").cast("double").as("y"), F.col("n").cast("long").as("c"))
       .filter(F.col("x").isNotNull && F.col("y").isNotNull && F.col("c") > 0)
-      .localCheckpoint(true)
+      .pin()
     def rankMap(col: String): DataFrame =
       midranks(base.groupBy(F.col(col).as("v")).agg(F.sum("c").as("c")))
     val rx = rankMap("x").select(F.col("v").as("x"), F.col("r").as("ra"))

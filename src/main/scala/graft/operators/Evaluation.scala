@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.Pin._
 
 /** Classifier evaluation over a (prediction, label) pair — the scoring
   * half of the learned-filter loop ([[QualityModel]], [[TextAnalysis.langId]]):
@@ -69,7 +70,7 @@ object Evaluation {
 
   /** [[kappa]] over a pre-aggregated (pred, label, n) cell frame. */
   def kappaFromCells(cells0: DataFrame): DataFrame = {
-    val cells = cells0.localCheckpoint(true)
+    val cells = cells0.pin()
     val po = cells.agg(F.sum("n").as("n"),
       F.sum(F.when(F.col("pred") === F.col("label"), F.col("n")).otherwise(0L)).as("agree"))
     val pe = cells.groupBy("pred").agg(F.sum("n").as("np"))
@@ -972,7 +973,7 @@ object Evaluation {
     * frame — the streaming re-entry point (cells merge exactly, and
     * every statistic is a pure function of the merged cells). */
   def clusterAgreementFromCells(cells0: DataFrame): DataFrame = {
-    val cells = cells0.localCheckpoint(true)
+    val cells = cells0.pin()
     // exact: n(n−1) is even, and the halving must stay INTEGRAL — a
     // long `/ 2` is IEEE division in Spark and rounds past 2^53
     def pairs(c: Column): Column = F.shiftright(c * (c - 1), 1)
@@ -1036,7 +1037,7 @@ object Evaluation {
 
   /** [[mcc]] over a pre-aggregated (pred, label, n) cell frame. */
   def mccFromCells(cells0: DataFrame): DataFrame = {
-    val cells = cells0.localCheckpoint(true)
+    val cells = cells0.pin()
     val base = cells.agg(F.sum("n").as("n"),
       F.sum(F.when(F.col("pred") === F.col("label"), F.col("n")).otherwise(0L))
         .as("n_correct"))
@@ -1113,7 +1114,7 @@ object Evaluation {
   /** [[weightedKappa]] over a pre-aggregated (pred, label, n) NUMERIC
     * cell frame — the streaming re-entry point. */
   def weightedKappaFromCells(cells0: DataFrame): DataFrame = {
-    val cells = cells0.localCheckpoint(true)
+    val cells = cells0.pin()
     val obs = cells.agg(F.sum("n").as("n"),
       F.sum((F.col("pred") - F.col("label")) * (F.col("pred") - F.col("label"))
         * F.col("n")).as("__o"))
@@ -1146,7 +1147,7 @@ object Evaluation {
   /** [[classSummary]] over a pre-aggregated (pred, label, n) cell
     * frame — the streaming re-entry point. */
   def classSummaryFromCells(cells0: DataFrame): DataFrame = {
-    val cells = cells0.localCheckpoint(true)
+    val cells = cells0.pin()
     val acc = cells.agg(F.sum("n").as("n"),
       F.sum(F.when(F.col("pred") === F.col("label"), F.col("n")).otherwise(0L))
         .as("__agree"))
@@ -1260,7 +1261,7 @@ object Evaluation {
     * frame — the streaming re-entry point (vote counts merge exactly
     * across batches and replays). */
   def fleissKappaFromCells(cells0: DataFrame): DataFrame = {
-    val cells = cells0.localCheckpoint(true)
+    val cells = cells0.pin()
     val perItem = cells.groupBy("item")
       .agg(F.sum("nij").as("ni"), F.sum(F.col("nij") * F.col("nij")).as("__sq"))
     val items = perItem.agg(F.count(F.lit(1)).as("n_items"),

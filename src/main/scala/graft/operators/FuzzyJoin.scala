@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, functions => F}
 
+import graft.Pin._
+
 /** Edit-distance similarity join (entity resolution / fuzzy record
   * matching) — find all pairs of rows whose string key is within a small
   * edit distance, WITHOUT the O(n²) all-pairs comparison.
@@ -120,11 +122,20 @@ object FuzzyJoin {
     val vocab = AuditQueries
       .assignIngestSeqDistributed(tokCounts, 0L, Seq("cnt", "tok"))
       .select(F.col("tok"), F.col("id").as("tid"))
+    // PINNED: `sorted` feeds four consumers (both sides of the prefix
+    // self-join through `keyed`, and both verify re-attach joins in
+    // jaccardPrefixJoin). Unpinned, Catalyst re-derived the ENTIRE
+    // tokenize → token-count → vocab-rank → per-doc-sort pipeline once
+    // per consumer — the r18 before-plan scans the corpus parquet 12
+    // times (plans/r18/q_jaccard_join_before.txt). One materialization
+    // of (id, int-array, sz) is strictly smaller than the text corpus,
+    // so this is the §8 "decide on small rows" shape at any scale.
     val sorted = docs.select(F.col("id"), F.explode(F.col("toks")).as("tok"))
       .join(vocab, "tok")
       .groupBy("id")
       .agg(F.array_sort(F.collect_list(F.col("tid"))).as("stoks"))
       .select(F.col("id"), F.col("stoks"), F.size(F.col("stoks")).as("sz"))
+      .pin()
     val keyed = prefixPostings(sorted, tauNum, tauDen)
     val cands = prefixCandidates(keyed, keyed, tauNum, tauDen, ordered = true)
     // stoks IS already the shared sorted order (ascending vocabulary id)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.Pin._
 
 /** Distributed graph analytics over relational edge lists.
   *
@@ -28,8 +29,14 @@ object Graph {
     * per-iteration join of pageRank ran single-task). A user-specified
     * numPartitions is exempt from coalescing (the Similarity salted-serve
     * lesson, applied to every keyed pin). */
-  private def shuffleWidth(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+  private def shuffleWidth(df: DataFrame): Int = {
+    // non-numeric configs exist in the wild (e.g. "auto" on some
+    // platforms) — fall back to the parallelism default instead of
+    // throwing NumberFormatException mid-query
+    val raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    scala.util.Try(raw.trim.toInt).toOption.filter(_ > 0)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+  }
 
 
   /** Weighted PageRank over a directed edge list `(src, dst, w)`.
@@ -51,7 +58,7 @@ object Graph {
     val nodes = edges.select(F.col("src").as("id"))
       .union(edges.select(F.col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .pin()
     val n = nodes.count() // one driver scalar, the only collect-shaped op
     val outW = edges.groupBy(F.col("src")).agg(F.sum(F.col("w")).as("wout"))
     // transition probability: one IEEE division on integer-valued doubles
@@ -66,7 +73,7 @@ object Graph {
     val ep = edges.join(outW.hint("shuffle_hash"), "src")
       .select(F.col("src"), F.col("dst"), (F.col("w") / F.col("wout")).as("p"))
       .repartition(shuffleWidth(edges), F.col("src"))
-      .localCheckpoint(true)
+      .pin()
     val base = F.lit(1.0 - damping) / F.lit(n.toDouble)
     var rank = nodes.select(F.col("id"), F.round(F.lit(1.0) / F.lit(n.toDouble), 9).as("r"))
     for (_ <- 1 to iters) {
@@ -97,7 +104,7 @@ object Graph {
     val nodes = edges.select(F.col("src").as("id"))
       .union(edges.select(F.col("dst").as("id")))
       .distinct()
-    val sd = seeds.select(F.col(seeds.columns(0)).as("id")).distinct().localCheckpoint(true)
+    val sd = seeds.select(F.col(seeds.columns(0)).as("id")).distinct().pin()
     val ns = sd.count()
     require(ns > 0, "seed set must be non-empty")
     val outW = edges.groupBy(F.col("src")).agg(F.sum(F.col("w")).as("wout"))
@@ -106,12 +113,12 @@ object Graph {
     val ep = edges.join(outW.hint("shuffle_hash"), "src")
       .select(F.col("src"), F.col("dst"), (F.col("w") / F.col("wout")).as("p"))
       .repartition(shuffleWidth(edges), F.col("src"))
-      .localCheckpoint(true)
+      .pin()
     val tele = nodes.join(sd.withColumn("__seed", F.lit(1)), Seq("id"), "left")
       .select(F.col("id"),
         F.when(F.col("__seed").isNotNull,
           F.round(F.lit(1.0) / F.lit(ns.toDouble), 9)).otherwise(F.lit(0.0)).as("tele"))
-      .localCheckpoint(true) // read every iteration
+      .pin() // read every iteration
     var rank = tele.select(F.col("id"), F.col("tele").as("r"))
     for (_ <- 1 to iters) {
       val contrib = ep.join(rank.hint("shuffle_hash"), ep("src") === rank("id"))
@@ -151,12 +158,12 @@ object Graph {
     // ep discipline): the authority step joins on src, the hub step on
     // dst — pre-partitioned, each round shuffles only the |V|-row score
     // frame, never the edges
-    val eBySrc = e.repartition(shuffleWidth(e), F.col("src")).localCheckpoint(true)
-    val eByDst = eBySrc.repartition(shuffleWidth(e), F.col("dst")).localCheckpoint(true)
+    val eBySrc = e.repartition(shuffleWidth(e), F.col("src")).pin()
+    val eByDst = eBySrc.repartition(shuffleWidth(e), F.col("dst")).pin()
     val nodes = eBySrc.select(F.col("src").as("id"))
       .union(eBySrc.select(F.col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .pin()
     var hub = nodes.select(F.col("id"), F.lit(1.0).as("x"))
     var auth = nodes.select(F.col("id"), F.lit(0.0).as("x"))
     // SHUFFLE_HASH on the |V|-row score side (guide §3.1): the default
@@ -190,7 +197,7 @@ object Graph {
     * pattern. (Computing the max before the node fill would not help:
     * the grouped frame would still have two consumers.) */
   private def normalizeMax(nodes: DataFrame, raw: DataFrame): DataFrame = {
-    val grouped = raw.localCheckpoint(true)
+    val grouped = raw.pin()
     val mx = grouped.agg(F.coalesce(F.max(F.col("raw")), F.lit(0.0)).as("__mx"))
     nodes.join(grouped.hint("shuffle_hash"), Seq("id"), "left")
       .select(F.col("id"), F.coalesce(F.col("raw"), F.lit(0.0)).as("raw"))
@@ -248,7 +255,7 @@ object Graph {
     val e = edges.select(F.col(edges.columns(0)).as("src"), F.col(edges.columns(1)).as("dst"))
       .distinct()
       .repartition(shuffleWidth(edges), F.col("src"))
-      .localCheckpoint(true)
+      .pin()
     // size-gated local BFS (the Louvain-sweep idiom): levels are pure
     // set algebra over integer ids — a provably-small graph settles on
     // the driver with zero per-hop exchanges
@@ -282,15 +289,15 @@ object Graph {
     if (localOut.isDefined) return localOut.get
     var settled = sources.select(F.col(sources.columns(0)).as("id")).distinct()
       .select(F.col("id"), F.lit(0L).as("dist"))
-      .localCheckpoint(true)
+      .pin()
     var frontier = settled
     for (h <- 1 to maxHops) {
       val next = e.join(frontier, e("src") === frontier("id"))
         .select(e("dst").as("id")).distinct()
         .join(settled.select("id"), Seq("id"), "left_anti")
         .select(F.col("id"), F.lit(h.toLong).as("dist"))
-        .localCheckpoint(true) // pin: read as next round's frontier AND unioned
-      settled = settled.unionAll(next).localCheckpoint(true)
+        .pin() // pin: read as next round's frontier AND unioned
+      settled = settled.unionAll(next).pin()
       frontier = next
     }
     settled.select(F.col("id").as("node_id"), F.col("dist"))
@@ -321,7 +328,7 @@ object Graph {
       .unionAll(half.select(F.col("dst").as("src"), F.col("src").as("dst")))
       .distinct()
       .repartition(shuffleWidth(edges), F.col("dst")) // each round's join keys on dst
-      .localCheckpoint(true)
+      .pin()
     // size-gated local fast path (the Louvain-sweep idiom): the rounds
     // are integer counts + a deterministic argmin, so a provably-small
     // graph replays the identical trajectory on the driver with zero
@@ -369,7 +376,7 @@ object Graph {
   def triangleCount(edges: DataFrame): DataFrame = {
     // pinned: deg + the oriented view both consume it (the unpinned form
     // computed the distinct twice), and the pin feeds the size probe
-    val und = undirect(edges).localCheckpoint(true)
+    val und = undirect(edges).pin()
     val nodeT = und.schema("a").dataType
     localGraphOut(und, Seq("node" -> nodeT,
         "triangles" -> org.apache.spark.sql.types.LongType)) { rows =>
@@ -513,7 +520,7 @@ object Graph {
         F.when(aFirst, F.col("a")).otherwise(F.col("b")).as("u"),
         F.when(aFirst, F.col("b")).otherwise(F.col("a")).as("v"),
         F.when(aFirst, F.col("db")).otherwise(F.col("da")).as("dv"))
-      .localCheckpoint(true) // reused by the wedge join AND the closing semi-join
+      .pin() // reused by the wedge join AND the closing semi-join
     val w1 = oriented.select(F.col("u"), F.col("v").as("x"), F.col("dv").as("dx"))
     val w2 = oriented.select(F.col("u"), F.col("v").as("y"), F.col("dv").as("dy"))
     val wedges = w1.join(w2, "u")
@@ -557,8 +564,12 @@ object Graph {
     * for the surviving canonical edges, support measured IN the truss. */
   def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
     require(k >= 3, "k-truss needs k >= 3 (k-2 >= 1 triangle per edge)")
-    val nodeT = edges.schema(edges.columns(0)).dataType
-    val und0 = undirect(edges).localCheckpoint(true)
+    val und0 = undirect(edges).pin()
+    // the distributed path's output type is the least/greatest-coerced
+    // COMMON type of both edge columns (what undirect produced) — the
+    // local twin must match it, not the raw first column's type
+    // (triangleCount/clusteringCoefficient already use und's type)
+    val nodeT = und0.schema("a").dataType
     val localOut = localGraphOut(und0, Seq("src" -> nodeT, "dst" -> nodeT,
         "support" -> org.apache.spark.sql.types.LongType)) { rows =>
       var cur = localCanonical(rows)
@@ -585,7 +596,7 @@ object Graph {
       val kept = edgeSupport(und)
         .filter(F.col("support") >= k - 2)
         .select("a", "b")
-        .localCheckpoint(true) // next round's base AND this round's count
+        .pin() // next round's base AND this round's count
       val m2 = kept.count()
       changed = m2 != m
       m = m2
@@ -608,7 +619,7 @@ object Graph {
     * neighbor pairs and report 0. Output: (node_id, degree, triangles,
     * lcc) for every non-isolated node. */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val und = undirect(edges).localCheckpoint(true) // feeds degrees AND the triangle core
+    val und = undirect(edges).pin() // feeds degrees AND the triangle core
     localGraphOut(und, Seq("node_id" -> und.schema("a").dataType,
         "degree" -> org.apache.spark.sql.types.LongType,
         "triangles" -> org.apache.spark.sql.types.LongType,
@@ -653,7 +664,7 @@ object Graph {
     * missing from `labels` form no community and contribute only
     * through m. */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val und = undirect(edges).localCheckpoint(true) // feeds m, degrees, AND the e_in join
+    val und = undirect(edges).pin() // feeds m, degrees, AND the e_in join
     val lab = labels.select(F.col(labels.columns(0)).as("node"),
       F.col(labels.columns(1)).as("label"))
     val mAgg = und.agg(F.count(F.lit(1)).as("m"))
@@ -721,7 +732,7 @@ object Graph {
     * Output: (node_id, label, q_init, q_final), the Q columns (round 6)
     * repeated on every row — the psi layout. */
   def louvainRefine(edges: DataFrame, init: DataFrame, sweeps: Int = 2): DataFrame = {
-    val und = undirect(edges).localCheckpoint(true) // feeds m, degrees, AND every sweep
+    val und = undirect(edges).pin() // feeds m, degrees, AND every sweep
     val m = und.count() // 1-row driver scalar (the pageRank-n pattern)
     require(m > 0, "louvainRefine needs at least one edge")
     val (lab, qInit, q) = weightedSweeps(
@@ -932,11 +943,17 @@ object Graph {
           F.col(seed.columns(1)).as("label"))
         // seed rows ≤ nodes in every caller; the 2·cap guard only trips on
         // a pathological oversized init, which falls back distributed
-        collectIfSmall(seedSel, Seq("node", "label"), 2 * localSweepCap).map { seedArr =>
-          val (labArr, qi, qf) =
-            localSweeps(edgesArr, mD, seedArr, sweeps, parityGate, qInit0)
-          (localLabFrame(ew.sparkSession, labArr, nodeT, labelT), qi, qf)
-        }
+        collectIfSmall(seedSel, Seq("node", "label"), 2 * localSweepCap)
+          // a MALFORMED seed with repeated node rows diverges between the
+          // engines (the local LongMap dedupes, the distributed semi-join
+          // double-counts kv/community sizes) — such inputs always take
+          // the distributed path so the twin never changes a trajectory
+          .filter(seedArr => seedArr.iterator.map(_(0)).toSet.size == seedArr.length)
+          .map { seedArr =>
+            val (labArr, qi, qf) =
+              localSweeps(edgesArr, mD, seedArr, sweeps, parityGate, qInit0)
+            (localLabFrame(ew.sparkSession, labArr, nodeT, labelT), qi, qf)
+          }
       }
     if (localResult.isDefined) localResult.get
     else weightedSweepsDistributed(ew, mD, seed, sweeps, parityGate, pinStatic, qInit0)
@@ -958,7 +975,7 @@ object Graph {
     // see RUNBOOK). PROPOSALS stay pinned at EVERY level: an unpinned
     // proposal chains lineage across sweeps and the per-action replanning
     // measured SLOWER than the checkpoint round trip it saved.
-    def pin(df: DataFrame): DataFrame = if (pinStatic) df.localCheckpoint(true) else df
+    def pin(df: DataFrame): DataFrame = if (pinStatic) df.pin() else df
     // weighted degree k_C = Σ_{v∈C} k_v: self-loops twice, cross once per end
     val dg = ew.select(F.col("a").as("node"),
         F.when(F.col("a") === F.col("b"), F.col("w") * 2).otherwise(F.col("w")).as("wd"))
@@ -1047,7 +1064,7 @@ object Graph {
       // always pinned: scored by Q AND possibly next sweep's base — the
       // unpinned and cache() variants both measured SLOWER (cross-sweep
       // lineage replanning / recompute outweigh the checkpoint job)
-      val prop = prop0.localCheckpoint(true)
+      val prop = prop0.pin()
       val propSig = sigOf(prop)
       val qp = qFromSig(propSig, prop)
       if (qp > q) { lab = prop; sig = propSig; q = qp }
@@ -1130,13 +1147,13 @@ object Graph {
     * labels are level-1 community ids re-labeled by level 2's merge. */
   def louvainLevel2(edges: DataFrame, init: DataFrame,
                     sweeps1: Int = 2, sweeps2: Int = 2): DataFrame = {
-    val und = undirect(edges).localCheckpoint(true) // feeds m, level 1, AND the contraction
+    val und = undirect(edges).pin() // feeds m, level 1, AND the contraction
     val m = und.count() // unchanged by contraction: Σw + Σselfloops = |E|
     require(m > 0, "louvainLevel2 needs at least one edge")
     val ew1 = und.select(F.col("a"), F.col("b"), F.lit(1L).as("w"))
     val (lab1, _, q1) = weightedSweeps(ew1, m.toDouble, init, sweeps1,
       parityGate = false, pinStatic = true) // returned lab is core-pinned
-    val ce = contract(ew1, lab1).localCheckpoint(true) // feeds every level-2 sweep
+    val ce = contract(ew1, lab1).pin() // feeds every level-2 sweep
     val (lab2, qInit, q) = weightedSweeps(ce, m.toDouble, identitySeed(ce), sweeps2,
       parityGate = true, pinStatic = false, qInit0 = Some(q1))
     // map back: node → level-1 community → level-2 label
@@ -1235,7 +1252,7 @@ object Graph {
   def louvainDeep(edges: DataFrame, init: DataFrame,
                   sweeps1: Int = 2, sweepsL: Int = 2,
                   maxLevels: Int = 8): DataFrame = {
-    val und = undirect(edges).localCheckpoint(true)
+    val und = undirect(edges).pin()
     val m = und.count()
     require(m > 0, "louvainDeep needs at least one edge")
     val mD = m.toDouble
@@ -1269,13 +1286,13 @@ object Graph {
         .distinct()
         .withColumn("nid", F.row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("old")).cast("long"))
-        .localCheckpoint(true)) // tiny: one row per community
+        .pin()) // tiny: one row per community
       val ce = reRoot(ce0
         .join(dense.select(F.col("old").as("a"), F.col("nid").as("na")), "a")
         .join(dense.select(F.col("old").as("b"), F.col("nid").as("nb")), "b")
         .select(F.least(F.col("na"), F.col("nb")).as("a"),
           F.greatest(F.col("na"), F.col("nb")).as("b"), F.col("w"))
-        .localCheckpoint(true))
+        .pin())
       (ce, dense)
     }
     var mapping = lab1 // node → current level's community id
@@ -1283,7 +1300,7 @@ object Graph {
     mapping = reRoot(mapping
       .join(d0.select(F.col("old").as("label"), F.col("nid")), "label")
       .select(F.col("node"), F.col("nid").as("label"))
-      .localCheckpoint(true))
+      .pin())
     var q = q1
     var levels = 1
     var improved = true
@@ -1327,7 +1344,7 @@ object Graph {
               .join(dense.select(F.col("old").as("__l2"), F.col("nid")),
                 F.col("__l") === F.col("__l2"))
               .select(F.col("node"), F.col("nid").as("label"))
-              .localCheckpoint(true)) // feeds the next composition AND the output
+              .pin()) // feeds the next composition AND the output
             ew = ew2
           } else improved = false
       }
@@ -1361,7 +1378,7 @@ object Graph {
     * exists. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 1, "k must be positive")
-    var und = undirect(edges).localCheckpoint(true)
+    var und = undirect(edges).pin()
     var m = und.count()
     var rounds = 0
     var changed = m > 0
@@ -1373,7 +1390,7 @@ object Graph {
       val pruned = und
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint(true) // next round's base AND this round's count
+        .pin() // next round's base AND this round's count
       val m2 = pruned.count()
       changed = m2 != m
       m = m2
@@ -1397,7 +1414,7 @@ object Graph {
     * assortativity is NULL there, not a divide blowup. Output: one row
     * (m_edges, assortativity round 6). */
   def assortativity(edges: DataFrame): DataFrame = {
-    val und = undirect(edges).localCheckpoint(true) // feeds sym AND degrees
+    val und = undirect(edges).pin() // feeds sym AND degrees
     val deg = degrees(und)
     val sym = und.select(F.col("a").as("s"), F.col("b").as("t"))
       .unionAll(und.select(F.col("b").as("s"), F.col("a").as("t")))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
+import graft.Pin._
 
 /** Ingest-time boilerplate removal — [[DataShaping.removeBoilerplate]] for a
   * corpus that arrives in batches: chunk document frequencies ACCUMULATE in
@@ -75,7 +76,7 @@ object IncrementalBoilerplate {
     val chunks = DataShaping.chunkDocs(batch, idCol, textCol, chunkTokens, overlap = 0)
       .select(F.col(idCol), F.col("chunk_idx"), F.col("chunk_text"),
         F.md5(F.col("chunk_text")).as("h"))
-      .localCheckpoint(true) // several consumers; the frame is the batch's own chunks
+      .pin() // several consumers; the frame is the batch's own chunks
     val batchCounts = chunks.groupBy("h")
       .agg(F.count_distinct(F.col(idCol)).as("cnt"))
     val prior = store.counts(excludeBatch = batchId)
@@ -96,7 +97,7 @@ object IncrementalBoilerplate {
           x => x.getField("chunk_text")), " ").as("clean_text"))
       // materialize BEFORE the store write: the plan reads prior counts
       // from the directory tree we are about to mutate
-      .localCheckpoint(true)
+      .pin()
     store.put(batchId, batchCounts)
     cleaned
   }

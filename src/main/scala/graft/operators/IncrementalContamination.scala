@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
+import graft.Pin._
 
 /** Ingest-time DECONTAMINATION — the form the benchmark-leak check takes
   * in a continuously-growing corpus: the benchmark suite is FIXED (the
@@ -101,7 +102,7 @@ object IncrementalContamination {
       .select("train_id", "bench_id")
     val fresh = newHits.join(prior, Seq("train_id", "bench_id"), "left_anti")
       // sever lineage from the hits path being appended to
-      .localCheckpoint(true)
+      .pin()
     store.appendHits(fresh)
     fresh
   }

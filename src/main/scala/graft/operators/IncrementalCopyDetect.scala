@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
+import graft.Pin._
 
 /** Ingest-time COPY suppression — the substring-overlap twin of
   * [[IncrementalDedup]] (set Jaccard) and [[IncrementalSemanticDedup]]
@@ -67,7 +68,7 @@ object IncrementalCopyDetect {
           F.count(F.lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("h")))
         .filter(F.col("__df") <= maxDf).drop("__df")
-        .localCheckpoint(true)
+        .pin()
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/.winnow_postings_tmp")
       kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val live = new org.apache.hadoop.fs.Path(path)
@@ -123,7 +124,7 @@ object IncrementalCopyDetect {
     // Generate lesson) and doubles as the survivors' append source
     val setsMat = TextAnalysis.winnowSets(batch, idCol, textCol)
       .select(F.col(idCol).cast("long").as("doc"), F.col("__sel"))
-      .localCheckpoint(true)
+      .pin()
     val keyed = setsMat.select(F.col("doc"), F.explode(F.col("__sel")).as("h"))
     val nDocs = batch.agg(F.count(F.lit(1)).as("__n"))
     val rare = keyed.groupBy("h").agg(F.count(F.lit(1)).as("__df"))
@@ -133,7 +134,7 @@ object IncrementalCopyDetect {
       .select("h")
     val filtered = keyed.join(rare, "h")
     val ns = filtered.groupBy("doc").agg(F.count(F.lit(1)).as("ns"))
-    val posting = filtered.join(ns, "doc").localCheckpoint(true)
+    val posting = filtered.join(ns, "doc").pin()
     // containment vs STORED postings (minus this batch's own rows when
     // replay-stability is asked) — join on the hash key, then one
     // combinable count per (batch doc, stored doc)
@@ -163,7 +164,7 @@ object IncrementalCopyDetect {
       batch(idCol).cast("long") === F.col("__drop"), "left_anti")
     // materialize BEFORE appending AND sever lineage — the kept-plan reads
     // the posting table we are about to mutate (the recache lesson)
-    val keptRows = kept.localCheckpoint(true)
+    val keptRows = kept.pin()
     store.append(posting
       .join(keptRows.select(F.col(idCol).cast("long").as("doc")), "doc")
       .withColumn("batch_id", F.lit(appendBatchId)))

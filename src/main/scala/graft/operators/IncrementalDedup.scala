@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
+import graft.Pin._
 
 /** Ingest-time near-duplicate suppression — the form dedup actually takes
   * in a continuously-growing 100 TB corpus: instead of re-running an
@@ -244,7 +245,7 @@ object IncrementalDedup {
     // the plan against the mutated table (survivors would then collide
     // with their own just-appended buckets and vanish). An eager local
     // checkpoint pins the rows with no reference to the input path.
-    val keptRows = kept.localCheckpoint(true)
+    val keptRows = kept.pin()
     val keptBuckets = buckets.join(
       keptRows.select(F.col(idCol).cast("long").as("doc")), Seq("doc"), "left_semi")
       .withColumn("batch_id", F.lit(appendBatchId))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
+import graft.Pin._
 
 /** Ingest-time embedding-space OUTLIER detection — the asymmetric family
   * member round 7 left out: [[IncrementalSemanticDedup]]'s cell-store
@@ -70,7 +71,7 @@ object IncrementalEmbedOutliers {
     val fresh = scored.join(prior, Seq("id"), "left_anti")
       // sever lineage from the store path being appended to (the
       // [[IncrementalSemanticDedup]] recache lesson)
-      .localCheckpoint(true)
+      .pin()
     store.append(fresh)
   }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+import graft.Pin._
 
 /** Incremental EXACT Jaccard similarity join — [[FuzzyJoin.jaccardPrefixJoin]]
   * against an ACCUMULATING corpus: each batch probes the persisted prefix
@@ -93,7 +94,7 @@ object IncrementalJaccardJoin {
       .assignIngestSeqDistributed(
         unseen.withColumn("negcnt", -F.col("cnt")), 0L, Seq("negcnt", "tok"))
       .select(F.col("tok"), (F.lit(floor) - F.col("id")).as("tid"))
-      .localCheckpoint(true)
+      .pin()
     val vocabAll = known.unionByName(fresh)
     // per-doc sorted id arrays; the prefix/candidate arithmetic is the
     // SHARED [[FuzzyJoin.prefixPostings]]/[[FuzzyJoin.prefixCandidates]]
@@ -108,9 +109,9 @@ object IncrementalJaccardJoin {
       .agg(F.array_sort(F.collect_list(F.col("tid"))).as("stoks"))
       .select(F.col("id"), F.col("stoks"),
         F.size(F.col("stoks")).cast("long").as("sz"))
-      .localCheckpoint(true)
+      .pin()
     val keyed = FuzzyJoin.prefixPostings(sorted, tauNum, tauDen)
-      .localCheckpoint(true)
+      .pin()
     // candidates: batch keys vs (prior postings ∪ the batch itself)
     val priorKeys = store.prefixes.filter(F.col("batch_id") =!= batchId)
       .select("key", "id", "sz", "pos")

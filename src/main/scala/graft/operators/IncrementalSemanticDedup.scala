@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
+import graft.Pin._
 
 /** Ingest-time SEMANTIC (embedding-space) near-duplicate suppression — the
   * embedding twin of [[IncrementalDedup]]: instead of re-running the
@@ -127,7 +128,7 @@ object IncrementalSemanticDedup {
     // materialize BEFORE appending AND sever lineage — the kept-plan reads
     // the member table we are about to mutate (the [[IncrementalDedup]]
     // recache lesson: cache() is not enough, the path write re-evaluates)
-    val keptRows = kept.localCheckpoint(true)
+    val keptRows = kept.pin()
     store.append(keptRows.select(
       F.col(idCol).cast("long").as("id"),
       Similarity.nearestCell(F.col(vecCol), centroids).as("cell"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
+import graft.Pin._
 
 /** Ingest-time VIDEO dedup — the frame-containment member of the
   * incremental family ([[IncrementalDedup]] set-Jaccard,
@@ -64,7 +65,7 @@ object IncrementalVideoDedup {
           F.size(F.collect_set("video").over(
             org.apache.spark.sql.expressions.Window.partitionBy("dh_lo", "dh_hi"))))
         .filter(F.col("__df") <= maxDf).drop("__df")
-        .localCheckpoint(true)
+        .pin()
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/.frame_prints_tmp")
       kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val live = new org.apache.hadoop.fs.Path(path)
@@ -112,7 +113,7 @@ object IncrementalVideoDedup {
     val prints = Multimodal.framePrints(media, stride)
       .select(F.col("media_id").as("video"), F.col("frame_idx").cast("long").as("f"),
         F.col("n_sampled").cast("long").as("nf"), F.col("dh_lo"), F.col("dh_hi"))
-      .localCheckpoint(true)
+      .pin()
     val storedAll = excludeBatch.fold(store.prints)(id =>
       store.prints.filter(F.col("batch_id") =!= id))
     // boilerplate-frame cap at CHECK time (the winnow df-cap rule for

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.Pin._
 
 /** Frequent-itemset mining / association rules over a (transaction,
   * item) frame — the market-basket signal (Agrawal & Srikant, "Fast
@@ -33,7 +34,7 @@ object Itemsets {
     val tx = df.select(F.col(df.columns(0)).as("tid"), F.col(df.columns(1)).as("item"))
       .filter(F.col("tid").isNotNull && F.col("item").isNotNull)
       .distinct()
-      .localCheckpoint(true) // feeds N, item counts, and both pair-join sides
+      .pin() // feeds N, item counts, and both pair-join sides
     val nTx = tx.agg(F.countDistinct(F.col("tid")).as("n_tx"))
     val itemN = tx.groupBy("item").agg(F.count(F.lit(1)).as("n_item"))
       .filter(F.col("n_item") >= minSupport) // apriori: prune before the fan-out

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
+import graft.Pin._
+
 /** TRAINED language identification — a char-trigram Naive Bayes
   * (Cavnar & Trenkle 1994's n-gram profiles with NB scoring; the
   * langid.py / fastText-LID family's simplest member), replacing the
@@ -61,9 +63,15 @@ object LangIdNB {
     * the streaming re-entry point: merged micro-batch partials produce
     * the IDENTICAL model the batch trainer derives, because everything
     * up to the one ln is associative integer arithmetic. */
-  def trainFromCounts(cnt: DataFrame): DataFrame = {
+  def trainFromCounts(cnt0: DataFrame): DataFrame = {
+    // PINNED: cnt feeds four consumers (tot, voc's two reads, the left
+    // join) and unpinned each one re-ran the full-corpus trigram
+    // explode+groupBy that produced it (r18 before-plan: 4 corpus scans
+    // in q_langid_nb's train subtree alone). The frame is
+    // vocabulary×languages-sized — bounded, tiny at any corpus scale.
+    val cnt = cnt0.pin()
     val tot = cnt.groupBy("lang").agg(F.sum("n").as("tot"))
-    val voc = cnt.select("gram").distinct()
+    val voc = cnt.select("gram").distinct().pin()
     val vv = voc.agg(F.count(F.lit(1)).as("v"))
     voc.crossJoin(F.broadcast(tot.crossJoin(vv)))
       .join(cnt, Seq("lang", "gram"), "left")
@@ -85,10 +93,12 @@ object LangIdNB {
       .groupBy(F.col(labelCol).as("lang")).agg(F.count(F.lit(1)).as("ndocs"))
 
   /** The priors' snap over a pre-aggregated (lang, ndocs) frame. */
-  def priorsFromCounts(dc: DataFrame): DataFrame =
+  def priorsFromCounts(dc0: DataFrame): DataFrame = {
+    val dc = dc0.pin() // read twice (total + per-lang); languages-sized
     dc.crossJoin(F.broadcast(dc.agg(F.sum("ndocs").as("nd"))))
       .select(F.col("lang"),
         microNats(F.col("ndocs").cast("double") / F.col("nd").cast("double")).as("lp0"))
+  }
 
   /** Micro-nat class priors ln(n_docs(lang) / n_docs) — (lang, lp0). */
   def priors(docs: DataFrame, textCol: String, labelCol: String): DataFrame =

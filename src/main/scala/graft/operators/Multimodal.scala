@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row, functions => F}
 import org.apache.spark.sql.types._
 
+import graft.Pin._
+
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with a typed metadata struct alongside. The image path
   * runs a REAL codec end to end: [[pngPayloads]] renders deterministic
@@ -700,11 +702,19 @@ object Multimodal {
     * signature. Frame matching reuses the text/image banding core
     * ([[Dedup.hammingPairs64]]) on a packed (media_id·64 + frame_idx) key,
     * so candidate generation is band-bucketed, never all-frame-pairs. */
-  def videoContainment(prints: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def videoContainment(prints0: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // PINNED: prints feeds the banding pipeline AND the per-video frame
+    // counts; unpinned, the second consumer re-ran the WHOLE upstream
+    // codec pass (GIF encode + per-frame decode — the most expensive
+    // per-task work in the query). 16 B/frame fingerprints, corpus-safe.
+    val prints = prints0.pin()
     val fids = prints.select(
       (F.col("media_id") * 64 + F.col("frame_idx")).as("fid"),
       F.col("dh_lo"), F.col("dh_hi"))
-    val pairs = Dedup.hammingPairs64(fids, "fid", "dh_lo", "dh_hi", maxHamming)
+    // PINNED: pairs feeds both directed expansions below; unpinned, the
+    // banding self-join + popcount verify ran twice. Bounded by the
+    // verified match count.
+    val pairs = Dedup.hammingPairs64(fids, "fid", "dh_lo", "dh_hi", maxHamming).pin()
     // expand a<b frame pairs into both directed (va, fa, vb) match rows
     val d1 = pairs.select((F.col("a") / 64).cast(LongType).as("va"),
       (F.col("a") % 64).cast(IntegerType).as("fa"), (F.col("b") / 64).cast(LongType).as("vb"))
@@ -729,13 +739,20 @@ object Multimodal {
       media: DataFrame,
       stride: Int = 1,
       maxHamming: Int = 3,
-      minContainment: Double = 0.8): DataFrame = {
+      minContainment: Double = 0.8,
+      nodes: Option[DataFrame] = None): DataFrame = {
     val edges = videoContainment(framePrints(media, stride), maxHamming)
       .filter(F.col("containment") >= minContainment)
       .select(F.least(F.col("va"), F.col("vb")).as("a"),
         F.greatest(F.col("va"), F.col("vb")).as("b"))
       .distinct()
-    Dedup.connectedComponents(edges, media.select(F.col("media_id").as("node")))
+    // The node list is just media_id — but `media` is typically an opaque
+    // codec mapPartitions (payload synth/encode) that column pruning
+    // cannot see through, so deriving ids from it re-ran the WHOLE encode
+    // pass. Callers that know the id universe pass it via `nodes`
+    // (one long per video); the default keeps the old derivation.
+    val nodeDf = nodes.getOrElse(media.select(F.col("media_id").as("node")))
+    Dedup.connectedComponents(edges, nodeDf)
       .select(F.col("node").as("media_id"), F.col("label").as("cluster"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.Pin._
 
 /** Learned quality filter — the model-based curation step of a training
   *-data pipeline (the fastText/CCNet-style classifier that replaces
@@ -72,7 +73,7 @@ object QualityModel {
     // cache) severs the lineage so the loop's jobs replay nothing.
     val fcols = featureCols(textCol).zipWithIndex.map { case (f, j) => f.as(s"f$j") }
     val feats = docs.select(fcols :+ F.col(labelCol).cast("double").as("y"): _*)
-      .localCheckpoint(true)
+      .pin()
     val fRefs = (0 until nFeatures).map(j => F.col(s"f$j"))
     val y = F.col("y")
     val pairs = for { j <- 0 until nFeatures; k <- j until nFeatures } yield (j, k)

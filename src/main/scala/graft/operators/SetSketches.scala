@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoders, functions => F}
 
 import graft.functions.{Theta, ThetaSketchAggregator}
+import graft.Pin._
 
 /** Corpus-slice set algebra at sketch fidelity: per-slice theta (KMV)
   * sketches and pairwise intersection / union / Jaccard ESTIMATES between
@@ -49,7 +50,7 @@ object SetSketches {
   def pairOverlap(sketches: DataFrame, k: Int): DataFrame = {
     // pin the aggregate ONCE (one row of ≤ k longs per slice): meta and
     // the exploded-hash frame both read it, and must not re-scan the data
-    val sk = sketches.localCheckpoint(true)
+    val sk = sketches.pin()
     val m = meta(sk, k)
     val hashes = sk.select(
       F.col("set_key").as("key"), F.explode(F.col("sk.retained")).as("h"))
@@ -122,7 +123,7 @@ object SetSketches {
     * (graft.streaming.StreamingSetSketches.slidingDistinctNow). */
   def slidingFromDaySketches(daySketches: DataFrame, window: Int, k: Int): DataFrame = {
     require(window >= 1, "window must be positive")
-    val daySk = daySketches.localCheckpoint(true) // feeds the day grid AND the member join
+    val daySk = daySketches.pin() // feeds the day grid AND the member join
     val days = daySk.select(F.col("set_key").as("wd"))
     val members = days.join(
       daySk.select(F.col("set_key").as("md"), F.col("sk")),

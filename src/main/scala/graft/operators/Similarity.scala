@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
+import graft.Pin._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -21,20 +22,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Frees the block-storage of a frame produced by `localCheckpoint(true)`.
-    *
-    * `Dataset.unpersist` only touches cache-manager entries; an eager
-    * local checkpoint's blocks belong to the internal RDD wrapped by the
-    * resulting `LogicalRDD` leaf and otherwise live until GC. Iterative
-    * drivers (farthest-first selection, PageRank-style loops) call this on
-    * round i−1's frame after round i materializes, keeping peak storage
-    * at one corpus copy instead of k.
-    */
+  /** Frees the block-storage of a pinned frame — see [[graft.Pin.free]]. */
   private[graft] def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    graft.Pin.free(df)
 
   /** Dot product of two `array<float>` columns, accumulated in double in
     * index order. */
@@ -132,7 +122,7 @@ object Similarity {
     // lineage so round i never replays rounds 1..i-1) and then FREES the
     // previous round's checkpoint blocks — peak storage is one corpus
     // copy (plus a transient second during the handoff), not k copies
-    var cur = base.withColumn("mind", distTo(centerVec)).localCheckpoint(true)
+    var cur = base.withColumn("mind", distTo(centerVec)).pin()
     var done = false
     var i = 2
     while (i <= k && !done) {
@@ -148,7 +138,7 @@ object Similarity {
         centerVec = next.getSeq[Float](1).map(_.toDouble).toArray
         val prev = cur
         cur = cur.withColumn("mind", F.least(F.col("mind"), distTo(centerVec)))
-          .localCheckpoint(true)
+          .pin()
         freeLocalCheckpoint(prev)
         i += 1
       }
@@ -227,7 +217,7 @@ object Similarity {
     // MATERIALIZED picks 1..i−1 instead of replaying them — per-step cost
     // stays flat in k rather than the O(k²) growth of an uncheckpointed
     // union chain (evidence row in OperatorBench)
-    var selected = pick(cand.withColumn("__score", F.col("si")), 1).localCheckpoint(true)
+    var selected = pick(cand.withColumn("__score", F.col("si")), 1).pin()
     for (step <- 2 to k) {
       val maxSel = pair
         .join(selected.select(F.col("qid"), F.col("cid").as("b")), Seq("qid", "b"))
@@ -238,7 +228,7 @@ object Similarity {
         .join(maxSel, Seq("qid", "cid"))
         .withColumn("__score",
           F.lit(wRel) * F.col("si") - F.lit(wDiv) * F.col("__msel"))
-      selected = selected.union(pick(remaining, step)).localCheckpoint(true)
+      selected = selected.union(pick(remaining, step)).pin()
     }
     // the final frame is materialized, so the session-lifetime caches can
     // go now instead of leaking executor storage across invocations
@@ -497,7 +487,7 @@ object Similarity {
       F.explode(F.array(tables.zipWithIndex.map { case (p, t) =>
         F.concat(F.lit(s"$t:"), hyperplaneBucket(F.col("v"), p))
       }.toSeq: _*)).as("bucket"))
-      .localCheckpoint(true)
+      .pin()
     val pairs = keyed.select(F.col("bucket"), F.col("id").as("qid"))
       .join(keyed.select(F.col("bucket"), F.col("id").as("cid")), "bucket")
       .filter(F.col("qid") =!= F.col("cid"))
@@ -567,7 +557,7 @@ object Similarity {
     // invariant)
     val base = embeddings
       .select(F.col(idCol).as("id"), F.col(vecCol).as("v"))
-      .localCheckpoint(true)
+      .pin()
     var cents: Array[Array[Double]] = base.orderBy("id").limit(kC).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
@@ -799,7 +789,7 @@ object Similarity {
       F.explode(F.array((0 until m).map(s =>
         F.struct(F.lit(s).as("s"), F.slice(F.col("v"), s * sub + 1, sub).as("sv"))): _*)).as("e"))
       .select(F.col("id"), F.col("e.s").as("s"), F.col("e.sv").as("sv"))
-      .localCheckpoint(true)
+      .pin()
     for (_ <- 0 until iters) {
       val cdf = F.broadcast(books.zipWithIndex.flatMap { case (cb, s) =>
         cb.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }

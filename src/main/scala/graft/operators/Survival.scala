@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 
+import graft.Pin._
+
 /** Survival analysis over right-censored durations — the retention /
   * lifetime toolkit (how long do users stay active, how long do
   * documents survive dedup sweeps, time-to-failure of jobs) where
@@ -46,17 +48,25 @@ object Survival {
     * sums), the entry a streaming accumulator re-enters
     * (graft.streaming.StreamingSurvival). */
   def kaplanMeierFromCounts(byT: DataFrame): DataFrame = {
-    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Both cumulative folds over the event-time axis run as TWO-PHASE
+    // prefix sums (r18, guide §2): the axis is pre-aggregated but NOT
+    // bounded — at 100 TB distinct event times are ~10⁹ rows, which the
+    // old Window.orderBy put on ONE task. The risk-set prefix is an
+    // exact long (identical values); the ln-sum prefix is a double whose
+    // association drift (~1e-16) the round-6 snap absorbs — the same
+    // discipline the graph trajectories rely on (oracle re-verified).
     val tot = byT.agg(F.sum("c").as("__n"))
-    byT.crossJoin(F.broadcast(tot))
-      .withColumn("n_risk", F.col("__n") - F.sum("c").over(w) + F.col("c"))
+    val withRisk = TwoPhase.prefixSums(byT.crossJoin(F.broadcast(tot)),
+        F.col("t"), Seq((F.col("c"), "__csum")))
+      .withColumn("n_risk", F.col("__n") - F.col("__csum") + F.col("c"))
       .withColumn("__term",
         F.when(F.col("d") > 0 && F.col("d") < F.col("n_risk"),
           F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")))
           .otherwise(F.lit(0.0)))
+    TwoPhase.prefixSums(withRisk, F.col("t"), Seq((F.col("__term"), "__lnsum")))
       .withColumn("survival",
         F.when(F.col("d") === F.col("n_risk"), F.lit(0.0))
-          .otherwise(F.round(F.exp(F.sum("__term").over(w)), 6)))
+          .otherwise(F.round(F.exp(F.col("__lnsum")), 6)))
       .select(F.col("t"), F.col("n_risk"), F.col("d").as("d_events"),
         (F.col("c") - F.col("d")).as("n_censored"), F.col("survival"))
   }
@@ -83,10 +93,11 @@ object Survival {
 
   /** [[kaplanMeierCI]] over the pre-aggregated (t, d, c) frame. */
   def kaplanMeierCIFromCounts(byT: DataFrame): DataFrame = {
-    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // two-phase prefix folds, as in [[kaplanMeierFromCounts]]
     val tot = byT.agg(F.sum("c").as("__n"))
-    byT.crossJoin(F.broadcast(tot))
-      .withColumn("n_risk", F.col("__n") - F.sum("c").over(w) + F.col("c"))
+    val withTerms = TwoPhase.prefixSums(byT.crossJoin(F.broadcast(tot)),
+        F.col("t"), Seq((F.col("c"), "__csum")))
+      .withColumn("n_risk", F.col("__n") - F.col("__csum") + F.col("c"))
       .withColumn("__term",
         F.when(F.col("d") > 0 && F.col("d") < F.col("n_risk"),
           F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")))
@@ -98,12 +109,14 @@ object Survival {
           F.col("d").cast("double")
             / (F.col("n_risk") * (F.col("n_risk") - F.col("d"))).cast("double"))
           .otherwise(F.lit(0.0)))
+    TwoPhase.prefixSums(withTerms, F.col("t"),
+        Seq((F.col("__term"), "__lnsum"), (F.col("__gw"), "__gwsum")))
       .withColumn("__s",
         F.when(F.col("d") === F.col("n_risk"), F.lit(0.0))
-          .otherwise(F.exp(F.sum("__term").over(w))))
+          .otherwise(F.exp(F.col("__lnsum"))))
       .withColumn("__se",
         F.when(F.col("d") === F.col("n_risk"), F.lit(null).cast("double"))
-          .otherwise(F.col("__s") * F.sqrt(F.sum("__gw").over(w))))
+          .otherwise(F.col("__s") * F.sqrt(F.col("__gwsum"))))
       .select(F.col("t"), F.col("n_risk"), F.col("d").as("d_events"),
         (F.col("c") - F.col("d")).as("n_censored"),
         F.when(F.col("d") === F.col("n_risk"), F.lit(0.0))
@@ -137,16 +150,19 @@ object Survival {
 
   /** [[nelsonAalen]] over the pre-aggregated (t, d, c) frame. */
   def nelsonAalenFromCounts(byT: DataFrame): DataFrame = {
-    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // two-phase prefix folds, as in [[kaplanMeierFromCounts]]
     val tot = byT.agg(F.sum("c").as("__n"))
-    byT.crossJoin(F.broadcast(tot))
-      .withColumn("n_risk", F.col("__n") - F.sum("c").over(w) + F.col("c"))
+    val withTerms = TwoPhase.prefixSums(byT.crossJoin(F.broadcast(tot)),
+        F.col("t"), Seq((F.col("c"), "__csum")))
+      .withColumn("n_risk", F.col("__n") - F.col("__csum") + F.col("c"))
       .withColumn("__h", F.col("d").cast("double") / F.col("n_risk"))
       .withColumn("__v",
         F.col("d").cast("double") / (F.col("n_risk") * F.col("n_risk")).cast("double"))
+    TwoPhase.prefixSums(withTerms, F.col("t"),
+        Seq((F.col("__h"), "__hsum"), (F.col("__v"), "__vsum")))
       .select(F.col("t"), F.col("n_risk"), F.col("d").as("d_events"),
-        (F.round(F.sum("__h").over(w), 6) + F.lit(0.0)).as("cumhaz"),
-        (F.round(F.sqrt(F.sum("__v").over(w)), 6) + F.lit(0.0)).as("se"))
+        (F.round(F.col("__hsum"), 6) + F.lit(0.0)).as("cumhaz"),
+        (F.round(F.sqrt(F.col("__vsum")), 6) + F.lit(0.0)).as("se"))
   }
 
   /** RESTRICTED MEAN SURVIVAL TIME (Irwin 1949; Royston & Parmar, BMC
@@ -177,20 +193,27 @@ object Survival {
     * mergeable summary every KM-family reader re-enters. */
   def rmstFromCounts(byT: DataFrame, tau: Long): DataFrame = {
     require(tau > 0, "need tau > 0")
-    val wOrd = Window.orderBy("t")
-    val wSum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = byT.agg(F.sum("c").as("__n"))
-    val seg = kaplanMeierFromCounts(byT)
-      .withColumn("__next", F.coalesce(F.lead("t", 1).over(wOrd), F.lit(tau)))
+    // r18: the global lead()/row_number() windows over the event axis are
+    // replaced by a two-phase sequence (distributed rank in t order) —
+    // lead(t) is a self-join on rank+1, the head flag is rank 1, and the
+    // old "ordered running sum read at its last row" IS the plain total,
+    // so the statistic is one aggregate (round-6 absorbs the partial-
+    // aggregation association drift, the KM ln-sum discipline). Pinned:
+    // the ranked KM frame feeds both join sides.
+    val km = AuditQueries.assignIngestSeqDistributed(
+      kaplanMeierFromCounts(byT), 0L, Seq("t")).pin()
+    val nexts = km.select((F.col("id") - 1).as("id"), F.col("t").as("__nt"))
+    val total = km.join(nexts, Seq("id"), "left")
+      .withColumn("__next", F.coalesce(F.col("__nt"), F.lit(tau)))
       .withColumn("__contrib", F.col("survival") *
         (F.least(F.col("__next"), F.lit(tau)) - F.least(F.col("t"), F.lit(tau))).cast("double"))
       // the pre-first-step interval at S = 1 rides the first row
-      .withColumn("__head", F.when(F.row_number().over(wOrd) === 1,
+      .withColumn("__head", F.when(F.col("id") === 1,
         F.least(F.col("t"), F.lit(tau)).cast("double")).otherwise(F.lit(0.0)))
-      .withColumn("__rmst", F.sum(F.col("__head") + F.col("__contrib")).over(wSum))
-      .withColumn("__rn", F.row_number().over(Window.orderBy(F.col("t").desc)))
-      .filter(F.col("__rn") === 1)
-    seg.crossJoin(F.broadcast(tot))
+      .agg(F.sum(F.col("__head") + F.col("__contrib")).as("__rmst"))
+      .filter(F.col("__rmst").isNotNull) // empty input stays EMPTY output
+    total.crossJoin(F.broadcast(tot))
       .select(F.lit(tau).as("tau"), F.col("__n").as("n_subjects"),
         (F.round(F.col("__rmst"), 6) + F.lit(0.0)).as("rmst"))
   }
@@ -249,10 +272,14 @@ object Survival {
         F.sum(F.when(F.col("g") === F.col("gb"), F.col("d")).otherwise(F.lit(0L))).as("d2"),
         F.sum(F.when(F.col("g") === F.col("gb"), F.col("c")).otherwise(F.lit(0L))).as("c2"))
     val tot = perT.agg(F.sum("c1").as("nn1"), F.sum("c2").as("nn2"))
-    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ev = perT.crossJoin(F.broadcast(tot))
-      .withColumn("n1", F.col("nn1") - F.sum("c1").over(w) + F.col("c1"))
-      .withColumn("n2", F.col("nn2") - F.sum("c2").over(w) + F.col("c2"))
+    // two-phase prefix folds over the event-time axis (the
+    // [[kaplanMeierFromCounts]] r18 discipline): risk sets from exact
+    // long prefixes, then the O/E/V accumulations over the filtered
+    // event rows
+    val ev0 = TwoPhase.prefixSums(perT.crossJoin(F.broadcast(tot)),
+        F.col("t"), Seq((F.col("c1"), "__c1s"), (F.col("c2"), "__c2s")))
+      .withColumn("n1", F.col("nn1") - F.col("__c1s") + F.col("c1"))
+      .withColumn("n2", F.col("nn2") - F.col("__c2s") + F.col("c2"))
       .filter(F.col("d1") + F.col("d2") > 0) // event times only
       .withColumn("nt", F.col("n1") + F.col("n2"))
       .withColumn("dt", F.col("d1") + F.col("d2"))
@@ -265,15 +292,12 @@ object Survival {
           * F.col("n2") / F.col("nt")
           * (F.col("nt") - F.col("dt")) / (F.col("nt") - F.lit(1L)))
         .otherwise(F.lit(0.0)))
-      // ordered accumulation over the (days-sized) event-time axis
-      .withColumn("o1s", F.sum("d1").over(w))
-      .withColumn("o2s", F.sum("d2").over(w))
-      .withColumn("e1s", F.sum("e1").over(w))
-      .withColumn("e2s", F.sum("e2").over(w))
-      .withColumn("vs", F.sum("vt").over(w))
-    val last = ev
-      .withColumn("__rn", F.row_number().over(Window.orderBy(F.col("t").desc)))
-      .filter(F.col("__rn") === 1)
+    val ev = TwoPhase.prefixSums(ev0, F.col("t"),
+      Seq((F.col("d1"), "o1s"), (F.col("d2"), "o2s"),
+        (F.col("e1"), "e1s"), (F.col("e2"), "e2s"), (F.col("vt"), "vs")))
+    // the statistic reads the LAST event time's accumulations — a
+    // distributed TakeOrdered, not a single-partition row_number window
+    val last = ev.orderBy(F.col("t").desc).limit(1)
     val chi2 = F.when(F.col("vs") > 0.0,
       (F.col("o1s").cast("double") - F.col("e1s"))
         * (F.col("o1s").cast("double") - F.col("e1s")) / F.col("vs"))
@@ -506,10 +530,11 @@ object Survival {
         F.sum(F.when(F.col("g") === F.col("gb"), F.col("d")).otherwise(F.lit(0L))).as("d2"),
         F.sum(F.when(F.col("g") === F.col("gb"), F.col("c")).otherwise(F.lit(0L))).as("c2"))
     val tot = perT.agg(F.sum("c1").as("nn1"), F.sum("c2").as("nn2"))
-    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val agg = perT.crossJoin(F.broadcast(tot))
-      .withColumn("n1", F.col("nn1") - F.sum("c1").over(w) + F.col("c1"))
-      .withColumn("n2", F.col("nn2") - F.sum("c2").over(w) + F.col("c2"))
+    // exact-long two-phase risk-set prefixes (the r18 KM discipline)
+    val agg = TwoPhase.prefixSums(perT.crossJoin(F.broadcast(tot)),
+        F.col("t"), Seq((F.col("c1"), "__c1s"), (F.col("c2"), "__c2s")))
+      .withColumn("n1", F.col("nn1") - F.col("__c1s") + F.col("c1"))
+      .withColumn("n2", F.col("nn2") - F.col("__c2s") + F.col("c2"))
       // event times only: non-event rows contribute nothing, and folding
       // over the filtered frame keeps the all-censored input EMPTY (the
       // logRank contract) in both engines
@@ -584,25 +609,35 @@ object Survival {
     * per-(duration, cause) subject counts are the mergeable summary. */
   def aalenJohansenFromCounts(byTK0: DataFrame): DataFrame = {
     // a NULL duration/cause from a failed streaming cast would sit in
-    // the risk set forever (counted in c, never in d) — drop it
-    val byTK = byTK0.filter(F.col("t").isNotNull && F.col("cause").isNotNull)
+    // the risk set forever (counted in c, never in d) — drop it.
+    // PINNED: feeds the all-cause per-t aggregate AND the per-cause terms
+    // join — unpinned, the upstream count aggregation ran twice.
+    val byTK = byTK0.filter(F.col("t").isNotNull && F.col("cause").isNotNull).pin()
     val perT = byTK.groupBy("t")
       .agg(F.sum(F.when(F.col("cause") > 0, F.col("c")).otherwise(F.lit(0L))).as("d"),
         F.sum("c").as("c"))
-    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     val tot = perT.agg(F.sum("c").as("__n"))
     // all-cause KM scaffold: n_risk, Ŝ(t−) = exp(Σ_{s<t} ln(1 − d/n)),
-    // snapped to 9 decimals — the multiplier every cause shares at t
-    val km = perT.crossJoin(F.broadcast(tot))
-      .withColumn("n_risk", F.col("__n") - F.sum("c").over(w) + F.col("c"))
+    // snapped to 9 decimals — the multiplier every cause shares at t.
+    // Two-phase prefixes (the r18 KM discipline). The EXCLUSIVE ln-sum
+    // comes from the inclusive prefix minus the row's own term, with the
+    // −∞ everyone-dies terms carried as a separate exact COUNT (−∞ − −∞
+    // would be NaN): any strictly-before −∞ forces Ŝ(t−) = 0 exactly,
+    // which is what the old wPrev window's −∞ sum produced through exp.
+    // The finite subtraction's ulp (~1e-16) sits far inside the 9-snap.
+    val km0 = TwoPhase.prefixSums(perT.crossJoin(F.broadcast(tot)),
+        F.col("t"), Seq((F.col("c"), "__csum")))
+      .withColumn("n_risk", F.col("__n") - F.col("__csum") + F.col("c"))
       .withColumn("__term",
         F.when(F.col("d") > 0 && F.col("d") < F.col("n_risk"),
           F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")))
-          .when(F.col("d") === F.col("n_risk"), F.lit(Double.NegativeInfinity))
           .otherwise(F.lit(0.0)))
+      .withColumn("__dies", F.when(F.col("d") === F.col("n_risk"), 1L).otherwise(0L))
+    val km = TwoPhase.prefixSums(km0, F.col("t"),
+        Seq((F.col("__term"), "__lnsum"), (F.col("__dies"), "__diesum")))
       .withColumn("s_prev",
-        F.round(F.exp(F.coalesce(F.sum("__term").over(wPrev), F.lit(0.0))), 9))
+        F.when(F.col("__diesum") - F.col("__dies") > 0, F.lit(0.0))
+          .otherwise(F.round(F.exp(F.col("__lnsum") - F.col("__term")), 9)))
       .select(F.col("t"), F.col("n_risk"), F.col("s_prev"))
     val terms = byTK.filter(F.col("cause") > 0)
       .join(km, "t")
@@ -693,12 +728,13 @@ object Survival {
         F.sum(F.when(F.col("g") === F.col("gb"), F.col("d")).otherwise(F.lit(0L))).as("d2"),
         F.sum(F.when(F.col("g") === F.col("gb"), F.col("c")).otherwise(F.lit(0L))).as("c2"))
     val tot = perT.agg(F.sum("c1").as("nn1"), F.sum("c2").as("nn2"))
-    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // per-event-time risk sets, the logRank construction: n at risk =
-    // total − everyone who exited strictly before t
-    val rows = perT.crossJoin(F.broadcast(tot))
-      .withColumn("n0", F.col("nn1") - F.sum("c1").over(w) + F.col("c1"))
-      .withColumn("nx", F.col("nn2") - F.sum("c2").over(w) + F.col("c2"))
+    // total − everyone who exited strictly before t — exact-long
+    // two-phase prefixes (the r18 KM discipline)
+    val rows = TwoPhase.prefixSums(perT.crossJoin(F.broadcast(tot)),
+        F.col("t"), Seq((F.col("c1"), "__c1s"), (F.col("c2"), "__c2s")))
+      .withColumn("n0", F.col("nn1") - F.col("__c1s") + F.col("c1"))
+      .withColumn("nx", F.col("nn2") - F.col("__c2s") + F.col("c2"))
       .filter(F.col("d1") + F.col("d2") > 0)
       .select(F.col("t"), (F.col("d1") + F.col("d2")).as("d"),
         F.col("d2").as("dx"), F.col("n0"), F.col("nx"),
@@ -1075,13 +1111,16 @@ object Survival {
         F.sum(F.when(F.col("k") === k, F.col("c")).otherwise(F.lit(0L))).as(s"c$k"))
     } :+ F.sum(F.when(F.col("k") === -1L, F.col("c")).otherwise(F.lit(0L))).as("bad")
     val perT = byTP.groupBy("t").agg(perTAggs.head, perTAggs.tail: _*)
-    val w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totAggs = (0 until kPats).map(k => F.sum(F.col(s"c$k")).as(s"nn$k")) :+
       F.sum("bad").as("badTot")
     val tot = perT.agg(totAggs.head, totAggs.tail: _*)
-    val withRisk = (0 until kPats).foldLeft(perT.crossJoin(F.broadcast(tot))) {
+    // exact-long two-phase risk-set prefixes (the r18 KM discipline),
+    // all kPats patterns in ONE range-partitioned pass
+    val withRisk = (0 until kPats).foldLeft(
+      TwoPhase.prefixSums(perT.crossJoin(F.broadcast(tot)), F.col("t"),
+        (0 until kPats).map(k => (F.col(s"c$k"), s"__cs$k")))) {
       case (df, k) => df.withColumn(s"n$k",
-        F.col(s"nn$k") - F.sum(s"c$k").over(w) + F.col(s"c$k"))
+        F.col(s"nn$k") - F.col(s"__cs$k") + F.col(s"c$k"))
     }
     val dTotCol = (0 until kPats).map(k => F.col(s"d$k")).reduce(_ + _)
     val ev = withRisk.filter(dTotCol > 0)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.Pin._
 
 /** Text-analysis operators for training-data pipelines: language ID
   * (stopword-marker heuristic), quality scoring (length / punctuation /
@@ -482,7 +483,7 @@ object TextAnalysis {
     // sf0.1), and the slim (id, set) frame is also what the self-join's
     // two explodes re-read without replaying the derivation
     val setsMat = winnowSets(df, idCol, textCol)
-      .select(F.col(idCol).as("id"), F.col("__sel")).localCheckpoint(true)
+      .select(F.col(idCol).as("id"), F.col("__sel")).pin()
     val keyed = setsMat.select(F.col("id"), F.explode(F.col("__sel")).as("h"))
     val nDocs = df.agg(F.count(F.lit(1)).as("__n"))
     val rare = keyed.groupBy("h").agg(F.count(F.lit(1)).as("__df"))
@@ -498,7 +499,7 @@ object TextAnalysis {
 
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   minOverlap: Double = 0.8, maxDfFrac: Double = 0.05): DataFrame = {
-    val posting = winnowPostings(df, idCol, textCol, maxDfFrac).localCheckpoint(true)
+    val posting = winnowPostings(df, idCol, textCol, maxDfFrac).pin()
     posting.as("x").join(posting.as("y"), "h")
       .filter(F.col("x.id") < F.col("y.id"))
       .select(F.col("x.id").as("a"), F.col("y.id").as("b"),
@@ -725,7 +726,7 @@ object TextAnalysis {
         F.explode(F.split(F.col(textCol), " ")).as("term"))
       .filter(F.col("term") =!= "")
       .distinct()
-      .localCheckpoint(true) // feeds sizes AND both sides of the self-join
+      .pin() // feeds sizes AND both sides of the self-join
     val sizes = ts.groupBy("g").agg(F.count(F.lit(1)).as("nv"))
     val inter = ts.select(F.col("g").as("g1"), F.col("term"))
       .join(ts.select(F.col("g").as("g2"), F.col("term")), Seq("term"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
+import graft.Pin._
 
 /** Time-series regularization over the event stream: gap-filled resampling
   * to a fixed grid, last-observation-carried-forward imputation, and
@@ -184,7 +185,7 @@ object TimeSeries {
     val s = series.select(F.col(keyCol).as("k"), F.col(tCol).as("t"),
         F.col(xCol).cast("long").as("x"))
       .filter(F.col("k").isNotNull && F.col("t").isNotNull && F.col("x").isNotNull)
-      .localCheckpoint(true) // feeds the pair join (both sides), ties, n
+      .pin() // feeds the pair join (both sides), ties, n
     val pairs = s.select(F.col("k"), F.col("t").as("ti"), F.col("x").as("xi"))
       .join(s.select(F.col("k"), F.col("t").as("tj"), F.col("x").as("xj")), "k")
       .filter(F.col("ti") < F.col("tj"))
@@ -231,7 +232,7 @@ object TimeSeries {
     val s = series.select(F.col(keyCol).as("k"), F.col(tCol).cast("long").as("t"),
         F.col(xCol).cast("long").as("x"))
       .filter(F.col("k").isNotNull && F.col("t").isNotNull && F.col("x").isNotNull)
-      .localCheckpoint(true) // feeds the pair join (both sides) + the intercept pass
+      .pin() // feeds the pair join (both sides) + the intercept pass
     val pairs = s.select(F.col("k"), F.col("t").as("ti"), F.col("x").as("xi"))
       .join(s.select(F.col("k"), F.col("t").as("tj"), F.col("x").as("xj")), "k")
       .filter(F.col("ti") < F.col("tj"))
@@ -454,7 +455,7 @@ object TimeSeries {
       .withColumn("cur", F.lag("nx", 1).over(w))
       .filter(F.col("cur").isNotNull)
       .groupBy("cur", "nx").agg(F.count(F.lit(1)).as("o"))
-      .localCheckpoint(true) // margins + total + terms all read it
+      .pin() // margins + total + terms all read it
     val tot = bi.agg(F.sum("o").as("t"))
     val curM = bi.groupBy("cur").agg(F.sum("o").as("nc"))
     val nxM = bi.groupBy("nx").agg(F.sum("o").as("nn"))
@@ -533,7 +534,7 @@ object TimeSeries {
     val s = series.select(F.col(keyCol).as("k"), F.col(tCol).as("t"),
         F.col(xCol).cast("long").as("x"))
       .filter(F.col("k").isNotNull && F.col("t").isNotNull && F.col("x").isNotNull)
-      .localCheckpoint(true) // feeds both sides of the lag join
+      .pin() // feeds both sides of the lag join
     val shifted = s.crossJoin(F.broadcast(lags))
       .select(F.col("k"), F.col("lag"), F.col("x"), F.expr("date_add(t, lag)").as("t2"))
     shifted
@@ -859,7 +860,7 @@ object TimeSeries {
       .select(F.col("k"), F.col("xs"), F.size(F.col("xs")).as("n"),
         F.col("st.l").as("l"), F.col("st.b").as("b"), F.col("st.s").as("s"),
         F.col("st.snaps").as("snaps"))
-      .localCheckpoint(true) // feeds the calibration explode AND the forecast
+      .pin() // feeds the calibration explode AND the forecast
     // calibration scores: origin i = p + m + 1 (snapshot m is the state
     // after consuming xs[p + m + 1]), honest from i >= 2p, target i + j
     val cal = snapped

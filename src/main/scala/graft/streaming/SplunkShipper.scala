@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, Row, functions => F}
 import graft.metrics.{Metrics, MetricsRegistry}
 import graft.sources.{HttpReply, HttpTransport}
 import graft.store.EventStore
+import graft.Pin._
 
 /** Splunk-HEC-style HTTP sink client with the reference's retry policy
   * (`shipper.go:62-86`): 2 s timeout (owned by the transport), backoff
@@ -188,7 +189,7 @@ final class SplunkShipper(
     // lost to serial on engine cost alone). Materializing the ≤page-size
     // batch once makes the sampling pass read checkpointed partitions.
     val batch = withPayload(store.getUnshippedCFAuditEventsForShipper(shipperName))
-      .localCheckpoint(true)
+      .pin()
       .repartitionByRange(parallelism, F.col("created_at"), F.col("guid"))
       .sortWithinPartitions("created_at", "guid")
     val perPart = batch.select("__payload", "created_at_raw", "guid").rdd

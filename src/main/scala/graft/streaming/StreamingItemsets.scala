@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, functions => F}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.Itemsets
+import graft.Pin._
 
 /** Streaming association-rule mining: baskets arrive as (transaction,
   * item) rows and the rule board is re-derivable at any time. The
@@ -38,7 +39,7 @@ object StreamingItemsets {
           .select(F.col(tidCol).as("tid"), F.col(itemCol).cast("string").as("item"))
           .filter(F.col("tid").isNotNull && F.col("item").isNotNull)
           .distinct()
-          .localCheckpoint(true) // three consumers below
+          .pin() // three consumers below
         // the three families commit non-atomically: write the DENOMINATOR
         // first, so a read (or crash) between writes sees n_tx ahead of
         // the numerators — supports/confidences UNDER-estimate until the
